@@ -1,0 +1,239 @@
+"""Tiling / gridding operators.
+
+- ``assign_tiles``  — WBT LidarTile parity
+  (whitebox-tools-app/src/tools/lidar_analysis/lidar_tile.rs:300-326):
+  grid anchored at (origin_x, origin_y), tile extent derived from the
+  dataset's min/max, ``tile_id = row * cols + col``.
+- ``filter_min_points`` — LidarTile's min_points threshold (tiles with
+  fewer points produce no output tile).
+- ``hex_bin`` — VectorHexBinning parity
+  (gis_analysis/vector_hex_bin.rs:280-340): staggered hex centers,
+  nearest-center assignment; COUNT per hex.
+
+Scale notes: tile/hex assignment is a pure per-row column expression
+(codegen, zero shuffle). The only shuffles are the explicit
+``groupBy(tile_id)`` count and the partitioned write. At 10^12 docs the
+write is `.repartition(cell_prefix)` + partitionBy(tile bucket) so one
+hot tile never lands in a single task (salting in functions.cells).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TileGrid:
+    """Resolved tile grid (the scalars WBT derives from the LAS header)."""
+
+    origin_x: float
+    origin_y: float
+    width_x: float
+    width_y: float
+    start_x_grid: float
+    start_y_grid: float
+    cols: int
+    rows: int
+
+    @property
+    def num_tiles(self) -> int:
+        return self.rows * self.cols
+
+
+def resolve_tile_grid(
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+    origin_x: float,
+    origin_y: float,
+    width_x: float,
+    width_y: float,
+) -> TileGrid:
+    """Exact transcription of lidar_tile.rs:300-307 grid derivation."""
+    start_x_grid = math.floor((min_x - origin_x) / width_x)
+    end_x_grid = math.ceil((max_x - origin_x) / width_x)
+    start_y_grid = math.floor((min_y - origin_y) / width_y)
+    end_y_grid = math.ceil((max_y - origin_y) / width_y)
+    cols = int(abs(end_x_grid - start_x_grid))
+    rows = int(abs(end_y_grid - start_y_grid))
+    return TileGrid(origin_x, origin_y, width_x, width_y, start_x_grid, start_y_grid, cols, rows)
+
+
+def tile_exprs(grid: TileGrid, x_sql: str = "x", y_sql: str = "y") -> dict[str, str]:
+    """Portable SQL (Spark + DuckDB identical) for tile col/row/id.
+
+    Parity: lidar_tile.rs:323-326 —
+      col = floor((x - origin_x)/width_x - start_x_grid)
+      row = floor((y - origin_y)/width_y - start_y_grid)
+      tile_id = row * cols + col
+    """
+    col = (
+        f"CAST(FLOOR((({x_sql}) - {grid.origin_x!r}) / {grid.width_x!r} "
+        f"- {grid.start_x_grid!r}) AS BIGINT)"
+    )
+    row = (
+        f"CAST(FLOOR((({y_sql}) - {grid.origin_y!r}) / {grid.width_y!r} "
+        f"- {grid.start_y_grid!r}) AS BIGINT)"
+    )
+    tile_id = f"(({row}) * {grid.cols} + ({col}))"
+    return {"tile_col": col, "tile_row": row, "tile_id": tile_id}
+
+
+def assign_tiles(
+    df: DataFrame,
+    origin_x: float,
+    origin_y: float,
+    width_x: float,
+    width_y: float,
+    x: str = "x",
+    y: str = "y",
+    extent: tuple[float, float, float, float] | None = None,
+) -> tuple[DataFrame, TileGrid]:
+    """Append tile_row/tile_col/tile_id columns (LidarTile parity).
+
+    ``extent`` (min_x, max_x, min_y, max_y) skips the extent scan when
+    known (e.g. from Iceberg column stats — at 100 TB never rescan for
+    min/max; the catalog already has them). Otherwise one cheap agg pass
+    computes it (Parquet min/max statistics make this scan-light).
+    """
+    if extent is None:
+        r = df.agg(
+            F.min(x).alias("mnx"), F.max(x).alias("mxx"), F.min(y).alias("mny"), F.max(y).alias("mxy")
+        ).collect()[0]
+        extent = (r["mnx"], r["mxx"], r["mny"], r["mxy"])
+    grid = resolve_tile_grid(extent[0], extent[1], extent[2], extent[3], origin_x, origin_y, width_x, width_y)
+    ex = tile_exprs(grid, x, y)
+    out = (
+        df.withColumn("tile_col", F.expr(ex["tile_col"]))
+        .withColumn("tile_row", F.expr(ex["tile_row"]))
+        .withColumn("tile_id", F.expr(ex["tile_id"]))
+    )
+    return out, grid
+
+
+def filter_min_points(tiled: DataFrame, min_points: int, tile_col: str = "tile_id") -> DataFrame:
+    """Drop rows in tiles below the min_points threshold (lidar_tile.rs
+    min_points semantics). Implemented as a window count — one shuffle on
+    tile_id, no driver collect."""
+    w_counts = tiled.groupBy(tile_col).agg(F.count(F.lit(1)).alias("__tile_n"))
+    # tile count table is tiny (<= 32767 tiles in WBT; bounded in ours) -> broadcast
+    return (
+        tiled.join(F.broadcast(w_counts), tile_col, "left")
+        .where(F.col("__tile_n") >= min_points)
+        .drop("__tile_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hex binning (vector_hex_bin.rs parity, horizontal orientation)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class HexGrid:
+    """Staggered hex-center lattice (vector_hex_bin.rs:280-340, "h")."""
+
+    width: float
+    min_x: float
+    max_x: float
+    min_y: float
+    max_y: float
+
+    @property
+    def half_width(self) -> float:
+        return 0.5 * self.width
+
+    @property
+    def size(self) -> float:
+        return self.half_width / math.cos(math.pi / 6.0)
+
+    @property
+    def height(self) -> float:
+        return self.size * 2.0
+
+    @property
+    def three_quarter_height(self) -> float:
+        return 0.75 * self.height
+
+    @property
+    def center_x0(self) -> float:
+        return self.min_x + self.half_width
+
+    @property
+    def center_y0(self) -> float:
+        return self.max_y - 0.25 * self.height
+
+    @property
+    def rows(self) -> int:
+        return int(math.ceil((self.max_y - self.min_y) / self.three_quarter_height))
+
+    def cols_in_row(self, row: int) -> int:
+        return int(
+            math.ceil((self.max_x - self.min_x + self.half_width * (row % 2)) / self.width)
+        )
+
+    def center_exprs(self, row_sql: str, col_sql: str) -> tuple[str, str]:
+        """center_x = (cx0 - half_width*(row%2)) + col*width;
+        center_y = cy0 - row*three_quarter_height (vector_hex_bin.rs:330-335)."""
+        cx = (
+            f"(({self.center_x0!r} - {self.half_width!r} * CAST(({row_sql}) % 2 AS DOUBLE)) "
+            f"+ CAST({col_sql} AS DOUBLE) * {self.width!r})"
+        )
+        cy = f"({self.center_y0!r} - CAST({row_sql} AS DOUBLE) * {self.three_quarter_height!r})"
+        return cx, cy
+
+
+def hex_assign_exprs(grid: HexGrid, x_sql: str = "x", y_sql: str = "y") -> str:
+    """Portable SQL assigning each point to its nearest hex center.
+
+    WBT inserts all centers in an FRS and does knn_search(x,y,1); the
+    nearest staggered-lattice center is found in closed form by probing
+    the 3 candidate rows x 2 candidate cols around the point and taking
+    the squared-distance argmin (ties broken by hex row then col —
+    matching FRS insertion order, which enumerates row-major).
+
+    Emitted as one SQL scalar expression producing a struct
+    (hex_row, hex_col) — codegen-only, portable to DuckDB.
+    """
+    cands = []
+    for dr in (0, 1, 2):  # rows: floor-based base row and the two above/below
+        row = f"(CAST(FLOOR(({grid.center_y0!r} - ({y_sql})) / {grid.three_quarter_height!r}) AS BIGINT) + {dr - 1})"
+        for dc in (0, 1):
+            col = (
+                f"(CAST(FLOOR((({x_sql}) - ({grid.center_x0!r} - {grid.half_width!r} * "
+                f"CAST({row} % 2 AS DOUBLE))) / {grid.width!r}) AS BIGINT) + {dc})"
+            )
+            cx, cy = grid.center_exprs(row, col)
+            d2 = f"((({x_sql}) - {cx}) * (({x_sql}) - {cx}) + (({y_sql}) - {cy}) * (({y_sql}) - {cy}))"
+            cands.append(f"STRUCT({d2} AS d2, {row} AS hex_row, {col} AS hex_col)")
+    arr = ", ".join(cands)
+    # array_min on struct orders lexicographically: (d2, hex_row, hex_col)
+    # -> exact argmin with deterministic tie-break.
+    return f"ARRAY_MIN(ARRAY({arr}))"
+
+
+def hex_bin(
+    df: DataFrame,
+    width: float,
+    x: str = "x",
+    y: str = "y",
+    extent: tuple[float, float, float, float] | None = None,
+) -> tuple[DataFrame, HexGrid]:
+    """COUNT of points per hex cell (VectorHexBinning / LidarHexBinning)."""
+    if extent is None:
+        r = df.agg(F.min(x).alias("a"), F.max(x).alias("b"), F.min(y).alias("c"), F.max(y).alias("d")).collect()[0]
+        extent = (r["a"], r["b"], r["c"], r["d"])
+    grid = HexGrid(width, extent[0], extent[1], extent[2], extent[3])
+    assigned = df.withColumn("__hex", F.expr(hex_assign_exprs(grid, x, y)))
+    out = (
+        assigned.groupBy(
+            F.col("__hex.hex_row").alias("hex_row"), F.col("__hex.hex_col").alias("hex_col")
+        )
+        .agg(F.count(F.lit(1)).alias("hex_count"))
+    )
+    return out, grid

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Designed for a 1000-executor cluster reading 100 TB, tested on local[N]:
+AQE on (runtime coalesce + skew-join splitting), Arrow on (all heavy
+kernels are pandas/Arrow UDFs), explicit shuffle-partition control.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Adaptive execution: runtime shuffle coalesce, skew-join splitting,
+    # broadcast-join demotion/promotion. Essential at 100 TB where static
+    # planning can't know per-tile densities (hot-cell skew).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batch transfer for every pandas UDF / mapInPandas kernel.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Stable timestamp semantics for the oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: keep permissive casts aligned with DuckDB defaults used
+    # by the correctness oracle.
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "whitebox_tools_spark",
+    cores: str | int = "*",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores: local parallelism ("*", 8, 32 ...). On a real cluster the
+    master comes from spark-submit and this arg is ignored there.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if not os.environ.get("SPARK_GRAFT_EXTERNAL_MASTER"):
+        builder = builder.master(f"local[{cores}]")
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
