@@ -1,0 +1,314 @@
+"""Grid-partitioned kNN joins with neighbor-tile (shell) expansion.
+
+Reference: FixedRadiusSearch2D.knn_search
+(whitebox-common/src/structures/fixed_radius_search.rs:132-216):
+scan the 3x3 center block, then expand square shells one ring at a time
+until >= k candidates exist, then keep the k smallest. NOTE the
+reference stops WITHOUT checking whether the next shell could hold a
+closer point — it is *approximate* (comment at :130).
+
+Two engines:
+
+- ``knn_join_exact`` — same grid machinery but with the correctness
+  guarantee: a query finishes at Chebyshev bin reach R only when its
+  k-th candidate distance <= (R * bin_size)^2, since any unscanned bin
+  is at least R*bin_size away. This is the oracle-gated variant
+  (provably equal to brute force).
+- ``knn_join_wbt`` — replicates the reference's early stop bit-for-bit
+  (stop as soon as >= k candidates are seen), for parity with WBT
+  fixture outputs.
+
+Physical plan per round: probe side explodes the ring's neighbor bin
+keys (codegen), equi-joins the build side on (cx, cy) — one int64-key
+shuffle per round, AQE-skew-split; per-query top-k via min_by-style
+window with deterministic (dist2, target id) tie-break. Rounds touch
+only still-active queries, so the joins shrink geometrically; at
+10^12-doc scale the bin size is chosen from density (WBT's own
+radius heuristic) so that round 1 resolves almost everything.
+
+Distances are squared (f64, single expression (dx*dx + dy*dy)) — the
+same arithmetic on both Spark and DuckDB, bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cells import neighbor_offsets, with_frs_cells
+
+
+def _ring_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    reach: int,
+    qid: str,
+    tid: str,
+) -> DataFrame:
+    """Candidate pairs from bins at Chebyshev ring `reach` (ring only,
+    except reach=1 which is the full 3x3 block)."""
+    offs = neighbor_offsets(reach, ring_only=reach > 1)
+    pairs = ", ".join(f"STRUCT(qcx + ({dx}L) AS cx, qcy + ({dy}L) AS cy)" for dx, dy in offs)
+    probe = queries.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).select(
+        qid, "qx", "qy", "qcx", "qcy", F.col("__n.cx").alias("cx"), F.col("__n.cy").alias("cy")
+    )
+    cand = probe.join(targets, ["cx", "cy"], "inner")
+    return cand.select(
+        qid,
+        "qx",
+        "qy",
+        "qcx",
+        "qcy",
+        tid,
+        "tx",
+        "ty",
+        F.expr("(qx - tx) * (qx - tx) + (qy - ty) * (qy - ty)").alias("dist2"),
+    )
+
+
+def _prep(
+    queries: DataFrame,
+    targets: DataFrame,
+    radius: float,
+    qid: str,
+    tid: str,
+    qx: str,
+    qy: str,
+    tx: str,
+    ty: str,
+) -> tuple[DataFrame, DataFrame]:
+    q = queries.select(F.col(qid).alias(qid), F.col(qx).alias("qx"), F.col(qy).alias("qy"))
+    q = with_frs_cells(q, radius, x="qx", y="qy", cx="qcx", cy="qcy")
+    t = targets.select(F.col(tid).alias(tid), F.col(tx).alias("tx"), F.col(ty).alias("ty"))
+    t = with_frs_cells(t, radius, x="tx", y="ty", cx="cx", cy="cy")
+    return q, t
+
+
+def knn_join_exact(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    radius: float,
+    qid: str = "query_id",
+    tid: str = "target_id",
+    qx: str = "x",
+    qy: str = "y",
+    tx: str = "x",
+    ty: str = "y",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact k-nearest-neighbor join.
+
+    Returns (qid, tid, dist2, knn_rank) with knn_rank in 1..k ordered by
+    (dist2, tid) — identical to a brute-force cross join + top-k, but
+    with grid-bounded work. bin_size = radius * 0.5 (FRS parity binning).
+    """
+    spark = queries.sparkSession
+    q, t = _prep(queries, targets, radius, qid, tid, qx, qy, tx, ty)
+    t = t.persist()
+    bin_size = radius * 0.5
+
+    active = q.persist()
+    acc: DataFrame | None = None
+    reach = 1
+    while reach <= max_rounds:
+        cand = _ring_join(active, t, reach, qid, tid)
+        acc = cand if acc is None else acc.unionByName(cand)
+        # keep only top-k per query so the accumulator stays small
+        w = Window.partitionBy(qid).orderBy("dist2", tid)
+        acc = (
+            acc.withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .drop("knn_rank")
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        # a query is done when it has k candidates and the kth is provably
+        # inside the scanned reach: dist2_k <= (reach * bin_size)^2
+        guarantee = float(reach * bin_size) ** 2
+        done_stats = acc.groupBy(qid).agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dk")
+        )
+        unresolved = done_stats.where(~((F.col("n") >= k) & (F.col("dk") <= guarantee))).select(qid)
+        # queries with zero candidates so far never appear in done_stats
+        active_next = active.join(
+            done_stats.where((F.col("n") >= k) & (F.col("dk") <= guarantee)),
+            qid,
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        n_active = active_next.count()
+        active.unpersist()
+        active = active_next
+        if n_active == 0:
+            break
+        reach += 1
+    else:
+        # exhausted rounds: brute-force the stragglers (tiny set)
+        cand = active.crossJoin(t.drop("cx", "cy")).select(
+            qid, "qx", "qy", "qcx", "qcy", tid, "tx", "ty",
+            F.expr("(qx - tx) * (qx - tx) + (qy - ty) * (qy - ty)").alias("dist2"),
+        )
+        acc = acc.unionByName(cand).dropDuplicates([qid, tid])
+
+    t.unpersist()
+    w = Window.partitionBy(qid).orderBy("dist2", tid)
+    return (
+        acc.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .select(qid, tid, "dist2", "knn_rank")
+    )
+
+
+def knn_join_wbt(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    radius: float,
+    qid: str = "query_id",
+    tid: str = "target_id",
+    qx: str = "x",
+    qy: str = "y",
+    tx: str = "x",
+    ty: str = "y",
+    max_rounds: int = 48,
+) -> DataFrame:
+    """WBT-parity approximate kNN: stop expanding as soon as a query has
+    seen >= k candidates (fixed_radius_search.rs:180-204 early stop),
+    keep the k smallest by (dist2, tid)."""
+    q, t = _prep(queries, targets, radius, qid, tid, qx, qy, tx, ty)
+    t = t.persist()
+
+    active = q.persist()
+    acc: DataFrame | None = None
+    reach = 1
+    while reach <= max_rounds:
+        cand = _ring_join(active, t, reach, qid, tid)
+        acc = cand if acc is None else acc.unionByName(cand)
+        w = Window.partitionBy(qid).orderBy("dist2", tid)
+        acc = (
+            acc.withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .drop("knn_rank")
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        counts = acc.groupBy(qid).agg(F.count(F.lit(1)).alias("n"))
+        done = counts.where(F.col("n") >= k).select(qid)
+        active_next = active.join(done, qid, "left_anti").localCheckpoint(eager=True)
+        n_active = active_next.count()
+        active.unpersist()
+        active = active_next
+        if n_active == 0:
+            break
+        reach += 1
+
+    t.unpersist()
+    w = Window.partitionBy(qid).orderBy("dist2", tid)
+    return (
+        acc.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .select(qid, tid, "dist2", "knn_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gridding tools built on the kNN join
+# ---------------------------------------------------------------------------
+
+
+def wbt_default_radius(extent_area: float, n_points: int) -> float:
+    """NearestNeighbourGridding radius heuristic
+    (nearest_neighbour_gridding.rs:285-289): 4 * sqrt(area / n)."""
+    return 4.0 * (extent_area / float(n_points)) ** 0.5
+
+
+def grid_cells_df(spark, meta, qid: str = "cell_id"):
+    """Cell-center query layer from a GridMeta — spark.range, no data skew.
+
+    x/y use the (col + 0.5) center formulas of
+    nearest_neighbour_gridding.rs:447-449.
+    """
+    df = spark.range(meta.rows * meta.columns).select(
+        F.col("id").alias(qid),
+        (F.col("id") / meta.columns).cast("long").alias("row"),
+        (F.col("id") % meta.columns).alias("col"),
+    )
+    return df.selectExpr(
+        qid,
+        "row",
+        "col",
+        f"{meta.x_center_expr('col')} AS x",
+        f"{meta.y_center_expr('row')} AS y",
+    )
+
+
+def nearest_neighbour_gridding(
+    points: DataFrame,
+    meta,
+    max_dist: float | None = None,
+    value_col: str = "value",
+    point_id: str = "record_num",
+    exact: bool = True,
+    radius: float | None = None,
+) -> DataFrame:
+    """Grid each cell with the value of its nearest point.
+
+    exact=True: provably-nearest (oracle-equal). exact=False: WBT's
+    approximate early-stop search (fixture parity).
+    Output: (row, col, value) — cells farther than max_dist get no row
+    (WBT writes nodata; callers materialize the sentinel on write).
+    """
+    spark = points.sparkSession
+    if radius is None:
+        ext = points.agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))
+        ).collect()[0]
+        area = (ext[1] - ext[0]) * (ext[3] - ext[2])
+        radius = wbt_default_radius(area, ext[4])
+    cells = grid_cells_df(spark, meta)
+    join = knn_join_exact if exact else knn_join_wbt
+    nn = join(cells, points, k=1, radius=radius, qid="cell_id", tid=point_id)
+    out = nn.join(cells.select("cell_id", "row", "col"), "cell_id").join(
+        points.select(F.col(point_id), F.col(value_col).alias("value")), point_id
+    )
+    if max_dist is not None:
+        # WBT compares Euclidean distance (not squared) to max_dist (:454)
+        out = out.where(F.sqrt(F.col("dist2")) <= max_dist)
+    return out.select("row", "col", "value")
+
+
+def idw_interpolation(
+    points: DataFrame,
+    meta,
+    k: int = 8,
+    weight: float = 2.0,
+    value_col: str = "value",
+    point_id: str = "record_num",
+    radius: float | None = None,
+) -> DataFrame:
+    """IDW gridding (idw_interpolation.rs:445-630 semantics): value =
+    sum(v / d^w) / sum(1 / d^w) over the k nearest points.
+
+    The two sums are accumulated in (dist2, tid) order on BOTH engines
+    (deterministic float summation for oracle parity): neighbors are
+    collected, sorted, then folded sequentially with F.aggregate.
+    """
+    spark = points.sparkSession
+    if radius is None:
+        ext = points.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))).collect()[0]
+        area = (ext[1] - ext[0]) * (ext[3] - ext[2])
+        radius = wbt_default_radius(area, ext[4])
+    cells = grid_cells_df(spark, meta)
+    nn = knn_join_exact(cells, points, k=k, radius=radius, qid="cell_id", tid=point_id)
+    nn = nn.join(points.select(F.col(point_id), F.col(value_col).alias("v")), point_id)
+    half_w = weight / 2.0
+    agg = nn.groupBy("cell_id").agg(
+        F.expr(
+            "AGGREGATE(ARRAY_SORT(COLLECT_LIST(STRUCT(dist2, v))), CAST(0.0 AS DOUBLE),"
+            f" (acc, e) -> acc + e.v / POWER(e.dist2, {half_w!r}))"
+        ).alias("num"),
+        F.expr(
+            "AGGREGATE(ARRAY_SORT(COLLECT_LIST(STRUCT(dist2, v))), CAST(0.0 AS DOUBLE),"
+            f" (acc, e) -> acc + 1.0 / POWER(e.dist2, {half_w!r}))"
+        ).alias("den"),
+    )
+    out = agg.join(cells.select("cell_id", "row", "col"), "cell_id")
+    return out.select("row", "col", (F.col("num") / F.col("den")).alias("value"))
