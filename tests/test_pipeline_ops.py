@@ -1,0 +1,163 @@
+"""Dedup / similarity / text-analysis / multimodal / lineage operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.functions import text as T
+from whitebox_tools_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from whitebox_tools_spark.operators.multimodal import extract_media_features, synth_media
+from whitebox_tools_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+from whitebox_tools_spark.plans.lineage import CheckpointedRun
+from whitebox_tools_spark.sources.docs import synth_docs
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, documents):
+    n = documents.count()
+    d = exact_dedup(documents)
+    assert d.count() <= n
+    assert d.agg(F.sum("dup_count")).collect()[0][0] == n
+
+
+def test_minhash_finds_planted_dups(spark, documents):
+    # the driver corpus plants ' dup'-suffixed near-duplicates
+    pairs = minhash_lsh_pairs(documents, jaccard_threshold=0.5)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["jaccard"] >= 0.5
+        assert r["id_a"] < r["id_b"]
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, documents):
+    """Every LSH-surfaced pair's jaccard must equal brute-force jaccard."""
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             minhash_lsh_pairs(documents, jaccard_threshold=0.5).collect()}
+    texts = {r["doc_id"]: r["text"] for r in documents.collect()}
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    for (a, b), j in pairs.items():
+        A, B = sh(texts[a]), sh(texts[b])
+        assert abs(j - len(A & B) / len(A | B)) < 1e-12
+
+
+def test_simhash_pairs(spark, documents):
+    p = simhash_pairs(documents, max_hamming=3)
+    rows = p.collect()
+    for r in rows:
+        assert r["hamming"] <= 3
+
+
+def test_ngram_jaccard_blocked(spark, documents):
+    p = ngram_jaccard_pairs(documents, threshold=0.5)
+    assert p.count() >= 0  # runs; blocking keeps it sub-quadratic
+    for r in p.limit(5).collect():
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_ann_bruteforce_matches_numpy(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") % 50 == 0)
+    got = ann_topk_bruteforce(queries, embeddings, k=5)
+    res = {}
+    for r in got.collect():
+        res.setdefault(r["query_id"], []).append((r["sim_rank"], r["target_id"]))
+    rows = embeddings.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid, pairs in res.items():
+        qv = mat[ids == qid][0]
+        sims = mat @ qv
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        expected = [ids[i] for i in order if ids[i] != qid][:5]
+        got_ids = [t for _, t in sorted(pairs)]
+        assert got_ids == expected, qid
+
+
+def test_ann_lsh_recall(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") % 50 == 0)
+    exact = ann_topk_bruteforce(queries, embeddings, k=5)
+    approx = ann_topk_lsh(queries, embeddings, k=5, num_planes=4)
+    e = {(r["query_id"], r["target_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["target_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # corpus embeddings are near-random 64-dim -> weak angular locality;
+    # the bound asserts LSH beats random bucketing (5/16 of space probed)
+    assert recall > 0.3
+
+
+def test_embedding_dup_pairs(spark, embeddings):
+    p = embedding_dup_pairs(embeddings.limit(200), threshold=0.95)
+    for r in p.collect():
+        assert r["cosine"] >= 0.95
+
+
+def test_text_exprs_spark_side(spark, documents):
+    s_lang, _ = T.lang_id_expr("text")
+    s_tc, _ = T.token_count_expr("text")
+    s_sim, _ = T.simhash16_exprs("text")
+    s_fp, _ = T.doc_fingerprint_expr("text")
+    out = documents.limit(20).selectExpr(
+        "doc_id", f"{s_lang} AS lang_pred", f"{s_tc} AS n_tokens",
+        f"{s_sim} AS simhash", f"{s_fp} AS fp"
+    ).collect()
+    for r in out:
+        assert r["lang_pred"] in T.LANG_MARKERS
+        assert r["n_tokens"] > 0
+        assert 0 <= r["simhash"] < 65536
+        assert len(r["fp"]) == 32
+
+
+def test_multimodal_plumbing(spark):
+    docs = synth_docs(spark, 100)
+    media = synth_media(docs)
+    assert media.count() > 0
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # determinism: same ref -> same feature
+    again = {r["media_ref"]: r["feature"] for r in extract_media_features(media).collect()}
+    for r in rows:
+        assert again[r["media_ref"]] == r["feature"]
+
+
+def test_lineage_checkpoint_resume(spark, tmp_path):
+    calls = []
+
+    def job(s, key):
+        calls.append(key)
+        if key == "p2" and len([c for c in calls if c == "p2"]) == 1:
+            raise RuntimeError("transient failure")
+        return s.range(10).withColumn("k", F.lit(key))
+
+    run = CheckpointedRun(spark, str(tmp_path), "run1")
+    stats = run.run(["p0", "p1", "p2"], job)
+    assert stats == {"skipped": 0, "completed": 2, "failed": 1}
+    # resume: only the failed partition re-runs
+    stats2 = run.run(["p0", "p1", "p2"], job)
+    assert stats2 == {"skipped": 2, "completed": 1, "failed": 0}
+    lin = run.lineage_df()
+    assert lin.where(F.col("status") == "COMPLETED").count() == 3
+    assert lin.where(F.col("status").startswith("FAILED")).count() == 1
+    # metrics present
+    assert lin.where((F.col("status") == "COMPLETED") & (F.col("rows_per_sec") > 0)).count() == 3

@@ -1,0 +1,202 @@
+"""Text-analysis expression builders for the training-data pipeline.
+
+Each helper returns a PAIR of SQL strings (spark_sql, duckdb_sql) with
+identical semantics, so every text operator gets an exact DuckDB oracle:
+language-ID scoring, quality scoring, token counting, shingling,
+MinHash signatures, SimHash fingerprints, winnowing fingerprints.
+
+Design notes for 100 TB:
+- everything is built-in-function SQL over arrays (codegen/vectorized,
+  zero Python); per-doc work is O(tokens)
+- md5 is the only hash used (available and identical on both engines);
+  Spark's xxhash64 is faster but engine-specific, so md5 stays the
+  parity hash while xxhash64 backs the non-gated fast paths
+"""
+
+from __future__ import annotations
+
+# token split: whitespace runs. Spark split() takes a Java regex; DuckDB
+# needs regexp_split_to_array.
+def tokens_expr(col: str) -> tuple[str, str]:
+    return (
+        f"SPLIT(TRIM({col}), '\\\\s+')",
+        f"regexp_split_to_array(trim({col}), '\\s+')",
+    )
+
+
+def token_count_expr(col: str) -> tuple[str, str]:
+    s, d = tokens_expr(col)
+    return (f"SIZE({s})", f"len({d})")
+
+
+# ---------------------------------------------------------------------------
+# Language ID: fixed marker-word lists, hit-count scoring, argmax with
+# deterministic tie-break on list order.
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "fast"),
+    "es": ("data", "row", "stream", "slow"),
+    "de": ("hash", "vector", "key", "agg"),
+    "zh": ("join", "merge", "window", "big"),
+    "fr": ("order", "query", "small", "line"),
+}
+
+
+def lang_scores_expr(col: str) -> dict[str, tuple[str, str]]:
+    s_toks, d_toks = tokens_expr(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = ", ".join(f"'{m}'" for m in markers)
+        out[lang] = (
+            f"SIZE(FILTER({s_toks}, t -> ARRAY_CONTAINS(ARRAY({marker_arr}), t)))",
+            f"len(list_filter({d_toks}, t -> list_contains([{marker_arr}], t)))",
+        )
+    return out
+
+
+def lang_id_expr(col: str) -> tuple[str, str]:
+    """Predicted language = highest marker-hit count; ties resolve to the
+    first language in LANG_MARKERS order (struct/row comparison: score
+    desc via negation, then insertion index)."""
+    scores = lang_scores_expr(col)
+    s_structs, d_structs = [], []
+    for i, (lang, (s, d)) in enumerate(scores.items()):
+        s_structs.append(f"STRUCT(-({s}) AS neg, {i} AS ord, '{lang}' AS lang)")
+        d_structs.append(f"{{'neg': -({d}), 'ord': {i}, 'lang': '{lang}'}}")
+    spark = f"ARRAY_MIN(ARRAY({', '.join(s_structs)})).lang"
+    duck = f"list_aggregate([{', '.join(d_structs)}], 'min').lang"
+    return spark, duck
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: integer-arithmetic components, one final division.
+# ---------------------------------------------------------------------------
+
+
+def quality_score_exprs(col: str) -> dict[str, tuple[str, str]]:
+    s_toks, d_toks = tokens_expr(col)
+    stop = "'a', 'the', 'of', 'and'"
+    return {
+        "q_chars": (f"LENGTH({col})", f"length({col})"),
+        "q_tokens": (f"SIZE({s_toks})", f"len({d_toks})"),
+        "q_stopwords": (
+            f"SIZE(FILTER({s_toks}, t -> ARRAY_CONTAINS(ARRAY({stop}), t)))",
+            f"len(list_filter({d_toks}, t -> list_contains([{stop}], t)))",
+        ),
+        "q_mean_token_len": (
+            f"CAST(LENGTH(REPLACE({col}, ' ', '')) AS DOUBLE) / CAST(SIZE({s_toks}) AS DOUBLE)",
+            f"CAST(length(replace({col}, ' ', '')) AS DOUBLE) / CAST(len({d_toks}) AS DOUBLE)",
+        ),
+        "q_stopword_ratio": (
+            f"CAST(SIZE(FILTER({s_toks}, t -> ARRAY_CONTAINS(ARRAY({stop}), t))) AS DOUBLE)"
+            f" / CAST(SIZE({s_toks}) AS DOUBLE)",
+            f"CAST(len(list_filter({d_toks}, t -> list_contains([{stop}], t))) AS DOUBLE)"
+            f" / CAST(len({d_toks}) AS DOUBLE)",
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shingles / MinHash / fingerprints
+# ---------------------------------------------------------------------------
+
+
+def shingles_expr(col: str, n: int = 3) -> tuple[str, str]:
+    """Word n-gram shingle strings (space-joined)."""
+    s_toks, d_toks = tokens_expr(col)
+    parts = []
+    for j in range(n):
+        if j:
+            parts.append("' '")
+        parts.append(f"ELEMENT_AT({s_toks}, i + {j + 1})")
+    spark = (
+        f"TRANSFORM(SEQUENCE(0, SIZE({s_toks}) - {n}), i -> CONCAT({', '.join(parts)}))"
+    )
+    d_parts = []
+    for j in range(n):
+        if j:
+            d_parts.append("' '")
+        d_parts.append(f"{d_toks}[i + {j}]")
+    duck = (
+        f"list_transform(range(1, len({d_toks}) - {n - 1} + 1), "
+        f"i -> concat({', '.join(d_parts)}))"
+    )
+    return spark, duck
+
+
+def minhash_sig_expr(col: str, perm: int, n: int = 3) -> tuple[str, str]:
+    """One MinHash signature element: lexicographic min of salted md5
+    over the doc's shingle set."""
+    s_sh, d_sh = shingles_expr(col, n)
+    spark = f"ARRAY_MIN(TRANSFORM({s_sh}, s -> MD5(CONCAT('{perm}:', s))))"
+    duck = f"list_aggregate(list_transform({d_sh}, s -> md5(concat('{perm}:', s))), 'min')"
+    return spark, duck
+
+
+def band_key_expr(col: str, band: int, rows_per_band: int, n: int = 3) -> tuple[str, str]:
+    """LSH band key: md5 over the concatenation of `rows_per_band`
+    signature elements."""
+    s_parts, d_parts = [], []
+    for r in range(rows_per_band):
+        perm = band * rows_per_band + r
+        s, d = minhash_sig_expr(col, perm, n)
+        s_parts.append(s)
+        d_parts.append(d)
+    return (
+        f"MD5(CONCAT({', '.join(s_parts)}))",
+        f"md5(concat({', '.join(d_parts)}))",
+    )
+
+
+def doc_fingerprint_expr(col: str, n: int = 5) -> tuple[str, str]:
+    """Winnowing-lite document fingerprint: min md5 over word n-gram
+    shingles — a content-defined stable id for near-dup blocking."""
+    s_sh, d_sh = shingles_expr(col, n)
+    return (
+        f"ARRAY_MIN(TRANSFORM({s_sh}, s -> MD5(s)))",
+        f"list_aggregate(list_transform({d_sh}, s -> md5(s)), 'min')",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-derived per-token hashes)
+# ---------------------------------------------------------------------------
+
+_HEXD = "0123456789abcdef"
+
+
+def _hex_digit(src_expr: str, pos: int, duck: bool) -> str:
+    fn = "strpos" if duck else "INSTR"
+    return f"({fn}('{_HEXD}', SUBSTR({src_expr}, {pos}, 1)) - 1)"
+
+
+def token_hash16_expr(tok: str, duck: bool) -> str:
+    """16-bit token hash from the first 4 hex digits of md5(token)."""
+    md5 = f"md5({tok})" if duck else f"MD5({tok})"
+    ds = [_hex_digit(md5, i + 1, duck) for i in range(4)]
+    return f"({ds[0]} * 4096 + {ds[1]} * 256 + {ds[2]} * 16 + {ds[3]})"
+
+
+def simhash16_exprs(col: str) -> tuple[str, str]:
+    """SimHash-16: per bit, sum +1/-1 over token hashes; bit set iff the
+    sum is > 0. Pure array-fold SQL on both engines."""
+    s_toks, d_toks = tokens_expr(col)
+    s_h = token_hash16_expr("t", duck=False)
+    d_h = token_hash16_expr("t", duck=True)
+    s_bits, d_bits = [], []
+    for b in range(16):
+        s_vote = (
+            f"AGGREGATE({s_toks}, 0, (acc, t) -> acc + "
+            f"(CASE WHEN (CAST({s_h} AS BIGINT) >> {b}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        d_vote = (
+            f"list_sum(list_transform({d_toks}, t -> "
+            f"CASE WHEN (CAST({d_h} AS BIGINT) >> {b}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        s_bits.append(f"(CASE WHEN ({s_vote}) > 0 THEN {1 << b} ELSE 0 END)")
+        d_bits.append(f"(CASE WHEN ({d_vote}) > 0 THEN {1 << b} ELSE 0 END)")
+    return (
+        "(" + " + ".join(s_bits) + ")",
+        "(" + " + ".join(d_bits) + ")",
+    )

@@ -1,0 +1,172 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+- exact_dedup        hash-groupBy on content digest (md5)
+- minhash_lsh_pairs  shingle -> MinHash signature -> banded LSH buckets
+                     -> candidate pairs -> exact Jaccard verify
+- simhash_pairs      16-bit SimHash buckets -> Hamming-distance verify
+- ngram_jaccard_pairs blocked exact n-gram Jaccard (small-block safety)
+- embedding_dup_pairs cosine-threshold pairs over an embedding column
+
+Scale shape: every stage is a groupBy/join on a short hash key:
+- signatures are per-row array folds (codegen, no shuffle)
+- the LSH band join shuffles on the band key; hot buckets (boilerplate
+  docs) are exactly the skew the AQE skew-join split handles, and the
+  band key is md5 — uniformly distributed by construction
+- candidate pairs are verified pairwise (per-row, no re-shuffle)
+- `a < b` on doc ids halves the pair space and dedupes symmetric pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact content digest."""
+    return (
+        docs.withColumn("__digest", F.md5(F.col(text_col)))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+def minhash_signature(
+    docs: DataFrame, text_col: str = "text", num_perms: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    sig = [
+        F.expr(T.minhash_sig_expr(text_col, p, shingle_n)[0]).alias(f"mh_{p}")
+        for p in range(num_perms)
+    ]
+    return docs.select("*", *sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Candidates = docs sharing >= 1 LSH band; survivors verified with the
+    exact Jaccard over distinct shingle sets (integer set sizes -> the
+    division is bit-exact on both engines).
+    """
+    s_sh, _ = T.shingles_expr(text_col, shingle_n)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"ARRAY_DISTINCT({s_sh})").alias("sh"),
+        *[
+            F.expr(T.band_key_expr(text_col, b, rows_per_band, shingle_n)[0]).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
+    bands_long = base.select(
+        "id",
+        "sh",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band"),
+    )
+    a = bands_long.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band")
+    b = bands_long.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band")
+    cand = (
+        a.join(b, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = "SIZE(ARRAY_INTERSECT(sh_a, sh_b))"
+    union = "(SIZE(sh_a) + SIZE(sh_b) - SIZE(ARRAY_INTERSECT(sh_a, sh_b)))"
+    out = cand.selectExpr(
+        "id_a", "id_b", f"CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE) AS jaccard"
+    )
+    return out.where(F.col("jaccard") >= jaccard_threshold)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash-16 near-dup pairs: bucket by simhash, then also join
+    buckets at Hamming distance 1 (bit-flip neighbor keys), verify exact
+    Hamming <= max_hamming via bit_count(xor)."""
+    sh, _ = T.simhash16_exprs(text_col)
+    base = docs.select(F.col(id_col).alias("id"), F.expr(sh).alias("simhash"))
+    # neighbor keys: the hash itself + every 1-bit flip (17 keys)
+    keys = ["simhash"] + [f"CAST(simhash AS BIGINT) ^ {1 << b}" for b in range(16)]
+    probe = base.withColumn(
+        "bucket", F.explode(F.array(*[F.expr(f"CAST(({k}) AS BIGINT)") for k in keys]))
+    )
+    build = base.select(F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), F.col("simhash").cast("bigint").alias("bucket"))
+    cand = (
+        probe.join(build, "bucket")
+        .where(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b", "simhash", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.selectExpr(
+        "id_a",
+        "id_b",
+        "BIT_COUNT(CAST(simhash AS BIGINT) ^ CAST(sim_b AS BIGINT)) AS hamming",
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard within blocks (block_col None -> fingerprint
+    blocking via doc_fingerprint to stay sub-quadratic)."""
+    s_sh, _ = T.shingles_expr(text_col, shingle_n)
+    s_fp, _ = T.doc_fingerprint_expr(text_col)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"ARRAY_DISTINCT({s_sh})").alias("sh"),
+        (F.col(block_col) if block_col else F.expr(f"SUBSTR({s_fp}, 1, 4)")).alias("blk"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
+    cand = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
+    inter = "SIZE(ARRAY_INTERSECT(sh_a, sh_b))"
+    union = "(SIZE(sh_a) + SIZE(sh_b) - SIZE(ARRAY_INTERSECT(sh_a, sh_b)))"
+    return cand.selectExpr(
+        "id_a", "id_b", f"CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE) AS jaccard"
+    ).where(F.col("jaccard") >= threshold)
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold.
+
+    Blocking: sign-LSH bucket from deterministic hyperplanes would be the
+    10^12-scale path; at driver-gate scale an all-pairs self-join with
+    id_a < id_b is exact and cheap. Cosine accumulates left-to-right with
+    AGGREGATE over ZIP_WITH (deterministic float order on both engines).
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = "AGGREGATE(ZIP_WITH(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = "SQRT(AGGREGATE(va, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nb = "SQRT(AGGREGATE(vb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", f"({dot}) / (({na}) * ({nb})) AS cosine")
+        .where(F.col("cosine") >= threshold)
+    )

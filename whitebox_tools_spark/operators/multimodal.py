@@ -1,0 +1,102 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travels as opaque `binary` columns + typed metadata. The Spark
+side — schema, partitioning, Arrow batch shape, UDF signatures — is
+real and tested; the actual codec calls are STUBBED (image/audio libs
+are not in this container): `decode_image_stub` produces a
+deterministic fake raster from the byte content, clearly marked.
+Swap `_decode_impl` for a real decoder (PIL/libvips) on a cluster with
+the libs installed — nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("media_kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", IntegerType(), False),
+    ]
+)
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media bytes for every media span (media_ref ->
+    binary payload). Stands in for an object-store fetch; the payload is
+    a pure function of the ref so tests are reproducible."""
+    spans = docs.select("doc_id", F.explode("spans").alias("s")).where(
+        F.col("s.kind") == "media"
+    )
+    return spans.select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        F.expr(
+            "CAST(CONCAT('IMG:', MD5(s.media_ref), ':', "
+            "REPEAT(SUBSTR(MD5(s.media_ref), 1, 8), 16)) AS BINARY)"
+        ).alias("media_bytes"),
+    )
+
+
+def _decode_impl(buf: bytes) -> np.ndarray:
+    """STUB decoder. Real pipelines replace this with e.g.
+    PIL.Image.open(io.BytesIO(buf)). Deterministic fake: an 8x8 'image'
+    whose pixels derive from the byte content."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if len(arr) < 64:
+        arr = np.pad(arr, (0, 64 - len(arr)))
+    return arr[:64].reshape(8, 8).astype(np.float64)
+
+
+def extract_media_features(media: DataFrame, bytes_col: str = "media_bytes") -> DataFrame:
+    """Decode + feature-extract per media blob, Arrow-batched.
+
+    Output adds: width, height, mean_intensity, feature vector (8-dim
+    row means of the decoded grid). The decode is a stub (see module
+    docstring); the batching/schema/partitioning are production-shaped.
+    """
+    fields = media.schema.fields + [
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_intensity", DoubleType(), False),
+        StructField("feature", ArrayType(DoubleType()), False),
+    ]
+    schema = StructType(fields)
+    in_cols = [f.name for f in media.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ws, hs, mi, feats = [], [], [], []
+            for buf in pdf[bytes_col]:
+                img = _decode_impl(bytes(buf))
+                ws.append(img.shape[1])
+                hs.append(img.shape[0])
+                mi.append(float(img.mean()))
+                feats.append([float(v) for v in img.mean(axis=1)])
+            out = pdf[in_cols].copy()
+            out["width"] = pd.array(ws, dtype="int32")
+            out["height"] = pd.array(hs, dtype="int32")
+            out["mean_intensity"] = mi
+            out["feature"] = feats
+            yield out
+
+    return media.mapInPandas(run, schema=schema)

@@ -1,0 +1,353 @@
+"""Raster <-> vector conversion + raster analytics as DataFrame plans.
+
+Cells-table model (SURVEY §1.1): raster = (row:long, col:long,
+value:double) + a broadcastable GridMeta. NoData is a sentinel double,
+never SQL NULL (WBT equality semantics, whitebox-raster/src/lib.rs:1304).
+
+Operators and their reference parity anchors:
+
+- points_to_raster        data_tools/vector_points_to_raster.rs:402-530
+                          (first/last/min/max/sum assign ops; first/last
+                          are RECORD-ORDER dependent -> min_by/max_by on
+                          record_num)
+- polygons_to_raster      data_tools/vector_polygons_to_raster.rs:400-510
+                          (bbox-clamped candidate cells, PIP at cell
+                          centers, holes carved out per record, later
+                          records overwrite earlier)
+- raster_to_points        data_tools/raster_to_vector_points.rs
+- extract_values_at_points gis_analysis/extract_raster_values_at_points.rs:253-255
+- aggregate_raster        gis_analysis/aggregate_raster.rs:150-151
+- zonal_statistics        math_stat_analysis/zonal_statistics.rs
+- summary_stats           math_stat_analysis/raster_summary_stats.rs
+- map_algebra             math_stat_analysis/{add,subtract,...}.rs
+- reclass                 gis_analysis/reclass.rs (value ranges)
+- z_scores                math_stat_analysis/zscores.rs
+- cross_tabulation        math_stat_analysis/cross_tabulation.rs
+- quantiles               math_stat_analysis/quantiles.rs
+- histogram               math_stat_analysis/raster_histogram.rs
+
+Scale shape: everything is groupBy/join on (row, col) int keys — hash
+partitionable, AQE-coalesced, map-side partial aggregation; zero UDFs
+except polygon rasterization's PIP refine (batched numpy).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from ..functions import geometry as G
+from ..functions.raster_math import GridMeta
+
+# ---------------------------------------------------------------------------
+# Vector -> raster
+# ---------------------------------------------------------------------------
+
+
+def points_to_raster(
+    points: DataFrame,
+    meta: GridMeta,
+    assign_op: str = "last",
+    value_col: str = "value",
+    record_col: str = "record_num",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """VectorPointsToRaster. assign_op in {first, last, min, max, sum}.
+
+    first/last replicate the reference's record-order overwrite loop
+    (vector_points_to_raster.rs:402-449) via min_by/max_by(record_num) —
+    a deterministic aggregate, not a scan order.
+    Output: (row, col, value) for cells that received points.
+    """
+    cells = points.select(
+        F.expr(meta.row_from_y_expr(y)).alias("row"),
+        F.expr(meta.col_from_x_expr(x)).alias("col"),
+        F.col(value_col).alias("v"),
+        F.col(record_col).alias("rn"),
+    ).where(F.expr(meta.in_grid_pred("row", "col")))
+    g = cells.groupBy("row", "col")
+    if assign_op == "first":
+        out = g.agg(F.expr("MIN_BY(v, rn)").alias("value"))
+    elif assign_op == "last":
+        out = g.agg(F.expr("MAX_BY(v, rn)").alias("value"))
+    elif assign_op == "min":
+        out = g.agg(F.min("v").alias("value"))
+    elif assign_op == "max":
+        out = g.agg(F.max("v").alias("value"))
+    elif assign_op == "sum":
+        out = g.agg(F.sum("v").alias("value"))
+    else:
+        raise ValueError(f"unknown assign_op: {assign_op}")
+    return out
+
+
+def polygons_to_raster(
+    polygons: DataFrame,
+    meta: GridMeta,
+    value_col: str | None = None,
+) -> DataFrame:
+    """VectorPolygonsToRaster: cell centers inside a record's shell rings
+    and not inside its hole rings get the record's value; overlapping
+    records resolve to the LAST record (the reference's sequential
+    overwrite, vector_polygons_to_raster.rs:400-510).
+
+    Plan: per polygon, candidate (row, col) ranges come from the bbox
+    (partition-pruning analog of the reference's row/col clamp); the
+    explode stays columnar; PIP refine is batched numpy at cell centers
+    (half-res coordinate formulas, lib.rs:728-742).
+
+    value_col None -> value = polygon_id (FID rasterization).
+    """
+    from .pip_join import collect_polygons
+
+    recs = collect_polygons(polygons)
+    values = None
+    if value_col is not None:
+        values = {
+            int(r["polygon_id"]): float(r[value_col])
+            for r in polygons.select("polygon_id", value_col).collect()
+        }
+    sc = polygons.sparkSession.sparkContext
+    bc = sc.broadcast([(r.polygon_id, r.bbox, r.shells, r.holes) for r in recs])
+
+    # candidate cells: bbox -> clamped row/col ranges (codegen explode)
+    cand = polygons.select("polygon_id", "bbox").selectExpr(
+        "polygon_id",
+        f"GREATEST(LEAST({meta.row_from_y_expr('bbox.ymax')}, {meta.rows - 1}L), 0L) AS r0",
+        f"GREATEST(LEAST({meta.row_from_y_expr('bbox.ymin')}, {meta.rows - 1}L), 0L) AS r1",
+        f"GREATEST(LEAST({meta.col_from_x_expr('bbox.xmin')}, {meta.columns - 1}L), 0L) AS c0",
+        f"GREATEST(LEAST({meta.col_from_x_expr('bbox.xmax')}, {meta.columns - 1}L), 0L) AS c1",
+    )
+    cand = (
+        cand.withColumn("row", F.explode(F.expr("SEQUENCE(r0, r1)")))
+        .withColumn("col", F.explode(F.expr("SEQUENCE(c0, c1)")))
+        .selectExpr(
+            "polygon_id",
+            "row",
+            "col",
+            f"{meta.x_from_col_expr('col')} AS cx",
+            f"{meta.y_from_row_expr('row')} AS cy",
+        )
+    )
+
+    schema = StructType(
+        [
+            StructField("row", LongType(), False),
+            StructField("col", LongType(), False),
+            StructField("polygon_id", LongType(), False),
+        ]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geom = {pid: (shells, holes) for pid, _bb, shells, holes in bc.value}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            cx = pdf["cx"].to_numpy(dtype=np.float64)
+            cy = pdf["cy"].to_numpy(dtype=np.float64)
+            pid = pdf["polygon_id"].to_numpy()
+            for p in np.unique(pid):
+                sel = pid == p
+                shells, holes = geom[int(p)]
+                in_shell = np.zeros(sel.sum(), dtype=bool)
+                for ring in shells:
+                    in_shell |= G.points_in_polygon(cx[sel], cy[sel], ring)
+                for ring in holes:
+                    in_shell &= ~G.points_in_polygon(cx[sel], cy[sel], ring)
+                keep[np.nonzero(sel)[0][in_shell]] = True
+            out = pdf.loc[keep, ["row", "col", "polygon_id"]]
+            yield out
+
+    hits = cand.mapInPandas(refine, schema=schema)
+    # last record wins on overlap
+    out = hits.groupBy("row", "col").agg(F.max("polygon_id").alias("polygon_id"))
+    if values is None:
+        return out.withColumn("value", F.col("polygon_id").cast("double")).drop("polygon_id")
+    mapping = F.create_map(*[F.lit(kv) for pair in values.items() for kv in pair])
+    return out.withColumn("value", mapping[F.col("polygon_id")]).drop("polygon_id")
+
+
+def raster_to_points(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """RasterToVectorPoints: one point per valid (non-nodata) cell at the
+    cell center (half-res formulas)."""
+    return cells.where(F.col("value") != meta.nodata).selectExpr(
+        f"{meta.x_from_col_expr('col')} AS x",
+        f"{meta.y_from_row_expr('row')} AS y",
+        "value",
+    )
+
+
+def extract_values_at_points(
+    points: DataFrame, cells: DataFrame, meta: GridMeta, x: str = "x", y: str = "y"
+) -> DataFrame:
+    """ExtractRasterValuesAtPoints: derive (row, col) per point, then an
+    equi-join against the cells table — no geometry at all
+    (extract_raster_values_at_points.rs:253-255). Missing cells -> nodata."""
+    p = points.withColumn("row", F.expr(meta.row_from_y_expr(y))).withColumn(
+        "col", F.expr(meta.col_from_x_expr(x))
+    )
+    out = p.join(cells.select("row", "col", F.col("value").alias("__rv")), ["row", "col"], "left")
+    return out.withColumn("raster_value", F.coalesce(F.col("__rv"), F.lit(meta.nodata))).drop(
+        "__rv"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Raster aggregations
+# ---------------------------------------------------------------------------
+
+
+def aggregate_raster(cells: DataFrame, factor: int, agg: str = "mean") -> DataFrame:
+    """AggregateRaster: downsample by integer factor with
+    mean/sum/min/max/range (aggregate_raster.rs:150-151)."""
+    g = cells.groupBy(
+        (F.col("row") / factor).cast("long").alias("row"),
+        (F.col("col") / factor).cast("long").alias("col"),
+    )
+    if agg == "mean":
+        return g.agg(F.avg("value").alias("value"))
+    if agg == "sum":
+        return g.agg(F.sum("value").alias("value"))
+    if agg == "min":
+        return g.agg(F.min("value").alias("value"))
+    if agg == "max":
+        return g.agg(F.max("value").alias("value"))
+    if agg == "range":
+        return g.agg((F.max("value") - F.min("value")).alias("value"))
+    raise ValueError(agg)
+
+
+def zonal_statistics(data: DataFrame, zones: DataFrame) -> DataFrame:
+    """ZonalStatistics: join data and zone rasters on (row, col), then
+    per-zone mean/min/max/range/stdev/total. One shuffle for the join
+    (both sides co-partitionable on (row, col)), one for the agg."""
+    j = data.select("row", "col", F.col("value").alias("v")).join(
+        zones.select("row", "col", F.col("value").alias("zone")), ["row", "col"], "inner"
+    )
+    return j.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("zone_count"),
+        F.sum("v").alias("zone_total"),
+        F.avg("v").alias("zone_mean"),
+        F.min("v").alias("zone_min"),
+        F.max("v").alias("zone_max"),
+        (F.max("v") - F.min("v")).alias("zone_range"),
+        F.stddev_pop("v").alias("zone_stdev"),
+    )
+
+
+def summary_stats(cells: DataFrame, meta: GridMeta | None = None) -> DataFrame:
+    """RasterSummaryStats: global min/max/mean/total/stdev over valid cells."""
+    df = cells
+    if meta is not None:
+        df = df.where(F.col("value") != meta.nodata)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("value").alias("total"),
+        F.avg("value").alias("mean"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.stddev_pop("value").alias("stdev"),
+    )
+
+
+def cross_tabulation(a: DataFrame, b: DataFrame) -> DataFrame:
+    """CrossTabulation: contingency counts of co-located cell values."""
+    j = a.select("row", "col", F.col("value").alias("value_a")).join(
+        b.select("row", "col", F.col("value").alias("value_b")), ["row", "col"], "inner"
+    )
+    return j.groupBy("value_a", "value_b").agg(F.count(F.lit(1)).alias("n"))
+
+
+def z_scores(cells: DataFrame) -> DataFrame:
+    """ZScores: (v - mean) / stdev with global moments broadcast back
+    (scalar subquery — no second scan of the big side at scale if the
+    stats come from catalog metadata)."""
+    stats = cells.agg(F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma"))
+    return cells.crossJoin(F.broadcast(stats)).select(
+        "row", "col", ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("value")
+    )
+
+
+def quantiles(cells: DataFrame, num_quantiles: int = 4) -> DataFrame:
+    """Quantiles: assign each cell its quantile bin (exact ntile over the
+    value order — ties broken by (row, col) for determinism)."""
+    w = Window.orderBy("value", "row", "col")
+    return cells.select(
+        "row", "col", "value", F.ntile(num_quantiles).over(w).alias("quantile")
+    )
+
+
+def histogram(cells: DataFrame, bin_width: float, origin: float = 0.0) -> DataFrame:
+    """RasterHistogram: counts per value bin."""
+    return (
+        cells.select(
+            (F.floor((F.col("value") - origin) / bin_width)).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cumulative_distribution(cells: DataFrame) -> DataFrame:
+    """CumulativeDistribution: CDF transform via cume_dist window."""
+    w = Window.orderBy("value")
+    return cells.select("row", "col", F.cume_dist().over(w).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Map algebra (zip joins on (row, col))
+# ---------------------------------------------------------------------------
+
+_BINOPS = {
+    "add": "a.v + b.v",
+    "subtract": "a.v - b.v",
+    "multiply": "a.v * b.v",
+    "divide": "a.v / b.v",
+    "modulo": "a.v % b.v",
+    "power": "POWER(a.v, b.v)",
+    "min": "LEAST(a.v, b.v)",
+    "max": "GREATEST(a.v, b.v)",
+    "atan2": "ATAN2(a.v, b.v)",
+    "equal_to": "CAST(a.v = b.v AS DOUBLE)",
+    "not_equal_to": "CAST(a.v <> b.v AS DOUBLE)",
+    "greater_than": "CAST(a.v > b.v AS DOUBLE)",
+    "less_than": "CAST(a.v < b.v AS DOUBLE)",
+}
+
+
+def map_algebra(a: DataFrame, b: DataFrame, op: str) -> DataFrame:
+    """Binary raster op: equi-join two cells tables on (row, col) and
+    apply the arithmetic (math_stat_analysis/add.rs etc.). Raster-vs-
+    constant dispatch is Catalyst constant folding — pass a literal via
+    map_algebra_const instead."""
+    expr = _BINOPS[op]
+    return (
+        a.select("row", "col", F.col("value").alias("v")).alias("a")
+        .join(b.select("row", "col", F.col("value").alias("v")).alias("b"), ["row", "col"])
+        .selectExpr("row", "col", f"({expr}) AS value")
+    )
+
+
+def map_algebra_const(a: DataFrame, op: str, const: float, const_side: str = "right") -> DataFrame:
+    expr = _BINOPS[op]
+    if const_side == "right":
+        expr = expr.replace("b.v", repr(const)).replace("a.v", "value")
+    else:
+        expr = expr.replace("a.v", repr(const)).replace("b.v", "value")
+    return a.selectExpr("row", "col", f"({expr}) AS value")
+
+
+def reclass(cells: DataFrame, ranges: list[tuple[float, float, float]]) -> DataFrame:
+    """Reclass with (new_value, lower-inclusive, upper-exclusive) ranges
+    (gis_analysis/reclass.rs semantics); unmatched values pass through."""
+    expr = F.col("value")
+    for new_v, lo, hi in reversed(ranges):
+        expr = F.when((F.col("value") >= lo) & (F.col("value") < hi), F.lit(new_v)).otherwise(expr)
+    return cells.select("row", "col", expr.alias("value"))

