@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query below exercises a whitebox_tools_spark operator (SURVEY.md
+§2) over the driver's parquet tables; the matching ``oracle_sql()``
+entry is an independent DuckDB transcription of the same semantics.
+
+Parity design: spatial layers are DERIVED from the raw tables with
+portable SQL (identical text on both engines → identical IEEE-754
+doubles); geometry kernels, kNN tie-breaks and fold orders replicate
+the reference's arithmetic (see module docstrings in
+whitebox_tools_spark/ for file:line cites into /root/reference).
 """
 
 from __future__ import annotations
@@ -12,27 +16,733 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from whitebox_tools_spark.functions import text as T
+from whitebox_tools_spark.functions.cells import frs_cell_expr, morton_expr
+from whitebox_tools_spark.functions.raster_math import GridMeta
+from whitebox_tools_spark.operators import dedup as D
+from whitebox_tools_spark.operators import knn as K
+from whitebox_tools_spark.operators import pip_join as P
+from whitebox_tools_spark.operators import raster as R
+from whitebox_tools_spark.operators import similarity as S
+from whitebox_tools_spark.operators import tiling as TL
+
+# ---------------------------------------------------------------------------
+# Derived layers (portable SQL — identical text runs on Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+# Point layer from `events`: deterministic coords in (0, 1000.01); the
+# +0.005 offset keeps points off every grid/cell center (no zero kNN
+# distances → no inf/NaN in IDW).
+_PX = "(CAST((event_id * 48271) % 100000 AS DOUBLE) / 100.0 + 0.005)"
+_PY = "(CAST((event_id * 69621) % 100000 AS DOUBLE) / 100.0 + 0.005)"
+_PTS_SQL = (
+    f"SELECT event_id AS record_num, {_PX} AS x, {_PY} AS y, "
+    "CAST(event_id % 1000 AS DOUBLE) AS value FROM events"
+)
+
+# Cells (raster) layers from `events`: 100x100 grid addressed by event id;
+# values are integer-valued doubles so SUM/AVG are order-independent
+# exact (a deliberate property: distributed partial aggregation reorders
+# float sums, integer-valued doubles < 2^53 make every order bit-equal).
+_RAS_A_SQL = (
+    "SELECT (event_id % 100) AS row, (CAST(FLOOR(event_id / 100) AS BIGINT) % 100) AS col, "
+    "CAST(MAX(event_id) % 1000 AS DOUBLE) AS value FROM events GROUP BY 1, 2"
+)
+_RAS_B_SQL = (
+    "SELECT (event_id % 100) AS row, (CAST(FLOOR(event_id / 100) AS BIGINT) % 100) AS col, "
+    "CAST(MAX(event_id) % 7 AS DOUBLE) AS value FROM events GROUP BY 1, 2"
+)
+
+_TABLES_NEEDED = {"events", "documents", "embeddings"}
+
+
+def _reg(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _reg(spark, sf_dir, "events")
+    return spark.sql(_PTS_SQL)
+
+
+def _ras(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    _reg(spark, sf_dir, "events")
+    return spark.sql(_RAS_A_SQL if which == "a" else _RAS_B_SQL)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Single-file parquet arrives as 1 partition; hash-heavy per-doc
+    expressions (minhash/simhash) are CPU-bound, so spread small inputs
+    across the cluster. A real deployment reads many files/Iceberg splits
+    and skips this."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _reg(spark, sf_dir, "documents")
+    return _spread(spark.table("documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _reg(spark, sf_dir, "embeddings")
+    return _spread(spark.table("embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Fixed geometry / grids (constants shared by Spark plans and oracles)
+# ---------------------------------------------------------------------------
+
+_EXTENT = (0.0, 1000.01, 0.0, 1000.01)  # (min_x, max_x, min_y, max_y)
+_TG = TL.resolve_tile_grid(0.0, 1000.01, 0.0, 1000.01, 0.0, 0.0, 64.0, 64.0)
+_TEX = TL.tile_exprs(_TG)
+_HEXG = TL.HexGrid(80.0, _EXTENT[0], _EXTENT[1], _EXTENT[2], _EXTENT[3])
+_META40 = GridMeta(rows=40, columns=40, north=1000.0, south=0.0, east=1000.0,
+                   west=0.0, resolution_x=25.0, resolution_y=25.0)
+_META100 = GridMeta(rows=100, columns=100, north=1000.0, south=0.0, east=1000.0,
+                    west=0.0, resolution_x=10.0, resolution_y=10.0)
+_KNN_RADIUS = 60.0
+
+# (polygon_id, shells, holes) — pairwise-disjoint layer: pentagon,
+# square-with-hole, sliver triangle.
+_POLYS: list[tuple[int, list[list[tuple[float, float]]], list[list[tuple[float, float]]]]] = [
+    (0, [[(100.0, 100.0), (400.0, 120.0), (420.0, 380.0), (240.0, 460.0),
+          (90.0, 300.0), (100.0, 100.0)]], []),
+    (1, [[(500.0, 500.0), (800.0, 500.0), (800.0, 800.0), (500.0, 800.0),
+          (500.0, 500.0)]],
+        [[(600.0, 600.0), (600.0, 700.0), (700.0, 700.0), (700.0, 600.0),
+          (600.0, 600.0)]]),
+    (2, [[(50.0, 700.0), (250.0, 950.0), (60.0, 980.0), (50.0, 700.0)]], []),
+]
+
+_POLY_SCHEMA = StructType([
+    StructField("polygon_id", LongType(), False),
+    StructField("bbox", StructType([
+        StructField("xmin", DoubleType(), False),
+        StructField("ymin", DoubleType(), False),
+        StructField("xmax", DoubleType(), False),
+        StructField("ymax", DoubleType(), False),
+    ]), False),
+    StructField("parts", ArrayType(StructType([
+        StructField("part_idx", IntegerType(), False),
+        StructField("is_hole", BooleanType(), False),
+        StructField("ring", ArrayType(StructType([
+            StructField("x", DoubleType(), False),
+            StructField("y", DoubleType(), False),
+        ])), False),
+    ])), False),
+])
+
+
+def _polygons_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for pid, shells, holes in _POLYS:
+        xs = [p[0] for ring in shells + holes for p in ring]
+        ys = [p[1] for ring in shells + holes for p in ring]
+        parts, idx = [], 0
+        for is_hole, rings in ((False, shells), (True, holes)):
+            for ring in rings:
+                parts.append((idx, is_hole, [{"x": x, "y": y} for x, y in ring]))
+                idx += 1
+        rows.append((pid, {"xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys)}, parts))
+    return spark.createDataFrame(rows, schema=_POLY_SCHEMA)
+
+
+# -- PIP oracle SQL: literal transcription of the even-odd winding kernel
+#    (geometry.winding_number ⇔ reference poly_ops.rs:30-72), with the
+#    (x1-x0)/(y1-y0) edge constants folded in Python (same f64 results).
+
+
+def _wn_sql(ring: list[tuple[float, float]], xs: str, ys: str) -> str:
+    terms = []
+    for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+        il = (f"(({(x1 - x0)!r}) * (({ys}) - ({y0!r})) - "
+              f"((({xs}) - ({x0!r})) * ({(y1 - y0)!r})))")
+        terms.append(
+            f"(CASE WHEN ({y0!r}) <= ({ys}) AND ({y1!r}) > ({ys}) AND {il} > 0.0 THEN 1 "
+            f"WHEN ({y0!r}) > ({ys}) AND ({y1!r}) <= ({ys}) AND {il} < 0.0 THEN -1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _inside_sql(shells, holes, xs: str = "x", ys: str = "y") -> str:
+    sh = " OR ".join(f"(({_wn_sql(r, xs, ys)}) % 2 <> 0)" for r in shells)
+    if not holes:
+        return f"({sh})"
+    ho = " OR ".join(f"(({_wn_sql(r, xs, ys)}) % 2 <> 0)" for r in holes)
+    return f"(({sh}) AND NOT ({ho}))"
+
+
+def _pip_tag_oracle() -> str:
+    selects = [
+        f"SELECT record_num, CAST({pid} AS BIGINT) AS polygon_id FROM pts WHERE {_inside_sql(sh, ho)}"
+        for pid, sh, ho in _POLYS
+    ]
+    return f"WITH pts AS ({_PTS_SQL}) " + " UNION ALL ".join(selects)
+
+
+def _pip_any_pred() -> str:
+    return "(" + " OR ".join(_inside_sql(sh, ho) for _pid, sh, ho in _POLYS) + ")"
+
+
+# -- Morton id in DuckDB dialect (Spark side uses SHIFTLEFT; DuckDB uses
+#    << — same bit math, verified equal by q_frs_cells).
+
+
+def _spread_duck(v: str) -> str:
+    e = f"(CAST({v} AS BIGINT) & 2147483647)"
+    for sh, m in ((16, 281470681808895), (8, 71777214294589695),
+                  (4, 1085102592571150095), (2, 3689348814741910323),
+                  (1, 6148914691236517205)):
+        e = f"(({e} | ({e} << {sh})) & {m})"
+    return e
+
+
+def _morton_duck(cx_sql: str, cy_sql: str) -> str:
+    bx = _spread_duck(f"(({cx_sql}) + 1073741824)")
+    by = _spread_duck(f"(({cy_sql}) + 1073741824)")
+    return f"({bx} | ({by} << 1))"
+
+
+# -- Hex argmin in DuckDB dialect (struct-list min ≡ Spark ARRAY_MIN).
+
+
+def _hex_duck_expr(grid: TL.HexGrid, xs: str = "x", ys: str = "y") -> str:
+    cands = []
+    for dr in (0, 1, 2):
+        row = (f"(CAST(FLOOR(({grid.center_y0!r} - ({ys})) / "
+               f"{grid.three_quarter_height!r}) AS BIGINT) + {dr - 1})")
+        for dc in (0, 1):
+            col = (f"(CAST(FLOOR((({xs}) - ({grid.center_x0!r} - {grid.half_width!r} * "
+                   f"CAST({row} % 2 AS DOUBLE))) / {grid.width!r}) AS BIGINT) + {dc})")
+            cx, cy = grid.center_exprs(row, col)
+            d2 = (f"((({xs}) - {cx}) * (({xs}) - {cx}) + "
+                  f"(({ys}) - {cy}) * (({ys}) - {cy}))")
+            cands.append(f"{{'d2': {d2}, 'hex_row': {row}, 'hex_col': {col}}}")
+    return f"list_aggregate([{', '.join(cands)}], 'min')"
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline (smoke check)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """docs→points → PIP tag-join (broadcast) → LidarTile assignment."""
+    sf = "/root/testdata/sf0.001"
+    pts = _points(spark, sf)
+    tagged = P.points_in_polygons(pts, _polygons_df(spark))
+    tiled, _grid = TL.assign_tiles(tagged, 0.0, 0.0, 64.0, 64.0, extent=_EXTENT)
+    return tiled.select("record_num", "x", "y", "value", "polygon_id",
+                        "tile_row", "tile_col", "tile_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_tile_assign(spark, sf):
+    tiled, _g = TL.assign_tiles(_points(spark, sf), 0.0, 0.0, 64.0, 64.0, extent=_EXTENT)
+    return tiled.select("record_num", "tile_row", "tile_col", "tile_id")
+
+
+def _q_tile_counts(spark, sf):
+    tiled, _g = TL.assign_tiles(_points(spark, sf), 0.0, 0.0, 64.0, 64.0, extent=_EXTENT)
+    kept = TL.filter_min_points(tiled, 30)
+    return kept.groupBy("tile_id").agg(F.count(F.lit(1)).alias("tile_n"))
+
+
+def _q_hex_bin(spark, sf):
+    out, _g = TL.hex_bin(_points(spark, sf), 80.0, extent=_EXTENT)
+    return out
+
+
+def _q_frs_cells(spark, sf):
+    cx = frs_cell_expr("x", 50.0)
+    cy = frs_cell_expr("y", 50.0)
+    return _points(spark, sf).selectExpr(
+        "record_num", f"{cx} AS cx", f"{cy} AS cy", f"{morton_expr(cx, cy)} AS cell_id"
+    )
+
+
+def _q_pip_tag(spark, sf):
+    return P.points_in_polygons(_points(spark, sf), _polygons_df(spark)).select(
+        "record_num", "polygon_id"
+    )
+
+
+def _q_pip_tag_cellcover(spark, sf):
+    return P.points_in_polygons_cellcover(
+        _points(spark, sf), _polygons_df(spark), radius=64.0
+    ).select("record_num", "polygon_id")
+
+
+def _q_pip_clip(spark, sf):
+    return P.clip_points(_points(spark, sf), _polygons_df(spark))
+
+
+def _q_pip_erase(spark, sf):
+    return P.erase_points(_points(spark, sf), _polygons_df(spark)).select("record_num")
+
+
+def _q_knn_join(spark, sf):
+    pts = _points(spark, sf)
+    q = pts.where("record_num % 37 = 0").selectExpr("record_num AS query_id", "x", "y")
+    t = pts.selectExpr("record_num AS target_id", "x", "y")
+    return K.knn_join_exact(q, t, k=4, radius=25.0, qid="query_id", tid="target_id")
+
+
+def _q_nn_gridding(spark, sf):
+    return K.nearest_neighbour_gridding(
+        _points(spark, sf), _META40, exact=True, radius=_KNN_RADIUS
+    )
+
+
+def _q_idw(spark, sf):
+    return K.idw_interpolation(
+        _points(spark, sf), _META40, k=4, weight=2.0, radius=_KNN_RADIUS
+    )
+
+
+def _q_points_to_raster_first(spark, sf):
+    return R.points_to_raster(_points(spark, sf), _META100, "first")
+
+
+def _q_points_to_raster_last(spark, sf):
+    return R.points_to_raster(_points(spark, sf), _META100, "last")
+
+
+def _q_polygons_to_raster(spark, sf):
+    return R.polygons_to_raster(_polygons_df(spark), _META40)
+
+
+def _q_raster_to_points(spark, sf):
+    return R.raster_to_points(_ras(spark, sf, "a"), _META100)
+
+
+def _q_extract_values(spark, sf):
+    pts = _points(spark, sf)
+    ras = R.points_to_raster(pts, _META100, "last")
+    out = R.extract_values_at_points(pts, ras, _META100)
+    return out.select("record_num", "raster_value")
+
+
+def _q_aggregate_raster(spark, sf):
+    return R.aggregate_raster(_ras(spark, sf, "a"), 4, "mean")
+
+
+def _q_zonal_stats(spark, sf):
+    out = R.zonal_statistics(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+    return out.select("zone", "zone_count", "zone_total", "zone_mean",
+                      "zone_min", "zone_max", "zone_range")
+
+
+def _q_summary_stats(spark, sf):
+    return R.summary_stats(_ras(spark, sf, "a")).select(
+        "n_cells", "total", "mean", "min_value", "max_value"
+    )
+
+
+def _q_cross_tab(spark, sf):
+    return R.cross_tabulation(_ras(spark, sf, "b"), _ras(spark, sf, "a"))
+
+
+def _q_histogram(spark, sf):
+    return R.histogram(_ras(spark, sf, "a"), 50.0)
+
+
+def _q_map_algebra_add(spark, sf):
+    return R.map_algebra(_ras(spark, sf, "a"), _ras(spark, sf, "b"), "add")
+
+
+_RECLASS_RANGES = [(1.0, 0.0, 250.0), (2.0, 250.0, 500.0), (3.0, 500.0, 750.0), (4.0, 750.0, 1000.0)]
+
+
+def _q_reclass(spark, sf):
+    return R.reclass(_ras(spark, sf, "a"), _RECLASS_RANGES)
+
+
+def _q_quantiles(spark, sf):
+    out = R.quantiles(_ras(spark, sf, "a"), 4)
+    return out.withColumn("quantile", F.col("quantile").cast("long"))
+
+
+def _q_cumulative_dist(spark, sf):
+    return R.cumulative_distribution(_ras(spark, sf, "a"))
+
+
+def _q_exact_dedup(spark, sf):
+    return D.exact_dedup(_docs(spark, sf), "text", "doc_id")
+
+
+def _q_minhash_pairs(spark, sf):
+    return D.minhash_lsh_pairs(_docs(spark, sf), "text", "doc_id",
+                               bands=8, rows_per_band=2, shingle_n=3,
+                               jaccard_threshold=0.1)
+
+
+def _q_simhash_pairs(spark, sf):
+    # bucketed candidates reach Hamming<=1 (self + 1-bit-flip keys), so
+    # the gated query pins max_hamming=1 — the full-pair oracle then
+    # matches the LSH recall exactly.
+    out = D.simhash_pairs(_docs(spark, sf), "text", "doc_id", max_hamming=1)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_docs(spark, sf), "text", "doc_id",
+                                 block_col="source", shingle_n=3, threshold=0.1)
+
+
+def _q_lang_id(spark, sf):
+    return _docs(spark, sf).selectExpr("doc_id", f"{T.lang_id_expr('text')[0]} AS lang_pred")
+
+
+def _q_quality(spark, sf):
+    qx = T.quality_score_exprs("text")
+    return _docs(spark, sf).selectExpr(
+        "doc_id",
+        f"CAST({qx['q_chars'][0]} AS BIGINT) AS q_chars",
+        f"CAST({qx['q_tokens'][0]} AS BIGINT) AS q_tokens",
+        f"CAST({qx['q_stopwords'][0]} AS BIGINT) AS q_stopwords",
+        f"{qx['q_mean_token_len'][0]} AS q_mean_token_len",
+        f"{qx['q_stopword_ratio'][0]} AS q_stopword_ratio",
+    )
+
+
+def _q_fingerprint(spark, sf):
+    return _docs(spark, sf).selectExpr(
+        "doc_id", f"{T.doc_fingerprint_expr('text')[0]} AS fp"
+    )
+
+
+def _q_simhash(spark, sf):
+    return _docs(spark, sf).selectExpr(
+        "doc_id", f"CAST({T.simhash16_exprs('text')[0]} AS BIGINT) AS simhash"
+    )
+
+
+def _q_ann_topk(spark, sf):
+    emb = _emb(spark, sf)
+    q = emb.where("vec_id % 10 = 0")
+    out = S.ann_topk_exact_sql(q, emb, k=10)
+    return out.withColumn("sim_rank", F.col("sim_rank").cast("long"))
+
+
+def _q_embedding_dups(spark, sf):
+    return D.embedding_dup_pairs(_emb(spark, sf), threshold=0.35)
+
+
+def _q_knn_wbt(spark, sf):
+    """WBT-parity approximate kNN (early-stop shell expansion) — not
+    SQL-expressible (procedural early stop); rows-only check."""
+    pts = _points(spark, sf)
+    q = pts.where("record_num % 37 = 0").selectExpr("record_num AS query_id", "x", "y")
+    t = pts.selectExpr("record_num AS target_id", "x", "y")
+    return K.knn_join_wbt(q, t, k=4, radius=25.0, qid="query_id", tid="target_id")
+
+
+def _q_ann_lsh(spark, sf):
+    """Sign-LSH bucketed ANN — approximate by design; rows-only check."""
+    emb = _emb(spark, sf)
+    q = emb.where("vec_id % 10 = 0")
+    return S.ann_topk_lsh(q, emb, k=10, num_planes=8, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": _q_tile_assign,
+        "tile_counts": _q_tile_counts,
+        "hex_bin": _q_hex_bin,
+        "frs_cells": _q_frs_cells,
+        "pip_tag": _q_pip_tag,
+        "pip_tag_cellcover": _q_pip_tag_cellcover,
+        "pip_clip": _q_pip_clip,
+        "pip_erase": _q_pip_erase,
+        "knn_join": _q_knn_join,
+        "nn_gridding": _q_nn_gridding,
+        "idw": _q_idw,
+        "points_to_raster_first": _q_points_to_raster_first,
+        "points_to_raster_last": _q_points_to_raster_last,
+        "polygons_to_raster": _q_polygons_to_raster,
+        "raster_to_points": _q_raster_to_points,
+        "extract_values": _q_extract_values,
+        "aggregate_raster": _q_aggregate_raster,
+        "zonal_stats": _q_zonal_stats,
+        "summary_stats": _q_summary_stats,
+        "cross_tab": _q_cross_tab,
+        "histogram": _q_histogram,
+        "map_algebra_add": _q_map_algebra_add,
+        "reclass": _q_reclass,
+        "quantiles": _q_quantiles,
+        "cumulative_dist": _q_cumulative_dist,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "simhash": _q_simhash,
+        "ann_topk": _q_ann_topk,
+        "embedding_dups": _q_embedding_dups,
+        "knn_wbt": _q_knn_wbt,
+        "ann_lsh": _q_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql — DuckDB transcriptions
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = f"WITH pts AS ({_PTS_SQL})"
+    ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
+    cells40 = ("cells AS (SELECT a.range AS row, b.range AS col "
+               "FROM range(0, 40) a, range(0, 40) b)")
+    ctr_x = _META40.x_center_expr("col")
+    ctr_y = _META40.y_center_expr("row")
+    nn_cand = (
+        f"cand AS (SELECT c.row, c.col, p.record_num, p.value AS v, "
+        f"(({ctr_x}) - p.x) * (({ctr_x}) - p.x) + (({ctr_y}) - p.y) * (({ctr_y}) - p.y) AS dist2 "
+        f"FROM cells c, pts p)"
+    )
+    r100y = _META100.row_from_y_expr("y")
+    c100x = _META100.col_from_x_expr("x")
+    in100 = _META100.in_grid_pred("row", "col")
+    p2r = (f"rc AS (SELECT {r100y} AS row, {c100x} AS col, value AS v, record_num AS rn "
+           f"FROM pts), valid AS (SELECT * FROM rc WHERE {in100})")
+
+    # minhash oracle (duck dialect from the same expression builders)
+    _, d_sh = T.shingles_expr("text", 3)
+    band_cols = ", ".join(
+        f"{T.band_key_expr('text', b, 2, 3)[1]} AS band_{b}" for b in range(8)
+    )
+    band_arr = "[" + ", ".join(f"band_{b}" for b in range(8)) + "]"
+    inter = "len(list_intersect(sh_a, sh_b))"
+    union = "(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))"
+    minhash_oracle = (
+        f"WITH base AS (SELECT doc_id AS id, list_distinct({d_sh}) AS sh, {band_cols} "
+        f"FROM documents), "
+        f"longb AS (SELECT id, sh, unnest({band_arr}) AS band FROM base), "
+        f"cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b "
+        f"FROM longb a JOIN longb b USING (band) WHERE a.id < b.id) "
+        f"SELECT id_a, id_b, CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE) AS jaccard "
+        f"FROM cand WHERE CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE) >= 0.1"
+    )
+
+    _, d_sh5 = T.doc_fingerprint_expr("text")
+    _, d_sim = T.simhash16_exprs("text")
+    simhash_pairs_oracle = (
+        f"WITH base AS (SELECT doc_id AS id, CAST({d_sim} AS BIGINT) AS simhash FROM documents) "
+        f"SELECT a.id AS id_a, b.id AS id_b, "
+        f"CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        f"FROM base a, base b WHERE a.id < b.id "
+        f"AND bit_count(xor(a.simhash, b.simhash)) <= 1"
+    )
+
+    ngram_oracle = (
+        f"WITH base AS (SELECT doc_id AS id, list_distinct({d_sh}) AS sh, source AS blk "
+        f"FROM documents), "
+        f"cand AS (SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b "
+        f"FROM base a JOIN base b USING (blk) WHERE a.id < b.id) "
+        f"SELECT id_a, id_b, CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE) AS jaccard "
+        f"FROM cand WHERE CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE) >= 0.1"
+    )
+
+    qx = T.quality_score_exprs("text")
+
+    dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE))), "
+           "(a, b) -> a + b)")
+    nq = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))")
+    nt = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(tv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))")
+    ann_oracle = (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0), "
+        f"t AS (SELECT vec_id AS target_id, embedding AS tv FROM embeddings), "
+        f"cand AS (SELECT query_id, target_id, ({dot}) / (({nq}) * ({nt})) AS cosine "
+        f"FROM q, t WHERE query_id <> target_id), "
+        f"r AS (SELECT query_id, target_id, cosine, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, target_id) AS sim_rank FROM cand) "
+        f"SELECT query_id, target_id, cosine, CAST(sim_rank AS BIGINT) AS sim_rank FROM r WHERE sim_rank <= 10"
+    )
+
+    dup_dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+               "list_transform(range(1, len(va) + 1), i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))), "
+               "(a, b) -> a + b)")
+    dup_na = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+              "list_transform(va, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))")
+    dup_nb = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+              "list_transform(vb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))")
+    emb_dup_oracle = (
+        f"WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings), "
+        f"b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings), "
+        f"p AS (SELECT id_a, id_b, ({dup_dot}) / (({dup_na}) * ({dup_nb})) AS cosine "
+        f"FROM a, b WHERE id_a < id_b) "
+        f"SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"
+    )
+
+    reclass_case = "CASE " + " ".join(
+        f"WHEN value >= {lo!r} AND value < {hi!r} THEN {nv!r}" for nv, lo, hi in _RECLASS_RANGES
+    ) + " ELSE value END"
+
+    hx = _hex_duck_expr(_HEXG)
+
+    cx50 = frs_cell_expr("x", 50.0)
+    cy50 = frs_cell_expr("y", 50.0)
+
+    return {
+        "tile_assign": (
+            f"{pts} SELECT record_num, {_TEX['tile_row']} AS tile_row, "
+            f"{_TEX['tile_col']} AS tile_col, {_TEX['tile_id']} AS tile_id FROM pts"
+        ),
+        "tile_counts": (
+            f"{pts} SELECT {_TEX['tile_id']} AS tile_id, COUNT(*) AS tile_n "
+            f"FROM pts GROUP BY 1 HAVING COUNT(*) >= 30"
+        ),
+        "hex_bin": (
+            f"{pts}, h AS (SELECT {hx} AS hx FROM pts) "
+            f"SELECT hx.hex_row AS hex_row, hx.hex_col AS hex_col, COUNT(*) AS hex_count "
+            f"FROM h GROUP BY 1, 2"
+        ),
+        "frs_cells": (
+            f"{pts} SELECT record_num, {cx50} AS cx, {cy50} AS cy, "
+            f"{_morton_duck(cx50, cy50)} AS cell_id FROM pts"
+        ),
+        "pip_tag": _pip_tag_oracle(),
+        "pip_tag_cellcover": _pip_tag_oracle(),
+        "pip_clip": f"{pts} SELECT record_num, x, y, value FROM pts WHERE {_pip_any_pred()}",
+        "pip_erase": f"{pts} SELECT record_num FROM pts WHERE NOT {_pip_any_pred()}",
+        "knn_join": (
+            f"{pts}, q AS (SELECT record_num AS query_id, x, y FROM pts WHERE record_num % 37 = 0), "
+            f"cand AS (SELECT q.query_id, t.record_num AS target_id, "
+            f"(q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) AS dist2 FROM q, pts t), "
+            f"r AS (SELECT query_id, target_id, dist2, "
+            f"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, target_id) AS rk FROM cand) "
+            f"SELECT query_id, target_id, dist2, CAST(rk AS INT) AS knn_rank FROM r WHERE rk <= 4"
+        ),
+        "nn_gridding": (
+            f"{pts}, {cells40}, {nn_cand}, "
+            f"r AS (SELECT row, col, v, ROW_NUMBER() OVER "
+            f"(PARTITION BY row, col ORDER BY dist2, record_num) AS rk FROM cand) "
+            f"SELECT row, col, v AS value FROM r WHERE rk = 1"
+        ),
+        "idw": (
+            f"{pts}, {cells40}, {nn_cand}, "
+            f"r AS (SELECT row, col, dist2, v, ROW_NUMBER() OVER "
+            f"(PARTITION BY row, col ORDER BY dist2, record_num) AS rk FROM cand), "
+            f"g AS (SELECT row, col, list_sort(list({{'dist2': dist2, 'v': v}})) AS l "
+            f"FROM r WHERE rk <= 4 GROUP BY row, col) "
+            f"SELECT row, col, "
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(l, e -> e.v / pow(e.dist2, 1.0))), (a, b) -> a + b) / "
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(l, e -> 1.0 / pow(e.dist2, 1.0))), (a, b) -> a + b) AS value "
+            f"FROM g"
+        ),
+        "points_to_raster_first": (
+            f"{pts}, {p2r} SELECT row, col, arg_min(v, rn) AS value FROM valid GROUP BY 1, 2"
+        ),
+        "points_to_raster_last": (
+            f"{pts}, {p2r} SELECT row, col, arg_max(v, rn) AS value FROM valid GROUP BY 1, 2"
+        ),
+        "polygons_to_raster": (
+            f"WITH {cells40}, c2 AS (SELECT row, col, {_META40.x_from_col_expr('col')} AS cx, "
+            f"{_META40.y_from_row_expr('row')} AS cy FROM cells), hits AS ("
+            + " UNION ALL ".join(
+                f"SELECT row, col, {pid} AS pid FROM c2 WHERE {_inside_sql(sh, ho, 'cx', 'cy')}"
+                for pid, sh, ho in _POLYS
+            )
+            + ") SELECT row, col, CAST(MAX(pid) AS DOUBLE) AS value FROM hits GROUP BY 1, 2"
+        ),
+        "raster_to_points": (
+            f"{ras_a} SELECT {_META100.x_from_col_expr('col')} AS x, "
+            f"{_META100.y_from_row_expr('row')} AS y, value "
+            f"FROM ras_a WHERE value <> -32768.0"
+        ),
+        "extract_values": (
+            f"{pts}, {p2r}, ras AS (SELECT row, col, arg_max(v, rn) AS value "
+            f"FROM valid GROUP BY 1, 2), "
+            f"pp AS (SELECT record_num, {r100y} AS row, {c100x} AS col FROM pts) "
+            f"SELECT pp.record_num, COALESCE(ras.value, -32768.0) AS raster_value "
+            f"FROM pp LEFT JOIN ras USING (row, col)"
+        ),
+        "aggregate_raster": (
+            f"{ras_a} SELECT CAST(FLOOR(row / 4) AS BIGINT) AS row, "
+            f"CAST(FLOOR(col / 4) AS BIGINT) AS col, AVG(value) AS value "
+            f"FROM ras_a GROUP BY 1, 2"
+        ),
+        "zonal_stats": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), ras_b AS ({_RAS_B_SQL}) "
+            f"SELECT b.value AS zone, COUNT(*) AS zone_count, SUM(a.value) AS zone_total, "
+            f"AVG(a.value) AS zone_mean, MIN(a.value) AS zone_min, MAX(a.value) AS zone_max, "
+            f"MAX(a.value) - MIN(a.value) AS zone_range "
+            f"FROM ras_a a JOIN ras_b b USING (row, col) GROUP BY 1"
+        ),
+        "summary_stats": (
+            f"{ras_a} SELECT COUNT(*) AS n_cells, SUM(value) AS total, AVG(value) AS mean, "
+            f"MIN(value) AS min_value, MAX(value) AS max_value FROM ras_a"
+        ),
+        "cross_tab": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), ras_b AS ({_RAS_B_SQL}) "
+            f"SELECT b.value AS value_a, a.value AS value_b, COUNT(*) AS n "
+            f"FROM ras_b b JOIN ras_a a USING (row, col) GROUP BY 1, 2"
+        ),
+        "histogram": (
+            f"{ras_a} SELECT CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT) AS bin, "
+            f"COUNT(*) AS n FROM ras_a GROUP BY 1"
+        ),
+        "map_algebra_add": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), ras_b AS ({_RAS_B_SQL}) "
+            f"SELECT row, col, a.value + b.value AS value "
+            f"FROM ras_a a JOIN ras_b b USING (row, col)"
+        ),
+        "reclass": f"{ras_a} SELECT row, col, {reclass_case} AS value FROM ras_a",
+        "quantiles": (
+            f"{ras_a} SELECT row, col, value, "
+            f"CAST(NTILE(4) OVER (ORDER BY value, row, col) AS BIGINT) AS quantile FROM ras_a"
+        ),
+        "cumulative_dist": (
+            f"{ras_a} SELECT row, col, CUME_DIST() OVER (ORDER BY value) AS value FROM ras_a"
+        ),
+        "exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "minhash_pairs": minhash_oracle,
+        "simhash_pairs": simhash_pairs_oracle,
+        "ngram_jaccard": ngram_oracle,
+        "lang_id": f"SELECT doc_id, {T.lang_id_expr('text')[1]} AS lang_pred FROM documents",
+        "quality": (
+            f"SELECT doc_id, CAST({qx['q_chars'][1]} AS BIGINT) AS q_chars, "
+            f"CAST({qx['q_tokens'][1]} AS BIGINT) AS q_tokens, "
+            f"CAST({qx['q_stopwords'][1]} AS BIGINT) AS q_stopwords, "
+            f"{qx['q_mean_token_len'][1]} AS q_mean_token_len, "
+            f"{qx['q_stopword_ratio'][1]} AS q_stopword_ratio FROM documents"
+        ),
+        "fingerprint": (
+            f"SELECT doc_id, {T.doc_fingerprint_expr('text')[1]} AS fp FROM documents"
+        ),
+        "simhash": (
+            f"SELECT doc_id, CAST({d_sim} AS BIGINT) AS simhash FROM documents"
+        ),
+        "ann_topk": ann_oracle,
+        "embedding_dups": emb_dup_oracle,
+        # knn_wbt, ann_lsh: approximate/procedural — rows-only checks.
+    }

@@ -1,0 +1,99 @@
+"""Throughput benchmark for whitebox_tools_spark.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline metric is docs/sec through the flagship spatial pipeline
+(points -> PIP tag join -> tile assignment -> tile counts), i.e. the
+north-rule throughput number; per-query wall times cover each operator
+family. Set SPARK_GRAFT_BENCH_QUERIES=q1,q2 to run a subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from whitebox_tools_spark.operators import pip_join as P  # noqa: E402
+from whitebox_tools_spark.operators import tiling as TL  # noqa: E402
+from whitebox_tools_spark.session import get_spark  # noqa: E402
+
+# headline operator set: spatial core + kNN/gridding + dedup + ANN + text
+BENCH_QUERIES = [
+    "tile_assign",
+    "tile_counts",
+    "hex_bin",
+    "frs_cells",
+    "pip_tag",
+    "pip_tag_cellcover",
+    "pip_clip",
+    "knn_join",
+    "nn_gridding",
+    "idw",
+    "points_to_raster_last",
+    "extract_values",
+    "zonal_stats",
+    "minhash_pairs",
+    "simhash_pairs",
+    "ann_topk",
+    "lang_id",
+    "quality",
+]
+
+
+def flagship(spark, sf_dir: str) -> int:
+    """Full pipeline; returns number of docs (points) pushed through."""
+    pts = E._points(spark, sf_dir)
+    tagged = P.points_in_polygons(pts, E._polygons_df(spark))
+    tiled, _g = TL.assign_tiles(tagged, 0.0, 0.0, 64.0, 64.0, extent=E._EXTENT)
+    tiled.groupBy("tile_id").count().collect()
+    return pts.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = subset.split(",") if subset else BENCH_QUERIES
+
+    spark = get_spark(app_name="wbx-bench", cores=cpus,
+                      shuffle_partitions=int(cpus) * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    # warm the JVM/Arrow paths once so per-query numbers measure the plan
+    qs["tile_assign"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    n_docs = flagship(spark, sf_dir)
+    flagship_s = time.time() - t0
+    timings["flagship_pipeline"] = round(flagship_s, 3)
+
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "flagship_docs_per_sec": round(n_docs / flagship_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

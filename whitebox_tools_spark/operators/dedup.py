@@ -60,27 +60,44 @@ def minhash_lsh_pairs(
     division is bit-exact on both engines).
     """
     s_sh, _ = T.shingles_expr(text_col, shingle_n)
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.expr(f"ARRAY_DISTINCT({s_sh})").alias("sh"),
-        *[
-            F.expr(T.band_key_expr(text_col, b, rows_per_band, shingle_n)[0]).alias(f"band_{b}")
-            for b in range(bands)
-        ],
-    )
-    bands_long = base.select(
+    base = docs.selectExpr(f"{id_col} AS id", f"ARRAY_DISTINCT({s_sh}) AS sh")
+    # signature elements computed ONCE from the shingle column (min over a
+    # set == min over the multiset, so distinct sh gives the same MinHash
+    # as T.minhash_sig_expr over raw shingles — the oracle's form)
+    num_perms = bands * rows_per_band
+    sigs = base.select(
         "id",
         "sh",
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band"),
+        *[
+            F.expr(f"ARRAY_MIN(TRANSFORM(sh, s -> MD5(CONCAT('{p}:', s))))").alias(f"mh_{p}")
+            for p in range(num_perms)
+        ],
     )
-    a = bands_long.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band")
-    b = bands_long.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band")
-    cand = (
+    band_cols = [
+        F.expr(
+            "MD5(CONCAT(" + ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)) + "))"
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    with_bands = sigs.select("id", "sh", *band_cols).persist()
+    # band join carries only (id, band); shingle arrays re-attach to the
+    # (few) surviving pairs afterwards — keeps the wide arrays out of the
+    # band-key shuffle (the skew-prone stage at 10^12 docs)
+    bands_long = with_bands.select(
+        "id", F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band")
+    )
+    a = bands_long.select(F.col("id").alias("id_a"), "band")
+    b = bands_long.select(F.col("id").alias("id_b"), "band")
+    pairs = (
         a.join(b, "band")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_tbl = with_bands.select("id", "sh")
+    cand = pairs.join(
+        sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = "SIZE(ARRAY_INTERSECT(sh_a, sh_b))"
     union = "(SIZE(sh_a) + SIZE(sh_b) - SIZE(ARRAY_INTERSECT(sh_a, sh_b)))"
     out = cand.selectExpr(

@@ -86,6 +86,37 @@ def ann_topk_bruteforce(
     )
 
 
+def ann_topk_exact_sql(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine as pure column expressions (the oracle-gated
+    plan). The queries block is broadcast, targets stream; cosine is a
+    left fold in element order (ZIP_WITH + AGGREGATE), so every double
+    is reproducible bit-for-bit on any engine evaluating the same
+    expression tree. Use ann_topk_bruteforce (BLAS batched) when raw
+    throughput matters more than bit-parity.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    t = targets.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("tv"))
+    dot = (
+        "AGGREGATE(ZIP_WITH(qv, tv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nq = "SQRT(AGGREGATE(qv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nt = "SQRT(AGGREGATE(tv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    cand = (
+        t.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("target_id"))
+        .selectExpr("query_id", "target_id", f"({dot}) / (({nq}) * ({nt})) AS cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
+    return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
+
+
 def lsh_buckets(
     df: DataFrame,
     num_planes: int = 8,
