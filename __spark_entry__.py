@@ -162,41 +162,25 @@ def _polygons_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, schema=_POLY_SCHEMA)
 
 
-# -- PIP oracle SQL: literal transcription of the even-odd winding kernel
-#    (geometry.winding_number ⇔ reference poly_ops.rs:30-72), with the
-#    (x1-x0)/(y1-y0) edge constants folded in Python (same f64 results).
+# -- PIP oracle SQL comes from the SAME generator the codegen operator
+#    uses (whitebox_tools_spark.functions.geometry_sql) — operator and
+#    oracle share one source of truth for the winding arithmetic
+#    (reference poly_ops.rs:30-72).
 
-
-def _wn_sql(ring: list[tuple[float, float]], xs: str, ys: str) -> str:
-    terms = []
-    for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
-        il = (f"(({(x1 - x0)!r}) * (({ys}) - ({y0!r})) - "
-              f"((({xs}) - ({x0!r})) * ({(y1 - y0)!r})))")
-        terms.append(
-            f"(CASE WHEN ({y0!r}) <= ({ys}) AND ({y1!r}) > ({ys}) AND {il} > 0.0 THEN 1 "
-            f"WHEN ({y0!r}) > ({ys}) AND ({y1!r}) <= ({ys}) AND {il} < 0.0 THEN -1 ELSE 0 END)"
-        )
-    return "(" + " + ".join(terms) + ")"
-
-
-def _inside_sql(shells, holes, xs: str = "x", ys: str = "y") -> str:
-    sh = " OR ".join(f"(({_wn_sql(r, xs, ys)}) % 2 <> 0)" for r in shells)
-    if not holes:
-        return f"({sh})"
-    ho = " OR ".join(f"(({_wn_sql(r, xs, ys)}) % 2 <> 0)" for r in holes)
-    return f"(({sh}) AND NOT ({ho}))"
+from whitebox_tools_spark.functions import geometry_sql as GS  # noqa: E402
 
 
 def _pip_tag_oracle() -> str:
     selects = [
-        f"SELECT record_num, CAST({pid} AS BIGINT) AS polygon_id FROM pts WHERE {_inside_sql(sh, ho)}"
+        f"SELECT record_num, CAST({pid} AS BIGINT) AS polygon_id FROM pts "
+        f"WHERE {GS.inside_feature_sql(sh, ho)}"
         for pid, sh, ho in _POLYS
     ]
     return f"WITH pts AS ({_PTS_SQL}) " + " UNION ALL ".join(selects)
 
 
-def _pip_any_pred() -> str:
-    return "(" + " OR ".join(_inside_sql(sh, ho) for _pid, sh, ho in _POLYS) + ")"
+def _clip_pred() -> str:
+    return GS.clip_verdict_sql([(sh, ho) for _pid, sh, ho in _POLYS])
 
 
 # -- Morton id in DuckDB dialect (Spark side uses SHIFTLEFT; DuckDB uses
@@ -629,8 +613,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pip_tag": _pip_tag_oracle(),
         "pip_tag_cellcover": _pip_tag_oracle(),
-        "pip_clip": f"{pts} SELECT record_num, x, y, value FROM pts WHERE {_pip_any_pred()}",
-        "pip_erase": f"{pts} SELECT record_num FROM pts WHERE NOT {_pip_any_pred()}",
+        "pip_clip": f"{pts} SELECT record_num, x, y, value FROM pts WHERE {_clip_pred()}",
+        "pip_erase": f"{pts} SELECT record_num FROM pts WHERE NOT ({_clip_pred()})",
         "knn_join": (
             f"{pts}, q AS (SELECT record_num AS query_id, x, y FROM pts WHERE record_num % 37 = 0), "
             f"cand AS (SELECT q.query_id, t.record_num AS target_id, "
@@ -666,7 +650,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {cells40}, c2 AS (SELECT row, col, {_META40.x_from_col_expr('col')} AS cx, "
             f"{_META40.y_from_row_expr('row')} AS cy FROM cells), hits AS ("
             + " UNION ALL ".join(
-                f"SELECT row, col, {pid} AS pid FROM c2 WHERE {_inside_sql(sh, ho, 'cx', 'cy')}"
+                f"SELECT row, col, {pid} AS pid FROM c2 WHERE {GS.inside_feature_sql(sh, ho, 'cx', 'cy')}"
                 for pid, sh, ho in _POLYS
             )
             + ") SELECT row, col, CAST(MAX(pid) AS DOUBLE) AS value FROM hits GROUP BY 1, 2"

@@ -1,0 +1,125 @@
+"""SQL code generation for the even-odd winding point-in-polygon test.
+
+For a broadcast-sized polygon layer the PIP predicate compiles to a pure
+column expression: per ring, the winding number is a sum of per-edge
+CASE terms with the edge constants folded in at plan time. Catalyst runs
+it inside WholeStageCodegen — no Python exchange, no Arrow pipe, linear
+thread scaling (the mapInArrow kernel saturates the JVM<->Python pipe at
+~16 threads/node; this plan does not).
+
+The emitted SQL is engine-portable (CASE/AND/OR/%), so the exact same
+generator builds the DuckDB oracle — operator and oracle share one
+source of truth for the arithmetic.
+
+Parity: the term order and operations replicate the numpy kernel
+(functions/geometry.py) which replicates poly_ops.rs:21-72 —
+is_left = (x1-x0)*(y-y0) - (x-x0)*(y1-y0), upward crossing counts +1
+when strictly left, downward -1 when strictly right. Edge-constant
+subtractions (x1-x0, y1-y0) are folded in Python (same IEEE-754 f64).
+"""
+
+from __future__ import annotations
+
+Ring = list[tuple[float, float]]
+
+
+def winding_sql(ring: Ring, xs: str = "x", ys: str = "y") -> str:
+    """Winding-number expression for one closed ring (first == last)."""
+    terms = []
+    for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+        il = (f"(({(x1 - x0)!r}) * (({ys}) - ({y0!r})) - "
+              f"((({xs}) - ({x0!r})) * ({(y1 - y0)!r})))")
+        terms.append(
+            f"(CASE WHEN ({y0!r}) <= ({ys}) AND ({y1!r}) > ({ys}) AND {il} > 0.0 THEN 1 "
+            f"WHEN ({y0!r}) > ({ys}) AND ({y1!r}) <= ({ys}) AND {il} < 0.0 THEN -1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def inside_ring_sql(ring: Ring, xs: str = "x", ys: str = "y") -> str:
+    """Even-odd containment for one ring (boundary outside)."""
+    return f"(({winding_sql(ring, xs, ys)}) % 2 <> 0)"
+
+
+Bbox = tuple[float, float, float, float]  # (xmin, ymin, xmax, ymax)
+
+
+def bbox_strict_sql(bbox: Bbox, xs: str = "x", ys: str = "y") -> str:
+    """Strict-interior bbox test (bounding_box.rs:217 is_point_in_box)."""
+    xmin, ymin, xmax, ymax = bbox
+    return (f"(({xs}) > ({xmin!r}) AND ({xs}) < ({xmax!r}) AND "
+            f"({ys}) > ({ymin!r}) AND ({ys}) < ({ymax!r}))")
+
+
+def ring_bbox(shells: list[Ring], holes: list[Ring]) -> Bbox:
+    xs = [p[0] for r in shells + holes for p in r]
+    ys = [p[1] for r in shells + holes for p in r]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def inside_feature_sql(shells: list[Ring], holes: list[Ring],
+                       xs: str = "x", ys: str = "y",
+                       bbox: Bbox | None = None) -> str:
+    """One record's verdict: inside the record bbox (strict, the WBT
+    prefilter — also a semantic guard: winding can report points ON the
+    bbox boundary as inside), inside any shell, not inside any hole."""
+    sh = " OR ".join(inside_ring_sql(r, xs, ys) for r in shells)
+    if bbox is None:
+        bbox = ring_bbox(shells, holes)
+    pre = bbox_strict_sql(bbox, xs, ys)
+    if not holes:
+        return f"({pre} AND ({sh}))"
+    ho = " OR ".join(inside_ring_sql(r, xs, ys) for r in holes)
+    return f"({pre} AND ({sh}) AND NOT ({ho}))"
+
+
+def clip_verdict_sql(records: list[tuple[list[Ring], list[Ring]]],
+                     xs: str = "x", ys: str = "y") -> str:
+    """The WBT sequential clip scan as one folded expression.
+
+    clip_lidar_to_polygon.rs:274-317 keeps per-point state across the
+    record loop: any shell of record k (bbox-gated) sets it TRUE, then
+    any hole of record k sets it FALSE, and later records may override
+    earlier ones. Folded: v_k = (v_{k-1} OR in_shell_k) AND NOT in_hole_k.
+    """
+    v = "FALSE"
+    for rec in records:
+        shells, holes = rec[0], rec[1]
+        bbox = rec[2] if len(rec) > 2 and rec[2] is not None else ring_bbox(shells, holes)
+        pre = bbox_strict_sql(bbox, xs, ys)
+        sh = " OR ".join(inside_ring_sql(r, xs, ys) for r in shells)
+        v = f"(({v}) OR ({pre} AND ({sh})))"
+        if holes:
+            ho = " OR ".join(inside_ring_sql(r, xs, ys) for r in holes)
+            v = f"(({v}) AND NOT ({pre} AND ({ho})))"
+    return v
+
+
+def clip_verdict_spark_sql(records: list[tuple], xs: str = "x", ys: str = "y") -> str:
+    """Spark-dialect clip fold as AGGREGATE over per-record structs.
+
+    Semantically identical to clip_verdict_sql, but the fold runs inside
+    a higher-order function, which Catalyst treats as opaque: the plain
+    nested AND/OR/NOT form triggers BooleanSimplification /
+    OR-over-AND distribution that DUPLICATES the winding sub-expressions
+    (observed 1.7x term blow-up for one holed record, worse with more),
+    while this form evaluates every ring exactly once.
+    """
+    elems = []
+    for rec in records:
+        shells, holes = rec[0], rec[1]
+        bbox = rec[2] if len(rec) > 2 and rec[2] is not None else ring_bbox(shells, holes)
+        pre = bbox_strict_sql(bbox, xs, ys)
+        sh = " OR ".join(inside_ring_sql(r, xs, ys) for r in shells)
+        if holes:
+            ho = " OR ".join(inside_ring_sql(r, xs, ys) for r in holes)
+            h = f"({pre} AND ({ho}))"
+        else:
+            h = "FALSE"
+        elems.append(f"STRUCT(({pre} AND ({sh})) AS s, {h} AS h)")
+    arr = ", ".join(elems)
+    return f"AGGREGATE(ARRAY({arr}), FALSE, (acc, r) -> ((acc OR r.s) AND NOT r.h))"
+
+
+def edge_count(shells: list[Ring], holes: list[Ring]) -> int:
+    return sum(max(len(r) - 1, 0) for r in shells + holes)

@@ -38,7 +38,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from ..functions import geometry as G
+from ..functions import geometry_sql as GS
 from ..functions.cells import frs_cell_expr, with_frs_cells
+
+# Polygon layers with at most this many total edges compile to a pure
+# SQL predicate (WholeStageCodegen — no Python exchange, linear thread
+# scaling). Bigger layers fall back to the Arrow kernel / cell-cover.
+CODEGEN_MAX_EDGES = 4096
 
 # ---------------------------------------------------------------------------
 # Polygon layer representation
@@ -77,65 +83,130 @@ def collect_polygons(polygons: DataFrame) -> list[PolygonRecord]:
 # ---------------------------------------------------------------------------
 
 
-def clip_points(points: DataFrame, polygons: DataFrame, x: str = "x", y: str = "y", erase: bool = False) -> DataFrame:
+def _rings(rec: PolygonRecord) -> tuple[list, list]:
+    return ([r.tolist() for r in rec.shells], [r.tolist() for r in rec.holes])
+
+
+def clip_points(
+    points: DataFrame,
+    polygons: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    erase: bool = False,
+    plan: str = "auto",
+) -> DataFrame:
     """ClipLidarToPolygon (erase=False) / ErasePolygonFromLidar (erase=True).
 
-    Semi/anti spatial join, broadcast plan. Returns input rows filtered by
-    the WBT sequential shell/hole verdict; all payload columns untouched.
+    Semi/anti spatial join, broadcast plan; all payload columns untouched.
+    plan='codegen' compiles the winding test to a SQL predicate
+    (WholeStageCodegen, zero Python); plan='arrow' runs the numpy kernel
+    via mapInArrow; 'auto' picks codegen while the layer has
+    <= CODEGEN_MAX_EDGES edges.
     """
     recs = collect_polygons(polygons)
+    n_edges = sum(GS.edge_count(*_rings(r)) for r in recs)
+    if plan == "codegen" or (plan == "auto" and n_edges <= CODEGEN_MAX_EDGES):
+        verdict = GS.clip_verdict_spark_sql(
+            [(*_rings(r), r.bbox) for r in recs], x, y
+        )
+        return points.where(F.expr(f"NOT ({verdict})" if erase else verdict))
+    return _clip_points_arrow(points, recs, x, y, erase)
+
+
+def _clip_points_arrow(points: DataFrame, recs: list, x: str, y: str, erase: bool) -> DataFrame:
+    """Arrow-kernel plan: verdict reads only (x, y) as zero-copy numpy
+    views; the payload (incl. strings) is filtered as Arrow buffers and
+    never materializes Python objects."""
+    import pyarrow as pa
+
     sc = points.sparkSession.sparkContext
     bc = sc.broadcast(
         [(r.polygon_id, r.bbox, r.shells, r.holes) for r in recs]
     )
     schema = points.schema
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         records = bc.value
-        for pdf in batches:
-            px = pdf[x].to_numpy(dtype=np.float64)
-            py = pdf[y].to_numpy(dtype=np.float64)
-            verdict = np.zeros(len(pdf), dtype=bool)
+        xi = yi = None
+        for batch in batches:
+            if xi is None:
+                xi = batch.schema.get_field_index(x)
+                yi = batch.schema.get_field_index(y)
+            px = batch.column(xi).to_numpy(zero_copy_only=False)
+            py = batch.column(yi).to_numpy(zero_copy_only=False)
+            verdict = np.zeros(batch.num_rows, dtype=bool)
             for _pid, bbox, shells, holes in records:
                 verdict = G.points_in_feature(px, py, shells, holes, bbox, state=verdict)
-            yield pdf[~verdict if erase else verdict]
+            yield batch.filter(pa.array(~verdict if erase else verdict))
 
-    return points.mapInPandas(run, schema=schema)
+    return points.mapInArrow(run, schema=schema)
 
 
 def erase_points(points: DataFrame, polygons: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
     return clip_points(points, polygons, x=x, y=y, erase=True)
 
 
-def points_in_polygons(points: DataFrame, polygons: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+def points_in_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    plan: str = "auto",
+) -> DataFrame:
     """Tag-join: one output row per (point, containing polygon) pair.
 
     Containment per record = in any non-hole ring AND not in any hole
     ring of that record (even-odd, boundary outside). Output = all point
     columns + `polygon_id`. Points in no polygon produce no row (inner
     semantics); the caller can left-join back for outer semantics.
+
+    plan='codegen': the per-record verdicts compile to one SQL
+    FILTER(ARRAY(...)) + explode — WholeStageCodegen end to end.
+    plan='arrow': batched numpy kernel via mapInArrow. 'auto' picks
+    codegen while the layer has <= CODEGEN_MAX_EDGES edges.
     """
     recs = collect_polygons(polygons)
+    n_edges = sum(GS.edge_count(*_rings(r)) for r in recs)
+    if plan == "codegen" or (plan == "auto" and n_edges <= CODEGEN_MAX_EDGES):
+        arms = ", ".join(
+            f"IF({GS.inside_feature_sql(*_rings(r), xs=x, ys=y, bbox=r.bbox)}, "
+            f"CAST({r.polygon_id} AS BIGINT), NULL)"
+            for r in recs
+        )
+        return points.withColumn(
+            "polygon_id",
+            F.explode(F.expr(f"FILTER(ARRAY({arms}), v -> v IS NOT NULL)")),
+        )
+    return _points_in_polygons_arrow(points, recs, x, y)
+
+
+def _points_in_polygons_arrow(points: DataFrame, recs: list, x: str, y: str) -> DataFrame:
+    import pyarrow as pa
+
     sc = points.sparkSession.sparkContext
     bc = sc.broadcast([(r.polygon_id, r.bbox, r.shells, r.holes) for r in recs])
     schema = StructType(points.schema.fields + [StructField("polygon_id", LongType(), False)])
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         records = bc.value
-        for pdf in batches:
-            px = pdf[x].to_numpy(dtype=np.float64)
-            py = pdf[y].to_numpy(dtype=np.float64)
-            outs = []
+        xi = yi = None
+        for batch in batches:
+            if xi is None:
+                xi = batch.schema.get_field_index(x)
+                yi = batch.schema.get_field_index(y)
+            px = batch.column(xi).to_numpy(zero_copy_only=False)
+            py = batch.column(yi).to_numpy(zero_copy_only=False)
             for pid, bbox, shells, holes in records:
                 mask = G.points_in_feature(px, py, shells, holes, bbox)
                 if mask.any():
-                    sub = pdf[mask].copy()
-                    sub["polygon_id"] = np.int64(pid)
-                    outs.append(sub)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    sub = batch.filter(pa.array(mask))
+                    pid_col = pa.array(np.full(sub.num_rows, pid, dtype=np.int64))
+                    yield pa.RecordBatch.from_arrays(
+                        list(sub.columns) + [pid_col],
+                        names=[f.name for f in sub.schema] + ["polygon_id"],
+                    )
 
-    return points.mapInPandas(run, schema=schema)
+    return points.mapInArrow(run, schema=schema)
 
 
 # ---------------------------------------------------------------------------
