@@ -30,8 +30,12 @@ from pyspark.sql.types import (
 from whitebox_tools_spark.functions import text as T
 from whitebox_tools_spark.functions.cells import frs_cell_expr, morton_expr
 from whitebox_tools_spark.functions.raster_math import GridMeta
+from whitebox_tools_spark.operators import clump as CL
 from whitebox_tools_spark.operators import dedup as D
+from whitebox_tools_spark.operators import distance as DX
+from whitebox_tools_spark.operators import focal as FO
 from whitebox_tools_spark.operators import knn as K
+from whitebox_tools_spark.operators import overlay as OV
 from whitebox_tools_spark.operators import pip_join as P
 from whitebox_tools_spark.operators import raster as R
 from whitebox_tools_spark.operators import similarity as S
@@ -432,6 +436,84 @@ def _q_embedding_dups(spark, sf):
     return D.embedding_dup_pairs(_emb(spark, sf), threshold=0.35)
 
 
+def _q_focal_mean(spark, sf):
+    return FO.focal_stat(_ras(spark, sf, "a"), "mean", 1)
+
+
+def _q_focal_median(spark, sf):
+    return FO.focal_stat(_ras(spark, sf, "a"), "median", 1)
+
+
+def _q_focal_majority(spark, sf):
+    return FO.majority_filter(_ras(spark, sf, "a"), 1)
+
+
+def _q_focal_median_halo(spark, sf):
+    return FO.focal_filter_halo(_ras(spark, sf, "a"), _META100, "median", 1, tile=32)
+
+
+def _q_slope_pct(spark, sf):
+    return FO.slope(_ras(spark, sf, "a"), _META100, units="percent")
+
+
+def _q_hillshade(spark, sf):
+    return FO.hillshade(_ras(spark, sf, "a"), _META100)
+
+
+def _q_aspect(spark, sf):
+    """Aspect uses ACOS/libm — not guaranteed bit-identical across
+    engines; rows-only check (kernel parity is pytest-gated)."""
+    return FO.aspect(_ras(spark, sf, "a"), _META100)
+
+
+def _q_euclid_dist(spark, sf):
+    return DX.euclidean_distance(_ras(spark, sf, "a"), _META100, "value < 10.0")
+
+
+def _q_euclid_alloc(spark, sf):
+    return DX.euclidean_allocation(_ras(spark, sf, "a"), _META100, "value < 10.0")
+
+
+def _q_buffer_raster(spark, sf):
+    return DX.buffer_raster(_ras(spark, sf, "a"), _META100, 150.0, "value < 10.0")
+
+
+def _q_clump(spark, sf):
+    return CL.clump(_ras(spark, sf, "a"), 100, diag=True)
+
+
+def _q_avg_overlay(spark, sf):
+    return OV.overlay([_ras(spark, sf, "a"), _ras(spark, sf, "b")], "average")
+
+
+def _q_weighted_sum(spark, sf):
+    return OV.weighted_sum([_ras(spark, sf, "a"), _ras(spark, sf, "b")], [0.5, 0.25])
+
+
+def _q_highest_position(spark, sf):
+    return OV.highest_position([_ras(spark, sf, "a"), _ras(spark, sf, "b")])
+
+
+_CALC_EXPR = "(a + b) * 2.0 - b / (a + 1.0)"
+
+
+def _q_raster_calc(spark, sf):
+    return OV.raster_calculator(
+        {"a": _ras(spark, sf, "a"), "b": _ras(spark, sf, "b")}, _CALC_EXPR
+    )
+
+
+def _q_cond_eval(spark, sf):
+    return OV.conditional_evaluation(
+        _ras(spark, sf, "a"), "value > 500.0", "value - 500.0", "value"
+    )
+
+
+def _q_pick_from_list(spark, sf):
+    sel = _ras(spark, sf, "a").selectExpr("row", "col", "value % 2.0 AS value")
+    return OV.pick_from_list([_ras(spark, sf, "a"), _ras(spark, sf, "b")], sel)
+
+
 def _q_knn_wbt(spark, sf):
     """WBT-parity approximate kNN (early-stop shell expansion) — not
     SQL-expressible (procedural early stop); rows-only check."""
@@ -475,6 +557,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reclass": _q_reclass,
         "quantiles": _q_quantiles,
         "cumulative_dist": _q_cumulative_dist,
+        "focal_mean": _q_focal_mean,
+        "focal_median": _q_focal_median,
+        "focal_majority": _q_focal_majority,
+        "focal_median_halo": _q_focal_median_halo,
+        "slope_pct": _q_slope_pct,
+        "hillshade": _q_hillshade,
+        "aspect": _q_aspect,
+        "euclid_dist": _q_euclid_dist,
+        "euclid_alloc": _q_euclid_alloc,
+        "buffer_raster": _q_buffer_raster,
+        "clump": _q_clump,
+        "avg_overlay": _q_avg_overlay,
+        "weighted_sum": _q_weighted_sum,
+        "highest_position": _q_highest_position,
+        "raster_calc": _q_raster_calc,
+        "cond_eval": _q_cond_eval,
+        "pick_from_list": _q_pick_from_list,
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -493,6 +592,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle_sql — DuckDB transcriptions
 # ---------------------------------------------------------------------------
+
+
+def _raster_op_oracles() -> dict[str, str]:
+    """Oracles for the focal / terrain / distance / clump / overlay ops."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    ras_b = f"ras_b AS ({_RAS_B_SQL})"
+    offs9 = ("offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
+             "(1,-1),(1,0),(1,1)) o(dr, dc))")
+    sc9 = ("sc AS (SELECT a.row + o.dr AS row, a.col + o.dc AS col, a.value AS nv "
+           "FROM ras_a a, offs o)")
+    med = "(list_sort(list(nv)))[CAST(FLOOR((COUNT(nv) + 1) / 2) AS INT)]"
+
+    # 5x5 pivot (same scatter direction as focal_pivot5: a cell reaches
+    # center (row - dr, col - dc) as its z_n)
+    offs25 = "offs25 AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // 5 - 2}, {n % 5 - 2})" for n in range(25)
+    ) + ") o(n, dr, dc))"
+    sc25 = ("sc25 AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+            "a.value AS nv FROM ras_a a, offs25 o)")
+    piv_cols = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}" for n in range(25))
+    zz_cols = ", ".join(f"(COALESCE(z_{n}, z_12) * 1.0) AS z{n}" for n in range(25))
+    pivot5 = (f"{offs25}, {sc25}, "
+              f"piv AS (SELECT row, col, {piv_cols} FROM sc25 GROUP BY 1, 2), "
+              f"zz AS (SELECT row, col, {zz_cols} FROM piv WHERE z_12 IS NOT NULL)")
+    res100 = (_META100.resolution_x + _META100.resolution_y) / 2.0
+    p, q = FO._florinsky_pq(res100)
+    slope_val = f"SQRT({p} * {p} + {q} * {q}) * 100.0"
+    hs_val = FO.hillshade_value_expr(_META100)
+
+    # distance transform (brute-force 1-NN over target cells)
+    cx = _META100.x_center_expr("col")
+    cy = _META100.y_center_expr("row")
+    dx_base = (
+        f"t AS (SELECT (row * 100 + col) AS tid, {cx} AS tx, {cy} AS ty, value AS tv "
+        f"FROM ras_a WHERE value < 10.0), "
+        f"qq AS (SELECT row, col, {cx} AS qx, {cy} AS qy FROM ras_a), "
+        f"cand AS (SELECT qq.row, qq.col, t.tid, t.tv, "
+        f"(qq.qx - t.tx) * (qq.qx - t.tx) + (qq.qy - t.ty) * (qq.qy - t.ty) AS dist2 "
+        f"FROM qq, t), "
+        f"r AS (SELECT row, col, tid, tv, dist2, ROW_NUMBER() OVER "
+        f"(PARTITION BY row, col ORDER BY dist2, tid) AS rk FROM cand)"
+    )
+
+    clump_oracle = (
+        f"WITH RECURSIVE ras_a AS ({_RAS_A_SQL}), "
+        f"c AS (SELECT row, col, value, (row * 100 + col) AS id FROM ras_a), "
+        f"noffs AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1),(-1,-1),(-1,1),"
+        f"(1,-1),(1,1)) o(dr, dc)), "
+        f"e AS (SELECT a.id AS src, b.id AS dst FROM c a JOIN noffs o ON TRUE "
+        f"JOIN c b ON b.row = a.row + o.dr AND b.col = a.col + o.dc AND b.value = a.value), "
+        f"reach(id, r) AS (SELECT id, id FROM c UNION "
+        f"SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src), "
+        f"lab AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id) "
+        f"SELECT c.row, c.col, c.value, "
+        f"CAST(DENSE_RANK() OVER (ORDER BY lab.rep) AS BIGINT) AS clump_id "
+        f"FROM c JOIN lab ON c.id = lab.id"
+    )
+
+    return {
+        "focal_mean": (
+            f"WITH {ras_a}, {offs9}, {sc9}, "
+            f"g AS (SELECT row, col, AVG(nv) AS value FROM sc GROUP BY 1, 2) "
+            f"SELECT g.row, g.col, g.value FROM g JOIN (SELECT row, col FROM ras_a) c USING (row, col)"
+        ),
+        "focal_median": (
+            f"WITH {ras_a}, {offs9}, {sc9}, "
+            f"g AS (SELECT row, col, {med} AS value FROM sc GROUP BY 1, 2) "
+            f"SELECT g.row, g.col, g.value FROM g JOIN (SELECT row, col FROM ras_a) c USING (row, col)"
+        ),
+        "focal_majority": (
+            f"WITH {ras_a}, {offs9}, {sc9}, "
+            f"cnt AS (SELECT row, col, nv, COUNT(*) AS c FROM sc GROUP BY 1, 2, 3), "
+            f"rk AS (SELECT row, col, nv, ROW_NUMBER() OVER "
+            f"(PARTITION BY row, col ORDER BY c DESC, nv ASC) AS r FROM cnt), "
+            f"g AS (SELECT row, col, nv AS value FROM rk WHERE r = 1) "
+            f"SELECT g.row, g.col, g.value FROM g JOIN (SELECT row, col FROM ras_a) c USING (row, col)"
+        ),
+        "focal_median_halo": (
+            f"WITH {ras_a}, {offs9}, {sc9} "
+            f"SELECT row, col, {med} AS value FROM sc GROUP BY 1, 2 HAVING COUNT(nv) = 9"
+        ),
+        "slope_pct": f"WITH {ras_a}, {pivot5} SELECT row, col, {slope_val} AS value FROM zz",
+        "hillshade": f"WITH {ras_a}, {pivot5} SELECT row, col, {hs_val} AS value FROM zz",
+        "euclid_dist": (
+            f"WITH {ras_a}, {dx_base} SELECT row, col, SQRT(dist2) AS value FROM r WHERE rk = 1"
+        ),
+        "euclid_alloc": (
+            f"WITH {ras_a}, {dx_base} SELECT row, col, tv AS value FROM r WHERE rk = 1"
+        ),
+        "buffer_raster": (
+            f"WITH {ras_a}, {dx_base} SELECT row, col, "
+            f"CAST(CASE WHEN SQRT(dist2) <= 150.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value "
+            f"FROM r WHERE rk = 1"
+        ),
+        "clump": clump_oracle,
+        "avg_overlay": (
+            f"WITH {ras_a}, {ras_b} SELECT row, col, (a.value + b.value) / 2 AS value "
+            f"FROM ras_a a JOIN ras_b b USING (row, col)"
+        ),
+        "weighted_sum": (
+            f"WITH {ras_a}, {ras_b} SELECT row, col, "
+            f"a.value * 0.5 + b.value * 0.25 AS value "
+            f"FROM ras_a a JOIN ras_b b USING (row, col)"
+        ),
+        "highest_position": (
+            f"WITH {ras_a}, {ras_b} SELECT row, col, "
+            f"CAST(CASE WHEN b.value > a.value THEN 2.0 ELSE 1.0 END AS DOUBLE) AS value "
+            f"FROM ras_a a JOIN ras_b b USING (row, col)"
+        ),
+        "raster_calc": (
+            f"WITH {ras_a}, {ras_b}, j AS (SELECT row, col, a.value AS a, b.value AS b "
+            f"FROM ras_a a JOIN ras_b b USING (row, col)) "
+            f"SELECT row, col, ({_CALC_EXPR}) AS value FROM j"
+        ),
+        "cond_eval": (
+            f"WITH {ras_a} SELECT row, col, "
+            f"CASE WHEN value > 500.0 THEN (value - 500.0) ELSE (value) END AS value FROM ras_a"
+        ),
+        "pick_from_list": (
+            f"WITH {ras_a}, {ras_b}, j AS (SELECT row, col, a.value AS l0, b.value AS l1, "
+            f"(a.value % 2.0) AS sel FROM ras_a a JOIN ras_b b USING (row, col)) "
+            f"SELECT row, col, ([l0, l1])[CAST(sel AS INT) + 1] AS value FROM j"
+        ),
+        # aspect: ACOS/libm not guaranteed bit-identical across engines —
+        # rows-only (kernel parity covered in pytest vs numpy).
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -705,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_dist": (
             f"{ras_a} SELECT row, col, CUME_DIST() OVER (ORDER BY value) AS value FROM ras_a"
         ),
+        **_raster_op_oracles(),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"

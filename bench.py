@@ -39,6 +39,13 @@ BENCH_QUERIES = [
     "points_to_raster_last",
     "extract_values",
     "zonal_stats",
+    "focal_mean",
+    "focal_median_halo",
+    "slope_pct",
+    "hillshade",
+    "euclid_dist",
+    "clump",
+    "raster_calc",
     "minhash_pairs",
     "simhash_pairs",
     "ann_topk",

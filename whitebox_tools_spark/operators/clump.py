@@ -1,0 +1,79 @@
+"""Clump — raster connected components (equal-value regions).
+
+Reference: gis_analysis/clump.rs:234-286 — row-major BFS over 4- or
+8-connected neighbors with equal cell values, assigning incremental
+clump ids in discovery order.
+
+Spark plan: iterative min-label propagation. Every cell starts with its
+linear index (row*C + col); each round, a cell adopts the minimum label
+among itself and its same-valued neighbors (one scatter + one hash agg
+per round, lineage truncated with localCheckpoint). On convergence each
+component carries the linear index of its row-major-first cell — which
+is exactly the cell where the reference BFS *starts* that clump, so
+DENSE_RANK over representatives reproduces WBT's id numbering
+(1-based, row-major discovery order).
+
+Rounds grow with component diameter (in label-graph hops); each round
+the frontier shrinks, and the `changed` count gates termination. For
+elongated components at scale, alternate with label-pointer jumping
+(label -> label-of-representative join) — implemented as every third
+round below, which bounds rounds at O(log diameter) for path graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def clump(cells: DataFrame, columns: int, diag: bool = True,
+          max_rounds: int = 64) -> DataFrame:
+    """Label equal-value connected regions.
+
+    Output: (row, col, value, clump_id) with clump_id 1-based in
+    row-major discovery order (clump.rs numbering).
+    """
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if diag:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    pairs = ", ".join(f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol)" for dr, dc in offs)
+
+    lbl = cells.selectExpr("row", "col", "value", f"(row * {columns}L + col) AS lbl")
+    lbl = lbl.localCheckpoint(eager=True)
+
+    for round_no in range(max_rounds):
+        # scatter each cell's label to its neighbors (value attached so
+        # the agg can require equality)
+        scattered = lbl.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+            "__n.nrow AS nrow", "__n.ncol AS ncol", "value AS nvalue", "lbl AS nlbl"
+        )
+        # value equality belongs in the JOIN condition: isolated cells
+        # (no same-valued neighbor) must survive with their own label
+        joined = lbl.join(
+            scattered,
+            (lbl["row"] == scattered["nrow"])
+            & (lbl["col"] == scattered["ncol"])
+            & (lbl["value"] == scattered["nvalue"]),
+            "left",
+        ).select("row", "col", "value", "lbl", "nlbl")
+        new = joined.groupBy("row", "col", "value", "lbl").agg(
+            F.min("nlbl").alias("mn")
+        ).selectExpr("row", "col", "value", "lbl", "LEAST(COALESCE(mn, lbl), lbl) AS nl")
+        if round_no % 3 == 2:
+            # pointer jumping: adopt the current label of my label's cell
+            owners = new.selectExpr(f"(row * {columns}L + col) AS owner_idx", "nl AS owner_lbl")
+            new = (
+                new.join(owners, new["nl"] == owners["owner_idx"], "left")
+                .selectExpr("row", "col", "value", "lbl",
+                            "LEAST(nl, COALESCE(owner_lbl, nl)) AS nl")
+            )
+        changed = new.where(F.col("nl") != F.col("lbl")).count()
+        lbl = new.selectExpr("row", "col", "value", "nl AS lbl").localCheckpoint(eager=True)
+        if changed == 0:
+            break
+
+    w = Window.orderBy("lbl")
+    reps = lbl.select("lbl").distinct().withColumn("clump_id", F.dense_rank().over(w))
+    return lbl.join(reps, "lbl").select(
+        "row", "col", "value", F.col("clump_id").cast("long").alias("clump_id")
+    )
