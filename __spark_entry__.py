@@ -31,6 +31,8 @@ from whitebox_tools_spark.functions import text as T
 from whitebox_tools_spark.functions.cells import frs_cell_expr, morton_expr
 from whitebox_tools_spark.functions.raster_math import GridMeta
 from whitebox_tools_spark.operators import clump as CL
+from whitebox_tools_spark.operators import lidar as LI
+from whitebox_tools_spark.operators import vector_ops as VO
 from whitebox_tools_spark.operators import dedup as D
 from whitebox_tools_spark.operators import distance as DX
 from whitebox_tools_spark.operators import focal as FO
@@ -514,6 +516,74 @@ def _q_pick_from_list(spark, sf):
     return OV.pick_from_list([_ras(spark, sf, "a"), _ras(spark, sf, "b")], sel)
 
 
+# Derived polygon feature layer from `events`: rectangles and diamonds
+# (no transcendentals, so the derivation is bit-identical across engines).
+_SHAPES_BASE = (
+    "SELECT event_id AS shape_id, "
+    f"{_PX} AS cx, {_PY} AS cy, "
+    "(1.0 + CAST((event_id * 7919) % 400 AS DOUBLE) / 20.0) AS hw, "
+    "(1.0 + CAST((event_id * 104729) % 400 AS DOUBLE) / 20.0) AS hh, "
+    "CAST(event_id % 2 AS INT) AS kind FROM events WHERE event_id % 97 = 0"
+)
+
+_RECT_SPARK = ("ARRAY(STRUCT(cx - hw AS x, cy - hh AS y), STRUCT(cx + hw AS x, cy - hh AS y), "
+               "STRUCT(cx + hw AS x, cy + hh AS y), STRUCT(cx - hw AS x, cy + hh AS y), "
+               "STRUCT(cx - hw AS x, cy - hh AS y))")
+_DIAM_SPARK = ("ARRAY(STRUCT(cx AS x, cy - hh AS y), STRUCT(cx + hw AS x, cy AS y), "
+               "STRUCT(cx AS x, cy + hh AS y), STRUCT(cx - hw AS x, cy AS y), "
+               "STRUCT(cx AS x, cy - hh AS y))")
+_RECT_DUCK = ("[{'x': cx - hw, 'y': cy - hh}, {'x': cx + hw, 'y': cy - hh}, "
+              "{'x': cx + hw, 'y': cy + hh}, {'x': cx - hw, 'y': cy + hh}, "
+              "{'x': cx - hw, 'y': cy - hh}]")
+_DIAM_DUCK = ("[{'x': cx, 'y': cy - hh}, {'x': cx + hw, 'y': cy}, "
+              "{'x': cx, 'y': cy + hh}, {'x': cx - hw, 'y': cy}, "
+              "{'x': cx, 'y': cy - hh}]")
+
+
+def _shapes(spark, sf):
+    _reg(spark, sf, "events")
+    base = spark.sql(_SHAPES_BASE)
+    return base.selectExpr(
+        "shape_id",
+        f"ARRAY(STRUCT(0 AS part_idx, FALSE AS is_hole, "
+        f"CASE WHEN kind = 0 THEN {_RECT_SPARK} ELSE {_DIAM_SPARK} END AS ring)) AS parts",
+    )
+
+
+def _q_poly_area_vec(spark, sf):
+    return VO.polygon_area(_shapes(spark, sf))
+
+
+def _q_poly_perimeter_vec(spark, sf):
+    return VO.polygon_perimeter(_shapes(spark, sf))
+
+
+def _q_compactness(spark, sf):
+    return VO.compactness_ratio(_shapes(spark, sf))
+
+
+def _q_centroid_vec(spark, sf):
+    return VO.centroid_vector(_shapes(spark, sf))
+
+
+def _q_extract_nodes(spark, sf):
+    return VO.extract_nodes(_shapes(spark, sf))
+
+
+def _q_convex_hull(spark, sf):
+    """Per-feature hull array — pandas kernel; rows-only check
+    (kernel correctness is pytest-gated vs brute force)."""
+    return VO.convex_hull(_shapes(spark, sf))
+
+
+def _q_lidar_thin(spark, sf):
+    return LI.lidar_thin(_points(spark, sf), 40.0)
+
+
+def _q_elevation_slice(spark, sf):
+    return LI.elevation_slice(_points(spark, sf), 200.0, 600.0, z_col="value")
+
+
 def _q_knn_wbt(spark, sf):
     """WBT-parity approximate kNN (early-stop shell expansion) — not
     SQL-expressible (procedural early stop); rows-only check."""
@@ -574,6 +644,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_calc": _q_raster_calc,
         "cond_eval": _q_cond_eval,
         "pick_from_list": _q_pick_from_list,
+        "poly_area_vec": _q_poly_area_vec,
+        "poly_perimeter_vec": _q_poly_perimeter_vec,
+        "compactness": _q_compactness,
+        "centroid_vec": _q_centroid_vec,
+        "extract_nodes_vec": _q_extract_nodes,
+        "convex_hull": _q_convex_hull,
+        "lidar_thin": _q_lidar_thin,
+        "elevation_slice": _q_elevation_slice,
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -717,6 +795,54 @@ def _raster_op_oracles() -> dict[str, str]:
         ),
         # aspect: ACOS/libm not guaranteed bit-identical across engines —
         # rows-only (kernel parity covered in pytest vs numpy).
+    }
+
+
+def _vector_op_oracles() -> dict[str, str]:
+    """Oracles for the per-feature vector ops (DuckDB list folds in the
+    same sequential order as the Spark AGGREGATE expressions)."""
+    rings = (f"WITH base AS ({_SHAPES_BASE}), "
+             f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+             f"ELSE {_DIAM_DUCK} END AS ring FROM base)")
+    area = ("(abs(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, len(ring)), i -> ring[i].x * ring[i+1].y "
+            "- ring[i+1].x * ring[i].y)), (a, b) -> a + b)) / 2.0)")
+    per = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list_transform(range(1, len(ring)), i -> sqrt("
+           "(ring[i].x - ring[i+1].x) * (ring[i].x - ring[i+1].x) + "
+           "(ring[i].y - ring[i+1].y) * (ring[i].y - ring[i+1].y)))), (a, b) -> a + b)")
+    sx = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(ring, v -> v.x)), (a, b) -> a + b)")
+    sy = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(ring, v -> v.y)), (a, b) -> a + b)")
+    pts_cte = f"WITH pts AS ({_PTS_SQL})"
+    cx40 = frs_cell_expr("x", 40.0)
+    cy40 = frs_cell_expr("y", 40.0)
+    return {
+        "poly_area_vec": f"{rings} SELECT shape_id, (0.0 + {area}) AS area FROM rs",
+        "poly_perimeter_vec": f"{rings} SELECT shape_id, (0.0 + {per}) AS perimeter FROM rs",
+        "compactness": (
+            f"{rings} SELECT shape_id, (0.0 + {area}) / (0.0 + {per}) AS compactness FROM rs"
+        ),
+        "centroid_vec": (
+            f"{rings} SELECT shape_id, ({sx}) / CAST(len(ring) AS DOUBLE) AS cx, "
+            f"({sy}) / CAST(len(ring) AS DOUBLE) AS cy FROM rs"
+        ),
+        "extract_nodes_vec": (
+            f"{rings} SELECT shape_id, CAST(0 AS INT) AS part_idx, CAST(i - 1 AS INT) AS node_idx, "
+            f"ring[i].x AS x, ring[i].y AS y "
+            f"FROM rs JOIN (VALUES (1), (2), (3), (4), (5)) v(i) ON TRUE"
+        ),
+        "lidar_thin": (
+            f"{pts_cte}, b AS (SELECT record_num, x, y, value, {cx40} AS cx, {cy40} AS cy FROM pts), "
+            f"r AS (SELECT record_num, x, y, value, ROW_NUMBER() OVER "
+            f"(PARTITION BY cx, cy ORDER BY record_num) AS rk FROM b) "
+            f"SELECT record_num, x, y, value FROM r WHERE rk = 1"
+        ),
+        "elevation_slice": (
+            f"{pts_cte} SELECT record_num, x, y, value FROM pts "
+            f"WHERE value >= 200.0 AND value <= 600.0"
+        ),
     }
 
 
@@ -931,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
             f"{ras_a} SELECT row, col, CUME_DIST() OVER (ORDER BY value) AS value FROM ras_a"
         ),
         **_raster_op_oracles(),
+        **_vector_op_oracles(),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"

@@ -1,0 +1,175 @@
+"""Per-feature vector operators over the features table
+(polygon_id/shape_id, parts: array<struct<part_idx, is_hole,
+ring: array<struct<x, y>>>>).
+
+Reference anchors:
+- polygon_area kernel (shoelace, |area|/2, shells minus holes):
+  whitebox-common/src/algorithms/poly_area.rs:12-25;
+  gis_analysis/polygon_area.rs:199-214
+- polygon_perimeter kernel: whitebox-common/src/algorithms/poly_perimeter.rs:12-24
+- CompactnessRatio (A/P): gis_analysis/compactness_ratio.rs
+- PerimeterAreaRatio: gis_analysis/perimeter_area_ratio.rs
+- CentroidVector (vertex average): gis_analysis/centroid_vector.rs:255-270
+- ExtractNodes: gis_analysis/extract_nodes.rs
+- MultiPartToSinglePart / SinglePartToMultiPart: data_tools/*.rs
+
+Everything here is a higher-order-function column expression over the
+nested geometry arrays — whole-stage codegen, zero Python, and the fold
+order matches the reference's sequential vertex loops so doubles are
+bit-reproducible (the same folds build the DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Expression builders (Spark dialect)
+# ---------------------------------------------------------------------------
+
+
+def shoelace_abs_expr(ring: str) -> str:
+    """|shoelace|/2 over a closed ring (poly_area.rs order: sequential
+    consecutive-pair terms; the closed ring's last pair IS the wrap term)."""
+    fold = (
+        f"AGGREGATE(SEQUENCE(1, SIZE({ring}) - 1), CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + (ELEMENT_AT({ring}, i).x * ELEMENT_AT({ring}, i + 1).y "
+        f"- ELEMENT_AT({ring}, i + 1).x * ELEMENT_AT({ring}, i).y))"
+    )
+    return f"(ABS({fold}) / 2.0)"
+
+
+def ring_perimeter_expr(ring: str) -> str:
+    """Sum of consecutive vertex distances (poly_perimeter.rs order)."""
+    return (
+        f"AGGREGATE(SEQUENCE(1, SIZE({ring}) - 1), CAST(0.0 AS DOUBLE), "
+        f"(acc, i) -> acc + SQRT("
+        f"(ELEMENT_AT({ring}, i).x - ELEMENT_AT({ring}, i + 1).x) * "
+        f"(ELEMENT_AT({ring}, i).x - ELEMENT_AT({ring}, i + 1).x) + "
+        f"(ELEMENT_AT({ring}, i).y - ELEMENT_AT({ring}, i + 1).y) * "
+        f"(ELEMENT_AT({ring}, i).y - ELEMENT_AT({ring}, i + 1).y)))"
+    )
+
+
+def feature_area_expr(parts: str = "parts") -> str:
+    """Per-feature area: shells add, holes subtract, in part order
+    (polygon_area.rs:201-213)."""
+    ring_area = shoelace_abs_expr("p.ring")
+    return (
+        f"AGGREGATE({parts}, CAST(0.0 AS DOUBLE), "
+        f"(acc, p) -> acc + (CASE WHEN p.is_hole THEN -{ring_area} ELSE {ring_area} END))"
+    )
+
+
+def feature_perimeter_expr(parts: str = "parts") -> str:
+    """Per-feature perimeter: all rings (shells and holes) add."""
+    per = ring_perimeter_expr("p.ring")
+    return f"AGGREGATE({parts}, CAST(0.0 AS DOUBLE), (acc, p) -> acc + {per})"
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+
+def polygon_area(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    return features.selectExpr(id_col, f"{feature_area_expr()} AS area")
+
+
+def polygon_perimeter(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    return features.selectExpr(id_col, f"{feature_perimeter_expr()} AS perimeter")
+
+
+def compactness_ratio(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """A/P (compactness_ratio.rs)."""
+    return features.selectExpr(
+        id_col, f"({feature_area_expr()}) / ({feature_perimeter_expr()}) AS compactness"
+    )
+
+
+def perimeter_area_ratio(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    return features.selectExpr(
+        id_col, f"({feature_perimeter_expr()}) / ({feature_area_expr()}) AS pa_ratio"
+    )
+
+
+def centroid_vector(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """Vertex-average centroid per feature (centroid_vector.rs:255-270
+    per-feature mode; all stored vertices count, including the ring's
+    duplicated closing vertex — matching the reference's point loop)."""
+    pts = "FLATTEN(TRANSFORM(parts, p -> p.ring))"
+    n = f"CAST(SIZE({pts}) AS DOUBLE)"
+    sx = f"AGGREGATE({pts}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)"
+    sy = f"AGGREGATE({pts}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.y)"
+    return features.selectExpr(
+        id_col, f"({sx}) / ({n}) AS cx", f"({sy}) / ({n}) AS cy"
+    )
+
+
+def extract_nodes(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """One row per vertex (ExtractNodes): feature, part, vertex index,
+    x, y. Pure explode — the UDTF analog."""
+    return (
+        features.select(id_col, F.explode("parts").alias("p"))
+        .select(id_col, F.col("p.part_idx").alias("part_idx"),
+                F.posexplode("p.ring").alias("node_idx", "v"))
+        .selectExpr(id_col, "part_idx", "node_idx", "v.x AS x", "v.y AS y")
+    )
+
+
+def multi_part_to_single_part(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """One feature per part (MultiPartToSinglePart)."""
+    return (
+        features.select(id_col, F.explode("parts").alias("p"))
+        .selectExpr(id_col, "p.part_idx AS part_idx",
+                    "ARRAY(STRUCT(p.part_idx AS part_idx, p.is_hole AS is_hole, p.ring AS ring)) AS parts")
+    )
+
+
+def convex_hull(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """Per-feature convex hull (Andrew monotone chain over all vertices),
+    as a batched pandas transform (algorithms/convex_hull.rs analog).
+    Output: (id, hull: array<struct<x, y>>) with hull in counter-
+    clockwise order starting from the lexicographically smallest vertex.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    nodes = extract_nodes(features, id_col).select(id_col, "x", "y")
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("hull", ArrayType(StructType([
+            StructField("x", DoubleType(), False),
+            StructField("y", DoubleType(), False),
+        ])), False),
+    ])
+
+    def hull_of(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = np.unique(pdf[["x", "y"]].to_numpy(dtype=np.float64), axis=0)
+        pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            lower, upper = [], []
+            for p in pts:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(tuple(p))
+            for p in pts[::-1]:
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(tuple(p))
+            hull = np.array(lower[:-1] + upper[:-1])
+        return pd.DataFrame({
+            id_col: [key[0]],
+            "hull": [[{"x": float(x), "y": float(y)} for x, y in hull]],
+        })
+
+    return nodes.groupBy(id_col).applyInPandas(hull_of, schema=schema)
