@@ -31,6 +31,7 @@ from whitebox_tools_spark.functions import text as T
 from whitebox_tools_spark.functions.cells import frs_cell_expr, morton_expr
 from whitebox_tools_spark.functions.raster_math import GridMeta
 from whitebox_tools_spark.operators import clump as CL
+from whitebox_tools_spark.operators import hydro as HY
 from whitebox_tools_spark.operators import lidar as LI
 from whitebox_tools_spark.operators import vector_ops as VO
 from whitebox_tools_spark.operators import dedup as D
@@ -576,6 +577,22 @@ def _q_convex_hull(spark, sf):
     return VO.convex_hull(_shapes(spark, sf))
 
 
+def _q_d8_pointer(spark, sf):
+    return HY.d8_pointer(_ras(spark, sf, "a"), _META100)
+
+
+def _q_d8_accum(spark, sf):
+    return HY.d8_flow_accumulation(_ras(spark, sf, "a"), _META100)
+
+
+def _q_d8_basins(spark, sf):
+    return HY.basins(_ras(spark, sf, "a"), _META100)
+
+
+def _q_extract_streams(spark, sf):
+    return HY.extract_streams(_ras(spark, sf, "a"), _META100, 5.0)
+
+
 def _q_lidar_thin(spark, sf):
     return LI.lidar_thin(_points(spark, sf), 40.0)
 
@@ -650,6 +667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_vec": _q_centroid_vec,
         "extract_nodes_vec": _q_extract_nodes,
         "convex_hull": _q_convex_hull,
+        "d8_pointer": _q_d8_pointer,
+        "d8_accum": _q_d8_accum,
+        "d8_basins": _q_d8_basins,
+        "extract_streams": _q_extract_streams,
         "lidar_thin": _q_lidar_thin,
         "elevation_slice": _q_elevation_slice,
         "exact_dedup": _q_exact_dedup,
@@ -795,6 +816,61 @@ def _raster_op_oracles() -> dict[str, str]:
         ),
         # aspect: ACOS/libm not guaranteed bit-identical across engines —
         # rows-only (kernel parity covered in pytest vs numpy).
+    }
+
+
+def _hydro_oracles() -> dict[str, str]:
+    """D8 oracles: pointer as the shared fold expression; accumulation /
+    basins via recursive-CTE path closure over the pointer edges."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    offs = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8)
+    ) + ", MAX(CASE WHEN n = 8 THEN nv END) AS zc"
+    pivot = (
+        f"offs8 AS (SELECT * FROM (VALUES {offs}) o(n, dy, dx)), "
+        f"sc8 AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, a.value AS nv "
+        f"FROM ras_a a, offs8 o), "
+        f"piv AS (SELECT row, col, {piv_cols} FROM sc8 GROUP BY 1, 2), "
+        f"ptr AS (SELECT row, col, {HY.d8_pointer_value_expr(_META100)} AS value "
+        f"FROM piv WHERE zc IS NOT NULL)"
+    )
+    dirs = ", ".join(f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    closure = (
+        f"dirs AS (SELECT * FROM (VALUES {dirs}) d(code, dy, dx)), "
+        f"e AS (SELECT (p.row * 100 + p.col) AS src, "
+        f"((p.row + d.dy) * 100 + (p.col + d.dx)) AS dst "
+        f"FROM ptr p JOIN dirs d ON d.code = CAST(p.value AS INT) WHERE p.value > 0), "
+        f"nodes AS (SELECT row, col, (row * 100 + col) AS id FROM ptr), "
+        f"reach(src, dst) AS (SELECT id, id FROM nodes UNION "
+        f"SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)"
+    )
+    accum_sql = (
+        f"WITH RECURSIVE {ras_a}, {pivot}, {closure} "
+        f"SELECT n.row, n.col, CAST(COUNT(*) AS DOUBLE) AS value "
+        f"FROM reach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2"
+    )
+    return {
+        "d8_pointer": f"WITH {ras_a}, {pivot} SELECT row, col, value FROM ptr",
+        "d8_accum": accum_sql,
+        "d8_basins": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {closure}, "
+            f"term AS (SELECT r.src, r.dst AS t FROM reach r "
+            f"LEFT JOIN (SELECT DISTINCT src FROM e) x ON r.dst = x.src WHERE x.src IS NULL), "
+            f"lab AS (SELECT t, DENSE_RANK() OVER (ORDER BY t) AS basin_id "
+            f"FROM (SELECT DISTINCT t FROM term)) "
+            f"SELECT n.row, n.col, CAST(lab.basin_id AS DOUBLE) AS value "
+            f"FROM term JOIN nodes n ON term.src = n.id JOIN lab ON term.t = lab.t"
+        ),
+        "extract_streams": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {closure}, "
+            f"acc AS (SELECT n.row, n.col, COUNT(*) AS a FROM reach r "
+            f"JOIN nodes n ON r.dst = n.id GROUP BY 1, 2) "
+            f"SELECT row, col, CAST(CASE WHEN a >= 5.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value "
+            f"FROM acc"
+        ),
     }
 
 
@@ -1058,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         **_raster_op_oracles(),
         **_vector_op_oracles(),
+        **_hydro_oracles(),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"
