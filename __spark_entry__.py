@@ -601,6 +601,56 @@ def _q_elevation_slice(spark, sf):
     return LI.elevation_slice(_points(spark, sf), 200.0, 600.0, z_col="value")
 
 
+def _media(spark, sf):
+    """Media blobs derived from documents (same construction as
+    multimodal.synth_media, driven by the flat driver table)."""
+    return _docs(spark, sf).selectExpr(
+        "doc_id",
+        "CAST(CONCAT('IMG:', MD5(text), ':', REPEAT(SUBSTR(MD5(text), 1, 8), 16)) AS BINARY) AS media_bytes",
+    )
+
+
+def _q_media_features(spark, sf):
+    """Multimodal decode+feature pipeline (stub codec — deterministic
+    bytes, so even the Arrow-batched kernel is oracle-gated)."""
+    from whitebox_tools_spark.operators.multimodal import extract_media_features
+
+    out = extract_media_features(_media(spark, sf))
+    return out.selectExpr(
+        "doc_id", "width", "height", "mean_intensity",
+        *[f"ELEMENT_AT(feature, {i + 1}) AS f{i}" for i in range(8)],
+    )
+
+
+def _q_lineage_resume(spark, sf):
+    """Checkpoint/resume driver (north-rule item): run the tile job
+    partition-by-partition with per-partition lineage, then re-run to
+    prove completed partitions are skipped. Rows-only check (wall-clock
+    metrics aren't reproducible)."""
+    import shutil
+    import tempfile
+
+    from whitebox_tools_spark.plans.lineage import CheckpointedRun
+
+    base = tempfile.mkdtemp(prefix="wbx_lineage_")
+    try:
+        run = CheckpointedRun(spark, base, run_id="gate")
+        keys = ["0", "1", "2", "3"]
+
+        def job(s, key):
+            tiled, _g = TL.assign_tiles(_points(s, sf), 0.0, 0.0, 64.0, 64.0, extent=_EXTENT)
+            return tiled.where(F.expr(f"PMOD(tile_id, 4) = {key}"))
+
+        first = run.run(keys, job)
+        second = run.run(keys, job)  # must skip everything
+        assert second["skipped"] == len(keys), second
+        out = run.lineage_df().select("partition_key", "status", "rows").orderBy("partition_key")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "partition_key string, status string, rows bigint")
+
+
 def _q_knn_wbt(spark, sf):
     """WBT-parity approximate kNN (early-stop shell expansion) — not
     SQL-expressible (procedural early stop); rows-only check."""
@@ -673,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_streams": _q_extract_streams,
         "lidar_thin": _q_lidar_thin,
         "elevation_slice": _q_elevation_slice,
+        "media_features": _q_media_features,
+        "lineage_resume": _q_lineage_resume,
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -919,7 +971,28 @@ def _vector_op_oracles() -> dict[str, str]:
             f"{pts_cte} SELECT record_num, x, y, value FROM pts "
             f"WHERE value >= 200.0 AND value <= 600.0"
         ),
+        "media_features": _media_features_oracle(),
+        "lineage_resume": (
+            f"{pts_cte}, t AS (SELECT {TL.tile_exprs(_TG)['tile_id']} AS tile_id FROM pts) "
+            f"SELECT CAST(tile_id % 4 AS VARCHAR) AS partition_key, "
+            f"'COMPLETED' AS status, COUNT(*) AS \"rows\" FROM t GROUP BY 1"
+        ),
     }
+
+
+def _media_features_oracle() -> str:
+    """The stub media decoder in SQL: payload = ASCII of
+    'IMG:' || md5 || ':' || repeat, truncated to 64 bytes as an 8x8
+    grid; features are exact integer-sum means."""
+    s = "CONCAT('IMG:', md5(text), ':', repeat(substr(md5(text), 1, 8), 16))"
+    def seg_mean(start: int, n: int, div: float) -> str:
+        return (f"(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(range({start}, {start + n}), "
+                f"i -> CAST(ascii(substr(s, i, 1)) AS DOUBLE))), (a, b) -> a + b) / {div!r})")
+    feats = ", ".join(f"{seg_mean(i * 8 + 1, 8, 8.0)} AS f{i}" for i in range(8))
+    return (f"WITH m AS (SELECT doc_id, {s} AS s FROM documents) "
+            f"SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+            f"{seg_mean(1, 64, 64.0)} AS mean_intensity, {feats} FROM m")
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,66 @@
+"""Streaming incremental tiling + checkpoint/resume lineage tests."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.operators.tiling import assign_tiles, resolve_tile_grid, tile_exprs
+from whitebox_tools_spark.plans.lineage import CheckpointedRun
+from whitebox_tools_spark.sources.docs import extract_points, synth_docs
+from whitebox_tools_spark.streaming.tile_stream import start_tile_stream
+
+
+def test_stream_tiles_match_batch(spark, tmp_path):
+    pts = extract_points(synth_docs(spark, 500))
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pts.write.parquet(src)
+
+    grid = resolve_tile_grid(0.0, 1000.0, 0.0, 1000.0, 0.0, 0.0, 100.0, 100.0)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    q = start_tile_stream(stream, grid, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).groupBy("tile_id").count().collect()
+    batch, _g = assign_tiles(pts, 0.0, 0.0, 100.0, 100.0, extent=(0.0, 1000.0, 0.0, 1000.0))
+    want = batch.groupBy("tile_id").count().collect()
+    assert {(r["tile_id"], r["count"]) for r in got} == {(r["tile_id"], r["count"]) for r in want}
+
+    # incremental restart with no new data writes nothing new
+    n_before = spark.read.parquet(out).count()
+    q2 = start_tile_stream(spark.readStream.schema(pts.schema).parquet(src), grid, out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == n_before
+
+
+def test_checkpointed_run_resume_and_metrics(spark, tmp_path):
+    base = str(tmp_path / "run")
+    pts = extract_points(synth_docs(spark, 300)).persist()
+    run = CheckpointedRun(spark, base, run_id="r1")
+
+    def job(s, key):
+        return pts.where(F.expr(f"PMOD(record_num, 3) = {key}"))
+
+    first = run.run(["0", "1", "2"], job)
+    assert first["completed"] == 3 and first["skipped"] == 0
+    second = run.run(["0", "1", "2"], job)
+    assert second["skipped"] == 3 and second["completed"] == 0
+
+    lineage = run.lineage_df().collect()
+    assert len(lineage) == 3
+    assert all(r["status"] == "COMPLETED" and r["rows"] >= 0 for r in lineage)
+    total = sum(r["rows"] for r in lineage)
+    assert total == pts.count()
+
+    # a failed partition is recorded and re-run next time
+    def bad_job(s, key):
+        raise RuntimeError("boom")
+
+    third = run.run(["9"], bad_job)
+    assert third["failed"] == 1
+    fourth = run.run(["9"], job)
+    assert fourth["completed"] == 1
