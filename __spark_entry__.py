@@ -377,6 +377,39 @@ def _q_cumulative_dist(spark, sf):
     return R.cumulative_distribution(_ras(spark, sf, "a"))
 
 
+def _q_r2v_polygons(spark, sf):
+    """RasterToVectorPolygons, gated through an exact invariant: the
+    shoelace area of each clump's assembled rings (shells minus holes)
+    must equal its cell count x cell area bit-for-bit (integer corner
+    coordinates -> exact sums). Proves clump labeling, boundary-edge
+    extraction and ring assembly end to end."""
+    from whitebox_tools_spark.operators.vectorize import raster_to_polygons
+
+    feats = raster_to_polygons(_ras(spark, sf, "a"), _META100)
+    return feats.selectExpr("clump_id", "value", f"{VO.feature_area_expr()} AS area")
+
+
+def _q_list_unique(spark, sf):
+    return R.list_unique_values(_ras(spark, sf, "a"))
+
+
+def _q_zscores(spark, sf):
+    return R.z_scores_exact(_ras(spark, sf, "a"))
+
+
+def _q_image_corr(spark, sf):
+    return R.image_correlation(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
+def _q_rmse(spark, sf):
+    return R.root_mean_square_error(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
+def _q_kappa(spark, sf):
+    a7 = _ras(spark, sf, "a").selectExpr("row", "col", "value % 7.0 AS value")
+    return R.kappa_index(_ras(spark, sf, "b"), a7)
+
+
 def _q_exact_dedup(spark, sf):
     return D.exact_dedup(_docs(spark, sf), "text", "doc_id")
 
@@ -725,6 +758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elevation_slice": _q_elevation_slice,
         "media_features": _q_media_features,
         "lineage_resume": _q_lineage_resume,
+        "r2v_polygons": _q_r2v_polygons,
+        "list_unique": _q_list_unique,
+        "zscores": _q_zscores,
+        "image_corr": _q_image_corr,
+        "rmse": _q_rmse,
+        "kappa": _q_kappa,
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -801,7 +840,23 @@ def _raster_op_oracles() -> dict[str, str]:
         f"FROM c JOIN lab ON c.id = lab.id"
     )
 
+    r2v_oracle = (
+        f"WITH RECURSIVE ras_a AS ({_RAS_A_SQL}), "
+        f"c AS (SELECT row, col, value, (row * 100 + col) AS id FROM ras_a), "
+        f"noffs AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1)) o(dr, dc)), "
+        f"e AS (SELECT a.id AS src, b.id AS dst FROM c a JOIN noffs o ON TRUE "
+        f"JOIN c b ON b.row = a.row + o.dr AND b.col = a.col + o.dc AND b.value = a.value), "
+        f"reach(id, r) AS (SELECT id, id FROM c UNION "
+        f"SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src), "
+        f"lab AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id), "
+        f"lc AS (SELECT c.value, lab.rep FROM c JOIN lab ON c.id = lab.id) "
+        f"SELECT CAST(DENSE_RANK() OVER (ORDER BY rep) AS BIGINT) AS clump_id, "
+        f"value, CAST(COUNT(*) AS DOUBLE) * 100.0 AS area "
+        f"FROM lc GROUP BY rep, value"
+    )
+
     return {
+        "r2v_polygons": r2v_oracle,
         "focal_mean": (
             f"WITH {ras_a}, {offs9}, {sc9}, "
             f"g AS (SELECT row, col, AVG(nv) AS value FROM sc GROUP BY 1, 2) "
@@ -838,6 +893,42 @@ def _raster_op_oracles() -> dict[str, str]:
             f"FROM r WHERE rk = 1"
         ),
         "clump": clump_oracle,
+        "list_unique": (
+            f"{'WITH ras_a AS (' + _RAS_A_SQL + ')'} "
+            f"SELECT value, COUNT(*) AS n FROM ras_a GROUP BY 1"
+        ),
+        "zscores": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), "
+            f"st AS (SELECT COUNT(*) AS n, SUM(value) AS s1, SUM(value * value) AS s2 FROM ras_a) "
+            f"SELECT row, col, "
+            f"(value - s1 / n) / SQRT(s2 / n - (s1 / n) * (s1 / n)) AS value "
+            f"FROM ras_a, st"
+        ),
+        "image_corr": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), ras_b AS ({_RAS_B_SQL}), "
+            f"j AS (SELECT a.value AS x, b.value AS y FROM ras_a a JOIN ras_b b USING (row, col)), "
+            f"st AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, "
+            f"SUM(y * y) AS syy, SUM(x * y) AS sxy FROM j) "
+            f"SELECT n, (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) "
+            f"AS pearson_r FROM st"
+        ),
+        "rmse": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), ras_b AS ({_RAS_B_SQL}), "
+            f"j AS (SELECT a.value AS x, b.value AS y FROM ras_a a JOIN ras_b b USING (row, col)) "
+            f"SELECT COUNT(*) AS n, SQRT(SUM((x - y) * (x - y)) / COUNT(*)) AS rmse FROM j"
+        ),
+        "kappa": (
+            f"WITH ras_b AS ({_RAS_B_SQL}), ras_a AS ({_RAS_A_SQL}), "
+            f"a7 AS (SELECT row, col, value % 7.0 AS value FROM ras_a), "
+            f"j AS (SELECT b.value AS ca, a7.value AS cb FROM ras_b b JOIN a7 USING (row, col)), "
+            f"nn AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (ca = cb) AS agree FROM j), "
+            f"mg AS (SELECT SUM(na * nb) AS crs FROM "
+            f"(SELECT ca, COUNT(*) AS na FROM j GROUP BY 1) x JOIN "
+            f"(SELECT cb, COUNT(*) AS nb FROM j GROUP BY 1) y ON x.ca = y.cb), "
+            f"pp AS (SELECT n, agree / n AS po, crs / (n * n) AS pe FROM nn, mg) "
+            f"SELECT n, po AS p_observed, pe AS p_expected, "
+            f"(po - pe) / (1.0 - pe) AS kappa FROM pp"
+        ),
         "avg_overlay": (
             f"WITH {ras_a}, {ras_b} SELECT row, col, (a.value + b.value) / 2 AS value "
             f"FROM ras_a a JOIN ras_b b USING (row, col)"

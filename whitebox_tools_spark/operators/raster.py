@@ -344,6 +344,87 @@ def map_algebra_const(a: DataFrame, op: str, const: float, const_side: str = "ri
     return a.selectExpr("row", "col", f"({expr}) AS value")
 
 
+def list_unique_values(cells: DataFrame) -> DataFrame:
+    """ListUniqueValues: distinct cell values with counts
+    (math_stat_analysis/list_unique_values.rs)."""
+    return cells.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+
+
+def z_scores_exact(cells: DataFrame) -> DataFrame:
+    """ZScores via explicit moment sums (zscores.rs semantics).
+
+    mu = S1/n, sigma = sqrt(S2/n - mu^2). With integer-valued cell
+    values the sums are exact in any aggregation order, making the
+    result bit-deterministic — unlike stddev_pop's merge-order-dependent
+    streaming update (z_scores keeps that form for float rasters).
+    """
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s1"),
+        F.sum(F.expr("value * value")).alias("s2"),
+    )
+    return cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col",
+        "(value - s1 / n) / SQRT(s2 / n - (s1 / n) * (s1 / n)) AS value",
+    )
+
+
+def image_correlation(a: DataFrame, b: DataFrame) -> DataFrame:
+    """ImageCorrelation: Pearson r between co-located cells
+    (math_stat_analysis/image_correlation.rs), via exact product sums:
+    r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))."""
+    j = a.select("row", "col", F.col("value").alias("x")).join(
+        b.select("row", "col", F.col("value").alias("y")), ["row", "col"], "inner"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"), F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    ).selectExpr(
+        "n",
+        "(n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS pearson_r"
+    )
+
+
+def root_mean_square_error(a: DataFrame, b: DataFrame) -> DataFrame:
+    """RootMeanSquareError between two rasters
+    (math_stat_analysis/root_mean_square_error.rs)."""
+    j = a.select("row", "col", F.col("value").alias("x")).join(
+        b.select("row", "col", F.col("value").alias("y")), ["row", "col"], "inner"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("(x - y) * (x - y)")).alias("sse"),
+    ).selectExpr("n", "SQRT(sse / n) AS rmse")
+
+
+def kappa_index(a: DataFrame, b: DataFrame) -> DataFrame:
+    """KappaIndex of agreement between two categorical rasters
+    (math_stat_analysis/kappa_index.rs): kappa =
+    (p_observed - p_expected) / (1 - p_expected) from the contingency
+    table; all terms are exact integer-count ratios."""
+    j = a.select("row", "col", F.col("value").alias("ca")).join(
+        b.select("row", "col", F.col("value").alias("cb")), ["row", "col"], "inner"
+    ).persist()
+    n = j.count()
+    agree = j.where("ca = cb").count()
+    marg = (
+        j.groupBy("ca").agg(F.count(F.lit(1)).alias("na"))
+        .join(j.groupBy("cb").agg(F.count(F.lit(1)).alias("nb")),
+              F.col("ca") == F.col("cb"), "inner")
+        .agg(F.sum(F.expr("na * nb")).alias("cross"))
+        .collect()[0]["cross"]
+    ) or 0
+    j.unpersist()
+    spark = a.sparkSession
+    po = agree / n
+    pe = marg / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    return spark.createDataFrame(
+        [(n, float(po), float(pe), float(kappa))],
+        "n bigint, p_observed double, p_expected double, kappa double",
+    )
+
+
 def reclass(cells: DataFrame, ranges: list[tuple[float, float, float]]) -> DataFrame:
     """Reclass with (new_value, lower-inclusive, upper-exclusive) ranges
     (gis_analysis/reclass.rs semantics); unmatched values pass through."""
