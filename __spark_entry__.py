@@ -377,6 +377,73 @@ def _q_cumulative_dist(spark, sf):
     return R.cumulative_distribution(_ras(spark, sf, "a"))
 
 
+def _segments(spark, sf):
+    segs = VO.features_to_segments(_shapes(spark, sf))
+    return segs.selectExpr(
+        "shape_id AS record_num", "CAST(shape_id AS DOUBLE) AS value",
+        "x1", "y1", "x2", "y2",
+    )
+
+
+def _q_lines_to_raster(spark, sf):
+    return R.lines_to_raster(_segments(spark, sf), _META100)
+
+
+def _q_focal_mean_ii(spark, sf):
+    return FO.mean_filter_ii(_ras(spark, sf, "a"), _META100, radius=1)
+
+
+def _q_join_tables(spark, sf):
+    from whitebox_tools_spark.operators import data_tools as DT
+
+    _reg(spark, sf, "orders", "customer")
+    out = DT.join_tables(spark.table("orders"), spark.table("customer"),
+                         "o_custkey", "c_custkey", ["c_name", "c_mktsegment"])
+    return out.select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+def _q_extract_by_attribute(spark, sf):
+    from whitebox_tools_spark.operators import data_tools as DT
+
+    _reg(spark, sf, "events")
+    return DT.extract_by_attribute(
+        spark.table("events"), "event_type = 'click' AND value > 50.0"
+    ).select("event_id", "user_id", "value")
+
+
+def _q_merge_vectors(spark, sf):
+    from whitebox_tools_spark.operators import data_tools as DT
+
+    pts = _points(spark, sf)
+    return DT.merge_vectors([pts, pts.selectExpr("record_num", "x", "y", "value + 1.0 AS value")])
+
+
+def _rgb(spark, sf):
+    from whitebox_tools_spark.operators import data_tools as DT
+
+    a = _ras(spark, sf, "a")
+    r = a.selectExpr("row", "col", "value % 256.0 AS value")
+    g = a.selectExpr("row", "col", "(value * 3.0) % 256.0 AS value")
+    b = a.selectExpr("row", "col", "(value * 7.0) % 256.0 AS value")
+    return DT.create_colour_composite(r, g, b)
+
+
+def _q_colour_composite(spark, sf):
+    return _rgb(spark, sf)
+
+
+def _q_split_colour(spark, sf):
+    from whitebox_tools_spark.operators import data_tools as DT
+
+    return DT.split_colour_composite(_rgb(spark, sf))
+
+
+def _q_top_terms(spark, sf):
+    from whitebox_tools_spark.operators import data_tools as DT
+
+    return DT.top_k_terms(_docs(spark, sf), k=20)
+
+
 def _q_r2v_polygons(spark, sf):
     """RasterToVectorPolygons, gated through an exact invariant: the
     shoelace area of each clump's assembled rings (shells minus holes)
@@ -759,6 +826,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "lineage_resume": _q_lineage_resume,
         "r2v_polygons": _q_r2v_polygons,
+        "lines_to_raster": _q_lines_to_raster,
+        "focal_mean_ii": _q_focal_mean_ii,
+        "join_tables": _q_join_tables,
+        "extract_by_attribute": _q_extract_by_attribute,
+        "merge_vectors": _q_merge_vectors,
+        "colour_composite": _q_colour_composite,
+        "split_colour": _q_split_colour,
+        "top_terms": _q_top_terms,
         "list_unique": _q_list_unique,
         "zscores": _q_zscores,
         "image_corr": _q_image_corr,
@@ -855,7 +930,74 @@ def _raster_op_oracles() -> dict[str, str]:
         f"FROM lc GROUP BY rep, value"
     )
 
-    return {
+    # lines_to_raster: same crossing math in DuckDB dialect
+    r_hi = f"GREATEST(LEAST({_META100.row_from_y_expr('LEAST(y1, y2)')}, 99), 0)"
+    r_lo = f"GREATEST(LEAST({_META100.row_from_y_expr('GREATEST(y1, y2)')}, 99), 0)"
+    c_lo = f"GREATEST(LEAST({_META100.col_from_x_expr('LEAST(x1, x2)')}, 99), 0)"
+    c_hi = f"GREATEST(LEAST({_META100.col_from_x_expr('GREATEST(x1, x2)')}, 99), 0)"
+    y_r = _META100.y_from_row_expr("tr.range")
+    x_c = _META100.x_from_col_expr("tc.range")
+    x_prime = f"(x1 + (({y_r}) - y1) / (y2 - y1) * (x2 - x1))"
+    y_prime = f"(y1 + (({x_c}) - x1) / (x2 - x1) * (y2 - y1))"
+    l2r_oracle = (
+        f"WITH base AS ({_SHAPES_BASE}), "
+        f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} ELSE {_DIAM_DUCK} END AS ring FROM base), "
+        f"segs AS (SELECT shape_id AS rn, CAST(shape_id AS DOUBLE) AS v, s.x1 AS x1, s.y1 AS y1, "
+        f"s.x2 AS x2, s.y2 AS y2 FROM (SELECT shape_id, unnest(list_transform(range(1, len(ring)), "
+        f"i -> {{'x1': ring[i].x, 'y1': ring[i].y, 'x2': ring[i+1].x, 'y2': ring[i+1].y}})) AS s FROM rs)), "
+        f"b AS (SELECT rn, v, x1, y1, x2, y2, {r_lo} AS r0, {r_hi} AS r1, {c_lo} AS c0, {c_hi} AS c1 FROM segs), "
+        f"rh AS (SELECT rn, v, tr.range AS row, {_META100.col_from_x_expr(x_prime)} AS col "
+        f"FROM b JOIN range(0, 100) tr ON tr.range >= r0 AND tr.range <= r1 "
+        f"WHERE ({y_r}) >= LEAST(y1, y2) AND ({y_r}) <= GREATEST(y1, y2) AND y2 <> y1), "
+        f"ch AS (SELECT rn, v, {_META100.row_from_y_expr(y_prime)} AS row, tc.range AS col "
+        f"FROM b JOIN range(0, 100) tc ON tc.range >= c0 AND tc.range <= c1 "
+        f"WHERE ({x_c}) >= LEAST(x1, x2) AND ({x_c}) <= GREATEST(x1, x2) AND x2 <> x1), "
+        f"hits AS (SELECT * FROM rh UNION ALL SELECT * FROM ch) "
+        f"SELECT row, col, arg_max(v, rn) AS value FROM hits "
+        f"WHERE row >= 0 AND row < 100 AND col >= 0 AND col < 100 GROUP BY 1, 2"
+    )
+
+    ret2 = {
+        "lines_to_raster": l2r_oracle,
+        "join_tables": (
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment "
+            "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "extract_by_attribute": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'click' AND value > 50.0"
+        ),
+        "merge_vectors": (
+            f"WITH pts AS ({_PTS_SQL}) SELECT record_num, x, y, value FROM pts "
+            f"UNION ALL SELECT record_num, x, y, value + 1.0 AS value FROM pts"
+        ),
+        "colour_composite": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), rgb AS (SELECT row, col, "
+            f"CAST(value % 256.0 AS BIGINT) AS rv, CAST((value * 3.0) % 256.0 AS BIGINT) AS gv, "
+            f"CAST((value * 7.0) % 256.0 AS BIGINT) AS bv FROM ras_a) "
+            f"SELECT row, col, CAST(GREATEST(LEAST(rv, 255), 0) * 65536 "
+            f"+ GREATEST(LEAST(gv, 255), 0) * 256 + GREATEST(LEAST(bv, 255), 0) AS DOUBLE) AS value FROM rgb"
+        ),
+        "split_colour": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), rgb AS (SELECT row, col, "
+            f"CAST(GREATEST(LEAST(CAST(value % 256.0 AS BIGINT), 255), 0) * 65536 "
+            f"+ GREATEST(LEAST(CAST((value * 3.0) % 256.0 AS BIGINT), 255), 0) * 256 "
+            f"+ GREATEST(LEAST(CAST((value * 7.0) % 256.0 AS BIGINT), 255), 0) AS BIGINT) AS v FROM ras_a), "
+            f"bands AS (SELECT row, col, unnest([{{'band': CAST(0 AS INT), 'value': CAST((v // 65536) % 256 AS DOUBLE)}}, "
+            f"{{'band': CAST(1 AS INT), 'value': CAST((v // 256) % 256 AS DOUBLE)}}, "
+            f"{{'band': CAST(2 AS INT), 'value': CAST(v % 256 AS DOUBLE)}}]) AS e FROM rgb) "
+            f"SELECT row, col, e.band AS band, e.value AS value FROM bands"
+        ),
+        "top_terms": (
+            "WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token "
+            "FROM documents), "
+            "counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1), "
+            "r AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM counts) "
+            "SELECT token, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20"
+        ),
+    }
+
+    out = ret2 | {
         "r2v_polygons": r2v_oracle,
         "focal_mean": (
             f"WITH {ras_a}, {offs9}, {sc9}, "
@@ -960,6 +1102,10 @@ def _raster_op_oracles() -> dict[str, str]:
         # aspect: ACOS/libm not guaranteed bit-identical across engines —
         # rows-only (kernel parity covered in pytest vs numpy).
     }
+    # the integral-image mean plan must equal the scatter-gather plan
+    # bit-for-bit (exact integer sums) — same oracle
+    out["focal_mean_ii"] = out["focal_mean"]
+    return out
 
 
 def _hydro_oracles() -> dict[str, str]:

@@ -98,6 +98,57 @@ def majority_filter(cells: DataFrame, radius: int = 1) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Integral image (Crow 1984) — the reference's O(1)-window mean machinery
+# (image_analysis/mean_filter.rs:28,301-338, IntegralImage tool)
+# ---------------------------------------------------------------------------
+
+
+def integral_image(cells: DataFrame) -> DataFrame:
+    """ii(r, c) = sum of values with row <= r AND col <= c, via two
+    cumulative-sum window passes (row-wise then column-wise). Requires a
+    dense raster (no missing cells inside the footprint)."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("row").orderBy("col").rowsBetween(Window.unboundedPreceding, 0)
+    rowcum = cells.withColumn("__rc", F.sum("value").over(w1))
+    w2 = Window.partitionBy("col").orderBy("row").rowsBetween(Window.unboundedPreceding, 0)
+    return rowcum.withColumn("ii", F.sum("__rc").over(w2)).select("row", "col", "ii")
+
+
+def mean_filter_ii(cells: DataFrame, meta: GridMeta, radius: int = 1) -> DataFrame:
+    """MeanFilter via the integral image: window sum = 4 corner lookups
+    (equi-joins), mean = sum / clamped-window cell count. On a dense
+    raster this is bit-identical to focal_stat(..., 'mean') when values
+    are integer-valued (exact sums), while costing O(1) work per cell
+    for ANY kernel radius — the scale plan for big windows."""
+    ii = integral_image(cells).persist()
+    b = cells.selectExpr(
+        "row", "col",
+        f"GREATEST(row - {radius}, 0L) AS r1",
+        f"LEAST(row + {radius}, {meta.rows - 1}L) AS r2",
+        f"GREATEST(col - {radius}, 0L) AS c1",
+        f"LEAST(col + {radius}, {meta.columns - 1}L) AS c2",
+    )
+
+    def corner(df, rr, cc, name):
+        c = ii.selectExpr(f"row AS __r_{name}", f"col AS __c_{name}", f"ii AS {name}")
+        return df.join(
+            c, (F.expr(rr) == F.col(f"__r_{name}")) & (F.expr(cc) == F.col(f"__c_{name}")),
+            "left",
+        ).drop(f"__r_{name}", f"__c_{name}")
+
+    j = corner(b, "r2", "c2", "iA")
+    j = corner(j, "r1 - 1", "c2", "iB")
+    j = corner(j, "r2", "c1 - 1", "iC")
+    j = corner(j, "r1 - 1", "c1 - 1", "iD")
+    return j.selectExpr(
+        "row", "col",
+        "(iA - COALESCE(iB, 0.0) - COALESCE(iC, 0.0) + COALESCE(iD, 0.0)) "
+        "/ CAST((r2 - r1 + 1) * (c2 - c1 + 1) AS DOUBLE) AS value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # 5x5 pivot + terrain derivatives (Florinsky polynomial fit)
 # ---------------------------------------------------------------------------
 

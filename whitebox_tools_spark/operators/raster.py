@@ -174,6 +174,53 @@ def polygons_to_raster(
     return out.withColumn("value", mapping[F.col("polygon_id")]).drop("polygon_id")
 
 
+def lines_to_raster(
+    segments: DataFrame,
+    meta: GridMeta,
+    value_col: str = "value",
+    record_col: str = "record_num",
+) -> DataFrame:
+    """VectorLinesToRaster (data_tools/vector_lines_to_raster.rs:472-517):
+    a cell is marked where a segment crosses its row center-line
+    (y = get_y_from_row) or its column center-line (x = get_x_from_column);
+    the crossing coordinate picks the column/row via the floor transform.
+    Later records overwrite earlier (-> max_by(record)).
+
+    Pure codegen: per segment, explode the clamped row/col span, keep
+    center-lines between the endpoint ordinates, compute the crossing
+    with the reference's exact interpolation expression.
+    """
+    r_hi = f"GREATEST(LEAST({meta.row_from_y_expr('LEAST(y1, y2)')}, {meta.rows - 1}L), 0L)"
+    r_lo = f"GREATEST(LEAST({meta.row_from_y_expr('GREATEST(y1, y2)')}, {meta.rows - 1}L), 0L)"
+    c_lo = f"GREATEST(LEAST({meta.col_from_x_expr('LEAST(x1, x2)')}, {meta.columns - 1}L), 0L)"
+    c_hi = f"GREATEST(LEAST({meta.col_from_x_expr('GREATEST(x1, x2)')}, {meta.columns - 1}L), 0L)"
+    y_r = meta.y_from_row_expr("r")
+    x_c = meta.x_from_col_expr("c")
+    x_prime = f"(x1 + (({y_r}) - y1) / (y2 - y1) * (x2 - x1))"
+    y_prime = f"(y1 + (({x_c}) - x1) / (x2 - x1) * (y2 - y1))"
+    base = segments.selectExpr(
+        f"{record_col} AS rn", f"{value_col} AS v", "x1", "y1", "x2", "y2",
+        f"{r_lo} AS r0", f"{r_hi} AS r1", f"{c_lo} AS c0", f"{c_hi} AS c1",
+    )
+    row_hits = base.selectExpr(
+        "rn", "v",
+        f"EXPLODE(FILTER(TRANSFORM(SEQUENCE(r0, r1), r -> "
+        f"IF(({y_r}) >= LEAST(y1, y2) AND ({y_r}) <= GREATEST(y1, y2) AND y2 <> y1, "
+        f"STRUCT(r AS row, {meta.col_from_x_expr(x_prime)} AS col), NULL)), "
+        f"e -> e IS NOT NULL)) AS h",
+    )
+    col_hits = base.selectExpr(
+        "rn", "v",
+        f"EXPLODE(FILTER(TRANSFORM(SEQUENCE(c0, c1), c -> "
+        f"IF(({x_c}) >= LEAST(x1, x2) AND ({x_c}) <= GREATEST(x1, x2) AND x2 <> x1, "
+        f"STRUCT({meta.row_from_y_expr(y_prime)} AS row, c AS col), NULL)), "
+        f"e -> e IS NOT NULL)) AS h",
+    )
+    hits = row_hits.unionByName(col_hits).selectExpr("h.row", "h.col", "v", "rn")
+    hits = hits.where(F.expr(meta.in_grid_pred("row", "col")))
+    return hits.groupBy("row", "col").agg(F.expr("MAX_BY(v, rn)").alias("value"))
+
+
 def raster_to_points(cells: DataFrame, meta: GridMeta) -> DataFrame:
     """RasterToVectorPoints: one point per valid (non-nodata) cell at the
     cell center (half-res formulas)."""

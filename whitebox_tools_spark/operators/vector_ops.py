@@ -127,6 +127,22 @@ def multi_part_to_single_part(features: DataFrame, id_col: str = "shape_id") -> 
     )
 
 
+def features_to_segments(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """One row per ring edge (PolygonsToLines analog + the input shape
+    for VectorLinesToRaster): (id, part_idx, seg_idx, x1, y1, x2, y2)."""
+    return (
+        features.select(id_col, F.explode("parts").alias("p"))
+        .selectExpr(
+            id_col,
+            "p.part_idx AS part_idx",
+            "EXPLODE(TRANSFORM(SEQUENCE(1, SIZE(p.ring) - 1), i -> STRUCT("
+            "i - 1 AS seg_idx, ELEMENT_AT(p.ring, i).x AS x1, ELEMENT_AT(p.ring, i).y AS y1, "
+            "ELEMENT_AT(p.ring, i + 1).x AS x2, ELEMENT_AT(p.ring, i + 1).y AS y2))) AS s",
+        )
+        .selectExpr(id_col, "part_idx", "s.seg_idx", "s.x1", "s.y1", "s.x2", "s.y2")
+    )
+
+
 def convex_hull(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
     """Per-feature convex hull (Andrew monotone chain over all vertices),
     as a batched pandas transform (algorithms/convex_hull.rs analog).
