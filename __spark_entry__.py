@@ -385,6 +385,38 @@ def _segments(spark, sf):
     )
 
 
+_CLIP_WIN = (200.0, 200.0, 700.0, 700.0)
+
+
+def _q_clip_window(spark, sf):
+    """Geometric Clip to an axis-aligned window, gated on the clipped
+    bounding boxes (axis-aligned SH inserts window coordinates verbatim,
+    so extremes are exact selections). Rect features only — diamond
+    crossings interpolate (covered by pytest area checks)."""
+    from whitebox_tools_spark.operators.overlay_vector import clip_features_window
+
+    out = clip_features_window(_shapes(spark, sf, kind=0), _CLIP_WIN)
+    pts = "FLATTEN(TRANSFORM(parts, p -> p.ring))"
+    return out.selectExpr(
+        "shape_id",
+        f"AGGREGATE({pts}, CAST(1.0e308 AS DOUBLE), (acc, v) -> LEAST(acc, v.x)) AS xmin",
+        f"AGGREGATE({pts}, CAST(1.0e308 AS DOUBLE), (acc, v) -> LEAST(acc, v.y)) AS ymin",
+        f"AGGREGATE({pts}, CAST(-1.0e308 AS DOUBLE), (acc, v) -> GREATEST(acc, v.x)) AS xmax",
+        f"AGGREGATE({pts}, CAST(-1.0e308 AS DOUBLE), (acc, v) -> GREATEST(acc, v.y)) AS ymax",
+    )
+
+
+def _q_intersect_features(spark, sf):
+    """Convex geometric Intersect (rows-only: crossing vertices
+    interpolate; geometry validated in pytest)."""
+    from whitebox_tools_spark.operators.overlay_vector import intersect_features
+
+    clip = _polygons_df(spark).selectExpr("polygon_id AS clip_id", "parts")
+    return intersect_features(_shapes(spark, sf), clip).selectExpr(
+        "shape_id", "clip_id", "SIZE(parts) AS n_parts"
+    )
+
+
 def _q_lines_to_raster(spark, sf):
     return R.lines_to_raster(_segments(spark, sf), _META100)
 
@@ -641,9 +673,11 @@ _DIAM_DUCK = ("[{'x': cx, 'y': cy - hh}, {'x': cx + hw, 'y': cy}, "
               "{'x': cx, 'y': cy - hh}]")
 
 
-def _shapes(spark, sf):
+def _shapes(spark, sf, kind: int | None = None):
     _reg(spark, sf, "events")
     base = spark.sql(_SHAPES_BASE)
+    if kind is not None:
+        base = base.where(f"kind = {kind}")
     return base.selectExpr(
         "shape_id",
         f"ARRAY(STRUCT(0 AS part_idx, FALSE AS is_hole, "
@@ -826,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "lineage_resume": _q_lineage_resume,
         "r2v_polygons": _q_r2v_polygons,
+        "clip_window": _q_clip_window,
+        "intersect_features": _q_intersect_features,
         "lines_to_raster": _q_lines_to_raster,
         "focal_mean_ii": _q_focal_mean_ii,
         "join_tables": _q_join_tables,
@@ -958,6 +994,14 @@ def _raster_op_oracles() -> dict[str, str]:
     )
 
     ret2 = {
+        "clip_window": (
+            f"WITH base AS ({_SHAPES_BASE}) "
+            f"SELECT shape_id, GREATEST(cx - hw, 200.0) AS xmin, "
+            f"GREATEST(cy - hh, 200.0) AS ymin, LEAST(cx + hw, 700.0) AS xmax, "
+            f"LEAST(cy + hh, 700.0) AS ymax FROM base WHERE kind = 0 "
+            f"AND GREATEST(cx - hw, 200.0) < LEAST(cx + hw, 700.0) "
+            f"AND GREATEST(cy - hh, 200.0) < LEAST(cy + hh, 700.0)"
+        ),
         "lines_to_raster": l2r_oracle,
         "join_tables": (
             "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment "
