@@ -84,6 +84,75 @@ def _prep(
     return q, t
 
 
+def _nn1_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    radius: float,
+    qid: str,
+    tid: str,
+    qx: str,
+    qy: str,
+    tx: str,
+    ty: str,
+    max_rounds: int,
+) -> DataFrame:
+    """Exact 1-NN fast path: per-round hash aggregation (min_by) instead
+    of a window sort, no cross-round candidate accumulation — the best
+    candidate so far rides along with the active query set. Same output
+    contract as knn_join_exact with k=1."""
+    q, t = _prep(queries, targets, radius, qid, tid, qx, qy, tx, ty)
+    t = t.persist()
+    bin_size = radius * 0.5
+
+    active = q.persist()
+    done: DataFrame | None = None
+    best: DataFrame | None = None  # (qid, best struct) for still-active queries
+    reach = 1
+    while reach <= max_rounds:
+        cand = _ring_join(active, t, reach, qid, tid)
+        round_best = cand.groupBy(qid).agg(
+            F.expr(f"MIN_BY(STRUCT(dist2, {tid}), STRUCT(dist2, {tid}))").alias("b")
+        )
+        if best is not None:
+            merged = best.unionByName(round_best)
+            round_best = merged.groupBy(qid).agg(
+                F.expr("MIN_BY(b, STRUCT(b.dist2, b." + tid + "))").alias("b")
+            )
+        guarantee = float(reach * bin_size) ** 2
+        resolved = round_best.where(F.col("b.dist2") <= guarantee)
+        done = resolved if done is None else done.unionByName(resolved)
+        done = done.localCheckpoint(eager=True)
+        best = round_best.join(resolved.select(qid), qid, "left_anti") \
+                         .localCheckpoint(eager=True)
+        active_next = active.join(resolved.select(qid), qid, "left_anti") \
+                            .localCheckpoint(eager=True)
+        n_active = active_next.count()
+        active.unpersist()
+        active = active_next
+        if n_active == 0:
+            break
+        reach += 1
+    else:
+        # stragglers: brute force (tiny set)
+        cand = active.crossJoin(t.drop("cx", "cy")).select(
+            qid,
+            F.expr("(qx - tx) * (qx - tx) + (qy - ty) * (qy - ty)").alias("dist2"),
+            F.col(tid),
+        )
+        straggler_best = cand.groupBy(qid).agg(
+            F.expr(f"MIN_BY(STRUCT(dist2, {tid}), STRUCT(dist2, {tid}))").alias("b")
+        )
+        if best is not None:
+            straggler_best = best.unionByName(straggler_best).groupBy(qid).agg(
+                F.expr("MIN_BY(b, STRUCT(b.dist2, b." + tid + "))").alias("b")
+            )
+        done = straggler_best if done is None else done.unionByName(straggler_best)
+
+    t.unpersist()
+    active.unpersist()
+    return done.selectExpr(qid, f"b.{tid} AS {tid}", "b.dist2 AS dist2", "1 AS knn_rank")
+
+
 def knn_join_exact(
     queries: DataFrame,
     targets: DataFrame,
@@ -102,7 +171,10 @@ def knn_join_exact(
     Returns (qid, tid, dist2, knn_rank) with knn_rank in 1..k ordered by
     (dist2, tid) — identical to a brute-force cross join + top-k, but
     with grid-bounded work. bin_size = radius * 0.5 (FRS parity binning).
+    k=1 dispatches to the aggregation fast path (no window sort).
     """
+    if k == 1:
+        return _nn1_join(queries, targets, radius, qid, tid, qx, qy, tx, ty, max_rounds)
     spark = queries.sparkSession
     q, t = _prep(queries, targets, radius, qid, tid, qx, qy, tx, ty)
     t = t.persist()

@@ -129,6 +129,50 @@ def filter_min_points(tiled: DataFrame, min_points: int, tile_col: str = "tile_i
     )
 
 
+def write_tiles(
+    tiled: DataFrame,
+    path: str,
+    tile_col: str = "tile_id",
+    salt_buckets: int = 16,
+    salt_cols: tuple[str, str] = ("x", "y"),
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+) -> None:
+    """Partitioned tile write with salted repartitioning — the north
+    rule's hot-tile skew defuser.
+
+    A naive repartition(tile_id) sends EVERY row of a hot tile (urban
+    cluster) to one task; salting by a row-content hash spreads each
+    tile over up to `salt_buckets` tasks, each writing its own file into
+    the tile's directory. Readers see identical data (partitionBy keeps
+    the directory layout); writers see bounded task sizes. AQE cannot do
+    this for writes (skew-split applies to joins/aggs), so the salt is
+    explicit here.
+    """
+    salted = salted_repartition(tiled, tile_col, salt_buckets, salt_cols, num_partitions)
+    salted.write.mode(mode).partitionBy(tile_col).parquet(path)
+
+
+def salted_repartition(
+    df: DataFrame,
+    key_col: str,
+    salt_buckets: int = 16,
+    salt_cols: tuple[str, ...] = ("x", "y"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Spread each key group over up to salt_buckets partitions (for
+    downstream per-partition work that doesn't need key-locality).
+    num_partitions pins the exchange width (an explicit width opts out
+    of AQE coalescing — use when the downstream is write- or
+    task-latency-bound rather than size-bound)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
+    )
+    keys = [F.col(key_col), F.col("__salt")]
+    out = salted.repartition(num_partitions, *keys) if num_partitions else salted.repartition(*keys)
+    return out.drop("__salt")
+
+
 # ---------------------------------------------------------------------------
 # Hex binning (vector_hex_bin.rs parity, horizontal orientation)
 # ---------------------------------------------------------------------------
