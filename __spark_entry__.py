@@ -711,6 +711,32 @@ def _q_convex_hull(spark, sf):
     return VO.convex_hull(_shapes(spark, sf))
 
 
+def _q_laplacian(spark, sf):
+    return FO.laplacian_filter(_ras(spark, sf, "a"))
+
+
+def _q_sobel(spark, sf):
+    return FO.sobel_filter(_ras(spark, sf, "a"))
+
+
+def _q_emboss(spark, sf):
+    return FO.emboss_filter(_ras(spark, sf, "a"), "n")
+
+
+def _q_watershed(spark, sf):
+    ras = _ras(spark, sf, "a")
+    outlets = ras.where("value < 5.0").selectExpr("(row * 100 + col) AS outlet_id", "row", "col")
+    return HY.watershed(ras, _META100, outlets)
+
+
+def _q_snap_pour(spark, sf):
+    ras = _ras(spark, sf, "a")
+    pour = ras.where("(row * 100 + col) % 997 = 0").selectExpr(
+        "(row * 100 + col) AS pour_id", "row", "col"
+    )
+    return HY.snap_pour_points(pour, ras, snap_cells=2)
+
+
 def _q_d8_pointer(spark, sf):
     return HY.d8_pointer(_ras(spark, sf, "a"), _META100)
 
@@ -851,6 +877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_vec": _q_centroid_vec,
         "extract_nodes_vec": _q_extract_nodes,
         "convex_hull": _q_convex_hull,
+        "laplacian": _q_laplacian,
+        "sobel": _q_sobel,
+        "emboss": _q_emboss,
+        "watershed": _q_watershed,
+        "snap_pour": _q_snap_pour,
         "d8_pointer": _q_d8_pointer,
         "d8_accum": _q_d8_accum,
         "d8_basins": _q_d8_basins,
@@ -1171,12 +1202,15 @@ def _hydro_oracles() -> dict[str, str]:
         f"FROM piv WHERE zc IS NOT NULL)"
     )
     dirs = ", ".join(f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
-    closure = (
+    edge_ctes = (
         f"dirs AS (SELECT * FROM (VALUES {dirs}) d(code, dy, dx)), "
         f"e AS (SELECT (p.row * 100 + p.col) AS src, "
         f"((p.row + d.dy) * 100 + (p.col + d.dx)) AS dst "
         f"FROM ptr p JOIN dirs d ON d.code = CAST(p.value AS INT) WHERE p.value > 0), "
-        f"nodes AS (SELECT row, col, (row * 100 + col) AS id FROM ptr), "
+        f"nodes AS (SELECT row, col, (row * 100 + col) AS id FROM ptr)"
+    )
+    closure = (
+        f"{edge_ctes}, "
         f"reach(src, dst) AS (SELECT id, id FROM nodes UNION "
         f"SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)"
     )
@@ -1185,7 +1219,55 @@ def _hydro_oracles() -> dict[str, str]:
         f"SELECT n.row, n.col, CAST(COUNT(*) AS DOUBLE) AS value "
         f"FROM reach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2"
     )
+    # convolution oracles (scatter with weights — exact integer sums)
+    def conv_oracle(kx, ky, value_expr: str) -> str:
+        vals = ", ".join(
+            f"({i - 1}, {j - 1}, {kx[i][j]!r}, {ky[i][j]!r})"
+            for i in range(3) for j in range(3)
+        )
+        return (
+            f"WITH {ras_a}, offsk AS (SELECT * FROM (VALUES {vals}) o(dr, dc, wx, wy)), "
+            f"sck AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+            f"o.wx * a.value AS px, o.wy * a.value AS py FROM ras_a a, offsk o), "
+            f"g AS (SELECT row, col, SUM(px) AS gx, SUM(py) AS gy FROM sck "
+            f"GROUP BY 1, 2 HAVING COUNT(*) = 9) "
+            f"SELECT g.row, g.col, {value_expr} AS value "
+            f"FROM g JOIN (SELECT row, col FROM ras_a) c USING (row, col)"
+        )
+
+    zeros = [[0.0] * 3 for _ in range(3)]
+    watershed_oracle = (
+        f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, "
+        f"walk(src, dst, h) AS (SELECT id, id, 0 FROM nodes UNION "
+        f"SELECT w.src, e.dst, w.h + 1 FROM walk w JOIN e ON w.dst = e.src), "
+        f"o AS (SELECT (row * 100 + col) AS dst, (row * 100 + col) AS outlet_id "
+        f"FROM ras_a WHERE value < 5.0), "
+        f"hits AS (SELECT src, outlet_id, h, ROW_NUMBER() OVER "
+        f"(PARTITION BY src ORDER BY h, outlet_id) AS rk FROM walk JOIN o USING (dst)) "
+        f"SELECT n.row, n.col, CAST(outlet_id AS DOUBLE) AS value "
+        f"FROM hits JOIN nodes n ON hits.src = n.id WHERE rk = 1"
+    )
+    snap_oracle = (
+        f"WITH {ras_a}, pour AS (SELECT (row * 100 + col) AS pour_id, row, col "
+        f"FROM ras_a WHERE (row * 100 + col) % 997 = 0), "
+        f"offs2 AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({dr}, {dc})" for dr in range(-2, 3) for dc in range(-2, 3))
+        + ") o(dr, dc)), "
+        f"cand AS (SELECT p.pour_id, p.row + o.dr AS nrow, p.col + o.dc AS ncol "
+        f"FROM pour p, offs2 o), "
+        f"j AS (SELECT cand.pour_id, cand.nrow, cand.ncol, a.value AS acc "
+        f"FROM cand JOIN ras_a a ON a.row = cand.nrow AND a.col = cand.ncol), "
+        f"r AS (SELECT pour_id, nrow, ncol, ROW_NUMBER() OVER "
+        f"(PARTITION BY pour_id ORDER BY acc DESC, nrow, ncol) AS rk FROM j) "
+        f"SELECT pour_id, nrow AS row, ncol AS col FROM r WHERE rk = 1"
+    )
+
     return {
+        "laplacian": conv_oracle(FO.LAPLACIAN_3X3_1, zeros, "gx"),
+        "sobel": conv_oracle(FO.SOBEL_X, FO.SOBEL_Y, "SQRT(gx * gx + gy * gy)"),
+        "emboss": conv_oracle(FO.EMBOSS["n"], zeros, "gx"),
+        "watershed": watershed_oracle,
+        "snap_pour": snap_oracle,
         "d8_pointer": f"WITH {ras_a}, {pivot} SELECT row, col, value FROM ptr",
         "d8_accum": accum_sql,
         "d8_basins": (

@@ -98,6 +98,78 @@ def majority_filter(cells: DataFrame, radius: int = 1) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Generic convolution (image_analysis kernel filters)
+# ---------------------------------------------------------------------------
+
+# kernel anchors: laplacian_filter.rs:330-346 (variant weight tables),
+# emboss_filter.rs:339-347 (directional), sobel_filter.rs:330 (magnitude
+# = sqrt(gx^2 + gy^2) of the two 3x3 gradient kernels)
+LAPLACIAN_3X3_1 = [[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]]
+LAPLACIAN_3X3_2 = [[0.0, -1.0, 0.0], [-1.0, 5.0, -1.0], [0.0, -1.0, 0.0]]
+LAPLACIAN_3X3_3 = [[-1.0, -1.0, -1.0], [-1.0, 8.0, -1.0], [-1.0, -1.0, -1.0]]
+SOBEL_X = [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]
+SOBEL_Y = [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]]
+PREWITT_X = [[-1.0, 0.0, 1.0], [-1.0, 0.0, 1.0], [-1.0, 0.0, 1.0]]
+PREWITT_Y = [[-1.0, -1.0, -1.0], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]
+EMBOSS = {
+    "n": [[0.0, -1.0, 0.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+    "s": [[0.0, 1.0, 0.0], [0.0, 0.0, 0.0], [0.0, -1.0, 0.0]],
+    "e": [[0.0, 0.0, 0.0], [1.0, 0.0, -1.0], [0.0, 0.0, 0.0]],
+    "w": [[0.0, 0.0, 0.0], [-1.0, 0.0, 1.0], [0.0, 0.0, 0.0]],
+}
+
+
+def convolve(cells: DataFrame, kernels: dict[str, list[list[float]]],
+             interior_only: bool = True) -> DataFrame:
+    """Convolve one or more (same-sized) kernels in a single scatter
+    pass: out_k(r, c) = sum_ij k[i][j] * in(r + i - m, c + j - m).
+    Output: (row, col, <one column per kernel name>). interior_only
+    keeps centers whose full window exists (the kernel-filter edge rule
+    for derivative kernels)."""
+    names = list(kernels)
+    size = len(next(iter(kernels.values())))
+    m = size // 2
+    elems = []
+    for i in range(size):
+        for j in range(size):
+            ws = ", ".join(f"{kernels[n][i][j]!r} AS w_{n}" for n in names)
+            elems.append(
+                f"STRUCT(row - ({i - m}L) AS crow, col - ({j - m}L) AS ccol, {ws})"
+            )
+    scattered = (
+        cells.withColumn("__s", F.expr(f"EXPLODE(ARRAY({', '.join(elems)}))"))
+        .selectExpr("__s.crow AS row", "__s.ccol AS col", "value AS nv",
+                    *[f"__s.w_{n} AS w_{n}" for n in names])
+    )
+    aggs = [F.expr(f"SUM(w_{n} * nv)").alias(n) for n in names]
+    aggs.append(F.count(F.lit(1)).alias("__cnt"))
+    out = scattered.groupBy("row", "col").agg(*aggs)
+    if interior_only:
+        out = out.where(F.col("__cnt") == size * size)
+    return out.drop("__cnt").join(cells.select("row", "col"), ["row", "col"], "leftsemi")
+
+
+def laplacian_filter(cells: DataFrame, variant: str = "3x3(1)") -> DataFrame:
+    k = {"3x3(1)": LAPLACIAN_3X3_1, "3x3(2)": LAPLACIAN_3X3_2,
+         "3x3(3)": LAPLACIAN_3X3_3}[variant]
+    return convolve(cells, {"v": k}).withColumnRenamed("v", "value")
+
+
+def sobel_filter(cells: DataFrame) -> DataFrame:
+    out = convolve(cells, {"gx": SOBEL_X, "gy": SOBEL_Y})
+    return out.selectExpr("row", "col", "SQRT(gx * gx + gy * gy) AS value")
+
+
+def prewitt_filter(cells: DataFrame) -> DataFrame:
+    out = convolve(cells, {"gx": PREWITT_X, "gy": PREWITT_Y})
+    return out.selectExpr("row", "col", "SQRT(gx * gx + gy * gy) AS value")
+
+
+def emboss_filter(cells: DataFrame, direction: str = "n") -> DataFrame:
+    return convolve(cells, {"v": EMBOSS[direction]}).withColumnRenamed("v", "value")
+
+
+# ---------------------------------------------------------------------------
 # Integral image (Crow 1984) — the reference's O(1)-window mean machinery
 # (image_analysis/mean_filter.rs:28,301-338, IntegralImage tool)
 # ---------------------------------------------------------------------------

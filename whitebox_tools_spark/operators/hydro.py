@@ -184,6 +184,71 @@ def basins(cells: DataFrame, meta: GridMeta, max_rounds: int = 32) -> DataFrame:
     )
 
 
+def snap_pour_points(pour: DataFrame, accum: DataFrame, snap_cells: int = 1) -> DataFrame:
+    """SnapPourPoints (hydro_analysis/snap_pour_points.rs): move each
+    pour point to the max-accumulation cell within a Chebyshev radius;
+    ties resolve to scan order (row-major). pour: (pour_id, row, col);
+    accum: (row, col, value)."""
+    offs = [(dr, dc) for dr in range(-snap_cells, snap_cells + 1)
+            for dc in range(-snap_cells, snap_cells + 1)]
+    pairs = ", ".join(f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol)" for dr, dc in offs)
+    cand = pour.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+        "pour_id", "__n.nrow AS nrow", "__n.ncol AS ncol"
+    )
+    j = cand.join(
+        accum.selectExpr("row AS nrow", "col AS ncol", "value AS acc"),
+        ["nrow", "ncol"], "inner",
+    )
+    return j.groupBy("pour_id").agg(
+        F.expr("MIN_BY(STRUCT(nrow AS row, ncol AS col), STRUCT(-acc, nrow, ncol))").alias("b")
+    ).selectExpr("pour_id", "b.row AS row", "b.col AS col")
+
+
+def watershed(cells: DataFrame, meta: GridMeta, outlets: DataFrame,
+              max_doublings: int = 24) -> DataFrame:
+    """Watershed (hydro_analysis/watershed.rs semantics): every cell is
+    labeled with the FIRST outlet on its downstream flow path (an
+    upstream outlet shadows any outlet further down); cells draining to
+    no outlet get no row. outlets: (outlet_id, row, col).
+
+    Plan: hop-annotated pointer-doubling closure (src, dst, hops) with
+    min-hops dedupe, then per-cell argmin(hops) over outlet dsts —
+    O(log longest-path) joins.
+    """
+    c = meta.columns
+    ptr = d8_pointer(cells, meta)
+    nodes = ptr.selectExpr(f"(row * {c}L + col) AS id", "row", "col").persist()
+    e = d8_edges(ptr).selectExpr(f"(row * {c}L + col) AS src",
+                                 f"(drow * {c}L + dcol) AS dst", "CAST(1 AS INT) AS h")
+    reach = nodes.selectExpr("id AS src", "id AS dst", "CAST(0 AS INT) AS h") \
+                 .unionByName(e).groupBy("src", "dst").agg(F.min("h").alias("h")) \
+                 .localCheckpoint(eager=True)
+    prev = reach.count()
+    for _ in range(max_doublings):
+        grown = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .selectExpr("a.src AS src", "b.dst AS dst", "a.h + b.h AS h")
+            .unionByName(reach)
+            .groupBy("src", "dst").agg(F.min("h").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        n = grown.count()
+        reach = grown
+        if n == prev:
+            break
+        prev = n
+    out_tbl = outlets.selectExpr(f"(row * {c}L + col) AS dst", "outlet_id")
+    hits = reach.join(out_tbl, "dst").groupBy("src").agg(
+        F.expr("MIN_BY(outlet_id, STRUCT(h, outlet_id))").alias("outlet_id")
+    )
+    res = nodes.join(hits, nodes["id"] == hits["src"]).select(
+        "row", "col", F.col("outlet_id").cast("double").alias("value")
+    )
+    nodes.unpersist()
+    return res
+
+
 def extract_streams(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
     """ExtractStreams: 1.0 where flow accumulation >= threshold else 0.0."""
     accum = d8_flow_accumulation(cells, meta)
