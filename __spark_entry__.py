@@ -711,6 +711,47 @@ def _q_convex_hull(spark, sf):
     return VO.convex_hull(_shapes(spark, sf))
 
 
+def _q_focal_range(spark, sf):
+    return FO.focal_stat(_ras(spark, sf, "a"), "range", 1)
+
+
+def _q_focal_diversity(spark, sf):
+    return FO.focal_stat(_ras(spark, sf, "a"), "diversity", 1)
+
+
+def _q_mosaic(spark, sf):
+    return R.mosaic([_ras(spark, sf, "a"), _ras(spark, sf, "b").where("col < 50")])
+
+
+def _q_resample(spark, sf):
+    return R.resample_nearest(_ras(spark, sf, "a"), _META100, _META40)
+
+
+def _q_hist_eq(spark, sf):
+    return R.histogram_equalization(_ras(spark, sf, "a"))
+
+
+def _q_t_test(spark, sf):
+    return R.paired_t_test(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
+def _q_ks_test(spark, sf):
+    return R.ks_test(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
+def _q_smooth_vectors(spark, sf):
+    sm = VO.smooth_vectors(_shapes(spark, sf), 3)
+    return VO.extract_nodes(sm)
+
+
+def _q_line_intersections(spark, sf):
+    segs_a = VO.features_to_segments(_shapes(spark, sf))
+    segs_b = VO.features_to_segments(
+        _polygons_df(spark).selectExpr("polygon_id AS shape_id", "parts")
+    )
+    return VO.line_intersections(segs_a, segs_b)
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -877,6 +918,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_vec": _q_centroid_vec,
         "extract_nodes_vec": _q_extract_nodes,
         "convex_hull": _q_convex_hull,
+        "focal_range": _q_focal_range,
+        "focal_diversity": _q_focal_diversity,
+        "mosaic": _q_mosaic,
+        "resample": _q_resample,
+        "hist_eq": _q_hist_eq,
+        "t_test": _q_t_test,
+        "ks_test": _q_ks_test,
+        "smooth_vectors": _q_smooth_vectors,
+        "line_intersections": _q_line_intersections,
         "laplacian": _q_laplacian,
         "sobel": _q_sobel,
         "emboss": _q_emboss,
@@ -1072,7 +1122,55 @@ def _raster_op_oracles() -> dict[str, str]:
         ),
     }
 
-    out = ret2 | {
+    med40_x = _META40.x_center_expr("col")
+    med40_y = _META40.y_center_expr("row")
+    ret3 = {
+        "focal_range": (
+            f"WITH {ras_a}, {offs9}, {sc9}, "
+            f"g AS (SELECT row, col, MAX(nv) - MIN(nv) AS value FROM sc GROUP BY 1, 2) "
+            f"SELECT g.row, g.col, g.value FROM g JOIN (SELECT row, col FROM ras_a) c USING (row, col)"
+        ),
+        "focal_diversity": (
+            f"WITH {ras_a}, {offs9}, {sc9}, "
+            f"g AS (SELECT row, col, CAST(COUNT(DISTINCT nv) AS DOUBLE) AS value FROM sc GROUP BY 1, 2) "
+            f"SELECT g.row, g.col, g.value FROM g JOIN (SELECT row, col FROM ras_a) c USING (row, col)"
+        ),
+        "mosaic": (
+            f"WITH {ras_a}, {ras_b}, u AS (SELECT row, col, value AS v, 0 AS li FROM ras_a "
+            f"UNION ALL SELECT row, col, value, 1 FROM ras_b WHERE col < 50) "
+            f"SELECT row, col, arg_max(v, li) AS value FROM u GROUP BY 1, 2"
+        ),
+        "resample": (
+            f"WITH {ras_a}, d AS (SELECT a.range AS drow, b.range AS dcol, "
+            f"{_META100.row_from_y_expr(med40_y.replace('row', 'a.range'))} AS row, "
+            f"{_META100.col_from_x_expr(med40_x.replace('col', 'b.range'))} AS col "
+            f"FROM range(0, 40) a, range(0, 40) b) "
+            f"SELECT d.drow AS row, d.dcol AS col, COALESCE(r.value, -32768.0) AS value "
+            f"FROM d LEFT JOIN ras_a r USING (row, col)"
+        ),
+        "hist_eq": (
+            f"WITH ras_a AS ({_RAS_A_SQL}) SELECT row, col, "
+            f"CAST(FLOOR(CUME_DIST() OVER (ORDER BY value) * 255) AS DOUBLE) AS value FROM ras_a"
+        ),
+        "t_test": (
+            f"WITH {ras_a}, {ras_b}, j AS (SELECT a.value - b.value AS d "
+            f"FROM ras_a a JOIN ras_b b USING (row, col)), "
+            f"st AS (SELECT COUNT(*) AS n, SUM(d) AS s1, SUM(d * d) AS s2 FROM j) "
+            f"SELECT n, s1 / n AS mean_diff, "
+            f"(s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1) / n) AS t_stat FROM st"
+        ),
+        "ks_test": (
+            f"WITH {ras_a}, {ras_b}, "
+            f"u AS (SELECT value AS v, 1 AS ia, 0 AS ib FROM ras_a "
+            f"UNION ALL SELECT value, 0, 1 FROM ras_b), "
+            f"e AS (SELECT v, SUM(ia) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / 10000 AS fa, "
+            f"SUM(ib) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / 10000 AS fb FROM u), "
+            f"g AS (SELECT v, MAX(fa) AS fa, MAX(fb) AS fb FROM e GROUP BY v) "
+            f"SELECT MAX(ABS(fa - fb)) AS ks_d FROM g"
+        ),
+    }
+
+    out = ret2 | ret3 | {
         "r2v_polygons": r2v_oracle,
         "focal_mean": (
             f"WITH {ras_a}, {offs9}, {sc9}, "
@@ -1334,6 +1432,8 @@ def _vector_op_oracles() -> dict[str, str]:
             f"{pts_cte} SELECT record_num, x, y, value FROM pts "
             f"WHERE value >= 200.0 AND value <= 600.0"
         ),
+        "smooth_vectors": _smooth_vectors_oracle(),
+        "line_intersections": _line_intersections_oracle(),
         "media_features": _media_features_oracle(),
         "lineage_resume": (
             f"{pts_cte}, t AS (SELECT {TL.tile_exprs(_TG)['tile_id']} AS tile_id FROM pts) "
@@ -1341,6 +1441,60 @@ def _vector_op_oracles() -> dict[str, str]:
             f"'COMPLETED' AS status, COUNT(*) AS \"rows\" FROM t GROUP BY 1"
         ),
     }
+
+
+def _smooth_vectors_oracle() -> str:
+    """Wraparound 3-point moving average over the open ring (4 vertices
+    for the rect/diamond layer), node list re-closed at index 5."""
+    rings = (f"WITH base AS ({_SHAPES_BASE}), "
+             f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+             f"ELSE {_DIAM_DUCK} END AS ring FROM base), "
+             f"o AS (SELECT shape_id, list_transform(range(1, len(ring)), i -> ring[i]) AS op FROM rs)")
+    ie = "(CASE WHEN v.i = 5 THEN 1 ELSE v.i END)"
+    prev = f"op[(({ie} - 2 + len(op)) % len(op)) + 1]"
+    cur = f"op[(({ie} - 1 + len(op)) % len(op)) + 1]"
+    nxt = f"op[({ie} % len(op)) + 1]"
+    return (
+        f"{rings} SELECT shape_id, CAST(0 AS INT) AS part_idx, CAST(v.i - 1 AS INT) AS node_idx, "
+        f"({prev}.x + {cur}.x + {nxt}.x) / 3.0 AS x, "
+        f"({prev}.y + {cur}.y + {nxt}.y) / 3.0 AS y "
+        f"FROM o JOIN (VALUES (1), (2), (3), (4), (5)) v(i) ON TRUE"
+    )
+
+
+def _line_intersections_oracle() -> str:
+    """Segment pairs: derived shape edges x the fixed polygon layer's
+    edges (ring constants), same t/u closed-form solve."""
+    seg_rows = []
+    for pid, shells, holes in _POLYS:
+        for ring in shells + holes:
+            for si, ((x1, y1), (x2, y2)) in enumerate(zip(ring[:-1], ring[1:])):
+                seg_rows.append(f"({pid}, {si}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    bsegs = ("bsegs AS (SELECT * FROM (VALUES " + ", ".join(seg_rows)
+             + ") s(b_id, b_seg, bx1, by1, bx2, by2))")
+    asegs = (
+        f"base AS ({_SHAPES_BASE}), "
+        f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+        f"ELSE {_DIAM_DUCK} END AS ring FROM base), "
+        f"asegs AS (SELECT shape_id AS a_id, CAST(s.i - 1 AS BIGINT) AS a_seg, "
+        f"ring[s.i].x AS ax1, ring[s.i].y AS ay1, ring[s.i + 1].x AS ax2, ring[s.i + 1].y AS ay2 "
+        f"FROM rs JOIN (VALUES (1), (2), (3), (4)) s(i) ON TRUE)"
+    )
+    den = "((ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1))"
+    t = f"(((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / {den})"
+    u = f"(((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1)) / {den})"
+    return (
+        f"WITH {asegs}, {bsegs}, "
+        f"cand AS (SELECT * FROM asegs JOIN bsegs ON "
+        f"LEAST(ax1, ax2) <= GREATEST(bx1, bx2) AND GREATEST(ax1, ax2) >= LEAST(bx1, bx2) "
+        f"AND LEAST(ay1, ay2) <= GREATEST(by1, by2) AND GREATEST(ay1, ay2) >= LEAST(by1, by2) "
+        f"WHERE {den} <> 0.0), "
+        f"sol AS (SELECT a_id, a_seg, b_id, b_seg, {t} AS t, {u} AS u, "
+        f"ax1 + ({t}) * (ax2 - ax1) AS ix, ay1 + ({t}) * (ay2 - ay1) AS iy FROM cand) "
+        f"SELECT a_id, a_seg, CAST(b_id AS BIGINT) AS b_id, CAST(b_seg AS BIGINT) AS b_seg, "
+        f"t, u, ix, iy FROM sol "
+        f"WHERE t >= 0.0 AND t <= 1.0 AND u >= 0.0 AND u <= 1.0"
+    )
 
 
 def _media_features_oracle() -> str:

@@ -391,6 +391,86 @@ def map_algebra_const(a: DataFrame, op: str, const: float, const_side: str = "ri
     return a.selectExpr("row", "col", f"({expr}) AS value")
 
 
+def mosaic(layers: list[DataFrame]) -> DataFrame:
+    """Mosaic (image_analysis/mosaic.rs nearest/last semantics over
+    aligned grids): later layers overwrite earlier where they overlap."""
+    from functools import reduce
+
+    stacked = [
+        df.selectExpr("row", "col", "value AS v", f"{i} AS li")
+        for i, df in enumerate(layers)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), stacked)
+    return u.groupBy("row", "col").agg(F.expr("MAX_BY(v, li)").alias("value"))
+
+
+def resample_nearest(cells: DataFrame, src: GridMeta, dst: GridMeta) -> DataFrame:
+    """Resample (image_analysis/resample.rs, nearest-neighbour method):
+    each destination cell reads the source cell containing its center."""
+    from .knn import grid_cells_df
+
+    dcells = grid_cells_df(cells.sparkSession, dst, qid="__q").selectExpr(
+        "row AS drow", "col AS dcol", "x", "y"
+    )
+    mapped = dcells.selectExpr(
+        "drow", "dcol",
+        f"{src.row_from_y_expr('y')} AS row",
+        f"{src.col_from_x_expr('x')} AS col",
+    )
+    out = mapped.join(cells, ["row", "col"], "left")
+    return out.selectExpr("drow AS row", "dcol AS col",
+                          f"COALESCE(value, {src.nodata!r}) AS value")
+
+
+def histogram_equalization(cells: DataFrame, num_tones: int = 256) -> DataFrame:
+    """HistogramEqualization (image_analysis/histogram_equalization.rs
+    semantics): value -> floor(cdf * (tones-1)), cdf from the exact
+    empirical distribution (cume_dist)."""
+    w = Window.orderBy("value")
+    return cells.select(
+        "row", "col",
+        F.expr(f"CAST(FLOOR(CUME_DIST() OVER (ORDER BY value) * {num_tones - 1}) AS DOUBLE)")
+        .alias("value"),
+    )
+
+
+def paired_t_test(a: DataFrame, b: DataFrame) -> DataFrame:
+    """PairedSampleTTest (math_stat_analysis/paired_sample_t_test.rs):
+    t = mean(d) / sqrt(var(d)/n) over per-cell differences, via exact
+    moment sums (integer-valued inputs -> bit-deterministic)."""
+    j = a.select("row", "col", F.col("value").alias("x")).join(
+        b.select("row", "col", F.col("value").alias("y")), ["row", "col"], "inner"
+    ).selectExpr("x - y AS d")
+    return j.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d").alias("s1"),
+        F.sum(F.expr("d * d")).alias("s2"),
+    ).selectExpr(
+        "n",
+        "s1 / n AS mean_diff",
+        "(s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1) / n) AS t_stat",
+    )
+
+
+def ks_test(a: DataFrame, b: DataFrame) -> DataFrame:
+    """TwoSampleKsTest statistic (math_stat_analysis/two_sample_ks_test.rs):
+    D = max |ECDF_a - ECDF_b| over the combined sample — exact count
+    ratios, bit-deterministic."""
+    na = a.count()
+    nb = b.count()
+    u = a.selectExpr("value AS v", "1 AS ia", "0 AS ib").unionByName(
+        b.selectExpr("value AS v", "0 AS ia", "1 AS ib")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = u.select(
+        "v",
+        (F.sum("ia").over(w) / F.lit(na)).alias("fa"),
+        (F.sum("ib").over(w) / F.lit(nb)).alias("fb"),
+    )
+    # ties: evaluate at the last row of each tie group (true ECDF value)
+    g = ecdf.groupBy("v").agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    return g.agg(F.max(F.expr("ABS(fa - fb)")).alias("ks_d"))
+
+
 def list_unique_values(cells: DataFrame) -> DataFrame:
     """ListUniqueValues: distinct cell values with counts
     (math_stat_analysis/list_unique_values.rs)."""

@@ -143,6 +143,69 @@ def features_to_segments(features: DataFrame, id_col: str = "shape_id") -> DataF
     )
 
 
+def smooth_vectors(features: DataFrame, filter_size: int = 3,
+                   id_col: str = "shape_id") -> DataFrame:
+    """SmoothVectors (gis_analysis/smooth_vectors.rs): moving average of
+    ring vertices; closed rings wrap around the seam. Pure HOF SQL —
+    the (2m+1)-term sum folds left in neighbor order (j = -m..m), so
+    doubles reproduce bit-for-bit on any engine."""
+    m = filter_size // 2
+    k = 2 * m + 1
+    # slice the ring open (drop the duplicated closing vertex), smooth
+    # with wraparound indexing, then re-close with the first smoothed
+    # vertex (the SEQUENCE(1,1) tail re-emits i=1)
+    expr = (
+        "TRANSFORM(parts, p -> STRUCT(p.part_idx AS part_idx, p.is_hole AS is_hole, "
+        "CONCAT("
+        "  TRANSFORM(SEQUENCE(1, SIZE(SLICE(p.ring, 1, SIZE(p.ring) - 1))), i -> "
+        "    STRUCT((__TX__) / __K__ AS x, (__TY__) / __K__ AS y)), "
+        "  TRANSFORM(SEQUENCE(1, 1), i -> "
+        "    STRUCT((__TX__) / __K__ AS x, (__TY__) / __K__ AS y))"
+        ") AS ring))"
+    )
+    tx = " + ".join(
+        f"ELEMENT_AT(SLICE(p.ring, 1, SIZE(p.ring) - 1), "
+        f"((i + {j} - 1 + SIZE(p.ring) - 1) % (SIZE(p.ring) - 1)) + 1).x"
+        for j in range(-m, m + 1)
+    )
+    ty = " + ".join(
+        f"ELEMENT_AT(SLICE(p.ring, 1, SIZE(p.ring) - 1), "
+        f"((i + {j} - 1 + SIZE(p.ring) - 1) % (SIZE(p.ring) - 1)) + 1).y"
+        for j in range(-m, m + 1)
+    )
+    expr = expr.replace("__TX__", tx).replace("__TY__", ty).replace("__K__", repr(float(k)))
+    return features.selectExpr(id_col, f"{expr} AS parts")
+
+
+def line_intersections(segs_a: DataFrame, segs_b: DataFrame) -> DataFrame:
+    """LineIntersections (gis_analysis/line_intersections.rs;
+    kernel find_line_intersections, algorithms/line_ops.rs): proper
+    segment-pair intersection points. Inputs: (id, seg_idx, x1, y1,
+    x2, y2) per layer; output one row per intersecting pair with the
+    intersection coordinates.
+
+    Plan: bbox prefilter as the join condition (codegen range join,
+    AQE-planned), then the closed-form t/u solve as column math."""
+    a = segs_a.selectExpr("shape_id AS a_id", "seg_idx AS a_seg",
+                          "x1 AS ax1", "y1 AS ay1", "x2 AS ax2", "y2 AS ay2")
+    b = segs_b.selectExpr("shape_id AS b_id", "seg_idx AS b_seg",
+                          "x1 AS bx1", "y1 AS by1", "x2 AS bx2", "y2 AS by2")
+    cond = (
+        "LEAST(ax1, ax2) <= GREATEST(bx1, bx2) AND GREATEST(ax1, ax2) >= LEAST(bx1, bx2) "
+        "AND LEAST(ay1, ay2) <= GREATEST(by1, by2) AND GREATEST(ay1, ay2) >= LEAST(by1, by2)"
+    )
+    cand = a.join(b, F.expr(cond), "inner")
+    den = "((ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1))"
+    t = f"(((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / {den})"
+    u = f"(((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1)) / {den})"
+    return cand.where(F.expr(f"{den} <> 0.0")).selectExpr(
+        "a_id", "a_seg", "b_id", "b_seg",
+        f"{t} AS t", f"{u} AS u",
+        f"ax1 + ({t}) * (ax2 - ax1) AS ix",
+        f"ay1 + ({t}) * (ay2 - ay1) AS iy",
+    ).where("t >= 0.0 AND t <= 1.0 AND u >= 0.0 AND u <= 1.0")
+
+
 def convex_hull(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
     """Per-feature convex hull (Andrew monotone chain over all vertices),
     as a batched pandas transform (algorithms/convex_hull.rs analog).
