@@ -852,6 +852,16 @@ def _q_lineage_resume(spark, sf):
     return spark.createDataFrame(rows, "partition_key string, status string, rows bigint")
 
 
+def _q_tin_gridding(spark, sf):
+    """TIN interpolation (per-tile Delaunay + halo). Rows-only: TIN
+    values depend on triangulation choice at co-circular sites; the
+    exact contract (linear surfaces reproduce bit-near-exactly) is
+    pytest-gated."""
+    from whitebox_tools_spark.operators.tin import tin_gridding
+
+    return tin_gridding(_points(spark, sf), _META40, tile=20)
+
+
 def _q_knn_wbt(spark, sf):
     """WBT-parity approximate kNN (early-stop shell expansion) — not
     SQL-expressible (procedural early stop); rows-only check."""
@@ -966,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
         "embedding_dups": _q_embedding_dups,
+        "tin_gridding": _q_tin_gridding,
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,
     }
