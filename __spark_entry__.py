@@ -794,6 +794,32 @@ def _q_extract_streams(spark, sf):
     return HY.extract_streams(_ras(spark, sf, "a"), _META100, 5.0)
 
 
+def _q_block_max(spark, sf):
+    return LI.block_maximum(_points(spark, sf), _META100)
+
+
+def _q_point_density(spark, sf):
+    return LI.point_density(_points(spark, sf), _META100)
+
+
+def _q_hag(spark, sf):
+    out = LI.normalize_by_cell_min(_points(spark, sf), 40.0)
+    return out.select("record_num", "hag")
+
+
+def _q_medoid(spark, sf):
+    pts = _points(spark, sf).selectExpr("*", "record_num % 7 AS grp")
+    return VO.medoid_points(pts, "grp")
+
+
+def _q_focal_pct25(spark, sf):
+    return FO.focal_percentile(_ras(spark, sf, "a"), 0.25, 1)
+
+
+def _q_raster_area(spark, sf):
+    return R.raster_area(_ras(spark, sf, "a"), _META100)
+
+
 def _q_lidar_thin(spark, sf):
     return LI.lidar_thin(_points(spark, sf), 40.0)
 
@@ -946,6 +972,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_accum": _q_d8_accum,
         "d8_basins": _q_d8_basins,
         "extract_streams": _q_extract_streams,
+        "block_max": _q_block_max,
+        "point_density": _q_point_density,
+        "hag": _q_hag,
+        "medoid": _q_medoid,
+        "focal_pct25": _q_focal_pct25,
+        "raster_area": _q_raster_area,
         "lidar_thin": _q_lidar_thin,
         "elevation_slice": _q_elevation_slice,
         "media_features": _q_media_features,
@@ -1193,6 +1225,12 @@ def _raster_op_oracles() -> dict[str, str]:
             f"g AS (SELECT row, col, {med} AS value FROM sc GROUP BY 1, 2) "
             f"SELECT g.row, g.col, g.value FROM g JOIN (SELECT row, col FROM ras_a) c USING (row, col)"
         ),
+        "focal_pct25": (
+            f"WITH {ras_a}, {offs9}, {sc9}, "
+            f"g AS (SELECT row, col, (list_sort(list(nv)))"
+            f"[CAST(FLOOR((COUNT(nv) - 1) * 0.25) AS INT) + 1] AS value FROM sc GROUP BY 1, 2) "
+            f"SELECT g.row, g.col, g.value FROM g JOIN (SELECT row, col FROM ras_a) c USING (row, col)"
+        ),
         "focal_majority": (
             f"WITH {ras_a}, {offs9}, {sc9}, "
             f"cnt AS (SELECT row, col, nv, COUNT(*) AS c FROM sc GROUP BY 1, 2, 3), "
@@ -1418,6 +1456,8 @@ def _vector_op_oracles() -> dict[str, str]:
     pts_cte = f"WITH pts AS ({_PTS_SQL})"
     cx40 = frs_cell_expr("x", 40.0)
     cy40 = frs_cell_expr("y", 40.0)
+    r100y = _META100.row_from_y_expr("y")
+    c100x = _META100.col_from_x_expr("x")
     return {
         "poly_area_vec": f"{rings} SELECT shape_id, (0.0 + {area}) AS area FROM rs",
         "poly_perimeter_vec": f"{rings} SELECT shape_id, (0.0 + {per}) AS perimeter FROM rs",
@@ -1443,6 +1483,25 @@ def _vector_op_oracles() -> dict[str, str]:
             f"{pts_cte} SELECT record_num, x, y, value FROM pts "
             f"WHERE value >= 200.0 AND value <= 600.0"
         ),
+        "block_max": (
+            f"{pts_cte}, rc AS (SELECT {r100y} AS row, {c100x} AS col, value FROM pts) "
+            f"SELECT row, col, MAX(value) AS value FROM rc "
+            f"WHERE row >= 0 AND row < 100 AND col >= 0 AND col < 100 GROUP BY 1, 2"
+        ),
+        "point_density": (
+            f"{pts_cte}, rc AS (SELECT {r100y} AS row, {c100x} AS col FROM pts) "
+            f"SELECT row, col, CAST(COUNT(*) AS DOUBLE) / 100.0 AS value FROM rc "
+            f"WHERE row >= 0 AND row < 100 AND col >= 0 AND col < 100 GROUP BY 1, 2"
+        ),
+        "hag": (
+            f"{pts_cte}, b AS (SELECT record_num, value, {cx40} AS cx, {cy40} AS cy FROM pts) "
+            f"SELECT record_num, value - MIN(value) OVER (PARTITION BY cx, cy) AS hag FROM b"
+        ),
+        "medoid": _medoid_oracle(),
+        "raster_area": (
+            f"WITH ras_a AS ({_RAS_A_SQL}) SELECT value, "
+            f"CAST(COUNT(*) AS DOUBLE) * 100.0 AS area FROM ras_a GROUP BY 1"
+        ),
         "smooth_vectors": _smooth_vectors_oracle(),
         "line_intersections": _line_intersections_oracle(),
         "media_features": _media_features_oracle(),
@@ -1452,6 +1511,30 @@ def _vector_op_oracles() -> dict[str, str]:
             f"'COMPLETED' AS status, COUNT(*) AS \"rows\" FROM t GROUP BY 1"
         ),
     }
+
+
+def _medoid_oracle() -> str:
+    """Per-group medoid: ordered centroid fold + first-minimum distance
+    scan, DuckDB list folds mirroring the Spark AGGREGATE text."""
+    pts_sorted = "list_sort(list({'rn': record_num, 'px': x, 'py': y}))"
+    cx = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(pts, p -> p.px)), (a, b) -> a + b) / CAST(len(pts) AS DOUBLE)")
+    cy = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(pts, p -> p.py)), (a, b) -> a + b) / CAST(len(pts) AS DOUBLE)")
+    best = (
+        "list_reduce(list_prepend("
+        "{'d': CAST('Infinity' AS DOUBLE), 'rn': CAST(-1 AS BIGINT), "
+        "'px': CAST(0.0 AS DOUBLE), 'py': CAST(0.0 AS DOUBLE)}, "
+        "list_transform(pts, p -> {'d': (p.px - cx) * (p.px - cx) + (p.py - cy) * (p.py - cy), "
+        "'rn': p.rn, 'px': p.px, 'py': p.py})), "
+        "(a, b) -> CASE WHEN b.d < a.d THEN b ELSE a END)"
+    )
+    return (
+        f"WITH pts0 AS ({_PTS_SQL}), "
+        f"g AS (SELECT record_num % 7 AS grp, {pts_sorted} AS pts FROM pts0 GROUP BY 1), "
+        f"g2 AS (SELECT grp, pts, {cx} AS cx, {cy} AS cy FROM g) "
+        f"SELECT grp, ({best}).rn AS medoid_record, ({best}).px AS x, ({best}).py AS y FROM g2"
+    )
 
 
 def _smooth_vectors_oracle() -> str:

@@ -86,6 +86,17 @@ def focal_stat(cells: DataFrame, stat: str, radius: int = 1,
     return out.join(cells.select("row", "col"), ["row", "col"], "leftsemi")
 
 
+def focal_percentile(cells: DataFrame, p: float, radius: int = 1) -> DataFrame:
+    """PercentileFilter (image_analysis/percentile_filter.rs semantics):
+    the window value at sorted index floor((n-1)*p) (0-based) —
+    deterministic nearest-rank rule."""
+    scattered = _scatter(cells, radius)
+    agg = (f"ELEMENT_AT(ARRAY_SORT(COLLECT_LIST(nv)), "
+           f"CAST(FLOOR((COUNT(nv) - 1) * {p!r}) AS INT) + 1)")
+    out = scattered.groupBy("row", "col").agg(F.expr(agg).alias("value"))
+    return out.join(cells.select("row", "col"), ["row", "col"], "leftsemi")
+
+
 def majority_filter(cells: DataFrame, radius: int = 1) -> DataFrame:
     """MajorityFilter: modal value of the window; ties resolve to the
     smallest value (deterministic)."""

@@ -55,6 +55,56 @@ def lidar_thin(points: DataFrame, resolution: float,
     )
 
 
+def block_maximum(points: DataFrame, meta, value_col: str = "value",
+                  x: str = "x", y: str = "y") -> DataFrame:
+    """BlockMaximumGridding (gis_analysis/block_maximum.rs +
+    lidar_analysis variant): per-cell max of point values."""
+    return points.selectExpr(
+        f"{meta.row_from_y_expr(y)} AS row",
+        f"{meta.col_from_x_expr(x)} AS col",
+        f"{value_col} AS v",
+    ).where(F.expr(meta.in_grid_pred("row", "col"))).groupBy("row", "col") \
+     .agg(F.max("v").alias("value"))
+
+
+def block_minimum(points: DataFrame, meta, value_col: str = "value",
+                  x: str = "x", y: str = "y") -> DataFrame:
+    """BlockMinimumGridding."""
+    return points.selectExpr(
+        f"{meta.row_from_y_expr(y)} AS row",
+        f"{meta.col_from_x_expr(x)} AS col",
+        f"{value_col} AS v",
+    ).where(F.expr(meta.in_grid_pred("row", "col"))).groupBy("row", "col") \
+     .agg(F.min("v").alias("value"))
+
+
+def point_density(points: DataFrame, meta, x: str = "x", y: str = "y") -> DataFrame:
+    """LidarPointDensity (lidar_analysis/lidar_point_density.rs):
+    points per unit area per cell."""
+    cell_area = meta.resolution_x * meta.resolution_y
+    return points.selectExpr(
+        f"{meta.row_from_y_expr(y)} AS row",
+        f"{meta.col_from_x_expr(x)} AS col",
+    ).where(F.expr(meta.in_grid_pred("row", "col"))).groupBy("row", "col") \
+     .agg(F.expr(f"CAST(COUNT(*) AS DOUBLE) / {cell_area!r}").alias("value"))
+
+
+def normalize_by_cell_min(points: DataFrame, resolution: float,
+                          z_col: str = "value",
+                          x: str = "x", y: str = "y") -> DataFrame:
+    """Height-above-ground normalization, simplified ground model:
+    ground = per-cell minimum z (HeightAboveGround /
+    lidar_analysis/normalize_lidar semantics with a min-z ground
+    surface). Output: input rows with `hag` appended."""
+    binned = with_frs_cells(points, resolution, x=x, y=y)
+    mins = binned.groupBy("cx", "cy").agg(F.min(z_col).alias("__gmin"))
+    return (
+        binned.join(mins, ["cx", "cy"], "left")
+        .withColumn("hag", F.col(z_col) - F.col("__gmin"))
+        .drop("cx", "cy", "__gmin")
+    )
+
+
 def lidar_join(clouds: list[DataFrame]) -> DataFrame:
     """LidarJoin: bag union of point clouds."""
     return reduce(lambda a, b: a.unionByName(b), clouds)

@@ -477,6 +477,15 @@ def list_unique_values(cells: DataFrame) -> DataFrame:
     return cells.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
 
 
+def raster_area(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """RasterArea (gis_analysis/raster_area.rs): area per class value
+    (cell count x cell area)."""
+    cell_area = meta.resolution_x * meta.resolution_y
+    return cells.groupBy("value").agg(
+        F.expr(f"CAST(COUNT(*) AS DOUBLE) * {cell_area!r}").alias("area")
+    )
+
+
 def z_scores_exact(cells: DataFrame) -> DataFrame:
     """ZScores via explicit moment sums (zscores.rs semantics).
 

@@ -127,6 +127,32 @@ def multi_part_to_single_part(features: DataFrame, id_col: str = "shape_id") -> 
     )
 
 
+def medoid_points(points: DataFrame, group_col: str,
+                  x: str = "x", y: str = "y",
+                  order_col: str = "record_num") -> DataFrame:
+    """Medoid (gis_analysis/medoid.rs): the input point nearest the
+    group centroid. Centroid sums fold in record order (deterministic
+    float accumulation); distance ties resolve to the lowest record."""
+    pts_sorted = f"ARRAY_SORT(COLLECT_LIST(STRUCT({order_col} AS rn, {x} AS px, {y} AS py)))"
+    g = points.groupBy(group_col).agg(F.expr(pts_sorted).alias("pts"))
+    g = g.selectExpr(
+        group_col, "pts",
+        "AGGREGATE(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.px) / CAST(SIZE(pts) AS DOUBLE) AS cx",
+        "AGGREGATE(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.py) / CAST(SIZE(pts) AS DOUBLE) AS cy",
+    )
+    best = (
+        "AGGREGATE(pts, NAMED_STRUCT('d', CAST('Infinity' AS DOUBLE), "
+        "'rn', CAST(-1 AS BIGINT), 'px', CAST(0.0 AS DOUBLE), 'py', CAST(0.0 AS DOUBLE)), "
+        "(acc, p) -> IF((p.px - cx) * (p.px - cx) + (p.py - cy) * (p.py - cy) < acc.d, "
+        "NAMED_STRUCT('d', (p.px - cx) * (p.px - cx) + (p.py - cy) * (p.py - cy), "
+        "'rn', p.rn, 'px', p.px, 'py', p.py), acc))"
+    )
+    return g.selectExpr(
+        group_col, f"({best}).rn AS medoid_record",
+        f"({best}).px AS x", f"({best}).py AS y",
+    )
+
+
 def features_to_segments(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
     """One row per ring edge (PolygonsToLines analog + the input shape
     for VectorLinesToRaster): (id, part_idx, seg_idx, x1, y1, x2, y2)."""
