@@ -71,6 +71,12 @@ _RAS_B_SQL = (
     "CAST(MAX(event_id) % 7 AS DOUBLE) AS value FROM events GROUP BY 1, 2"
 )
 
+# small 40x40 raster for the iterative fixpoint operators (gate-time bound)
+_RAS_C_SQL = (
+    "SELECT (event_id % 40) AS row, (CAST(FLOOR(event_id / 40) AS BIGINT) % 40) AS col, "
+    "CAST(MAX(event_id) % 100 AS DOUBLE) AS value FROM events GROUP BY 1, 2"
+)
+
 _TABLES_NEEDED = {"events", "documents", "embeddings"}
 
 
@@ -778,6 +784,40 @@ def _q_snap_pour(spark, sf):
     return HY.snap_pour_points(pour, ras, snap_cells=2)
 
 
+_META40C = GridMeta(rows=40, columns=40, north=400.0, south=0.0, east=400.0,
+                    west=0.0, resolution_x=10.0, resolution_y=10.0)
+
+
+def _ras_c(spark, sf):
+    _reg(spark, sf, "events")
+    return spark.sql(_RAS_C_SQL)
+
+
+def _q_fill_depressions(spark, sf):
+    """Planchon-Darboux fixpoint — rows-only (fixpoints aren't
+    recursive-CTE-expressible; exact equality vs the numpy reference is
+    pytest-gated)."""
+    return HY.fill_depressions(_ras_c(spark, sf), _META40C)
+
+
+def _q_flowpath_length(spark, sf):
+    """Pointer-doubling path distances sum in tree order (differs from
+    a sequential walk in the last ulp) — rows-only."""
+    return HY.downslope_flowpath_length(_ras_c(spark, sf), _META40C)
+
+
+def _q_wetness(spark, sf):
+    """ln() is not guaranteed bit-identical across libm — rows-only."""
+    return HY.wetness_index(_ras_c(spark, sf), _META40C)
+
+
+def _q_cost_distance(spark, sf):
+    """Bellman-Ford relaxation; float add order varies across rounds —
+    rows-only (pytest-gated vs Dijkstra)."""
+    cost = _ras_c(spark, sf).selectExpr("row", "col", "value + 1.0 AS value")
+    return HY.cost_distance(cost, _META40C, "value < 6.0")
+
+
 def _q_d8_pointer(spark, sf):
     return HY.d8_pointer(_ras(spark, sf, "a"), _META100)
 
@@ -968,6 +1008,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emboss": _q_emboss,
         "watershed": _q_watershed,
         "snap_pour": _q_snap_pour,
+        "fill_depressions": _q_fill_depressions,
+        "flowpath_length": _q_flowpath_length,
+        "wetness": _q_wetness,
+        "cost_distance": _q_cost_distance,
         "d8_pointer": _q_d8_pointer,
         "d8_accum": _q_d8_accum,
         "d8_basins": _q_d8_basins,

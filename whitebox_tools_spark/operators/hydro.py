@@ -249,6 +249,147 @@ def watershed(cells: DataFrame, meta: GridMeta, outlets: DataFrame,
     return res
 
 
+def fill_depressions(cells: DataFrame, meta: GridMeta,
+                     max_rounds: int = 128) -> DataFrame:
+    """FillDepressionsPlanchonAndDarboux
+    (hydro_analysis/fill_depressions_planchon_and_darboux.rs semantics):
+    the unique fixpoint W of  W(c) = max(z(c), min over 8-neighbors of
+    W(n))  with W = z on the raster border — water drains iff it can
+    reach the edge monotonically.
+
+    Spark plan: Jacobi iteration of that fixpoint — each round is one
+    scatter + hash agg; W only decreases and converges in O(depression
+    diameter) rounds (dendritic terrain: tens). Convergence is checked
+    with a changed-count and lineage truncated per round. For
+    continent-scale DEMs swap in tile-local priority-flood with border
+    label exchange (Barnes 2016) — same fixpoint, fewer rounds.
+    """
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    pairs = ", ".join(f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol)" for dr, dc in offs)
+    border = (f"(row = 0 OR col = 0 OR row = {meta.rows - 1} OR col = {meta.columns - 1})")
+    w = cells.selectExpr(
+        "row", "col", "value AS z",
+        f"CASE WHEN {border} THEN value ELSE CAST('Infinity' AS DOUBLE) END AS w",
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        scattered = w.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+            "__n.nrow AS row", "__n.ncol AS col", "w AS nw"
+        )
+        nmin = scattered.groupBy("row", "col").agg(F.min("nw").alias("nmin"))
+        new = w.join(nmin, ["row", "col"], "left").selectExpr(
+            "row", "col", "z",
+            f"CASE WHEN {border} THEN z ELSE GREATEST(z, LEAST(w, COALESCE(nmin, w))) END AS w",
+        )
+        changed = new.alias("n").join(w.alias("o"), ["row", "col"]) \
+                     .where("n.w <> o.w").count()
+        w = new.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return w.selectExpr("row", "col", "w AS value")
+
+
+def downslope_flowpath_length(cells: DataFrame, meta: GridMeta,
+                              max_doublings: int = 24) -> DataFrame:
+    """DownslopeFlowpathLength (terrain_analysis/downslope_flowpath_length.rs
+    semantics): map-unit distance along the D8 flow path from each cell
+    to its terminal cell. Pointer-doubling with additive distances."""
+    import math
+
+    c = meta.columns
+    diag = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    lengths = [diag, meta.resolution_x, diag, meta.resolution_y,
+               diag, meta.resolution_x, diag, meta.resolution_y]
+    ptr = d8_pointer(cells, meta)
+    larr = ", ".join(repr(v) for v in lengths)
+    e = ptr.where("value > 0").selectExpr(
+        f"(row * {c}L + col) AS id",
+        f"((row + CAST(ELEMENT_AT(ARRAY({', '.join(str(v) for v in D8_DY)}), CAST(LOG2(value) AS INT) + 1) AS BIGINT)) * {c}L "
+        f"+ (col + CAST(ELEMENT_AT(ARRAY({', '.join(str(v) for v in D8_DX)}), CAST(LOG2(value) AS INT) + 1) AS BIGINT))) AS nxt",
+        f"ELEMENT_AT(ARRAY({larr}), CAST(LOG2(value) AS INT) + 1) AS d",
+    )
+    nodes = ptr.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    state = nodes.join(e, "id", "left").selectExpr(
+        "id", "row", "col", "COALESCE(nxt, id) AS nxt", "COALESCE(d, 0.0) AS d"
+    ).localCheckpoint(eager=True)
+    for _ in range(max_doublings):
+        hop = state.selectExpr("id AS j_id", "nxt AS j_nxt", "d AS j_d")
+        new = state.join(hop, state["nxt"] == hop["j_id"], "left").selectExpr(
+            "id", "row", "col",
+            "COALESCE(j_nxt, nxt) AS nxt",
+            "d + COALESCE(j_d, 0.0) AS d",
+        )
+        changed = new.alias("n").join(state.alias("o"), "id").where("n.nxt <> o.nxt").count()
+        state = new.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return state.selectExpr("row", "col", "d AS value")
+
+
+def wetness_index(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """WetnessIndex (terrain_analysis/wetness_index.rs): ln(SCA / tan
+    beta); SCA = accumulation cells * cell area / cell size, slope from
+    the Florinsky fit (clamped at 0.001 like the reference's guard)."""
+    from .focal import focal_pivot5, _florinsky_pq
+
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    p, q = _florinsky_pq(res)
+    accum = d8_flow_accumulation(cells, meta)
+    sca = accum.selectExpr(
+        "row", "col",
+        f"value * {meta.resolution_x * meta.resolution_y!r} / {res!r} AS sca",
+    )
+    slope_tan = focal_pivot5(cells).selectExpr(
+        "row", "col", f"GREATEST(SQRT({p} * {p} + {q} * {q}), 0.001) AS tanb"
+    )
+    return sca.join(slope_tan, ["row", "col"]).selectExpr(
+        "row", "col", "LN(sca / tanb) AS value"
+    )
+
+
+def cost_distance(cost: DataFrame, meta: GridMeta, source_pred: str,
+                  max_rounds: int = 96) -> DataFrame:
+    """CostDistance (gis_analysis/cost_distance.rs semantics):
+    accumulated least cost from any source cell over the cost surface;
+    moving between cells costs (cost(a) + cost(b))/2 * distance.
+
+    Spark plan: Bellman-Ford-style relaxation over the 8-neighbor graph
+    — each round a cell adopts min(acc, min over neighbors(acc_n +
+    step)); converges in O(longest least-cost path in cells) rounds.
+    """
+    import math
+
+    diag = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    offs = [(-1, 0, meta.resolution_y), (1, 0, meta.resolution_y),
+            (0, -1, meta.resolution_x), (0, 1, meta.resolution_x),
+            (-1, -1, diag), (-1, 1, diag), (1, -1, diag), (1, 1, diag)]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol, {d!r} AS dist)"
+        for dr, dc, d in offs
+    )
+    state = cost.selectExpr(
+        "row", "col", "value AS c",
+        f"CASE WHEN {source_pred} THEN 0.0 ELSE CAST('Infinity' AS DOUBLE) END AS acc",
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        scattered = state.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+            "__n.nrow AS row", "__n.ncol AS col", "acc AS nacc", "c AS nc", "__n.dist AS dist"
+        )
+        relax = scattered.join(
+            state.selectExpr("row", "col", "c AS mc"), ["row", "col"], "inner"
+        ).groupBy("row", "col").agg(
+            F.min(F.expr("nacc + (nc + mc) / 2.0 * dist")).alias("cand")
+        )
+        new = state.join(relax, ["row", "col"], "left").selectExpr(
+            "row", "col", "c", "LEAST(acc, COALESCE(cand, acc)) AS acc"
+        )
+        changed = new.alias("n").join(state.alias("o"), ["row", "col"]) \
+                     .where("n.acc <> o.acc").count()
+        state = new.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return state.selectExpr("row", "col", "acc AS value")
+
+
 def extract_streams(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
     """ExtractStreams: 1.0 where flow accumulation >= threshold else 0.0."""
     accum = d8_flow_accumulation(cells, meta)
