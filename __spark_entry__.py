@@ -423,6 +423,68 @@ def _q_intersect_features(spark, sf):
     )
 
 
+def _shapes_redundant(spark, sf):
+    """The rect/diamond layer with exactly-collinear edge midpoints
+    inserted (9-vertex rings) — RDP must strip them back to the 5-vertex
+    originals (pure vertex selection, so the gate is exact)."""
+    _reg(spark, sf, "events")
+    base = spark.sql(_SHAPES_BASE)
+    def mid(ax, ay, bx, by):
+        return f"STRUCT(({ax} + {bx}) / 2.0 AS x, ({ay} + {by}) / 2.0 AS y)"
+    rect9 = ("ARRAY(STRUCT(cx - hw AS x, cy - hh AS y), "
+             + mid("cx - hw", "cy - hh", "cx + hw", "cy - hh") + ", "
+             "STRUCT(cx + hw AS x, cy - hh AS y), "
+             + mid("cx + hw", "cy - hh", "cx + hw", "cy + hh") + ", "
+             "STRUCT(cx + hw AS x, cy + hh AS y), "
+             + mid("cx + hw", "cy + hh", "cx - hw", "cy + hh") + ", "
+             "STRUCT(cx - hw AS x, cy + hh AS y), "
+             + mid("cx - hw", "cy + hh", "cx - hw", "cy - hh") + ", "
+             "STRUCT(cx - hw AS x, cy - hh AS y))")
+    diam9 = ("ARRAY(STRUCT(cx AS x, cy - hh AS y), "
+             + mid("cx", "cy - hh", "cx + hw", "cy") + ", "
+             "STRUCT(cx + hw AS x, cy AS y), "
+             + mid("cx + hw", "cy", "cx", "cy + hh") + ", "
+             "STRUCT(cx AS x, cy + hh AS y), "
+             + mid("cx", "cy + hh", "cx - hw", "cy") + ", "
+             "STRUCT(cx - hw AS x, cy AS y), "
+             + mid("cx - hw", "cy", "cx", "cy - hh") + ", "
+             "STRUCT(cx AS x, cy - hh AS y))")
+    return base.selectExpr(
+        "shape_id",
+        f"ARRAY(STRUCT(0 AS part_idx, FALSE AS is_hole, "
+        f"CASE WHEN kind = 0 THEN {rect9} ELSE {diam9} END AS ring)) AS parts",
+    )
+
+
+def _q_simplify_rdp(spark, sf):
+    """RDP simplification — rows-only (see oracle note: collinear ring
+    vertices may legally survive as split anchors)."""
+    simp = VO.simplify_features(_shapes_redundant(spark, sf), tolerance=0.001)
+    return VO.extract_nodes(simp)
+
+
+def _q_remove_duplicates(spark, sf):
+    pts = _points(spark, sf)
+    doubled = pts.unionByName(pts.selectExpr("record_num + 1000000 AS record_num",
+                                             "x", "y", "value"))
+    return LI.remove_duplicates(doubled)
+
+
+def _q_lidar_outliers(spark, sf):
+    return LI.lidar_outliers(_points(spark, sf), 80.0, 300.0).select("record_num")
+
+
+def _q_difference_features(spark, sf):
+    """Convex difference (half-plane decomposition) — interpolated
+    crossing vertices; rows-only, geometry pytest-gated by area
+    identities."""
+    from whitebox_tools_spark.operators.overlay_vector import difference_features
+
+    clip = _polygons_df(spark).selectExpr("polygon_id AS clip_id", "parts")
+    out = difference_features(_shapes(spark, sf), clip)
+    return out.selectExpr("shape_id", "clip_id", "SIZE(parts) AS n_parts")
+
+
 def _q_lines_to_raster(spark, sf):
     return R.lines_to_raster(_segments(spark, sf), _META100)
 
@@ -1029,6 +1091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r2v_polygons": _q_r2v_polygons,
         "clip_window": _q_clip_window,
         "intersect_features": _q_intersect_features,
+        "difference_features": _q_difference_features,
+        "simplify_rdp": _q_simplify_rdp,
+        "remove_duplicates": _q_remove_duplicates,
+        "lidar_outliers": _q_lidar_outliers,
         "lines_to_raster": _q_lines_to_raster,
         "focal_mean_ii": _q_focal_mean_ii,
         "join_tables": _q_join_tables,
@@ -1516,6 +1582,24 @@ def _vector_op_oracles() -> dict[str, str]:
             f"{rings} SELECT shape_id, CAST(0 AS INT) AS part_idx, CAST(i - 1 AS INT) AS node_idx, "
             f"ring[i].x AS x, ring[i].y AS y "
             f"FROM rs JOIN (VALUES (1), (2), (3), (4), (5)) v(i) ON TRUE"
+        ),
+        # simplify_rdp: rows-only — on closed rings a collinear vertex
+        # can legitimately become an RDP split anchor and survive, so
+        # the output vertex set isn't SQL-predictable; the kernel's
+        # contract (subset-of-input, straight chains collapse, corners
+        # kept) is pytest-gated.
+        "remove_duplicates": (
+            f"{pts_cte}, d AS (SELECT record_num, x, y, value FROM pts "
+            f"UNION ALL SELECT record_num + 1000000, x, y, value FROM pts), "
+            f"r AS (SELECT record_num, x, y, value, ROW_NUMBER() OVER "
+            f"(PARTITION BY x, y ORDER BY record_num) AS rk FROM d) "
+            f"SELECT record_num, x, y, value FROM r WHERE rk = 1"
+        ),
+        "lidar_outliers": (
+            f"{pts_cte}, b AS (SELECT record_num, value, "
+            f"{frs_cell_expr('x', 80.0)} AS cx, {frs_cell_expr('y', 80.0)} AS cy FROM pts), "
+            f"m AS (SELECT record_num, value, AVG(value) OVER (PARTITION BY cx, cy) AS mz FROM b) "
+            f"SELECT record_num FROM m WHERE ABS(value - mz) <= 300.0"
         ),
         "lidar_thin": (
             f"{pts_cte}, b AS (SELECT record_num, x, y, value, {cx40} AS cx, {cy40} AS cy FROM pts), "

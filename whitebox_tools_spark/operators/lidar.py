@@ -110,6 +110,29 @@ def lidar_join(clouds: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), clouds)
 
 
+def remove_duplicates(points: DataFrame, x: str = "x", y: str = "y",
+                      order_col: str = "record_num") -> DataFrame:
+    """RemoveDuplicates (lidar_analysis/remove_duplicates.rs): drop
+    points with exactly equal coordinates, keeping the first by record
+    order."""
+    keep = points.groupBy(x, y).agg(F.expr(f"MIN({order_col})").alias(order_col))
+    return points.join(keep, [x, y, order_col], "inner")
+
+
+def lidar_outliers(points: DataFrame, resolution: float, threshold: float,
+                   z_col: str = "value", x: str = "x", y: str = "y",
+                   remove: bool = True) -> DataFrame:
+    """LidarOutliers-style residual filter (lidar_analysis/
+    lidar_outliers.rs semantics, FRS-cell neighborhood model): a point
+    is an outlier when |z - mean(cell z)| exceeds the threshold."""
+    binned = with_frs_cells(points, resolution, x=x, y=y)
+    stats = binned.groupBy("cx", "cy").agg(F.avg(z_col).alias("__mz"))
+    j = binned.join(stats, ["cx", "cy"], "left")
+    pred = F.expr(f"ABS({z_col} - __mz) <= {threshold!r}")
+    out = j.where(pred if remove else ~pred)
+    return out.drop("cx", "cy", "__mz")
+
+
 def eliminate_coincident_points(points: DataFrame, tolerance: float,
                                 x: str = "x", y: str = "y",
                                 order_col: str = "record_num") -> DataFrame:

@@ -121,6 +121,46 @@ def clip_ring_convex(ring: list, clip_ring: list) -> list:
     return r + [r[0]]
 
 
+def difference_ring_convex(ring: list, clip_ring: list) -> list[list]:
+    """subject \\ convex clip, decomposed into disjoint convex-clippable
+    pieces: piece_i = subject ∩ H_1 ∩ ... ∩ H_{i-1} ∩ ¬H_i over the clip
+    edges' interior half-planes (Difference semantics,
+    gis_analysis/difference.rs, for a convex eraser)."""
+    r0 = ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else list(ring)
+    c = clip_ring[:-1] if clip_ring[0] == clip_ring[-1] else list(clip_ring)
+    area2 = sum(c[i][0] * c[(i + 1) % len(c)][1] - c[(i + 1) % len(c)][0] * c[i][1]
+                for i in range(len(c)))
+    sign = 1.0 if area2 > 0 else -1.0
+
+    def halfplane(i):
+        (ex1, ey1), (ex2, ey2) = c[i], c[(i + 1) % len(c)]
+
+        def val(p):
+            return sign * ((ex2 - ex1) * (p[1] - ey1) - (p[0] - ex1) * (ey2 - ey1))
+
+        def ix(p, q):
+            (x1, y1), (x2, y2) = p, q
+            dcx, dcy = ex2 - ex1, ey2 - ey1
+            dsx, dsy = x2 - x1, y2 - y1
+            denom = dcx * dsy - dcy * dsx
+            t = (dcx * (ey1 - y1) - dcy * (ex1 - x1)) / denom
+            return (x1 + t * dsx, y1 + t * dsy)
+
+        return val, ix
+
+    pieces = []
+    current = r0  # subject ∩ H_1..H_{i-1}
+    for i in range(len(c)):
+        val, ix = halfplane(i)
+        outside = _clip_ring_halfplane(current, lambda p: val(p) <= 0.0, ix)
+        if len(outside) >= 3:
+            pieces.append(outside + [outside[0]])
+        current = _clip_ring_halfplane(current, lambda p: val(p) >= 0.0, ix)
+        if not current:
+            break
+    return pieces
+
+
 def _parts_to_rows(parts):
     return [(p["part_idx"], p["is_hole"], [(v["x"], v["y"]) for v in p["ring"]])
             for p in parts]
@@ -161,6 +201,56 @@ def clip_features_window(features: DataFrame, window: tuple[float, float, float,
     return features.select(id_col, "parts").mapInPandas(
         lambda it: (run(pdf) for pdf in it), schema=schema
     )
+
+
+def difference_features(a: DataFrame, b: DataFrame,
+                        a_id: str = "shape_id", b_id: str = "clip_id") -> DataFrame:
+    """Per-pair geometric difference a \\ b (b convex): output one
+    feature per overlapping pair whose difference is non-empty; parts =
+    the disjoint remainder pieces. Features of `a` overlapping no `b`
+    pass through unchanged (full Difference semantics for one eraser
+    layer with non-overlapping erasers)."""
+    import pyarrow  # noqa: F401
+
+    inter = intersect_features(a, b, a_id, b_id).selectExpr(f"{a_id}", f"{b_id}")
+    schema = StructType([
+        StructField(a_id, LongType(), False),
+        StructField(b_id, LongType(), False),
+        StructField("parts", _PARTS_T, False),
+    ])
+
+    def bbox_parts(df, idc, alias):
+        return df.selectExpr(idc, f"parts AS {alias}")
+
+    cand = (
+        bbox_parts(a, a_id, "a_parts")
+        .join(inter, a_id, "inner")
+        .join(F.broadcast(bbox_parts(b, b_id, "b_parts")), b_id, "inner")
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        oa, ob, op = [], [], []
+        for _, row in pdf.iterrows():
+            clip_shells = [ring for _, h, ring in _parts_to_rows(row["b_parts"]) if not h]
+            if not clip_shells:
+                continue
+            clip_ring = clip_shells[0]
+            new_rows = []
+            for pidx, is_hole, ring in _parts_to_rows(row["a_parts"]):
+                for piece in difference_ring_convex(ring, clip_ring):
+                    if len(piece) >= 4:
+                        new_rows.append((pidx, is_hole, piece))
+            if any(not h for _, h, _ in new_rows):
+                oa.append(row[a_id])
+                ob.append(row[b_id])
+                op.append(_rows_to_parts(new_rows))
+        return pd.DataFrame({
+            a_id: pd.Series(oa, dtype="int64"),
+            b_id: pd.Series(ob, dtype="int64"),
+            "parts": pd.Series(op, dtype="object"),
+        })
+
+    return cand.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=schema)
 
 
 def intersect_features(a: DataFrame, b: DataFrame,

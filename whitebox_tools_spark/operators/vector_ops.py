@@ -23,6 +23,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, IntegerType,
+                               StructField, StructType)
+
+_PARTS_SCHEMA = ArrayType(StructType([
+    StructField("part_idx", IntegerType(), False),
+    StructField("is_hole", BooleanType(), False),
+    StructField("ring", ArrayType(StructType([
+        StructField("x", DoubleType(), False),
+        StructField("y", DoubleType(), False),
+    ])), False),
+]))
 
 # ---------------------------------------------------------------------------
 # Expression builders (Spark dialect)
@@ -230,6 +241,76 @@ def line_intersections(segs_a: DataFrame, segs_b: DataFrame) -> DataFrame:
         f"ax1 + ({t}) * (ax2 - ax1) AS ix",
         f"ay1 + ({t}) * (ay2 - ay1) AS iy",
     ).where("t >= 0.0 AND t <= 1.0 AND u >= 0.0 AND u <= 1.0")
+
+
+def _rdp(ring: list, tol: float) -> list:
+    """Ramer-Douglas-Peucker over an open vertex chain (iterative
+    stack form of algorithms/line_ops.rs simplify_rdp)."""
+    n = len(ring)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        (x0, y0), (x1, y1) = ring[i0], ring[i1]
+        dx, dy = x1 - x0, y1 - y0
+        seg2 = dx * dx + dy * dy
+        best, bd = -1, -1.0
+        for i in range(i0 + 1, i1):
+            px, py = ring[i]
+            if seg2 == 0.0:
+                d2 = (px - x0) ** 2 + (py - y0) ** 2
+            else:
+                cross = dx * (py - y0) - dy * (px - x0)
+                d2 = cross * cross / seg2
+            if d2 > bd:
+                best, bd = i, d2
+        if bd > tol * tol:
+            keep[best] = True
+            stack.append((i0, best))
+            stack.append((best, i1))
+    return [p for p, k in zip(ring, keep) if k]
+
+
+def simplify_features(features: DataFrame, tolerance: float,
+                      id_col: str = "shape_id") -> DataFrame:
+    """SimplifyLineOrPolygon (gis_analysis/simplify_line_or_polygon.rs;
+    kernel simplify_rdp, algorithms/line_ops.rs). Closed rings anchor at
+    the first vertex; output vertices are a SUBSET of the input ring
+    (pure selection — the oracle-gated property)."""
+    import pandas as pd
+    from pyspark.sql.types import StructType, StructField, LongType
+
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("parts", _PARTS_SCHEMA, False),
+    ])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, parts_out = [], []
+        for _, row in pdf.iterrows():
+            new_parts = []
+            for i, p in enumerate(row["parts"]):
+                ring = [(v["x"], v["y"]) for v in p["ring"]]
+                simp = _rdp(ring, tolerance)
+                if len(simp) >= 4:
+                    new_parts.append({
+                        "part_idx": i, "is_hole": bool(p["is_hole"]),
+                        "ring": [{"x": float(x), "y": float(y)} for x, y in simp],
+                    })
+            if new_parts:
+                ids.append(row[id_col])
+                parts_out.append(new_parts)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "parts": pd.Series(parts_out, dtype="object"),
+        })
+
+    return features.select(id_col, "parts").mapInPandas(
+        lambda it: (run(pdf) for pdf in it), schema=schema
+    )
 
 
 def convex_hull(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
