@@ -880,6 +880,19 @@ def _q_cost_distance(spark, sf):
     return HY.cost_distance(cost, _META40C, "value < 6.0")
 
 
+def _q_strahler(spark, sf):
+    """Strahler order: topological peel over the stream tree —
+    rows-only (per-step max+tie aggregation is not CTE-expressible);
+    junction semantics pytest-gated on crafted networks."""
+    return HY.strahler_order(_ras_c(spark, sf), _META40C, threshold=4.0)
+
+
+def _q_stream_link(spark, sf):
+    """Stream link identification — rows-only (label propagation);
+    junction-break semantics pytest-gated."""
+    return HY.stream_link_id(_ras_c(spark, sf), _META40C, threshold=4.0)
+
+
 def _q_d8_pointer(spark, sf):
     return HY.d8_pointer(_ras(spark, sf, "a"), _META100)
 
@@ -1070,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emboss": _q_emboss,
         "watershed": _q_watershed,
         "snap_pour": _q_snap_pour,
+        "strahler": _q_strahler,
+        "stream_link": _q_stream_link,
         "fill_depressions": _q_fill_depressions,
         "flowpath_length": _q_flowpath_length,
         "wetness": _q_wetness,

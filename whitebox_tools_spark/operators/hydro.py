@@ -397,3 +397,117 @@ def extract_streams(cells: DataFrame, meta: GridMeta, threshold: float) -> DataF
         "row", "col",
         f"CAST(CASE WHEN value >= {threshold!r} THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value",
     )
+
+
+def _stream_edges(cells: DataFrame, meta: GridMeta, threshold: float):
+    """Stream-cell set + the D8 edges restricted to stream->stream."""
+    c = meta.columns
+    ptr = d8_pointer(cells, meta).persist()
+    accum = d8_flow_accumulation(cells, meta)
+    streams = accum.where(f"value >= {threshold!r}").selectExpr(
+        f"(row * {c}L + col) AS id", "row", "col"
+    ).persist()
+    e_all = d8_edges(ptr).selectExpr(f"(row * {c}L + col) AS src",
+                                     f"(drow * {c}L + dcol) AS dst")
+    e = (
+        e_all.join(streams.select(F.col("id").alias("src")), "src", "leftsemi")
+        .join(streams.select(F.col("id").alias("dst")), "dst", "leftsemi")
+        .persist()
+    )
+    ptr.unpersist()
+    return streams, e
+
+
+def _labeled_links(cells: DataFrame, meta: GridMeta, threshold: float):
+    """(labeled stream cells with link labels, raw stream edges)."""
+    streams, e = _stream_edges(cells, meta, threshold)
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n"))
+    chain_e = e.join(indeg.where("n >= 2").select("dst"), "dst", "left_anti")
+    lbl = streams.selectExpr("id", "row", "col", "id AS lbl").localCheckpoint(eager=True)
+    both = chain_e.unionByName(chain_e.selectExpr("dst AS src", "src AS dst"))
+    for _ in range(48):
+        nb = both.join(lbl.selectExpr("id AS src", "lbl AS nlbl"), "src") \
+                 .groupBy("dst").agg(F.min("nlbl").alias("mn"))
+        new = lbl.join(nb.withColumnRenamed("dst", "id"), "id", "left") \
+                 .selectExpr("id", "row", "col", "LEAST(lbl, COALESCE(mn, lbl)) AS nl")
+        owners = new.selectExpr("id AS o_id", "nl AS o_lbl")
+        new = new.join(owners, new["nl"] == owners["o_id"], "left") \
+                 .selectExpr("id", "row", "col", "LEAST(nl, COALESCE(o_lbl, nl)) AS nl")
+        changed = new.alias("n").join(lbl.alias("o"), "id").where("n.nl <> o.lbl").count()
+        lbl = new.selectExpr("id", "row", "col", "nl AS lbl").localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    streams.unpersist()
+    return lbl, e
+
+
+def strahler_order(cells: DataFrame, meta: GridMeta, threshold: float,
+                   max_rounds: int = 64) -> DataFrame:
+    """StrahlerStreamOrder (stream_network_analysis/strahler_stream_order.rs
+    semantics): channel heads are order 1; at a junction the order is
+    the max inflow order, +1 when two or more inflows share that max.
+
+    Plan: orders are constant along links, so contract the network to
+    its LINK graph first (stream_link machinery, O(log chain) rounds),
+    then topologically peel the link DAG — rounds = junction depth
+    (tens), not cell-chain length (thousands)."""
+    lbl, e = _labeled_links(cells, meta, threshold)
+    # link-level edges: cell edge crossing two different links
+    le = (
+        e.join(lbl.selectExpr("id AS src", "lbl AS src_l"), "src")
+        .join(lbl.selectExpr("id AS dst", "lbl AS dst_l"), "dst")
+        .where("src_l <> dst_l")
+        .select(F.col("src_l").alias("src"), F.col("dst_l").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    links = lbl.select(F.col("lbl").alias("id")).distinct()
+    unresolved = links
+    resolved = None
+    for _ in range(max_rounds):
+        if resolved is None:
+            frontier = unresolved.join(le.select(F.col("dst").alias("id")).distinct(),
+                                       "id", "left_anti").selectExpr("id", "1 AS ord")
+        else:
+            inflow = le.join(unresolved.selectExpr("id AS dst"), "dst", "leftsemi")
+            blocked = inflow.join(resolved.selectExpr("id AS src"), "src", "left_anti") \
+                            .select(F.col("dst").alias("id")).distinct()
+            ready = unresolved.join(blocked, "id", "left_anti")
+            ties = le.join(resolved.withColumnRenamed("id", "src"), "src") \
+                     .groupBy("dst", "ord").agg(F.count(F.lit(1)).alias("n_at"))
+            top = ties.groupBy("dst").agg(
+                F.expr("MAX_BY(n_at, ord)").alias("n_at_max"), F.max("ord").alias("mx")
+            )
+            frontier = ready.join(top.withColumnRenamed("dst", "id"), "id", "left") \
+                            .selectExpr(
+                                "id",
+                                "CASE WHEN mx IS NULL THEN 1 "
+                                "WHEN n_at_max >= 2 THEN mx + 1 ELSE mx END AS ord")
+        n_front = frontier.count()
+        if n_front == 0:
+            break
+        resolved = (frontier if resolved is None
+                    else resolved.unionByName(frontier)).localCheckpoint(eager=True)
+        unresolved = unresolved.join(frontier.select("id"), "id", "left_anti") \
+                               .localCheckpoint(eager=True)
+        if unresolved.count() == 0:
+            break
+    le.unpersist()
+    out = lbl.join(resolved.withColumnRenamed("id", "lbl"), "lbl") \
+             .selectExpr("row", "col", "CAST(ord AS DOUBLE) AS value")
+    e.unpersist()
+    return out
+
+
+def stream_link_id(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
+    """StreamLinkIdentifier (stream_network_analysis/stream_link_identifier.rs
+    semantics): label connected stream segments between junctions.
+    A link breaks wherever a stream cell receives >= 2 stream inflows:
+    drop edges INTO junction-fed cells, min-label + pointer-jump the
+    remaining chains, number links by row-major representative."""
+    lbl, e = _labeled_links(cells, meta, threshold)
+    w = Window.orderBy("lbl")
+    reps = lbl.select("lbl").distinct().withColumn("link_id", F.dense_rank().over(w))
+    out = lbl.join(reps, "lbl").selectExpr("row", "col", "CAST(link_id AS DOUBLE) AS value")
+    e.unpersist()
+    return out
