@@ -880,6 +880,21 @@ def _q_cost_distance(spark, sf):
     return HY.cost_distance(cost, _META40C, "value < 6.0")
 
 
+def _q_viewshed(spark, sf):
+    """Viewshed — LOS walk over the broadcast DEM; rows-only
+    (procedural ray sampling; wall/plain semantics pytest-gated)."""
+    from whitebox_tools_spark.operators.visibility import viewshed
+
+    return viewshed(_ras_c(spark, sf), _META40C, 20, 20)
+
+
+def _q_horizon_angle(spark, sf):
+    """HorizonAngle — rows-only (atan/libm)."""
+    from whitebox_tools_spark.operators.visibility import horizon_angle
+
+    return horizon_angle(_ras_c(spark, sf), _META40C, azimuth=90.0)
+
+
 def _q_strahler(spark, sf):
     """Strahler order: topological peel over the stream tree —
     rows-only (per-step max+tie aggregation is not CTE-expressible);
@@ -1083,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emboss": _q_emboss,
         "watershed": _q_watershed,
         "snap_pour": _q_snap_pour,
+        "viewshed": _q_viewshed,
+        "horizon_angle": _q_horizon_angle,
         "strahler": _q_strahler,
         "stream_link": _q_stream_link,
         "fill_depressions": _q_fill_depressions,
