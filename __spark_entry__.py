@@ -774,9 +774,14 @@ def _q_extract_nodes(spark, sf):
 
 
 def _q_convex_hull(spark, sf):
-    """Per-feature hull array — pandas kernel; rows-only check
+    """Per-feature hull, EXPLODED to scalar rows (shape_id, vertex_idx,
+    x, y) so the driver's canonicalizer can hash it — rows-only check
     (kernel correctness is pytest-gated vs brute force)."""
-    return VO.convex_hull(_shapes(spark, sf))
+    h = VO.convex_hull(_shapes(spark, sf))
+    return h.selectExpr(
+        "shape_id", "POSEXPLODE(hull) AS (vertex_idx, v)"
+    ).selectExpr("shape_id", "CAST(vertex_idx AS BIGINT) AS vertex_idx",
+                 "v.x AS x", "v.y AS y")
 
 
 def _q_focal_range(spark, sf):
@@ -1036,120 +1041,122 @@ def _q_ann_lsh(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver sampling window: one flagship per operator family ---
         "tile_assign": _q_tile_assign,
-        "tile_counts": _q_tile_counts,
-        "hex_bin": _q_hex_bin,
         "frs_cells": _q_frs_cells,
         "pip_tag": _q_pip_tag,
+        "knn_join": _q_knn_join,
+        "idw": _q_idw,
+        "polygons_to_raster": _q_polygons_to_raster,
+        "r2v_polygons": _q_r2v_polygons,
+        "zonal_stats": _q_zonal_stats,
+        "quantiles": _q_quantiles,
+        "raster_calc": _q_raster_calc,
+        "focal_median_halo": _q_focal_median_halo,
+        "focal_mean": _q_focal_mean,
+        "slope_pct": _q_slope_pct,
+        "hillshade": _q_hillshade,
+        "euclid_dist": _q_euclid_dist,
+        "clump": _q_clump,
+        "weighted_sum": _q_weighted_sum,
+        "poly_area_vec": _q_poly_area_vec,
+        "convex_hull": _q_convex_hull,
+        "line_intersections": _q_line_intersections,
+        "intersect_features": _q_intersect_features,
+        "difference_features": _q_difference_features,
+        "d8_accum": _q_d8_accum,
+        "watershed": _q_watershed,
+        "extract_streams": _q_extract_streams,
+        "fill_depressions": _q_fill_depressions,
+        "block_max": _q_block_max,
+        "hag": _q_hag,
+        "lidar_thin": _q_lidar_thin,
+        "t_test": _q_t_test,
+        "kappa": _q_kappa,
+        "colour_composite": _q_colour_composite,
+        "join_tables": _q_join_tables,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_dups": _q_embedding_dups,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "media_features": _q_media_features,
+        "lineage_resume": _q_lineage_resume,
+        "cumulative_dist": _q_cumulative_dist,
+        "hist_eq": _q_hist_eq,
+        "ks_test": _q_ks_test,
+        "laplacian": _q_laplacian,
+        "d8_pointer": _q_d8_pointer,
+        "strahler": _q_strahler,
+        # --- full registry continues (graded by scripts/check_parity.py) ---
+        "tile_counts": _q_tile_counts,
+        "hex_bin": _q_hex_bin,
         "pip_tag_cellcover": _q_pip_tag_cellcover,
         "pip_clip": _q_pip_clip,
         "pip_erase": _q_pip_erase,
-        "knn_join": _q_knn_join,
         "nn_gridding": _q_nn_gridding,
-        "idw": _q_idw,
         "points_to_raster_first": _q_points_to_raster_first,
         "points_to_raster_last": _q_points_to_raster_last,
-        "polygons_to_raster": _q_polygons_to_raster,
         "raster_to_points": _q_raster_to_points,
         "extract_values": _q_extract_values,
         "aggregate_raster": _q_aggregate_raster,
-        "zonal_stats": _q_zonal_stats,
         "summary_stats": _q_summary_stats,
         "cross_tab": _q_cross_tab,
         "histogram": _q_histogram,
         "map_algebra_add": _q_map_algebra_add,
         "reclass": _q_reclass,
-        "quantiles": _q_quantiles,
-        "cumulative_dist": _q_cumulative_dist,
-        "focal_mean": _q_focal_mean,
         "focal_median": _q_focal_median,
         "focal_majority": _q_focal_majority,
-        "focal_median_halo": _q_focal_median_halo,
-        "slope_pct": _q_slope_pct,
-        "hillshade": _q_hillshade,
         "aspect": _q_aspect,
-        "euclid_dist": _q_euclid_dist,
         "euclid_alloc": _q_euclid_alloc,
         "buffer_raster": _q_buffer_raster,
-        "clump": _q_clump,
         "avg_overlay": _q_avg_overlay,
-        "weighted_sum": _q_weighted_sum,
         "highest_position": _q_highest_position,
-        "raster_calc": _q_raster_calc,
         "cond_eval": _q_cond_eval,
         "pick_from_list": _q_pick_from_list,
-        "poly_area_vec": _q_poly_area_vec,
         "poly_perimeter_vec": _q_poly_perimeter_vec,
         "compactness": _q_compactness,
         "centroid_vec": _q_centroid_vec,
         "extract_nodes_vec": _q_extract_nodes,
-        "convex_hull": _q_convex_hull,
         "focal_range": _q_focal_range,
         "focal_diversity": _q_focal_diversity,
         "mosaic": _q_mosaic,
         "resample": _q_resample,
-        "hist_eq": _q_hist_eq,
-        "t_test": _q_t_test,
-        "ks_test": _q_ks_test,
         "smooth_vectors": _q_smooth_vectors,
-        "line_intersections": _q_line_intersections,
-        "laplacian": _q_laplacian,
         "sobel": _q_sobel,
         "emboss": _q_emboss,
-        "watershed": _q_watershed,
         "snap_pour": _q_snap_pour,
         "viewshed": _q_viewshed,
         "horizon_angle": _q_horizon_angle,
-        "strahler": _q_strahler,
         "stream_link": _q_stream_link,
-        "fill_depressions": _q_fill_depressions,
         "flowpath_length": _q_flowpath_length,
         "wetness": _q_wetness,
         "cost_distance": _q_cost_distance,
-        "d8_pointer": _q_d8_pointer,
-        "d8_accum": _q_d8_accum,
         "d8_basins": _q_d8_basins,
-        "extract_streams": _q_extract_streams,
-        "block_max": _q_block_max,
         "point_density": _q_point_density,
-        "hag": _q_hag,
         "medoid": _q_medoid,
         "focal_pct25": _q_focal_pct25,
         "raster_area": _q_raster_area,
-        "lidar_thin": _q_lidar_thin,
         "elevation_slice": _q_elevation_slice,
-        "media_features": _q_media_features,
-        "lineage_resume": _q_lineage_resume,
-        "r2v_polygons": _q_r2v_polygons,
         "clip_window": _q_clip_window,
-        "intersect_features": _q_intersect_features,
-        "difference_features": _q_difference_features,
         "simplify_rdp": _q_simplify_rdp,
         "remove_duplicates": _q_remove_duplicates,
         "lidar_outliers": _q_lidar_outliers,
         "lines_to_raster": _q_lines_to_raster,
         "focal_mean_ii": _q_focal_mean_ii,
-        "join_tables": _q_join_tables,
         "extract_by_attribute": _q_extract_by_attribute,
         "merge_vectors": _q_merge_vectors,
-        "colour_composite": _q_colour_composite,
         "split_colour": _q_split_colour,
         "top_terms": _q_top_terms,
         "list_unique": _q_list_unique,
         "zscores": _q_zscores,
         "image_corr": _q_image_corr,
         "rmse": _q_rmse,
-        "kappa": _q_kappa,
-        "exact_dedup": _q_exact_dedup,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "lang_id": _q_lang_id,
-        "quality": _q_quality,
-        "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
-        "ann_topk": _q_ann_topk,
-        "embedding_dups": _q_embedding_dups,
         "tin_gridding": _q_tin_gridding,
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,

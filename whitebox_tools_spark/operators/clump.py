@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.iterate import ensure_converged
+
 
 def clump(cells: DataFrame, columns: int, diag: bool = True,
           max_rounds: int = 64) -> DataFrame:
@@ -71,6 +73,8 @@ def clump(cells: DataFrame, columns: int, diag: bool = True,
         lbl = new.selectExpr("row", "col", "value", "nl AS lbl").localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        ensure_converged(changed, "clump label propagation", max_rounds)
 
     w = Window.orderBy("lbl")
     reps = lbl.select("lbl").distinct().withColumn("clump_id", F.dense_rank().over(w))

@@ -79,7 +79,10 @@ def minhash_lsh_pairs(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    with_bands = sigs.select("id", "sh", *band_cols).persist()
+    # eager localCheckpoint (not persist): computed once, lineage truncated,
+    # and the blocks are reclaimed by the ContextCleaner when the result's
+    # references drop — no session-lifetime cache leak in long-lived drivers
+    with_bands = sigs.select("id", "sh", *band_cols).localCheckpoint(eager=True)
     # band join carries only (id, band); shingle arrays re-attach to the
     # (few) surviving pairs afterwards — keeps the wide arrays out of the
     # band-key shuffle (the skew-prone stage at 10^12 docs)

@@ -204,7 +204,10 @@ def mean_filter_ii(cells: DataFrame, meta: GridMeta, radius: int = 1) -> DataFra
     raster this is bit-identical to focal_stat(..., 'mean') when values
     are integer-valued (exact sums), while costing O(1) work per cell
     for ANY kernel radius — the scale plan for big windows."""
-    ii = integral_image(cells).persist()
+    # eager localCheckpoint, not persist: the four corner joins reuse the
+    # materialized blocks and the ContextCleaner reclaims them on GC (a
+    # bare persist() here leaked cache for the session lifetime)
+    ii = integral_image(cells).localCheckpoint(eager=True)
     b = cells.selectExpr(
         "row", "col",
         f"GREATEST(row - {radius}, 0L) AS r1",

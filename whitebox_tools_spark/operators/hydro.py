@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.raster_math import GridMeta
+from ..plans.iterate import ensure_converged
 
 # neighbor tables from d8_pointer.rs:252-254
 D8_DX = [1, 1, 1, 0, -1, -1, -1, 0]
@@ -148,6 +149,9 @@ def d8_flow_accumulation(cells: DataFrame, meta: GridMeta,
         if n == prev:
             break
         prev = n
+    else:
+        ensure_converged(n - prev if n != prev else 1,
+                         "d8_flow_accumulation closure", max_doublings)
     accum = reach.groupBy("dst").agg(F.count(F.lit(1)).alias("n"))
     out = nodes.join(accum, nodes["id"] == accum["dst"]).select(
         "row", "col", F.col("n").cast("double").alias("value")
@@ -177,6 +181,8 @@ def basins(cells: DataFrame, meta: GridMeta, max_rounds: int = 32) -> DataFrame:
         nxt = new.localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        ensure_converged(changed, "basins pointer jumping", max_rounds)
     w = Window.orderBy("nxt")
     reps = nxt.select("nxt").distinct().withColumn("basin_id", F.dense_rank().over(w))
     return nxt.join(reps, "nxt").select(
@@ -238,6 +244,9 @@ def watershed(cells: DataFrame, meta: GridMeta, outlets: DataFrame,
         if n == prev:
             break
         prev = n
+    else:
+        ensure_converged(n - prev if n != prev else 1,
+                         "watershed closure", max_doublings)
     out_tbl = outlets.selectExpr(f"(row * {c}L + col) AS dst", "outlet_id")
     hits = reach.join(out_tbl, "dst").groupBy("src").agg(
         F.expr("MIN_BY(outlet_id, STRUCT(h, outlet_id))").alias("outlet_id")
@@ -285,6 +294,8 @@ def fill_depressions(cells: DataFrame, meta: GridMeta,
         w = new.localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        ensure_converged(changed, "fill_depressions", max_rounds)
     return w.selectExpr("row", "col", "w AS value")
 
 
@@ -322,6 +333,8 @@ def downslope_flowpath_length(cells: DataFrame, meta: GridMeta,
         state = new.localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        ensure_converged(changed, "downslope_flowpath_length doubling", max_doublings)
     return state.selectExpr("row", "col", "d AS value")
 
 
@@ -387,6 +400,8 @@ def cost_distance(cost: DataFrame, meta: GridMeta, source_pred: str,
         state = new.localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        ensure_converged(changed, "cost_distance relaxation", max_rounds)
     return state.selectExpr("row", "col", "acc AS value")
 
 
@@ -437,6 +452,8 @@ def _labeled_links(cells: DataFrame, meta: GridMeta, threshold: float):
         lbl = new.selectExpr("id", "row", "col", "nl AS lbl").localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        ensure_converged(changed, "_labeled_links label propagation", 48)
     streams.unpersist()
     return lbl, e
 
@@ -485,6 +502,7 @@ def strahler_order(cells: DataFrame, meta: GridMeta, threshold: float,
                                 "WHEN n_at_max >= 2 THEN mx + 1 ELSE mx END AS ord")
         n_front = frontier.count()
         if n_front == 0:
+            ensure_converged(unresolved.count(), "strahler_order link peel (stalled frontier)", max_rounds)
             break
         resolved = (frontier if resolved is None
                     else resolved.unionByName(frontier)).localCheckpoint(eager=True)
@@ -492,6 +510,8 @@ def strahler_order(cells: DataFrame, meta: GridMeta, threshold: float,
                                .localCheckpoint(eager=True)
         if unresolved.count() == 0:
             break
+    else:
+        ensure_converged(unresolved.count(), "strahler_order link peel", max_rounds)
     le.unpersist()
     out = lbl.join(resolved.withColumnRenamed("id", "lbl"), "lbl") \
              .selectExpr("row", "col", "CAST(ord AS DOUBLE) AS value")

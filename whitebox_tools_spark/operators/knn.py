@@ -118,8 +118,11 @@ def _nn1_join(
             round_best = merged.groupBy(qid).agg(
                 F.expr("MIN_BY(b, STRUCT(b.dist2, b." + tid + "))").alias("b")
             )
+        # strict <: a target in the first unscanned ring can sit at exactly
+        # reach*bin_size; an equal-distance target with a smaller tid would
+        # then be missed (tie-break contract), so ties force one more ring
         guarantee = float(reach * bin_size) ** 2
-        resolved = round_best.where(F.col("b.dist2") <= guarantee)
+        resolved = round_best.where(F.col("b.dist2") < guarantee)
         done = resolved if done is None else done.unionByName(resolved)
         done = done.localCheckpoint(eager=True)
         best = round_best.join(resolved.select(qid), qid, "left_anti") \
@@ -195,15 +198,17 @@ def knn_join_exact(
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
         # a query is done when it has k candidates and the kth is provably
-        # inside the scanned reach: dist2_k <= (reach * bin_size)^2
+        # inside the scanned reach: dist2_k < (reach * bin_size)^2 — strict,
+        # so an equal-distance target with a smaller tid in the first
+        # unscanned ring can never be missed (tie-break contract)
         guarantee = float(reach * bin_size) ** 2
         done_stats = acc.groupBy(qid).agg(
             F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dk")
         )
-        unresolved = done_stats.where(~((F.col("n") >= k) & (F.col("dk") <= guarantee))).select(qid)
+        unresolved = done_stats.where(~((F.col("n") >= k) & (F.col("dk") < guarantee))).select(qid)
         # queries with zero candidates so far never appear in done_stats
         active_next = active.join(
-            done_stats.where((F.col("n") >= k) & (F.col("dk") <= guarantee)),
+            done_stats.where((F.col("n") >= k) & (F.col("dk") < guarantee)),
             qid,
             "left_anti",
         ).localCheckpoint(eager=True)

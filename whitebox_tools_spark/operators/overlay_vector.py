@@ -208,8 +208,9 @@ def difference_features(a: DataFrame, b: DataFrame,
     """Per-pair geometric difference a \\ b (b convex): output one
     feature per overlapping pair whose difference is non-empty; parts =
     the disjoint remainder pieces. Features of `a` overlapping no `b`
-    pass through unchanged (full Difference semantics for one eraser
-    layer with non-overlapping erasers)."""
+    pass through unchanged with sentinel {b_id} = -1 (full Difference
+    semantics for one eraser layer with non-overlapping erasers —
+    gis_analysis/difference.rs keeps un-erased features)."""
     import pyarrow  # noqa: F401
 
     inter = intersect_features(a, b, a_id, b_id).selectExpr(f"{a_id}", f"{b_id}")
@@ -250,7 +251,13 @@ def difference_features(a: DataFrame, b: DataFrame,
             "parts": pd.Series(op, dtype="object"),
         })
 
-    return cand.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=schema)
+    erased = cand.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=schema)
+    # features of `a` overlapping no eraser pass through unchanged
+    untouched = (
+        a.join(inter.select(a_id).distinct(), a_id, "left_anti")
+        .selectExpr(a_id, f"CAST(-1 AS BIGINT) AS {b_id}", "parts")
+    )
+    return erased.unionByName(untouched)
 
 
 def intersect_features(a: DataFrame, b: DataFrame,
