@@ -172,3 +172,33 @@ def test_pick_from_list(spark, ras):
         for c in range(12):
             expect = vals[r, c] if int(vals[r, c]) % 2 == 0 else vals[r, c] + 1000.0
             assert got[(r, c)] == expect
+
+
+def test_edt_envelope_matches_brute_and_oracle(spark):
+    """Force the integer lower-envelope path (brute_max_cols=0) and check
+    it returns the identical (trow, tcol) argmin as the chunked-brute
+    kernel AND as a direct (d2, tid)-lexicographic brute force."""
+    import numpy as np
+
+    from whitebox_tools_spark.functions.raster_math import GridMeta
+    from whitebox_tools_spark.operators.distance import (_phase1_nearest_row,
+                                                         _phase2_argmin)
+
+    rng = np.random.default_rng(7)
+    rows_n, cols_n = 6, 40
+    meta = GridMeta(rows=rows_n, columns=cols_n, north=rows_n * 10.0, south=0.0,
+                    east=cols_n * 10.0, west=0.0, resolution_x=10.0, resolution_y=10.0)
+    tgt = [(r, c) for r in range(rows_n) for c in range(cols_n) if rng.random() < 0.12]
+    assert tgt
+    df = spark.createDataFrame([(r, c, 1.0) for r, c in tgt],
+                               "row long, col long, value double")
+    p1 = _phase1_nearest_row(df, meta).localCheckpoint(eager=True)
+    brute = {(r["row"], r["col"]): (r["trow"], r["tcol"])
+             for r in _phase2_argmin(p1, meta, brute_max_cols=10 ** 9).collect()}
+    env = {(r["row"], r["col"]): (r["trow"], r["tcol"])
+           for r in _phase2_argmin(p1, meta, brute_max_cols=0).collect()}
+    assert brute == env
+    assert len(brute) == rows_n * cols_n
+    for (r, c), (tr_, tc_) in brute.items():
+        best = min(((r - tr) ** 2 + (c - tc) ** 2, tr * cols_n + tc) for tr, tc in tgt)
+        assert ((r - tr_) ** 2 + (c - tc_) ** 2, tr_ * cols_n + tc_) == best
