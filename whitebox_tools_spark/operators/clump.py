@@ -76,8 +76,9 @@ def clump(cells: DataFrame, columns: int, diag: bool = True,
     else:
         ensure_converged(changed, "clump label propagation", max_rounds)
 
-    w = Window.orderBy("lbl")
-    reps = lbl.select("lbl").distinct().withColumn("clump_id", F.dense_rank().over(w))
+    from ..plans.rank import dense_rank_small
+
+    reps = dense_rank_small(lbl, "lbl", "clump_id")
     return lbl.join(reps, "lbl").select(
         "row", "col", "value", F.col("clump_id").cast("long").alias("clump_id")
     )

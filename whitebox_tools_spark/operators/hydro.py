@@ -183,8 +183,9 @@ def basins(cells: DataFrame, meta: GridMeta, max_rounds: int = 32) -> DataFrame:
             break
     else:
         ensure_converged(changed, "basins pointer jumping", max_rounds)
-    w = Window.orderBy("nxt")
-    reps = nxt.select("nxt").distinct().withColumn("basin_id", F.dense_rank().over(w))
+    from ..plans.rank import dense_rank_small
+
+    reps = dense_rank_small(nxt, "nxt", "basin_id")
     return nxt.join(reps, "nxt").select(
         "row", "col", F.col("basin_id").cast("double").alias("value")
     )
@@ -525,9 +526,10 @@ def stream_link_id(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFr
     A link breaks wherever a stream cell receives >= 2 stream inflows:
     drop edges INTO junction-fed cells, min-label + pointer-jump the
     remaining chains, number links by row-major representative."""
+    from ..plans.rank import dense_rank_small
+
     lbl, e = _labeled_links(cells, meta, threshold)
-    w = Window.orderBy("lbl")
-    reps = lbl.select("lbl").distinct().withColumn("link_id", F.dense_rank().over(w))
+    reps = dense_rank_small(lbl, "lbl", "link_id")
     out = lbl.join(reps, "lbl").selectExpr("row", "col", "CAST(link_id AS DOUBLE) AS value")
     e.unpersist()
     return out

@@ -323,12 +323,24 @@ def z_scores(cells: DataFrame) -> DataFrame:
 
 
 def quantiles(cells: DataFrame, num_quantiles: int = 4) -> DataFrame:
-    """Quantiles: assign each cell its quantile bin (exact ntile over the
-    value order — ties broken by (row, col) for determinism)."""
-    w = Window.orderBy("value", "row", "col")
-    return cells.select(
-        "row", "col", "value", F.ntile(num_quantiles).over(w).alias("quantile")
-    )
+    """Quantiles: assign each cell its quantile bin — exact ntile over the
+    (value, row, col) total order, computed with a DISTRIBUTED global
+    row_number (range partition + per-partition window + broadcast
+    offsets, plans/rank.py) instead of a single-reducer window; the
+    ntile bucket is then a closed form of (rank, n): the first n%k
+    buckets hold ceil(n/k) rows (Spark/DuckDB NTILE semantics)."""
+    from ..plans.rank import global_row_number
+
+    ranked, n = global_row_number(cells, ["value", "row", "col"], out="__rn")
+    k = num_quantiles
+    q, m = divmod(n, k)
+    if q == 0:
+        expr = "CAST(__rn AS INT)"
+    else:
+        cut = m * (q + 1)
+        expr = (f"CAST(CASE WHEN __rn <= {cut} THEN ((__rn + {q}) DIV {q + 1}) "
+                f"ELSE {m} + ((__rn - {cut} + {q - 1}) DIV {q}) END AS INT)")
+    return ranked.selectExpr("row", "col", "value", f"{expr} AS quantile")
 
 
 def histogram(cells: DataFrame, bin_width: float, origin: float = 0.0) -> DataFrame:
@@ -343,9 +355,21 @@ def histogram(cells: DataFrame, bin_width: float, origin: float = 0.0) -> DataFr
 
 
 def cumulative_distribution(cells: DataFrame) -> DataFrame:
-    """CumulativeDistribution: CDF transform via cume_dist window."""
-    w = Window.orderBy("value")
-    return cells.select("row", "col", F.cume_dist().over(w).alias("value"))
+    """CumulativeDistribution: CDF transform. Distributed two-level plan
+    (no single-reducer window): per-value counts, a range-partitioned
+    prefix sum over the distinct values (plans/rank.py), then a join
+    back on value — cume(v) = |{u <= v}| / n, the same integer ratio
+    cume_dist() produces."""
+    from ..plans.rank import ordered_prefix_sums
+
+    n = cells.count()
+    vc = cells.groupBy("value").agg(F.count(F.lit(1)).alias("__c"))
+    cum = ordered_prefix_sums(vc, ["value"], ["__c"]).selectExpr(
+        "value AS __v", f"__cum___c / {n} AS __cume"
+    )
+    return cells.join(cum, cells["value"] == F.col("__v")).select(
+        "row", "col", F.col("__cume").alias("value")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -425,12 +449,18 @@ def resample_nearest(cells: DataFrame, src: GridMeta, dst: GridMeta) -> DataFram
 def histogram_equalization(cells: DataFrame, num_tones: int = 256) -> DataFrame:
     """HistogramEqualization (image_analysis/histogram_equalization.rs
     semantics): value -> floor(cdf * (tones-1)), cdf from the exact
-    empirical distribution (cume_dist)."""
-    w = Window.orderBy("value")
-    return cells.select(
-        "row", "col",
-        F.expr(f"CAST(FLOOR(CUME_DIST() OVER (ORDER BY value) * {num_tones - 1}) AS DOUBLE)")
-        .alias("value"),
+    empirical distribution — distributed per-value CDF (see
+    cumulative_distribution), no single-reducer window."""
+    from ..plans.rank import ordered_prefix_sums
+
+    n = cells.count()
+    vc = cells.groupBy("value").agg(F.count(F.lit(1)).alias("__c"))
+    cum = ordered_prefix_sums(vc, ["value"], ["__c"]).selectExpr(
+        "value AS __v",
+        f"CAST(FLOOR((__cum___c / {n}) * {num_tones - 1}) AS DOUBLE) AS __tone",
+    )
+    return cells.join(cum, cells["value"] == F.col("__v")).select(
+        "row", "col", F.col("__tone").alias("value")
     )
 
 
@@ -455,20 +485,20 @@ def ks_test(a: DataFrame, b: DataFrame) -> DataFrame:
     """TwoSampleKsTest statistic (math_stat_analysis/two_sample_ks_test.rs):
     D = max |ECDF_a - ECDF_b| over the combined sample — exact count
     ratios, bit-deterministic."""
+    from ..plans.rank import ordered_prefix_sums
+
     na = a.count()
     nb = b.count()
-    u = a.selectExpr("value AS v", "1 AS ia", "0 AS ib").unionByName(
-        b.selectExpr("value AS v", "0 AS ia", "1 AS ib")
+    u = a.selectExpr("value AS v", "1L AS ia", "0L AS ib").unionByName(
+        b.selectExpr("value AS v", "0L AS ia", "1L AS ib")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = u.select(
-        "v",
-        (F.sum("ia").over(w) / F.lit(na)).alias("fa"),
-        (F.sum("ib").over(w) / F.lit(nb)).alias("fb"),
-    )
-    # ties: evaluate at the last row of each tie group (true ECDF value)
-    g = ecdf.groupBy("v").agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
-    return g.agg(F.max(F.expr("ABS(fa - fb)")).alias("ks_d"))
+    # per-value totals, then a distributed prefix sum over the distinct
+    # values (ECDF at the last row of each tie group) — no global window
+    g = u.groupBy("v").agg(F.sum("ia").alias("ia"), F.sum("ib").alias("ib"))
+    cum = ordered_prefix_sums(g, ["v"], ["ia", "ib"])
+    return cum.selectExpr(
+        f"ABS(__cum_ia / {na} - __cum_ib / {nb}) AS d"
+    ).agg(F.max("d").alias("ks_d"))
 
 
 def list_unique_values(cells: DataFrame) -> DataFrame:
