@@ -837,6 +837,77 @@ def _q_emboss(spark, sf):
     return FO.emboss_filter(_ras(spark, sf, "a"), "n")
 
 
+def _q_scharr(spark, sf):
+    return FO.scharr_filter(_ras(spark, sf, "a"))
+
+
+def _mk_curv(kind):
+    def q(spark, sf):
+        return FO.curvature(_ras(spark, sf, "a"), _META100, kind)
+    q.__name__ = f"_q_{kind}_curvature"
+    return q
+
+
+_q_plan_curvature = _mk_curv("plan")
+_q_profile_curvature = _mk_curv("profile")
+_q_tan_curvature = _mk_curv("tangential")
+_q_total_curvature = _mk_curv("total")
+_q_mean_curvature = _mk_curv("mean")
+_q_gaussian_curvature = _mk_curv("gaussian")
+_q_min_curvature = _mk_curv("minimal")
+_q_max_curvature = _mk_curv("maximal")
+
+
+def _q_gaussian_filter(spark, sf):
+    return FO.gaussian_filter(_ras(spark, sf, "a"), sigma=0.75)
+
+
+def _q_dog_filter(spark, sf):
+    """Difference-of-Gaussians — rows-only (the 15x15/27x27 pivots are a
+    composition of two oracle-shaped gaussian plans; kernel correctness
+    pytest-gated vs numpy)."""
+    return FO.dog_filter(_ras(spark, sf, "a"), 2.0, 4.0)
+
+
+def _q_bilateral(spark, sf):
+    """Bilateral filter — rows-only: the intensity weights need EXP()
+    evaluated in-engine and libm exp is not bit-identical across
+    engines; kernel correctness pytest-gated vs numpy."""
+    return FO.bilateral_filter(_ras(spark, sf, "a"), 0.75, 10.0)
+
+
+def _q_olympic(spark, sf):
+    return FO.olympic_filter(_ras(spark, sf, "a"))
+
+
+def _q_conservative_smooth(spark, sf):
+    return FO.conservative_smoothing_filter(_ras(spark, sf, "a"))
+
+
+def _q_opening(spark, sf):
+    return FO.opening(_ras(spark, sf, "a"))
+
+
+def _q_tophat(spark, sf):
+    return FO.tophat_transform(_ras(spark, sf, "a"))
+
+
+def _q_dev_from_mean(spark, sf):
+    return FO.dev_from_mean_elev(_ras(spark, sf, "a"))
+
+
+def _q_diff_from_mean(spark, sf):
+    return FO.diff_from_mean_elev(_ras(spark, sf, "a"))
+
+
+def _q_elev_percentile(spark, sf):
+    return FO.elev_percentile(_ras(spark, sf, "a"))
+
+
+def _q_percent_elev_range(spark, sf):
+    return FO.percent_elev_range(_ras(spark, sf, "a"))
+
+
 def _q_watershed(spark, sf):
     ras = _ras(spark, sf, "a")
     outlets = ras.where("value < 5.0").selectExpr("(row * 100 + col) AS outlet_id", "row", "col")
@@ -1056,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": _q_focal_mean,
         "slope_pct": _q_slope_pct,
         "hillshade": _q_hillshade,
+        "plan_curvature": _q_plan_curvature,
+        "gaussian_filter": _q_gaussian_filter,
         "euclid_dist": _q_euclid_dist,
         "clump": _q_clump,
         "weighted_sum": _q_weighted_sum,
@@ -1093,6 +1166,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_pointer": _q_d8_pointer,
         "strahler": _q_strahler,
         # --- full registry continues (graded by scripts/check_parity.py) ---
+        "profile_curvature": _q_profile_curvature,
+        "tan_curvature": _q_tan_curvature,
+        "total_curvature": _q_total_curvature,
+        "mean_curvature": _q_mean_curvature,
+        "gaussian_curvature": _q_gaussian_curvature,
+        "min_curvature": _q_min_curvature,
+        "max_curvature": _q_max_curvature,
+        "scharr": _q_scharr,
+        "dog_filter": _q_dog_filter,
+        "bilateral": _q_bilateral,
+        "olympic": _q_olympic,
+        "conservative_smooth": _q_conservative_smooth,
+        "opening": _q_opening,
+        "tophat": _q_tophat,
+        "dev_from_mean": _q_dev_from_mean,
+        "diff_from_mean": _q_diff_from_mean,
+        "elev_percentile": _q_elev_percentile,
+        "percent_elev_range": _q_percent_elev_range,
         "tile_counts": _q_tile_counts,
         "hex_bin": _q_hex_bin,
         "pip_tag_cellcover": _q_pip_tag_cellcover,
@@ -1561,6 +1652,7 @@ def _hydro_oracles() -> dict[str, str]:
     return {
         "laplacian": conv_oracle(FO.LAPLACIAN_3X3_1, zeros, "gx"),
         "sobel": conv_oracle(FO.SOBEL_X, FO.SOBEL_Y, "SQRT(gx * gx + gy * gy)"),
+        "scharr": conv_oracle(FO.SCHARR_X, FO.SCHARR_Y, "SQRT(gx * gx + gy * gy)"),
         "emboss": conv_oracle(FO.EMBOSS["n"], zeros, "gx"),
         "watershed": watershed_oracle,
         "snap_pour": snap_oracle,
@@ -1583,6 +1675,109 @@ def _hydro_oracles() -> dict[str, str]:
             f"FROM acc"
         ),
     }
+
+
+def _focal2_oracles() -> dict[str, str]:
+    """Oracles for the round-2 focal families (curvature, Gaussian,
+    morphology, window-position stats). All value expressions are the
+    SAME portable-SQL text the Spark operators execute (deterministic
+    fixed-order folds / integer-exact aggregates), so results are
+    bit-identical across engines."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    offs25 = "offs25 AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // 5 - 2}, {n % 5 - 2})" for n in range(25)
+    ) + ") o(n, dr, dc))"
+    sc25 = ("sc25 AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+            "a.value AS nv FROM ras_a a, offs25 o)")
+    piv_cols = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}" for n in range(25))
+    zz_cols = ", ".join(f"(COALESCE(z_{n}, z_12) * 1.0) AS z{n}" for n in range(25))
+    pivot5 = (f"{offs25}, {sc25}, "
+              f"piv AS (SELECT row, col, {piv_cols} FROM sc25 GROUP BY 1, 2), "
+              f"zz AS (SELECT row, col, {zz_cols} FROM piv WHERE z_12 IS NOT NULL)")
+
+    ret = {}
+    for name, kind in [("plan_curvature", "plan"), ("profile_curvature", "profile"),
+                       ("tan_curvature", "tangential"), ("total_curvature", "total"),
+                       ("mean_curvature", "mean"), ("gaussian_curvature", "gaussian"),
+                       ("min_curvature", "minimal"), ("max_curvature", "maximal")]:
+        val = FO.curvature_value_expr(kind, _META100)
+        ret[name] = f"WITH {ras_a}, {pivot5} SELECT row, col, {val} AS value FROM zz"
+
+    # nullable k x k pivot (no substitution) for the Gaussian filter
+    size, gval = FO.gaussian_value_expr(0.75)
+    mid = size // 2
+    center = mid * size + mid
+    offsk = f"offsk AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // size - mid}, {n % size - mid})" for n in range(size * size)
+    ) + ") o(n, dr, dc))"
+    sck = ("sck AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+           "a.value AS nv FROM ras_a a, offsk o)")
+    pivk_cols = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}" for n in range(size * size)
+    )
+    pivotk = (f"{offsk}, {sck}, "
+              f"pivk AS (SELECT row, col, {pivk_cols} FROM sck GROUP BY 1, 2), "
+              f"zk AS (SELECT * FROM pivk WHERE z_{center} IS NOT NULL)")
+    ret["gaussian_filter"] = f"WITH {ras_a}, {pivotk} SELECT row, col, {gval} AS value FROM zk"
+
+    offs9 = ("offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
+             "(1,-1),(1,0),(1,1)) o(dr, dc))")
+    sc9 = ("sc AS (SELECT a.row + o.dr AS row, a.col + o.dc AS col, a.value AS nv "
+           "FROM ras_a a, offs o)")
+    centers = "(SELECT row, col FROM ras_a)"
+    ret["olympic"] = (
+        f"WITH {ras_a}, {offs9}, {sc9}, "
+        f"g AS (SELECT row, col, (SUM(nv) - MAX(nv) - MIN(nv)) / CAST(COUNT(nv) - 2 AS DOUBLE) "
+        f"AS value FROM sc GROUP BY 1, 2) "
+        f"SELECT g.row, g.col, g.value FROM g JOIN {centers} c USING (row, col)"
+    )
+    offs8 = ("offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),"
+             "(1,-1),(1,0),(1,1)) o(dr, dc))")
+    ret["conservative_smooth"] = (
+        f"WITH {ras_a}, {offs8}, {sc9}, "
+        f"nb AS (SELECT row, col, MIN(nv) AS mn, MAX(nv) AS mx FROM sc GROUP BY 1, 2) "
+        f"SELECT a.row, a.col, CASE WHEN nb.mn IS NULL THEN a.value "
+        f"WHEN a.value > nb.mx THEN nb.mx WHEN a.value < nb.mn THEN nb.mn "
+        f"ELSE a.value END AS value FROM ras_a a LEFT JOIN nb USING (row, col)"
+    )
+    erode = (f"e1 AS (SELECT row, col, MIN(nv) AS value FROM sc GROUP BY 1, 2), "
+             f"er AS (SELECT e1.row, e1.col, e1.value FROM e1 JOIN {centers} c USING (row, col)), "
+             f"sc2 AS (SELECT a.row + o.dr AS row, a.col + o.dc AS col, a.value AS nv "
+             f"FROM er a, offs o), "
+             f"d1 AS (SELECT row, col, MAX(nv) AS value FROM sc2 GROUP BY 1, 2), "
+             f"op AS (SELECT d1.row, d1.col, d1.value FROM d1 JOIN "
+             f"(SELECT row, col FROM er) c2 USING (row, col))")
+    ret["opening"] = f"WITH {ras_a}, {offs9}, {sc9}, {erode} SELECT row, col, value FROM op"
+    ret["tophat"] = (
+        f"WITH {ras_a}, {offs9}, {sc9}, {erode} "
+        f"SELECT a.row, a.col, a.value - op.value AS value FROM ras_a a JOIN op USING (row, col)"
+    )
+    ret["dev_from_mean"] = (
+        f"WITH {ras_a}, {offs9}, {sc9}, "
+        f"g AS (SELECT row, col, COUNT(nv) AS n, SUM(nv) AS s1, SUM(nv * nv) AS s2 "
+        f"FROM sc GROUP BY 1, 2) "
+        f"SELECT a.row, a.col, CASE WHEN (s2 - s1 * s1 / n) > 0.0 THEN "
+        f"(a.value - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)) ELSE 0.0 END AS value "
+        f"FROM ras_a a JOIN g USING (row, col)"
+    )
+    ret["diff_from_mean"] = (
+        f"WITH {ras_a}, {offs9}, {sc9}, "
+        f"g AS (SELECT row, col, AVG(nv) AS mu FROM sc GROUP BY 1, 2) "
+        f"SELECT a.row, a.col, a.value - g.mu AS value FROM ras_a a JOIN g USING (row, col)"
+    )
+    ret["elev_percentile"] = (
+        f"WITH {ras_a}, {offs9}, {sc9} "
+        f"SELECT sc.row, sc.col, CAST(SUM(CASE WHEN sc.nv < a.value THEN 1 ELSE 0 END) "
+        f"AS DOUBLE) / COUNT(sc.nv) * 100.0 AS value "
+        f"FROM sc JOIN ras_a a USING (row, col) GROUP BY sc.row, sc.col, a.value"
+    )
+    ret["percent_elev_range"] = (
+        f"WITH {ras_a}, {offs9}, {sc9}, "
+        f"g AS (SELECT row, col, MIN(nv) AS mn, MAX(nv) AS mx FROM sc GROUP BY 1, 2) "
+        f"SELECT a.row, a.col, CASE WHEN mx > mn THEN (a.value - mn) / (mx - mn) * 100.0 "
+        f"ELSE 0.0 END AS value FROM ras_a a JOIN g USING (row, col)"
+    )
+    return ret
 
 
 def _vector_op_oracles() -> dict[str, str]:
@@ -1984,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
             f"{ras_a} SELECT row, col, CUME_DIST() OVER (ORDER BY value) AS value FROM ras_a"
         ),
         **_raster_op_oracles(),
+        **_focal2_oracles(),
         **_vector_op_oracles(),
         **_hydro_oracles(),
         "exact_dedup": (

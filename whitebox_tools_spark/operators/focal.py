@@ -422,3 +422,456 @@ def focal_filter_halo(cells: DataFrame, meta: GridMeta, stat: str = "median",
         return pd.DataFrame({"row": rows[own], "col": cols[own], "value": out[own]})
 
     return tiles.groupBy("tr", "tc").applyInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Generic k x k pivot (nullable — no center substitution)
+# ---------------------------------------------------------------------------
+
+
+def focal_pivotk(cells: DataFrame, size: int) -> DataFrame:
+    """k x k stencil as nullable columns z_0..z_{k*k-1}, z_n at
+    (row + (n//k - mid), col + (n%k - mid)), mid = k//2. Unlike
+    focal_pivot5 no substitution is applied — callers decide how to
+    treat missing neighbors (the kernel-filter "skip nodata" rule).
+    Only real centers (z_center present) are emitted. One shuffle."""
+    mid = size // 2
+    center = mid * size + mid
+    pairs = ", ".join(
+        f"STRUCT(row - ({n // size - mid}L) AS crow, col - ({n % size - mid}L) AS ccol, {n} AS n)"
+        for n in range(size * size)
+    )
+    scattered = (
+        cells.withColumn("__s", F.expr(f"EXPLODE(ARRAY({pairs}))"))
+        .selectExpr("__s.crow AS row", "__s.ccol AS col", "__s.n AS n", "value AS nv")
+    )
+    aggs = [
+        F.expr(f"MAX(CASE WHEN n = {n} THEN nv END)").alias(f"z_{n}")
+        for n in range(size * size)
+    ]
+    piv = scattered.groupBy("row", "col").agg(*aggs)
+    return piv.where(F.col(f"z_{center}").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Curvature family (Florinsky 5x5 fit; plan_curvature.rs:334-371 and the
+# sibling prof/tan/total/mean/gaussian/minimal/maximal curvature tools)
+# ---------------------------------------------------------------------------
+
+
+def _florinsky_rst(res: float) -> tuple[str, str, str]:
+    """Second derivatives r, s, t over z0..z24 pivot columns — exact
+    transcription of plan_curvature.rs:336-347 (Florinsky 2016 ch.4
+    pg.117). Scales folded in Python like _florinsky_pq."""
+    sr = 1.0 / (35.0 * res * res)
+    ss = 1.0 / (100.0 * res * res)
+    r = (f"({sr!r} * (2.0 * (z0 + z4 + z5 + z9 + z10 + z14 + z15 + z19 + z20 + z24) "
+         f"- 2.0 * (z2 + z7 + z12 + z17 + z22) - z1 - z3 - z6 - z8 "
+         f"- z11 - z13 - z16 - z18 - z21 - z23))")
+    t = (f"({sr!r} * (2.0 * (z0 + z1 + z2 + z3 + z4 + z20 + z21 + z22 + z23 + z24) "
+         f"- 2.0 * (z10 + z11 + z12 + z13 + z14) - z5 - z6 - z7 - z8 "
+         f"- z9 - z15 - z16 - z17 - z18 - z19))")
+    s = (f"({ss!r} * (z8 + z16 - z6 - z18 + 4.0 * (z4 + z20 - z0 - z24) "
+         f"+ 2.0 * (z3 + z9 + z15 + z21 - z1 - z5 - z19 - z23)))")
+    return r, s, t
+
+
+def _log_multiplier(res: float) -> float:
+    """Florinsky (2016) pg.246 res-band multiplier (plan_curvature.rs:287-296)."""
+    for hi, e in [(1.0, 2), (10.0, 3), (100.0, 4), (1000.0, 5), (5000.0, 6),
+                  (10000.0, 7), (75000.0, 8)]:
+        if res < hi:
+            return 10.0 ** e
+    return 10.0 ** 9
+
+
+def curvature_value_expr(kind: str, meta: GridMeta, log_transform: bool = False) -> str:
+    """Curvature over z0..z24 pivot columns as portable SQL (also builds
+    the DuckDB oracle). kind in plan|profile|tangential|total|mean|
+    gaussian|minimal|maximal. Formulas: Florinsky (2016) ch.2 pg.19 as
+    transcribed in the reference tools (plan_curvature.rs:364,
+    prof_curvature.rs:356, tan_curvature.rs:367, total_curvature.rs:344,
+    mean_curvature.rs:357, gaussian_curvature.rs:354,
+    minimal_curvature.rs:357-359, maximal_curvature.rs:356-358).
+    powi(n) is replicated as explicit products (not POWER) so both
+    engines use the identical IEEE sequence."""
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    p, q = _florinsky_pq(res)
+    r, s, t = _florinsky_rst(res)
+    pq2 = f"(({p}) * ({p}) + ({q}) * ({q}))"
+    opq2 = f"(1.0 + ({p}) * ({p}) + ({q}) * ({q}))"
+    mean = (f"(-((1.0 + ({q}) * ({q})) * {r} - 2.0 * ({p}) * ({q}) * {s} "
+            f"+ (1.0 + ({p}) * ({p})) * {t}) / (2.0 * SQRT({opq2} * {opq2} * {opq2})))")
+    gauss = f"(({r} * {t} - {s} * {s}) / ({opq2} * {opq2}))"
+    gated = {
+        "plan": (f"(-(({q}) * ({q}) * {r} - 2.0 * ({p}) * ({q}) * {s} "
+                 f"+ ({p}) * ({p}) * {t}) / SQRT({pq2} * {pq2} * {pq2}))"),
+        "profile": (f"(-(({p}) * ({p}) * {r} + 2.0 * ({p}) * ({q}) * {s} "
+                    f"+ ({q}) * ({q}) * {t}) / ({pq2} * SQRT({opq2} * {opq2} * {opq2})))"),
+        "tangential": (f"(-(({q}) * ({q}) * {r} - 2.0 * ({p}) * ({q}) * {s} "
+                       f"+ ({p}) * ({p}) * {t}) / ({pq2} * SQRT({opq2})))"),
+    }
+    if kind in gated:
+        core = f"CASE WHEN ABS(({p}) + ({q})) > 0.0 THEN {gated[kind]} ELSE 0.0 END"
+    elif kind == "total":
+        core = f"({r} * {r} + 2.0 * {s} * {s} + {t} * {t})"
+    elif kind == "mean":
+        core = mean
+    elif kind == "gaussian":
+        core = gauss
+    elif kind == "minimal":
+        core = f"({mean} - SQRT({mean} * {mean} - {gauss}))"
+    elif kind == "maximal":
+        core = f"({mean} + SQRT({mean} * {mean} - {gauss}))"
+    else:
+        raise ValueError(kind)
+    if log_transform:
+        m = _log_multiplier(res)
+        core = f"(SIGN({core}) * LN(1.0 + {m!r} * ABS({core})))"
+    return core
+
+
+def curvature(cells: DataFrame, meta: GridMeta, kind: str,
+              z_factor: float = 1.0, log_transform: bool = False) -> DataFrame:
+    """Plan/Profile/Tangential/Total/Mean/Gaussian/Minimal/Maximal
+    curvature rasters (one shuffle: the 5x5 pivot + a codegen fold)."""
+    value = curvature_value_expr(kind, meta, log_transform)
+    return focal_pivot5(cells, z_factor).selectExpr("row", "col", f"{value} AS value")
+
+
+def plan_curvature(cells, meta, z_factor=1.0, log_transform=False):
+    return curvature(cells, meta, "plan", z_factor, log_transform)
+
+
+def profile_curvature(cells, meta, z_factor=1.0, log_transform=False):
+    return curvature(cells, meta, "profile", z_factor, log_transform)
+
+
+def tangential_curvature(cells, meta, z_factor=1.0, log_transform=False):
+    return curvature(cells, meta, "tangential", z_factor, log_transform)
+
+
+def total_curvature(cells, meta, z_factor=1.0, log_transform=False):
+    return curvature(cells, meta, "total", z_factor, log_transform)
+
+
+def mean_curvature(cells, meta, z_factor=1.0, log_transform=False):
+    return curvature(cells, meta, "mean", z_factor, log_transform)
+
+
+def gaussian_curvature(cells, meta, z_factor=1.0, log_transform=False):
+    return curvature(cells, meta, "gaussian", z_factor, log_transform)
+
+
+def minimal_curvature(cells, meta, z_factor=1.0, log_transform=False):
+    return curvature(cells, meta, "minimal", z_factor, log_transform)
+
+
+def maximal_curvature(cells, meta, z_factor=1.0, log_transform=False):
+    return curvature(cells, meta, "maximal", z_factor, log_transform)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-weighted filters (gaussian_filter.rs, bilateral_filter.rs,
+# dog_filter.rs) — deterministic fixed-order folds over the k x k pivot
+# so Spark and the DuckDB oracle run the identical IEEE sequence.
+# ---------------------------------------------------------------------------
+
+
+def wbt_gaussian_kernel(sigma: float) -> tuple[int, list[float]]:
+    """(filter_size, row-major normalized weights) exactly as
+    gaussian_filter.rs:218-273 builds them (size from the 0.001 weight
+    cutoff, midpoint = floor(size/2), normalized by the weight total)."""
+    import math
+
+    sigma = min(max(sigma, 0.5), 20.0)
+    recip = 1.0 / (math.sqrt(2.0 * math.pi) * sigma)
+    two_sigma_sqr = 2.0 * sigma * sigma
+    filter_size = 3
+    for i in range(250):
+        w = recip * math.exp(-1.0 * (i * i) / two_sigma_sqr)
+        if w <= 0.001:
+            filter_size = i * 2 + 1
+            break
+    if filter_size % 2 == 0:
+        filter_size += 1
+    filter_size = max(filter_size, 3)
+    mid = filter_size // 2
+    weights, total = [], 0.0
+    for row in range(filter_size):
+        for col in range(filter_size):
+            x, y = col - mid, row - mid
+            w = recip * math.exp(-1.0 * (x * x + y * y) / two_sigma_sqr)
+            weights.append(w)
+            total += w
+    return filter_size, [w / total for w in weights]
+
+
+def gaussian_value_expr(sigma: float) -> tuple[int, str]:
+    """(filter_size, portable-SQL value expression over nullable pivot
+    columns z_0..z_{k*k-1}) for the Gaussian filter — also builds the
+    DuckDB oracle; deterministic left-assoc accumulation in kernel
+    order."""
+    size, ws = wbt_gaussian_kernel(sigma)
+    num = " + ".join(
+        f"CASE WHEN z_{a} IS NOT NULL THEN {ws[a]!r} * z_{a} ELSE 0.0 END"
+        for a in range(size * size)
+    )
+    den = " + ".join(
+        f"CASE WHEN z_{a} IS NOT NULL THEN {ws[a]!r} ELSE 0.0 END"
+        for a in range(size * size)
+    )
+    return size, f"(0.0 + {num}) / (0.0 + {den})"
+
+
+def gaussian_filter(cells: DataFrame, sigma: float = 0.75) -> DataFrame:
+    """GaussianFilter (image_analysis/gaussian_filter.rs:344-366): the
+    per-window renormalized weighted mean over valid neighbors —
+    value = sum(w_a * z_a) / sum(w_a over valid a), accumulated in
+    kernel order (deterministic left-assoc chain, oracle-portable).
+    Large sigmas (kernel > ~9x9) should prefer a tile+halo numpy plan;
+    the pivot stays correct but falls out of whole-stage codegen."""
+    size, value = gaussian_value_expr(sigma)
+    piv = focal_pivotk(cells, size)
+    return piv.selectExpr("row", "col", f"{value} AS value")
+
+
+def dog_filter(cells: DataFrame, sigma1: float = 2.0, sigma2: float = 4.0) -> DataFrame:
+    """Difference-of-Gaussians (image_analysis/dog_filter.rs semantics):
+    gaussian(sigma1) - gaussian(sigma2). NOTE: the reference's kernel
+    fill uses midpoint = floor(size/2) + 1 (dog_filter.rs:277), an
+    off-center anchor; this implementation uses the centered anchor
+    (the documented DoG definition)."""
+    g1 = gaussian_filter_separable(cells, sigma1).withColumnRenamed("value", "g1")
+    g2 = gaussian_filter_separable(cells, sigma2).withColumnRenamed("value", "g2")
+    return g1.join(g2, ["row", "col"]).selectExpr("row", "col", "g1 - g2 AS value")
+
+
+SCHARR_X = [[3.0, 0.0, -3.0], [10.0, 0.0, -10.0], [3.0, 0.0, -3.0]]
+SCHARR_Y = [[3.0, 10.0, 3.0], [0.0, 0.0, 0.0], [-3.0, -10.0, -3.0]]
+
+
+def scharr_filter(cells: DataFrame) -> DataFrame:
+    """ScharrFilter (image_analysis/scharr_filter.rs:288-291 D8 masks
+    re-expressed as 3x3 kernels): magnitude = sqrt(gx^2 + gy^2)."""
+    out = convolve(cells, {"gx": SCHARR_X, "gy": SCHARR_Y})
+    return out.selectExpr("row", "col", "SQRT(gx * gx + gy * gy) AS value")
+
+
+def user_defined_filter(cells: DataFrame, kernel: list[list[float]]) -> DataFrame:
+    """UserDefinedWeightsFilter: arbitrary square kernel via the shared
+    scatter-convolution plan."""
+    return convolve(cells, {"v": kernel}).withColumnRenamed("v", "value")
+
+
+def bilateral_filter(cells: DataFrame, sigma_dist: float = 0.75,
+                     sigma_int: float = 1.0) -> DataFrame:
+    """BilateralFilter (image_analysis/bilateral_filter.rs:246-397):
+    w_a = (recip_i * exp(-(z_a - z_c)^2 / 2*sigma_i^2)) * wd_a with
+    UNNORMALIZED spatial weights wd_a; value = sum_a (w_a * z_a / S),
+    S = sum of valid w_a — division inside the accumulation, exactly
+    like the reference (and the oracle text)."""
+    import math
+
+    sigma_dist = min(max(sigma_dist, 0.5), 20.0)
+    sigma_int = max(sigma_int, 0.001)
+    recip_d = 1.0 / (math.sqrt(2.0 * math.pi) * sigma_dist)
+    two_d = 2.0 * sigma_dist * sigma_dist
+    recip_i = 1.0 / (math.sqrt(2.0 * math.pi) * sigma_int)
+    two_i = 2.0 * sigma_int * sigma_int
+    filter_size = 3
+    for i in range(250):
+        w = recip_d * math.exp(-1.0 * (i * i) / two_d)
+        if w <= 0.001:
+            filter_size = i * 2 + 1
+            break
+    if filter_size % 2 == 0:
+        filter_size += 1
+    filter_size = max(filter_size, 3)
+    mid = filter_size // 2
+    center = mid * filter_size + mid
+    wd = []
+    for row in range(filter_size):
+        for col in range(filter_size):
+            x, y = col - mid, row - mid
+            wd.append(recip_d * math.exp(-1.0 * (x * x + y * y) / two_d))
+    k2 = filter_size * filter_size
+    piv = focal_pivotk(cells, filter_size)
+    w_cols = [
+        f"CASE WHEN z_{a} IS NOT NULL THEN ({recip_i!r} * EXP(-1.0 * "
+        f"((z_{a} - z_{center}) * (z_{a} - z_{center})) / {two_i!r})) * {wd[a]!r} "
+        f"ELSE 0.0 END AS w_{a}"
+        for a in range(k2)
+    ]
+    zsel = [f"z_{a}" for a in range(k2)]
+    staged = piv.selectExpr("row", "col", *zsel, *w_cols)
+    s_expr = "0.0 + " + " + ".join(f"w_{a}" for a in range(k2))
+    staged = staged.selectExpr("row", "col", *zsel,
+                               *[f"w_{a}" for a in range(k2)],
+                               f"({s_expr}) AS s_tot")
+    val = "0.0 + " + " + ".join(
+        f"CASE WHEN z_{a} IS NOT NULL THEN w_{a} * z_{a} / s_tot ELSE 0.0 END"
+        for a in range(k2)
+    )
+    return staged.selectExpr("row", "col", f"({val}) AS value")
+
+
+def olympic_filter(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """OlympicFilter (image_analysis/olympic_filter.rs:424): mean of the
+    window excluding its single highest and lowest values —
+    (sum - max - min) / (n - 2)."""
+    scattered = _scatter(cells, radius)
+    out = scattered.groupBy("row", "col").agg(
+        F.expr("(SUM(nv) - MAX(nv) - MIN(nv)) / CAST(COUNT(nv) - 2 AS DOUBLE)").alias("value")
+    )
+    return out.join(cells.select("row", "col"), ["row", "col"], "leftsemi")
+
+
+def conservative_smoothing_filter(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """ConservativeSmoothingFilter (image_analysis/
+    conservative_smoothing_filter.rs): clamp each cell to the [min, max]
+    of its neighbors EXCLUDING itself."""
+    offs = [(dr, dc) for dr in range(-radius, radius + 1)
+            for dc in range(-radius, radius + 1) if (dr, dc) != (0, 0)]
+    pairs = ", ".join(f"STRUCT(row + ({dr}L) AS crow, col + ({dc}L) AS ccol)" for dr, dc in offs)
+    scattered = (
+        cells.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))"))
+        .selectExpr("__n.crow AS row", "__n.ccol AS col", "value AS nv")
+    )
+    nb = scattered.groupBy("row", "col").agg(
+        F.min("nv").alias("mn"), F.max("nv").alias("mx")
+    )
+    return cells.join(nb, ["row", "col"], "left").selectExpr(
+        "row", "col",
+        "CASE WHEN mn IS NULL THEN value "
+        "WHEN value > mx THEN mx WHEN value < mn THEN mn ELSE value END AS value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Morphology (image_analysis/opening.rs, closing.rs, tophat.rs):
+# composition of the focal min/max (erosion/dilation) plans
+# ---------------------------------------------------------------------------
+
+
+def opening(cells: DataFrame, radius: int = 1,
+            meta: GridMeta | None = None) -> DataFrame:
+    """Opening = erosion (focal min) then dilation (focal max)."""
+    eroded = focal_stat(cells, "min", radius, meta)
+    return focal_stat(eroded, "max", radius, meta)
+
+
+def closing(cells: DataFrame, radius: int = 1,
+            meta: GridMeta | None = None) -> DataFrame:
+    """Closing = dilation (focal max) then erosion (focal min)."""
+    dilated = focal_stat(cells, "max", radius, meta)
+    return focal_stat(dilated, "min", radius, meta)
+
+
+def tophat_transform(cells: DataFrame, radius: int = 1, variant: str = "white",
+                     meta: GridMeta | None = None) -> DataFrame:
+    """TophatTransform (image_analysis/tophat.rs): white = value -
+    opening (peaks); black = closing - value (valleys)."""
+    if variant == "white":
+        o = opening(cells, radius, meta).withColumnRenamed("value", "o")
+        return cells.join(o, ["row", "col"]).selectExpr("row", "col", "value - o AS value")
+    c = closing(cells, radius, meta).withColumnRenamed("value", "c")
+    return cells.join(c, ["row", "col"]).selectExpr("row", "col", "c - value AS value")
+
+
+# ---------------------------------------------------------------------------
+# Window-position stats (terrain_analysis/dev_from_mean_elev.rs,
+# diff_from_mean_elev.rs, elev_percentile.rs, percent_elev_range.rs)
+# ---------------------------------------------------------------------------
+
+
+def diff_from_mean_elev(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """DiffFromMeanElev: z - window mean."""
+    scattered = _scatter(cells, radius)
+    stats = scattered.groupBy("row", "col").agg(F.avg("nv").alias("mu"))
+    return cells.join(stats, ["row", "col"]).selectExpr("row", "col", "value - mu AS value")
+
+
+def dev_from_mean_elev(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """DevFromMeanElev: (z - mean) / sample stdev of the window (the
+    reference's integral-image moments, dev_from_mean_elev.rs); windows
+    with zero variance emit 0."""
+    scattered = _scatter(cells, radius)
+    stats = scattered.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("nv").alias("s1"),
+        F.sum(F.expr("nv * nv")).alias("s2"),
+    )
+    return cells.join(stats, ["row", "col"]).selectExpr(
+        "row", "col",
+        "CASE WHEN (s2 - s1 * s1 / n) > 0.0 THEN "
+        "(value - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)) ELSE 0.0 END AS value",
+    )
+
+
+def elev_percentile(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """ElevPercentile (terrain_analysis/elev_percentile.rs): percentage
+    of window cells strictly below the center: n_less / n * 100."""
+    scattered = _scatter(cells, radius)
+    j = scattered.join(cells.selectExpr("row", "col", "value AS z"), ["row", "col"])
+    return j.groupBy("row", "col", "z").agg(
+        F.expr("CAST(SUM(CASE WHEN nv < z THEN 1 ELSE 0 END) AS DOUBLE) "
+               "/ COUNT(nv) * 100.0").alias("value")
+    ).drop("z")
+
+
+def percent_elev_range(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """PercentElevRange: (z - min) / (max - min) * 100 over the window
+    (terrain_analysis/percent_elev_range.rs); flat windows emit 0."""
+    scattered = _scatter(cells, radius)
+    stats = scattered.groupBy("row", "col").agg(
+        F.min("nv").alias("mn"), F.max("nv").alias("mx")
+    )
+    return cells.join(stats, ["row", "col"]).selectExpr(
+        "row", "col",
+        "CASE WHEN mx > mn THEN (value - mn) / (mx - mn) * 100.0 ELSE 0.0 END AS value",
+    )
+
+
+def gaussian_filter_separable(cells: DataFrame, sigma: float = 0.75) -> DataFrame:
+    """Separable Gaussian: two 1-D scatter passes (cols then rows).
+
+    w(x, y) = recip * g(x) * g(y) with g(d) = exp(-d^2 / 2 sigma^2), so
+    on a DENSE raster (valid window regions are rectangles) the WBT
+    per-window renormalized mean factorizes:
+        value = (sum_y g(y) * sx) / (sum_y g(y) * cx),
+        sx = sum_x g(x) z,  cx = sum_x g(x) over valid x
+    (the recip and global normalization cancel in the ratio). Each pass
+    is a size-k explode + hash agg — codegen-friendly for ANY kernel
+    size, unlike the k^2-column pivot. Values match the 2-D plan up to
+    float reassociation (pytest-gated ~1e-12); use gaussian_filter for
+    the bit-exact oracle plan at small sigma.
+    """
+    import math
+
+    sigma = min(max(sigma, 0.5), 20.0)
+    size, _ = wbt_gaussian_kernel(sigma)
+    mid = size // 2
+    g = {d: math.exp(-1.0 * (d * d) / (2.0 * sigma * sigma)) for d in range(-mid, mid + 1)}
+
+    centers = cells.select("row", "col")
+    p1_pairs = ", ".join(
+        f"STRUCT(col - ({d}L) AS ccol, {g[d]!r} AS w)" for d in range(-mid, mid + 1)
+    )
+    p1 = (
+        cells.withColumn("__s", F.expr(f"EXPLODE(ARRAY({p1_pairs}))"))
+        .selectExpr("row", "__s.ccol AS col", "__s.w * value AS wz", "__s.w AS w")
+        .groupBy("row", "col")
+        .agg(F.sum("wz").alias("sx"), F.sum("w").alias("cx"))
+        .join(centers, ["row", "col"], "leftsemi")
+    )
+    p2_pairs = ", ".join(
+        f"STRUCT(row - ({d}L) AS crow, {g[d]!r} AS w)" for d in range(-mid, mid + 1)
+    )
+    out = (
+        p1.withColumn("__s", F.expr(f"EXPLODE(ARRAY({p2_pairs}))"))
+        .selectExpr("__s.crow AS row", "col", "__s.w * sx AS wsx", "__s.w * cx AS wcx")
+        .groupBy("row", "col")
+        .agg(F.expr("SUM(wsx) / SUM(wcx)").alias("value"))
+        .join(centers, ["row", "col"], "leftsemi")
+    )
+    return out
