@@ -636,7 +636,18 @@ def _q_ann_topk(spark, sf):
 
 
 def _q_embedding_dups(spark, sf):
-    return D.embedding_dup_pairs(_emb(spark, sf), threshold=0.35)
+    """Near-dup pairs at the real 0.98 threshold over the fixture PLUS
+    injected deterministic duplicates (exact 0.5x scaled copies at
+    vec_id + 100000). Power-of-2 scaling is float-exact, so the scaled
+    copy lands in the identical sign-LSH bucket by construction and the
+    banded plan has guaranteed recall on every true pair — the oracle
+    join stays bit-exact with NO crossJoin in the Spark plan."""
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    dups = emb.selectExpr(
+        "vec_id + 100000 AS vec_id",
+        "TRANSFORM(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding",
+    )
+    return D.embedding_dup_pairs(emb.unionByName(dups), threshold=0.98)
 
 
 def _q_focal_mean(spark, sf):
@@ -1110,6 +1121,21 @@ def _q_ann_lsh(spark, sf):
     return S.ann_topk_lsh(q, emb, k=10, num_planes=8, dim=64)
 
 
+def _q_simhash64_pairs(spark, sf):
+    """SimHash-64 near-dup pairs via 4x16-bit bands — banding is EXACT
+    for hamming <= 3 (pigeonhole), so the oracle is the brute-force
+    all-pairs hamming join."""
+    return D.simhash64_pairs(_docs(spark, sf))
+
+
+def _q_ann_ivf(spark, sf):
+    """IVF bucketed ANN — approximate by design (recall pytest-gated
+    >= 0.9 vs the exact oracle on this fixture); rows-only check."""
+    emb = _emb(spark, sf)
+    q = emb.where("vec_id % 10 = 0")
+    return S.ann_topk_ivf(q, emb, k=10, num_centroids=16, n_probe=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver sampling window: one flagship per operator family ---
@@ -1151,12 +1177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash64_pairs": _q_simhash64_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_dups": _q_embedding_dups,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
@@ -2014,6 +2042,17 @@ def oracle_sql() -> dict[str, str]:
         f"AND bit_count(xor(a.simhash, b.simhash)) <= 1"
     )
 
+    _, d_th = T.token_md5s_exprs("text")
+    _, d_bands64 = T.simhash64_band_exprs("text")
+    band64_cols = ", ".join(f"{d_bands64[j]} AS b{j}" for j in range(4))
+    ham64 = " + ".join(f"bit_count(xor(a.b{j}, b.b{j}))" for j in range(4))
+    simhash64_oracle = (
+        f"WITH th AS (SELECT doc_id AS id, {d_th} AS __th FROM documents), "
+        f"base AS (SELECT id, {band64_cols} FROM th) "
+        f"SELECT a.id AS id_a, b.id AS id_b, CAST({ham64} AS BIGINT) AS hamming "
+        f"FROM base a, base b WHERE a.id < b.id AND ({ham64}) <= 3"
+    )
+
     ngram_oracle = (
         f"WITH base AS (SELECT doc_id AS id, list_distinct({d_sh}) AS sh, source AS blk "
         f"FROM documents), "
@@ -2050,11 +2089,15 @@ def oracle_sql() -> dict[str, str]:
     dup_nb = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
               "list_transform(vb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (a, b) -> a + b))")
     emb_dup_oracle = (
-        f"WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings), "
-        f"b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings), "
+        f"WITH u AS (SELECT vec_id, embedding FROM embeddings "
+        f"UNION ALL SELECT vec_id + 100000 AS vec_id, "
+        f"list_transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding "
+        f"FROM embeddings), "
+        f"a AS (SELECT vec_id AS id_a, embedding AS va FROM u), "
+        f"b AS (SELECT vec_id AS id_b, embedding AS vb FROM u), "
         f"p AS (SELECT id_a, id_b, ({dup_dot}) / (({dup_na}) * ({dup_nb})) AS cosine "
         f"FROM a, b WHERE id_a < id_b) "
-        f"SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"
+        f"SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.98"
     )
 
     reclass_case = "CASE " + " ".join(
@@ -2188,6 +2231,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_pairs": minhash_oracle,
         "simhash_pairs": simhash_pairs_oracle,
+        "simhash64_pairs": simhash64_oracle,
         "ngram_jaccard": ngram_oracle,
         "lang_id": f"SELECT doc_id, {T.lang_id_expr('text')[1]} AS lang_pred FROM documents",
         "quality": (

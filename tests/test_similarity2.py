@@ -1,0 +1,88 @@
+"""Round-2 similarity/dedup gates: IVF recall, simhash64 banding
+exactness, LSH-blocked embedding dedup recall + plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import whitebox_tools_spark.operators.dedup as D
+import whitebox_tools_spark.operators.similarity as S
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_ann_ivf_recall_gate(spark, emb):
+    """IVF with the registered query params must reach >= 0.9 recall vs
+    the exact top-k on the (adversarial, unclustered) fixture."""
+    q = emb.where("vec_id % 10 = 0")
+    exact = {(r["query_id"], r["target_id"])
+             for r in S.ann_topk_exact_sql(q, emb, k=10).collect()}
+    ivf = {(r["query_id"], r["target_id"])
+           for r in S.ann_topk_ivf(q, emb, k=10, num_centroids=16, n_probe=12).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_ann_ivf_plan_is_bucketed(spark, emb):
+    q = emb.where("vec_id % 10 = 0")
+    plan = S.ann_topk_ivf(q, emb, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_simhash64_banding_is_exact(spark, docs):
+    """4x16-bit banding must return the IDENTICAL pair set as brute-force
+    hamming <= 3 over the same 64-bit fingerprints (pigeonhole)."""
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in D.simhash64_pairs(docs).collect()}
+    import whitebox_tools_spark.functions.text as T
+
+    s_th, _ = T.token_md5s_exprs("text")
+    s_bands, _ = T.simhash64_band_exprs("text")
+    sig = docs.selectExpr("doc_id AS id", f"{s_th} AS __th").selectExpr(
+        "id", *[f"{s_bands[j]} AS b{j}" for j in range(4)]
+    )
+    a = sig.selectExpr("id AS id_a", *[f"b{j} AS a{j}" for j in range(4)])
+    b = sig.selectExpr("id AS id_b", *[f"b{j} AS c{j}" for j in range(4)])
+    ham = " + ".join(f"BIT_COUNT(CAST(a{j} AS BIGINT) ^ CAST(c{j} AS BIGINT))"
+                     for j in range(4))
+    brute = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+             a.crossJoin(b).where("id_a < id_b")
+             .selectExpr("id_a", "id_b", f"CAST({ham} AS BIGINT) AS hamming")
+             .where("hamming <= 3").collect()}
+    assert got == brute
+    assert brute, "fixture should contain near-dup docs"
+
+
+def test_embedding_dups_blocked_recall_and_plan(spark, emb):
+    """The LSH-blocked plan must find every injected scaled-copy pair
+    (power-of-2 scaling -> identical bucket) with no cartesian join."""
+    dups = emb.selectExpr(
+        "vec_id + 100000 AS vec_id",
+        "TRANSFORM(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding",
+    )
+    u = emb.unionByName(dups)
+    out = D.embedding_dup_pairs(u, threshold=0.98)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    n = emb.count()
+    want = {(r["vec_id"], r["vec_id"] + 100000) for r in emb.select("vec_id").collect()}
+    assert pairs == want
+    assert len(pairs) == n
+
+
+def test_collect_matrix_cap(spark, emb):
+    with pytest.raises(ValueError, match="driver-collect cap"):
+        S._collect_matrix(emb, "vec_id", "embedding", max_rows=10)

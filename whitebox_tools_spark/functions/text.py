@@ -200,3 +200,52 @@ def simhash16_exprs(col: str) -> tuple[str, str]:
         "(" + " + ".join(s_bits) + ")",
         "(" + " + ".join(d_bits) + ")",
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash-64 with 4 x 16-bit band keys — the design-scale fingerprint.
+# 16-bit simhash has only 65 536 buckets (quadratic in-bucket joins at
+# 10^12 docs); 64 bits with 4 banded 16-bit keys gives 4 x 65 536-way
+# partitioning AND an EXACT candidate guarantee for hamming <= 3
+# (pigeonhole: 4 bands, at most 3 differing bits -> >= 1 identical band).
+# ---------------------------------------------------------------------------
+
+
+def simhash64_band_exprs(col: str) -> tuple[list[str], list[str]]:
+    """Four 16-bit band keys of the 64-bit SimHash (band j = bits
+    16j..16j+15, j=0 least significant). The per-token 64-bit hash is
+    md5(token)'s first 16 hex digits (digit i covers bits 60-4i..63-4i);
+    per bit, tokens vote +1/-1 and the bit is set iff the vote is > 0.
+    The md5 is materialized ONCE per token via a TRANSFORM column; every
+    vote folds over that array. Returns (spark_exprs, duck_exprs), each
+    a 4-list over a column named __th (the md5 array) — callers stage
+    __th = TRANSFORM(tokens, t -> MD5(t)) first."""
+    def digit(h: str, pos: int, duck: bool) -> str:
+        fn = "strpos" if duck else "INSTR"
+        return f"({fn}('{_HEXD}', SUBSTR({h}, {pos}, 1)) - 1)"
+
+    def band(j: int, duck: bool) -> str:
+        bits = []
+        for b16 in range(16):
+            b = 16 * j + b16          # global bit index, 0 = lsb
+            dig_idx = 15 - b // 4     # 0-based digit position from the left
+            bit_in_digit = b % 4
+            d = digit("h", dig_idx + 1, duck)
+            bit = f"((({d}) >> {bit_in_digit}) & 1)"
+            if duck:
+                vote = f"list_sum(list_transform(__th, h -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END))"
+            else:
+                vote = f"AGGREGATE(__th, 0, (acc, h) -> acc + (CASE WHEN {bit} = 1 THEN 1 ELSE -1 END))"
+            bits.append(f"(CASE WHEN ({vote}) > 0 THEN {1 << b16} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+    return ([band(j, False) for j in range(4)], [band(j, True) for j in range(4)])
+
+
+def token_md5s_exprs(col: str) -> tuple[str, str]:
+    """Per-token md5 array (staged once; simhash64 votes fold over it)."""
+    s_toks, d_toks = tokens_expr(col)
+    return (
+        f"TRANSFORM({s_toks}, t -> MD5(t))",
+        f"list_transform({d_toks}, t -> md5(t))",
+    )

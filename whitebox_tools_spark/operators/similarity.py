@@ -24,10 +24,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+_MAX_DRIVER_VECTORS = 200_000  # ~100 MB of float64 at dim 64
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str,
+                    max_rows: int = _MAX_DRIVER_VECTORS) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side collect of a QUERY block — hard-capped so a mis-aimed
+    call can't OOM the driver; the target side always streams."""
+    capped = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(capped) > max_rows:
+        raise ValueError(
+            f"query block exceeds the {max_rows}-vector driver-collect cap; "
+            f"split the queries or use the bucketed (IVF/LSH) engines"
+        )
+    ids = np.array([r[0] for r in capped], dtype=np.int64)
+    mat = np.array([r[1] for r in capped], dtype=np.float64)
     return ids, mat
 
 
@@ -177,6 +188,101 @@ def ann_topk_lsh(
     nt = "SQRT(AGGREGATE(tv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     cand = (
         probes.join(tb, "bucket")
+        .where(F.col("query_id") != F.col("target_id"))
+        .dropDuplicates(["query_id", "target_id"])
+        .selectExpr("query_id", "target_id", f"({dot}) / (({nq}) * ({nt})) AS cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
+    return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
+
+
+def _coarse_centroids(targets: DataFrame, num_centroids: int, dim: int,
+                      id_col: str, vec_col: str, seed: int = 42,
+                      sample_per_centroid: int = 64, iters: int = 5) -> np.ndarray:
+    """Deterministic coarse quantizer: seed-stable hash sample of target
+    vectors (xxhash64 on the id — no RNG state in the scan), then a few
+    Lloyd iterations driver-side on the SAMPLE only (bounded by
+    num_centroids * sample_per_centroid rows, never the corpus)."""
+    n_sample = num_centroids * sample_per_centroid
+    sample = (
+        targets.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_sample)
+    )
+    _, mat = _collect_matrix(sample, id_col, vec_col)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def _assign_centroids(df: DataFrame, cent_bc, n_probe: int, id_col: str,
+                      vec_col: str, out_prefix: str) -> DataFrame:
+    """mapInPandas BLAS pass: nearest n_probe centroid ids per vector."""
+    schema = StructType([
+        StructField(f"{out_prefix}_id", LongType(), False),
+        StructField("centroid", IntegerType(), False),
+        StructField(f"{out_prefix}v", df.schema[vec_col].dataType, False),
+    ])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = cent_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.DataFrame({
+                f"{out_prefix}_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), n_probe),
+                "centroid": top.reshape(-1).astype(np.int32),
+                f"{out_prefix}v": list(pdf[vec_col].repeat(n_probe)),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ann_topk_ivf(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN — the bucketed scale engine promised by the module header.
+
+    Plan: (1) deterministic coarse centroids from a seed-stable hash
+    sample (driver sees only the bounded sample); (2) one BLAS
+    mapInPandas pass assigns every TARGET to its 1 nearest centroid —
+    the inverted lists, an equi-join key; (3) queries probe their
+    n_probe nearest centroids; (4) centroid equi-join + exact cosine +
+    per-query top-k. Shuffle key is the centroid id (C-way partition);
+    nothing quadratic, nothing driver-sized. Recall is tuned by
+    n_probe/num_centroids and pytest-gated >= 0.9 vs the exact oracle
+    on the fixture."""
+    cent = _coarse_centroids(targets, num_centroids, dim, id_col, vec_col, seed)
+    bc = targets.sparkSession.sparkContext.broadcast(cent)
+    t_assign = _assign_centroids(targets, bc, 1, id_col, vec_col, "target")
+    q_assign = _assign_centroids(queries, bc, n_probe, id_col, vec_col, "query")
+    dot = ("AGGREGATE(ZIP_WITH(queryv, targetv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    nq = "SQRT(AGGREGATE(queryv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nt = "SQRT(AGGREGATE(targetv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    cand = (
+        q_assign.join(t_assign, "centroid")
         .where(F.col("query_id") != F.col("target_id"))
         .dropDuplicates(["query_id", "target_id"])
         .selectExpr("query_id", "target_id", f"({dot}) / (({nq}) * ({nt})) AS cosine")
