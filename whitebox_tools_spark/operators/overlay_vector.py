@@ -317,3 +317,205 @@ def intersect_features(a: DataFrame, b: DataFrame,
         })
 
     return cand.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# General concave x concave overlay (union / intersect / difference /
+# symmetric difference) — functions/poly_overlay.py kernel per pair
+# (gis_analysis/union.rs, intersect.rs, erase.rs,
+# symmetrical_difference.rs semantics)
+# ---------------------------------------------------------------------------
+
+
+def overlay_features(a: DataFrame, b: DataFrame, mode: str,
+                     a_id: str = "shape_id", b_id: str = "clip_id") -> DataFrame:
+    """Pairwise geometric overlay of two polygon layers (holes-aware,
+    concave x concave). One output row per bbox-overlapping pair whose
+    result region is non-empty; pass-through rows (sentinel -1 partner
+    id) complete the layer semantics:
+
+      intersect            overlapping pairs only
+      difference           + untouched features of `a`
+      union                + untouched features of both layers
+      symmetric_difference + untouched features of both layers
+
+    Physical plan: broadcast bbox join -> mapInPandas batches through
+    the poly_overlay kernel. For a large right side swap the broadcast
+    for the FRS cell-cover join (pip_join machinery) — the kernel stage
+    is unchanged.
+    """
+    from ..functions.poly_overlay import overlay_rings
+
+    if mode not in {"intersect", "union", "difference", "symmetric_difference"}:
+        raise ValueError(mode)
+
+    def bbox(df, idc):
+        return df.selectExpr(
+            idc, "parts",
+            "AGGREGATE(FLATTEN(TRANSFORM(parts, p -> p.ring)), "
+            "CAST(1.0e308 AS DOUBLE), (acc, v) -> LEAST(acc, v.x)) AS xmin",
+            "AGGREGATE(FLATTEN(TRANSFORM(parts, p -> p.ring)), "
+            "CAST(-1.0e308 AS DOUBLE), (acc, v) -> GREATEST(acc, v.x)) AS xmax",
+            "AGGREGATE(FLATTEN(TRANSFORM(parts, p -> p.ring)), "
+            "CAST(1.0e308 AS DOUBLE), (acc, v) -> LEAST(acc, v.y)) AS ymin",
+            "AGGREGATE(FLATTEN(TRANSFORM(parts, p -> p.ring)), "
+            "CAST(-1.0e308 AS DOUBLE), (acc, v) -> GREATEST(acc, v.y)) AS ymax",
+        )
+
+    aa = bbox(a, a_id).withColumnRenamed("parts", "a_parts")
+    bb = bbox(b, b_id).selectExpr(b_id, "parts AS b_parts", "xmin AS bxmin",
+                                  "xmax AS bxmax", "ymin AS bymin", "ymax AS bymax")
+    cand = aa.join(
+        F.broadcast(bb),
+        (F.col("xmin") <= F.col("bxmax")) & (F.col("xmax") >= F.col("bxmin"))
+        & (F.col("ymin") <= F.col("bymax")) & (F.col("ymax") >= F.col("bymin")),
+        "inner",
+    ).select(a_id, b_id, "a_parts", "b_parts")
+
+    schema = StructType([
+        StructField(a_id, LongType(), False),
+        StructField(b_id, LongType(), False),
+        StructField("parts", _PARTS_T, False),
+    ])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        oa, ob, op = [], [], []
+        for _, row in pdf.iterrows():
+            pa = [(h, r) for _i, h, r in _parts_to_rows(row["a_parts"])]
+            pb = [(h, r) for _i, h, r in _parts_to_rows(row["b_parts"])]
+            res = overlay_rings(pa, pb, mode)
+            if any(not h for h, _r in res):
+                oa.append(row[a_id])
+                ob.append(row[b_id])
+                op.append(_rows_to_parts([(i, h, r) for i, (h, r) in enumerate(res)]))
+        return pd.DataFrame({
+            a_id: pd.Series(oa, dtype="int64"),
+            b_id: pd.Series(ob, dtype="int64"),
+            "parts": pd.Series(op, dtype="object"),
+        })
+
+    paired = cand.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=schema)
+    outs = [paired]
+    pair_ids = cand.select(a_id, b_id)
+    if mode in {"difference", "union", "symmetric_difference"}:
+        outs.append(
+            a.join(pair_ids.select(a_id).distinct(), a_id, "left_anti")
+            .selectExpr(a_id, f"CAST(-1 AS BIGINT) AS {b_id}", "parts")
+        )
+    if mode in {"union", "symmetric_difference"}:
+        outs.append(
+            b.join(pair_ids.select(b_id).distinct(), b_id, "left_anti")
+            .selectExpr(f"CAST(-1 AS BIGINT) AS {a_id}", b_id, "parts")
+        )
+    from functools import reduce
+
+    return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+def union_features(a: DataFrame, b: DataFrame,
+                   a_id: str = "shape_id", b_id: str = "clip_id") -> DataFrame:
+    """Pairwise Union (gis_analysis/union.rs semantics for two layers)."""
+    return overlay_features(a, b, "union", a_id, b_id)
+
+
+def symmetric_difference_features(a: DataFrame, b: DataFrame,
+                                  a_id: str = "shape_id",
+                                  b_id: str = "clip_id") -> DataFrame:
+    """Pairwise SymmetricalDifference (symmetrical_difference.rs)."""
+    return overlay_features(a, b, "symmetric_difference", a_id, b_id)
+
+
+def intersect_features_general(a: DataFrame, b: DataFrame,
+                               a_id: str = "shape_id",
+                               b_id: str = "clip_id") -> DataFrame:
+    """Concave x concave Intersect (intersect.rs full semantics; the
+    convex-right-side intersect_features stays as the fast path)."""
+    return overlay_features(a, b, "intersect", a_id, b_id)
+
+
+def erase_features(a: DataFrame, b: DataFrame,
+                   a_id: str = "shape_id", b_id: str = "clip_id") -> DataFrame:
+    """Concave x concave Erase/Difference (erase.rs full semantics)."""
+    return overlay_features(a, b, "difference", a_id, b_id)
+
+
+# ---------------------------------------------------------------------------
+# Dissolve (gis_analysis/dissolve.rs): remove shared boundaries between
+# same-group features — a pure DataFrame edge-cancellation plan
+# ---------------------------------------------------------------------------
+
+
+def dissolve(features: DataFrame, key_col: str,
+             id_col: str = "shape_id") -> DataFrame:
+    """Dissolve features by attribute: boundaries shared by two features
+    of the same group cancel; the surviving edges stitch into the merged
+    rings. Assumes planar, non-overlapping inputs with exactly matching
+    shared-edge vertices (the dissolve.rs contract).
+
+    Plan shape: normalize orientations + explode to directed edges
+    (one pandas pass), cancel shared edges with ONE groupBy on the
+    undirected edge key, stitch survivors per group (applyInPandas).
+    Every stage shuffles on small keys — nothing pairwise, nothing
+    driver-side.
+    """
+    from ..functions.poly_overlay import normalize_rings
+
+    edge_schema = StructType([
+        StructField("grp", LongType(), False),
+        StructField("x1", DoubleType(), False),
+        StructField("y1", DoubleType(), False),
+        StructField("x2", DoubleType(), False),
+        StructField("y2", DoubleType(), False),
+    ])
+
+    def to_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        g, x1, y1, x2, y2 = [], [], [], [], []
+        for _, row in pdf.iterrows():
+            rings = normalize_rings(
+                [(h, r) for _i, h, r in _parts_to_rows(row["parts"])]
+            )
+            for _h, r in rings:
+                for i in range(len(r) - 1):
+                    if r[i] == r[i + 1]:
+                        continue
+                    g.append(row[key_col])
+                    x1.append(r[i][0]); y1.append(r[i][1])
+                    x2.append(r[i + 1][0]); y2.append(r[i + 1][1])
+        return pd.DataFrame({"grp": pd.Series(g, dtype="int64"),
+                             "x1": x1, "y1": y1, "x2": x2, "y2": y2})
+
+    edges = features.select(key_col, "parts").mapInPandas(
+        lambda it: (to_edges(pdf) for pdf in it), schema=edge_schema
+    )
+    # undirected key; shared boundaries appear exactly twice (opposite
+    # directions after orientation normalization) and cancel
+    keyed = edges.selectExpr(
+        "grp", "x1", "y1", "x2", "y2",
+        "STRUCT(LEAST(STRUCT(x1 AS x, y1 AS y), STRUCT(x2 AS x, y2 AS y)) AS lo, "
+        "GREATEST(STRUCT(x1 AS x, y1 AS y), STRUCT(x2 AS x, y2 AS y)) AS hi) AS ekey",
+    )
+    counts = keyed.groupBy("grp", "ekey").agg(F.count(F.lit(1)).alias("__n"))
+    survivors = (
+        keyed.join(counts, ["grp", "ekey"])
+        .where("__n = 1")
+        .select("grp", "x1", "y1", "x2", "y2")
+    )
+
+    out_schema = StructType([
+        StructField("grp", LongType(), False),
+        StructField("parts", _PARTS_T, False),
+    ])
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.poly_overlay import _stitch, ring_signed_area2
+
+        frags = [((row.x1, row.y1), (row.x2, row.y2)) for row in pdf.itertuples()]
+        rings = _stitch(frags)
+        rows = [(i, ring_signed_area2(r) < 0, r) for i, r in enumerate(rings)]
+        if not rows:
+            return pd.DataFrame({"grp": pd.Series([], dtype="int64"),
+                                 "parts": pd.Series([], dtype="object")})
+        return pd.DataFrame({"grp": pd.Series([key[0]], dtype="int64"),
+                             "parts": pd.Series([_rows_to_parts(rows)], dtype="object")})
+
+    return survivors.groupBy("grp").applyInPandas(assemble, schema=out_schema)
