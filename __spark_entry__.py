@@ -976,6 +976,61 @@ def _q_erase_features(spark, sf):
     return _overlay_area_query(spark, sf, "difference")
 
 
+def _q_geotiff_roundtrip(spark, sf):
+    """Write ras_a to a GeoTIFF (DEFLATE), read it back through the
+    binaryFile + numpy decoder — oracle is the original raster SQL, so a
+    hash match proves the full write->read cycle is value-preserving."""
+    import shutil
+    import tempfile
+
+    from whitebox_tools_spark.sources import formats as FF
+
+    d = tempfile.mkdtemp(prefix="wbt_gtiff_")
+    try:
+        pth = f"{d}/ras_a.tif"
+        FF.write_geotiff(_ras(spark, sf, "a"), _META100, pth, compress=True)
+        cells, _meta = FF.read_geotiff(spark, pth)
+        rows = cells.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "row long, col long, value double")
+
+
+def _q_shapefile_roundtrip(spark, sf):
+    """Write the kind-0 rect shapes to a .shp/.dbf, read back, explode to
+    vertices. The writer re-orients shells to ESRI clockwise, so the
+    oracle generates the REVERSED rect ring — a hash match proves both
+    the byte layout and the orientation convention."""
+    import shutil
+    import tempfile
+
+    from whitebox_tools_spark.sources import formats as FF
+
+    _reg(spark, sf, "events")
+    base = spark.sql(_SHAPES_BASE).where("kind = 0")
+    feats = [
+        {"record_num": int(r["shape_id"]),
+         "parts": [(False, [(r["cx"] - r["hw"], r["cy"] - r["hh"]),
+                            (r["cx"] + r["hw"], r["cy"] - r["hh"]),
+                            (r["cx"] + r["hw"], r["cy"] + r["hh"]),
+                            (r["cx"] - r["hw"], r["cy"] + r["hh"])])],
+         "attrs": {"sid": int(r["shape_id"])}}
+        for r in sorted(base.collect(), key=lambda r: r["shape_id"])
+    ]  # .shp record numbers are sequential 1-based in write order
+    d = tempfile.mkdtemp(prefix="wbt_shp_")
+    try:
+        FF.write_shapefile(feats, f"{d}/shapes.shp", shape_type=5)
+        geo = FF.read_shapefile(spark, f"{d}/shapes.shp")
+        out = geo.selectExpr(
+            "record_num", "POSEXPLODE(parts[0].ring) AS (vertex_idx, v)"
+        ).selectExpr("record_num", "CAST(vertex_idx AS BIGINT) AS vertex_idx",
+                     "v.x AS x", "v.y AS y")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "record_num long, vertex_idx long, x double, y double")
+
+
 def _q_dissolve(spark, sf):
     """Dissolve an 8x8 grid of adjacent unit cells into per-group merged
     polygons (group = 2x2 block id): 16 groups, each one 2x2 square ring;
@@ -1261,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_thin": _q_lidar_thin,
         "t_test": _q_t_test,
         "kappa": _q_kappa,
+        "geotiff_roundtrip": _q_geotiff_roundtrip,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
         "colour_composite": _q_colour_composite,
         "join_tables": _q_join_tables,
         "exact_dedup": _q_exact_dedup,
@@ -1955,6 +2012,19 @@ def _overlay2_oracles() -> dict[str, str]:
             "SELECT CAST(range AS BIGINT) AS grp, CAST(1 AS BIGINT) AS n_rings, "
             "CAST(16 AS BIGINT) AS area_scaled, CAST(8 AS BIGINT) AS perimeter "
             "FROM range(0, 16)"
+        ),
+        "geotiff_roundtrip": _RAS_A_SQL,
+        # ESRI shell orientation: the reader returns the CW-reversed rect
+        # ring p0, p3, p2, p1, p0
+        "shapefile_roundtrip": (
+            f"WITH base AS ({_SHAPES_BASE}), r AS (SELECT "
+            f"ROW_NUMBER() OVER (ORDER BY shape_id) AS record_num, "
+            f"[{{'x': cx - hw, 'y': cy - hh}}, {{'x': cx - hw, 'y': cy + hh}}, "
+            f"{{'x': cx + hw, 'y': cy + hh}}, {{'x': cx + hw, 'y': cy - hh}}, "
+            f"{{'x': cx - hw, 'y': cy - hh}}] AS ring FROM base WHERE kind = 0) "
+            f"SELECT record_num, CAST(gs.i - 1 AS BIGINT) AS vertex_idx, "
+            f"ring[gs.i].x AS x, ring[gs.i].y AS y "
+            f"FROM r, generate_series(1, 5) gs(i)"
         ),
     }
 

@@ -27,8 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
 
 from ..functions.raster_math import GridMeta
 
@@ -185,3 +185,461 @@ def write_las(points: list[dict], path: str, fmt: int = 1,
     with open(path, "wb") as f:
         f.write(bytes(header))
         f.write(rec.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF (whitebox-raster/src/geotiff/mod.rs — strip/tile layout,
+# DEFLATE at mod.rs:14,456; georeferencing via ModelPixelScale +
+# ModelTiepoint; nodata via GDAL_NODATA)
+# ---------------------------------------------------------------------------
+
+_TIFF_SAMPLE_DTYPES = {
+    # (sample_format, bits) -> numpy dtype char
+    (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+    (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+    (3, 32): "f4", (3, 64): "f8",
+}
+
+
+def _parse_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a single-band classic TIFF (strips or tiles; compression
+    none/DEFLATE) into (2-D array, info dict with pixel scale, tiepoint,
+    nodata)."""
+    import zlib
+
+    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+    if bo is None or struct.unpack_from(f"{bo}H", buf, 2)[0] != 42:
+        raise ValueError("not a classic TIFF")
+    ifd_off = struct.unpack_from(f"{bo}I", buf, 4)[0]
+    n_tags = struct.unpack_from(f"{bo}H", buf, ifd_off)[0]
+    tags: dict[int, tuple] = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+    type_code = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
+    for i in range(n_tags):
+        off = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(f"{bo}HHI", buf, off)
+        size = type_size.get(typ, 1) * cnt
+        voff = off + 8 if size <= 4 else struct.unpack_from(f"{bo}I", buf, off + 8)[0]
+        if typ == 2:
+            vals = buf[voff:voff + cnt].split(b"\x00")[0].decode("ascii", "ignore")
+        else:
+            code = type_code.get(typ)
+            if code is None:
+                continue
+            vals = struct.unpack_from(f"{bo}{cnt}{code}", buf, voff)
+        tags[tag] = vals
+
+    width = tags[256][0]
+    height = tags[257][0]
+    bits = tags.get(258, (32,))[0]
+    compression = tags.get(259, (1,))[0]
+    sample_format = tags.get(339, (1,))[0]
+    if tags.get(277, (1,))[0] != 1:
+        raise ValueError("multi-band TIFF not supported (one band per file)")
+    dt = np.dtype(bo + _TIFF_SAMPLE_DTYPES[(sample_format, bits)])
+
+    def chunks(offsets, counts):
+        for o, c in zip(offsets, counts):
+            raw = buf[o:o + c]
+            if compression in (8, 32946):
+                raw = zlib.decompress(raw)
+            elif compression != 1:
+                raise ValueError(f"unsupported TIFF compression {compression}")
+            yield np.frombuffer(raw, dtype=dt)
+
+    grid = np.empty((height, width), dtype=np.float64)
+    if 322 in tags:  # tiled
+        tw, th = tags[322][0], tags[323][0]
+        tiles_across = (width + tw - 1) // tw
+        for idx, data in enumerate(chunks(tags[324], tags[325])):
+            tr, tc = idx // tiles_across, idx % tiles_across
+            tile = data.reshape(th, tw)
+            r0, c0 = tr * th, tc * tw
+            h = min(th, height - r0)
+            w = min(tw, width - c0)
+            grid[r0:r0 + h, c0:c0 + w] = tile[:h, :w]
+    else:  # strips
+        rps = tags.get(278, (height,))[0]
+        r0 = 0
+        for data in chunks(tags[273], tags[279]):
+            h = min(rps, height - r0)
+            grid[r0:r0 + h, :] = data[: h * width].reshape(h, width)
+            r0 += h
+    info = {
+        "width": width, "height": height,
+        "pixel_scale": tags.get(33550),
+        "tiepoint": tags.get(33922),
+        "nodata": float(tags[42113]) if 42113 in tags else None,
+    }
+    return grid, info
+
+
+def geotiff_meta(buf: bytes) -> GridMeta:
+    """GridMeta from one GeoTIFF's georeferencing tags."""
+    _, info = _parse_tiff(buf)
+    sx, sy = info["pixel_scale"][0], info["pixel_scale"][1]
+    # tiepoint (i, j, k, x, y, z): raster point -> model point
+    ti, tj = info["tiepoint"][0], info["tiepoint"][1]
+    tx, ty = info["tiepoint"][3], info["tiepoint"][4]
+    west = tx - ti * sx
+    north = ty + tj * sy
+    return GridMeta(
+        rows=info["height"], columns=info["width"],
+        north=north, south=north - info["height"] * sy,
+        east=west + info["width"] * sx, west=west,
+        resolution_x=sx, resolution_y=sy,
+        nodata=info["nodata"] if info["nodata"] is not None else -32768.0,
+    )
+
+
+def read_geotiff(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]:
+    """Read a GeoTIFF file (or a directory of aligned tiles) into the
+    cells table + the union GridMeta.
+
+    Plan: one metadata pass (binaryFile -> per-file GridMeta rows,
+    driver combines the tiny result), then one decode pass — each file
+    becomes (row, col, value) cells with GLOBAL indices derived from its
+    own tiepoint, so a directory of tiles lands as one seamless raster.
+    One decode task per tile file (the LAS ingest pattern). For huge
+    single files, prefer tiled TIFFs — each file is decoded whole."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    metas = [
+        geotiff_meta(bytes(r["content"]))
+        for r in files.select("content").collect()
+    ]
+    if not metas:
+        raise ValueError(f"no TIFF files at {path}")
+    m0 = metas[0]
+    union = GridMeta(
+        rows=0, columns=0,
+        north=max(m.north for m in metas), south=min(m.south for m in metas),
+        east=max(m.east for m in metas), west=min(m.west for m in metas),
+        resolution_x=m0.resolution_x, resolution_y=m0.resolution_y,
+        nodata=m0.nodata,
+    )
+    union = GridMeta(
+        rows=int(round((union.north - union.south) / m0.resolution_y)),
+        columns=int(round((union.east - union.west) / m0.resolution_x)),
+        north=union.north, south=union.south, east=union.east, west=union.west,
+        resolution_x=m0.resolution_x, resolution_y=m0.resolution_y,
+        nodata=m0.nodata,
+    )
+    north, west = union.north, union.west
+    sx, sy = m0.resolution_x, m0.resolution_y
+
+    schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("value", DoubleType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, file_row in pdf.iterrows():
+                buf = bytes(file_row["content"])
+                grid, _info = _parse_tiff(buf)
+                m = geotiff_meta(buf)
+                r_off = int(round((north - m.north) / sy))
+                c_off = int(round((m.west - west) / sx))
+                h, w = grid.shape
+                rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                yield pd.DataFrame({
+                    "row": (rr.ravel() + r_off).astype(np.int64),
+                    "col": (cc.ravel() + c_off).astype(np.int64),
+                    "value": grid.ravel().astype(np.float64),
+                })
+
+    return files.mapInPandas(run, schema=schema), union
+
+
+def write_geotiff(cells: DataFrame, meta: GridMeta, path: str,
+                  compress: bool = False) -> None:
+    """Write the cells table as a single-band float64 GeoTIFF (strip
+    layout, optional DEFLATE; interop/test sink — the scale sink is
+    parquet). Missing cells get the nodata sentinel."""
+    import zlib
+
+    grid = np.full((meta.rows, meta.columns), meta.nodata, dtype="<f8")
+    for r in cells.select("row", "col", "value").toLocalIterator():
+        grid[int(r["row"]), int(r["col"])] = r["value"]
+    data = grid.tobytes()
+    compression = 1
+    if compress:
+        data = zlib.compress(data)
+        compression = 8
+    nodata_s = (repr(meta.nodata) + "\x00").encode("ascii")
+
+    tags = []  # (tag, type, count, value_bytes or inline int)
+    extra = bytearray()
+    header_size = 8
+
+    def defer(payload: bytes) -> int:
+        extra.extend(payload)
+        return len(extra) - len(payload)
+
+    # IFD written right after the 8-byte header; data areas after it
+    n_tags = 11
+    ifd_size = 2 + n_tags * 12 + 4
+    data_start = header_size + ifd_size
+
+    scale = struct.pack("<3d", meta.resolution_x, meta.resolution_y, 0.0)
+    tie = struct.pack("<6d", 0.0, 0.0, 0.0, meta.west, meta.north, 0.0)
+    off_scale = defer(scale)
+    off_tie = defer(tie)
+    off_nodata = defer(nodata_s)
+    off_data = defer(data)
+
+    def tag(t, typ, cnt, val, inline=True):
+        if inline:
+            return struct.pack("<HHI4s", t, typ, cnt, struct.pack("<I", val))
+        return struct.pack("<HHII", t, typ, cnt, data_start + val)
+
+    ifd = struct.pack("<H", n_tags)
+    ifd += tag(256, 4, 1, meta.columns)
+    ifd += tag(257, 4, 1, meta.rows)
+    ifd += tag(258, 3, 1, 64)
+    ifd += tag(259, 3, 1, compression)
+    ifd += tag(273, 4, 1, off_data, inline=False)
+    ifd += tag(278, 4, 1, meta.rows)
+    ifd += tag(279, 4, 1, len(data))
+    ifd += tag(339, 3, 1, 3)
+    ifd += tag(33550, 12, 3, off_scale, inline=False)
+    ifd += tag(33922, 12, 6, off_tie, inline=False)
+    ifd += tag(42113, 2, len(nodata_s), off_nodata, inline=False)
+    ifd += struct.pack("<I", 0)
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, 8))
+        f.write(ifd)
+        f.write(bytes(extra))
+
+
+# ---------------------------------------------------------------------------
+# ESRI Shapefile (.shp geometry + .dbf attributes;
+# whitebox-vector/src/shapefile/mod.rs:112-130, attributes.rs:60-111,
+# geometry.rs:307-409 — holes are counter-clockwise rings)
+# ---------------------------------------------------------------------------
+
+SHP_PARTS_SCHEMA = StructType([
+    StructField("source_file", StringType(), False),
+    StructField("record_num", LongType(), False),
+    StructField("shape_type", IntegerType(), False),
+    StructField("parts", ArrayType(StructType([
+        StructField("part_idx", IntegerType(), False),
+        StructField("is_hole", BooleanType(), False),
+        StructField("ring", ArrayType(StructType([
+            StructField("x", DoubleType(), False),
+            StructField("y", DoubleType(), False)])), False),
+    ])), False),
+])
+
+
+def _ring_area2(xs: np.ndarray, ys: np.ndarray) -> float:
+    return float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+
+
+def _decode_shp(name: str, buf: bytes) -> pd.DataFrame:
+    if struct.unpack_from(">i", buf, 0)[0] != 9994:
+        raise ValueError(f"{name}: not a shapefile")
+    recs = []
+    pos = 100  # header is 100 bytes
+    while pos + 8 <= len(buf):
+        rec_num, content_len = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        body = buf[pos:pos + content_len * 2]
+        pos += content_len * 2
+        if len(body) < 4:
+            break
+        stype = struct.unpack_from("<i", body, 0)[0]
+        parts_out = []
+        if stype == 1:  # Point
+            x, y = struct.unpack_from("<2d", body, 4)
+            parts_out = [(0, False, [(x, y)])]
+        elif stype == 8:  # MultiPoint
+            n = struct.unpack_from("<i", body, 36)[0]
+            pts = np.frombuffer(body, dtype="<f8", count=2 * n, offset=40).reshape(n, 2)
+            parts_out = [(0, False, [tuple(p) for p in pts])]
+        elif stype in (3, 5):  # PolyLine / Polygon
+            n_parts, n_points = struct.unpack_from("<2i", body, 36)
+            part_starts = list(struct.unpack_from(f"<{n_parts}i", body, 44))
+            pts = np.frombuffer(body, dtype="<f8", count=2 * n_points,
+                                offset=44 + 4 * n_parts).reshape(n_points, 2)
+            bounds = part_starts + [n_points]
+            for pi in range(n_parts):
+                ring = pts[bounds[pi]:bounds[pi + 1]]
+                is_hole = False
+                if stype == 5 and len(ring) >= 4:
+                    # ESRI: shells clockwise, holes counter-clockwise
+                    # (positive shoelace area), geometry.rs:307-409
+                    is_hole = _ring_area2(ring[:, 0], ring[:, 1]) > 0
+                parts_out.append((pi, is_hole, [tuple(p) for p in ring]))
+        elif stype == 0:  # null shape
+            parts_out = []
+        else:
+            raise ValueError(f"{name}: unsupported shape type {stype}")
+        recs.append((name, rec_num, stype, [
+            {"part_idx": i, "is_hole": h,
+             "ring": [{"x": float(x), "y": float(y)} for x, y in ring]}
+            for i, h, ring in parts_out
+        ]))
+    return pd.DataFrame(recs, columns=["source_file", "record_num", "shape_type", "parts"])
+
+
+def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
+    """Read .shp files (Point / MultiPoint / PolyLine / Polygon) into
+    the features table (record_num, shape_type, parts) — one decode
+    task per file."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                yield _decode_shp(r["path"].rsplit("/", 1)[-1], bytes(r["content"]))
+
+    return files.mapInPandas(run, schema=SHP_PARTS_SCHEMA)
+
+
+def _decode_dbf(name: str, buf: bytes) -> pd.DataFrame:
+    n_recs = struct.unpack_from("<I", buf, 4)[0]
+    header_size, rec_size = struct.unpack_from("<2H", buf, 8)
+    fields = []
+    pos = 32
+    while buf[pos] != 0x0D:
+        fname = buf[pos:pos + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(buf[pos + 11])
+        flen = buf[pos + 16]
+        fdec = buf[pos + 17]
+        fields.append((fname, ftype, flen, fdec))
+        pos += 32
+    rows = []
+    for i in range(n_recs):
+        off = header_size + i * rec_size
+        rec = buf[off:off + rec_size]
+        if not rec or rec[0:1] == b"*":
+            continue
+        vals = {"record_num": i + 1}
+        fp = 1
+        for fname, ftype, flen, fdec in fields:
+            raw = rec[fp:fp + flen].decode("ascii", "ignore").strip()
+            fp += flen
+            if ftype in ("N", "F"):
+                if raw == "":
+                    vals[fname] = None
+                elif fdec > 0 or ftype == "F":
+                    vals[fname] = float(raw)
+                else:
+                    vals[fname] = int(raw)
+            elif ftype == "L":
+                vals[fname] = raw.upper() in ("T", "Y")
+            else:
+                vals[fname] = raw
+        rows.append(vals)
+    return pd.DataFrame(rows)
+
+
+def read_dbf(spark: SparkSession, path: str) -> DataFrame:
+    """Read a .dbf attribute table (C/N/F/L field types,
+    attributes.rs:60-111). Decoded from the first file's schema; 1-based
+    record_num aligns with the .shp record numbers."""
+    files = spark.read.format("binaryFile").load(path).select("content").collect()
+    pdfs = [_decode_dbf(path, bytes(r["content"])) for r in files]
+    merged = pd.concat(pdfs, ignore_index=True)
+    return spark.createDataFrame(merged)
+
+
+def write_shapefile(features: list[dict], path: str, shape_type: int = 5) -> None:
+    """Minimal .shp/.shx/.dbf writer (Polygon=5 / PolyLine=3; test and
+    interop fixture path). features: [{'record_num', 'parts': [(is_hole,
+    [(x, y), ...])], 'attrs': {name: value}}]. Polygon rings are
+    re-oriented to the ESRI convention (shells CW, holes CCW)."""
+    shp_records = []
+    all_x, all_y = [], []
+    for feat in features:
+        parts = []
+        for is_hole, ring in feat["parts"]:
+            r = list(ring)
+            if r[0] != r[-1]:
+                r.append(r[0])
+            xs = np.array([p[0] for p in r])
+            ys = np.array([p[1] for p in r])
+            a2 = _ring_area2(xs, ys)
+            if shape_type == 5 and ((not is_hole and a2 > 0) or (is_hole and a2 < 0)):
+                r = r[::-1]
+            parts.append(r)
+            all_x += [p[0] for p in r]
+            all_y += [p[1] for p in r]
+        pts = [p for ring in parts for p in ring]
+        starts = []
+        acc = 0
+        for ring in parts:
+            starts.append(acc)
+            acc += len(ring)
+        body = struct.pack("<i", shape_type)
+        body += struct.pack("<4d", min(p[0] for p in pts), min(p[1] for p in pts),
+                            max(p[0] for p in pts), max(p[1] for p in pts))
+        body += struct.pack("<2i", len(parts), len(pts))
+        body += struct.pack(f"<{len(starts)}i", *starts)
+        for x, y in pts:
+            body += struct.pack("<2d", x, y)
+        shp_records.append(body)
+
+    # .shp + .shx
+    offsets = []
+    content = b""
+    for i, body in enumerate(shp_records):
+        offsets.append((100 + len(content)) // 2)
+        content += struct.pack(">2i", i + 1, len(body) // 2) + body
+    bbox = (min(all_x), min(all_y), max(all_x), max(all_y))
+
+    def header(total_words):
+        h = struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, total_words)
+        h += struct.pack("<2i", 1000, shape_type)
+        h += struct.pack("<4d", *bbox) + struct.pack("<4d", 0, 0, 0, 0)
+        return h
+
+    with open(path, "wb") as f:
+        f.write(header((100 + len(content)) // 2))
+        f.write(content)
+    with open(path[:-4] + ".shx", "wb") as f:
+        f.write(header((100 + 8 * len(shp_records)) // 2))
+        for off, body in zip(offsets, shp_records):
+            f.write(struct.pack(">2i", off, len(body) // 2))
+
+    # .dbf
+    attr_names = list(features[0].get("attrs", {"FID": 0}))
+    if not features[0].get("attrs"):
+        features = [dict(f, attrs={"FID": i}) for i, f in enumerate(features)]
+    fdefs = []
+    for nm in attr_names:
+        v = features[0]["attrs"][nm]
+        if isinstance(v, float):
+            fdefs.append((nm, "N", 19, 8))
+        elif isinstance(v, int):
+            fdefs.append((nm, "N", 18, 0))
+        else:
+            fdefs.append((nm, "C", 64, 0))
+    rec_size = 1 + sum(f[2] for f in fdefs)
+    header_size = 32 + 32 * len(fdefs) + 1
+    with open(path[:-4] + ".dbf", "wb") as f:
+        hdr = bytearray(32)
+        hdr[0] = 3
+        struct.pack_into("<I", hdr, 4, len(features))
+        struct.pack_into("<2H", hdr, 8, header_size, rec_size)
+        f.write(bytes(hdr))
+        for nm, t, ln, dec in fdefs:
+            fd = bytearray(32)
+            fd[0:11] = nm.encode("ascii")[:11].ljust(11, b"\x00")
+            fd[11] = ord(t)
+            fd[16] = ln
+            fd[17] = dec
+            f.write(bytes(fd))
+        f.write(b"\x0d")
+        for feat in features:
+            f.write(b" ")
+            for nm, t, ln, dec in fdefs:
+                v = feat["attrs"][nm]
+                if t == "N":
+                    s = (f"{v:.{dec}f}" if dec else str(int(v))).rjust(ln)[:ln]
+                else:
+                    s = str(v).ljust(ln)[:ln]
+                f.write(s.encode("ascii"))
+        f.write(b"\x1a")
