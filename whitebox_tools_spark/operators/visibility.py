@@ -1,24 +1,36 @@
-"""Visibility operators: Viewshed, HorizonAngle.
+"""Visibility operators: Viewshed, HorizonAngle — distributed sweeps.
 
 Reference anchors:
 - Viewshed (terrain_analysis/viewshed.rs): a cell is visible from the
   viewpoint iff no cell along the line of sight subtends a larger
-  vertical angle.
+  vertical angle (R3-family sampling).
 - HorizonAngle (terrain_analysis/horizon_angle.rs): per cell, the max
   elevation angle toward a fixed azimuth.
 
-Plan: the DEM (or the relevant tile + its directional strip at scale)
-is broadcast as a dense numpy grid; target cells stream through
-mapInPandas and each batch runs vectorized line-of-sight walks. For a
-10^12-cell DEM the same kernel runs per tile with a halo strip along
-the sweep azimuth (the sweep decomposes over tiles because max-angle is
-associative along the ray) — the broadcast path here is the
-small-raster/regional case.
+Round-2 plans (replacing the driver-side dense grid + per-row Python
+ray loops):
+
+- viewshed: ANGULAR-SECTOR decomposition. Every LOS sample for a target
+  in sector k lies within sector k +- 1 (ray samples round off the exact
+  ray by <= ~0.7 cells, an angular error < atan(1.5/d)), except samples
+  near the viewpoint — so each DEM cell scatters to its own sector +- 1,
+  and cells within NEAR_R Chebyshev of the viewpoint scatter to ALL
+  sectors. One groupBy(sector) + applyInPandas; the kernel walks all of
+  the sector's targets SIMULTANEOUSLY, one vectorized numpy lookup per
+  ray step. Nothing driver-side, sector fan-out <= 3x + a constant.
+- horizon_angle: DOMINANT-AXIS BAND decomposition. Rays march along the
+  azimuth; banding on the perpendicular (dominant) axis with a halo
+  covering the worst-case ray drift (bounded by max_dist, or the grid
+  extent for unlimited scans — pass max_dist at scale, near-diagonal
+  azimuths otherwise degrade to wide strips). Kernel sweeps all band
+  cells per step with dense-subgrid lookups.
+
+Both kernels replicate the scalar reference loop EXACTLY (same rint
+rounding, same distance and angle expressions, same comparison order),
+so results are bit-identical to the round-1 implementation.
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import math
 
@@ -30,101 +42,151 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions.raster_math import GridMeta
 
-
-def _dense_grid(cells: DataFrame, meta: GridMeta) -> np.ndarray:
-    g = np.full((meta.rows, meta.columns), np.nan)
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        g[int(r["row"]), int(r["col"])] = r["value"]
-    return g
-
-
 _OUT_SCHEMA = StructType([
     StructField("row", LongType(), False),
     StructField("col", LongType(), False),
     StructField("value", DoubleType(), False),
 ])
 
+_NEAR_R = 16          # cells this close to the viewpoint join every sector
+_SECTORS = 64         # 2*pi/64 = 0.098 rad > atan(1.5/16) = 0.094 rad
+
 
 def viewshed(cells: DataFrame, meta: GridMeta, vp_row: int, vp_col: int,
              vp_height: float = 2.0) -> DataFrame:
     """1.0 where the cell center is visible from the (raised) viewpoint,
     0.0 otherwise. LOS sampled at unit steps along the ray (R3 family)."""
-    dem = _dense_grid(cells, meta)
-    sc = cells.sparkSession.sparkContext
-    bc = sc.broadcast(dem)
     resx, resy = meta.resolution_x, meta.resolution_y
-    rows_n, cols_n = meta.rows, meta.columns
+    spark = cells.sparkSession
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g = bc.value
-        z0 = g[vp_row, vp_col] + vp_height
-        for pdf in batches:
-            out = np.ones(len(pdf), dtype=np.float64)
-            rr = pdf["row"].to_numpy()
-            cc = pdf["col"].to_numpy()
-            for i in range(len(pdf)):
-                r, c = int(rr[i]), int(cc[i])
-                dr, dc = r - vp_row, c - vp_col
-                dist = math.hypot(dr * resy, dc * resx)
-                if dist == 0.0:
-                    continue
-                n = max(abs(dr), abs(dc))
-                tgt_angle = (g[r, c] - z0) / dist
-                visible = True
-                for s in range(1, n):
-                    t = s / n
-                    ir = int(round(vp_row + dr * t))
-                    ic = int(round(vp_col + dc * t))
-                    d = math.hypot((ir - vp_row) * resy, (ic - vp_col) * resx)
-                    if d == 0.0:
-                        continue
-                    if (g[ir, ic] - z0) / d >= tgt_angle:
-                        visible = False
-                        break
-                out[i] = 1.0 if visible else 0.0
-            yield pd.DataFrame({"row": rr, "col": cc, "value": out})
+    # sector of every cell (atan2 over cell offsets); near cells -> all
+    sec = (
+        f"CAST(FLOOR((ATAN2(CAST(row - {vp_row} AS DOUBLE), "
+        f"CAST(col - {vp_col} AS DOUBLE)) + PI()) / (2.0 * PI()) * {_SECTORS}) AS INT)"
+    )
+    base = cells.selectExpr("row", "col", "value", f"LEAST({sec}, {_SECTORS - 1}) AS __sec",
+                            f"GREATEST(ABS(row - {vp_row}), ABS(col - {vp_col})) AS __cheb")
+    far = base.where(f"__cheb > {_NEAR_R}")
+    spread = (
+        far.withColumn("sector", F.explode(F.expr(
+            f"ARRAY((__sec + {_SECTORS - 1}) % {_SECTORS}, __sec, (__sec + 1) % {_SECTORS})")))
+        .selectExpr("row", "col", "value", "sector", "sector = __sec AS is_core")
+    )
+    # near cells join every sector (their samples can appear in any ray)
+    # but are LOS targets only in their own sector
+    near = base.where(f"__cheb <= {_NEAR_R}").crossJoin(
+        F.broadcast(spark.range(_SECTORS).selectExpr("CAST(id AS INT) AS sector"))
+    ).selectExpr("row", "col", "value", "sector", "sector = __sec AS is_core")
+    scattered = spread.unionByName(near)
 
-    return cells.select("row", "col").mapInPandas(run, schema=_OUT_SCHEMA)
+    cols_n = meta.columns
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zmap = pd.Series(pdf["value"].to_numpy(),
+                         index=pdf["row"].to_numpy() * cols_n + pdf["col"].to_numpy())
+        zmap = zmap[~zmap.index.duplicated()]
+        vz = zmap.get(vp_row * cols_n + vp_col)
+        core = pdf[pdf["is_core"]]
+        rr = core["row"].to_numpy(dtype=np.int64)
+        cc = core["col"].to_numpy(dtype=np.int64)
+        if vz is None or math.isnan(vz):
+            return pd.DataFrame({"row": rr, "col": cc,
+                                 "value": np.zeros(len(rr))})
+        z0 = float(vz) + vp_height
+        dr = rr - vp_row
+        dc = cc - vp_col
+        dist = np.hypot(dr * resy, dc * resx)
+        n = np.maximum(np.abs(dr), np.abs(dc)).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tgt_angle = (core["value"].to_numpy() - z0) / dist
+        visible = np.ones(len(rr), dtype=bool)
+        smax = int(n.max()) if len(n) else 0
+        for s in range(1, smax):
+            active = (s < n) & visible
+            if not active.any():
+                break
+            t = s / n[active]
+            ir = np.rint(vp_row + dr[active] * t).astype(np.int64)
+            ic = np.rint(vp_col + dc[active] * t).astype(np.int64)
+            d = np.hypot((ir - vp_row) * resy, (ic - vp_col) * resx)
+            z = zmap.reindex(ir * cols_n + ic).to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ang = (z - z0) / d
+            blocked = np.zeros(len(ir), dtype=bool)
+            ok = (d > 0) & ~np.isnan(z)
+            blocked[ok] = ang[ok] >= tgt_angle[active][ok]
+            idx = np.flatnonzero(active)
+            visible[idx[blocked]] = False
+        out = np.where(dist == 0.0, 1.0, visible.astype(np.float64))
+        return pd.DataFrame({"row": rr, "col": cc, "value": out})
+
+    return scattered.groupBy("sector").applyInPandas(kernel, schema=_OUT_SCHEMA)
 
 
 def horizon_angle(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
-                  max_dist: float | None = None) -> DataFrame:
+                  max_dist: float | None = None, band: int = 64) -> DataFrame:
     """Per-cell maximum elevation angle (radians, atan of rise/run)
     looking toward `azimuth` degrees clockwise from north."""
-    dem = _dense_grid(cells, meta)
-    sc = cells.sparkSession.sparkContext
-    bc = sc.broadcast(dem)
     az = math.radians(azimuth)
-    # step direction in (row, col): north = -row
     step_r, step_c = -math.cos(az), math.sin(az)
     resx, resy = meta.resolution_x, meta.resolution_y
     rows_n, cols_n = meta.rows, meta.columns
     limit = max_dist if max_dist is not None else float("inf")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g = bc.value
-        for pdf in batches:
-            rr = pdf["row"].to_numpy()
-            cc = pdf["col"].to_numpy()
-            out = np.zeros(len(pdf))
-            for i in range(len(pdf)):
-                r0, c0 = int(rr[i]), int(cc[i])
-                z0 = g[r0, c0]
-                best = -math.inf
-                s = 1
-                while True:
-                    fr = r0 + step_r * s
-                    fc = c0 + step_c * s
-                    ir, ic = int(round(fr)), int(round(fc))
-                    if not (0 <= ir < rows_n and 0 <= ic < cols_n):
-                        break
-                    d = math.hypot((ir - r0) * resy, (ic - c0) * resx)
-                    if d > limit:
-                        break
-                    if d > 0:
-                        best = max(best, (g[ir, ic] - z0) / d)
-                    s += 1
-                out[i] = math.atan(best) if math.isfinite(best) else 0.0
-            yield pd.DataFrame({"row": rr, "col": cc, "value": out})
+    # worst-case ray length in steps (bounded by max_dist or the grid)
+    if max_dist is not None:
+        smax_global = int(max_dist / min(resx, resy)) + 2
+    else:
+        smax_global = int(math.hypot(rows_n, cols_n)) + 2
+    # banding on the axis the ray moves along LEAST (perpendicular-ish):
+    # drift of the ray on that axis over its whole length sizes the halo
+    vertical = abs(step_r) >= abs(step_c)
+    axis = "col" if vertical else "row"
+    drift = (abs(step_c) if vertical else abs(step_r)) * min(
+        smax_global, int(math.hypot(rows_n, cols_n)) + 2)
+    halo = int(math.ceil(drift)) + 2
 
-    return cells.select("row", "col").mapInPandas(run, schema=_OUT_SCHEMA)
+    n_bands = ((cols_n if vertical else rows_n) + band - 1) // band
+    lo = f"GREATEST(CAST(FLOOR(({axis} - {halo}) / {band}) AS BIGINT), 0)"
+    hi = f"LEAST(CAST(FLOOR(({axis} + {halo}) / {band}) AS BIGINT), {n_bands - 1})"
+    scattered = cells.selectExpr(
+        "row", "col", "value",
+        f"CAST(FLOOR({axis} / {band}) AS BIGINT) AS __band",
+        f"EXPLODE(SEQUENCE({lo}, {hi})) AS sector",
+    ).selectExpr("row", "col", "value", "sector", "sector = __band AS is_core")
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zmap = pd.Series(pdf["value"].to_numpy(),
+                         index=pdf["row"].to_numpy() * cols_n + pdf["col"].to_numpy())
+        zmap = zmap[~zmap.index.duplicated()]
+        core = pdf[pdf["is_core"]]
+        rr = core["row"].to_numpy(dtype=np.int64)
+        cc = core["col"].to_numpy(dtype=np.int64)
+        z0 = core["value"].to_numpy(dtype=np.float64)
+        best = np.full(len(rr), -np.inf)
+        alive = np.ones(len(rr), dtype=bool)
+        for s in range(1, smax_global + 1):
+            if not alive.any():
+                break
+            fr = rr + step_r * s
+            fc = cc + step_c * s
+            ir = np.rint(fr).astype(np.int64)
+            ic = np.rint(fc).astype(np.int64)
+            inb = (ir >= 0) & (ir < rows_n) & (ic >= 0) & (ic < cols_n) & alive
+            alive = alive & inb
+            if not alive.any():
+                break
+            d = np.hypot((ir - rr) * resy, (ic - cc) * resx)
+            over = d > limit
+            alive = alive & ~over
+            act = alive & (d > 0)
+            if act.any():
+                z = zmap.reindex(ir[act] * cols_n + ic[act]).to_numpy()
+                ang = (z - z0[act]) / d[act]
+                ok = ~np.isnan(ang)
+                upd = np.flatnonzero(act)[ok]
+                best[upd] = np.maximum(best[upd], ang[ok])
+        val = np.where(np.isfinite(best), np.arctan(best), 0.0)
+        return pd.DataFrame({"row": rr, "col": cc, "value": val})
+
+    return scattered.groupBy("sector").applyInPandas(kernel, schema=_OUT_SCHEMA)
