@@ -1143,7 +1143,7 @@ def _q_d8_pointer(spark, sf):
 
 
 def _q_d8_accum(spark, sf):
-    return HY.d8_flow_accumulation(_ras(spark, sf, "a"), _META100)
+    return HY.d8_flow_accumulation_tiled(_ras(spark, sf, "a"), _META100)
 
 
 def _q_d8_basins(spark, sf):

@@ -174,11 +174,10 @@ def basins(cells: DataFrame, meta: GridMeta, max_rounds: int = 32) -> DataFrame:
     for _ in range(max_rounds):
         hop = nxt.selectExpr("id AS j_id", "nxt AS j_nxt")
         new = nxt.join(hop, nxt["nxt"] == hop["j_id"], "left").selectExpr(
-            "id", "row", "col", "COALESCE(j_nxt, nxt) AS nxt"
-        )
-        changed = new.alias("n").join(nxt.alias("o"), "id") \
-                     .where("n.nxt <> o.nxt").count()
-        nxt = new.localCheckpoint(eager=True)
+            "id", "row", "col", "nxt AS __prev", "COALESCE(j_nxt, nxt) AS nxt"
+        ).localCheckpoint(eager=True)
+        changed = new.where("nxt <> __prev").count()
+        nxt = new.drop("__prev")
         if changed == 0:
             break
     else:
@@ -287,12 +286,13 @@ def fill_depressions(cells: DataFrame, meta: GridMeta,
         )
         nmin = scattered.groupBy("row", "col").agg(F.min("nw").alias("nmin"))
         new = w.join(nmin, ["row", "col"], "left").selectExpr(
-            "row", "col", "z",
+            "row", "col", "z", "w AS __prev",
             f"CASE WHEN {border} THEN z ELSE GREATEST(z, LEAST(w, COALESCE(nmin, w))) END AS w",
-        )
-        changed = new.alias("n").join(w.alias("o"), ["row", "col"]) \
-                     .where("n.w <> o.w").count()
-        w = new.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
+        # previous value rides along — the changed count is a cheap scan
+        # of the materialized blocks, not a second full self-join job
+        changed = new.where("w <> __prev").count()
+        w = new.drop("__prev")
         if changed == 0:
             break
     else:
@@ -326,12 +326,12 @@ def downslope_flowpath_length(cells: DataFrame, meta: GridMeta,
     for _ in range(max_doublings):
         hop = state.selectExpr("id AS j_id", "nxt AS j_nxt", "d AS j_d")
         new = state.join(hop, state["nxt"] == hop["j_id"], "left").selectExpr(
-            "id", "row", "col",
+            "id", "row", "col", "nxt AS __prev",
             "COALESCE(j_nxt, nxt) AS nxt",
             "d + COALESCE(j_d, 0.0) AS d",
-        )
-        changed = new.alias("n").join(state.alias("o"), "id").where("n.nxt <> o.nxt").count()
-        state = new.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
+        changed = new.where("nxt <> __prev").count()
+        state = new.drop("__prev")
         if changed == 0:
             break
     else:
@@ -347,7 +347,7 @@ def wetness_index(cells: DataFrame, meta: GridMeta) -> DataFrame:
 
     res = (meta.resolution_x + meta.resolution_y) / 2.0
     p, q = _florinsky_pq(res)
-    accum = d8_flow_accumulation(cells, meta)
+    accum = d8_flow_accumulation_tiled(cells, meta)
     sca = accum.selectExpr(
         "row", "col",
         f"value * {meta.resolution_x * meta.resolution_y!r} / {res!r} AS sca",
@@ -394,11 +394,11 @@ def cost_distance(cost: DataFrame, meta: GridMeta, source_pred: str,
             F.min(F.expr("nacc + (nc + mc) / 2.0 * dist")).alias("cand")
         )
         new = state.join(relax, ["row", "col"], "left").selectExpr(
-            "row", "col", "c", "LEAST(acc, COALESCE(cand, acc)) AS acc"
-        )
-        changed = new.alias("n").join(state.alias("o"), ["row", "col"]) \
-                     .where("n.acc <> o.acc").count()
-        state = new.localCheckpoint(eager=True)
+            "row", "col", "c", "acc AS __prev",
+            "LEAST(acc, COALESCE(cand, acc)) AS acc"
+        ).localCheckpoint(eager=True)
+        changed = new.where("acc <> __prev").count()
+        state = new.drop("__prev")
         if changed == 0:
             break
     else:
@@ -408,7 +408,7 @@ def cost_distance(cost: DataFrame, meta: GridMeta, source_pred: str,
 
 def extract_streams(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
     """ExtractStreams: 1.0 where flow accumulation >= threshold else 0.0."""
-    accum = d8_flow_accumulation(cells, meta)
+    accum = d8_flow_accumulation_tiled(cells, meta)
     return accum.selectExpr(
         "row", "col",
         f"CAST(CASE WHEN value >= {threshold!r} THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value",
@@ -419,7 +419,7 @@ def _stream_edges(cells: DataFrame, meta: GridMeta, threshold: float):
     """Stream-cell set + the D8 edges restricted to stream->stream."""
     c = meta.columns
     ptr = d8_pointer(cells, meta).persist()
-    accum = d8_flow_accumulation(cells, meta)
+    accum = d8_flow_accumulation_tiled(cells, meta)
     streams = accum.where(f"value >= {threshold!r}").selectExpr(
         f"(row * {c}L + col) AS id", "row", "col"
     ).persist()
@@ -445,12 +445,15 @@ def _labeled_links(cells: DataFrame, meta: GridMeta, threshold: float):
         nb = both.join(lbl.selectExpr("id AS src", "lbl AS nlbl"), "src") \
                  .groupBy("dst").agg(F.min("nlbl").alias("mn"))
         new = lbl.join(nb.withColumnRenamed("dst", "id"), "id", "left") \
-                 .selectExpr("id", "row", "col", "LEAST(lbl, COALESCE(mn, lbl)) AS nl")
+                 .selectExpr("id", "row", "col", "lbl",
+                             "LEAST(lbl, COALESCE(mn, lbl)) AS nl")
         owners = new.selectExpr("id AS o_id", "nl AS o_lbl")
         new = new.join(owners, new["nl"] == owners["o_id"], "left") \
-                 .selectExpr("id", "row", "col", "LEAST(nl, COALESCE(o_lbl, nl)) AS nl")
-        changed = new.alias("n").join(lbl.alias("o"), "id").where("n.nl <> o.lbl").count()
-        lbl = new.selectExpr("id", "row", "col", "nl AS lbl").localCheckpoint(eager=True)
+                 .selectExpr("id", "row", "col", "lbl AS __prev",
+                             "LEAST(nl, COALESCE(o_lbl, nl)) AS nl") \
+                 .localCheckpoint(eager=True)
+        changed = new.where("nl <> __prev").count()
+        lbl = new.selectExpr("id", "row", "col", "nl AS lbl")
         if changed == 0:
             break
     else:
@@ -533,3 +536,240 @@ def stream_link_id(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFr
     out = lbl.join(reps, "lbl").selectExpr("row", "col", "CAST(link_id AS DOUBLE) AS value")
     e.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tiled two-level D8 flow accumulation (Barnes 2017 parallel flow-accum
+# family): local tile accumulation + coarse exit-graph solve + local
+# inflow propagation. Replaces the O(n * path-length) transitive closure
+# for the scale path while keeping identical output.
+# ---------------------------------------------------------------------------
+
+
+def _d8_local_kernel(tile: int, columns: int):
+    """Per-tile numpy pass: local accumulation, exit assignment, and the
+    tile's outgoing (coarse) edges. Input rows: (row, col, value=pointer
+    code, tr, tc); output one row per cell."""
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile, tc * tile
+        rr = pdf["row"].to_numpy(dtype=np.int64)
+        cc = pdf["col"].to_numpy(dtype=np.int64)
+        ptr = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(rr)
+        lidx = (rr - r0) * tile + (cc - c0)
+        pos = np.full(tile * tile, -1, dtype=np.int64)
+        pos[lidx] = np.arange(n)
+        dirs = np.where(ptr > 0, np.log2(np.maximum(ptr, 1.0)).astype(np.int64), -1)
+        dyv = np.array(D8_DY, dtype=np.int64)
+        dxv = np.array(D8_DX, dtype=np.int64)
+        trow = np.where(dirs >= 0, rr + dyv[np.clip(dirs, 0, 7)], rr)
+        tcol = np.where(dirs >= 0, cc + dxv[np.clip(dirs, 0, 7)], cc)
+        in_tile = (dirs >= 0) & (trow >= r0) & (trow < r0 + tile) \
+            & (tcol >= c0) & (tcol < c0 + tile)
+        nxt = np.full(n, -1, dtype=np.int64)
+        tl = (trow - r0) * tile + (tcol - c0)
+        nxt[in_tile] = pos[tl[in_tile]]
+        # a pointer into a missing cell (nodata hole) acts like an exit
+        exits_grid = (dirs >= 0) & ((~in_tile) | (nxt == -1))
+        nxt[exits_grid] = -1
+
+        # Kahn topological order over the in-tile functional graph
+        indeg = np.zeros(n, dtype=np.int64)
+        valid = nxt >= 0
+        np.add.at(indeg, nxt[valid], 1)
+        order = np.empty(n, dtype=np.int64)
+        head = 0
+        tail = 0
+        for i in range(n):
+            if indeg[i] == 0:
+                order[tail] = i
+                tail += 1
+        while head < tail:
+            v = order[head]
+            head += 1
+            w = nxt[v]
+            if w >= 0:
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    order[tail] = w
+                    tail += 1
+        # local accumulation in topological order
+        acc = np.ones(n, dtype=np.int64)
+        for k in range(n):
+            v = order[k]
+            w = nxt[v]
+            if w >= 0:
+                acc[w] += acc[v]
+        # exit cell per path (reverse topological order)
+        ex = np.arange(n, dtype=np.int64)
+        for k in range(n - 1, -1, -1):
+            v = order[k]
+            w = nxt[v]
+            if w >= 0:
+                ex[v] = ex[w]
+        has_exit = exits_grid[ex]
+        out_r = np.where(exits_grid, trow, -1)
+        out_c = np.where(exits_grid, tcol, -1)
+        return pd.DataFrame({
+            "row": rr, "col": cc,
+            "local_acc": acc,
+            "ex_row": rr[ex], "ex_col": cc[ex],
+            "has_exit": has_exit,
+            "out_row": out_r, "out_col": out_c,
+        })
+
+    return kernel
+
+
+def d8_flow_accumulation_tiled(cells: DataFrame, meta: GridMeta,
+                               tile: int = 64,
+                               max_doublings: int = 24) -> DataFrame:
+    """D8FlowAccumulation via two-level tile contraction (identical
+    output to d8_flow_accumulation, built for continental rasters):
+
+      1. per-tile kernel: local accumulation + exit-cell assignment —
+         one groupBy(tile) shuffle, O(cells) work;
+      2. coarse solve: the exit cells form a functional graph ~1/tile
+         the size of the raster; pointer-doubling closure + load sums
+         give total(e) = upstream count at every exit (the ONLY
+         closure, now over the contracted graph: pairs ~ n*D/tile^2
+         instead of n*D);
+      3. per-tile kernel: entry inflows propagate along local paths
+         (one more groupBy(tile)); value = local + propagated.
+
+    The closure plan (d8_flow_accumulation) stays as the small-raster
+    reference; both are oracle-gated to the same recursive-CTE truth."""
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    c = meta.columns
+    ptr = d8_pointer(cells, meta).localCheckpoint(eager=True)
+    tiles = ptr.selectExpr(
+        "row", "col", "value",
+        f"CAST(FLOOR(row / {tile}) AS BIGINT) AS tr",
+        f"CAST(FLOOR(col / {tile}) AS BIGINT) AS tc",
+    )
+    schema1 = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("local_acc", LongType(), False),
+        StructField("ex_row", LongType(), False),
+        StructField("ex_col", LongType(), False),
+        StructField("has_exit", BooleanType(), False),
+        StructField("out_row", LongType(), False),
+        StructField("out_col", LongType(), False),
+    ])
+    local = tiles.groupBy("tr", "tc").applyInPandas(
+        _d8_local_kernel(tile, c), schema=schema1
+    ).localCheckpoint(eager=True)
+
+    # coarse functional graph over exit cells
+    exits = local.where("out_row >= 0").selectExpr(
+        f"(row * {c}L + col) AS e", "local_acc AS load",
+        f"(out_row * {c}L + out_col) AS entry",
+    )
+    entry_exit = local.selectExpr(
+        f"(row * {c}L + col) AS entry",
+        f"CASE WHEN has_exit THEN (ex_row * {c}L + ex_col) ELSE NULL END AS e_next",
+    )
+    coarse_e = exits.join(entry_exit, "entry").where("e_next IS NOT NULL") \
+                    .selectExpr("e AS src", "e_next AS dst")
+    nodes = exits.selectExpr("e AS id", "load")
+    reach = nodes.selectExpr("id AS src", "id AS dst").unionByName(coarse_e) \
+                 .dropDuplicates().localCheckpoint(eager=True)
+    prev = reach.count()
+    for _ in range(max_doublings):
+        grown = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .selectExpr("a.src AS src", "b.dst AS dst")
+            .unionByName(reach)
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        n = grown.count()
+        reach = grown
+        if n == prev:
+            break
+        prev = n
+    else:
+        ensure_converged(n - prev if n != prev else 1,
+                         "d8_flow_accumulation_tiled coarse closure", max_doublings)
+    totals = (
+        reach.join(nodes.selectExpr("id AS src", "load"), "src")
+        .groupBy("dst").agg(F.sum("load").alias("total"))
+    )
+    # entry inflows: sum of totals over exits pointing at each entry cell
+    inflows = (
+        exits.join(totals.withColumnRenamed("dst", "e"), "e")
+        .groupBy("entry").agg(F.sum("total").alias("inflow"))
+        .selectExpr(f"CAST(entry / {c} AS BIGINT) AS row",
+                    f"entry % {c} AS col", "inflow")
+    )
+    staged = tiles.join(inflows, ["row", "col"], "left") \
+                  .selectExpr("row", "col", "value", "tr", "tc",
+                              "COALESCE(inflow, 0L) AS inflow")
+
+    schema2 = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("value", DoubleType(), False),
+    ])
+
+    def kernel2(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile, tc * tile
+        rr = pdf["row"].to_numpy(dtype=np.int64)
+        cc = pdf["col"].to_numpy(dtype=np.int64)
+        ptrv = pdf["value"].to_numpy(dtype=np.float64)
+        inflow = pdf["inflow"].to_numpy(dtype=np.int64)
+        n = len(rr)
+        pos = np.full(tile * tile, -1, dtype=np.int64)
+        pos[(rr - r0) * tile + (cc - c0)] = np.arange(n)
+        dirs = np.where(ptrv > 0, np.log2(np.maximum(ptrv, 1.0)).astype(np.int64), -1)
+        dyv = np.array(D8_DY, dtype=np.int64)
+        dxv = np.array(D8_DX, dtype=np.int64)
+        trow = np.where(dirs >= 0, rr + dyv[np.clip(dirs, 0, 7)], rr)
+        tcol = np.where(dirs >= 0, cc + dxv[np.clip(dirs, 0, 7)], cc)
+        in_tile = (dirs >= 0) & (trow >= r0) & (trow < r0 + tile) \
+            & (tcol >= c0) & (tcol < c0 + tile)
+        nxt = np.full(n, -1, dtype=np.int64)
+        tl = (trow - r0) * tile + (tcol - c0)
+        nxt[in_tile] = pos[tl[in_tile]]
+        indeg = np.zeros(n, dtype=np.int64)
+        valid = nxt >= 0
+        np.add.at(indeg, nxt[valid], 1)
+        order = np.empty(n, dtype=np.int64)
+        head = tail = 0
+        for i in range(n):
+            if indeg[i] == 0:
+                order[tail] = i
+                tail += 1
+        while head < tail:
+            v = order[head]
+            head += 1
+            w = nxt[v]
+            if w >= 0:
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    order[tail] = w
+                    tail += 1
+        acc = np.ones(n, dtype=np.int64)
+        add = inflow.copy()
+        for k in range(n):
+            v = order[k]
+            w = nxt[v]
+            if w >= 0:
+                acc[w] += acc[v]
+                add[w] += add[v]
+        return pd.DataFrame({"row": rr, "col": cc,
+                             "value": (acc + add).astype(np.float64)})
+
+    return staged.groupBy("tr", "tc").applyInPandas(kernel2, schema=schema2)
