@@ -128,6 +128,8 @@ _META40 = GridMeta(rows=40, columns=40, north=1000.0, south=0.0, east=1000.0,
                    west=0.0, resolution_x=25.0, resolution_y=25.0)
 _META100 = GridMeta(rows=100, columns=100, north=1000.0, south=0.0, east=1000.0,
                     west=0.0, resolution_x=10.0, resolution_y=10.0)
+_META40F = GridMeta(rows=40, columns=40, north=1000.0, south=600.0, east=400.0,
+                    west=0.0, resolution_x=10.0, resolution_y=10.0)
 _KNN_RADIUS = 60.0
 
 # (polygon_id, shells, holes) — pairwise-disjoint layer: pentagon,
@@ -1142,6 +1144,30 @@ def _q_d8_pointer(spark, sf):
     return HY.d8_pointer(_ras(spark, sf, "a"), _META100)
 
 
+def _q_dinf_pointer(spark, sf):
+    """D-inf direction (continuous degrees) — rows-only: ATAN is libm-
+    dependent cross-engine (like aspect); pytest-gated vs a numpy
+    transcription of the reference facet loop."""
+    return HY.dinf_pointer(_ras(spark, sf, "a"), _META100)
+
+
+def _q_dinf_accum(spark, sf):
+    """D-inf proportioned accumulation — rows-only (weighted path sums
+    are not SQL-expressible without exponential path enumeration);
+    pytest-gated vs the reference queue algorithm in numpy."""
+    sub = _ras(spark, sf, "a").where("row < 24 AND col < 24")
+    meta = GridMeta(rows=24, columns=24, north=1000.0, south=760.0, east=240.0,
+                    west=0.0, resolution_x=10.0, resolution_y=10.0)
+    return HY.dinf_flow_accumulation(sub, meta)
+
+
+def _q_breach(spark, sf):
+    """BreachDepressionsLeastCost — rows-only; kernel transcription and
+    the drainage property are pytest-gated (tests/test_breach.py)."""
+    return HY.breach_depressions_least_cost(
+        _ras(spark, sf, "a").where("row < 40 AND col < 40"), _META40F, max_dist=10)
+
+
 def _q_d8_accum(spark, sf):
     return HY.d8_flow_accumulation_tiled(_ras(spark, sf, "a"), _META100)
 
@@ -1311,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watershed": _q_watershed,
         "extract_streams": _q_extract_streams,
         "fill_depressions": _q_fill_depressions,
+        "dinf_accum": _q_dinf_accum,
         "block_max": _q_block_max,
         "hag": _q_hag,
         "lidar_thin": _q_lidar_thin,
@@ -1403,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horizon_angle": _q_horizon_angle,
         "stream_link": _q_stream_link,
         "flowpath_length": _q_flowpath_length,
+        "dinf_pointer": _q_dinf_pointer,
+        "breach_depressions": _q_breach,
         "wetness": _q_wetness,
         "cost_distance": _q_cost_distance,
         "d8_basins": _q_d8_basins,

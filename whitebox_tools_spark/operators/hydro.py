@@ -773,3 +773,320 @@ def d8_flow_accumulation_tiled(cells: DataFrame, meta: GridMeta,
                              "value": (acc + add).astype(np.float64)})
 
     return staged.groupBy("tr", "tc").applyInPandas(kernel2, schema=schema2)
+
+
+# ---------------------------------------------------------------------------
+# D-infinity flow model (Tarboton 1997): dinf_pointer (facet fold) +
+# dinf_flow_accumulation (weighted path-sum doubling)
+# Reference: hydro_analysis/dinf_pointer.rs:234-330,
+# dinf_flow_accum.rs:525-615
+# ---------------------------------------------------------------------------
+
+# facet tables (dinf_pointer.rs:234-241) re-indexed to the D8 neighbor
+# order used by focal_pivot3_raw (zn_i at (row+D8_DY[i], col+D8_DX[i]))
+_DINF_AC = [0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0]
+_DINF_AF = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]
+_DINF_E1_IDX = [1, 7, 7, 5, 5, 3, 3, 1]
+_DINF_E2_IDX = [0, 0, 6, 6, 4, 4, 2, 2]
+
+
+def _dinf_dir_expr(meta: GridMeta) -> str:
+    """D-inf direction (degrees clockwise from north, -1 for pits/flats)
+    over zc/zn_i pivot columns — exact transcription of the facet loop."""
+    import math
+
+    grid_res = (meta.resolution_x + meta.resolution_y) / 2.0
+    diag = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    atan1 = math.atan(1.0)
+    half_pi = math.pi / 2.0
+    facets = []
+    for i in range(8):
+        e1 = f"zn_{_DINF_E1_IDX[i]}"
+        e2 = f"zn_{_DINF_E2_IDX[i]}"
+        ac, af = _DINF_AC[i], _DINF_AF[i]
+        s1 = f"((zc - {e1}) / {grid_res!r})"
+        s2 = f"(({e1} - {e2}) / {grid_res!r})"
+        r0 = f"IF({s1} <> 0.0, ATAN({s2} / {s1}), {half_pi!r})"
+        smag = f"SQRT({s1} * {s1} + {s2} * {s2})"
+        ssgn = (f"(CASE WHEN ({s1} < 0.0 AND {s2} < 0.0) OR ({s1} < 0.0 AND {s2} = 0.0) "
+                f"OR ({s1} = 0.0 AND {s2} < 0.0) THEN -({smag}) ELSE {smag} END)")
+        r_cl = (f"CASE WHEN ({r0}) < 0.0 THEN 0.0 "
+                f"WHEN ({r0}) > {atan1!r} THEN {atan1!r} ELSE ({r0}) END")
+        s_cl = (f"CASE WHEN ({r0}) < 0.0 THEN {s1} "
+                f"WHEN ({r0}) > {atan1!r} THEN ((zc - {e2}) / {diag!r}) ELSE ({ssgn}) END")
+        full = (f"NAMED_STRUCT('s', {s_cl}, 'dir', "
+                f"{af!r} * ({r_cl}) + {ac!r} * {half_pi!r})")
+        partial = (f"CASE WHEN zc > {e1} THEN NAMED_STRUCT('s', (zc - {e1}) / {grid_res!r}, "
+                   f"'dir', {af!r} * 0.0 + {ac!r} * {half_pi!r}) "
+                   f"ELSE NAMED_STRUCT('s', (zc - {e2}) / {diag!r}, "
+                   f"'dir', {af!r} * {atan1!r} + {ac!r} * {half_pi!r}) END")
+        facet = (f"CASE WHEN {e1} IS NOT NULL AND {e2} IS NOT NULL THEN "
+                 f"(CASE WHEN zc > {e1} AND zc > {e2} THEN {full} "
+                 f"WHEN zc > {e1} OR zc > {e2} THEN {partial} ELSE NULL END) "
+                 f"ELSE NULL END")
+        facets.append(facet)
+    fold = (
+        "AGGREGATE(ARRAY(" + ", ".join(facets) + "), "
+        "NAMED_STRUCT('s', CAST('-Infinity' AS DOUBLE), 'dir', CAST(360.0 AS DOUBLE)), "
+        "(acc, e) -> IF(e IS NOT NULL AND e.s >= acc.s AND e.s <> 0.00001, e, acc))"
+    )
+    return (f"CASE WHEN ({fold}).s > 0.0 THEN "
+            f"(CASE WHEN 360.0 - DEGREES(({fold}).dir) + 90.0 > 360.0 "
+            f"THEN 360.0 - DEGREES(({fold}).dir) + 90.0 - 360.0 "
+            f"ELSE 360.0 - DEGREES(({fold}).dir) + 90.0 END) ELSE -1.0 END")
+
+
+def dinf_pointer(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """DInfPointer: flow direction in degrees clockwise from north
+    (continuous), -1.0 for pits/flats. One pivot shuffle + codegen fold."""
+    piv = focal_pivot3_raw(cells)
+    return piv.selectExpr("row", "col", f"{_dinf_dir_expr(meta)} AS value")
+
+
+def _dinf_edges(pointer: DataFrame, columns: int) -> DataFrame:
+    """Weighted out-edges (src, dst, w) from the D-inf direction: flow
+    splits between the two neighbors bracketing the direction
+    (dinf_flow_accum.rs:544-601 45-degree sector table)."""
+    # sector k = floor(dir/45) (dir in [0,360)); neighbor offsets per
+    # sector for (a1,b1) and (a2,b2) exactly as the reference lists them
+    n1 = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
+    n2 = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    sec = "CAST(FLOOR(LEAST(value, 359.999999) / 45.0) AS INT)"
+    r1 = "ELEMENT_AT(ARRAY(" + ", ".join(str(d[0]) for d in n1) + f"), {sec} + 1)"
+    c1 = "ELEMENT_AT(ARRAY(" + ", ".join(str(d[1]) for d in n1) + f"), {sec} + 1)"
+    r2 = "ELEMENT_AT(ARRAY(" + ", ".join(str(d[0]) for d in n2) + f"), {sec} + 1)"
+    c2 = "ELEMENT_AT(ARRAY(" + ", ".join(str(d[1]) for d in n2) + f"), {sec} + 1)"
+    p1 = f"((CAST({sec} + 1 AS DOUBLE) * 45.0 - value) / 45.0)"
+    p2 = f"((value - CAST({sec} AS DOUBLE) * 45.0) / 45.0)"
+    flowing = pointer.where("value >= 0.0")
+    edges = flowing.selectExpr(
+        f"(row * {columns}L + col) AS src",
+        f"EXPLODE(ARRAY(NAMED_STRUCT('dst', (row + {r1}) * {columns}L + (col + {c1}), 'w', {p1}), "
+        f"NAMED_STRUCT('dst', (row + {r2}) * {columns}L + (col + {c2}), 'w', {p2}))) AS e",
+    ).selectExpr("src", "e.dst AS dst", "e.w AS w").where("w > 0.0")
+    return edges
+
+
+def dinf_flow_accumulation(cells: DataFrame, meta: GridMeta,
+                           max_doublings: int = 24) -> DataFrame:
+    """DInfFlowAccumulation (out_type 'cells'-style: 1 self-load per
+    cell, proportioned downstream): acc(v) = sum over cells u of the
+    total path weight u -> v (products of facet proportions, summed over
+    paths).
+
+    Plan: weighted path-sum doubling — maintain S_k = sum_{j<2^k} P^j
+    and Q_k = P^(2^k) as sparse (src, dst, w) tables;
+    S_{k+1} = S_k + S_k x Q_k, Q_{k+1} = Q_k x Q_k (join + groupBy SUM).
+    log(longest-path) rounds. D-inf fans out, so nnz(S) grows with the
+    flow cone — for continental rasters swap in the tiled
+    transfer-matrix contraction (the d8 tiled plan generalizes with
+    entry->exit weight matrices); this plan is the oracle-shaped
+    reference, pytest-gated against a numpy transcription of the
+    reference's queue algorithm.
+
+    Note: edges out of the grid (boundary flow) drop their proportion —
+    same as the reference writing into the nodata rim."""
+    c = meta.columns
+    ptr = dinf_pointer(cells, meta)
+    nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    in_grid = nodes.selectExpr("id")
+    e = _dinf_edges(ptr, c).join(in_grid.selectExpr("id AS dst"), "dst", "leftsemi")
+    def ckpt(df):
+        # checkpointing this union+aggregate plan under AQE trips a
+        # Catalyst AttributeMap bug in Spark 4.1 ("key not found");
+        # materialize with AQE off — lineage truncation keeps the
+        # doubling loop's plan re-analysis cost flat across rounds
+        sess = df.sparkSession
+        prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint(eager=True)
+        finally:
+            sess.conf.set("spark.sql.adaptive.enabled", prev)
+
+    # S_0 = I (sum of P^j for j < 1), Q_0 = P; the recurrence
+    # S_{k+1} = S_k + S_k Q_k, Q_{k+1} = Q_k^2 keeps S = sum_{j<2^k} P^j
+    s = ckpt(nodes.selectExpr("id AS src", "id AS dst", "CAST(1.0 AS DOUBLE) AS w"))
+    q = ckpt(e)
+    for _ in range(max_doublings):
+        n_q = q.count()
+        if n_q == 0:
+            break
+        qr = q.selectExpr("src AS b_src", "dst AS b_dst", "w AS b_w")
+        grown = ckpt(
+            s.selectExpr("src AS a_src", "dst AS a_dst", "w AS a_w")
+            .join(qr, F.col("a_dst") == F.col("b_src"))
+            .selectExpr("a_src AS src", "b_dst AS dst", "a_w * b_w AS w")
+            .unionByName(s)
+            .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        )
+        q = ckpt(
+            q.selectExpr("src AS a_src", "dst AS a_dst", "w AS a_w")
+            .join(qr, F.col("a_dst") == F.col("b_src"))
+            .selectExpr("a_src AS src", "b_dst AS dst", "a_w * b_w AS w")
+            .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        )
+        s = grown
+    else:
+        ensure_converged(q.count(), "dinf_flow_accumulation doubling", max_doublings)
+    acc = s.groupBy("dst").agg(F.sum("w").alias("value"))
+    return nodes.join(acc, nodes["id"] == acc["dst"]).select(
+        "row", "col", F.col("value").cast("double").alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BreachDepressionsLeastCost
+# (hydro_analysis/breach_depressions_least_cost.rs:379-580)
+# ---------------------------------------------------------------------------
+
+
+def breach_depressions_least_cost(cells: DataFrame, meta: GridMeta,
+                                  max_dist: int = 20,
+                                  max_cost: float = float("inf"),
+                                  minimize_dist: bool = False,
+                                  flat_increment: float | None = None,
+                                  max_rounds: int = 5) -> DataFrame:
+    """Carve least-cost breach channels from every interior pit.
+
+    Faithful per-pit transcription of the reference: pits are first
+    RAISED to min-neighbor - small_num (:428), then a Dijkstra over dig
+    cost (cost2 = zn - (z_pit - length*small_num), optionally
+    distance-weighted) finds the cheapest cell that can be breached to,
+    and the backlink path is carved down to the declining zout profile
+    (:519-560).
+
+    Distribution deviation (documented): the reference processes pits
+    sequentially from lowest to highest so later pits can reuse earlier
+    channels; here every pit of a ROUND solves independently against
+    that round's raised DEM inside its own max_dist window — one
+    broadcast range-join + groupBy(pit) + kernel — and carves
+    MIN-combine. Two basins breaching into each other can leave a
+    secondary pit, so rounds repeat on the combined surface until no
+    pits remain (typically 1-3 rounds; pytest-gated: filling the final
+    breached DEM is a no-op, i.e. everything drains)."""
+    import heapq
+
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    diagres = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    resx, resy = meta.resolution_x, meta.resolution_y
+    if flat_increment is not None:
+        small_num = flat_increment
+    else:
+        zmax = cells.agg(F.max("value")).collect()[0][0]
+        elev_digits = len(str(int(zmax)))
+        elev_multiplier = 10.0 ** (9 - elev_digits)
+        small_num = 1.0 / elev_multiplier * math.ceil(diagres)
+
+    all_nbrs = " AND ".join(f"zn_{i} IS NOT NULL" for i in range(8))
+    none_lower = " AND ".join(f"zn_{i} >= zc" for i in range(8))
+    min_zn = "LEAST(" + ", ".join(f"zn_{i}" for i in range(8)) + ")"
+    is_pit = f"({all_nbrs}) AND ({none_lower})"
+
+    # window scatter: every pit gets the raised cells within Chebyshev
+    # max_dist (broadcast pit table; pits are sparse by definition)
+    carve_schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("carve", DoubleType(), False),
+    ])
+    dx8 = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy8 = [-1, 0, 1, 1, 1, 0, -1, -1]
+    backlink_dir = [4, 5, 6, 7, 0, 1, 2, 3]
+    cost_dist = [diagres, resx, diagres, resy, diagres, resx, diagres, resy]
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        prow, pcol = int(key[0]), int(key[1])
+        z_pit = float(pdf["pit_z"].iloc[0])
+        zmap = {}
+        for r_, c_, v_ in zip(pdf["row"].to_numpy(), pdf["col"].to_numpy(),
+                              pdf["value"].to_numpy()):
+            zmap[(int(r_), int(c_))] = float(v_)
+        encountered = {(prow, pcol)}
+        path_length = {(prow, pcol): 0}
+        backlink = {}
+        heap = [(0.0, 0, prow, pcol)]
+        counter = 1
+        carves = []
+        while heap:
+            accum, _cnt, r, c = heapq.heappop(heap)
+            if accum > max_cost:
+                break  # no channel cheap enough: leave the raised pit
+            length = path_length[(r, c)]
+            zn_here = zmap.get((r, c), float("nan"))
+            cost1 = zn_here - z_pit + length * small_num
+            done = False
+            for n in range(8):
+                rn, cn = r + dy8[n], c + dx8[n]
+                if (rn, cn) in encountered:
+                    continue
+                length_n = length + 1
+                path_length[(rn, cn)] = length_n
+                backlink[(rn, cn)] = backlink_dir[n]
+                zn = zmap.get((rn, cn))
+                zout = z_pit - length_n * small_num
+                if zn is not None and zn > zout:
+                    cost2 = zn - zout
+                    new_cost = (accum + (cost1 + cost2) / 2.0 * cost_dist[n]
+                                if minimize_dist else accum + cost2)
+                    encountered.add((rn, cn))
+                    if length_n <= max_dist:
+                        heapq.heappush(heap, (new_cost, counter, rn, cn))
+                        counter += 1
+                else:
+                    # breach target (lower cell or off-window/nodata rim):
+                    # carve the backlink path down to the zout profile
+                    while (rn, cn) in backlink:
+                        b = backlink[(rn, cn)]
+                        rn, cn = rn + dy8[b], cn + dx8[b]
+                        zpath = zmap.get((rn, cn))
+                        lpath = path_length[(rn, cn)]
+                        zo = z_pit - lpath * small_num
+                        if zpath is not None and zpath > zo:
+                            carves.append((rn, cn, zo))
+                    done = True
+                    break
+            if done:
+                break
+        if not carves:
+            return pd.DataFrame({"row": pd.Series([], dtype="int64"),
+                                 "col": pd.Series([], dtype="int64"),
+                                 "carve": pd.Series([], dtype="float64")})
+        out = pd.DataFrame(carves, columns=["row", "col", "carve"])
+        return out.astype({"row": "int64", "col": "int64", "carve": "float64"})
+
+    dem = cells.select("row", "col", "value")
+    for _round in range(max_rounds):
+        piv = focal_pivot3_raw(dem)
+        raised = piv.selectExpr(
+            "row", "col",
+            f"CASE WHEN {is_pit} THEN ({min_zn}) - {small_num!r} ELSE zc END AS value",
+            f"CASE WHEN {is_pit} THEN zc ELSE NULL END AS pit_z",
+        ).localCheckpoint(eager=True)
+        pits = raised.where("pit_z IS NOT NULL") \
+                     .selectExpr("row AS prow", "col AS pcol", "pit_z")
+        n_pits = pits.count()
+        if n_pits == 0:
+            return dem
+        dem = raised.select("row", "col", "value")
+        # +1: the breach TARGET may sit one step beyond the max_dist path
+        # bound; a missing lookup then means off-grid (nodata), which the
+        # reference treats as breachable
+        w = max_dist + 1
+        win = dem.join(
+            F.broadcast(pits),
+            (F.col("row") >= F.col("prow") - w)
+            & (F.col("row") <= F.col("prow") + w)
+            & (F.col("col") >= F.col("pcol") - w)
+            & (F.col("col") <= F.col("pcol") + w),
+            "inner",
+        )
+        carves = win.groupBy("prow", "pcol").applyInPandas(kernel, schema=carve_schema)
+        combined = carves.groupBy("row", "col").agg(F.min("carve").alias("carve"))
+        dem = dem.join(combined, ["row", "col"], "left").selectExpr(
+            "row", "col", "LEAST(value, COALESCE(carve, value)) AS value"
+        ).localCheckpoint(eager=True)
+    return dem
