@@ -978,6 +978,69 @@ def _q_erase_features(spark, sf):
     return _overlay_area_query(spark, sf, "difference")
 
 
+def _q_is_nodata(spark, sf):
+    nd = _ras(spark, sf, "a").selectExpr(
+        "row", "col", "CASE WHEN value < 10.0 THEN -32768.0 ELSE value END AS value")
+    return R.is_nodata(nd, _META100)
+
+
+def _q_update_nodata(spark, sf):
+    nd = _ras(spark, sf, "a").selectExpr(
+        "row", "col", "CASE WHEN value < 10.0 THEN -32768.0 ELSE value END AS value")
+    return R.update_nodata_cells(nd, _ras(spark, sf, "b"), _META100)
+
+
+def _q_convert_nodata(spark, sf):
+    nd = _ras(spark, sf, "a").selectExpr(
+        "row", "col", "CASE WHEN value < 10.0 THEN -32768.0 ELSE value END AS value")
+    return R.convert_nodata_to_zero(nd, _META100)
+
+
+def _q_cell_assign_x(spark, sf):
+    return R.raster_cell_assignment(_ras(spark, sf, "a"), _META100, "x")
+
+
+def _q_create_plane(spark, sf):
+    return R.create_plane(spark, _META40, gradient=12.0, aspect=70.0, constant=5.0)
+
+
+def _q_find_low_high(spark, sf):
+    return R.find_lowest_or_highest_points(_ras(spark, sf, "a"), _META100, "both")
+
+
+def _q_lowest_position(spark, sf):
+    a = _ras(spark, sf, "a")
+    return OV.lowest_position([a, a.selectExpr("row", "col", "value * 2.0 - 50.0 AS value")])
+
+
+def _q_percent_gt(spark, sf):
+    a = _ras(spark, sf, "a")
+    return OV.percent_greater_than(
+        [a, a.selectExpr("row", "col", "value * 2.0 AS value")], _ras(spark, sf, "b"))
+
+
+def _q_lidar_sort_time(spark, sf):
+    out = LI.lidar_sort_by_time(_points(spark, sf), time_col="value")
+    return out.select("record_num", "sort_index")
+
+
+def _q_anova(spark, sf):
+    zones = _ras(spark, sf, "b").selectExpr("row", "col", "FLOOR(value / 100.0) AS value")
+    return R.anova(_ras(spark, sf, "a"), zones)
+
+
+def _q_wilcoxon(spark, sf):
+    return R.wilcoxon_signed_rank(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
+def _q_trend_surface(spark, sf):
+    return R.trend_surface(_ras(spark, sf, "a"), _META100)
+
+
+def _q_pca(spark, sf):
+    return R.pca_two_band(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
 def _q_geotiff_roundtrip(spark, sf):
     """Write ras_a to a GeoTIFF (DEFLATE), read it back through the
     binaryFile + numpy decoder — oracle is the original raster SQL, so a
@@ -1343,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_thin": _q_lidar_thin,
         "t_test": _q_t_test,
         "kappa": _q_kappa,
+        "anova": _q_anova,
+        "trend_surface": _q_trend_surface,
         "geotiff_roundtrip": _q_geotiff_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
         "colour_composite": _q_colour_composite,
@@ -1369,6 +1434,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full registry continues (graded by scripts/check_parity.py) ---
         "difference_features": _q_difference_features,
         "symdiff_features": _q_symdiff_features,
+        "is_nodata": _q_is_nodata,
+        "update_nodata": _q_update_nodata,
+        "convert_nodata": _q_convert_nodata,
+        "cell_assign_x": _q_cell_assign_x,
+        "create_plane": _q_create_plane,
+        "find_low_high": _q_find_low_high,
+        "lowest_position": _q_lowest_position,
+        "percent_gt": _q_percent_gt,
+        "lidar_sort_time": _q_lidar_sort_time,
+        "wilcoxon": _q_wilcoxon,
+        "pca": _q_pca,
         "intersect_general": _q_intersect_general,
         "erase_features": _q_erase_features,
         "profile_curvature": _q_profile_curvature,
@@ -2058,6 +2134,137 @@ def _overlay2_oracles() -> dict[str, str]:
     }
 
 
+def _stats2_oracles() -> dict[str, str]:
+    """Oracles for the round-2 nodata/position/stats tools (identical
+    expression text; every aggregate is an exact integer-unit sum)."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    ras_b = f"ras_b AS ({_RAS_B_SQL})"
+    nd = ("nd AS (SELECT row, col, CASE WHEN value < 10.0 THEN -32768.0 "
+          "ELSE value END AS value FROM ras_a)")
+    xc = _META100.x_center_expr("col")
+    yc = _META100.y_center_expr("row")
+    import math as _m
+
+    tan_g = _m.tan(_m.radians(12.0))
+    sin_a = _m.sin(_m.radians(70.0))
+    cos_a = _m.cos(_m.radians(70.0))
+    x40 = _META40.x_center_expr("col")
+    y40 = _META40.y_center_expr("row")
+    det = ("(n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) "
+           "+ sy * (sx * sxy - sxx * sy))")
+    b0 = (f"(sz * (sxx * syy - sxy * sxy) - sx * (sxz * syy - sxy * syz) "
+          f"+ sy * (sxz * sxy - sxx * syz)) / {det}")
+    b1 = (f"(n * (sxz * syy - sxy * syz) - sz * (sx * syy - sxy * sy) "
+          f"+ sy * (sx * syz - sxz * sy)) / {det}")
+    b2 = (f"(n * (sxx * syz - sxz * sxy) - sx * (sx * syz - sxz * sy) "
+          f"+ sz * (sx * sxy - sxx * sy)) / {det}")
+    return {
+        "is_nodata": (
+            f"WITH {ras_a}, {nd} SELECT row, col, CAST(CASE WHEN value = -32768.0 "
+            f"THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value FROM nd"
+        ),
+        "update_nodata": (
+            f"WITH {ras_a}, {ras_b}, {nd} SELECT nd.row, nd.col, "
+            f"CASE WHEN nd.value = -32768.0 THEN COALESCE(b.value, -32768.0) "
+            f"ELSE nd.value END AS value FROM nd LEFT JOIN ras_b b USING (row, col)"
+        ),
+        "convert_nodata": (
+            f"WITH {ras_a}, {nd} SELECT row, col, CASE WHEN value = -32768.0 "
+            f"THEN 0.0 ELSE value END AS value FROM nd"
+        ),
+        "cell_assign_x": (
+            f"WITH {ras_a} SELECT row, col, {xc} AS value FROM ras_a"
+        ),
+        "create_plane": (
+            # e0 suffix: DuckDB parses bare decimal literals as DECIMAL,
+            # which rounds these 17-digit constants; the exponent form
+            # parses as DOUBLE like Spark
+            f"SELECT a.range AS row, b.range AS col, "
+            f"({tan_g!r}e0 * ({sin_a!r}e0 * ({x40.replace('col', 'b.range')}) "
+            f"+ {cos_a!r}e0 * ({y40.replace('row', 'a.range')})) + 5.0) AS value "
+            f"FROM range(0, 40) a, range(0, 40) b"
+        ),
+        "find_low_high": (
+            f"WITH {ras_a}, "
+            f"lo AS (SELECT 'lowest' AS kind, {xc} AS x, {yc} AS y, value "
+            f"FROM ras_a ORDER BY value, row, col LIMIT 1), "
+            f"hi AS (SELECT 'highest' AS kind, {xc} AS x, {yc} AS y, value "
+            f"FROM ras_a ORDER BY value DESC, row, col LIMIT 1) "
+            f"SELECT * FROM lo UNION ALL SELECT * FROM hi"
+        ),
+        "lowest_position": (
+            f"WITH {ras_a}, st AS (SELECT row, col, value AS v, 1 AS li FROM ras_a "
+            f"UNION ALL SELECT row, col, value * 2.0 - 50.0 AS v, 2 AS li FROM ras_a) "
+            f"SELECT row, col, CAST(li AS DOUBLE) AS value FROM st "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY row, col ORDER BY v, li) = 1"
+        ),
+        "percent_gt": (
+            f"WITH {ras_a}, {ras_b}, st AS (SELECT row, col, value AS v FROM ras_a "
+            f"UNION ALL SELECT row, col, value * 2.0 AS v FROM ras_a) "
+            f"SELECT st.row, st.col, CAST(SUM(CASE WHEN st.v > b.value THEN 1 ELSE 0 END) "
+            f"AS DOUBLE) / COUNT(st.v) * 100.0 AS value "
+            f"FROM st JOIN ras_b b USING (row, col) GROUP BY 1, 2"
+        ),
+        "lidar_sort_time": (
+            f"WITH pts AS ({_PTS_SQL}) SELECT record_num, "
+            f"CAST(ROW_NUMBER() OVER (ORDER BY value, record_num) AS BIGINT) AS sort_index "
+            f"FROM pts"
+        ),
+        "anova": (
+            f"WITH {ras_a}, {ras_b}, "
+            f"j AS (SELECT a.value AS x, FLOOR(b.value / 100.0) AS zone "
+            f"FROM ras_a a JOIN ras_b b USING (row, col)), "
+            f"g AS (SELECT zone, COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2 "
+            f"FROM j GROUP BY 1), "
+            f"t AS (SELECT COUNT(*) AS k, SUM(n) AS n, SUM(s1) AS ts1, SUM(s2) AS ts2, "
+            f"SUM(s1 * s1 / n) AS sgroup FROM g) "
+            f"SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, "
+            f"(sgroup - ts1 * ts1 / n) AS ss_between, (ts2 - sgroup) AS ss_within, "
+            f"((sgroup - ts1 * ts1 / n) / (k - 1)) / ((ts2 - sgroup) / (n - k)) AS f_stat "
+            f"FROM t"
+        ),
+        "wilcoxon": (
+            f"WITH {ras_a}, {ras_b}, "
+            f"d AS (SELECT a.value - b.value AS d FROM ras_a a JOIN ras_b b USING (row, col) "
+            f"WHERE a.value - b.value <> 0.0), "
+            f"g AS (SELECT ABS(d) AS ad, COUNT(*) AS cnt, "
+            f"SUM(CASE WHEN d > 0.0 THEN 1 ELSE 0 END) AS npos FROM d GROUP BY 1), "
+            f"c AS (SELECT ad, cnt, npos, SUM(cnt) OVER (ORDER BY ad) AS cum FROM g), "
+            f"r AS (SELECT cnt, npos, (CAST(cum - cnt + 1 AS DOUBLE) + CAST(cum AS DOUBLE)) "
+            f"/ 2.0 AS midrank FROM c), "
+            f"t AS (SELECT SUM(cnt) AS n, SUM(midrank * npos) AS w_plus, "
+            f"SUM(midrank * (cnt - npos)) AS w_minus FROM r) "
+            f"SELECT CAST(n AS BIGINT) AS n, w_plus, w_minus, "
+            f"LEAST(w_plus, w_minus) AS w, "
+            f"(LEAST(w_plus, w_minus) - CAST(n * (n + 1) AS DOUBLE) / 4.0) "
+            f"/ SQRT(CAST(n * (n + 1) AS DOUBLE) * CAST(2 * n + 1 AS DOUBLE) / 24.0) AS z_stat "
+            f"FROM t"
+        ),
+        "trend_surface": (
+            f"WITH {ras_a}, "
+            f"p AS (SELECT row, col, {xc} AS x, {yc} AS y, value AS z FROM ras_a), "
+            f"m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, "
+            f"SUM(x * y) AS sxy, SUM(y * y) AS syy, SUM(z) AS sz, SUM(x * z) AS sxz, "
+            f"SUM(y * z) AS syz FROM p), "
+            f"cf AS (SELECT {b0} AS b0, {b1} AS b1, {b2} AS b2 FROM m) "
+            f"SELECT p.row, p.col, (cf.b0 + cf.b1 * p.x + cf.b2 * p.y) AS value "
+            f"FROM p, cf"
+        ),
+        "pca": (
+            f"WITH {ras_a}, {ras_b}, "
+            f"j AS (SELECT a.row, a.col, a.value AS x, b.value AS y "
+            f"FROM ras_a a JOIN ras_b b USING (row, col)), "
+            f"m AS (SELECT SUM(x) / COUNT(*) AS mx, SUM(y) / COUNT(*) AS my, "
+            f"SQRT((SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) / COUNT(*)) AS sdx, "
+            f"SQRT((SUM(y * y) - SUM(y) * SUM(y) / COUNT(*)) / COUNT(*)) AS sdy FROM j) "
+            f"SELECT j.row, j.col, "
+            f"((j.x - m.mx) / m.sdx + (j.y - m.my) / m.sdy) / SQRT(2.0) AS pc1, "
+            f"((j.x - m.mx) / m.sdx - (j.y - m.my) / m.sdy) / SQRT(2.0) AS pc2 "
+            f"FROM j, m"
+        ),
+    }
+
+
 def _vector_op_oracles() -> dict[str, str]:
     """Oracles for the per-feature vector ops (DuckDB list folds in the
     same sequential order as the Spark AGGREGATE expressions)."""
@@ -2474,6 +2681,7 @@ def oracle_sql() -> dict[str, str]:
         **_raster_op_oracles(),
         **_focal2_oracles(),
         **_overlay2_oracles(),
+        **_stats2_oracles(),
         **_vector_op_oracles(),
         **_hydro_oracles(),
         "exact_dedup": (

@@ -140,3 +140,14 @@ def eliminate_coincident_points(points: DataFrame, tolerance: float,
     first by record order (eliminate_coincident_points.rs snap-cell
     semantics)."""
     return lidar_thin(points, tolerance, x=x, y=y, order_col=order_col)
+
+
+def lidar_sort_by_time(points: DataFrame, time_col: str = "gps_time") -> DataFrame:
+    """LidarSortByTime: global acquisition-order index per point — a
+    DISTRIBUTED global row_number (range partition + per-partition
+    window + broadcast offsets; plans/rank.py), not a single-reducer
+    sort. Ties break on record_num for determinism."""
+    from ..plans.rank import global_row_number
+
+    ranked, _n = global_row_number(points, [time_col, "record_num"], out="sort_index")
+    return ranked

@@ -130,3 +130,47 @@ def pick_from_list(layers: list[DataFrame], selector: DataFrame) -> DataFrame:
         "row", "col",
         f"ELEMENT_AT(ARRAY({arr}), CAST(__sel AS INT) + 1) AS value",
     )
+
+
+def lowest_position(layers: list[DataFrame]) -> DataFrame:
+    """LowestPosition: 1-based index of the layer holding the smallest
+    value per cell; ties -> the first such layer (lowest_position.rs)."""
+    from functools import reduce
+
+    stacked = [
+        df.selectExpr("row", "col", "value AS v", f"{i + 1} AS li")
+        for i, df in enumerate(layers)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), stacked)
+    return u.groupBy("row", "col").agg(
+        F.expr("CAST(MIN_BY(li, STRUCT(v, li)) AS DOUBLE)").alias("value")
+    )
+
+
+def _percent_op(layers: list[DataFrame], comparison: DataFrame, op: str) -> DataFrame:
+    from functools import reduce
+
+    stacked = [
+        df.selectExpr("row", "col", "value AS v", f"{i} AS li")
+        for i, df in enumerate(layers)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), stacked)
+    j = u.join(comparison.selectExpr("row", "col", "value AS cmp"), ["row", "col"])
+    return j.groupBy("row", "col").agg(
+        F.expr(f"CAST(SUM(CASE WHEN v {op} cmp THEN 1 ELSE 0 END) AS DOUBLE) "
+               f"/ COUNT(v) * 100.0").alias("value")
+    )
+
+
+def percent_greater_than(layers: list[DataFrame], comparison: DataFrame) -> DataFrame:
+    """PercentGreaterThan: % of input layers whose cell value exceeds the
+    comparison raster's (image_analysis/percent_greater_than.rs)."""
+    return _percent_op(layers, comparison, ">")
+
+
+def percent_less_than(layers: list[DataFrame], comparison: DataFrame) -> DataFrame:
+    return _percent_op(layers, comparison, "<")
+
+
+def percent_equal_to(layers: list[DataFrame], comparison: DataFrame) -> DataFrame:
+    return _percent_op(layers, comparison, "=")

@@ -598,3 +598,221 @@ def reclass(cells: DataFrame, ranges: list[tuple[float, float, float]]) -> DataF
     for new_v, lo, hi in reversed(ranges):
         expr = F.when((F.col("value") >= lo) & (F.col("value") < hi), F.lit(new_v)).otherwise(expr)
     return cells.select("row", "col", expr.alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# NoData utilities + cell assignment (data_tools/*.rs one-liners:
+# is_nodata.rs, update_nodata_cells.rs, convert_nodata_to_zero.rs,
+# set_nodata_value.rs, raster_cell_assignment.rs, new_raster_from_base.rs
+# create_plane semantics from gis_analysis/create_plane.rs)
+# ---------------------------------------------------------------------------
+
+
+def is_nodata(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """IsNoData: 1.0 where value equals the nodata sentinel else 0.0."""
+    return cells.selectExpr(
+        "row", "col",
+        f"CAST(CASE WHEN value = {meta.nodata!r} THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value",
+    )
+
+
+def update_nodata_cells(a: DataFrame, b: DataFrame, meta: GridMeta) -> DataFrame:
+    """UpdateNodataCells: a's nodata cells take b's value (b nodata stays)."""
+    bb = b.selectExpr("row", "col", "value AS bv")
+    return a.join(bb, ["row", "col"], "left").selectExpr(
+        "row", "col",
+        f"CASE WHEN value = {meta.nodata!r} THEN COALESCE(bv, {meta.nodata!r}) "
+        f"ELSE value END AS value",
+    )
+
+
+def convert_nodata_to_zero(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    return cells.selectExpr(
+        "row", "col",
+        f"CASE WHEN value = {meta.nodata!r} THEN 0.0 ELSE value END AS value",
+    )
+
+
+def set_nodata_value(cells: DataFrame, back_value: float, meta: GridMeta) -> DataFrame:
+    """SetNodataValue: cells equal to back_value become the nodata sentinel."""
+    return cells.selectExpr(
+        "row", "col",
+        f"CASE WHEN value = {back_value!r} THEN {meta.nodata!r} ELSE value END AS value",
+    )
+
+
+def raster_cell_assignment(cells: DataFrame, meta: GridMeta, what: str) -> DataFrame:
+    """RasterCellAssignment: value = row | column | x | y of each cell."""
+    expr = {
+        "row": "CAST(row AS DOUBLE)",
+        "column": "CAST(col AS DOUBLE)",
+        "x": meta.x_center_expr("col"),
+        "y": meta.y_center_expr("row"),
+    }[what]
+    return cells.selectExpr("row", "col", f"{expr} AS value")
+
+
+def create_plane(spark, meta: GridMeta, gradient: float = 15.0,
+                 aspect: float = 90.0, constant: float = 0.0) -> DataFrame:
+    """CreatePlane (gis_analysis/create_plane.rs): z = tan(gradient) *
+    (sin(aspect)*x + cos(aspect)*y) + constant over cell centers."""
+    import math as _m
+
+    asp = aspect % 360.0
+    tan_g = _m.tan(_m.radians(gradient))
+    sin_a = _m.sin(_m.radians(asp))
+    cos_a = _m.cos(_m.radians(asp))
+    rows = spark.range(meta.rows).selectExpr("id AS row")
+    cols = spark.range(meta.columns).selectExpr("id AS col")
+    grid = rows.crossJoin(cols)
+    x = meta.x_center_expr("col")
+    y = meta.y_center_expr("row")
+    # trig folded in Python: SQL TAN/SIN would be libm-dependent per engine
+    return grid.selectExpr(
+        "row", "col",
+        f"({tan_g!r} * ({sin_a!r} * ({x}) + {cos_a!r} * ({y})) + {constant!r}) AS value",
+    )
+
+
+def find_lowest_or_highest_points(cells: DataFrame, meta: GridMeta,
+                                  out_type: str = "both") -> DataFrame:
+    """FindLowestOrHighestPoints: the min and/or max cell as vector
+    points (x, y, value); ties resolve to row-major scan order."""
+    picks = []
+    if out_type in ("lowest", "both"):
+        picks.append(("lowest", "MIN_BY(STRUCT(row, col, value), STRUCT(value, row, col))"))
+    if out_type in ("highest", "both"):
+        picks.append(("highest", "MIN_BY(STRUCT(row, col, value), STRUCT(-value, row, col))"))
+    aggs = [F.expr(e).alias(n) for n, e in picks]
+    agg = cells.agg(*aggs)
+    outs = []
+    for n, _e in picks:
+        outs.append(agg.selectExpr(
+            f"'{n}' AS kind",
+            f"{meta.x_center_expr(f'{n}.col')} AS x",
+            f"{meta.y_center_expr(f'{n}.row')} AS y",
+            f"{n}.value AS value",
+        ))
+    from functools import reduce
+
+    return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+# ---------------------------------------------------------------------------
+# Statistical tools (math_stat_analysis/anova.rs,
+# wilcoxon_signed_rank_test.rs, trend_surface.rs,
+# principal_component_analysis.rs — SQL-fold plans, integer-exact
+# moment sums so every engine agrees bit-for-bit)
+# ---------------------------------------------------------------------------
+
+
+def anova(values: DataFrame, zones: DataFrame) -> DataFrame:
+    """One-way ANOVA of raster values grouped by a zone raster
+    (math_stat_analysis/anova.rs): F = (SSB/(k-1)) / (SSW/(n-k))."""
+    j = values.selectExpr("row", "col", "value AS x").join(
+        zones.selectExpr("row", "col", "value AS zone"), ["row", "col"]
+    )
+    g = j.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("ts1"),
+        F.sum("s2").alias("ts2"),
+        F.sum(F.expr("s1 * s1 / n")).alias("sgroup"),
+    ).selectExpr(
+        "CAST(k AS BIGINT) AS k",
+        "CAST(n AS BIGINT) AS n",
+        "(sgroup - ts1 * ts1 / n) AS ss_between",
+        "(ts2 - sgroup) AS ss_within",
+        "((sgroup - ts1 * ts1 / n) / (k - 1)) / ((ts2 - sgroup) / (n - k)) AS f_stat",
+    )
+
+
+def wilcoxon_signed_rank(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Wilcoxon signed-rank W+/W- and z over paired cells
+    (math_stat_analysis/wilcoxon_signed_rank_test.rs): drop zero diffs,
+    mid-ranks of |d| (average rank over ties), W = min(W+, W-),
+    z = (W - mu_W) / sigma_W. Ranking is the DISTRIBUTED prefix-sum
+    plan (plans/rank.py), not a single-reducer window."""
+    from ..plans.rank import ordered_prefix_sums
+
+    d = a.selectExpr("row", "col", "value AS x").join(
+        b.selectExpr("row", "col", "value AS y"), ["row", "col"]
+    ).selectExpr("x - y AS d").where("d <> 0.0")
+    g = d.selectExpr("ABS(d) AS ad", "CASE WHEN d > 0.0 THEN 1L ELSE 0L END AS pos") \
+         .groupBy("ad").agg(F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("npos"))
+    cum = ordered_prefix_sums(g, ["ad"], ["cnt"])
+    # mid-rank of a tie group ending at cumulative C with size m:
+    # (C - m + 1 + C) / 2
+    ranked = cum.selectExpr(
+        "ad", "cnt", "npos",
+        "(CAST(__cum_cnt - cnt + 1 AS DOUBLE) + CAST(__cum_cnt AS DOUBLE)) / 2.0 AS midrank",
+    )
+    return ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("midrank * npos")).alias("w_plus"),
+        F.sum(F.expr("midrank * (cnt - npos)")).alias("w_minus"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n", "w_plus", "w_minus",
+        "LEAST(w_plus, w_minus) AS w",
+        "(LEAST(w_plus, w_minus) - CAST(n * (n + 1) AS DOUBLE) / 4.0) "
+        "/ SQRT(CAST(n * (n + 1) AS DOUBLE) * CAST(2 * n + 1 AS DOUBLE) / 24.0) AS z_stat",
+    )
+
+
+def trend_surface(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """TrendSurface, 1st order (math_stat_analysis/trend_surface.rs):
+    least-squares plane z = b0 + b1*x + b2*y over cell centers, output =
+    fitted values. Normal equations solved by Cramer's rule over exact
+    moment sums (x, y on the coordinate grid, z integer-valued -> all
+    sums exact, both engines bit-agree)."""
+    x = meta.x_center_expr("col")
+    y = meta.y_center_expr("row")
+    pts = cells.selectExpr("row", "col", f"{x} AS x", f"{y} AS y", "value AS z")
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"), F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"), F.sum("z").alias("sz"),
+        F.sum(F.expr("x * z")).alias("sxz"), F.sum(F.expr("y * z")).alias("syz"),
+    )
+    det = ("(n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) "
+           "+ sy * (sx * sxy - sxx * sy))")
+    b0 = (f"(sz * (sxx * syy - sxy * sxy) - sx * (sxz * syy - sxy * syz) "
+          f"+ sy * (sxz * sxy - sxx * syz)) / {det}")
+    b1 = (f"(n * (sxz * syy - sxy * syz) - sz * (sx * syy - sxy * sy) "
+          f"+ sy * (sx * syz - sxz * sy)) / {det}")
+    b2 = (f"(n * (sxx * syz - sxz * sxy) - sx * (sx * syz - sxz * sy) "
+          f"+ sz * (sx * sxy - sxx * sy)) / {det}")
+    coef = m.selectExpr(f"{b0} AS b0", f"{b1} AS b1", f"{b2} AS b2")
+    return pts.crossJoin(F.broadcast(coef)).selectExpr(
+        "row", "col", "(b0 + b1 * x + b2 * y) AS value"
+    )
+
+
+def pca_two_band(a: DataFrame, b: DataFrame) -> DataFrame:
+    """PrincipalComponentAnalysis for two bands
+    (math_stat_analysis/principal_component_analysis.rs semantics,
+    correlation-matrix variant closed-form for k=2): eigenvalues
+    (1 + r, 1 - r), components = (standardized a +- standardized b) /
+    sqrt(2). Output: (row, col, pc1, pc2). All moments are exact sums."""
+    j = a.selectExpr("row", "col", "value AS x").join(
+        b.selectExpr("row", "col", "value AS y"), ["row", "col"]
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"), F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    ).selectExpr(
+        "sx / n AS mx", "sy / n AS my",
+        "SQRT((sxx - sx * sx / n) / n) AS sdx",
+        "SQRT((syy - sy * sy / n) / n) AS sdy",
+        "((sxy - sx * sy / n) / n) AS cov",
+    )
+    return j.crossJoin(F.broadcast(m)).selectExpr(
+        "row", "col",
+        "((x - mx) / sdx + (y - my) / sdy) / SQRT(2.0) AS pc1",
+        "((x - mx) / sdx - (y - my) / sdy) / SQRT(2.0) AS pc2",
+    )
