@@ -978,6 +978,40 @@ def _q_erase_features(spark, sf):
     return _overlay_area_query(spark, sf, "difference")
 
 
+def _q_contour_segments(spark, sf):
+    """Marching-squares contour segments, canonicalized endpoint order —
+    oracled against an independent SQL marching squares (4-way self-join
+    quads + case table + edge interpolation)."""
+    from whitebox_tools_spark.operators import contours as CN
+
+    segs = CN.contour_segments(_ras(spark, sf, "a"), _META100,
+                               base=0.0, interval=100.0, tile=32)
+    return segs.selectExpr(
+        "level",
+        "LEAST(STRUCT(x1 AS x, y1 AS y), STRUCT(x2 AS x, y2 AS y)) AS p",
+        "GREATEST(STRUCT(x1 AS x, y1 AS y), STRUCT(x2 AS x, y2 AS y)) AS q",
+    ).selectExpr("level", "p.x AS ax", "p.y AS ay", "q.x AS bx", "q.y AS by")
+
+
+def _q_contours(spark, sf):
+    """Chained contour polylines — rows-only (assembly is procedural);
+    segment-conservation and reference parity are pytest-gated."""
+    from whitebox_tools_spark.operators import contours as CN
+
+    return CN.contours_from_raster(_ras(spark, sf, "a"), _META100,
+                                   base=0.0, interval=100.0, tile=32)
+
+
+def _q_r2v_lines(spark, sf):
+    """RasterToVectorLines over a rasterized line layer — rows-only;
+    tracing is pytest-gated."""
+    from whitebox_tools_spark.operators import contours as CN
+
+    lines = R.lines_to_raster(_segments(spark, sf), _META100)
+    dense = _ras(spark, sf, "a").selectExpr("row", "col", "0.0 AS z")         .join(lines.selectExpr("row", "col", "value AS lv"), ["row", "col"], "left")         .selectExpr("row", "col", "COALESCE(lv, 0.0) AS value")
+    return CN.raster_to_vector_lines(dense, _META100)
+
+
 def _q_is_nodata(spark, sf):
     nd = _ras(spark, sf, "a").selectExpr(
         "row", "col", "CASE WHEN value < 10.0 THEN -32768.0 ELSE value END AS value")
@@ -1400,7 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watershed": _q_watershed,
         "extract_streams": _q_extract_streams,
         "fill_depressions": _q_fill_depressions,
-        "dinf_accum": _q_dinf_accum,
+        "contour_segments": _q_contour_segments,
         "block_max": _q_block_max,
         "hag": _q_hag,
         "lidar_thin": _q_lidar_thin,
@@ -1507,7 +1541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_link": _q_stream_link,
         "flowpath_length": _q_flowpath_length,
         "dinf_pointer": _q_dinf_pointer,
+        "dinf_accum": _q_dinf_accum,
         "breach_depressions": _q_breach,
+        "contours": _q_contours,
+        "r2v_lines": _q_r2v_lines,
         "wetness": _q_wetness,
         "cost_distance": _q_cost_distance,
         "d8_basins": _q_d8_basins,
@@ -2265,6 +2302,67 @@ def _stats2_oracles() -> dict[str, str]:
     }
 
 
+def _contour_oracle() -> str:
+    """Independent DuckDB marching squares: 4-way self-join quads, the
+    same case table and edge-interpolation expression text as the
+    kernel (identical IEEE sequences -> bit-exact segments)."""
+    xc = lambda c: f"(0.0 + (CAST({c} AS DOUBLE) + 0.5) * 10.0)"
+    yr = lambda r: f"(1000.0 - (CAST({r} AS DOUBLE) + 0.5) * 10.0)"
+
+    def edge(e):
+        if e == 0:
+            return ("q.tl", "q.tr", xc("q.c"), yr("q.r"), xc("q.c + 1"), yr("q.r"))
+        if e == 2:
+            return ("q.bl", "q.br", xc("q.c"), yr("q.r + 1"), xc("q.c + 1"), yr("q.r + 1"))
+        if e == 3:
+            return ("q.tl", "q.bl", xc("q.c"), yr("q.r"), xc("q.c"), yr("q.r + 1"))
+        return ("q.tr", "q.br", xc("q.c + 1"), yr("q.r"), xc("q.c + 1"), yr("q.r + 1"))
+
+    def pt(e):
+        a, b, xa, ya, xb, yb = edge(e)
+        t = f"((q.level - {a}) / ({b} - {a}))"
+        return (f"({xa} + {t} * ({xb} - {xa}))", f"({ya} + {t} * ({yb} - {ya}))")
+
+    from whitebox_tools_spark.operators.contours import _MS_CASES
+
+    def seg_struct(ea, eb):
+        (px, py), (qx, qy) = pt(ea), pt(eb)
+        return (f"{{'x1': {px}, 'y1': {py}, 'x2': {qx}, 'y2': {qy}}}")
+
+    branches = []
+    for case, segs in sorted(_MS_CASES.items()):
+        if not segs:
+            continue
+        lst = "[" + ", ".join(seg_struct(ea, eb) for ea, eb in segs) + "]"
+        branches.append(f"WHEN q.cs = {case} THEN {lst}")
+    case_expr = "CASE " + " ".join(branches) + " ELSE [] END"
+    return (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"lv AS (SELECT CAST(k.range AS DOUBLE) * 100.0e0 AS level FROM range(1, 10) k), "
+        f"qd AS (SELECT a.row AS r, a.col AS c, a.value AS tl, b.value AS tr, "
+        f"c2.value AS bl, d.value AS br FROM ras_a a "
+        f"JOIN ras_a b ON b.row = a.row AND b.col = a.col + 1 "
+        f"JOIN ras_a c2 ON c2.row = a.row + 1 AND c2.col = a.col "
+        f"JOIN ras_a d ON d.row = a.row + 1 AND d.col = a.col + 1), "
+        f"q0 AS (SELECT lv.level, qd.*, "
+        f"(CASE WHEN qd.tl >= lv.level THEN 8 ELSE 0 END "
+        f"+ CASE WHEN qd.tr >= lv.level THEN 4 ELSE 0 END "
+        f"+ CASE WHEN qd.br >= lv.level THEN 2 ELSE 0 END "
+        f"+ CASE WHEN qd.bl >= lv.level THEN 1 ELSE 0 END) AS cs "
+        f"FROM lv, qd), "
+        f"segs AS (SELECT q.level, unnest({case_expr}) AS s "
+        f"FROM (SELECT level, cs, r, c, tl, tr, bl, br FROM q0) q), "
+        f"pts AS (SELECT level, s.x1, s.y1, s.x2, s.y2 FROM segs "
+        f"WHERE NOT (s.x1 = s.x2 AND s.y1 = s.y2)) "
+        f"SELECT level, "
+        f"CASE WHEN (x1, y1) <= (x2, y2) THEN x1 ELSE x2 END AS ax, "
+        f"CASE WHEN (x1, y1) <= (x2, y2) THEN y1 ELSE y2 END AS ay, "
+        f"CASE WHEN (x1, y1) <= (x2, y2) THEN x2 ELSE x1 END AS bx, "
+        f"CASE WHEN (x1, y1) <= (x2, y2) THEN y2 ELSE y1 END AS by "
+        f"FROM pts"
+    )
+
+
 def _vector_op_oracles() -> dict[str, str]:
     """Oracles for the per-feature vector ops (DuckDB list folds in the
     same sequential order as the Spark AGGREGATE expressions)."""
@@ -2682,6 +2780,7 @@ def oracle_sql() -> dict[str, str]:
         **_focal2_oracles(),
         **_overlay2_oracles(),
         **_stats2_oracles(),
+        "contour_segments": _contour_oracle(),
         **_vector_op_oracles(),
         **_hydro_oracles(),
         "exact_dedup": (
