@@ -978,6 +978,29 @@ def _q_erase_features(spark, sf):
     return _overlay_area_query(spark, sf, "difference")
 
 
+def _q_ground_filter(spark, sf):
+    """Slope-based ground classification over a 1k-point subset —
+    oracle is the all-pairs EXISTS predicate in SQL."""
+    pts = _points(spark, sf).where("record_num % 10 = 0")
+    return LI.lidar_ground_point_filter(pts, radius=30.0, height_threshold=50.0,
+                                        slope_threshold=30.0)
+
+
+def _q_lidar_segmentation(spark, sf):
+    """Plane-normal region growing — rows-only (eigen decomposition +
+    label propagation); structure pytest-gated on synthetic planes."""
+    pts = _points(spark, sf).where("record_num % 20 = 0")
+    return LI.lidar_segmentation(pts, radius=40.0, norm_diff=20.0, maxzdiff=80.0)
+
+
+def _q_ransac_planes(spark, sf):
+    """Seeded RANSAC planes per FRS cell — rows-only, deterministic
+    (seeded from cell id); pytest-gated."""
+    pts = _points(spark, sf).where("record_num % 10 = 0")
+    return LI.lidar_ransac_planes(pts, radius=100.0, num_iter=20, num_samples=5,
+                                  threshold=30.0, model_size=8)
+
+
 def _q_contour_segments(spark, sf):
     """Marching-squares contour segments, canonicalized endpoint order —
     oracled against an independent SQL marching squares (4-way self-join
@@ -1436,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_depressions": _q_fill_depressions,
         "contour_segments": _q_contour_segments,
         "block_max": _q_block_max,
+        "ground_filter": _q_ground_filter,
         "hag": _q_hag,
         "lidar_thin": _q_lidar_thin,
         "t_test": _q_t_test,
@@ -1477,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lowest_position": _q_lowest_position,
         "percent_gt": _q_percent_gt,
         "lidar_sort_time": _q_lidar_sort_time,
+        "lidar_segmentation": _q_lidar_segmentation,
+        "ransac_planes": _q_ransac_planes,
         "wilcoxon": _q_wilcoxon,
         "pca": _q_pca,
         "intersect_general": _q_intersect_general,
@@ -2241,6 +2267,17 @@ def _stats2_oracles() -> dict[str, str]:
             f"SELECT st.row, st.col, CAST(SUM(CASE WHEN st.v > b.value THEN 1 ELSE 0 END) "
             f"AS DOUBLE) / COUNT(st.v) * 100.0 AS value "
             f"FROM st JOIN ras_b b USING (row, col) GROUP BY 1, 2"
+        ),
+        "ground_filter": (
+            f"WITH pts AS ({_PTS_SQL}), sub AS (SELECT * FROM pts WHERE record_num % 10 = 0), "
+            f"off AS (SELECT DISTINCT a.record_num FROM sub a JOIN sub b "
+            f"ON a.record_num <> b.record_num "
+            f"AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 900.0 "
+            f"AND (a.value - b.value) >= 50.0 "
+            f"AND (a.value - b.value) / SQRT((a.x - b.x) * (a.x - b.x) "
+            f"+ (a.y - b.y) * (a.y - b.y)) > 0.5773502691896257e0) "
+            f"SELECT p.record_num, CAST(CASE WHEN o.record_num IS NOT NULL THEN 1 ELSE 2 END "
+            f"AS INT) AS classification FROM sub p LEFT JOIN off o USING (record_num)"
         ),
         "lidar_sort_time": (
             f"WITH pts AS ({_PTS_SQL}) SELECT record_num, "

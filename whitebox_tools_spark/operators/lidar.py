@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -151,3 +152,222 @@ def lidar_sort_by_time(points: DataFrame, time_col: str = "gps_time") -> DataFra
 
     ranked, _n = global_row_number(points, [time_col, "record_num"], out="sort_index")
     return ranked
+
+
+# ---------------------------------------------------------------------------
+# Ground filtering / segmentation / RANSAC planes
+# (lidar_analysis/lidar_ground_point_filter.rs, lidar_segmentation.rs,
+# lidar_ransac_planes.rs — semantics; FRS 25-bin neighborhood joins)
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_pairs(points: DataFrame, radius: float,
+                    id_col: str = "record_num",
+                    x: str = "x", y: str = "y", z: str = "value") -> DataFrame:
+    """(a_id, ax, ay, az, b_id, bx, by, bz) for all DISTINCT point pairs
+    within `radius` (both directions). One FRS cell equi-join."""
+    from ..functions.cells import explode_neighbor_cells
+
+    base = with_frs_cells(
+        points.selectExpr(f"{id_col} AS pid", f"{x} AS px", f"{y} AS py", f"{z} AS pz"),
+        radius, x="px", y="py")
+    probe = explode_neighbor_cells(base, reach=2)
+    build = base.selectExpr("pid AS b_id", "px AS bx", "py AS by", "pz AS bz",
+                            "cx AS ncx", "cy AS ncy")
+    return (
+        probe.join(build, ["ncx", "ncy"])
+        .where("pid <> b_id")
+        .selectExpr("pid AS a_id", "px AS ax", "py AS ay", "pz AS az",
+                    "b_id", "bx", "by", "bz")
+        .where(f"(ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= {radius * radius!r}")
+    )
+
+
+def lidar_ground_point_filter(points: DataFrame, radius: float = 2.0,
+                              height_threshold: float = 1.0,
+                              slope_threshold: float = 45.0,
+                              id_col: str = "record_num",
+                              z: str = "value") -> DataFrame:
+    """Slope-based ground classification
+    (lidar_ground_point_filter.rs:21-35 core rule, without the optional
+    slope normalization / kNN fallback): a point is OFF-ground (class 1)
+    iff some neighbor within `radius` sits LOWER by >= height_threshold
+    with inter-point slope above slope_threshold degrees; else ground
+    (class 2). Pure join + aggregate — SQL-expressible, oracle-gated."""
+    import math
+
+    tan_t = math.tan(math.radians(slope_threshold))
+    pairs = _neighbor_pairs(points, radius, id_col=id_col, z=z)
+    off = (
+        pairs.where(
+            f"(az - bz) >= {height_threshold!r} AND "
+            f"(az - bz) / SQRT((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) > {tan_t!r}"
+        )
+        .select(F.col("a_id").alias("pid")).distinct()
+    )
+    base = points.selectExpr(f"{id_col} AS pid")
+    return base.join(off.selectExpr("pid", "1 AS __off"), "pid", "left") \
+               .selectExpr(f"pid AS {id_col}",
+                           "CAST(CASE WHEN __off IS NOT NULL THEN 1 ELSE 2 END AS INT) "
+                           "AS classification")
+
+
+def lidar_segmentation(points: DataFrame, radius: float = 2.0,
+                       norm_diff: float = 10.0, maxzdiff: float = 1.0,
+                       id_col: str = "record_num",
+                       z: str = "value",
+                       max_rounds: int = 48) -> DataFrame:
+    """Plane-normal region growing (lidar_segmentation.rs semantics):
+    per-point normals from the local PCA plane fit, then connected
+    components over neighbor pairs whose normals differ < norm_diff
+    degrees AND |dz| <= maxzdiff — min-label propagation with pointer
+    jumping (the clump machinery shape). Output (id, segment_id 1..K,
+    numbered by each segment's smallest point id)."""
+    import math
+
+    from ..plans.iterate import ensure_converged
+    from ..plans.rank import dense_rank_small
+
+    pairs = _neighbor_pairs(points, radius, id_col=id_col, z=z) \
+        .localCheckpoint(eager=True)
+    # local plane normal per point: smallest eigenvector of the 3x3
+    # covariance of its neighborhood (point included), computed per
+    # point from moment aggregates in one numpy batch
+    moments = (
+        pairs.selectExpr("a_id AS pid", "bx AS qx", "by AS qy", "bz AS qz")
+        .unionByName(
+            points.selectExpr(f"{id_col} AS pid", "x AS qx", "y AS qy",
+                              f"{z} AS qz"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("qx").alias("sx"), F.sum("qy").alias("sy"), F.sum("qz").alias("sz"),
+             F.sum(F.expr("qx * qx")).alias("sxx"), F.sum(F.expr("qx * qy")).alias("sxy"),
+             F.sum(F.expr("qx * qz")).alias("sxz"), F.sum(F.expr("qy * qy")).alias("syy"),
+             F.sum(F.expr("qy * qz")).alias("syz"), F.sum(F.expr("qz * qz")).alias("szz"))
+    )
+
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    nschema = StructType([
+        StructField("pid", LongType(), False),
+        StructField("nx", DoubleType(), False),
+        StructField("ny", DoubleType(), False),
+        StructField("nz", DoubleType(), False),
+    ])
+
+    def normals(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = pdf["n"].to_numpy(dtype=np.float64)
+            mx = pdf["sx"].to_numpy() / n
+            my = pdf["sy"].to_numpy() / n
+            mz = pdf["sz"].to_numpy() / n
+            cxx = pdf["sxx"].to_numpy() / n - mx * mx
+            cxy = pdf["sxy"].to_numpy() / n - mx * my
+            cxz = pdf["sxz"].to_numpy() / n - mx * mz
+            cyy = pdf["syy"].to_numpy() / n - my * my
+            cyz = pdf["syz"].to_numpy() / n - my * mz
+            czz = pdf["szz"].to_numpy() / n - mz * mz
+            m = len(pdf)
+            cov = np.zeros((m, 3, 3))
+            cov[:, 0, 0] = cxx; cov[:, 0, 1] = cxy; cov[:, 0, 2] = cxz
+            cov[:, 1, 0] = cxy; cov[:, 1, 1] = cyy; cov[:, 1, 2] = cyz
+            cov[:, 2, 0] = cxz; cov[:, 2, 1] = cyz; cov[:, 2, 2] = czz
+            _w, v = np.linalg.eigh(cov)
+            nrm = v[:, :, 0]  # smallest-eigenvalue eigenvector
+            flip = nrm[:, 2] < 0
+            nrm[flip] = -nrm[flip]
+            yield pd.DataFrame({"pid": pdf["pid"].to_numpy(dtype=np.int64),
+                                "nx": nrm[:, 0], "ny": nrm[:, 1], "nz": nrm[:, 2]})
+
+    nrm = moments.mapInPandas(normals, schema=nschema).localCheckpoint(eager=True)
+    cos_t = math.cos(math.radians(norm_diff))
+    e = (
+        pairs.select("a_id", "b_id", "az", "bz")
+        .join(nrm.selectExpr("pid AS a_id", "nx AS anx", "ny AS any_", "nz AS anz"), "a_id")
+        .join(nrm.selectExpr("pid AS b_id", "nx AS bnx", "ny AS bny", "nz AS bnz"), "b_id")
+        .where(f"ABS(az - bz) <= {maxzdiff!r} AND "
+               f"ABS(anx * bnx + any_ * bny + anz * bnz) >= {cos_t!r}")
+        .select("a_id", "b_id")
+    )
+    lbl = points.selectExpr(f"{id_col} AS pid", f"{id_col} AS lbl") \
+                .localCheckpoint(eager=True)
+    both = e.unionByName(e.selectExpr("b_id AS a_id", "a_id AS b_id"))
+    for _ in range(max_rounds):
+        nb = both.join(lbl.selectExpr("pid AS a_id", "lbl AS nlbl"), "a_id") \
+                 .groupBy("b_id").agg(F.min("nlbl").alias("mn"))
+        new = lbl.join(nb.withColumnRenamed("b_id", "pid"), "pid", "left") \
+                 .selectExpr("pid", "lbl AS __prev",
+                             "LEAST(lbl, COALESCE(mn, lbl)) AS nl")
+        owners = new.selectExpr("pid AS o_id", "nl AS o_lbl")
+        new = new.join(owners, new["nl"] == owners["o_id"], "left") \
+                 .selectExpr("pid", "__prev",
+                             "LEAST(nl, COALESCE(o_lbl, nl)) AS lbl") \
+                 .localCheckpoint(eager=True)
+        changed = new.where("lbl <> __prev").count()
+        lbl = new.select("pid", "lbl")
+        if changed == 0:
+            break
+    else:
+        ensure_converged(changed, "lidar_segmentation label propagation", max_rounds)
+    reps = dense_rank_small(lbl, "lbl", "segment_id")
+    return lbl.join(reps, "lbl").selectExpr(f"pid AS {id_col}",
+                                            "CAST(segment_id AS BIGINT) AS segment_id")
+
+
+def lidar_ransac_planes(points: DataFrame, radius: float = 10.0,
+                        num_iter: int = 50, num_samples: int = 10,
+                        threshold: float = 0.25, model_size: int = 8,
+                        id_col: str = "record_num", z: str = "value",
+                        seed: int = 42) -> DataFrame:
+    """RANSAC plane detection per FRS neighborhood cell
+    (lidar_ransac_planes.rs semantics): within each cell, repeatedly fit
+    least-squares planes to seeded random samples, keep the model with
+    the most inliers (|orthogonal residual| <= threshold); points of an
+    accepted model (>= model_size inliers) are flagged is_planar with
+    the cell's plane id. Deterministic: the RNG seeds from (seed, cell
+    id), so results are reproducible on any cluster layout."""
+    import pandas as pd
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType)
+
+    base = with_frs_cells(
+        points.selectExpr(f"{id_col} AS pid", "x AS px", "y AS py", f"{z} AS pz"),
+        radius, x="px", y="py")
+    schema = StructType([
+        StructField("pid", LongType(), False),
+        StructField("plane_id", LongType(), False),
+        StructField("is_planar", BooleanType(), False),
+    ])
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cx, cy = int(key[0]), int(key[1])
+        pts = pdf[["px", "py", "pz"]].to_numpy(dtype=np.float64)
+        pid = pdf["pid"].to_numpy(dtype=np.int64)
+        n = len(pts)
+        best_inliers = None
+        if n >= num_samples:
+            rng = np.random.RandomState((seed * 1_000_003 + cx * 7919 + cy * 104729)
+                                        % (2 ** 31 - 1))
+            for _ in range(num_iter):
+                idx = rng.choice(n, size=num_samples, replace=False)
+                sample = pts[idx]
+                ctr = sample.mean(axis=0)
+                _u, _s, vt = np.linalg.svd(sample - ctr, full_matrices=False)
+                nrm = vt[-1]
+                d = np.abs((pts - ctr) @ nrm)
+                inl = d <= threshold
+                if inl.sum() >= model_size and (
+                        best_inliers is None or inl.sum() > best_inliers.sum()):
+                    best_inliers = inl
+        plane_id = cx * 1_000_003 + cy
+        flag = best_inliers if best_inliers is not None else np.zeros(n, dtype=bool)
+        return pd.DataFrame({"pid": pid,
+                             "plane_id": np.full(n, plane_id, dtype=np.int64),
+                             "is_planar": flag})
+
+    return base.groupBy("cx", "cy").applyInPandas(kernel, schema=schema) \
+               .withColumnRenamed("pid", id_col)
