@@ -46,9 +46,19 @@ BENCH_QUERIES = [
     "euclid_dist",
     "clump",
     "raster_calc",
+    "quantiles",
+    "gaussian_filter",
+    "plan_curvature",
+    "d8_accum",
+    "union_features",
+    "dissolve",
+    "contour_segments",
     "minhash_pairs",
     "simhash_pairs",
+    "simhash64_pairs",
+    "embedding_dups",
     "ann_topk",
+    "ann_ivf",
     "lang_id",
     "quality",
 ]
