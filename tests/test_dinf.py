@@ -136,3 +136,52 @@ def test_dinf_accum_matches_reference(spark, dem):
     # mass balance: every cell's unit load is either in the grid or left
     # through the rim, so the interior total is bounded by n
     assert total_got <= N * N * 1.0 + 1e-6 or True
+
+
+def test_fd8_accum_matches_reference(spark, dem):
+    """FD8 vs a direct numpy transcription of the proportioning rule +
+    queue accumulation."""
+    df, g = dem
+    import whitebox_tools_spark.operators.hydro as HY2
+
+    got = {(r["row"], r["col"]): r["value"]
+           for r in HY2.fd8_flow_accumulation(df, META, exponent=1.1).collect()}
+    rows = cols = N
+    res = 10.0
+    diag = math.sqrt(2.0) * res
+    lengths = [diag, res, diag, res, diag, res, diag, res]
+    DX = [1, 1, 1, 0, -1, -1, -1, 0]
+    DY = [-1, 0, 1, 1, 1, 0, -1, -1]
+    edges = {}
+    indeg = np.zeros((rows, cols), dtype=np.int64)
+    for r in range(rows):
+        for c in range(cols):
+            z = g[r, c]
+            ws = []
+            for i in range(8):
+                rr, cc = r + DY[i], c + DX[i]
+                if 0 <= rr < rows and 0 <= cc < cols and g[rr, cc] < z:
+                    ws.append((rr, cc, ((z - g[rr, cc]) / lengths[i]) ** 1.1))
+                else:
+                    ws.append(None)
+            tot = sum(w[2] for w in ws if w)
+            outs = []
+            if tot > 0:
+                for w in ws:
+                    if w and w[2] > 0:
+                        outs.append((w[0], w[1], w[2] / tot))
+                        indeg[w[0], w[1]] += 1
+            edges[(r, c)] = outs
+    acc = np.ones((rows, cols))
+    stack = [(r, c) for r in range(rows) for c in range(cols) if indeg[r, c] == 0]
+    while stack:
+        r, c = stack.pop()
+        for rr, cc, p in edges[(r, c)]:
+            acc[rr, cc] += acc[r, c] * p
+            indeg[rr, cc] -= 1
+            if indeg[rr, cc] == 0:
+                stack.append((rr, cc))
+    assert len(got) == rows * cols
+    for r in range(rows):
+        for c in range(cols):
+            assert got[(r, c)] == pytest.approx(acc[r, c], rel=1e-9), (r, c)

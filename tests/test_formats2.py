@@ -119,3 +119,15 @@ def test_shapefile_polyline_and_convert_format(spark, tmpd):
     for r in range(12):
         for c in range(10):
             assert got[(r, c)] == vals[r, c]
+
+
+def test_print_geotiff_tags(spark, tmpd):
+    vals = _vals()
+    pth = os.path.join(tmpd, "tags.tif")
+    FF.write_geotiff(_cells_df(spark, vals), META, pth)
+    tags = FF.print_geotiff_tags(pth)
+    assert tags["width"] == 10 and tags["height"] == 12
+    assert tags["pixel_scale"] == (10.0, 10.0)
+    assert tags["nodata"] == -9999.0
+    assert (tags["west"], tags["north"]) == (0.0, 120.0)
+    assert tags["max_value"] == vals.max()

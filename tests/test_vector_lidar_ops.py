@@ -90,3 +90,56 @@ def test_elevation_slice(spark, pts):
 
 def test_lidar_join(spark, pts):
     assert LI.lidar_join([pts, pts]).count() == 80
+
+
+def test_box_metrics_and_linearity(spark):
+    """Min-box elongation/orientation + MEC rc-circle + linearity r^2 on
+    shapes with known geometry."""
+    import math
+
+    import whitebox_tools_spark.operators.vector_ops as VO2
+
+    def feat(i, ring):
+        return (i, [{"part_idx": 0, "is_hole": False,
+                     "ring": [{"x": float(x), "y": float(y)} for x, y in ring]}])
+
+    # axis-aligned 10x2 rect; 45-degree 10x2 rect; unit square
+    r1 = [(0, 0), (10, 0), (10, 2), (0, 2), (0, 0)]
+    c, s = math.cos(math.radians(45)), math.sin(math.radians(45))
+    r2 = [(x * c - y * s, x * s + y * c) for x, y in r1]
+    sq = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    df = spark.createDataFrame(
+        [feat(1, r1), feat(2, r2), feat(3, sq)],
+        "shape_id long, parts array<struct<part_idx:int,is_hole:boolean,"
+        "ring:array<struct<x:double,y:double>>>>",
+    )
+    out = {r["shape_id"]: r for r in VO2.box_metrics(df).collect()}
+    assert out[1]["elongation"] == pytest.approx(1.0 - 2.0 / 10.0)
+    assert out[1]["orientation"] == pytest.approx(90.0)  # long axis east-west
+    assert out[2]["elongation"] == pytest.approx(0.8, abs=1e-9)
+    assert out[2]["orientation"] == pytest.approx(45.0, abs=1e-6)
+    assert out[3]["elongation"] == pytest.approx(0.0)
+    # unit square MEC radius = sqrt(2)/2 -> rcc = 1 - 1/(pi/2)
+    assert out[3]["rc_circle"] == pytest.approx(1.0 - 1.0 / (math.pi * 0.5), abs=1e-9)
+    lin = {r["shape_id"]: r["linearity"] for r in VO2.linearity_index(df).collect()}
+
+    def ref_r2(ring):
+        # exact transcription incl. the closing-vertex double count and
+        # the reference's (max-min)/2 midpoint quirk
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        mx = (max(xs) - min(xs)) / 2.0
+        my = (max(ys) - min(ys)) / 2.0
+        n = float(len(ring))
+        sx = sum(x - mx for x in xs)
+        sy = sum(y - my for y in ys)
+        sxy = sum((x - mx) * (y - my) for x, y in ring)
+        sxx = sum((x - mx) ** 2 for x in xs) / n - (sx / n) ** 2
+        syy = sum((y - my) ** 2 for y in ys) / n - (sy / n) ** 2
+        sxy_c = sxy / n - sx * sy / (n * n)
+        return (sxy_c / math.sqrt(sxx * syy)) ** 2 if sxx * syy > 0 else 0.0
+
+    for sid, ring in [(1, r1), (2, r2), (3, sq)]:
+        assert lin[sid] == pytest.approx(ref_r2(ring), abs=1e-12), sid
+    # the rotated thin rect is near-collinear -> high r^2
+    assert lin[2] > 0.8

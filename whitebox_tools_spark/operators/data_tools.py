@@ -112,3 +112,64 @@ def top_k_terms(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFra
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k) \
                  .withColumn("rank", F.col("rank").cast("long"))
+
+
+def rgb_to_ihs(rgb: DataFrame) -> DataFrame:
+    """RgbToIhs (value2hsi in the reference's image tools, e.g.
+    olympic_filter.rs:486-510, with this package's r<<16|g<<8|b packing):
+    i = (r+g+b)/3 over [0,1] channels; h = acos of the normalized-chroma
+    expression (reflected when b > g); s = 1 - 3*min(rn, gn, bn).
+    Output (row, col, h, s, i); ACOS is libm -> rows-only gate."""
+    base = rgb.selectExpr(
+        "row", "col",
+        "CAST((CAST(value AS BIGINT) DIV 65536) % 256 AS DOUBLE) / 255.0 AS r",
+        "CAST((CAST(value AS BIGINT) DIV 256) % 256 AS DOUBLE) / 255.0 AS g",
+        "CAST(CAST(value AS BIGINT) % 256 AS DOUBLE) / 255.0 AS b",
+    ).where("r + g + b > 0.0").selectExpr(
+        "row", "col", "r", "g", "b",
+        "(r + g + b) / 3.0 AS i",
+        "r / (r + g + b) AS rn", "g / (r + g + b) AS gn", "b / (r + g + b) AS bn",
+    )
+    h_core = ("ACOS((0.5 * ((rn - gn) + (rn - bn))) / "
+              "SQRT((rn - gn) * (rn - gn) + (rn - bn) * (gn - bn)))")
+    return base.selectExpr(
+        "row", "col",
+        f"CASE WHEN rn <> gn OR rn <> bn THEN "
+        f"(CASE WHEN b > g THEN 2.0 * PI() - ({h_core}) ELSE ({h_core}) END) "
+        f"ELSE 0.0 END AS h",
+        "1.0 - 3.0 * LEAST(rn, gn, bn) AS s",
+        "i",
+    )
+
+
+def ihs_to_rgb(ihs: DataFrame) -> DataFrame:
+    """IhsToRgb (hsi2value inverse): reconstruct the packed RGB24 value
+    from (h, s, i) by hue sector."""
+    import math
+
+    pi = math.pi
+    x = "i * (1.0 - s)"
+
+    def sector(h0):
+        y = f"i * (1.0 + (s * COS(h - {h0!r})) / COS({pi / 3.0!r} - (h - {h0!r})))"
+        z = f"(3.0 * i - (({x}) + ({y})))"
+        return y, z
+
+    y0, z0 = sector(0.0)
+    y1, z1 = sector(2.0 * pi / 3.0)
+    y2, z2 = sector(4.0 * pi / 3.0)
+    rgb = ihs.selectExpr(
+        "row", "col",
+        f"CASE WHEN h < {2.0 * pi / 3.0!r} THEN ({y0}) "
+        f"WHEN h < {4.0 * pi / 3.0!r} THEN ({x}) ELSE ({z2}) END AS r",
+        f"CASE WHEN h < {2.0 * pi / 3.0!r} THEN ({z0}) "
+        f"WHEN h < {4.0 * pi / 3.0!r} THEN ({y1}) ELSE ({x}) END AS g",
+        f"CASE WHEN h < {2.0 * pi / 3.0!r} THEN ({x}) "
+        f"WHEN h < {4.0 * pi / 3.0!r} THEN ({z1}) ELSE ({y2}) END AS b",
+    )
+    return rgb.selectExpr(
+        "row", "col",
+        "CAST(CAST(ROUND(GREATEST(LEAST(r * 255.0, 255.0), 0.0)) AS BIGINT) * 65536 "
+        "+ CAST(ROUND(GREATEST(LEAST(g * 255.0, 255.0), 0.0)) AS BIGINT) * 256 "
+        "+ CAST(ROUND(GREATEST(LEAST(b * 255.0, 255.0), 0.0)) AS BIGINT) AS DOUBLE) AS value",
+    )

@@ -891,6 +891,14 @@ def dinf_flow_accumulation(cells: DataFrame, meta: GridMeta,
     nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
     in_grid = nodes.selectExpr("id")
     e = _dinf_edges(ptr, c).join(in_grid.selectExpr("id AS dst"), "dst", "leftsemi")
+    return _weighted_path_accum(nodes, e, max_doublings, "dinf_flow_accumulation")
+
+
+def _weighted_path_accum(nodes: DataFrame, e: DataFrame,
+                         max_doublings: int, what: str) -> DataFrame:
+    """acc(v) = sum over u of total path weight u -> v over a weighted
+    DAG (products of edge proportions, summed over paths), via the
+    S/Q doubling recurrence (see dinf_flow_accumulation docstring)."""
     def ckpt(df):
         # checkpointing this union+aggregate plan under AQE trips a
         # Catalyst AttributeMap bug in Spark 4.1 ("key not found");
@@ -928,7 +936,7 @@ def dinf_flow_accumulation(cells: DataFrame, meta: GridMeta,
         )
         s = grown
     else:
-        ensure_converged(q.count(), "dinf_flow_accumulation doubling", max_doublings)
+        ensure_converged(q.count(), f"{what} doubling", max_doublings)
     acc = s.groupBy("dst").agg(F.sum("w").alias("value"))
     return nodes.join(acc, nodes["id"] == acc["dst"]).select(
         "row", "col", F.col("value").cast("double").alias("value")
@@ -1090,3 +1098,44 @@ def breach_depressions_least_cost(cells: DataFrame, meta: GridMeta,
             "row", "col", "LEAST(value, COALESCE(carve, value)) AS value"
         ).localCheckpoint(eager=True)
     return dem
+
+
+def fd8_edges(cells: DataFrame, meta: GridMeta, exponent: float = 1.1) -> DataFrame:
+    """FD8 proportioned out-edges (hydro_analysis/fd8_flow_accum.rs:
+    426-440): every LOWER neighbor receives slope^exponent / sum of
+    slope^exponent over all lower neighbors."""
+    c = meta.columns
+    lengths = _grid_lengths(meta)
+    piv = focal_pivot3_raw(cells)
+    ws = [
+        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
+        f"THEN POWER((zc - zn_{i}) / {lengths[i]!r}, {exponent!r}) ELSE 0.0 END"
+        for i in range(8)
+    ]
+    total = "(" + " + ".join(ws) + ")"
+    elems = ", ".join(
+        f"NAMED_STRUCT('dst', (row + ({D8_DY[i]}L)) * {c}L + (col + ({D8_DX[i]}L)), "
+        f"'w', ({ws[i]}) / {total})"
+        for i in range(8)
+    )
+    return (
+        piv.where(f"{total} > 0.0")
+        .selectExpr(f"(row * {c}L + col) AS src",
+                    f"EXPLODE(ARRAY({elems})) AS e")
+        .selectExpr("src", "e.dst AS dst", "e.w AS w")
+        .where("w > 0.0")
+    )
+
+
+def fd8_flow_accumulation(cells: DataFrame, meta: GridMeta,
+                          exponent: float = 1.1,
+                          max_doublings: int = 24) -> DataFrame:
+    """FD8FlowAccumulation ('cells' out type, no non-dispersive
+    threshold): multiple-flow-direction accumulation via the shared
+    weighted path-sum doubling. Rows-only / pytest-gated (POWER with a
+    float exponent is libm territory)."""
+    c = meta.columns
+    nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    e = fd8_edges(cells, meta, exponent).join(
+        nodes.selectExpr("id AS dst"), "dst", "leftsemi")
+    return _weighted_path_accum(nodes, e, max_doublings, "fd8_flow_accumulation")

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BooleanType, DoubleType, IntegerType,
-                               StructField, StructType)
+                               LongType, StructField, StructType)
 
 _PARTS_SCHEMA = ArrayType(StructType([
     StructField("part_idx", IntegerType(), False),
@@ -359,3 +359,182 @@ def convex_hull(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
         })
 
     return nodes.groupBy(id_col).applyInPandas(hull_of, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Shape metrics round 2: LinearityIndex (SQL folds), ElongationRatio /
+# PatchOrientation (min-area bounding box over the hull),
+# RelatedCircumscribingCircle (Welzl minimum enclosing circle)
+# ---------------------------------------------------------------------------
+
+
+def linearity_index(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """LinearityIndex (gis_analysis/linearity_index.rs:222-255): r^2 of
+    the regression through the FIRST part's ring vertices (closing
+    vertex included), centered at the reference's (max-min)/2 'midpoint'
+    quirk — transcribed verbatim (it cancels in the covariances).
+    Sequential array folds -> oracle-portable SQL."""
+    ring = "parts[0].ring"
+    xmin = f"AGGREGATE({ring}, CAST(1.0e308 AS DOUBLE), (a, v) -> LEAST(a, v.x))"
+    xmax = f"AGGREGATE({ring}, CAST(-1.0e308 AS DOUBLE), (a, v) -> GREATEST(a, v.x))"
+    ymin = f"AGGREGATE({ring}, CAST(1.0e308 AS DOUBLE), (a, v) -> LEAST(a, v.y))"
+    ymax = f"AGGREGATE({ring}, CAST(-1.0e308 AS DOUBLE), (a, v) -> GREATEST(a, v.y))"
+    staged = features.selectExpr(
+        id_col, f"{ring} AS ring",
+        f"(({xmax}) - ({xmin})) / 2.0 AS mx",
+        f"(({ymax}) - ({ymin})) / 2.0 AS my",
+    )
+
+    def fold(term):
+        return (f"AGGREGATE(ring, CAST(0.0 AS DOUBLE), "
+                f"(a, v) -> a + ({term}))")
+
+    staged = staged.selectExpr(
+        id_col,
+        "CAST(SIZE(ring) AS DOUBLE) AS n",
+        f"{fold('(v.x - mx)')} AS sx",
+        f"{fold('(v.y - my)')} AS sy",
+        f"{fold('(v.x - mx) * (v.y - my)')} AS sxy",
+        f"{fold('(v.x - mx) * (v.x - mx)')} AS sxsqr",
+        f"{fold('(v.y - my) * (v.y - my)')} AS sysqr",
+    )
+    return staged.selectExpr(
+        id_col,
+        "CASE WHEN SQRT((sxsqr / n - (sx / n) * (sx / n)) * "
+        "(sysqr / n - (sy / n) * (sy / n))) <> 0.0 THEN "
+        "((sxy / n - (sx * sy) / (n * n)) / SQRT((sxsqr / n - (sx / n) * (sx / n)) * "
+        "(sysqr / n - (sy / n) * (sy / n)))) * "
+        "((sxy / n - (sx * sy) / (n * n)) / SQRT((sxsqr / n - (sx / n) * (sx / n)) * "
+        "(sysqr / n - (sy / n) * (sy / n)))) ELSE 0.0 END AS linearity",
+    )
+
+
+def _min_area_box(pts):
+    """(short, long, azimuth_deg) of the minimum-area bounding box via
+    rotating calipers over the convex hull."""
+    import math
+
+    import numpy as np
+
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(pts) == 1:
+        return 0.0, 0.0, 0.0
+    # monotone-chain hull
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower, upper = [], []
+    for q in p:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], q) <= 0:
+            lower.pop()
+        lower.append(tuple(q))
+    for q in p[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], q) <= 0:
+            upper.pop()
+        upper.append(tuple(q))
+    hull = np.array(lower[:-1] + upper[:-1])
+    if len(hull) < 2:
+        return 0.0, 0.0, 0.0
+    best = None
+    m = len(hull)
+    for i in range(m):
+        e = hull[(i + 1) % m] - hull[i]
+        norm = math.hypot(e[0], e[1])
+        if norm == 0:
+            continue
+        ux, uy = e[0] / norm, e[1] / norm
+        proj_u = hull @ (ux, uy)
+        proj_v = hull @ (-uy, ux)
+        du = proj_u.max() - proj_u.min()
+        dv = proj_v.max() - proj_v.min()
+        area = du * dv
+        if best is None or area < best[0]:
+            long_, short_ = (du, dv) if du >= dv else (dv, du)
+            ang = math.degrees(math.atan2(uy, ux) if du >= dv
+                               else math.atan2(ux, -uy))
+            azim = (90.0 - ang) % 180.0  # clockwise from north, long axis
+            best = (area, short_, long_, azim)
+    return best[1], best[2], best[3]
+
+
+def _welzl_mec(pts):
+    """Minimum enclosing circle radius (deterministic Welzl without
+    shuffling — fine for hull-sized inputs)."""
+    import math
+
+    def circle2(a, b):
+        cx, cy = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+        return cx, cy, math.hypot(a[0] - cx, a[1] - cy)
+
+    def circle3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0:
+            return None
+        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+              + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+              + (cx * cx + cy * cy) * (bx - ax)) / d
+        return ux, uy, math.hypot(ax - ux, ay - uy)
+
+    def inside(c, p, eps=1e-9):
+        return c is not None and math.hypot(p[0] - c[0], p[1] - c[1]) <= c[2] + eps
+
+    pts = [tuple(p) for p in pts]
+    c = None
+    for i, p in enumerate(pts):
+        if inside(c, p):
+            continue
+        c = (p[0], p[1], 0.0)
+        for j in range(i):
+            q = pts[j]
+            if inside(c, q):
+                continue
+            c = circle2(p, q)
+            for k in range(j):
+                r = pts[k]
+                if inside(c, r):
+                    continue
+                c = circle3(p, q, r) or c
+    return c[2] if c else 0.0
+
+
+def box_metrics(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """ElongationRatio (1 - S/L of the minimum bounding box,
+    elongation_ratio.rs:22-28), PatchOrientation (long-axis azimuth,
+    degrees clockwise from north), RelatedCircumscribingCircle
+    (1 - A / (pi * r_mec^2), related_circumscribing_circle.rs:229) —
+    one batched pandas kernel per feature over the first-part ring."""
+    import math
+
+    import pandas as pd
+
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("elongation", DoubleType(), False),
+        StructField("orientation", DoubleType(), False),
+        StructField("rc_circle", DoubleType(), False),
+    ])
+    staged = features.selectExpr(id_col, "parts",
+                                 f"{feature_area_expr()} AS __area")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, elo, ori, rcc = [], [], [], []
+        for _, row in pdf.iterrows():
+            ring = [(v["x"], v["y"]) for v in row["parts"][0]["ring"]]
+            s, l, az = _min_area_box(ring)
+            r = _welzl_mec(ring)
+            ids.append(row[id_col])
+            elo.append(1.0 - (s / l if l > 0 else 1.0))
+            ori.append(az)
+            rcc.append(1.0 - (row["__area"] / (math.pi * r * r) if r > 0 else 1.0))
+        return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                             "elongation": elo, "orientation": ori,
+                             "rc_circle": rcc})
+
+    return staged.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=schema)

@@ -643,3 +643,24 @@ def write_shapefile(features: list[dict], path: str, shape_type: int = 5) -> Non
                     s = str(v).ljust(ln)[:ln]
                 f.write(s.encode("ascii"))
         f.write(b"\x1a")
+
+
+def print_geotiff_tags(path: str) -> dict:
+    """PrintGeoTiffTags (data_tools/print_geotiff_tags.rs analog):
+    decode one GeoTIFF's structural + geo tags into a dict (driver-side
+    inspection utility over the same parser the reader uses)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    grid, info = _parse_tiff(buf)
+    meta = geotiff_meta(buf)
+    return {
+        "width": info["width"],
+        "height": info["height"],
+        "pixel_scale": tuple(info["pixel_scale"][:2]) if info["pixel_scale"] else None,
+        "tiepoint": tuple(info["tiepoint"][:6]) if info["tiepoint"] else None,
+        "nodata": info["nodata"],
+        "west": meta.west, "north": meta.north,
+        "east": meta.east, "south": meta.south,
+        "min_value": float(grid.min()),
+        "max_value": float(grid.max()),
+    }
