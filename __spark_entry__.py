@@ -978,6 +978,14 @@ def _q_erase_features(spark, sf):
     return _overlay_area_query(spark, sf, "difference")
 
 
+def _q_max_elev_dev(spark, sf):
+    return FO.max_elevation_deviation(_ras(spark, sf, "a"), [1, 2])
+
+
+def _q_resample_bilinear(spark, sf):
+    return R.resample_bilinear(_ras(spark, sf, "a"), _META100, _META40)
+
+
 def _q_fd8_accum(spark, sf):
     """FD8 proportioned accumulation — rows-only (float-exponent POWER);
     pytest-gated vs the reference proportioning + queue algorithm."""
@@ -1540,6 +1548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linearity": _q_linearity,
         "box_metrics": _q_box_metrics,
         "ihs_roundtrip": _q_ihs_roundtrip,
+        "max_elev_dev": _q_max_elev_dev,
+        "resample_bilinear": _q_resample_bilinear,
         "intersect_general": _q_intersect_general,
         "erase_features": _q_erase_features,
         "profile_curvature": _q_profile_curvature,
@@ -2368,6 +2378,50 @@ def _stats2_oracles() -> dict[str, str]:
             f"cf AS (SELECT {b0} AS b0, {b1} AS b1, {b2} AS b2 FROM m) "
             f"SELECT p.row, p.col, (cf.b0 + cf.b1 * p.x + cf.b2 * p.y) AS value "
             f"FROM p, cf"
+        ),
+        "max_elev_dev": (
+            f"WITH {ras_a}, "
+            f"o1 AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
+            f"(1,-1),(1,0),(1,1)) o(dr, dc)), "
+            f"o2 AS (SELECT a.range - 2 AS dr, b.range - 2 AS dc "
+            f"FROM range(0, 5) a, range(0, 5) b), "
+            f"d1 AS (SELECT s.row, s.col, a.value, g.n, g.s1, g.s2 FROM ras_a a "
+            f"JOIN (SELECT a.row + o.dr AS row, a.col + o.dc AS col, "
+            f"COUNT(*) AS n, SUM(a.value) AS s1, SUM(a.value * a.value) AS s2 "
+            f"FROM ras_a a, o1 o GROUP BY 1, 2) g ON g.row = a.row AND g.col = a.col "
+            f"JOIN (SELECT row, col FROM ras_a) s ON s.row = a.row AND s.col = a.col), "
+            f"d2 AS (SELECT s.row, s.col, a.value, g.n, g.s1, g.s2 FROM ras_a a "
+            f"JOIN (SELECT a.row + o.dr AS row, a.col + o.dc AS col, "
+            f"COUNT(*) AS n, SUM(a.value) AS s1, SUM(a.value * a.value) AS s2 "
+            f"FROM ras_a a, o2 o GROUP BY 1, 2) g ON g.row = a.row AND g.col = a.col "
+            f"JOIN (SELECT row, col FROM ras_a) s ON s.row = a.row AND s.col = a.col), "
+            f"devs AS (SELECT row, col, CASE WHEN (s2 - s1 * s1 / n) > 0.0 THEN "
+            f"(value - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)) ELSE 0.0 END AS dev, "
+            f"CAST(1 AS INT) AS scale FROM d1 "
+            f"UNION ALL SELECT row, col, CASE WHEN (s2 - s1 * s1 / n) > 0.0 THEN "
+            f"(value - s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1)) ELSE 0.0 END AS dev, "
+            f"CAST(2 AS INT) AS scale FROM d2) "
+            f"SELECT row, col, dev AS value, scale FROM devs "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY row, col "
+            f"ORDER BY -ABS(dev), scale) = 1"
+        ),
+        "resample_bilinear": (
+            f"WITH {ras_a}, "
+            f"d AS (SELECT a.range AS drow, b.range AS dcol, "
+            f"GREATEST(LEAST(CAST(FLOOR((((0.0 + (CAST(b.range AS DOUBLE) + 0.5) * 25.0) - 0.0) / 10.0 - 0.5)) AS BIGINT), 98), 0) AS c0, "
+            f"GREATEST(LEAST(CAST(FLOOR(((1000.0 - (1000.0 - (CAST(a.range AS DOUBLE) + 0.5) * 25.0)) / 10.0 - 0.5)) AS BIGINT), 98), 0) AS r0, "
+            f"GREATEST(LEAST((((0.0 + (CAST(b.range AS DOUBLE) + 0.5) * 25.0) - 0.0) / 10.0 - 0.5), CAST(99 AS DOUBLE)), 0.0) AS fx, "
+            f"GREATEST(LEAST(((1000.0 - (1000.0 - (CAST(a.range AS DOUBLE) + 0.5) * 25.0)) / 10.0 - 0.5), CAST(99 AS DOUBLE)), 0.0) AS fy "
+            f"FROM range(0, 40) a, range(0, 40) b), "
+            f"st AS (SELECT drow, dcol, c0, r0, fx - c0 AS tx, fy - r0 AS ty FROM d) "
+            f"SELECT st.drow AS row, st.dcol AS col, "
+            f"(v00.value * (1.0 - tx) * (1.0 - ty) + v01.value * tx * (1.0 - ty) "
+            f"+ v10.value * (1.0 - tx) * ty + v11.value * tx * ty) AS value "
+            f"FROM st "
+            f"LEFT JOIN ras_a v00 ON v00.row = st.r0 + 0 AND v00.col = st.c0 + 0 "
+            f"LEFT JOIN ras_a v01 ON v01.row = st.r0 + 0 AND v01.col = st.c0 + 1 "
+            f"LEFT JOIN ras_a v10 ON v10.row = st.r0 + 1 AND v10.col = st.c0 + 0 "
+            f"LEFT JOIN ras_a v11 ON v11.row = st.r0 + 1 AND v11.col = st.c0 + 1"
         ),
         "pca": (
             f"WITH {ras_a}, {ras_b}, "

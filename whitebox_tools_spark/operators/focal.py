@@ -875,3 +875,26 @@ def gaussian_filter_separable(cells: DataFrame, sigma: float = 0.75) -> DataFram
         .join(centers, ["row", "col"], "leftsemi")
     )
     return out
+
+
+def max_elevation_deviation(cells: DataFrame, radii: list[int]) -> DataFrame:
+    """MaxElevationDeviation (terrain_analysis/max_elev_deviation.rs
+    semantics): across the given window radii (scales), keep the
+    deviation-from-mean with the largest magnitude and the scale it
+    occurred at. Output (row, col, value, scale). Composition of the
+    per-radius dev_from_mean_elev plans — one scatter+agg per scale,
+    one argmax combine."""
+    from functools import reduce
+
+    outs = []
+    for r in radii:
+        outs.append(
+            dev_from_mean_elev(cells, r).selectExpr(
+                "row", "col", "value AS dev", f"CAST({r} AS INT) AS scale"
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    return u.groupBy("row", "col").agg(
+        F.expr("MIN_BY(dev, STRUCT(-ABS(dev), scale))").alias("value"),
+        F.expr("MIN_BY(scale, STRUCT(-ABS(dev), scale))").alias("scale"),
+    )

@@ -816,3 +816,44 @@ def pca_two_band(a: DataFrame, b: DataFrame) -> DataFrame:
         "((x - mx) / sdx + (y - my) / sdy) / SQRT(2.0) AS pc1",
         "((x - mx) / sdx - (y - my) / sdy) / SQRT(2.0) AS pc2",
     )
+
+
+def resample_bilinear(cells: DataFrame, src: GridMeta, dst: GridMeta) -> DataFrame:
+    """Resample (image_analysis/resample.rs bilinear method): each
+    destination center interpolates the four surrounding source centers
+    (edge-clamped). Pure join plan: 4 corner equi-joins on (row, col)."""
+    from .knn import grid_cells_df
+
+    dcells = grid_cells_df(cells.sparkSession, dst, qid="__q").selectExpr(
+        "row AS drow", "col AS dcol", "x", "y"
+    )
+    # fractional source-grid position of the destination center
+    gx = f"((x - {src.west!r}) / {src.resolution_x!r} - 0.5)"
+    gy = f"(({src.north!r} - y) / {src.resolution_y!r} - 0.5)"
+    staged = dcells.selectExpr(
+        "drow", "dcol",
+        f"GREATEST(LEAST(CAST(FLOOR({gx}) AS BIGINT), {src.columns - 2}L), 0L) AS c0",
+        f"GREATEST(LEAST(CAST(FLOOR({gy}) AS BIGINT), {src.rows - 2}L), 0L) AS r0",
+        f"GREATEST(LEAST({gx}, CAST({src.columns - 1} AS DOUBLE)), 0.0) AS fx",
+        f"GREATEST(LEAST({gy}, CAST({src.rows - 1} AS DOUBLE)), 0.0) AS fy",
+    ).selectExpr("drow", "dcol", "c0", "r0", "fx - c0 AS tx", "fy - r0 AS ty")
+
+    def corner(df, dr, dc, name):
+        c = cells.selectExpr(f"row AS __r_{name}", f"col AS __c_{name}",
+                             f"value AS {name}")
+        return df.join(
+            c,
+            (F.expr(f"r0 + {dr}") == F.col(f"__r_{name}"))
+            & (F.expr(f"c0 + {dc}") == F.col(f"__c_{name}")),
+            "left",
+        ).drop(f"__r_{name}", f"__c_{name}")
+
+    j = corner(staged, 0, 0, "v00")
+    j = corner(j, 0, 1, "v01")
+    j = corner(j, 1, 0, "v10")
+    j = corner(j, 1, 1, "v11")
+    return j.selectExpr(
+        "drow AS row", "dcol AS col",
+        "(v00 * (1.0 - tx) * (1.0 - ty) + v01 * tx * (1.0 - ty) "
+        "+ v10 * (1.0 - tx) * ty + v11 * tx * ty) AS value",
+    )
