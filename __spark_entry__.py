@@ -978,6 +978,14 @@ def _q_erase_features(spark, sf):
     return _overlay_area_query(spark, sf, "difference")
 
 
+def _q_pennock(spark, sf):
+    return FO.pennock_landform_class(_ras(spark, sf, "a"), _META100)
+
+
+def _q_multidir_hillshade(spark, sf):
+    return FO.multidirectional_hillshade(_ras(spark, sf, "a"), _META100)
+
+
 def _q_max_elev_dev(spark, sf):
     return FO.max_elevation_deviation(_ras(spark, sf, "a"), [1, 2])
 
@@ -1549,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_metrics": _q_box_metrics,
         "ihs_roundtrip": _q_ihs_roundtrip,
         "max_elev_dev": _q_max_elev_dev,
+        "pennock": _q_pennock,
+        "multidir_hillshade": _q_multidir_hillshade,
         "resample_bilinear": _q_resample_bilinear,
         "intersect_general": _q_intersect_general,
         "erase_features": _q_erase_features,
@@ -2499,6 +2509,76 @@ def _contour_oracle() -> str:
     )
 
 
+def _terrain2_oracles() -> dict[str, str]:
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    offs25 = "offs25 AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // 5 - 2}, {n % 5 - 2})" for n in range(25)
+    ) + ") o(n, dr, dc))"
+    sc25 = ("sc25 AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+            "a.value AS nv FROM ras_a a, offs25 o)")
+    piv_cols = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}" for n in range(25))
+    zz_cols = ", ".join(f"(COALESCE(z_{n}, z_12) * 1.0) AS z{n}" for n in range(25))
+    pivot5 = (f"{offs25}, {sc25}, "
+              f"piv AS (SELECT row, col, {piv_cols} FROM sc25 GROUP BY 1, 2), "
+              f"zz AS (SELECT row, col, {zz_cols} FROM piv WHERE z_12 IS NOT NULL)")
+    azs = [225.0, 270.0, 315.0, 360.0]
+    ws = [0.1, 0.4, 0.4, 0.1]
+    terms = " + ".join(
+        f"{w!r} * ({FO.hillshade_value_expr(_META100, az, 30.0)})"
+        for az, w in zip(azs, ws)
+    )
+    # pennock: 3x3 D8 pivot + the exact class CASE (shared text)
+    d8_dx = [1, 1, 1, 0, -1, -1, -1, 0]
+    d8_dy = [-1, 0, 1, 1, 1, 0, -1, -1]
+    offs9 = "offs9 AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, {d8_dy[i]}, {d8_dx[i]})" for i in range(8)
+    ) + ", (8, 0, 0)) o(n, dr, dc))"
+    sc9 = ("sc9 AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+           "a.value AS nv FROM ras_a a, offs9 o)")
+    p9cols = ", ".join(f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8))
+    pivot9 = (f"{offs9}, {sc9}, "
+              f"p9 AS (SELECT row, col, {p9cols}, "
+              f"MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM sc9 GROUP BY 1, 2), "
+              f"z9 AS (SELECT * FROM p9 WHERE zc IS NOT NULL)")
+    res = (_META100.resolution_x + _META100.resolution_y) / 2.0
+    c2, cs2, fcs2, egr = 2.0 * res, res * res, 4.0 * res * res, 8.0 * res
+    zx = f"((zn_1 - zn_5) / {c2!r})"
+    zy = f"((zn_7 - zn_3) / {c2!r})"
+    zxx = f"((zn_1 - 2.0 * zc + zn_5) / {cs2!r})"
+    zyy = f"((zn_7 - 2.0 * zc + zn_3) / {cs2!r})"
+    zxy = f"((-zn_6 + zn_0 + zn_4 - zn_2) / {fcs2!r})"
+    pp = f"({zx} * {zx} + {zy} * {zy})"
+    qq = f"({pp} + 1.0)"
+    fy = f"((zn_6 - zn_4 + 2.0 * (zn_7 - zn_3) + zn_0 - zn_2) / {egr!r})"
+    fx = f"((zn_2 - zn_4 + 2.0 * (zn_1 - zn_5) + zn_0 - zn_6) / {egr!r})"
+    slope = f"DEGREES(ATAN(SQRT({fx} * {fx} + {fy} * {fy})))"
+    plan = (f"(-1.0 * DEGREES(({zxx} * {zy} * {zy} - 2.0 * {zxy} * {zx} * {zy} "
+            f"+ {zyy} * {zx} * {zx}) / ({pp} * POWER({qq}, 1.5))))")
+    prof = (f"(-1.0 * DEGREES(({zxx} * {zx} * {zx} - 2.0 * {zxy} * {zx} * {zy} "
+            f"+ {zyy} * {zy} * {zy}) / ({pp} * POWER({qq}, 1.5))))")
+    st, pt, lt = 3.0, 0.1, 0.0
+    cls = (
+        f"CASE WHEN {prof} < -{pt!r} AND {plan} <= -{lt!r} AND {slope} > {st!r} THEN 1.0 "
+        f"WHEN {prof} < -{pt!r} AND {plan} > {lt!r} AND {slope} > {st!r} THEN 2.0 "
+        f"WHEN {prof} > {pt!r} AND {plan} <= {lt!r} AND {slope} > {st!r} THEN 3.0 "
+        f"WHEN {prof} > {pt!r} AND {plan} > {lt!r} AND {slope} > {st!r} THEN 4.0 "
+        f"WHEN {prof} >= -{pt!r} AND {prof} < {pt!r} AND {slope} > {st!r} AND {plan} <= -{lt!r} THEN 5.0 "
+        f"WHEN {prof} >= -{pt!r} AND {prof} < {pt!r} AND {slope} > {st!r} AND {plan} > {lt!r} THEN 6.0 "
+        f"WHEN {slope} <= {st!r} THEN 7.0 ELSE -32768.0 END"
+    )
+    all_nbrs = " AND ".join(f"zn_{i} IS NOT NULL" for i in range(8))
+    return {
+        "multidir_hillshade": (
+            f"WITH {ras_a}, {pivot5} SELECT row, col, ROUND({terms}) AS value FROM zz"
+        ),
+        "pennock": (
+            f"WITH {ras_a}, {pivot9} SELECT row, col, "
+            f"CASE WHEN ({all_nbrs}) AND {pp} > 0.0 THEN ({cls}) "
+            f"ELSE -32768.0 END AS value FROM z9"
+        ),
+    }
+
+
 def _vector_op_oracles() -> dict[str, str]:
     """Oracles for the per-feature vector ops (DuckDB list folds in the
     same sequential order as the Spark AGGREGATE expressions)."""
@@ -2938,6 +3018,7 @@ def oracle_sql() -> dict[str, str]:
         **_focal2_oracles(),
         **_overlay2_oracles(),
         **_stats2_oracles(),
+        **_terrain2_oracles(),
         "contour_segments": _contour_oracle(),
         **_vector_op_oracles(),
         **_hydro_oracles(),

@@ -898,3 +898,76 @@ def max_elevation_deviation(cells: DataFrame, radii: list[int]) -> DataFrame:
         F.expr("MIN_BY(dev, STRUCT(-ABS(dev), scale))").alias("value"),
         F.expr("MIN_BY(scale, STRUCT(-ABS(dev), scale))").alias("scale"),
     )
+
+
+def pennock_landform_class(cells: DataFrame, meta: GridMeta,
+                           slope_threshold: float = 3.0,
+                           prof_threshold: float = 0.1,
+                           plan_threshold: float = 0.0) -> DataFrame:
+    """PennockLandformClass (terrain_analysis/pennock_landform_class.rs:
+    395-460): 3x3 finite-difference slope/plan/profile curvature and the
+    seven-class threshold table (1=CFS 2=DFS 3=CSH 4=DSH 5=CBS 6=DBS
+    7=Level); cells with an incomplete window or zero gradient get the
+    nodata sentinel, like the reference leaves them unset."""
+    from .hydro import focal_pivot3_raw
+
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    c2 = 2.0 * res
+    cs2 = res * res
+    fcs2 = 4.0 * res * res
+    egr = 8.0 * res
+    piv = focal_pivot3_raw(cells)
+    # D8 order: n0=NE n1=E n2=SE n3=S n4=SW n5=W n6=NW n7=N
+    zx = f"((zn_1 - zn_5) / {c2!r})"
+    zy = f"((zn_7 - zn_3) / {c2!r})"
+    zxx = f"((zn_1 - 2.0 * zc + zn_5) / {cs2!r})"
+    zyy = f"((zn_7 - 2.0 * zc + zn_3) / {cs2!r})"
+    zxy = f"((-zn_6 + zn_0 + zn_4 - zn_2) / {fcs2!r})"
+    p = f"({zx} * {zx} + {zy} * {zy})"
+    q = f"({p} + 1.0)"
+    fy = f"((zn_6 - zn_4 + 2.0 * (zn_7 - zn_3) + zn_0 - zn_2) / {egr!r})"
+    fx = f"((zn_2 - zn_4 + 2.0 * (zn_1 - zn_5) + zn_0 - zn_6) / {egr!r})"
+    slope = f"DEGREES(ATAN(SQRT({fx} * {fx} + {fy} * {fy})))"
+    plan = f"(-1.0 * DEGREES(({zxx} * {zy} * {zy} - 2.0 * {zxy} * {zx} * {zy} + {zyy} * {zx} * {zx}) / ({p} * POWER({q}, 1.5))))"
+    prof = f"(-1.0 * DEGREES(({zxx} * {zx} * {zx} - 2.0 * {zxy} * {zx} * {zy} + {zyy} * {zy} * {zy}) / ({p} * POWER({q}, 1.5))))"
+    st, pt, lt = slope_threshold, prof_threshold, plan_threshold
+    cls = (
+        f"CASE WHEN {prof} < -{pt!r} AND {plan} <= -{lt!r} AND {slope} > {st!r} THEN 1.0 "
+        f"WHEN {prof} < -{pt!r} AND {plan} > {lt!r} AND {slope} > {st!r} THEN 2.0 "
+        f"WHEN {prof} > {pt!r} AND {plan} <= {lt!r} AND {slope} > {st!r} THEN 3.0 "
+        f"WHEN {prof} > {pt!r} AND {plan} > {lt!r} AND {slope} > {st!r} THEN 4.0 "
+        f"WHEN {prof} >= -{pt!r} AND {prof} < {pt!r} AND {slope} > {st!r} AND {plan} <= -{lt!r} THEN 5.0 "
+        f"WHEN {prof} >= -{pt!r} AND {prof} < {pt!r} AND {slope} > {st!r} AND {plan} > {lt!r} THEN 6.0 "
+        f"WHEN {slope} <= {st!r} THEN 7.0 ELSE {meta.nodata!r} END"
+    )
+    all_nbrs = " AND ".join(f"zn_{i} IS NOT NULL" for i in range(8))
+    return piv.selectExpr(
+        "row", "col",
+        f"CASE WHEN ({all_nbrs}) AND {p} > 0.0 THEN ({cls}) "
+        f"ELSE {meta.nodata!r} END AS value",
+    )
+
+
+def multidirectional_hillshade(cells: DataFrame, meta: GridMeta,
+                               altitude: float = 30.0,
+                               full_360: bool = False,
+                               z_factor: float = 1.0) -> DataFrame:
+    """MultidirectionalHillshade (terrain_analysis/
+    multidirectional_hillshade.rs:50-52): weighted blend of hillshades —
+    default azimuths 225/270/315/360 with weights 0.1/0.4/0.4/0.1;
+    full-360 mode uses 8 azimuths with the documented weight table.
+    One pivot, one fold (the per-azimuth value expr is shared with
+    hillshade and the oracle)."""
+    if full_360:
+        azs = [0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 270.0, 315.0]
+        ws = [0.15, 0.125, 0.1, 0.05, 0.1, 0.125, 0.15, 0.2]
+    else:
+        azs = [225.0, 270.0, 315.0, 360.0]
+        ws = [0.1, 0.4, 0.4, 0.1]
+    terms = " + ".join(
+        f"{w!r} * ({hillshade_value_expr(meta, az, altitude)})"
+        for az, w in zip(azs, ws)
+    )
+    return focal_pivot5(cells, z_factor).selectExpr(
+        "row", "col", f"ROUND({terms}) AS value"
+    )
