@@ -978,6 +978,14 @@ def _q_erase_features(spark, sf):
     return _overlay_area_query(spark, sf, "difference")
 
 
+def _q_aspect_rounded(spark, sf):
+    """Aspect rounded to 1e-6 degree — at that grain the cross-libm ACOS
+    ulp differences vanish, giving the aspect family an oracle gate (the
+    unrounded `aspect` query stays rows-only as the honest raw check)."""
+    out = FO.aspect(_ras(spark, sf, "a"), _META100)
+    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
+
+
 def _q_pennock(spark, sf):
     return FO.pennock_landform_class(_ras(spark, sf, "a"), _META100)
 
@@ -1558,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ihs_roundtrip": _q_ihs_roundtrip,
         "max_elev_dev": _q_max_elev_dev,
         "pennock": _q_pennock,
+        "aspect_rounded": _q_aspect_rounded,
         "multidir_hillshade": _q_multidir_hillshade,
         "resample_bilinear": _q_resample_bilinear,
         "intersect_general": _q_intersect_general,
@@ -2509,6 +2518,18 @@ def _contour_oracle() -> str:
     )
 
 
+def _aspect_value_expr() -> str:
+    """Aspect formula text over z0..z24 (the same expression FO.aspect
+    builds; regenerated here for the DuckDB dialect oracle)."""
+    res = (_META100.resolution_x + _META100.resolution_y) / 2.0
+    p, q = FO._florinsky_pq(res)
+    sp = f"SIGN({p})"
+    sq = f"SIGN({q})"
+    formula = (f"(-90.0 * (1.0 - {sq}) * (1.0 - ABS({sp})) + 180.0 * (1.0 + {sp}) "
+               f"- 180.0 / PI() * {sp} * ACOS(-({q}) / SQRT({p} * {p} + {q} * {q})))")
+    return f"CASE WHEN {p} <> 0.0 THEN {formula} ELSE -1.0 END"
+
+
 def _terrain2_oracles() -> dict[str, str]:
     ras_a = f"ras_a AS ({_RAS_A_SQL})"
     offs25 = "offs25 AS (SELECT * FROM (VALUES " + ", ".join(
@@ -2568,6 +2589,10 @@ def _terrain2_oracles() -> dict[str, str]:
     )
     all_nbrs = " AND ".join(f"zn_{i} IS NOT NULL" for i in range(8))
     return {
+        "aspect_rounded": (
+            f"WITH {ras_a}, {pivot5} SELECT row, col, "
+            f"ROUND({_aspect_value_expr()}, 6) AS value FROM zz"
+        ),
         "multidir_hillshade": (
             f"WITH {ras_a}, {pivot5} SELECT row, col, ROUND({terms}) AS value FROM zz"
         ),

@@ -64,3 +64,46 @@ def test_checkpointed_run_resume_and_metrics(spark, tmp_path):
     assert third["failed"] == 1
     fourth = run.run(["9"], job)
     assert fourth["completed"] == 1
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Two appended micro-batches through the stateful dedup stream must
+    agree with batch exact_dedup over the union: same representative per
+    digest, same final duplicate counts."""
+    import pandas as pd
+
+    from whitebox_tools_spark.streaming.dedup_stream import start_dedup_stream
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    batch1 = [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")]
+    batch2 = [(5, "beta"), (6, "delta"), (7, "alpha"), (8, "delta")]
+    spark.createDataFrame(batch1, "doc_id long, text string") \
+         .write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = start_dedup_stream(stream, str(out), str(ckpt))
+    q.awaitTermination()
+    spark.createDataFrame(batch2, "doc_id long, text string") \
+         .write.mode("append").parquet(str(src))
+    q = start_dedup_stream(stream, str(out), str(ckpt))
+    q.awaitTermination()
+
+    log = spark.read.parquet(str(out)).toPandas()
+    # final state per digest = the row from the LAST batch that touched it
+    final = log.sort_values("batch_id").groupby("digest").tail(1)
+    got = {r.digest: (r.doc_id, r.dup_count) for r in final.itertuples()}
+    # expected: batch dedup semantics over the union
+    import hashlib
+    from collections import defaultdict
+
+    exp = defaultdict(list)
+    for i, t in batch1 + batch2:
+        exp[hashlib.md5(t.encode()).hexdigest()].append(i)
+    want = {d: (min(ids), len(ids)) for d, ids in exp.items()}
+    assert got == want
+    # first sighting flagged exactly once per digest
+    news = log[log.is_new].groupby("digest").size()
+    assert (news == 1).all() and set(news.index) == set(want)
