@@ -978,6 +978,14 @@ def _q_erase_features(spark, sf):
     return _overlay_area_query(spark, sf, "difference")
 
 
+def _q_geomorphons(spark, sf):
+    """Geomorphons landform classes — rows-only (libm atan2 angle
+    comparisons); reference-loop parity pytest-gated."""
+    from whitebox_tools_spark.operators.visibility import geomorphons
+
+    return geomorphons(_ras(spark, sf, "a"), _META100, search_radius=8)
+
+
 def _q_aspect_rounded(spark, sf):
     """Aspect rounded to 1e-6 degree — at that grain the cross-libm ACOS
     ulp differences vanish, giving the aspect family an oracle gate (the
@@ -1567,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_elev_dev": _q_max_elev_dev,
         "pennock": _q_pennock,
         "aspect_rounded": _q_aspect_rounded,
+        "geomorphons": _q_geomorphons,
         "multidir_hillshade": _q_multidir_hillshade,
         "resample_bilinear": _q_resample_bilinear,
         "intersect_general": _q_intersect_general,

@@ -48,3 +48,65 @@ def test_horizon_angle_east_wall(spark):
     assert got[(0, 2)] == pytest.approx(math.atan(3.0))
     # nothing east of the wall
     assert got[(0, 3)] == 0.0
+
+
+def test_geomorphons_vs_reference_loop(spark):
+    """Geomorphons vs a direct transcription of the reference per-cell
+    walk (forms mode), with tile=7 forcing rays across tile halos."""
+    import math
+
+    import numpy as np
+
+    from whitebox_tools_spark.functions.raster_math import GridMeta
+    from whitebox_tools_spark.operators.visibility import (_GEO_CLASSES,
+                                                           _GEO_DX, _GEO_DY,
+                                                           geomorphons)
+
+    N = 20
+    META = GridMeta(rows=N, columns=N, north=N * 10.0, south=0.0,
+                    east=N * 10.0, west=0.0, resolution_x=10.0,
+                    resolution_y=10.0)
+    rng = np.random.default_rng(47)
+    g = np.floor(np.add.outer(np.arange(N) * 3.0, np.arange(N) * -2.0)
+                 + rng.random((N, N)) * 25.0)
+    df = spark.createDataFrame(
+        [(r, c, float(g[r, c])) for r in range(N) for c in range(N)],
+        "row long, col long, value double",
+    )
+    R = 6
+    got = {(r["row"], r["col"]): r["value"]
+           for r in geomorphons(df, META, search_radius=R, tile=7).collect()}
+    flat_thresh = math.radians(1.0)
+    search_len = R * 10.0
+    want = {}
+    for r in range(1, N - 1):
+        for c in range(1, N - 1):
+            z0 = g[r, c]
+            cp = cn = 0
+            for di in range(8):
+                dy, dx = _GEO_DY[di], _GEO_DX[di]
+                step = math.hypot(dx * 10.0, dy * 10.0)
+                zen, nad = -math.pi / 2, math.pi / 2
+                d = 1
+                flat = False
+                while d * step < search_len:
+                    pr, pc = r + d * dy, c + d * dx
+                    if not (0 <= pr < N and 0 <= pc < N):
+                        flat = True
+                        break
+                    ang = math.atan2(g[pr, pc] - z0, d * step)
+                    zen = max(zen, ang)
+                    nad = min(nad, ang)
+                    d += 1
+                if flat:
+                    continue
+                az, an = abs(zen), abs(nad)
+                if az > flat_thresh or an > flat_thresh:
+                    if an < az:
+                        cp += 1
+                    elif an > az:
+                        cn += 1
+            want[(r, c)] = float(_GEO_CLASSES[cn, cp])
+    assert got == want
+    assert set(want.values()) - {0.0}, "expected non-error classes"
+    assert len(set(want.values())) >= 3, "fixture should span several landforms"

@@ -190,3 +190,119 @@ def horizon_angle(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
         return pd.DataFrame({"row": rr, "col": cc, "value": val})
 
     return scattered.groupBy("sector").applyInPandas(kernel, schema=_OUT_SCHEMA)
+
+
+_GEO_CLASSES = np.array([
+    # count_pos ->  0  1  2  3  4  5  6  7  8      count_neg v
+    [1, 1, 1, 8, 8, 9, 9, 9, 10],
+    [1, 1, 8, 8, 8, 9, 9, 9, 0],
+    [1, 4, 6, 6, 7, 7, 9, 0, 0],
+    [4, 4, 6, 6, 6, 7, 0, 0, 0],
+    [4, 4, 5, 6, 6, 0, 0, 0, 0],
+    [3, 3, 5, 5, 0, 0, 0, 0, 0],
+    [3, 3, 3, 0, 0, 0, 0, 0, 0],
+    [3, 3, 0, 0, 0, 0, 0, 0, 0],
+    [2, 0, 0, 0, 0, 0, 0, 0, 0],
+], dtype=np.int64)
+
+# geomorphons.rs:581-582 direction tables (dir 0 = north, clockwise)
+_GEO_DX = [0, 1, 1, 1, 0, -1, -1, -1]
+_GEO_DY = [-1, -1, 0, 1, 1, 1, 0, -1]
+
+
+def geomorphons(cells: DataFrame, meta: GridMeta, search_radius: int = 10,
+                flat_threshold_deg: float = 1.0, skip: int = 1,
+                tile: int = 64) -> DataFrame:
+    """Geomorphons landform classification (terrain_analysis/
+    geomorphons.rs:543-680, forms mode, flat_dist=0, no residuals):
+    per cell, each of 8 compass rays (steps skip..search_radius cells)
+    tracks the zenith (max) and nadir (min) elevation angles; a ray that
+    leaves the GRID before reaching the search length stays 'flat', like
+    the reference's continue-to-next-direction; digits compare |zenith|
+    vs |nadir| against the flatness threshold, and the (count_neg,
+    count_pos) pair indexes the 10-class table. Only cells with the full
+    skip buffer inside the grid are emitted (the reference leaves the
+    rest nodata).
+
+    Plan: ONE tile + halo(search_radius) groupBy -> applyInPandas; the
+    kernel advances all 8 directions with shifted dense-array slices —
+    vectorized over every core cell per step."""
+    import math
+
+    r_search = int(search_radius)
+    halo = r_search
+    rows_n, cols_n = meta.rows, meta.columns
+    resx, resy = meta.resolution_x, meta.resolution_y
+    flat_thresh = math.radians(flat_threshold_deg)
+    search_length = r_search * (meta.resolution_x + meta.resolution_y) / 2.0
+
+    tiles = cells.selectExpr(
+        "row", "col", "value",
+        f"EXPLODE(SEQUENCE(GREATEST(CAST(FLOOR((row - {halo}) / {tile}) AS BIGINT), 0), "
+        f"LEAST(CAST(FLOOR((row + {halo}) / {tile}) AS BIGINT), {(rows_n - 1) // tile}))) AS tr",
+    ).selectExpr(
+        "row", "col", "value", "tr",
+        f"EXPLODE(SEQUENCE(GREATEST(CAST(FLOOR((col - {halo}) / {tile}) AS BIGINT), 0), "
+        f"LEAST(CAST(FLOOR((col + {halo}) / {tile}) AS BIGINT), {(cols_n - 1) // tile}))) AS tc",
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        r0, c0 = tr * tile - halo, tc * tile - halo
+        h = w = tile + 2 * halo
+        grid = np.full((h, w), np.nan)
+        rr = pdf["row"].to_numpy() - r0
+        cc = pdf["col"].to_numpy() - c0
+        ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+        grid[rr[ok], cc[ok]] = pdf["value"].to_numpy()[ok]
+        # core cells of this tile that carry the full skip buffer
+        gr0, gc0 = tr * tile, tc * tile
+        core_rows = np.arange(gr0, min(gr0 + tile, rows_n))
+        core_cols = np.arange(gc0, min(gc0 + tile, cols_n))
+        core_rows = core_rows[(core_rows >= skip) & (core_rows <= rows_n - 1 - skip)]
+        core_cols = core_cols[(core_cols >= skip) & (core_cols <= cols_n - 1 - skip)]
+        if len(core_rows) == 0 or len(core_cols) == 0:
+            return pd.DataFrame({"row": pd.Series([], dtype="int64"),
+                                 "col": pd.Series([], dtype="int64"),
+                                 "value": pd.Series([], dtype="float64")})
+        cr, cc2 = np.meshgrid(core_rows, core_cols, indexing="ij")
+        z0 = grid[cr - r0, cc2 - c0]
+        count_pos = np.zeros(z0.shape, dtype=np.int64)
+        count_neg = np.zeros(z0.shape, dtype=np.int64)
+        valid_center = ~np.isnan(z0)
+        for di in range(8):
+            dy, dx = _GEO_DY[di], _GEO_DX[di]
+            step_len = math.hypot(dx * resx, dy * resy)
+            zen = np.full(z0.shape, -math.pi / 2.0)
+            nad = np.full(z0.shape, math.pi / 2.0)
+            flat_dir = np.zeros(z0.shape, dtype=bool)
+            d = skip
+            while True:
+                dist = d * step_len
+                if dist >= search_length:
+                    break
+                pr = cr + d * dy
+                pc = cc2 + d * dx
+                off_grid = (pr < 0) | (pr >= rows_n) | (pc < 0) | (pc >= cols_n)
+                # reference: edge within search length -> direction flat
+                flat_dir = flat_dir | off_grid
+                inb = ~off_grid
+                z2 = np.full(z0.shape, np.nan)
+                z2[inb] = grid[pr[inb] - r0, pc[inb] - c0]
+                with np.errstate(invalid="ignore"):
+                    ang = np.arctan2(z2 - z0, dist)
+                upd = inb & ~np.isnan(z2) & ~flat_dir
+                zen = np.where(upd & (ang > zen), ang, zen)
+                nad = np.where(upd & (ang < nad), ang, nad)
+                d += 1
+            live = valid_center & ~flat_dir
+            az, an = np.abs(zen), np.abs(nad)
+            sig = live & ((az > flat_thresh) | (an > flat_thresh))
+            count_pos += (sig & (an < az)).astype(np.int64)
+            count_neg += (sig & (an > az)).astype(np.int64)
+        cls = _GEO_CLASSES[count_neg, count_pos].astype(np.float64)
+        cls[~valid_center] = meta.nodata
+        return pd.DataFrame({"row": cr.ravel(), "col": cc2.ravel(),
+                             "value": cls.ravel()})
+
+    return tiles.groupBy("tr", "tc").applyInPandas(kernel, schema=_OUT_SCHEMA)
