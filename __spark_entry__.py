@@ -978,6 +978,21 @@ def _q_erase_features(spark, sf):
     return _overlay_area_query(spark, sf, "difference")
 
 
+def _q_shreve(spark, sf):
+    """Shreve magnitude — rows-only (link-DAG peel); Y-network pytest."""
+    return HY.shreve_order(_ras_c(spark, sf), _META40C, threshold=4.0)
+
+
+def _q_stream_link_metrics(spark, sf):
+    out = HY.stream_link_metrics(_ras_c(spark, sf), _META40C, threshold=4.0)
+    return out.selectExpr("link_id", "n_cells", "ROUND(length, 6) AS length",
+                          "ROUND(slope_pct, 6) AS slope_pct")
+
+
+def _q_stream_nodes(spark, sf):
+    return HY.stream_nodes(_ras_c(spark, sf), _META40C, threshold=4.0)
+
+
 def _q_geomorphons(spark, sf):
     """Geomorphons landform classes — rows-only (libm atan2 angle
     comparisons); reference-loop parity pytest-gated."""
@@ -1576,6 +1591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pennock": _q_pennock,
         "aspect_rounded": _q_aspect_rounded,
         "geomorphons": _q_geomorphons,
+        "shreve": _q_shreve,
+        "stream_link_metrics": _q_stream_link_metrics,
+        "stream_nodes": _q_stream_nodes,
         "multidir_hillshade": _q_multidir_hillshade,
         "resample_bilinear": _q_resample_bilinear,
         "intersect_general": _q_intersect_general,

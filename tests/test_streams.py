@@ -66,3 +66,38 @@ def test_strahler_threshold_network(spark):
     got = _grid(strahler_order(_df(spark, VALS), META, threshold=2.0))
     assert got[(0, 1)] == 1.0 and got[(2, 1)] == 1.0
     assert got[(1, 2)] == 2.0 and got[(1, 5)] == 2.0
+
+
+def test_shreve_magnitude_y_network(spark):
+    from whitebox_tools_spark.operators.hydro import shreve_order
+
+    df = _df(spark, VALS)
+    got = _grid(shreve_order(df, META, threshold=2.0))
+    # two head links (magnitude 1) merging -> trunk magnitude 2
+    assert got[(0, 1)] == 1.0 and got[(2, 1)] == 1.0
+    assert got[(1, 3)] == 2.0 and got[(1, 5)] == 2.0
+
+
+def test_stream_link_metrics_and_nodes(spark):
+    import math
+
+    from whitebox_tools_spark.operators.hydro import (stream_link_metrics,
+                                                      stream_nodes)
+
+    df = _df(spark, VALS)
+    m = {r["link_id"]: r for r in stream_link_metrics(df, META, threshold=2.0).collect()}
+    assert len(m) == 3  # two branch links + the trunk
+    # trunk: 4 cells (1,2..5), 3 axial steps of 10 m; z from 7 to 1
+    trunk = [r for r in m.values() if r["n_cells"] == 4][0]
+    assert trunk["length"] == pytest.approx(30.0)
+    assert trunk["slope_pct"] == pytest.approx((7.0 - 1.0) / 30.0 * 100.0)
+    # branch links: single cells, zero in-link length and slope
+    singles = [r for r in m.values() if r["n_cells"] == 1]
+    assert len(singles) == 2
+    assert all(r["length"] == 0.0 and r["slope_pct"] == 0.0 for r in singles)
+
+    nodes = {(r["row"], r["col"]): r["kind"]
+             for r in stream_nodes(df, META, threshold=2.0).collect()}
+    assert nodes[(0, 1)] == 1 and nodes[(2, 1)] == 1      # heads
+    assert nodes[(1, 2)] == 2                              # junction
+    assert nodes[(1, 5)] == 3                              # outlet

@@ -1139,3 +1139,129 @@ def fd8_flow_accumulation(cells: DataFrame, meta: GridMeta,
     e = fd8_edges(cells, meta, exponent).join(
         nodes.selectExpr("id AS dst"), "dst", "leftsemi")
     return _weighted_path_accum(nodes, e, max_doublings, "fd8_flow_accumulation")
+
+
+# ---------------------------------------------------------------------------
+# Stream-network long tail (stream_network_analysis/*.rs semantics):
+# Shreve order, link length/slope, node identification — all on the
+# shared _labeled_links / link-DAG machinery
+# ---------------------------------------------------------------------------
+
+
+def shreve_order(cells: DataFrame, meta: GridMeta, threshold: float,
+                 max_rounds: int = 64) -> DataFrame:
+    """ShreveStreamMagnitude: heads are 1; at a junction the magnitude is
+    the SUM of inflow magnitudes (constant along links). Same link-DAG
+    peel as strahler_order with a sum combiner."""
+    lbl, e = _labeled_links(cells, meta, threshold)
+    le = (
+        e.join(lbl.selectExpr("id AS src", "lbl AS src_l"), "src")
+        .join(lbl.selectExpr("id AS dst", "lbl AS dst_l"), "dst")
+        .where("src_l <> dst_l")
+        .select(F.col("src_l").alias("src"), F.col("dst_l").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    links = lbl.select(F.col("lbl").alias("id")).distinct()
+    unresolved = links
+    resolved = None
+    for _ in range(max_rounds):
+        if resolved is None:
+            frontier = unresolved.join(le.select(F.col("dst").alias("id")).distinct(),
+                                       "id", "left_anti").selectExpr("id", "CAST(1 AS BIGINT) AS mag")
+        else:
+            inflow = le.join(unresolved.selectExpr("id AS dst"), "dst", "leftsemi")
+            blocked = inflow.join(resolved.selectExpr("id AS src"), "src", "left_anti") \
+                            .select(F.col("dst").alias("id")).distinct()
+            ready = unresolved.join(blocked, "id", "left_anti")
+            sums = le.join(resolved.withColumnRenamed("id", "src"), "src") \
+                     .groupBy("dst").agg(F.sum("mag").alias("in_mag"))
+            frontier = ready.join(sums.withColumnRenamed("dst", "id"), "id", "left") \
+                            .selectExpr("id", "COALESCE(in_mag, 1L) AS mag")
+        n_front = frontier.count()
+        if n_front == 0:
+            ensure_converged(unresolved.count(), "shreve_order link peel (stalled)", max_rounds)
+            break
+        resolved = (frontier if resolved is None
+                    else resolved.unionByName(frontier)).localCheckpoint(eager=True)
+        unresolved = unresolved.join(frontier.select("id"), "id", "left_anti") \
+                               .localCheckpoint(eager=True)
+        if unresolved.count() == 0:
+            break
+    else:
+        ensure_converged(unresolved.count(), "shreve_order link peel", max_rounds)
+    le.unpersist()
+    out = lbl.join(resolved.withColumnRenamed("id", "lbl"), "lbl") \
+             .selectExpr("row", "col", "CAST(mag AS DOUBLE) AS value")
+    e.unpersist()
+    return out
+
+
+def stream_link_metrics(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
+    """StreamLinkLength + StreamLinkSlope per link: length = sum of the
+    D8 step lengths along the link's in-link edges; slope = (zmax - zmin)
+    / length in percent (0 where length is 0). Output one row per link
+    (link_id, n_cells, length, slope_pct) — link ids numbered like
+    stream_link_id."""
+    from ..plans.rank import dense_rank_small
+
+    c = meta.columns
+    lbl, e = _labeled_links(cells, meta, threshold)
+    z = cells.selectExpr(f"(row * {c}L + col) AS id", "value AS z")
+    lz = lbl.join(z, "id")
+    # in-link edges with their grid step length
+    diag = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    le = (
+        e.join(lbl.selectExpr("id AS src", "lbl AS src_l"), "src")
+        .join(lbl.selectExpr("id AS dst", "lbl AS dst_l"), "dst")
+        .where("src_l = dst_l")
+        .selectExpr(
+            "src_l AS lbl",
+            f"CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) <> (dst % {c}) "
+            f"THEN {diag!r} WHEN (src DIV {c}) <> (dst DIV {c}) "
+            f"THEN {meta.resolution_y!r} ELSE {meta.resolution_x!r} END AS step",
+        )
+    )
+    lengths = le.groupBy("lbl").agg(F.sum("step").alias("length"))
+    stats = lz.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("z").alias("zmin"), F.max("z").alias("zmax"),
+    )
+    reps = dense_rank_small(lbl, "lbl", "link_id")
+    out = (
+        stats.join(lengths, "lbl", "left").join(reps, "lbl")
+        .selectExpr(
+            "CAST(link_id AS BIGINT) AS link_id", "CAST(n_cells AS BIGINT) AS n_cells",
+            "COALESCE(length, 0.0) AS length",
+            "CASE WHEN COALESCE(length, 0.0) > 0.0 "
+            "THEN (zmax - zmin) / length * 100.0 ELSE 0.0 END AS slope_pct",
+        )
+    )
+    e.unpersist()
+    return out
+
+
+def stream_nodes(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
+    """Channel-head / junction / outlet identification
+    (stream_network_analysis/{find_main_stem,stream_junction...}.rs
+    family): kind 1 = head (no stream inflow), 2 = junction (>= 2 stream
+    inflows), 3 = outlet (no stream downstream). A cell can be both
+    junction and outlet — kind reports the max code."""
+    streams, e = _stream_edges(cells, meta, threshold)
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+    has_out = e.select(F.col("src").alias("id")).distinct() \
+               .withColumn("__has_out", F.lit(1))
+    out = (
+        streams.join(indeg.withColumnRenamed("dst", "id"), "id", "left")
+        .join(has_out, "id", "left")
+        .selectExpr(
+            "row", "col",
+            "CAST(CASE WHEN __has_out IS NULL THEN 3 "
+            "WHEN COALESCE(n_in, 0) >= 2 THEN 2 "
+            "WHEN COALESCE(n_in, 0) = 0 THEN 1 ELSE 0 END AS INT) AS kind",
+        )
+        .where("kind > 0")
+    )
+    streams.unpersist()
+    e.unpersist()
+    return out
