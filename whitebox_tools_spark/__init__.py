@@ -18,10 +18,11 @@ __version__ = "0.1.0"
 
 # convenience namespace: `import whitebox_tools_spark as wbx;
 # wbx.pip_join.points_in_polygons(...)`
-from .functions import cells, geometry, geometry_sql, raster_math, text  # noqa: F401,E402
-from .operators import (clump, data_tools, dedup, distance, focal, hydro,  # noqa: F401,E402
-                        knn, lidar, multimodal, overlay, overlay_vector,
-                        pip_join, raster, similarity, tiling, tin,
-                        vector_ops, vectorize, visibility)
-from .plans import lineage  # noqa: F401,E402
+from .functions import (cells, geometry, geometry_sql, poly_overlay,  # noqa: F401,E402
+                        raster_math, text)
+from .operators import (clump, contours, data_tools, dedup, distance,  # noqa: F401,E402
+                        focal, hydro, knn, lidar, multimodal, overlay,
+                        overlay_vector, pip_join, raster, similarity,
+                        tiling, tin, vector_ops, vectorize, visibility)
+from .plans import iterate, lineage, rank  # noqa: F401,E402
 from .session import get_spark  # noqa: F401,E402
