@@ -59,23 +59,27 @@ def viewshed(cells: DataFrame, meta: GridMeta, vp_row: int, vp_col: int,
     resx, resy = meta.resolution_x, meta.resolution_y
     spark = cells.sparkSession
 
+    # fewer sectors are always SAFE (wider angular margins); scale the
+    # count with raster size so small DEMs don't pay 64 kernel groups
+    n_sec = max(8, min(_SECTORS, (meta.rows * meta.columns) // 1024))
+
     # sector of every cell (atan2 over cell offsets); near cells -> all
     sec = (
         f"CAST(FLOOR((ATAN2(CAST(row - {vp_row} AS DOUBLE), "
-        f"CAST(col - {vp_col} AS DOUBLE)) + PI()) / (2.0 * PI()) * {_SECTORS}) AS INT)"
+        f"CAST(col - {vp_col} AS DOUBLE)) + PI()) / (2.0 * PI()) * {n_sec}) AS INT)"
     )
-    base = cells.selectExpr("row", "col", "value", f"LEAST({sec}, {_SECTORS - 1}) AS __sec",
+    base = cells.selectExpr("row", "col", "value", f"LEAST({sec}, {n_sec - 1}) AS __sec",
                             f"GREATEST(ABS(row - {vp_row}), ABS(col - {vp_col})) AS __cheb")
     far = base.where(f"__cheb > {_NEAR_R}")
     spread = (
         far.withColumn("sector", F.explode(F.expr(
-            f"ARRAY((__sec + {_SECTORS - 1}) % {_SECTORS}, __sec, (__sec + 1) % {_SECTORS})")))
+            f"ARRAY((__sec + {n_sec - 1}) % {n_sec}, __sec, (__sec + 1) % {n_sec})")))
         .selectExpr("row", "col", "value", "sector", "sector = __sec AS is_core")
     )
     # near cells join every sector (their samples can appear in any ray)
     # but are LOS targets only in their own sector
     near = base.where(f"__cheb <= {_NEAR_R}").crossJoin(
-        F.broadcast(spark.range(_SECTORS).selectExpr("CAST(id AS INT) AS sector"))
+        F.broadcast(spark.range(n_sec).selectExpr("CAST(id AS INT) AS sector"))
     ).selectExpr("row", "col", "value", "sector", "sector = __sec AS is_core")
     scattered = spread.unionByName(near)
 
