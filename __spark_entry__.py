@@ -36,6 +36,7 @@ from whitebox_tools_spark.operators import lidar as LI
 from whitebox_tools_spark.operators import vector_ops as VO
 from whitebox_tools_spark.operators import dedup as D
 from whitebox_tools_spark.operators import distance as DX
+from whitebox_tools_spark.operators import enhancement as EN
 from whitebox_tools_spark.operators import focal as FO
 from whitebox_tools_spark.operators import knn as K
 from whitebox_tools_spark.operators import overlay as OV
@@ -75,6 +76,12 @@ _RAS_B_SQL = (
 _RAS_C_SQL = (
     "SELECT (event_id % 40) AS row, (CAST(FLOOR(event_id / 40) AS BIGINT) % 40) AS col, "
     "CAST(MAX(event_id) % 100 AS DOUBLE) AS value FROM events GROUP BY 1, 2"
+)
+
+# third 100x100 band (multi-band image ops: DDS, change-vector analysis)
+_RAS_D_SQL = (
+    "SELECT (event_id % 100) AS row, (CAST(FLOOR(event_id / 100) AS BIGINT) % 100) AS col, "
+    "CAST(MAX(event_id) % 13 AS DOUBLE) AS value FROM events GROUP BY 1, 2"
 )
 
 _TABLES_NEEDED = {"events", "documents", "embeddings"}
@@ -921,6 +928,66 @@ def _q_percent_elev_range(spark, sf):
     return FO.percent_elev_range(_ras(spark, sf, "a"))
 
 
+# --- global image enhancement (operators/enhancement.py) ------------------
+
+def _q_minmax_stretch(spark, sf):
+    return EN.min_max_contrast_stretch(_ras(spark, sf, "a"), num_tones=256)
+
+
+def _q_pct_stretch(spark, sf):
+    return EN.percentage_contrast_stretch(_ras(spark, sf, "a"), clip=2.0,
+                                          num_tones=256)
+
+
+def _q_stdev_stretch(spark, sf):
+    return EN.stdev_contrast_stretch(_ras(spark, sf, "a"), clip_stdev=2.0,
+                                     num_tones=256)
+
+
+def _q_sigmoidal_stretch(spark, sf):
+    """EXP over data-dependent args — engine libm differs in the last
+    ulp (see parity design note); rows-only + numpy pytest parity."""
+    return EN.sigmoidal_contrast_stretch(_ras(spark, sf, "a"), cutoff=0.4,
+                                         gain=2.0, num_tones=256)
+
+
+def _q_gamma_corr(spark, sf):
+    """POWER over data-dependent args — rows-only + numpy pytest parity."""
+    return EN.gamma_correction(_ras(spark, sf, "a"), gamma=0.5)
+
+
+def _q_ndi(spark, sf):
+    return EN.normalized_difference_index(_ras(spark, sf, "a"),
+                                          _ras(spark, sf, "b"), correction=1.0)
+
+
+def _q_dds(spark, sf):
+    _reg(spark, sf, "events")
+    b3 = spark.sql(_RAS_D_SQL)
+    return EN.direct_decorrelation_stretch(
+        _ras(spark, sf, "a"), _ras(spark, sf, "b"), b3, k=0.5)
+
+
+def _q_bcet(spark, sf):
+    return EN.balance_contrast_enhancement(_ras(spark, sf, "a"),
+                                           band_mean=110.0)
+
+
+def _q_hist_match(spark, sf):
+    return EN.histogram_matching(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
+def _q_flip_image(spark, sf):
+    return EN.flip_image(_ras(spark, sf, "a"), 100, 100, direction="both")
+
+
+def _q_cva(spark, sf):
+    _reg(spark, sf, "events")
+    b3 = spark.sql(_RAS_D_SQL)
+    return EN.change_vector_analysis(_ras(spark, sf, "a"), _ras(spark, sf, "b"),
+                                     b3, _ras(spark, sf, "a"))
+
+
 # --- general polygon overlay (rect x rect oracle-gated layer pair) -------
 
 _RING_SIGNED_AREA = (
@@ -1689,6 +1756,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tin_gridding": _q_tin_gridding,
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,
+        # --- round-2 continuation: global image enhancement ---
+        "minmax_stretch": _q_minmax_stretch,
+        "pct_stretch": _q_pct_stretch,
+        "stdev_stretch": _q_stdev_stretch,
+        "bcet": _q_bcet,
+        "hist_match": _q_hist_match,
+        "ndi": _q_ndi,
+        "dds": _q_dds,
+        "cva": _q_cva,
+        "flip_image": _q_flip_image,
+        "sigmoidal_stretch": _q_sigmoidal_stretch,
+        "gamma_corr": _q_gamma_corr,
     }
 
 
@@ -2631,6 +2710,102 @@ def _terrain2_oracles() -> dict[str, str]:
     }
 
 
+def _enhancement_oracles() -> dict[str, str]:
+    """Oracles for the global image-enhancement family. Every mapping is
+    (exact integer moments | per-value prefix counts) + the SAME
+    portable stretch expression text the Spark operators execute
+    (LEAST/GREATEST/FLOOR + arithmetic only — no libm)."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    ras_b = f"ras_b AS ({_RAS_B_SQL})"
+    ras_d = f"ras_d AS ({_RAS_D_SQL})"
+
+    minmax = (
+        f"WITH {ras_a}, st AS (SELECT MIN(value) AS __lo, MAX(value) AS __hi FROM ras_a) "
+        f"SELECT row, col, {EN._stretch_expr('__lo', '__hi', 256)} AS value "
+        f"FROM ras_a, st"
+    )
+    pct = (
+        f"WITH {ras_a}, n AS (SELECT COUNT(*) AS cnt FROM ras_a), "
+        f"vc AS (SELECT value, COUNT(*) AS __c FROM ras_a GROUP BY 1), "
+        f"cum AS (SELECT value, __c, SUM(__c) OVER (ORDER BY value) AS __cum FROM vc), "
+        f"k AS (SELECT GREATEST(1, CEILING(cnt * 2.0 / 100.0)) AS kk, cnt FROM n), "
+        f"cuts AS (SELECT MIN(CASE WHEN __cum >= kk THEN value END) AS __lo, "
+        f"MAX(CASE WHEN cnt - __cum + __c >= kk THEN value END) AS __hi FROM cum, k) "
+        f"SELECT row, col, {EN._stretch_expr('__lo', '__hi', 256)} AS value "
+        f"FROM ras_a, cuts"
+    )
+    sd = "SQRT((__sxx - __sx * __sx / __n) / (__n - 1))"
+    lo = f"GREATEST(__sx / __n - 2.0 * {sd}, __dlo)"
+    hi = f"LEAST(__sx / __n + 2.0 * {sd}, __dhi)"
+    stdev = (
+        f"WITH {ras_a}, st AS (SELECT COUNT(*) AS __n, SUM(value) AS __sx, "
+        f"SUM(value * value) AS __sxx, MIN(value) AS __dlo, MAX(value) AS __dhi "
+        f"FROM ras_a) "
+        f"SELECT row, col, {EN._stretch_expr(f'({lo})', f'({hi})', 256)} AS value "
+        f"FROM ras_a, st"
+    )
+    L, H, E = "0.0", "255.0", "110.0"
+    e, s = "(__sx / __n)", "(__sxx / __n)"
+    bb = (f"((__h * __h * ({E} - {L}) - {s} * ({H} - {L}) + __l * __l * ({H} - {E})) / "
+          f"(2.0 * (__h * ({E} - {L}) - {e} * ({H} - {L}) + __l * ({H} - {E}))))")
+    aa = f"(({H} - {L}) / ((__h - __l) * (__h + __l - 2.0 * {bb})))"
+    cc = f"({L} - {aa} * (__l - {bb}) * (__l - {bb}))"
+    bcet = (
+        f"WITH {ras_a}, st AS (SELECT COUNT(*) AS __n, SUM(value) AS __sx, "
+        f"SUM(value * value) AS __sxx, MIN(value) AS __l, MAX(value) AS __h FROM ras_a) "
+        f"SELECT row, col, {aa} * (value - {bb}) * (value - {bb}) + {cc} AS value "
+        f"FROM ras_a, st"
+    )
+    hist_match = (
+        f"WITH {ras_a}, {ras_b}, "
+        f"na AS (SELECT COUNT(*) AS cnta FROM ras_a), "
+        f"nb AS (SELECT COUNT(*) AS cntb FROM ras_b), "
+        f"ca AS (SELECT value AS __va, SUM(COUNT(*)) OVER (ORDER BY value) / cnta AS __pa "
+        f"FROM ras_a, na GROUP BY value, cnta), "
+        f"cb AS (SELECT value AS __vb, SUM(COUNT(*)) OVER (ORDER BY value) / cntb AS __pb "
+        f"FROM ras_b, nb GROUP BY value, cntb), "
+        f"m AS (SELECT __va, MIN(__vb) AS __out FROM ca JOIN cb ON __pb >= __pa GROUP BY __va) "
+        f"SELECT row, col, __out AS value FROM ras_a JOIN m ON ras_a.value = m.__va"
+    )
+    mexp = "LEAST(__r, __g, __b)"
+    dds = (
+        f"WITH {ras_a}, {ras_b}, {ras_d}, "
+        f"j AS (SELECT a.row, a.col, a.value AS __r, b.value AS __g, d.value AS __b "
+        f"FROM ras_a a JOIN ras_b b USING (row, col) JOIN ras_d d USING (row, col)) "
+        f"SELECT row, col, __r - 0.5 * {mexp} AS r, __g - 0.5 * {mexp} AS g, "
+        f"__b - 0.5 * {mexp} AS b FROM j"
+    )
+    cva = (
+        f"WITH {ras_a}, {ras_b}, {ras_d}, "
+        f"j AS (SELECT a.row, a.col, a.value AS __a1, b.value AS __b1, "
+        f"d.value AS __a2, a.value AS __b2 "
+        f"FROM ras_a a JOIN ras_b b USING (row, col) JOIN ras_d d USING (row, col)) "
+        f"SELECT row, col, "
+        f"SQRT((__a2 - __a1) * (__a2 - __a1) + (__b2 - __b1) * (__b2 - __b1)) AS magnitude, "
+        f"CAST(CASE WHEN __a2 >= __a1 THEN 1 ELSE 0 END + "
+        f"CASE WHEN __b2 >= __b1 THEN 2 ELSE 0 END AS INT) AS sector FROM j"
+    )
+    return {
+        "minmax_stretch": minmax,
+        "pct_stretch": pct,
+        "stdev_stretch": stdev,
+        "bcet": bcet,
+        "hist_match": hist_match,
+        "dds": dds,
+        "cva": cva,
+        "ndi": (
+            f"WITH {ras_a}, {ras_b} SELECT row, col, "
+            f"(a.value - b.value) / (a.value + b.value + 1.0) AS value "
+            f"FROM ras_a a JOIN ras_b b USING (row, col)"
+        ),
+        "flip_image": (
+            f"WITH {ras_a} SELECT 99 - row AS row, 99 - col AS col, value FROM ras_a"
+        ),
+        # sigmoidal_stretch / gamma_corr: EXP/POWER over data-dependent
+        # args — engine libm differs in the last ulp; rows-only + pytest.
+    }
+
+
 def _vector_op_oracles() -> dict[str, str]:
     """Oracles for the per-feature vector ops (DuckDB list folds in the
     same sequential order as the Spark AGGREGATE expressions)."""
@@ -3074,6 +3249,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_segments": _contour_oracle(),
         **_vector_op_oracles(),
         **_hydro_oracles(),
+        **_enhancement_oracles(),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"

@@ -21,8 +21,8 @@ __version__ = "0.1.0"
 from .functions import (cells, geometry, geometry_sql, poly_overlay,  # noqa: F401,E402
                         raster_math, text)
 from .operators import (clump, contours, data_tools, dedup, distance,  # noqa: F401,E402
-                        focal, hydro, knn, lidar, multimodal, overlay,
-                        overlay_vector, pip_join, raster, similarity,
+                        enhancement, focal, hydro, knn, lidar, multimodal,
+                        overlay, overlay_vector, pip_join, raster, similarity,
                         tiling, tin, vector_ops, vectorize, visibility)
 from .plans import iterate, lineage, rank  # noqa: F401,E402
 from .session import get_spark  # noqa: F401,E402

@@ -1,0 +1,246 @@
+"""Global image-enhancement operators — WBT's Image Enhancement toolbox.
+
+Reference anchors (semantics transcribed, plans original):
+- MinMaxContrastStretch: image_analysis/min_max_contrast_stretch.rs:30
+  (z_out = floor((z - min)/(max - min) * tones), clamped to
+  [0, tones-1]; :367-373)
+- PercentageContrastStretch: percentage_contrast_stretch.rs:25-35
+  (cutoffs at the clip% tails of the frequency distribution, then the
+  same linear map)
+- StandardDeviationContrastStretch: stdev_contrast_stretch.rs:311-318
+  (cutoffs at mean +/- clip * stdev)
+- SigmoidalContrastStretch: sigmoidal_contrast_stretch.rs:28-36,385-394
+- GammaCorrection: gamma_correction.rs:279
+- NormalizedDifferenceIndex: normalized_difference_index.rs:23
+- DirectDecorrelationStretch: direct_decorrelation_stretch.rs:27-33
+  (r_k = r - k * min(r, g, b))
+- BalanceContrastEnhancement: balance_contrast_enhancement.rs (BCET
+  parabolic mapping y = a(x - b)^2 + c, Liu 1991)
+- HistogramMatching: histogram_matching.rs (CDF-to-CDF value mapping;
+  this engine uses the exact empirical CDF with a nearest-rank rule
+  rather than WBT's binned interpolation — selection-only, so results
+  are bit-reproducible across engines)
+- FlipImage: image_analysis/flip_image.rs
+- ChangeVectorAnalysis: change_vector_analysis.rs (magnitude +
+  sign-quadrant sector code)
+
+Scale notes: every operator here is one map-side-partial aggregation
+producing a 1-row (or tones-sized) stats table that is broadcast back
+over the cell table — no unpartitioned windows, no driver collects.
+Percentile cutoffs and CDF tables use the distributed per-value prefix
+sums in plans/rank.py. Cell values in the parity fixtures are
+integer-valued doubles, so SUM/COUNT moments are exact in any
+accumulation order and every derived double is bit-identical to the
+DuckDB oracle transcription.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.rank import ordered_prefix_sums
+
+
+def _stretch_expr(minv: str, maxv: str, num_tones: int) -> str:
+    """The shared WBT linear-stretch fold: saturate z into [minv, maxv],
+    map to tone indices, floor, clamp (min_max_contrast_stretch.rs:367).
+    Pure +-*/ and FLOOR — portable bit-exact SQL."""
+    z = f"LEAST(GREATEST(value, {minv}), {maxv})"
+    t = f"FLOOR(({z} - {minv}) / ({maxv} - {minv}) * {num_tones})"
+    return f"LEAST(GREATEST({t}, 0.0), {num_tones - 1}.0)"
+
+
+def min_max_contrast_stretch(cells: DataFrame, min_val: float | None = None,
+                             max_val: float | None = None,
+                             num_tones: int = 256) -> DataFrame:
+    """MinMaxContrastStretch; cutoffs default to the data min/max."""
+    if min_val is not None and max_val is not None:
+        return cells.selectExpr(
+            "row", "col",
+            f"{_stretch_expr(repr(min_val), repr(max_val), num_tones)} AS value")
+    stats = cells.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+    return cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col", f"{_stretch_expr('__lo', '__hi', num_tones)} AS value")
+
+
+def percentage_contrast_stretch(cells: DataFrame, clip: float = 1.0,
+                                tail: str = "both",
+                                num_tones: int = 256) -> DataFrame:
+    """PercentageContrastStretch: cutoffs are the values at the clip%
+    tails of the exact frequency distribution (nearest-rank:
+    min_val = smallest v with |{u <= v}| >= ceil(n * clip/100)).
+
+    Distributed: per-value counts -> range-partitioned prefix sum over
+    the distinct values -> two scalar cutoffs broadcast back.
+    """
+    n = cells.count()
+    import math
+    k = max(1, math.ceil(n * clip / 100.0))
+    vc = cells.groupBy("value").agg(F.count(F.lit(1)).alias("__c"))
+    cum = ordered_prefix_sums(vc, ["value"], ["__c"])
+    lo_on = tail in ("both", "lower")
+    hi_on = tail in ("both", "upper")
+    cuts = cum.agg(
+        F.expr(f"MIN(CASE WHEN __cum___c >= {k} THEN value END)" if lo_on
+               else "MIN(value)").alias("__lo"),
+        F.expr(f"MAX(CASE WHEN {n} - __cum___c + __c >= {k} THEN value END)" if hi_on
+               else "MAX(value)").alias("__hi"),
+    )
+    return cells.crossJoin(F.broadcast(cuts)).selectExpr(
+        "row", "col", f"{_stretch_expr('__lo', '__hi', num_tones)} AS value")
+
+
+def stdev_contrast_stretch(cells: DataFrame, clip_stdev: float = 2.0,
+                           num_tones: int = 256) -> DataFrame:
+    """StandardDeviationContrastStretch: cutoffs mean -/+ clip*stdev
+    (sample stdev from exact integer moments), clamped to the data
+    range (stdev_contrast_stretch.rs:311-318 clamps to the valid
+    display range; here that range is the data envelope)."""
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("value").alias("__sx"),
+        F.sum(F.expr("value * value")).alias("__sxx"),
+        F.min("value").alias("__dlo"), F.max("value").alias("__dhi"))
+    sd = "SQRT((__sxx - __sx * __sx / __n) / (__n - 1))"
+    lo = f"GREATEST(__sx / __n - {clip_stdev!r} * {sd}, __dlo)"
+    hi = f"LEAST(__sx / __n + {clip_stdev!r} * {sd}, __dhi)"
+    return cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col", f"{_stretch_expr(f'({lo})', f'({hi})', num_tones)} AS value")
+
+
+def sigmoidal_contrast_stretch(cells: DataFrame, cutoff: float = 0.0,
+                               gain: float = 1.0,
+                               num_tones: int = 256) -> DataFrame:
+    """SigmoidalContrastStretch (sigmoidal_contrast_stretch.rs:385-394):
+    z is min-max normalized to [0,1], pushed through the gain/cutoff
+    sigmoid, rescaled by the (a, b) endpoints, then toned. EXP is
+    engine-libm-dependent -> rows-only gate + numpy pytest parity."""
+    import math
+    a = 1.0 / (1.0 + math.exp(gain * cutoff))
+    b = (1.0 / (1.0 + math.exp(gain * (cutoff - 1.0)))
+         - 1.0 / (1.0 + math.exp(gain * cutoff)))
+    stats = cells.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+    zn = "((value - __lo) / (__hi - __lo))"
+    sig = f"((1.0 / (1.0 + EXP({gain!r} * ({cutoff!r} - {zn}))) - {a!r}) / {b!r})"
+    t = f"LEAST(GREATEST({sig}, 0.0), 1.0) * {num_tones}"
+    out = f"LEAST(FLOOR({t}), {num_tones - 1}.0)"
+    return cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col", f"{out} AS value")
+
+
+def gamma_correction(cells: DataFrame, gamma: float = 0.5) -> DataFrame:
+    """GammaCorrection (gamma_correction.rs:279): min-max normalize,
+    raise to gamma, rescale to the input range. POWER is libm-dependent
+    -> rows-only gate + numpy pytest parity."""
+    stats = cells.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+    zn = "((value - __lo) / (__hi - __lo))"
+    return cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col",
+        f"POWER({zn}, {gamma!r}) * (__hi - __lo) + __lo AS value")
+
+
+def normalized_difference_index(a: DataFrame, b: DataFrame,
+                                correction: float = 0.0) -> DataFrame:
+    """NormalizedDifferenceIndex: (a - b) / (a + b + c) per cell."""
+    return (
+        a.select("row", "col", F.col("value").alias("__a"))
+        .join(b.select("row", "col", F.col("value").alias("__b")), ["row", "col"])
+        .selectExpr("row", "col",
+                    f"(__a - __b) / (__a + __b + {correction!r}) AS value")
+    )
+
+
+def direct_decorrelation_stretch(r: DataFrame, g: DataFrame, b: DataFrame,
+                                 k: float = 0.5) -> DataFrame:
+    """DirectDecorrelationStretch: subtract k * min(r, g, b) from each
+    band. Output: (row, col, r, g, b)."""
+    j = (
+        r.select("row", "col", F.col("value").alias("__r"))
+        .join(g.select("row", "col", F.col("value").alias("__g")), ["row", "col"])
+        .join(b.select("row", "col", F.col("value").alias("__b")), ["row", "col"])
+    )
+    m = "LEAST(__r, __g, __b)"
+    return j.selectExpr("row", "col",
+                        f"__r - {k!r} * {m} AS r",
+                        f"__g - {k!r} * {m} AS g",
+                        f"__b - {k!r} * {m} AS b")
+
+
+def balance_contrast_enhancement(cells: DataFrame, band_mean: float = 100.0,
+                                 out_min: float = 0.0,
+                                 out_max: float = 255.0) -> DataFrame:
+    """BalanceContrastEnhancement (BCET, Liu 1991; WBT
+    balance_contrast_enhancement.rs): the unique parabola
+    y = a(x - b)^2 + c that maps the input's (min l, mean-square s,
+    max h) onto the output's (L, E, H), with c = L - a(l - b)^2 folded
+    in. Closed-form coefficients from exact moments — portable
+    arithmetic, oracle-gated."""
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("value").alias("__sx"),
+        F.sum(F.expr("value * value")).alias("__sxx"),
+        F.min("value").alias("__l"), F.max("value").alias("__h"))
+    L, H, E = repr(out_min), repr(out_max), repr(band_mean)
+    e = "(__sx / __n)"
+    s = "(__sxx / __n)"
+    bb = (f"((__h * __h * ({E} - {L}) - {s} * ({H} - {L}) + __l * __l * ({H} - {E})) / "
+          f"(2.0 * (__h * ({E} - {L}) - {e} * ({H} - {L}) + __l * ({H} - {E}))))")
+    aa = f"(({H} - {L}) / ((__h - __l) * (__h + __l - 2.0 * {bb})))"
+    cc = f"({L} - {aa} * (__l - {bb}) * (__l - {bb}))"
+    return cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col", f"{aa} * (value - {bb}) * (value - {bb}) + {cc} AS value")
+
+
+def histogram_matching(cells: DataFrame, ref: DataFrame) -> DataFrame:
+    """HistogramMatching: map each value of `cells` to the smallest
+    reference value whose CDF is >= the subject value's CDF
+    (nearest-rank; WBT interpolates between histogram bins — this
+    engine's exact-CDF rule is selection-only and bit-portable).
+
+    Plan: two distributed per-value CDF tables (distinct-value sized,
+    i.e. bounded by the tone count at scale), broadcast range-join
+    subject CDF -> reference CDF, then one equi-join back onto the
+    cell table. No unpartitioned windows.
+    """
+    n_a = cells.count()
+    n_b = ref.count()
+    vca = cells.groupBy("value").agg(F.count(F.lit(1)).alias("__c"))
+    cuma = ordered_prefix_sums(vca, ["value"], ["__c"]).selectExpr(
+        "value AS __va", f"__cum___c / {n_a} AS __pa")
+    vcb = ref.groupBy("value").agg(F.count(F.lit(1)).alias("__c"))
+    cumb = ordered_prefix_sums(vcb, ["value"], ["__c"]).selectExpr(
+        "value AS __vb", f"__cum___c / {n_b} AS __pb")
+    mapped = (
+        cuma.join(F.broadcast(cumb), F.col("__pb") >= F.col("__pa"))
+        .groupBy("__va").agg(F.min("__vb").alias("__out"))
+    )
+    return cells.join(F.broadcast(mapped), cells["value"] == F.col("__va")).select(
+        "row", "col", F.col("__out").alias("value"))
+
+
+def flip_image(cells: DataFrame, meta_rows: int, meta_cols: int,
+               direction: str = "vertical") -> DataFrame:
+    """FlipImage (image_analysis/flip_image.rs): vertical flips rows,
+    horizontal flips columns, both flips both."""
+    r = f"{meta_rows - 1} - row" if direction in ("vertical", "both") else "row"
+    c = f"{meta_cols - 1} - col" if direction in ("horizontal", "both") else "col"
+    return cells.selectExpr(f"{r} AS row", f"{c} AS col", "value")
+
+
+def change_vector_analysis(a1: DataFrame, b1: DataFrame,
+                           a2: DataFrame, b2: DataFrame) -> DataFrame:
+    """ChangeVectorAnalysis (change_vector_analysis.rs) for two bands:
+    magnitude = sqrt(d1^2 + d2^2) of the date1->date2 change vector and
+    a sector code from the signs of the band deltas (band1 positive ->
+    +1, band2 positive -> +2; 0..3)."""
+    j = (
+        a1.select("row", "col", F.col("value").alias("__a1"))
+        .join(b1.select("row", "col", F.col("value").alias("__b1")), ["row", "col"])
+        .join(a2.select("row", "col", F.col("value").alias("__a2")), ["row", "col"])
+        .join(b2.select("row", "col", F.col("value").alias("__b2")), ["row", "col"])
+    )
+    return j.selectExpr(
+        "row", "col",
+        "SQRT((__a2 - __a1) * (__a2 - __a1) + (__b2 - __b1) * (__b2 - __b1)) AS magnitude",
+        "CAST(CASE WHEN __a2 >= __a1 THEN 1 ELSE 0 END + "
+        "CASE WHEN __b2 >= __b1 THEN 2 ELSE 0 END AS INT) AS sector",
+    )
