@@ -928,6 +928,50 @@ def _q_percent_elev_range(spark, sf):
     return FO.percent_elev_range(_ras(spark, sf, "a"))
 
 
+# --- round-2 continuation focal filters -----------------------------------
+
+def _q_stdev_filter(spark, sf):
+    return FO.stdev_filter(_ras(spark, sf, "a"))
+
+
+def _q_highpass(spark, sf):
+    return FO.highpass_filter(_ras(spark, sf, "a"))
+
+
+def _q_highpass_median(spark, sf):
+    return FO.highpass_median_filter(_ras(spark, sf, "a"))
+
+
+def _q_adaptive_filter(spark, sf):
+    return FO.adaptive_filter(_ras(spark, sf, "a"), threshold=1.0)
+
+
+def _q_lee_filter(spark, sf):
+    return FO.lee_filter(_ras(spark, sf, "a"), sigma=150.0, m=5.0)
+
+
+def _q_knearest_mean(spark, sf):
+    return FO.k_nearest_mean_filter(_ras(spark, sf, "a"), k=5)
+
+
+def _q_unsharp(spark, sf):
+    return FO.unsharp_masking(_ras(spark, sf, "a"), sigma=0.75,
+                              amount=0.5, threshold=2.0)
+
+
+def _q_roberts(spark, sf):
+    return FO.roberts_cross_filter(_ras(spark, sf, "a"))
+
+
+def _q_line_detection(spark, sf):
+    return FO.line_detection_filter(_ras(spark, sf, "a"), variant="45",
+                                    absvals=True)
+
+
+def _q_fast_gaussian(spark, sf):
+    return FO.fast_almost_gaussian_filter(_ras(spark, sf, "a"), sigma=1.8)
+
+
 # --- global image enhancement (operators/enhancement.py) ------------------
 
 def _q_minmax_stretch(spark, sf):
@@ -1768,6 +1812,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flip_image": _q_flip_image,
         "sigmoidal_stretch": _q_sigmoidal_stretch,
         "gamma_corr": _q_gamma_corr,
+        # --- round-2 continuation: focal filter families ---
+        "stdev_filter": _q_stdev_filter,
+        "highpass": _q_highpass,
+        "highpass_median": _q_highpass_median,
+        "adaptive_filter": _q_adaptive_filter,
+        "lee_filter": _q_lee_filter,
+        "knearest_mean": _q_knearest_mean,
+        "unsharp": _q_unsharp,
+        "roberts": _q_roberts,
+        "line_detection": _q_line_detection,
+        "fast_gaussian": _q_fast_gaussian,
     }
 
 
@@ -2710,6 +2765,139 @@ def _terrain2_oracles() -> dict[str, str]:
     }
 
 
+def _focal3_oracles() -> dict[str, str]:
+    """Oracles for the round-2 continuation focal filters. All share the
+    9-cell scatter (+ center join where the rule needs z) with exact
+    integer moments; fold-order-sensitive expressions reuse the SAME
+    text the Spark operators execute."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    offs9 = ("offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
+             "(1,-1),(1,0),(1,1)) o(dr, dc))")
+    sc9 = ("sc AS (SELECT a.row + o.dr AS row, a.col + o.dc AS col, "
+           "-o.dr AS dr, -o.dc AS dc, a.value AS nv FROM ras_a a, offs o)")
+    scz = ("scz AS (SELECT s.row, s.col, s.dr, s.dc, s.nv, c.value AS z "
+           "FROM sc s JOIN ras_a c ON s.row = c.row AND s.col = c.col)")
+    base = f"WITH {ras_a}, {offs9}, {sc9}, {scz} "
+    med = "(list_sort(list(nv)))[CAST(FLOOR((COUNT(nv) + 1) / 2) AS INT)]"
+    pvar = "(SUM(nv * nv) - SUM(nv) * SUM(nv) / COUNT(nv)) / COUNT(nv)"
+
+    in_pred = "nv >= z - 150.0 AND nv <= z + 150.0"
+    ring = "ABS(dr) <= 1 AND ABS(dc) <= 1 AND NOT (dr = 0 AND dc = 0)"
+    lee = (
+        base +
+        f"SELECT row, col, CASE WHEN COUNT(CASE WHEN {in_pred} THEN 1 END) > 5.0 "
+        f"THEN SUM(CASE WHEN {in_pred} THEN nv END) "
+        f"   / COUNT(CASE WHEN {in_pred} THEN 1 END) "
+        f"ELSE SUM(CASE WHEN {ring} THEN nv END) "
+        f"   / COUNT(CASE WHEN {ring} THEN 1 END) END AS value "
+        f"FROM scz GROUP BY 1, 2"
+    )
+    knm = (
+        base.rstrip() + ", " +
+        "rk AS (SELECT row, col, nv, ROW_NUMBER() OVER (PARTITION BY row, col "
+        "ORDER BY (nv - z) * (nv - z), nv, dr, dc) AS r FROM scz) "
+        "SELECT row, col, SUM(nv) / COUNT(nv) AS value FROM rk WHERE r <= 5 "
+        "GROUP BY 1, 2"
+    )
+
+    # unsharp masking over the nullable gaussian pivot
+    size, blur = FO.gaussian_value_expr(0.75)
+    mid = size // 2
+    offsk = "offsk AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // size - mid}, {n % size - mid})" for n in range(size * size)
+    ) + ") o(n, dr, dc))"
+    sck = ("sck AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+           "a.value AS nv FROM ras_a a, offsk o)")
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}" for n in range(size * size))
+    zc = f"z_{mid * size + mid}"
+    diff = f"({zc} - ({blur}))"
+    unsharp = (
+        f"WITH {ras_a}, {offsk}, {sck}, "
+        f"piv AS (SELECT row, col, {piv_cols} FROM sck GROUP BY 1, 2) "
+        f"SELECT row, col, CASE WHEN {diff} > ABS(2.0) "
+        f"THEN {zc} + {diff} * 0.5 ELSE {zc} END AS value "
+        f"FROM piv WHERE {zc} IS NOT NULL"
+    )
+
+    offs4 = ("offs4 AS (SELECT * FROM (VALUES (0, 0, 0), (1, 0, 1), "
+             "(2, 1, 0), (3, 1, 1)) o(n, dr, dc))")
+    sc4 = ("sc4 AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+           "a.value AS nv FROM ras_a a, offs4 o)")
+    roberts = (
+        f"WITH {ras_a}, {offs4}, {sc4}, "
+        f"piv AS (SELECT row, col, "
+        + ", ".join(f"MAX(CASE WHEN n = {i} THEN nv END) AS z{i + 1}" for i in range(4))
+        + " FROM sc4 GROUP BY 1, 2) "
+        f"SELECT row, col, ABS(z1 - COALESCE(z4, z1)) + "
+        f"ABS(COALESCE(z2, z1) - COALESCE(z3, z1)) AS value "
+        f"FROM piv WHERE z1 IS NOT NULL"
+    )
+
+    ld = FO.LINE_DETECTION["45"]
+    ldvals = ", ".join(
+        f"({i - 1}, {j - 1}, {ld[i][j]!r})" for i in range(3) for j in range(3))
+    line_det = (
+        f"WITH {ras_a}, offsk AS (SELECT * FROM (VALUES {ldvals}) o(dr, dc, w)), "
+        f"sck AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+        f"o.w * a.value AS p FROM ras_a a, offsk o), "
+        f"g AS (SELECT row, col, SUM(p) AS v FROM sck GROUP BY 1, 2 "
+        f"HAVING COUNT(*) = 9) "
+        f"SELECT g.row, g.col, ABS(v) AS value "
+        f"FROM g JOIN (SELECT row, col FROM ras_a) c USING (row, col)"
+    )
+
+    # fast-almost-gaussian: chained integer box sums, one final divide
+    widths = [w for w in FO.fag_box_widths(1.8) if w > 1]
+    ctes = [ras_a]
+    prev = "ras_a"
+    denom = 1.0
+    for i, w in enumerate(widths):
+        r = w // 2
+        offs = ", ".join(f"({dr}, {dc})" for dr in range(-r, r + 1)
+                         for dc in range(-r, r + 1))
+        ctes.append(
+            f"p{i} AS (SELECT a.row + o.dr AS row, a.col + o.dc AS col, "
+            f"SUM(a.value) AS value FROM {prev} a, "
+            f"(SELECT * FROM (VALUES {offs}) o(dr, dc)) o "
+            f"GROUP BY 1, 2 HAVING COUNT(*) = {w * w})"
+        )
+        prev = f"p{i}"
+        denom *= w * w
+    fag = (f"WITH {', '.join(ctes)} "
+           f"SELECT row, col, value / {denom!r} AS value FROM {prev}")
+
+    return {
+        "stdev_filter": (
+            f"WITH {ras_a}, {offs9}, {sc9} "
+            f"SELECT s.row, s.col, SQRT({pvar}) AS value FROM sc s "
+            f"JOIN (SELECT row, col FROM ras_a) c ON s.row = c.row AND s.col = c.col "
+            f"GROUP BY 1, 2"
+        ),
+        "highpass": (
+            base + "SELECT row, col, ANY_VALUE(z) - AVG(nv) AS value "
+            "FROM scz GROUP BY 1, 2"
+        ),
+        "highpass_median": (
+            base + f"SELECT row, col, ANY_VALUE(z) - ({med}) AS value "
+            "FROM scz GROUP BY 1, 2"
+        ),
+        "adaptive_filter": (
+            base +
+            f"SELECT row, col, CASE WHEN {pvar} > 0.0 AND "
+            f"ABS((ANY_VALUE(z) - AVG(nv)) / SQRT({pvar})) > 1.0 "
+            f"THEN AVG(nv) ELSE ANY_VALUE(z) END AS value "
+            f"FROM scz GROUP BY 1, 2"
+        ),
+        "lee_filter": lee,
+        "knearest_mean": knm,
+        "unsharp": unsharp,
+        "roberts": roberts,
+        "line_detection": line_det,
+        "fast_gaussian": fag,
+    }
+
+
 def _enhancement_oracles() -> dict[str, str]:
     """Oracles for the global image-enhancement family. Every mapping is
     (exact integer moments | per-value prefix counts) + the SAME
@@ -3250,6 +3438,7 @@ def oracle_sql() -> dict[str, str]:
         **_vector_op_oracles(),
         **_hydro_oracles(),
         **_enhancement_oracles(),
+        **_focal3_oracles(),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"

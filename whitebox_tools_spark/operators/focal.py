@@ -971,3 +971,219 @@ def multidirectional_hillshade(cells: DataFrame, meta: GridMeta,
     return focal_pivot5(cells, z_factor).selectExpr(
         "row", "col", f"ROUND({terms}) AS value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 continuation: statistics / edge-aware / multi-pass filters
+# (image_analysis/{stdev_filter,highpass_filter,highpass_median_filter,
+#  adaptive_filter,lee_filter,k_nearest_mean_filter,unsharp_masking,
+#  roberts_filter,line_detection_filter,fast_almost_gaussian_filter}.rs)
+# ---------------------------------------------------------------------------
+
+
+def _scatter_with_center(cells: DataFrame, radius: int) -> DataFrame:
+    """Scatter each cell to its window centers AND carry the center's own
+    value: one scatter (25n rows for r=2) + one (row, col) equi-join back
+    onto the cell table — both shuffle on the same key, so AQE coalesces
+    them; no driver-side state."""
+    sc = _scatter_rc(cells, radius)
+    ctr = cells.selectExpr("row", "col", "value AS z")
+    return sc.join(ctr, ["row", "col"])
+
+
+def _scatter_rc(cells: DataFrame, radius: int) -> DataFrame:
+    """_scatter + the (dr, dc) offset each contribution arrived through
+    (needed by ring-membership and nearest-k rules)."""
+    offs = [(dr, dc) for dr in range(-radius, radius + 1) for dc in range(-radius, radius + 1)]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS crow, col + ({dc}L) AS ccol, "
+        f"{-dr}L AS dr, {-dc}L AS dc)" for dr, dc in offs
+    )
+    return (
+        cells.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))"))
+        .selectExpr("__n.crow AS row", "__n.ccol AS col", "__n.dr AS dr",
+                    "__n.dc AS dc", "value AS nv")
+    )
+
+
+def stdev_filter(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """StandardDeviationFilter (image_analysis/stdev_filter.rs, integral-
+    image variance): s = sqrt((sum_sqr - sum^2/n) / n) over the window
+    (population form, matching adaptive_filter.rs:460). Exact integer
+    moments -> oracle bit-exact."""
+    sc = _scatter(cells, radius)
+    out = sc.groupBy("row", "col").agg(
+        F.expr("SQRT((SUM(nv * nv) - SUM(nv) * SUM(nv) / COUNT(nv)) / COUNT(nv))")
+        .alias("value"))
+    return out.join(cells.select("row", "col"), ["row", "col"], "leftsemi")
+
+
+def highpass_filter(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """HighPassFilter (image_analysis/highpass_filter.rs:415-416):
+    z - window mean."""
+    sc = _scatter_with_center(cells, radius)
+    return sc.groupBy("row", "col").agg(
+        F.expr("FIRST(z) - AVG(nv)").alias("value"))
+
+
+def highpass_median_filter(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """HighPassMedianFilter: z - window (lower) median — the same
+    deterministic median rule as focal_stat('median')."""
+    sc = _scatter_with_center(cells, radius)
+    med = _FOCAL_AGGS["median"]
+    return sc.groupBy("row", "col").agg(
+        F.expr(f"FIRST(z) - ({med})").alias("value"))
+
+
+def adaptive_filter(cells: DataFrame, radius: int = 1,
+                    threshold: float = 2.0) -> DataFrame:
+    """AdaptiveFilter (image_analysis/adaptive_filter.rs:456-470):
+    replace z with the window mean when |z - mean| / s exceeds the
+    threshold (s = population stdev of the window), else keep z."""
+    sc = _scatter_with_center(cells, radius)
+    v = "(SUM(nv * nv) - SUM(nv) * SUM(nv) / COUNT(nv)) / COUNT(nv)"
+    return sc.groupBy("row", "col").agg(
+        F.expr(
+            f"CASE WHEN {v} > 0.0 AND "
+            f"ABS((FIRST(z) - AVG(nv)) / SQRT({v})) > {threshold!r} "
+            f"THEN AVG(nv) ELSE FIRST(z) END"
+        ).alias("value"))
+
+
+def lee_filter(cells: DataFrame, radius: int = 1, sigma: float = 10.0,
+               m: float = 5.0) -> DataFrame:
+    """LeeFilter / sigma filter (image_analysis/lee_filter.rs:388-420):
+    mean of window values within z +/- sigma; when fewer than m such
+    neighbors exist, fall back to the mean of the 8-connected ring."""
+    sc = _scatter_rc(cells, radius).join(
+        cells.selectExpr("row", "col", "value AS z"), ["row", "col"])
+    in_pred = f"nv >= z - {sigma!r} AND nv <= z + {sigma!r}"
+    ring = "ABS(dr) <= 1 AND ABS(dc) <= 1 AND NOT (dr = 0 AND dc = 0)"
+    return sc.groupBy("row", "col").agg(
+        F.expr(
+            f"CASE WHEN COUNT(CASE WHEN {in_pred} THEN 1 END) > {m!r} "
+            f"THEN SUM(CASE WHEN {in_pred} THEN nv END) "
+            f"   / COUNT(CASE WHEN {in_pred} THEN 1 END) "
+            f"ELSE SUM(CASE WHEN {ring} THEN nv END) "
+            f"   / COUNT(CASE WHEN {ring} THEN 1 END) END"
+        ).alias("value"))
+
+
+def k_nearest_mean_filter(cells: DataFrame, radius: int = 1,
+                          k: int = 5) -> DataFrame:
+    """KNearestMeanFilter (image_analysis/k_nearest_mean_filter.rs:
+    381-405): mean of the k window values nearest to the center value.
+    WBT breaks squared-difference ties by kernel scan order; this engine
+    uses the deterministic (diff^2, nv, dr, dc) order so the selection
+    is engine-portable. Partitioned window rank (per center) — no
+    global sort."""
+    from pyspark.sql import Window
+
+    sc = _scatter_rc(cells, radius).join(
+        cells.selectExpr("row", "col", "value AS z"), ["row", "col"])
+    w = Window.partitionBy("row", "col").orderBy(
+        F.expr("(nv - z) * (nv - z)"), F.col("nv"), F.col("dr"), F.col("dc"))
+    ranked = sc.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.where(F.col("__rk") <= k)
+        .groupBy("row", "col").agg(F.expr("SUM(nv) / COUNT(nv)").alias("value"))
+    )
+
+
+def unsharp_masking(cells: DataFrame, sigma: float = 0.75,
+                    amount: float = 1.0, threshold: float = 0.0) -> DataFrame:
+    """UnsharpMasking (image_analysis/unsharp_masking.rs:395-415):
+    diff = z - gaussian_blur(z); output z + diff * amount where
+    diff > |threshold|, else z. Shares the renormalized WBT Gaussian
+    kernel expression (bit-portable fixed-order fold)."""
+    size, blur = gaussian_value_expr(sigma)
+    piv = focal_pivotk(cells, size)
+    mid = size // 2
+    zc = f"z_{mid * size + mid}"
+    diff = f"({zc} - ({blur}))"
+    return piv.selectExpr(
+        "row", "col",
+        f"CASE WHEN {diff} > ABS({threshold!r}) "
+        f"THEN {zc} + {diff} * {amount!r} ELSE {zc} END AS value")
+
+
+def roberts_cross_filter(cells: DataFrame) -> DataFrame:
+    """RobertsCrossFilter (image_analysis/roberts_filter.rs:300-315):
+    |z1 - z4| + |z2 - z3| over the 2x2 block anchored at the center
+    (z1=(r,c), z2=(r,c+1), z3=(r+1,c), z4=(r+1,c+1)); missing
+    neighbors substitute the anchor value."""
+    offs = {0: (0, 0), 1: (0, 1), 2: (1, 0), 3: (1, 1)}
+    pairs = ", ".join(
+        f"STRUCT(row - ({dr}L) AS crow, col - ({dc}L) AS ccol, {n} AS n)"
+        for n, (dr, dc) in offs.items()
+    )
+    sc = (
+        cells.withColumn("__s", F.expr(f"EXPLODE(ARRAY({pairs}))"))
+        .selectExpr("__s.crow AS row", "__s.ccol AS col", "__s.n AS n", "value AS nv")
+    )
+    piv = sc.groupBy("row", "col").agg(
+        *[F.expr(f"MAX(CASE WHEN n = {i} THEN nv END)").alias(f"z{i + 1}")
+          for i in range(4)])
+    return piv.where("z1 IS NOT NULL").selectExpr(
+        "row", "col",
+        "ABS(z1 - COALESCE(z4, z1)) + ABS(COALESCE(z2, z1) - COALESCE(z3, z1)) AS value")
+
+
+LINE_DETECTION = {
+    "v": [[-1.0, 2.0, -1.0], [-1.0, 2.0, -1.0], [-1.0, 2.0, -1.0]],
+    "h": [[-1.0, -1.0, -1.0], [2.0, 2.0, 2.0], [-1.0, -1.0, -1.0]],
+    "45": [[2.0, -1.0, -1.0], [-1.0, 2.0, -1.0], [-1.0, -1.0, 2.0]],
+    "135": [[-1.0, -1.0, 2.0], [-1.0, 2.0, -1.0], [2.0, -1.0, -1.0]],
+}
+
+
+def line_detection_filter(cells: DataFrame, variant: str = "v",
+                          absvals: bool = False) -> DataFrame:
+    """LineDetectionFilter (image_analysis/line_detection_filter.rs:
+    311-317 weight tables)."""
+    out = convolve(cells, {"v": LINE_DETECTION[variant]}).withColumnRenamed("v", "value")
+    if absvals:
+        out = out.selectExpr("row", "col", "ABS(value) AS value")
+    return out
+
+
+def fag_box_widths(sigma: float, n: int = 5) -> list[int]:
+    """FastAlmostGaussianFilter box sizes (fast_almost_gaussian_filter.rs
+    :210-223, Wells' method / P. Getreuer 2013): n box passes of width
+    wl (first m) and wu = wl + 2 (rest)."""
+    import math
+
+    w_ideal = math.sqrt(12.0 * sigma * sigma / n + 1.0)
+    wl = int(math.floor(w_ideal))
+    if wl % 2 == 0:
+        wl -= 1
+    wl = max(wl, 1)
+    wu = wl + 2
+    m = round((12.0 * sigma * sigma - n * wl * wl - 4.0 * n * wl - 3.0 * n)
+              / (-4.0 * wl - 4.0))
+    m = min(max(int(m), 0), n)
+    return [wl] * m + [wu] * (n - m)
+
+
+def fast_almost_gaussian_filter(cells: DataFrame, sigma: float = 1.8) -> DataFrame:
+    """FastAlmostGaussianFilter: n=5 successive box means approximate a
+    Gaussian to ~3% (Wells 1986). Plan: run every pass as an exact
+    integer box SUM (the input fixtures carry integer-valued doubles)
+    and divide ONCE by the product of window areas — bit-reproducible
+    in any accumulation order, unlike chained float means. Passes with
+    width 1 are identity and skipped. Edge rule: only complete windows
+    survive each pass (shrinking border; WBT clamps instead — a
+    documented deviation that keeps the plan exact)."""
+    widths = [w for w in fag_box_widths(sigma) if w > 1]
+    cur = cells
+    denom = 1.0
+    for w in widths:
+        r = w // 2
+        sc = _scatter(cur, r)
+        cur = (
+            sc.groupBy("row", "col")
+            .agg(F.expr("SUM(nv)").alias("value"), F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") == w * w).drop("__n")
+        )
+        denom *= w * w
+    return cur.selectExpr("row", "col", f"value / {denom!r} AS value")
