@@ -928,6 +928,41 @@ def _q_percent_elev_range(spark, sf):
     return FO.percent_elev_range(_ras(spark, sf, "a"))
 
 
+# --- round-2 continuation hydro utilities ---------------------------------
+
+def _q_num_inflowing(spark, sf):
+    return HY.num_inflowing_neighbours(_ras(spark, sf, "a"), _META100)
+
+
+def _q_noflow_cells(spark, sf):
+    return HY.find_noflow_cells(_ras(spark, sf, "a"), _META100)
+
+
+def _q_fill_pits(spark, sf):
+    return HY.fill_pits(_ras(spark, sf, "a"), _META100)
+
+
+def _q_elev_above_stream(spark, sf):
+    return HY.elevation_above_stream(_ras(spark, sf, "a"), _META100, 5.0)
+
+
+def _q_dist_to_stream(spark, sf):
+    return HY.downslope_distance_to_stream(_ras(spark, sf, "a"), _META100, 5.0)
+
+
+def _q_sink_id(spark, sf):
+    """Sink = fill + clump of raised cells; fill is the iterative
+    Planchon-Darboux fixpoint (rows-only like fill_depressions, clump
+    itself is oracle-gated separately; numpy parity in pytest)."""
+    _reg(spark, sf, "events")
+    return HY.sink(spark.sql(_RAS_C_SQL), _META40)
+
+
+def _q_depth_in_sink(spark, sf):
+    _reg(spark, sf, "events")
+    return HY.depth_in_sink(spark.sql(_RAS_C_SQL), _META40)
+
+
 # --- round-2 continuation focal filters -----------------------------------
 
 def _q_stdev_filter(spark, sf):
@@ -1823,6 +1858,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roberts": _q_roberts,
         "line_detection": _q_line_detection,
         "fast_gaussian": _q_fast_gaussian,
+        # --- round-2 continuation: hydro utilities ---
+        "num_inflowing": _q_num_inflowing,
+        "noflow_cells": _q_noflow_cells,
+        "fill_pits": _q_fill_pits,
+        "elev_above_stream": _q_elev_above_stream,
+        "dist_to_stream": _q_dist_to_stream,
+        "sink_id": _q_sink_id,
+        "depth_in_sink": _q_depth_in_sink,
     }
 
 
@@ -2765,6 +2808,113 @@ def _terrain2_oracles() -> dict[str, str]:
     }
 
 
+def _hydro2_oracles() -> dict[str, str]:
+    """Oracles for the round-2 continuation hydro utilities. Shares the
+    D8 pivot/edge construction with _hydro_oracles; stream-relative
+    walks are recursive CTEs over edges truncated at stream cells, with
+    EXACT integer step counters (distances multiply once at the end —
+    the same expression text the Spark operators execute)."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    offs = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8)
+    ) + ", MAX(CASE WHEN n = 8 THEN nv END) AS zc"
+    pivot = (
+        f"offs8 AS (SELECT * FROM (VALUES {offs}) o(n, dy, dx)), "
+        f"sc8 AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, a.value AS nv "
+        f"FROM ras_a a, offs8 o), "
+        f"piv AS (SELECT row, col, {piv_cols} FROM sc8 GROUP BY 1, 2), "
+        f"ptr AS (SELECT row, col, {HY.d8_pointer_value_expr(_META100)} AS value "
+        f"FROM piv WHERE zc IS NOT NULL)"
+    )
+    dirs = ", ".join(f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    edge_ctes = (
+        f"dirs AS (SELECT * FROM (VALUES {dirs}) d(code, dy, dx)), "
+        f"e AS (SELECT (p.row * 100 + p.col) AS src, "
+        f"((p.row + d.dy) * 100 + (p.col + d.dx)) AS dst, "
+        f"CAST(CASE WHEN d.dy <> 0 AND d.dx <> 0 THEN 1 ELSE 0 END AS BIGINT) AS sd, "
+        f"CAST(CASE WHEN d.dy <> 0 AND d.dx = 0 THEN 1 ELSE 0 END AS BIGINT) AS sr, "
+        f"CAST(CASE WHEN d.dy = 0 AND d.dx <> 0 THEN 1 ELSE 0 END AS BIGINT) AS sc "
+        f"FROM ptr p JOIN dirs d ON d.code = CAST(p.value AS INT) WHERE p.value > 0), "
+        f"nodes AS (SELECT row, col, (row * 100 + col) AS id FROM ptr)"
+    )
+    closure = (
+        f"reach(src, dst) AS (SELECT id, id FROM nodes UNION "
+        f"SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)"
+    )
+    streams = (
+        f"acc AS (SELECT n.id, COUNT(*) AS a FROM reach r "
+        f"JOIN nodes n ON r.dst = n.id GROUP BY 1), "
+        f"streams AS (SELECT id AS sid FROM acc WHERE a >= 5.0)"
+    )
+    # edges truncated at streams (stream cells are absorbing)
+    ens = ("ens AS (SELECT e.* FROM e LEFT JOIN streams s ON e.src = s.sid "
+           "WHERE s.sid IS NULL)")
+    walk = (
+        f"walk(src, cur, nr, nc, nd) AS ("
+        f"SELECT id, id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM nodes "
+        f"UNION SELECT w.src, ens.dst, w.nr + ens.sr, w.nc + ens.sc, w.nd + ens.sd "
+        f"FROM walk w JOIN ens ON w.cur = ens.src)"
+    )
+    term = (
+        f"t AS (SELECT w.* FROM walk w LEFT JOIN "
+        f"(SELECT DISTINCT src FROM ens) x ON w.cur = x.src WHERE x.src IS NULL)"
+    )
+    zt = "z AS (SELECT (row * 100 + col) AS id, value FROM ras_a)"
+    base_walk = (f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
+                 f"{streams}, {ens}, {walk}, {term}, {zt}")
+    diag = repr((2 * 10.0 ** 2) ** 0.5)
+
+    return {
+        "num_inflowing": (
+            f"WITH {ras_a}, {pivot}, {edge_ctes}, "
+            f"indeg AS (SELECT dst, COUNT(*) AS n_in FROM e GROUP BY 1) "
+            f"SELECT n.row, n.col, CAST(COALESCE(n_in, 0) AS DOUBLE) AS value "
+            f"FROM nodes n LEFT JOIN indeg ON n.id = indeg.dst"
+        ),
+        "noflow_cells": (
+            f"WITH {ras_a}, {pivot} SELECT row, col, "
+            f"CAST(CASE WHEN value = 0.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value "
+            f"FROM ptr"
+        ),
+        "fill_pits": (
+            f"WITH {ras_a}, {pivot} SELECT row, col, "
+            f"CASE WHEN ("
+            + " AND ".join(f"COALESCE(zn_{i} >= zc, TRUE)" for i in range(8))
+            + f") AND ("
+            + " OR ".join(f"zn_{i} IS NOT NULL" for i in range(8))
+            + f") THEN LEAST("
+            + ", ".join(f"COALESCE(zn_{i}, CAST('Infinity' AS DOUBLE))" for i in range(8))
+            + f") + 0.0001 ELSE zc END AS value FROM piv WHERE zc IS NOT NULL"
+        ),
+        "elev_above_stream": (
+            base_walk + ", "
+            f"sel AS (SELECT t.src, t.cur, n.row, n.col, "
+            f"ss.sid IS NOT NULL AS is_stream, st.sid IS NOT NULL AS reaches "
+            f"FROM t JOIN nodes n ON t.src = n.id "
+            f"LEFT JOIN streams ss ON t.src = ss.sid "
+            f"LEFT JOIN streams st ON t.cur = st.sid) "
+            f"SELECT row, col, CASE WHEN is_stream THEN 0.0 "
+            f"ELSE za.value - zb.value END AS value "
+            f"FROM sel JOIN z za ON sel.src = za.id JOIN z zb ON sel.cur = zb.id "
+            f"WHERE is_stream OR reaches"
+        ),
+        "dist_to_stream": (
+            base_walk + ", "
+            f"sel AS (SELECT t.src, t.cur, t.nr, t.nc, t.nd, n.row, n.col, "
+            f"ss.sid IS NOT NULL AS is_stream, st.sid IS NOT NULL AS reaches "
+            f"FROM t JOIN nodes n ON t.src = n.id "
+            f"LEFT JOIN streams ss ON t.src = ss.sid "
+            f"LEFT JOIN streams st ON t.cur = st.sid) "
+            f"SELECT row, col, CASE WHEN is_stream THEN 0.0 ELSE "
+            f"nr * 10.0 + nc * 10.0 + nd * {diag} END AS value "
+            f"FROM sel WHERE is_stream OR reaches"
+        ),
+    }
+
+
 def _focal3_oracles() -> dict[str, str]:
     """Oracles for the round-2 continuation focal filters. All share the
     9-cell scatter (+ center join where the rule needs z) with exact
@@ -3439,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
         **_hydro_oracles(),
         **_enhancement_oracles(),
         **_focal3_oracles(),
+        **_hydro2_oracles(),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"

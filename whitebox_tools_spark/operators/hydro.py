@@ -1265,3 +1265,161 @@ def stream_nodes(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFram
     streams.unpersist()
     e.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-2 continuation: pointer-derived utilities + stream-relative metrics
+# (hydro_analysis/{num_inflowing_neighbours,find_noflow_cells,fill_pits,
+#  elevation_above_stream,downslope_distance_to_stream,sink,depth_in_sink}.rs)
+# ---------------------------------------------------------------------------
+
+
+def num_inflowing_neighbours(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """NumInflowingNeighbours: count of D8 neighbors whose pointer drains
+    into each cell (0 where none). One pointer pass + one edge groupBy."""
+    c = meta.columns
+    ptr = d8_pointer(cells, meta)
+    nodes = ptr.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    e = d8_edges(ptr).selectExpr(f"(drow * {c}L + dcol) AS dst")
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+    return nodes.join(indeg, nodes["id"] == indeg["dst"], "left").selectExpr(
+        "row", "col", "CAST(COALESCE(n_in, 0) AS DOUBLE) AS value")
+
+
+def find_noflow_cells(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """FindNoFlowCells: 1.0 where the D8 pointer is 0 (no downslope
+    neighbor), else 0.0."""
+    return d8_pointer(cells, meta).selectExpr(
+        "row", "col",
+        "CAST(CASE WHEN value = 0.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value")
+
+
+def fill_pits(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """FillPits (hydro_analysis/fill_pits.rs:216-234): single-cell pits
+    (no valid neighbor strictly below z) are raised to the minimum
+    neighbor elevation + 0.0001; everything else passes through."""
+    piv = focal_pivot3_raw(cells)
+    no_lower = " AND ".join(f"COALESCE(zn_{i} >= zc, TRUE)" for i in range(8))
+    min_n = "LEAST(" + ", ".join(
+        f"COALESCE(zn_{i}, CAST('Infinity' AS DOUBLE))" for i in range(8)) + ")"
+    has_n = "(" + " OR ".join(f"zn_{i} IS NOT NULL" for i in range(8)) + ")"
+    return piv.selectExpr(
+        "row", "col",
+        f"CASE WHEN ({no_lower}) AND {has_n} THEN {min_n} + 0.0001 "
+        f"ELSE zc END AS value")
+
+
+def _walk_to_stream(cells: DataFrame, meta: GridMeta, threshold: float,
+                    max_doublings: int = 24) -> DataFrame:
+    """Pointer-jumping walk where stream cells (accum >= threshold) are
+    ABSORBING: per cell returns (id, row, col, term, n_row, n_col,
+    n_diag, is_stream) — term is the first stream cell on the D8 path
+    (or the path's terminal when no stream is reached), step counts are
+    exact integers (vertical / horizontal / diagonal hops), so distances
+    derived from them are bit-reproducible in any combination order."""
+    c = meta.columns
+    ptr = d8_pointer(cells, meta).persist()
+    accum = d8_flow_accumulation_tiled(cells, meta)
+    streams = accum.where(f"value >= {threshold!r}") \
+                   .selectExpr(f"(row * {c}L + col) AS sid")
+    e = d8_edges(ptr).selectExpr(
+        f"(row * {c}L + col) AS id",
+        f"(drow * {c}L + dcol) AS nxt",
+        "CAST(CASE WHEN drow <> row AND dcol <> col THEN 1 ELSE 0 END AS LONG) AS sd",
+        "CAST(CASE WHEN drow <> row AND dcol = col THEN 1 ELSE 0 END AS LONG) AS sr",
+        "CAST(CASE WHEN drow = row AND dcol <> col THEN 1 ELSE 0 END AS LONG) AS sc",
+    )
+    # stream cells are absorbing: drop their outgoing edges
+    e = e.join(streams.selectExpr("sid AS id"), "id", "left_anti")
+    nodes = ptr.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    state = nodes.join(e, "id", "left").selectExpr(
+        "id", "row", "col", "COALESCE(nxt, id) AS cur",
+        "COALESCE(sr, 0L) AS nr", "COALESCE(sc, 0L) AS nc",
+        "COALESCE(sd, 0L) AS nd",
+    ).localCheckpoint(eager=True)
+    for _ in range(max_doublings):
+        hop = state.selectExpr("id AS j_id", "cur AS j_cur",
+                               "nr AS j_nr", "nc AS j_nc", "nd AS j_nd")
+        new = state.join(hop, state["cur"] == hop["j_id"], "left").selectExpr(
+            "id", "row", "col", "cur AS __prev",
+            "COALESCE(j_cur, cur) AS cur",
+            "nr + COALESCE(j_nr, 0L) AS nr",
+            "nc + COALESCE(j_nc, 0L) AS nc",
+            "nd + COALESCE(j_nd, 0L) AS nd",
+        ).localCheckpoint(eager=True)
+        changed = new.where("cur <> __prev").count()
+        state = new.drop("__prev")
+        if changed == 0:
+            break
+    else:
+        ensure_converged(changed, "_walk_to_stream doubling", max_doublings)
+    out = state.join(streams.selectExpr("sid AS cur", "1 AS __term_stream"),
+                     "cur", "left") \
+               .join(streams.selectExpr("sid AS id", "1 AS __self_stream"),
+                     "id", "left") \
+               .selectExpr(
+                   "id", "row", "col", "cur AS term", "nr", "nc", "nd",
+                   "COALESCE(__self_stream, 0) = 1 AS is_stream",
+                   "COALESCE(__term_stream, 0) = 1 AS reaches_stream")
+    ptr.unpersist()
+    return out
+
+
+def elevation_above_stream(cells: DataFrame, meta: GridMeta,
+                           threshold: float) -> DataFrame:
+    """ElevationAboveStream / HAND (hydro_analysis/elevation_above_stream
+    .rs, Renno 2008): z - z(first stream cell on the D8 flow path);
+    stream cells are 0; cells whose path never reaches a stream emit no
+    row (the reference assigns nodata)."""
+    c = meta.columns
+    walk = _walk_to_stream(cells, meta, threshold)
+    z = cells.selectExpr(f"(row * {c}L + col) AS zid", "value AS z")
+    out = (
+        walk.where("is_stream OR reaches_stream")
+        .join(z, F.col("id") == F.col("zid"))
+        .join(z.selectExpr("zid AS tid", "z AS tz"), F.col("term") == F.col("tid"))
+        .selectExpr("row", "col",
+                    "CASE WHEN is_stream THEN 0.0 ELSE z - tz END AS value")
+    )
+    return out
+
+
+def downslope_distance_to_stream(cells: DataFrame, meta: GridMeta,
+                                 threshold: float) -> DataFrame:
+    """DownslopeDistanceToStream: map-unit distance along the D8 path to
+    the first stream cell; stream cells are 0. Distance is computed ONCE
+    from the exact integer step counts (n_vert * res_y + n_horiz * res_x
+    + n_diag * diag) — bit-reproducible and oracle-portable."""
+    diag = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    walk = _walk_to_stream(cells, meta, threshold)
+    return (
+        walk.where("is_stream OR reaches_stream")
+        .selectExpr(
+            "row", "col",
+            f"CASE WHEN is_stream THEN 0.0 ELSE "
+            f"nr * {meta.resolution_y!r} + nc * {meta.resolution_x!r} "
+            f"+ nd * {diag!r} END AS value")
+    )
+
+
+def sink(cells: DataFrame, meta: GridMeta, max_rounds: int = 128) -> DataFrame:
+    """Sink (hydro_analysis/sink.rs): FillDepressions, then Clump over
+    the modified cells — each depression gets a unique positive id
+    (numbered by row-major representative like clump)."""
+    from .clump import clump
+
+    filled = fill_depressions(cells, meta, max_rounds=max_rounds)
+    orig = cells.selectExpr("row", "col", "value AS z0")
+    modified = filled.join(orig, ["row", "col"]).where("value > z0") \
+                     .selectExpr("row", "col", "1.0 AS value")
+    return clump(modified, columns=meta.columns, diag=True)
+
+
+def depth_in_sink(cells: DataFrame, meta: GridMeta,
+                  max_rounds: int = 128) -> DataFrame:
+    """DepthInSink: filled - original elevation inside depressions, 0
+    elsewhere."""
+    filled = fill_depressions(cells, meta, max_rounds=max_rounds)
+    orig = cells.selectExpr("row", "col", "value AS z0")
+    return filled.join(orig, ["row", "col"]).selectExpr(
+        "row", "col", "value - z0 AS value")
