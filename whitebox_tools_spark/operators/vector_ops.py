@@ -538,3 +538,127 @@ def box_metrics(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
                              "rc_circle": rcc})
 
     return staged.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 continuation: line editing, vector-grid generators, footprints
+# (gis_analysis/{extend_vector_lines,create_rectangular_vector_grid,
+#  create_hexagonal_vector_grid,radius_of_gyration}.rs,
+#  lidar_analysis/lidar_tile_footprint.rs)
+# ---------------------------------------------------------------------------
+
+
+def extend_vector_lines(features: DataFrame, dist: float,
+                        mode: str = "both ends",
+                        id_col: str = "shape_id") -> DataFrame:
+    """ExtendVectorLines (gis_analysis/extend_vector_lines.rs): push the
+    first and/or last vertex of every part outward by `dist` along its
+    end-segment direction. Parts are treated as open polylines. The
+    extension is x +/- dist * dx/len — division and SQRT only, so the
+    result is oracle-portable."""
+    ext_start = mode in ("both ends", "line start")
+    ext_end = mode in ("both ends", "line end")
+    d = repr(dist)
+
+    def _shift(pt, a, b):
+        # point pt moved by dist along the (a -> b) direction
+        ln = (f"SQRT(({b}.x - {a}.x) * ({b}.x - {a}.x) + "
+              f"({b}.y - {a}.y) * ({b}.y - {a}.y))")
+        return (f"STRUCT({pt}.x + {d} * ({b}.x - {a}.x) / {ln} AS x, "
+                f"{pt}.y + {d} * ({b}.y - {a}.y) / {ln} AS y)")
+
+    first = "ELEMENT_AT(p.ring, 1)"
+    second = "ELEMENT_AT(p.ring, 2)"
+    last = "ELEMENT_AT(p.ring, SIZE(p.ring))"
+    pen = "ELEMENT_AT(p.ring, SIZE(p.ring) - 1)"
+    head = (_shift(first, second, first) if ext_start else first)
+    tail = (_shift(last, pen, last) if ext_end else last)
+    expr = (
+        "TRANSFORM(parts, p -> STRUCT(p.part_idx AS part_idx, p.is_hole AS is_hole, "
+        f"CONCAT(ARRAY({head}), "
+        "SLICE(p.ring, 2, GREATEST(SIZE(p.ring) - 2, 0)), "
+        f"ARRAY({tail})) AS ring))"
+    )
+    return features.selectExpr(id_col, f"{expr} AS parts")
+
+
+def create_rectangular_vector_grid(spark, min_x: float, min_y: float,
+                                   max_x: float, max_y: float,
+                                   width: float, height: float) -> DataFrame:
+    """CreateRectangularVectorGrid: one closed CCW rect ring per grid
+    cell covering the extent, anchored at (min_x, min_y); fid is
+    row-major (gis_analysis/create_rectangular_vector_grid.rs
+    semantics). Generated distributively from spark.range."""
+    import math as _m
+
+    ncols = int(_m.ceil((max_x - min_x) / width))
+    nrows = int(_m.ceil((max_y - min_y) / height))
+    return spark.range(nrows * ncols).selectExpr(
+        "id AS fid",
+        f"CAST(id DIV {ncols} AS BIGINT) AS grid_row",
+        f"CAST(id % {ncols} AS BIGINT) AS grid_col",
+        f"CAST({min_x!r} + (id % {ncols}) * {width!r} AS DOUBLE) AS xmin",
+        f"CAST({min_y!r} + (id DIV {ncols}) * {height!r} AS DOUBLE) AS ymin",
+        f"CAST({min_x!r} + (id % {ncols} + 1) * {width!r} AS DOUBLE) AS xmax",
+        f"CAST({min_y!r} + (id DIV {ncols} + 1) * {height!r} AS DOUBLE) AS ymax",
+    )
+
+
+def create_hexagonal_vector_grid(spark, min_x: float, min_y: float,
+                                 max_x: float, max_y: float,
+                                 width: float) -> DataFrame:
+    """CreateHexagonalVectorGrid: pointy-top hex centers on the offset
+    lattice the hex-binning operator uses (tiling.HexGrid math —
+    create_hexagonal_vector_grid.rs shares it); emits center + the six
+    vertex coordinates. half_width = width/2, vert_y = height/4
+    spacing."""
+    import math as _m
+
+    half = width / 2.0
+    size = half / (_m.sqrt(3.0) / 2.0)  # circumradius
+    vstep = 1.5 * size
+    ncols = int(_m.ceil((max_x - min_x) / width)) + 1
+    nrows = int(_m.ceil((max_y - min_y) / vstep)) + 1
+    cx = (f"CAST({min_x!r} + (id % {ncols}) * {width!r} + "
+          f"CASE WHEN (id DIV {ncols}) % 2 = 1 THEN {half!r} ELSE 0.0 END AS DOUBLE)")
+    cy = f"CAST({min_y!r} + (id DIV {ncols}) * {vstep!r} AS DOUBLE)"
+    sel = ["id AS fid", f"{cx} AS cx", f"{cy} AS cy"]
+    for i in range(6):
+        ang = _m.pi / 180.0 * (60.0 * i - 30.0)
+        sel.append(f"CAST(({cx}) + {size * _m.cos(ang)!r} AS DOUBLE) AS vx_{i}")
+        sel.append(f"CAST(({cy}) + {size * _m.sin(ang)!r} AS DOUBLE) AS vy_{i}")
+    return spark.range(nrows * ncols).selectExpr(*sel)
+
+
+def lidar_tile_footprint(points: DataFrame,
+                         group_col: str = "source_file") -> DataFrame:
+    """LidarTileFootprint (lidar_analysis/lidar_tile_footprint.rs,
+    rectangular hull variant): per tile/file bounding box + point
+    count."""
+    return points.groupBy(group_col).agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        F.count(F.lit(1)).alias("num_points"),
+    )
+
+
+def radius_of_gyration(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """RadiusOfGyration (gis_analysis/radius_of_gyration.rs semantics,
+    vertex form): sqrt(mean squared distance of the part vertices from
+    their mean center). Computed as SEQUENTIAL in-expression folds over
+    the ring arrays (closing vertices dropped) so every double is
+    order-deterministic and oracle-portable — a groupBy SUM of
+    non-integer coordinates would not be."""
+    verts = "FLATTEN(TRANSFORM(parts, p -> SLICE(p.ring, 1, SIZE(p.ring) - 1)))"
+    n = f"CAST(SIZE({verts}) AS DOUBLE)"
+
+    def fold(term):
+        return (f"AGGREGATE({verts}, CAST(0.0 AS DOUBLE), "
+                f"(acc, v) -> acc + {term})")
+
+    sx, sy = fold("v.x"), fold("v.y")
+    sxx, syy = fold("v.x * v.x"), fold("v.y * v.y")
+    return features.selectExpr(
+        id_col,
+        f"SQRT((({sxx}) - ({sx}) * ({sx}) / {n} + ({syy}) - ({sy}) * ({sy}) / {n}) "
+        f"/ {n}) AS rog")
