@@ -928,6 +928,72 @@ def _q_percent_elev_range(spark, sf):
     return FO.percent_elev_range(_ras(spark, sf, "a"))
 
 
+# --- round-2 continuation vector ops ---------------------------------------
+
+def _q_extend_lines(spark, sf):
+    ext = VO.extend_vector_lines(_shapes(spark, sf), dist=3.0, mode="both ends")
+    return VO.extract_nodes(ext)
+
+
+def _q_rect_grid(spark, sf):
+    return VO.create_rectangular_vector_grid(spark, 0.0, 0.0, 1000.01, 1000.01,
+                                             64.0, 64.0)
+
+
+def _q_hex_grid_gen(spark, sf):
+    return VO.create_hexagonal_vector_grid(spark, 0.0, 0.0, 500.0, 500.0, 80.0)
+
+
+def _q_tile_footprint(spark, sf):
+    pts = _points(spark, sf).selectExpr("record_num % 16 AS tile", "x", "y")
+    return VO.lidar_tile_footprint(pts, group_col="tile")
+
+
+def _q_rog(spark, sf):
+    return VO.radius_of_gyration(_shapes(spark, sf))
+
+
+# --- round-2 continuation stream-network tail ------------------------------
+
+def _q_dist_to_outlet(spark, sf):
+    return HY.distance_to_outlet(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_farthest_head(spark, sf):
+    return HY.farthest_channel_head(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_tributary_id(spark, sf):
+    return HY.tributary_id(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_topo_stream_order(spark, sf):
+    return HY.topological_stream_order(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_total_length_channels(spark, sf):
+    return HY.total_length_channels(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_stream_link_class(spark, sf):
+    return HY.stream_link_class(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_remove_short_streams(spark, sf):
+    return HY.remove_short_streams(_ras_c(spark, sf), _META40C, 4.0, 45.0)
+
+
+def _q_hack_order(spark, sf):
+    """Main-stem selection is a procedural top-down DAG propagation —
+    rows-only + pytest network parity."""
+    return HY.hack_order(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_horton_order(spark, sf):
+    """Same propagation machinery as hack — rows-only + pytest."""
+    return HY.horton_order(_ras_c(spark, sf), _META40C, 4.0)
+
+
 # --- round-2 continuation hydro utilities ---------------------------------
 
 def _q_num_inflowing(spark, sf):
@@ -943,11 +1009,11 @@ def _q_fill_pits(spark, sf):
 
 
 def _q_elev_above_stream(spark, sf):
-    return HY.elevation_above_stream(_ras(spark, sf, "a"), _META100, 5.0)
+    return HY.elevation_above_stream(_ras_c(spark, sf), _META40C, 4.0)
 
 
 def _q_dist_to_stream(spark, sf):
-    return HY.downslope_distance_to_stream(_ras(spark, sf, "a"), _META100, 5.0)
+    return HY.downslope_distance_to_stream(_ras_c(spark, sf), _META40C, 4.0)
 
 
 def _q_sink_id(spark, sf):
@@ -1338,6 +1404,29 @@ def _q_geotiff_roundtrip(spark, sf):
         FF.write_geotiff(_ras(spark, sf, "a"), _META100, pth, compress=True)
         cells, _meta = FF.read_geotiff(spark, pth)
         rows = cells.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "row long, col long, value double")
+
+
+def _q_grid_format_roundtrip(spark, sf):
+    """Chain the round-2 grid connectors: ras_a -> Surfer ASCII ->
+    Whitebox .dep/.tas (double) -> ESRI .flt/.hdr is lossy (f32), so the
+    chain stops at the lossless formats; oracle = the original raster
+    SQL. A hash match proves every write->read cycle is
+    value-preserving."""
+    import shutil
+    import tempfile
+
+    from whitebox_tools_spark.sources import formats as FF
+
+    d = tempfile.mkdtemp(prefix="wbt_grid_")
+    try:
+        FF.write_surfer_ascii(_ras(spark, sf, "a"), _META100, f"{d}/a.grd")
+        mid, meta = FF.read_surfer_ascii(spark, f"{d}/a.grd")
+        FF.write_whitebox(mid, meta, f"{d}/b", data_type="double")
+        final, _m = FF.read_whitebox(spark, f"{d}/b")
+        rows = final.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "row long, col long, value double")
@@ -1866,6 +1955,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_to_stream": _q_dist_to_stream,
         "sink_id": _q_sink_id,
         "depth_in_sink": _q_depth_in_sink,
+        # --- round-2 continuation: stream-network tail ---
+        "dist_to_outlet": _q_dist_to_outlet,
+        "farthest_head": _q_farthest_head,
+        "tributary_id": _q_tributary_id,
+        "topo_stream_order": _q_topo_stream_order,
+        "total_length_channels": _q_total_length_channels,
+        "stream_link_class": _q_stream_link_class,
+        "remove_short_streams": _q_remove_short_streams,
+        "hack_order": _q_hack_order,
+        "horton_order": _q_horton_order,
+        "grid_format_roundtrip": _q_grid_format_roundtrip,
+        # --- round-2 continuation: vector ops ---
+        "extend_lines": _q_extend_lines,
+        "rog": _q_rog,
+        "rect_grid": _q_rect_grid,
+        "hex_grid_gen": _q_hex_grid_gen,
+        "tile_footprint": _q_tile_footprint,
     }
 
 
@@ -2209,16 +2315,16 @@ def _hydro_oracles() -> dict[str, str]:
         f"sc8 AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, a.value AS nv "
         f"FROM ras_a a, offs8 o), "
         f"piv AS (SELECT row, col, {piv_cols} FROM sc8 GROUP BY 1, 2), "
-        f"ptr AS (SELECT row, col, {HY.d8_pointer_value_expr(_META100)} AS value "
+        f"ptr AS MATERIALIZED (SELECT row, col, {HY.d8_pointer_value_expr(_META100)} AS value "
         f"FROM piv WHERE zc IS NOT NULL)"
     )
     dirs = ", ".join(f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
     edge_ctes = (
         f"dirs AS (SELECT * FROM (VALUES {dirs}) d(code, dy, dx)), "
-        f"e AS (SELECT (p.row * 100 + p.col) AS src, "
+        f"e AS MATERIALIZED (SELECT (p.row * 100 + p.col) AS src, "
         f"((p.row + d.dy) * 100 + (p.col + d.dx)) AS dst "
         f"FROM ptr p JOIN dirs d ON d.code = CAST(p.value AS INT) WHERE p.value > 0), "
-        f"nodes AS (SELECT row, col, (row * 100 + col) AS id FROM ptr)"
+        f"nodes AS MATERIALIZED (SELECT row, col, (row * 100 + col) AS id FROM ptr)"
     )
     closure = (
         f"{edge_ctes}, "
@@ -2460,6 +2566,7 @@ def _overlay2_oracles() -> dict[str, str]:
             "FROM range(0, 16)"
         ),
         "geotiff_roundtrip": _RAS_A_SQL,
+        "grid_format_roundtrip": _RAS_A_SQL,
         # ESRI shell orientation: the reader returns the CW-reversed rect
         # ring p0, p3, p2, p1, p0
         "shapefile_roundtrip": (
@@ -2808,6 +2915,92 @@ def _terrain2_oracles() -> dict[str, str]:
     }
 
 
+def _vector2_oracles() -> dict[str, str]:
+    """Oracles for the round-2 continuation vector ops. Rings use the
+    same derived-coordinate literals as the other shape oracles; folds
+    mirror the Spark AGGREGATE text with list_reduce/list_prepend."""
+    base = f"base AS ({_SHAPES_BASE})"
+    rings = (f"WITH {base}, "
+             f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+             f"ELSE {_DIAM_DUCK} END AS ring FROM base)")
+
+    d = "3.0"
+
+    def shift(pt, a, b, axis):
+        ln = (f"SQRT(({b}.x - {a}.x) * ({b}.x - {a}.x) + "
+              f"({b}.y - {a}.y) * ({b}.y - {a}.y))")
+        return f"{pt}.{axis} + {d} * ({b}.{axis} - {a}.{axis}) / {ln}"
+
+    hx = shift("ring[1]", "ring[2]", "ring[1]", "x")
+    hy = shift("ring[1]", "ring[2]", "ring[1]", "y")
+    tx_ = shift("ring[5]", "ring[4]", "ring[5]", "x")
+    ty_ = shift("ring[5]", "ring[4]", "ring[5]", "y")
+    extend = (
+        rings + " SELECT shape_id, CAST(0 AS INT) AS part_idx, "
+        "CAST(i - 1 AS INT) AS node_idx, "
+        f"CASE WHEN i = 1 THEN {hx} WHEN i = 5 THEN {tx_} ELSE ring[i].x END AS x, "
+        f"CASE WHEN i = 1 THEN {hy} WHEN i = 5 THEN {ty_} ELSE ring[i].y END AS y "
+        "FROM rs JOIN (VALUES (1), (2), (3), (4), (5)) v(i) ON TRUE"
+    )
+
+    verts = "list_slice(ring, 1, len(ring) - 1)"
+    n = f"CAST(len({verts}) AS DOUBLE)"
+
+    def fold(term):
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform({verts}, v -> {term})), (acc, v) -> acc + v)")
+
+    sx, sy = fold("v.x"), fold("v.y")
+    sxx, syy = fold("v.x * v.x"), fold("v.y * v.y")
+    rog = (
+        rings + f" SELECT shape_id, SQRT((({sxx}) - ({sx}) * ({sx}) / {n} "
+        f"+ ({syy}) - ({sy}) * ({sy}) / {n}) / {n}) AS rog FROM rs"
+    )
+
+    ncols_r = int(__import__("math").ceil(1000.01 / 64.0))
+    nrows_r = int(__import__("math").ceil(1000.01 / 64.0))
+    rect_grid = (
+        f"SELECT range AS fid, "
+        f"CAST(range // {ncols_r} AS BIGINT) AS grid_row, "
+        f"CAST(range % {ncols_r} AS BIGINT) AS grid_col, "
+        f"CAST(0.0 + (range % {ncols_r}) * 64.0 AS DOUBLE) AS xmin, "
+        f"CAST(0.0 + (range // {ncols_r}) * 64.0 AS DOUBLE) AS ymin, "
+        f"CAST(0.0 + (range % {ncols_r} + 1) * 64.0 AS DOUBLE) AS xmax, "
+        f"CAST(0.0 + (range // {ncols_r} + 1) * 64.0 AS DOUBLE) AS ymax "
+        f"FROM range(0, {nrows_r * ncols_r})"
+    )
+
+    import math as _m
+    half, width, vstep = 40.0, 80.0, 1.5 * (40.0 / (_m.sqrt(3.0) / 2.0))
+    size = 40.0 / (_m.sqrt(3.0) / 2.0)
+    ncols_h = int(_m.ceil(500.0 / width)) + 1
+    nrows_h = int(_m.ceil(500.0 / vstep)) + 1
+    hcx = (f"CAST(0.0 + (range % {ncols_h}) * {width!r} + "
+           f"CASE WHEN (range // {ncols_h}) % 2 = 1 THEN {half!r} ELSE 0.0 END AS DOUBLE)")
+    hcy = f"CAST(0.0 + (range // {ncols_h}) * {vstep!r} AS DOUBLE)"
+    hsel = ["range AS fid", f"{hcx} AS cx", f"{hcy} AS cy"]
+    for i in range(6):
+        ang = _m.pi / 180.0 * (60.0 * i - 30.0)
+        hsel.append(f"CAST(({hcx}) + {size * _m.cos(ang)!r} AS DOUBLE) AS vx_{i}")
+        hsel.append(f"CAST(({hcy}) + {size * _m.sin(ang)!r} AS DOUBLE) AS vy_{i}")
+    hex_grid = f"SELECT {', '.join(hsel)} FROM range(0, {nrows_h * ncols_h})"
+
+    footprint = (
+        f"WITH pts AS ({_PTS_SQL}) "
+        f"SELECT record_num % 16 AS tile, MIN(x) AS min_x, MAX(x) AS max_x, "
+        f"MIN(y) AS min_y, MAX(y) AS max_y, COUNT(*) AS num_points "
+        f"FROM pts GROUP BY 1"
+    )
+
+    return {
+        "extend_lines": extend,
+        "rog": rog,
+        "rect_grid": rect_grid,
+        "hex_grid_gen": hex_grid,
+        "tile_footprint": footprint,
+    }
+
+
 def _hydro2_oracles() -> dict[str, str]:
     """Oracles for the round-2 continuation hydro utilities. Shares the
     D8 pivot/edge construction with _hydro_oracles; stream-relative
@@ -2832,7 +3025,7 @@ def _hydro2_oracles() -> dict[str, str]:
     dirs = ", ".join(f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
     edge_ctes = (
         f"dirs AS (SELECT * FROM (VALUES {dirs}) d(code, dy, dx)), "
-        f"e AS (SELECT (p.row * 100 + p.col) AS src, "
+        f"e AS MATERIALIZED (SELECT (p.row * 100 + p.col) AS src, "
         f"((p.row + d.dy) * 100 + (p.col + d.dx)) AS dst, "
         f"CAST(CASE WHEN d.dy <> 0 AND d.dx <> 0 THEN 1 ELSE 0 END AS BIGINT) AS sd, "
         f"CAST(CASE WHEN d.dy <> 0 AND d.dx = 0 THEN 1 ELSE 0 END AS BIGINT) AS sr, "
@@ -2865,7 +3058,7 @@ def _hydro2_oracles() -> dict[str, str]:
     zt = "z AS (SELECT (row * 100 + col) AS id, value FROM ras_a)"
     base_walk = (f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
                  f"{streams}, {ens}, {walk}, {term}, {zt}")
-    diag = repr((2 * 10.0 ** 2) ** 0.5)
+    diag = repr((2 * 10.0 ** 2) ** 0.5) + "e0"
 
     return {
         "num_inflowing": (
@@ -2889,8 +3082,214 @@ def _hydro2_oracles() -> dict[str, str]:
             + ", ".join(f"COALESCE(zn_{i}, CAST('Infinity' AS DOUBLE))" for i in range(8))
             + f") + 0.0001 ELSE zc END AS value FROM piv WHERE zc IS NOT NULL"
         ),
+    }
+
+
+def _stream2_oracles() -> dict[str, str]:
+    """Oracles for the stream-network tail + oracle upgrades for the
+    previously rows-only stream queries (shreve, stream_link,
+    stream_nodes, stream_link_metrics) and the stream-relative hydro
+    walks. All walks carry exact integer step counters; distances
+    multiply once with the same expression text the Spark operators
+    use. Built over the 40x40 gate raster (_RAS_C / _META40C) so the
+    recursive closures stay cheap in the driver gate."""
+    W = 40
+    ras_a = f"ras_a AS ({_RAS_C_SQL})"
+    offs = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8)
+    ) + ", MAX(CASE WHEN n = 8 THEN nv END) AS zc"
+    pivot = (
+        f"offs8 AS (SELECT * FROM (VALUES {offs}) o(n, dy, dx)), "
+        f"sc8 AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, a.value AS nv "
+        f"FROM ras_a a, offs8 o), "
+        f"piv AS (SELECT row, col, {piv_cols} FROM sc8 GROUP BY 1, 2), "
+        f"ptr AS MATERIALIZED (SELECT row, col, {HY.d8_pointer_value_expr(_META40C)} AS value "
+        f"FROM piv WHERE zc IS NOT NULL)"
+    )
+    dirs = ", ".join(f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    edge_ctes = (
+        f"dirs AS (SELECT * FROM (VALUES {dirs}) d(code, dy, dx)), "
+        f"e AS MATERIALIZED (SELECT (p.row * {W} + p.col) AS src, "
+        f"((p.row + d.dy) * {W} + (p.col + d.dx)) AS dst, "
+        f"CAST(CASE WHEN d.dy <> 0 AND d.dx <> 0 THEN 1 ELSE 0 END AS BIGINT) AS sd, "
+        f"CAST(CASE WHEN d.dy <> 0 AND d.dx = 0 THEN 1 ELSE 0 END AS BIGINT) AS sr, "
+        f"CAST(CASE WHEN d.dy = 0 AND d.dx <> 0 THEN 1 ELSE 0 END AS BIGINT) AS sc "
+        f"FROM ptr p JOIN dirs d ON d.code = CAST(p.value AS INT) WHERE p.value > 0), "
+        f"nodes AS MATERIALIZED (SELECT row, col, (row * {W} + col) AS id FROM ptr)"
+    )
+    closure = (
+        f"reach(src, dst) AS (SELECT id, id FROM nodes UNION "
+        f"SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)"
+    )
+    streams = (
+        f"acc AS MATERIALIZED (SELECT n.id, COUNT(*) AS a FROM reach r "
+        f"JOIN nodes n ON r.dst = n.id GROUP BY 1), "
+        f"streams AS MATERIALIZED (SELECT id AS sid FROM acc WHERE a >= 4.0)"
+    )
+    # stream->stream edges + junction flags + node classification.
+    # MATERIALIZED is load-bearing: a recursive CTE's step re-evaluates
+    # every non-materialized CTE it references on EACH iteration — with
+    # the accumulation closure upstream that turns a 3 s oracle into
+    # 250 s. (DuckDB-only text; the Spark side never sees it.)
+    se = (
+        f"se0 AS MATERIALIZED (SELECT e.* FROM e JOIN streams a ON e.src = a.sid "
+        f"JOIN streams b ON e.dst = b.sid), "
+        f"sind AS MATERIALIZED (SELECT dst, COUNT(*) AS n_in FROM se0 GROUP BY 1), "
+        f"se AS MATERIALIZED (SELECT se0.*, "
+        f"CAST(CASE WHEN sind.n_in >= 2 THEN 1 ELSE 0 END AS BIGINT) AS nb "
+        f"FROM se0 JOIN sind ON se0.dst = sind.dst), "
+        f"heads AS MATERIALIZED (SELECT sid AS h FROM streams "
+        f"WHERE sid NOT IN (SELECT dst FROM se0)), "
+        f"outlets AS MATERIALIZED (SELECT sid AS t FROM streams "
+        f"WHERE sid NOT IN (SELECT src FROM se0))"
+    )
+    prelude = (f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
+               f"{streams}, {se}")
+    diag = repr((2 * 10.0 ** 2) ** 0.5) + "e0"
+    lexp = (f"(CAST(nr AS DOUBLE) * 10.0 + CAST(nc AS DOUBLE) * 10.0 "
+            f"+ CAST(nd AS DOUBLE) * {diag})")
+    # downstream walk from every stream cell to its outlet
+    swalk = (
+        "swalk(src, cur, nr, nc, nd, nb) AS ("
+        "SELECT sid, sid, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT) FROM streams "
+        "UNION SELECT w.src, se.dst, w.nr + se.sr, w.nc + se.sc, w.nd + se.sd, "
+        "w.nb + se.nb FROM swalk w JOIN se ON w.cur = se.src)"
+    )
+    # upstream walk from heads (tree: unique path head -> cell)
+    hwalk = (
+        "hwalk(h, cur, nr, nc, nd) AS ("
+        "SELECT h, h, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM heads "
+        "UNION SELECT w.h, se.dst, w.nr + se.sr, w.nc + se.sc, w.nd + se.sd "
+        "FROM hwalk w JOIN se ON w.cur = se.src)"
+    )
+    cellrc = f"c AS (SELECT sid, sid // {W} AS row, sid % {W} AS col FROM streams)"
+
+    # link components: chain edges (dst not junction-fed), undirected closure
+    links = (
+        "chain AS MATERIALIZED (SELECT src, dst FROM se WHERE nb = 0), "
+        "und AS MATERIALIZED (SELECT src AS a, dst AS b FROM chain UNION ALL "
+        "SELECT dst AS a, src AS b FROM chain), "
+        "comp(a, b) AS (SELECT sid, sid FROM streams UNION "
+        "SELECT c.a, u.b FROM comp c JOIN und u ON c.b = u.a), "
+        "lbl AS (SELECT a AS id, MIN(b) AS lbl FROM comp GROUP BY 1)"
+    )
+
+    return {
+        "dist_to_outlet": (
+            prelude + f", {swalk}, {cellrc}, "
+            f"t AS (SELECT w.* FROM swalk w JOIN outlets o ON w.cur = o.t) "
+            f"SELECT c.row, c.col, {lexp} AS value "
+            f"FROM t JOIN c ON t.src = c.sid"
+        ),
+        "farthest_head": (
+            prelude + f", {hwalk}, {cellrc}, "
+            f"rk AS (SELECT cur, nr, nc, nd, ROW_NUMBER() OVER (PARTITION BY cur "
+            f"ORDER BY ({lexp}) DESC, h) AS r FROM hwalk) "
+            f"SELECT c.row, c.col, {lexp} AS value "
+            f"FROM rk JOIN c ON rk.cur = c.sid WHERE r = 1"
+        ),
+        "tributary_id": (
+            prelude + f", {hwalk}, {cellrc}, "
+            f"rk AS (SELECT cur, h, ROW_NUMBER() OVER (PARTITION BY cur "
+            f"ORDER BY ({lexp}) DESC, h) AS r FROM hwalk), "
+            f"win AS (SELECT cur, h FROM rk WHERE r = 1), "
+            f"ids AS (SELECT h, DENSE_RANK() OVER (ORDER BY h) AS trib_id "
+            f"FROM (SELECT DISTINCT h FROM win)) "
+            f"SELECT c.row, c.col, CAST(ids.trib_id AS DOUBLE) AS value "
+            f"FROM win JOIN ids USING (h) JOIN c ON win.cur = c.sid"
+        ),
+        "topo_stream_order": (
+            prelude + f", {swalk}, {cellrc}, "
+            f"t AS (SELECT w.* FROM swalk w JOIN outlets o ON w.cur = o.t) "
+            f"SELECT c.row, c.col, CAST(1 + t.nb AS DOUBLE) AS value "
+            f"FROM t JOIN c ON t.src = c.sid"
+        ),
+        "total_length_channels": (
+            prelude + " SELECT CAST(SUM(sr) AS DOUBLE) * 10.0 + "
+            f"CAST(SUM(sc) AS DOUBLE) * 10.0 + "
+            f"CAST(SUM(sd) AS DOUBLE) * {diag} AS total_length FROM se"
+        ),
+        "stream_link_class": (
+            prelude + f", {links}, {cellrc}, "
+            f"node AS (SELECT s.sid, CASE "
+            f"WHEN s.sid IN (SELECT t FROM outlets) THEN 5 "
+            f"WHEN s.sid IN (SELECT dst FROM sind WHERE n_in >= 2) THEN 4 "
+            f"WHEN s.sid IN (SELECT h FROM heads) THEN 3 ELSE 0 END AS nk "
+            f"FROM streams s), "
+            f"ext AS (SELECT DISTINCT l.lbl FROM lbl l JOIN heads ON l.id = heads.h) "
+            f"SELECT c.row, c.col, CAST(CASE WHEN node.nk > 0 THEN node.nk "
+            f"WHEN lbl.lbl IN (SELECT lbl FROM ext) THEN 1 ELSE 2 END AS DOUBLE) AS value "
+            f"FROM node JOIN lbl ON node.sid = lbl.id JOIN c ON node.sid = c.sid"
+        ),
+        "remove_short_streams": (
+            prelude + f", {links}, {cellrc}, "
+            f"ext AS (SELECT DISTINCT l.lbl FROM lbl l JOIN heads ON l.id = heads.h), "
+            f"inl AS (SELECT la.lbl, SUM(se.sr) AS nr, SUM(se.sc) AS nc, SUM(se.sd) AS nd "
+            f"FROM se JOIN lbl la ON se.src = la.id JOIN lbl lb ON se.dst = lb.id "
+            f"WHERE la.lbl = lb.lbl GROUP BY 1), "
+            f"short AS (SELECT ext.lbl FROM ext LEFT JOIN inl ON ext.lbl = inl.lbl "
+            f"WHERE inl.lbl IS NULL OR ({lexp}) < 45.0) "
+            f"SELECT c.row, c.col, 1.0 AS value FROM lbl JOIN c ON lbl.id = c.sid "
+            f"WHERE lbl.lbl NOT IN (SELECT lbl FROM short)"
+        ),
+        # --- oracle upgrades for previously rows-only queries ---
+        "shreve": (
+            prelude + f", {hwalk}, {cellrc} "
+            f"SELECT c.row, c.col, CAST(COUNT(*) AS DOUBLE) AS value "
+            f"FROM hwalk w JOIN c ON w.cur = c.sid GROUP BY 1, 2"
+        ),
+        "stream_nodes": (
+            prelude + f", {cellrc} "
+            f"SELECT c.row, c.col, CAST(CASE "
+            f"WHEN s.sid IN (SELECT t FROM outlets) THEN 3 "
+            f"WHEN s.sid IN (SELECT dst FROM sind WHERE n_in >= 2) THEN 2 "
+            f"WHEN s.sid IN (SELECT h FROM heads) THEN 1 ELSE 0 END AS INT) AS kind "
+            f"FROM streams s JOIN c ON s.sid = c.sid "
+            f"WHERE s.sid IN (SELECT t FROM outlets) "
+            f"OR s.sid IN (SELECT dst FROM sind WHERE n_in >= 2) "
+            f"OR s.sid IN (SELECT h FROM heads)"
+        ),
+        "stream_link": (
+            prelude + f", {links}, {cellrc}, "
+            f"ids AS (SELECT lbl AS l2, DENSE_RANK() OVER (ORDER BY lbl) AS link_id "
+            f"FROM (SELECT DISTINCT lbl FROM lbl)) "
+            f"SELECT c.row, c.col, CAST(ids.link_id AS DOUBLE) AS value "
+            f"FROM lbl JOIN ids ON lbl.lbl = ids.l2 JOIN c ON lbl.id = c.sid"
+        ),
+        "stream_link_metrics": (
+            prelude + f", {links}, "
+            f"ids AS (SELECT lbl AS l2, DENSE_RANK() OVER (ORDER BY lbl) AS link_id "
+            f"FROM (SELECT DISTINCT lbl FROM lbl)), "
+            f"z AS (SELECT (row * {W} + col) AS id, value FROM ras_a), "
+            f"st AS (SELECT l.lbl, COUNT(*) AS n_cells, MIN(z.value) AS zmin, "
+            f"MAX(z.value) AS zmax FROM lbl l JOIN z ON l.id = z.id GROUP BY 1), "
+            f"inl AS (SELECT la.lbl, SUM(se.sr) AS nr, SUM(se.sc) AS nc, SUM(se.sd) AS nd "
+            f"FROM se JOIN lbl la ON se.src = la.id JOIN lbl lb ON se.dst = lb.id "
+            f"WHERE la.lbl = lb.lbl GROUP BY 1), "
+            f"m AS (SELECT st.lbl, st.n_cells, st.zmin, st.zmax, "
+            f"CASE WHEN inl.lbl IS NULL THEN 0.0 ELSE ({lexp}) END AS length "
+            f"FROM st LEFT JOIN inl ON st.lbl = inl.lbl) "
+            f"SELECT CAST(ids.link_id AS BIGINT) AS link_id, "
+            f"CAST(n_cells AS BIGINT) AS n_cells, ROUND(length, 6) AS length, "
+            f"ROUND(CASE WHEN length > 0.0 THEN (zmax - zmin) / length * 100.0 "
+            f"ELSE 0.0 END, 6) AS slope_pct "
+            f"FROM m JOIN ids ON m.lbl = ids.l2"
+        ),
+        # --- stream-relative hydro walks (moved to the 40x40 gate) ---
         "elev_above_stream": (
-            base_walk + ", "
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
+            f"{streams}, "
+            f"ens AS MATERIALIZED (SELECT e.* FROM e LEFT JOIN streams s ON e.src = s.sid "
+            f"WHERE s.sid IS NULL), "
+            f"walk(src, cur) AS (SELECT id, id FROM nodes "
+            f"UNION SELECT w.src, ens.dst FROM walk w JOIN ens ON w.cur = ens.src), "
+            f"t AS (SELECT w.* FROM walk w LEFT JOIN "
+            f"(SELECT DISTINCT src FROM ens) x ON w.cur = x.src WHERE x.src IS NULL), "
+            f"z AS (SELECT (row * {W} + col) AS id, value FROM ras_a), "
             f"sel AS (SELECT t.src, t.cur, n.row, n.col, "
             f"ss.sid IS NOT NULL AS is_stream, st.sid IS NOT NULL AS reaches "
             f"FROM t JOIN nodes n ON t.src = n.id "
@@ -2902,14 +3301,24 @@ def _hydro2_oracles() -> dict[str, str]:
             f"WHERE is_stream OR reaches"
         ),
         "dist_to_stream": (
-            base_walk + ", "
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
+            f"{streams}, "
+            f"ens AS MATERIALIZED (SELECT e.* FROM e LEFT JOIN streams s ON e.src = s.sid "
+            f"WHERE s.sid IS NULL), "
+            f"walk(src, cur, nr, nc, nd) AS ("
+            f"SELECT id, id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            f"FROM nodes "
+            f"UNION SELECT w.src, ens.dst, w.nr + ens.sr, w.nc + ens.sc, w.nd + ens.sd "
+            f"FROM walk w JOIN ens ON w.cur = ens.src), "
+            f"t AS (SELECT w.* FROM walk w LEFT JOIN "
+            f"(SELECT DISTINCT src FROM ens) x ON w.cur = x.src WHERE x.src IS NULL), "
             f"sel AS (SELECT t.src, t.cur, t.nr, t.nc, t.nd, n.row, n.col, "
             f"ss.sid IS NOT NULL AS is_stream, st.sid IS NOT NULL AS reaches "
             f"FROM t JOIN nodes n ON t.src = n.id "
             f"LEFT JOIN streams ss ON t.src = ss.sid "
             f"LEFT JOIN streams st ON t.cur = st.sid) "
-            f"SELECT row, col, CASE WHEN is_stream THEN 0.0 ELSE "
-            f"nr * 10.0 + nc * 10.0 + nd * {diag} END AS value "
+            f"SELECT row, col, CAST(CASE WHEN is_stream THEN 0.0 ELSE "
+            f"{lexp} END AS DOUBLE) AS value "
             f"FROM sel WHERE is_stream OR reaches"
         ),
     }
@@ -3590,6 +3999,8 @@ def oracle_sql() -> dict[str, str]:
         **_enhancement_oracles(),
         **_focal3_oracles(),
         **_hydro2_oracles(),
+        **_stream2_oracles(),
+        **_vector2_oracles(),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"

@@ -69,8 +69,11 @@ def clump(cells: DataFrame, columns: int, diag: bool = True,
                 .selectExpr("row", "col", "value", "lbl",
                             "LEAST(nl, COALESCE(owner_lbl, nl)) AS nl")
             )
+        # checkpoint FIRST, then count on the pinned result — counting the
+        # un-checkpointed frame would evaluate the round's join twice
+        new = new.localCheckpoint(eager=True)
         changed = new.where(F.col("nl") != F.col("lbl")).count()
-        lbl = new.selectExpr("row", "col", "value", "nl AS lbl").localCheckpoint(eager=True)
+        lbl = new.selectExpr("row", "col", "value", "nl AS lbl")
         if changed == 0:
             break
     else:

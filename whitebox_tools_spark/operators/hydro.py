@@ -1209,20 +1209,25 @@ def stream_link_metrics(cells: DataFrame, meta: GridMeta, threshold: float) -> D
     lbl, e = _labeled_links(cells, meta, threshold)
     z = cells.selectExpr(f"(row * {c}L + col) AS id", "value AS z")
     lz = lbl.join(z, "id")
-    # in-link edges with their grid step length
-    diag = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    # in-link edges classified by step kind; the length multiplies the
+    # EXACT integer counts once (bit-reproducible in any aggregation
+    # order, unlike a float step sum)
     le = (
         e.join(lbl.selectExpr("id AS src", "lbl AS src_l"), "src")
         .join(lbl.selectExpr("id AS dst", "lbl AS dst_l"), "dst")
         .where("src_l = dst_l")
         .selectExpr(
             "src_l AS lbl",
-            f"CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) <> (dst % {c}) "
-            f"THEN {diag!r} WHEN (src DIV {c}) <> (dst DIV {c}) "
-            f"THEN {meta.resolution_y!r} ELSE {meta.resolution_x!r} END AS step",
+            f"CAST(CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) <> (dst % {c}) "
+            f"THEN 1 ELSE 0 END AS LONG) AS nd",
+            f"CAST(CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) = (dst % {c}) "
+            f"THEN 1 ELSE 0 END AS LONG) AS nr",
+            f"CAST(CASE WHEN (src DIV {c}) = (dst DIV {c}) THEN 1 ELSE 0 END AS LONG) AS nc",
         )
     )
-    lengths = le.groupBy("lbl").agg(F.sum("step").alias("length"))
+    lengths = le.groupBy("lbl").agg(
+        F.sum("nr").alias("nr"), F.sum("nc").alias("nc"), F.sum("nd").alias("nd")
+    ).selectExpr("lbl", f"{_len_expr(meta)} AS length")
     stats = lz.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.min("z").alias("zmin"), F.max("z").alias("zmax"),
@@ -1390,15 +1395,13 @@ def downslope_distance_to_stream(cells: DataFrame, meta: GridMeta,
     the first stream cell; stream cells are 0. Distance is computed ONCE
     from the exact integer step counts (n_vert * res_y + n_horiz * res_x
     + n_diag * diag) — bit-reproducible and oracle-portable."""
-    diag = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
     walk = _walk_to_stream(cells, meta, threshold)
     return (
         walk.where("is_stream OR reaches_stream")
         .selectExpr(
             "row", "col",
-            f"CASE WHEN is_stream THEN 0.0 ELSE "
-            f"nr * {meta.resolution_y!r} + nc * {meta.resolution_x!r} "
-            f"+ nd * {diag!r} END AS value")
+            f"CAST(CASE WHEN is_stream THEN 0.0 ELSE "
+            f"{_len_expr(meta)} END AS DOUBLE) AS value")
     )
 
 
@@ -1423,3 +1426,368 @@ def depth_in_sink(cells: DataFrame, meta: GridMeta,
     orig = cells.selectExpr("row", "col", "value AS z0")
     return filled.join(orig, ["row", "col"]).selectExpr(
         "row", "col", "value - z0 AS value")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 continuation: stream-network long tail
+# (stream_network_analysis/{dist_to_outlet,farthest_channel_head,
+#  tributary_id,topological_stream_order,stream_link_class,
+#  remove_short_streams,total_length_channels,hack_order,horton_order}.rs)
+#
+# Shared machinery: an exact-path closure over the stream->stream D8
+# edges carrying integer step counters (vertical / horizontal / diagonal
+# hops + link transitions). The D8 graph is a tree, so every (src, dst)
+# path is unique and the counters are well-defined; distances multiply
+# ONCE at the end (bit-reproducible in any combination order, matching
+# the DuckDB oracles). Scale note: stream cells are a few percent of the
+# DEM and the closure is bounded by cells x network depth; for
+# continental networks contract chains to the link graph first
+# (_labeled_links) and run the same closure on links.
+# ---------------------------------------------------------------------------
+
+
+def _stream_closure(cells: DataFrame, meta: GridMeta, threshold: float,
+                    max_doublings: int = 24):
+    """Returns (closure, streams, e2): closure = (src, dst, nr, nc, nd,
+    nb) for every stream cell pair on a directed path (self rows
+    included with zero counts); nb counts edges entering junction-fed
+    cells (= link transitions). e2 = annotated stream edges."""
+    c = meta.columns
+    streams, e = _stream_edges(cells, meta, threshold)
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+    e2 = e.join(indeg, "dst").selectExpr(
+        "src", "dst",
+        f"CAST(CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) <> (dst % {c}) "
+        f"THEN 1 ELSE 0 END AS LONG) AS nd",
+        f"CAST(CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) = (dst % {c}) "
+        f"THEN 1 ELSE 0 END AS LONG) AS nr",
+        f"CAST(CASE WHEN (src DIV {c}) = (dst DIV {c}) THEN 1 ELSE 0 END AS LONG) AS nc",
+        "CAST(CASE WHEN n_in >= 2 THEN 1 ELSE 0 END AS LONG) AS nb",
+    ).persist()
+    reach = streams.selectExpr("id AS src", "id AS dst", "0L AS nr", "0L AS nc",
+                               "0L AS nd", "0L AS nb") \
+                   .unionByName(e2).localCheckpoint(eager=True)
+    prev = reach.count()
+    for _ in range(max_doublings):
+        grown = (
+            reach.alias("a")
+            .join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .selectExpr("a.src AS src", "b.dst AS dst", "a.nr + b.nr AS nr",
+                        "a.nc + b.nc AS nc", "a.nd + b.nd AS nd", "a.nb + b.nb AS nb")
+            .unionByName(reach)
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        n = grown.count()
+        reach = grown
+        if n == prev:
+            break
+        prev = n
+    else:
+        ensure_converged(1, "_stream_closure doubling", max_doublings)
+    return reach, streams, e2
+
+
+def _len_expr(meta: GridMeta, nr="nr", nc="nc", nd="nd") -> str:
+    """Exact path length from integer step counts, computed in IEEE
+    DOUBLE throughout (counts cast before multiplying). DECIMAL
+    arithmetic is NOT portable here: Spark reduces the scale (rounding)
+    on precision overflow while DuckDB promotes to double."""
+    diag = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+
+    def dlit(v: float) -> str:
+        # scientific notation parses as DOUBLE on both engines; a bare
+        # 17-digit literal becomes DECIMAL(17,15) whose integer
+        # representation exceeds 2^53 and converts to double LOSSILY
+        s = repr(v)
+        return s if "e" in s or "E" in s else s + "e0"
+
+    return (f"(CAST({nr} AS DOUBLE) * {dlit(meta.resolution_y)} "
+            f"+ CAST({nc} AS DOUBLE) * {dlit(meta.resolution_x)} "
+            f"+ CAST({nd} AS DOUBLE) * {dlit(diag)})")
+
+
+def distance_to_outlet(cells: DataFrame, meta: GridMeta,
+                       threshold: float) -> DataFrame:
+    """DistanceToOutlet: along-stream distance from each stream cell to
+    its network outlet (outlets are 0)."""
+    reach, streams, e2 = _stream_closure(cells, meta, threshold)
+    terminals = streams.join(e2.select(F.col("src").alias("id")).distinct(),
+                             "id", "left_anti").selectExpr("id AS t")
+    hit = reach.join(terminals, reach["dst"] == F.col("t"))
+    out = hit.join(streams.withColumnRenamed("id", "src"), "src").selectExpr(
+        "row", "col", f"{_len_expr(meta)} AS value")
+    e2.unpersist()
+    streams.unpersist()
+    return out
+
+
+def farthest_channel_head(cells: DataFrame, meta: GridMeta,
+                          threshold: float) -> DataFrame:
+    """FarthestChannelHead: for each stream cell, the maximum along-
+    stream distance from any upstream channel head (heads report 0).
+    Ties on exact distance resolve to the smaller head id."""
+    reach, streams, e2 = _stream_closure(cells, meta, threshold)
+    heads = streams.join(e2.select(F.col("dst").alias("id")).distinct(),
+                         "id", "left_anti").selectExpr("id AS h")
+    hr = reach.join(heads, reach["src"] == F.col("h"))
+    agg = hr.groupBy("dst").agg(
+        F.expr(f"MAX_BY(STRUCT(nr, nc, nd), "
+               f"STRUCT({_len_expr(meta)} AS l, -src AS s))").alias("b"))
+    out = agg.join(streams.withColumnRenamed("id", "dst"), "dst").selectExpr(
+        "row", "col", f"{_len_expr(meta, 'b.nr', 'b.nc', 'b.nd')} AS value")
+    e2.unpersist()
+    streams.unpersist()
+    return out
+
+
+def tributary_id(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
+    """TributaryIdentifier: every stream cell takes the id of the
+    farthest upstream channel head (the main-stem rule: at a junction
+    the longer tributary continues; exact-length ties resolve to the
+    smaller head id), dense-ranked to 1..N."""
+    from ..plans.rank import dense_rank_small
+
+    reach, streams, e2 = _stream_closure(cells, meta, threshold)
+    heads = streams.join(e2.select(F.col("dst").alias("id")).distinct(),
+                         "id", "left_anti").selectExpr("id AS h")
+    hr = reach.join(heads, reach["src"] == F.col("h"))
+    agg = hr.groupBy("dst").agg(
+        F.expr(f"MIN_BY(src, STRUCT(-({_len_expr(meta)}) AS l, src AS s))").alias("head"))
+    reps = dense_rank_small(agg, "head", "trib_id")
+    out = agg.join(reps, "head").join(streams.withColumnRenamed("id", "dst"), "dst") \
+             .selectExpr("row", "col", "CAST(trib_id AS DOUBLE) AS value")
+    e2.unpersist()
+    streams.unpersist()
+    return out
+
+
+def topological_stream_order(cells: DataFrame, meta: GridMeta,
+                             threshold: float) -> DataFrame:
+    """TopologicalStreamOrder: the link draining to the outlet is 1 and
+    the order grows toward the heads — per cell, 1 + the number of link
+    transitions (edges entering junction-fed cells) on its downstream
+    path."""
+    reach, streams, e2 = _stream_closure(cells, meta, threshold)
+    terminals = streams.join(e2.select(F.col("src").alias("id")).distinct(),
+                             "id", "left_anti").selectExpr("id AS t")
+    hit = reach.join(terminals, reach["dst"] == F.col("t"))
+    out = hit.join(streams.withColumnRenamed("id", "src"), "src").selectExpr(
+        "row", "col", "CAST(1 + nb AS DOUBLE) AS value")
+    e2.unpersist()
+    streams.unpersist()
+    return out
+
+
+def total_length_channels(cells: DataFrame, meta: GridMeta,
+                          threshold: float) -> DataFrame:
+    """TotalLengthOfChannels: one scalar row — the summed length of all
+    stream->stream edges (exact step counts x grid constants)."""
+    _, streams, e2 = (None, *_stream_edges(cells, meta, threshold))
+    c = meta.columns
+    ann = e2.selectExpr(
+        f"CAST(CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) <> (dst % {c}) "
+        f"THEN 1 ELSE 0 END AS LONG) AS nd",
+        f"CAST(CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) = (dst % {c}) "
+        f"THEN 1 ELSE 0 END AS LONG) AS nr",
+        f"CAST(CASE WHEN (src DIV {c}) = (dst DIV {c}) THEN 1 ELSE 0 END AS LONG) AS nc",
+    )
+    agg = ann.agg(F.sum("nr").alias("nr"), F.sum("nc").alias("nc"),
+                  F.sum("nd").alias("nd"))
+    out = agg.selectExpr(f"{_len_expr(meta)} AS total_length")
+    streams.unpersist()
+    e2.unpersist()
+    return out
+
+
+def stream_link_class(cells: DataFrame, meta: GridMeta,
+                      threshold: float) -> DataFrame:
+    """StreamLinkClass (stream_network_analysis/stream_link_class.rs
+    codes): 3 = source (head) cell, 4 = junction cell, 5 = outlet cell,
+    1 = other cell of an exterior (head-containing) link, 2 = other cell
+    of an interior link. Node codes take precedence (5 > 4 > 3)."""
+    streams, e = _stream_edges(cells, meta, threshold)
+    lbl, e_l = _labeled_links(cells, meta, threshold)
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+    has_out = e.select(F.col("src").alias("id")).distinct() \
+               .withColumn("__has_out", F.lit(1))
+    node = (
+        streams.join(indeg.withColumnRenamed("dst", "id"), "id", "left")
+        .join(has_out, "id", "left")
+        .selectExpr(
+            "id",
+            "CASE WHEN __has_out IS NULL THEN 5 "
+            "WHEN COALESCE(n_in, 0) >= 2 THEN 4 "
+            "WHEN COALESCE(n_in, 0) = 0 THEN 3 ELSE 0 END AS node_kind")
+    )
+    heads = node.where("node_kind = 3").select("id")
+    ext = lbl.join(heads, "id", "leftsemi").select(F.col("lbl").alias("xl")).distinct()
+    out = (
+        lbl.join(node, "id")
+        .join(ext, lbl["lbl"] == F.col("xl"), "left")
+        .selectExpr(
+            "row", "col",
+            "CAST(CASE WHEN node_kind > 0 THEN node_kind "
+            "WHEN xl IS NOT NULL THEN 1 ELSE 2 END AS DOUBLE) AS value")
+    )
+    streams.unpersist()
+    e_l.unpersist()
+    return out
+
+
+def remove_short_streams(cells: DataFrame, meta: GridMeta, threshold: float,
+                         min_length: float) -> DataFrame:
+    """RemoveShortStreams: drop exterior (head-containing) links whose
+    along-link length is below min_length; remaining stream cells emit
+    1.0."""
+    c = meta.columns
+    lbl, e = _labeled_links(cells, meta, threshold)
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+    heads = lbl.join(indeg.withColumnRenamed("dst", "id"), "id", "left") \
+               .where("COALESCE(n_in, 0) = 0").select("id")
+    ext = lbl.join(heads, "id", "leftsemi").select(F.col("lbl").alias("xl")).distinct()
+    in_link = (
+        e.join(lbl.selectExpr("id AS src", "lbl AS src_l"), "src")
+        .join(lbl.selectExpr("id AS dst", "lbl AS dst_l"), "dst")
+        .where("src_l = dst_l")
+        .selectExpr(
+            "src_l AS lbl",
+            f"CAST(CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) <> (dst % {c}) "
+            f"THEN 1 ELSE 0 END AS LONG) AS nd",
+            f"CAST(CASE WHEN (src DIV {c}) <> (dst DIV {c}) AND (src % {c}) = (dst % {c}) "
+            f"THEN 1 ELSE 0 END AS LONG) AS nr",
+            f"CAST(CASE WHEN (src DIV {c}) = (dst DIV {c}) THEN 1 ELSE 0 END AS LONG) AS nc",
+        )
+    )
+    lengths = in_link.groupBy("lbl").agg(
+        F.sum("nr").alias("nr"), F.sum("nc").alias("nc"), F.sum("nd").alias("nd"))
+    short_ext = lengths.join(ext, lengths["lbl"] == F.col("xl")) \
+                       .where(f"{_len_expr(meta)} < {min_length!r}") \
+                       .select("lbl")
+    # exterior links with NO in-link edge (single-cell links) are shorter
+    # than any positive min_length too
+    lonely = ext.join(lengths, lengths["lbl"] == ext["xl"], "left_anti") \
+                .selectExpr("xl AS lbl")
+    drop = short_ext.unionByName(lonely)
+    out = lbl.join(drop, "lbl", "left_anti").selectExpr("row", "col", "1.0 AS value")
+    e.unpersist()
+    return out
+
+
+def hack_order(cells: DataFrame, meta: GridMeta, threshold: float,
+               max_rounds: int = 64) -> DataFrame:
+    """HackStreamOrder (stream_network_analysis/hack_order.rs:404-407
+    main-stem rule: the inflow with the greatest upstream channel length
+    continues the parent's order; exact-length ties resolve to the
+    smaller link label): outlet links are 1, each side tributary
+    increments. Link-DAG top-down propagation; rounds = link depth."""
+    from ..plans.rank import dense_rank_small  # noqa: F401 (parity w/ siblings)
+
+    lbl, e = _labeled_links(cells, meta, threshold)
+    reach, streams, e2 = _stream_closure(cells, meta, threshold)
+    # upstream channel length per cell = farthest head distance
+    heads = streams.join(e2.select(F.col("dst").alias("id")).distinct(),
+                         "id", "left_anti").selectExpr("id AS h")
+    hr = reach.join(heads, reach["src"] == F.col("h"))
+    upl = hr.groupBy("dst").agg(
+        F.expr(f"MAX({_len_expr(meta)})").alias("up_len")).withColumnRenamed("dst", "id")
+    # link-level DAG + per-link upstream length (at the link's bottom cell)
+    le = (
+        e2.join(lbl.selectExpr("id AS src", "lbl AS src_l"), "src")
+        .join(lbl.selectExpr("id AS dst", "lbl AS dst_l"), "dst")
+        .where("src_l <> dst_l")
+        .selectExpr("src_l AS src", "dst_l AS dst", "src AS src_cell")
+        .join(upl.selectExpr("id AS src_cell", "COALESCE(up_len, 0.0) AS up_len"),
+              "src_cell", "left")
+        .groupBy("src", "dst").agg(F.max("up_len").alias("up_len"))
+        .persist()
+    )
+    links = lbl.select(F.col("lbl").alias("id")).distinct()
+    roots = links.join(le.select(F.col("src").alias("id")).distinct(),
+                       "id", "left_anti").selectExpr("id", "1 AS ord")
+    resolved = roots.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # main-stem inflow per resolved parent inherits; others = parent + 1
+        cand = le.join(resolved.selectExpr("id AS dst", "ord AS p_ord"), "dst")
+        main = cand.groupBy("dst").agg(
+            F.expr("MIN_BY(src, STRUCT(-COALESCE(up_len, 0.0) AS l, src AS s))")
+            .alias("main_src"))
+        nxt = cand.join(main, "dst").selectExpr(
+            "src AS id",
+            "CASE WHEN src = main_src THEN p_ord ELSE p_ord + 1 END AS ord")
+        new = nxt.join(resolved.select("id"), "id", "left_anti") \
+                 .groupBy("id").agg(F.min("ord").alias("ord"))
+        if new.count() == 0:
+            break
+        resolved = resolved.unionByName(new).localCheckpoint(eager=True)
+    else:
+        ensure_converged(1, "hack_order link propagation", max_rounds)
+    out = lbl.join(resolved.withColumnRenamed("id", "lbl"), "lbl") \
+             .selectExpr("row", "col", "CAST(ord AS DOUBLE) AS value")
+    le.unpersist()
+    e2.unpersist()
+    streams.unpersist()
+    e.unpersist()
+    return out
+
+
+def horton_order(cells: DataFrame, meta: GridMeta, threshold: float,
+                 max_rounds: int = 64) -> DataFrame:
+    """HortonStreamOrder: each link takes the Strahler order its stream
+    ends with — top-down from the outlet, the inflow whose Strahler
+    order equals the parent's inherits the parent's Horton order (ties
+    on order resolve by greater upstream length then smaller label);
+    all other inflows start a new stream with their own Strahler
+    order."""
+    lbl, e = _labeled_links(cells, meta, threshold)
+    strahler_cells = strahler_order(cells, meta, threshold)
+    c = meta.columns
+    str_lbl = lbl.join(
+        strahler_cells.selectExpr(f"(row * {c}L + col) AS id", "value AS str_ord"),
+        "id").groupBy("lbl").agg(F.max("str_ord").alias("str_ord"))
+    reach, streams, e2 = _stream_closure(cells, meta, threshold)
+    heads = streams.join(e2.select(F.col("dst").alias("id")).distinct(),
+                         "id", "left_anti").selectExpr("id AS h")
+    upl = reach.join(heads, reach["src"] == F.col("h")).groupBy("dst").agg(
+        F.expr(f"MAX({_len_expr(meta)})").alias("up_len")).withColumnRenamed("dst", "id")
+    le = (
+        e2.join(lbl.selectExpr("id AS src", "lbl AS src_l"), "src")
+        .join(lbl.selectExpr("id AS dst", "lbl AS dst_l"), "dst")
+        .where("src_l <> dst_l")
+        .selectExpr("src_l AS src", "dst_l AS dst", "src AS src_cell")
+        .join(upl.selectExpr("id AS src_cell", "COALESCE(up_len, 0.0) AS up_len"),
+              "src_cell", "left")
+        .groupBy("src", "dst").agg(F.max("up_len").alias("up_len"))
+        .persist()
+    )
+    links = lbl.select(F.col("lbl").alias("id")).distinct().join(str_lbl.withColumnRenamed("lbl", "id"), "id")
+    roots = links.join(le.select(F.col("src").alias("id")).distinct(),
+                       "id", "left_anti").selectExpr("id", "str_ord AS ord")
+    resolved = roots.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        cand = (
+            le.join(resolved.selectExpr("id AS dst", "ord AS p_ord"), "dst")
+            .join(links.selectExpr("id AS src", "str_ord AS src_str"), "src")
+            .join(links.selectExpr("id AS dst", "str_ord AS dst_str"), "dst")
+        )
+        main = cand.where("src_str = dst_str").groupBy("dst").agg(
+            F.expr("MIN_BY(src, STRUCT(-COALESCE(up_len, 0.0) AS l, src AS s))")
+            .alias("main_src"))
+        nxt = cand.join(main, "dst", "left").selectExpr(
+            "src AS id",
+            "CASE WHEN main_src IS NOT NULL AND src = main_src "
+            "THEN p_ord ELSE src_str END AS ord")
+        new = nxt.join(resolved.select("id"), "id", "left_anti") \
+                 .groupBy("id").agg(F.max("ord").alias("ord"))
+        if new.count() == 0:
+            break
+        resolved = resolved.unionByName(new).localCheckpoint(eager=True)
+    else:
+        ensure_converged(1, "horton_order link propagation", max_rounds)
+    out = lbl.join(resolved.withColumnRenamed("id", "lbl"), "lbl") \
+             .selectExpr("row", "col", "CAST(ord AS DOUBLE) AS value")
+    le.unpersist()
+    e2.unpersist()
+    streams.unpersist()
+    e.unpersist()
+    return out
