@@ -928,6 +928,34 @@ def _q_percent_elev_range(spark, sf):
     return FO.percent_elev_range(_ras(spark, sf, "a"))
 
 
+# --- round-2 continuation terrain indices -----------------------------------
+
+def _q_tri(spark, sf):
+    return FO.ruggedness_index(_ras(spark, sf, "a"))
+
+
+def _q_rtp(spark, sf):
+    return FO.relative_topographic_position(_ras(spark, sf, "a"))
+
+
+def _q_elev_rel_minmax(spark, sf):
+    return R.elev_relative_to_min_max(_ras(spark, sf, "a"))
+
+
+def _q_hypsometry(spark, sf):
+    return R.hypsometric_analysis(_ras(spark, sf, "a"), num_bins=10)
+
+
+def _q_spi(spark, sf):
+    """Stream power index — LN/POWER libm; rows-only + pytest parity."""
+    return HY.stream_power_index(_ras_c(spark, sf), _META40C)
+
+
+def _q_sti(spark, sf):
+    """Sediment transport index — POWER libm; rows-only + pytest."""
+    return HY.sediment_transport_index(_ras_c(spark, sf), _META40C)
+
+
 # --- round-2 continuation vector ops ---------------------------------------
 
 def _q_extend_lines(spark, sf):
@@ -1967,6 +1995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horton_order": _q_horton_order,
         "grid_format_roundtrip": _q_grid_format_roundtrip,
         # --- round-2 continuation: vector ops ---
+        "tri": _q_tri,
+        "rtp": _q_rtp,
+        "elev_rel_minmax": _q_elev_rel_minmax,
+        "hypsometry": _q_hypsometry,
+        "spi": _q_spi,
+        "sti": _q_sti,
         "extend_lines": _q_extend_lines,
         "rog": _q_rog,
         "rect_grid": _q_rect_grid,
@@ -3426,7 +3460,37 @@ def _focal3_oracles() -> dict[str, str]:
     fag = (f"WITH {', '.join(ctes)} "
            f"SELECT row, col, value / {denom!r} AS value FROM {prev}")
 
+    hyps_bins = ", ".join(
+        f"({i}, {i / 10!r})" for i in range(11))
     return {
+        "tri": (
+            base + "SELECT row, col, "
+            "SQRT(SUM((nv - z) * (nv - z)) / (COUNT(nv) - 1)) AS value "
+            "FROM scz GROUP BY 1, 2"
+        ),
+        "rtp": (
+            base + "SELECT row, col, "
+            "CASE WHEN ANY_VALUE(z) < AVG(nv) THEN "
+            "(ANY_VALUE(z) - AVG(nv)) / (AVG(nv) - MIN(nv)) "
+            "ELSE CASE WHEN MAX(nv) = AVG(nv) THEN 0.0 ELSE "
+            "(ANY_VALUE(z) - AVG(nv)) / (MAX(nv) - AVG(nv)) END END AS value "
+            "FROM scz GROUP BY 1, 2"
+        ),
+        "elev_rel_minmax": (
+            f"WITH {ras_a}, st AS (SELECT MIN(value) AS __lo, MAX(value) AS __hi "
+            f"FROM ras_a) "
+            f"SELECT row, col, (value - __lo) / (__hi - __lo) AS value "
+            f"FROM ras_a, st"
+        ),
+        "hypsometry": (
+            f"WITH {ras_a}, st AS (SELECT MIN(value) AS __lo, MAX(value) AS __hi, "
+            f"COUNT(*) AS __n FROM ras_a), "
+            f"bins AS (SELECT * FROM (VALUES {hyps_bins}) b(bin, rel_elev)) "
+            f"SELECT CAST(bin AS INT) AS bin, CAST(rel_elev AS DOUBLE) AS rel_elev, "
+            f"SUM(CASE WHEN value > __lo + rel_elev * (__hi - __lo) THEN 1 ELSE 0 END) "
+            f"/ ANY_VALUE(__n) AS rel_area_above "
+            f"FROM ras_a, st, bins GROUP BY bin, rel_elev"
+        ),
         "stdev_filter": (
             f"WITH {ras_a}, {offs9}, {sc9} "
             f"SELECT s.row, s.col, SQRT({pvar}) AS value FROM sc s "

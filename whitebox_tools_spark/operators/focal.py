@@ -1187,3 +1187,30 @@ def fast_almost_gaussian_filter(cells: DataFrame, sigma: float = 1.8) -> DataFra
         )
         denom *= w * w
     return cur.selectExpr("row", "col", f"value / {denom!r} AS value")
+
+
+def ruggedness_index(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """RuggednessIndex / TRI (terrain_analysis/ruggedness_index.rs:280):
+    sqrt(mean squared difference between the center and its window
+    neighbors — center excluded from the diff terms but in the window
+    scatter)."""
+    sc = _scatter_with_center(cells, radius)
+    return sc.groupBy("row", "col").agg(
+        F.expr(
+            "SQRT(SUM((nv - z) * (nv - z)) / (COUNT(nv) - 1))"
+        ).alias("value"))
+
+
+def relative_topographic_position(cells: DataFrame, radius: int = 1) -> DataFrame:
+    """RelativeTopographicPosition (terrain_analysis/
+    relative_topographic_position.rs:23-31): piecewise position of the
+    center against (min, mean, max) of its window:
+    (z - mu)/(mu - zmin) below the mean, (z - mu)/(zmax - mu) above."""
+    sc = _scatter_with_center(cells, radius)
+    return sc.groupBy("row", "col").agg(
+        F.expr(
+            "CASE WHEN FIRST(z) < AVG(nv) THEN "
+            "(FIRST(z) - AVG(nv)) / (AVG(nv) - MIN(nv)) "
+            "ELSE CASE WHEN MAX(nv) = AVG(nv) THEN 0.0 ELSE "
+            "(FIRST(z) - AVG(nv)) / (MAX(nv) - AVG(nv)) END END"
+        ).alias("value"))

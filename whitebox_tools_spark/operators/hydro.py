@@ -1791,3 +1791,47 @@ def horton_order(cells: DataFrame, meta: GridMeta, threshold: float,
     streams.unpersist()
     e.unpersist()
     return out
+
+
+def stream_power_index(cells: DataFrame, meta: GridMeta,
+                       exponent: float = 1.0) -> DataFrame:
+    """StreamPowerIndex: ln(SCA^p * tan(beta)); SCA and the Florinsky
+    slope gradient share the wetness_index machinery. LN/POWER are
+    libm-dependent -> rows-only + pytest."""
+    from .focal import focal_pivot5, _florinsky_pq
+
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    p, q = _florinsky_pq(res)
+    accum = d8_flow_accumulation_tiled(cells, meta)
+    sca = accum.selectExpr(
+        "row", "col",
+        f"value * {meta.resolution_x * meta.resolution_y!r} / {res!r} AS sca")
+    slope_tan = focal_pivot5(cells).selectExpr(
+        "row", "col", f"GREATEST(SQRT({p} * {p} + {q} * {q}), 0.001) AS tanb")
+    return sca.join(slope_tan, ["row", "col"]).selectExpr(
+        "row", "col", f"LN(POWER(sca, {exponent!r}) * tanb) AS value")
+
+
+def sediment_transport_index(cells: DataFrame, meta: GridMeta,
+                             sca_exponent: float = 0.4,
+                             slope_exponent: float = 1.3) -> DataFrame:
+    """SedimentTransportIndex (terrain_analysis/sediment_transport_index
+    .rs:30): (n+1) * (SCA/22.13)^n * (sin(beta)/0.0896)^m with
+    sin(beta) = tan/sqrt(1 + tan^2). POWER is libm-dependent ->
+    rows-only + pytest."""
+    from .focal import focal_pivot5, _florinsky_pq
+
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    p, q = _florinsky_pq(res)
+    accum = d8_flow_accumulation_tiled(cells, meta)
+    sca = accum.selectExpr(
+        "row", "col",
+        f"value * {meta.resolution_x * meta.resolution_y!r} / {res!r} AS sca")
+    tanb = f"SQRT({p} * {p} + {q} * {q})"
+    slope_sin = focal_pivot5(cells).selectExpr(
+        "row", "col", f"({tanb}) / SQRT(1.0 + ({tanb}) * ({tanb})) AS sinb")
+    n, m = sca_exponent, slope_exponent
+    return sca.join(slope_sin, ["row", "col"]).selectExpr(
+        "row", "col",
+        f"({n + 1.0!r}) * POWER(sca / 22.13, {n!r}) "
+        f"* POWER(sinb / 0.0896, {m!r}) AS value")

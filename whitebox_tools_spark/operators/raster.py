@@ -857,3 +857,34 @@ def resample_bilinear(cells: DataFrame, src: GridMeta, dst: GridMeta) -> DataFra
         "(v00 * (1.0 - tx) * (1.0 - ty) + v01 * tx * (1.0 - ty) "
         "+ v10 * (1.0 - tx) * ty + v11 * tx * ty) AS value",
     )
+
+
+def elev_relative_to_min_max(cells: DataFrame) -> DataFrame:
+    """ElevRelativeToMinMax (terrain_analysis/elev_relative_to_min_max
+    .rs): (z - zmin) / (zmax - zmin) against the GLOBAL range."""
+    stats = cells.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+    return cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col", "(value - __lo) / (__hi - __lo) AS value")
+
+
+def hypsometric_analysis(cells: DataFrame, num_bins: int = 10) -> DataFrame:
+    """HypsometricAnalysis (terrain_analysis/hypsometric_analysis.rs
+    semantics): the hypsometric curve — for each relative-elevation
+    class boundary, the proportion of area with elevation ABOVE it.
+    Pure counting against broadcast global min/max (integer ratios,
+    oracle-exact)."""
+    stats = cells.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"),
+                      F.count(F.lit(1)).alias("__n"))
+    b = cells.crossJoin(F.broadcast(stats))
+    rows = []
+    for i in range(num_bins + 1):
+        t = i / num_bins
+        rows.append(
+            f"STRUCT(CAST({i} AS INT) AS bin, CAST({t!r} AS DOUBLE) AS rel_elev, "
+            f"CAST(CASE WHEN value > __lo + {t!r} * (__hi - __lo) THEN 1 ELSE 0 END AS LONG) AS above)"
+        )
+    exploded = b.selectExpr("__n", f"EXPLODE(ARRAY({', '.join(rows)})) AS s") \
+                .selectExpr("__n", "s.bin AS bin", "s.rel_elev AS rel_elev",
+                            "s.above AS above")
+    return exploded.groupBy("bin", "rel_elev").agg(
+        F.expr("SUM(above) / FIRST(__n)").alias("rel_area_above"))
