@@ -928,6 +928,59 @@ def _q_percent_elev_range(spark, sf):
     return FO.percent_elev_range(_ras(spark, sf, "a"))
 
 
+# --- round-2 continuation morphology / classification / mosaics ------------
+
+_BOOL_IMG = "CASE WHEN value % 2.0 = 1.0 THEN 1.0 ELSE 0.0 END"
+
+
+def _q_corner_detect(spark, sf):
+    img = _ras(spark, sf, "a").selectExpr("row", "col", f"{_BOOL_IMG} AS value")
+    return FO.corner_detection(img)
+
+
+def _q_thicken(spark, sf):
+    img = _ras(spark, sf, "a").selectExpr("row", "col", f"{_BOOL_IMG} AS value")
+    return FO.thicken_line(img)
+
+
+def _q_remove_spurs(spark, sf):
+    img = _ras_c(spark, sf).selectExpr("row", "col", f"{_BOOL_IMG} AS value")
+    return FO.remove_spurs(img, iterations=2)
+
+
+def _q_line_thin(spark, sf):
+    """Zhang-Suen thinning to fixpoint — iterative; rows-only + pytest
+    skeleton-property parity."""
+    img = _ras_c(spark, sf).selectExpr("row", "col", f"{_BOOL_IMG} AS value")
+    return FO.line_thinning(img, max_iters=8)
+
+
+def _q_kmeans(spark, sf):
+    """Lloyd iterations with closed-form init — procedural; rows-only +
+    pytest determinism/quality gates."""
+    from whitebox_tools_spark.operators.classify import k_means
+
+    bands = (
+        _ras(spark, sf, "a").selectExpr("row", "col", "value AS b1")
+        .join(_ras(spark, sf, "b").selectExpr("row", "col", "value AS b2"),
+              ["row", "col"])
+    )
+    return k_means(bands, ["b1", "b2"], k=4, max_iters=12)
+
+
+def _q_mosaic_feather(spark, sf):
+    a = _ras(spark, sf, "a").where("col < 60")
+    b = _ras(spark, sf, "b").where("col >= 40")
+    return R.mosaic_with_feathering(a, b, _META100, power=4.0)
+
+
+def _q_pan_sharpen(spark, sf):
+    _reg(spark, sf, "events")
+    return EN.pan_sharpen_brovey(
+        _ras(spark, sf, "a"), _ras(spark, sf, "b"), spark.sql(_RAS_D_SQL),
+        _ras(spark, sf, "a"))
+
+
 # --- round-2 continuation terrain indices -----------------------------------
 
 def _q_tri(spark, sf):
@@ -1995,6 +2048,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horton_order": _q_horton_order,
         "grid_format_roundtrip": _q_grid_format_roundtrip,
         # --- round-2 continuation: vector ops ---
+        "corner_detect": _q_corner_detect,
+        "thicken": _q_thicken,
+        "remove_spurs": _q_remove_spurs,
+        "line_thin": _q_line_thin,
+        "kmeans": _q_kmeans,
+        "mosaic_feather": _q_mosaic_feather,
+        "pan_sharpen": _q_pan_sharpen,
         "tri": _q_tri,
         "rtp": _q_rtp,
         "elev_rel_minmax": _q_elev_rel_minmax,
@@ -2946,6 +3006,128 @@ def _terrain2_oracles() -> dict[str, str]:
             f"CASE WHEN ({all_nbrs}) AND {pp} > 0.0 THEN ({cls}) "
             f"ELSE -32768.0 END AS value FROM z9"
         ),
+    }
+
+
+def _morph_oracles() -> dict[str, str]:
+    """Oracles for the boolean-morphology / mosaic / pan-sharpen batch."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    ras_b = f"ras_b AS ({_RAS_B_SQL})"
+    ras_d = f"ras_d AS ({_RAS_D_SQL})"
+    img100 = f"img AS (SELECT row, col, {_BOOL_IMG} AS value FROM ras_a)"
+
+    offs = ", ".join(
+        f"({i}, {FO._D8_DY[i]}, {FO._D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8)
+    ) + ", MAX(CASE WHEN n = 8 THEN nv END) AS zc"
+
+    def pivot_of(src: str) -> str:
+        return (
+            f"offs8 AS (SELECT * FROM (VALUES {offs}) o(n, dy, dx)), "
+            f"sc8 AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+            f"a.value AS nv FROM {src} a, offs8 o), "
+            f"piv AS (SELECT row, col, {piv_cols} FROM sc8 GROUP BY 1, 2)"
+        )
+
+    b = [f"(COALESCE(zn_{i}, 0.0) > 0.0)" for i in range(8)]
+    tmpl = " OR ".join(
+        "(" + " AND ".join(
+            [b[t[0]], b[t[1]]] + [f"NOT {b[t[j]]}" for j in (2, 3, 4)]
+        ) + ")"
+        for t in FO.CORNER_TEMPLATES
+    )
+    corner = (
+        f"WITH {ras_a}, {img100}, {pivot_of('img')} "
+        f"SELECT row, col, CAST(CASE WHEN zc > 0.0 AND ({tmpl}) "
+        f"THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value FROM piv WHERE zc IS NOT NULL"
+    )
+
+    # remove_spurs: 2 simultaneous pruning rounds over the 40x40 image
+    nbrs = " + ".join(
+        f"CASE WHEN COALESCE(zn_{i}, 0.0) > 0.0 THEN 1 ELSE 0 END"
+        for i in range(8))
+    spur_ctes = [f"ras_c AS ({_RAS_C_SQL})",
+                 f"r0 AS (SELECT row, col, {_BOOL_IMG} AS value FROM ras_c)",
+                 f"offs8 AS (SELECT * FROM (VALUES {offs}) o(n, dy, dx))"]
+    for i in range(2):
+        spur_ctes.append(
+            f"sc{i} AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+            f"a.value AS nv FROM r{i} a, offs8 o)")
+        spur_ctes.append(
+            f"p{i} AS (SELECT row, col, {piv_cols} FROM sc{i} GROUP BY 1, 2)")
+        spur_ctes.append(
+            f"r{i + 1} AS (SELECT row, col, CAST(CASE WHEN zc > 0.0 AND ({nbrs}) <= 1 "
+            f"THEN 0.0 ELSE zc END AS DOUBLE) AS value FROM p{i} WHERE zc IS NOT NULL)")
+    spurs = f"WITH {', '.join(spur_ctes)} SELECT row, col, value FROM r2"
+
+    # thicken: 2x2 pivot, deterministic diagonal fills
+    offs4 = ("offs4 AS (SELECT * FROM (VALUES (0, 0, 0), (1, 0, 1), "
+             "(2, 1, 0), (3, 1, 1)) o(n, dr, dc))")
+    q_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS q{i}" for i in range(4))
+    fgq = [f"(COALESCE(q{i}, 0.0) > 0.0)" for i in range(4)]
+    fill_here = f"({fgq[1]} AND {fgq[2]} AND NOT {fgq[0]} AND NOT {fgq[3]})"
+    fill_east = f"({fgq[0]} AND {fgq[3]} AND NOT {fgq[1]} AND NOT {fgq[2]})"
+    thicken = (
+        f"WITH {ras_a}, {img100}, {offs4}, "
+        f"sc4 AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+        f"a.value AS nv FROM img a, offs4 o), "
+        f"piv AS (SELECT row, col, {q_cols} FROM sc4 GROUP BY 1, 2), "
+        f"add AS (SELECT CASE WHEN {fill_here} THEN row ELSE row END AS row, "
+        f"CASE WHEN {fill_here} THEN col ELSE col + 1 END AS col, 1.0 AS value "
+        f"FROM piv WHERE {fill_here} OR {fill_east}) "
+        f"SELECT row, col, MAX(value) AS value FROM "
+        f"(SELECT row, col, value FROM img UNION ALL SELECT * FROM add) u "
+        f"GROUP BY 1, 2"
+    )
+
+    # mosaic with feathering: brute-force edge distances
+    cx = _META100.x_center_expr("col")
+    cy = _META100.y_center_expr("row")
+    wp = "d1 * d1 * d1 * d1"
+    wq = "d2 * d2 * d2 * d2"
+    feather = (
+        f"WITH {ras_a}, {ras_b}, "
+        f"ia AS (SELECT row, col, value FROM ras_a WHERE col < 60), "
+        f"ib AS (SELECT row, col, value FROM ras_b WHERE col >= 40), "
+        f"grid AS (SELECT a.range AS row, b.range AS col "
+        f"FROM range(0, 100) a, range(0, 100) b), "
+        f"oa AS MATERIALIZED (SELECT {cx} AS tx, {cy} AS ty FROM grid WHERE col >= 60), "
+        f"ob AS MATERIALIZED (SELECT {cx} AS tx, {cy} AS ty FROM grid WHERE col < 40), "
+        f"da AS MATERIALIZED (SELECT i.row, i.col, SQRT(MIN((({cx}) - tx) * (({cx}) - tx) "
+        f"+ (({cy}) - ty) * (({cy}) - ty))) AS d1 FROM ia i, oa GROUP BY 1, 2), "
+        f"db AS MATERIALIZED (SELECT i.row, i.col, SQRT(MIN((({cx}) - tx) * (({cx}) - tx) "
+        f"+ (({cy}) - ty) * (({cy}) - ty))) AS d2 FROM ib i, ob GROUP BY 1, 2), "
+        f"j AS (SELECT COALESCE(ia.row, ib.row) AS row, "
+        f"COALESCE(ia.col, ib.col) AS col, ia.value AS v1, ib.value AS v2 "
+        f"FROM ia FULL JOIN ib ON ia.row = ib.row AND ia.col = ib.col) "
+        f"SELECT j.row, j.col, CASE WHEN v1 IS NULL THEN v2 "
+        f"WHEN v2 IS NULL THEN v1 "
+        f"ELSE v1 * (({wp}) / (({wp}) + ({wq}))) "
+        f"+ v2 * (1.0 - (({wp}) / (({wp}) + ({wq})))) END AS value "
+        f"FROM j LEFT JOIN da ON j.row = da.row AND j.col = da.col "
+        f"LEFT JOIN db ON j.row = db.row AND j.col = db.col"
+    )
+
+    pan = (
+        f"WITH {ras_a}, {ras_b}, {ras_d}, "
+        f"j AS (SELECT a.row, a.col, a.value AS __r, b.value AS __g, "
+        f"d.value AS __b, a2.value AS __p "
+        f"FROM ras_a a JOIN ras_b b USING (row, col) "
+        f"JOIN ras_d d USING (row, col) JOIN ras_a a2 USING (row, col)) "
+        f"SELECT row, col, __r * __p / ((__r + __g + __b) / 3.0) AS r, "
+        f"__g * __p / ((__r + __g + __b) / 3.0) AS g, "
+        f"__b * __p / ((__r + __g + __b) / 3.0) AS b FROM j"
+    )
+
+    return {
+        "corner_detect": corner,
+        "remove_spurs": spurs,
+        "thicken": thicken,
+        "mosaic_feather": feather,
+        "pan_sharpen": pan,
     }
 
 
@@ -4065,6 +4247,7 @@ def oracle_sql() -> dict[str, str]:
         **_hydro2_oracles(),
         **_stream2_oracles(),
         **_vector2_oracles(),
+        **_morph_oracles(),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"

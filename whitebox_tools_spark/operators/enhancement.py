@@ -244,3 +244,21 @@ def change_vector_analysis(a1: DataFrame, b1: DataFrame,
         "CAST(CASE WHEN __a2 >= __a1 THEN 1 ELSE 0 END + "
         "CASE WHEN __b2 >= __b1 THEN 2 ELSE 0 END AS INT) AS sector",
     )
+
+
+def pan_sharpen_brovey(r: DataFrame, g: DataFrame, b: DataFrame,
+                       pan: DataFrame) -> DataFrame:
+    """PanchromaticSharpening, Brovey method (image_analysis/
+    pan_sharpening.rs): band_out = band * pan / mean(r, g, b).
+    Output: (row, col, r, g, b)."""
+    j = (
+        r.select("row", "col", F.col("value").alias("__r"))
+        .join(g.select("row", "col", F.col("value").alias("__g")), ["row", "col"])
+        .join(b.select("row", "col", F.col("value").alias("__b")), ["row", "col"])
+        .join(pan.select("row", "col", F.col("value").alias("__p")), ["row", "col"])
+    )
+    m = "((__r + __g + __b) / 3.0)"
+    return j.selectExpr("row", "col",
+                        f"__r * __p / {m} AS r",
+                        f"__g * __p / {m} AS g",
+                        f"__b * __p / {m} AS b")

@@ -1214,3 +1214,148 @@ def relative_topographic_position(cells: DataFrame, radius: int = 1) -> DataFram
             "ELSE CASE WHEN MAX(nv) = AVG(nv) THEN 0.0 ELSE "
             "(FIRST(z) - AVG(nv)) / (MAX(nv) - AVG(nv)) END END"
         ).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Boolean-image morphology utilities
+# (image_analysis/{corner_detection,remove_spurs,line_thin,thicken_line}.rs)
+# ---------------------------------------------------------------------------
+
+# D8 neighbor order shared with corner_detection.rs:206-216
+_D8_DX = [1, 1, 1, 0, -1, -1, -1, 0]
+_D8_DY = [-1, 0, 1, 1, 1, 0, -1, -1]
+# each template: first two neighbor indices must be foreground, last
+# three background (vals = [1,1,0,0,0])
+CORNER_TEMPLATES = [[1, 7, 3, 4, 5], [5, 7, 1, 2, 3],
+                    [3, 5, 0, 1, 7], [1, 3, 5, 6, 7]]
+
+
+def _pivot_d8(cells: DataFrame) -> DataFrame:
+    pairs = ", ".join(
+        f"STRUCT(row - ({_D8_DY[i]}L) AS crow, col - ({_D8_DX[i]}L) AS ccol, {i} AS n)"
+        for i in range(8)
+    ) + ", STRUCT(row AS crow, col AS ccol, 8 AS n)"
+    sc = (
+        cells.withColumn("__s", F.expr(f"EXPLODE(ARRAY({pairs}))"))
+        .selectExpr("__s.crow AS row", "__s.ccol AS col", "__s.n AS n", "value AS nv")
+    )
+    aggs = [F.expr(f"MAX(CASE WHEN n = {i} THEN nv END)").alias(f"zn_{i}")
+            for i in range(8)]
+    aggs.append(F.expr("MAX(CASE WHEN n = 8 THEN nv END)").alias("zc"))
+    return sc.groupBy("row", "col").agg(*aggs).where("zc IS NOT NULL")
+
+
+def corner_detection(cells: DataFrame) -> DataFrame:
+    """CornerDetection (image_analysis/corner_detection.rs:206-252):
+    boolean image; a foreground cell is a corner when any of the four
+    5-element templates matches (two specific foreground neighbors +
+    three specific background neighbors in D8 order)."""
+    piv = _pivot_d8(cells)
+    b = [f"(COALESCE(zn_{i}, 0.0) > 0.0)" for i in range(8)]
+    tmpl = " OR ".join(
+        "(" + " AND ".join(
+            [b[t[0]], b[t[1]]] + [f"NOT {b[t[j]]}" for j in (2, 3, 4)]
+        ) + ")"
+        for t in CORNER_TEMPLATES
+    )
+    return piv.selectExpr(
+        "row", "col",
+        f"CAST(CASE WHEN zc > 0.0 AND ({tmpl}) THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value")
+
+
+def remove_spurs(cells: DataFrame, iterations: int = 5) -> DataFrame:
+    """RemoveSpurs (image_analysis/remove_spurs.rs semantics): prune
+    line-end cells — foreground cells with <= 1 foreground neighbor —
+    for a fixed number of rounds. Parallel-deterministic rule (the
+    reference prunes in scan order; the simultaneous-round variant used
+    here removes the same spurs, one round per spur cell)."""
+    cur = cells
+    for _ in range(iterations):
+        piv = _pivot_d8(cur)
+        nbrs = " + ".join(
+            f"CASE WHEN COALESCE(zn_{i}, 0.0) > 0.0 THEN 1 ELSE 0 END"
+            for i in range(8))
+        cur = piv.selectExpr(
+            "row", "col",
+            f"CAST(CASE WHEN zc > 0.0 AND ({nbrs}) <= 1 THEN 0.0 "
+            f"ELSE zc END AS DOUBLE) AS value")
+    return cur
+
+
+def thicken_line(cells: DataFrame) -> DataFrame:
+    """ThickenRasterLine (image_analysis/thicken_line.rs semantics):
+    break diagonal-only line crossings. The reference edits in scan
+    order; this deterministic parallel variant fills the NW background
+    cell of every anti-diagonal 2x2 pair and the NE background cell of
+    every main-diagonal pair — every diagonal crossing gains a rook
+    connection."""
+    offs = {0: (0, 0), 1: (0, 1), 2: (1, 0), 3: (1, 1)}
+    pairs = ", ".join(
+        f"STRUCT(row - ({dr}L) AS crow, col - ({dc}L) AS ccol, {n} AS n)"
+        for n, (dr, dc) in offs.items())
+    sc = (
+        cells.withColumn("__s", F.expr(f"EXPLODE(ARRAY({pairs}))"))
+        .selectExpr("__s.crow AS row", "__s.ccol AS col", "__s.n AS n", "value AS nv")
+    )
+    piv = sc.groupBy("row", "col").agg(
+        *[F.expr(f"MAX(CASE WHEN n = {i} THEN nv END)").alias(f"q{i}")
+          for i in range(4)])
+    fg = [f"(COALESCE(q{i}, 0.0) > 0.0)" for i in range(4)]
+    # anti-diagonal: q1, q2 fg and q0, q3 bg -> fill q0 (the 2x2 anchor);
+    # main diagonal: q0, q3 fg and q1, q2 bg -> fill q1 (one to the east)
+    fill_here = (
+        f"({fg[1]} AND {fg[2]} AND NOT {fg[0]} AND NOT {fg[3]})"
+    )
+    fill_east = (
+        f"({fg[0]} AND {fg[3]} AND NOT {fg[1]} AND NOT {fg[2]})"
+    )
+    add = piv.selectExpr(
+        "row", "col",
+        f"CASE WHEN {fill_here} THEN STRUCT(row AS r, col AS c) "
+        f"WHEN {fill_east} THEN STRUCT(row AS r, col + 1L AS c) "
+        f"ELSE NULL END AS f",
+    ).where("f IS NOT NULL").selectExpr("f.r AS row", "f.c AS col", "1.0 AS value")
+    return (
+        cells.unionByName(add)
+        .groupBy("row", "col").agg(F.max("value").alias("value"))
+    )
+
+
+def line_thinning(cells: DataFrame, max_iters: int = 32) -> DataFrame:
+    """LineThinning (image_analysis/line_thin.rs family): Zhang-Suen
+    two-subiteration skeletonization — each sub-round removes boundary
+    foreground cells with 2..6 neighbors, exactly one 0->1 transition
+    around the ring, and the directional background conditions. Both
+    sub-rounds are parallel-deterministic; iterate to a fixpoint."""
+    cur = cells.localCheckpoint(eager=True)
+    prev_count = cur.where("value > 0").count()
+    for it in range(max_iters):
+        for phase in (0, 1):
+            piv = _pivot_d8(cur)
+            # ring order N, NE, E, SE, S, SW, W, NW maps to D8 indices
+            # (dx,dy): N=(0,-1)->i7? D8 i: 0=(1,-1) NE,1=(1,0) E,2=(1,1) SE,
+            # 3=(0,1) S,4=(-1,1) SW,5=(-1,0) W,6=(-1,-1) NW,7=(0,-1) N
+            ring = [7, 0, 1, 2, 3, 4, 5, 6]  # P2..P9 = N, NE, E, SE, S, SW, W, NW
+            p = [f"(CASE WHEN COALESCE(zn_{ring[i]}, 0.0) > 0.0 THEN 1 ELSE 0 END)"
+                 for i in range(8)]
+            bsum = " + ".join(p)
+            trans = " + ".join(
+                f"(CASE WHEN {p[i]} = 0 AND {p[(i + 1) % 8]} = 1 THEN 1 ELSE 0 END)"
+                for i in range(8))
+            if phase == 0:
+                c1 = f"({p[0]} * {p[2]} * {p[4]}) = 0"   # P2*P4*P6
+                c2 = f"({p[2]} * {p[4]} * {p[6]}) = 0"   # P4*P6*P8
+            else:
+                c1 = f"({p[0]} * {p[2]} * {p[6]}) = 0"   # P2*P4*P8
+                c2 = f"({p[0]} * {p[4]} * {p[6]}) = 0"   # P2*P6*P8
+            cur = piv.selectExpr(
+                "row", "col",
+                f"CAST(CASE WHEN zc > 0.0 AND ({bsum}) BETWEEN 2 AND 6 "
+                f"AND ({trans}) = 1 AND {c1} AND {c2} THEN 0.0 "
+                f"ELSE zc END AS DOUBLE) AS value")
+        cur = cur.localCheckpoint(eager=True)
+        n = cur.where("value > 0").count()
+        if n == prev_count:
+            break
+        prev_count = n
+    return cur

@@ -888,3 +888,41 @@ def hypsometric_analysis(cells: DataFrame, num_bins: int = 10) -> DataFrame:
                             "s.above AS above")
     return exploded.groupBy("bin", "rel_elev").agg(
         F.expr("SUM(above) / FIRST(__n)").alias("rel_area_above"))
+
+
+def mosaic_with_feathering(a: DataFrame, b: DataFrame, meta: GridMeta,
+                           power: float = 4.0) -> DataFrame:
+    """MosaicWithFeathering (image_analysis/mosaic_with_feathering.rs
+    semantics) for two overlapping images on a common grid: in the
+    overlap each image's weight is its distance-to-own-edge raised to
+    `power`, w = d1^p / (d1^p + d2^p); outside the overlap the covering
+    image wins. Distances come from the exact separable EDT (integer
+    dist2), and an integer `power` keeps the weights engine-exact."""
+    from .distance import euclidean_distance
+
+    def edge_dist(img: DataFrame) -> DataFrame:
+        # full-grid mask: 1 inside the image, 0 outside; distance of
+        # inside cells to the nearest outside cell
+        spark = img.sparkSession
+        full = spark.range(meta.rows * meta.columns).selectExpr(
+            f"id DIV {meta.columns} AS row", f"id % {meta.columns} AS col")
+        mask = full.join(img.selectExpr("row", "col", "1.0 AS m"),
+                         ["row", "col"], "left") \
+                   .selectExpr("row", "col", "COALESCE(m, 0.0) AS value")
+        return euclidean_distance(mask, meta, target_pred="value = 0.0")
+
+    da = edge_dist(a).selectExpr("row", "col", "value AS d1")
+    db = edge_dist(b).selectExpr("row", "col", "value AS d2")
+    av = a.selectExpr("row", "col", "value AS v1")
+    bv = b.selectExpr("row", "col", "value AS v2")
+    p = int(power)
+    wp = lambda d: " * ".join([d] * p) if p >= 1 else "1.0"
+    j = (
+        av.join(bv, ["row", "col"], "full")
+        .join(da, ["row", "col"], "left").join(db, ["row", "col"], "left")
+    )
+    w1 = f"({wp('d1')}) / (({wp('d1')}) + ({wp('d2')}))"
+    return j.selectExpr(
+        "row", "col",
+        f"CASE WHEN v1 IS NULL THEN v2 WHEN v2 IS NULL THEN v1 "
+        f"ELSE v1 * ({w1}) + v2 * (1.0 - ({w1})) END AS value")
