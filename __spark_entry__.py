@@ -928,6 +928,47 @@ def _q_percent_elev_range(spark, sf):
     return FO.percent_elev_range(_ras(spark, sf, "a"))
 
 
+def _q_long_profile(spark, sf):
+    return HY.long_profile(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_lidar_colourize(spark, sf):
+    _reg(spark, sf, "events")
+    return LI.lidar_colourize(
+        _points(spark, sf), _ras(spark, sf, "a"), _ras(spark, sf, "b"),
+        spark.sql(_RAS_D_SQL), _META100)
+
+
+# --- rounded-grain oracle companions for libm-gated queries -----------------
+# (the aspect_rounded pattern: at 1e-6 grain the cross-libm ulp
+# differences vanish; the raw queries stay rows-only as honest checks)
+
+def _q_wetness_rounded(spark, sf):
+    out = HY.wetness_index(_ras_c(spark, sf), _META40C)
+    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
+
+
+def _q_spi_rounded(spark, sf):
+    out = HY.stream_power_index(_ras_c(spark, sf), _META40C)
+    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
+
+
+def _q_sti_rounded(spark, sf):
+    out = HY.sediment_transport_index(_ras_c(spark, sf), _META40C)
+    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
+
+
+def _q_sigmoidal_rounded(spark, sf):
+    out = EN.sigmoidal_contrast_stretch(_ras(spark, sf, "a"), cutoff=0.4,
+                                        gain=2.0, num_tones=256)
+    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
+
+
+def _q_gamma_rounded(spark, sf):
+    out = EN.gamma_correction(_ras(spark, sf, "a"), gamma=0.5)
+    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
+
+
 # --- round-2 continuation morphology / classification / mosaics ------------
 
 _BOOL_IMG = "CASE WHEN value % 2.0 = 1.0 THEN 1.0 ELSE 0.0 END"
@@ -2048,6 +2089,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horton_order": _q_horton_order,
         "grid_format_roundtrip": _q_grid_format_roundtrip,
         # --- round-2 continuation: vector ops ---
+        "long_profile": _q_long_profile,
+        "lidar_colourize": _q_lidar_colourize,
+        "wetness_rounded": _q_wetness_rounded,
+        "spi_rounded": _q_spi_rounded,
+        "sti_rounded": _q_sti_rounded,
+        "sigmoidal_rounded": _q_sigmoidal_rounded,
+        "gamma_rounded": _q_gamma_rounded,
         "corner_detect": _q_corner_detect,
         "thicken": _q_thicken,
         "remove_spurs": _q_remove_spurs,
@@ -3122,7 +3170,19 @@ def _morph_oracles() -> dict[str, str]:
         f"__b * __p / ((__r + __g + __b) / 3.0) AS b FROM j"
     )
 
+    r100y = _META100.row_from_y_expr("y")
+    c100x = _META100.col_from_x_expr("x")
+    colourize = (
+        f"WITH pts AS ({_PTS_SQL}), {ras_a}, {ras_b}, {ras_d}, "
+        f"m AS (SELECT record_num, x, y, {r100y} AS row, {c100x} AS col FROM pts) "
+        f"SELECT m.record_num, m.x, m.y, a.value AS red, b.value AS green, "
+        f"d.value AS blue "
+        f"FROM m LEFT JOIN ras_a a ON m.row = a.row AND m.col = a.col "
+        f"LEFT JOIN ras_b b ON m.row = b.row AND m.col = b.col "
+        f"LEFT JOIN ras_d d ON m.row = d.row AND m.col = d.col"
+    )
     return {
+        "lidar_colourize": colourize,
         "corner_detect": corner,
         "remove_spurs": spurs,
         "thicken": thicken,
@@ -3384,6 +3444,19 @@ def _stream2_oracles() -> dict[str, str]:
     )
     cellrc = f"c AS (SELECT sid, sid // {W} AS row, sid % {W} AS col FROM streams)"
 
+    # Florinsky 5x5 pivot over the 40x40 raster (wetness/SPI/STI slopes)
+    _offs25 = "offs25 AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // 5 - 2}, {n % 5 - 2})" for n in range(25)
+    ) + ") o(n, dr, dc))"
+    _sc25 = ("sc25 AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+             "a.value AS nv FROM ras_a a, offs25 o)")
+    _p5cols = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}" for n in range(25))
+    _zzcols = ", ".join(f"(COALESCE(z_{n}, z_12) * 1.0) AS z{n}" for n in range(25))
+    _pivot5_40 = (f"{_offs25}, {_sc25}, "
+                  f"piv5 AS (SELECT row, col, {_p5cols} FROM sc25 GROUP BY 1, 2), "
+                  f"zz AS (SELECT row, col, {_zzcols} FROM piv5 WHERE z_12 IS NOT NULL)")
+    _P40, _Q40 = FO._florinsky_pq(10.0)
+
     # link components: chain edges (dst not junction-fed), undirected closure
     links = (
         "chain AS MATERIALIZED (SELECT src, dst FROM se WHERE nb = 0), "
@@ -3400,6 +3473,13 @@ def _stream2_oracles() -> dict[str, str]:
             f"t AS (SELECT w.* FROM swalk w JOIN outlets o ON w.cur = o.t) "
             f"SELECT c.row, c.col, {lexp} AS value "
             f"FROM t JOIN c ON t.src = c.sid"
+        ),
+        "long_profile": (
+            prelude + f", {swalk}, {cellrc}, "
+            f"t AS (SELECT w.* FROM swalk w JOIN outlets o ON w.cur = o.t), "
+            f"z AS (SELECT (row * {W} + col) AS zid, value AS z FROM ras_a) "
+            f"SELECT c.row, c.col, {lexp} AS dist_to_outlet, z.z "
+            f"FROM t JOIN c ON t.src = c.sid JOIN z ON t.src = z.zid"
         ),
         "farthest_head": (
             prelude + f", {hwalk}, {cellrc}, "
@@ -3494,6 +3574,42 @@ def _stream2_oracles() -> dict[str, str]:
             f"ROUND(CASE WHEN length > 0.0 THEN (zmax - zmin) / length * 100.0 "
             f"ELSE 0.0 END, 6) AS slope_pct "
             f"FROM m JOIN ids ON m.lbl = ids.l2"
+        ),
+        # --- rounded-grain libm companions over the 40x40 closure ---
+        "wetness_rounded": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
+            f"acc AS MATERIALIZED (SELECT n.id, n.row, n.col, COUNT(*) AS a "
+            f"FROM reach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2, 3), "
+            f"{_pivot5_40}, "
+            f"t AS (SELECT row, col, GREATEST(SQRT({_P40} * {_P40} + {_Q40} * {_Q40}), "
+            f"0.001) AS tanb FROM zz) "
+            f"SELECT acc.row, acc.col, ROUND(LN((CAST(a AS DOUBLE) * 100.0 / 10.0) "
+            f"/ tanb), 6) AS value "
+            f"FROM acc JOIN t ON acc.row = t.row AND acc.col = t.col"
+        ),
+        "spi_rounded": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
+            f"acc AS MATERIALIZED (SELECT n.id, n.row, n.col, COUNT(*) AS a "
+            f"FROM reach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2, 3), "
+            f"{_pivot5_40}, "
+            f"t AS (SELECT row, col, GREATEST(SQRT({_P40} * {_P40} + {_Q40} * {_Q40}), "
+            f"0.001) AS tanb FROM zz) "
+            f"SELECT acc.row, acc.col, ROUND(LN(POWER(CAST(a AS DOUBLE) * 100.0 / 10.0, "
+            f"1.0) * tanb), 6) AS value "
+            f"FROM acc JOIN t ON acc.row = t.row AND acc.col = t.col"
+        ),
+        "sti_rounded": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
+            f"acc AS MATERIALIZED (SELECT n.id, n.row, n.col, COUNT(*) AS a "
+            f"FROM reach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2, 3), "
+            f"{_pivot5_40}, "
+            f"t AS (SELECT row, col, (SQRT({_P40} * {_P40} + {_Q40} * {_Q40})) "
+            f"/ SQRT(1.0 + (SQRT({_P40} * {_P40} + {_Q40} * {_Q40})) * "
+            f"(SQRT({_P40} * {_P40} + {_Q40} * {_Q40}))) AS sinb FROM zz) "
+            f"SELECT acc.row, acc.col, ROUND((1.4) * "
+            f"POWER(CAST(a AS DOUBLE) * 100.0 / 10.0 / 22.13, 0.4) "
+            f"* POWER(sinb / 0.0896, 1.3), 6) AS value "
+            f"FROM acc JOIN t ON acc.row = t.row AND acc.col = t.col"
         ),
         # --- stream-relative hydro walks (moved to the 40x40 gate) ---
         "elev_above_stream": (
@@ -3796,7 +3912,33 @@ def _enhancement_oracles() -> dict[str, str]:
         ),
         # sigmoidal_stretch / gamma_corr: EXP/POWER over data-dependent
         # args — engine libm differs in the last ulp; rows-only + pytest.
+        # The *_rounded companions below gate the same formulas at 1e-6
+        # grain (the aspect_rounded pattern).
+        "sigmoidal_rounded": _sigmoid_rounded_oracle(),
+        "gamma_rounded": (
+            f"WITH {ras_a}, st AS (SELECT MIN(value) AS __lo, MAX(value) AS __hi "
+            f"FROM ras_a) "
+            f"SELECT row, col, ROUND(POWER(((value - __lo) / (__hi - __lo)), 0.5) "
+            f"* (__hi - __lo) + __lo, 6) AS value FROM ras_a, st"
+        ),
     }
+
+
+def _sigmoid_rounded_oracle() -> str:
+    import math
+    gain, cutoff = 2.0, 0.4
+    a = 1.0 / (1.0 + math.exp(gain * cutoff))
+    b = (1.0 / (1.0 + math.exp(gain * (cutoff - 1.0)))
+         - 1.0 / (1.0 + math.exp(gain * cutoff)))
+    zn = "((value - __lo) / (__hi - __lo))"
+    sig = f"((1.0 / (1.0 + EXP({gain!r} * ({cutoff!r} - {zn}))) - {a!r}) / {b!r})"
+    t = f"LEAST(GREATEST({sig}, 0.0), 1.0) * 256"
+    return (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"st AS (SELECT MIN(value) AS __lo, MAX(value) AS __hi FROM ras_a) "
+        f"SELECT row, col, ROUND(LEAST(FLOOR({t}), 255.0), 6) AS value "
+        f"FROM ras_a, st"
+    )
 
 
 def _vector_op_oracles() -> dict[str, str]:

@@ -1835,3 +1835,14 @@ def sediment_transport_index(cells: DataFrame, meta: GridMeta,
         "row", "col",
         f"({n + 1.0!r}) * POWER(sca / 22.13, {n!r}) "
         f"* POWER(sinb / 0.0896, {m!r}) AS value")
+
+
+def long_profile(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
+    """LongProfile (stream_network_analysis/long_profile.rs semantics):
+    per stream cell, the along-stream distance to the outlet paired with
+    its elevation — the (distance, z) long-profile plot table."""
+    c = meta.columns
+    d = distance_to_outlet(cells, meta, threshold)
+    z = cells.selectExpr("row", "col", "value AS z")
+    return d.join(z, ["row", "col"]).selectExpr(
+        "row", "col", "value AS dist_to_outlet", "z")

@@ -371,3 +371,23 @@ def lidar_ransac_planes(points: DataFrame, radius: float = 10.0,
 
     return base.groupBy("cx", "cy").applyInPandas(kernel, schema=schema) \
                .withColumnRenamed("pid", id_col)
+
+
+def lidar_colourize(points: DataFrame, r: DataFrame, g: DataFrame,
+                    b: DataFrame, meta) -> DataFrame:
+    """LidarColourize (lidar_analysis/lidar_colourize.rs semantics):
+    attach the RGB values of the image cell containing each point.
+    One cell-id equi-join per band (broadcast when the image is small,
+    sort-merge at scale)."""
+    mapped = points.selectExpr(
+        "record_num", "x", "y",
+        f"{meta.row_from_y_expr('y')} AS row",
+        f"{meta.col_from_x_expr('x')} AS col",
+    )
+    out = (
+        mapped
+        .join(r.selectExpr("row", "col", "value AS red"), ["row", "col"], "left")
+        .join(g.selectExpr("row", "col", "value AS green"), ["row", "col"], "left")
+        .join(b.selectExpr("row", "col", "value AS blue"), ["row", "col"], "left")
+    )
+    return out.select("record_num", "x", "y", "red", "green", "blue")
