@@ -656,7 +656,11 @@ def _q_embedding_dups(spark, sf):
         "vec_id + 100000 AS vec_id",
         "TRANSFORM(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding",
     )
-    return D.embedding_dup_pairs(emb.unionByName(dups), threshold=0.98)
+    # num_planes ~ log2(n): keeps bucket occupancy O(1) so the verify
+    # set stays near-linear (recall on the injected pairs is structural:
+    # a positive-scalar copy matches every hyperplane sign, hamming 0)
+    return D.embedding_dup_pairs(emb.unionByName(dups), threshold=0.98,
+                                 num_planes=12)
 
 
 def _q_focal_mean(spark, sf):

@@ -61,6 +61,13 @@ BENCH_QUERIES = [
     "ann_ivf",
     "lang_id",
     "quality",
+    # round-2 continuation additions (gate-heavy ops like dist_to_stream
+    # stay out of the headline set — they're correctness-gated instead)
+    "minmax_stretch",
+    "hist_match",
+    "stdev_filter",
+    "fast_gaussian",
+    "tri",
 ]
 
 
@@ -93,12 +100,20 @@ def main() -> None:
     flagship_s = time.time() - t0
     timings["flagship_pipeline"] = round(flagship_s, 3)
 
-    for name in names:
+    for i, name in enumerate(names):
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        del df
+        if i % 5 == 4:
+            # reclaim leftover localCheckpoint blocks / shuffle state so a
+            # long benchmark session doesn't degrade (the ContextCleaner
+            # only runs on JVM GC; dozens of iterative queries otherwise
+            # accumulate orphaned blocks and slow later queries)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

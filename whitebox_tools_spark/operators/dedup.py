@@ -171,40 +171,53 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.98,
+    num_planes: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold.
 
     Blocking: sign-LSH buckets from deterministic hyperplanes
     (similarity.lsh_buckets) with hamming<=2 multi-probing on the probe
-    side — candidates are pairs whose 8-bit bucket codes differ in at
-    most 2 bits. For high thresholds (0.98 -> angle <= ~11.5 deg, per-
-    plane flip probability ~angle/pi ~= 0.037) the residual miss rate is
-    P[>=3 planes flip] ~= C(8,3)*0.037^3 < 0.3%, and the fixture recall
-    is pytest-gated at 1.0 (test_skew/test_pipeline parity). The shuffle
-    carries only (id, bucket) keys; exact cosine verifies survivors —
-    no crossJoin anywhere in the plan.
+    side — candidates are pairs whose bucket codes differ in at most 2
+    bits. For high thresholds (0.98 -> angle <= ~11.5 deg, per-plane
+    flip probability ~angle/pi ~= 0.037) the residual miss rate with 8
+    planes is P[>=3 planes flip] ~= C(8,3)*0.037^3 < 0.3%, and the
+    fixture recall is pytest-gated at 1.0. SIZE num_planes so bucket
+    occupancy stays O(1): ~log2(n) planes keeps the candidate set
+    near-linear (256 buckets over 10^12 docs would go quadratic — the
+    same defect the 16-bit simhash had). The probe shuffle carries only
+    (id, bucket) keys; exact cosine verifies survivors — no crossJoin
+    anywhere in the plan.
     """
     from .similarity import lsh_buckets
 
-    num_planes = 8
-    emb = lsh_buckets(embeddings, num_planes=num_planes, vec_col=vec_col)
-    a = emb.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va",
-                       "CAST(lsh_bucket AS BIGINT) AS code_a")
-    # probe side: own code + all 1-bit and 2-bit flips (1 + 8 + 28 keys)
-    flips = ["CAST(code_a AS BIGINT)"]
-    flips += [f"CAST(code_a AS BIGINT) ^ {1 << i}" for i in range(num_planes)]
-    flips += [f"CAST(code_a AS BIGINT) ^ {(1 << i) | (1 << j)}"
+    emb = lsh_buckets(embeddings, num_planes=num_planes, vec_col=vec_col) \
+        .localCheckpoint(eager=True)  # compute the plane signatures ONCE
+    codes = emb.selectExpr(f"{id_col} AS id", "CAST(lsh_bucket AS BIGINT) AS code")
+    # probe side: own code + all 1-bit and 2-bit flips (1 + 8 + 28 keys).
+    # The probe shuffle carries ONLY (id, bucket) — the 37x fan-out of the
+    # full float vector would dominate the shuffle at any real corpus size;
+    # vectors re-attach to the (few) surviving candidate pairs below.
+    flips = ["CAST(code AS BIGINT)"]
+    flips += [f"CAST(code AS BIGINT) ^ {1 << i}" for i in range(num_planes)]
+    flips += [f"CAST(code AS BIGINT) ^ {(1 << i) | (1 << j)}"
               for i in range(num_planes) for j in range(i + 1, num_planes)]
-    probes = a.withColumn("bucket", F.explode(F.array(*[F.expr(e) for e in flips])))
-    b = emb.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS vb",
-                       "CAST(lsh_bucket AS BIGINT) AS bucket")
+    probes = codes.selectExpr("id AS id_a", "code") \
+        .withColumn("bucket", F.explode(F.array(*[F.expr(e) for e in flips]))) \
+        .drop("code")
+    b = codes.selectExpr("id AS id_b", "code AS bucket")
+    cand = (
+        probes.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    va = emb.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va")
+    vb = emb.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS vb")
     dot = "AGGREGATE(ZIP_WITH(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     na = "SQRT(AGGREGATE(va, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     nb = "SQRT(AGGREGATE(vb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     return (
-        probes.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(va, "id_a").join(vb, "id_b")
         .selectExpr("id_a", "id_b", f"({dot}) / (({na}) * ({nb})) AS cosine")
         .where(F.col("cosine") >= threshold)
     )
