@@ -936,6 +936,14 @@ def _q_long_profile(spark, sf):
     return HY.long_profile(_ras_c(spark, sf), _META40C, 4.0)
 
 
+def _q_subbasins(spark, sf):
+    return HY.subbasins(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_hillslopes(spark, sf):
+    return HY.hillslopes(_ras_c(spark, sf), _META40C, 4.0)
+
+
 def _q_lidar_colourize(spark, sf):
     _reg(spark, sf, "events")
     return LI.lidar_colourize(
@@ -2094,6 +2102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_format_roundtrip": _q_grid_format_roundtrip,
         # --- round-2 continuation: vector ops ---
         "long_profile": _q_long_profile,
+        "subbasins": _q_subbasins,
+        "hillslopes": _q_hillslopes,
         "lidar_colourize": _q_lidar_colourize,
         "wetness_rounded": _q_wetness_rounded,
         "spi_rounded": _q_spi_rounded,
@@ -3578,6 +3588,66 @@ def _stream2_oracles() -> dict[str, str]:
             f"ROUND(CASE WHEN length > 0.0 THEN (zmax - zmin) / length * 100.0 "
             f"ELSE 0.0 END, 6) AS slope_pct "
             f"FROM m JOIN ids ON m.lbl = ids.l2"
+        ),
+        "subbasins": (
+            prelude + f", {links}, "
+            f"ens AS MATERIALIZED (SELECT e.* FROM e LEFT JOIN streams s ON e.src = s.sid "
+            f"WHERE s.sid IS NULL), "
+            f"walk(src, cur) AS (SELECT id, id FROM nodes "
+            f"UNION SELECT w.src, ens.dst FROM walk w JOIN ens ON w.cur = ens.src), "
+            f"t AS (SELECT w.* FROM walk w LEFT JOIN "
+            f"(SELECT DISTINCT src FROM ens) x ON w.cur = x.src WHERE x.src IS NULL), "
+            f"ids AS (SELECT lbl AS l2, DENSE_RANK() OVER (ORDER BY lbl) AS link_id "
+            f"FROM (SELECT DISTINCT lbl FROM lbl)), "
+            f"term AS (SELECT t.src, CASE WHEN ss.sid IS NOT NULL THEN t.src "
+            f"ELSE t.cur END AS term, "
+            f"(ss.sid IS NOT NULL OR st.sid IS NOT NULL) AS hits "
+            f"FROM t LEFT JOIN streams ss ON t.src = ss.sid "
+            f"LEFT JOIN streams st ON t.cur = st.sid) "
+            f"SELECT n.row, n.col, CAST(ids.link_id AS DOUBLE) AS value "
+            f"FROM term JOIN nodes n ON term.src = n.id "
+            f"JOIN lbl ON term.term = lbl.id JOIN ids ON lbl.lbl = ids.l2 "
+            f"WHERE term.hits"
+        ),
+        "hillslopes": (
+            prelude + f", {links}, {cellrc}, "
+            f"dirs2 AS (SELECT * FROM (VALUES " +
+            ", ".join(f"({i}, {1 << i})" for i in range(8)) +
+            ") dd(i, code)), "
+            f"ens2 AS MATERIALIZED (SELECT e.* FROM e "
+            f"LEFT JOIN streams sa ON e.src = sa.sid "
+            f"LEFT JOIN streams sb ON e.dst = sb.sid "
+            f"WHERE sa.sid IS NULL AND sb.sid IS NULL), "
+            f"offs_ns AS (SELECT n.id, n.row, n.col FROM nodes n "
+            f"LEFT JOIN streams s ON n.id = s.sid WHERE s.sid IS NULL), "
+            f"walk(src, cur) AS (SELECT id, id FROM offs_ns "
+            f"UNION SELECT w.src, ens2.dst FROM walk w JOIN ens2 ON w.cur = ens2.src), "
+            f"t AS (SELECT w.* FROM walk w LEFT JOIN "
+            f"(SELECT DISTINCT src FROM ens2) x ON w.cur = x.src WHERE x.src IS NULL), "
+            f"pe AS (SELECT (p.row * {W} + p.col) AS t_id, dd.i AS d_in, "
+            f"((p.row + d.dy) * {W} + (p.col + d.dx)) AS s_id "
+            f"FROM ptr p JOIN dirs d ON d.code = CAST(p.value AS INT) "
+            f"JOIN dirs2 dd ON dd.code = CAST(p.value AS INT) WHERE p.value > 0), "
+            f"pes AS (SELECT pe.* FROM pe JOIN streams s ON pe.s_id = s.sid), "
+            f"sdir AS (SELECT (p.row * {W} + p.col) AS s_id, "
+            f"CASE WHEN p.value > 0 THEN dd.i ELSE -1 END AS d_out "
+            f"FROM ptr p LEFT JOIN dirs2 dd ON dd.code = CAST(p.value AS INT)), "
+            f"sdirs AS (SELECT sdir.* FROM sdir JOIN streams s ON sdir.s_id = s.sid), "
+            f"ids AS (SELECT lbl AS l2, DENSE_RANK() OVER (ORDER BY lbl) AS link_id "
+            f"FROM (SELECT DISTINCT lbl FROM lbl)), "
+            f"lof AS (SELECT lbl.id AS s_id, ids.link_id FROM lbl "
+            f"JOIN ids ON lbl.lbl = ids.l2), "
+            f"hs AS (SELECT n.row, n.col, CAST(lof.link_id * 3 + "
+            f"CASE WHEN sdirs.d_out < 0 THEN 0 "
+            f"WHEN ((pes.d_in - sdirs.d_out) % 8 + 8) % 8 IN (1, 2, 3) THEN 1 "
+            f"WHEN ((pes.d_in - sdirs.d_out) % 8 + 8) % 8 IN (5, 6, 7) THEN 2 "
+            f"ELSE 0 END AS DOUBLE) AS value "
+            f"FROM t JOIN pes ON t.cur = pes.t_id "
+            f"JOIN sdirs ON pes.s_id = sdirs.s_id "
+            f"JOIN lof ON pes.s_id = lof.s_id "
+            f"JOIN nodes n ON t.src = n.id), "
+            f"zs AS (SELECT c.row, c.col, 0.0 AS value FROM lbl JOIN c ON lbl.id = c.sid) "
+            f"SELECT row, col, value FROM hs UNION ALL SELECT row, col, value FROM zs"
         ),
         # --- rounded-grain libm companions over the 40x40 closure ---
         "wetness_rounded": (

@@ -1846,3 +1846,97 @@ def long_profile(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFram
     z = cells.selectExpr("row", "col", "value AS z")
     return d.join(z, ["row", "col"]).selectExpr(
         "row", "col", "value AS dist_to_outlet", "z")
+
+
+def subbasins(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
+    """Subbasins (hydro_analysis/subbasins.rs semantics): every cell is
+    labeled with the stream LINK its flow path first reaches (stream
+    cells take their own link). Link ids numbered like stream_link_id;
+    cells that never reach a stream emit no row."""
+    from ..plans.rank import dense_rank_small
+
+    c = meta.columns
+    walk = _walk_to_stream(cells, meta, threshold)
+    lbl, e_l = _labeled_links(cells, meta, threshold)
+    reps = dense_rank_small(lbl, "lbl", "link_id")
+    link_of = lbl.join(reps, "lbl").selectExpr("id AS term", "link_id")
+    out = (
+        walk.where("is_stream OR reaches_stream")
+        .selectExpr("row", "col", "CASE WHEN is_stream THEN id ELSE term END AS term")
+        .join(link_of, "term")
+        .selectExpr("row", "col", "CAST(link_id AS DOUBLE) AS value")
+    )
+    e_l.unpersist()
+    return out
+
+
+def hillslopes(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
+    """Hillslopes (hydro_analysis/hillslopes.rs semantics): subbasins
+    split by bank side. Stream cells are 0; every other cell gets
+    link_id * 3 + bank, where bank is derived from the D8 direction its
+    flowpath ENTERS the stream relative to the stream cell's own flow
+    direction: (d_in - d_out) mod 8 in {1,2,3} -> right bank (+1), in
+    {5,6,7} -> left bank (+2), else head-on (+0). Cells entering a
+    stream terminal (no outflow) use bank 0.
+
+    Plan: pointer-jumping on edges with BOTH endpoints off-stream (the
+    terminal is then the LAST off-stream cell), one join to read that
+    terminal's pointer edge into the stream, and one link-label lookup.
+    """
+    from ..plans.rank import dense_rank_small
+
+    c = meta.columns
+    ptr = d8_pointer(cells, meta).persist()
+    accum = d8_flow_accumulation_tiled(cells, meta)
+    streams = accum.where(f"value >= {threshold!r}") \
+                   .selectExpr(f"(row * {c}L + col) AS sid").persist()
+    e_all = d8_edges(ptr).selectExpr(
+        f"(row * {c}L + col) AS id", f"(drow * {c}L + dcol) AS nxt")
+    # walk graph: both endpoints off-stream
+    e_ns = e_all.join(streams.selectExpr("sid AS id"), "id", "left_anti") \
+                .join(streams.selectExpr("sid AS nxt"), "nxt", "left_anti")
+    nodes = ptr.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    state = nodes.join(streams.selectExpr("sid AS id"), "id", "left_anti") \
+                 .join(e_ns, "id", "left") \
+                 .selectExpr("id", "row", "col", "COALESCE(nxt, id) AS cur") \
+                 .localCheckpoint(eager=True)
+    for _ in range(24):
+        hop = state.selectExpr("id AS j_id", "cur AS j_cur")
+        new = state.join(hop, state["cur"] == hop["j_id"], "left").selectExpr(
+            "id", "row", "col", "cur AS __prev", "COALESCE(j_cur, cur) AS cur"
+        ).localCheckpoint(eager=True)
+        changed = new.where("cur <> __prev").count()
+        state = new.drop("__prev")
+        if changed == 0:
+            break
+    else:
+        ensure_converged(changed, "hillslopes pointer jumping", 24)
+    # terminal's own pointer edge: does it enter a stream cell, and how?
+    dir_expr = "CAST(LOG2(value) AS INT)"
+    term_edge = ptr.where("value > 0").selectExpr(
+        f"(row * {c}L + col) AS t_id", f"{dir_expr} AS d_in",
+        f"((row + CAST(ELEMENT_AT(ARRAY({', '.join(str(v) for v in D8_DY)}), {dir_expr} + 1) AS BIGINT)) * {c}L "
+        f"+ (col + CAST(ELEMENT_AT(ARRAY({', '.join(str(v) for v in D8_DX)}), {dir_expr} + 1) AS BIGINT))) AS s_id",
+    ).join(streams.selectExpr("sid AS s_id"), "s_id", "leftsemi")
+    s_dir = ptr.selectExpr(f"(row * {c}L + col) AS s_id",
+                           f"CASE WHEN value > 0 THEN {dir_expr} ELSE -1 END AS d_out") \
+               .join(streams.selectExpr("sid AS s_id"), "s_id", "leftsemi")
+    lbl, e_l = _labeled_links(cells, meta, threshold)
+    reps = dense_rank_small(lbl, "lbl", "link_id")
+    link_of = lbl.join(reps, "lbl").selectExpr("id AS s_id", "link_id")
+    hs = (
+        state.join(term_edge, state["cur"] == term_edge["t_id"])
+        .join(s_dir, "s_id").join(link_of, "s_id")
+        .selectExpr(
+            "row", "col",
+            "CAST(link_id * 3 + CASE WHEN d_out < 0 THEN 0 "
+            "WHEN PMOD(d_in - d_out, 8) IN (1, 2, 3) THEN 1 "
+            "WHEN PMOD(d_in - d_out, 8) IN (5, 6, 7) THEN 2 "
+            "ELSE 0 END AS DOUBLE) AS value")
+    )
+    zeros = lbl.selectExpr("row", "col", "0.0 AS value")
+    out = hs.unionByName(zeros)
+    ptr.unpersist()
+    streams.unpersist()
+    e_l.unpersist()
+    return out
