@@ -940,6 +940,43 @@ def _q_subbasins(spark, sf):
     return HY.subbasins(_ras_c(spark, sf), _META40C, 4.0)
 
 
+def _q_fd8_pointer(spark, sf):
+    return HY.fd8_pointer(_ras(spark, sf, "a"), _META100)
+
+
+def _q_parallel_flow(spark, sf):
+    return HY.find_parallel_flow(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_max_upslope(spark, sf):
+    return HY.max_upslope_flowpath_length(_ras_c(spark, sf), _META40C)
+
+
+def _q_avg_upslope(spark, sf):
+    return HY.average_upslope_flowpath_length(_ras_c(spark, sf), _META40C)
+
+
+def _q_mass_flux(spark, sf):
+    """Topological peel with per-cell loss arithmetic — iterative;
+    rows-only + pytest parity on a crafted network. 20x20 gate raster:
+    peel rounds scale with the longest flow path."""
+    _reg(spark, sf, "events")
+    dem = spark.sql(
+        "SELECT (event_id % 20) AS row, "
+        "(CAST(FLOOR(event_id / 20) AS BIGINT) % 20) AS col, "
+        "CAST(MAX(event_id) % 100 AS DOUBLE) AS value FROM events GROUP BY 1, 2")
+    meta20 = GridMeta(rows=20, columns=20, north=200.0, south=0.0, east=200.0,
+                      west=0.0, resolution_x=10.0, resolution_y=10.0)
+    loading = dem.selectExpr("row", "col", "1.0 AS value")
+    eff = dem.selectExpr("row", "col", "0.9 AS value")
+    ab = dem.selectExpr("row", "col", "0.05 AS value")
+    return HY.d8_mass_flux(dem, meta20, loading, eff, ab)
+
+
+def _q_eas_euclidean(spark, sf):
+    return HY.elevation_above_stream_euclidean(_ras_c(spark, sf), _META40C, 4.0)
+
+
 def _q_hillslopes(spark, sf):
     return HY.hillslopes(_ras_c(spark, sf), _META40C, 4.0)
 
@@ -2104,6 +2141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "long_profile": _q_long_profile,
         "subbasins": _q_subbasins,
         "hillslopes": _q_hillslopes,
+        "fd8_pointer": _q_fd8_pointer,
+        "parallel_flow": _q_parallel_flow,
+        "max_upslope": _q_max_upslope,
+        "avg_upslope": _q_avg_upslope,
+        "mass_flux": _q_mass_flux,
+        "eas_euclidean": _q_eas_euclidean,
         "lidar_colourize": _q_lidar_colourize,
         "wetness_rounded": _q_wetness_rounded,
         "spi_rounded": _q_spi_rounded,
@@ -3362,6 +3405,13 @@ def _hydro2_oracles() -> dict[str, str]:
             f"CAST(CASE WHEN value = 0.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value "
             f"FROM ptr"
         ),
+        "fd8_pointer": (
+            f"WITH {ras_a}, {pivot} SELECT row, col, CAST("
+            + " + ".join(
+                f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc THEN {1 << i} ELSE 0 END"
+                for i in range(8))
+            + f" AS DOUBLE) AS value FROM piv WHERE zc IS NOT NULL"
+        ),
         "fill_pits": (
             f"WITH {ras_a}, {pivot} SELECT row, col, "
             f"CASE WHEN ("
@@ -3589,6 +3639,46 @@ def _stream2_oracles() -> dict[str, str]:
             f"ELSE 0.0 END, 6) AS slope_pct "
             f"FROM m JOIN ids ON m.lbl = ids.l2"
         ),
+        "parallel_flow": _parallel_flow_oracle(prelude, W),
+        "max_upslope": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, "
+            f"creach(src, dst, nr, nc, nd) AS ("
+            f"SELECT id, id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            f"FROM nodes UNION "
+            f"SELECT c.src, e.dst, c.nr + e.sr, c.nc + e.sc, c.nd + e.sd "
+            f"FROM creach c JOIN e ON c.dst = e.src) "
+            f"SELECT n.row, n.col, MAX({lexp}) AS value "
+            f"FROM creach JOIN nodes n ON creach.dst = n.id GROUP BY 1, 2"
+        ),
+        "avg_upslope": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, "
+            f"creach(src, dst, nr, nc, nd) AS ("
+            f"SELECT id, id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            f"FROM nodes UNION "
+            f"SELECT c.src, e.dst, c.nr + e.sr, c.nc + e.sc, c.nd + e.sd "
+            f"FROM creach c JOIN e ON c.dst = e.src), "
+            f"ag AS (SELECT dst, SUM(nr) AS nr, SUM(nc) AS nc, SUM(nd) AS nd, "
+            f"COUNT(*) AS n FROM creach GROUP BY 1) "
+            f"SELECT nn.row, nn.col, {lexp} / CAST(n AS DOUBLE) AS value "
+            f"FROM ag JOIN nodes nn ON ag.dst = nn.id"
+        ),
+        "eas_euclidean": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, {streams}, "
+            f"sc2 AS MATERIALIZED (SELECT s.sid, s.sid // {W} AS row, s.sid % {W} AS col "
+            f"FROM streams s), "
+            f"t AS (SELECT sid AS tid, {_META40C.x_center_expr('col')} AS tx, "
+            f"{_META40C.y_center_expr('row')} AS ty, z.value AS tz FROM sc2 "
+            f"JOIN (SELECT (row * {W} + col) AS zid, value FROM ras_a) z "
+            f"ON sc2.sid = z.zid), "
+            f"qq AS (SELECT row, col, value AS z, {_META40C.x_center_expr('col')} AS qx, "
+            f"{_META40C.y_center_expr('row')} AS qy FROM ras_a), "
+            f"cand AS (SELECT qq.row, qq.col, qq.z, t.tid, t.tz, "
+            f"(qq.qx - t.tx) * (qq.qx - t.tx) + (qq.qy - t.ty) * (qq.qy - t.ty) AS dist2 "
+            f"FROM qq, t), "
+            f"r AS (SELECT row, col, z, tz, ROW_NUMBER() OVER "
+            f"(PARTITION BY row, col ORDER BY dist2, tid) AS rk FROM cand) "
+            f"SELECT row, col, z - tz AS value FROM r WHERE rk = 1"
+        ),
         "subbasins": (
             prelude + f", {links}, "
             f"ens AS MATERIALIZED (SELECT e.* FROM e LEFT JOIN streams s ON e.src = s.sid "
@@ -3728,6 +3818,31 @@ def _stream2_oracles() -> dict[str, str]:
             f"FROM sel WHERE is_stream OR reaches"
         ),
     }
+
+
+def _parallel_flow_oracle(prelude: str, W: int) -> str:
+    pairs = []
+    for i in range(8):
+        dy, dx = HY.D8_DY[i], HY.D8_DX[i]
+        for ny in (-1, 0, 1):
+            for nx in (-1, 0, 1):
+                if (ny, nx) in ((0, 0), (dy, dx), (-dy, -dx)):
+                    continue
+                pairs.append(f"({1 << i}, {ny}, {nx})")
+    return (
+        prelude + f", "
+        f"sp AS MATERIALIZED (SELECT p.row, p.col, CAST(p.value AS BIGINT) AS code "
+        f"FROM ptr p JOIN streams s ON (p.row * {W} + p.col) = s.sid "
+        f"WHERE p.value > 0), "
+        f"po AS (SELECT * FROM (VALUES {', '.join(pairs)}) o(c, dr, dc)), "
+        f"hit AS (SELECT DISTINCT sp.row, sp.col FROM sp "
+        f"JOIN po ON po.c = sp.code "
+        f"JOIN sp n ON n.row = sp.row + po.dr AND n.col = sp.col + po.dc "
+        f"AND n.code = sp.code) "
+        f"SELECT sp.row, sp.col, CAST(CASE WHEN hit.row IS NOT NULL "
+        f"THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value "
+        f"FROM sp LEFT JOIN hit ON sp.row = hit.row AND sp.col = hit.col"
+    )
 
 
 def _focal3_oracles() -> dict[str, str]:

@@ -1940,3 +1940,199 @@ def hillslopes(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
     streams.unpersist()
     e_l.unpersist()
     return out
+
+
+def fd8_pointer(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """FD8Pointer (hydro_analysis/fd8_pointer.rs): the SUM of the D8
+    codes (2^i) of every strictly-downslope neighbor — the
+    multiple-flow-direction pointer."""
+    piv = focal_pivot3_raw(cells)
+    terms = " + ".join(
+        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc THEN {1 << i} ELSE 0 END"
+        for i in range(8))
+    return piv.selectExpr("row", "col", f"CAST({terms} AS DOUBLE) AS value")
+
+
+def find_parallel_flow(cells: DataFrame, meta: GridMeta,
+                       threshold: float) -> DataFrame:
+    """FindParallelFlow (hydro_analysis/find_parallel_flow.rs
+    semantics): stream cells whose flow direction equals that of an
+    adjacent PARALLEL stream cell (a neighbor that is neither its
+    upstream source nor its downstream target) — 1.0 flagged, 0.0
+    other stream cells."""
+    c = meta.columns
+    ptr = d8_pointer(cells, meta).persist()
+    accum = d8_flow_accumulation_tiled(cells, meta)
+    streams = accum.where(f"value >= {threshold!r}") \
+                   .selectExpr("row", "col", "1 AS __s")
+    sp = ptr.join(streams, ["row", "col"], "leftsemi") \
+            .selectExpr("row", "col", "CAST(value AS BIGINT) AS code") \
+            .where("code > 0")
+    # neighbors with identical code, excluding the up/downstream axis:
+    # for direction i the flow axis neighbors are +/- (dy_i, dx_i)
+    pairs = []
+    for i in range(8):
+        dy, dx = D8_DY[i], D8_DX[i]
+        for ny in (-1, 0, 1):
+            for nx in (-1, 0, 1):
+                if (ny, nx) in ((0, 0), (dy, dx), (-dy, -dx)):
+                    continue
+                pairs.append(
+                    f"STRUCT({1 << i}L AS c, {ny}L AS dr, {nx}L AS dc)")
+    nb = sp.withColumn("__n", F.expr(f"EXPLODE(ARRAY({', '.join(pairs)}))")) \
+           .where("__n.c = code") \
+           .selectExpr("row + __n.dr AS nrow", "col + __n.dc AS ncol",
+                       "code AS ncode", "row AS orow", "col AS ocol")
+    hit = nb.join(
+        sp.selectExpr("row AS nrow", "col AS ncol", "code AS ncode"),
+        ["nrow", "ncol", "ncode"], "inner",
+    ).selectExpr("orow AS row", "ocol AS col").distinct().withColumn("__hit", F.lit(1))
+    out = sp.join(hit, ["row", "col"], "left").selectExpr(
+        "row", "col",
+        "CAST(CASE WHEN __hit IS NOT NULL THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value")
+    ptr.unpersist()
+    return out
+
+
+def _full_closure_with_steps(cells: DataFrame, meta: GridMeta,
+                             max_doublings: int = 24):
+    """Exact-path closure (src, dst, nr, nc, nd) over ALL D8 edges.
+    Gate-scale plan (closure size = cells x path length); at continental
+    scale contract per-tile first (d8_flow_accumulation_tiled pattern)
+    and close the coarse exit graph only."""
+    c = meta.columns
+    ptr = d8_pointer(cells, meta)
+    nodes = ptr.selectExpr(f"(row * {c}L + col) AS id", "row", "col").persist()
+    e = d8_edges(ptr).selectExpr(
+        f"(row * {c}L + col) AS src", f"(drow * {c}L + dcol) AS dst",
+        "CAST(CASE WHEN drow <> row AND dcol <> col THEN 1 ELSE 0 END AS LONG) AS nd",
+        "CAST(CASE WHEN drow <> row AND dcol = col THEN 1 ELSE 0 END AS LONG) AS nr",
+        "CAST(CASE WHEN drow = row AND dcol <> col THEN 1 ELSE 0 END AS LONG) AS nc",
+    )
+    reach = nodes.selectExpr("id AS src", "id AS dst", "0L AS nr", "0L AS nc",
+                             "0L AS nd").unionByName(e).localCheckpoint(eager=True)
+    prev = reach.count()
+    for _ in range(max_doublings):
+        grown = (
+            reach.alias("a").join(reach.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .selectExpr("a.src AS src", "b.dst AS dst", "a.nr + b.nr AS nr",
+                        "a.nc + b.nc AS nc", "a.nd + b.nd AS nd")
+            .unionByName(reach).dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        n = grown.count()
+        reach = grown
+        if n == prev:
+            break
+        prev = n
+    else:
+        ensure_converged(1, "_full_closure_with_steps", max_doublings)
+    return reach, nodes
+
+
+def max_upslope_flowpath_length(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """MaxUpslopeFlowpathLength (hydro_analysis/max_upslope_flowpath.rs):
+    per cell, the maximum flowpath length from any upstream cell
+    (heads report 0). Exact integer step counters; ties on equal
+    lengths are value-identical so any argmax works."""
+    reach, nodes = _full_closure_with_steps(cells, meta)
+    agg = reach.groupBy("dst").agg(
+        F.expr(f"MAX({_len_expr(meta)})").alias("value"))
+    out = agg.join(nodes, agg["dst"] == nodes["id"]).select("row", "col", "value")
+    nodes.unpersist()
+    return out
+
+
+def average_upslope_flowpath_length(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """AverageUpslopeFlowpathLength: mean flowpath length over all
+    upstream cells (self included with length 0). The integer step
+    counters SUM exactly, so the mean = (sum-counters x constants) / n
+    is bit-reproducible."""
+    reach, nodes = _full_closure_with_steps(cells, meta)
+    agg = reach.groupBy("dst").agg(
+        F.sum("nr").alias("nr"), F.sum("nc").alias("nc"),
+        F.sum("nd").alias("nd"), F.count(F.lit(1)).alias("n"))
+    out = agg.selectExpr("dst", f"{_len_expr(meta)} / CAST(n AS DOUBLE) AS value") \
+             .join(nodes, F.col("dst") == nodes["id"]).select("row", "col", "value")
+    nodes.unpersist()
+    return out
+
+
+def d8_mass_flux(cells: DataFrame, meta: GridMeta, loading: DataFrame,
+                 efficiency: DataFrame, absorption: DataFrame,
+                 max_rounds: int = 256) -> DataFrame:
+    """D8MassFlux (hydro_analysis/d8_mass_flux.rs): route mass down the
+    D8 network; outflux(c) = (loading(c) + sum of inflows - absorption(c))
+    * efficiency(c), floored at 0 before routing. Topological peel (per-
+    round float products are order-independent per cell: one inflow sum
+    per round). Iterative -> rows-only + pytest gate."""
+    c = meta.columns
+    ptr = d8_pointer(cells, meta)
+    e = d8_edges(ptr).selectExpr(f"(row * {c}L + col) AS src",
+                                 f"(drow * {c}L + dcol) AS dst").persist()
+    base = (
+        ptr.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+        .join(loading.selectExpr(f"(row * {c}L + col) AS id", "value AS ld"), "id")
+        .join(efficiency.selectExpr(f"(row * {c}L + col) AS id", "value AS eff"), "id")
+        .join(absorption.selectExpr(f"(row * {c}L + col) AS id", "value AS ab"), "id")
+        .persist()
+    )
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+    unresolved = base.select("id")
+    resolved = None
+    for _ in range(max_rounds):
+        if resolved is None:
+            ready = unresolved.join(indeg.withColumnRenamed("dst", "id"),
+                                    "id", "left_anti")
+            inflow = None
+        else:
+            blocked = (
+                e.join(unresolved.selectExpr("id AS dst"), "dst", "leftsemi")
+                .join(resolved.selectExpr("id AS src"), "src", "left_anti")
+                .select(F.col("dst").alias("id")).distinct()
+            )
+            ready = unresolved.join(blocked, "id", "left_anti")
+            inflow = e.join(resolved.withColumnRenamed("id", "src"), "src") \
+                      .groupBy("dst").agg(F.sum("flux").alias("in_flux")) \
+                      .withColumnRenamed("dst", "id")
+        frontier = ready.join(base, "id")
+        if inflow is not None:
+            frontier = frontier.join(inflow, "id", "left")
+            flux = "GREATEST((ld + COALESCE(in_flux, 0.0) - ab) * eff, 0.0)"
+        else:
+            flux = "GREATEST((ld - ab) * eff, 0.0)"
+        frontier = frontier.selectExpr("id", "row", "col", f"{flux} AS flux")
+        resolved = (frontier if resolved is None
+                    else resolved.unionByName(frontier)).localCheckpoint(eager=True)
+        unresolved = unresolved.join(frontier.select("id"), "id", "left_anti") \
+                               .localCheckpoint(eager=True)
+        # batch the termination checks: one count every 4 rounds instead
+        # of frontier.count() + unresolved.count() every round (the
+        # iterative-loop-constant fix — the peel itself is unchanged)
+        if _ % 4 == 3 and unresolved.count() == 0:
+            break
+    else:
+        if unresolved.count() != 0:
+            ensure_converged(unresolved.count(), "d8_mass_flux peel", max_rounds)
+    e.unpersist()
+    base.unpersist()
+    return resolved.select("row", "col", F.col("flux").alias("value"))
+
+
+def elevation_above_stream_euclidean(cells: DataFrame, meta: GridMeta,
+                                     threshold: float) -> DataFrame:
+    """ElevationAboveStreamEuclidean (hydro_analysis/
+    elevation_above_stream_euclidean.rs): z - z(EUCLIDEAN-nearest
+    stream cell) — the straight-line HAND variant; shares the exact
+    separable EDT with euclidean_allocation."""
+    from .distance import euclidean_allocation
+
+    c = meta.columns
+    accum = d8_flow_accumulation_tiled(cells, meta)
+    streams = accum.where(f"value >= {threshold!r}").select("row", "col")
+    marked = cells.join(streams.withColumn("__s", F.lit(1)), ["row", "col"], "left") \
+                  .selectExpr("row", "col",
+                              "CASE WHEN __s IS NOT NULL THEN value ELSE -32768.0 END AS value")
+    alloc = euclidean_allocation(marked, meta, target_pred="value <> -32768.0")
+    return cells.join(alloc.selectExpr("row", "col", "value AS sz"),
+                      ["row", "col"]).selectExpr("row", "col", "value - sz AS value")
