@@ -977,6 +977,14 @@ def _q_eas_euclidean(spark, sf):
     return HY.elevation_above_stream_euclidean(_ras_c(spark, sf), _META40C, 4.0)
 
 
+def _q_breach_pits(spark, sf):
+    return HY.breach_pits(_ras(spark, sf, "a"), _META100)
+
+
+def _q_extract_valleys(spark, sf):
+    return HY.extract_valleys(_ras(spark, sf, "a"), _META100)
+
+
 def _q_hillslopes(spark, sf):
     return HY.hillslopes(_ras_c(spark, sf), _META40C, 4.0)
 
@@ -2147,6 +2155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_upslope": _q_avg_upslope,
         "mass_flux": _q_mass_flux,
         "eas_euclidean": _q_eas_euclidean,
+        "breach_pits": _q_breach_pits,
+        "extract_valleys": _q_extract_valleys,
         "lidar_colourize": _q_lidar_colourize,
         "wetness_rounded": _q_wetness_rounded,
         "spi_rounded": _q_spi_rounded,
@@ -3404,6 +3414,41 @@ def _hydro2_oracles() -> dict[str, str]:
             f"WITH {ras_a}, {pivot} SELECT row, col, "
             f"CAST(CASE WHEN value = 0.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value "
             f"FROM ptr"
+        ),
+        "breach_pits": (
+            f"WITH {ras_a}, {pivot}, "
+            f"pits AS (SELECT row, col, zc AS zp, (row * 100 + col) AS pid FROM piv "
+            f"WHERE zc IS NOT NULL AND "
+            + " AND ".join(f"COALESCE(zn_{i} >= zc, TRUE)" for i in range(8))
+            + "), "
+            f"probes AS (SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, {HY._BP_DY2[i]}, {HY._BP_DX2[i]}, "
+                f"{HY.D8_DY[HY._BP_CELL[i]]}, {HY.D8_DX[HY._BP_CELL[i]]})"
+                for i in range(16))
+            + ") o(i, dy2, dx2, bdy, bdx)), "
+            f"j AS (SELECT p.pid, p.zp, o.i, p.row + o.bdy AS br, p.col + o.bdx AS bc, "
+            f"a.value AS z2 FROM pits p JOIN probes o ON TRUE "
+            f"JOIN ras_a a ON a.row = p.row + o.dy2 AND a.col = p.col + o.dx2 "
+            f"WHERE a.value < p.zp), "
+            f"w AS (SELECT br, bc, (zp + z2) / 2.0 AS wv, ROW_NUMBER() OVER "
+            f"(PARTITION BY br, bc ORDER BY pid DESC, i DESC) AS rk FROM j) "
+            f"SELECT a.row, a.col, COALESCE(w.wv, a.value) AS value FROM ras_a a "
+            f"LEFT JOIN (SELECT br, bc, wv FROM w WHERE rk = 1) w "
+            f"ON a.row = w.br AND a.col = w.bc"
+        ),
+        "extract_valleys": (
+            f"WITH {ras_a}, "
+            f"offs25 AS (SELECT * FROM (VALUES "
+            + ", ".join(f"({n // 5 - 2}, {n % 5 - 2})" for n in range(25))
+            + ") o(dr, dc)), "
+            f"sc AS (SELECT a.row + o.dr AS row, a.col + o.dc AS col, a.value AS nv "
+            f"FROM ras_a a, offs25 o), "
+            f"j AS (SELECT s.row, s.col, s.nv, c.value AS z FROM sc s "
+            f"JOIN ras_a c ON s.row = c.row AND s.col = c.col) "
+            f"SELECT row, col, CAST(CASE WHEN COUNT(CASE WHEN nv < z THEN 1 END) "
+            f"< 0.25 * COUNT(nv) THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value "
+            f"FROM j GROUP BY row, col, z"
         ),
         "fd8_pointer": (
             f"WITH {ras_a}, {pivot} SELECT row, col, CAST("

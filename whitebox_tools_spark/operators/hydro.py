@@ -2136,3 +2136,59 @@ def elevation_above_stream_euclidean(cells: DataFrame, meta: GridMeta,
     alloc = euclidean_allocation(marked, meta, target_pred="value <> -32768.0")
     return cells.join(alloc.selectExpr("row", "col", "value AS sz"),
                       ["row", "col"]).selectExpr("row", "col", "value - sz AS value")
+
+
+# breach_pits.rs:201-203 ring-2 offsets and the D8 neighbor each one
+# breaches through
+_BP_DX2 = [2, 2, 2, 2, 2, 1, 0, -1, -2, -2, -2, -2, -2, -1, 0, 1]
+_BP_DY2 = [-2, -1, 0, 1, 2, 2, 2, 2, 2, 1, 0, -1, -2, -2, -2, -2]
+_BP_CELL = [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 0]
+
+
+def breach_pits(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """BreachPits (hydro_analysis/breach_pits.rs:201-227): for every
+    single-cell pit, any ring-2 cell lower than the pit lowers the D8
+    neighbor between them to (z_pit + z_ring2)/2. The reference writes
+    in scan order (later writes win); this parallel plan reproduces
+    that by taking, per written cell, the write with the greatest
+    (pit row-major id, ring index) — identical output."""
+    c = meta.columns
+    piv = focal_pivot3_raw(cells)
+    no_lower = " AND ".join(f"COALESCE(zn_{i} >= zc, TRUE)" for i in range(8))
+    pits = piv.where(no_lower).selectExpr("row", "col", "zc AS zp",
+                                          f"(row * {c}L + col) AS pid")
+    # gather ring-2 values per pit via a second scatter join
+    probes = ", ".join(
+        f"STRUCT({i} AS i, row + ({_BP_DY2[i]}L) AS r2, col + ({_BP_DX2[i]}L) AS c2, "
+        f"row + ({D8_DY[_BP_CELL[i]]}L) AS br, col + ({D8_DX[_BP_CELL[i]]}L) AS bc)"
+        for i in range(16))
+    cand = pits.withColumn("__p", F.expr(f"EXPLODE(ARRAY({probes}))")) \
+               .selectExpr("pid", "zp", "__p.i AS i", "__p.r2 AS r2", "__p.c2 AS c2",
+                           "__p.br AS br", "__p.bc AS bc")
+    j = cand.join(cells.selectExpr("row AS r2", "col AS c2", "value AS z2"),
+                  ["r2", "c2"]).where("z2 < zp")
+    writes = j.groupBy("br", "bc").agg(
+        F.expr("MAX_BY((zp + z2) / 2.0, STRUCT(pid, i))").alias("wv"))
+    return cells.join(writes, (cells["row"] == writes["br"]) &
+                      (cells["col"] == writes["bc"]), "left") \
+                .selectExpr("row", "col", "COALESCE(wv, value) AS value")
+
+
+def extract_valleys(cells: DataFrame, meta: GridMeta,
+                    percentile: float = 0.25, radius: int = 2) -> DataFrame:
+    """ExtractValleys (stream_network_analysis/extract_valleys.rs,
+    'lower quartile' method): flag cells sitting in the lowest
+    `percentile` of their (2r+1)^2 window — pure rank counting, no
+    libm."""
+    from .focal import _scatter
+
+    sc = _scatter(cells, radius)
+    ctr = cells.selectExpr("row", "col", "value AS z")
+    j = sc.join(ctr, ["row", "col"])
+    # z is functionally determined by (row, col) — grouping on it keeps
+    # the per-neighbor comparison out of a nested aggregate
+    return j.groupBy("row", "col", "z").agg(
+        F.expr(
+            f"CAST(CASE WHEN COUNT(CASE WHEN nv < z THEN 1 END) "
+            f"< {percentile!r} * COUNT(nv) THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+        ).alias("value")).drop("z")
