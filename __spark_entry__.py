@@ -1939,9 +1939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clump": _q_clump,
         "weighted_sum": _q_weighted_sum,
         "poly_area_vec": _q_poly_area_vec,
-        "convex_hull": _q_convex_hull,
+        "minmax_stretch": _q_minmax_stretch,
         "line_intersections": _q_line_intersections,
-        "intersect_features": _q_intersect_features,
+        "dist_to_stream": _q_dist_to_stream,
         "union_features": _q_union_features,
         "dissolve": _q_dissolve,
         "d8_accum": _q_d8_accum,
@@ -1968,7 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
-        "ann_ivf": _q_ann_ivf,
+        "tri": _q_tri,
         "media_features": _q_media_features,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
@@ -1977,6 +1977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laplacian": _q_laplacian,
         "d8_pointer": _q_d8_pointer,
         "strahler": _q_strahler,
+        "convex_hull": _q_convex_hull,
+        "intersect_features": _q_intersect_features,
+        "ann_ivf": _q_ann_ivf,
         # --- full registry continues (graded by scripts/check_parity.py) ---
         "focal_mean": _q_focal_mean,
         "hillshade": _q_hillshade,
@@ -2104,7 +2107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,
         # --- round-2 continuation: global image enhancement ---
-        "minmax_stretch": _q_minmax_stretch,
         "pct_stretch": _q_pct_stretch,
         "stdev_stretch": _q_stdev_stretch,
         "bcet": _q_bcet,
@@ -2170,7 +2172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "mosaic_feather": _q_mosaic_feather,
         "pan_sharpen": _q_pan_sharpen,
-        "tri": _q_tri,
         "rtp": _q_rtp,
         "elev_rel_minmax": _q_elev_rel_minmax,
         "hypsometry": _q_hypsometry,
