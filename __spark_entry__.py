@@ -977,6 +977,20 @@ def _q_eas_euclidean(spark, sf):
     return HY.elevation_above_stream_euclidean(_ras_c(spark, sf), _META40C, 4.0)
 
 
+def _q_cost_allocation(spark, sf):
+    """Bellman-Ford relaxation with (cost, source) argmin — iterative
+    like cost_distance; rows-only + pytest parity."""
+    _reg(spark, sf, "events")
+    dem = spark.sql(
+        "SELECT (event_id % 20) AS row, "
+        "(CAST(FLOOR(event_id / 20) AS BIGINT) %% 20) AS col, "
+        "CAST(MAX(event_id) % 100 AS DOUBLE) + 1.0 AS value "
+        "FROM events GROUP BY 1, 2".replace("%%", "%"))
+    meta20 = GridMeta(rows=20, columns=20, north=200.0, south=0.0, east=200.0,
+                      west=0.0, resolution_x=10.0, resolution_y=10.0)
+    return HY.cost_allocation(dem, meta20, "(row * 20 + col) % 131 = 0")
+
+
 def _q_breach_pits(spark, sf):
     return HY.breach_pits(_ras(spark, sf, "a"), _META100)
 
@@ -2159,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eas_euclidean": _q_eas_euclidean,
         "breach_pits": _q_breach_pits,
         "extract_valleys": _q_extract_valleys,
+        "cost_allocation": _q_cost_allocation,
         "lidar_colourize": _q_lidar_colourize,
         "wetness_rounded": _q_wetness_rounded,
         "spi_rounded": _q_spi_rounded,

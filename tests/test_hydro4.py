@@ -109,3 +109,40 @@ def test_parallel_flow_flags_subset_of_streams(spark):
     for r in out:
         assert acc[r["row"], r["col"]] >= 4.0
         assert r["value"] in (0.0, 1.0)
+
+
+def test_cost_allocation_matches_dijkstra(spark):
+    import heapq
+
+    df, vals = _dem(spark, seed=46)
+    cost = df.selectExpr("row", "col", "value + 1.0 AS value")
+    cg = _grid(cost)
+    sources = [(r, c) for r in range(N) for c in range(N) if (r * N + c) % 37 == 0]
+    # brute-force multi-source Dijkstra with (cost, source) tie-break
+    best = {}
+    pq = []
+    for s in sources:
+        sid = s[0] * N + s[1]
+        best[s] = (0.0, sid)
+        heapq.heappush(pq, (0.0, sid, s))
+    while pq:
+        d, sid, (r, c) = heapq.heappop(pq)
+        if best.get((r, c), (1e18, -1)) < (d, sid):
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nr, nc = r + dr, c + dc
+                if not (0 <= nr < N and 0 <= nc < N):
+                    continue
+                step = DIAG if dr and dc else 10.0
+                nd = d + (cg[r, c] + cg[nr, nc]) / 2.0 * step
+                cand = (nd, sid)
+                if cand < best.get((nr, nc), (1e18, -1)):
+                    best[(nr, nc)] = cand
+                    heapq.heappush(pq, (nd, sid, (nr, nc)))
+    got = {(r["row"], r["col"]): r["value"]
+           for r in HY.cost_allocation(cost, META, f"(row * {N} + col) % 37 = 0").collect()}
+    for cell, (d, sid) in best.items():
+        assert got[cell] == float(sid), (cell, got[cell], sid)

@@ -2192,3 +2192,55 @@ def extract_valleys(cells: DataFrame, meta: GridMeta,
             f"CAST(CASE WHEN COUNT(CASE WHEN nv < z THEN 1 END) "
             f"< {percentile!r} * COUNT(nv) THEN 1.0 ELSE 0.0 END AS DOUBLE)"
         ).alias("value")).drop("z")
+
+
+def cost_allocation(cost: DataFrame, meta: GridMeta, source_pred: str,
+                    source_id_expr: str | None = None,
+                    max_rounds: int = 96) -> DataFrame:
+    """CostAllocation (gis_analysis/cost_allocation.rs semantics): each
+    cell takes the id of the source reaching it at LEAST accumulated
+    cost (ties resolve to the smaller source id). Same Bellman-Ford
+    relaxation as cost_distance with an (acc, src) argmin payload."""
+    import math as _m
+
+    diag = _m.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    offs = [(-1, 0, meta.resolution_y), (1, 0, meta.resolution_y),
+            (0, -1, meta.resolution_x), (0, 1, meta.resolution_x),
+            (-1, -1, diag), (-1, 1, diag), (1, -1, diag), (1, 1, diag)]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol, {d!r} AS dist)"
+        for dr, dc, d in offs)
+    sid = source_id_expr or f"(row * {meta.columns}L + col)"
+    state = cost.selectExpr(
+        "row", "col", "value AS c",
+        f"CASE WHEN {source_pred} THEN 0.0 ELSE CAST('Infinity' AS DOUBLE) END AS acc",
+        f"CASE WHEN {source_pred} THEN {sid} ELSE CAST(NULL AS BIGINT) END AS src",
+    ).localCheckpoint(eager=True)
+    for rnd in range(max_rounds):
+        scattered = state.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+            "__n.nrow AS row", "__n.ncol AS col", "acc AS nacc", "c AS nc",
+            "src AS nsrc", "__n.dist AS dist")
+        relax = scattered.join(
+            state.selectExpr("row", "col", "c AS mc"), ["row", "col"], "inner"
+        ).groupBy("row", "col").agg(
+            F.expr("MIN_BY(STRUCT(nacc + (nc + mc) / 2.0 * dist AS a, nsrc AS s), "
+                   "STRUCT(nacc + (nc + mc) / 2.0 * dist, nsrc))").alias("b"))
+        new = state.join(relax, ["row", "col"], "left").selectExpr(
+            "row", "col", "c", "acc AS __prev",
+            # both expressions read the INPUT `acc`/`src` columns (a
+            # projection cannot reference its own sibling aliases)
+            "CASE WHEN b IS NOT NULL AND b.a < acc THEN b.a ELSE acc END AS acc",
+            "CASE WHEN b IS NOT NULL AND (b.a < acc OR (b.a = acc AND "
+            "(src IS NULL OR b.s < src))) THEN b.s ELSE src END AS src",
+        ).localCheckpoint(eager=True)
+        if rnd % 4 == 3:
+            changed = new.where("acc <> __prev").count()
+            state = new.drop("__prev")
+            if changed == 0:
+                break
+        else:
+            state = new.drop("__prev")
+    else:
+        ensure_converged(1, "cost_allocation relaxation", max_rounds)
+    return state.where("src IS NOT NULL").selectExpr(
+        "row", "col", "CAST(src AS DOUBLE) AS value")
