@@ -1953,9 +1953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clump": _q_clump,
         "weighted_sum": _q_weighted_sum,
         "poly_area_vec": _q_poly_area_vec,
-        "minmax_stretch": _q_minmax_stretch,
+        "convex_hull": _q_convex_hull,
         "line_intersections": _q_line_intersections,
-        "dist_to_stream": _q_dist_to_stream,
+        "intersect_features": _q_intersect_features,
         "union_features": _q_union_features,
         "dissolve": _q_dissolve,
         "d8_accum": _q_d8_accum,
@@ -1982,7 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
-        "tri": _q_tri,
+        "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
@@ -1991,9 +1991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laplacian": _q_laplacian,
         "d8_pointer": _q_d8_pointer,
         "strahler": _q_strahler,
-        "convex_hull": _q_convex_hull,
-        "intersect_features": _q_intersect_features,
-        "ann_ivf": _q_ann_ivf,
         # --- full registry continues (graded by scripts/check_parity.py) ---
         "focal_mean": _q_focal_mean,
         "hillshade": _q_hillshade,
@@ -2121,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,
         # --- round-2 continuation: global image enhancement ---
+        "minmax_stretch": _q_minmax_stretch,
         "pct_stretch": _q_pct_stretch,
         "stdev_stretch": _q_stdev_stretch,
         "bcet": _q_bcet,
@@ -2187,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "mosaic_feather": _q_mosaic_feather,
         "pan_sharpen": _q_pan_sharpen,
+        "tri": _q_tri,
         "rtp": _q_rtp,
         "elev_rel_minmax": _q_elev_rel_minmax,
         "hypsometry": _q_hypsometry,
@@ -2904,7 +2903,7 @@ def _stats2_oracles() -> dict[str, str]:
             f"SUM(s1 * s1 / n) AS sgroup FROM g) "
             f"SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, "
             f"(sgroup - ts1 * ts1 / n) AS ss_between, (ts2 - sgroup) AS ss_within, "
-            f"((sgroup - ts1 * ts1 / n) / (k - 1)) / ((ts2 - sgroup) / (n - k)) AS f_stat "
+            f"((sgroup - ts1 * ts1 / n) / NULLIF(k - 1, 0)) / NULLIF((ts2 - sgroup) / NULLIF(n - k, 0), 0.0) AS f_stat "
             f"FROM t"
         ),
         "wilcoxon": (

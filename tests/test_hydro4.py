@@ -146,3 +146,42 @@ def test_cost_allocation_matches_dijkstra(spark):
            for r in HY.cost_allocation(cost, META, f"(row * {N} + col) % 37 = 0").collect()}
     for cell, (d, sid) in best.items():
         assert got[cell] == float(sid), (cell, got[cell], sid)
+
+
+def test_cost_allocation_uniform_cost_ties(spark):
+    """Uniform cost => pervasive exact-cost ties; the smaller source id
+    must win everywhere on the bisector even though late rounds change
+    only `src` (regression test for the acc-only convergence check)."""
+    import heapq
+
+    rows = [(r, c, 1.0) for r in range(N) for c in range(N)]
+    cost = spark.createDataFrame(rows, "row long, col long, value double")
+    sources = [(0, 0), (0, N - 1), (N - 1, 0), (N - 1, N - 1), (4, 4)]
+    pred = " OR ".join(f"(row = {r} AND col = {c})" for r, c in sources)
+    best = {}
+    pq = []
+    for s in sources:
+        sid = s[0] * N + s[1]
+        best[s] = (0.0, sid)
+        heapq.heappush(pq, (0.0, sid, s))
+    while pq:
+        d, sid, (r, c) = heapq.heappop(pq)
+        if best.get((r, c), (1e18, -1)) < (d, sid):
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nr, nc = r + dr, c + dc
+                if not (0 <= nr < N and 0 <= nc < N):
+                    continue
+                step = DIAG if dr and dc else 10.0
+                nd = d + step  # (1+1)/2 * step
+                cand = (nd, sid)
+                if cand < best.get((nr, nc), (1e18, -1)):
+                    best[(nr, nc)] = cand
+                    heapq.heappush(pq, (nd, sid, (nr, nc)))
+    got = {(r["row"], r["col"]): r["value"]
+           for r in HY.cost_allocation(cost, META, pred).collect()}
+    for cell, (d, sid) in best.items():
+        assert got[cell] == float(sid), (cell, got[cell], sid)

@@ -1302,7 +1302,14 @@ def find_noflow_cells(cells: DataFrame, meta: GridMeta) -> DataFrame:
 def fill_pits(cells: DataFrame, meta: GridMeta) -> DataFrame:
     """FillPits (hydro_analysis/fill_pits.rs:216-234): single-cell pits
     (no valid neighbor strictly below z) are raised to the minimum
-    neighbor elevation + 0.0001; everything else passes through."""
+    neighbor elevation + 0.0001; everything else passes through.
+
+    Intentional deviation at edges/nodata: fill_pits.rs updates min_zn
+    without a nodata guard, so a pit adjacent to nodata is raised to
+    nodata + 0.0001 (a sentinel-poisoned elevation); this implementation
+    uses the minimum VALID neighbor instead, which is the physically
+    meaningful fill height. Interior pits on nodata-free rasters are
+    bit-identical to the reference."""
     piv = focal_pivot3_raw(cells)
     no_lower = " AND ".join(f"COALESCE(zn_{i} >= zc, TRUE)" for i in range(8))
     min_n = "LEAST(" + ", ".join(
@@ -1882,7 +1889,15 @@ def hillslopes(cells: DataFrame, meta: GridMeta, threshold: float) -> DataFrame:
     Plan: pointer-jumping on edges with BOTH endpoints off-stream (the
     terminal is then the LAST off-stream cell), one join to read that
     terminal's pointer edge into the stream, and one link-label lookup.
-    """
+
+    Intentional deviation: the reference additionally clumps each bank
+    into CONTIGUOUS regions with globally unique ids (blocking diagonal
+    clumping across streams), so two disjoint regions on the same bank
+    of a link get distinct ids there but share link_id*3+bank here.
+    The (link, bank) classification itself matches; only
+    contiguity-uniqueness of region ids is not reproduced. Compose with
+    operators.clump.clump over the bank labels if unique region ids are
+    required."""
     from ..plans.rank import dense_rank_small
 
     c = meta.columns
@@ -2226,7 +2241,7 @@ def cost_allocation(cost: DataFrame, meta: GridMeta, source_pred: str,
             F.expr("MIN_BY(STRUCT(nacc + (nc + mc) / 2.0 * dist AS a, nsrc AS s), "
                    "STRUCT(nacc + (nc + mc) / 2.0 * dist, nsrc))").alias("b"))
         new = state.join(relax, ["row", "col"], "left").selectExpr(
-            "row", "col", "c", "acc AS __prev",
+            "row", "col", "c", "acc AS __prev_acc", "src AS __prev_src",
             # both expressions read the INPUT `acc`/`src` columns (a
             # projection cannot reference its own sibling aliases)
             "CASE WHEN b IS NOT NULL AND b.a < acc THEN b.a ELSE acc END AS acc",
@@ -2234,12 +2249,17 @@ def cost_allocation(cost: DataFrame, meta: GridMeta, source_pred: str,
             "(src IS NULL OR b.s < src))) THEN b.s ELSE src END AS src",
         ).localCheckpoint(eager=True)
         if rnd % 4 == 3:
-            changed = new.where("acc <> __prev").count()
-            state = new.drop("__prev")
+            # Convergence must track BOTH payload fields: on rasters with
+            # pervasive exact-cost ties (e.g. uniform cost) a round can
+            # change only `src` (the smaller-source-id tie-break walking one
+            # hop per round) while every `acc` is already final.
+            changed = new.where(
+                "acc <> __prev_acc OR NOT (src <=> __prev_src)").count()
+            state = new.drop("__prev_acc", "__prev_src")
             if changed == 0:
                 break
         else:
-            state = new.drop("__prev")
+            state = new.drop("__prev_acc", "__prev_src")
     else:
         ensure_converged(1, "cost_allocation relaxation", max_rounds)
     return state.where("src IS NOT NULL").selectExpr(

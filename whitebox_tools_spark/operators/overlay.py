@@ -82,6 +82,11 @@ def highest_position(layers: list[DataFrame]) -> DataFrame:
 
 
 def lowest_position(layers: list[DataFrame]) -> DataFrame:
+    """LowestPosition (gis_analysis/lowest_position.rs): 1-based index of
+    the layer holding the smallest value per cell; ties resolve to the
+    first such layer. Cells missing from any layer are excluded (WBT
+    nodata semantics: any-nodata -> nodata), enforced by the __n ==
+    len(layers) completeness rule."""
     out = _stack(layers).groupBy("row", "col").agg(
         F.expr("MIN_BY(layer_idx, STRUCT(v, layer_idx))").alias("pos"),
         F.count(F.lit(1)).alias("__n"),
@@ -129,21 +134,6 @@ def pick_from_list(layers: list[DataFrame], selector: DataFrame) -> DataFrame:
     return joined.selectExpr(
         "row", "col",
         f"ELEMENT_AT(ARRAY({arr}), CAST(__sel AS INT) + 1) AS value",
-    )
-
-
-def lowest_position(layers: list[DataFrame]) -> DataFrame:
-    """LowestPosition: 1-based index of the layer holding the smallest
-    value per cell; ties -> the first such layer (lowest_position.rs)."""
-    from functools import reduce
-
-    stacked = [
-        df.selectExpr("row", "col", "value AS v", f"{i + 1} AS li")
-        for i, df in enumerate(layers)
-    ]
-    u = reduce(lambda a, b: a.unionByName(b), stacked)
-    return u.groupBy("row", "col").agg(
-        F.expr("CAST(MIN_BY(li, STRUCT(v, li)) AS DOUBLE)").alias("value")
     )
 
 

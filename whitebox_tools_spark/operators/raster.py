@@ -582,11 +582,18 @@ def kappa_index(a: DataFrame, b: DataFrame) -> DataFrame:
     ) or 0
     j.unpersist()
     spark = a.sparkSession
-    po = agree / n
-    pe = marg / (n * n)
-    kappa = (po - pe) / (1.0 - pe)
+    # Degenerate guards (empty overlap, or pe == 1 when both rasters are a
+    # single identical class): emit NULL kappa rather than raising, matching
+    # the NULLIF convention used by the SQL oracle.
+    po = agree / n if n else None
+    pe = marg / (n * n) if n else None
+    kappa = (
+        (po - pe) / (1.0 - pe)
+        if po is not None and pe is not None and pe != 1.0
+        else None
+    )
     return spark.createDataFrame(
-        [(n, float(po), float(pe), float(kappa))],
+        [(n, po, pe, kappa)],
         "n bigint, p_observed double, p_expected double, kappa double",
     )
 
@@ -727,7 +734,12 @@ def anova(values: DataFrame, zones: DataFrame) -> DataFrame:
         "CAST(n AS BIGINT) AS n",
         "(sgroup - ts1 * ts1 / n) AS ss_between",
         "(ts2 - sgroup) AS ss_within",
-        "((sgroup - ts1 * ts1 / n) / (k - 1)) / ((ts2 - sgroup) / (n - k)) AS f_stat",
+        # NULLIF guards keep degenerate samples (single zone -> k=1, or
+        # n=k one-cell zones) at NULL instead of an ANSI DIVIDE_BY_ZERO
+        # abort; the DuckDB oracle uses the identical NULLIF so both
+        # engines agree on the degenerate case.
+        "((sgroup - ts1 * ts1 / n) / NULLIF(k - 1, 0)) "
+        "/ NULLIF((ts2 - sgroup) / NULLIF(n - k, 0), 0.0) AS f_stat",
     )
 
 
@@ -778,8 +790,12 @@ def trend_surface(cells: DataFrame, meta: GridMeta) -> DataFrame:
         F.sum(F.expr("y * y")).alias("syy"), F.sum("z").alias("sz"),
         F.sum(F.expr("x * z")).alias("sxz"), F.sum(F.expr("y * z")).alias("syz"),
     )
-    det = ("(n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) "
-           "+ sy * (sx * sxy - sxx * sy))")
+    # NULLIF: degenerate (collinear / empty) samples give NULL coefficients
+    # instead of an ANSI divide-by-zero abort; DuckDB returns NULL for x/0
+    # natively so both engines agree, and for a full grid det != 0 so the
+    # guard is the identity.
+    det = ("NULLIF(n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) "
+           "+ sy * (sx * sxy - sxx * sy), 0.0)")
     b0 = (f"(sz * (sxx * syy - sxy * sxy) - sx * (sxz * syy - sxy * syz) "
           f"+ sy * (sxz * sxy - sxx * syz)) / {det}")
     b1 = (f"(n * (sxz * syy - sxy * syz) - sz * (sx * syy - sxy * sy) "
@@ -806,9 +822,12 @@ def pca_two_band(a: DataFrame, b: DataFrame) -> DataFrame:
         F.sum(F.expr("x * x")).alias("sxx"), F.sum(F.expr("y * y")).alias("syy"),
         F.sum(F.expr("x * y")).alias("sxy"),
     ).selectExpr(
-        "sx / n AS mx", "sy / n AS my",
-        "SQRT((sxx - sx * sx / n) / n) AS sdx",
-        "SQRT((syy - sy * sy / n) / n) AS sdy",
+        "sx / NULLIF(n, 0) AS mx", "sy / NULLIF(n, 0) AS my",
+        # NULLIF: a constant band (sd = 0) yields NULL components instead of
+        # an ANSI divide-by-zero abort; DuckDB oracle agrees via its own
+        # NULL-on-zero-division semantics.
+        "NULLIF(SQRT((sxx - sx * sx / n) / n), 0.0) AS sdx",
+        "NULLIF(SQRT((syy - sy * sy / n) / n), 0.0) AS sdy",
         "((sxy - sx * sy / n) / n) AS cov",
     )
     return j.crossJoin(F.broadcast(m)).selectExpr(
@@ -921,7 +940,13 @@ def mosaic_with_feathering(a: DataFrame, b: DataFrame, meta: GridMeta,
         av.join(bv, ["row", "col"], "full")
         .join(da, ["row", "col"], "left").join(db, ["row", "col"], "left")
     )
-    w1 = f"({wp('d1')}) / (({wp('d1')}) + ({wp('d2')}))"
+    # An image that covers the ENTIRE grid has no outside cells, so its
+    # EDT finds no targets and d comes back NULL: treat a NULL distance as
+    # "infinitely interior" (weight 1 vs a finite edge distance; 0.5 when
+    # both are edge-free) instead of propagating NULL into the blend.
+    w1 = (f"CASE WHEN d1 IS NULL AND d2 IS NULL THEN 0.5 "
+          f"WHEN d1 IS NULL THEN 1.0 WHEN d2 IS NULL THEN 0.0 "
+          f"ELSE ({wp('d1')}) / (({wp('d1')}) + ({wp('d2')})) END")
     return j.selectExpr(
         "row", "col",
         f"CASE WHEN v1 IS NULL THEN v2 WHEN v2 IS NULL THEN v1 "

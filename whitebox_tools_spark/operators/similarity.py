@@ -137,8 +137,11 @@ def lsh_buckets(
 ) -> DataFrame:
     """Sign-LSH bucket id from deterministic hyperplanes.
 
-    Hyperplane weights are pseudo-random +-1 derived from md5(seed, plane,
-    dim-index) parity — reproducible on any engine, no RNG state.
+    Hyperplane weights are seeded Gaussian draws
+    (np.random.RandomState(seed).randn), baked into the SQL expression
+    as literals — deterministic for a fixed (seed, num_planes, dim), and
+    engine-portable because only the literal coefficients ship with the
+    plan (no RNG state is evaluated at query time).
     """
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_planes, dim)
