@@ -88,3 +88,16 @@ def test_span_invariant_through_pip(spark, polys):
     before = {r["doc_id"]: r["spans_fp"] for r in spans_fingerprint(docs).collect()}
     after = {r["doc_id"]: r["spans_fp"] for r in spans_fingerprint(out).collect()}
     assert before == after
+
+
+def test_cellcover_salted_equals_unsalted(spark, points, polys):
+    from whitebox_tools_spark.operators.pip_join import points_in_polygons_cellcover
+
+    base = {(r["record_num"], r["polygon_id"])
+            for r in points_in_polygons_cellcover(points, polys, 50.0).collect()}
+    salted = {(r["record_num"], r["polygon_id"])
+              for r in points_in_polygons_cellcover(points, polys, 50.0, salt=4).collect()}
+    ref = {(r["record_num"], r["polygon_id"])
+           for r in points_in_polygons(points, polys).collect()}
+    assert base == ref
+    assert salted == ref

@@ -229,32 +229,60 @@ def polygon_cover_cells(polygons: DataFrame, radius: float) -> DataFrame:
     )
 
 
+def polygon_vertices(polygons: DataFrame) -> DataFrame:
+    """Flatten a polygon layer to one row per ring vertex:
+    (polygon_id, part_idx, is_hole, vtx_idx, vx, vy). Pure codegen
+    (two POSEXPLODEs) — the nested geometry never touches the driver,
+    and the flat numeric columns cross the Arrow boundary zero-copy."""
+    return polygons.selectExpr(
+        "polygon_id", "POSEXPLODE(parts) AS (part_idx, part)"
+    ).selectExpr(
+        "polygon_id", "part_idx", "part.is_hole AS is_hole",
+        "POSEXPLODE(part.ring) AS (vtx_idx, v)",
+    ).selectExpr("polygon_id", "part_idx", "is_hole", "vtx_idx",
+                 "v.x AS vx", "v.y AS vy")
+
+
 def points_in_polygons_cellcover(
     points: DataFrame,
     polygons: DataFrame,
     radius: float,
     x: str = "x",
     y: str = "y",
+    salt: int = 1,
 ) -> DataFrame:
-    """Tag-join via cell-cover equi-join + PIP refine.
+    """Tag-join via cell-cover equi-join + cogrouped PIP refine.
 
-    Plan: points gain (cx, cy) [codegen] -> equi-join against the
-    polygon cover-cell table on (cx, cy) [one shuffle; AQE skew-split]
-    -> bbox prefilter [codegen] -> numpy PIP refine on the surviving
-    candidate pairs [mapInPandas, batched per polygon_id]. The refine
-    looks geometry up from a broadcast map keyed by polygon_id; for
-    polygon layers too large to broadcast, swap the lookup for a
-    cogrouped applyInPandas on polygon_id (same kernel).
+    Plan (fully distributed — NOTHING is collected to the driver, so the
+    polygon layer can be arbitrarily large):
+
+    1. points gain (cx, cy) [codegen];
+    2. equi-join against the polygon cover-cell table on (cx, cy)
+       [one shuffle; AQE skew-split], with each cover row carrying its
+       polygon's bbox so the strict-interior bbox prefilter
+       (bounding_box.rs:217) runs inside the same codegen stage;
+    3. the surviving candidate pairs COGROUP with the flattened ring
+       vertices (`polygon_vertices`) on polygon_id; the numpy even-odd
+       kernel (poly_ops.rs:30-72 semantics) refines each group.
+
+    `salt` > 1 splits a hot polygon's candidates across that many tasks
+    (candidates hash-salted, vertices replicated per salt) — use when a
+    single polygon's candidate set exceeds one task's memory at scale.
     """
-    recs = collect_polygons(polygons)
-    sc = points.sparkSession.sparkContext
-    bc = sc.broadcast({r.polygon_id: (r.shells, r.holes) for r in recs})
-
     pts = with_frs_cells(points, radius, x=x, y=y)
-    cover = polygon_cover_cells(polygons, radius)
-    cand = pts.join(cover, ["cx", "cy"], "inner").join(
-        F.broadcast(polygons.select("polygon_id", "bbox")), "polygon_id", "inner"
+    # cover cells with the bbox carried inline (same explode plan as
+    # polygon_cover_cells; carrying bbox here avoids a self-join on the
+    # polygon layer)
+    cxmin = frs_cell_expr("bbox.xmin", radius)
+    cxmax = frs_cell_expr("bbox.xmax", radius)
+    cymin = frs_cell_expr("bbox.ymin", radius)
+    cymax = frs_cell_expr("bbox.ymax", radius)
+    cover = (
+        polygons.select("polygon_id", "bbox")
+        .withColumn("cx", F.explode(F.expr(f"SEQUENCE({cxmin}, {cxmax})")))
+        .withColumn("cy", F.explode(F.expr(f"SEQUENCE({cymin}, {cymax})")))
     )
+    cand = pts.join(cover, ["cx", "cy"], "inner")
     # bbox prefilter: strict interior (bounding_box.rs:217)
     cand = cand.where(
         (F.col(x) > F.col("bbox.xmin"))
@@ -266,22 +294,35 @@ def points_in_polygons_cellcover(
     out_fields = [f for f in points.schema.fields] + [StructField("polygon_id", LongType(), False)]
     schema = StructType(out_fields)
     point_cols = [f.name for f in points.schema.fields]
+    # the vertex side renames its key: cand and verts share the polygon
+    # layer as a common ancestor and Spark's ambiguous-self-join check
+    # rejects two same-named keys from one lineage
+    verts = polygon_vertices(polygons).withColumnRenamed("polygon_id", "__vpid")
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        geom = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf[x].to_numpy(dtype=np.float64)
-            py = pdf[y].to_numpy(dtype=np.float64)
-            pid = pdf["polygon_id"].to_numpy()
-            for p in np.unique(pid):
-                sel = pid == p
-                shells, holes = geom[int(p)]
-                m = G.points_in_feature(px[sel], py[sel], shells, holes)
-                keep[np.nonzero(sel)[0][m]] = True
-            out = pdf[keep]
-            yield out[point_cols + ["polygon_id"]]
+    keys, vkeys = ["polygon_id"], ["__vpid"]
+    if salt > 1:
+        cand = cand.withColumn(
+            "__salt", F.expr(f"PMOD(HASH({x}, {y}), {int(salt)})"))
+        verts = verts.withColumn(
+            "__salt", F.explode(F.expr(f"SEQUENCE(0, {int(salt) - 1})")))
+        keys, vkeys = ["polygon_id", "__salt"], ["__vpid", "__salt"]
 
-    return cand.mapInPandas(refine, schema=schema)
+    def refine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=point_cols + ["polygon_id"])
+        right = right.sort_values(["part_idx", "vtx_idx"], kind="mergesort")
+        shells, holes = [], []
+        for (_pi, ih), g in right.groupby(["part_idx", "is_hole"], sort=True):
+            ring = np.column_stack(
+                [g["vx"].to_numpy(np.float64), g["vy"].to_numpy(np.float64)])
+            (holes if ih else shells).append(ring)
+        px = left[x].to_numpy(dtype=np.float64)
+        py = left[y].to_numpy(dtype=np.float64)
+        m = G.points_in_feature(px, py, shells, holes)
+        return left.loc[m, point_cols + ["polygon_id"]]
+
+    return (
+        cand.groupBy(*keys)
+        .cogroup(verts.groupBy(*vkeys))
+        .applyInPandas(refine, schema=schema)
+    )
