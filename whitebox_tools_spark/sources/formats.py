@@ -303,9 +303,31 @@ def read_geotiff(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]:
     One decode task per tile file (the LAS ingest pattern). For huge
     single files, prefer tiled TIFFs — each file is decoded whole."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def meta_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # headers are parsed in the EXECUTORS; only the tiny per-file
+        # GridMeta rows travel to the driver (never the file bytes)
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                m = geotiff_meta(bytes(r["content"]))
+                yield pd.DataFrame([{
+                    "rows": m.rows, "columns": m.columns,
+                    "north": m.north, "south": m.south,
+                    "east": m.east, "west": m.west,
+                    "resolution_x": m.resolution_x,
+                    "resolution_y": m.resolution_y,
+                    "nodata": float(m.nodata),
+                }])
+
+    meta_schema = ("rows long, columns long, north double, south double, "
+                   "east double, west double, resolution_x double, "
+                   "resolution_y double, nodata double")
     metas = [
-        geotiff_meta(bytes(r["content"]))
-        for r in files.select("content").collect()
+        GridMeta(rows=int(r["rows"]), columns=int(r["columns"]),
+                 north=r["north"], south=r["south"], east=r["east"],
+                 west=r["west"], resolution_x=r["resolution_x"],
+                 resolution_y=r["resolution_y"], nodata=r["nodata"])
+        for r in files.mapInPandas(meta_pass, schema=meta_schema).collect()
     ]
     if not metas:
         raise ValueError(f"no TIFF files at {path}")
@@ -536,14 +558,55 @@ def _decode_dbf(name: str, buf: bytes) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _dbf_field_descriptors(buf: bytes) -> list[tuple[str, str, int, int]]:
+    """Parse just the field-descriptor block of a .dbf header."""
+    fields = []
+    pos = 32
+    while buf[pos] != 0x0D:
+        fname = buf[pos:pos + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(buf[pos + 11])
+        flen = buf[pos + 16]
+        fdec = buf[pos + 17]
+        fields.append((fname, ftype, flen, fdec))
+        pos += 32
+    return fields
+
+
 def read_dbf(spark: SparkSession, path: str) -> DataFrame:
-    """Read a .dbf attribute table (C/N/F/L field types,
-    attributes.rs:60-111). Decoded from the first file's schema; 1-based
-    record_num aligns with the .shp record numbers."""
-    files = spark.read.format("binaryFile").load(path).select("content").collect()
-    pdfs = [_decode_dbf(path, bytes(r["content"])) for r in files]
-    merged = pd.concat(pdfs, ignore_index=True)
-    return spark.createDataFrame(merged)
+    """Read .dbf attribute tables (C/N/F/L field types,
+    attributes.rs:60-111); 1-based record_num aligns with the .shp
+    record numbers.
+
+    The Spark schema comes from the FIRST file's field descriptors
+    (driver reads one file's bytes, O(1) in the tile count); record
+    decode then runs in the executors, one task per file — the
+    binaryFile + mapInPandas pattern shared with read_las/read_geotiff,
+    so the dataset bytes never land on the driver."""
+    from pyspark.sql.types import BooleanType, DoubleType, StringType
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    head = files.limit(1).collect()
+    if not head:
+        raise ValueError(f"no DBF files at {path}")
+    fields = _dbf_field_descriptors(bytes(head[0]["content"]))
+    sf = [StructField("record_num", LongType(), False)]
+    for fname, ftype, flen, fdec in fields:
+        if ftype in ("N", "F"):
+            sf.append(StructField(
+                fname, DoubleType() if (fdec > 0 or ftype == "F") else LongType()))
+        elif ftype == "L":
+            sf.append(StructField(fname, BooleanType()))
+        else:
+            sf.append(StructField(fname, StringType()))
+    schema = StructType(sf)
+    cols = [f.name for f in sf]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                yield _decode_dbf(path, bytes(r["content"]))[cols]
+
+    return files.mapInPandas(run, schema=schema)
 
 
 def write_shapefile(features: list[dict], path: str, shape_type: int = 5) -> None:
