@@ -54,7 +54,9 @@ BENCH_QUERIES = [
     "dissolve",
     "contour_segments",
     "minhash_pairs",
-    "simhash_pairs",
+    # simhash_pairs (16-bit) is retired from the headline set: its 65,536
+    # global buckets go quadratic at corpus scale; it survives in the
+    # registry purely as a parity artifact. simhash64_pairs is the real op.
     "simhash64_pairs",
     "embedding_dups",
     "ann_topk",
@@ -94,19 +96,31 @@ def main() -> None:
     # warm the JVM/Arrow paths once so per-query numbers measure the plan
     qs["tile_assign"](spark, sf_dir).count()
 
+    # median of REPS runs per query: hash-heavy queries show +-20-30 %
+    # run-to-run variance on this box, so a single sample can't separate a
+    # real regression from noise (round-2 postmortem).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+
     timings: dict[str, float] = {}
-    t0 = time.time()
-    n_docs = flagship(spark, sf_dir)
-    flagship_s = time.time() - t0
+    fl_times, fl_docs = [], 0
+    for _ in range(reps):
+        t0 = time.time()
+        fl_docs = flagship(spark, sf_dir)
+        fl_times.append(time.time() - t0)
+    flagship_s = med(fl_times)
     timings["flagship_pipeline"] = round(flagship_s, 3)
 
     for i, name in enumerate(names):
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        del df
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            del df
+        timings[name] = round(med(samples), 3)
         if i % 5 == 4:
             # reclaim leftover localCheckpoint blocks / shuffle state so a
             # long benchmark session doesn't degrade (the ContextCleaner
@@ -123,7 +137,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "cpus": int(cpus),
-        "flagship_docs_per_sec": round(n_docs / flagship_s, 1),
+        "flagship_docs_per_sec": round(fl_docs / flagship_s, 1),
+        "reps": reps,
     }))
 
 

@@ -86,3 +86,20 @@ def test_embedding_dups_blocked_recall_and_plan(spark, emb):
 def test_collect_matrix_cap(spark, emb):
     with pytest.raises(ValueError, match="driver-collect cap"):
         S._collect_matrix(emb, "vec_id", "embedding", max_rows=10)
+
+
+def test_ann_lsh_recall_gate_registered_params(spark, emb):
+    """LSH with the REGISTERED query params (k=10, num_planes=8, 1-bit
+    multiprobe) vs the exact top-10. The fixture embeddings are
+    near-random 64-dim, the worst case for angular LSH: 8 planes +
+    1-bit multiprobe visit 9/256 of bucket space, so the gate asserts
+    clear (>2x) separation from random candidate sampling (9/256 ~
+    0.035), not IVF-grade recall (that engine is ann_topk_ivf, gated
+    >= 0.9; callers needing recall on unclustered data should use it)."""
+    q = emb.where("vec_id % 10 = 0")
+    exact = {(r["query_id"], r["target_id"])
+             for r in S.ann_topk_exact_sql(q, emb, k=10).collect()}
+    lsh = {(r["query_id"], r["target_id"])
+           for r in S.ann_topk_lsh(q, emb, k=10, num_planes=8, dim=64).collect()}
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.08, recall
