@@ -1901,6 +1901,35 @@ def _q_tin_gridding(spark, sf):
     return tin_gridding(_points(spark, sf), _META40, tile=20)
 
 
+def _q_natural_neighbour(spark, sf):
+    """Sibson natural-neighbour gridding (per-tile Delaunay + halo).
+    Rows-only: the Sibson construction isn't SQL-expressible; linear
+    precision (exact plane reproduction to 1e-12) is pytest-gated in
+    tests/test_tin2.py."""
+    from whitebox_tools_spark.operators.tin import natural_neighbour_gridding
+
+    return natural_neighbour_gridding(_points(spark, sf), _META40, tile=20)
+
+
+def _q_rbf_interp(spark, sf):
+    """Thin-plate-spline RBF gridding over k=16 nearest points per
+    cell (batched numpy solves per tile). Rows-only; thin-plate linear
+    precision is pytest-gated in tests/test_tin2.py."""
+    from whitebox_tools_spark.operators.tin import rbf_interpolation
+
+    return rbf_interpolation(_points(spark, sf), _META40, k=16, tile=20)
+
+
+def _q_construct_tin(spark, sf):
+    """ConstructVectorTIN: vector triangle layer with canonical vertex
+    order and centroid-ownership dedup. Rows-only; structural gates
+    (unique triangles, positive area, canonical order) in
+    tests/test_tin2.py."""
+    from whitebox_tools_spark.operators.tin import construct_vector_tin
+
+    return construct_vector_tin(_points(spark, sf), _META40, tile=20)
+
+
 def _q_knn_wbt(spark, sf):
     """WBT-parity approximate kNN (early-stop shell expansion) — not
     SQL-expressible (procedural early stop); rows-only check."""
@@ -2115,6 +2144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmse": _q_rmse,
         "simhash": _q_simhash,
         "tin_gridding": _q_tin_gridding,
+        "natural_neighbour": _q_natural_neighbour,
+        "rbf_interp": _q_rbf_interp,
+        "construct_tin": _q_construct_tin,
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,
         # --- round-2 continuation: global image enhancement ---

@@ -178,3 +178,344 @@ def tin_gridding(points: DataFrame, meta: GridMeta, tile: int = 32,
         })
 
     return scattered.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-3: shared tile scatter + NaturalNeighbour / RBF / ConstructVectorTIN
+# ---------------------------------------------------------------------------
+
+
+def _scatter_to_tiles(points: DataFrame, meta: GridMeta, tile: int,
+                      halo: float, value_col: str = "value") -> DataFrame:
+    """(tx, ty, x, y, z): every point replicated to each tile whose
+    halo-expanded box contains it (same plan as tin_gridding)."""
+    tw_x = tile * meta.resolution_x
+    tw_y = tile * meta.resolution_y
+    n_tx = -(-meta.columns // tile)
+    n_ty = -(-meta.rows // tile)
+    pts = points.selectExpr("x", "y", f"{value_col} AS z").selectExpr(
+        "x", "y", "z",
+        f"CAST(FLOOR((x - {meta.west!r} - {halo!r}) / {tw_x!r}) AS INT) AS tx0",
+        f"CAST(FLOOR((x - {meta.west!r} + {halo!r}) / {tw_x!r}) AS INT) AS tx1",
+        f"CAST(FLOOR(({meta.north!r} - y - {halo!r}) / {tw_y!r}) AS INT) AS ty0",
+        f"CAST(FLOOR(({meta.north!r} - y + {halo!r}) / {tw_y!r}) AS INT) AS ty1",
+    )
+    return pts.selectExpr(
+        "x", "y", "z",
+        f"EXPLODE(FILTER(FLATTEN(TRANSFORM(SEQUENCE(tx0, tx1), tx -> "
+        f"TRANSFORM(SEQUENCE(ty0, ty1), ty -> STRUCT(tx, ty)))), "
+        f"t -> t.tx >= 0 AND t.tx < {n_tx} AND t.ty >= 0 AND t.ty < {n_ty})) AS t",
+    ).selectExpr("t.tx AS tx", "t.ty AS ty", "x", "y", "z")
+
+
+def _default_halo(points: DataFrame, meta: GridMeta, mult: float = 4.0) -> float:
+    n = max(points.count(), 1)
+    area = (meta.east - meta.west) * (meta.north - meta.south)
+    return mult * (area / n) ** 0.5
+
+
+def circumcenters(P: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """(m, 3) array of (ux, uy, r2) for each triangle — vectorized."""
+    if len(tris) == 0:
+        return np.empty((0, 3))
+    a, b, c = P[tris[:, 0]], P[tris[:, 1]], P[tris[:, 2]]
+    d = 2.0 * (a[:, 0] * (b[:, 1] - c[:, 1]) + b[:, 0] * (c[:, 1] - a[:, 1])
+               + c[:, 0] * (a[:, 1] - b[:, 1]))
+    d = np.where(d == 0.0, np.nan, d)
+    a2 = (a ** 2).sum(1)
+    b2 = (b ** 2).sum(1)
+    c2 = (c ** 2).sum(1)
+    ux = (a2 * (b[:, 1] - c[:, 1]) + b2 * (c[:, 1] - a[:, 1])
+          + c2 * (a[:, 1] - b[:, 1])) / d
+    uy = (a2 * (c[:, 0] - b[:, 0]) + b2 * (a[:, 0] - c[:, 0])
+          + c2 * (b[:, 0] - a[:, 0])) / d
+    r2 = (a[:, 0] - ux) ** 2 + (a[:, 1] - uy) ** 2
+    out = np.column_stack([ux, uy, r2])
+    out[np.isnan(d)] = (0.0, 0.0, -1.0)  # degenerate: never contains a query
+    return out
+
+
+def _shoelace(px: np.ndarray, py: np.ndarray) -> float:
+    return 0.5 * abs(np.dot(px, np.roll(py, -1)) - np.dot(py, np.roll(px, -1)))
+
+
+def natural_neighbour_values(P: np.ndarray, Z: np.ndarray, tris: np.ndarray,
+                             qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+    """Sibson natural-neighbour interpolation at query points
+    (gis_analysis/natural_neighbour_interpolation.rs semantics).
+
+    For each query q: the Bowyer-Watson cavity (triangles whose
+    circumcircle contains q) defines q's natural neighbours; the Sibson
+    weight of neighbour v is the area v's Voronoi cell loses to q's,
+    which is the CONVEX polygon spanned by (a) circumcenters of cavity
+    triangles incident to v and (b) circumcenters of the two new
+    triangles (q, u, v) / (q, v, w) on the cavity boundary. NaN outside
+    the hull (open cavity). Linear precision (exactly reproduces planar
+    surfaces) is the pytest contract, mirroring TIN's."""
+    out = np.full(len(qx), np.nan)
+    if len(tris) == 0:
+        return out
+    cc = circumcenters(P, tris)
+    for qi in range(len(qx)):
+        px, py = qx[qi], qy[qi]
+        dx = cc[:, 0] - px
+        dy = cc[:, 1] - py
+        bad = np.nonzero(dx * dx + dy * dy < cc[:, 2])[0]
+        if len(bad) == 0:
+            continue
+        # q must lie INSIDE some cavity triangle: a query outside the hull
+        # can still be inside hull-sliver circumcircles, and its cavity then
+        # closes combinatorially (hull edges appear once) while the Sibson
+        # construction is undefined -> NaN like TIN's outside-hull rule.
+        containing = False
+        for ti in bad:
+            a, b, c = P[tris[ti, 0]], P[tris[ti, 1]], P[tris[ti, 2]]
+            det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
+            if det == 0.0:
+                continue
+            l1 = ((b[1] - c[1]) * (px - c[0]) + (c[0] - b[0]) * (py - c[1])) / det
+            l2 = ((c[1] - a[1]) * (px - c[0]) + (a[0] - c[0]) * (py - c[1])) / det
+            if l1 >= -1e-12 and l2 >= -1e-12 and (1.0 - l1 - l2) >= -1e-12:
+                containing = True
+                break
+        if not containing:
+            continue
+        # cavity boundary edges (appear exactly once) + incidence maps
+        edge_count: dict[tuple[int, int], int] = {}
+        vert_old_cc: dict[int, list] = {}
+        for ti in bad:
+            t0, t1, t2 = tris[ti]
+            for v in (t0, t1, t2):
+                vert_old_cc.setdefault(int(v), []).append(cc[ti, :2])
+            for u, v in ((t0, t1), (t1, t2), (t2, t0)):
+                k = (int(u), int(v)) if u < v else (int(v), int(u))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        boundary = [k for k, n in edge_count.items() if n == 1]
+        if not boundary:
+            continue
+        # closed cavity check: every boundary vertex must appear exactly twice
+        deg: dict[int, int] = {}
+        for u, v in boundary:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        if any(d != 2 for d in deg.values()):
+            continue  # open cavity: q outside (or on) the hull
+        # circumcenters of the new triangles (u, v, q), keyed per vertex
+        vert_new_cc: dict[int, list] = {}
+        degenerate = False
+        for u, v in boundary:
+            A, B = P[u], P[v]
+            d = 2.0 * (A[0] * (B[1] - py) + B[0] * (py - A[1]) + px * (A[1] - B[1]))
+            if d == 0.0:
+                degenerate = True
+                break
+            a2 = A[0] * A[0] + A[1] * A[1]
+            b2 = B[0] * B[0] + B[1] * B[1]
+            q2 = px * px + py * py
+            ux = (a2 * (B[1] - py) + b2 * (py - A[1]) + q2 * (A[1] - B[1])) / d
+            uy = (a2 * (px - B[0]) + b2 * (A[0] - px) + q2 * (B[0] - A[0])) / d
+            vert_new_cc.setdefault(u, []).append((ux, uy))
+            vert_new_cc.setdefault(v, []).append((ux, uy))
+        if degenerate:
+            # q coincides with a data point: take its value exactly
+            d2 = (P[:, 0] - px) ** 2 + (P[:, 1] - py) ** 2
+            out[qi] = Z[np.argmin(d2)]
+            continue
+        wsum = 0.0
+        zsum = 0.0
+        for v, d in deg.items():
+            poly = np.asarray(vert_old_cc[v] + vert_new_cc[v])
+            ctr = poly.mean(axis=0)
+            order = np.argsort(np.arctan2(poly[:, 1] - ctr[1], poly[:, 0] - ctr[0]))
+            w = _shoelace(poly[order, 0], poly[order, 1])
+            wsum += w
+            zsum += w * Z[v]
+        if wsum > 0.0:
+            out[qi] = zsum / wsum
+    return out
+
+
+def _tile_kernel_gridding(points: DataFrame, meta: GridMeta, tile: int,
+                          halo: float | None, value_col: str,
+                          interp) -> DataFrame:
+    """Shared tile+halo applyInPandas gridding driver: `interp(P, Z, qx,
+    qy) -> values` runs once per tile over its local points and the
+    tile's own cell centers."""
+    if halo is None:
+        halo = _default_halo(points, meta)
+    scattered = _scatter_to_tiles(points, meta, tile, halo, value_col)
+    schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("value", DoubleType(), False),
+    ])
+    west, north = meta.west, meta.north
+    resx, resy = meta.resolution_x, meta.resolution_y
+    rows_total, cols_total = meta.rows, meta.columns
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+        Z = pdf["z"].to_numpy(dtype=np.float64)
+        r0, r1 = ty * tile, min((ty + 1) * tile, rows_total)
+        c0, c1 = tx * tile, min((tx + 1) * tile, cols_total)
+        rr, cc2 = np.meshgrid(np.arange(r0, r1), np.arange(c0, c1), indexing="ij")
+        qx = west + (cc2.ravel() + 0.5) * resx
+        qy = north - (rr.ravel() + 0.5) * resy
+        vals = interp(P, Z, qx, qy)
+        ok = ~np.isnan(vals)
+        return pd.DataFrame({
+            "row": rr.ravel()[ok], "col": cc2.ravel()[ok], "value": vals[ok],
+        })
+
+    return scattered.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)
+
+
+def natural_neighbour_gridding(points: DataFrame, meta: GridMeta,
+                               tile: int = 32, halo: float | None = None,
+                               value_col: str = "value") -> DataFrame:
+    """NaturalNeighbourInterpolation
+    (gis_analysis/natural_neighbour_interpolation.rs): Sibson
+    area-stealing interpolation of grid cells from the point layer.
+    Distributed as per-tile Delaunay with halo points — identical
+    scatter to tin_gridding; the per-tile kernel computes exact Sibson
+    weights from the local triangulation."""
+
+    def interp(P, Z, qx, qy):
+        # dedupe exact duplicates (Bowyer-Watson skips them; duplicate z
+        # rows would otherwise never contribute)
+        _, idx = np.unique(P, axis=0, return_index=True)
+        P2, Z2 = P[np.sort(idx)], Z[np.sort(idx)]
+        tris = delaunay(P2)
+        return natural_neighbour_values(P2, Z2, tris, qx, qy)
+
+    return _tile_kernel_gridding(points, meta, tile, halo, value_col, interp)
+
+
+def rbf_interpolation(points: DataFrame, meta: GridMeta, k: int = 20,
+                      tile: int = 32, halo: float | None = None,
+                      value_col: str = "value",
+                      kernel: str = "thin_plate") -> DataFrame:
+    """RadialBasisFunctionInterpolation
+    (gis_analysis/radial_basis_function_interpolation.rs semantics):
+    per grid cell, solve an RBF system over the k nearest points and
+    evaluate at the cell center. kernel: 'thin_plate' (r^2 ln r) or
+    'multiquadric' (sqrt(r^2 + eps^2)). The affine polynomial term gives
+    thin-plate LINEAR PRECISION — the pytest contract.
+
+    Plan: tile+halo scatter (one shuffle); per tile, a batched numpy
+    solve — kNN by full local distance matrix, then one
+    np.linalg.solve over the (n_cells, k+3, k+3) stacked systems."""
+
+    def interp(P, Z, qx, qy):
+        _, idx = np.unique(P, axis=0, return_index=True)
+        P2, Z2 = P[np.sort(idx)], Z[np.sort(idx)]
+        n = len(P2)
+        if n == 0:
+            return np.full(len(qx), np.nan)
+        kk = min(k, n)
+        # kNN: (q, n) distance matrix, argpartition per row
+        d2 = ((qx[:, None] - P2[None, :, 0]) ** 2
+              + (qy[:, None] - P2[None, :, 1]) ** 2)
+        if kk < n:
+            nn = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        else:
+            nn = np.broadcast_to(np.arange(n), (len(qx), n)).copy()
+        # batched system assembly
+        nq = len(qx)
+        px = P2[nn, 0]  # (nq, kk)
+        py = P2[nn, 1]
+        pz = Z2[nn]
+        rr2 = ((px[:, :, None] - px[:, None, :]) ** 2
+               + (py[:, :, None] - py[:, None, :]) ** 2)
+        eps2 = (np.sqrt(np.maximum(d2[np.arange(nq)[:, None], nn], 0.0))
+                .mean(axis=1, keepdims=True) ** 2 + 1e-12)
+
+        def phi(r2m, e2):
+            if kernel == "thin_plate":
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    v = 0.5 * r2m * np.log(np.maximum(r2m, 1e-300))
+                return np.where(r2m <= 0.0, 0.0, v)
+            return np.sqrt(r2m + e2[..., None])
+
+        m = kk + 3
+        A = np.zeros((nq, m, m))
+        A[:, :kk, :kk] = phi(rr2, eps2) + np.eye(kk) * 1e-10
+        A[:, :kk, kk] = 1.0
+        A[:, :kk, kk + 1] = px
+        A[:, :kk, kk + 2] = py
+        A[:, kk, :kk] = 1.0
+        A[:, kk + 1, :kk] = px
+        A[:, kk + 2, :kk] = py
+        b = np.zeros((nq, m))
+        b[:, :kk] = pz
+        try:
+            sol = np.linalg.solve(A, b[..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            sol = np.linalg.lstsq(
+                A.reshape(-1, m, m)[0], b[0], rcond=None)[0][None].repeat(nq, 0)
+        qr2 = d2[np.arange(nq)[:, None], nn]
+        vals = (sol[:, :kk] * phi(qr2, eps2)).sum(axis=1)
+        vals += sol[:, kk] + sol[:, kk + 1] * qx + sol[:, kk + 2] * qy
+        return vals
+
+    return _tile_kernel_gridding(points, meta, tile, halo, value_col, interp)
+
+
+def construct_vector_tin(points: DataFrame, meta: GridMeta,
+                         tile: int = 32, halo: float | None = None,
+                         value_col: str = "value") -> DataFrame:
+    """ConstructVectorTIN (gis_analysis/construct_vector_tin.rs):
+    triangulate the point layer into a vector TIN — one row per
+    triangle with its three (x, y, z) vertices in canonical order
+    (sorted by (x, y); deterministic output).
+
+    Distributed: per-tile Delaunay with halo; a triangle is emitted by
+    the ONE tile containing its centroid (global dedup without a
+    shuffle-side distinct). Interior triangles match the global
+    triangulation for any halo >= the local Delaunay reach; the pytest
+    contract checks empty-circumcircle validity and exact-cover area."""
+    if halo is None:
+        halo = _default_halo(points, meta)
+    scattered = _scatter_to_tiles(points, meta, tile, halo, value_col)
+    schema = StructType([
+        StructField("ax", DoubleType(), False), StructField("ay", DoubleType(), False),
+        StructField("az", DoubleType(), False),
+        StructField("bx", DoubleType(), False), StructField("by", DoubleType(), False),
+        StructField("bz", DoubleType(), False),
+        StructField("cx", DoubleType(), False), StructField("cy", DoubleType(), False),
+        StructField("cz", DoubleType(), False),
+    ])
+    west, north = meta.west, meta.north
+    resx, resy = meta.resolution_x, meta.resolution_y
+    rows_total, cols_total = meta.rows, meta.columns
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+        Z = pdf["z"].to_numpy(dtype=np.float64)
+        _, idx = np.unique(P, axis=0, return_index=True)
+        P, Z = P[np.sort(idx)], Z[np.sort(idx)]
+        tris = delaunay(P)
+        if len(tris) == 0:
+            return pd.DataFrame(columns=["ax", "ay", "az", "bx", "by", "bz",
+                                         "cx", "cy", "cz"], dtype=float)
+        gx = P[tris, 0].mean(axis=1)
+        gy = P[tris, 1].mean(axis=1)
+        x0 = west + (tx * tile) * resx
+        x1 = west + min((tx + 1) * tile, cols_total) * resx
+        y1 = north - (ty * tile) * resy
+        y0 = north - min((ty + 1) * tile, rows_total) * resy
+        keep = (gx >= x0) & (gx < x1) & (gy > y0) & (gy <= y1)
+        tris = tris[keep]
+        # canonical vertex order: sort the 3 vertices by (x, y)
+        rows = []
+        for t in tris:
+            vs = sorted(((P[v, 0], P[v, 1], Z[v]) for v in t))
+            rows.append((vs[0][0], vs[0][1], vs[0][2],
+                         vs[1][0], vs[1][1], vs[1][2],
+                         vs[2][0], vs[2][1], vs[2][2]))
+        return pd.DataFrame(rows, columns=["ax", "ay", "az", "bx", "by", "bz",
+                                           "cx", "cy", "cz"])
+
+    return scattered.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)
