@@ -1426,6 +1426,47 @@ def _q_max_elev_dev(spark, sf):
     return FO.max_elevation_deviation(_ras(spark, sf, "a"), [1, 2])
 
 
+def _q_multiscale_rough(spark, sf):
+    """MultiscaleRoughness at radii [1, 2]; value ROUND(4)-ed because the
+    integral-image window sums reassociate float adds vs the oracle's
+    direct sums (normals are irrational)."""
+    return FO.multiscale_roughness(_ras(spark, sf, "a"), _META100, [1, 2],
+                                   round_to=4)
+
+
+def _q_msd_normals(spark, sf):
+    """MultiscaleStdDevNormals at radii [1, 2]; ROUND(4) as above."""
+    return FO.multiscale_std_dev_normals(_ras(spark, sf, "a"), _META100,
+                                         [1, 2], round_to=4)
+
+
+def _q_multiscale_ep(spark, sf):
+    """MultiscaleElevationPercentile at radii [1, 2] — exact integer
+    counting, no rounding needed."""
+    return FO.multiscale_elevation_percentile(_ras(spark, sf, "a"), [1, 2])
+
+
+def _q_mstpi(spark, sf):
+    """MultiscaleTopographicPositionImage: RGB from DEVmax at scale
+    ranges local=[1] meso=[2] broad=[3] — integer-exact moments."""
+    return FO.multiscale_topographic_position_image(
+        _ras(spark, sf, "a"), [1], [2], [3])
+
+
+def _q_surface_normals(spark, sf):
+    """Per-cell unit surface normals (Sobel 3x3, center-substituted
+    edges) — identical expression text in both engines, bit-exact."""
+    return FO.surface_normals(_ras(spark, sf, "a"), _META100)
+
+
+def _q_gauss_scale_space(spark, sf):
+    """Gaussian scale space DoG argmax over sigmas [0.8, 1.2, 1.6].
+    Rows-only: the separable-Gaussian smoothing reassociates float adds
+    (pytest-gated vs the 2-D plan at 1e-12)."""
+    return FO.gaussian_scale_space(_ras(spark, sf, "a"), _META100,
+                                   [0.8, 1.2, 1.6])
+
+
 def _q_resample_bilinear(spark, sf):
     return R.resample_bilinear(_ras(spark, sf, "a"), _META100, _META40)
 
@@ -2045,6 +2086,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_metrics": _q_box_metrics,
         "ihs_roundtrip": _q_ihs_roundtrip,
         "max_elev_dev": _q_max_elev_dev,
+        "multiscale_rough": _q_multiscale_rough,
+        "msd_normals": _q_msd_normals,
+        "multiscale_ep": _q_multiscale_ep,
+        "mstpi": _q_mstpi,
+        "surface_normals": _q_surface_normals,
+        "gauss_scale_space": _q_gauss_scale_space,
         "pennock": _q_pennock,
         "aspect_rounded": _q_aspect_rounded,
         "geomorphons": _q_geomorphons,
@@ -4432,6 +4479,123 @@ def _media_features_oracle() -> str:
             f"{seg_mean(1, 64, 64.0)} AS mean_intensity, {feats} FROM m")
 
 
+
+
+def _multiscale_oracles() -> dict[str, str]:
+    """DuckDB oracles for the multiscale terrain family — built
+    programmatically (offset tables per radius) from the SAME formula
+    text as the operators."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+
+    def offsets(r, name):
+        return (f"{name} AS (SELECT a.range - {r} AS dr, b.range - {r} AS dc "
+                f"FROM range(0, {2 * r + 1}) a, range(0, {2 * r + 1}) b)")
+
+    # D8 neighbor pivot with center substitution (order: 0=NE 1=E 2=SE
+    # 3=S 4=SW 5=W 6=NW 7=N), matching hydro.focal_pivot3_raw
+    d8 = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    zcases = ", ".join(
+        f"MAX(CASE WHEN o.dr = {dr} AND o.dc = {dc} THEN n.value END) AS z{i}"
+        for i, (dr, dc) in enumerate(d8))
+    nbr = (f"nbr AS (SELECT c.row, c.col, c.value AS zc, {zcases} "
+           f"FROM ras_a c CROSS JOIN o1 o "
+           f"LEFT JOIN ras_a n ON n.row = c.row + o.dr AND n.col = c.col + o.dc "
+           f"WHERE NOT (o.dr = 0 AND o.dc = 0) GROUP BY 1, 2, 3)")
+    sub = [f"COALESCE(z{i}, zc)" for i in range(8)]
+    fx = (f"((({sub[2]}) - ({sub[4]}) + 2.0 * (({sub[1]}) - ({sub[5]})) "
+          f"+ ({sub[0]}) - ({sub[6]})) / {8.0 * _META100.resolution_x!r})")
+    fy = (f"((({sub[6]}) - ({sub[4]}) + 2.0 * (({sub[7]}) - ({sub[3]})) "
+          f"+ ({sub[0]}) - ({sub[2]})) / {8.0 * _META100.resolution_y!r})")
+    nrm_len = f"SQRT(({fx}) * ({fx}) + ({fy}) * ({fy}) + 1.0)"
+    nrm = (f"nrm AS (SELECT row, col, (-({fx})) / ({nrm_len}) AS nx, "
+           f"(-({fy})) / ({nrm_len}) AS ny, 1.0 / ({nrm_len}) AS nz FROM nbr)")
+
+    def wsum(r):
+        return (f"w{r} AS (SELECT c.row, c.col, COUNT(*) AS wn, "
+                f"SUM(n.nx) AS sx, SUM(n.ny) AS sy, SUM(n.nz) AS sz "
+                f"FROM nrm c CROSS JOIN o{r} o "
+                f"JOIN nrm n ON n.row = c.row + o.dr AND n.col = c.col + o.dc "
+                f"GROUP BY 1, 2)")
+
+    res_len = "SQRT(sx * sx + sy * sy + sz * sz)"
+    rough = f"DEGREES(ACOS(LEAST(({res_len}) / wn, 1.0)))"
+    sdev = (f"DEGREES(SQRT(-2.0 * LN(GREATEST(LEAST(({res_len}) / wn, 1.0), "
+            f"1e-12))))")
+
+    def argmax_union(metric, order_desc=True):
+        arms = " UNION ALL ".join(
+            f"SELECT row, col, ROUND({metric}, 4) AS m, CAST({r} AS INT) AS scale FROM w{r}"
+            for r in (1, 2))
+        return (f"u AS ({arms}) SELECT row, col, m AS value, scale "
+                f"FROM u QUALIFY ROW_NUMBER() OVER (PARTITION BY row, col "
+                f"ORDER BY m DESC, scale) = 1")
+
+    common = ", ".join([ras_a.replace("ras_a AS", "ras_a AS", 1),
+                        offsets(1, "o1"), offsets(2, "o2"),
+                        nbr, nrm, wsum(1), wsum(2)])
+    rough_sql = f"WITH {common}, {argmax_union(rough)}"
+    sdev_sql = f"WITH {common}, {argmax_union(sdev)}"
+
+    normals_sql = (f"WITH {ras_a}, {offsets(1, 'o1')}, {nbr} "
+                   f"SELECT row, col, (-({fx})) / ({nrm_len}) AS nx, "
+                   f"(-({fy})) / ({nrm_len}) AS ny, 1.0 / ({nrm_len}) AS nz "
+                   f"FROM nbr")
+
+    # elevation percentile per radius: % of window cells strictly below
+    def ep(r):
+        return (f"e{r} AS (SELECT c.row, c.col, "
+                f"CAST(SUM(CASE WHEN n.value < c.value THEN 1 ELSE 0 END) "
+                f"AS DOUBLE) / COUNT(*) * 100.0 AS ep "
+                f"FROM ras_a c CROSS JOIN o{r} o "
+                f"JOIN ras_a n ON n.row = c.row + o.dr AND n.col = c.col + o.dc "
+                f"GROUP BY 1, 2)")
+
+    ep_arms = " UNION ALL ".join(
+        f"SELECT row, col, ep, CAST({r} AS INT) AS scale FROM e{r}"
+        for r in (1, 2))
+    ep_sql = (f"WITH {ras_a}, {offsets(1, 'o1')}, {offsets(2, 'o2')}, "
+              f"{ep(1)}, {ep(2)}, u AS ({ep_arms}) "
+              f"SELECT row, col, ep AS value, scale FROM u "
+              f"QUALIFY ROW_NUMBER() OVER (PARTITION BY row, col "
+              f"ORDER BY ABS(ep - 50.0) DESC, scale) = 1")
+
+    # MSTPI: dev-from-mean at radii 1/2/3 (integer-exact moments), one
+    # channel per radius, packed RGBA
+    def dev(r):
+        return (f"d{r} AS (SELECT c.row, c.col, "
+                f"CASE WHEN (SUM(n.value * n.value) - SUM(n.value) * SUM(n.value) "
+                f"/ COUNT(*)) > 0.0 THEN (c.value - SUM(n.value) / COUNT(*)) "
+                f"/ SQRT((SUM(n.value * n.value) - SUM(n.value) * SUM(n.value) "
+                f"/ COUNT(*)) / (COUNT(*) - 1)) ELSE 0.0 END AS dev "
+                f"FROM ras_a c CROSS JOIN o{r} o "
+                f"JOIN ras_a n ON n.row = c.row + o.dr AND n.col = c.col + o.dc "
+                f"GROUP BY c.row, c.col, c.value)")
+
+    chan = "CAST(FLOOR(LEAST(ABS({d}) / 2.58, 1.0) * 255.0) AS INT)"
+    mstpi_sql = (
+        f"WITH {ras_a}, {offsets(1, 'o1')}, {offsets(2, 'o2')}, "
+        f"{offsets(3, 'o3')}, {dev(1)}, {dev(2)}, {dev(3)} "
+        f"SELECT d1.row, d1.col, "
+        f"{chan.format(d='d3.dev')} AS red, "
+        f"{chan.format(d='d2.dev')} AS green, "
+        f"{chan.format(d='d1.dev')} AS blue, "
+        f"CAST(CAST(255 AS BIGINT) * 16777216 "
+        f"+ {chan.format(d='d1.dev')} * 65536 "
+        f"+ {chan.format(d='d2.dev')} * 256 "
+        f"+ {chan.format(d='d3.dev')} AS DOUBLE) AS value "
+        f"FROM d1 JOIN d2 ON d1.row = d2.row AND d1.col = d2.col "
+        f"JOIN d3 ON d1.row = d3.row AND d1.col = d3.col")
+
+    return {
+        "multiscale_rough": rough_sql,
+        "msd_normals": sdev_sql,
+        "multiscale_ep": ep_sql,
+        "mstpi": mstpi_sql,
+        "surface_normals": normals_sql,
+        # gauss_scale_space: separable-Gaussian reassociation — rows-only.
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -4696,4 +4860,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann_oracle,
         "embedding_dups": emb_dup_oracle,
         # knn_wbt, ann_lsh: approximate/procedural — rows-only checks.
+        **_multiscale_oracles(),
     }

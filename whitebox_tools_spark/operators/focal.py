@@ -1359,3 +1359,232 @@ def line_thinning(cells: DataFrame, max_iters: int = 32) -> DataFrame:
             break
         prev_count = n
     return cur
+
+
+# ---------------------------------------------------------------------------
+# Round-3: multiscale terrain family
+# (terrain_analysis/multiscale_roughness.rs, multiscale_std_dev_normals.rs,
+#  multiscale_elevation_percentile.rs,
+#  multiscale_topographic_position_image.rs,
+#  whitebox-plugins/src/gaussian_scale_space/)
+# ---------------------------------------------------------------------------
+
+
+def integral_image_multi(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Row-then-column cumulative sums of several columns at once — ONE
+    pair of window passes regardless of column count, so every scale of
+    a multiscale loop reuses the same materialized prefix sums."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("row").orderBy("col").rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in cols:
+        out = out.withColumn(f"__rc_{c}", F.sum(c).over(w1))
+    w2 = Window.partitionBy("col").orderBy("row").rowsBetween(Window.unboundedPreceding, 0)
+    for c in cols:
+        out = out.withColumn(f"ii_{c}", F.sum(f"__rc_{c}").over(w2))
+    return out.select("row", "col", *[f"ii_{c}" for c in cols])
+
+
+def _window_sums_ii(ii: DataFrame, centers: DataFrame, meta: GridMeta,
+                    radius: int, cols: list[str]) -> DataFrame:
+    """Clamped-window sums of the given integral-image columns via the
+    4-corner-lookup plan (mean_filter_ii), for all columns in one set of
+    joins. Adds s_<col> and the window cell count `wn`."""
+    b = centers.selectExpr(
+        "row", "col",
+        f"GREATEST(row - {radius}, 0L) AS r1",
+        f"LEAST(row + {radius}, {meta.rows - 1}L) AS r2",
+        f"GREATEST(col - {radius}, 0L) AS c1",
+        f"LEAST(col + {radius}, {meta.columns - 1}L) AS c2",
+    )
+
+    def corner(df, rr, cc, tag):
+        sel = ii.selectExpr(
+            f"row AS __r_{tag}", f"col AS __c_{tag}",
+            *[f"ii_{c} AS {tag}_{c}" for c in cols])
+        return df.join(
+            sel,
+            (F.expr(rr) == F.col(f"__r_{tag}")) & (F.expr(cc) == F.col(f"__c_{tag}")),
+            "left",
+        ).drop(f"__r_{tag}", f"__c_{tag}")
+
+    j = corner(b, "r2", "c2", "A")
+    j = corner(j, "r1 - 1", "c2", "B")
+    j = corner(j, "r2", "c1 - 1", "C")
+    j = corner(j, "r1 - 1", "c1 - 1", "D")
+    exprs = ["row", "col",
+             "CAST((r2 - r1 + 1) * (c2 - c1 + 1) AS DOUBLE) AS wn"]
+    for c in cols:
+        exprs.append(
+            f"(A_{c} - COALESCE(B_{c}, 0.0) - COALESCE(C_{c}, 0.0) "
+            f"+ COALESCE(D_{c}, 0.0)) AS s_{c}")
+    return j.selectExpr(*exprs)
+
+
+def surface_normals(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """Per-cell unit surface normal (nx, ny, nz) from the 3x3 Sobel
+    gradients (the normal-vector construction of
+    multiscale_roughness.rs; missing neighbors center-substituted).
+    NormalVectors tool equivalent for rasters."""
+    from .hydro import focal_pivot3_raw
+
+    piv = focal_pivot3_raw(cells)
+    sub = [f"COALESCE(zn_{i}, zc)" for i in range(8)]
+    fx = (f"(({sub[2]}) - ({sub[4]}) + 2.0 * (({sub[1]}) - ({sub[5]})) "
+          f"+ ({sub[0]}) - ({sub[6]})) / {8.0 * meta.resolution_x!r}")
+    fy = (f"(({sub[6]}) - ({sub[4]}) + 2.0 * (({sub[7]}) - ({sub[3]})) "
+          f"+ ({sub[0]}) - ({sub[2]})) / {8.0 * meta.resolution_y!r}")
+    nrm = f"SQRT(({fx}) * ({fx}) + ({fy}) * ({fy}) + 1.0)"
+    return piv.selectExpr(
+        "row", "col",
+        f"(-({fx})) / ({nrm}) AS nx",
+        f"(-({fy})) / ({nrm}) AS ny",
+        f"1.0 / ({nrm}) AS nz",
+    )
+
+
+def multiscale_roughness(cells: DataFrame, meta: GridMeta,
+                         radii: list[int],
+                         round_to: int | None = None) -> DataFrame:
+    """MultiscaleRoughness (terrain_analysis/multiscale_roughness.rs
+    semantics): per cell and scale, the angular dispersion of surface
+    normals in the window — acos(mean resultant length) in degrees;
+    output the max across scales and the scale it occurred at
+    (row, col, value, scale).
+
+    Plan: one 3x3 normals pass, ONE multi-column integral image over
+    (nx, ny, nz), then per radius only the 4-corner-lookup joins — the
+    integral image is computed once no matter how many scales.
+
+    round_to: round the per-scale metric BEFORE the argmax — the
+    cross-engine determinism knob (near-ties, e.g. exactly-planar
+    patches where every scale is ~0, otherwise resolve by float dust
+    that differs between summation orders)."""
+    norms = surface_normals(cells, meta)
+    ii = integral_image_multi(norms, ["nx", "ny", "nz"]).localCheckpoint(eager=True)
+    centers = cells.select("row", "col")
+    outs = []
+    for r in radii:
+        s = _window_sums_ii(ii, centers, meta, r, ["nx", "ny", "nz"])
+        m = ("DEGREES(ACOS(LEAST(SQRT(s_nx * s_nx + s_ny * s_ny + s_nz * s_nz) "
+             "/ wn, 1.0)))")
+        if round_to is not None:
+            m = f"ROUND({m}, {round_to})"
+        outs.append(s.selectExpr(
+            "row", "col", f"{m} AS rough", f"CAST({r} AS INT) AS scale",
+        ))
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    return u.groupBy("row", "col").agg(
+        F.expr("MIN_BY(rough, STRUCT(-rough, scale))").alias("value"),
+        F.expr("MIN_BY(scale, STRUCT(-rough, scale))").alias("scale"),
+    )
+
+
+def multiscale_std_dev_normals(cells: DataFrame, meta: GridMeta,
+                               radii: list[int],
+                               round_to: int | None = None) -> DataFrame:
+    """MultiscaleStdDevNormals (terrain_analysis/
+    multiscale_std_dev_normals.rs semantics): spherical standard
+    deviation of normals s = sqrt(-2 ln R) in degrees per window (R =
+    mean resultant length), max across scales + argmax scale. Same
+    one-integral-image plan as multiscale_roughness."""
+    norms = surface_normals(cells, meta)
+    ii = integral_image_multi(norms, ["nx", "ny", "nz"]).localCheckpoint(eager=True)
+    centers = cells.select("row", "col")
+    outs = []
+    for r in radii:
+        s = _window_sums_ii(ii, centers, meta, r, ["nx", "ny", "nz"])
+        m = ("DEGREES(SQRT(-2.0 * LN(GREATEST(LEAST("
+             "SQRT(s_nx * s_nx + s_ny * s_ny + s_nz * s_nz) / wn, 1.0), 1e-12)"
+             ")))")
+        if round_to is not None:
+            m = f"ROUND({m}, {round_to})"
+        outs.append(s.selectExpr(
+            "row", "col", f"{m} AS sdev", f"CAST({r} AS INT) AS scale",
+        ))
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    return u.groupBy("row", "col").agg(
+        F.expr("MIN_BY(sdev, STRUCT(-sdev, scale))").alias("value"),
+        F.expr("MIN_BY(scale, STRUCT(-sdev, scale))").alias("scale"),
+    )
+
+
+def multiscale_elevation_percentile(cells: DataFrame,
+                                    radii: list[int]) -> DataFrame:
+    """MultiscaleElevationPercentile (terrain_analysis/
+    multiscale_elevation_percentile.rs semantics): per scale, the
+    percentage of window cells strictly below the center; keep the
+    value FARTHEST from 50 (the strongest positive/negative topographic
+    position) and its scale. Scatter-agg per radius (exact counting —
+    the reference's binned integral histogram is an approximation; at
+    very large radii swap in the binned plan)."""
+    from functools import reduce
+
+    outs = []
+    for r in radii:
+        outs.append(elev_percentile(cells, r).selectExpr(
+            "row", "col", "value AS ep", f"CAST({r} AS INT) AS scale"))
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    return u.groupBy("row", "col").agg(
+        F.expr("MIN_BY(ep, STRUCT(-ABS(ep - 50.0), scale))").alias("value"),
+        F.expr("MIN_BY(scale, STRUCT(-ABS(ep - 50.0), scale))").alias("scale"),
+    )
+
+
+def multiscale_topographic_position_image(
+        cells: DataFrame, local: list[int], meso: list[int],
+        broad: list[int], cutoff: float = 2.58) -> DataFrame:
+    """MultiscaleTopographicPositionImage (terrain_analysis/
+    multiscale_topographic_position_image.rs): RGB composite of the
+    DEVmax magnitude at three scale ranges — R=broad, G=meso, B=local,
+    each |dev| clamped at `cutoff` and scaled to 0..255. Output
+    (row, col, red, green, blue, value) with value the packed 32-bit
+    RGBA the reference writes."""
+    chans = {}
+    for name, radii in (("blue", local), ("green", meso), ("red", broad)):
+        dev = max_elevation_deviation(cells, radii).selectExpr(
+            "row", "col",
+            # FLOOR before the INT cast: engines disagree on double->int
+            # casts (Spark truncates, DuckDB rounds); FLOOR is portable
+            f"CAST(FLOOR(LEAST(ABS(value) / {cutoff!r}, 1.0) * 255.0) AS INT) AS {name}")
+        chans[name] = dev
+    j = (chans["red"].join(chans["green"], ["row", "col"])
+         .join(chans["blue"], ["row", "col"]))
+    return j.selectExpr(
+        "row", "col", "red", "green", "blue",
+        "CAST(CAST(255 AS BIGINT) * 16777216 + blue * 65536 + green * 256 "
+        "+ red AS DOUBLE) AS value",
+    )
+
+
+def gaussian_scale_space(cells: DataFrame, meta: GridMeta,
+                         sigmas: list[float]) -> DataFrame:
+    """GaussianScaleSpace (whitebox-plugins/src/gaussian_scale_space/
+    semantics, simplified response): smooth the DEM at each sigma with
+    the separable Gaussian, take the difference-of-Gaussians between
+    consecutive scales, and per cell keep the DoG with the largest
+    magnitude and the sigma it peaked at (row, col, value, scale)."""
+    from functools import reduce
+
+    assert len(sigmas) >= 2, "need at least two sigmas for a DoG"
+    smoothed = [
+        gaussian_filter_separable(cells, s).selectExpr(
+            "row", "col", f"value AS g_{i}")
+        for i, s in enumerate(sigmas)
+    ]
+    outs = []
+    for i in range(len(sigmas) - 1):
+        d = smoothed[i].join(smoothed[i + 1], ["row", "col"]).selectExpr(
+            "row", "col", f"g_{i + 1} - g_{i} AS dog",
+            f"CAST({sigmas[i]!r} AS DOUBLE) AS scale")
+        outs.append(d)
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    return u.groupBy("row", "col").agg(
+        F.expr("MIN_BY(dog, STRUCT(-ABS(dog), scale))").alias("value"),
+        F.expr("MIN_BY(scale, STRUCT(-ABS(dog), scale))").alias("scale"),
+    )
