@@ -1756,9 +1756,13 @@ def _ras_c(spark, sf):
 
 
 def _q_fill_depressions(spark, sf):
-    """Planchon-Darboux fixpoint — rows-only (fixpoints aren't
-    recursive-CTE-expressible; exact equality vs the numpy reference is
-    pytest-gated)."""
+    """Depression filling. Oracle-gated via the path-max characterization:
+    filled(c) = min over all border-to-c paths of the running max
+    elevation — a plain recursive CTE (every intermediate w is an exact
+    copy of an input z, so GREATEST/LEAST chains agree bit-for-bit with
+    the Spark Planchon-Darboux fixpoint, which converges to the same
+    unique solution as fill_depressions.rs:374's priority flood with
+    fix_flats off)."""
     return HY.fill_depressions(_ras_c(spark, sf), _META40C)
 
 
@@ -4481,10 +4485,10 @@ def _media_features_oracle() -> str:
 
 
 
-def _multiscale_oracles() -> dict[str, str]:
-    """DuckDB oracles for the multiscale terrain family — built
-    programmatically (offset tables per radius) from the SAME formula
-    text as the operators."""
+def _round3_oracles() -> dict[str, str]:
+    """DuckDB oracles added in round 3 (multiscale terrain family +
+    recursive-CTE hydro fixpoints) — built programmatically from the
+    SAME formula text as the operators."""
     ras_a = f"ras_a AS ({_RAS_A_SQL})"
 
     def offsets(r, name):
@@ -4586,7 +4590,55 @@ def _multiscale_oracles() -> dict[str, str]:
         f"FROM d1 JOIN d2 ON d1.row = d2.row AND d1.col = d2.col "
         f"JOIN d3 ON d1.row = d3.row AND d1.col = d3.col")
 
+    fill_sql = (
+        f"WITH RECURSIVE rc AS ({_RAS_C_SQL}), "
+        f"fill(row, col, w) AS ("
+        f"SELECT row, col, value FROM rc "
+        f"WHERE row = 0 OR col = 0 OR row = 39 OR col = 39 "
+        f"UNION "
+        f"SELECT n.row, n.col, GREATEST(n.value, f.w) AS w "
+        f"FROM fill f JOIN rc n "
+        f"ON n.row BETWEEN f.row - 1 AND f.row + 1 "
+        f"AND n.col BETWEEN f.col - 1 AND f.col + 1 "
+        f"AND NOT (n.row = f.row AND n.col = f.col)) "
+        f"SELECT row, col, MIN(w) AS value FROM fill GROUP BY 1, 2")
+
+    fill_core = (
+        f"fill(row, col, w) AS ("
+        f"SELECT row, col, value FROM rc "
+        f"WHERE row = 0 OR col = 0 OR row = 39 OR col = 39 "
+        f"UNION "
+        f"SELECT n.row, n.col, GREATEST(n.value, f.w) AS w "
+        f"FROM fill f JOIN rc n "
+        f"ON n.row BETWEEN f.row - 1 AND f.row + 1 "
+        f"AND n.col BETWEEN f.col - 1 AND f.col + 1 "
+        f"AND NOT (n.row = f.row AND n.col = f.col)), "
+        f"f2 AS (SELECT row, col, MIN(w) AS w FROM fill GROUP BY 1, 2)")
+
+    depth_sql = (
+        f"WITH RECURSIVE rc AS ({_RAS_C_SQL}), {fill_core} "
+        f"SELECT r.row, r.col, f2.w - r.value AS value "
+        f"FROM rc r JOIN f2 USING (row, col)")
+
+    sink_sql = (
+        f"WITH RECURSIVE rc AS ({_RAS_C_SQL}), {fill_core}, "
+        f"m AS (SELECT r.row, r.col, (r.row * 40 + r.col) AS id "
+        f"FROM rc r JOIN f2 USING (row, col) WHERE f2.w > r.value), "
+        f"noffs AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1),(-1,-1),"
+        f"(-1,1),(1,-1),(1,1)) o(dr, dc)), "
+        f"e AS (SELECT a.id AS src, b.id AS dst FROM m a JOIN noffs o ON TRUE "
+        f"JOIN m b ON b.row = a.row + o.dr AND b.col = a.col + o.dc), "
+        f"reach(id, r) AS (SELECT id, id FROM m UNION "
+        f"SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src), "
+        f"lab AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id) "
+        f"SELECT m.row, m.col, 1.0 AS value, "
+        f"CAST(DENSE_RANK() OVER (ORDER BY lab.rep) AS BIGINT) AS clump_id "
+        f"FROM m JOIN lab ON m.id = lab.id")
+
     return {
+        "fill_depressions": fill_sql,
+        "depth_in_sink": depth_sql,
+        "sink_id": sink_sql,
         "multiscale_rough": rough_sql,
         "msd_normals": sdev_sql,
         "multiscale_ep": ep_sql,
@@ -4860,5 +4912,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann_oracle,
         "embedding_dups": emb_dup_oracle,
         # knn_wbt, ann_lsh: approximate/procedural — rows-only checks.
-        **_multiscale_oracles(),
+        **_round3_oracles(),
     }
