@@ -849,6 +849,37 @@ def _q_line_intersections(spark, sf):
     return VO.line_intersections(segs_a, segs_b)
 
 
+def _q_polygonize(spark, sf):
+    """Polygonize: bounded faces of the polygon-layer boundary
+    arrangement. Rows-only (face tracing is procedural); structural
+    gates (face counts/areas on analytic figures) in
+    tests/test_polygonize.py."""
+    from whitebox_tools_spark.operators.polygonize import polygonize
+
+    segs = VO.features_to_segments(
+        _polygons_df(spark).selectExpr("polygon_id AS shape_id", "parts"))
+    return polygonize(segs)
+
+
+def _q_contours_from_points(spark, sf):
+    """ContoursFromPoints: TIN + per-triangle level cut (codegen cut
+    stage). Rows-only (triangulation-dependent); linear-surface
+    exactness pytest-gated."""
+    from whitebox_tools_spark.operators.contours import contours_from_points
+
+    return contours_from_points(_points(spark, sf), _META40, base=0.0,
+                                interval=200.0, tile=20)
+
+
+def _q_hachures(spark, sf):
+    """TopographicHachures (simplified stroke model): downslope strokes
+    on a lattice. Rows-only; direction gates in pytest."""
+    from whitebox_tools_spark.operators.contours import topographic_hachures
+
+    return topographic_hachures(_ras(spark, sf, "a"), _META100,
+                                spacing=5, min_slope_deg=0.5)
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2195,6 +2226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmse": _q_rmse,
         "simhash": _q_simhash,
         "tin_gridding": _q_tin_gridding,
+        "polygonize": _q_polygonize,
+        "contours_from_points": _q_contours_from_points,
+        "hachures": _q_hachures,
         "natural_neighbour": _q_natural_neighbour,
         "rbf_interp": _q_rbf_interp,
         "construct_tin": _q_construct_tin,

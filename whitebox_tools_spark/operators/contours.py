@@ -271,3 +271,83 @@ def raster_to_vector_lines(cells: DataFrame, meta: GridMeta,
         StructField("y", DoubleType(), False),
     ])
     return all_edges.groupBy("value").applyInPandas(assemble, schema=schema)
+
+
+def contours_from_points(points: DataFrame, meta: GridMeta, base: float,
+                         interval: float, tile: int = 32,
+                         halo: float | None = None) -> DataFrame:
+    """ContoursFromPoints (terrain_analysis/contours_from_points.rs
+    semantics): TIN the point layer, then cut each triangle with every
+    contour level between its vertex-z extremes — each crossing yields
+    one segment with endpoints linearly interpolated on the two crossed
+    edges.
+
+    Plan: construct_vector_tin (tile+halo Delaunay, centroid-dedup) ->
+    per-triangle level cut as PURE SQL (explode(sequence) over levels +
+    the three edge interpolations) — the cutting stage is codegen, no
+    Python. Output: (level, x1, y1, x2, y2) segments."""
+    from .tin import construct_vector_tin
+
+    tris = construct_vector_tin(points, meta, tile=tile, halo=halo)
+    zmin = "LEAST(az, bz, cz)"
+    zmax = "GREATEST(az, bz, cz)"
+    k0 = f"CAST(CEIL(({zmin} - {base!r}) / {interval!r}) AS BIGINT)"
+    k1 = f"CAST(FLOOR(({zmax} - {base!r}) / {interval!r}) AS BIGINT)"
+    lev = tris.selectExpr(
+        "ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz",
+        f"EXPLODE(SEQUENCE({k0}, {k1})) AS k",
+    ).selectExpr(
+        "ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz",
+        f"({base!r} + CAST(k AS DOUBLE) * {interval!r}) AS level",
+    )
+    # an edge (p, q) crosses the level iff exactly one endpoint is below;
+    # interpolation t = (level - pz) / (qz - pz)
+    edges = []
+    for p, q in (("a", "b"), ("b", "c"), ("a", "c")):
+        t = f"((level - {p}z) / ({q}z - {p}z))"
+        edges.append(
+            f"IF(({p}z < level) <> ({q}z < level), "
+            f"STRUCT({p}x + ({q}x - {p}x) * {t} AS x, "
+            f"{p}y + ({q}y - {p}y) * {t} AS y), NULL)")
+    arr = f"FILTER(ARRAY({', '.join(edges)}), e -> e IS NOT NULL)"
+    return lev.selectExpr("level", f"{arr} AS pts") \
+        .where("SIZE(pts) = 2") \
+        .selectExpr("level", "pts[0].x AS x1", "pts[0].y AS y1",
+                    "pts[1].x AS x2", "pts[1].y AS y2")
+
+
+def topographic_hachures(cells: DataFrame, meta: GridMeta,
+                         spacing: int = 3, min_slope_deg: float = 1.0,
+                         length_frac: float = 0.8) -> DataFrame:
+    """TopographicHachures (whitebox-plugins/src/topographic_hachures/
+    semantics, simplified stroke model): short downslope strokes on a
+    subsampled lattice, drawn where slope exceeds a minimum — stroke
+    direction is the D8-free gradient aspect, length scales with the
+    cell size. Output (x1, y1, x2, y2, slope_deg) segments.
+
+    Pure codegen: 3x3 pivot -> Sobel gradient -> lattice filter ->
+    stroke endpoints via the unit gradient vector."""
+    from .focal import surface_normals
+
+    n = surface_normals(cells, meta)
+    length = length_frac * spacing * (meta.resolution_x + meta.resolution_y) / 2.0
+    gx = "(-nx / nz)"  # dz/dx
+    gy = "(-ny / nz)"  # dz/dy (surface_normals: nx = -fx/|n| etc.)
+    mag = f"SQRT(({gx}) * ({gx}) + ({gy}) * ({gy}))"
+    xc = meta.x_center_expr("col")
+    yc = meta.y_center_expr("row")
+    return n.where(f"row % {spacing} = 0 AND col % {spacing} = 0") \
+        .selectExpr(
+            "row", "col", f"{xc} AS x0", f"{yc} AS y0",
+            f"({gx}) / NULLIF({mag}, 0.0) AS ux",
+            f"({gy}) / NULLIF({mag}, 0.0) AS uy",
+            f"DEGREES(ATAN({mag})) AS slope_deg",
+        ).where(f"slope_deg >= {min_slope_deg!r}") \
+        .selectExpr(
+            "x0 AS x1", "y0 AS y1",
+            # downslope: -gradient direction; grid y decreases with row,
+            # so the world-space y step negates the row-space dz/dy
+            f"x0 - ux * {length!r} AS x2",
+            f"y0 + uy * {length!r} AS y2",
+            "slope_deg",
+        )
