@@ -880,6 +880,75 @@ def _q_hachures(spark, sf):
                                 spacing=5, min_slope_deg=0.5)
 
 
+_LPTS_EXTRA = (
+    "CAST(record_num % 8 AS INT) AS classification, "
+    "CAST(record_num % 30 - 15 AS INT) AS scan_angle, "
+    "CAST(record_num % 3 AS BIGINT) AS flightline, "
+    "CAST(CASE WHEN record_num % 17 = 0 THEN 1 ELSE 0 END AS INT) AS edge_flag")
+
+
+def _lidar_points(spark, sf):
+    """Points fixture with synthetic LiDAR attribute columns."""
+    return _points(spark, sf).selectExpr(
+        "record_num", "x", "y", "value", *_LPTS_EXTRA.split(", "))
+
+
+def _tiles_df(spark):
+    """8x8 rectangular tile footprints over the extent."""
+    return spark.range(64).selectExpr(
+        "id AS tile_id",
+        "CAST(id % 8 AS DOUBLE) * 125.0 AS xmin",
+        "CAST(id DIV 8 AS DOUBLE) * 125.0 AS ymin",
+        "CAST(id % 8 + 1 AS DOUBLE) * 125.0 AS xmax",
+        "CAST(id DIV 8 + 1 AS DOUBLE) * 125.0 AS ymax")
+
+
+def _q_classify_buildings(spark, sf):
+    """ClassifyBuildings: PIP membership -> class 6 (codegen verdict)."""
+    return LI.classify_buildings(_lidar_points(spark, sf), _polygons_df(spark))
+
+
+def _q_flightline_overlap(spark, sf):
+    """FlightlineOverlap: distinct flightlines per grid cell."""
+    return LI.flightline_overlap(_lidar_points(spark, sf), _META40)
+
+
+def _q_classify_overlap(spark, sf):
+    """ClassifyOverlapPoints: min mean-|scan-angle| flightline wins per
+    50-unit cell; other flightlines -> class 12."""
+    return LI.classify_overlap_points(_lidar_points(spark, sf), 50.0)
+
+
+def _q_flightline_edge(spark, sf):
+    """FindFlightlineEdgePoints: LAS edge-flag filter (pushdown)."""
+    return LI.find_flightline_edge_points(_lidar_points(spark, sf))
+
+
+def _q_select_tiles(spark, sf):
+    """SelectTilesByPolygon: footprint-rect x polygon intersection."""
+    return LI.select_tiles_by_polygon(_tiles_df(spark), _polygons_df(spark))
+
+
+def _q_lidar_dsm(spark, sf):
+    """LidarDSM: per-cell max + TIN fill. Rows-only (TIN-dependent)."""
+    return LI.lidar_dsm(_lidar_points(spark, sf), _META40,
+                       first_returns_only=False)
+
+
+def _q_normalize_lidar(spark, sf):
+    """NormalizeLidar: z minus ground-class TIN. Rows-only; pytest gates
+    planar-ground exactness."""
+    return LI.normalize_lidar(_lidar_points(spark, sf), _META40)
+
+
+def _q_lidar_normals(spark, sf):
+    """NormalVectors: per-point PCA plane normal. Rows-only; pytest
+    gates numpy eigen parity."""
+    return LI.lidar_point_normals(_points(spark, sf), radius=30.0) \
+        .selectExpr("record_num", "ROUND(nx, 6) AS nx", "ROUND(ny, 6) AS ny",
+                    "ROUND(nz, 6) AS nz")
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2226,6 +2295,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmse": _q_rmse,
         "simhash": _q_simhash,
         "tin_gridding": _q_tin_gridding,
+        "classify_buildings": _q_classify_buildings,
+        "flightline_overlap": _q_flightline_overlap,
+        "classify_overlap": _q_classify_overlap,
+        "flightline_edge": _q_flightline_edge,
+        "select_tiles": _q_select_tiles,
+        "lidar_dsm": _q_lidar_dsm,
+        "normalize_lidar": _q_normalize_lidar,
+        "lidar_normals": _q_lidar_normals,
         "polygonize": _q_polygonize,
         "contours_from_points": _q_contours_from_points,
         "hachures": _q_hachures,
@@ -4669,8 +4746,104 @@ def _round3_oracles() -> dict[str, str]:
         f"CAST(DENSE_RANK() OVER (ORDER BY lab.rep) AS BIGINT) AS clump_id "
         f"FROM m JOIN lab ON m.id = lab.id")
 
+    # ---- LiDAR suite oracles ----
+    lpts = (f"lp AS (SELECT record_num, x, y, value, "
+            f"CAST(record_num % 8 AS INT) AS classification, "
+            f"CAST(record_num % 30 - 15 AS INT) AS scan_angle, "
+            f"CAST(record_num % 3 AS BIGINT) AS flightline, "
+            f"CAST(CASE WHEN record_num % 17 = 0 THEN 1 ELSE 0 END AS INT) "
+            f"AS edge_flag FROM pts)")
+    lp_cols = "record_num, x, y, value, scan_angle, flightline, edge_flag"
+
+    classify_buildings_sql = (
+        f"WITH pts AS ({_PTS_SQL}), {lpts} "
+        f"SELECT {lp_cols}, CAST(CASE WHEN {_clip_pred()} THEN 6 "
+        f"ELSE classification END AS INT) AS classification FROM lp")
+
+    r40 = _META40.row_from_y_expr("y")
+    c40 = _META40.col_from_x_expr("x")
+    in40 = _META40.in_grid_pred("row", "col")
+    flight_overlap_sql = (
+        f"WITH pts AS ({_PTS_SQL}), {lpts}, "
+        f"g AS (SELECT {r40} AS row, {c40} AS col, flightline FROM lp) "
+        f"SELECT row, col, CAST(COUNT(DISTINCT flightline) AS DOUBLE) AS value "
+        f"FROM g WHERE {in40} GROUP BY 1, 2")
+
+    fx50 = frs_cell_expr("x", 50.0)
+    fy50 = frs_cell_expr("y", 50.0)
+    classify_overlap_sql = (
+        f"WITH pts AS ({_PTS_SQL}), {lpts}, "
+        f"cl AS (SELECT *, {fx50} AS cx, {fy50} AS cy FROM lp), "
+        f"st AS (SELECT cx, cy, flightline, AVG(ABS(scan_angle)) AS ma "
+        f"FROM cl GROUP BY 1, 2, 3), "
+        f"win AS (SELECT cx, cy, flightline AS w FROM st "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY cx, cy "
+        f"ORDER BY ma, flightline) = 1) "
+        f"SELECT {lp_cols.replace('record_num', 'cl.record_num')}, "
+        f"CAST(CASE WHEN cl.flightline = win.w THEN cl.classification "
+        f"ELSE 12 END AS INT) AS classification "
+        f"FROM cl JOIN win ON cl.cx = win.cx AND cl.cy = win.cy")
+
+    flight_edge_sql = (
+        f"WITH pts AS ({_PTS_SQL}), {lpts} "
+        f"SELECT record_num, x, y, value, classification, scan_angle, "
+        f"flightline, edge_flag FROM lp WHERE edge_flag = 1")
+
+    # select_tiles: rect x polygon intersection, three-check rule
+    vert_rows = []
+    edge_rows = []
+    for _pid, shells, holes in _POLYS:
+        for ring in list(shells) + list(holes):
+            for i, (vx, vy) in enumerate(ring):
+                vert_rows.append(f"({vx!r}, {vy!r})")
+                qx, qy = ring[(i + 1) % len(ring)]
+                if (vx, vy) != (qx, qy):
+                    edge_rows.append(f"({vx!r}, {vy!r}, {qx!r}, {qy!r})")
+    tiles_sql = (
+        "tiles AS (SELECT r.range AS tile_id, "
+        "CAST(r.range % 8 AS DOUBLE) * 125.0 AS xmin, "
+        "CAST(r.range // 8 AS DOUBLE) * 125.0 AS ymin, "
+        "CAST(r.range % 8 + 1 AS DOUBLE) * 125.0 AS xmax, "
+        "CAST(r.range // 8 + 1 AS DOUBLE) * 125.0 AS ymax FROM range(0, 64) r)")
+    corners_sql = (
+        "corners AS ("
+        "SELECT tile_id, xmin AS x, ymin AS y FROM tiles UNION ALL "
+        "SELECT tile_id, xmin, ymax FROM tiles UNION ALL "
+        "SELECT tile_id, xmax, ymin FROM tiles UNION ALL "
+        "SELECT tile_id, xmax, ymax FROM tiles)")
+    redges_sql = (
+        "redges AS ("
+        "SELECT tile_id, xmin AS x1, ymin AS y1, xmax AS x2, ymin AS y2 FROM tiles "
+        "UNION ALL SELECT tile_id, xmax, ymin, xmax, ymax FROM tiles "
+        "UNION ALL SELECT tile_id, xmax, ymax, xmin, ymax FROM tiles "
+        "UNION ALL SELECT tile_id, xmin, ymax, xmin, ymin FROM tiles)")
+    den = "((r.x2 - r.x1) * (p.y2 - p.y1) - (r.y2 - r.y1) * (p.x2 - p.x1))"
+    tpar = (f"(((p.x1 - r.x1) * (p.y2 - p.y1) - (p.y1 - r.y1) * (p.x2 - p.x1)) "
+            f"/ {den})")
+    upar = (f"(((p.x1 - r.x1) * (r.y2 - r.y1) - (p.y1 - r.y1) * (r.x2 - r.x1)) "
+            f"/ {den})")
+    select_tiles_sql = (
+        f"WITH {tiles_sql}, {corners_sql}, {redges_sql}, "
+        f"pverts(vx, vy) AS (VALUES {', '.join(vert_rows)}), "
+        f"pedges(x1, y1, x2, y2) AS (VALUES {', '.join(edge_rows)}), "
+        f"hit_a AS (SELECT DISTINCT tile_id FROM corners WHERE {_clip_pred()}), "
+        f"hit_b AS (SELECT DISTINCT t.tile_id FROM tiles t JOIN pverts v "
+        f"ON v.vx > t.xmin AND v.vx < t.xmax AND v.vy > t.ymin AND v.vy < t.ymax), "
+        f"hit_c AS (SELECT DISTINCT r.tile_id FROM redges r JOIN pedges p "
+        f"ON {den} <> 0.0 AND {tpar} >= 0.0 AND {tpar} <= 1.0 "
+        f"AND {upar} >= 0.0 AND {upar} <= 1.0), "
+        f"hits AS (SELECT tile_id FROM hit_a UNION "
+        f"SELECT tile_id FROM hit_b UNION SELECT tile_id FROM hit_c) "
+        f"SELECT t.tile_id, t.xmin, t.ymin, t.xmax, t.ymax "
+        f"FROM tiles t JOIN hits USING (tile_id)")
+
     return {
         "fill_depressions": fill_sql,
+        "classify_buildings": classify_buildings_sql,
+        "flightline_overlap": flight_overlap_sql,
+        "classify_overlap": classify_overlap_sql,
+        "flightline_edge": flight_edge_sql,
+        "select_tiles": select_tiles_sql,
         "depth_in_sink": depth_sql,
         "sink_id": sink_sql,
         "multiscale_rough": rough_sql,

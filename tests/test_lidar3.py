@@ -1,0 +1,124 @@
+"""Round-3 LiDAR suite gates: normals parity, normalize planar
+exactness, DSM fill, overlap classification, tile selection."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.functions.raster_math import GridMeta
+from whitebox_tools_spark.operators import lidar as LI
+
+N = 20
+META = GridMeta(rows=N, columns=N, north=200.0, south=0.0, east=200.0,
+                west=0.0, resolution_x=10.0, resolution_y=10.0)
+
+
+@pytest.fixture(scope="module")
+def cloud(spark):
+    rng = np.random.RandomState(21)
+    n = 500
+    xs = rng.rand(n) * 200.0
+    ys = rng.rand(n) * 200.0
+    ground = 5.0 + 0.02 * xs + 0.01 * ys
+    is_ground = rng.rand(n) < 0.6
+    zs = np.where(is_ground, ground, ground + rng.rand(n) * 20.0 + 2.0)
+    cls = np.where(is_ground, 2, 1)
+    rows = [(int(i), float(x), float(y), float(z), int(c), int(i % 3),
+             int(i % 25 - 12))
+            for i, (x, y, z, c) in enumerate(zip(xs, ys, zs, cls))]
+    df = spark.createDataFrame(
+        rows, "record_num long, x double, y double, value double, "
+              "classification int, flightline long, scan_angle int")
+    return df, xs, ys, zs, cls
+
+
+def test_point_normals_numpy_parity(spark, cloud):
+    df, xs, ys, zs, _ = cloud
+    radius = 30.0
+    out = {r["record_num"]: (r["nx"], r["ny"], r["nz"])
+           for r in LI.lidar_point_normals(df, radius=radius).collect()}
+    P = np.column_stack([xs, ys, zs])
+    for i in list(out)[:40]:
+        d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
+        nb = P[(d2 <= radius * radius)]
+        cov = np.cov(nb.T, bias=True)
+        w, v = np.linalg.eigh(cov)
+        n = v[:, 0]
+        if n[2] < 0:
+            n = -n
+        got = np.array(out[i])
+        assert np.allclose(got, n, atol=1e-6), (i, got, n)
+
+
+def test_normalize_lidar_planar_ground(spark, cloud):
+    df, xs, ys, zs, cls = cloud
+    out = {r["record_num"]: r["hag"]
+           for r in LI.normalize_lidar(df, META, tile=10).collect()}
+    ground = 5.0 + 0.02 * xs + 0.01 * ys
+    # interior points over a planar ground TIN: hag == z - plane exactly
+    interior = ((xs > 30) & (xs < 170) & (ys > 30) & (ys < 170))
+    checked = 0
+    for i in range(len(xs)):
+        if not interior[i]:
+            continue
+        want = zs[i] - ground[i]
+        if abs(out[i] - want) < 1e-6:
+            checked += 1
+    n_int = int(interior.sum())
+    assert checked > 0.9 * n_int, (checked, n_int)
+    # ground points themselves: hag ~ 0
+    gsel = [i for i in range(len(xs)) if cls[i] == 2 and interior[i]]
+    assert all(abs(out[i]) < 1e-6 for i in gsel[:50])
+
+
+def test_lidar_dsm_direct_cells_are_max(spark, cloud):
+    df, xs, ys, zs, _ = cloud
+    out = {(r["row"], r["col"]): r["value"]
+           for r in LI.lidar_dsm(df, META, first_returns_only=False).collect()}
+    # per-cell max parity on cells that contain points
+    cellmax = {}
+    for x, y, z in zip(xs, ys, zs):
+        r = int((META.north - y) / META.resolution_y)
+        c = int((x - META.west) / META.resolution_x)
+        if 0 <= r < N and 0 <= c < N:
+            cellmax[(r, c)] = max(cellmax.get((r, c), -1e18), z)
+    for k, v in cellmax.items():
+        assert abs(out[k] - v) < 1e-9, (k, out[k], v)
+    # the DSM covers (nearly) the whole grid incl. pointless cells
+    assert len(out) > 0.9 * N * N
+
+
+def test_classify_overlap_rule(spark, cloud):
+    df, *_ = cloud
+    out = LI.classify_overlap_points(df, 50.0).collect()
+    # every cell keeps at least one non-overlap flightline
+    from collections import defaultdict
+    bycell = defaultdict(set)
+    for r in out:
+        cx = int(np.floor(r["x"] / 25.0))
+        cy = int(np.floor(r["y"] / 25.0))
+        bycell[(cx, cy)].add((r["flightline"], r["classification"] == 12))
+    for cell, fls in bycell.items():
+        keepers = {fl for fl, ov in fls if not ov}
+        assert len(keepers) == 1, (cell, fls)
+
+
+def test_select_tiles_analytic(spark):
+    tiles = spark.range(4).selectExpr(
+        "id AS tile_id",
+        "CAST(id % 2 AS DOUBLE) * 10.0 AS xmin",
+        "CAST(id DIV 2 AS DOUBLE) * 10.0 AS ymin",
+        "CAST(id % 2 + 1 AS DOUBLE) * 10.0 AS xmax",
+        "CAST(id DIV 2 + 1 AS DOUBLE) * 10.0 AS ymax")
+    # triangle fully inside tile 0, crossing into tile 1
+    rows = [(0, {"xmin": 2.0, "ymin": 2.0, "xmax": 14.0, "ymax": 8.0},
+             [{"part_idx": 0, "is_hole": False,
+               "ring": [{"x": 2.0, "y": 2.0}, {"x": 14.0, "y": 2.0},
+                        {"x": 2.0, "y": 8.0}, {"x": 2.0, "y": 2.0}]}])]
+    polys = spark.createDataFrame(
+        rows, "polygon_id long, "
+              "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+              "parts array<struct<part_idx:int,is_hole:boolean,"
+              "ring:array<struct<x:double,y:double>>>>")
+    got = {r["tile_id"] for r in LI.select_tiles_by_polygon(tiles, polys).collect()}
+    assert got == {0, 1}

@@ -101,6 +101,8 @@ LAS_SCHEMA = StructType([
     StructField("num_returns", IntegerType(), False),
     StructField("classification", IntegerType(), False),
     StructField("scan_angle", IntegerType(), False),
+    StructField("scan_direction", IntegerType(), False),
+    StructField("edge_flag", IntegerType(), False),
     StructField("gps_time", DoubleType(), True),
 ])
 
@@ -135,6 +137,8 @@ def _decode_las(name: str, buf: bytes) -> pd.DataFrame:
         "num_returns": ((flags >> 3) & 0b0000_0111).astype(np.int32),
         "classification": pts["classification"].astype(np.int32),
         "scan_angle": pts["scan_angle"].astype(np.int32),
+        "scan_direction": ((flags >> 6) & 1).astype(np.int32),
+        "edge_flag": ((flags >> 7) & 1).astype(np.int32),
         "gps_time": (pts["gps_time"].astype(np.float64) if fmt == 1
                      else np.full(n_points, np.nan)),
     })
@@ -167,7 +171,10 @@ def write_las(points: list[dict], path: str, fmt: int = 1,
         rec[i]["y"] = round((p["y"] - offset[1]) / scale[1])
         rec[i]["z"] = round((p["z"] - offset[2]) / scale[2])
         rec[i]["intensity"] = p.get("intensity", 0)
-        rec[i]["flags"] = (p.get("return_number", 1) & 7) | ((p.get("num_returns", 1) & 7) << 3)
+        rec[i]["flags"] = ((p.get("return_number", 1) & 7)
+                           | ((p.get("num_returns", 1) & 7) << 3)
+                           | ((p.get("scan_direction", 0) & 1) << 6)
+                           | ((p.get("edge_flag", 0) & 1) << 7))
         rec[i]["classification"] = p.get("classification", 0)
         rec[i]["scan_angle"] = p.get("scan_angle", 0)
         if fmt == 1:
