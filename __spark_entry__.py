@@ -949,6 +949,59 @@ def _q_lidar_normals(spark, sf):
                     "ROUND(nz, 6) AS nz")
 
 
+def _q_rho8_pointer(spark, sf):
+    """Rho8Pointer: stochastic-diagonal D8 with deterministic per-cell
+    hash randomness. Rows-only (the reference uses a thread RNG —
+    distributional, not bitwise, parity); downslope-validity pytest."""
+    return HY.rho8_pointer(_ras_c(spark, sf), _META40C)
+
+
+def _q_qin_accum(spark, sf):
+    """QinFlowAccumulation (adaptive-exponent MFD). Rows-only; numpy
+    topological parity pytest-gated."""
+    return HY.qin_flow_accumulation(_ras_c(spark, sf), _META40C)
+
+
+def _q_quinn_accum(spark, sf):
+    """QuinnFlowAccumulation (contour-length MFD, fixed exponent).
+    Rows-only; numpy topological parity pytest-gated."""
+    return HY.quinn_flow_accumulation(_ras_c(spark, sf), _META40C)
+
+
+def _q_mdinf_accum(spark, sf):
+    """MDInfFlowAccumulation (per-facet D-inf splitting). Rows-only;
+    positivity/concentration pytest gates."""
+    return HY.mdinf_flow_accumulation(_ras_c(spark, sf), _META40C)
+
+
+def _q_jenson_snap(spark, sf):
+    """JensonSnapPourPoints: nearest stream cell within snap distance
+    (ties row-major)."""
+    _reg(spark, sf, "events")
+    streams = spark.sql(_RAS_C_SQL).selectExpr(
+        "row", "col",
+        "CAST(CASE WHEN value > 80 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value")
+    pour = spark.createDataFrame(
+        [(1, 5, 5), (2, 20, 33), (3, 35, 2), (4, 11, 27)],
+        "outlet_id long, row long, col long")
+    return HY.jenson_snap_pour_points(pour, streams, _META40C, 60.0)
+
+
+def _q_isobasins(spark, sf):
+    """Isobasins: equal-target basin partition (outlet-crossing rule +
+    watershed absorption). Rows-only; partition pytest gates."""
+    return HY.isobasins(_ras_c(spark, sf), _META40C, target_size=100)
+
+
+def _q_unnest_basins(spark, sf):
+    """UnnestBasins: nested pour-point basins in non-overlapping layers.
+    Rows-only; layering pytest gates."""
+    pour = spark.createDataFrame(
+        [(1, 5, 5), (2, 20, 20), (3, 35, 35)],
+        "outlet_id long, row long, col long")
+    return HY.unnest_basins(_ras_c(spark, sf), _META40C, pour)
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2171,6 +2224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_test": _q_t_test,
         "simhash_pairs": _q_simhash_pairs,
         "fill_depressions": _q_fill_depressions,
+        "rho8_pointer": _q_rho8_pointer,
+        "qin_accum": _q_qin_accum,
+        "quinn_accum": _q_quinn_accum,
+        "mdinf_accum": _q_mdinf_accum,
+        "jenson_snap": _q_jenson_snap,
+        "isobasins": _q_isobasins,
+        "unnest_basins": _q_unnest_basins,
         "difference_features": _q_difference_features,
         "symdiff_features": _q_symdiff_features,
         "is_nodata": _q_is_nodata,
@@ -4837,8 +4897,28 @@ def _round3_oracles() -> dict[str, str]:
         f"SELECT t.tile_id, t.xmin, t.ymin, t.xmax, t.ymax "
         f"FROM tiles t JOIN hits USING (tile_id)")
 
+    jenson_sql = (
+        f"WITH rc AS ({_RAS_C_SQL}), "
+        f"s AS (SELECT row AS srow, col AS scol FROM rc WHERE value > 80), "
+        f"pour(outlet_id, row, col) AS (VALUES (1, 5, 5), (2, 20, 33), "
+        f"(3, 35, 2), (4, 11, 27)), "
+        f"cand AS (SELECT p.outlet_id, p.row, p.col, s.srow, s.scol, "
+        f"CAST((s.srow - p.row) * (s.srow - p.row) * 100.0 "
+        f"+ (s.scol - p.col) * (s.scol - p.col) * 100.0 AS DOUBLE) AS d2 "
+        f"FROM pour p JOIN s ON ABS(s.srow - p.row) <= 7 "
+        f"AND ABS(s.scol - p.col) <= 7 WHERE "
+        f"(s.srow - p.row) * (s.srow - p.row) * 100.0 "
+        f"+ (s.scol - p.col) * (s.scol - p.col) * 100.0 <= 3600.0), "
+        f"best AS (SELECT outlet_id, srow, scol FROM cand "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY outlet_id "
+        f"ORDER BY d2, srow, scol) = 1) "
+        f"SELECT p.outlet_id, CAST(COALESCE(b.srow, p.row) AS BIGINT) AS row, "
+        f"CAST(COALESCE(b.scol, p.col) AS BIGINT) AS col "
+        f"FROM pour p LEFT JOIN best b USING (outlet_id)")
+
     return {
         "fill_depressions": fill_sql,
+        "jenson_snap": jenson_sql,
         "classify_buildings": classify_buildings_sql,
         "flightline_overlap": flight_overlap_sql,
         "classify_overlap": classify_overlap_sql,

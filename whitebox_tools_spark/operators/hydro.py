@@ -2264,3 +2264,295 @@ def cost_allocation(cost: DataFrame, meta: GridMeta, source_pred: str,
         ensure_converged(1, "cost_allocation relaxation", max_rounds)
     return state.where("src IS NOT NULL").selectExpr(
         "row", "col", "CAST(src AS DOUBLE) AS value")
+
+
+# ---------------------------------------------------------------------------
+# Round-3: remaining flow models + basin tools
+# (whitebox-plugins/src/{rho8,qin,quinn}_flow_accumulation/,
+#  hydro_analysis/{mdinf_flow_accum,isobasins,unnest_basins,
+#  jenson_snap_pour_points}.rs)
+# ---------------------------------------------------------------------------
+
+# Quinn/Qin contour lengths per D8 direction (quinn plugin main.rs:389-397,
+# translated to our D8 order 0=NE..7=N): 0.5*res cardinal, 0.354*res diagonal
+def _contour_lengths(meta: GridMeta) -> list[float]:
+    out = []
+    for i in range(8):
+        res = (meta.resolution_x + meta.resolution_y) / 2.0
+        out.append((0.5 if D8_DX[i] == 0 or D8_DY[i] == 0 else 0.354) * res)
+    return out
+
+
+def rho8_pointer(cells: DataFrame, meta: GridMeta, seed: int = 42) -> DataFrame:
+    """Rho8Pointer (whitebox-plugins/src/rho8_flow_accumulation/main.rs:
+    270-292): D8 argmax where the diagonal drop is divided by
+    (2 - r), r ~ U[0, 1) — the stochastic diagonal-distance correction
+    of Fairfield & Leymarie (1991). The reference draws from a thread
+    RNG; here r is a DETERMINISTIC per-(cell, neighbor) hash so runs
+    reproduce (document: distributional, not bitwise, parity). Output
+    uses this engine's 2^i pointer convention (0 = no downslope)."""
+    piv = focal_pivot3_raw(cells)
+    rnd = lambda i: (f"(CAST(PMOD(XXHASH64(row, col, {i}, {seed}), 1000000) "
+                     f"AS DOUBLE) / 1000000.0)")
+    slopes = []
+    for i in range(8):
+        if D8_DX[i] == 0 or D8_DY[i] == 0:
+            slopes.append(f"(zc - zn_{i})")
+        else:
+            slopes.append(f"((zc - zn_{i}) / (2.0 - {rnd(i)}))")
+    elems = ", ".join(
+        f"NAMED_STRUCT('ms', CASE WHEN zn_{i} IS NOT NULL THEN {slopes[i]} "
+        f"ELSE CAST('-Infinity' AS DOUBLE) END, 'dir', {i})" for i in range(8))
+    fold = (
+        f"AGGREGATE(ARRAY({elems}), "
+        f"NAMED_STRUCT('ms', CAST(0.0 AS DOUBLE), 'dir', -1), "
+        f"(acc, e) -> IF(e.ms > acc.ms, e, acc))")
+    return piv.selectExpr(
+        "row", "col",
+        f"CAST(CASE WHEN ({fold}).dir >= 0 "
+        f"THEN POWER(2.0, CAST(({fold}).dir AS DOUBLE)) "
+        f"ELSE 0.0 END AS DOUBLE) AS value")
+
+
+def _mfd_edges_from_weights(piv: DataFrame, meta: GridMeta,
+                            ws: list[str]) -> DataFrame:
+    """(src, dst, w) with w_i / sum(w) for nonzero weight expressions."""
+    c = meta.columns
+    total = "(" + " + ".join(ws) + ")"
+    elems = ", ".join(
+        f"NAMED_STRUCT('dst', (row + ({D8_DY[i]}L)) * {c}L + (col + ({D8_DX[i]}L)), "
+        f"'w', ({ws[i]}) / {total})"
+        for i in range(8))
+    return (
+        piv.where(f"{total} > 0.0")
+        .selectExpr(f"(row * {c}L + col) AS src",
+                    f"EXPLODE(ARRAY({elems})) AS e")
+        .selectExpr("src", "e.dst AS dst", "e.w AS w")
+        .where("w > 0.0")
+    )
+
+
+def qin_flow_accumulation(cells: DataFrame, meta: GridMeta,
+                          exponent: float = 10.0,
+                          max_slope_deg: float = 45.0,
+                          max_doublings: int = 24) -> DataFrame:
+    """QinFlowAccumulation (whitebox-plugins/src/qin_flow_accumulation/
+    main.rs:33-35,501): MFD with a locally adaptive exponent —
+    F_i = L_i * tan(beta_i)^f(e) / sum, with
+    f(e) = min(e, eU)/eU * (pU - 1.1) + 1.1, e = max downslope tan
+    slope, eU = tan(max_slope), pU = `exponent`; L_i the Quinn contour
+    lengths. Rows-only (POWER with data-dependent float exponents);
+    pytest gates mass conservation + steep-slope convergence."""
+    import math as _m
+
+    lengths = _grid_lengths(meta)
+    cl = _contour_lengths(meta)
+    eu = _m.tan(_m.radians(max_slope_deg))
+    piv = focal_pivot3_raw(cells)
+    tans = [
+        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
+        f"THEN (zc - zn_{i}) / {lengths[i]!r} ELSE 0.0 END"
+        for i in range(8)
+    ]
+    emax = "GREATEST(" + ", ".join(tans) + ")"
+    fe = f"(LEAST({emax}, {eu!r}) / {eu!r} * ({exponent!r} - 1.1) + 1.1)"
+    ws = [f"CASE WHEN ({tans[i]}) > 0.0 "
+          f"THEN {cl[i]!r} * POWER({tans[i]}, {fe}) ELSE 0.0 END"
+          for i in range(8)]
+    c = meta.columns
+    nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    e = _mfd_edges_from_weights(piv, meta, ws).join(
+        nodes.selectExpr("id AS dst"), "dst", "leftsemi")
+    return _weighted_path_accum(nodes, e, max_doublings, "qin_flow_accumulation")
+
+
+def quinn_flow_accumulation(cells: DataFrame, meta: GridMeta,
+                            exponent: float = 1.0,
+                            max_doublings: int = 24) -> DataFrame:
+    """QuinnFlowAccumulation (whitebox-plugins/src/
+    quinn_flow_accumulation/main.rs:389-429 weights; Quinn et al. 1991):
+    F_i = L_i * tan(beta_i)^h / sum with fixed exponent h and contour
+    lengths L (0.5/0.354 x cell size).
+
+    Intentional deviation: the plugin's h = (acc/threshold + 1)^p is
+    ACCUMULATION-adaptive, which forces a strict topological-order
+    sweep; this implementation uses the fixed-exponent Quinn 1991 form
+    (the plugin's h at acc=0). At cluster scale the adaptive form would
+    be the tiled topological contraction (d8 tiled plan generalized)."""
+    lengths = _grid_lengths(meta)
+    cl = _contour_lengths(meta)
+    piv = focal_pivot3_raw(cells)
+    ws = [
+        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
+        f"THEN {cl[i]!r} * POWER((zc - zn_{i}) / {lengths[i]!r}, {exponent!r}) "
+        f"ELSE 0.0 END"
+        for i in range(8)
+    ]
+    c = meta.columns
+    nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    e = _mfd_edges_from_weights(piv, meta, ws).join(
+        nodes.selectExpr("id AS dst"), "dst", "leftsemi")
+    return _weighted_path_accum(nodes, e, max_doublings, "quinn_flow_accumulation")
+
+
+def mdinf_flow_accumulation(cells: DataFrame, meta: GridMeta,
+                            exponent: float = 1.1,
+                            max_doublings: int = 24) -> DataFrame:
+    """MDInfFlowAccumulation (hydro_analysis/mdinf_flow_accum.rs
+    semantics; Seibert & McGlynn 2007): flow splits across all eight
+    triangular facets — each facet with a positive downslope direction
+    contributes weight s^p, divided between its cardinal/diagonal
+    neighbors by angular interpolation (the Tarboton facet math of
+    D-inf, applied per facet instead of argmax)."""
+    import math as _m
+
+    d1 = meta.resolution_x
+    d2 = _m.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    amax = _m.atan2(meta.resolution_y, meta.resolution_x)
+    # facets as (cardinal D8 idx, diagonal D8 idx)
+    facets = [(1, 0), (7, 0), (7, 6), (5, 6), (5, 4), (3, 4), (3, 2), (1, 2)]
+    piv = focal_pivot3_raw(cells)
+    c = meta.columns
+    parts = []
+    for fi, (card, diag) in enumerate(facets):
+        s1 = f"((zc - zn_{card}) / {d1!r})"
+        s2 = f"((zn_{card} - zn_{diag}) / {meta.resolution_y!r})"
+        r = f"ATAN2({s2}, {s1})"
+        rc = f"GREATEST(LEAST({r}, {amax!r}), 0.0)"
+        smag = (f"CASE WHEN {r} < 0.0 THEN {s1} "
+                f"WHEN {r} > {amax!r} THEN (zc - zn_{diag}) / {d2!r} "
+                f"ELSE SQRT({s1} * {s1} + {s2} * {s2}) END")
+        valid = f"(zn_{card} IS NOT NULL AND zn_{diag} IS NOT NULL AND ({smag}) > 0.0)"
+        w = f"CASE WHEN {valid} THEN POWER({smag}, {exponent!r}) ELSE 0.0 END"
+        pc = f"(1.0 - {rc} / {amax!r})"
+        pd = f"({rc} / {amax!r})"
+        parts.append((card, f"({w}) * {pc}"))
+        parts.append((diag, f"({w}) * {pd}"))
+    # collapse per-neighbor weights
+    by_nbr = {}
+    for i, expr in parts:
+        by_nbr.setdefault(i, []).append(expr)
+    ws = [("(" + " + ".join(by_nbr[i]) + ")") if i in by_nbr else "0.0"
+          for i in range(8)]
+    nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    e = _mfd_edges_from_weights(piv, meta, ws).join(
+        nodes.selectExpr("id AS dst"), "dst", "leftsemi")
+    return _weighted_path_accum(nodes, e, max_doublings, "mdinf_flow_accumulation")
+
+
+def jenson_snap_pour_points(pour: DataFrame, streams: DataFrame,
+                            meta: GridMeta, snap_dist: float) -> DataFrame:
+    """JensonSnapPourPoints (hydro_analysis/jenson_snap_pour_points.rs):
+    move each pour point to the nearest stream cell within snap_dist
+    (euclidean on cell centers; ties -> row-major first, the reference's
+    scan order). pour: (outlet_id, row, col); streams: (row, col, value
+    > 0 for stream). One bounded-window join, codegen throughout."""
+    rr = int(snap_dist / min(meta.resolution_x, meta.resolution_y)) + 1
+    s = streams.where("value > 0.0").selectExpr("row AS srow", "col AS scol")
+    cand = pour.join(
+        s,
+        (F.expr(f"ABS(srow - row) <= {rr}") & F.expr(f"ABS(scol - col) <= {rr}")),
+        "left",
+    ).selectExpr(
+        "outlet_id", "row", "col", "srow", "scol",
+        f"((srow - row) * (srow - row) * {meta.resolution_y!r} * {meta.resolution_y!r} "
+        f"+ (scol - col) * (scol - col) * {meta.resolution_x!r} * {meta.resolution_x!r}) "
+        f"AS d2",
+    ).where(f"d2 <= {snap_dist * snap_dist!r}")
+    best = cand.groupBy("outlet_id").agg(
+        F.expr("MIN_BY(STRUCT(srow AS r, scol AS c), STRUCT(d2, srow, scol))")
+        .alias("b"))
+    return pour.join(best, "outlet_id", "left").selectExpr(
+        "outlet_id",
+        "COALESCE(b.r, row) AS row",
+        "COALESCE(b.c, col) AS col")
+
+
+def isobasins(cells: DataFrame, meta: GridMeta, target_size: int,
+              max_doublings: int = 24) -> DataFrame:
+    """Isobasins (hydro_analysis/isobasins.rs semantics): divide the DEM
+    into basins of approximately `target_size` cells. Outlet rule: a
+    cell is an outlet iff its D8 accumulation first reaches the target
+    (acc >= target while every inflowing neighbor's acc < target), plus
+    every terminal cell of the flow graph; each cell then takes the
+    FIRST outlet on its downstream path (watershed absorption), so
+    basins partition the grid. Basin ids are dense-ranked by outlet
+    row-major order. Approximate parity: the reference merges small
+    residual basins into neighbors; that cleanup pass is not
+    reproduced (documented)."""
+    c = meta.columns
+    acc = d8_flow_accumulation_tiled(cells, meta)
+    ptr = d8_pointer(cells, meta)
+    e = d8_edges(ptr).selectExpr("row", "col", "drow", "dcol")
+    a = acc.selectExpr("row", "col", "value AS acc")
+    # inflow max acc per cell
+    inflow = e.join(a, ["row", "col"]).selectExpr(
+        "drow AS row", "dcol AS col", "acc AS in_acc"
+    ).groupBy("row", "col").agg(F.max("in_acc").alias("max_in"))
+    crossing = a.join(inflow, ["row", "col"], "left").where(
+        f"acc >= {target_size} AND COALESCE(max_in, 0.0) < {target_size}")
+    # terminal cells (no outflow) are always outlets
+    terms = a.join(ptr.where("value = 0.0").select("row", "col"),
+                   ["row", "col"], "leftsemi")
+    outlets = crossing.select("row", "col").unionByName(
+        terms.select("row", "col")).distinct()
+    from ..plans.rank import dense_rank_small
+
+    keyed = outlets.selectExpr(f"(row * {c}L + col) AS ok", "row", "col")
+    ranked = dense_rank_small(keyed, "ok", "outlet_id")
+    olist = keyed.join(ranked, "ok").selectExpr("outlet_id", "row", "col")
+    return watershed(cells, meta, olist, max_doublings=max_doublings)
+
+
+def unnest_basins(cells: DataFrame, meta: GridMeta, pour: DataFrame,
+                  max_doublings: int = 24) -> DataFrame:
+    """UnnestBasins (hydro_analysis/unnest_basins.rs semantics): full
+    (nested) basins of every pour point, organized into layers such
+    that no two pour points in a layer are on the same flow path — the
+    reference writes one raster per layer; this returns one table
+    (row, col, outlet_id, layer). layer = 1 + number of pour points
+    strictly DOWNSTREAM of the outlet; within a layer each cell takes
+    the first on-path outlet of that layer, so layers reproduce the
+    reference's non-overlapping rasters and their union is the full
+    nested basin set."""
+    c = meta.columns
+    ptr = d8_pointer(cells, meta)
+    nodes = ptr.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    e = d8_edges(ptr).selectExpr(f"(row * {c}L + col) AS src",
+                                 f"(drow * {c}L + dcol) AS dst")
+    # transitive closure restricted to pour-point destinations: walk the
+    # pour points' downstream paths by pointer doubling over the FULL edge
+    # set, but keep only pour sources (few rows in flight)
+    pk = pour.selectExpr("outlet_id", f"(row * {c}L + col) AS pid")
+    reach = pk.selectExpr("pid AS src", "pid AS dst") \
+        .localCheckpoint(eager=True)
+    hop = e
+    for _ in range(max_doublings):
+        grown = reach.join(hop.selectExpr("src AS dst", "dst AS nxt"), "dst") \
+            .selectExpr("src", "nxt AS dst").unionByName(reach).distinct() \
+            .localCheckpoint(eager=True)
+        if grown.count() == reach.count():
+            break
+        reach = grown
+        hop = hop.alias("a").join(hop.alias("b"),
+                                  F.col("a.dst") == F.col("b.src")) \
+            .selectExpr("a.src AS src", "b.dst AS dst").distinct() \
+            .localCheckpoint(eager=True)
+    # depth = pour points strictly downstream (on the path, not self)
+    down = reach.join(pk.selectExpr("pid AS dst"), "dst", "leftsemi") \
+        .where("src <> dst").groupBy("src").count()
+    layers = pk.join(down.withColumnRenamed("src", "pid"), "pid", "left") \
+        .selectExpr("outlet_id", "pid",
+                    "CAST(COALESCE(count, 0) + 1 AS INT) AS layer")
+    outs = []
+    n_layers = [r["layer"] for r in layers.select("layer").distinct().collect()]
+    for lay in sorted(n_layers):
+        sub = layers.where(F.col("layer") == lay) \
+            .join(pour, "outlet_id").select("outlet_id", "row", "col")
+        w = watershed(cells, meta, sub, max_doublings=max_doublings) \
+            .selectExpr("row", "col", "CAST(value AS BIGINT) AS outlet_id",
+                        f"CAST({lay} AS INT) AS layer")
+        outs.append(w)
+    from functools import reduce
+
+    return reduce(lambda x, y: x.unionByName(y), outs)
