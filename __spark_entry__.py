@@ -1002,6 +1002,56 @@ def _q_unnest_basins(spark, sf):
     return HY.unnest_basins(_ras_c(spark, sf), _META40C, pour)
 
 
+def _q_ks_normality(spark, sf):
+    """KS normality test: D vs fitted normal (A-S erf polynomial, shared
+    expression text; ROUND(4) — EXP is libm territory)."""
+    return R.ks_normality_test(_ras(spark, sf, "a"))
+
+
+def _q_image_regression(spark, sf):
+    """OLS of raster b on raster a — exact moment sums."""
+    return R.image_regression(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
+def _q_image_autocorr(spark, sf):
+    """Global Moran's I, rook contiguity — raw-moment expansion, exact."""
+    return R.image_autocorrelation(_ras(spark, sf, "a"))
+
+
+def _q_attr_correlation(spark, sf):
+    """Pearson correlation matrix over point attribute fields."""
+    return R.attribute_correlation(_points(spark, sf), ["x", "y", "value"])
+
+
+def _q_edge_proportion(spark, sf):
+    """EdgeProportion over the rasterized polygon layer."""
+    patches = R.polygons_to_raster(_polygons_df(spark), _META40)
+    return R.edge_proportion(patches, _META40)
+
+
+def _q_narrowness(spark, sf):
+    """NarrownessIndex (A / pi MD^2, exact EDT). Rows-only: the EDT
+    plan is not recursive-SQL-expressible; pytest gates the circle
+    case analytically."""
+    patches = R.polygons_to_raster(_polygons_df(spark), _META40) \
+        .selectExpr("row", "col", "value + 1.0 AS value")
+    return R.narrowness_index(patches, _META40)
+
+
+def _q_bsc(spark, sf):
+    """BoundaryShapeComplexity (skeleton exterior-link percentage).
+    Rows-only; pytest gates simple-vs-complex ordering."""
+    patches = R.polygons_to_raster(_polygons_df(spark), _META40) \
+        .selectExpr("row", "col", "value + 1.0 AS value")
+    return R.boundary_shape_complexity(patches, _META40)
+
+
+def _q_hole_proportion(spark, sf):
+    """HoleProportion: hole area / shell area per polygon feature."""
+    return VO.hole_proportion(
+        _polygons_df(spark).selectExpr("polygon_id AS shape_id", "parts"))
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2195,6 +2245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_thin": _q_lidar_thin,
         "kappa": _q_kappa,
         "anova": _q_anova,
+        "edge_proportion": _q_edge_proportion,
+        "narrowness": _q_narrowness,
+        "bsc": _q_bsc,
+        "hole_proportion": _q_hole_proportion,
+        "ks_normality": _q_ks_normality,
+        "image_regression": _q_image_regression,
+        "image_autocorr": _q_image_autocorr,
+        "attr_correlation": _q_attr_correlation,
         "trend_surface": _q_trend_surface,
         "geotiff_roundtrip": _q_geotiff_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
@@ -4916,8 +4974,134 @@ def _round3_oracles() -> dict[str, str]:
         f"CAST(COALESCE(b.scol, p.col) AS BIGINT) AS col "
         f"FROM pour p LEFT JOIN best b USING (outlet_id)")
 
+    zed = "((value - mu) / sigma)"
+    t_ = f"(1.0 / (1.0 + 0.3275911 * ABS({zed}) / 1.4142135623730951))"
+    poly = (f"({t_} * (0.254829592 + {t_} * (-0.284496736 + {t_} * "
+            f"(1.421413741 + {t_} * (-1.453152027 + {t_} * 1.061405429)))))")
+    erf = f"(1.0 - {poly} * EXP(-({zed}) * ({zed}) / 2.0))"
+    phi = (f"(CASE WHEN {zed} >= 0.0 THEN 0.5 * (1.0 + {erf}) "
+           f"ELSE 0.5 * (1.0 - {erf}) END)")
+    ks_norm_sql = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"m AS (SELECT COUNT(*) AS n, SUM(value) / COUNT(*) AS mu, "
+        f"SQRT((SUM(value * value) - SUM(value) * SUM(value) / COUNT(*)) "
+        f"/ COUNT(*)) AS sigma FROM ras_a), "
+        f"g AS (SELECT value, COUNT(*) AS cnt FROM ras_a GROUP BY 1), "
+        f"c AS (SELECT value, cnt, SUM(cnt) OVER (ORDER BY value) AS cum FROM g), "
+        f"d AS (SELECT n, GREATEST(ABS(CAST(cum AS DOUBLE) / n - {phi}), "
+        f"ABS(CAST(cum - cnt AS DOUBLE) / n - {phi})) AS dev FROM c, m) "
+        f"SELECT CAST(n AS BIGINT) AS n, ROUND(MAX(dev), 4) AS d_max "
+        f"FROM d GROUP BY n")
+
+    img_reg_sql = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), ras_b AS ({_RAS_B_SQL}), "
+        f"j AS (SELECT a.value AS vx, b.value AS vy FROM ras_a a "
+        f"JOIN ras_b b USING (row, col)), "
+        f"m AS (SELECT COUNT(*) AS n, SUM(vx) AS sx, SUM(vy) AS sy, "
+        f"SUM(vx * vx) AS sxx, SUM(vy * vy) AS syy, SUM(vx * vy) AS sxy FROM j) "
+        f"SELECT CAST(n AS BIGINT) AS n, "
+        f"(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS slope, "
+        f"(sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) * sx) / n "
+        f"AS intercept, "
+        f"((n * sxy - sx * sy) * (n * sxy - sx * sy)) "
+        f"/ NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0) AS r_squared "
+        f"FROM m")
+
+    img_auto_sql = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"o AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1)) t(dr, dc)), "
+        f"j AS (SELECT a.value AS xv, b.value AS yv FROM ras_a a "
+        f"CROSS JOIN o JOIN ras_a b ON b.row = a.row + o.dr "
+        f"AND b.col = a.col + o.dc), "
+        f"cr AS (SELECT COUNT(*) AS w, SUM(xv * yv) AS sxy, "
+        f"SUM(xv + yv) AS sxpy FROM j), "
+        f"m AS (SELECT COUNT(*) AS n, SUM(value) AS s1, "
+        f"SUM(value * value) AS s2 FROM ras_a) "
+        f"SELECT CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS w, "
+        f"(CAST(n AS DOUBLE) / w) * (sxy - (s1 / n) * sxpy "
+        f"+ (s1 / n) * (s1 / n) * w) / NULLIF(s2 - s1 * s1 / n, 0.0) "
+        f"AS moran_i FROM cr, m")
+
+    def _r(a, b):
+        return (f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+                f"NULLIF(SQRT((n * ss_{a} - s_{a} * s_{a}) "
+                f"* (n * ss_{b} - s_{b} * s_{b})), 0.0)")
+
+    flds = ["x", "y", "value"]
+    sums = ["COUNT(*) AS n"]
+    for f_ in flds:
+        sums.append(f"SUM({f_}) AS s_{f_}")
+        sums.append(f"SUM({f_} * {f_}) AS ss_{f_}")
+    for i_, a_ in enumerate(flds):
+        for b_ in flds[i_ + 1:]:
+            sums.append(f"SUM({a_} * {b_}) AS sp_{a_}_{b_}")
+    arms = " UNION ALL ".join(
+        f"SELECT '{a_}' AS field_a, '{b_}' AS field_b, {_r(a_, b_)} AS pearson_r FROM m"
+        for i_, a_ in enumerate(flds) for b_ in flds[i_ + 1:])
+    attr_corr_sql = (
+        f"WITH pts AS ({_PTS_SQL}), m AS (SELECT {', '.join(sums)} FROM pts) "
+        f"{arms}")
+
+    cells40b = ("cells AS (SELECT a.range AS row, b.range AS col "
+                "FROM range(0, 40) a, range(0, 40) b)")
+    patch_cte = (
+        f"{cells40b}, c2 AS (SELECT row, col, "
+        f"{_META40.x_from_col_expr('col')} AS cx, "
+        f"{_META40.y_from_row_expr('row')} AS cy FROM cells), hits AS ("
+        + " UNION ALL ".join(
+            f"SELECT row, col, {pid} AS pid FROM c2 "
+            f"WHERE {GS.inside_feature_sql(sh, ho, 'cx', 'cy')}"
+            for pid, sh, ho in _POLYS)
+        + "), patch AS (SELECT row, col, CAST(MAX(pid) AS DOUBLE) AS value "
+        "FROM hits GROUP BY 1, 2)")
+    edge_prop_sql = (
+        f"WITH {patch_cte}, "
+        f"o AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1),(-1,-1),"
+        f"(-1,1),(1,-1),(1,1)) t(dr, dc)), "
+        f"e AS (SELECT p.row, p.col, p.value, "
+        f"MAX(CASE WHEN n.value IS NULL OR n.value <> p.value THEN 1 ELSE 0 "
+        f"END) AS edge FROM patch p CROSS JOIN o "
+        f"LEFT JOIN patch n ON n.row = p.row + o.dr AND n.col = p.col + o.dc "
+        f"GROUP BY 1, 2, 3), "
+        f"e2 AS (SELECT row, col, value, CASE WHEN row = 0 OR col = 0 "
+        f"OR row = 39 OR col = 39 THEN 1 ELSE edge END AS edge FROM e), "
+        f"st AS (SELECT value, CAST(SUM(edge) AS DOUBLE) / COUNT(*) AS prop "
+        f"FROM e2 GROUP BY 1) "
+        f"SELECT e2.row, e2.col, e2.value AS patch_id, st.prop AS value "
+        f"FROM e2 JOIN st USING (value)")
+
+    def _shoelace_py(ring):
+        acc = 0.0
+        for i in range(len(ring) - 1):
+            acc = acc + (ring[i][0] * ring[i + 1][1]
+                         - ring[i + 1][0] * ring[i][1])
+        return abs(acc) / 2.0
+
+    hp_rows = []
+    for pid, shells, holes in _POLYS:
+        sa = 0.0
+        ha = 0.0
+        for r_ in shells:
+            ring = list(r_) + ([r_[0]] if r_[0] != r_[-1] else [])
+            sa = sa + _shoelace_py(ring)
+        for r_ in holes:
+            ring = list(r_) + ([r_[0]] if r_[0] != r_[-1] else [])
+            ha = ha + _shoelace_py(ring)
+        hp = ha / sa if sa else None
+        hp_rows.append(f"({pid}, {hp!r})")
+    hole_prop_sql = (
+        f"SELECT CAST(shape_id AS BIGINT) AS shape_id, "
+        f"CAST(hole_prop AS DOUBLE) AS hole_prop "
+        f"FROM (VALUES {', '.join(hp_rows)}) t(shape_id, hole_prop)")
+
     return {
         "fill_depressions": fill_sql,
+        "edge_proportion": edge_prop_sql,
+        "hole_proportion": hole_prop_sql,
+        "ks_normality": ks_norm_sql,
+        "image_regression": img_reg_sql,
+        "image_autocorr": img_auto_sql,
+        "attr_correlation": attr_corr_sql,
         "jenson_snap": jenson_sql,
         "classify_buildings": classify_buildings_sql,
         "flightline_overlap": flight_overlap_sql,

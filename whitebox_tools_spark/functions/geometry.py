@@ -138,3 +138,40 @@ def ring_is_hole(ring: np.ndarray) -> bool:
     """WBT convention: holes are counter-clockwise rings
     (shapefile geometry.rs:307-345)."""
     return not is_clockwise(ring)
+
+
+def thin_mask(m: "np.ndarray") -> "np.ndarray":
+    """Zhang-Suen skeletonization of a boolean mask (numpy twin of
+    operators.focal.line_thinning's SQL plan — same two sub-iterations,
+    used by per-patch kernels that already hold the patch locally)."""
+    import numpy as np
+
+    m = m.copy()
+    def nbrs(a):
+        # P2..P9 = N, NE, E, SE, S, SW, W, NW
+        shifts = [(-1, 0), (-1, 1), (0, 1), (1, 1),
+                  (1, 0), (1, -1), (0, -1), (-1, -1)]
+        out = []
+        for dr, dc in shifts:
+            out.append(np.roll(np.roll(a, -dr, axis=0), -dc, axis=1))
+        return out
+
+    changed = True
+    while changed:
+        changed = False
+        for phase in (0, 1):
+            p = [x.astype(np.int8) for x in nbrs(m)]
+            bsum = sum(p)
+            trans = sum(((p[i] == 0) & (p[(i + 1) % 8] == 1)).astype(np.int8)
+                        for i in range(8))
+            if phase == 0:
+                c1 = (p[0] * p[2] * p[4]) == 0
+                c2 = (p[2] * p[4] * p[6]) == 0
+            else:
+                c1 = (p[0] * p[2] * p[6]) == 0
+                c2 = (p[0] * p[4] * p[6]) == 0
+            rem = m & (bsum >= 2) & (bsum <= 6) & (trans == 1) & c1 & c2
+            if rem.any():
+                m[rem] = False
+                changed = True
+    return m

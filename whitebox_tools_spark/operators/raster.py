@@ -951,3 +951,272 @@ def mosaic_with_feathering(a: DataFrame, b: DataFrame, meta: GridMeta,
         "row", "col",
         f"CASE WHEN v1 IS NULL THEN v2 WHEN v2 IS NULL THEN v1 "
         f"ELSE v1 * ({w1}) + v2 * (1.0 - ({w1})) END AS value")
+
+
+# ---------------------------------------------------------------------------
+# Round-3: statistical-tests long tail
+# (math_stat_analysis/{ks_test_for_normality,image_regression,
+#  image_autocorrelation,attribute_correlation}.rs)
+# ---------------------------------------------------------------------------
+
+
+def ks_normality_test(cells: DataFrame) -> DataFrame:
+    """KSTestForNormality (math_stat_analysis/ks_test_for_normality.rs
+    semantics): D = max |ECDF(x) - Phi((x - mu) / sigma)| over the
+    sample. Phi via the Abramowitz-Stegun 7.1.26 erf polynomial written
+    as literal SQL (identical expression text in the DuckDB oracle;
+    the final statistic is ROUND(4)-ed because EXP is libm territory).
+
+    Plan: one moment pass, one per-distinct-value count + running-sum
+    window (value domain, not cell domain), one max fold."""
+    from pyspark.sql import Window
+
+    m = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s1"),
+        F.sum(F.expr("value * value")).alias("s2"),
+    ).selectExpr("n", "s1 / n AS mu",
+                 "SQRT((s2 - s1 * s1 / n) / n) AS sigma")
+    g = cells.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.withColumn("cum", F.sum("cnt").over(w))
+    j = cum.crossJoin(F.broadcast(m))
+    zed = "((value - mu) / sigma)"
+    t = f"(1.0 / (1.0 + 0.3275911 * ABS({zed}) / 1.4142135623730951))"
+    poly = (f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * "
+            f"(1.421413741 + {t} * (-1.453152027 + {t} * 1.061405429)))))")
+    erf = f"(1.0 - {poly} * EXP(-({zed}) * ({zed}) / 2.0))"
+    phi = (f"(CASE WHEN {zed} >= 0.0 THEN 0.5 * (1.0 + {erf}) "
+           f"ELSE 0.5 * (1.0 - {erf}) END)")
+    d = j.selectExpr(
+        "n",
+        f"GREATEST(ABS(CAST(cum AS DOUBLE) / n - {phi}), "
+        f"ABS(CAST(cum - cnt AS DOUBLE) / n - {phi})) AS dev")
+    return d.groupBy("n").agg(
+        F.expr("ROUND(MAX(dev), 4)").alias("d_max")
+    ).selectExpr("CAST(n AS BIGINT) AS n", "d_max")
+
+
+def image_regression(x: DataFrame, y: DataFrame) -> DataFrame:
+    """ImageRegression (math_stat_analysis/image_regression.rs): OLS of
+    y on x over co-located cells — slope, intercept, r^2 from exact
+    moment sums (one aggregation, oracle bit-exact)."""
+    j = x.selectExpr("row", "col", "value AS vx").join(
+        y.selectExpr("row", "col", "value AS vy"), ["row", "col"])
+    return j.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vx").alias("sx"),
+        F.sum("vy").alias("sy"), F.sum(F.expr("vx * vx")).alias("sxx"),
+        F.sum(F.expr("vy * vy")).alias("syy"),
+        F.sum(F.expr("vx * vy")).alias("sxy"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS slope",
+        "(sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) * sx) / n "
+        "AS intercept",
+        "((n * sxy - sx * sy) * (n * sxy - sx * sy)) "
+        "/ NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0) AS r_squared",
+    )
+
+
+def image_autocorrelation(cells: DataFrame, contiguity: str = "rook") -> DataFrame:
+    """ImageAutocorrelation (math_stat_analysis/image_autocorrelation
+    .rs): global Moran's I — I = (n / W) * S_cross / S_var with
+    S_cross = sum over neighbor pairs w_ij (x_i - m)(x_j - m), expanded
+    to raw moment sums (sum x_i x_j, sum (x_i + x_j), W) so every term
+    is an exact integer sum and both engines agree bit-for-bit.
+    contiguity: 'rook' (4-neighbor) or 'queen' (8)."""
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if contiguity == "queen":
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol)" for dr, dc in offs)
+    nb = cells.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+        "__n.nrow AS row", "__n.ncol AS col", "value AS xv")
+    j = nb.join(cells.selectExpr("row", "col", "value AS yv"), ["row", "col"])
+    cross = j.agg(
+        F.count(F.lit(1)).alias("w"), F.sum(F.expr("xv * yv")).alias("sxy"),
+        F.sum(F.expr("xv + yv")).alias("sxpy"),
+    )
+    m = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s1"),
+        F.sum(F.expr("value * value")).alias("s2"),
+    )
+    return cross.crossJoin(m).selectExpr(
+        "CAST(n AS BIGINT) AS n", "CAST(w AS BIGINT) AS w",
+        "(CAST(n AS DOUBLE) / w) * (sxy - (s1 / n) * sxpy + (s1 / n) * (s1 / n) * w) "
+        "/ NULLIF(s2 - s1 * s1 / n, 0.0) AS moran_i",
+    )
+
+
+def attribute_correlation(table: DataFrame, fields: list[str]) -> DataFrame:
+    """AttributeCorrelation (math_stat_analysis/attribute_correlation
+    .rs): Pearson correlation matrix of the given numeric attribute
+    fields — one row per (field_a, field_b) pair, a < b; exact product
+    sums (single aggregation)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for f in fields:
+        aggs.append(F.sum(f).alias(f"s_{f}"))
+        aggs.append(F.sum(F.expr(f"{f} * {f}")).alias(f"ss_{f}"))
+    for i, a in enumerate(fields):
+        for b in fields[i + 1:]:
+            aggs.append(F.sum(F.expr(f"{a} * {b}")).alias(f"sp_{a}_{b}"))
+    m = table.agg(*aggs)
+    rows = []
+    for i, a in enumerate(fields):
+        for b in fields[i + 1:]:
+            r = (f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+                 f"NULLIF(SQRT((n * ss_{a} - s_{a} * s_{a}) "
+                 f"* (n * ss_{b} - s_{b} * s_{b})), 0.0)")
+            rows.append(f"STRUCT('{a}' AS field_a, '{b}' AS field_b, "
+                        f"{r} AS pearson_r)")
+    return m.selectExpr(f"EXPLODE(ARRAY({', '.join(rows)})) AS p") \
+        .selectExpr("p.field_a AS field_a", "p.field_b AS field_b",
+                    "p.pearson_r AS pearson_r")
+
+
+# ---------------------------------------------------------------------------
+# Round-3: raster patch-shape metrics
+# (gis_analysis/{narrowness_index,edge_proportion,
+#  boundary_shape_complexity}.rs, hole_proportion.rs for vectors)
+# ---------------------------------------------------------------------------
+
+
+def edge_proportion(patches: DataFrame, meta: GridMeta) -> DataFrame:
+    """EdgeProportion (gis_analysis/edge_proportion.rs): per patch id,
+    the proportion of its cells on the patch boundary (a cell is edge
+    if any 8-neighbor is missing or has a different id); every patch
+    cell is labeled with its patch's proportion. Two hash aggs."""
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1),
+            (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol)" for dr, dc in offs)
+    nb = patches.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+        "row", "col", "value",
+        "__n.nrow AS nrow", "__n.ncol AS ncol")
+    j = nb.join(patches.selectExpr("row AS nrow", "col AS ncol", "value AS nv"),
+                ["nrow", "ncol"], "left")
+    is_edge = j.groupBy("row", "col", "value").agg(
+        F.expr("MAX(CASE WHEN nv IS NULL OR nv <> value THEN 1 ELSE 0 END)")
+        .alias("edge"))
+    # grid-border cells are edges too (the reference's raster rim)
+    border = (f"(row = 0 OR col = 0 OR row = {meta.rows - 1} "
+              f"OR col = {meta.columns - 1})")
+    is_edge = is_edge.selectExpr(
+        "row", "col", "value",
+        f"CASE WHEN {border} THEN 1 ELSE edge END AS edge")
+    stats = is_edge.groupBy("value").agg(
+        F.expr("CAST(SUM(edge) AS DOUBLE) / COUNT(*)").alias("prop"))
+    return is_edge.join(stats, "value").selectExpr(
+        "row", "col", "value AS patch_id", "prop AS value")
+
+
+def narrowness_index(patches: DataFrame, meta: GridMeta) -> DataFrame:
+    """NarrownessIndex (gis_analysis/narrowness_index.rs): NI = A /
+    (pi * MD^2) per patch — A the patch area, MD its maximum
+    distance-to-edge (exact separable EDT to the background). Patch
+    cells are labeled with their patch's NI.
+
+    Caveat (documented): distance runs to the BACKGROUND; two patches
+    of different ids sharing an edge would see through each other —
+    the reference computes per-patch distance. Identical when patches
+    are background-separated (the clump-derived common case)."""
+    import math as _m
+
+    from .distance import euclidean_distance
+
+    spark = patches.sparkSession
+    full = spark.range(meta.rows * meta.columns).selectExpr(
+        f"id DIV {meta.columns} AS row", f"id % {meta.columns} AS col")
+    mask = full.join(patches.selectExpr("row", "col", "value AS pid"),
+                     ["row", "col"], "left") \
+        .selectExpr("row", "col", "COALESCE(pid, 0.0) AS value")
+    d = euclidean_distance(mask, meta, target_pred="value = 0.0")
+    cell_area = meta.resolution_x * meta.resolution_y
+    j = patches.selectExpr("row", "col", "value AS pid").join(
+        d.selectExpr("row", "col", "value AS dist"), ["row", "col"])
+    stats = j.groupBy("pid").agg(
+        F.expr(f"COUNT(*) * {cell_area!r}").alias("area"),
+        F.max("dist").alias("md"))
+    ni = stats.selectExpr(
+        "pid", f"area / ({_m.pi!r} * md * md) AS ni")
+    return j.join(ni, "pid").selectExpr(
+        "row", "col", "pid AS patch_id", "ni AS value")
+
+
+def boundary_shape_complexity(patches: DataFrame, meta: GridMeta) -> DataFrame:
+    """BoundaryShapeComplexity (gis_analysis/boundary_shape_complexity
+    .rs semantics): skeletonize each patch (LineThinning), decompose the
+    skeleton into links at junction cells, and report the percentage of
+    skeleton cells in EXTERIOR links (one endpoint free), excluding the
+    two longest exterior links (treated as the main network). Per-patch
+    numpy kernel over cogrouped cells (patches are small relative to the
+    raster; the heavy lifting — grouping — is one shuffle)."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from ..functions.geometry import thin_mask
+
+    schema = StructType([
+        StructField("patch_id", DoubleType(), False),
+        StructField("value", DoubleType(), False),
+    ])
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = float(key[0])
+        rr = pdf["row"].to_numpy(dtype=np.int64)
+        cc = pdf["col"].to_numpy(dtype=np.int64)
+        r0, c0 = rr.min(), cc.min()
+        h = rr.max() - r0 + 3
+        w = cc.max() - c0 + 3
+        m = np.zeros((h, w), dtype=bool)
+        m[rr - r0 + 1, cc - c0 + 1] = True
+        sk = thin_mask(m)
+        pts = np.argwhere(sk)
+        if len(pts) == 0:
+            return pd.DataFrame({"patch_id": [pid], "value": [0.0]})
+        idx = {tuple(p): i for i, p in enumerate(pts)}
+        deg = np.zeros(len(pts), dtype=np.int64)
+        adj: dict[int, list] = {i: [] for i in range(len(pts))}
+        for i, (pr, pc) in enumerate(pts):
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    ji = idx.get((pr + dr, pc + dc))
+                    if ji is not None:
+                        deg[i] += 1
+                        adj[i].append(ji)
+        # links: walk from endpoints/junctions through degree-2 chains
+        is_node = (deg != 2)
+        visited_edges = set()
+        links = []  # (n_cells, exterior)
+        for i in range(len(pts)):
+            if not is_node[i]:
+                continue
+            for j0 in adj[i]:
+                if (i, j0) in visited_edges:
+                    continue
+                chain = [i, j0]
+                visited_edges.add((i, j0))
+                visited_edges.add((j0, i))
+                while not is_node[chain[-1]]:
+                    nxts = [t for t in adj[chain[-1]] if t != chain[-2]]
+                    if not nxts:
+                        break
+                    visited_edges.add((chain[-1], nxts[0]))
+                    visited_edges.add((nxts[0], chain[-1]))
+                    chain.append(nxts[0])
+                ext = deg[chain[0]] == 1 or deg[chain[-1]] == 1
+                links.append((len(chain), bool(ext)))
+        if not links:
+            return pd.DataFrame({"patch_id": [pid], "value": [0.0]})
+        total = sum(n for n, _ in links)
+        ext_links = sorted((n for n, e in links if e), reverse=True)
+        ext_cells = sum(ext_links[2:])  # two longest join the main network
+        return pd.DataFrame({"patch_id": [pid],
+                             "value": [100.0 * ext_cells / total]})
+
+    per_patch = patches.groupBy("value").applyInPandas(kern, schema=schema)
+    return patches.selectExpr("row", "col", "value AS patch_id") \
+        .join(per_patch, "patch_id") \
+        .select("row", "col", "patch_id", "value")

@@ -662,3 +662,18 @@ def radius_of_gyration(features: DataFrame, id_col: str = "shape_id") -> DataFra
         id_col,
         f"SQRT((({sxx}) - ({sx}) * ({sx}) / {n} + ({syy}) - ({sy}) * ({sy}) / {n}) "
         f"/ {n}) AS rog")
+
+
+def hole_proportion(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """HoleProportion (gis_analysis/hole_proportion.rs): per feature,
+    total hole area / shell ("hull") area — pure expression over the
+    parts array (codegen, no shuffle)."""
+    ring_area = shoelace_abs_expr("p.ring")
+    holes = (f"AGGREGATE(parts, CAST(0.0 AS DOUBLE), "
+             f"(acc, p) -> acc + (CASE WHEN p.is_hole THEN {ring_area} "
+             f"ELSE 0.0 END))")
+    shells = (f"AGGREGATE(parts, CAST(0.0 AS DOUBLE), "
+              f"(acc, p) -> acc + (CASE WHEN p.is_hole THEN 0.0 "
+              f"ELSE {ring_area} END))")
+    return features.selectExpr(
+        id_col, f"({holes}) / NULLIF({shells}, 0.0) AS hole_prop")
