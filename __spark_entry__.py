@@ -1052,6 +1052,37 @@ def _q_hole_proportion(spark, sf):
         _polygons_df(spark).selectExpr("polygon_id AS shape_id", "parts"))
 
 
+def _q_clean_vector(spark, sf):
+    """CleanVector: drop degenerate parts/features (codegen FILTER);
+    output flattened nodes. Rows-only; pytest gates the drop rules."""
+    cleaned = VO.clean_vector(
+        _polygons_df(spark).selectExpr("polygon_id AS shape_id", "parts"),
+        geometry="polygon")
+    return VO.extract_nodes(cleaned)
+
+
+def _q_snap_endnodes(spark, sf):
+    """SnapEndnodes over the boundary-segment layer. Rows-only; pytest
+    gates cluster canonicalization."""
+    lines = _shapes(spark, sf)
+    return VO.extract_nodes(VO.snap_endnodes(lines, 5.0))
+
+
+def _q_merge_line_segments(spark, sf):
+    """MergeLineSegments: degree-2 chain merging. Rows-only; pytest
+    gates chain/junction behavior."""
+    lines = _shapes(spark, sf)
+    return VO.merge_line_segments(lines, 1.0)
+
+
+def _q_split_with_lines(spark, sf):
+    """SplitWithLines: break features at intersections with the polygon
+    boundary layer. Rows-only; pytest gates analytic cuts."""
+    feats = _shapes(spark, sf)
+    splitter = _polygons_df(spark).selectExpr("polygon_id AS shape_id", "parts")
+    return VO.split_with_lines(feats, splitter)
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2232,6 +2263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_area_vec": _q_poly_area_vec,
         "convex_hull": _q_convex_hull,
         "line_intersections": _q_line_intersections,
+        "clean_vector": _q_clean_vector,
+        "snap_endnodes": _q_snap_endnodes,
+        "merge_line_segments": _q_merge_line_segments,
+        "split_with_lines": _q_split_with_lines,
         "intersect_features": _q_intersect_features,
         "union_features": _q_union_features,
         "dissolve": _q_dissolve,

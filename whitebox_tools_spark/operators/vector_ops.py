@@ -677,3 +677,253 @@ def hole_proportion(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
               f"ELSE {ring_area} END))")
     return features.selectExpr(
         id_col, f"({holes}) / NULLIF({shells}, 0.0) AS hole_prop")
+
+
+# ---------------------------------------------------------------------------
+# Round-3: vector line editing
+# (data_tools/clean_vector.rs, gis_analysis/{snap_endnodes,
+#  merge_line_segments,split_with_lines}.rs)
+# ---------------------------------------------------------------------------
+
+
+def clean_vector(features: DataFrame, geometry: str = "polyline",
+                 id_col: str = "shape_id") -> DataFrame:
+    """CleanVector (data_tools/clean_vector.rs): drop null-geometry
+    features, line parts with < 2 vertices, polygon parts with < 3
+    vertices; features losing every part are dropped. Pure codegen
+    FILTER over the parts array."""
+    minv = 2 if geometry == "polyline" else 3
+    return features.selectExpr(
+        id_col,
+        f"FILTER(parts, p -> SIZE(p.ring) >= {minv}) AS parts",
+    ).where("SIZE(parts) > 0")
+
+
+def _endnodes(lines: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    """(id, part_idx, end {0 first, 1 last}, x, y) per line part."""
+    return lines.select(id_col, F.explode("parts").alias("p")).selectExpr(
+        id_col, "p.part_idx AS part_idx",
+        "EXPLODE(ARRAY("
+        "NAMED_STRUCT('end', 0, 'x', ELEMENT_AT(p.ring, 1).x, "
+        "'y', ELEMENT_AT(p.ring, 1).y), "
+        "NAMED_STRUCT('end', 1, 'x', ELEMENT_AT(p.ring, -1).x, "
+        "'y', ELEMENT_AT(p.ring, -1).y))) AS e",
+    ).selectExpr(id_col, "part_idx", "e.end AS end", "e.x AS x", "e.y AS y")
+
+
+def snap_endnodes(lines: DataFrame, snap: float,
+                  id_col: str = "shape_id") -> DataFrame:
+    """SnapEndnodes (gis_analysis/snap_endnodes.rs semantics): endnodes
+    within `snap` of each other coincide; every member of a cluster
+    takes the coordinates of the cluster's canonical endnode (smallest
+    (shape_id, part_idx, end) — deterministic, replacing the
+    reference's first-encountered scan order). FRS-bucketed candidate
+    join, then one parts rebuild; interior vertices untouched."""
+    from ..functions.cells import explode_neighbor_cells, with_frs_cells
+
+    en = _endnodes(lines, id_col)
+    base = with_frs_cells(
+        en.selectExpr(f"{id_col} AS pid", "part_idx AS ppart", "end AS pend",
+                      "x AS px", "y AS py"), snap, x="px", y="py")
+    probe = explode_neighbor_cells(base, reach=2)
+    build = base.selectExpr("pid AS qid", "ppart AS qpart", "pend AS qend",
+                            "px AS qx", "py AS qy", "cx AS ncx", "cy AS ncy")
+    cand = probe.join(build, ["ncx", "ncy"]).where(
+        f"(px - qx) * (px - qx) + (py - qy) * (py - qy) <= {snap * snap!r}")
+    canon = cand.groupBy("pid", "ppart", "pend").agg(
+        F.expr("MIN_BY(STRUCT(qx AS x, qy AS y), STRUCT(qid, qpart, qend))")
+        .alias("c"))
+    snapped = canon.selectExpr(
+        f"pid AS {id_col}", "ppart AS part_idx", "pend AS end",
+        "c.x AS sx", "c.y AS sy")
+    # rebuild parts with snapped first/last vertices
+    parts = lines.select(id_col, F.explode("parts").alias("p")).selectExpr(
+        id_col, "p.part_idx AS part_idx", "p.is_hole AS is_hole",
+        "p.ring AS ring")
+    j = parts.join(
+        snapped.where("end = 0").selectExpr(
+            id_col, "part_idx", "sx AS fx", "sy AS fy"),
+        [id_col, "part_idx"], "left"
+    ).join(
+        snapped.where("end = 1").selectExpr(
+            id_col, "part_idx", "sx AS lx", "sy AS ly"),
+        [id_col, "part_idx"], "left")
+    rebuilt = j.selectExpr(
+        id_col, "part_idx", "is_hole",
+        "TRANSFORM(ring, (v, i) -> CASE "
+        "WHEN i = 0 AND fx IS NOT NULL THEN NAMED_STRUCT('x', fx, 'y', fy) "
+        "WHEN i = SIZE(ring) - 1 AND lx IS NOT NULL "
+        "THEN NAMED_STRUCT('x', lx, 'y', ly) ELSE v END) AS ring")
+    return rebuilt.groupBy(id_col).agg(
+        F.expr("SORT_ARRAY(COLLECT_LIST(STRUCT(part_idx, is_hole, ring)))")
+        .alias("parts"))
+
+
+def merge_line_segments(lines: DataFrame, snap: float,
+                        id_col: str = "shape_id",
+                        max_rounds: int = 48) -> DataFrame:
+    """MergeLineSegments (gis_analysis/merge_line_segments.rs): line
+    features whose ends are coincident (within `snap`) merge into one
+    polyline — but only at degree-2 endnode clusters (a bifurcation
+    junction blocks merging). Output (shape_id, vertex_idx, x, y) with
+    shape_id = min input id in the merged chain.
+
+    Plan: snap endnode clusters (FRS join) -> cluster degrees -> line
+    graph restricted to degree-2 clusters -> min-label propagation ->
+    per-chain vertex assembly in applyInPandas (chains are short; the
+    grouping is the only shuffle)."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    from ..functions.cells import frs_cell_expr
+
+    # single-part polylines assumed (the reference merges FEATURES)
+    en = _endnodes(lines, id_col)
+    # cluster key: canonical member (via quantized cell of snapped coords)
+    kx = frs_cell_expr("x", snap)
+    ky = frs_cell_expr("y", snap)
+    en_k = en.selectExpr(id_col, "end", "x", "y", f"{kx} AS kx", f"{ky} AS ky")
+    deg = en_k.groupBy("kx", "ky").agg(F.count(F.lit(1)).alias("deg"))
+    ek = en_k.join(deg, ["kx", "ky"])
+    # edges between lines sharing a degree-2 cluster
+    pairs = ek.where("deg = 2").selectExpr(
+        f"{id_col} AS a", "kx", "ky"
+    )
+    link = pairs.alias("l").join(pairs.alias("r"), ["kx", "ky"]).selectExpr(
+        "l.a AS a", "r.a AS b").where("a < b")
+    # label propagation over line ids
+    ids = lines.selectExpr(f"{id_col} AS a").distinct()
+    lbl = ids.selectExpr("a AS id", "a AS lbl").localCheckpoint(eager=True)
+    both = link.unionByName(link.selectExpr("b AS a", "a AS b"))
+    for _ in range(max_rounds):
+        nb = both.join(lbl.selectExpr("id AS a", "lbl AS nl"), "a") \
+            .groupBy("b").agg(F.min("nl").alias("mn"))
+        new = lbl.join(nb.withColumnRenamed("b", "id"), "id", "left") \
+            .selectExpr("id", "lbl AS __p", "LEAST(lbl, COALESCE(mn, lbl)) AS lbl") \
+            .localCheckpoint(eager=True)
+        changed = new.where("lbl <> __p").count()
+        lbl = new.select("id", "lbl")
+        if changed == 0:
+            break
+    verts = lines.select(id_col, F.explode("parts").alias("p")).selectExpr(
+        f"{id_col} AS id",
+        "POSEXPLODE(p.ring) AS (vidx, v)",
+    ).selectExpr("id", "vidx", "v.x AS x", "v.y AS y")
+    g = verts.join(lbl, "id")
+    schema = StructType([
+        StructField("shape_id", LongType(), False),
+        StructField("vertex_idx", IntegerType(), False),
+        StructField("x", DoubleType(), False),
+        StructField("y", DoubleType(), False),
+    ])
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        sid = int(key[0])
+        chains = {}
+        for lid, grp in pdf.groupby("id"):
+            grp = grp.sort_values("vidx")
+            chains[int(lid)] = list(zip(grp["x"], grp["y"]))
+
+        def q(p):
+            return (round(p[0] / (snap * 0.5)), round(p[1] / (snap * 0.5)))
+
+        # walk: start at an endpoint whose cluster appears once
+        from collections import defaultdict
+        enduse = defaultdict(list)
+        for lid, ch in chains.items():
+            enduse[q(ch[0])].append((lid, 0))
+            enduse[q(ch[-1])].append((lid, 1))
+        starts = [(lid, e) for k, v in enduse.items() if len(v) == 1
+                  for lid, e in v]
+        if starts:
+            cur, e = min(starts)
+        else:  # closed loop: deterministic start
+            cur = min(chains)
+            e = 0
+        out = []
+        used = set()
+        while True:
+            ch = chains[cur]
+            if e == 1:
+                ch = ch[::-1]
+            if out:
+                ch = ch[1:]  # shared node emitted once
+            out.extend(ch)
+            used.add(cur)
+            tail = q(out[-1] if out else ch[-1])
+            nxt = [(lid, ee) for lid, ee in enduse[tail]
+                   if lid not in used]
+            if not nxt:
+                break
+            cur, ee = nxt[0]
+            e = ee  # enter at this end, exit the other
+        return pd.DataFrame({
+            "shape_id": sid,
+            "vertex_idx": np.arange(len(out), dtype=np.int32),
+            "x": [p[0] for p in out],
+            "y": [p[1] for p in out],
+        })
+
+    return g.groupBy("lbl").applyInPandas(assemble, schema=schema)
+
+
+def split_with_lines(features: DataFrame, split_lines: DataFrame,
+                     id_col: str = "shape_id") -> DataFrame:
+    """SplitWithLines (gis_analysis/split_with_lines.rs): break the
+    input polylines at every intersection with the split layer. Output
+    (shape_id, piece_idx, vertex_idx, x, y) — each piece a maximal run
+    between cuts. Pure SQL: the codegen intersection join, per-segment
+    ordered cut explode, and a running piece counter window."""
+    from pyspark.sql import Window
+
+    segs = features_to_segments(features, id_col=id_col).selectExpr(
+        f"{id_col} AS shape_id", "part_idx",
+        "CAST(part_idx * 1000000 + seg_idx AS BIGINT) AS seg_idx",
+        "x1", "y1", "x2", "y2")
+    ssegs = features_to_segments(split_lines, id_col=id_col).selectExpr(
+        "shape_id", "CAST(part_idx * 1000000 + seg_idx AS BIGINT) AS seg_idx",
+        "x1", "y1", "x2", "y2")
+    inter = line_intersections(segs.drop("part_idx"), ssegs)
+    cuts = inter.selectExpr("a_id AS shape_id", "a_seg AS seg_idx",
+                            "t", "ix", "iy").where("t > 0.0 AND t < 1.0")
+    agg = cuts.groupBy("shape_id", "seg_idx").agg(
+        F.expr("ARRAY_SORT(COLLECT_LIST(STRUCT(t, ix, iy)))").alias("cs"))
+    j = segs.join(agg, ["shape_id", "seg_idx"], "left")
+    chain = ("CONCAT(ARRAY(STRUCT(CAST(0.0 AS DOUBLE) AS t, x1 AS ix, y1 AS iy)), "
+             "COALESCE(cs, ARRAY()), "
+             "ARRAY(STRUCT(CAST(1.0 AS DOUBLE) AS t, x2 AS ix, y2 AS iy)))")
+    sub = j.selectExpr(
+        "shape_id", "part_idx", "seg_idx",
+        f"EXPLODE(TRANSFORM(SEQUENCE(0, SIZE({chain}) - 2), "
+        f"i -> STRUCT(i AS i, ELEMENT_AT({chain}, i + 1) AS p, "
+        f"ELEMENT_AT({chain}, i + 2) AS q))) AS s",
+    ).selectExpr(
+        "shape_id", "part_idx", "seg_idx", "s.i AS cut_i",
+        "s.p.ix AS x1", "s.p.iy AS y1", "s.q.ix AS x2", "s.q.iy AS y2",
+    ).where("NOT (x1 = x2 AND y1 = y2)")
+    # piece counter: a new piece starts at every cut boundary (cut_i > 0)
+    w = Window.partitionBy("shape_id", "part_idx") \
+        .orderBy("seg_idx", "cut_i") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    pieces = sub.withColumn(
+        "piece_idx",
+        F.sum(F.expr("CASE WHEN cut_i > 0 THEN 1 ELSE 0 END")).over(w))
+    w2 = Window.partitionBy("shape_id", "part_idx", "piece_idx") \
+        .orderBy("seg_idx", "cut_i")
+    first = F.row_number().over(w2)
+    out = pieces.withColumn("rn", first)
+    head = out.where("rn = 1").selectExpr(
+        "shape_id", "part_idx", "piece_idx",
+        "CAST(0 AS INT) AS sub_idx", "x1 AS x", "y1 AS y", "seg_idx",
+        "cut_i")
+    tails = out.selectExpr(
+        "shape_id", "part_idx", "piece_idx", "rn AS sub_idx",
+        "x2 AS x", "y2 AS y", "seg_idx", "cut_i")
+    w3 = Window.partitionBy("shape_id", "part_idx", "piece_idx") \
+        .orderBy("sub_idx", "seg_idx", "cut_i")
+    return head.unionByName(tails) \
+        .withColumn("vertex_idx", F.row_number().over(w3) - 1) \
+        .select("shape_id", "part_idx", "piece_idx", "vertex_idx", "x", "y")
