@@ -34,6 +34,7 @@ from whitebox_tools_spark.operators import clump as CL
 from whitebox_tools_spark.operators import hydro as HY
 from whitebox_tools_spark.operators import lidar as LI
 from whitebox_tools_spark.operators import vector_ops as VO
+from whitebox_tools_spark.operators import visibility as VIS
 from whitebox_tools_spark.operators import dedup as D
 from whitebox_tools_spark.operators import distance as DX
 from whitebox_tools_spark.operators import enhancement as EN
@@ -1081,6 +1082,31 @@ def _q_split_with_lines(spark, sf):
     feats = _shapes(spark, sf)
     splitter = _polygons_df(spark).selectExpr("polygon_id AS shape_id", "parts")
     return VO.split_with_lines(feats, splitter)
+
+
+def _q_directional_relief(spark, sf):
+    """DirectionalRelief (banded ray sweep, bilinear samples). Rows-only;
+    slope-plane analytic pytest."""
+    return VIS.directional_relief(_ras_c(spark, sf), _META40C, azimuth=135.0)
+
+
+def _q_fetch_analysis(spark, sf):
+    """FetchAnalysis (obstacle rule z >= z0 + D*I; edge-truncated rays
+    negative). Rows-only; wall-distance analytic pytest."""
+    return VIS.fetch_analysis(_ras_c(spark, sf), _META40C, azimuth=315.0)
+
+
+def _q_visibility_index(spark, sf):
+    """VisibilityIndex: station-sampled viewshed fraction. Rows-only;
+    peak-dominance pytest."""
+    return VIS.visibility_index(_ras_c(spark, sf), _META40C, res_factor=13)
+
+
+def _q_time_in_daylight(spark, sf):
+    """TimeInDaylight: solar altitude vs banded horizon angles.
+    Rows-only; valley/ridge ordering pytest."""
+    return VIS.time_in_daylight(_ras_c(spark, sf), _META40C, lat=45.0,
+                                n_azimuths=8, time_step_min=120)
 
 
 def _q_laplacian(spark, sf):
@@ -2317,6 +2343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_test": _q_t_test,
         "simhash_pairs": _q_simhash_pairs,
         "fill_depressions": _q_fill_depressions,
+        "directional_relief": _q_directional_relief,
+        "fetch_analysis": _q_fetch_analysis,
+        "visibility_index": _q_visibility_index,
+        "time_in_daylight": _q_time_in_daylight,
         "rho8_pointer": _q_rho8_pointer,
         "qin_accum": _q_qin_accum,
         "quinn_accum": _q_quinn_accum,

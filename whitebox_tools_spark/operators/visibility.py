@@ -310,3 +310,197 @@ def geomorphons(cells: DataFrame, meta: GridMeta, search_radius: int = 10,
                              "value": cls.ravel()})
 
     return tiles.groupBy("tr", "tc").applyInPandas(kernel, schema=_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Round-3: visibility long tail
+# (terrain_analysis/{directional_relief,fetch_analysis,visibility_index,
+#  time_in_daylight}.rs)
+# ---------------------------------------------------------------------------
+
+
+def _ray_sweep(cells: DataFrame, meta: GridMeta, azimuth: float,
+               max_dist: float | None, band: int, mode: str,
+               increment: float = 0.05) -> DataFrame:
+    """Shared banded ray walk (the horizon_angle plan) with bilinear
+    surface interpolation (the Lapen & Martz rule fetch_analysis.rs
+    documents). mode: 'relief' (mean on-ray elevation minus z0) or
+    'fetch' (distance to first obstacle z >= z0 + D*increment; edge
+    truncation -> negative distance)."""
+    az = math.radians(azimuth)
+    step_r, step_c = -math.cos(az), math.sin(az)
+    resx, resy = meta.resolution_x, meta.resolution_y
+    rows_n, cols_n = meta.rows, meta.columns
+    limit = max_dist if max_dist is not None else float("inf")
+    if max_dist is not None:
+        smax_global = int(max_dist / min(resx, resy)) + 2
+    else:
+        smax_global = int(math.hypot(rows_n, cols_n)) + 2
+    vertical = abs(step_r) >= abs(step_c)
+    axis = "col" if vertical else "row"
+    drift = (abs(step_c) if vertical else abs(step_r)) * min(
+        smax_global, int(math.hypot(rows_n, cols_n)) + 2)
+    halo = int(math.ceil(drift)) + 2
+    n_bands = ((cols_n if vertical else rows_n) + band - 1) // band
+    lo = f"GREATEST(CAST(FLOOR(({axis} - {halo}) / {band}) AS BIGINT), 0)"
+    hi = f"LEAST(CAST(FLOOR(({axis} + {halo}) / {band}) AS BIGINT), {n_bands - 1})"
+    scattered = cells.selectExpr(
+        "row", "col", "value",
+        f"CAST(FLOOR({axis} / {band}) AS BIGINT) AS __band",
+        f"EXPLODE(SEQUENCE({lo}, {hi})) AS sector",
+    ).selectExpr("row", "col", "value", "sector", "sector = __band AS is_core")
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zmap = pd.Series(pdf["value"].to_numpy(),
+                         index=pdf["row"].to_numpy() * cols_n + pdf["col"].to_numpy())
+        zmap = zmap[~zmap.index.duplicated()]
+        core = pdf[pdf["is_core"]]
+        rr = core["row"].to_numpy(dtype=np.int64)
+        cc = core["col"].to_numpy(dtype=np.int64)
+        z0 = core["value"].to_numpy(dtype=np.float64)
+        n = len(rr)
+        alive = np.ones(n, dtype=bool)
+        zsum = np.zeros(n)
+        zcnt = np.zeros(n)
+        fetch = np.full(n, np.nan)
+        lastd = np.zeros(n)
+
+        def zsurf(fr, fc):
+            r0 = np.clip(np.floor(fr).astype(np.int64), 0, rows_n - 1)
+            c0 = np.clip(np.floor(fc).astype(np.int64), 0, cols_n - 1)
+            r1 = np.minimum(r0 + 1, rows_n - 1)
+            c1 = np.minimum(c0 + 1, cols_n - 1)
+            tr = np.clip(fr - r0, 0.0, 1.0)
+            tc = np.clip(fc - c0, 0.0, 1.0)
+            z00 = zmap.reindex(r0 * cols_n + c0).to_numpy()
+            z01 = zmap.reindex(r0 * cols_n + c1).to_numpy()
+            z10 = zmap.reindex(r1 * cols_n + c0).to_numpy()
+            z11 = zmap.reindex(r1 * cols_n + c1).to_numpy()
+            return (z00 * (1 - tr) * (1 - tc) + z01 * (1 - tr) * tc
+                    + z10 * tr * (1 - tc) + z11 * tr * tc)
+
+        for s in range(1, smax_global + 1):
+            if not alive.any():
+                break
+            fr = rr + step_r * s
+            fc = cc + step_c * s
+            inb = (fr >= 0) & (fr <= rows_n - 1) & (fc >= 0) & (fc <= cols_n - 1)
+            d = np.hypot(step_r * s * resy, step_c * s * resx)
+            over = d > limit
+            stop = alive & (~inb | over)
+            alive = alive & inb & ~over
+            if not alive.any():
+                break
+            act = np.flatnonzero(alive)
+            z = zsurf(fr[act], fc[act])
+            ok = ~np.isnan(z)
+            idx = act[ok]
+            if mode == "relief":
+                zsum[idx] += z[ok]
+                zcnt[idx] += 1.0
+            else:
+                hit = z[ok] >= z0[idx] + d * increment
+                new = idx[hit & np.isnan(fetch[idx])]
+                fetch[new] = d
+                alive[new] = False
+            lastd[idx] = d
+        if mode == "relief":
+            val = np.where(zcnt > 0, zsum / np.maximum(zcnt, 1.0) - z0, 0.0)
+        else:
+            val = np.where(np.isnan(fetch), -lastd, fetch)
+        return pd.DataFrame({"row": rr, "col": cc, "value": val})
+
+    return scattered.groupBy("sector").applyInPandas(kernel, schema=_OUT_SCHEMA)
+
+
+def directional_relief(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
+                       max_dist: float | None = None,
+                       band: int = 64) -> DataFrame:
+    """DirectionalRelief (terrain_analysis/directional_relief.rs): mean
+    elevation of the cells along the azimuth ray (to the DEM edge or
+    max_dist) minus the cell's own elevation — positive = sheltered.
+    Banded ray sweep with bilinear surface samples."""
+    return _ray_sweep(cells, meta, azimuth, max_dist, band, "relief")
+
+
+def fetch_analysis(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
+                   increment: float = 0.05,
+                   max_dist: float | None = None,
+                   band: int = 64) -> DataFrame:
+    """FetchAnalysis (terrain_analysis/fetch_analysis.rs:20-37):
+    distance (m) to the first obstacle with z_test >= z_core + D * I
+    along the azimuth; rays truncated by the DEM edge report the
+    traveled distance NEGATED (the reference's edge flag)."""
+    return _ray_sweep(cells, meta, azimuth, max_dist, band, "fetch",
+                      increment=increment)
+
+
+def visibility_index(cells: DataFrame, meta: GridMeta,
+                     res_factor: int = 16, height: float = 2.0) -> DataFrame:
+    """VisibilityIndex (terrain_analysis/visibility_index.rs): viewsheds
+    are computed from every res_factor-th cell (both axes); each cell's
+    index is the proportion of those stations that see it.
+
+    Plan: union of the per-station sector-swept viewsheds + one
+    aggregation. Stations are independent jobs — at cluster scale batch
+    them into one scatter keyed by (station, sector)."""
+    from functools import reduce
+
+    stations = [(r, c) for r in range(0, meta.rows, res_factor)
+                for c in range(0, meta.columns, res_factor)]
+    outs = []
+    for (r, c) in stations:
+        outs.append(viewshed(cells, meta, r, c, vp_height=height)
+                    .selectExpr("row", "col", "value AS vis"))
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    n = float(len(stations))
+    return u.groupBy("row", "col").agg(
+        F.expr(f"SUM(vis) / {n!r}").alias("value"))
+
+
+def time_in_daylight(cells: DataFrame, meta: GridMeta, lat: float = 45.0,
+                     day_of_year: int = 172, time_step_min: int = 30,
+                     n_azimuths: int = 24, band: int = 64) -> DataFrame:
+    """TimeInDaylight (whitebox-tools TimeInDaylight semantics,
+    simplified to one representative day): proportion of the day's
+    sun-up timesteps in which the solar altitude exceeds the terrain
+    horizon angle toward the solar azimuth. Horizon angles come from
+    `n_azimuths` banded sweeps (shared horizon_angle plan); solar
+    positions from the standard declination / hour-angle formulas —
+    deterministic, no ephemeris dependency."""
+    from functools import reduce
+
+    # solar positions for the day
+    decl = math.radians(23.45) * math.sin(2 * math.pi * (284 + day_of_year) / 365.0)
+    lat_r = math.radians(lat)
+    sun = []  # (azimuth_deg, altitude_rad)
+    t = 0.0
+    while t < 24.0 * 60.0:
+        ha = math.radians((t / 60.0 - 12.0) * 15.0)
+        sin_alt = (math.sin(lat_r) * math.sin(decl)
+                   + math.cos(lat_r) * math.cos(decl) * math.cos(ha))
+        alt = math.asin(max(-1.0, min(1.0, sin_alt)))
+        if alt > 0:
+            cos_az = ((math.sin(decl) - math.sin(alt) * math.sin(lat_r))
+                      / max(math.cos(alt) * math.cos(lat_r), 1e-12))
+            az = math.degrees(math.acos(max(-1.0, min(1.0, cos_az))))
+            if ha > 0:
+                az = 360.0 - az
+            sun.append((az, alt))
+        t += time_step_min
+    if not sun:
+        return cells.selectExpr("row", "col", "CAST(0.0 AS DOUBLE) AS value")
+    # horizon angle per discrete azimuth
+    azs = [i * 360.0 / n_azimuths for i in range(n_azimuths)]
+    hors = []
+    for i, a in enumerate(azs):
+        hors.append(horizon_angle(cells, meta, azimuth=a, band=band)
+                    .selectExpr("row", "col", f"value AS h_{i}"))
+    joined = reduce(lambda x, y: x.join(y, ["row", "col"]), hors)
+    # each sun position tests against its nearest discrete azimuth
+    lit = []
+    for az, alt in sun:
+        k = int(round(az / (360.0 / n_azimuths))) % n_azimuths
+        lit.append(f"(CASE WHEN {alt!r} > h_{k} THEN 1 ELSE 0 END)")
+    frac = f"CAST({' + '.join(lit)} AS DOUBLE) / {float(len(sun))!r}"
+    return joined.selectExpr("row", "col", f"{frac} AS value")
