@@ -1109,6 +1109,105 @@ def _q_time_in_daylight(spark, sf):
                                 n_azimuths=8, time_step_min=120)
 
 
+def _q_downslope_index(spark, sf):
+    """DownslopeIndex (Hjerdt d-index, tangent). Rows-only; monotone-
+    slope analytic pytest."""
+    return HY.downslope_index(_ras_c(spark, sf), _META40C, drop=5.0)
+
+
+def _q_max_branch_length(spark, sf):
+    """MaxBranchLength = max upslope + downslope flowpath length.
+    Rows-only; composition parity pytest."""
+    return HY.max_branch_length(_ras_c(spark, sf), _META40C)
+
+
+def _q_flood_order(spark, sf):
+    """FloodOrder: rank by (filled z, raw z, row-major) — oracle via the
+    recursive path-max fill + ROW_NUMBER."""
+    return HY.flood_order(_ras_c(spark, sf), _META40C)
+
+
+def _q_stochastic_depressions(spark, sf):
+    """StochasticDepressionAnalysis (hash-seeded Box-Muller noise,
+    simplified iid error model — documented). Rows-only; determinism +
+    range pytest."""
+    sub = _ras_c(spark, sf).where("row < 20 AND col < 20")
+    meta20 = GridMeta(rows=20, columns=20, north=400.0, south=200.0,
+                      east=200.0, west=0.0, resolution_x=10.0,
+                      resolution_y=10.0)
+    return HY.stochastic_depression_analysis(sub, meta20, rmse=2.0,
+                                             iterations=2)
+
+
+def _q_cost_pathway(spark, sf):
+    """CostPathway over cost_backlink. Rows-only; diagonal-corridor
+    pytest."""
+    # 20x20 sub-window + dense sources: keeps the Bellman-Ford round
+    # count (O(longest path)) inside the gate's per-query budget
+    cost = _ras_c(spark, sf).where("row < 20 AND col < 20") \
+        .selectExpr("row", "col", "value + 1.0 AS value")
+    meta20 = GridMeta(rows=20, columns=20, north=400.0, south=200.0,
+                      east=200.0, west=0.0, resolution_x=10.0,
+                      resolution_y=10.0)
+    srcp = "(row * 20 + col) % 67 = 0"
+    back = HY.cost_backlink(cost, meta20, srcp, max_rounds=48)
+    acc = HY.cost_distance(cost, meta20, srcp, max_rounds=48)
+    return HY.cost_pathway(acc, back, meta20, "(row * 20 + col) % 71 = 0")
+
+
+def _q_raster_streams_to_vector(spark, sf):
+    """RasterStreamsToVector: stream pointer edges as segments + link
+    id. Rows-only; structure pytest."""
+    return HY.raster_streams_to_vector(_ras_c(spark, sf), _META40C, 8.0)
+
+
+def _q_edge_preserving_mean(spark, sf):
+    """EdgePreservingMeanFilter: conditional window mean — exact."""
+    return FO.edge_preserving_mean_filter(_ras(spark, sf, "a"), radius=1,
+                                          threshold=100.0)
+
+
+def _q_edge_density(spark, sf):
+    """EdgeDensity: normal-break flags + integral-image mean. Rows-only
+    (normals + window reassociation); breakline pytest."""
+    return FO.edge_density(_ras(spark, sf, "a"), _META100, radius=2) \
+        .selectExpr("row", "col", "ROUND(value, 6) AS value")
+
+
+def _q_fps(spark, sf):
+    """FeaturePreservingSmoothing (simplified Sun et al. single-stage).
+    Rows-only; step-preservation pytest."""
+    return FO.feature_preserving_smoothing(_ras_c(spark, sf), _META40C,
+                                           num_iter=2)
+
+
+def _q_roto(spark, sf):
+    """RemoveOffTerrainObjects (white-tophat variant). Rows-only;
+    box-removal pytest."""
+    return FO.remove_off_terrain_objects(_ras_c(spark, sf), _META40C,
+                                         radius=3)
+
+
+def _q_clip_raster(spark, sf):
+    """ClipRasterToPolygon: PIP-mask leftsemi join."""
+    return R.clip_raster_to_polygon(_ras(spark, sf, "a"),
+                                    _polygons_df(spark), _META100)
+
+
+def _q_erase_raster(spark, sf):
+    """ErasePolygonFromRaster: PIP-mask anti join."""
+    return R.erase_polygon_from_raster(_ras(spark, sf, "a"),
+                                       _polygons_df(spark), _META100)
+
+
+def _q_fill_missing(spark, sf):
+    """FillMissingData: IDW hole fill (ROUND(4): weight sums
+    reassociate)."""
+    holes = _ras(spark, sf, "a").where("value % 7 <> 0")
+    return R.fill_missing_data(holes, _META100, radius=3) \
+        .selectExpr("row", "col", "ROUND(value, 4) AS value")
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2343,6 +2442,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_test": _q_t_test,
         "simhash_pairs": _q_simhash_pairs,
         "fill_depressions": _q_fill_depressions,
+        "downslope_index": _q_downslope_index,
+        "max_branch_length": _q_max_branch_length,
+        "flood_order": _q_flood_order,
+        "stochastic_depressions": _q_stochastic_depressions,
+        "cost_pathway": _q_cost_pathway,
+        "raster_streams_to_vector": _q_raster_streams_to_vector,
+        "edge_preserving_mean": _q_edge_preserving_mean,
+        "edge_density": _q_edge_density,
+        "fps": _q_fps,
+        "roto": _q_roto,
+        "clip_raster": _q_clip_raster,
+        "erase_raster": _q_erase_raster,
+        "fill_missing": _q_fill_missing,
         "directional_relief": _q_directional_relief,
         "fetch_analysis": _q_fetch_analysis,
         "visibility_index": _q_visibility_index,
@@ -5159,8 +5271,75 @@ def _round3_oracles() -> dict[str, str]:
         f"CAST(hole_prop AS DOUBLE) AS hole_prop "
         f"FROM (VALUES {', '.join(hp_rows)}) t(shape_id, hole_prop)")
 
+    flood_order_sql = (
+        f"WITH RECURSIVE rc AS ({_RAS_C_SQL}), {fill_core} "
+        f"SELECT r.row, r.col, CAST(ROW_NUMBER() OVER (ORDER BY f2.w, "
+        f"r.value, r.row, r.col) AS DOUBLE) AS value "
+        f"FROM rc r JOIN f2 USING (row, col)")
+
+    epm_sql = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"o AS (SELECT a.range - 1 AS dr, b.range - 1 AS dc "
+        f"FROM range(0, 3) a, range(0, 3) b), "
+        f"j AS (SELECT c.row, c.col, c.value AS z, n.value AS nv "
+        f"FROM ras_a c CROSS JOIN o "
+        f"JOIN ras_a n ON n.row = c.row + o.dr AND n.col = c.col + o.dc) "
+        f"SELECT row, col, SUM(CASE WHEN ABS(nv - z) <= 100.0 THEN nv "
+        f"ELSE 0.0 END) / SUM(CASE WHEN ABS(nv - z) <= 100.0 THEN 1.0 "
+        f"ELSE 0.0 END) AS value FROM j GROUP BY row, col")
+
+    # PIP mask over the 100x100 grid (same inside_feature predicate text)
+    mask100 = (
+        "hits AS ("
+        + " UNION ALL ".join(
+            f"SELECT row, col FROM cc2 "
+            f"WHERE {GS.inside_feature_sql(sh, ho, 'cx', 'cy')}"
+            for _pid, sh, ho in _POLYS)
+        + "), mask AS (SELECT DISTINCT row, col FROM hits)")
+    cells100 = ("cells AS (SELECT a.range AS row, b.range AS col "
+                "FROM range(0, 100) a, range(0, 100) b), "
+                f"cc2 AS (SELECT row, col, {_META100.x_from_col_expr('col')} AS cx, "
+                f"{_META100.y_from_row_expr('row')} AS cy FROM cells)")
+    clip_raster_sql = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), {cells100}, {mask100} "
+        f"SELECT r.row, r.col, r.value FROM ras_a r "
+        f"JOIN mask m ON r.row = m.row AND r.col = m.col")
+    erase_raster_sql = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), {cells100}, {mask100} "
+        f"SELECT r.row, r.col, r.value FROM ras_a r "
+        f"LEFT JOIN mask m ON r.row = m.row AND r.col = m.col "
+        f"WHERE m.row IS NULL")
+
+    import math as _math
+    fm_offs = [(dr, dc) for dr in range(-3, 4) for dc in range(-3, 4)
+               if not (dr == 0 and dc == 0) and dr * dr + dc * dc <= 9]
+    fm_vals = ", ".join(
+        f"({dr}, {dc}, {float((dr * 10.0) ** 2 + (dc * 10.0) ** 2)!r})"
+        for dr, dc in fm_offs)
+    fill_missing_sql = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"valid AS (SELECT * FROM ras_a WHERE value % 7 <> 0), "
+        f"holes AS (SELECT a.range AS row, b.range AS col "
+        f"FROM range(0, 100) a, range(0, 100) b "
+        f"WHERE NOT EXISTS (SELECT 1 FROM valid v WHERE v.row = a.range "
+        f"AND v.col = b.range)), "
+        f"o(dr, dc, d2) AS (VALUES {fm_vals}), "
+        f"sc AS (SELECT v.row + o.dr AS hrow, v.col + o.dc AS hcol, "
+        f"v.value AS nv, o.d2 AS d2 FROM valid v CROSS JOIN o), "
+        f"f AS (SELECT h.row, h.col, ROUND(SUM(nv * POWER(d2, -1.0)) "
+        f"/ SUM(POWER(d2, -1.0)), 4) AS value "
+        f"FROM holes h JOIN sc ON sc.hrow = h.row AND sc.hcol = h.col "
+        f"GROUP BY 1, 2) "
+        f"SELECT row, col, ROUND(value, 4) AS value FROM valid "
+        f"UNION ALL SELECT row, col, value FROM f")
+
     return {
         "fill_depressions": fill_sql,
+        "flood_order": flood_order_sql,
+        "edge_preserving_mean": epm_sql,
+        "clip_raster": clip_raster_sql,
+        "erase_raster": erase_raster_sql,
+        "fill_missing": fill_missing_sql,
         "edge_proportion": edge_prop_sql,
         "hole_proportion": hole_prop_sql,
         "ks_normality": ks_norm_sql,

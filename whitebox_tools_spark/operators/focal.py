@@ -1588,3 +1588,124 @@ def gaussian_scale_space(cells: DataFrame, meta: GridMeta,
         F.expr("MIN_BY(dog, STRUCT(-ABS(dog), scale))").alias("value"),
         F.expr("MIN_BY(scale, STRUCT(-ABS(dog), scale))").alias("scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3: edge-preserving / terrain-cleaning filters
+# (image_analysis/edge_preserving_mean_filter.rs,
+#  terrain_analysis/{edge_density,feature_preserving_smoothing,
+#  remove_off_terrain_objects}.rs)
+# ---------------------------------------------------------------------------
+
+
+def edge_preserving_mean_filter(cells: DataFrame, radius: int = 1,
+                                threshold: float = 15.0) -> DataFrame:
+    """EdgePreservingMeanFilter (image_analysis/
+    edge_preserving_mean_filter.rs): mean of the window cells whose
+    |value - center| <= threshold (the center always participates).
+    One scatter + conditional aggregate — SQL-exact."""
+    sc = _scatter(cells, radius)
+    j = sc.join(cells.selectExpr("row", "col", "value AS z"), ["row", "col"])
+    return j.groupBy("row", "col", "z").agg(
+        F.expr(
+            f"SUM(CASE WHEN ABS(nv - z) <= {threshold!r} THEN nv ELSE 0.0 END) "
+            f"/ SUM(CASE WHEN ABS(nv - z) <= {threshold!r} THEN 1.0 ELSE 0.0 END)"
+        ).alias("value")).drop("z")
+
+
+def edge_density(cells: DataFrame, meta: GridMeta, radius: int = 3,
+                 norm_diff_deg: float = 5.0) -> DataFrame:
+    """EdgeDensity (terrain_analysis/edge_density.rs semantics): flag
+    cells whose surface normal differs from any 4-neighbor's by more
+    than `norm_diff_deg`, then report the windowed proportion of
+    flagged cells (integral-image mean — O(1) per cell at any
+    radius)."""
+    import math as _m
+
+    norms = surface_normals(cells, meta)
+    cos_t = _m.cos(_m.radians(norm_diff_deg))
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol)" for dr, dc in offs)
+    nb = norms.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+        "__n.nrow AS row", "__n.ncol AS col",
+        "nx AS qnx", "ny AS qny", "nz AS qnz")
+    j = norms.join(nb, ["row", "col"])
+    edges = j.groupBy("row", "col").agg(
+        F.expr(f"CAST(MAX(CASE WHEN nx * qnx + ny * qny + nz * qnz "
+               f"< {cos_t!r} THEN 1 ELSE 0 END) AS DOUBLE)").alias("value"))
+    # cells with no neighbor rows (isolated) count as non-edges
+    base = cells.select("row", "col").join(edges, ["row", "col"], "left") \
+        .selectExpr("row", "col", "COALESCE(value, 0.0) AS value")
+    return mean_filter_ii(base, meta, radius)
+
+
+def feature_preserving_smoothing(cells: DataFrame, meta: GridMeta,
+                                 filter_size: int = 1, norm_diff: float = 15.0,
+                                 num_iter: int = 3) -> DataFrame:
+    """FeaturePreservingSmoothing (terrain_analysis/
+    feature_preserving_smoothing.rs semantics; Sun et al. 2007,
+    simplified single-stage variant): per iteration, each cell moves
+    toward the average of its neighbors' tangent-plane predictions,
+    weighted by normal similarity ((n_i . n_j)^4, zero beyond
+    `norm_diff` degrees) — smooths low-relief noise while breaklines
+    (normal discontinuities) get near-zero weight and survive.
+    Deviation (documented): the reference smooths the NORMAL field
+    first and then integrates elevations; this single-stage update has
+    the same fixed points (planes) and preservation behavior."""
+    import math as _m
+
+    cos_t = _m.cos(_m.radians(norm_diff))
+    cur = cells
+    offs = [(dr, dc) for dr in range(-filter_size, filter_size + 1)
+            for dc in range(-filter_size, filter_size + 1)
+            if not (dr == 0 and dc == 0)]
+    for _ in range(num_iter):
+        norms = surface_normals(cur, meta)
+        nd = cur.join(norms, ["row", "col"])
+        pairs = ", ".join(
+            f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol, "
+            f"({dc} * {meta.resolution_x!r}) AS ddx, "
+            f"({-dr} * {meta.resolution_y!r}) AS ddy)"
+            for dr, dc in offs)
+        sc = nd.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+            "__n.nrow AS row", "__n.ncol AS col",
+            "value AS zj", "nx AS jnx", "ny AS jny", "nz AS jnz",
+            "__n.ddx AS ddx", "__n.ddy AS ddy")
+        j = nd.join(sc, ["row", "col"])
+        # neighbor j predicts center z via its tangent plane:
+        # z_pred = zj + (dx * jnx + dy * jny) / jnz, dx/dy from j TO center
+        w = (f"CASE WHEN nx * jnx + ny * jny + nz * jnz >= {cos_t!r} "
+             f"THEN POWER(GREATEST(nx * jnx + ny * jny + nz * jnz, 0.0), 4.0) "
+             f"ELSE 0.0 END")
+        pred = "zj + (-ddx * jnx - ddy * jny) / jnz"
+        upd = j.groupBy("row", "col", "value").agg(
+            F.expr(f"SUM(({pred}) * ({w}))").alias("sw"),
+            F.expr(f"SUM({w})").alias("tw"))
+        cur = upd.selectExpr(
+            "row", "col",
+            "CASE WHEN tw > 0.0 THEN (value + sw) / (1.0 + tw) "
+            "ELSE value END AS value")
+    return cur
+
+
+def remove_off_terrain_objects(cells: DataFrame, meta: GridMeta,
+                               radius: int = 5,
+                               slope_threshold: float = 15.0) -> DataFrame:
+    """RemoveOffTerrainObjects (terrain_analysis/
+    remove_off_terrain_objects.rs semantics, white-tophat variant):
+    grey opening (min-then-max window) estimates the bare surface;
+    cells rising above the opening by more than the slope-consistent
+    tolerance (tan(slope) * radius * resolution) are replaced by the
+    opened value. One pair of order-statistic windows + one join."""
+    import math as _m
+
+    eroded = focal_stat(cells, "min", radius)
+    opened = focal_stat(eroded, "max", radius)
+    tol = _m.tan(_m.radians(slope_threshold)) * radius * (
+        meta.resolution_x + meta.resolution_y) / 2.0
+    return cells.selectExpr("row", "col", "value AS z").join(
+        opened.selectExpr("row", "col", "value AS op"), ["row", "col"]) \
+        .selectExpr(
+            "row", "col",
+            f"CASE WHEN z - op > {tol!r} THEN op ELSE z END AS value")

@@ -2556,3 +2556,266 @@ def unnest_basins(cells: DataFrame, meta: GridMeta, pour: DataFrame,
     from functools import reduce
 
     return reduce(lambda x, y: x.unionByName(y), outs)
+
+
+# ---------------------------------------------------------------------------
+# Round-3: terrain/hydro misc
+# (hydro_analysis/{downslope_index,max_branch_length,flood_order,
+#  stochastic_depression_analysis,cost_pathway}.rs,
+#  terrain_analysis/edge_density.rs, gis_analysis/
+#  {clip_raster_to_polygon,erase_polygon_from_raster}.rs,
+#  stream_network_analysis/{raster_streams_to_vector,rasterize_streams}.rs)
+# ---------------------------------------------------------------------------
+
+
+def max_branch_length(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """MaxBranchLength (hydro_analysis/max_branch_length.rs semantics):
+    the length of the longest flow path PASSING THROUGH each cell =
+    max upslope flowpath length into the cell + the cell's downslope
+    flowpath length — both already-shared pointer-doubling plans, one
+    join to combine."""
+    up = max_upslope_flowpath_length(cells, meta).selectExpr(
+        "row", "col", "value AS up")
+    down = downslope_flowpath_length(cells, meta).selectExpr(
+        "row", "col", "value AS down")
+    return up.join(down, ["row", "col"], "full").selectExpr(
+        "row", "col", "COALESCE(up, 0.0) + COALESCE(down, 0.0) AS value")
+
+
+def downslope_index(cells: DataFrame, meta: GridMeta, drop: float = 2.0,
+                    out_type: str = "tangent",
+                    max_rounds: int = 128) -> DataFrame:
+    """DownslopeIndex (hydro_analysis/downslope_index.rs; Hjerdt et al.
+    2004 d-index): follow the D8 path until cumulative elevation drop
+    >= `drop`; report tan(d / L) (or 'distance' L, or 'angle' degrees).
+    Paths ending before the drop is reached use the traversed length
+    (the reference's edge rule).
+
+    Plan: bounded step loop over the pointer edges carrying (current
+    node, distance); cells whose walk ended freeze. O(path-steps)
+    rounds of one join each — at continental scale swap in pointer
+    doubling with (dist, z) payload."""
+    c = meta.columns
+    ptr = d8_pointer(cells, meta)
+    zmap = cells.selectExpr(f"(row * {c}L + col) AS zid", "value AS z")
+    e = d8_edges(ptr).selectExpr(
+        f"(row * {c}L + col) AS src", f"(drow * {c}L + dcol) AS dst")
+    lengths = _grid_lengths(meta)
+    dir_expr = "CAST(LOG2(value) AS INT)"
+    ln = ", ".join(repr(v) for v in lengths)
+    step = ptr.where("value > 0").selectExpr(
+        f"(row * {c}L + col) AS src",
+        f"ELEMENT_AT(ARRAY({ln}), {dir_expr} + 1) AS sl")
+    e = e.join(step, "src")
+    state = cells.selectExpr(
+        "row", "col", f"(row * {c}L + col) AS cur", "value AS z0",
+        "CAST(0.0 AS DOUBLE) AS dist", "CAST(TRUE AS BOOLEAN) AS moving",
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = state.join(e.selectExpr("src AS cur", "dst", "sl"), "cur", "left") \
+            .join(zmap.selectExpr("zid AS dst", "z AS zn"), "dst", "left")
+        # the step that reaches the drop IS taken (Hjerdt's L includes it);
+        # only after landing there does the walk freeze
+        new = nxt.selectExpr(
+            "row", "col", "z0", "moving AS __was",
+            "CASE WHEN moving AND dst IS NOT NULL THEN dst ELSE cur END AS cur",
+            "CASE WHEN moving AND dst IS NOT NULL THEN dist + sl "
+            "ELSE dist END AS dist",
+            f"CASE WHEN moving AND dst IS NOT NULL AND (z0 - zn) < {drop!r} "
+            "THEN TRUE ELSE FALSE END AS moving",
+        ).localCheckpoint(eager=True)
+        still = new.where("moving").count()
+        state = new.drop("__was")
+        if still == 0:
+            break
+    else:
+        ensure_converged(still, "downslope_index walk", max_rounds)
+    j = state.join(zmap.selectExpr("zid AS cur", "z AS zend"), "cur", "left")
+    if out_type == "distance":
+        return j.selectExpr("row", "col", "dist AS value")
+    tan = f"(z0 - COALESCE(zend, z0)) / NULLIF(dist, 0.0)"
+    if out_type == "angle":
+        return j.selectExpr("row", "col",
+                            f"DEGREES(ATAN({tan})) AS value")
+    return j.selectExpr("row", "col", f"({tan}) AS value")
+
+
+def flood_order(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """FloodOrder (hydro_analysis/flood_order.rs semantics): the order
+    in which cells flood as water rises — cells ranked by their FILLED
+    elevation (fill_depressions output), ties by raw elevation then
+    row-major scan order (deterministic twin of the reference's
+    priority queue pops). Output value = 1-based order."""
+    from ..plans.rank import ordered_prefix_sums
+
+    filled = fill_depressions(cells, meta).selectExpr(
+        "row", "col", "value AS fz")
+    j = filled.join(cells.selectExpr("row", "col", "value AS z"),
+                    ["row", "col"])
+    g = j.selectExpr("row", "col", "fz", "z").groupBy("fz", "z").agg(
+        F.expr("COUNT(*) AS cnt"),
+        F.expr("COLLECT_LIST(STRUCT(row, col))").alias("cells"))
+    cum = ordered_prefix_sums(g, ["fz", "z"], ["cnt"])
+    out = cum.selectExpr(
+        "fz", "z", "__cum_cnt - cnt AS base",
+        "ARRAY_SORT(cells) AS cells")
+    return out.selectExpr(
+        "base", "POSEXPLODE(cells) AS (i, cell)"
+    ).selectExpr("cell.row AS row", "cell.col AS col",
+                 "CAST(base + i + 1 AS DOUBLE) AS value")
+
+
+def stochastic_depression_analysis(cells: DataFrame, meta: GridMeta,
+                                   rmse: float = 1.0, iterations: int = 20,
+                                   seed: int = 42) -> DataFrame:
+    """StochasticDepressionAnalysis (hydro_analysis/
+    stochastic_depression_analysis.rs semantics, simplified error
+    model): Monte-Carlo probability that each cell sits in a depression
+    — per iteration, perturb the DEM with deterministic pseudo-Gaussian
+    noise (hash-seeded Box-Muller per cell, NOT the reference's
+    spatially-autocorrelated turning-bands field; documented), fill,
+    and count filled > z. Iterations run as independent branches of one
+    union (one job), not a driver loop per iteration."""
+    outs = []
+    for it in range(iterations):
+        u1 = (f"(CAST(PMOD(XXHASH64(row, col, {it}, {seed}), 1000000) AS DOUBLE) "
+              f"/ 1000000.0 + 5e-7)")
+        u2 = (f"(CAST(PMOD(XXHASH64(row, col, {it + 7919}, {seed}), 1000000) "
+              f"AS DOUBLE) / 1000000.0)")
+        noise = (f"(SQRT(-2.0 * LN({u1})) * COS(2.0 * PI() * {u2}) * {rmse!r})")
+        pert = cells.selectExpr("row", "col", f"value + {noise} AS value")
+        filled = fill_depressions(pert, meta)
+        outs.append(
+            filled.join(pert.selectExpr("row", "col", "value AS z0"),
+                        ["row", "col"])
+            .selectExpr("row", "col",
+                        "CAST(CASE WHEN value > z0 THEN 1 ELSE 0 END AS DOUBLE) "
+                        "AS dep"))
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    return u.groupBy("row", "col").agg(
+        F.expr(f"SUM(dep) / {float(iterations)!r}").alias("value"))
+
+
+def cost_pathway(cost_accum: DataFrame, backlink: DataFrame,
+                 meta: GridMeta, dest_pred: str,
+                 max_rounds: int = 96) -> DataFrame:
+    """CostPathway (cost_distance.rs companion, gis_analysis/
+    cost_pathway.rs): trace least-cost paths from destination cells back
+    to the sources along the backlink raster (value = D8 direction code
+    of the step taken INTO the cell, 0 at sources). Output: cells on any
+    path, value = 1.0. Bounded pointer-walk; backlink comes from
+    cost_distance's argmin companion."""
+    c = meta.columns
+    # backlink code 2^i points to the PREDECESSOR direction
+    dir_expr = "CAST(LOG2(value) AS INT)"
+    dy = ", ".join(str(v) for v in D8_DY)
+    dx = ", ".join(str(v) for v in D8_DX)
+    e = backlink.where("value > 0").selectExpr(
+        f"(row * {c}L + col) AS src",
+        f"((row + CAST(ELEMENT_AT(ARRAY({dy}), {dir_expr} + 1) AS BIGINT)) * {c}L "
+        f"+ (col + CAST(ELEMENT_AT(ARRAY({dx}), {dir_expr} + 1) AS BIGINT))) AS dst")
+    frontier = cost_accum.where(dest_pred).selectExpr(
+        f"(row * {c}L + col) AS id").localCheckpoint(eager=True)
+    seen = frontier
+    for _ in range(max_rounds):
+        nxt = frontier.join(e.selectExpr("src AS id", "dst"), "id") \
+            .selectExpr("dst AS id").distinct() \
+            .join(seen, "id", "left_anti").localCheckpoint(eager=True)
+        if nxt.count() == 0:
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        ensure_converged(frontier.count(), "cost_pathway walk", max_rounds)
+    return seen.selectExpr(f"id DIV {c} AS row", f"id % {c} AS col",
+                           "CAST(1.0 AS DOUBLE) AS value")
+
+
+def raster_streams_to_vector(cells: DataFrame, meta: GridMeta,
+                             threshold: float) -> DataFrame:
+    """RasterStreamsToVector (stream_network_analysis/
+    raster_streams_to_vector.rs semantics): one line segment per stream
+    cell's pointer edge where both endpoints are stream cells, tagged
+    with the stream link id — segment-level output (x1, y1, x2, y2,
+    link_id); chain assembly composes with the contours chain kernel."""
+    c = meta.columns
+    accum = d8_flow_accumulation_tiled(cells, meta)
+    streams = accum.where(f"value >= {threshold!r}").select("row", "col")
+    ptr = d8_pointer(cells, meta)
+    e = d8_edges(ptr).join(streams, ["row", "col"], "leftsemi") \
+        .join(streams.selectExpr("row AS drow", "col AS dcol"),
+              ["drow", "dcol"], "leftsemi")
+    link = stream_link_id(cells, meta, threshold).selectExpr(
+        "row", "col", "value AS link_id")
+    xc = meta.x_center_expr("col")
+    yc = meta.y_center_expr("row")
+    xc2 = meta.x_center_expr("dcol")
+    yc2 = meta.y_center_expr("drow")
+    return e.join(link, ["row", "col"]).selectExpr(
+        f"{xc} AS x1", f"{yc} AS y1", f"{xc2} AS x2", f"{yc2} AS y2",
+        "link_id")
+
+
+def rasterize_streams(streams: DataFrame, meta: GridMeta,
+                      value_col: str = "value") -> DataFrame:
+    """RasterizeStreams (stream_network_analysis/rasterize_streams.rs):
+    burn vector stream segments into the grid — the shared Bresenham
+    plan of lines_to_raster, named for parity."""
+    from .raster import lines_to_raster
+
+    return lines_to_raster(streams, meta, value_col=value_col)
+
+
+def cost_backlink(cost: DataFrame, meta: GridMeta, source_pred: str,
+                  max_rounds: int = 96) -> DataFrame:
+    """CostDistance's backlink companion (cost_distance.rs writes both):
+    per cell, the D8 direction code (2^i) pointing to the PREDECESSOR
+    on its least-cost path (0 at sources). Same Bellman-Ford relaxation
+    as cost_allocation with a direction payload; equal-cost ties take
+    the smaller direction code (deterministic)."""
+    import math as _m
+
+    diag = _m.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    lengths = _grid_lengths(meta)
+    pairs = ", ".join(
+        f"STRUCT(row + ({D8_DY[i]}L) AS nrow, col + ({D8_DX[i]}L) AS ncol, "
+        f"{lengths[i]!r} AS dist, {(i + 4) % 8} AS back)"
+        for i in range(8))
+    state = cost.selectExpr(
+        "row", "col", "value AS c",
+        f"CASE WHEN {source_pred} THEN 0.0 ELSE CAST('Infinity' AS DOUBLE) END AS acc",
+        f"CASE WHEN {source_pred} THEN 0 ELSE CAST(NULL AS INT) END AS dir",
+    ).localCheckpoint(eager=True)
+    for rnd in range(max_rounds):
+        scattered = state.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+            "__n.nrow AS row", "__n.ncol AS col", "acc AS nacc", "c AS nc",
+            "__n.dist AS dist", "__n.back AS back")
+        relax = scattered.join(
+            state.selectExpr("row", "col", "c AS mc"), ["row", "col"], "inner"
+        ).groupBy("row", "col").agg(
+            F.expr("MIN_BY(STRUCT(nacc + (nc + mc) / 2.0 * dist AS a, "
+                   "back AS b), STRUCT(nacc + (nc + mc) / 2.0 * dist, back))")
+            .alias("b"))
+        new = state.join(relax, ["row", "col"], "left").selectExpr(
+            "row", "col", "c", "acc AS __pa", "dir AS __pd",
+            "CASE WHEN b IS NOT NULL AND b.a < acc THEN b.a ELSE acc END AS acc",
+            "CASE WHEN b IS NOT NULL AND (b.a < acc OR (b.a = acc AND "
+            "(dir IS NULL OR b.b < dir))) AND NOT (dir IS NOT NULL AND dir = 0 "
+            "AND acc = 0.0) THEN b.b ELSE dir END AS dir",
+        ).localCheckpoint(eager=True)
+        if rnd % 4 == 3:
+            changed = new.where(
+                "acc <> __pa OR NOT (dir <=> __pd)").count()
+            state = new.drop("__pa", "__pd")
+            if changed == 0:
+                break
+        else:
+            state = new.drop("__pa", "__pd")
+    else:
+        ensure_converged(1, "cost_backlink relaxation", max_rounds)
+    return state.where("dir IS NOT NULL").selectExpr(
+        "row", "col",
+        "CAST(CASE WHEN acc = 0.0 THEN 0.0 "
+        "ELSE POWER(2.0, CAST(dir AS DOUBLE)) END AS DOUBLE) AS value")

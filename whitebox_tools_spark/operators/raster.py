@@ -1220,3 +1220,50 @@ def boundary_shape_complexity(patches: DataFrame, meta: GridMeta) -> DataFrame:
     return patches.selectExpr("row", "col", "value AS patch_id") \
         .join(per_patch, "patch_id") \
         .select("row", "col", "patch_id", "value")
+
+
+def clip_raster_to_polygon(cells: DataFrame, polygons: DataFrame,
+                           meta: GridMeta) -> DataFrame:
+    """ClipRasterToPolygon (gis_analysis/clip_raster_to_polygon.rs):
+    keep cells whose center is inside any polygon — the
+    polygons_to_raster PIP mask as a leftsemi join."""
+    mask = polygons_to_raster(polygons, meta).select("row", "col")
+    return cells.join(mask, ["row", "col"], "leftsemi")
+
+
+def erase_polygon_from_raster(cells: DataFrame, polygons: DataFrame,
+                              meta: GridMeta) -> DataFrame:
+    """ErasePolygonFromRaster (gis_analysis/erase_polygon_from_raster
+    .rs): drop cells whose center is inside any polygon (anti join on
+    the same mask)."""
+    mask = polygons_to_raster(polygons, meta).select("row", "col")
+    return cells.join(mask, ["row", "col"], "left_anti")
+
+
+def fill_missing_data(cells: DataFrame, meta: GridMeta,
+                      radius: int = 5, weight: float = 2.0) -> DataFrame:
+    """FillMissingData (terrain_analysis/fill_missing_data.rs
+    semantics): interior nodata holes take the IDW of valid cells
+    within the window radius (d^-weight on center distances); valid
+    cells pass through. One scatter join from valid cells into hole
+    cells — no driver logic."""
+    spark = cells.sparkSession
+    full = spark.range(meta.rows * meta.columns).selectExpr(
+        f"id DIV {meta.columns} AS row", f"id % {meta.columns} AS col")
+    holes = full.join(cells.select("row", "col"), ["row", "col"], "left_anti")
+    offs = [(dr, dc) for dr in range(-radius, radius + 1)
+            for dc in range(-radius, radius + 1)
+            if not (dr == 0 and dc == 0)
+            and dr * dr + dc * dc <= radius * radius]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS hrow, col + ({dc}L) AS hcol, "
+        f"{(dr * meta.resolution_y) ** 2 + (dc * meta.resolution_x) ** 2!r} AS d2)"
+        for dr, dc in offs)
+    scattered = cells.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")) \
+        .selectExpr("__n.hrow AS row", "__n.hcol AS col",
+                    "value AS nv", "__n.d2 AS d2")
+    j = holes.join(scattered, ["row", "col"], "inner")
+    w = f"POWER(d2, {-weight / 2.0!r})"
+    filled = j.groupBy("row", "col").agg(
+        F.expr(f"SUM(nv * {w}) / SUM({w})").alias("value"))
+    return cells.unionByName(filled)
