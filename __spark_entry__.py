@@ -1208,6 +1208,33 @@ def _q_fill_missing(spark, sf):
         .selectExpr("row", "col", "ROUND(value, 4) AS value")
 
 
+def _q_zlidar_roundtrip(spark, sf):
+    """zLidar codec: write the points fixture to .zlidar, read it back
+    (executor-side decode). Rows-only; bit-exact round-trip and
+    LAS-equality pytest-gated (tests/test_formats3.py)."""
+    import os
+    import tempfile
+
+    from whitebox_tools_spark.sources.formats import read_zlidar
+    from whitebox_tools_spark.sources.zlidar import write_zlidar
+
+    pts = [
+        {"x": r["x"], "y": r["y"], "value": r["value"],
+         "classification": int(r["record_num"] % 8),
+         "return_number": int(r["record_num"] % 3) + 1,
+         "num_returns": 3,
+         "scan_angle": int(r["record_num"] % 30) - 15,
+         "gps_time": 1000.0 + r["record_num"] * 1e-3}
+        for r in _points(spark, sf).orderBy("record_num").limit(2000).collect()
+    ]
+    d = tempfile.mkdtemp(prefix="zlidar_gate_")
+    p = os.path.join(d, "gate.zlidar")
+    write_zlidar(pts, p)
+    return read_zlidar(spark, p).selectExpr(
+        "point_id", "x", "y", "z", "classification", "return_number",
+        "scan_angle", "gps_time")
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2388,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_area_vec": _q_poly_area_vec,
         "convex_hull": _q_convex_hull,
         "line_intersections": _q_line_intersections,
+        "zlidar_roundtrip": _q_zlidar_roundtrip,
         "clean_vector": _q_clean_vector,
         "snap_endnodes": _q_snap_endnodes,
         "merge_line_segments": _q_merge_line_segments,

@@ -94,3 +94,64 @@ def test_cross_format_convert(spark, cells):
         FM.write_arc_ascii(mid2, meta2, os.path.join(d, "c.asc"))
         final, _ = FM.read_arc_ascii(spark, os.path.join(d, "c.asc"))
         assert np.array_equal(_collect(final), vals)
+
+
+def test_zlidar_roundtrip_exact(spark, tmp_path):
+    import numpy as np
+
+    from whitebox_tools_spark.sources.formats import read_las, read_zlidar
+    from whitebox_tools_spark.sources.zlidar import write_zlidar
+
+    rng = np.random.RandomState(17)
+    pts = []
+    gps = 500.0
+    for i in range(2000):
+        nret = int(rng.randint(1, 5))
+        gps += 0.001
+        pts.append({
+            "x": float(rng.rand() * 500), "y": float(rng.rand() * 500),
+            "value": float(rng.rand() * 80),
+            "intensity": int(rng.randint(0, 65536)),
+            "return_number": int(rng.randint(1, nret + 1)),
+            "num_returns": nret,
+            "classification": int(rng.randint(0, 8)),
+            "scan_angle": int(rng.randint(-30, 30)),
+            "scan_direction": int(rng.randint(0, 2)),
+            "edge_flag": int(rng.rand() < 0.1),
+            "gps_time": gps,
+        })
+    p = str(tmp_path / "t.zlidar")
+    write_zlidar(pts, p)
+    df = read_zlidar(spark, p).orderBy("point_id").toPandas()
+    assert len(df) == 2000
+    for i in (0, 7, 1999):
+        assert abs(df["x"][i] - pts[i]["x"]) <= 0.005
+        assert abs(df["z"][i] - pts[i]["value"]) <= 0.005
+        assert df["classification"][i] == pts[i]["classification"]
+        assert df["return_number"][i] == pts[i]["return_number"]
+        assert df["edge_flag"][i] == pts[i]["edge_flag"]
+        assert abs(df["gps_time"][i] - pts[i]["gps_time"]) < 1e-12
+
+
+def test_zlidar_vs_las_same_points(spark, tmp_path):
+    import numpy as np
+
+    from whitebox_tools_spark.sources.formats import read_las, read_zlidar, write_las
+    from whitebox_tools_spark.sources.zlidar import write_zlidar
+
+    rng = np.random.RandomState(23)
+    pts = [{"x": float(rng.rand() * 100), "y": float(rng.rand() * 100),
+            "value": float(rng.rand() * 10) if False else float(rng.rand() * 10),
+            "z": 0.0} for _ in range(300)]
+    for p in pts:
+        p["z"] = p["value"]
+    lp = str(tmp_path / "a.las")
+    zp = str(tmp_path / "a.zlidar")
+    write_las([{**p} for p in pts], lp)
+    write_zlidar(pts, zp)
+    a = read_las(spark, lp).orderBy("point_id").toPandas()
+    b = read_zlidar(spark, zp).orderBy("point_id").toPandas()
+    # the quantized coordinates are identical between the two codecs
+    assert np.array_equal(a["x"].to_numpy(), b["x"].to_numpy())
+    assert np.array_equal(a["y"].to_numpy(), b["y"].to_numpy())
+    assert np.array_equal(a["z"].to_numpy(), b["z"].to_numpy())

@@ -158,6 +158,24 @@ def read_las(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, schema=LAS_SCHEMA)
 
 
+def read_zlidar(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory (or glob) of .zlidar files into the points
+    table — one decode task per tile file (sources/zlidar.py codec,
+    whitebox-lidar/src/las.rs:1421-2520 decode rules)."""
+    from .zlidar import decode_zlidar
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                df = decode_zlidar(bytes(row["content"]))
+                df.insert(0, "source_file", row["path"].rsplit("/", 1)[-1])
+                yield df
+
+    return files.mapInPandas(run, schema=LAS_SCHEMA)
+
+
 def write_las(points: list[dict], path: str, fmt: int = 1,
               scale: tuple[float, float, float] = (0.01, 0.01, 0.01),
               offset: tuple[float, float, float] = (0.0, 0.0, 0.0)) -> None:
