@@ -2030,11 +2030,11 @@ def _q_geotiff_roundtrip(spark, sf):
 
 
 def _q_grid_format_roundtrip(spark, sf):
-    """Chain the round-2 grid connectors: ras_a -> Surfer ASCII ->
-    Whitebox .dep/.tas (double) -> ESRI .flt/.hdr is lossy (f32), so the
-    chain stops at the lossless formats; oracle = the original raster
-    SQL. A hash match proves every write->read cycle is
-    value-preserving."""
+    """Chain the lossless grid connectors: ras_a -> Surfer ASCII ->
+    Whitebox .dep/.tas (double) -> Surfer 7 binary -> SAGA (double);
+    ESRI .flt is f32 (lossy) and stays out of the chain. Oracle = the
+    original raster SQL — a hash match proves every write->read cycle
+    is value-preserving."""
     import shutil
     import tempfile
 
@@ -2045,7 +2045,11 @@ def _q_grid_format_roundtrip(spark, sf):
         FF.write_surfer_ascii(_ras(spark, sf, "a"), _META100, f"{d}/a.grd")
         mid, meta = FF.read_surfer_ascii(spark, f"{d}/a.grd")
         FF.write_whitebox(mid, meta, f"{d}/b", data_type="double")
-        final, _m = FF.read_whitebox(spark, f"{d}/b")
+        mid2, meta2 = FF.read_whitebox(spark, f"{d}/b")
+        FF.write_surfer7(mid2, meta2, f"{d}/c.grd")
+        mid3, meta3 = FF.read_surfer7(spark, f"{d}/c.grd")
+        FF.write_saga(mid3, meta3, f"{d}/e")
+        final, _m = FF.read_saga(spark, f"{d}/e")
         rows = final.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)

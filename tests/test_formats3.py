@@ -155,3 +155,35 @@ def test_zlidar_vs_las_same_points(spark, tmp_path):
     assert np.array_equal(a["x"].to_numpy(), b["x"].to_numpy())
     assert np.array_equal(a["y"].to_numpy(), b["y"].to_numpy())
     assert np.array_equal(a["z"].to_numpy(), b["z"].to_numpy())
+
+
+def test_surfer7_saga_roundtrip(spark):
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from whitebox_tools_spark.functions.raster_math import GridMeta
+    from whitebox_tools_spark.sources import formats as FF
+
+    rng = np.random.RandomState(9)
+    N = 15
+    META = GridMeta(rows=N, columns=N, north=150.0, south=0.0, east=150.0,
+                    west=0.0, resolution_x=10.0, resolution_y=10.0)
+    vals = rng.rand(N, N) * 100.0
+    df = spark.createDataFrame(
+        [(r, c, float(vals[r, c])) for r in range(N) for c in range(N)],
+        "row long, col long, value double")
+    d = tempfile.mkdtemp()
+    try:
+        FF.write_surfer7(df, META, f"{d}/a.grd")
+        mid, m1 = FF.read_surfer7(spark, f"{d}/a.grd")
+        assert (m1.rows, m1.columns, m1.west, m1.south) == (N, N, 0.0, 0.0)
+        FF.write_saga(mid, m1, f"{d}/b")
+        fin, m2 = FF.read_saga(spark, f"{d}/b")
+        out = {(r["row"], r["col"]): r["value"] for r in fin.collect()}
+        for r in range(N):
+            for c in range(N):
+                assert out[(r, c)] == vals[r, c], (r, c)  # f64 lossless
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

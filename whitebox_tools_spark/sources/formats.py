@@ -1016,3 +1016,159 @@ def read_esri_float(spark: SparkSession, base_path: str) -> tuple[DataFrame, Gri
                 yield pd.DataFrame({"row": rows, "col": cols, "value": arr})
 
     return binary.mapInPandas(decode, schema), meta
+
+
+# ---------------------------------------------------------------------------
+# Surfer 7 binary grid (.grd DSRB) and SAGA (.sgrd/.sdat)
+# (whitebox-raster/src/surfer7_raster.rs, saga_raster.rs)
+# ---------------------------------------------------------------------------
+
+_SURFER7_BLANK = 1.71041e38
+
+
+def _surfer7_meta(buf: bytes) -> GridMeta:
+    if struct.unpack_from("<i", buf, 0)[0] != 0x42525344:
+        raise ValueError("not a Surfer 7 grid (DSRB header missing)")
+    # [DSRB, 4, version][GRID, 72, rows, cols, west, south, resx, resy,
+    #  zmin, zmax, rotation, blank][DATA, n*8, f64 bottom-up]
+    if struct.unpack_from("<i", buf, 12)[0] != 0x44495247:
+        raise ValueError("Surfer 7 GRID section missing")
+    rows, cols = struct.unpack_from("<2i", buf, 20)
+    west, south, resx, resy = struct.unpack_from("<4d", buf, 28)
+    # east/north derived as the reference does (surfer7_raster.rs:181-182,
+    # note it uses resolution_x for the north extent too)
+    return GridMeta(rows=rows, columns=cols,
+                    north=south + resx * rows, south=south,
+                    east=west + resx * cols, west=west,
+                    resolution_x=resx, resolution_y=resy,
+                    nodata=_SURFER7_BLANK)
+
+
+def read_surfer7(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]:
+    """Surfer 7 binary grid (surfer7_raster.rs layout: DSRB/GRID/DATA
+    sections, f64 values bottom-to-top row-major). Executor-side
+    decode (binaryFile + mapInPandas)."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+    head = files.limit(1).collect()
+    if not head:
+        raise ValueError(f"no Surfer 7 files at {path}")
+    meta = _surfer7_meta(bytes(head[0]["content"])[:100])
+    rows_n, cols_n = meta.rows, meta.columns
+
+    schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("value", DoubleType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                buf = bytes(r["content"])
+                data_off = 12 + 8 + 72 + 8
+                vals = np.frombuffer(buf, dtype="<f8", count=rows_n * cols_n,
+                                     offset=data_off).reshape(rows_n, cols_n)
+                grid = vals[::-1]  # file is bottom-to-top
+                rr, cc = np.meshgrid(np.arange(rows_n), np.arange(cols_n),
+                                     indexing="ij")
+                yield pd.DataFrame({
+                    "row": rr.ravel().astype(np.int64),
+                    "col": cc.ravel().astype(np.int64),
+                    "value": grid.ravel().astype(np.float64),
+                })
+
+    return files.mapInPandas(run, schema=schema), meta
+
+
+def write_surfer7(cells: DataFrame, meta: GridMeta, path: str) -> None:
+    """Surfer 7 binary writer (surfer7_raster.rs:332-380 section
+    order)."""
+    grid = np.full((meta.rows, meta.columns), _SURFER7_BLANK)
+    for r in cells.select("row", "col", "value").toLocalIterator():
+        grid[int(r["row"]), int(r["col"])] = r["value"]
+    valid = grid[grid != _SURFER7_BLANK]
+    zmin = float(valid.min()) if valid.size else 0.0
+    zmax = float(valid.max()) if valid.size else 0.0
+    with open(path, "wb") as f:
+        f.write(struct.pack("<iii", 0x42525344, 4, 2))
+        f.write(struct.pack("<ii", 0x44495247, 72))
+        f.write(struct.pack("<2i", meta.rows, meta.columns))
+        f.write(struct.pack("<4d", meta.west, meta.south,
+                            meta.resolution_x, meta.resolution_y))
+        f.write(struct.pack("<4d", zmin, zmax, 0.0, _SURFER7_BLANK))
+        f.write(struct.pack("<ii", 0x41544144, meta.rows * meta.columns * 8))
+        f.write(grid[::-1].astype("<f8").tobytes())
+
+
+def read_saga(spark: SparkSession, base_path: str) -> tuple[DataFrame, GridMeta]:
+    """SAGA grid (saga_raster.rs): .sgrd text header + .sdat raw data,
+    TOPTOBOTTOM=FALSE -> bottom-up row order. DOUBLE/FLOAT formats."""
+    hdr: dict[str, str] = {}
+    with open(base_path + ".sgrd") as f:
+        for line in f:
+            if "=" in line:
+                k, v = line.split("=", 1)
+                hdr[k.strip().upper()] = v.strip()
+    cols_n = int(hdr["CELLCOUNT_X"])
+    rows_n = int(hdr["CELLCOUNT_Y"])
+    cell = float(hdr["CELLSIZE"])
+    west = float(hdr["POSITION_XMIN"]) - 0.5 * cell
+    south = float(hdr["POSITION_YMIN"]) - 0.5 * cell
+    nodata = float(hdr.get("NODATA_VALUE", "-99999"))
+    fmt = hdr.get("DATAFORMAT", "DOUBLE").upper()
+    dt = "<f8" if fmt == "DOUBLE" else "<f4"
+    top2bot = hdr.get("TOPTOBOTTOM", "FALSE").upper() == "TRUE"
+    meta = GridMeta(rows=rows_n, columns=cols_n,
+                    north=south + cell * rows_n, south=south,
+                    east=west + cell * cols_n, west=west,
+                    resolution_x=cell, resolution_y=cell, nodata=nodata)
+    files = spark.read.format("binaryFile").load(base_path + ".sdat") \
+        .select("content")
+
+    schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("value", DoubleType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                vals = np.frombuffer(bytes(r["content"]), dtype=dt,
+                                     count=rows_n * cols_n).reshape(rows_n, cols_n)
+                grid = vals if top2bot else vals[::-1]
+                rr, cc = np.meshgrid(np.arange(rows_n), np.arange(cols_n),
+                                     indexing="ij")
+                yield pd.DataFrame({
+                    "row": rr.ravel().astype(np.int64),
+                    "col": cc.ravel().astype(np.int64),
+                    "value": grid.ravel().astype(np.float64),
+                })
+
+    return files.mapInPandas(run, schema=schema), meta
+
+
+def write_saga(cells: DataFrame, meta: GridMeta, base_path: str,
+               data_format: str = "DOUBLE") -> None:
+    """SAGA writer (saga_raster.rs:441-540 header keys,
+    TOPTOBOTTOM=FALSE bottom-up data)."""
+    grid = np.full((meta.rows, meta.columns), meta.nodata)
+    for r in cells.select("row", "col", "value").toLocalIterator():
+        grid[int(r["row"]), int(r["col"])] = r["value"]
+    with open(base_path + ".sgrd", "w") as f:
+        f.write(f"NAME\t= {base_path.rsplit('/', 1)[-1]}\n")
+        f.write("DESCRIPTION\t= \n")
+        f.write("DATAFILE_OFFSET\t= 0\n")
+        f.write(f"DATAFORMAT\t= {data_format}\n")
+        f.write("BYTEORDER_BIG\t= FALSE\n")
+        f.write(f"POSITION_XMIN\t= {meta.west + 0.5 * meta.resolution_x!r}\n")
+        f.write(f"POSITION_YMIN\t= {meta.south + 0.5 * meta.resolution_y!r}\n")
+        f.write(f"CELLCOUNT_X\t= {meta.columns}\n")
+        f.write(f"CELLCOUNT_Y\t= {meta.rows}\n")
+        f.write(f"CELLSIZE\t= {meta.resolution_x!r}\n")
+        f.write("Z_FACTOR\t= 1.000000\n")
+        f.write(f"NODATA_VALUE\t= {meta.nodata!r}\n")
+        f.write("TOPTOBOTTOM\t= FALSE\n")
+    dt = "<f8" if data_format.upper() == "DOUBLE" else "<f4"
+    with open(base_path + ".sdat", "wb") as f:
+        f.write(grid[::-1].astype(dt).tobytes())
