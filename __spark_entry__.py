@@ -1235,6 +1235,28 @@ def _q_zlidar_roundtrip(spark, sf):
         "scan_angle", "gps_time")
 
 
+def _q_tree_detection(spark, sf):
+    """IndividualTreeDetection: local-maxima with height-scaled radius.
+    Oracle: the dominance rule is one SQL anti-join."""
+    return LI.individual_tree_detection(
+        _points(spark, sf), min_search_radius=15.0, min_height=100.0) \
+        .select("record_num", "x", "y", "value")
+
+
+def _q_classify_subset(spark, sf):
+    """LidarClassifySubset: subset membership equi-join -> class."""
+    base = _lidar_points(spark, sf)
+    subset = base.where("record_num % 5 = 0").select("x", "y", "value")
+    return LI.lidar_classify_subset(base, subset, subset_class=7)
+
+
+def _q_rooftop(spark, sf):
+    """LidarRooftopAnalysis: PIP building classify + plane-facet
+    segmentation. Rows-only (region growing); pytest gates facets."""
+    pts = _points(spark, sf).where("record_num % 7 = 0")
+    return LI.lidar_rooftop_analysis(pts, _polygons_df(spark), radius=40.0)
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2623,6 +2645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "tin_gridding": _q_tin_gridding,
         "classify_buildings": _q_classify_buildings,
+        "tree_detection": _q_tree_detection,
+        "classify_subset": _q_classify_subset,
+        "rooftop": _q_rooftop,
         "flightline_overlap": _q_flightline_overlap,
         "classify_overlap": _q_classify_overlap,
         "flightline_edge": _q_flightline_edge,
@@ -5365,8 +5390,27 @@ def _round3_oracles() -> dict[str, str]:
         f"SELECT row, col, ROUND(value, 4) AS value FROM valid "
         f"UNION ALL SELECT row, col, value FROM f")
 
+    fr = frs_cell_expr
+    tree_sql = (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"hp AS (SELECT record_num, x, y, value FROM pts WHERE value >= 100.0), "
+        f"dom AS (SELECT DISTINCT a.record_num FROM hp a JOIN hp b "
+        f"ON a.record_num <> b.record_num "
+        f"AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 225.0 "
+        f"AND (b.value > a.value OR (b.value = a.value "
+        f"AND b.record_num < a.record_num))) "
+        f"SELECT p.record_num, p.x, p.y, p.value FROM hp p "
+        f"LEFT JOIN dom d USING (record_num) WHERE d.record_num IS NULL")
+
+    classify_subset_sql = (
+        f"WITH pts AS ({_PTS_SQL}), {lpts} "
+        f"SELECT {lp_cols}, CAST(CASE WHEN record_num % 5 = 0 THEN 7 "
+        f"ELSE classification END AS INT) AS classification FROM lp")
+
     return {
         "fill_depressions": fill_sql,
+        "tree_detection": tree_sql,
+        "classify_subset": classify_subset_sql,
         "flood_order": flood_order_sql,
         "edge_preserving_mean": epm_sql,
         "clip_raster": clip_raster_sql,

@@ -122,3 +122,61 @@ def test_select_tiles_analytic(spark):
               "ring:array<struct<x:double,y:double>>>>")
     got = {r["tile_id"] for r in LI.select_tiles_by_polygon(tiles, polys).collect()}
     assert got == {0, 1}
+
+
+def test_individual_tree_detection_analytic(spark):
+    # two "trees": tall point clusters 30 m apart; each cluster's top is
+    # the unique local max within radius 10
+    rows = []
+    rid = 0
+    for cx, topz in ((20.0, 15.0), (50.0, 12.0)):
+        for dx, dz in ((0.0, 0.0), (1.0, -3.0), (-1.5, -4.0), (0.5, -2.0)):
+            rows.append((rid, cx + dx, 50.0, topz + dz))
+            rid += 1
+    # low shrubs below min_height
+    rows.append((rid, 35.0, 50.0, 0.5))
+    df = spark.createDataFrame(rows, "record_num long, x double, y double, value double")
+    tops = {r["record_num"]
+            for r in LI.individual_tree_detection(df, min_search_radius=10.0,
+                                                  min_height=1.0).collect()}
+    assert tops == {0, 4}
+
+
+def test_lidar_classify_subset(spark, cloud):
+    df, xs, ys, zs, cls = cloud
+    subset = df.where("record_num % 5 = 0").select("x", "y", "value")
+    out = {r["record_num"]: r["classification"]
+           for r in LI.lidar_classify_subset(df, subset, subset_class=7).collect()}
+    for i in range(len(xs)):
+        want = 7 if i % 5 == 0 else cls[i]
+        assert out[i] == want, i
+
+
+def test_lidar_rooftop_analysis_shapes(spark):
+    import numpy as np
+    rng = np.random.RandomState(31)
+    # one building footprint with a flat roof at z=10
+    rows = []
+    for i in range(120):
+        x = 10.0 + rng.rand() * 8.0
+        y = 10.0 + rng.rand() * 8.0
+        rows.append((i, x, y, 10.0 + rng.rand() * 0.05))
+    # points outside the footprint
+    for i in range(120, 160):
+        rows.append((i, 50.0 + rng.rand() * 5.0, 50.0, rng.rand()))
+    pts = spark.createDataFrame(rows, "record_num long, x double, y double, value double")
+    polys = spark.createDataFrame(
+        [(1, {"xmin": 9.0, "ymin": 9.0, "xmax": 19.0, "ymax": 19.0},
+          [{"part_idx": 0, "is_hole": False,
+            "ring": [{"x": 9.0, "y": 9.0}, {"x": 19.0, "y": 9.0},
+                     {"x": 19.0, "y": 19.0}, {"x": 9.0, "y": 19.0},
+                     {"x": 9.0, "y": 9.0}]}])],
+        "polygon_id long, "
+        "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+        "parts array<struct<part_idx:int,is_hole:boolean,"
+        "ring:array<struct<x:double,y:double>>>>")
+    out = LI.lidar_rooftop_analysis(pts, polys, radius=3.0).collect()
+    ids = {r["record_num"] for r in out}
+    assert ids == set(range(120))  # only building points
+    facets = {r["facet_id"] for r in out}
+    assert len(facets) == 1  # one flat roof facet

@@ -671,3 +671,79 @@ def normalize_lidar(points: DataFrame, meta, ground_class: int = 2,
         .cogroup(g_sc.groupBy("gtx", "gty"))
         .applyInPandas(kern, schema=schema)
     )
+
+
+def individual_tree_detection(points: DataFrame,
+                              min_search_radius: float = 1.0,
+                              min_height: float = 0.0,
+                              max_search_radius: float | None = None,
+                              max_height: float | None = None,
+                              id_col: str = "record_num",
+                              z: str = "value") -> DataFrame:
+    """IndividualTreeDetection (whitebox-plugins/src/
+    individual_tree_detection/main.rs:32-41): a (height-normalized)
+    point is a tree top iff it is the HIGHEST point within its search
+    radius; the radius interpolates linearly from min_search_radius at
+    min_height to max_search_radius at max_height (clamped), and points
+    below min_height are ignored. Ties resolve to the smaller point id
+    (the reference keeps the first encountered).
+
+    Plan: one FRS neighbor join at the MAX radius, per-pair radius
+    filter in codegen, anti-join on dominated points."""
+    pts = points.where(F.expr(f"{z} >= {min_height!r}"))
+    r_hi = max_search_radius if max_search_radius is not None else min_search_radius
+    if max_search_radius is None or max_height is None or max_height <= min_height:
+        radius_expr = f"{min_search_radius!r}"
+    else:
+        t = f"LEAST(GREATEST((az - {min_height!r}) / {max_height - min_height!r}, 0.0), 1.0)"
+        radius_expr = (f"({min_search_radius!r} + ({t}) * "
+                       f"{r_hi - min_search_radius!r})")
+    pairs = _neighbor_pairs(pts, r_hi, id_col=id_col, z=z)
+    dominated = pairs.where(
+        f"(ax - bx) * (ax - bx) + (ay - by) * (ay - by) "
+        f"<= ({radius_expr}) * ({radius_expr}) AND "
+        f"(bz > az OR (bz = az AND b_id < a_id))"
+    ).select(F.col("a_id").alias("pid")).distinct()
+    return pts.join(dominated.withColumnRenamed("pid", id_col), id_col,
+                    "left_anti")
+
+
+def lidar_classify_subset(base: DataFrame, subset: DataFrame,
+                          subset_class: int = 2,
+                          id_col: str = "record_num",
+                          class_col: str = "classification") -> DataFrame:
+    """LidarClassifySubset (lidar_analysis/lidar_classify_subset.rs):
+    base-cloud points that exist in the subset cloud (same x, y, z) get
+    `subset_class`; everything else keeps its class. One equi-join on
+    the exact coordinates (the subset IS a filtration of the base, so
+    floats are identical copies)."""
+    sub = subset.selectExpr("x AS sx", "y AS sy", "value AS sz").distinct()
+    keep = [c for c in base.columns if c != class_col]
+    j = base.join(sub, (F.col("x") == F.col("sx"))
+                  & (F.col("y") == F.col("sy"))
+                  & (F.col("value") == F.col("sz")), "left")
+    return j.selectExpr(
+        *keep,
+        f"CAST(CASE WHEN sx IS NOT NULL THEN {subset_class} "
+        f"ELSE {class_col} END AS INT) AS {class_col}")
+
+
+def lidar_rooftop_analysis(points: DataFrame, footprints: DataFrame,
+                           radius: float = 2.0, norm_diff: float = 10.0,
+                           maxzdiff: float = 1.0,
+                           id_col: str = "record_num",
+                           z: str = "value") -> DataFrame:
+    """LidarRooftopAnalysis (whitebox-tools LidarRooftopAnalysis
+    semantics, composed): classify building points (PIP on the
+    footprint layer), then split each building's points into planar
+    roof facets — the plane-normal region growing of
+    lidar_segmentation restricted to building points. Output (id,
+    polygon_id, facet_id). Plane fitting + segmentation reuse the
+    shared PCA/label-propagation machinery."""
+    from .pip_join import points_in_polygons
+
+    tagged = points_in_polygons(points, footprints)
+    segs = lidar_segmentation(tagged, radius=radius, norm_diff=norm_diff,
+                              maxzdiff=maxzdiff, id_col=id_col, z=z)
+    return tagged.select(id_col, "polygon_id").join(segs, id_col) \
+        .selectExpr(id_col, "polygon_id", "segment_id AS facet_id")
