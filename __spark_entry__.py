@@ -1257,6 +1257,38 @@ def _q_rooftop(spark, sf):
     return LI.lidar_rooftop_analysis(pts, _polygons_df(spark), radius=40.0)
 
 
+def _q_crispness(spark, sf):
+    """CrispnessIndex over the raster normalized to [0, 1]."""
+    mp = _ras(spark, sf, "a").selectExpr("row", "col", "value / 1000.0 AS value")
+    # ROUND(6): /1000 makes values non-integer, so sums reassociate
+    return R.crispness_index(mp).selectExpr(
+        "n", "ROUND(crispness, 6) AS crispness")
+
+
+def _q_attr_scattergram(spark, sf):
+    """AttributeScattergram: the (x, y) pair table."""
+    return R.attribute_scattergram(_points(spark, sf), "x", "value")
+
+
+def _q_wang_liu(spark, sf):
+    """FillDepressionsWangAndLiu: named alias of the shared fill
+    fixpoint (same output surface as priority flood) — same recursive
+    path-max oracle."""
+    return HY.fill_depressions_wang_and_liu(_ras_c(spark, sf), _META40C)
+
+
+def _q_rho8_accum(spark, sf):
+    """Rho8FlowAccumulation over the rho8 pointer. Rows-only
+    (hash-seeded stochastic diagonals)."""
+    return HY.rho8_flow_accumulation(_ras_c(spark, sf), _META40C)
+
+
+def _q_strahler_basins(spark, sf):
+    """StrahlerOrderBasins: absorbing stream walk + Strahler labels.
+    Rows-only (the peel is procedural)."""
+    return HY.strahler_order_basins(_ras_c(spark, sf), _META40C, 8.0)
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2496,6 +2528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_test": _q_t_test,
         "simhash_pairs": _q_simhash_pairs,
         "fill_depressions": _q_fill_depressions,
+        "crispness": _q_crispness,
+        "attr_scattergram": _q_attr_scattergram,
+        "wang_liu": _q_wang_liu,
+        "rho8_accum": _q_rho8_accum,
+        "strahler_basins": _q_strahler_basins,
         "downslope_index": _q_downslope_index,
         "max_branch_length": _q_max_branch_length,
         "flood_order": _q_flood_order,
@@ -5407,8 +5444,23 @@ def _round3_oracles() -> dict[str, str]:
         f"SELECT {lp_cols}, CAST(CASE WHEN record_num % 5 = 0 THEN 7 "
         f"ELSE classification END AS INT) AS classification FROM lp")
 
+    crisp_sql = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"mp AS (SELECT value / 1000.0 AS value FROM ras_a), "
+        f"m AS (SELECT COUNT(*) AS n, SUM(value) AS s1, "
+        f"SUM(value * value) AS s2 FROM mp) "
+        f"SELECT CAST(n AS BIGINT) AS n, ROUND((s2 - s1 * s1 / n) "
+        f"/ NULLIF(s1 * (1.0 - s1 / n) * (1.0 - s1 / n) "
+        f"+ (n - s1) * (s1 / n) * (s1 / n), 0.0), 6) AS crispness FROM m")
+
+    scatter_sql = (f"WITH pts AS ({_PTS_SQL}) "
+                   f"SELECT x, value AS y FROM pts")
+
     return {
         "fill_depressions": fill_sql,
+        "wang_liu": fill_sql,
+        "crispness": crisp_sql,
+        "attr_scattergram": scatter_sql,
         "tree_detection": tree_sql,
         "classify_subset": classify_subset_sql,
         "flood_order": flood_order_sql,

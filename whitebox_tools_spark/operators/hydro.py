@@ -2819,3 +2819,47 @@ def cost_backlink(cost: DataFrame, meta: GridMeta, source_pred: str,
         "row", "col",
         "CAST(CASE WHEN acc = 0.0 THEN 0.0 "
         "ELSE POWER(2.0, CAST(dir AS DOUBLE)) END AS DOUBLE) AS value")
+
+
+def fill_depressions_wang_and_liu(cells: DataFrame, meta: GridMeta,
+                                  max_rounds: int = 128) -> DataFrame:
+    """FillDepressionsWangAndLiu (hydro_analysis/
+    fill_depressions_wang_and_liu.rs): Wang & Liu's least-cost search
+    computes the SAME filled surface as priority-flood / the
+    Planchon-Darboux fixpoint when no flat increment is applied —
+    filled(c) = max(z(c), min over border paths of the running max).
+    Named alias over the shared fixpoint plan (the algorithms differ
+    only in traversal order, not output)."""
+    return fill_depressions(cells, meta, max_rounds=max_rounds)
+
+
+def rho8_flow_accumulation(cells: DataFrame, meta: GridMeta, seed: int = 42,
+                           max_doublings: int = 24) -> DataFrame:
+    """Rho8FlowAccumulation (whitebox-plugins/src/
+    rho8_flow_accumulation/): single-direction accumulation over the
+    rho8 pointer — the d8 path-doubling plan with rho8 edges."""
+    c = meta.columns
+    ptr = rho8_pointer(cells, meta, seed=seed)
+    nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    e = d8_edges(ptr).selectExpr(
+        f"(row * {c}L + col) AS src", f"(drow * {c}L + dcol) AS dst",
+        "CAST(1.0 AS DOUBLE) AS w"
+    ).join(nodes.selectExpr("id AS dst"), "dst", "leftsemi")
+    return _weighted_path_accum(nodes, e, max_doublings,
+                                "rho8_flow_accumulation")
+
+
+def strahler_order_basins(cells: DataFrame, meta: GridMeta,
+                          threshold: float,
+                          max_doublings: int = 24) -> DataFrame:
+    """StrahlerOrderBasins (hydro_analysis/strahler_order_basins.rs):
+    every cell takes the Strahler order of the first stream cell on its
+    downstream flow path (stream cells take their own order). Composes
+    the absorbing stream walk with the Strahler labeling — two shared
+    plans and one join."""
+    c = meta.columns
+    walk = _walk_to_stream(cells, meta, threshold)
+    orders = strahler_order(cells, meta, threshold).selectExpr(
+        f"(row * {c}L + col) AS sid", "value AS so")
+    return walk.join(orders, walk["term"] == orders["sid"], "inner") \
+        .selectExpr("row", "col", "so AS value")

@@ -1267,3 +1267,27 @@ def fill_missing_data(cells: DataFrame, meta: GridMeta,
     filled = j.groupBy("row", "col").agg(
         F.expr(f"SUM(nv * {w}) / SUM({w})").alias("value"))
     return cells.unionByName(filled)
+
+
+def crispness_index(cells: DataFrame) -> DataFrame:
+    """CrispnessIndex (math_stat_analysis/crispness_index.rs:310-326;
+    Lindsay 2006): C = sum((p - mean)^2) / (S * (1 - mean)^2 +
+    (n - S) * mean^2) with S the total probability — one aggregation
+    over exact moment sums."""
+    return cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s1"),
+        F.sum(F.expr("value * value")).alias("s2"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "(s2 - s1 * s1 / n) "
+        "/ NULLIF(s1 * (1.0 - s1 / n) * (1.0 - s1 / n) "
+        "+ (n - s1) * (s1 / n) * (s1 / n), 0.0) AS crispness",
+    )
+
+
+def attribute_scattergram(table: DataFrame, field_x: str,
+                          field_y: str) -> DataFrame:
+    """AttributeScattergram (math_stat_analysis/attribute_scattergram
+    .rs): the (x, y) pair table the reference plots — pure projection
+    (the rendering itself is a client concern)."""
+    return table.selectExpr(f"{field_x} AS x", f"{field_y} AS y")
