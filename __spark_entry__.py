@@ -1289,6 +1289,17 @@ def _q_strahler_basins(spark, sf):
     return HY.strahler_order_basins(_ras_c(spark, sf), _META40C, 8.0)
 
 
+def _q_lidar_kappa(spark, sf):
+    """LidarKappa: classification agreement between the fixture cloud
+    and a perturbed twin."""
+    a = _lidar_points(spark, sf)
+    b = a.selectExpr("record_num", "x", "y", "value",
+                     "CAST((classification + CAST(record_num % 3 = 0 AS INT)) "
+                     "% 8 AS INT) AS classification",
+                     "scan_angle", "flightline", "edge_flag")
+    return LI.lidar_kappa(a, b)
+
+
 def _q_laplacian(spark, sf):
     return FO.laplacian_filter(_ras(spark, sf, "a"))
 
@@ -2397,7 +2408,8 @@ def _q_natural_neighbour(spark, sf):
     tests/test_tin2.py."""
     from whitebox_tools_spark.operators.tin import natural_neighbour_gridding
 
-    return natural_neighbour_gridding(_points(spark, sf), _META40, tile=20)
+    # tile=8: 25 parallel Delaunay kernels instead of 4 giant ones
+    return natural_neighbour_gridding(_points(spark, sf), _META40, tile=8)
 
 
 def _q_rbf_interp(spark, sf):
@@ -2682,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "tin_gridding": _q_tin_gridding,
         "classify_buildings": _q_classify_buildings,
+        "lidar_kappa": _q_lidar_kappa,
         "tree_detection": _q_tree_detection,
         "classify_subset": _q_classify_subset,
         "rooftop": _q_rooftop,
@@ -5456,8 +5469,26 @@ def _round3_oracles() -> dict[str, str]:
     scatter_sql = (f"WITH pts AS ({_PTS_SQL}) "
                    f"SELECT x, value AS y FROM pts")
 
+    lidar_kappa_sql = (
+        f"WITH pts AS ({_PTS_SQL}), {lpts}, "
+        f"j AS (SELECT record_num, classification AS ca, "
+        f"CAST((classification + CAST(record_num % 3 = 0 AS INT)) % 8 AS INT) "
+        f"AS cb FROM lp), "
+        f"t AS (SELECT COUNT(*) AS n, "
+        f"SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS agree FROM j), "
+        f"mg AS (SELECT SUM(na * nb) AS crs FROM "
+        f"(SELECT ca, COUNT(*) AS na FROM j GROUP BY 1) x JOIN "
+        f"(SELECT cb, COUNT(*) AS nb FROM j GROUP BY 1) y ON x.ca = y.cb) "
+        f"SELECT CAST(n AS BIGINT) AS n, "
+        f"CAST(agree AS DOUBLE) / n AS p_observed, "
+        f"CAST(crs AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS p_expected, "
+        f"(CAST(agree AS DOUBLE) / n - CAST(crs AS DOUBLE) "
+        f"/ (CAST(n AS DOUBLE) * n)) / NULLIF(1.0 - CAST(crs AS DOUBLE) "
+        f"/ (CAST(n AS DOUBLE) * n), 0.0) AS kappa FROM t, mg")
+
     return {
         "fill_depressions": fill_sql,
+        "lidar_kappa": lidar_kappa_sql,
         "wang_liu": fill_sql,
         "crispness": crisp_sql,
         "attr_scattergram": scatter_sql,

@@ -70,6 +70,14 @@ BENCH_QUERIES = [
     "stdev_filter",
     "fast_gaussian",
     "tri",
+    # round-3 additions: interpolation, multiscale, building classify,
+    # edge-preserving mean, tree detection
+    "natural_neighbour",
+    "multiscale_rough",
+    "classify_buildings",
+    "edge_preserving_mean",
+    "tree_detection",
+    "fill_depressions",
 ]
 
 

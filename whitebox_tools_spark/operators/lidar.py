@@ -747,3 +747,25 @@ def lidar_rooftop_analysis(points: DataFrame, footprints: DataFrame,
                               maxzdiff=maxzdiff, id_col=id_col, z=z)
     return tagged.select(id_col, "polygon_id").join(segs, id_col) \
         .selectExpr(id_col, "polygon_id", "segment_id AS facet_id")
+
+
+def lidar_kappa(a: DataFrame, b: DataFrame, id_col: str = "record_num",
+                class_col: str = "classification") -> DataFrame:
+    """LidarKappaIndex (lidar_analysis/lidar_kappa.rs semantics): kappa
+    agreement between two clouds' point classifications, matched by
+    point id — contingency counts are exact integers, pure SQL."""
+    j = a.selectExpr(f"{id_col} AS pid", f"{class_col} AS ca").join(
+        b.selectExpr(f"{id_col} AS pid", f"{class_col} AS cb"), "pid")
+    t = j.agg(F.count(F.lit(1)).alias("n"),
+              F.expr("SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END)").alias("agree"))
+    marg = (j.groupBy("ca").agg(F.count(F.lit(1)).alias("na"))
+            .join(j.groupBy("cb").agg(F.count(F.lit(1)).alias("nb")),
+                  F.col("ca") == F.col("cb"))
+            .agg(F.expr("SUM(na * nb)").alias("crs")))
+    return t.crossJoin(marg).selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(agree AS DOUBLE) / n AS p_observed",
+        "CAST(crs AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS p_expected",
+        "(CAST(agree AS DOUBLE) / n - CAST(crs AS DOUBLE) / (CAST(n AS DOUBLE) * n)) "
+        "/ NULLIF(1.0 - CAST(crs AS DOUBLE) / (CAST(n AS DOUBLE) * n), 0.0) AS kappa",
+    )
