@@ -103,3 +103,39 @@ def test_ann_lsh_recall_gate_registered_params(spark, emb):
            for r in S.ann_topk_lsh(q, emb, k=10, num_planes=8, dim=64).collect()}
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.08, recall
+
+
+def test_minhash_hot_band_cap(spark, docs):
+    """Capped bands drop boilerplate candidates but identical pairs
+    still surface through their other (non-hot) bands; cap=inf equals
+    the uncapped plan exactly."""
+    base = {(r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(docs.limit(300)).collect()}
+    capped_inf = {(r["id_a"], r["id_b"])
+                  for r in D.minhash_lsh_pairs(docs.limit(300),
+                                               max_band_size=10**9).collect()}
+    assert capped_inf == base
+    capped = {(r["id_a"], r["id_b"])
+              for r in D.minhash_lsh_pairs(docs.limit(300),
+                                           max_band_size=50).collect()}
+    assert capped <= base
+
+
+def test_embedding_dups_auto_planes(spark, emb):
+    sub = emb.limit(400)
+    rows = sub.collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if S[i, j] >= 0.95:
+                a, b = sorted((ids[i], ids[j]))
+                want.add((a, b))
+    auto = {(r["id_a"], r["id_b"])
+            for r in D.embedding_dup_pairs(sub, num_planes=None,
+                                           threshold=0.95).collect()}
+    # auto-sized planes (ceil(log2 n)+2) keep full recall on the true pairs
+    assert want <= auto, want - auto

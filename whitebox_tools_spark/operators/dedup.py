@@ -52,12 +52,20 @@ def minhash_lsh_pairs(
     rows_per_band: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: (id_a, id_b, jaccard) with id_a < id_b.
 
     Candidates = docs sharing >= 1 LSH band; survivors verified with the
     exact Jaccard over distinct shingle sets (integer set sizes -> the
     division is bit-exact on both engines).
+
+    max_band_size: the hot-band cap — bands with more members than this
+    are EXCLUDED from pair generation (one extra count agg). A band that
+    collects millions of docs is boilerplate (near-universal shingle
+    pattern) and would go quadratic in the pair join; docs in such bands
+    can still pair through their other bands. Set to ~1000 at corpus
+    scale; None (default) keeps the exact candidate set.
     """
     s_sh, _ = T.shingles_expr(text_col, shingle_n)
     base = docs.selectExpr(f"{id_col} AS id", f"ARRAY_DISTINCT({s_sh}) AS sh")
@@ -89,6 +97,10 @@ def minhash_lsh_pairs(
     bands_long = with_bands.select(
         "id", F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band")
     )
+    if max_band_size is not None:
+        ok_bands = bands_long.groupBy("band").count() \
+            .where(F.col("count") <= max_band_size).select("band")
+        bands_long = bands_long.join(ok_bands, "band", "leftsemi")
     a = bands_long.select(F.col("id").alias("id_a"), "band")
     b = bands_long.select(F.col("id").alias("id_b"), "band")
     pairs = (
@@ -171,9 +183,13 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.98,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold.
+
+    num_planes=None auto-sizes to ceil(log2(n)) + 2 from a cheap count
+    (the round-2 verdict's parameter-hygiene ask): bucket occupancy then
+    stays O(1) at any corpus size instead of the fixture-scale default.
 
     Blocking: sign-LSH buckets from deterministic hyperplanes
     (similarity.lsh_buckets) with hamming<=2 multi-probing on the probe
@@ -190,6 +206,11 @@ def embedding_dup_pairs(
     """
     from .similarity import lsh_buckets
 
+    if num_planes is None:
+        import math as _m
+
+        n = max(embeddings.count(), 2)
+        num_planes = min(int(_m.ceil(_m.log2(n))) + 2, 30)
     emb = lsh_buckets(embeddings, num_planes=num_planes, vec_col=vec_col) \
         .localCheckpoint(eager=True)  # compute the plane signatures ONCE
     codes = emb.selectExpr(f"{id_col} AS id", "CAST(lsh_bucket AS BIGINT) AS code")
