@@ -3843,9 +3843,10 @@ def _morph_oracles() -> dict[str, str]:
         f"d.value AS __b, a2.value AS __p "
         f"FROM ras_a a JOIN ras_b b USING (row, col) "
         f"JOIN ras_d d USING (row, col) JOIN ras_a a2 USING (row, col)) "
-        f"SELECT row, col, __r * __p / ((__r + __g + __b) / 3.0) AS r, "
-        f"__g * __p / ((__r + __g + __b) / 3.0) AS g, "
-        f"__b * __p / ((__r + __g + __b) / 3.0) AS b FROM j"
+        f"SELECT row, col, "
+        f"__r * __p / NULLIF((__r + __g + __b) / 3.0, 0.0) AS r, "
+        f"__g * __p / NULLIF((__r + __g + __b) / 3.0, 0.0) AS g, "
+        f"__b * __p / NULLIF((__r + __g + __b) / 3.0, 0.0) AS b FROM j"
     )
 
     r100y = _META100.row_from_y_expr("y")

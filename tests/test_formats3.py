@@ -127,10 +127,15 @@ def test_zlidar_roundtrip_exact(spark, tmp_path):
     for i in (0, 7, 1999):
         assert abs(df["x"][i] - pts[i]["x"]) <= 0.005
         assert abs(df["z"][i] - pts[i]["value"]) <= 0.005
-        assert df["classification"][i] == pts[i]["classification"]
-        assert df["return_number"][i] == pts[i]["return_number"]
-        assert df["edge_flag"][i] == pts[i]["edge_flag"]
         assert abs(df["gps_time"][i] - pts[i]["gps_time"]) < 1e-12
+    # full-column exactness for every per-point integer field (the flag byte
+    # stream regressed once when int64→bytes serialized 8 bytes per point)
+    for col in ("classification", "return_number", "num_returns", "intensity",
+                "scan_angle", "scan_direction", "edge_flag"):
+        assert np.array_equal(
+            df[col].to_numpy().astype(np.int64),
+            np.array([p[col] for p in pts], dtype=np.int64),
+        ), col
 
 
 def test_zlidar_vs_las_same_points(spark, tmp_path):

@@ -70,6 +70,35 @@ def test_fill_depressions_random_matches_numpy(spark):
         assert v == want[r, c]
 
 
+def test_fill_depressions_tiled_exchange_matches_numpy(spark):
+    # tile=4 on a 17x13 grid forces a 5x4 tile graph, exercising the
+    # halo scatter + border-label exchange path (and non-square tiles
+    # at the ragged east/south edges); nested depressions that spill
+    # across tile boundaries need multiple exchange rounds
+    rng = np.random.RandomState(41)
+    vals = rng.randint(0, 50, size=(17, 13)).astype(float)
+    vals[3:9, 3:9] -= 30.0   # a broad multi-tile depression
+    vals[5:7, 5:7] -= 20.0   # nested inner pit
+    got = _grid(fill_depressions(_df(spark, vals.tolist()), _meta(17, 13),
+                                 tile=4))
+    want = _pd_fill(vals)
+    for (r, c), v in got.items():
+        assert v == want[r, c], (r, c, v, want[r, c])
+
+
+def test_fill_depressions_tiled_matches_jacobi(spark):
+    from whitebox_tools_spark.operators.hydro import fill_depressions_jacobi
+
+    rng = np.random.RandomState(77)
+    vals = rng.rand(12, 12) * 100.0
+    vals[2:10, 2:10] -= 60.0
+    meta = _meta(12, 12)
+    df = _df(spark, vals.tolist())
+    tiled = _grid(fill_depressions(df, meta, tile=5))
+    jac = _grid(fill_depressions_jacobi(df, meta))
+    assert tiled == jac
+
+
 def test_flowpath_length_line(spark):
     meta = _meta(1, 5)
     vals = [[4.0, 3.0, 2.0, 1.0, 0.0]]

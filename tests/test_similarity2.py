@@ -40,6 +40,27 @@ def test_ann_ivf_plan_is_bucketed(spark, emb):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_ann_ivf_centroids_scale_with_corpus():
+    """Auto-sized quantizer width grows ~sqrt(n) — a 10^12 corpus must
+    never land on a fixture-scale 16-way shuffle."""
+    assert S._auto_centroids(0) == 4
+    assert S._auto_centroids(100) == 10
+    assert S._auto_centroids(1_000_000) == 1000
+    assert S._auto_centroids(10**12) == 1 << 16  # capped
+    prev = 0
+    for n in (10, 10**3, 10**6, 10**9, 10**12):
+        cur = S._auto_centroids(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_ann_ivf_auto_defaults_run(spark, emb):
+    q = emb.where("vec_id % 50 = 0")
+    out = S.ann_topk_ivf(q, emb, k=5)
+    rows = out.groupBy("query_id").count().collect()
+    assert rows and all(r["count"] <= 5 for r in rows)
+
+
 def test_simhash64_banding_is_exact(spark, docs):
     """4x16-bit banding must return the IDENTICAL pair set as brute-force
     hamming <= 3 over the same 64-bit fingerprints (pigeonhole)."""

@@ -143,10 +143,15 @@ def ring_is_hole(ring: np.ndarray) -> bool:
 def thin_mask(m: "np.ndarray") -> "np.ndarray":
     """Zhang-Suen skeletonization of a boolean mask (numpy twin of
     operators.focal.line_thinning's SQL plan — same two sub-iterations,
-    used by per-patch kernels that already hold the patch locally)."""
+    used by per-patch kernels that already hold the patch locally).
+
+    Out-of-grid neighbours are absent (zero), matching the SQL plan: the
+    mask is padded with a 1-pixel zero ring internally so the np.roll
+    neighbour shifts never wrap toroidally across opposite borders."""
     import numpy as np
 
-    m = m.copy()
+    orig_shape = m.shape
+    m = np.pad(m.astype(bool), 1, mode="constant", constant_values=False)
     def nbrs(a):
         # P2..P9 = N, NE, E, SE, S, SW, W, NW
         shifts = [(-1, 0), (-1, 1), (0, 1), (1, 1),
@@ -174,4 +179,5 @@ def thin_mask(m: "np.ndarray") -> "np.ndarray":
             if rem.any():
                 m[rem] = False
                 changed = True
-    return m
+    assert m.shape == (orig_shape[0] + 2, orig_shape[1] + 2)
+    return m[1:-1, 1:-1]

@@ -257,8 +257,10 @@ def pan_sharpen_brovey(r: DataFrame, g: DataFrame, b: DataFrame,
         .join(b.select("row", "col", F.col("value").alias("__b")), ["row", "col"])
         .join(pan.select("row", "col", F.col("value").alias("__p")), ["row", "col"])
     )
+    # TRY_DIVIDE: total under ANSI mode — an all-zero rgb pixel yields NULL
+    # instead of raising DIVIDE_BY_ZERO
     m = "((__r + __g + __b) / 3.0)"
     return j.selectExpr("row", "col",
-                        f"__r * __p / {m} AS r",
-                        f"__g * __p / {m} AS g",
-                        f"__b * __p / {m} AS b")
+                        f"TRY_DIVIDE(__r * __p, {m}) AS r",
+                        f"TRY_DIVIDE(__g * __p, {m}) AS g",
+                        f"TRY_DIVIDE(__b * __p, {m}) AS b")

@@ -258,20 +258,11 @@ def watershed(cells: DataFrame, meta: GridMeta, outlets: DataFrame,
     return res
 
 
-def fill_depressions(cells: DataFrame, meta: GridMeta,
-                     max_rounds: int = 128) -> DataFrame:
-    """FillDepressionsPlanchonAndDarboux
-    (hydro_analysis/fill_depressions_planchon_and_darboux.rs semantics):
-    the unique fixpoint W of  W(c) = max(z(c), min over 8-neighbors of
-    W(n))  with W = z on the raster border — water drains iff it can
-    reach the edge monotonically.
-
-    Spark plan: Jacobi iteration of that fixpoint — each round is one
-    scatter + hash agg; W only decreases and converges in O(depression
-    diameter) rounds (dendritic terrain: tens). Convergence is checked
-    with a changed-count and lineage truncated per round. For
-    continent-scale DEMs swap in tile-local priority-flood with border
-    label exchange (Barnes 2016) — same fixpoint, fewer rounds.
+def fill_depressions_jacobi(cells: DataFrame, meta: GridMeta,
+                            max_rounds: int = 128) -> DataFrame:
+    """Jacobi-iteration reference for fill_depressions (same fixpoint,
+    O(depression diameter) rounds — kept as the small-grid cross-check
+    the tiled plan is pytest-gated against).
     """
     offs = [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]
     pairs = ", ".join(f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol)" for dr, dc in offs)
@@ -291,6 +282,155 @@ def fill_depressions(cells: DataFrame, meta: GridMeta,
         ).localCheckpoint(eager=True)
         # previous value rides along — the changed count is a cheap scan
         # of the materialized blocks, not a second full self-join job
+        changed = new.where("w <> __prev").count()
+        w = new.drop("__prev")
+        if changed == 0:
+            break
+    else:
+        ensure_converged(changed, "fill_depressions", max_rounds)
+    return w.selectExpr("row", "col", "w AS value")
+
+
+def _pflood_kernel(tile: int, rows: int, cols: int):
+    """Per-tile priority-flood given fixed boundary estimates (Barnes
+    et al. 2016 tile kernel). Input rows: (tr, tc, row, col, z, w, halo);
+    halo=1 rows are neighbouring tiles' border cells carrying their
+    current w estimate as a fixed boundary condition. Output: own cells
+    with the exact local fixpoint w given those boundaries."""
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tr = int(pdf["tr"].iloc[0])
+        tc = int(pdf["tc"].iloc[0])
+        own = pdf[pdf["halo"] == 0]
+        r = own["row"].to_numpy(np.int64)
+        c = own["col"].to_numpy(np.int64)
+        z = own["z"].to_numpy(np.float64)
+        wprev = own["w"].to_numpy(np.float64)
+        size = tile + 2
+        lr = r - tr * tile + 1
+        lc = c - tc * tile + 1
+        zz = np.full((size, size), np.inf)
+        present = np.zeros((size, size), dtype=bool)
+        zz[lr, lc] = z
+        present[lr, lc] = True
+        done = np.zeros((size, size), dtype=bool)
+        wgrid = np.full((size, size), np.inf)
+
+        heap: list = []
+        halo = pdf[pdf["halo"] == 1]
+        if len(halo):
+            hr = halo["row"].to_numpy(np.int64) - tr * tile + 1
+            hc = halo["col"].to_numpy(np.int64) - tc * tile + 1
+            hw = halo["w"].to_numpy(np.float64)
+            for i in range(len(halo)):
+                if np.isfinite(hw[i]):
+                    heap.append((hw[i], int(hr[i]), int(hc[i])))
+        # own cells on the GLOBAL raster border are pinned at w = z
+        gb = (r == 0) | (r == rows - 1) | (c == 0) | (c == cols - 1)
+        for i in np.nonzero(gb)[0]:
+            heap.append((z[i], int(lr[i]), int(lc[i])))
+        heapq.heapify(heap)
+        while heap:
+            wv, pr, pc = heapq.heappop(heap)
+            if done[pr, pc]:
+                continue
+            done[pr, pc] = True
+            wgrid[pr, pc] = wv
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    nr, nc = pr + dr, pc + dc
+                    if (dr or dc) and 0 <= nr < size and 0 <= nc < size \
+                            and present[nr, nc] and not done[nr, nc]:
+                        heapq.heappush(
+                            heap, (max(zz[nr, nc], wv), nr, nc))
+        # boundary estimates only decrease round-over-round and the local
+        # fixpoint is monotone in them; min() with the previous estimate
+        # makes that invariant explicit (guards the convergence check)
+        wnew = np.minimum(wgrid[lr, lc], wprev)
+        return pd.DataFrame({"row": r, "col": c, "z": z,
+                             "__prev": wprev, "w": wnew})
+
+    return kernel
+
+
+def fill_depressions(cells: DataFrame, meta: GridMeta,
+                     max_rounds: int = 64, tile: int = 256) -> DataFrame:
+    """FillDepressionsPlanchonAndDarboux
+    (hydro_analysis/fill_depressions_planchon_and_darboux.rs semantics,
+    same fixpoint as fill_depressions.rs:374's priority flood): the
+    unique fixpoint W of  W(c) = max(z(c), min over 8-neighbors of
+    W(n))  with W = z on the raster border — water drains iff it can
+    reach the edge monotonically.
+
+    Spark plan (Barnes et al. 2016 "Parallel priority-flood"): tile the
+    grid; each round runs an EXACT per-tile priority-flood (heap kernel
+    in applyInPandas) seeded by the global border plus a 1-cell halo of
+    neighbouring tiles' current w estimates, then exchanges tile-border
+    labels. W is monotone non-increasing, so rounds = O(tile-graph
+    spill-path length), not O(depression diameter in cells): a raster
+    that fits one tile converges in a single round; a continental DEM in
+    ~tile-graph-diameter rounds. Per-task memory is O(tile^2); each
+    round is one narrow halo scatter + one groupBy(tile) shuffle.
+    All outputs are max/min selections of input z values (no float
+    arithmetic), so results are bit-exact vs the Jacobi reference and
+    the recursive-CTE oracle."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    rows, cols = meta.rows, meta.columns
+    border = (f"(row = 0 OR col = 0 OR row = {rows - 1} "
+              f"OR col = {cols - 1})")
+    w = cells.selectExpr(
+        "row", "col", "value AS z",
+        f"CASE WHEN {border} THEN value ELSE CAST('Infinity' AS DOUBLE) END AS w",
+    ).localCheckpoint(eager=True)
+    single_tile = rows <= tile and cols <= tile
+    schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("z", DoubleType(), False),
+        StructField("__prev", DoubleType(), False),
+        StructField("w", DoubleType(), False),
+    ])
+    kernel = _pflood_kernel(tile, rows, cols)
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1),
+            (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS nrow, col + ({dc}L) AS ncol)"
+        for dr, dc in offs)
+    for _ in range(max_rounds):
+        own = w.selectExpr(
+            f"row DIV {tile} AS tr", f"col DIV {tile} AS tc",
+            "row", "col", "z", "w", "CAST(0 AS INT) AS halo")
+        if single_tile:
+            staged = own
+        else:
+            # halo scatter: tile-border cells carry their w estimate to
+            # every adjacent tile they touch (narrow — 4/tile of cells)
+            halo = (
+                w.where(f"row % {tile} IN (0, {tile - 1}) "
+                        f"OR col % {tile} IN (0, {tile - 1})")
+                .withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))"))
+                .selectExpr(f"__n.nrow DIV {tile} AS tr",
+                            f"__n.ncol DIV {tile} AS tc",
+                            "row", "col", "z", "w", "CAST(1 AS INT) AS halo")
+                .where(f"tr <> row DIV {tile} OR tc <> col DIV {tile}")
+                .where(f"tr >= 0 AND tc >= 0 AND tr <= {(rows - 1) // tile} "
+                       f"AND tc <= {(cols - 1) // tile}")
+                .dropDuplicates(["tr", "tc", "row", "col"])
+            )
+            staged = own.unionByName(halo)
+        new = staged.groupBy("tr", "tc").applyInPandas(
+            kernel, schema=schema).localCheckpoint(eager=True)
+        if single_tile:
+            # one tile, no boundary exchange: round 1 is the exact fixpoint
+            w = new.drop("__prev")
+            changed = 0
+            break
         changed = new.where("w <> __prev").count()
         w = new.drop("__prev")
         if changed == 0:

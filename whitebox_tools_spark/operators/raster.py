@@ -837,6 +837,76 @@ def pca_two_band(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def principal_component_analysis(
+    bands: list[DataFrame], standardized: bool = True,
+    num_comp: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """PrincipalComponentAnalysis, arbitrary band count
+    (math_stat_analysis/principal_component_analysis.rs: cross-band
+    correlation — or covariance when not standardized — matrix,
+    eigendecomposition, component images + an explained-variance
+    report).
+
+    Plan: ONE distributed aggregation computes every exact moment
+    (sums, squares, cross-products — k(k+3)/2 + 1 scalars, the only
+    driver-side data regardless of raster size); numpy eigh solves the
+    k x k matrix on the driver; the projection is a pure codegen
+    expression with the loadings folded in as literals — no Python in
+    the per-cell path, one scan + one shuffle-free map over the joined
+    bands.
+
+    Deterministic conventions: components ordered by descending
+    eigenvalue (ties by first-index eigvec order), each eigenvector's
+    largest-|loading| entry made positive (ties: lowest band index).
+    Returns (cells: row, col, pc1..pcm, report: [{component,
+    eigenvalue, explained_pct, loadings}]).
+    """
+    k = len(bands)
+    if k < 2:
+        raise ValueError("principal_component_analysis needs >= 2 bands")
+    j = bands[0].selectExpr("row", "col", "value AS b0")
+    for i in range(1, k):
+        j = j.join(bands[i].selectExpr("row", "col", f"value AS b{i}"),
+                   ["row", "col"])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"b{i}").alias(f"s{i}") for i in range(k)]
+    aggs += [F.sum(F.expr(f"b{i} * b{l}")).alias(f"s{i}_{l}")
+             for i in range(k) for l in range(i, k)]
+    m = j.agg(*aggs).collect()[0]
+    n = float(m["n"])
+    means = np.array([m[f"s{i}"] / n for i in range(k)])
+    cov = np.zeros((k, k))
+    for i in range(k):
+        for l in range(i, k):
+            cov[i, l] = cov[l, i] = m[f"s{i}_{l}"] / n - means[i] * means[l]
+    sd = np.sqrt(np.diag(cov))
+    if standardized and not np.all(sd > 0.0):
+        raise ValueError("standardized PCA needs non-constant bands")
+    a_mat = cov / np.outer(sd, sd) if standardized else cov
+    evals, evecs = np.linalg.eigh(a_mat)
+    order = np.argsort(-evals, kind="stable")
+    evals, evecs = evals[order], evecs[:, order]
+    for c in range(k):
+        imax = int(np.argmax(np.abs(evecs[:, c])))
+        if evecs[imax, c] < 0.0:
+            evecs[:, c] = -evecs[:, c]
+    total = float(evals.sum())
+    ncomp = k if num_comp is None else min(num_comp, k)
+    report = [{
+        "component": c + 1,
+        "eigenvalue": float(evals[c]),
+        "explained_pct": float(100.0 * evals[c] / total),
+        "loadings": [float(v) for v in evecs[:, c]],
+    } for c in range(ncomp)]
+    exprs = ["row", "col"]
+    for c in range(ncomp):
+        std = [f"((b{i} - ({means[i]!r})) / ({sd[i]!r}))" if standardized
+               else f"(b{i} - ({means[i]!r}))" for i in range(k)]
+        terms = " + ".join(f"({evecs[i, c]!r}) * {std[i]}" for i in range(k))
+        exprs.append(f"({terms}) AS pc{c + 1}")
+    return j.selectExpr(*exprs), report
+
+
 def resample_bilinear(cells: DataFrame, src: GridMeta, dst: GridMeta) -> DataFrame:
     """Resample (image_analysis/resample.rs bilinear method): each
     destination center interpolates the four surrounding source centers

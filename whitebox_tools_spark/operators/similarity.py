@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -199,16 +200,37 @@ def ann_topk_lsh(
     return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
 
 
+def _auto_centroids(n: int) -> int:
+    """Auto-sized coarse-quantizer width: ~sqrt(n) centroids (inverted
+    lists of ~sqrt(n) vectors each), floored at 4 and capped at 2^16.
+    The cap bounds the driver-side Lloyd sample (num_centroids * 64
+    rows) and the broadcast centroid matrix; past ~4B vectors raise it
+    together with a sharded quantizer-training pass."""
+    if n <= 0:
+        return 4
+    return int(min(max(4, round(math.sqrt(n))), 1 << 16))
+
+
 def _coarse_centroids(targets: DataFrame, num_centroids: int, dim: int,
                       id_col: str, vec_col: str, seed: int = 42,
-                      sample_per_centroid: int = 64, iters: int = 5) -> np.ndarray:
+                      sample_per_centroid: int = 64, iters: int = 5,
+                      corpus_n: int | None = None) -> np.ndarray:
     """Deterministic coarse quantizer: seed-stable hash sample of target
     vectors (xxhash64 on the id — no RNG state in the scan), then a few
     Lloyd iterations driver-side on the SAMPLE only (bounded by
     num_centroids * sample_per_centroid rows, never the corpus)."""
     n_sample = num_centroids * sample_per_centroid
+    base = targets.select(id_col, vec_col)
+    if corpus_n is not None and corpus_n > 4 * n_sample:
+        # hash-filter down to ~2x the sample size BEFORE any ordering —
+        # a WHERE over the scan, no O(n log n) global sort of the corpus;
+        # the residual orderBy below ranks only the ~2*n_sample survivors
+        k = max(1, corpus_n // (2 * n_sample))
+        base = base.where(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 7)),
+                   F.lit(k)) == 0)
     sample = (
-        targets.select(id_col, vec_col)
+        base
         .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(n_sample)
     )
@@ -258,8 +280,8 @@ def ann_topk_ivf(
     queries: DataFrame,
     targets: DataFrame,
     k: int = 10,
-    num_centroids: int = 16,
-    n_probe: int = 4,
+    num_centroids: int | None = None,
+    n_probe: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -275,8 +297,22 @@ def ann_topk_ivf(
     per-query top-k. Shuffle key is the centroid id (C-way partition);
     nothing quadratic, nothing driver-sized. Recall is tuned by
     n_probe/num_centroids and pytest-gated >= 0.9 vs the exact oracle
-    on the fixture."""
-    cent = _coarse_centroids(targets, num_centroids, dim, id_col, vec_col, seed)
+    on the fixture.
+
+    Defaults auto-size to the corpus: ~sqrt(n) centroids (so inverted
+    lists stay ~sqrt(n) long at any scale — never a 16-way shuffle over
+    10^12 vectors) and ~sqrt(num_centroids) probes. Clustered corpora
+    keep good recall at that probe count; adversarially-uniform ones
+    (like the random fixture) need an explicit higher n_probe, which is
+    what the registered query passes."""
+    n_corpus = targets.count()
+    if num_centroids is None:
+        num_centroids = _auto_centroids(n_corpus)
+    if n_probe is None:
+        n_probe = max(4, round(math.sqrt(num_centroids)))
+    n_probe = min(n_probe, num_centroids)
+    cent = _coarse_centroids(targets, num_centroids, dim, id_col, vec_col,
+                             seed, corpus_n=n_corpus)
     bc = targets.sparkSession.sparkContext.broadcast(cent)
     t_assign = _assign_centroids(targets, bc, 1, id_col, vec_col, "target")
     q_assign = _assign_centroids(queries, bc, n_probe, id_col, vec_col, "query")

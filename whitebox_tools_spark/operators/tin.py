@@ -452,8 +452,10 @@ def rbf_interpolation(points: DataFrame, meta: GridMeta, k: int = 20,
         try:
             sol = np.linalg.solve(A, b[..., None])[..., 0]
         except np.linalg.LinAlgError:
-            sol = np.linalg.lstsq(
-                A.reshape(-1, m, m)[0], b[0], rcond=None)[0][None].repeat(nq, 0)
+            # np.linalg.solve raises for the WHOLE batch if any one system is
+            # singular — fall back per-system with pinv so each query cell
+            # still gets its own solution (never broadcast system 0's).
+            sol = np.stack([np.linalg.pinv(A[q]) @ b[q] for q in range(nq)])
         qr2 = d2[np.arange(nq)[:, None], nn]
         vals = (sol[:, :kk] * phi(qr2, eps2)).sum(axis=1)
         vals += sol[:, kk] + sol[:, kk + 1] * qx + sol[:, kk + 2] * qy

@@ -232,9 +232,14 @@ def line_intersections(segs_a: DataFrame, segs_b: DataFrame) -> DataFrame:
         "AND LEAST(ay1, ay2) <= GREATEST(by1, by2) AND GREATEST(ay1, ay2) >= LEAST(by1, by2)"
     )
     cand = a.join(b, F.expr(cond), "inner")
+    # TRY_DIVIDE keeps the expression total: Catalyst may collapse this
+    # projection with the range filter below and evaluate the division for
+    # parallel-segment candidates (den = 0) before any separate guard, which
+    # raises DIVIDE_BY_ZERO under spark.sql.ansi.enabled. NULL t/u rows fall
+    # out of the range filter, matching the den <> 0 semantics exactly.
     den = "((ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1))"
-    t = f"(((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / {den})"
-    u = f"(((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1)) / {den})"
+    t = f"TRY_DIVIDE((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1), {den})"
+    u = f"TRY_DIVIDE((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1), {den})"
     return cand.where(F.expr(f"{den} <> 0.0")).selectExpr(
         "a_id", "a_seg", "b_id", "b_seg",
         f"{t} AS t", f"{u} AS u",

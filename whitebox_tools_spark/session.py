@@ -23,9 +23,12 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Stable timestamp semantics for the oracle comparison.
     "spark.sql.session.timeZone": "UTC",
-    # ANSI off: keep permissive casts aligned with DuckDB defaults used
-    # by the correctness oracle.
-    "spark.sql.ansi.enabled": "false",
+    # ANSI on (the Spark 4 default): every operator is written total —
+    # TRY_DIVIDE / try_cast / guarded element_at — so results are identical
+    # under ANSI on or off. Pinning "on" here matches the mode a user's
+    # existing Spark 4 session will have, so the library sees the strict
+    # mode in its own tests instead of masking traps.
+    "spark.sql.ansi.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

@@ -609,8 +609,10 @@ def read_dbf(spark: SparkSession, path: str) -> DataFrame:
     so the dataset bytes never land on the driver."""
     from pyspark.sql.types import BooleanType, DoubleType, StringType
 
-    files = spark.read.format("binaryFile").load(path).select("content")
-    head = files.limit(1).collect()
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    # deterministic schema file: lowest path wins (limit(1) over an unordered
+    # multi-file listing is nondeterministic)
+    head = files.orderBy("path").limit(1).collect()
     if not head:
         raise ValueError(f"no DBF files at {path}")
     fields = _dbf_field_descriptors(bytes(head[0]["content"]))
@@ -629,7 +631,14 @@ def read_dbf(spark: SparkSession, path: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, r in pdf.iterrows():
-                yield _decode_dbf(path, bytes(r["content"]))[cols]
+                dec = _decode_dbf(path, bytes(r["content"]))
+                missing = [c for c in cols if c not in dec.columns]
+                if missing:
+                    raise ValueError(
+                        f"DBF file {r['path']} is missing fields {missing} "
+                        f"present in the schema file (field layout must match "
+                        f"across all files under {path})")
+                yield dec[cols]
 
     return files.mapInPandas(run, schema=schema)
 
@@ -1026,33 +1035,54 @@ def read_esri_float(spark: SparkSession, base_path: str) -> tuple[DataFrame, Gri
 _SURFER7_BLANK = 1.71041e38
 
 
-def _surfer7_meta(buf: bytes) -> GridMeta:
+def _surfer7_sections(buf: bytes) -> tuple[GridMeta, int]:
+    """Walk the Surfer 7 tagged-section stream ([tag:i32][size:i32][payload])
+    and return (GridMeta from the GRID section, byte offset of the DATA
+    payload). Tolerates extra or reordered sections between GRID and DATA
+    instead of assuming the fixed 12+8+72+8 layout."""
     if struct.unpack_from("<i", buf, 0)[0] != 0x42525344:
         raise ValueError("not a Surfer 7 grid (DSRB header missing)")
-    # [DSRB, 4, version][GRID, 72, rows, cols, west, south, resx, resy,
-    #  zmin, zmax, rotation, blank][DATA, n*8, f64 bottom-up]
-    if struct.unpack_from("<i", buf, 12)[0] != 0x44495247:
+    ver_size = struct.unpack_from("<i", buf, 4)[0]
+    pos = 8 + ver_size
+    meta = None
+    data_off = None
+    while pos + 8 <= len(buf):
+        tag, size = struct.unpack_from("<2i", buf, pos)
+        pos += 8
+        if tag == 0x44495247:  # GRID
+            rows, cols = struct.unpack_from("<2i", buf, pos)
+            west, south, resx, resy = struct.unpack_from("<4d", buf, pos + 8)
+            # east/north derived as the reference does (surfer7_raster.rs:
+            # 181-182, note it uses resolution_x for the north extent too)
+            meta = GridMeta(rows=rows, columns=cols,
+                            north=south + resx * rows, south=south,
+                            east=west + resx * cols, west=west,
+                            resolution_x=resx, resolution_y=resy,
+                            nodata=_SURFER7_BLANK)
+        elif tag == 0x41544144:  # DATA
+            data_off = pos
+            break  # DATA payload length = rows*cols*8; nothing follows it
+        pos += size
+    if meta is None:
         raise ValueError("Surfer 7 GRID section missing")
-    rows, cols = struct.unpack_from("<2i", buf, 20)
-    west, south, resx, resy = struct.unpack_from("<4d", buf, 28)
-    # east/north derived as the reference does (surfer7_raster.rs:181-182,
-    # note it uses resolution_x for the north extent too)
-    return GridMeta(rows=rows, columns=cols,
-                    north=south + resx * rows, south=south,
-                    east=west + resx * cols, west=west,
-                    resolution_x=resx, resolution_y=resy,
-                    nodata=_SURFER7_BLANK)
+    if data_off is None:
+        raise ValueError("Surfer 7 DATA section missing")
+    return meta, data_off
+
+
+def _surfer7_meta(buf: bytes) -> GridMeta:
+    return _surfer7_sections(buf)[0]
 
 
 def read_surfer7(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]:
     """Surfer 7 binary grid (surfer7_raster.rs layout: DSRB/GRID/DATA
     sections, f64 values bottom-to-top row-major). Executor-side
     decode (binaryFile + mapInPandas)."""
-    files = spark.read.format("binaryFile").load(path).select("content")
-    head = files.limit(1).collect()
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    head = files.orderBy("path").limit(1).collect()
     if not head:
         raise ValueError(f"no Surfer 7 files at {path}")
-    meta = _surfer7_meta(bytes(head[0]["content"])[:100])
+    meta = _surfer7_meta(bytes(head[0]["content"]))
     rows_n, cols_n = meta.rows, meta.columns
 
     schema = StructType([
@@ -1065,7 +1095,12 @@ def read_surfer7(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]:
         for pdf in batches:
             for _, r in pdf.iterrows():
                 buf = bytes(r["content"])
-                data_off = 12 + 8 + 72 + 8
+                fmeta, data_off = _surfer7_sections(buf)
+                if (fmeta.rows, fmeta.columns) != (rows_n, cols_n):
+                    raise ValueError(
+                        f"Surfer 7 file {r['path']} grid is "
+                        f"{fmeta.rows}x{fmeta.columns}, expected "
+                        f"{rows_n}x{cols_n} from the schema file")
                 vals = np.frombuffer(buf, dtype="<f8", count=rows_n * cols_n,
                                      offset=data_off).reshape(rows_n, cols_n)
                 grid = vals[::-1]  # file is bottom-to-top

@@ -248,7 +248,10 @@ def write_zlidar(points: list[dict], path: str, fmt: int = 1,
             prev_gps[ch] = float(gps[j])
         change[j] = b
     chan_stream = bytes([0])  # channel 0 everywhere, no change bits set
-    flags_stream = bytes(((sdir & 1) << 4) | ((edge & 1) << 5))
+    # one flag byte per point: cast to uint8 BEFORE bytes() — bytes() over an
+    # int64 array would serialize the raw 8-byte buffer per element, corrupting
+    # scan_direction/edge_flag for every point after the first on decode.
+    flags_stream = bytes((((sdir & 1) << 4) | ((edge & 1) << 5)).astype(np.uint8))
     xt, xv = _encode_coord(xs, chans, ctxs)
     yt, yv = _encode_coord(ys, chans, ctxs)
     zt, zv = _encode_coord(zs, chans, ctxs)
