@@ -2074,6 +2074,17 @@ def _q_pca(spark, sf):
     return R.pca_two_band(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
 
 
+def _q_pca3(spark, sf):
+    """N-band PCA over 3 fixture bands; ROUND(,4) on both sides (LAPACK
+    eigh here vs the closed-form trig eigensolver in _pca3_oracle agree
+    to ~1e-12 on this well-separated spectrum)."""
+    cells, _report = R.principal_component_analysis(
+        [_ras(spark, sf, "a"), _ras(spark, sf, "b"), spark.sql(_RAS_D_SQL)])
+    return cells.selectExpr(
+        "row", "col", "ROUND(pc1, 4) AS pc1", "ROUND(pc2, 4) AS pc2",
+        "ROUND(pc3, 4) AS pc3")
+
+
 def _q_geotiff_roundtrip(spark, sf):
     """Write ras_a to a GeoTIFF (DEFLATE), read it back through the
     binaryFile + numpy decoder — oracle is the original raster SQL, so a
@@ -2584,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ransac_planes": _q_ransac_planes,
         "wilcoxon": _q_wilcoxon,
         "pca": _q_pca,
+        "pca3": _q_pca3,
         "linearity": _q_linearity,
         "box_metrics": _q_box_metrics,
         "ihs_roundtrip": _q_ihs_roundtrip,
@@ -3400,6 +3412,88 @@ def _overlay2_oracles() -> dict[str, str]:
             f"FROM r, generate_series(1, 5) gs(i)"
         ),
     }
+
+
+def _pca3_oracle() -> str:
+    """Independent DuckDB 3-band PCA: exact integer moments, then the
+    CLOSED-FORM trigonometric eigensolver for the symmetric 3x3
+    correlation matrix (unit trace: p = sqrt(p1/3), r = det((A-I)/p)/2 =
+    a01*a02*a12/p^3, eigenvalues 1 + 2p*cos(phi + 2k*pi/3), already in
+    descending order), eigenvectors as the largest cross product of two
+    rows of (A - lambda*I), with the engine's sign convention
+    (largest-|loading| entry positive, ties lowest band index). Both
+    sides ROUND(,4): the two eigen pipelines (LAPACK eigh vs trig) agree
+    to ~1e-12 on a well-separated spectrum."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    ras_b = f"ras_b AS ({_RAS_B_SQL})"
+    ras_d = f"ras_d AS ({_RAS_D_SQL})"
+
+    def evec(i: int) -> str:
+        # cross products of rows of (A - l{i} I); dl = 1 - l{i}
+        dl = f"(1.0 - l{i})"
+        ux = f"(a01 * a12 - a02 * {dl})"
+        uy = f"(a02 * a01 - {dl} * a12)"
+        uz = f"({dl} * {dl} - a01 * a01)"
+        vx = f"(a01 * {dl} - a02 * a12)"
+        vy = f"(a02 * a02 - {dl} * {dl})"
+        vz = f"({dl} * a12 - a01 * a02)"
+        wx = f"({dl} * {dl} - a12 * a12)"
+        wy = f"(a12 * a02 - a01 * {dl})"
+        wz = f"(a01 * a12 - {dl} * a02)"
+        un = f"({ux} * {ux} + {uy} * {uy} + {uz} * {uz})"
+        vn = f"({vx} * {vx} + {vy} * {vy} + {vz} * {vz})"
+        wn = f"({wx} * {wx} + {wy} * {wy} + {wz} * {wz})"
+        pick = (f"CASE WHEN {un} >= {vn} AND {un} >= {wn} THEN ARRAY[{ux}, {uy}, {uz}] "
+                f"WHEN {vn} >= {wn} THEN ARRAY[{vx}, {vy}, {vz}] "
+                f"ELSE ARRAY[{wx}, {wy}, {wz}] END")
+        src = "lb" if i == 1 else f"e{i - 1}"
+        return f"e{i} AS (SELECT *, {pick} AS y{i} FROM {src})"
+
+    # normalization + sign per component
+    def loads(i: int) -> str:
+        nrm = f"SQRT(y{i}[1] * y{i}[1] + y{i}[2] * y{i}[2] + y{i}[3] * y{i}[3])"
+        sgn = (f"(CASE WHEN ABS(y{i}[1]) >= ABS(y{i}[2]) AND ABS(y{i}[1]) >= ABS(y{i}[3]) "
+               f"THEN CASE WHEN y{i}[1] < 0 THEN -1.0 ELSE 1.0 END "
+               f"WHEN ABS(y{i}[2]) >= ABS(y{i}[3]) "
+               f"THEN CASE WHEN y{i}[2] < 0 THEN -1.0 ELSE 1.0 END "
+               f"ELSE CASE WHEN y{i}[3] < 0 THEN -1.0 ELSE 1.0 END END)")
+        src = "e3" if i == 1 else f"g{i - 1}"
+        return (f"g{i} AS (SELECT *, {sgn} * y{i}[1] / ({nrm}) AS g{i}0, "
+                f"{sgn} * y{i}[2] / ({nrm}) AS g{i}1, "
+                f"{sgn} * y{i}[3] / ({nrm}) AS g{i}2 FROM {src})")
+
+    pcs = ", ".join(
+        f"ROUND(g{i}0 * ((x0 - m0) / d0) + g{i}1 * ((x1 - m1) / d1) "
+        f"+ g{i}2 * ((x2 - m2) / d2), 4) AS pc{i}"
+        for i in (1, 2, 3))
+    return (
+        f"WITH {ras_a}, {ras_b}, {ras_d}, "
+        f"j AS (SELECT a.row, a.col, a.value AS x0, b.value AS x1, d.value AS x2 "
+        f"FROM ras_a a JOIN ras_b b USING (row, col) JOIN ras_d d USING (row, col)), "
+        f"mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        f"SUM(x0) AS s0, SUM(x1) AS s1, SUM(x2) AS s2, "
+        f"SUM(x0 * x0) AS s00, SUM(x0 * x1) AS s01, SUM(x0 * x2) AS s02, "
+        f"SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22 FROM j), "
+        f"cv AS (SELECT n, s0 / n AS m0, s1 / n AS m1, s2 / n AS m2, "
+        f"s00 / n - (s0 / n) * (s0 / n) AS c00, "
+        f"s01 / n - (s0 / n) * (s1 / n) AS c01, "
+        f"s02 / n - (s0 / n) * (s2 / n) AS c02, "
+        f"s11 / n - (s1 / n) * (s1 / n) AS c11, "
+        f"s12 / n - (s1 / n) * (s2 / n) AS c12, "
+        f"s22 / n - (s2 / n) * (s2 / n) AS c22 FROM mo), "
+        f"co AS (SELECT m0, m1, m2, SQRT(c00) AS d0, SQRT(c11) AS d1, SQRT(c22) AS d2, "
+        f"c01 / (SQRT(c00) * SQRT(c11)) AS a01, "
+        f"c02 / (SQRT(c00) * SQRT(c22)) AS a02, "
+        f"c12 / (SQRT(c11) * SQRT(c22)) AS a12 FROM cv), "
+        f"ei AS (SELECT *, SQRT((a01 * a01 + a02 * a02 + a12 * a12) / 3.0) AS p FROM co), "
+        f"ph AS (SELECT *, ACOS(LEAST(GREATEST((a01 * a02 * a12) / (p * p * p), -1.0), 1.0)) / 3.0 AS phi FROM ei), "
+        f"lb AS (SELECT *, 1.0 + 2.0 * p * COS(phi) AS l1, "
+        f"3.0 - (1.0 + 2.0 * p * COS(phi)) - (1.0 + 2.0 * p * COS(phi + 2.0 * PI() / 3.0)) AS l2, "
+        f"1.0 + 2.0 * p * COS(phi + 2.0 * PI() / 3.0) AS l3 FROM ph), "
+        f"{evec(1)}, {evec(2)}, {evec(3)}, "
+        f"{loads(1)}, {loads(2)}, {loads(3)} "
+        f"SELECT j.row, j.col, {pcs} FROM j, g3"
+    )
 
 
 def _stats2_oracles() -> dict[str, str]:
@@ -5762,6 +5856,7 @@ def oracle_sql() -> dict[str, str]:
         **_stream2_oracles(),
         **_vector2_oracles(),
         **_morph_oracles(),
+        "pca3": _pca3_oracle(),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"
