@@ -2107,10 +2107,10 @@ def _q_geotiff_roundtrip(spark, sf):
 
 def _q_grid_format_roundtrip(spark, sf):
     """Chain the lossless grid connectors: ras_a -> Surfer ASCII ->
-    Whitebox .dep/.tas (double) -> Surfer 7 binary -> SAGA (double);
-    ESRI .flt is f32 (lossy) and stays out of the chain. Oracle = the
-    original raster SQL — a hash match proves every write->read cycle
-    is value-preserving."""
+    Whitebox .dep/.tas (double) -> Surfer 7 binary -> SAGA (double) ->
+    ESRI BIL (FLOAT 64); ESRI .flt is f32 (lossy) and stays out of the
+    chain. Oracle = the original raster SQL — a hash match proves every
+    write->read cycle is value-preserving."""
     import shutil
     import tempfile
 
@@ -2125,7 +2125,9 @@ def _q_grid_format_roundtrip(spark, sf):
         FF.write_surfer7(mid2, meta2, f"{d}/c.grd")
         mid3, meta3 = FF.read_surfer7(spark, f"{d}/c.grd")
         FF.write_saga(mid3, meta3, f"{d}/e")
-        final, _m = FF.read_saga(spark, f"{d}/e")
+        mid4, meta4 = FF.read_saga(spark, f"{d}/e")
+        FF.write_esri_bil(mid4, meta4, f"{d}/f", pixel_type="FLOAT", nbits=64)
+        final, _m = FF.read_esri_bil(spark, f"{d}/f")
         rows = final.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)

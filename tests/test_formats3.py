@@ -192,3 +192,41 @@ def test_surfer7_saga_roundtrip(spark):
                 assert out[(r, c)] == vals[r, c], (r, c)  # f64 lossless
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("ptype,nbits", [("FLOAT", 32), ("FLOAT", 64),
+                                         ("SIGNEDINT", 16),
+                                         ("UNSIGNEDINT", 16)])
+def test_esri_bil_roundtrip(spark, cells, ptype, nbits):
+    df, vals = cells
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "g")
+        FM.write_esri_bil(df, META, p, pixel_type=ptype, nbits=nbits)
+        back, meta = FM.read_esri_bil(spark, p)
+        assert meta.rows == 7 and meta.columns == 9
+        assert abs(meta.north - 70.0) < 1e-9 and abs(meta.west - 0.0) < 1e-9
+        assert abs(meta.resolution_x - 10.0) < 1e-9
+        assert meta.nodata == -32768.0
+        assert np.array_equal(_collect(back), vals)
+
+
+def test_geotiff_multistrip_roundtrip(spark, cells):
+    """block_rows smaller than the raster forces several strips, with and
+    without per-strip DEFLATE; sparse input exercises the all-fill block
+    synthesis for rows the executors never saw."""
+    df, vals = cells
+    with tempfile.TemporaryDirectory() as d:
+        for compress in (False, True):
+            p = os.path.join(d, f"g{int(compress)}.tif")
+            FM.write_geotiff(df, META, p, compress=compress, block_rows=2)
+            back, meta = FM.read_geotiff(spark, p)
+            assert meta.rows == 7 and meta.columns == 9
+            assert np.array_equal(_collect(back), vals)
+        # sparse: only two rows present -> every other block is synthesized
+        sparse = df.where("row IN (0, 6)")
+        p = os.path.join(d, "sparse.tif")
+        FM.write_geotiff(sparse, META, p, compress=True, block_rows=2)
+        back, meta = FM.read_geotiff(spark, p)
+        got = _collect(back)
+        assert np.array_equal(got[0], vals[0]) and np.array_equal(got[6], vals[6])
+        assert np.all(got[1:6] == -32768.0)

@@ -39,6 +39,72 @@ from ..functions.raster_math import GridMeta
 _HEADER_KEYS = ("ncols", "nrows", "xllcorner", "yllcorner", "cellsize", "nodata_value")
 
 
+def _encoded_row_blocks(cells: DataFrame, meta: GridMeta, encode, fill: float,
+                        block_rows: int = 256, reverse: bool = False):
+    """Executor-side single-file raster egress: yield (block_index,
+    payload bytes) for consecutive row blocks in FILE order.
+
+    The per-cell dense scatter AND the format encode run in the
+    executors (applyInPandas over row blocks); the driver receives one
+    already-encoded block at a time through an ordered toLocalIterator,
+    so driver memory is O(block), never O(raster), and no per-cell
+    Python loop runs on the driver. Blocks with no cells are synthesized
+    all-fill locally (empty space never shuffles). reverse=True emits
+    bottom-up file row order (Surfer / SAGA layouts).
+
+    encode: np.ndarray (h, ncols) float64 -> bytes, pickled to executors.
+    """
+    rows, ncols = meta.rows, meta.columns
+    nblocks = (rows + block_rows - 1) // block_rows
+
+    def h_of(b: int) -> int:
+        return min(block_rows, rows - b * block_rows)
+
+    orow = f"({rows - 1}L - row)" if reverse else "row"
+    staged = cells.selectExpr(
+        f"CAST({orow} DIV {block_rows} AS BIGINT) AS __blk",
+        f"CAST({orow} % {block_rows} AS INT) AS __r",
+        "CAST(col AS INT) AS __c",
+        "CAST(value AS DOUBLE) AS __v",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["__blk"].iloc[0])
+        g = np.full((min(block_rows, rows - b * block_rows), ncols), fill,
+                    dtype=np.float64)
+        g[pdf["__r"].to_numpy(), pdf["__c"].to_numpy()] = pdf["__v"].to_numpy()
+        return pd.DataFrame({"block": [b], "payload": [encode(g)]})
+
+    blocks = staged.groupBy("__blk").applyInPandas(
+        build, "block long, payload binary").orderBy("block")
+    expect = 0
+    for rec in blocks.toLocalIterator():
+        b = int(rec["block"])
+        while expect < b:
+            yield expect, encode(np.full((h_of(expect), ncols), fill, dtype=np.float64))
+            expect += 1
+        yield b, bytes(rec["payload"])
+        expect += 1
+    while expect < nblocks:
+        yield expect, encode(np.full((h_of(expect), ncols), fill, dtype=np.float64))
+        expect += 1
+
+
+def _value_range(cells: DataFrame, nodata: float) -> tuple[float, float]:
+    """(min, max) over non-nodata cells — one tiny distributed agg for
+    the headers that need display/z ranges."""
+    r = cells.where(F.col("value") != F.lit(float(nodata))).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo = 0.0 if r["lo"] is None else float(r["lo"])
+    hi = 0.0 if r["hi"] is None else float(r["hi"])
+    return lo, hi
+
+
+def _ascii_rows_encode(g: np.ndarray) -> bytes:
+    return ("".join(" ".join(repr(v) for v in row) + "\n" for row in g)
+            ).encode("ascii")
+
+
 def read_arc_ascii(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]:
     """Parse an ArcGIS ASCII grid into the cells table + GridMeta."""
     lines = spark.sparkContext.textFile(path).zipWithIndex().toDF(["line", "idx"])
@@ -71,19 +137,18 @@ def read_arc_ascii(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]
 def write_arc_ascii(cells: DataFrame, meta: GridMeta, path: str) -> None:
     """Write the cells table as an ArcGIS ASCII grid (single file —
     format exporter for interop, not the scale sink). Missing cells get
-    the nodata sentinel."""
-    grid = np.full((meta.rows, meta.columns), meta.nodata)
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        grid[int(r["row"]), int(r["col"])] = r["value"]
-    with open(path, "w") as f:
-        f.write(f"ncols {meta.columns}\n")
-        f.write(f"nrows {meta.rows}\n")
-        f.write(f"xllcorner {meta.west!r}\n")
-        f.write(f"yllcorner {meta.south!r}\n")
-        f.write(f"cellsize {meta.resolution_x!r}\n")
-        f.write(f"nodata_value {meta.nodata!r}\n")
-        for row in grid:
-            f.write(" ".join(repr(v) for v in row) + "\n")
+    the nodata sentinel. Row blocks are densified + text-encoded in the
+    executors; the driver streams finished blocks to the file."""
+    with open(path, "wb") as f:
+        f.write(f"ncols {meta.columns}\n".encode())
+        f.write(f"nrows {meta.rows}\n".encode())
+        f.write(f"xllcorner {meta.west!r}\n".encode())
+        f.write(f"yllcorner {meta.south!r}\n".encode())
+        f.write(f"cellsize {meta.resolution_x!r}\n".encode())
+        f.write(f"nodata_value {meta.nodata!r}\n".encode())
+        for _b, payload in _encoded_row_blocks(cells, meta, _ascii_rows_encode,
+                                               meta.nodata):
+            f.write(payload)
 
 
 # ---------------------------------------------------------------------------
@@ -400,64 +465,78 @@ def read_geotiff(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]:
 
 
 def write_geotiff(cells: DataFrame, meta: GridMeta, path: str,
-                  compress: bool = False) -> None:
+                  compress: bool = False, block_rows: int = 256) -> None:
     """Write the cells table as a single-band float64 GeoTIFF (strip
-    layout, optional DEFLATE; interop/test sink — the scale sink is
-    parquet). Missing cells get the nodata sentinel."""
+    layout, one strip per row block, optional per-strip DEFLATE;
+    interop/test sink — the scale sink is parquet).
+
+    Streaming layout: 8-byte header (IFD offset patched at the end) ->
+    strip payloads in row order as the executors deliver them -> IFD +
+    out-of-line tag data appended last. Driver memory is O(strip);
+    densify + compress run executor-side."""
     import zlib
 
-    grid = np.full((meta.rows, meta.columns), meta.nodata, dtype="<f8")
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        grid[int(r["row"]), int(r["col"])] = r["value"]
-    data = grid.tobytes()
-    compression = 1
-    if compress:
-        data = zlib.compress(data)
-        compression = 8
+    def enc(g: np.ndarray) -> bytes:
+        data = g.astype("<f8").tobytes()
+        return zlib.compress(data) if compress else data
+
+    compression = 8 if compress else 1
     nodata_s = (repr(meta.nodata) + "\x00").encode("ascii")
-
-    tags = []  # (tag, type, count, value_bytes or inline int)
-    extra = bytearray()
-    header_size = 8
-
-    def defer(payload: bytes) -> int:
-        extra.extend(payload)
-        return len(extra) - len(payload)
-
-    # IFD written right after the 8-byte header; data areas after it
-    n_tags = 11
-    ifd_size = 2 + n_tags * 12 + 4
-    data_start = header_size + ifd_size
-
-    scale = struct.pack("<3d", meta.resolution_x, meta.resolution_y, 0.0)
-    tie = struct.pack("<6d", 0.0, 0.0, 0.0, meta.west, meta.north, 0.0)
-    off_scale = defer(scale)
-    off_tie = defer(tie)
-    off_nodata = defer(nodata_s)
-    off_data = defer(data)
-
-    def tag(t, typ, cnt, val, inline=True):
-        if inline:
-            return struct.pack("<HHI4s", t, typ, cnt, struct.pack("<I", val))
-        return struct.pack("<HHII", t, typ, cnt, data_start + val)
-
-    ifd = struct.pack("<H", n_tags)
-    ifd += tag(256, 4, 1, meta.columns)
-    ifd += tag(257, 4, 1, meta.rows)
-    ifd += tag(258, 3, 1, 64)
-    ifd += tag(259, 3, 1, compression)
-    ifd += tag(273, 4, 1, off_data, inline=False)
-    ifd += tag(278, 4, 1, meta.rows)
-    ifd += tag(279, 4, 1, len(data))
-    ifd += tag(339, 3, 1, 3)
-    ifd += tag(33550, 12, 3, off_scale, inline=False)
-    ifd += tag(33922, 12, 6, off_tie, inline=False)
-    ifd += tag(42113, 2, len(nodata_s), off_nodata, inline=False)
-    ifd += struct.pack("<I", 0)
+    offsets: list[int] = []
+    counts: list[int] = []
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, 8))
+        f.write(b"II" + struct.pack("<HI", 42, 0))  # IFD offset patched below
+        for _b, payload in _encoded_row_blocks(cells, meta, enc, meta.nodata,
+                                               block_rows=block_rows):
+            offsets.append(f.tell())
+            counts.append(len(payload))
+            f.write(payload)
+        ifd_off = f.tell()
+        n_tags = 11
+        data_start = ifd_off + 2 + n_tags * 12 + 4
+        extra = bytearray()
+
+        def defer(payload: bytes) -> int:
+            extra.extend(payload)
+            return len(extra) - len(payload)
+
+        off_scale = defer(struct.pack("<3d", meta.resolution_x,
+                                      meta.resolution_y, 0.0))
+        off_tie = defer(struct.pack("<6d", 0.0, 0.0, 0.0,
+                                    meta.west, meta.north, 0.0))
+        off_nodata = defer(nodata_s)
+
+        def tag(t, typ, cnt, val, deferred=False):
+            v = data_start + val if deferred else val
+            return struct.pack("<HHI4s", t, typ, cnt, struct.pack("<I", v))
+
+        nstrips = len(offsets)
+        if nstrips == 1:
+            tag273 = tag(273, 4, 1, offsets[0])
+            tag279 = tag(279, 4, 1, counts[0])
+        else:
+            tag273 = tag(273, 4, nstrips,
+                         defer(struct.pack(f"<{nstrips}I", *offsets)), deferred=True)
+            tag279 = tag(279, 4, nstrips,
+                         defer(struct.pack(f"<{nstrips}I", *counts)), deferred=True)
+
+        ifd = struct.pack("<H", n_tags)
+        ifd += tag(256, 4, 1, meta.columns)
+        ifd += tag(257, 4, 1, meta.rows)
+        ifd += tag(258, 3, 1, 64)
+        ifd += tag(259, 3, 1, compression)
+        ifd += tag273
+        ifd += tag(278, 4, 1, block_rows)
+        ifd += tag279
+        ifd += tag(339, 3, 1, 3)
+        ifd += tag(33550, 12, 3, off_scale, deferred=True)
+        ifd += tag(33922, 12, 6, off_tie, deferred=True)
+        ifd += tag(42113, 2, len(nodata_s), off_nodata, deferred=True)
+        ifd += struct.pack("<I", 0)
         f.write(ifd)
         f.write(bytes(extra))
+        f.seek(4)
+        f.write(struct.pack("<I", ifd_off))
 
 
 # ---------------------------------------------------------------------------
@@ -808,21 +887,18 @@ def read_surfer_ascii(spark: SparkSession, path: str) -> tuple[DataFrame, GridMe
 
 
 def write_surfer_ascii(cells: DataFrame, meta: GridMeta, path: str) -> None:
-    """Surfer ASCII writer (surfer_ascii_raster.rs:141-145 header order)."""
-    grid = np.full((meta.rows, meta.columns), 1.71041e38)
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        grid[int(r["row"]), int(r["col"])] = r["value"]
-    valid = grid[grid != 1.71041e38]
-    zmin = valid.min() if valid.size else 0.0
-    zmax = valid.max() if valid.size else 0.0
-    with open(path, "w") as f:
-        f.write("DSAA\n")
-        f.write(f"{meta.columns} {meta.rows}\n")
-        f.write(f"{meta.west!r} {meta.east!r}\n")
-        f.write(f"{meta.south!r} {meta.north!r}\n")
-        f.write(f"{zmin!r} {zmax!r}\n")
-        for row in grid[::-1]:  # bottom-to-top
-            f.write(" ".join(repr(v) for v in row) + "\n")
+    """Surfer ASCII writer (surfer_ascii_raster.rs:141-145 header order);
+    data bottom-to-top, executor-encoded row blocks."""
+    zmin, zmax = _value_range(cells, 1.71041e38)
+    with open(path, "wb") as f:
+        f.write(b"DSAA\n")
+        f.write(f"{meta.columns} {meta.rows}\n".encode())
+        f.write(f"{meta.west!r} {meta.east!r}\n".encode())
+        f.write(f"{meta.south!r} {meta.north!r}\n".encode())
+        f.write(f"{zmin!r} {zmax!r}\n".encode())
+        for _b, payload in _encoded_row_blocks(cells, meta, _ascii_rows_encode,
+                                               1.71041e38, reverse=True):
+            f.write(payload)
 
 
 def read_grass_ascii(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]:
@@ -852,18 +928,16 @@ def read_grass_ascii(spark: SparkSession, path: str) -> tuple[DataFrame, GridMet
 
 
 def write_grass_ascii(cells: DataFrame, meta: GridMeta, path: str) -> None:
-    grid = np.full((meta.rows, meta.columns), meta.nodata)
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        grid[int(r["row"]), int(r["col"])] = r["value"]
-    with open(path, "w") as f:
-        f.write(f"north: {meta.north!r}\n")
-        f.write(f"south: {meta.south!r}\n")
-        f.write(f"east: {meta.east!r}\n")
-        f.write(f"west: {meta.west!r}\n")
-        f.write(f"rows: {meta.rows}\n")
-        f.write(f"cols: {meta.columns}\n")
-        for row in grid:
-            f.write(" ".join(repr(v) for v in row) + "\n")
+    with open(path, "wb") as f:
+        f.write(f"north: {meta.north!r}\n".encode())
+        f.write(f"south: {meta.south!r}\n".encode())
+        f.write(f"east: {meta.east!r}\n".encode())
+        f.write(f"west: {meta.west!r}\n".encode())
+        f.write(f"rows: {meta.rows}\n".encode())
+        f.write(f"cols: {meta.columns}\n".encode())
+        for _b, payload in _encoded_row_blocks(cells, meta, _ascii_rows_encode,
+                                               meta.nodata):
+            f.write(payload)
 
 
 _WB_DTYPES = {"double": ("<f8", "DOUBLE"), "float": ("<f4", "FLOAT"),
@@ -876,13 +950,10 @@ def write_whitebox(cells: DataFrame, meta: GridMeta, base_path: str,
     row-major data; whitebox_raster.rs:118-140,293). base_path without
     extension."""
     np_dt, label = _WB_DTYPES[data_type]
-    grid = np.full((meta.rows, meta.columns), meta.nodata)
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        grid[int(r["row"]), int(r["col"])] = r["value"]
-    valid = grid[grid != meta.nodata]
+    zmin, zmax = _value_range(cells, meta.nodata)
     with open(base_path + ".dep", "w") as f:
-        f.write(f"Min:\t{valid.min() if valid.size else 0.0!r}\n")
-        f.write(f"Max:\t{valid.max() if valid.size else 0.0!r}\n")
+        f.write(f"Min:\t{zmin!r}\n")
+        f.write(f"Max:\t{zmax!r}\n")
         f.write(f"North:\t{meta.north!r}\n")
         f.write(f"South:\t{meta.south!r}\n")
         f.write(f"East:\t{meta.east!r}\n")
@@ -894,7 +965,10 @@ def write_whitebox(cells: DataFrame, meta: GridMeta, base_path: str,
         f.write(f"Preferred Palette:\tgrey.plt\n")
         f.write(f"NoData:\t{meta.nodata!r}\n")
         f.write("Byte Order:\tLITTLE_ENDIAN\n")
-    grid.astype(np_dt).tofile(base_path + ".tas")
+    with open(base_path + ".tas", "wb") as f:
+        for _b, payload in _encoded_row_blocks(
+                cells, meta, lambda g: g.astype(np_dt).tobytes(), meta.nodata):
+            f.write(payload)
 
 
 def read_whitebox(spark: SparkSession, base_path: str) -> tuple[DataFrame, GridMeta]:
@@ -933,10 +1007,7 @@ def read_whitebox(spark: SparkSession, base_path: str) -> tuple[DataFrame, GridM
 def write_idrisi(cells: DataFrame, meta: GridMeta, base_path: str) -> None:
     """Idrisi raster (.rdc text header + .rst binary f32 row-major
     north-first; idrisi_raster.rs:64-152,270-311)."""
-    grid = np.full((meta.rows, meta.columns), meta.nodata)
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        grid[int(r["row"]), int(r["col"])] = r["value"]
-    valid = grid[grid != meta.nodata]
+    zmin, zmax = _value_range(cells, meta.nodata)
     with open(base_path + ".rdc", "w") as f:
         f.write("file format : IDRISI Raster A.1\n")
         f.write("file type   : binary\n")
@@ -947,10 +1018,13 @@ def write_idrisi(cells: DataFrame, meta: GridMeta, base_path: str) -> None:
         f.write(f"max. X      : {meta.east!r}\n")
         f.write(f"min. Y      : {meta.south!r}\n")
         f.write(f"max. Y      : {meta.north!r}\n")
-        f.write(f"display min : {valid.min() if valid.size else 0.0!r}\n")
-        f.write(f"display max : {valid.max() if valid.size else 0.0!r}\n")
+        f.write(f"display min : {zmin!r}\n")
+        f.write(f"display max : {zmax!r}\n")
         f.write(f"flag value  : {meta.nodata!r}\n")
-    grid.astype("<f4").tofile(base_path + ".rst")
+    with open(base_path + ".rst", "wb") as f:
+        for _b, payload in _encoded_row_blocks(
+                cells, meta, lambda g: g.astype("<f4").tobytes(), meta.nodata):
+            f.write(payload)
 
 
 def read_idrisi(spark: SparkSession, base_path: str) -> tuple[DataFrame, GridMeta]:
@@ -985,9 +1059,6 @@ def read_idrisi(spark: SparkSession, base_path: str) -> tuple[DataFrame, GridMet
 def write_esri_float(cells: DataFrame, meta: GridMeta, base_path: str) -> None:
     """ESRI binary float grid (.flt + .hdr; arcbinary_raster.rs):
     little-endian f32, row-major from the north."""
-    grid = np.full((meta.rows, meta.columns), meta.nodata)
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        grid[int(r["row"]), int(r["col"])] = r["value"]
     with open(base_path + ".hdr", "w") as f:
         f.write(f"NCOLS {meta.columns}\n")
         f.write(f"NROWS {meta.rows}\n")
@@ -996,7 +1067,10 @@ def write_esri_float(cells: DataFrame, meta: GridMeta, base_path: str) -> None:
         f.write(f"CELLSIZE {meta.resolution_x!r}\n")
         f.write(f"NODATA_VALUE {meta.nodata!r}\n")
         f.write("BYTEORDER LSBFIRST\n")
-    grid.astype("<f4").tofile(base_path + ".flt")
+    with open(base_path + ".flt", "wb") as f:
+        for _b, payload in _encoded_row_blocks(
+                cells, meta, lambda g: g.astype("<f4").tobytes(), meta.nodata):
+            f.write(payload)
 
 
 def read_esri_float(spark: SparkSession, base_path: str) -> tuple[DataFrame, GridMeta]:
@@ -1117,13 +1191,8 @@ def read_surfer7(spark: SparkSession, path: str) -> tuple[DataFrame, GridMeta]:
 
 def write_surfer7(cells: DataFrame, meta: GridMeta, path: str) -> None:
     """Surfer 7 binary writer (surfer7_raster.rs:332-380 section
-    order)."""
-    grid = np.full((meta.rows, meta.columns), _SURFER7_BLANK)
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        grid[int(r["row"]), int(r["col"])] = r["value"]
-    valid = grid[grid != _SURFER7_BLANK]
-    zmin = float(valid.min()) if valid.size else 0.0
-    zmax = float(valid.max()) if valid.size else 0.0
+    order); bottom-up data streamed as executor-encoded row blocks."""
+    zmin, zmax = _value_range(cells, _SURFER7_BLANK)
     with open(path, "wb") as f:
         f.write(struct.pack("<iii", 0x42525344, 4, 2))
         f.write(struct.pack("<ii", 0x44495247, 72))
@@ -1132,7 +1201,10 @@ def write_surfer7(cells: DataFrame, meta: GridMeta, path: str) -> None:
                             meta.resolution_x, meta.resolution_y))
         f.write(struct.pack("<4d", zmin, zmax, 0.0, _SURFER7_BLANK))
         f.write(struct.pack("<ii", 0x41544144, meta.rows * meta.columns * 8))
-        f.write(grid[::-1].astype("<f8").tobytes())
+        for _b, payload in _encoded_row_blocks(
+                cells, meta, lambda g: g.astype("<f8").tobytes(),
+                _SURFER7_BLANK, reverse=True):
+            f.write(payload)
 
 
 def read_saga(spark: SparkSession, base_path: str) -> tuple[DataFrame, GridMeta]:
@@ -1187,9 +1259,6 @@ def write_saga(cells: DataFrame, meta: GridMeta, base_path: str,
                data_format: str = "DOUBLE") -> None:
     """SAGA writer (saga_raster.rs:441-540 header keys,
     TOPTOBOTTOM=FALSE bottom-up data)."""
-    grid = np.full((meta.rows, meta.columns), meta.nodata)
-    for r in cells.select("row", "col", "value").toLocalIterator():
-        grid[int(r["row"]), int(r["col"])] = r["value"]
     with open(base_path + ".sgrd", "w") as f:
         f.write(f"NAME\t= {base_path.rsplit('/', 1)[-1]}\n")
         f.write("DESCRIPTION\t= \n")
@@ -1206,4 +1275,99 @@ def write_saga(cells: DataFrame, meta: GridMeta, base_path: str,
         f.write("TOPTOBOTTOM\t= FALSE\n")
     dt = "<f8" if data_format.upper() == "DOUBLE" else "<f4"
     with open(base_path + ".sdat", "wb") as f:
-        f.write(grid[::-1].astype(dt).tobytes())
+        for _b, payload in _encoded_row_blocks(
+                cells, meta, lambda g: g.astype(dt).tobytes(), meta.nodata,
+                reverse=True):
+            f.write(payload)
+
+
+# ---------------------------------------------------------------------------
+# ESRI BIL (.bil + .hdr; whitebox-raster/src/esri_bil.rs) — the last of
+# the reference's 10 raster formats. Single-band BIL is a plain
+# row-major binary grid; the header carries pixel type / bit depth /
+# byte order and CENTER-of-upper-left-cell georeferencing (ULXMAP /
+# ULYMAP; esri_bil.rs:113-116).
+# ---------------------------------------------------------------------------
+
+_BIL_DTYPES = {
+    ("float", 32): "f4", ("float", 64): "f8",
+    ("signedint", 8): "i1", ("signedint", 16): "i2", ("signedint", 32): "i4",
+    ("unsignedint", 8): "u1", ("unsignedint", 16): "u2",
+    ("unsignedint", 32): "u4",
+}
+
+
+def write_esri_bil(cells: DataFrame, meta: GridMeta, base_path: str,
+                   pixel_type: str = "FLOAT", nbits: int = 32) -> None:
+    """ESRI BIL writer (esri_bil.rs:440-662 header keys: BYTEORDER I =
+    little-endian, LAYOUT BIL, ULXMAP/ULYMAP are the CENTER of the
+    upper-left cell). Row blocks densified + encoded executor-side."""
+    key = (pixel_type.lower(), nbits)
+    if key not in _BIL_DTYPES:
+        raise ValueError(f"unsupported BIL pixel type {pixel_type}/{nbits}")
+    np_dt = "<" + _BIL_DTYPES[key]
+    with open(base_path + ".hdr", "w") as f:
+        f.write("BYTEORDER      I\n")
+        f.write("LAYOUT         BIL\n")
+        f.write(f"NROWS          {meta.rows}\n")
+        f.write(f"NCOLS          {meta.columns}\n")
+        f.write("NBANDS         1\n")
+        f.write(f"NBITS          {nbits}\n")
+        f.write(f"BANDROWBYTES   {nbits // 8 * meta.columns}\n")
+        f.write(f"TOTALROWBYTES  {nbits // 8 * meta.columns}\n")
+        f.write(f"PIXELTYPE      {pixel_type.upper()}\n")
+        f.write(f"ULXMAP         {meta.west + meta.resolution_x / 2.0!r}\n")
+        f.write(f"ULYMAP         {meta.north - meta.resolution_y / 2.0!r}\n")
+        f.write(f"XDIM           {meta.resolution_x!r}\n")
+        f.write(f"YDIM           {meta.resolution_y!r}\n")
+        f.write(f"NODATA         {meta.nodata!r}\n")
+    with open(base_path + ".bil", "wb") as f:
+        for _b, payload in _encoded_row_blocks(
+                cells, meta, lambda g: g.astype(np_dt).tobytes(), meta.nodata):
+            f.write(payload)
+
+
+def read_esri_bil(spark: SparkSession, base_path: str) -> tuple[DataFrame, GridMeta]:
+    """ESRI BIL reader (esri_bil.rs:20-150): header keys are
+    first-token-prefix matched case-insensitively, BYTEORDER containing
+    'i' means little-endian, extents derived from cell-center ULXMAP /
+    ULYMAP (esri_bil.rs:113-116). Only single-band BIL layout is
+    supported, matching the reference's warning for BSQ/BIP."""
+    hdr: dict[str, str] = {}
+    with open(base_path + ".hdr") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                hdr[parts[0].lower()] = parts[1].lower()
+    if int(float(hdr.get("nbands", "1"))) != 1:
+        raise ValueError("only single-band BIL is supported")
+    nrows, ncols = int(float(hdr["nrows"])), int(float(hdr["ncols"]))
+    nbits = int(float(hdr.get("nbits", "32")))
+    pixel_type = hdr.get("pixeltype", "float")
+    endian = "<" if "i" in hdr.get("byteorder", "i") else ">"
+    resx = float(hdr.get("xdim", "1"))
+    resy = float(hdr.get("ydim", "1"))
+    ulx, uly = float(hdr["ulxmap"]), float(hdr["ulymap"])
+    nodata = float(hdr.get("nodata", "-32768"))
+    north = uly + resy / 2.0
+    west = ulx - resx / 2.0
+    meta = GridMeta(rows=nrows, columns=ncols, north=north,
+                    south=north - resy * nrows, east=west + resx * ncols,
+                    west=west, resolution_x=resx, resolution_y=resy,
+                    nodata=nodata)
+    key = (pixel_type, nbits)
+    if key not in _BIL_DTYPES:
+        raise ValueError(f"unsupported BIL pixel type {pixel_type}/{nbits}")
+    np_dt = endian + _BIL_DTYPES[key]
+    binary = spark.read.format("binaryFile").load(base_path + ".bil")
+    schema = StructType([StructField("row", LongType()), StructField("col", LongType()),
+                         StructField("value", DoubleType())])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for _, rec in b.iterrows():
+                arr = np.frombuffer(rec["content"], dtype=np_dt).astype(np.float64)
+                rows, cols = np.divmod(np.arange(arr.size, dtype=np.int64), ncols)
+                yield pd.DataFrame({"row": rows, "col": cols, "value": arr})
+
+    return binary.mapInPandas(decode, schema), meta
