@@ -1235,6 +1235,36 @@ def _q_zlidar_roundtrip(spark, sf):
         "scan_angle", "gps_time")
 
 
+def _q_lidar_tiles_roundtrip(spark, sf):
+    """Distributed per-tile LAS egress (write_lidar_tiles: executor-side
+    encode, one file per tile) then directory read-back; per-class x
+    per-return counts gate every integer field through the full cycle
+    bit-exactly. Coordinate exactness is pytest-gated
+    (tests/test_formats3.py::test_write_lidar_tiles_roundtrip)."""
+    import shutil
+    import tempfile
+
+    from whitebox_tools_spark.sources.formats import read_las, write_lidar_tiles
+
+    pts = _points(spark, sf).selectExpr(
+        "record_num AS point_id", "x", "y", "value AS z",
+        "CAST(record_num % 8 AS INT) AS classification",
+        "CAST(record_num % 3 + 1 AS INT) AS return_number",
+        "CAST(3 AS INT) AS num_returns",
+        "CAST(record_num % 30 - 15 AS INT) AS scan_angle",
+        "record_num % 4 AS tile_id",
+    )
+    d = tempfile.mkdtemp(prefix="las_tiles_")
+    try:
+        write_lidar_tiles(pts, d, codec="las").collect()  # manifest forces the write
+        back = read_las(spark, d)
+        rows = back.groupBy("classification", "return_number").count() \
+            .selectExpr("classification", "return_number", "count AS n").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "classification int, return_number int, n long")
+
+
 def _q_tree_detection(spark, sf):
     """IndividualTreeDetection: local-maxima with height-scaled radius.
     Oracle: the dominance rule is one SQL anti-join."""
@@ -2499,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": _q_convex_hull,
         "line_intersections": _q_line_intersections,
         "zlidar_roundtrip": _q_zlidar_roundtrip,
+        "lidar_tiles_roundtrip": _q_lidar_tiles_roundtrip,
         "clean_vector": _q_clean_vector,
         "snap_endnodes": _q_snap_endnodes,
         "merge_line_segments": _q_merge_line_segments,
@@ -5859,6 +5890,11 @@ def oracle_sql() -> dict[str, str]:
         **_vector2_oracles(),
         **_morph_oracles(),
         "pca3": _pca3_oracle(),
+        "lidar_tiles_roundtrip": (
+            "SELECT CAST(event_id % 8 AS INT) AS classification, "
+            "CAST(event_id % 3 + 1 AS INT) AS return_number, "
+            "COUNT(*) AS n FROM events GROUP BY 1, 2"
+        ),
         "exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY md5(text)"

@@ -230,3 +230,41 @@ def test_geotiff_multistrip_roundtrip(spark, cells):
         got = _collect(back)
         assert np.array_equal(got[0], vals[0]) and np.array_equal(got[6], vals[6])
         assert np.all(got[1:6] == -32768.0)
+
+
+def test_write_lidar_tiles_roundtrip(spark, tmp_path):
+    """Distributed per-tile egress: points partitioned by tile_id are
+    written as one file per tile inside the executors; reading the
+    directory back reproduces every point for both codecs."""
+    from whitebox_tools_spark.sources.formats import (read_las, read_zlidar,
+                                                      write_lidar_tiles)
+
+    rng = np.random.RandomState(23)
+    n = 1200
+    rows = []
+    for i in range(n):
+        nret = int(rng.randint(1, 5))
+        rows.append((
+            i, float(rng.rand() * 500), float(rng.rand() * 500),
+            float(rng.rand() * 80), int(rng.randint(0, 65536)),
+            int(rng.randint(1, nret + 1)), nret, int(rng.randint(0, 8)),
+            int(rng.randint(-30, 30)), int(rng.randint(0, 2)),
+            int(rng.rand() < 0.1), 500.0 + i * 0.001, int(i % 4),
+        ))
+    df = spark.createDataFrame(
+        rows, "point_id long, x double, y double, z double, intensity int, "
+              "return_number int, num_returns int, classification int, "
+              "scan_angle int, scan_direction int, edge_flag int, "
+              "gps_time double, tile_id long")
+    for codec, reader in (("las", read_las), ("zlidar", read_zlidar)):
+        out = str(tmp_path / codec)
+        manifest = write_lidar_tiles(df, out, codec=codec).orderBy("tile").toPandas()
+        assert list(manifest["tile"]) == [0, 1, 2, 3]
+        assert int(manifest["n_points"].sum()) == n
+        assert all(os.path.exists(p) for p in manifest["path"])
+        back = reader(spark, out).toPandas()
+        assert len(back) == n
+        want = sorted((round(r[1], 2), round(r[3], 2), r[7]) for r in rows)
+        got = sorted(zip(back["x"].round(2), back["z"].round(2),
+                         back["classification"]))
+        assert want == got, codec

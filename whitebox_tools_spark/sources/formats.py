@@ -241,27 +241,29 @@ def read_zlidar(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, schema=LAS_SCHEMA)
 
 
-def write_las(points: list[dict], path: str, fmt: int = 1,
-              scale: tuple[float, float, float] = (0.01, 0.01, 0.01),
-              offset: tuple[float, float, float] = (0.0, 0.0, 0.0)) -> None:
-    """Minimal LAS 1.2 writer (single file, test/interop fixture path).
-    points: list of dicts with x/y/z (+ optional attrs)."""
+def _encode_las_arrays(n: int, get, fmt: int, scale, offset) -> bytes:
+    """Vectorized LAS 1.2 encode: get(name, default) -> np.ndarray of
+    length n (or None to use the default). Returns the full file bytes."""
     dt = _PT1 if fmt == 1 else _PT0
-    n = len(points)
     rec = np.zeros(n, dtype=dt)
-    for i, p in enumerate(points):
-        rec[i]["x"] = round((p["x"] - offset[0]) / scale[0])
-        rec[i]["y"] = round((p["y"] - offset[1]) / scale[1])
-        rec[i]["z"] = round((p["z"] - offset[2]) / scale[2])
-        rec[i]["intensity"] = p.get("intensity", 0)
-        rec[i]["flags"] = ((p.get("return_number", 1) & 7)
-                           | ((p.get("num_returns", 1) & 7) << 3)
-                           | ((p.get("scan_direction", 0) & 1) << 6)
-                           | ((p.get("edge_flag", 0) & 1) << 7))
-        rec[i]["classification"] = p.get("classification", 0)
-        rec[i]["scan_angle"] = p.get("scan_angle", 0)
-        if fmt == 1:
-            rec[i]["gps_time"] = p.get("gps_time", 0.0)
+
+    def col(name, default=0):
+        v = get(name, None)
+        return (np.full(n, default) if v is None else np.asarray(v))
+
+    rec["x"] = np.round((col("x", 0.0) - offset[0]) / scale[0])
+    rec["y"] = np.round((col("y", 0.0) - offset[1]) / scale[1])
+    rec["z"] = np.round((col("z", 0.0) - offset[2]) / scale[2])
+    rec["intensity"] = col("intensity")
+    rec["flags"] = ((col("return_number", 1).astype(np.int64) & 7)
+                    | ((col("num_returns", 1).astype(np.int64) & 7) << 3)
+                    | ((col("scan_direction").astype(np.int64) & 1) << 6)
+                    | ((col("edge_flag").astype(np.int64) & 1) << 7))
+    rec["classification"] = col("classification")
+    rec["scan_angle"] = col("scan_angle")
+    if fmt == 1:
+        gps = col("gps_time", 0.0).astype(np.float64)
+        rec["gps_time"] = np.nan_to_num(gps, nan=0.0)
     header = bytearray(227)
     header[0:4] = b"LASF"
     header[24] = 1  # version major
@@ -272,9 +274,67 @@ def write_las(points: list[dict], path: str, fmt: int = 1,
     struct.pack_into("<H", header, 105, dt.itemsize)
     struct.pack_into("<I", header, 107, n)
     struct.pack_into("<6d", header, 131, *(*[s for s in scale], *[o for o in offset]))
+    return bytes(header) + rec.tobytes()
+
+
+def write_las(points: list[dict], path: str, fmt: int = 1,
+              scale: tuple[float, float, float] = (0.01, 0.01, 0.01),
+              offset: tuple[float, float, float] = (0.0, 0.0, 0.0)) -> None:
+    """Minimal LAS 1.2 writer (single file, test/interop fixture path).
+    points: list of dicts with x/y/z (+ optional attrs)."""
+    n = len(points)
+    defaults = {"return_number": 1, "num_returns": 1, "gps_time": 0.0}
+
+    def get(name, _default):
+        d = defaults.get(name, 0)
+        return np.array([p.get(name, d) for p in points]) if n else None
+
     with open(path, "wb") as f:
-        f.write(bytes(header))
-        f.write(rec.tobytes())
+        f.write(_encode_las_arrays(n, get, fmt, scale, offset))
+
+
+def write_lidar_tiles(points: DataFrame, out_dir: str,
+                      tile_col: str = "tile_id", fmt: int = 1,
+                      scale: tuple[float, float, float] = (0.01, 0.01, 0.01),
+                      offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
+                      codec: str = "las") -> DataFrame:
+    """Distributed LiDAR egress: one LAS (or zLidar) file per tile,
+    encoded AND written inside the executors — the per-tile convention
+    LiDAR archives already use, so egress parallelism == tile count and
+    no point ever crosses the driver. Returns the small manifest
+    (tile, path, n_points); out_dir must be a filesystem the executors
+    can write (shared FS / mount on a real cluster).
+
+    points: LAS_SCHEMA-shaped DataFrame plus the tile_col. Points are
+    ordered by point_id within each tile for deterministic files."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    cols = [c for c in points.columns]
+    if tile_col not in cols:
+        raise ValueError(f"points needs a {tile_col} column")
+
+    def write_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = pdf[tile_col].iloc[0]
+        if "point_id" in pdf.columns:
+            pdf = pdf.sort_values("point_id")
+        path = _os.path.join(out_dir, f"tile_{tile}.{codec}")
+        n = len(pdf)
+        if codec == "las":
+            def get(name, _default):
+                return pdf[name].to_numpy() if name in pdf.columns else None
+            with open(path, "wb") as f:
+                f.write(_encode_las_arrays(n, get, fmt, scale, offset))
+        elif codec == "zlidar":
+            from .zlidar import write_zlidar as _wz
+            recs = pdf.rename(columns={"z": "value"}).to_dict("records")
+            _wz(recs, path, fmt=fmt, scale=scale, offset=offset)
+        else:
+            raise ValueError(f"unknown LiDAR codec {codec}")
+        return pd.DataFrame({"tile": [tile], "path": [path], "n_points": [n]})
+
+    return points.groupBy(tile_col).applyInPandas(
+        write_tile, "tile long, path string, n_points long")
 
 
 # ---------------------------------------------------------------------------
