@@ -950,6 +950,29 @@ def _q_lidar_normals(spark, sf):
                     "ROUND(nz, 6) AS nz")
 
 
+def _q_lidar_hillshade(spark, sf):
+    """LidarHillshade: reference illumination formula over the PCA
+    normals. Rows-only; formula parity pytest-gated
+    (tests/test_lidar3.py::test_lidar_hillshade_numpy_parity)."""
+    return LI.lidar_hillshade(_points(spark, sf), radius=30.0)
+
+
+def _q_lidar_histogram(spark, sf):
+    """LidarHistogram: 1000-bin clip pass + ceil(log2 n)+1 rebin, exact
+    reference arithmetic. Oracle re-derives both passes in SQL."""
+    return LI.lidar_histogram(_points(spark, sf), clip_percent=1.0) \
+        .selectExpr("bin", "ROUND(lo, 4) AS lo", "ROUND(hi, 4) AS hi", "n")
+
+
+def _q_lidar_seg_filter(spark, sf):
+    """LidarSegmentationBasedFilter: top-hat residual + segmentation
+    closure from residual==0 seeds. Rows-only; scene-level pytest gate
+    (tests/test_lidar3.py::test_segmentation_based_filter_scene)."""
+    return LI.lidar_segmentation_based_filter(
+        _points(spark, sf).where("record_num < 2000"), radius=40.0,
+        norm_diff=10.0, maxzdiff=5.0).select("record_num", "classification")
+
+
 def _q_rho8_pointer(spark, sf):
     """Rho8Pointer: stochastic-diagonal D8 with deterministic per-cell
     hash randomness. Rows-only (the reference uses a thread RNG —
@@ -2750,6 +2773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_dsm": _q_lidar_dsm,
         "normalize_lidar": _q_normalize_lidar,
         "lidar_normals": _q_lidar_normals,
+        "lidar_hillshade": _q_lidar_hillshade,
+        "lidar_histogram": _q_lidar_histogram,
+        "lidar_seg_filter": _q_lidar_seg_filter,
         "polygonize": _q_polygonize,
         "contours_from_points": _q_contours_from_points,
         "hachures": _q_hachures,
@@ -5890,6 +5916,44 @@ def oracle_sql() -> dict[str, str]:
         **_vector2_oracles(),
         **_morph_oracles(),
         "pca3": _pca3_oracle(),
+        "lidar_histogram": (
+            # the reference's two passes re-derived independently:
+            # 1000-bin clip walk (cumulative-from-each-end, threshold
+            # floor(n * 1%)) then ceil(log2 n)+1 rebin; every literal is
+            # CAST to DOUBLE so the IEEE op sequence matches the
+            # engine's driver-side floats bit for bit
+            "WITH v AS (SELECT CAST(event_id % 1000 AS DOUBLE) AS v FROM events), "
+            "mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM v), "
+            "p0 AS (SELECT lo, hi, n, "
+            "(hi - lo + 1e-5) / CAST(1000 AS DOUBLE) AS bw0, "
+            "CAST(FLOOR(n * (CAST(1 AS DOUBLE) / CAST(100 AS DOUBLE))) AS BIGINT) AS thresh "
+            "FROM mm), "
+            "f AS (SELECT CAST(FLOOR((v - lo) / bw0) AS INT) AS b, COUNT(*) AS c "
+            "FROM v, p0 GROUP BY 1), "
+            "cl AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum_lo, "
+            "SUM(c) OVER (ORDER BY b DESC) AS cum_hi FROM f), "
+            "tails AS (SELECT "
+            "(SELECT MIN(b) FROM cl, p0 WHERE cum_lo > thresh) AS lower_tail, "
+            "(SELECT MAX(b) FROM cl, p0 WHERE cum_hi > thresh) AS upper_tail), "
+            "rng AS (SELECT "
+            "CASE WHEN lo < lo + lower_tail * bw0 THEN lo + lower_tail * bw0 "
+            "ELSE lo END AS m1, "
+            "CASE WHEN hi > lo + upper_tail * bw0 + bw0 "
+            "THEN lo + upper_tail * bw0 + bw0 ELSE hi END AS m2, n "
+            "FROM p0, tails), "
+            "pf AS (SELECT LEAST(m1, m2) AS nmin, "
+            "CAST(CEIL(LOG2(n)) AS INT) + 1 AS nbins, "
+            "(GREATEST(m1, m2) - LEAST(m1, m2) + 1e-5) "
+            "/ (CAST(CEIL(LOG2(n)) AS INT) + 1) AS bw FROM rng), "
+            "fb AS (SELECT CAST(FLOOR((v - nmin) / bw) AS BIGINT) AS bin, "
+            "COUNT(*) AS c FROM v, pf GROUP BY 1), "
+            "bins AS (SELECT UNNEST(GENERATE_SERIES(0, nbins - 1)) AS bin FROM pf) "
+            "SELECT bins.bin, "
+            "ROUND(nmin + bins.bin * bw, 4) AS lo, "
+            "ROUND(nmin + (bins.bin + 1) * bw, 4) AS hi, "
+            "COALESCE(c, 0) AS n "
+            "FROM bins CROSS JOIN pf LEFT JOIN fb ON fb.bin = bins.bin"
+        ),
         "lidar_tiles_roundtrip": (
             "SELECT CAST(event_id % 8 AS INT) AS classification, "
             "CAST(event_id % 3 + 1 AS INT) AS return_number, "

@@ -180,3 +180,103 @@ def test_lidar_rooftop_analysis_shapes(spark):
     assert ids == set(range(120))  # only building points
     facets = {r["facet_id"] for r in out}
     assert len(facets) == 1  # one flat roof facet
+
+
+def test_lidar_hillshade_numpy_parity(spark, cloud):
+    """Hillshade = exact reference formula applied to the (already
+    parity-gated) PCA normals, recomputed here in numpy."""
+    df, xs, ys, zs, _ = cloud
+    radius, azim, alt = 30.0, 315.0, 30.0
+    normals = {r["record_num"]: (r["nx"], r["ny"], r["nz"])
+               for r in LI.lidar_point_normals(df, radius=radius).collect()}
+    out = {r["record_num"]: r["shade"]
+           for r in LI.lidar_hillshade(df, azimuth=azim, altitude=alt,
+                                       radius=radius).collect()}
+    az = np.radians(azim - 90.0)
+    st, ct = np.sin(np.radians(alt)), np.cos(np.radians(alt))
+    for i in range(len(xs)):
+        a, b, c = normals[i]
+        if c == 0.0:
+            want = 127 * 256
+        else:
+            fx, fy = -a / c, -b / c
+            if fx == 0.0:
+                want = int(np.floor(0.5 * 255.0)) * 256
+            else:
+                tan_slope = np.sqrt(fx * fx + fy * fy)
+                aspect = np.radians(180.0 - np.degrees(np.arctan(fy / fx))
+                                    + 90.0 * np.sign(fx))
+                hs = (tan_slope / np.sqrt(1.0 + tan_slope ** 2)
+                      * (st / tan_slope - ct * np.sin(az - aspect)))
+                want = int(np.floor(max(hs * 255.0, 0.0))) * 256
+        assert out[i] == want, i
+
+
+def test_lidar_histogram_reference_parity(spark, cloud):
+    """The two-pass clip + rebin logic, re-implemented directly from
+    lidar_histogram.rs in numpy, bin for bin."""
+    df, xs, ys, zs, _ = cloud
+    clip = 2.0
+    got = {int(r["bin"]): (r["lo"], r["hi"], int(r["n"]))
+           for r in LI.lidar_histogram(df, clip_percent=clip).collect()}
+    v = zs
+    n = len(v)
+    vmin, vmax = float(v.min()), float(v.max())
+    bw0 = (vmax - vmin + 0.00001) / 1000.0
+    freq = np.bincount(np.floor((v - vmin) / bw0).astype(int), minlength=1000)
+    thresh = int(n * (clip / 100.0))
+    cum, lower = 0, 0
+    for b in range(1000):
+        cum += freq[b]
+        if cum > thresh:
+            lower = b
+            break
+    cum, upper = 0, 0
+    for b in range(999, -1, -1):
+        cum += freq[b]
+        if cum > thresh:
+            upper = b
+            break
+    nmin, nmax = vmin, vmax
+    if vmin < vmin + lower * bw0:
+        nmin = vmin + lower * bw0
+    if vmax > vmin + upper * bw0 + bw0:
+        nmax = vmin + upper * bw0 + bw0
+    if nmin > nmax:
+        nmin, nmax = nmax, nmin
+    nbins = int(np.ceil(np.log2(n))) + 1
+    bw = (nmax - nmin + 0.00001) / nbins
+    bins = np.floor((v - nmin) / bw).astype(int)
+    bins = bins[(bins >= 0) & (bins < nbins)]
+    want = np.bincount(bins, minlength=nbins)
+    assert len(got) == nbins
+    for b in range(nbins):
+        assert got[b][2] == want[b], b
+        assert abs(got[b][0] - (nmin + b * bw)) < 1e-9
+
+
+def test_segmentation_based_filter_scene(spark):
+    """Flat ground + a raised plateau: the top-hat residual isolates the
+    plateau, seeds grow across the flat ground, and the plateau points
+    classify off-terrain (1) while ground stays 2."""
+    rng = np.random.RandomState(5)
+    pts = []
+    i = 0
+    for gx in range(20):
+        for gy in range(20):
+            x, y = gx * 5.0 + 1.0, gy * 5.0 + 1.0
+            on_plateau = 30.0 <= x <= 60.0 and 30.0 <= y <= 60.0
+            z = 10.0 + (8.0 if on_plateau else 0.0)
+            pts.append((i, float(x), float(y), float(z), on_plateau))
+            i += 1
+    df = spark.createDataFrame(
+        [(p[0], p[1], p[2], p[3]) for p in pts],
+        "record_num long, x double, y double, value double")
+    out = {r["record_num"]: r["classification"]
+           for r in LI.lidar_segmentation_based_filter(
+               df, radius=8.0, norm_diff=5.0, maxzdiff=1.0).collect()}
+    for pid, _x, _y, _z, plateau in pts:
+        assert out[pid] == (1 if plateau else 2), (pid, plateau)
+    kept = LI.lidar_segmentation_based_filter(
+        df, radius=8.0, norm_diff=5.0, maxzdiff=1.0, classify=False)
+    assert kept.count() == sum(1 for p in pts if not p[4])

@@ -769,3 +769,166 @@ def lidar_kappa(a: DataFrame, b: DataFrame, id_col: str = "record_num",
         "(CAST(agree AS DOUBLE) / n - CAST(crs AS DOUBLE) / (CAST(n AS DOUBLE) * n)) "
         "/ NULLIF(1.0 - CAST(crs AS DOUBLE) / (CAST(n AS DOUBLE) * n), 0.0) AS kappa",
     )
+
+
+def lidar_hillshade(points: DataFrame, azimuth: float = 315.0,
+                    altitude: float = 30.0, radius: float = 1.0,
+                    id_col: str = "record_num",
+                    z: str = "value") -> DataFrame:
+    """LidarHillshade (lidar_analysis/lidar_hillshade.rs:236-340): per
+    point, the illumination of its local PCA plane normal (a, b, c):
+    fx = -a/c, fy = -b/c, tan_slope = sqrt(fx^2+fy^2),
+    aspect = radians(180 - degrees(atan(fy/fx)) + 90*sign(fx)),
+    hillshade = 255 * clamp(term1 * (sin(alt)/tan_slope
+    - cos(alt) * sin(az' - aspect))), az' = radians(azimuth - 90);
+    flat plane (fx == 0) -> 0.5. The reference stores
+    (hillshade as u16) * 256 in the RGB bands — same value emitted here
+    as `shade`. Deviation: a perfectly vertical plane (c == 0) emits the
+    flat value 127 where the reference reuses the previous point's
+    stale loop value (order-dependent; not reproducible distributed).
+    Plan: normals kernel (one FRS join + batched eigh) -> one codegen
+    projection; divisions are NULLIF-total (ANSI-safe)."""
+    import math
+
+    az = math.radians(azimuth - 90.0)
+    sin_t, cos_t = math.sin(math.radians(altitude)), math.cos(math.radians(altitude))
+    n = lidar_point_normals(points, radius=radius, id_col=id_col, z=z)
+    fx = "(-nx / nz)"
+    fy = "(-ny / nz)"
+    ts = f"SQRT({fx} * {fx} + {fy} * {fy})"
+    aspect = (f"RADIANS(180.0 - DEGREES(ATAN({fy} / {fx})) "
+              f"+ 90.0 * ({fx} / ABS({fx})))")
+    hs = (f"({ts} / SQRT(1.0 + {ts} * {ts})) "
+          f"* (({sin_t!r} / NULLIF({ts}, 0.0)) "
+          f"- {cos_t!r} * SIN({az!r} - {aspect}))")
+    return n.selectExpr(
+        id_col,
+        f"CASE WHEN nz = 0.0 THEN 127L ELSE "
+        f"CAST(FLOOR(CASE WHEN {fx} = 0.0 THEN 127.5 "
+        f"ELSE GREATEST({hs} * 255.0, 0.0) END) AS BIGINT) END * 256 AS shade",
+    )
+
+
+def lidar_histogram(points: DataFrame, parameter: str = "value",
+                    clip_percent: float = 1.0,
+                    classification_mode: bool = False) -> DataFrame:
+    """LidarHistogram (lidar_analysis/lidar_histogram.rs:270-400, the
+    data series behind its HTML plot): a 1000-bin first pass locates the
+    clip-tail thresholds (cumulative count > floor(n * clip%) from each
+    end), the range is clipped to those bin edges exactly as the
+    reference does (including its asymmetric upper edge and min/max
+    swap), then the final histogram uses ceil(log2(n)) + 1 bins;
+    out-of-range values are dropped. classification_mode: integer bins
+    of width 1 and no clipping (:395). Output (bin, lo, hi, n) with
+    every bin emitted (empty bins -> 0).
+
+    Plan: two scans (min/max agg; 1000-bin groupBy whose <= 1000-row
+    result drives the driver-side tail walk — bounded, not O(points)),
+    then the final groupBy bin."""
+    spark = points.sparkSession
+    v = points.selectExpr(f"CAST({parameter} AS DOUBLE) AS v").where("v IS NOT NULL")
+    mm = v.agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+               F.count(F.lit(1)).alias("n")).collect()[0]
+    vmin, vmax, n = float(mm["lo"]), float(mm["hi"]), int(mm["n"])
+    if classification_mode:
+        nbins = int(vmax - vmin + 0.00001) + 1
+        bw = 1.0
+        base = vmin
+    else:
+        import math
+
+        rng = vmax - vmin + 0.00001
+        bw0 = rng / 1000.0
+        freq = {int(r["b"]): int(r["c"]) for r in
+                v.selectExpr(f"CAST(FLOOR((v - {vmin!r}) / {bw0!r}) AS INT) AS b")
+                .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()}
+        thresh = int(n * (clip_percent / 100.0))
+        cum, lower_tail = 0, 0
+        for b in range(1000):
+            cum += freq.get(b, 0)
+            if cum > thresh:
+                lower_tail = b
+                break
+        cum, upper_tail = 0, 0
+        for b in range(999, -1, -1):
+            cum += freq.get(b, 0)
+            if cum > thresh:
+                upper_tail = b
+                break
+        new_min, new_max = vmin, vmax
+        if vmin < vmin + lower_tail * bw0:
+            new_min = vmin + lower_tail * bw0
+        if vmax > vmin + upper_tail * bw0 + bw0:
+            new_max = vmin + upper_tail * bw0 + bw0
+        if new_min > new_max:
+            new_min, new_max = new_max, new_min
+        nbins = int(math.ceil(math.log2(n))) + 1
+        bw = (new_max - new_min + 0.00001) / nbins
+        base = new_min
+    counts = (
+        v.selectExpr(f"CAST(FLOOR((v - {base!r}) / {bw!r}) AS BIGINT) AS bin")
+        .where(f"bin >= 0 AND bin < {nbins}")
+        .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    )
+    bins = spark.range(nbins).selectExpr("id AS bin")
+    return (
+        bins.join(counts, "bin", "left")
+        .selectExpr("bin",
+                    f"CAST({base!r} AS DOUBLE) + bin * CAST({bw!r} AS DOUBLE) AS lo",
+                    f"CAST({base!r} AS DOUBLE) + (bin + 1) * CAST({bw!r} AS DOUBLE) AS hi",
+                    "COALESCE(n, 0L) AS n")
+    )
+
+
+def lidar_segmentation_based_filter(points: DataFrame, radius: float = 5.0,
+                                    norm_diff: float = 2.0,
+                                    maxzdiff: float = 1.0,
+                                    classify: bool = True,
+                                    id_col: str = "record_num",
+                                    z: str = "value") -> DataFrame:
+    """LidarSegmentationBasedFilter
+    (lidar_analysis/lidar_segmentation_based_filter.rs:290-560): a
+    white-top-hat transform flattens the terrain — erosion (min z over
+    the 2D neighborhood of radius 2r) then dilation (max of those minima
+    over the same neighborhood), residual = z - dilated — then the
+    residual surface is segmented by plane-normal similarity and ground
+    is the region-grow closure of the residual == 0 seeds; ground class
+    2, off-terrain class 1 (or filter to ground only).
+
+    Plan: two FRS joins for the top-hat, then the existing
+    lidar_segmentation label-propagation over the residual surface and a
+    seed semi-join — the stack-based grow in the reference computes
+    exactly the connected closure of its symmetric edge predicate, which
+    is what the component labels give. Deviations (documented):
+    neighbor candidacy is the 2D disc the segmentation kernel uses (the
+    reference re-bins in 3D over (x, y, residual)), and the segmentation
+    edge rule's |dz| bound is inclusive where the reference's is strict.
+    """
+    pairs = _neighbor_pairs(points, 2.0 * radius, id_col=id_col, z=z)
+    self_rows = points.selectExpr(f"{id_col} AS a_id", f"{z} AS bz")
+    nmin = (
+        pairs.selectExpr("a_id", "bz").unionByName(self_rows)
+        .groupBy("a_id").agg(F.min("bz").alias("nmin"))
+    )
+    with_min = pairs.selectExpr("a_id", "b_id").join(
+        nmin.selectExpr("a_id AS b_id", "nmin AS b_nmin"), "b_id")
+    dil = (
+        with_min.selectExpr("a_id", "b_nmin")
+        .unionByName(nmin.selectExpr("a_id", "nmin AS b_nmin"))
+        .groupBy("a_id").agg(F.max("b_nmin").alias("dil"))
+    )
+    resid = points.join(dil.withColumnRenamed("a_id", id_col), id_col) \
+        .withColumn("__resid", F.expr(f"{z} - dil")).drop("dil")
+    seg_pts = resid.drop(z).withColumnRenamed("__resid", "__rz")
+    segs = lidar_segmentation(seg_pts, radius=radius, norm_diff=norm_diff,
+                              maxzdiff=maxzdiff, id_col=id_col, z="__rz")
+    labeled = seg_pts.select(id_col, "__rz").join(segs, id_col)
+    ground_segs = labeled.where("__rz = 0.0").select("segment_id").distinct()
+    ground = labeled.join(F.broadcast(ground_segs), "segment_id") \
+        .select(id_col).withColumn("__ground", F.lit(1))
+    out = points.join(ground, id_col, "left")
+    if classify:
+        return out.withColumn(
+            "classification",
+            F.expr("CASE WHEN __ground = 1 THEN 2 ELSE 1 END")).drop("__ground")
+    return out.where("__ground = 1").drop("__ground")
