@@ -110,3 +110,73 @@ def test_geomorphons_vs_reference_loop(spark):
     assert got == want
     assert set(want.values()) - {0.0}, "expected non-error classes"
     assert len(set(want.values())) >= 3, "fixture should span several landforms"
+
+
+def test_viewshed_numpy_transcription_parity(spark):
+    """Random rough terrain vs a direct numpy transcription of the R3
+    reference walk (same rint rounding, same comparison order)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    N = 24
+    vals = (rng.rand(N, N) * 40.0).round(1)
+    meta = GridMeta(rows=N, columns=N, north=N * 10.0, south=0.0,
+                    east=N * 10.0, west=0.0,
+                    resolution_x=10.0, resolution_y=10.0)
+    vr, vc, h = 5, 7, 2.0
+    got = _grid(viewshed(_df(spark, vals.tolist()), meta, vr, vc, vp_height=h))
+    z0 = vals[vr, vc] + h
+    for r in range(N):
+        for c in range(N):
+            dr, dc = r - vr, c - vc
+            n = max(abs(dr), abs(dc))
+            dist = math.hypot(dr * 10.0, dc * 10.0)
+            if dist == 0.0:
+                assert got[(r, c)] == 1.0
+                continue
+            tgt = (vals[r, c] - z0) / dist
+            vis = 1.0
+            for s in range(1, n):
+                t = s / n
+                ir = int(np.rint(vr + dr * t))
+                ic = int(np.rint(vc + dc * t))
+                d = math.hypot((ir - vr) * 10.0, (ic - vc) * 10.0)
+                if d > 0 and (vals[ir, ic] - z0) / d >= tgt:
+                    vis = 0.0
+                    break
+            assert got[(r, c)] == vis, (r, c)
+
+
+@pytest.mark.parametrize("azim,md", [(37.0, None), (211.0, 90.0)])
+def test_horizon_angle_numpy_transcription_parity(spark, azim, md):
+    """Arbitrary azimuth (and a max_dist variant) vs a transcription of
+    the reference ray walk with stop-at-first-failure semantics."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    N = 20
+    vals = (rng.rand(N, N) * 30.0).round(1)
+    meta = GridMeta(rows=N, columns=N, north=N * 10.0, south=0.0,
+                    east=N * 10.0, west=0.0,
+                    resolution_x=10.0, resolution_y=10.0)
+    got = _grid(horizon_angle(_df(spark, vals.tolist()), meta,
+                              azimuth=azim, max_dist=md))
+    az = math.radians(azim)
+    sr, sc = -math.cos(az), math.sin(az)
+    smax = (int(md / 10.0) + 2) if md is not None else int(math.hypot(N, N)) + 2
+    limit = md if md is not None else float("inf")
+    for r in range(N):
+        for c in range(N):
+            best = -np.inf
+            for s in range(1, smax + 1):
+                ir = int(np.rint(r + sr * s))
+                ic = int(np.rint(c + sc * s))
+                if not (0 <= ir < N and 0 <= ic < N):
+                    break
+                d = math.hypot((ir - r) * 10.0, (ic - c) * 10.0)
+                if d > limit:
+                    break
+                if d > 0:
+                    best = max(best, (vals[ir, ic] - vals[r, c]) / d)
+            want = math.atan(best) if np.isfinite(best) else 0.0
+            assert got[(r, c)] == pytest.approx(want, abs=1e-12), (r, c)

@@ -7,27 +7,22 @@ Reference anchors:
 - HorizonAngle (terrain_analysis/horizon_angle.rs): per cell, the max
   elevation angle toward a fixed azimuth.
 
-Round-2 plans (replacing the driver-side dense grid + per-row Python
-ray loops):
+Round-4 plans (replacing the round-2 sector / band applyInPandas
+kernels, which held O(cells/sector + halo) numpy state per task):
 
-- viewshed: ANGULAR-SECTOR decomposition. Every LOS sample for a target
-  in sector k lies within sector k +- 1 (ray samples round off the exact
-  ray by <= ~0.7 cells, an angular error < atan(1.5/d)), except samples
-  near the viewpoint — so each DEM cell scatters to its own sector +- 1,
-  and cells within NEAR_R Chebyshev of the viewpoint scatter to ALL
-  sectors. One groupBy(sector) + applyInPandas; the kernel walks all of
-  the sector's targets SIMULTANEOUSLY, one vectorized numpy lookup per
-  ray step. Nothing driver-side, sector fan-out <= 3x + a constant.
-- horizon_angle: DOMINANT-AXIS BAND decomposition. Rays march along the
-  azimuth; banding on the perpendicular (dominant) axis with a halo
-  covering the worst-case ray drift (bounded by max_dist, or the grid
-  extent for unlimited scans — pass max_dist at scale, near-diagonal
-  azimuths otherwise degrade to wide strips). Kernel sweeps all band
-  cells per step with dense-subgrid lookups.
+- viewshed and horizon_angle are PURE SQL: targets EXPLODE their ray
+  sample indices, sample coordinates are codegen BROUNDs (numpy-rint
+  half-even parity), sample elevations arrive by equi-join against the
+  cells table, and the per-target verdict is one aggregation
+  (any-blocked / max-angle with a window MIN reproducing the
+  stop-at-first-failure ray semantics). Per-task memory is bounded by
+  the shuffle partition at ANY raster size; the O(N^1.5) total sample
+  volume is inherent to R3 sampling and spreads across the cluster.
 
-Both kernels replicate the scalar reference loop EXACTLY (same rint
-rounding, same distance and angle expressions, same comparison order),
-so results are bit-identical to the round-1 implementation.
+Both plans replicate the scalar reference loop's arithmetic EXACTLY
+(same rint rounding, same distance and angle expressions, same
+comparison order) — randomized numpy-transcription parity is
+pytest-gated (tests/test_visibility.py).
 """
 
 from __future__ import annotations
@@ -48,152 +43,154 @@ _OUT_SCHEMA = StructType([
     StructField("value", DoubleType(), False),
 ])
 
-_NEAR_R = 16          # cells this close to the viewpoint join every sector
-_SECTORS = 64         # 2*pi/64 = 0.098 rad > atan(1.5/16) = 0.094 rad
-
 
 def viewshed(cells: DataFrame, meta: GridMeta, vp_row: int, vp_col: int,
              vp_height: float = 2.0) -> DataFrame:
     """1.0 where the cell center is visible from the (raised) viewpoint,
-    0.0 otherwise. LOS sampled at unit steps along the ray (R3 family)."""
+    0.0 otherwise. LOS sampled at unit steps along the ray (R3 family,
+    terrain_analysis/viewshed.rs sampling).
+
+    Pure SQL plan (round-4, replacing the sector applyInPandas kernel):
+    each target cell EXPLODEs its ray-sample indices s = 1..n-1, the
+    sample coordinate is a codegen BROUND (numpy-rint parity), and the
+    sample elevation arrives by equi-join against the cells table; a
+    target is blocked iff any sample's angle >= its own. No per-task
+    grid state at all — memory is bounded by the shuffle partition, so
+    the plan survives any DEM size (the O(N^1.5) sample volume is
+    inherent to R3 and spreads across the cluster). Missing samples
+    (nodata holes) are skipped by the join, like the kernel's NaN
+    skip."""
     resx, resy = meta.resolution_x, meta.resolution_y
     spark = cells.sparkSession
+    vz = cells.where(f"row = {vp_row} AND col = {vp_col}").collect()
+    if not vz or vz[0]["value"] is None or math.isnan(vz[0]["value"]):
+        # the reference emits an all-zero viewshed for a nodata viewpoint
+        return cells.selectExpr("row", "col", "CAST(0.0 AS DOUBLE) AS value")
+    z0 = float(vz[0]["value"]) + vp_height
 
-    # fewer sectors are always SAFE (wider angular margins); scale the
-    # count with raster size so small DEMs don't pay 64 kernel groups
-    n_sec = max(8, min(_SECTORS, (meta.rows * meta.columns) // 1024))
-
-    # sector of every cell (atan2 over cell offsets); near cells -> all
-    sec = (
-        f"CAST(FLOOR((ATAN2(CAST(row - {vp_row} AS DOUBLE), "
-        f"CAST(col - {vp_col} AS DOUBLE)) + PI()) / (2.0 * PI()) * {n_sec}) AS INT)"
+    dist = (f"SQRT((CAST(row - {vp_row} AS DOUBLE) * {resy!r}) "
+            f"* (CAST(row - {vp_row} AS DOUBLE) * {resy!r}) "
+            f"+ (CAST(col - {vp_col} AS DOUBLE) * {resx!r}) "
+            f"* (CAST(col - {vp_col} AS DOUBLE) * {resx!r}))")
+    targets = cells.selectExpr(
+        "row", "col",
+        f"CAST(row - {vp_row} AS DOUBLE) AS __dr",
+        f"CAST(col - {vp_col} AS DOUBLE) AS __dc",
+        f"GREATEST(ABS(row - {vp_row}), ABS(col - {vp_col})) AS __n",
+        f"{dist} AS __dist",
+        f"(value - {z0!r}) / NULLIF({dist}, 0.0) AS __tgt",
     )
-    base = cells.selectExpr("row", "col", "value", f"LEAST({sec}, {n_sec - 1}) AS __sec",
-                            f"GREATEST(ABS(row - {vp_row}), ABS(col - {vp_col})) AS __cheb")
-    far = base.where(f"__cheb > {_NEAR_R}")
-    spread = (
-        far.withColumn("sector", F.explode(F.expr(
-            f"ARRAY((__sec + {n_sec - 1}) % {n_sec}, __sec, (__sec + 1) % {n_sec})")))
-        .selectExpr("row", "col", "value", "sector", "sector = __sec AS is_core")
+    samples = (
+        targets.where("__n >= 2")
+        .selectExpr("row", "col", "__tgt", "__dr", "__dc", "__n",
+                    "EXPLODE(SEQUENCE(1L, __n - 1L)) AS s")
+        .selectExpr(
+            "row", "col", "__tgt",
+            f"CAST(BROUND({vp_row} + __dr * (CAST(s AS DOUBLE) "
+            f"/ CAST(__n AS DOUBLE)), 0) AS BIGINT) AS ir",
+            f"CAST(BROUND({vp_col} + __dc * (CAST(s AS DOUBLE) "
+            f"/ CAST(__n AS DOUBLE)), 0) AS BIGINT) AS ic",
+        )
     )
-    # near cells join every sector (their samples can appear in any ray)
-    # but are LOS targets only in their own sector
-    near = base.where(f"__cheb <= {_NEAR_R}").crossJoin(
-        F.broadcast(spark.range(n_sec).selectExpr("CAST(id AS INT) AS sector"))
-    ).selectExpr("row", "col", "value", "sector", "sector = __sec AS is_core")
-    scattered = spread.unionByName(near)
-
-    cols_n = meta.columns
-
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        zmap = pd.Series(pdf["value"].to_numpy(),
-                         index=pdf["row"].to_numpy() * cols_n + pdf["col"].to_numpy())
-        zmap = zmap[~zmap.index.duplicated()]
-        vz = zmap.get(vp_row * cols_n + vp_col)
-        core = pdf[pdf["is_core"]]
-        rr = core["row"].to_numpy(dtype=np.int64)
-        cc = core["col"].to_numpy(dtype=np.int64)
-        if vz is None or math.isnan(vz):
-            return pd.DataFrame({"row": rr, "col": cc,
-                                 "value": np.zeros(len(rr))})
-        z0 = float(vz) + vp_height
-        dr = rr - vp_row
-        dc = cc - vp_col
-        dist = np.hypot(dr * resy, dc * resx)
-        n = np.maximum(np.abs(dr), np.abs(dc)).astype(np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tgt_angle = (core["value"].to_numpy() - z0) / dist
-        visible = np.ones(len(rr), dtype=bool)
-        smax = int(n.max()) if len(n) else 0
-        for s in range(1, smax):
-            active = (s < n) & visible
-            if not active.any():
-                break
-            t = s / n[active]
-            ir = np.rint(vp_row + dr[active] * t).astype(np.int64)
-            ic = np.rint(vp_col + dc[active] * t).astype(np.int64)
-            d = np.hypot((ir - vp_row) * resy, (ic - vp_col) * resx)
-            z = zmap.reindex(ir * cols_n + ic).to_numpy()
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ang = (z - z0) / d
-            blocked = np.zeros(len(ir), dtype=bool)
-            ok = (d > 0) & ~np.isnan(z)
-            blocked[ok] = ang[ok] >= tgt_angle[active][ok]
-            idx = np.flatnonzero(active)
-            visible[idx[blocked]] = False
-        out = np.where(dist == 0.0, 1.0, visible.astype(np.float64))
-        return pd.DataFrame({"row": rr, "col": cc, "value": out})
-
-    return scattered.groupBy("sector").applyInPandas(kernel, schema=_OUT_SCHEMA)
+    sd = (f"SQRT((CAST(ir - {vp_row} AS DOUBLE) * {resy!r}) "
+          f"* (CAST(ir - {vp_row} AS DOUBLE) * {resy!r}) "
+          f"+ (CAST(ic - {vp_col} AS DOUBLE) * {resx!r}) "
+          f"* (CAST(ic - {vp_col} AS DOUBLE) * {resx!r}))")
+    blocked = (
+        samples.join(cells.selectExpr("row AS ir", "col AS ic", "value AS sz"),
+                     ["ir", "ic"])
+        .where(f"(sz - {z0!r}) / NULLIF({sd}, 0.0) >= __tgt")
+        .select("row", "col").distinct()
+        .withColumn("__blocked", F.lit(1))
+    )
+    return (
+        targets.join(blocked, ["row", "col"], "left")
+        .selectExpr(
+            "row", "col",
+            "CASE WHEN __dist = 0.0 THEN 1.0 "
+            "WHEN __blocked IS NULL THEN 1.0 ELSE 0.0 END AS value")
+    )
 
 
 def horizon_angle(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
                   max_dist: float | None = None, band: int = 64) -> DataFrame:
     """Per-cell maximum elevation angle (radians, atan of rise/run)
-    looking toward `azimuth` degrees clockwise from north."""
+    looking toward `azimuth` degrees clockwise from north
+    (terrain_analysis/horizon_angle.rs).
+
+    Pure SQL plan (round-4, replacing the banded applyInPandas kernel):
+    every cell EXPLODEs its ray steps (capped per cell by its exact
+    grid-exit step + margin), sample coordinates are codegen BROUNDs,
+    elevations arrive by equi-join, and the reference's stop-at-first-
+    failure semantics are reproduced with one window MIN over the
+    per-cell failing steps. Memory is bounded by the shuffle partition —
+    no halo strips, no per-task subgrids, any azimuth costs the same.
+    `band` is kept for signature compatibility (unused)."""
     az = math.radians(azimuth)
     step_r, step_c = -math.cos(az), math.sin(az)
     resx, resy = meta.resolution_x, meta.resolution_y
     rows_n, cols_n = meta.rows, meta.columns
-    limit = max_dist if max_dist is not None else float("inf")
-
-    # worst-case ray length in steps (bounded by max_dist or the grid)
     if max_dist is not None:
         smax_global = int(max_dist / min(resx, resy)) + 2
     else:
         smax_global = int(math.hypot(rows_n, cols_n)) + 2
-    # banding on the axis the ray moves along LEAST (perpendicular-ish):
-    # drift of the ray on that axis over its whole length sizes the halo
-    vertical = abs(step_r) >= abs(step_c)
-    axis = "col" if vertical else "row"
-    drift = (abs(step_c) if vertical else abs(step_r)) * min(
-        smax_global, int(math.hypot(rows_n, cols_n)) + 2)
-    halo = int(math.ceil(drift)) + 2
 
-    n_bands = ((cols_n if vertical else rows_n) + band - 1) // band
-    lo = f"GREATEST(CAST(FLOOR(({axis} - {halo}) / {band}) AS BIGINT), 0)"
-    hi = f"LEAST(CAST(FLOOR(({axis} + {halo}) / {band}) AS BIGINT), {n_bands - 1})"
-    scattered = cells.selectExpr(
-        "row", "col", "value",
-        f"CAST(FLOOR({axis} / {band}) AS BIGINT) AS __band",
-        f"EXPLODE(SEQUENCE({lo}, {hi})) AS sector",
-    ).selectExpr("row", "col", "value", "sector", "sector = __band AS is_core")
+    # exact per-cell cap: the step at which the un-rounded ray position
+    # crosses the rint boundary (fr < -0.5 or fr > n - 0.5) — beyond it
+    # every sample is out of bounds, so capping the explode loses
+    # nothing; +2 margin for float slack
+    def exit_expr(pos: str, step: float, n: int) -> str:
+        if step > 0.0:
+            return f"(({n} - 0.5 - {pos}) / {step!r})"
+        if step < 0.0:
+            return f"(({pos} + 0.5) / {-step!r})"
+        return f"CAST({smax_global} AS DOUBLE)"
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        zmap = pd.Series(pdf["value"].to_numpy(),
-                         index=pdf["row"].to_numpy() * cols_n + pdf["col"].to_numpy())
-        zmap = zmap[~zmap.index.duplicated()]
-        core = pdf[pdf["is_core"]]
-        rr = core["row"].to_numpy(dtype=np.int64)
-        cc = core["col"].to_numpy(dtype=np.int64)
-        z0 = core["value"].to_numpy(dtype=np.float64)
-        best = np.full(len(rr), -np.inf)
-        alive = np.ones(len(rr), dtype=bool)
-        for s in range(1, smax_global + 1):
-            if not alive.any():
-                break
-            fr = rr + step_r * s
-            fc = cc + step_c * s
-            ir = np.rint(fr).astype(np.int64)
-            ic = np.rint(fc).astype(np.int64)
-            inb = (ir >= 0) & (ir < rows_n) & (ic >= 0) & (ic < cols_n) & alive
-            alive = alive & inb
-            if not alive.any():
-                break
-            d = np.hypot((ir - rr) * resy, (ic - cc) * resx)
-            over = d > limit
-            alive = alive & ~over
-            act = alive & (d > 0)
-            if act.any():
-                z = zmap.reindex(ir[act] * cols_n + ic[act]).to_numpy()
-                ang = (z - z0[act]) / d[act]
-                ok = ~np.isnan(ang)
-                upd = np.flatnonzero(act)[ok]
-                best[upd] = np.maximum(best[upd], ang[ok])
-        val = np.where(np.isfinite(best), np.arctan(best), 0.0)
-        return pd.DataFrame({"row": rr, "col": cc, "value": val})
+    cap = (f"LEAST(CAST(CEIL(LEAST({exit_expr('row', step_r, rows_n)}, "
+           f"{exit_expr('col', step_c, cols_n)})) AS BIGINT) + 2L, "
+           f"{smax_global}L)")
+    samples = (
+        cells.selectExpr("row", "col", "value AS __z0", f"{cap} AS __cap")
+        .where("__cap >= 1")
+        .selectExpr("row", "col", "__z0",
+                    "EXPLODE(SEQUENCE(1L, __cap)) AS s")
+        .selectExpr(
+            "row", "col", "__z0", "s",
+            f"CAST(BROUND(row + {step_r!r} * s, 0) AS BIGINT) AS ir",
+            f"CAST(BROUND(col + {step_c!r} * s, 0) AS BIGINT) AS ic",
+        )
+        .selectExpr(
+            "row", "col", "__z0", "s", "ir", "ic",
+            f"SQRT((CAST(ir - row AS DOUBLE) * {resy!r}) "
+            f"* (CAST(ir - row AS DOUBLE) * {resy!r}) "
+            f"+ (CAST(ic - col AS DOUBLE) * {resx!r}) "
+            f"* (CAST(ic - col AS DOUBLE) * {resx!r})) AS d",
+        )
+    )
+    in_grid = f"ir >= 0 AND ir < {rows_n} AND ic >= 0 AND ic < {cols_n}"
+    fail = f"NOT ({in_grid})" if max_dist is None else         f"NOT ({in_grid}) OR d > {float(max_dist)!r}"
+    from pyspark.sql import Window
 
-    return scattered.groupBy("sector").applyInPandas(kernel, schema=_OUT_SCHEMA)
+    w = Window.partitionBy("row", "col")
+    alive = (
+        samples.withColumn(
+            "__first_fail",
+            F.min(F.expr(f"CASE WHEN {fail} THEN s END")).over(w))
+        .where(f"NOT ({fail}) AND (__first_fail IS NULL OR s < __first_fail) "
+               "AND d > 0.0")
+    )
+    best = (
+        alive.join(cells.selectExpr("row AS ir", "col AS ic", "value AS sz"),
+                   ["ir", "ic"], "left")
+        .groupBy("row", "col")
+        .agg(F.max(F.expr("(sz - __z0) / NULLIF(d, 0.0)")).alias("__best"))
+    )
+    return (
+        cells.join(best, ["row", "col"], "left")
+        .selectExpr("row", "col",
+                    "CASE WHEN __best IS NULL THEN 0.0 "
+                    "ELSE ATAN(__best) END AS value")
+    )
 
 
 _GEO_CLASSES = np.array([
