@@ -107,3 +107,50 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     # first sighting flagged exactly once per digest
     news = log[log.is_new].groupby("digest").size()
     assert (news == 1).all() and set(news.index) == set(want)
+
+
+def test_checkpointed_run_iceberg_writer_sequence(spark, tmp_path, monkeypatch):
+    """The iceberg flag routes through the V2 writer with the partition
+    key stamped on: overwrite -> overwritePartitions(), append ->
+    append(). No Iceberg runtime in this sandbox, so the writer calls
+    are intercepted at the DataFrame boundary and the stamped rows are
+    captured into an in-memory 'table'."""
+    from whitebox_tools_spark.plans.lineage import CheckpointedRun
+
+    captured = {"calls": [], "rows": []}
+
+    class FakeWriter:
+        def __init__(self, df, table):
+            self.df, self.table = df, table
+
+        def overwritePartitions(self):
+            captured["calls"].append(("overwritePartitions", self.table))
+            captured["rows"].extend(self.df.collect())
+
+        def append(self):
+            captured["calls"].append(("append", self.table))
+            captured["rows"].extend(self.df.collect())
+
+    # patch the CONCRETE DataFrame class (pyspark 4's classic subclass
+    # overrides writeTo, so patching the abstract base has no effect)
+    monkeypatch.setattr(type(spark.range(1)), "writeTo",
+                        lambda self, table: FakeWriter(self, table))
+
+    monkeypatch.setattr(
+        spark.__class__, "table",
+        lambda self, name: spark.createDataFrame(
+            captured["rows"] or [], "id long, partition_key string"))
+
+    run = CheckpointedRun(spark, str(tmp_path), "r1",
+                          table_format="iceberg", iceberg_table="cat.db.t")
+    stats = run.run(["k1"], lambda sp, key: sp.range(5))
+    assert stats == {"skipped": 0, "completed": 1, "failed": 0}
+    assert captured["calls"] == [("overwritePartitions", "cat.db.t")]
+    assert all(r["partition_key"] == "k1" for r in captured["rows"])
+    assert len(captured["rows"]) == 5
+    # resume skips the completed partition
+    stats2 = CheckpointedRun(spark, str(tmp_path), "r1",
+                             table_format="iceberg",
+                             iceberg_table="cat.db.t").run(
+        ["k1"], lambda sp, key: sp.range(5))
+    assert stats2 == {"skipped": 1, "completed": 0, "failed": 0}

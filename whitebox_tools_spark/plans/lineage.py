@@ -37,8 +37,16 @@ LINEAGE_SCHEMA = (
 @dataclass
 class CheckpointedRun:
     spark: SparkSession
-    base: str  # checkpoint root directory (or Iceberg location)
+    base: str  # checkpoint root directory (lineage log always lives here)
     run_id: str
+    # "parquet": directory-per-partition under base/output (default, runs
+    # anywhere). "iceberg": append/overwritePartitions into
+    # `iceberg_table` via the DataFrameWriterV2 API — requires an
+    # Iceberg-enabled session (spark.sql.catalog.* configured); the
+    # sandbox has no Iceberg runtime, so this path is exercised by a
+    # writer-sequence pytest and documented for cluster use.
+    table_format: str = "parquet"
+    iceberg_table: str | None = None  # catalog.db.table for table_format="iceberg"
 
     @property
     def lineage_dir(self) -> str:
@@ -82,6 +90,33 @@ class CheckpointedRun:
             self.spark.createDataFrame([], schema=LINEAGE_SCHEMA)
         )
 
+    # -- partition sink ------------------------------------------------
+
+    def _write_partition(self, df: DataFrame, key: str, mode: str) -> int:
+        """Write one partition's result, return its row count.
+
+        parquet: base/output/partition_key=<key>/ (hive-style dir).
+        iceberg: the partition_key column is stamped on and the V2
+        writer targets `iceberg_table` — overwritePartitions() for
+        mode="overwrite" (idempotent re-runs replace only this
+        partition's files via Iceberg's dynamic partition overwrite),
+        append() otherwise. Snapshot isolation makes the attempt atomic;
+        the table should be PARTITIONED BY (partition_key)."""
+        if self.table_format == "iceberg":
+            if not self.iceberg_table:
+                raise ValueError("iceberg_table required for table_format='iceberg'")
+            stamped = df.withColumn("partition_key", F.lit(key))
+            writer = stamped.writeTo(self.iceberg_table)
+            if mode == "overwrite":
+                writer.overwritePartitions()
+            else:
+                writer.append()
+            return (self.spark.table(self.iceberg_table)
+                    .where(F.col("partition_key") == key).count())
+        out = os.path.join(self.output_dir, f"partition_key={key}")
+        df.write.mode(mode).parquet(out)
+        return self.spark.read.parquet(out).count()
+
     # -- execution -----------------------------------------------------
 
     def run(
@@ -103,9 +138,7 @@ class CheckpointedRun:
             t0 = time.time()
             try:
                 df = job(self.spark, key)
-                out = os.path.join(self.output_dir, f"partition_key={key}")
-                df.write.mode(mode).parquet(out)
-                rows = self.spark.read.parquet(out).count()
+                rows = self._write_partition(df, key, mode)
                 dt = time.time() - t0
                 self._log(
                     {
