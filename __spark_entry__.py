@@ -1680,6 +1680,81 @@ def _q_remove_short_streams(spark, sf):
     return HY.remove_short_streams(_ras_c(spark, sf), _META40C, 4.0, 45.0)
 
 
+def _q_reclass_equal_interval(spark, sf):
+    """ReclassEqualInterval: floor-bucket remap, default start at the
+    raster minimum. Exact floor math — oracle-gated."""
+    return R.reclass_equal_interval(_ras(spark, sf, "a"), interval=50.0)
+
+
+def _q_reclass_from_file(spark, sf):
+    """ReclassFromFile: (new, lo, hi) triples parsed from a text file
+    (with a 'max' token) feeding the reclass plan. Oracle re-states the
+    ranges as a CASE."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="reclass_")
+    p = os.path.join(d, "r.txt")
+    with open(p, "w") as f:
+        f.write("111;0;300\n222;300;600\n333;600;max\n")
+    return R.reclass_from_file(_ras(spark, sf, "a"), p)
+
+
+def _q_lidar_shift(spark, sf):
+    """LidarShift: pure translation projection. Oracle-gated."""
+    return LI.lidar_shift(_points(spark, sf), 100.0, -50.0, 7.0) \
+        .select("record_num", "x", "y", "value")
+
+
+def _q_map_off_terrain(spark, sf):
+    """MapOffTerrainObjects: slope-edge connected components. Rows-only;
+    scene pytest (tests/test_small_ops_r4.py)."""
+    from whitebox_tools_spark.operators.focal import map_off_terrain_objects
+
+    return map_off_terrain_objects(_ras_c(spark, sf), _META40C,
+                                   max_slope=40.0, min_size=2)
+
+
+def _q_find_main_stem(spark, sf):
+    """FindMainStem = Hack-order-1 cells (same greatest-upstream-length
+    rule). Rows-only; equivalence pytest vs hack_order."""
+    return HY.find_main_stem(_ras_c(spark, sf), _META40C, 4.0)
+
+
+def _q_single_to_multi_part(spark, sf):
+    """SinglePartToMultiPart grouped by shape kind, flattened to
+    (group, shape_id, part_idx, node_idx, x, y) — the part renumbering
+    and vertex order are SQL-restatable, so oracle-gated."""
+    from whitebox_tools_spark.operators.vector_ops import single_part_to_multi_part
+
+    feats = _shapes(spark, sf).selectExpr("shape_id", "parts",
+                                          "CAST(shape_id % 2 AS INT) AS kind")
+    merged = single_part_to_multi_part(feats, "kind")
+    return merged.selectExpr("kind", "shape_id", "POSEXPLODE(parts) AS (pi, p)") \
+        .selectExpr("kind", "shape_id", "p.part_idx AS part_idx",
+                    "POSEXPLODE(p.ring) AS (node_idx, v)") \
+        .selectExpr("kind", "shape_id", "part_idx", "node_idx",
+                    "v.x AS x", "v.y AS y")
+
+
+def _q_lines_to_polygons(spark, sf):
+    """LinesToPolygons over OPEN lines (rect rings minus their closing
+    vertex): the closure rule appends vertex 0 — oracle re-derives the
+    closed ring directly. polygons_to_lines is the inverse relabel and
+    shares this gate's plumbing."""
+    from whitebox_tools_spark.operators.vector_ops import (lines_to_polygons,
+                                                           polygons_to_lines)
+
+    feats = _shapes(spark, sf, kind=0).selectExpr(
+        "shape_id",
+        "TRANSFORM(parts, p -> STRUCT(p.part_idx AS part_idx, p.is_hole AS is_hole, "
+        "SLICE(p.ring, 1, SIZE(p.ring) - 1) AS ring)) AS parts")
+    closed = lines_to_polygons(polygons_to_lines(feats))
+    return closed.selectExpr("shape_id", "EXPLODE(parts) AS p") \
+        .selectExpr("shape_id", "POSEXPLODE(p.ring) AS (node_idx, v)") \
+        .selectExpr("shape_id", "node_idx", "v.x AS x", "v.y AS y")
+
+
 def _q_hack_order(spark, sf):
     """Main-stem selection is a procedural top-down DAG propagation —
     rows-only + pytest network parity."""
@@ -2706,6 +2781,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": _q_histogram,
         "map_algebra_add": _q_map_algebra_add,
         "reclass": _q_reclass,
+        "reclass_equal_interval": _q_reclass_equal_interval,
+        "reclass_from_file": _q_reclass_from_file,
+        "lidar_shift": _q_lidar_shift,
+        "map_off_terrain": _q_map_off_terrain,
+        "find_main_stem": _q_find_main_stem,
+        "single_to_multi_part": _q_single_to_multi_part,
+        "lines_to_polygons": _q_lines_to_polygons,
         "focal_median": _q_focal_median,
         "focal_majority": _q_focal_majority,
         "aspect": _q_aspect,
@@ -5916,6 +5998,46 @@ def oracle_sql() -> dict[str, str]:
         **_vector2_oracles(),
         **_morph_oracles(),
         "pca3": _pca3_oracle(),
+        "reclass_equal_interval": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), "
+            "m AS (SELECT MIN(value) AS mn FROM ras_a) "
+            "SELECT row, col, CASE WHEN value >= mn "
+            "THEN FLOOR(value / CAST(50 AS DOUBLE)) * CAST(50 AS DOUBLE) "
+            "ELSE value END AS value FROM ras_a, m"
+        ),
+        "reclass_from_file": (
+            f"WITH ras_a AS ({_RAS_A_SQL}), "
+            "m AS (SELECT MAX(value) AS mx FROM ras_a) "
+            "SELECT row, col, CASE "
+            "WHEN value >= 0 AND value < 300 THEN CAST(111 AS DOUBLE) "
+            "WHEN value >= 300 AND value < 600 THEN CAST(222 AS DOUBLE) "
+            "WHEN value >= 600 AND value < mx THEN CAST(333 AS DOUBLE) "
+            "ELSE value END AS value FROM ras_a, m"
+        ),
+        "lidar_shift": (
+            f"WITH pts AS ({_PTS_SQL}) "
+            "SELECT record_num, x + CAST(100 AS DOUBLE) AS x, "
+            "y - CAST(50 AS DOUBLE) AS y, "
+            "value + CAST(7 AS DOUBLE) AS value FROM pts"
+        ),
+        "single_to_multi_part": (
+            f"WITH base AS ({_SHAPES_BASE}), "
+            f"rs AS (SELECT shape_id, kind, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+            f"ELSE {_DIAM_DUCK} END AS ring FROM base), "
+            "idx AS (SELECT kind, shape_id, ring, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY kind ORDER BY shape_id) - 1 AS INT) "
+            "AS part_idx, MIN(shape_id) OVER (PARTITION BY kind) AS mshape FROM rs) "
+            "SELECT idx.kind, idx.mshape AS shape_id, idx.part_idx, "
+            "CAST(t.i AS INT) AS node_idx, ring[t.i + 1].x AS x, ring[t.i + 1].y AS y "
+            "FROM idx CROSS JOIN UNNEST([0, 1, 2, 3, 4]) AS t(i)"
+        ),
+        "lines_to_polygons": (
+            f"WITH base AS ({_SHAPES_BASE}), "
+            f"rs AS (SELECT shape_id, {_RECT_DUCK} AS ring FROM base WHERE kind = 0) "
+            "SELECT shape_id, CAST(t.i AS INT) AS node_idx, "
+            "ring[t.i + 1].x AS x, ring[t.i + 1].y AS y "
+            "FROM rs CROSS JOIN UNNEST([0, 1, 2, 3, 4]) AS t(i)"
+        ),
         "lidar_histogram": (
             # the reference's two passes re-derived independently:
             # 1000-bin clip walk (cumulative-from-each-end, threshold

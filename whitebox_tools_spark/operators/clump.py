@@ -85,3 +85,34 @@ def clump(cells: DataFrame, columns: int, diag: bool = True,
     return lbl.join(reps, "lbl").select(
         "row", "col", "value", F.col("clump_id").cast("long").alias("clump_id")
     )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         id_col: str = "id",
+                         max_rounds: int = 64) -> DataFrame:
+    """Generic connected components over an explicit undirected edge
+    list: nodes (id) x edges (a, b) -> (id, comp) where comp is the
+    smallest node id in the component. Min-label propagation with
+    pointer jumping every third round (the clump machinery generalized
+    to any edge predicate — callers build `edges` declaratively)."""
+    sym = edges.selectExpr("a", "b").unionByName(
+        edges.selectExpr("b AS a", "a AS b")).distinct()
+    lbl = nodes.selectExpr(f"{id_col} AS id", f"{id_col} AS comp") \
+        .localCheckpoint(eager=True)
+    for round_no in range(max_rounds):
+        nbr = sym.join(lbl.selectExpr("id AS b", "comp AS bcomp"), "b") \
+            .groupBy("a").agg(F.min("bcomp").alias("mn")) \
+            .withColumnRenamed("a", "id")
+        new = lbl.join(nbr, "id", "left").selectExpr(
+            "id", "LEAST(comp, COALESCE(mn, comp)) AS comp")
+        if round_no % 3 == 2:
+            owners = new.selectExpr("id AS comp", "comp AS owner")
+            new = new.join(owners, "comp", "left").selectExpr(
+                "id", "LEAST(comp, COALESCE(owner, comp)) AS comp")
+        changed = new.join(lbl.withColumnRenamed("comp", "old"), "id") \
+            .where("comp <> old").count()
+        lbl = new.localCheckpoint(eager=True)
+        if changed == 0:
+            return lbl
+    ensure_converged(1, "connected_components", max_rounds)
+    return lbl

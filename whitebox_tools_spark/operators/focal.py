@@ -1709,3 +1709,58 @@ def remove_off_terrain_objects(cells: DataFrame, meta: GridMeta,
         .selectExpr(
             "row", "col",
             f"CASE WHEN z - op > {tol!r} THEN op ELSE z END AS value")
+
+
+def map_off_terrain_objects(cells: DataFrame, meta: GridMeta,
+                            max_slope: float = 30.0,
+                            min_size: int = 1) -> DataFrame:
+    """MapOffTerrainObjects (terrain_analysis/map_otos.rs:285-345):
+    region-grow the DEM into surfaces connected by inter-cell slope
+    < max_slope (tangent of |dz| over the 8-neighbor distance);
+    components smaller than min_size collapse to id 1, the rest get
+    sequential ids.
+
+    Plan: slope-predicate edges from one 8-neighbor join, generic
+    min-label connected components, DENSE_RANK over row-major
+    representatives for the reference's discovery-order numbering.
+    Deviation (documented): the reference numbers components in
+    row-major scan order and re-labels small ones to 1 afterwards,
+    which can leave gaps in its id sequence; here qualifying components
+    are ranked densely (no gaps) — same partition of cells, stabler
+    ids."""
+    import math as _m
+
+    from pyspark.sql import Window
+
+    from .clump import connected_components
+
+    tan_s = _m.tan(_m.radians(max_slope))
+    resx, resy = meta.resolution_x, meta.resolution_y
+    diag = _m.hypot(resx, resy)
+    cols_n = meta.columns
+    nodes = cells.selectExpr(f"(row * {cols_n}L + col) AS id")
+    offs = [(-1, 0, resy), (0, -1, resx), (-1, -1, diag), (-1, 1, diag)]
+    arms = ", ".join(
+        f"STRUCT(row + ({dr}L) AS nr, col + ({dc}L) AS nc, {d!r} AS dist)"
+        for dr, dc, d in offs)
+    half = cells.selectExpr(
+        "row", "col", "value",
+        f"EXPLODE(ARRAY({arms})) AS __n")
+    edges = (
+        half.join(cells.selectExpr("row AS nr2", "col AS nc2", "value AS nv"),
+                  (F.expr("__n.nr") == F.col("nr2")) & (F.expr("__n.nc") == F.col("nc2")))
+        .where(f"ABS(value - nv) / __n.dist < {tan_s!r}")
+        .selectExpr(f"(row * {cols_n}L + col) AS a",
+                    f"(__n.nr * {cols_n}L + __n.nc) AS b")
+    )
+    comp = connected_components(nodes, edges)
+    sized = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("__sz"))
+    big = sized.where(f"__sz >= {int(min_size)}")
+    ranked = big.withColumn(
+        "fid", F.dense_rank().over(Window.orderBy("comp")) + 1)
+    return (
+        comp.join(F.broadcast(ranked.select("comp", "fid")), "comp", "left")
+        .selectExpr(f"CAST(id DIV {cols_n} AS BIGINT) AS row",
+                    f"CAST(id % {cols_n} AS BIGINT) AS col",
+                    "CAST(COALESCE(fid, 1) AS DOUBLE) AS value")
+    )

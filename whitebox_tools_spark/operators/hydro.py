@@ -3003,3 +3003,19 @@ def strahler_order_basins(cells: DataFrame, meta: GridMeta,
         f"(row * {c}L + col) AS sid", "value AS so")
     return walk.join(orders, walk["term"] == orders["sid"], "inner") \
         .selectExpr("row", "col", "so AS value")
+
+
+def find_main_stem(cells: DataFrame, meta: GridMeta,
+                   threshold: float) -> DataFrame:
+    """FindMainStem (stream_network_analysis/find_main_stem.rs:285-430):
+    the reference propagates each channel head's label downstream
+    keeping the longest tributary length; heads whose label reaches an
+    outlet are the main stems. That is exactly the Hack-order-1 set —
+    hack_order.rs applies the same greatest-upstream-length main-stem
+    rule — so the plan reuses the link-DAG Hack propagation and keeps
+    order-1 cells. Deviation (documented): exact-length ties resolve to
+    the smaller link label (the Hack rule) where the reference's
+    stack-pop order decides; output is 1.0 on the main stem only
+    (background cells omitted, the sparse-raster convention used by the
+    other stream ops)."""
+    return hack_order(cells, meta, threshold).where("value = 1.0")

@@ -932,3 +932,17 @@ def lidar_segmentation_based_filter(points: DataFrame, radius: float = 5.0,
             "classification",
             F.expr("CASE WHEN __ground = 1 THEN 2 ELSE 1 END")).drop("__ground")
     return out.where("__ground = 1").drop("__ground")
+
+
+def lidar_shift(points: DataFrame, x_shift: float = 0.0, y_shift: float = 0.0,
+                z_shift: float = 0.0, z: str = "value") -> DataFrame:
+    """LidarShift (whitebox-plugins/src/lidar_shift/main.rs): translate
+    the cloud by (x_shift, y_shift, z_shift). Pure codegen projection."""
+    out = points
+    if x_shift != 0.0:
+        out = out.withColumn("x", F.expr(f"x + {float(x_shift)!r}"))
+    if y_shift != 0.0:
+        out = out.withColumn("y", F.expr(f"y + {float(y_shift)!r}"))
+    if z_shift != 0.0:
+        out = out.withColumn(z, F.expr(f"{z} + {float(z_shift)!r}"))
+    return out

@@ -1361,3 +1361,59 @@ def attribute_scattergram(table: DataFrame, field_x: str,
     .rs): the (x, y) pair table the reference plots — pure projection
     (the rendering itself is a client concern)."""
     return table.selectExpr(f"{field_x} AS x", f"{field_y} AS y")
+
+
+def reclass_equal_interval(cells: DataFrame, interval: float = 10.0,
+                           start_val: float | None = None,
+                           end_val: float | None = None) -> DataFrame:
+    """ReclassEqualInterval (gis_analysis/reclass_equal_interval.rs:
+    254-280): z in [start_val, end_val] -> floor(z / interval) *
+    interval; values outside the range pass through. start_val defaults
+    to the raster minimum (reference :254), end_val to +inf."""
+    if start_val is None:
+        start_val = float(cells.agg(F.min("value")).collect()[0][0])
+    hi = "CAST('Infinity' AS DOUBLE)" if end_val is None else repr(float(end_val))
+    iv = f"CAST({float(interval)!r} AS DOUBLE)"
+    return cells.selectExpr(
+        "row", "col",
+        f"CASE WHEN value >= {start_val!r} AND value <= {hi} "
+        f"THEN FLOOR(value / {iv}) * {iv} "
+        f"ELSE value END AS value",
+    )
+
+
+def reclass_from_file(cells: DataFrame, path: str) -> DataFrame:
+    """ReclassFromFile (gis_analysis/reclass_from_file.rs:226-260):
+    text file of (new, lo, hi) triples — or (new, old) pairs for exact
+    assign mode — delimited by ; , space or tab; 'min'/'max' tokens
+    resolve to the raster extremes. Delegates to the reclass plan."""
+    rows = []
+    assign_mode = False
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            for d in (";", ",", " ", "\t"):
+                v = [t for t in line.split(d) if t.strip()]
+                if len(v) >= 2:
+                    break
+            if len(v) == 2:
+                assign_mode = True
+            rows.append(v)
+    if any("min" in t.lower() or "max" in t.lower() for r in rows for t in r):
+        mm = cells.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+        lo, hi = float(mm["lo"]), float(mm["hi"])
+    else:
+        lo = hi = 0.0
+
+    def tok(t: str) -> float:
+        tl = t.lower()
+        return lo if "min" in tl else hi if "max" in tl else float(t)
+
+    if assign_mode:
+        expr = F.col("value")
+        for r in reversed(rows):
+            expr = F.when(F.col("value") == tok(r[1]), F.lit(tok(r[0]))).otherwise(expr)
+        return cells.select("row", "col", expr.alias("value"))
+    return reclass(cells, [(tok(r[0]), tok(r[1]), tok(r[2])) for r in rows])

@@ -932,3 +932,53 @@ def split_with_lines(features: DataFrame, split_lines: DataFrame,
     return head.unionByName(tails) \
         .withColumn("vertex_idx", F.row_number().over(w3) - 1) \
         .select("shape_id", "part_idx", "piece_idx", "vertex_idx", "x", "y")
+
+
+def single_part_to_multi_part(features: DataFrame,
+                              group_col: str,
+                              id_col: str = "shape_id") -> DataFrame:
+    """SinglePartToMultiPart (data_tools/single_part_to_multipart.rs):
+    merge features sharing `group_col` into one multi-part feature;
+    parts renumber 0..k-1 in (feature id, part_idx) order. Output
+    (group, shape_id = smallest member id, parts)."""
+    exploded = (
+        features.select(group_col, id_col, F.explode("parts").alias("p"))
+        .selectExpr(group_col, id_col, "p.part_idx AS part_idx",
+                    "p.is_hole AS is_hole", "p.ring AS ring")
+    )
+    return (
+        exploded.groupBy(group_col)
+        .agg(F.min(id_col).alias(id_col),
+             F.expr(
+                 f"TRANSFORM(ARRAY_SORT(COLLECT_LIST(STRUCT({id_col} AS fid, "
+                 f"part_idx AS pi, is_hole, ring)), "
+                 "(l, r) -> CASE WHEN l.fid < r.fid OR (l.fid = r.fid AND l.pi < r.pi) "
+                 "THEN -1 WHEN l.fid = r.fid AND l.pi = r.pi THEN 0 ELSE 1 END), "
+                 "(p, i) -> STRUCT(CAST(i AS INT) AS part_idx, p.is_hole AS is_hole, "
+                 "p.ring AS ring))").alias("parts"))
+    )
+
+
+def polygons_to_lines(features: DataFrame) -> DataFrame:
+    """PolygonsToLines (data_tools/polygons_to_lines.rs): relabel
+    polygon features as polylines — rings become line parts verbatim
+    (hole flags drop, shape_type 5 -> 3)."""
+    return features.withColumn("shape_type", F.lit(3)).withColumn(
+        "parts",
+        F.expr("TRANSFORM(parts, p -> STRUCT(p.part_idx AS part_idx, "
+               "FALSE AS is_hole, p.ring AS ring))"))
+
+
+def lines_to_polygons(features: DataFrame) -> DataFrame:
+    """LinesToPolygons (data_tools/lines_to_polygons.rs): relabel
+    polylines as polygons, closing each part's ring when its endpoints
+    differ (append the first vertex, the reference's closure rule);
+    all parts become shells (shape_type 3 -> 5)."""
+    close = ("CASE WHEN SIZE(p.ring) >= 1 AND "
+             "(ELEMENT_AT(p.ring, 1).x <> ELEMENT_AT(p.ring, -1).x OR "
+             "ELEMENT_AT(p.ring, 1).y <> ELEMENT_AT(p.ring, -1).y) "
+             "THEN CONCAT(p.ring, ARRAY(ELEMENT_AT(p.ring, 1))) ELSE p.ring END")
+    return features.withColumn("shape_type", F.lit(5)).withColumn(
+        "parts",
+        F.expr(f"TRANSFORM(parts, p -> STRUCT(p.part_idx AS part_idx, "
+               f"FALSE AS is_hole, {close} AS ring))"))
