@@ -319,95 +319,114 @@ def geomorphons(cells: DataFrame, meta: GridMeta, search_radius: int = 10,
 def _ray_sweep(cells: DataFrame, meta: GridMeta, azimuth: float,
                max_dist: float | None, band: int, mode: str,
                increment: float = 0.05) -> DataFrame:
-    """Shared banded ray walk (the horizon_angle plan) with bilinear
-    surface interpolation (the Lapen & Martz rule fetch_analysis.rs
-    documents). mode: 'relief' (mean on-ray elevation minus z0) or
-    'fetch' (distance to first obstacle z >= z0 + D*increment; edge
-    truncation -> negative distance)."""
+    """Shared ray walk with bilinear surface interpolation (the
+    Lapen & Martz rule fetch_analysis.rs documents). mode: 'relief'
+    (mean on-ray elevation minus z0) or 'fetch' (distance to first
+    obstacle z >= z0 + D*increment; edge truncation -> negative
+    distance).
+
+    Pure SQL plan (round-4, replacing the banded applyInPandas kernel):
+    each cell EXPLODEs its ray steps (capped by its exact grid-exit
+    step — positions are linear in s, so the ray leaves the grid
+    exactly once), every step EXPLODEs its 4 bilinear corners with
+    weights, one equi-join brings corner elevations, and two
+    aggregations produce the per-cell answer (a sample is valid only
+    when all 4 corners exist, the kernel's NaN rule; the on-ray
+    distance is strictly monotone in s, so MIN(s) over hits IS the
+    first obstacle). Task memory bounded by the shuffle partition.
+    `band` kept for signature compatibility (unused). Note: the relief
+    mean sums in shuffle order, not ray order — same values up to float
+    reassociation (gates are rows-only + analytic pytest)."""
     az = math.radians(azimuth)
     step_r, step_c = -math.cos(az), math.sin(az)
     resx, resy = meta.resolution_x, meta.resolution_y
     rows_n, cols_n = meta.rows, meta.columns
-    limit = max_dist if max_dist is not None else float("inf")
     if max_dist is not None:
         smax_global = int(max_dist / min(resx, resy)) + 2
     else:
         smax_global = int(math.hypot(rows_n, cols_n)) + 2
-    vertical = abs(step_r) >= abs(step_c)
-    axis = "col" if vertical else "row"
-    drift = (abs(step_c) if vertical else abs(step_r)) * min(
-        smax_global, int(math.hypot(rows_n, cols_n)) + 2)
-    halo = int(math.ceil(drift)) + 2
-    n_bands = ((cols_n if vertical else rows_n) + band - 1) // band
-    lo = f"GREATEST(CAST(FLOOR(({axis} - {halo}) / {band}) AS BIGINT), 0)"
-    hi = f"LEAST(CAST(FLOOR(({axis} + {halo}) / {band}) AS BIGINT), {n_bands - 1})"
-    scattered = cells.selectExpr(
-        "row", "col", "value",
-        f"CAST(FLOOR({axis} / {band}) AS BIGINT) AS __band",
-        f"EXPLODE(SEQUENCE({lo}, {hi})) AS sector",
-    ).selectExpr("row", "col", "value", "sector", "sector = __band AS is_core")
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        zmap = pd.Series(pdf["value"].to_numpy(),
-                         index=pdf["row"].to_numpy() * cols_n + pdf["col"].to_numpy())
-        zmap = zmap[~zmap.index.duplicated()]
-        core = pdf[pdf["is_core"]]
-        rr = core["row"].to_numpy(dtype=np.int64)
-        cc = core["col"].to_numpy(dtype=np.int64)
-        z0 = core["value"].to_numpy(dtype=np.float64)
-        n = len(rr)
-        alive = np.ones(n, dtype=bool)
-        zsum = np.zeros(n)
-        zcnt = np.zeros(n)
-        fetch = np.full(n, np.nan)
-        lastd = np.zeros(n)
+    def exit_expr(pos: str, step: float, n: int) -> str:
+        # last s with 0 <= pos + step*s <= n-1 (monotone crossing)
+        if step > 0.0:
+            return f"(({n - 1} - {pos}) / {step!r})"
+        if step < 0.0:
+            return f"({pos} / {-step!r})"
+        return f"CAST({smax_global} AS DOUBLE)"
 
-        def zsurf(fr, fc):
-            r0 = np.clip(np.floor(fr).astype(np.int64), 0, rows_n - 1)
-            c0 = np.clip(np.floor(fc).astype(np.int64), 0, cols_n - 1)
-            r1 = np.minimum(r0 + 1, rows_n - 1)
-            c1 = np.minimum(c0 + 1, cols_n - 1)
-            tr = np.clip(fr - r0, 0.0, 1.0)
-            tc = np.clip(fc - c0, 0.0, 1.0)
-            z00 = zmap.reindex(r0 * cols_n + c0).to_numpy()
-            z01 = zmap.reindex(r0 * cols_n + c1).to_numpy()
-            z10 = zmap.reindex(r1 * cols_n + c0).to_numpy()
-            z11 = zmap.reindex(r1 * cols_n + c1).to_numpy()
-            return (z00 * (1 - tr) * (1 - tc) + z01 * (1 - tr) * tc
-                    + z10 * tr * (1 - tc) + z11 * tr * tc)
-
-        for s in range(1, smax_global + 1):
-            if not alive.any():
-                break
-            fr = rr + step_r * s
-            fc = cc + step_c * s
-            inb = (fr >= 0) & (fr <= rows_n - 1) & (fc >= 0) & (fc <= cols_n - 1)
-            d = np.hypot(step_r * s * resy, step_c * s * resx)
-            over = d > limit
-            stop = alive & (~inb | over)
-            alive = alive & inb & ~over
-            if not alive.any():
-                break
-            act = np.flatnonzero(alive)
-            z = zsurf(fr[act], fc[act])
-            ok = ~np.isnan(z)
-            idx = act[ok]
-            if mode == "relief":
-                zsum[idx] += z[ok]
-                zcnt[idx] += 1.0
-            else:
-                hit = z[ok] >= z0[idx] + d * increment
-                new = idx[hit & np.isnan(fetch[idx])]
-                fetch[new] = d
-                alive[new] = False
-            lastd[idx] = d
-        if mode == "relief":
-            val = np.where(zcnt > 0, zsum / np.maximum(zcnt, 1.0) - z0, 0.0)
-        else:
-            val = np.where(np.isnan(fetch), -lastd, fetch)
-        return pd.DataFrame({"row": rr, "col": cc, "value": val})
-
-    return scattered.groupBy("sector").applyInPandas(kernel, schema=_OUT_SCHEMA)
+    cap = (f"LEAST(CAST(CEIL(LEAST({exit_expr('row', step_r, rows_n)}, "
+           f"{exit_expr('col', step_c, cols_n)})) AS BIGINT) + 2L, "
+           f"{smax_global}L)")
+    d_expr = (f"SQRT(({step_r!r} * s * {resy!r}) * ({step_r!r} * s * {resy!r}) "
+              f"+ ({step_c!r} * s * {resx!r}) * ({step_c!r} * s * {resx!r}))")
+    steps = (
+        cells.selectExpr("row", "col", "value AS __z0", f"{cap} AS __cap")
+        .where("__cap >= 1")
+        .selectExpr("row", "col", "__z0", "EXPLODE(SEQUENCE(1L, __cap)) AS s")
+        .selectExpr("row", "col", "__z0", "s",
+                    f"row + {step_r!r} * s AS fr",
+                    f"col + {step_c!r} * s AS fc",
+                    f"{d_expr} AS d")
+        .where(f"fr >= 0.0 AND fr <= {rows_n - 1} "
+               f"AND fc >= 0.0 AND fc <= {cols_n - 1}")
+    )
+    if max_dist is not None:
+        steps = steps.where(f"d <= {float(max_dist)!r}")
+    # bilinear corners, clipped exactly as the kernel clips
+    r0 = f"GREATEST(LEAST(CAST(FLOOR(fr) AS BIGINT), {rows_n - 1}L), 0L)"
+    c0 = f"GREATEST(LEAST(CAST(FLOOR(fc) AS BIGINT), {cols_n - 1}L), 0L)"
+    staged = steps.selectExpr(
+        "row", "col", "__z0", "s", "d",
+        f"{r0} AS r0", f"{c0} AS c0",
+        f"LEAST({r0} + 1L, {rows_n - 1}L) AS r1",
+        f"LEAST({c0} + 1L, {cols_n - 1}L) AS c1",
+        f"GREATEST(LEAST(fr - {r0}, 1.0), 0.0) AS tr",
+        f"GREATEST(LEAST(fc - {c0}, 1.0), 0.0) AS tc",
+    )
+    corners = staged.selectExpr(
+        "row", "col", "__z0", "s", "d",
+        "EXPLODE(ARRAY("
+        "STRUCT(r0 AS cr, c0 AS ccol, (1.0 - tr) * (1.0 - tc) AS w), "
+        "STRUCT(r0 AS cr, c1 AS ccol, (1.0 - tr) * tc AS w), "
+        "STRUCT(r1 AS cr, c0 AS ccol, tr * (1.0 - tc) AS w), "
+        "STRUCT(r1 AS cr, c1 AS ccol, tr * tc AS w))) AS __k",
+    ).selectExpr("row", "col", "__z0", "s", "d",
+                 "__k.cr AS cr", "__k.ccol AS ccol", "__k.w AS w")
+    zed = (
+        corners.join(cells.selectExpr("row AS cr", "col AS ccol", "value AS cz"),
+                     ["cr", "ccol"], "left")
+        .groupBy("row", "col", "__z0", "s", "d")
+        .agg(F.expr("SUM(w * cz)").alias("z"),
+             F.expr("COUNT(cz)").alias("__nc"))
+        .withColumn("__valid", F.expr("__nc = 4 AND z IS NOT NULL"))
+    )
+    if mode == "relief":
+        agg = zed.groupBy("row", "col", "__z0").agg(
+            F.expr("SUM(CASE WHEN __valid THEN z END)").alias("zs"),
+            F.expr("COUNT(CASE WHEN __valid THEN 1 END)").alias("zc"))
+        out = agg.selectExpr(
+            "row", "col",
+            "CASE WHEN zc > 0 THEN zs / CAST(zc AS DOUBLE) - __z0 "
+            "ELSE 0.0 END AS value")
+    else:
+        hit = f"__valid AND z >= __z0 + d * {float(increment)!r}"
+        agg = zed.groupBy("row", "col", "__z0").agg(
+            F.expr(f"MIN(CASE WHEN {hit} THEN s END)").alias("hs"),
+            F.expr("MAX(CASE WHEN __valid THEN s END)").alias("ls"))
+        def d_of(sv: str) -> str:
+            return (f"SQRT(({step_r!r} * {sv} * {resy!r}) "
+                    f"* ({step_r!r} * {sv} * {resy!r}) "
+                    f"+ ({step_c!r} * {sv} * {resx!r}) "
+                    f"* ({step_c!r} * {sv} * {resx!r}))")
+        out = agg.selectExpr(
+            "row", "col",
+            f"CASE WHEN hs IS NOT NULL THEN {d_of('hs')} "
+            f"WHEN ls IS NOT NULL THEN -{d_of('ls')} ELSE 0.0 END AS value")
+    # cells the explode skipped entirely (cap < 1) still emit a row
+    return (
+        cells.select("row", "col").join(out, ["row", "col"], "left")
+        .selectExpr("row", "col", "COALESCE(value, 0.0) AS value")
+    )
 
 
 def directional_relief(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
