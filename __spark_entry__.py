@@ -1390,6 +1390,21 @@ def _q_gaussian_filter(spark, sf):
     return FO.gaussian_filter(_ras(spark, sf, "a"), sigma=0.75)
 
 
+def _q_log_filter(spark, sf):
+    """LaplacianOfGaussian: LoG-kernel renormalized weighted mean (the
+    gaussian_filter pivot plan with the LoG weights). Oracle shares the
+    expression string."""
+    return FO.log_filter(_ras(spark, sf, "a"), sigma=0.8)
+
+
+def _q_lee_sigma(spark, sf):
+    """LeeSigmaFilter: conditional in-range mean with 8-ring fallback —
+    one offset-aware scatter + aggregation, fully SQL. Oracle restates
+    the same conditional aggregation."""
+    return FO.lee_sigma_filter(_ras(spark, sf, "a"), radius=2, sigma=50.0,
+                               m=5.0)
+
+
 def _q_dog_filter(spark, sf):
     """Difference-of-Gaussians — rows-only (the 15x15/27x27 pivots are a
     composition of two oracle-shaped gaussian plans; kernel correctness
@@ -2620,6 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slope_pct": _q_slope_pct,
         "plan_curvature": _q_plan_curvature,
         "gaussian_filter": _q_gaussian_filter,
+        "log_filter": _q_log_filter,
+        "lee_sigma": _q_lee_sigma,
         "euclid_dist": _q_euclid_dist,
         "clump": _q_clump,
         "weighted_sum": _q_weighted_sum,
@@ -3422,6 +3439,48 @@ def _focal2_oracles() -> dict[str, str]:
               f"pivk AS (SELECT row, col, {pivk_cols} FROM sck GROUP BY 1, 2), "
               f"zk AS (SELECT * FROM pivk WHERE z_{center} IS NOT NULL)")
     ret["gaussian_filter"] = f"WITH {ras_a}, {pivotk} SELECT row, col, {gval} AS value FROM zk"
+
+    # LoG filter: identical pivot machinery with the LoG weights
+    lsize, lval = FO.log_value_expr(0.8)
+    lmid = lsize // 2
+    lcenter = lmid * lsize + lmid
+    loffsk = "loffsk AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // lsize - lmid}, {n % lsize - lmid})"
+        for n in range(lsize * lsize)
+    ) + ") o(n, dr, dc))"
+    lsck = ("lsck AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+            "o.n AS n, a.value AS nv FROM ras_a a, loffsk o)")
+    lpiv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}"
+        for n in range(lsize * lsize)
+    )
+    lpivotk = (f"{loffsk}, {lsck}, "
+               f"lpivk AS (SELECT row, col, {lpiv_cols} FROM lsck GROUP BY 1, 2), "
+               f"lzk AS (SELECT * FROM lpivk WHERE z_{lcenter} IS NOT NULL)")
+    ret["log_filter"] = f"WITH {ras_a}, {lpivotk} SELECT row, col, {lval} AS value FROM lzk"
+
+    # Lee sigma filter: conditional in-range mean + 8-ring fallback
+    lee_offs = ("lee_offs AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({dr}, {dc})" for dr in range(-2, 3) for dc in range(-2, 3)
+    ) + ") o(dr, dc))")
+    ret["lee_sigma"] = (
+        f"WITH {ras_a}, {lee_offs}, "
+        "lee_sc AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+        "a.value AS nv, (GREATEST(ABS(o.dr), ABS(o.dc)) = 1) AS ring "
+        "FROM ras_a a, lee_offs o), "
+        "lee_j AS (SELECT sc.row, sc.col, c.value AS z, sc.nv, sc.ring "
+        "FROM lee_sc sc JOIN ras_a c ON c.row = sc.row AND c.col = sc.col), "
+        "lee_g AS (SELECT row, col, z, "
+        "COUNT(CASE WHEN nv >= z - 50.0 AND nv <= z + 50.0 THEN 1 END) AS n, "
+        "SUM(CASE WHEN nv >= z - 50.0 AND nv <= z + 50.0 THEN nv END) AS s, "
+        "COUNT(CASE WHEN ring THEN 1 END) AS rn, "
+        "SUM(CASE WHEN ring THEN nv END) AS rs "
+        "FROM lee_j GROUP BY 1, 2, 3) "
+        "SELECT row, col, CASE WHEN n > 5.0 THEN s / CAST(n AS DOUBLE) "
+        "WHEN rn > 0 THEN rs / CAST(rn AS DOUBLE) END AS value "
+        "FROM lee_g WHERE (CASE WHEN n > 5.0 THEN s / CAST(n AS DOUBLE) "
+        "WHEN rn > 0 THEN rs / CAST(rn AS DOUBLE) END) IS NOT NULL"
+    )
 
     offs9 = ("offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
              "(1,-1),(1,0),(1,1)) o(dr, dc))")

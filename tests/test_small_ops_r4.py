@@ -141,3 +141,49 @@ def test_polygons_lines_roundtrip(spark):
         .withColumn("shape_type", F.lit(5))).collect()[0]
     assert lines["shape_type"] == 3
     assert len(lines["parts"][0]["ring"]) == 4  # ring kept verbatim
+
+
+def test_log_filter_numpy_parity(spark):
+    """LoG filter vs a direct transcription of log_filter.rs:252-349
+    (kernel build + renormalized weighted mean)."""
+    import math
+
+    from whitebox_tools_spark.operators.focal import log_filter, wbt_log_kernel
+
+    rng = np.random.RandomState(8)
+    N = 14
+    vals = (rng.rand(N, N) * 100.0).round(2)
+    df = _cells(spark, vals.tolist())
+    sigma = 0.8
+    out = {(r["row"], r["col"]): r["value"]
+           for r in log_filter(df, sigma=sigma).collect()}
+    size, ws = wbt_log_kernel(sigma)
+    mid = size // 2
+    for r in range(N):
+        for c in range(N):
+            num = den = 0.0
+            for a in range(size * size):
+                dr, dc = a // size - mid, a % size - mid
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < N and 0 <= cc < N:
+                    num += ws[a] * vals[rr, cc]
+                    den += ws[a]
+            assert out[(r, c)] == pytest.approx(num / den, rel=1e-9), (r, c)
+
+
+def test_lee_sigma_filter_rule(spark):
+    """Lee sigma: inliers average; an extreme speckle cell with no
+    in-range neighbors beyond itself falls back to the 8-ring mean."""
+    from whitebox_tools_spark.operators.focal import lee_sigma_filter
+
+    vals = np.full((9, 9), 50.0)
+    vals[4, 4] = 500.0  # speckle
+    df = _cells(spark, vals.tolist())
+    out = {(r["row"], r["col"]): r["value"]
+           for r in lee_sigma_filter(df, radius=2, sigma=5.0, m=3.0).collect()}
+    # speckle: only itself within +-5 -> n = 1 <= m -> ring fallback = 50
+    assert out[(4, 4)] == pytest.approx(50.0)
+    # a normal interior cell far from the speckle: window mean of 50s
+    assert out[(0, 0)] == pytest.approx(50.0)
+    # neighbor of the speckle: speckle excluded from the in-range mean
+    assert out[(4, 3)] == pytest.approx(50.0)

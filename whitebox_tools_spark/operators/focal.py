@@ -1764,3 +1764,97 @@ def map_off_terrain_objects(cells: DataFrame, meta: GridMeta,
                     f"CAST(id % {cols_n} AS BIGINT) AS col",
                     "CAST(COALESCE(fid, 1) AS DOUBLE) AS value")
     )
+
+
+def wbt_log_kernel(sigma: float) -> tuple[int, list[float]]:
+    """(filter_size, row-major Laplacian-of-Gaussian weights) exactly as
+    log_filter.rs:217-270 builds them: size from the GAUSSIAN 0.001
+    weight cutoff, weights term1*term2*term3 with
+    term1 = -1/(pi*sigma^4) (NOT normalized — the application
+    renormalizes over valid neighbors)."""
+    import math
+
+    sigma = min(max(sigma, 0.5), 20.0)
+    recip = 1.0 / (math.sqrt(2.0 * math.pi) * sigma)
+    two_sigma_sqr = 2.0 * sigma * sigma
+    filter_size = 3
+    for i in range(250):
+        w = recip * math.exp(-1.0 * (i * i) / two_sigma_sqr)
+        if w <= 0.001:
+            filter_size = i * 2 + 1
+            break
+    if filter_size % 2 == 0:
+        filter_size += 1
+    filter_size = max(filter_size, 3)
+    mid = filter_size // 2
+    term1 = -1.0 / (math.pi * sigma ** 4)
+    weights = []
+    for row in range(filter_size):
+        for col in range(filter_size):
+            x, y = col - mid, row - mid
+            term2 = 1.0 - (x * x + y * y) / two_sigma_sqr
+            term3 = math.exp(-(x * x + y * y) / two_sigma_sqr)
+            weights.append(term1 * term2 * term3)
+    return filter_size, weights
+
+
+def log_value_expr(sigma: float) -> tuple[int, str]:
+    """(filter_size, portable-SQL expression over pivot columns) for the
+    LoG filter — renormalized weighted mean over valid neighbors
+    (log_filter.rs:340-349), deterministic kernel-order accumulation;
+    the same string is the DuckDB oracle."""
+    size, ws = wbt_log_kernel(sigma)
+    num = " + ".join(
+        f"CASE WHEN z_{a} IS NOT NULL THEN {ws[a]!r} * z_{a} ELSE 0.0 END"
+        for a in range(size * size)
+    )
+    den = " + ".join(
+        f"CASE WHEN z_{a} IS NOT NULL THEN {ws[a]!r} ELSE 0.0 END"
+        for a in range(size * size)
+    )
+    return size, f"(0.0 + {num}) / (0.0 + {den})"
+
+
+def log_filter(cells: DataFrame, sigma: float = 2.0) -> DataFrame:
+    """LaplacianOfGaussianFilter (image_analysis/log_filter.rs):
+    LoG-kernel weighted mean, renormalized over valid neighbors like the
+    Gaussian filter — shares the pivot plan."""
+    size, value = log_value_expr(sigma)
+    piv = focal_pivotk(cells, size)
+    return piv.selectExpr("row", "col", f"{value} AS value")
+
+
+def lee_sigma_filter(cells: DataFrame, radius: int = 4, sigma: float = 10.0,
+                     m: float = 5.0) -> DataFrame:
+    """LeeSigmaFilter (image_analysis/lee_filter.rs:380-425, Lee 1983):
+    mean of window values (center included) within [z - sigma,
+    z + sigma]; if fewer than m qualify, fall back to the mean of the
+    8 immediate neighbors. One offset-aware scatter + conditional
+    aggregation — pure SQL, oracle-portable."""
+    offs = [(dr, dc) for dr in range(-radius, radius + 1)
+            for dc in range(-radius, radius + 1)]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS crow, col + ({dc}L) AS ccol, "
+        f"{str(max(abs(dr), abs(dc)) == 1 and abs(dr) <= 1).upper()} AS ring)"
+        for dr, dc in offs)
+    scattered = cells.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")) \
+        .selectExpr("__n.crow AS row", "__n.ccol AS col",
+                    "__n.ring AS ring", "value AS nv")
+    center = cells.selectExpr("row", "col", "value AS z")
+    agg = (
+        scattered.join(center, ["row", "col"])
+        .groupBy("row", "col", "z")
+        .agg(
+            F.expr(f"COUNT(CASE WHEN nv >= z - {sigma!r} "
+                   f"AND nv <= z + {sigma!r} THEN 1 END)").alias("n"),
+            F.expr(f"SUM(CASE WHEN nv >= z - {sigma!r} "
+                   f"AND nv <= z + {sigma!r} THEN nv END)").alias("s"),
+            F.expr("COUNT(CASE WHEN ring THEN 1 END)").alias("rn"),
+            F.expr("SUM(CASE WHEN ring THEN nv END)").alias("rs"),
+        )
+    )
+    return agg.selectExpr(
+        "row", "col",
+        f"CASE WHEN n > {m!r} THEN s / CAST(n AS DOUBLE) "
+        "WHEN rn > 0 THEN rs / CAST(rn AS DOUBLE) END AS value",
+    ).where("value IS NOT NULL")
