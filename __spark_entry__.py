@@ -2312,6 +2312,41 @@ def _q_shapefile_roundtrip(spark, sf):
     return spark.createDataFrame(rows, "record_num long, vertex_idx long, x double, y double")
 
 
+def _q_shapefile_tiles_roundtrip(spark, sf):
+    """Distributed per-tile shapefile egress (write_shapefile_tiles:
+    executor-side encode, one .shp/.shx/.dbf per tile) then a directory
+    glob read-back, flattened to ring vertices. Per-file record numbers
+    restart, so the gate keys on the vertex multiset (the driver compare
+    sorts all columns) — a hash match proves byte layout, ESRI
+    orientation, and the tile fan-out end to end."""
+    import shutil
+    import tempfile
+
+    from whitebox_tools_spark.sources import formats as FF
+
+    _reg(spark, sf, "events")
+    feats = spark.sql(_SHAPES_BASE).where("kind = 0").selectExpr(
+        "shape_id",
+        "ARRAY(STRUCT(0 AS part_idx, FALSE AS is_hole, "
+        "ARRAY(STRUCT(cx - hw AS x, cy - hh AS y), "
+        "STRUCT(cx + hw AS x, cy - hh AS y), "
+        "STRUCT(cx + hw AS x, cy + hh AS y), "
+        "STRUCT(cx - hw AS x, cy + hh AS y)) AS ring)) AS parts",
+        "shape_id % 3 AS tile_id",
+    )
+    d = tempfile.mkdtemp(prefix="wbt_shp_tiles_")
+    try:
+        FF.write_shapefile_tiles(feats, d).collect()  # manifest forces the write
+        geo = FF.read_shapefile(spark, f"{d}/*.shp")
+        rows = geo.selectExpr(
+            "POSEXPLODE(parts[0].ring) AS (vertex_idx, v)"
+        ).selectExpr("CAST(vertex_idx AS BIGINT) AS vertex_idx",
+                     "v.x AS x", "v.y AS y").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "vertex_idx long, x double, y double")
+
+
 def _q_dissolve(spark, sf):
     """Dissolve an 8x8 grid of adjacent unit cells into per-group merged
     polygons (group = 2x2 block id): 16 groups, each one 2x2 square ring;
@@ -2673,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_surface": _q_trend_surface,
         "geotiff_roundtrip": _q_geotiff_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
+        "shapefile_tiles_roundtrip": _q_shapefile_tiles_roundtrip,
         "colour_composite": _q_colour_composite,
         "join_tables": _q_join_tables,
         "exact_dedup": _q_exact_dedup,
@@ -3608,6 +3644,15 @@ def _overlay2_oracles() -> dict[str, str]:
             f"{{'x': cx + hw, 'y': cy + hh}}, {{'x': cx + hw, 'y': cy - hh}}, "
             f"{{'x': cx - hw, 'y': cy - hh}}] AS ring FROM base WHERE kind = 0) "
             f"SELECT record_num, CAST(gs.i - 1 AS BIGINT) AS vertex_idx, "
+            f"ring[gs.i].x AS x, ring[gs.i].y AS y "
+            f"FROM r, generate_series(1, 5) gs(i)"
+        ),
+        "shapefile_tiles_roundtrip": (
+            f"WITH base AS ({_SHAPES_BASE}), r AS (SELECT "
+            f"[{{'x': cx - hw, 'y': cy - hh}}, {{'x': cx - hw, 'y': cy + hh}}, "
+            f"{{'x': cx + hw, 'y': cy + hh}}, {{'x': cx + hw, 'y': cy - hh}}, "
+            f"{{'x': cx - hw, 'y': cy - hh}}] AS ring FROM base WHERE kind = 0) "
+            f"SELECT CAST(gs.i - 1 AS BIGINT) AS vertex_idx, "
             f"ring[gs.i].x AS x, ring[gs.i].y AS y "
             f"FROM r, generate_series(1, 5) gs(i)"
         ),

@@ -1431,3 +1431,41 @@ def read_esri_bil(spark: SparkSession, base_path: str) -> tuple[DataFrame, GridM
                 yield pd.DataFrame({"row": rows, "col": cols, "value": arr})
 
     return binary.mapInPandas(decode, schema), meta
+
+
+def write_shapefile_tiles(features: DataFrame, out_dir: str,
+                          tile_col: str = "tile_id",
+                          shape_type: int = 5,
+                          id_col: str = "shape_id") -> DataFrame:
+    """Distributed vector egress: one .shp/.shx/.dbf per tile, encoded
+    and written inside the executors (the write_lidar_tiles pattern for
+    feature layers — real shapefile archives are tiled by sheet, so
+    egress parallelism == tile count and no geometry crosses the
+    driver). Returns the (tile, path, n_features) manifest.
+
+    features: (id_col, parts array<struct<part_idx, is_hole,
+    ring array<struct<x, y>>>>, tile_col); features are ordered by
+    id_col within each tile for deterministic files."""
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def write_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = pdf[tile_col].iloc[0]
+        pdf = pdf.sort_values(id_col)
+        feats = []
+        for _, rec in pdf.iterrows():
+            feats.append({
+                "record_num": int(rec[id_col]),
+                "parts": [(bool(p["is_hole"]),
+                           [(v["x"], v["y"]) for v in p["ring"]])
+                          for p in rec["parts"]],
+                "attrs": {"FID": int(rec[id_col])},
+            })
+        path = _os.path.join(out_dir, f"tile_{tile}.shp")
+        write_shapefile(feats, path, shape_type=shape_type)
+        return pd.DataFrame({"tile": [tile], "path": [path],
+                             "n_features": [len(feats)]})
+
+    return features.groupBy(tile_col).applyInPandas(
+        write_tile, "tile long, path string, n_features long")
