@@ -457,21 +457,72 @@ def visibility_index(cells: DataFrame, meta: GridMeta,
     are computed from every res_factor-th cell (both axes); each cell's
     index is the proportion of those stations that see it.
 
-    Plan: union of the per-station sector-swept viewsheds + one
-    aggregation. Stations are independent jobs — at cluster scale batch
-    them into one scatter keyed by (station, sector)."""
-    from functools import reduce
+    ONE declarative plan for every station (round-4, replacing the
+    driver-side loop of per-station viewsheds unioned V ways): the small
+    station table broadcast-joins onto the cells, each (station, target)
+    pair explodes its R3 ray samples exactly as `viewshed` does, one
+    equi-join brings sample elevations, and a distinct on blocked pairs
+    + one aggregation yields the index. A missing/nodata station cell
+    contributes an all-zero viewshed, matching `viewshed`'s rule (its
+    targets never join a z0, so no pair can be visible)."""
+    resx, resy = meta.resolution_x, meta.resolution_y
+    spark = cells.sparkSession
+    st_grid = (
+        spark.range(0, meta.rows, res_factor).selectExpr("id AS sr")
+        .crossJoin(spark.range(0, meta.columns, res_factor).selectExpr("id AS sc"))
+    )
+    n_st = (len(range(0, meta.rows, res_factor))
+            * len(range(0, meta.columns, res_factor)))
+    stations = st_grid.join(
+        cells.selectExpr("row AS sr", "col AS sc",
+                         f"value + {float(height)!r} AS z0"),
+        ["sr", "sc"], "inner")
 
-    stations = [(r, c) for r in range(0, meta.rows, res_factor)
-                for c in range(0, meta.columns, res_factor)]
-    outs = []
-    for (r, c) in stations:
-        outs.append(viewshed(cells, meta, r, c, vp_height=height)
-                    .selectExpr("row", "col", "value AS vis"))
-    u = reduce(lambda a, b: a.unionByName(b), outs)
-    n = float(len(stations))
-    return u.groupBy("row", "col").agg(
-        F.expr(f"SUM(vis) / {n!r}").alias("value"))
+    dist = (f"SQRT((CAST(row - sr AS DOUBLE) * {resy!r}) "
+            f"* (CAST(row - sr AS DOUBLE) * {resy!r}) "
+            f"+ (CAST(col - sc AS DOUBLE) * {resx!r}) "
+            f"* (CAST(col - sc AS DOUBLE) * {resx!r}))")
+    targets = cells.crossJoin(F.broadcast(stations)).selectExpr(
+        "sr", "sc", "z0", "row", "col",
+        "CAST(row - sr AS DOUBLE) AS __dr",
+        "CAST(col - sc AS DOUBLE) AS __dc",
+        "GREATEST(ABS(row - sr), ABS(col - sc)) AS __n",
+        f"{dist} AS __dist",
+        f"(value - z0) / NULLIF({dist}, 0.0) AS __tgt",
+    )
+    samples = (
+        targets.where("__n >= 2")
+        .selectExpr("sr", "sc", "z0", "row", "col", "__tgt",
+                    "__dr", "__dc", "__n",
+                    "EXPLODE(SEQUENCE(1L, __n - 1L)) AS s")
+        .selectExpr(
+            "sr", "sc", "z0", "row", "col", "__tgt",
+            "CAST(BROUND(sr + __dr * (CAST(s AS DOUBLE) "
+            "/ CAST(__n AS DOUBLE)), 0) AS BIGINT) AS ir",
+            "CAST(BROUND(sc + __dc * (CAST(s AS DOUBLE) "
+            "/ CAST(__n AS DOUBLE)), 0) AS BIGINT) AS ic",
+        )
+    )
+    sd = (f"SQRT((CAST(ir - sr AS DOUBLE) * {resy!r}) "
+          f"* (CAST(ir - sr AS DOUBLE) * {resy!r}) "
+          f"+ (CAST(ic - sc AS DOUBLE) * {resx!r}) "
+          f"* (CAST(ic - sc AS DOUBLE) * {resx!r}))")
+    blocked = (
+        samples.join(cells.selectExpr("row AS ir", "col AS ic", "value AS sz"),
+                     ["ir", "ic"])
+        .where(f"(sz - z0) / NULLIF({sd}, 0.0) >= __tgt")
+        .select("sr", "sc", "row", "col").distinct()
+        .withColumn("__blocked", F.lit(1))
+    )
+    vis = (
+        targets.join(blocked, ["sr", "sc", "row", "col"], "left")
+        .selectExpr(
+            "row", "col",
+            "CASE WHEN __dist = 0.0 THEN 1.0 "
+            "WHEN __blocked IS NULL THEN 1.0 ELSE 0.0 END AS vis")
+    )
+    return vis.groupBy("row", "col").agg(
+        F.expr(f"SUM(vis) / CAST({n_st} AS DOUBLE)").alias("value"))
 
 
 def time_in_daylight(cells: DataFrame, meta: GridMeta, lat: float = 45.0,
