@@ -71,3 +71,22 @@ def test_time_in_daylight_valley_vs_ridge(spark):
     assert np.all((g[~np.isnan(g)] >= 0.0) & (g[~np.isnan(g)] <= 1.0))
     assert g[12, 12] < g[0, 12] + 1e-9
     assert g[12, 12] < 1.0
+
+
+def test_horizon_angle_multi_matches_single(spark):
+    """The one-plan multi-azimuth horizon equals per-azimuth calls
+    bit-for-bit (same expressions, keyed by azid)."""
+    from whitebox_tools_spark.operators.visibility import (horizon_angle,
+                                                           horizon_angle_multi)
+
+    rng = np.random.RandomState(13)
+    vals = rng.rand(N, N) * 30.0
+    df = _df(spark, vals)
+    azs = [0.0, 75.0, 211.0]
+    multi = {(r["azid"], r["row"], r["col"]): r["value"]
+             for r in horizon_angle_multi(df, META, azs).collect()}
+    for i, a in enumerate(azs):
+        single = {(r["row"], r["col"]): r["value"]
+                  for r in horizon_angle(df, META, azimuth=a).collect()}
+        for (rr, cc), v in single.items():
+            assert multi[(i, rr, cc)] == v, (a, rr, cc)
