@@ -1397,6 +1397,20 @@ def _q_log_filter(spark, sf):
     return FO.log_filter(_ras(spark, sf, "a"), sigma=0.8)
 
 
+def _q_surface_area_ratio(spark, sf):
+    """SurfaceAreaRatio (Jenness 2004 triangulated facets) — one
+    codegen expression over the nullable 3x3 pivot; oracle shares the
+    expression string."""
+    return FO.surface_area_ratio(_ras(spark, sf, "a"), _META100)
+
+
+def _q_stdev_of_slope(spark, sf):
+    """StandardDeviationOfSlope: Florinsky slope (degrees) -> 3x3
+    fixed-order population stdev fold; oracle shares both expression
+    strings."""
+    return FO.standard_deviation_of_slope(_ras(spark, sf, "a"), _META100)
+
+
 def _q_lee_sigma(spark, sf):
     """LeeSigmaFilter: conditional in-range mean with 8-ring fallback —
     one offset-aware scatter + aggregation, fully SQL. Oracle restates
@@ -2680,6 +2694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussian_filter": _q_gaussian_filter,
         "log_filter": _q_log_filter,
         "lee_sigma": _q_lee_sigma,
+        "surface_area_ratio": _q_surface_area_ratio,
+        "stdev_of_slope": _q_stdev_of_slope,
         "euclid_dist": _q_euclid_dist,
         "clump": _q_clump,
         "weighted_sum": _q_weighted_sum,
@@ -3502,6 +3518,39 @@ def _focal2_oracles() -> dict[str, str]:
                f"lpivk AS (SELECT row, col, {lpiv_cols} FROM lsck GROUP BY 1, 2), "
                f"lzk AS (SELECT * FROM lpivk WHERE z_{lcenter} IS NOT NULL)")
     ret["log_filter"] = f"WITH {ras_a}, {lpivotk} SELECT row, col, {lval} AS value FROM lzk"
+
+    # SurfaceAreaRatio: nullable 3x3 pivot + the shared Jenness expression
+    sar_val = FO.surface_area_ratio_value_expr(_META100)
+    soffs = "soffs AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // 3 - 1}, {n % 3 - 1})" for n in range(9)
+    ) + ") o(n, dr, dc))"
+    ssck = ("ssck AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+            "a.value AS nv FROM ras_a a, soffs o)")
+    spiv_cols = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}" for n in range(9))
+    spivot3 = (f"{soffs}, {ssck}, "
+               f"spiv AS (SELECT row, col, {spiv_cols} FROM ssck GROUP BY 1, 2), "
+               f"szk AS (SELECT * FROM spiv WHERE z_4 IS NOT NULL)")
+    ret["surface_area_ratio"] = (
+        f"WITH {ras_a}, {spivot3} SELECT * FROM "
+        f"(SELECT row, col, {sar_val} AS value FROM szk) WHERE value IS NOT NULL"
+    )
+
+    # StandardDeviationOfSlope: slope degrees (pivot5) -> second 3x3
+    # nullable pivot -> fixed-order stdev fold (shared expression text)
+    res100 = (_META100.resolution_x + _META100.resolution_y) / 2.0
+    p_, q_ = FO._florinsky_pq(res100)
+    sds_slope = f"DEGREES(ATAN(SQRT({p_} * {p_} + {q_} * {q_})))"
+    sds_sck = ("dsck AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+               "a.value AS nv FROM sl a, soffs o)")
+    sds_pivot = (f"{soffs}, {sds_sck}, "
+                 f"dpiv AS (SELECT row, col, {spiv_cols} FROM dsck GROUP BY 1, 2), "
+                 f"dzk AS (SELECT * FROM dpiv WHERE z_4 IS NOT NULL)")
+    ret["stdev_of_slope"] = (
+        f"WITH {ras_a}, {pivot5}, "
+        f"sl AS (SELECT row, col, {sds_slope} AS value FROM zz), "
+        f"{sds_pivot} "
+        f"SELECT row, col, ({FO.stdev_pivot_value_expr(9)}) AS value FROM dzk"
+    )
 
     # Lee sigma filter: conditional in-range mean + 8-ring fallback
     lee_offs = ("lee_offs AS (SELECT * FROM (VALUES " + ", ".join(

@@ -1,5 +1,6 @@
 """Round-2 continuation focal filters: numpy reference parity."""
 
+import math
 import numpy as np
 
 from whitebox_tools_spark.operators import focal as FO
@@ -125,3 +126,79 @@ def test_line_detection_45(spark):
     r, c = 7, 9
     exp = abs((vals[r - 1:r + 2, c - 1:c + 2] * k).sum())
     assert abs(got[r, c] - exp) < 1e-9
+
+
+def _jenness_sar(vals, resx=10.0, resy=10.0):
+    """Numpy transcription of surface_area_ratio.rs:227-330 (Jenness
+    facets): out-of-grid neighbors are nodata -> zero-length half edges
+    and an eighth-cell planar deficit per missing facet."""
+    n = vals.shape[0]
+    diag = math.hypot(resx, resy)
+    dist_pairs = [(0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8),
+                  (0, 3), (1, 4), (2, 5), (3, 6), (4, 7), (5, 8),
+                  (4, 0), (4, 2), (4, 6), (4, 8)]
+    dist_planar = [resx] * 6 + [resy] * 6 + [diag] * 4
+    tri = [(0, 7, 12), (1, 7, 13), (2, 6, 12), (3, 8, 13),
+           (2, 9, 14), (3, 11, 15), (4, 10, 14), (5, 10, 15)]
+    cell_area = resx * resy
+    out = np.full((n, n), np.nan)
+    for r in range(n):
+        for c in range(n):
+            z = []
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    rr, cc = r + dr, c + dc
+                    z.append(vals[rr, cc] if 0 <= rr < n and 0 <= cc < n
+                             else None)
+            d = []
+            for k, (i, j) in enumerate(dist_pairs):
+                if z[i] is not None and z[j] is not None:
+                    d.append(math.sqrt(dist_planar[k] ** 2
+                                       + (z[i] - z[j]) ** 2) / 2.0)
+                else:
+                    d.append(0.0)
+            area, deficit = 0.0, 0.0
+            for (a, b, c3) in tri:
+                p, q, rr2 = d[a], d[b], d[c3]
+                if p * q * rr2 != 0.0:
+                    s = (p + q + rr2) / 2.0
+                    area += math.sqrt(max(0.0, s * (s - p) * (s - q) * (s - rr2)))
+                else:
+                    deficit += cell_area / 8.0
+            adj = cell_area - deficit
+            if adj > 0.0:
+                out[r, c] = area / adj
+    return out
+
+
+def test_surface_area_ratio(spark):
+    import math as _m  # noqa: F401
+    from whitebox_tools_spark.functions.raster_math import GridMeta
+    df, vals = _cells(spark, seed=31)
+    meta = GridMeta(rows=20, columns=20, north=200.0, south=0.0, east=200.0,
+                    west=0.0, resolution_x=10.0, resolution_y=10.0)
+    got = _grid(FO.surface_area_ratio(df, meta))
+    exp = _jenness_sar(vals)
+    assert np.allclose(got, exp, atol=1e-9, equal_nan=True)
+    # flat terrain -> ratio exactly 1 on interior cells
+    flat = spark.createDataFrame(
+        [(r, c, 5.0) for r in range(6) for c in range(6)],
+        "row long, col long, value double")
+    fmeta = GridMeta(rows=6, columns=6, north=60.0, south=0.0, east=60.0,
+                     west=0.0, resolution_x=10.0, resolution_y=10.0)
+    fgrid = _grid(FO.surface_area_ratio(flat, fmeta), n=6)
+    assert np.allclose(fgrid[1:-1, 1:-1], 1.0, atol=1e-12)
+
+
+def test_stdev_of_slope(spark):
+    from whitebox_tools_spark.functions.raster_math import GridMeta
+    df, vals = _cells(spark, seed=32)
+    meta = GridMeta(rows=20, columns=20, north=200.0, south=0.0, east=200.0,
+                    west=0.0, resolution_x=10.0, resolution_y=10.0)
+    sl = _grid(FO.slope(df, meta, units="degrees"))
+    got = _grid(FO.standard_deviation_of_slope(df, meta))
+    for r, c in [(0, 0), (5, 7), (19, 19), (10, 0), (3, 14)]:
+        w = _win(sl, r, c)
+        w = w[~np.isnan(w)]
+        exp = np.sqrt(max(0.0, ((w * w).sum() - w.sum() ** 2 / len(w)) / len(w)))
+        assert abs(got[r, c] - exp) < 1e-9

@@ -1858,3 +1858,83 @@ def lee_sigma_filter(cells: DataFrame, radius: int = 4, sigma: float = 10.0,
         f"CASE WHEN n > {m!r} THEN s / CAST(n AS DOUBLE) "
         "WHEN rn > 0 THEN rs / CAST(rn AS DOUBLE) END AS value",
     ).where("value IS NOT NULL")
+
+
+def surface_area_ratio_value_expr(meta: GridMeta) -> str:
+    """Portable-SQL expression over the nullable 3x3 pivot (z_0..z_8,
+    row-major) for SurfaceAreaRatio
+    (terrain_analysis/surface_area_ratio.rs:227-330, Jenness 2004):
+    16 half-edge lengths (0 when either endpoint is nodata), 8 Heron
+    triangle facets, planar area reduced by cell_area/8 per facet with
+    a missing vertex; value = surface_area / adjusted_planar_area.
+    Projected grids only (the is_geographic latitude rescale is not
+    modeled). The identical string is the DuckDB oracle."""
+    resx, resy = meta.resolution_x, meta.resolution_y
+    import math as _m
+
+    diag = _m.hypot(resx, resy)
+    dist_pairs = [(0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8),
+                  (0, 3), (1, 4), (2, 5), (3, 6), (4, 7), (5, 8),
+                  (4, 0), (4, 2), (4, 6), (4, 8)]
+    dist_planar = [resx] * 6 + [resy] * 6 + [diag] * 4
+    tri_sides = [(0, 7, 12), (1, 7, 13), (2, 6, 12), (3, 8, 13),
+                 (2, 9, 14), (3, 11, 15), (4, 10, 14), (5, 10, 15)]
+    cell_area = resx * resy
+    d = []
+    for c, (i, j) in enumerate(dist_pairs):
+        dp = dist_planar[c]
+        d.append(
+            f"(CASE WHEN z_{i} IS NOT NULL AND z_{j} IS NOT NULL THEN "
+            f"SQRT({dp * dp!r} + (z_{i} - z_{j}) * (z_{i} - z_{j})) / 2.0 "
+            f"ELSE 0.0 END)")
+    areas, deficit = [], []
+    for (a, b, c3) in tri_sides:
+        p, q, r = d[a], d[b], d[c3]
+        s = f"(({p} + {q} + {r}) / 2.0)"
+        heron = (f"SQRT({s} * ({s} - {p}) * ({s} - {q}) * ({s} - {r}))")
+        cond = f"{p} * {q} * {r} <> 0.0"
+        areas.append(f"(CASE WHEN {cond} THEN {heron} ELSE 0.0 END)")
+        deficit.append(f"(CASE WHEN {cond} THEN 0.0 ELSE {cell_area / 8.0!r} END)")
+    area = " + ".join(areas)
+    adj = f"({cell_area!r} - ({' + '.join(deficit)}))"
+    return (f"CASE WHEN {adj} > 0.0 THEN (0.0 + {area}) / {adj} END")
+
+
+def surface_area_ratio(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """SurfaceAreaRatio: Jenness triangulated 3x3 surface area over the
+    (nodata-adjusted) planar cell area — one codegen expression over the
+    3x3 pivot; centers whose adjusted planar area reaches 0 are omitted
+    (the reference leaves them nodata)."""
+    piv = focal_pivotk(cells, 3)
+    return piv.selectExpr(
+        "row", "col", f"{surface_area_ratio_value_expr(meta)} AS value"
+    ).where("value IS NOT NULL")
+
+
+def stdev_pivot_value_expr(k: int) -> str:
+    """Population standard deviation over the nullable z_0..z_{k-1}
+    pivot columns as a FIXED-ORDER textual fold (left-associative +),
+    so the double result is bit-identical in any engine that parses
+    the same expression — unlike a groupBy SUM, whose accumulation
+    order is nondeterministic for non-integer inputs."""
+    ssum = " + ".join(f"COALESCE(z_{i}, 0.0)" for i in range(k))
+    ssq = " + ".join(f"COALESCE(z_{i} * z_{i}, 0.0)" for i in range(k))
+    cnt = " + ".join(f"(CASE WHEN z_{i} IS NOT NULL THEN 1 ELSE 0 END)" for i in range(k))
+    return (f"SQRT(GREATEST(0.0, (({ssq}) - ({ssum}) * ({ssum}) / ({cnt})) "
+            f"/ ({cnt})))")
+
+
+def standard_deviation_of_slope(cells: DataFrame, meta: GridMeta,
+                                radius: int = 1,
+                                z_factor: float = 1.0) -> DataFrame:
+    """StandardDeviationOfSlope
+    (terrain_analysis/standard_deviation_of_slope.rs:350): slope in
+    degrees, then the population standard deviation over the
+    (2r+1)^2 window. Composition of the slope plan with a second
+    k x k pivot; the stdev is a fixed-order fold (see
+    stdev_pivot_value_expr) so the result is oracle-reproducible."""
+    sl = slope(cells, meta, z_factor=z_factor, units="degrees")
+    size = 2 * radius + 1
+    piv = focal_pivotk(sl, size)
+    return piv.selectExpr(
+        "row", "col", f"({stdev_pivot_value_expr(size * size)}) AS value")
