@@ -2675,6 +2675,145 @@ def _q_ann_ivf(spark, sf):
     return S.ann_topk_ivf(q, emb, k=10, num_centroids=16, n_probe=12)
 
 
+# --- round-4 continuation: remaining SURVEY §2 named ops -------------------
+
+# LiDAR attribute extension for the point-stats family: deterministic
+# intensity / return structure (return_number in 1..num_returns).
+_LPS_EXTRA = (
+    "CAST(record_num % 256 AS INT) AS intensity, "
+    "CAST(record_num % (record_num % 3 + 1) + 1 AS INT) AS return_number, "
+    "CAST(record_num % 3 + 1 AS INT) AS num_returns")
+
+
+def _lps_points(spark, sf):
+    return _lidar_points(spark, sf).selectExpr("*", *_LPS_EXTRA.split(", "))
+
+
+def _q_count_if(spark, sf):
+    return OV.count_if([_ras(spark, sf, "a"), _ras(spark, sf, "b")], 5.0)
+
+
+def _q_multiply_overlay(spark, sf):
+    return OV.multiply_overlay([_ras(spark, sf, "a"), _ras(spark, sf, "b")])
+
+
+def _q_integer_division(spark, sf):
+    """IntegerDivision — ras_b carries real zeros (id % 7), exercising
+    the divisor-0 -> nodata path under ANSI mode."""
+    return R.integer_division(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
+def _q_modify_nodata(spark, sf):
+    return R.modify_nodata_value(_ras(spark, sf, "a"), 0.0, -32768.0)
+
+
+def _q_sci_raster(spark, sf):
+    """ShapeComplexityIndexRaster over the rasterized polygon layer
+    (ids shifted +1: the reference requires positive non-zero ids)."""
+    patches = R.polygons_to_raster(_polygons_df(spark), _META40) \
+        .selectExpr("row", "col", "value + 1.0 AS value")
+    return R.shape_complexity_index_raster(patches)
+
+
+def _q_sci_vector(spark, sf):
+    """ShapeComplexityIndex (1 - A/Ah, per-part hulls) — hulls are not
+    SQL-expressible; rows-only here, analytic pytest gates the kernel
+    (convex shapes -> SCI 0)."""
+    from whitebox_tools_spark.operators import vector_ops as VOps
+
+    feats = _polygons_df(spark).selectExpr("polygon_id AS shape_id", "parts")
+    return VOps.shape_complexity_index(feats)
+
+
+def _q_attribute_histogram(spark, sf):
+    from whitebox_tools_spark.operators import data_tools as DT
+
+    _reg(spark, sf, "events")
+    return DT.attribute_histogram(spark.table("events"), "value")
+
+
+def _q_lidar_point_stats(spark, sf):
+    return LI.lidar_point_stats(_lps_points(spark, sf), _META100)
+
+
+def _q_predominant_class(spark, sf):
+    return LI.predominant_class(_lps_points(spark, sf), _META100)
+
+
+def _q_lidar_idw(spark, sf):
+    """LidarIdwInterpolation on the intensity parameter, first returns
+    only — the shared IDW kernel with the LiDAR selector applied."""
+    return LI.lidar_idw_interpolation(
+        _lps_points(spark, sf), _META40, parameter="intensity", k=4,
+        returns="first", radius=_KNN_RADIUS)
+
+
+def _q_lidar_nn_class(spark, sf):
+    """LidarNearestNeighbourGridding on the classification parameter."""
+    return LI.lidar_nearest_neighbour_gridding(
+        _lps_points(spark, sf), _META40, parameter="class",
+        radius=_KNN_RADIUS)
+
+
+def _q_las_ascii_roundtrip(spark, sf):
+    """LasToAscii -> AsciiToLas -> LAS decode: the full transcode chain;
+    the oracle is the source points table (coordinates quantized by the
+    LAS 0.01 scale, value-preserving for the fixture's 2-decimal
+    coords)."""
+    import shutil
+    import tempfile
+
+    from whitebox_tools_spark.sources import formats as FFm
+    from whitebox_tools_spark.sources import transcode as TC
+
+    pts = (_lps_points(spark, sf)
+           .where("record_num % 37 = 0")
+           .selectExpr("record_num AS point_id", "x", "y",
+                       "value AS z", "intensity", "return_number",
+                       "num_returns", "classification", "scan_angle")
+           .orderBy("point_id"))
+    d = tempfile.mkdtemp(prefix="wbt_lasascii_")
+    try:
+        FFm.write_las([r.asDict() for r in pts.collect()], f"{d}/a.las")
+        TC.las_to_ascii(spark, f"{d}/a.las", f"{d}/a.csv")
+        TC.ascii_to_las(spark, f"{d}/a.csv", f"{d}/b.las")
+        final = FFm.read_las(spark, f"{d}/b.las") \
+            .selectExpr("point_id", "x", "y", "z", "intensity",
+                        "classification", "return_number", "num_returns",
+                        "scan_angle")
+        rows = final.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "point_id long, x double, y double, z double, intensity int, "
+        "classification int, return_number int, num_returns int, "
+        "scan_angle int")
+
+
+def _q_convert_raster_format(spark, sf):
+    """ConvertRasterFormat chain: GeoTIFF -> Surfer ASCII -> Surfer 7
+    binary -> GeoTIFF, each hop through the named extension-dispatch
+    converter. Oracle = the source raster SQL (hash match proves every
+    conversion is value-preserving)."""
+    import shutil
+    import tempfile
+
+    from whitebox_tools_spark.sources import formats as FFm
+    from whitebox_tools_spark.sources import transcode as TC
+
+    d = tempfile.mkdtemp(prefix="wbt_convert_")
+    try:
+        FFm.write_geotiff(_ras(spark, sf, "a"), _META100, f"{d}/a.tif")
+        TC.convert_raster_format(spark, f"{d}/a.tif", f"{d}/b.grd")
+        TC.convert_raster_format(spark, f"{d}/b.grd", f"{d}/c.grd7")
+        TC.convert_raster_format(spark, f"{d}/c.grd7", f"{d}/d.tif")
+        final, _m = FFm.read_geotiff(spark, f"{d}/d.tif")
+        rows = final.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "row long, col long, value double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver sampling window: one flagship per operator family ---
@@ -2696,6 +2835,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lee_sigma": _q_lee_sigma,
         "surface_area_ratio": _q_surface_area_ratio,
         "stdev_of_slope": _q_stdev_of_slope,
+        "count_if": _q_count_if,
+        "multiply_overlay": _q_multiply_overlay,
+        "integer_division": _q_integer_division,
+        "modify_nodata": _q_modify_nodata,
+        "sci_raster": _q_sci_raster,
+        "sci_vector": _q_sci_vector,
+        "attribute_histogram": _q_attribute_histogram,
+        "lidar_point_stats": _q_lidar_point_stats,
+        "predominant_class": _q_predominant_class,
+        "lidar_idw": _q_lidar_idw,
+        "lidar_nn_class": _q_lidar_nn_class,
+        "las_ascii_roundtrip": _q_las_ascii_roundtrip,
+        "convert_raster_format": _q_convert_raster_format,
         "euclid_dist": _q_euclid_dist,
         "clump": _q_clump,
         "weighted_sum": _q_weighted_sum,
@@ -5919,6 +6071,155 @@ def _round3_oracles() -> dict[str, str]:
     }
 
 
+def _r4b_oracles() -> dict[str, str]:
+    """Oracles for the round-4 continuation ops (remaining SURVEY §2
+    named tools). Expression text is shared with the Spark operators
+    wherever float math is involved."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    ras_b = f"ras_b AS ({_RAS_B_SQL})"
+    ret = {}
+
+    ret["count_if"] = (
+        f"WITH {ras_a}, {ras_b}, u AS ("
+        f"SELECT row, col, value AS v FROM ras_a "
+        f"UNION ALL SELECT row, col, value FROM ras_b) "
+        f"SELECT row, col, CAST(SUM(CASE WHEN v = 5.0 THEN 1 ELSE 0 END) "
+        f"AS DOUBLE) AS value FROM u GROUP BY 1, 2"
+    )
+    # fold order matches the Spark layer_idx-sorted AGGREGATE:
+    # ((1.0 * a) * b)
+    ret["multiply_overlay"] = (
+        f"WITH {ras_a}, {ras_b} "
+        f"SELECT row, col, (1.0 * a.value) * b.value AS value "
+        f"FROM ras_a a JOIN ras_b b USING (row, col)"
+    )
+    ret["integer_division"] = (
+        f"WITH {ras_a}, {ras_b} SELECT * FROM ("
+        f"SELECT row, col, CASE WHEN b.value = 0.0 THEN NULL "
+        f"WHEN a.value / b.value >= 0.0 THEN FLOOR(a.value / b.value) * 1.0 "
+        f"ELSE CEIL(a.value / b.value) * 1.0 END AS value "
+        f"FROM ras_a a JOIN ras_b b USING (row, col)) "
+        f"WHERE value IS NOT NULL"
+    )
+    ret["modify_nodata"] = (
+        f"WITH {ras_a} SELECT row, col, CASE WHEN value = 0.0 "
+        f"THEN -32768.0 ELSE value END AS value FROM ras_a"
+    )
+
+    # ShapeComplexityIndexRaster over the rasterized polygons (+1 ids)
+    cells40b = ("cells AS (SELECT a.range AS row, b.range AS col "
+                "FROM range(0, 40) a, range(0, 40) b)")
+    patch_cte = (
+        f"{cells40b}, c2 AS (SELECT row, col, "
+        f"{_META40.x_from_col_expr('col')} AS cx, "
+        f"{_META40.y_from_row_expr('row')} AS cy FROM cells), hits AS ("
+        + " UNION ALL ".join(
+            f"SELECT row, col, {pid} AS pid FROM c2 "
+            f"WHERE {GS.inside_feature_sql(sh, ho, 'cx', 'cy')}"
+            for pid, sh, ho in _POLYS)
+        + "), patch AS (SELECT row, col, CAST(MAX(pid) AS DOUBLE) + 1.0 "
+        "AS value FROM hits GROUP BY 1, 2)")
+    ret["sci_raster"] = (
+        f"WITH {patch_cte}, "
+        f"wn AS (SELECT row, col + 1 AS col, value AS wv FROM patch), "
+        f"nn AS (SELECT row + 1 AS row, col, value AS nv FROM patch), "
+        f"t AS (SELECT p.row, p.col, p.value, wn.wv, nn.nv FROM patch p "
+        f"LEFT JOIN wn ON wn.row = p.row AND wn.col = p.col "
+        f"LEFT JOIN nn ON nn.row = p.row AND nn.col = p.col), "
+        f"g AS (SELECT value, "
+        f"SUM(CASE WHEN wv IS NULL OR wv <> value THEN 1 ELSE 0 END) + "
+        f"SUM(CASE WHEN nv IS NULL OR nv <> value THEN 1 ELSE 0 END) AS e, "
+        f"MAX(row) - MIN(row) + 1 AS hh, MAX(col) - MIN(col) + 1 AS ww "
+        f"FROM t GROUP BY 1) "
+        f"SELECT p.row, p.col, CAST(e AS DOUBLE) / CAST(hh + ww AS DOUBLE) "
+        f"AS value FROM patch p JOIN g USING (value)"
+    )
+
+    # AttributeHistogram over events.value — the oracle recomputes the
+    # Sturges parameters from the same aggregates the operator reads.
+    ret["attribute_histogram"] = (
+        "WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi, "
+        "COUNT(value) AS cnt FROM events) "
+        "SELECT CAST(FLOOR((CAST(value AS DOUBLE) - lo) / "
+        "((hi - lo + 0.00001) / (CEIL(LOG2(cnt)) + 1))) AS BIGINT) AS bin, "
+        "COUNT(*) AS n FROM events, s WHERE value IS NOT NULL GROUP BY 1"
+    )
+
+    # LiDAR point-stats family: pts + deterministic attribute extension
+    lpts = (f"pts AS ({_PTS_SQL}), lp AS (SELECT record_num, x, y, value, "
+            f"{_LPS_EXTRA}, "
+            f"CAST(record_num % 8 AS INT) AS classification FROM pts)")
+    r100y = _META100.row_from_y_expr("y")
+    c100x = _META100.col_from_x_expr("x")
+    in100 = _META100.in_grid_pred("row", "col")
+    ret["lidar_point_stats"] = (
+        f"WITH {lpts}, rc AS (SELECT {r100y} AS row, {c100x} AS col, "
+        f"value AS z, intensity AS i, return_number AS rn FROM lp), "
+        f"v AS (SELECT * FROM rc WHERE {in100}) "
+        f"SELECT row, col, COUNT(*) AS num_points, "
+        f"CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS num_pulses, "
+        f"CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0 "
+        f"THEN CAST(COUNT(*) AS DOUBLE) / "
+        f"SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) END AS returns_per_pulse, "
+        f"MAX(z) - MIN(z) AS z_range, "
+        f"MAX(i) - MIN(i) AS intensity_range "
+        f"FROM v GROUP BY 1, 2"
+    )
+    ret["predominant_class"] = (
+        f"WITH {lpts}, rc AS (SELECT {r100y} AS row, {c100x} AS col, "
+        f"classification AS cls FROM lp), "
+        f"v AS (SELECT * FROM rc WHERE {in100}), "
+        f"cnts AS (SELECT row, col, cls, COUNT(*) AS cnt FROM v "
+        f"GROUP BY 1, 2, 3), "
+        f"r AS (SELECT row, col, cls AS value, ROW_NUMBER() OVER "
+        f"(PARTITION BY row, col ORDER BY cnt DESC, cls ASC) AS rk "
+        f"FROM cnts) SELECT row, col, value FROM r WHERE rk = 1"
+    )
+
+    # LidarIdw (intensity, first returns, k=4, w=2) and LidarNN (class):
+    # brute-force candidate sets on the 40x40 grid, like idw/nn_gridding
+    cells40 = ("cells AS (SELECT a.range AS row, b.range AS col "
+               "FROM range(0, 40) a, range(0, 40) b)")
+    ctr_x = _META40.x_center_expr("col")
+    ctr_y = _META40.y_center_expr("row")
+    idw_cand = (
+        f"cand AS (SELECT c.row, c.col, p.record_num, "
+        f"CAST(p.intensity AS DOUBLE) AS v, "
+        f"(({ctr_x}) - p.x) * (({ctr_x}) - p.x) + "
+        f"(({ctr_y}) - p.y) * (({ctr_y}) - p.y) AS dist2 "
+        f"FROM cells c, lp p WHERE p.return_number = 1)")
+    ret["lidar_idw"] = (
+        f"WITH {lpts}, {cells40}, {idw_cand}, "
+        f"r AS (SELECT row, col, dist2, v, ROW_NUMBER() OVER "
+        f"(PARTITION BY row, col ORDER BY dist2, record_num) AS rk FROM cand), "
+        f"g AS (SELECT row, col, list_sort(list({{'dist2': dist2, 'v': v}})) AS l "
+        f"FROM r WHERE rk <= 4 GROUP BY row, col) "
+        f"SELECT row, col, "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(l, e -> e.v / pow(e.dist2, 1.0))), (a, b) -> a + b) / "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(l, e -> 1.0 / pow(e.dist2, 1.0))), (a, b) -> a + b) "
+        f"AS value FROM g"
+    )
+    nn_cand = (
+        f"cand AS (SELECT c.row, c.col, p.record_num, "
+        f"CAST(p.classification AS DOUBLE) AS v, "
+        f"(({ctr_x}) - p.x) * (({ctr_x}) - p.x) + "
+        f"(({ctr_y}) - p.y) * (({ctr_y}) - p.y) AS dist2 "
+        f"FROM cells c, lp p)")
+    ret["lidar_nn_class"] = (
+        f"WITH {lpts}, {cells40}, {nn_cand}, "
+        f"r AS (SELECT row, col, v, ROW_NUMBER() OVER "
+        f"(PARTITION BY row, col ORDER BY dist2, record_num) AS rk FROM cand) "
+        f"SELECT row, col, v AS value FROM r WHERE rk = 1"
+    )
+
+    # convert_raster_format: value-preserving chain, oracle = source
+    ret["convert_raster_format"] = _RAS_A_SQL
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -6158,6 +6459,7 @@ def oracle_sql() -> dict[str, str]:
         **_stream2_oracles(),
         **_vector2_oracles(),
         **_morph_oracles(),
+        **_r4b_oracles(),
         "pca3": _pca3_oracle(),
         "reclass_equal_interval": (
             f"WITH ras_a AS ({_RAS_A_SQL}), "

@@ -173,3 +173,26 @@ def ihs_to_rgb(ihs: DataFrame) -> DataFrame:
         "+ CAST(ROUND(GREATEST(LEAST(g * 255.0, 255.0), 0.0)) AS BIGINT) * 256 "
         "+ CAST(ROUND(GREATEST(LEAST(b * 255.0, 255.0), 0.0)) AS BIGINT) AS DOUBLE) AS value",
     )
+
+
+def attribute_histogram(table: DataFrame, field: str) -> DataFrame:
+    """AttributeHistogram (math_stat_analysis/attribute_histogram.rs:
+    280-291): Sturges-style binning — num_bins = ceil(log2(n)) + 1,
+    bin_width = (max - min + 1e-5) / num_bins, bin = floor((v - min) /
+    width). Output: (bin, n) counts (the reference renders the same
+    frequencies to an HTML report). Two scans: one scalar min/max/count
+    aggregate, one groupBy — both map-side-combining."""
+    mm = table.agg(
+        F.min(field).alias("lo"), F.max(field).alias("hi"),
+        F.count(field).alias("n")).collect()[0]
+    import math
+
+    num_bins = max(1, int(math.ceil(math.log2(mm["n"]))) + 1) if mm["n"] else 1
+    width = (float(mm["hi"]) - float(mm["lo"]) + 0.00001) / num_bins
+    return (
+        table.where(F.col(field).isNotNull())
+        .selectExpr(
+            f"CAST(FLOOR((CAST({field} AS DOUBLE) - {float(mm['lo'])!r}) "
+            f"/ {width!r}) AS BIGINT) AS bin")
+        .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -3019,3 +3019,10 @@ def find_main_stem(cells: DataFrame, meta: GridMeta,
     (background cells omitted, the sparse-raster convention used by the
     other stream ops)."""
     return hack_order(cells, meta, threshold).where("value = 1.0")
+
+
+# The reference publishes fill_pits.rs / breach_pits.rs under the tool
+# names FillSingleCellPits and BreachSingleCellPits (fill_pits.rs:29,
+# breach_pits.rs:26) — same algorithms, so these are pure name aliases.
+fill_single_cell_pits = fill_pits
+breach_single_cell_pits = breach_pits

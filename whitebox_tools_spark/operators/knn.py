@@ -175,6 +175,12 @@ def knn_join_exact(
     (dist2, tid) — identical to a brute-force cross join + top-k, but
     with grid-bounded work. bin_size = radius * 0.5 (FRS parity binning).
     k=1 dispatches to the aggregation fast path (no window sort).
+
+    The per-query bounded top-k window here plays the role of the
+    reference's NMinimizer / NMaximizer heap structures
+    (whitebox-common/src/structures/n_minimizer.rs, n_maximizer.rs):
+    Spark's partial TakeOrderedAndProject / window rank IS the bounded
+    heap, picked by the optimizer instead of hand-rolled.
     """
     if k == 1:
         return _nn1_join(queries, targets, radius, qid, tid, qx, qy, tx, ty, max_rounds)

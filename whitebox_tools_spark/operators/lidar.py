@@ -946,3 +946,106 @@ def lidar_shift(points: DataFrame, x_shift: float = 0.0, y_shift: float = 0.0,
     if z_shift != 0.0:
         out = out.withColumn(z, F.expr(f"{z} + {float(z_shift)!r}"))
     return out
+
+
+def lidar_point_stats(points: DataFrame, meta,
+                      x: str = "x", y: str = "y", z: str = "value",
+                      intensity: str = "intensity",
+                      return_number: str = "return_number",
+                      classification: str = "classification") -> DataFrame:
+    """LidarPointStats (lidar_analysis/lidar_point_stats.rs): one pass,
+    all per-cell statistics at once — number of points, number of
+    pulses (first returns), returns per pulse, elevation range and
+    intensity range (the predominant-class raster is the sibling
+    predominant_class op, which needs a two-level count). A single
+    groupBy shuffle; every stat is a map-side-combining aggregate."""
+    binned = points.selectExpr(
+        f"{meta.row_from_y_expr(y)} AS row",
+        f"{meta.col_from_x_expr(x)} AS col",
+        f"{z} AS z", f"{intensity} AS i", f"{return_number} AS rn",
+        f"{classification} AS cls",
+    ).where(F.expr(meta.in_grid_pred("row", "col")))
+    return binned.groupBy("row", "col").agg(
+        F.expr("COUNT(*)").alias("num_points"),
+        F.expr("SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)").alias("num_pulses"),
+        F.expr("CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0 "
+               "THEN CAST(COUNT(*) AS DOUBLE) / "
+               "SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) END")
+        .alias("returns_per_pulse"),
+        F.expr("MAX(z) - MIN(z)").alias("z_range"),
+        F.expr("MAX(i) - MIN(i)").alias("intensity_range"),
+    )
+
+
+def predominant_class(points: DataFrame, meta, x: str = "x", y: str = "y",
+                      classification: str = "classification") -> DataFrame:
+    """Per-cell predominant classification (the lidar_point_stats
+    --predom_class raster): modal class id, ties to the smallest id."""
+    binned = points.selectExpr(
+        f"{meta.row_from_y_expr(y)} AS row",
+        f"{meta.col_from_x_expr(x)} AS col",
+        f"{classification} AS cls",
+    ).where(F.expr(meta.in_grid_pred("row", "col")))
+    counts = binned.groupBy("row", "col", "cls").agg(
+        F.count(F.lit(1)).alias("__n"))
+    return counts.groupBy("row", "col").agg(
+        F.expr("MAX_BY(cls, STRUCT(__n, -cls))").alias("value"))
+
+
+def lidar_idw_interpolation(points: DataFrame, meta, parameter: str = "z",
+                            k: int = 8, weight: float = 2.0,
+                            z_col: str = "value",
+                            returns: str = "all",
+                            return_number: str = "return_number",
+                            num_returns: str = "num_returns",
+                            radius: float | None = None) -> DataFrame:
+    """LidarIdwInterpolation (lidar_analysis/lidar_idw_interpolation
+    .rs): the shared IDW gridding plan (knn.idw_interpolation) over a
+    LiDAR cloud, with the reference's parameter selector (elevation /
+    intensity / class / scan angle / user data) and first/last-return
+    filtering. Named wrapper — the kNN shell-expansion join and the
+    deterministic (dist2, id)-ordered fold are the shared kernel."""
+    from .knn import idw_interpolation
+
+    pts = _filter_returns(points, returns, return_number, num_returns)
+    vcol = {"z": z_col, "elevation": z_col, "intensity": "intensity",
+            "class": "classification", "classification": "classification",
+            "scan angle": "scan_angle", "scan_angle": "scan_angle",
+            "user data": "user_data"}[parameter]
+    pts = pts.withColumn("__v", F.col(vcol).cast("double"))
+    return idw_interpolation(pts, meta, k=k, weight=weight, value_col="__v",
+                             radius=radius)
+
+
+def lidar_nearest_neighbour_gridding(points: DataFrame, meta,
+                                     parameter: str = "z",
+                                     max_dist: float | None = None,
+                                     z_col: str = "value",
+                                     returns: str = "all",
+                                     return_number: str = "return_number",
+                                     num_returns: str = "num_returns",
+                                     radius: float | None = None) -> DataFrame:
+    """LidarNearestNeighbourGridding (lidar_analysis/lidar_nearest_
+    neighbour_gridding.rs): nearest-point gridding over a LiDAR cloud
+    with parameter selection and return filtering — the shared
+    knn.nearest_neighbour_gridding plan."""
+    from .knn import nearest_neighbour_gridding
+
+    pts = _filter_returns(points, returns, return_number, num_returns)
+    vcol = {"z": z_col, "elevation": z_col, "intensity": "intensity",
+            "class": "classification", "classification": "classification",
+            "scan angle": "scan_angle", "scan_angle": "scan_angle",
+            "user data": "user_data"}[parameter]
+    pts = pts.withColumn("__v", F.col(vcol).cast("double"))
+    return nearest_neighbour_gridding(pts, meta, max_dist=max_dist,
+                                      value_col="__v", radius=radius)
+
+
+def _filter_returns(points: DataFrame, returns: str,
+                    return_number: str, num_returns: str) -> DataFrame:
+    """The reference tools' --returns flag: all | first | last."""
+    if returns == "first":
+        return points.where(f"{return_number} = 1")
+    if returns == "last":
+        return points.where(f"{return_number} = {num_returns}")
+    return points

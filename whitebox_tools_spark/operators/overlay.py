@@ -164,3 +164,32 @@ def percent_less_than(layers: list[DataFrame], comparison: DataFrame) -> DataFra
 
 def percent_equal_to(layers: list[DataFrame], comparison: DataFrame) -> DataFrame:
     return _percent_op(layers, comparison, "=")
+
+
+def count_if(layers: list[DataFrame], value: float) -> DataFrame:
+    """CountIf (gis_analysis/count_if.rs): per-cell count of how many
+    input rasters equal the comparison value. The reference skips a
+    layer's nodata cells when counting; in the cells model absent rows
+    ARE nodata, so the count is over present values only. Cells present
+    in at least one layer are emitted (the reference initializes the
+    output from the first grid's footprint; aligned fixtures make the
+    two footprints identical)."""
+    stacked = _stack(layers)
+    return stacked.groupBy("row", "col").agg(
+        F.expr(f"CAST(SUM(CASE WHEN v = {value!r} THEN 1 ELSE 0 END) AS DOUBLE)")
+        .alias("value"))
+
+
+def multiply_overlay(layers: list[DataFrame]) -> DataFrame:
+    """MultiplyOverlay (gis_analysis/multiply_overlay.rs:232-240):
+    per-cell product across the stack; any nodata (absent) input cell
+    makes the output cell nodata (the reference multiplies into an
+    existing value only when both are valid). The product folds in
+    layer-index order — the same sequential file order the reference
+    uses — so the float result is deterministic and oracle-reproducible.
+    """
+    out = _stack(layers).groupBy("row", "col").agg(
+        F.expr("AGGREGATE(ARRAY_SORT(COLLECT_LIST(STRUCT(layer_idx, v))), "
+               "CAST(1.0 AS DOUBLE), (acc, e) -> acc * e.v)").alias("value"),
+        F.count(F.lit(1)).alias("__n"))
+    return out.where(F.col("__n") == len(layers)).drop("__n")

@@ -1417,3 +1417,63 @@ def reclass_from_file(cells: DataFrame, path: str) -> DataFrame:
             expr = F.when(F.col("value") == tok(r[1]), F.lit(tok(r[0]))).otherwise(expr)
         return cells.select("row", "col", expr.alias("value"))
     return reclass(cells, [(tok(r[0]), tok(r[1]), tok(r[2])) for r in rows])
+
+
+def integer_division(a: DataFrame, b: DataFrame) -> DataFrame:
+    """IntegerDivision (math_stat_analysis/integer_division.rs:20-26):
+    per-cell truncated a/b; divisor 0 (and nodata in either input —
+    absent rows here) yields nodata. Truncation toward zero is written
+    as a FLOOR/CEIL branch so the expression is total under ANSI mode
+    and parses identically in the DuckDB oracle."""
+    bb = b.select("row", "col", F.col("value").alias("bv"))
+    return (
+        a.join(bb, ["row", "col"])
+        .selectExpr(
+            "row", "col",
+            "CASE WHEN bv = 0.0 THEN NULL "
+            "WHEN value / bv >= 0.0 THEN FLOOR(value / bv) * 1.0 "
+            "ELSE CEIL(value / bv) * 1.0 END AS value")
+        .where("value IS NOT NULL")
+    )
+
+
+def modify_nodata_value(cells: DataFrame, old_nodata: float,
+                        new_nodata: float) -> DataFrame:
+    """ModifyNoDataValue (data_tools/modify_nodata_value.rs:182-190):
+    rewrite cells carrying the old sentinel to the new one. The cells
+    model keeps nodata implicit (absent rows), so this is only needed
+    for rasters ingested with an explicit in-band sentinel."""
+    return cells.selectExpr(
+        "row", "col",
+        f"CASE WHEN value = {old_nodata!r} THEN {new_nodata!r} "
+        f"ELSE value END AS value")
+
+
+def shape_complexity_index_raster(cells: DataFrame) -> DataFrame:
+    """ShapeComplexityIndexRaster (gis_analysis/shape_complexity_raster
+    .rs): per patch-id, the number of horizontal + vertical transect
+    entries (cells whose west / north neighbor differs from the patch
+    id) divided by (height + width) of the patch's bounding box; every
+    cell of the patch takes the patch's index. Pure equi-joins and an
+    integer-count aggregate — oracle-bit-exact. One shuffle for the
+    neighbor joins, one for the per-patch aggregate."""
+    base = cells.where("value > 0.0")
+    west = base.selectExpr("row", "col + 1 AS col", "value AS wv")
+    north = base.selectExpr("row + 1 AS row", "col", "value AS nv")
+    tagged = (
+        base.join(west, ["row", "col"], "left")
+        .join(north, ["row", "col"], "left")
+    )
+    per_patch = tagged.groupBy("value").agg(
+        F.expr("SUM(CASE WHEN wv IS NULL OR wv <> value THEN 1 ELSE 0 END) + "
+               "SUM(CASE WHEN nv IS NULL OR nv <> value THEN 1 ELSE 0 END)")
+        .alias("__entries"),
+        F.expr("MAX(row) - MIN(row) + 1").alias("__h"),
+        F.expr("MAX(col) - MIN(col) + 1").alias("__w"))
+    idx = per_patch.selectExpr(
+        "value AS __id",
+        "CAST(__entries AS DOUBLE) / CAST(__h + __w AS DOUBLE) AS __sci")
+    return (
+        base.join(idx, base["value"] == idx["__id"])
+        .selectExpr("row", "col", "__sci AS value")
+    )

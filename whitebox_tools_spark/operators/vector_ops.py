@@ -982,3 +982,68 @@ def lines_to_polygons(features: DataFrame) -> DataFrame:
         "parts",
         F.expr(f"TRANSFORM(parts, p -> STRUCT(p.part_idx AS part_idx, "
                f"FALSE AS is_hole, {close} AS ring))"))
+
+
+def shape_complexity_index(features: DataFrame,
+                           id_col: str = "shape_id") -> DataFrame:
+    """ShapeComplexityIndex (gis_analysis/shape_complexity_index.rs:
+    218-245): SCI = 1 - A / Ah, where A is the feature's area (shells
+    add, holes subtract — the same signed fold as polygon_area) and Ah
+    is the sum over shell parts of the part's convex-hull area. Hulls
+    are per-part (holes contribute no hull), computed with the monotone
+    chain inside applyInPandas keyed on (feature, part) — fully
+    distributed, no driver geometry."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    areas = features.selectExpr(id_col, f"{feature_area_expr()} AS area")
+    part_pts = (
+        features.selectExpr(id_col, "EXPLODE(parts) AS p")
+        .where("NOT p.is_hole")
+        .selectExpr(id_col, "p.part_idx AS part_idx", "EXPLODE(p.ring) AS v")
+        .selectExpr(id_col, "part_idx", "v.x AS x", "v.y AS y")
+    )
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("hull_area", DoubleType(), False),
+    ])
+
+    def hull_area_of(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = np.unique(pdf[["x", "y"]].to_numpy(dtype=np.float64), axis=0)
+        pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            lower, upper = [], []
+            for p in pts:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(tuple(p))
+            for p in pts[::-1]:
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(tuple(p))
+            hull = np.array(lower[:-1] + upper[:-1])
+        if len(hull) < 3:
+            ha = 0.0
+        else:
+            xs, ys = hull[:, 0], hull[:, 1]
+            ha = abs(float(np.dot(xs, np.roll(ys, -1))
+                           - np.dot(ys, np.roll(xs, -1)))) / 2.0
+        return pd.DataFrame({id_col: [key[0]], "hull_area": [ha]})
+
+    hulls = (
+        part_pts.groupBy(id_col, "part_idx")
+        .applyInPandas(hull_area_of, schema=schema)
+        .groupBy(id_col).agg(F.sum("hull_area").alias("hull_area"))
+    )
+    return areas.join(hulls, id_col).selectExpr(
+        id_col,
+        "CASE WHEN hull_area > 0.0 THEN 1.0 - area / hull_area "
+        "ELSE 0.0 END AS complexity")

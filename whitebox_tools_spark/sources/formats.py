@@ -333,8 +333,9 @@ def write_lidar_tiles(points: DataFrame, out_dir: str,
             raise ValueError(f"unknown LiDAR codec {codec}")
         return pd.DataFrame({"tile": [tile], "path": [path], "n_points": [n]})
 
+    tile_type = points.schema[tile_col].dataType.simpleString()
     return points.groupBy(tile_col).applyInPandas(
-        write_tile, "tile long, path string, n_points long")
+        write_tile, f"tile {tile_type}, path string, n_points long")
 
 
 # ---------------------------------------------------------------------------
@@ -783,13 +784,35 @@ def read_dbf(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_shapefile(features: list[dict], path: str, shape_type: int = 5) -> None:
-    """Minimal .shp/.shx/.dbf writer (Polygon=5 / PolyLine=3; test and
-    interop fixture path). features: [{'record_num', 'parts': [(is_hole,
-    [(x, y), ...])], 'attrs': {name: value}}]. Polygon rings are
-    re-oriented to the ESRI convention (shells CW, holes CCW)."""
+    """Minimal .shp/.shx/.dbf writer (Polygon=5 / PolyLine=3 / Point=1 /
+    MultiPoint=8; test and interop fixture path). features:
+    [{'record_num', 'parts': [(is_hole, [(x, y), ...])], 'attrs':
+    {name: value}}]. Polygon rings are re-oriented to the ESRI
+    convention (shells CW, holes CCW); Point records take the first
+    vertex, MultiPoint records flatten all vertices."""
     shp_records = []
     all_x, all_y = [], []
     for feat in features:
+        if shape_type == 1:
+            x, y = feat["parts"][0][1][0]
+            all_x.append(x)
+            all_y.append(y)
+            shp_records.append(struct.pack("<i2d", 1, x, y))
+            continue
+        if shape_type == 8:
+            pts = [p for _h, ring in feat["parts"] for p in ring]
+            all_x += [p[0] for p in pts]
+            all_y += [p[1] for p in pts]
+            body = struct.pack("<i", 8)
+            body += struct.pack("<4d", min(p[0] for p in pts),
+                                min(p[1] for p in pts),
+                                max(p[0] for p in pts),
+                                max(p[1] for p in pts))
+            body += struct.pack("<i", len(pts))
+            for x, y in pts:
+                body += struct.pack("<2d", x, y)
+            shp_records.append(body)
+            continue
         parts = []
         for is_hole, ring in feat["parts"]:
             r = list(ring)

@@ -1,0 +1,193 @@
+"""Named transcode tools: LAS <-> ASCII / Shapefile / zLidar and the
+raster-format converter.
+
+Reference anchors:
+- LasToAscii / AsciiToLas: lidar_analysis/las_to_ascii.rs:216-248,
+  lidar_analysis/ascii_to_las.rs
+- LasToShapefile (POINT + attrs): lidar_analysis/las_to_shapefile.rs
+- LasToMultipointShapefile (one MultiPoint per source file):
+  lidar_analysis/las_to_multipoint_shapefile.rs
+- LasToZlidar / ZlidarToLas: lidar_analysis/las_to_zlidar.rs,
+  zlidar_to_las.rs
+- ConvertRasterFormat: data_tools/convert_raster_format.rs (dispatch
+  mirrors whitebox-raster/src/lib.rs:1339-1351 extension table)
+
+The LiDAR codecs themselves live in sources/formats.py (LAS) and
+sources/zlidar.py; these wrappers compose them. Directory-scale
+LAS<->zLidar transcoding is fully distributed (one encode task per
+source file via write_lidar_tiles); the single-file .csv/.shp writers
+are fixture-scale utilities like the other single-file writers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import formats as FF
+
+# LasToAscii column order (las_to_ascii.rs:216-218, no-RGB layout; TIME
+# appended when the source carries GPS time, i.e. point format 1).
+_ASCII_COLS = ("x", "y", "z", "intensity", "classification",
+               "return_number", "num_returns", "scan_angle")
+_ASCII_HEADER = "X,Y,Z,INTENSITY,CLASS,RETURN,NUM_RETURN,SCAN_ANGLE"
+
+
+def las_points_to_ascii(points: DataFrame,
+                        with_time: bool = False) -> DataFrame:
+    """LasToAscii, table form: one CSV line per point in the
+    reference's column order (header row excluded — single-file export
+    prepends it). Pure string concat, stays in codegen."""
+    cols = list(_ASCII_COLS) + (["gps_time"] if with_time else [])
+    expr = "CONCAT_WS(',', " + ", ".join(
+        f"CAST({c} AS STRING)" for c in cols) + ") AS line"
+    return points.selectExpr("source_file", "point_id", expr)
+
+
+def las_to_ascii(spark: SparkSession, las_path: str, csv_path: str,
+                 with_time: bool = False) -> int:
+    """Single-file LasToAscii: decode, order by point_id, write the
+    .csv next to the source (fixture-scale driver write)."""
+    pts = FF.read_las(spark, las_path)
+    lines = (las_points_to_ascii(pts, with_time=with_time)
+             .orderBy("source_file", "point_id").select("line").collect())
+    header = _ASCII_HEADER + (",TIME" if with_time else "")
+    with open(csv_path, "w") as f:
+        f.write(header + "\n")
+        for r in lines:
+            f.write(r["line"] + "\n")
+    return len(lines)
+
+
+def ascii_to_las_points(spark: SparkSession, csv_path: str) -> DataFrame:
+    """AsciiToLas, table form: parse the CSV back into the points
+    table shape (distributed CSV scan; header names mapped to the
+    LAS_SCHEMA columns)."""
+    raw = spark.read.option("header", True).csv(csv_path)
+    mapping = {"X": "x", "Y": "y", "Z": "z", "INTENSITY": "intensity",
+               "CLASS": "classification", "RETURN": "return_number",
+               "NUM_RETURN": "num_returns", "SCAN_ANGLE": "scan_angle",
+               "TIME": "gps_time"}
+    casts = {"x": "double", "y": "double", "z": "double",
+             "gps_time": "double"}
+    # one select with aliases: the CSV headers (X, Y, ...) collide
+    # case-insensitively with the target names, so withColumn+drop
+    # would clobber the result column
+    exprs = [F.col(src).cast(casts.get(dst, "int")).alias(dst)
+             for src, dst in mapping.items() if src in raw.columns]
+    return raw.select(*exprs)
+
+
+def ascii_to_las(spark: SparkSession, csv_path: str, las_path: str,
+                 fmt: int = 1) -> int:
+    """Single-file AsciiToLas: parse and encode a LAS 1.2 file."""
+    pts = ascii_to_las_points(spark, csv_path).toPandas().to_dict("records")
+    FF.write_las(pts, las_path, fmt=fmt)
+    return len(pts)
+
+
+def las_to_shapefile(spark: SparkSession, las_path: str,
+                     shp_path: str) -> int:
+    """LasToShapefile: POINT-type shapefile with the reference's
+    attribute table (RTRN_NUM, Z, INTENSITY, CLASS — las_to_shapefile
+    .rs:267-295 field set)."""
+    pts = FF.read_las(spark, las_path).orderBy("source_file", "point_id")
+    feats = [
+        {"record_num": i,
+         "parts": [(False, [(r["x"], r["y"])])],
+         "attrs": {"RTRN_NUM": int(r["return_number"]),
+                   "Z": float(r["z"]),
+                   "INTENSITY": int(r["intensity"]),
+                   "CLASS": int(r["classification"])}}
+        for i, r in enumerate(pts.collect())
+    ]
+    FF.write_shapefile(feats, shp_path, shape_type=1)
+    return len(feats)
+
+
+def las_to_multipoint_shapefile(spark: SparkSession, las_path: str,
+                                shp_path: str) -> int:
+    """LasToMultipointShapefile: ONE MultiPoint record per source file
+    (las_to_multipoint_shapefile.rs groups the whole cloud into a
+    single geometry; the attribute table carries only FID)."""
+    pts = FF.read_las(spark, las_path).orderBy("source_file", "point_id")
+    by_file: dict[str, list] = {}
+    for r in pts.collect():
+        by_file.setdefault(r["source_file"], []).append((r["x"], r["y"]))
+    feats = [
+        {"record_num": i, "parts": [(False, coords)], "attrs": {"FID": i}}
+        for i, (_name, coords) in enumerate(sorted(by_file.items()))
+    ]
+    FF.write_shapefile(feats, shp_path, shape_type=8)
+    return len(feats)
+
+
+def las_to_zlidar(spark: SparkSession, las_path: str,
+                  out_dir: str) -> DataFrame:
+    """LasToZlidar, directory scale: decode every LAS tile and re-encode
+    as .zlidar INSIDE the executors — one transcode task per file, no
+    point crosses the driver. Returns the (tile, path, n_points)
+    manifest."""
+    pts = FF.read_las(spark, las_path) \
+        .withColumn("__tile", F.regexp_replace("source_file", r"\.las$", ""))
+    return FF.write_lidar_tiles(pts, out_dir, tile_col="__tile",
+                                codec="zlidar")
+
+
+def zlidar_to_las(spark: SparkSession, zlidar_path: str,
+                  out_dir: str) -> DataFrame:
+    """ZlidarToLas, directory scale: the reverse transcode, same
+    per-file executor-side plan."""
+    pts = FF.read_zlidar(spark, zlidar_path) \
+        .withColumn("__tile", F.regexp_replace("source_file", r"\.zlidar$", ""))
+    return FF.write_lidar_tiles(pts, out_dir, tile_col="__tile",
+                                codec="las")
+
+
+# ConvertRasterFormat dispatch. Keys are lowercase extensions; Whitebox
+# .dep/.tas, Idrisi .rdc/.rst, ESRI .flt/.hdr, SAGA .sgrd/.sdat and BIL
+# .bil/.hdr are base-path formats (extension stripped before the call).
+_READERS = {
+    ".tif": FF.read_geotiff, ".tiff": FF.read_geotiff,
+    ".asc": FF.read_arc_ascii, ".txt": FF.read_arc_ascii,
+    ".grd": FF.read_surfer_ascii, ".grd7": FF.read_surfer7,
+    ".grass": FF.read_grass_ascii,
+    ".dep": (FF.read_whitebox, True), ".rdc": (FF.read_idrisi, True),
+    ".rst": (FF.read_idrisi, True), ".flt": (FF.read_esri_float, True),
+    ".sgrd": (FF.read_saga, True), ".sdat": (FF.read_saga, True),
+    ".bil": (FF.read_esri_bil, True),
+}
+_WRITERS = {
+    ".tif": FF.write_geotiff, ".tiff": FF.write_geotiff,
+    ".asc": FF.write_arc_ascii, ".txt": FF.write_arc_ascii,
+    ".grd": FF.write_surfer_ascii, ".grd7": FF.write_surfer7,
+    ".grass": FF.write_grass_ascii,
+    ".dep": (FF.write_whitebox, True), ".rdc": (FF.write_idrisi, True),
+    ".rst": (FF.write_idrisi, True), ".flt": (FF.write_esri_float, True),
+    ".sgrd": (FF.write_saga, True), ".sdat": (FF.write_saga, True),
+    ".bil": (FF.write_esri_bil, True),
+}
+
+
+def _dispatch(table: dict, path: str):
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in table:
+        raise ValueError(f"unsupported raster extension {ext!r} ({path})")
+    entry = table[ext]
+    if isinstance(entry, tuple):
+        fn, _base = entry
+        return fn, os.path.splitext(path)[0]
+    return entry, path
+
+
+def convert_raster_format(spark: SparkSession, src: str, dst: str) -> None:
+    """ConvertRasterFormat (data_tools/convert_raster_format.rs):
+    read src in its format, write dst in its format — both picked by
+    extension, mirroring the reference's whitebox-raster dispatch
+    (lib.rs:1339-1351)."""
+    reader, rpath = _dispatch(_READERS, src)
+    writer, wpath = _dispatch(_WRITERS, dst)
+    cells, meta = reader(spark, rpath)
+    writer(cells, meta, wpath)
