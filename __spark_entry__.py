@@ -2034,6 +2034,43 @@ def _q_max_elev_dev(spark, sf):
     return FO.max_elevation_deviation(_ras(spark, sf, "a"), [1, 2])
 
 
+def _q_num_downslope_nbrs(spark, sf):
+    return HY.num_downslope_neighbours(_ras(spark, sf, "a"), _META100)
+
+
+def _q_num_upslope_nbrs(spark, sf):
+    return HY.num_upslope_neighbours(_ras(spark, sf, "a"), _META100)
+
+
+def _q_max_downslope_chg(spark, sf):
+    return HY.max_downslope_elev_change(_ras(spark, sf, "a"), _META100)
+
+
+def _q_min_downslope_chg(spark, sf):
+    return HY.min_downslope_elev_change(_ras(spark, sf, "a"), _META100)
+
+
+def _q_max_upslope_chg(spark, sf):
+    return HY.max_upslope_elev_change(_ras(spark, sf, "a"), _META100)
+
+
+def _q_relative_aspect(spark, sf):
+    return FO.relative_aspect(_ras(spark, sf, "a"), _META100, azimuth=45.0)
+
+
+def _q_circular_variance_aspect(spark, sf):
+    """CircularVarianceOfAspect; ROUND(4) — the integral-image window
+    sums reassociate float adds vs the oracle's direct sums (unit
+    vectors are irrational), same knob as multiscale_roughness."""
+    return FO.circular_variance_of_aspect(
+        _ras(spark, sf, "a"), _META100, filter_size=11
+    ).selectExpr("row", "col", "ROUND(value, 4) AS value")
+
+
+def _q_max_diff_from_mean(spark, sf):
+    return FO.max_diff_from_mean(_ras(spark, sf, "a"), [1, 2])
+
+
 def _q_multiscale_rough(spark, sf):
     """MultiscaleRoughness at radii [1, 2]; value ROUND(4)-ed because the
     integral-image window sums reassociate float adds vs the oracle's
@@ -3174,6 +3211,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_grid": _q_rect_grid,
         "hex_grid_gen": _q_hex_grid_gen,
         "tile_footprint": _q_tile_footprint,
+        "num_downslope_nbrs": _q_num_downslope_nbrs,
+        "num_upslope_nbrs": _q_num_upslope_nbrs,
+        "max_downslope_chg": _q_max_downslope_chg,
+        "min_downslope_chg": _q_min_downslope_chg,
+        "max_upslope_chg": _q_max_upslope_chg,
+        "relative_aspect": _q_relative_aspect,
+        "circular_variance_aspect": _q_circular_variance_aspect,
+        "max_diff_from_mean": _q_max_diff_from_mean,
     }
 
 
@@ -6220,6 +6265,109 @@ def _r4b_oracles() -> dict[str, str]:
     return ret
 
 
+def _r4c_oracles() -> dict[str, str]:
+    """Oracles for the round-4c batch: directed 3x3 neighbor scans
+    (num/max/min up-/downslope tools), relative aspect, circular
+    variance of aspect, multiscale max-difference-from-mean. Value
+    expressions are the SAME portable-SQL text the Spark operators
+    execute except where noted."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    # nullable 3x3 D8-order pivot (zn_0..zn_7 + zc), the focal_pivot3_raw
+    # twin
+    offs9 = "offs9c AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)) o(n, dy, dx))"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8)
+    ) + ", MAX(CASE WHEN n = 8 THEN nv END) AS zc"
+    pivot9 = (
+        f"{offs9}, "
+        f"sc9c AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+        f"a.value AS nv FROM ras_a a, offs9 o), "
+        f"p9c AS (SELECT row, col, {piv_cols} FROM sc9c GROUP BY 1, 2), "
+        f"z9 AS (SELECT * FROM p9c WHERE zc IS NOT NULL)"
+    ).replace("offs9 o", "offs9c o")
+    ret = {}
+    ret["num_downslope_nbrs"] = (
+        f"WITH {ras_a}, {pivot9} SELECT row, col, "
+        f"{HY.nbr_count_value_expr('<')} AS value FROM z9")
+    ret["num_upslope_nbrs"] = (
+        f"WITH {ras_a}, {pivot9} SELECT row, col, "
+        f"{HY.nbr_count_value_expr('>')} AS value FROM z9")
+    for key, kind in [("max_downslope_chg", "max_down"),
+                      ("min_downslope_chg", "min_down"),
+                      ("max_upslope_chg", "max_up")]:
+        val = HY.elev_change_value_expr(_META100, kind, duck=True)
+        ret[key] = (f"WITH {ras_a}, {pivot9} SELECT row, col, "
+                    f"{val} AS value FROM z9")
+
+    # center-substituted 5x5 pivot (focal_pivot5 twin) for relative aspect
+    offs25 = "offs25c AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // 5 - 2}, {n % 5 - 2})" for n in range(25)
+    ) + ") o(n, dr, dc))"
+    p25 = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}" for n in range(25))
+    zz25 = ", ".join(f"(COALESCE(z_{n}, z_12) * 1.0) AS z{n}" for n in range(25))
+    pivot5 = (
+        f"{offs25}, "
+        f"sc25c AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, o.n AS n, "
+        f"a.value AS nv FROM ras_a a, offs25c o), "
+        f"piv25c AS (SELECT row, col, {p25} FROM sc25c GROUP BY 1, 2), "
+        f"zz AS (SELECT row, col, {zz25} FROM piv25c WHERE z_12 IS NOT NULL)"
+    )
+    ra_val = FO.relative_aspect_value_expr(_META100, 45.0)
+    ret["relative_aspect"] = (
+        f"WITH {ras_a}, {pivot5} SELECT row, col, {ra_val} AS value FROM zz")
+
+    # circular variance of aspect: unit vectors from the center-
+    # substituted 3x3 gradient, direct 11x11 clamped-window sums (the
+    # Spark side uses integral images; ROUND(4) on both absorbs the
+    # summation-order ulp)
+    res = (_META100.resolution_x + _META100.resolution_y) / 2.0
+    sub = [f"COALESCE(zn_{i}, zc)" for i in range(8)]
+    fx = (f"(({sub[2]}) - ({sub[4]}) + 2.0 * (({sub[1]}) - ({sub[5]})) "
+          f"+ ({sub[0]}) - ({sub[6]})) / {8.0 * res!r}")
+    fy = (f"(({sub[6]}) - ({sub[4]}) + 2.0 * (({sub[7]}) - ({sub[3]})) "
+          f"+ ({sub[0]}) - ({sub[2]})) / {8.0 * res!r}")
+    mag = f"SQRT(({fx}) * ({fx}) + ({fy}) * ({fy}))"
+    offs121 = ("offs121 AS (SELECT a.range - 5 AS dr, b.range - 5 AS dc "
+               "FROM range(0, 11) a, range(0, 11) b)")
+    ret["circular_variance_aspect"] = (
+        f"WITH {ras_a}, {pivot9}, {offs121}, "
+        f"vec AS (SELECT row, col, "
+        f"CASE WHEN ({fx}) <> 0.0 THEN ({fx}) / ({mag}) ELSE 0.0 END AS ux, "
+        f"CASE WHEN ({fx}) <> 0.0 THEN ({fy}) / ({mag}) ELSE 0.0 END AS uy "
+        f"FROM z9), "
+        f"w AS (SELECT v.row - o.dr AS row, v.col - o.dc AS col, v.ux, v.uy "
+        f"FROM vec v, offs121 o), "
+        f"g AS (SELECT row, col, SUM(ux) AS sx, SUM(uy) AS sy, COUNT(*) AS n "
+        f"FROM w WHERE row >= 0 AND row < 100 AND col >= 0 AND col < 100 "
+        f"GROUP BY 1, 2) "
+        f"SELECT g.row, g.col, ROUND(1.0 - LEAST(SQRT(sx * sx + sy * sy) / n, 1.0), 4) "
+        f"AS value FROM g JOIN ras_a USING (row, col)")
+
+    # max diff from mean at radii [1, 2] — integer-exact window means,
+    # QUALIFY argmax with the same (-|diff|, scale) tie-break
+    o1 = ("o1c AS (SELECT a.range - 1 AS dr, b.range - 1 AS dc "
+          "FROM range(0, 3) a, range(0, 3) b)")
+    o2 = ("o2c AS (SELECT a.range - 2 AS dr, b.range - 2 AS dc "
+          "FROM range(0, 5) a, range(0, 5) b)")
+    diff_cte = (
+        "d{k} AS (SELECT a.row, a.col, a.value - g.mu AS dv, "
+        "CAST({r} AS INT) AS scale FROM ras_a a JOIN "
+        "(SELECT s.row - o.dr AS row, s.col - o.dc AS col, AVG(s.value) AS mu "
+        "FROM ras_a s, o{k}c o GROUP BY 1, 2) g "
+        "ON g.row = a.row AND g.col = a.col)"
+    )
+    ret["max_diff_from_mean"] = (
+        f"WITH {ras_a}, {o1}, {o2}, "
+        f"{diff_cte.format(k=1, r=1)}, {diff_cte.format(k=2, r=2)}, "
+        f"devs AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2) "
+        f"SELECT row, col, dv AS value, scale FROM devs "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY row, col "
+        f"ORDER BY -ABS(dv), scale) = 1")
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -6460,6 +6608,7 @@ def oracle_sql() -> dict[str, str]:
         **_vector2_oracles(),
         **_morph_oracles(),
         **_r4b_oracles(),
+        **_r4c_oracles(),
         "pca3": _pca3_oracle(),
         "reclass_equal_interval": (
             f"WITH ras_a AS ({_RAS_A_SQL}), "

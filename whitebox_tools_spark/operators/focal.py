@@ -900,6 +900,84 @@ def max_elevation_deviation(cells: DataFrame, radii: list[int]) -> DataFrame:
     )
 
 
+def max_diff_from_mean(cells: DataFrame, radii: list[int]) -> DataFrame:
+    """MaxDifferenceFromMean (terrain_analysis/max_diff_from_mean.rs
+    semantics): across the given window radii, keep the
+    difference-from-window-mean with the largest magnitude and the scale
+    it occurred at. Output (row, col, value, scale). Composition of the
+    per-radius diff_from_mean_elev plans — one scatter+agg per scale,
+    one argmax combine (same shape as max_elevation_deviation)."""
+    from functools import reduce
+
+    outs = [
+        diff_from_mean_elev(cells, r).selectExpr(
+            "row", "col", "value AS dv", f"CAST({r} AS INT) AS scale")
+        for r in radii
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    return u.groupBy("row", "col").agg(
+        F.expr("MIN_BY(dv, STRUCT(-ABS(dv), scale))").alias("value"),
+        F.expr("MIN_BY(scale, STRUCT(-ABS(dv), scale))").alias("scale"),
+    )
+
+
+def relative_aspect_value_expr(meta: GridMeta, azimuth: float) -> str:
+    """RelativeAspect (terrain_analysis/relative_aspect.rs:409-415) over
+    z0..z24 pivot columns: |180 - atan(q/p)deg + 90*sign(p) - azimuth|
+    folded to [0, 180]; -1 (undefined) where p == 0. Portable SQL (same
+    text builds the DuckDB oracle); the atan division only evaluates
+    inside the p <> 0 branch (ANSI-safe)."""
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    p, q = _florinsky_pq(res)
+    v = (f"ABS(180.0 - DEGREES(ATAN(({q}) / ({p}))) "
+         f"+ 90.0 * SIGN({p}) - {float(azimuth)!r})")
+    folded = f"CASE WHEN ({v}) > 180.0 THEN 360.0 - ({v}) ELSE ({v}) END"
+    return f"CASE WHEN ({p}) <> 0.0 THEN ({folded}) ELSE -1.0 END"
+
+
+def relative_aspect(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
+                    z_factor: float = 1.0) -> DataFrame:
+    return focal_pivot5(cells, z_factor).selectExpr(
+        "row", "col", f"{relative_aspect_value_expr(meta, azimuth)} AS value")
+
+
+def circular_variance_of_aspect(cells: DataFrame, meta: GridMeta,
+                                filter_size: int = 11) -> DataFrame:
+    """CircularVarianceOfAspect (terrain_analysis/
+    circular_variance_of_aspect.rs:560-640): per cell a unit
+    downslope-direction vector (fx, fy)/|.| from the 3x3 Sobel gradient
+    ((0,0) where fx == 0 — the reference's flat guard), then over a
+    filter_size window 1 - min(1, |sum of unit vectors| / n).
+
+    Plan: one 3x3 pivot, ONE two-column integral image, 4-corner lookup
+    joins — identical shape to multiscale_roughness. Deviation: edge
+    cells center-substitute missing neighbors (the reference reads the
+    nodata sentinel out-of-grid without a guard, poisoning edge rows);
+    interior cells are bit-identical."""
+    from .hydro import focal_pivot3_raw
+
+    piv = focal_pivot3_raw(cells)
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    sub = [f"COALESCE(zn_{i}, zc)" for i in range(8)]
+    fx = (f"(({sub[2]}) - ({sub[4]}) + 2.0 * (({sub[1]}) - ({sub[5]})) "
+          f"+ ({sub[0]}) - ({sub[6]})) / {8.0 * res!r}")
+    fy = (f"(({sub[6]}) - ({sub[4]}) + 2.0 * (({sub[7]}) - ({sub[3]})) "
+          f"+ ({sub[0]}) - ({sub[2]})) / {8.0 * res!r}")
+    mag = f"SQRT(({fx}) * ({fx}) + ({fy}) * ({fy}))"
+    vecs = piv.selectExpr(
+        "row", "col",
+        f"CASE WHEN ({fx}) <> 0.0 THEN ({fx}) / ({mag}) ELSE 0.0 END AS ux",
+        f"CASE WHEN ({fx}) <> 0.0 THEN ({fy}) / ({mag}) ELSE 0.0 END AS uy",
+    )
+    ii = integral_image_multi(vecs, ["ux", "uy"])
+    centers = cells.select("row", "col")
+    radius = max(filter_size, 3) // 2
+    s = _window_sums_ii(ii, centers, meta, radius, ["ux", "uy"])
+    return s.selectExpr(
+        "row", "col",
+        "1.0 - LEAST(SQRT(s_ux * s_ux + s_uy * s_uy) / wn, 1.0) AS value")
+
+
 def pennock_landform_class(cells: DataFrame, meta: GridMeta,
                            slope_threshold: float = 3.0,
                            prof_threshold: float = 0.1,

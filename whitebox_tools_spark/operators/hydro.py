@@ -1439,6 +1439,98 @@ def find_noflow_cells(cells: DataFrame, meta: GridMeta) -> DataFrame:
         "CAST(CASE WHEN value = 0.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value")
 
 
+def nbr_count_value_expr(op: str) -> str:
+    """Portable count-of-neighbors expression over zn_0..zn_7/zc pivot
+    columns; `op` is the elevation comparison ('<' downslope, '>'
+    upslope). Same text builds the DuckDB oracle."""
+    cnt = " + ".join(
+        f"(CASE WHEN zn_{i} IS NOT NULL AND zn_{i} {op} zc THEN 1 ELSE 0 END)"
+        for i in range(8))
+    return f"CAST({cnt} AS DOUBLE)"
+
+
+def num_downslope_neighbours(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """NumDownslopeNeighbours (terrain_analysis/num_downslope_neighbours
+    .rs): count of the 8 neighbors strictly below the center elevation;
+    out-of-grid neighbors are skipped. One pivot, pure codegen."""
+    return focal_pivot3_raw(cells).selectExpr(
+        "row", "col", f"{nbr_count_value_expr('<')} AS value")
+
+
+def num_upslope_neighbours(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """NumUpslopeNeighbours (terrain_analysis/num_upslope_neighbours.rs):
+    count of the 8 neighbors strictly above the center elevation."""
+    return focal_pivot3_raw(cells).selectExpr(
+        "row", "col", f"{nbr_count_value_expr('>')} AS value")
+
+
+def elev_change_value_expr(meta: GridMeta, kind: str, duck: bool = False) -> str:
+    """Slope-argmax neighbor scan over zn_0..zn_7 / zc pivot columns as a
+    sequential fold (reference scan order, strict comparison keeps the
+    FIRST optimum — matches the Rust loops). `kind`:
+      max_down  — MaxDownslopeElevChange (terrain_analysis/
+                  max_downslope_elev_change.rs): z-drop of the steepest
+                  downslope neighbor, 0 where none.
+      min_down  — MinDownslopeElevChange: z-drop of the gentlest
+                  non-negative-slope neighbor (flat neighbors allowed).
+      max_up    — MaxUpslopeElevChange: z-rise of the steepest upslope
+                  neighbor, 0 where none.
+    Portable SQL: same text runs on Spark (duck=False -> AGGREGATE /
+    NAMED_STRUCT) and DuckDB (duck=True -> LIST_REDUCE / struct literal).
+    The guarded CASE keeps every division total (ANSI-safe: lengths are
+    nonzero literals)."""
+    lengths = _grid_lengths(meta)
+    elems = []
+    for i in range(8):
+        if kind == "max_down":
+            valid = f"zn_{i} IS NOT NULL AND zn_{i} < zc"
+            slope = f"(zc - zn_{i}) / {lengths[i]!r}"
+            chg = f"zc - zn_{i}"
+        elif kind == "min_down":
+            valid = f"zn_{i} IS NOT NULL AND zn_{i} <= zc"
+            slope = f"(zc - zn_{i}) / {lengths[i]!r}"
+            chg = f"zc - zn_{i}"
+        elif kind == "max_up":
+            valid = f"zn_{i} IS NOT NULL AND zn_{i} > zc"
+            slope = f"(zn_{i} - zc) / {lengths[i]!r}"
+            chg = f"zn_{i} - zc"
+        else:
+            raise ValueError(kind)
+        ms = f"CASE WHEN {valid} THEN {slope} ELSE NULL END"
+        cg = f"CASE WHEN {valid} THEN {chg} ELSE 0.0 END"
+        elems.append(f"{{'ms': {ms}, 'chg': {cg}}}" if duck
+                     else f"NAMED_STRUCT('ms', {ms}, 'chg', {cg})")
+    init_val = "'Infinity'" if kind == "min_down" else "'-Infinity'"
+    cmp = "<" if kind == "min_down" else ">"
+    cond = f"e.ms IS NOT NULL AND e.ms {cmp} acc.ms"
+    if duck:
+        init = (f"{{'ms': CAST({init_val} AS DOUBLE), "
+                f"'chg': CAST(0.0 AS DOUBLE)}}")
+        fold = (f"LIST_REDUCE(LIST_PREPEND({init}, [{', '.join(elems)}]), "
+                f"(acc, e) -> CASE WHEN {cond} THEN e ELSE acc END)")
+    else:
+        init = (f"NAMED_STRUCT('ms', CAST({init_val} AS DOUBLE), "
+                f"'chg', CAST(0.0 AS DOUBLE))")
+        fold = (f"AGGREGATE(ARRAY({', '.join(elems)}), {init}, "
+                f"(acc, e) -> IF({cond}, e, acc))")
+    return f"({fold}).chg"
+
+
+def max_downslope_elev_change(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    return focal_pivot3_raw(cells).selectExpr(
+        "row", "col", f"{elev_change_value_expr(meta, 'max_down')} AS value")
+
+
+def min_downslope_elev_change(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    return focal_pivot3_raw(cells).selectExpr(
+        "row", "col", f"{elev_change_value_expr(meta, 'min_down')} AS value")
+
+
+def max_upslope_elev_change(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    return focal_pivot3_raw(cells).selectExpr(
+        "row", "col", f"{elev_change_value_expr(meta, 'max_up')} AS value")
+
+
 def fill_pits(cells: DataFrame, meta: GridMeta) -> DataFrame:
     """FillPits (hydro_analysis/fill_pits.rs:216-234): single-cell pits
     (no valid neighbor strictly below z) are raised to the minimum
