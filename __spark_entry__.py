@@ -1489,6 +1489,33 @@ def _q_avg_upslope(spark, sf):
     return HY.average_upslope_flowpath_length(_ras_c(spark, sf), _META40C)
 
 
+def _q_elev_above_pit(spark, sf):
+    return HY.elev_above_pit(_ras_c(spark, sf), _META40C)
+
+
+def _q_flow_length_diff(spark, sf):
+    return HY.flow_length_diff(_ras_c(spark, sf), _META40C)
+
+
+def _q_avg_flowpath_slope(spark, sf):
+    """AverageFlowpathSlope; ROUND(6) — TFL and TDE are exact (integer
+    counters / integer elevations) but the upstream SUM() order differs
+    between engines only for the atan argument's division chain, and
+    atan itself is libm. ROUND absorbs the ulp."""
+    return HY.average_flowpath_slope(_ras_c(spark, sf), _META40C) \
+             .selectExpr("row", "col", "ROUND(value, 6) AS value")
+
+
+def _q_trace_downslope(spark, sf):
+    seeds = _ras_c(spark, sf).where("(row * 40 + col) % 97 = 0") \
+                             .select("row", "col")
+    return HY.trace_downslope_flowpaths(_ras_c(spark, sf), _META40C, seeds)
+
+
+def _q_longest_flowpath(spark, sf):
+    return HY.longest_flowpath(_ras_c(spark, sf), _META40C)
+
+
 def _q_mass_flux(spark, sf):
     """Topological peel with per-cell loss arithmetic — iterative;
     rows-only + pytest parity on a crafted network. 20x20 gate raster:
@@ -3219,6 +3246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relative_aspect": _q_relative_aspect,
         "circular_variance_aspect": _q_circular_variance_aspect,
         "max_diff_from_mean": _q_max_diff_from_mean,
+        "elev_above_pit": _q_elev_above_pit,
+        "flow_length_diff": _q_flow_length_diff,
+        "avg_flowpath_slope": _q_avg_flowpath_slope,
+        "trace_downslope": _q_trace_downslope,
+        "longest_flowpath": _q_longest_flowpath,
     }
 
 
@@ -6368,6 +6400,132 @@ def _r4c_oracles() -> dict[str, str]:
     return ret
 
 
+def _hydro4_oracles() -> dict[str, str]:
+    """Closure-based oracles for the round-4c flowpath family
+    (ElevAbovePit, FlowLengthDiff, AverageFlowpathSlope,
+    TraceDownslopeFlowpaths, LongestFlowpath) over the 40x40 gate
+    raster. Same exact-integer step counters / shared length expression
+    as the other hydro walks."""
+    W = 40
+    ras_a = f"ras_a AS ({_RAS_C_SQL})"
+    offs = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8)
+    ) + ", MAX(CASE WHEN n = 8 THEN nv END) AS zc"
+    pivot = (
+        f"offs8 AS (SELECT * FROM (VALUES {offs}) o(n, dy, dx)), "
+        f"sc8 AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+        f"a.value AS nv FROM ras_a a, offs8 o), "
+        f"piv AS (SELECT row, col, {piv_cols} FROM sc8 GROUP BY 1, 2), "
+        f"ptr AS MATERIALIZED (SELECT row, col, "
+        f"{HY.d8_pointer_value_expr(_META40C)} AS value "
+        f"FROM piv WHERE zc IS NOT NULL)"
+    )
+    dirs = ", ".join(f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    edge_ctes = (
+        f"dirs AS (SELECT * FROM (VALUES {dirs}) d(code, dy, dx)), "
+        f"e AS MATERIALIZED (SELECT (p.row * {W} + p.col) AS src, "
+        f"((p.row + d.dy) * {W} + (p.col + d.dx)) AS dst, "
+        f"CAST(CASE WHEN d.dy <> 0 AND d.dx <> 0 THEN 1 ELSE 0 END AS BIGINT) AS sd, "
+        f"CAST(CASE WHEN d.dy <> 0 AND d.dx = 0 THEN 1 ELSE 0 END AS BIGINT) AS sr, "
+        f"CAST(CASE WHEN d.dy = 0 AND d.dx <> 0 THEN 1 ELSE 0 END AS BIGINT) AS sc "
+        f"FROM ptr p JOIN dirs d ON d.code = CAST(p.value AS INT) WHERE p.value > 0), "
+        f"nodes AS MATERIALIZED (SELECT row, col, (row * {W} + col) AS id FROM ptr)"
+    )
+    creach = (
+        "creach(src, dst, nr, nc, nd) AS ("
+        "SELECT id, id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        "FROM nodes UNION "
+        "SELECT c.src, e.dst, c.nr + e.sr, c.nc + e.sc, c.nd + e.sd "
+        "FROM creach c JOIN e ON c.dst = e.src)"
+    )
+    terms = (f"terms AS (SELECT (row * {W} + col) AS tid FROM ptr "
+             f"WHERE value = 0.0)")
+    zt = f"z AS (SELECT (row * {W} + col) AS zid, value AS z FROM ras_a)"
+    lexp = HY._len_expr(_META40C)
+    lexp_c = HY._len_expr(_META40C, "c.nr", "c.nc", "c.nd")
+    prelude = f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {creach}, {terms}, {zt}"
+
+    ret = {}
+    ret["elev_above_pit"] = (
+        f"{prelude} "
+        f"SELECT n.row, n.col, z1.z - z2.z AS value "
+        f"FROM creach c JOIN terms t ON c.dst = t.tid "
+        f"JOIN nodes n ON c.src = n.id "
+        f"JOIN z z1 ON c.src = z1.zid JOIN z z2 ON t.tid = z2.zid"
+    )
+    card = ", ".join(f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in (1, 3, 5, 7))
+    dn = {i: f"zn_{i}" for i in (1, 3, 5, 7)}
+    dpiv = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN v END) AS {dn[i]}" for i in (1, 3, 5, 7))
+    mx = "GREATEST(" + ", ".join(
+        f"COALESCE(ABS(d.v - p.zn_{i}), CAST('-Infinity' AS DOUBLE))"
+        for i in (1, 3, 5, 7)) + ")"
+    ret["flow_length_diff"] = (
+        f"{prelude}, "
+        f"dfl AS (SELECT n.row, n.col, {lexp_c} AS v "
+        f"FROM creach c JOIN terms t ON c.dst = t.tid "
+        f"JOIN nodes n ON c.src = n.id), "
+        f"cardo AS (SELECT * FROM (VALUES {card}) o(n, dy, dx)), "
+        f"csc AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+        f"a.v AS v FROM dfl a, cardo o), "
+        f"cpiv AS (SELECT row, col, {dpiv} FROM csc GROUP BY 1, 2) "
+        f"SELECT d.row, d.col, {mx} AS value "
+        f"FROM dfl d JOIN cpiv p ON d.row = p.row AND d.col = p.col"
+    )
+    ret["avg_flowpath_slope"] = (
+        f"{prelude}, "
+        f"e2 AS (SELECT src AS eid, sr AS er, sc AS ec, sd AS ed FROM e), "
+        f"indeg AS (SELECT DISTINCT dst AS did FROM e), "
+        f"sattr AS (SELECT n.id AS sid, COALESCE(e2.er, 0) AS er, "
+        f"COALESCE(e2.ec, 0) AS ec, COALESCE(e2.ed, 0) AS ed, z.z, "
+        f"CASE WHEN indeg.did IS NULL THEN 1 ELSE 0 END AS is_div "
+        f"FROM nodes n LEFT JOIN e2 ON n.id = e2.eid "
+        f"JOIN z ON n.id = z.zid LEFT JOIN indeg ON n.id = indeg.did), "
+        f"ag AS (SELECT c.dst, SUM(is_div) AS nf, "
+        f"SUM(CASE WHEN is_div = 1 THEN z ELSE 0.0 END) AS tde, "
+        f"SUM(CASE WHEN c.src <> c.dst THEN er ELSE 0 END) AS nr, "
+        f"SUM(CASE WHEN c.src <> c.dst THEN ec ELSE 0 END) AS nc, "
+        f"SUM(CASE WHEN c.src <> c.dst THEN ed ELSE 0 END) AS nd "
+        f"FROM creach c JOIN sattr ON c.src = sattr.sid GROUP BY 1) "
+        f"SELECT * FROM (SELECT n.row, n.col, "
+        f"ROUND(CASE WHEN ({lexp}) > 0.0 THEN DEGREES(ATAN("
+        f"(tde / CAST(nf AS DOUBLE) - z.z) / (({lexp}) / CAST(nf AS DOUBLE))"
+        f")) ELSE NULL END, 6) AS value "
+        f"FROM ag JOIN nodes n ON ag.dst = n.id JOIN z ON ag.dst = z.zid) "
+        f"WHERE value IS NOT NULL"
+    )
+    ret["trace_downslope"] = (
+        f"{prelude}, "
+        f"seeds AS (SELECT (row * {W} + col) AS sid FROM ras_a "
+        f"WHERE (row * {W} + col) % 97 = 0) "
+        f"SELECT n.row, n.col, CAST(COUNT(*) AS DOUBLE) AS value "
+        f"FROM creach c JOIN seeds s ON c.src = s.sid "
+        f"JOIN nodes n ON c.dst = n.id GROUP BY 1, 2"
+    )
+    ret["longest_flowpath"] = (
+        f"{prelude}, "
+        f"toterm AS (SELECT c.src, c.dst AS term, c.nr, c.nc, c.nd "
+        f"FROM creach c JOIN terms t ON c.dst = t.tid), "
+        f"rk AS (SELECT term, src AS head, {lexp} AS len, "
+        f"ROW_NUMBER() OVER (PARTITION BY term ORDER BY -({lexp}), src) AS r "
+        f"FROM toterm), "
+        f"b1 AS (SELECT term, head, len AS length FROM rk WHERE r = 1), "
+        f"ranks AS (SELECT term, DENSE_RANK() OVER (ORDER BY term) AS basin_id "
+        f"FROM b1) "
+        f"SELECT CAST(r2.basin_id AS DOUBLE) AS basin_id, "
+        f"c.nr + c.nc + c.nd AS seq, n.row, n.col, "
+        f"{_META40C.x_center_expr('n.col')} AS x, "
+        f"{_META40C.y_center_expr('n.row')} AS y, b1.length "
+        f"FROM creach c JOIN b1 ON c.src = b1.head "
+        f"JOIN ranks r2 ON b1.term = r2.term "
+        f"JOIN nodes n ON c.dst = n.id"
+    )
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -6609,6 +6767,7 @@ def oracle_sql() -> dict[str, str]:
         **_morph_oracles(),
         **_r4b_oracles(),
         **_r4c_oracles(),
+        **_hydro4_oracles(),
         "pca3": _pca3_oracle(),
         "reclass_equal_interval": (
             f"WITH ras_a AS ({_RAS_A_SQL}), "

@@ -2305,6 +2305,152 @@ def average_upslope_flowpath_length(cells: DataFrame, meta: GridMeta) -> DataFra
     return out
 
 
+def elev_above_pit(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """ElevAbovePit (terrain_analysis/elev_above_pit.rs): elevation
+    difference between each cell and the pit cell (D8-path terminal) it
+    drains to; pits report 0. One exact-step closure + two joins (z is
+    copied, never summed — bit-exact)."""
+    c = meta.columns
+    reach, nodes = _full_closure_with_steps(cells, meta)
+    ptr = d8_pointer(cells, meta)
+    z = cells.selectExpr(f"(row * {c}L + col) AS zid", "value AS z")
+    terms = ptr.where("value = 0.0").selectExpr(f"(row * {c}L + col) AS tid")
+    tz = terms.join(z, F.col("tid") == F.col("zid")).selectExpr("tid", "z AS zt")
+    out = (reach.join(tz, reach["dst"] == F.col("tid"))
+           .selectExpr("src", "zt")
+           .join(z, F.col("src") == F.col("zid"))
+           .join(nodes, F.col("src") == nodes["id"])
+           .selectExpr("row", "col", "z - zt AS value"))
+    nodes.unpersist()
+    return out
+
+
+def flow_length_diff(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """FlowLengthDiff (hydro_analysis/flow_length_diff.rs): per cell the
+    maximum |dfl(c) - dfl(n)| over the four CARDINAL neighbors (E, S, W,
+    N), where dfl is the downslope flowpath length to the cell's D8
+    terminal. dfl comes from the exact-step closure (integer counters,
+    one float multiply per value), so results are bit-reproducible."""
+    c = meta.columns
+    reach, nodes = _full_closure_with_steps(cells, meta)
+    ptr = d8_pointer(cells, meta)
+    terms = ptr.where("value = 0.0").selectExpr(f"(row * {c}L + col) AS tid")
+    dfl = (reach.join(terms, reach["dst"] == F.col("tid"))
+           .selectExpr("src", f"{_len_expr(meta)} AS value")
+           .join(nodes, F.col("src") == nodes["id"])
+           .select("row", "col", "value"))
+    nodes.unpersist()
+    piv = focal_pivot3_raw(dfl)
+    mx = "GREATEST(" + ", ".join(
+        f"COALESCE(ABS(zc - zn_{i}), CAST('-Infinity' AS DOUBLE))"
+        for i in (1, 3, 5, 7)) + ")"
+    return piv.selectExpr("row", "col", f"{mx} AS value")
+
+
+def average_flowpath_slope(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """AverageFlowpathSlope (hydro_analysis/average_flowpath_slope.rs):
+    atan((mean upslope-divide elevation - z) / (mean upslope flowpath
+    length)) in degrees, where the reference accumulates, per cell,
+    NF = #upslope divide cells (no-inflow cells, self included when the
+    cell is one), TDE = sum of their elevations, and TFL = sum of the
+    out-edge lengths of every strict-upslope cell (each upstream cell's
+    single out-edge counted once — the reference's propagation rule).
+
+    Deviation: divide cells themselves (TFL = 0) are omitted — the
+    reference computes 0/0 there and stores NaN. Sums of elevations are
+    integer-exact on the gate fixtures; TFL uses the exact step counters
+    (one float multiply), so the only libm call is atan."""
+    c = meta.columns
+    reach, nodes = _full_closure_with_steps(cells, meta)
+    ptr = d8_pointer(cells, meta)
+    z = cells.selectExpr(f"(row * {c}L + col) AS zid", "value AS z")
+    edges = d8_edges(ptr)
+    e_attr = edges.selectExpr(
+        f"(row * {c}L + col) AS eid",
+        "CAST(CASE WHEN drow <> row AND dcol <> col THEN 1 ELSE 0 END AS LONG) AS ed",
+        "CAST(CASE WHEN drow <> row AND dcol = col THEN 1 ELSE 0 END AS LONG) AS er",
+        "CAST(CASE WHEN drow = row AND dcol <> col THEN 1 ELSE 0 END AS LONG) AS ec")
+    indeg = edges.selectExpr(f"(drow * {c}L + dcol) AS did").distinct()
+    src_attr = (nodes.select(F.col("id").alias("sid"))
+                .join(e_attr, F.col("sid") == F.col("eid"), "left")
+                .join(z, F.col("sid") == F.col("zid"))
+                .join(indeg.withColumn("__has_in", F.lit(1)),
+                      F.col("sid") == F.col("did"), "left")
+                .selectExpr("sid", "COALESCE(er, 0L) AS er",
+                            "COALESCE(ec, 0L) AS ec", "COALESCE(ed, 0L) AS ed",
+                            "z", "CAST(__has_in IS NULL AS INT) AS is_div"))
+    agg = (reach.join(src_attr, reach["src"] == F.col("sid"))
+           .groupBy("dst").agg(
+               F.expr("SUM(is_div)").alias("nf"),
+               F.expr("SUM(CASE WHEN is_div = 1 THEN z ELSE 0.0 END)").alias("tde"),
+               F.expr("SUM(CASE WHEN src <> dst THEN er ELSE 0L END)").alias("nr"),
+               F.expr("SUM(CASE WHEN src <> dst THEN ec ELSE 0L END)").alias("nc"),
+               F.expr("SUM(CASE WHEN src <> dst THEN ed ELSE 0L END)").alias("nd")))
+    tfl = _len_expr(meta)
+    out = (agg.join(z, agg["dst"] == F.col("zid"))
+           .join(nodes, agg["dst"] == nodes["id"])
+           .selectExpr(
+               "row", "col",
+               f"CASE WHEN ({tfl}) > 0.0 THEN DEGREES(ATAN("
+               f"(tde / CAST(nf AS DOUBLE) - z) / (({tfl}) / CAST(nf AS DOUBLE))"
+               f")) ELSE NULL END AS value")
+           .where("value IS NOT NULL"))
+    nodes.unpersist()
+    return out
+
+
+def trace_downslope_flowpaths(cells: DataFrame, meta: GridMeta,
+                              seeds: DataFrame) -> DataFrame:
+    """TraceDownslopeFlowpaths (hydro_analysis/trace_downslope_flowpaths
+    .rs): follow the D8 path from each seed (row, col) to its terminal;
+    output the number of seed traces passing through each visited cell
+    (unvisited cells are absent)."""
+    c = meta.columns
+    reach, nodes = _full_closure_with_steps(cells, meta)
+    s = seeds.selectExpr(f"(row * {c}L + col) AS sid")
+    hits = (reach.join(s, reach["src"] == F.col("sid"))
+            .groupBy("dst").agg(F.count(F.lit(1)).alias("n")))
+    out = hits.join(nodes, hits["dst"] == nodes["id"]).selectExpr(
+        "row", "col", "CAST(n AS DOUBLE) AS value")
+    nodes.unpersist()
+    return out
+
+
+def longest_flowpath(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """LongestFlowpath (hydro_analysis/longest_flowpath.rs semantics):
+    per basin (terminal-outlet component, numbered like basins()), the
+    maximum-length flowpath as a cell-center polyline. Output one row
+    per path cell: (basin_id, seq, row, col, x, y, length) where seq is
+    the hop index from the path head and length is the basin's longest
+    flowpath length. Head ties on exact length resolve to the smaller
+    head id. Exact-step closure; the only float math is the final
+    length multiply and the cell-center affine."""
+    from ..plans.rank import dense_rank_small
+
+    c = meta.columns
+    reach, nodes = _full_closure_with_steps(cells, meta)
+    ptr = d8_pointer(cells, meta)
+    terms = ptr.where("value = 0.0").selectExpr(f"(row * {c}L + col) AS tid")
+    toterm = (reach.join(terms, reach["dst"] == F.col("tid"))
+              .selectExpr("src", "dst AS term", "nr", "nc", "nd"))
+    best = toterm.groupBy("term").agg(
+        F.expr(f"MIN_BY(src, STRUCT(-({_len_expr(meta)}) AS l, src AS s))")
+        .alias("head"),
+        F.expr(f"MAX({_len_expr(meta)})").alias("length"))
+    reps = dense_rank_small(best.select(F.col("term").alias("nxt")),
+                            "nxt", "basin_id")
+    path = (reach.join(best, reach["src"] == best["head"])
+            .join(reps, best["term"] == reps["nxt"])
+            .selectExpr("basin_id", "nr + nc + nd AS seq", "dst", "length"))
+    out = (path.join(nodes, path["dst"] == nodes["id"])
+           .selectExpr("CAST(basin_id AS DOUBLE) AS basin_id", "seq",
+                       "row", "col",
+                       f"{meta.x_center_expr('col')} AS x",
+                       f"{meta.y_center_expr('row')} AS y", "length"))
+    nodes.unpersist()
+    return out
+
+
 def d8_mass_flux(cells: DataFrame, meta: GridMeta, loading: DataFrame,
                  efficiency: DataFrame, absorption: DataFrame,
                  max_rounds: int = 256) -> DataFrame:
