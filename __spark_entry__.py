@@ -1516,6 +1516,22 @@ def _q_longest_flowpath(spark, sf):
     return HY.longest_flowpath(_ras_c(spark, sf), _META40C)
 
 
+def _q_raise_walls(spark, sf):
+    return HY.raise_walls(_ras_c(spark, sf), _META40, _polygons_df(spark),
+                          height=25.0)
+
+
+def _q_flatten_lakes(spark, sf):
+    return HY.flatten_lakes(_ras_c(spark, sf), _META40, _polygons_df(spark))
+
+
+def _q_fill_burn(spark, sf):
+    """FillBurn. Iterative epsilon fill (eps chains accumulate in flood
+    order) — rows-only; the epsilon-fill kernel is pytest-gated vs a
+    numpy priority flood."""
+    return HY.fill_burn(_ras_c(spark, sf), _META40, _segments(spark, sf))
+
+
 def _q_mass_flux(spark, sf):
     """Topological peel with per-cell loss arithmetic — iterative;
     rows-only + pytest parity on a crafted network. 20x20 gate raster:
@@ -3251,6 +3267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_flowpath_slope": _q_avg_flowpath_slope,
         "trace_downslope": _q_trace_downslope,
         "longest_flowpath": _q_longest_flowpath,
+        "raise_walls": _q_raise_walls,
+        "flatten_lakes": _q_flatten_lakes,
+        "fill_burn": _q_fill_burn,
     }
 
 
@@ -6526,6 +6545,78 @@ def _hydro4_oracles() -> dict[str, str]:
     return ret
 
 
+def _demedit_oracles() -> dict[str, str]:
+    """Oracles for RaiseWalls / FlattenLakes over the 40x40 gate raster
+    (_META40 geometry) and the _POLYS fixture. The outline-crossing SQL
+    is the lines_to_raster math in DuckDB dialect; PIP inside tests come
+    from the shared geometry_sql generator."""
+    W = 40
+    ras_a = f"ras_a AS ({_RAS_C_SQL})"
+    segs = []
+    for pid, shells, holes in _POLYS:
+        for ring in shells + holes:
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                if (x1, y1) != (x2, y2):
+                    segs.append(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    seg_cte = (f"segs(rn, x1, y1, x2, y2) AS "
+               f"(SELECT * FROM (VALUES {', '.join(segs)}))")
+    r_hi = f"GREATEST(LEAST({_META40.row_from_y_expr('LEAST(y1, y2)')}, {W - 1}), 0)"
+    r_lo = f"GREATEST(LEAST({_META40.row_from_y_expr('GREATEST(y1, y2)')}, {W - 1}), 0)"
+    c_lo = f"GREATEST(LEAST({_META40.col_from_x_expr('LEAST(x1, x2)')}, {W - 1}), 0)"
+    c_hi = f"GREATEST(LEAST({_META40.col_from_x_expr('GREATEST(x1, x2)')}, {W - 1}), 0)"
+    y_r = _META40.y_from_row_expr("tr.range")
+    x_c = _META40.x_from_col_expr("tc.range")
+    x_prime = f"(x1 + (({y_r}) - y1) / (y2 - y1) * (x2 - x1))"
+    y_prime = f"(y1 + (({x_c}) - x1) / (x2 - x1) * (y2 - y1))"
+    crossing = (
+        f"b AS (SELECT rn, x1, y1, x2, y2, {r_lo} AS r0, {r_hi} AS r1, "
+        f"{c_lo} AS c0, {c_hi} AS c1 FROM segs), "
+        f"rh AS (SELECT rn, tr.range AS row, {_META40.col_from_x_expr(x_prime)} AS col "
+        f"FROM b JOIN range(0, {W}) tr ON tr.range >= r0 AND tr.range <= r1 "
+        f"WHERE ({y_r}) >= LEAST(y1, y2) AND ({y_r}) <= GREATEST(y1, y2) AND y2 <> y1), "
+        f"ch AS (SELECT rn, {_META40.row_from_y_expr(y_prime)} AS row, tc.range AS col "
+        f"FROM b JOIN range(0, {W}) tc ON tc.range >= c0 AND tc.range <= c1 "
+        f"WHERE ({x_c}) >= LEAST(x1, x2) AND ({x_c}) <= GREATEST(x1, x2) AND x2 <> x1), "
+        f"hits AS (SELECT * FROM rh UNION ALL SELECT * FROM ch), "
+        f"oc AS (SELECT DISTINCT rn, row, col FROM hits "
+        f"WHERE row >= 0 AND row < {W} AND col >= 0 AND col < {W})"
+    )
+    cx = _META40.x_from_col_expr("col")
+    cy = _META40.y_from_row_expr("row")
+    inside = (
+        "cells AS (SELECT a.range AS row, b.range AS col "
+        f"FROM range(0, {W}) a, range(0, {W}) b), "
+        f"cc AS (SELECT row, col, {cx} AS px, {cy} AS py FROM cells), "
+        "ph AS ("
+        + " UNION ALL ".join(
+            f"SELECT row, col, {pid} AS pid FROM cc "
+            f"WHERE {GS.inside_feature_sql(sh, ho, 'px', 'py')}"
+            for pid, sh, ho in _POLYS)
+        + "), inpoly AS (SELECT row, col, MAX(pid) AS rn FROM ph GROUP BY 1, 2)"
+    )
+    ret = {}
+    ret["raise_walls"] = (
+        f"WITH {ras_a}, {seg_cte}, {crossing}, "
+        f"wc AS (SELECT DISTINCT row, col FROM oc) "
+        f"SELECT a.row, a.col, CASE WHEN w.row IS NOT NULL "
+        f"THEN a.value + 25.0 ELSE a.value END AS value "
+        f"FROM ras_a a LEFT JOIN wc w ON a.row = w.row AND a.col = w.col"
+    )
+    ret["flatten_lakes"] = (
+        f"WITH {ras_a}, {seg_cte}, {crossing}, {inside}, "
+        f"zmin AS (SELECT oc.rn, MIN(a.value) AS minz FROM oc "
+        f"JOIN ras_a a ON oc.row = a.row AND oc.col = a.col GROUP BY 1) "
+        f"SELECT a.row, a.col, COALESCE(z.minz, a.value) AS value "
+        f"FROM ras_a a LEFT JOIN (SELECT i.row, i.col, zmin.minz "
+        f"FROM inpoly i JOIN zmin ON i.rn = zmin.rn) z "
+        f"ON a.row = z.row AND a.col = z.col"
+    )
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -6768,6 +6859,7 @@ def oracle_sql() -> dict[str, str]:
         **_r4b_oracles(),
         **_r4c_oracles(),
         **_hydro4_oracles(),
+        **_demedit_oracles(),
         "pca3": _pca3_oracle(),
         "reclass_equal_interval": (
             f"WITH ras_a AS ({_RAS_A_SQL}), "

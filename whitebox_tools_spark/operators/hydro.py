@@ -2451,6 +2451,148 @@ def longest_flowpath(cells: DataFrame, meta: GridMeta) -> DataFrame:
     return out
 
 
+def _feature_outline_segments(polygons: DataFrame) -> DataFrame:
+    """Ring edges of every part (shells AND holes — the reference's
+    outline scans walk all parts) as (record_num, value, x1, y1, x2,
+    y2). Rings are closed modularly; degenerate (zero-length) closing
+    edges of already-closed rings are dropped."""
+    return (polygons.selectExpr("polygon_id", "EXPLODE(parts) AS part")
+            .selectExpr("polygon_id AS rn", "part.ring AS ring")
+            .selectExpr(
+                "rn",
+                "EXPLODE(TRANSFORM(SEQUENCE(0, SIZE(ring) - 1), i -> STRUCT("
+                "ring[i].x AS x1, ring[i].y AS y1, "
+                "ring[(i + 1) % SIZE(ring)].x AS x2, "
+                "ring[(i + 1) % SIZE(ring)].y AS y2))) AS s")
+            .selectExpr("rn AS record_num", "CAST(rn AS DOUBLE) AS value",
+                        "s.x1", "s.y1", "s.x2", "s.y2")
+            .where("NOT (x1 = x2 AND y1 = y2)"))
+
+
+def raise_walls(cells: DataFrame, meta: GridMeta, walls: DataFrame,
+                height: float = 100.0) -> DataFrame:
+    """RaiseWalls (hydro_analysis/raise_walls.rs): add `height` to every
+    DEM cell crossed by a wall polygon's boundary — the same row/col
+    center-line crossing rasterization as VectorLinesToRaster; each
+    cell is raised ONCE no matter how many edges cross it (the
+    reference's `walled` flag). `walls` uses the polygons schema
+    (polygon_id, bbox, parts)."""
+    from .raster import lines_to_raster_hits
+
+    segs = _feature_outline_segments(walls)
+    wall_cells = (lines_to_raster_hits(segs, meta)
+                  .select("row", "col").distinct()
+                  .withColumn("__w", F.lit(1)))
+    return cells.join(wall_cells, ["row", "col"], "left").selectExpr(
+        "row", "col",
+        f"CASE WHEN __w IS NOT NULL THEN value + {float(height)!r} "
+        f"ELSE value END AS value")
+
+
+def flatten_lakes(cells: DataFrame, meta: GridMeta,
+                  lakes: DataFrame) -> DataFrame:
+    """FlattenLakes (hydro_analysis/flatten_lakes.rs): every cell whose
+    center lies inside a lake polygon (shell minus holes) is set to the
+    minimum DEM elevation among the cells crossed by that lake's
+    OUTLINE (the reference scans the polygon edges for the minimum, not
+    the interior); all other cells pass through. Overlapping lakes
+    resolve to the highest polygon_id (the rasterizer's last-record-
+    wins). A lake whose outline crosses no valid cell passes through
+    (the reference would write +inf there)."""
+    from .raster import lines_to_raster_hits, polygons_to_raster
+
+    segs = _feature_outline_segments(lakes)
+    outline = (lines_to_raster_hits(segs, meta)
+               .select("row", "col", "rn").distinct())
+    zmin = (outline.join(cells, ["row", "col"])
+            .groupBy("rn").agg(F.min("value").alias("__minz")))
+    inside = polygons_to_raster(lakes, meta).selectExpr(
+        "row", "col", "CAST(value AS LONG) AS rn")
+    tag = inside.join(zmin, "rn").select("row", "col", "__minz")
+    return cells.join(tag, ["row", "col"], "left").selectExpr(
+        "row", "col", "COALESCE(__minz, value) AS value")
+
+
+def _fill_depressions_eps(cells: DataFrame, meta: GridMeta, eps: float,
+                          max_rounds: int = 256) -> DataFrame:
+    """Planchon-Darboux fill WITH a constant epsilon step: the unique
+    minimal surface with w >= z and w(c) >= min over neighbors of
+    (w(n) + eps) for interior cells, border cells pinned at z — the same
+    surface the reference's epsilon priority-flood produces
+    (fill_burn.rs's filling stage). Jacobi fixpoint; rounds ~ largest
+    depression diameter (gate-scale; the tiled priority-flood of
+    fill_depressions is the scale path and would take eps the same
+    way)."""
+    rows, cols = meta.rows, meta.columns
+    border = (f"(row = 0 OR col = 0 OR row = {rows - 1} "
+              f"OR col = {cols - 1})")
+    w = cells.selectExpr(
+        "row", "col", "value AS z",
+        f"CASE WHEN {border} THEN value ELSE CAST('Infinity' AS DOUBLE) END AS w",
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        piv = focal_pivot3_raw(w.selectExpr("row", "col", "w AS value"))
+        minn = "LEAST(" + ", ".join(
+            f"COALESCE(zn_{i} + {eps!r}, CAST('Infinity' AS DOUBLE))"
+            for i in range(8)) + ")"
+        new = (piv.join(w.select("row", "col", "z", F.col("w").alias("__prev")),
+                        ["row", "col"])
+               .selectExpr("row", "col", "z", "__prev",
+                           f"LEAST(__prev, GREATEST(z, {minn})) AS w")
+               .localCheckpoint(eager=True))
+        changed = new.where("w <> __prev").count()
+        w = new.drop("__prev")
+        if changed == 0:
+            break
+    else:
+        ensure_converged(changed, "_fill_depressions_eps", max_rounds)
+    return w.selectExpr("row", "col", "w AS value")
+
+
+def fill_burn(cells: DataFrame, meta: GridMeta,
+              stream_segments: DataFrame) -> DataFrame:
+    """FillBurn (hydro_analysis/fill_burn.rs, Saunders 1999): rasterize
+    the stream lines, thin them, burn them 10000 units into the DEM,
+    fill the burned DEM with an epsilon gradient (eps = 10^-(12 -
+    digits(max elevation))), then translate the filled stream elevations
+    so the deepest-cut stream cell sits 1 unit below its original
+    elevation (min_diff adjustment, fill_burn.rs's final pass).
+
+    Deviation: the thinning pass is the engine's Zhang-Suen
+    line_thinning (the reference inlines its own 8-pattern elimination);
+    skeletons can differ by single cells on 2-wide rasterized lines.
+    Iterative epsilon fill -> rows-only + pytest gate."""
+    from .focal import line_thinning
+    from .raster import lines_to_raster
+
+    streams_r = lines_to_raster(stream_segments, meta).selectExpr(
+        "row", "col", "CAST(1.0 AS DOUBLE) AS value")
+    mask = (cells.select("row", "col")
+            .join(streams_r, ["row", "col"], "left")
+            .selectExpr("row", "col", "COALESCE(value, 0.0) AS value"))
+    thin = line_thinning(mask).where("value > 0.0") \
+        .select("row", "col").withColumn("__s", F.lit(1))
+    burned = cells.join(thin, ["row", "col"], "left").selectExpr(
+        "row", "col",
+        "CASE WHEN __s IS NOT NULL THEN value - 10000.0 ELSE value END AS value")
+    zmax = cells.agg(F.max("value")).first()[0]
+    elev_digits = len(str(int(zmax)))
+    small = 10.0 ** (-(12 - elev_digits))
+    filled = _fill_depressions_eps(burned, meta, small)
+    j = (filled.withColumnRenamed("value", "w")
+         .join(cells.withColumnRenamed("value", "z"), ["row", "col"])
+         .join(thin, ["row", "col"], "left")
+         .localCheckpoint(eager=True))
+    min_diff = j.where("__s IS NOT NULL").agg(
+        F.min(F.expr("z - w"))).first()[0]
+    if min_diff is None:
+        return j.selectExpr("row", "col", "w AS value")
+    adj = min_diff - 1.0
+    return j.selectExpr(
+        "row", "col",
+        f"CASE WHEN __s IS NOT NULL THEN w + {adj!r} ELSE w END AS value")
+
+
 def d8_mass_flux(cells: DataFrame, meta: GridMeta, loading: DataFrame,
                  efficiency: DataFrame, absorption: DataFrame,
                  max_rounds: int = 256) -> DataFrame:

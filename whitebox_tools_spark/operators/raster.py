@@ -174,22 +174,17 @@ def polygons_to_raster(
     return out.withColumn("value", mapping[F.col("polygon_id")]).drop("polygon_id")
 
 
-def lines_to_raster(
+def lines_to_raster_hits(
     segments: DataFrame,
     meta: GridMeta,
     value_col: str = "value",
     record_col: str = "record_num",
 ) -> DataFrame:
-    """VectorLinesToRaster (data_tools/vector_lines_to_raster.rs:472-517):
-    a cell is marked where a segment crosses its row center-line
-    (y = get_y_from_row) or its column center-line (x = get_x_from_column);
-    the crossing coordinate picks the column/row via the floor transform.
-    Later records overwrite earlier (-> max_by(record)).
-
-    Pure codegen: per segment, explode the clamped row/col span, keep
-    center-lines between the endpoint ordinates, compute the crossing
-    with the reference's exact interpolation expression.
-    """
+    """The per-segment crossing cells of the VectorLinesToRaster
+    rasterization, BEFORE the last-record-wins overwrite: one (row, col,
+    v, rn) row per center-line crossing. Shared by lines_to_raster and
+    the DEM-editing tools (RaiseWalls / FlattenLakes outline scans use
+    the same crossing rule, raise_walls.rs / flatten_lakes.rs)."""
     r_hi = f"GREATEST(LEAST({meta.row_from_y_expr('LEAST(y1, y2)')}, {meta.rows - 1}L), 0L)"
     r_lo = f"GREATEST(LEAST({meta.row_from_y_expr('GREATEST(y1, y2)')}, {meta.rows - 1}L), 0L)"
     c_lo = f"GREATEST(LEAST({meta.col_from_x_expr('LEAST(x1, x2)')}, {meta.columns - 1}L), 0L)"
@@ -217,7 +212,26 @@ def lines_to_raster(
         f"e -> e IS NOT NULL)) AS h",
     )
     hits = row_hits.unionByName(col_hits).selectExpr("h.row", "h.col", "v", "rn")
-    hits = hits.where(F.expr(meta.in_grid_pred("row", "col")))
+    return hits.where(F.expr(meta.in_grid_pred("row", "col")))
+
+
+def lines_to_raster(
+    segments: DataFrame,
+    meta: GridMeta,
+    value_col: str = "value",
+    record_col: str = "record_num",
+) -> DataFrame:
+    """VectorLinesToRaster (data_tools/vector_lines_to_raster.rs:472-517):
+    a cell is marked where a segment crosses its row center-line
+    (y = get_y_from_row) or its column center-line (x = get_x_from_column);
+    the crossing coordinate picks the column/row via the floor transform.
+    Later records overwrite earlier (-> max_by(record)).
+
+    Pure codegen: per segment, explode the clamped row/col span, keep
+    center-lines between the endpoint ordinates, compute the crossing
+    with the reference's exact interpolation expression.
+    """
+    hits = lines_to_raster_hits(segments, meta, value_col, record_col)
     return hits.groupBy("row", "col").agg(F.expr("MAX_BY(v, rn)").alias("value"))
 
 
