@@ -1532,6 +1532,45 @@ def _q_fill_burn(spark, sf):
     return HY.fill_burn(_ras_c(spark, sf), _META40, _segments(spark, sf))
 
 
+def _q_min_bounding_envelope(spark, sf):
+    return VO.minimum_bounding_envelope(_shapes(spark, sf))
+
+
+def _q_min_bounding_box(spark, sf):
+    """Rotating-calipers rectangle — trig per hull edge, rows-only
+    (kernel pytest-gated vs the area-criterion calipers)."""
+    return VO.minimum_bounding_box(_shapes(spark, sf))
+
+
+def _q_polygon_long_axis(spark, sf):
+    return VO.polygon_long_axis(_shapes(spark, sf))
+
+
+def _q_polygon_short_axis(spark, sf):
+    return VO.polygon_short_axis(_shapes(spark, sf))
+
+
+def _q_min_bounding_circle(spark, sf):
+    """Welzl minimum enclosing circle — rows-only (pytest-gated:
+    containment + minimality vs 2/3-point support circles)."""
+    return VO.minimum_bounding_circle(_shapes(spark, sf))
+
+
+def _q_patch_orientation(spark, sf):
+    """ROUND(6): the vertex-product sums (sxy, sxsq, ...) reassociate
+    between Spark partial aggregates and DuckDB's scan order — ~1e-14
+    relative ulp on the atan argument."""
+    return VO.patch_orientation(_shapes(spark, sf)).selectExpr(
+        "shape_id", "ROUND(orientation, 6) AS orientation")
+
+
+def _q_remove_polygon_holes(spark, sf):
+    out = VO.remove_polygon_holes(_polygons_df(spark), id_col="polygon_id")
+    return out.selectExpr(
+        "polygon_id", "SIZE(parts) AS n_parts",
+        "AGGREGATE(parts, 0, (a, p) -> a + SIZE(p.ring)) AS n_vertices")
+
+
 def _q_mass_flux(spark, sf):
     """Topological peel with per-cell loss arithmetic — iterative;
     rows-only + pytest parity on a crafted network. 20x20 gate raster:
@@ -3270,6 +3309,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raise_walls": _q_raise_walls,
         "flatten_lakes": _q_flatten_lakes,
         "fill_burn": _q_fill_burn,
+        "min_bounding_envelope": _q_min_bounding_envelope,
+        "min_bounding_box": _q_min_bounding_box,
+        "polygon_long_axis": _q_polygon_long_axis,
+        "polygon_short_axis": _q_polygon_short_axis,
+        "min_bounding_circle": _q_min_bounding_circle,
+        "patch_orientation": _q_patch_orientation,
+        "remove_polygon_holes": _q_remove_polygon_holes,
     }
 
 
@@ -6617,6 +6663,41 @@ def _demedit_oracles() -> dict[str, str]:
     return ret
 
 
+def _vecgeom_oracles() -> dict[str, str]:
+    """Oracles for the bounding-geometry batch: envelope (pure min/max),
+    PatchOrientation (the same RMA-regression SQL text over unnested
+    ring vertices), RemovePolygonHoles (literal arithmetic over the
+    static _POLYS fixture)."""
+    rings = (f"WITH base AS ({_SHAPES_BASE}), "
+             f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+             f"ELSE {_DIAM_DUCK} END AS ring FROM base)")
+    nodes = (f"{rings}, nodes AS (SELECT shape_id, v.x AS x, v.y AS y "
+             f"FROM (SELECT shape_id, unnest(ring) AS v FROM rs))")
+    ret = {}
+    ret["min_bounding_envelope"] = (
+        f"{nodes} SELECT shape_id, MIN(x) AS xmin, MIN(y) AS ymin, "
+        f"MAX(x) AS xmax, MAX(y) AS ymax FROM nodes GROUP BY 1")
+    sxx = "(sxsq / n - (sx / n) * (sx / n))"
+    syy = "(sysq / n - (sy / n) * (sy / n))"
+    ols_sign = "(sxy - (sx / n) * sy)"
+    rma = f"SQRT(({syy}) / ({sxx}))"
+    deg = (f"CASE WHEN {ols_sign} < 0.0 THEN DEGREES(ATAN(-({rma}))) "
+           f"ELSE DEGREES(ATAN({rma})) END")
+    ret["patch_orientation"] = (
+        f"{nodes}, ag AS (SELECT shape_id, CAST(COUNT(*) AS DOUBLE) AS n, "
+        f"SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, "
+        f"SUM(x * x) AS sxsq, SUM(y * y) AS sysq FROM nodes GROUP BY 1) "
+        f"SELECT shape_id, ROUND(CASE WHEN ({sxx}) <= 0.0 THEN 0.0 "
+        f"WHEN ({deg}) < 0.0 THEN 90.0 + -1.0 * ({deg}) "
+        f"ELSE 90.0 - ({deg}) END, 6) AS orientation FROM ag")
+    vals = ", ".join(
+        f"({pid}, {len(shells)}, {sum(len(r) for r in shells)})"
+        for pid, shells, holes in _POLYS)
+    ret["remove_polygon_holes"] = (
+        f"SELECT * FROM (VALUES {vals}) t(polygon_id, n_parts, n_vertices)")
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -6860,6 +6941,7 @@ def oracle_sql() -> dict[str, str]:
         **_r4c_oracles(),
         **_hydro4_oracles(),
         **_demedit_oracles(),
+        **_vecgeom_oracles(),
         "pca3": _pca3_oracle(),
         "reclass_equal_interval": (
             f"WITH ras_a AS ({_RAS_A_SQL}), "

@@ -465,9 +465,11 @@ def _min_area_box(pts):
     return best[1], best[2], best[3]
 
 
-def _welzl_mec(pts):
-    """Minimum enclosing circle radius (deterministic Welzl without
-    shuffling — fine for hull-sized inputs)."""
+def _welzl_mec_circle(pts):
+    """Minimum enclosing circle (cx, cy, r) — deterministic Welzl
+    without shuffling (the reference's smallest_enclosing_circle.rs
+    shuffles for expected-linear time; the circle itself is unique, so
+    the output is identical). Fine for hull-sized inputs."""
     import math
 
     def circle2(a, b):
@@ -506,7 +508,13 @@ def _welzl_mec(pts):
                 if inside(c, r):
                     continue
                 c = circle3(p, q, r) or c
-    return c[2] if c else 0.0
+    return c if c else (0.0, 0.0, 0.0)
+
+
+def _welzl_mec(pts):
+    """Minimum enclosing circle radius (deterministic Welzl without
+    shuffling — fine for hull-sized inputs)."""
+    return _welzl_mec_circle(pts)[2]
 
 
 def box_metrics(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
@@ -543,6 +551,230 @@ def box_metrics(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
                              "rc_circle": rcc})
 
     return staged.mapInPandas(lambda it: (run(pdf) for pdf in it), schema=schema)
+
+
+def _wbt_min_box(pts, criterion="area"):
+    """Transcription of algorithms/minimum_bounding_box.rs:21-160: try
+    every hull-edge orientation, rotate the hull about the bbox midpoint,
+    keep the orientation minimizing the criterion (area / perimeter /
+    length / width; strict <, first edge wins ties). Returns (corners
+    [(x, y)] x4, long_axis, short_axis, slope_radians, centre)."""
+    import math
+
+    import numpy as np
+
+    min_fn = {
+        "area": lambda a, b: a * b,
+        "perimeter": lambda a, b: 2.0 * a + 2.0 * b,
+        "length": lambda a, b: max(a, b),
+        "width": lambda a, b: min(a, b),
+    }[criterion]
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower, upper = [], []
+    for q in p:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], q) <= 0:
+            lower.pop()
+        lower.append(tuple(q))
+    for q in p[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], q) <= 0:
+            upper.pop()
+        upper.append(tuple(q))
+    hull = np.array(lower[:-1] + upper[:-1])
+    if len(hull) < 2:
+        x, y = pts[0]
+        return [(x, y)] * 4, 0.0, 0.0, 0.0, (x, y)
+    midx = hull[:, 0].min() + (hull[:, 0].max() - hull[:, 0].min()) / 2.0
+    midy = hull[:, 1].min() + (hull[:, 1].max() - hull[:, 1].min()) / 2.0
+    right_angle = math.pi / 2.0
+    best = None
+    m = len(hull)
+    for i in range(m):
+        a, b = hull[i], hull[(i + 1) % m]
+        psi = -math.atan2(b[1] - a[1], b[0] - a[0])
+        xr = ((hull[:, 0] - midx) * math.cos(psi)
+              - (hull[:, 1] - midy) * math.sin(psi))
+        yr = ((hull[:, 0] - midx) * math.sin(psi)
+              + (hull[:, 1] - midy) * math.cos(psi))
+        ax1 = abs(xr.max() - xr.min())
+        ax2 = abs(yr.max() - yr.min())
+        metric = min_fn(ax1, ax2)
+        if best is None or metric < best[0]:
+            slope = -psi if ax1 > ax2 else -(right_angle + psi)
+            cx_r = xr.min() + ax1 / 2.0
+            cy_r = yr.max() - ax2 / 2.0
+            bx = midx + cx_r * math.cos(-psi) - cy_r * math.sin(-psi)
+            by = midy + cx_r * math.sin(-psi) + cy_r * math.cos(-psi)
+            best = (metric, ax1, ax2, slope, bx, by)
+    _, ax1, ax2, slope, bx, by = best
+    long_a, short_a = max(ax1, ax2), min(ax1, ax2)
+    ra = right_angle
+    corners = [
+        (bx + long_a / 2.0 * math.cos(slope) + short_a / 2.0 * math.cos(ra + slope),
+         by + long_a / 2.0 * math.sin(slope) + short_a / 2.0 * math.sin(ra + slope)),
+        (bx + long_a / 2.0 * math.cos(slope) - short_a / 2.0 * math.cos(ra + slope),
+         by + long_a / 2.0 * math.sin(slope) - short_a / 2.0 * math.sin(ra + slope)),
+        (bx - long_a / 2.0 * math.cos(slope) - short_a / 2.0 * math.cos(ra + slope),
+         by - long_a / 2.0 * math.sin(slope) - short_a / 2.0 * math.sin(ra + slope)),
+        (bx - long_a / 2.0 * math.cos(slope) + short_a / 2.0 * math.cos(ra + slope),
+         by - long_a / 2.0 * math.sin(slope) + short_a / 2.0 * math.sin(ra + slope)),
+    ]
+    return corners, long_a, short_a, slope, (bx, by)
+
+
+def minimum_bounding_envelope(features: DataFrame,
+                              id_col: str = "shape_id") -> DataFrame:
+    """MinimumBoundingEnvelope (gis_analysis/minimum_bounding_envelope
+    .rs): per-feature axis-aligned extent. Pure groupBy min/max."""
+    return extract_nodes(features, id_col).groupBy(id_col).agg(
+        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"), F.max("y").alias("ymax"))
+
+
+def minimum_bounding_box(features: DataFrame, criterion: str = "area",
+                         id_col: str = "shape_id") -> DataFrame:
+    """MinimumBoundingBox (gis_analysis/minimum_bounding_box.rs +
+    algorithms/minimum_bounding_box.rs): the minimum bounding rectangle
+    under the given criterion as 4 corner points plus long/short axis
+    lengths. One batched pandas kernel per feature."""
+    import pandas as pd
+
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("corner_idx", IntegerType(), False),
+        StructField("x", DoubleType(), False),
+        StructField("y", DoubleType(), False),
+        StructField("long_axis", DoubleType(), False),
+        StructField("short_axis", DoubleType(), False),
+    ])
+    nodes = extract_nodes(features, id_col).select(id_col, "x", "y")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        corners, la, sa, _slope, _c = _wbt_min_box(
+            pdf[["x", "y"]].to_numpy(), criterion)
+        return pd.DataFrame({
+            id_col: [key[0]] * 4,
+            "corner_idx": range(4),
+            "x": [c[0] for c in corners],
+            "y": [c[1] for c in corners],
+            "long_axis": [la] * 4,
+            "short_axis": [sa] * 4,
+        })
+
+    return nodes.groupBy(id_col).applyInPandas(run, schema=schema)
+
+
+def _polygon_axis(features: DataFrame, which: str,
+                  id_col: str = "shape_id") -> DataFrame:
+    """PolygonLongAxis / PolygonShortAxis (gis_analysis/
+    polygon_long_axis.rs, polygon_short_axis.rs): the line through the
+    minimum-area bounding box centre spanning the box along its
+    long/short axis. Output (id, x1, y1, x2, y2)."""
+    import math
+
+    import pandas as pd
+
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("x1", DoubleType(), False),
+        StructField("y1", DoubleType(), False),
+        StructField("x2", DoubleType(), False),
+        StructField("y2", DoubleType(), False),
+    ])
+    nodes = extract_nodes(features, id_col).select(id_col, "x", "y")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _corners, la, sa, slope, (bx, by) = _wbt_min_box(
+            pdf[["x", "y"]].to_numpy(), "area")
+        if which == "long":
+            h, ang = la / 2.0, slope
+        else:
+            h, ang = sa / 2.0, slope + math.pi / 2.0
+        return pd.DataFrame({
+            id_col: [key[0]],
+            "x1": [bx - h * math.cos(ang)], "y1": [by - h * math.sin(ang)],
+            "x2": [bx + h * math.cos(ang)], "y2": [by + h * math.sin(ang)],
+        })
+
+    return nodes.groupBy(id_col).applyInPandas(run, schema=schema)
+
+
+def polygon_long_axis(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    return _polygon_axis(features, "long", id_col)
+
+
+def polygon_short_axis(features: DataFrame, id_col: str = "shape_id") -> DataFrame:
+    return _polygon_axis(features, "short", id_col)
+
+
+def minimum_bounding_circle(features: DataFrame,
+                            id_col: str = "shape_id") -> DataFrame:
+    """MinimumBoundingCircle (gis_analysis/minimum_bounding_circle.rs,
+    algorithms/smallest_enclosing_circle.rs): the unique minimum
+    enclosing circle per feature as (id, cx, cy, radius)."""
+    import pandas as pd
+
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("cx", DoubleType(), False),
+        StructField("cy", DoubleType(), False),
+        StructField("radius", DoubleType(), False),
+    ])
+    nodes = extract_nodes(features, id_col).select(id_col, "x", "y")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cx, cy, r = _welzl_mec_circle(pdf[["x", "y"]].to_numpy().tolist())
+        return pd.DataFrame({id_col: [key[0]], "cx": [cx], "cy": [cy],
+                             "radius": [r]})
+
+    return nodes.groupBy(id_col).applyInPandas(run, schema=schema)
+
+
+def patch_orientation(features: DataFrame,
+                      id_col: str = "shape_id") -> DataFrame:
+    """PatchOrientation (gis_analysis/patch_orientation.rs:300-340): the
+    reduced-major-axis regression slope of the feature's vertices,
+    folded to an azimuth in [0, 180] degrees (90 - atan_deg for positive
+    RMA slope, 90 + |atan_deg| for negative; sign from the OLS slope).
+    Pure SQL sums — oracle-portable. Degenerate (sxx = 0) features emit
+    0 (a vertical long axis reads 90 - 90)."""
+    nodes = extract_nodes(features, id_col)
+    agg = nodes.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxsq"),
+        F.sum(F.expr("y * y")).alias("sysq"))
+    sxx = "(sxsq / n - (sx / n) * (sx / n))"
+    syy = "(sysq / n - (sy / n) * (sy / n))"
+    ols_sign = "(sxy - (sx / n) * sy)"
+    rma = f"SQRT(({syy}) / ({sxx}))"
+    deg = (f"CASE WHEN {ols_sign} < 0.0 THEN DEGREES(ATAN(-({rma}))) "
+           f"ELSE DEGREES(ATAN({rma})) END")
+    return agg.selectExpr(
+        id_col,
+        f"CASE WHEN ({sxx}) <= 0.0 THEN 0.0 "
+        f"WHEN ({deg}) < 0.0 THEN 90.0 + -1.0 * ({deg}) "
+        f"ELSE 90.0 - ({deg}) END AS orientation")
+
+
+def remove_polygon_holes(features: DataFrame,
+                         id_col: str = "shape_id") -> DataFrame:
+    """RemovePolygonHoles (data_tools/remove_polygon_holes.rs): drop
+    every hole part; shell parts are renumbered 0..k in their original
+    order. Pure array filter/transform."""
+    return features.selectExpr(
+        id_col,
+        "TRANSFORM(ARRAY_SORT(FILTER(parts, p -> NOT p.is_hole), "
+        "(a, b) -> CASE WHEN a.part_idx < b.part_idx THEN -1 "
+        "WHEN a.part_idx > b.part_idx THEN 1 ELSE 0 END), "
+        "(p, i) -> STRUCT(CAST(i AS INT) AS part_idx, p.is_hole AS is_hole, "
+        "p.ring AS ring)) AS parts")
 
 
 # ---------------------------------------------------------------------------
