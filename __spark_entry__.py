@@ -1571,6 +1571,46 @@ def _q_remove_polygon_holes(spark, sf):
         "AGGREGATE(parts, 0, (a, p) -> a + SIZE(p.ring)) AS n_vertices")
 
 
+def _q_correct_vignetting(spark, sf):
+    """ROUND(6): POWER/COS/ATAN are libm — ~1e-15 relative ulps."""
+    return EN.correct_vignetting(_ras(spark, sf, "a"), _META100,
+                                 pp_col=49.5, pp_row=49.5).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
+
+
+def _q_gaussian_stretch(spark, sf):
+    """ROUND(6): the CDF interpolation divisions land within one ulp
+    across engines."""
+    return EN.gaussian_contrast_stretch(_ras(spark, sf, "a")).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
+
+
+def _q_user_defined_weights(spark, sf):
+    """UserDefinedWeightsFilter with an integer kernel: SUM(w * nv) is
+    exact in any accumulation order -> full oracle gate."""
+    return FO.user_defined_filter(
+        _ras(spark, sf, "a"), [[1.0, 2.0, 1.0], [2.0, 4.0, 2.0],
+                               [1.0, 2.0, 1.0]])
+
+
+def _q_image_stack_profile(spark, sf):
+    return EN.image_stack_profile(
+        [_ras(spark, sf, "a"), _ras(spark, sf, "b")],
+        _points(spark, sf), _META100)
+
+
+def _q_random_field(spark, sf):
+    """Deterministic LCG + Box-Muller field; ROUND(6) absorbs LN/COS
+    libm ulps between engines."""
+    return R.random_field(spark, _META40C, seed=1).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
+
+
+def _q_random_sample(spark, sf):
+    return R.random_sample(_ras_c(spark, sf), _META40C, num_samples=100,
+                           seed=7)
+
+
 def _q_mass_flux(spark, sf):
     """Topological peel with per-cell loss arithmetic — iterative;
     rows-only + pytest parity on a crafted network. 20x20 gate raster:
@@ -3316,6 +3356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_bounding_circle": _q_min_bounding_circle,
         "patch_orientation": _q_patch_orientation,
         "remove_polygon_holes": _q_remove_polygon_holes,
+        "correct_vignetting": _q_correct_vignetting,
+        "gaussian_stretch": _q_gaussian_stretch,
+        "user_defined_weights": _q_user_defined_weights,
+        "image_stack_profile": _q_image_stack_profile,
+        "random_field": _q_random_field,
+        "random_sample": _q_random_sample,
     }
 
 
@@ -6698,6 +6744,100 @@ def _vecgeom_oracles() -> dict[str, str]:
     return ret
 
 
+def _image4_oracles() -> dict[str, str]:
+    """Oracles for the round-4c image/generator batch. The vignetting
+    and Gaussian-stretch plans share their expression text / reference
+    table literals with the Spark operators; the random generators are
+    pure integer LCG arithmetic (ROUND(6) on the Box-Muller output for
+    the LN/COS libm ulp)."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    ras_b = f"ras_b AS ({_RAS_B_SQL})"
+    ret = {}
+
+    unsc = EN.vignetting_unscaled_expr(_META100, 49.5, 49.5, 304.8, 228.6, 4.0)
+    ret["correct_vignetting"] = (
+        f"WITH {ras_a}, u AS (SELECT row, col, value, {unsc} AS uu FROM ras_a), "
+        f"st AS (SELECT MIN(value) AS min_in, MAX(value) AS max_in, "
+        f"MIN(uu) AS min_out, MAX(uu) AS max_out FROM u) "
+        f"SELECT row, col, ROUND(CASE WHEN max_out > min_out THEN min_in "
+        f"+ (uu - min_out) / (max_out - min_out) * (max_in - min_in) "
+        f"ELSE uu END, 6) AS value FROM u, st")
+
+    refrows = ", ".join(
+        f"({i}, {x!r}, {p!r}, {xp!r}, {pp!r})"
+        for i, x, p, xp, pp in EN.gaussian_ref_cdf(256))
+    ret["gaussian_stretch"] = (
+        f"WITH {ras_a}, "
+        f"st AS (SELECT MIN(value) AS mn, MAX(value) AS mx, "
+        f"CAST(COUNT(*) AS DOUBLE) AS n FROM ras_a), "
+        f"b AS (SELECT row, col, n, "
+        f"CASE WHEN mx > mn THEN LEAST(CAST((value - mn) "
+        f"/ ((mx - mn) / CEIL(GREATEST(mx - mn, 2048.0))) AS BIGINT), "
+        f"CAST(CEIL(GREATEST(mx - mn, 2048.0)) AS BIGINT) - 1) "
+        f"ELSE 0 END AS bin FROM ras_a, st), "
+        f"hist AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY 1), "
+        f"cdf AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM hist), "
+        f"wp AS (SELECT row, col, CAST(cum AS DOUBLE) / n AS p_val "
+        f"FROM b JOIN cdf USING (bin)), "
+        f"ref(i, x, p, x_prev, p_prev) AS (SELECT * FROM (VALUES {refrows})), "
+        f"m AS (SELECT row, col, p_val, ARG_MIN(ref, i) AS r FROM wp "
+        f"LEFT JOIN ref ON ref.p > wp.p_val GROUP BY 1, 2, 3) "
+        f"SELECT row, col, ROUND(CASE WHEN r IS NULL THEN 3.0 "
+        f"WHEN r.i > 0 AND r.p <> r.p_prev THEN r.x_prev "
+        f"+ (r.x - r.x_prev) * ((p_val - r.p_prev) / (r.p - r.p_prev)) "
+        f"WHEN r.i > 0 THEN r.x_prev ELSE r.x END, 6) AS value FROM m")
+
+    # user-defined weights: integer kernel, scatter-sum, interior only
+    k = [[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]]
+    offs = ", ".join(
+        f"({i - 1}, {j - 1}, {k[i][j]!r})"
+        for i in range(3) for j in range(3))
+    ret["user_defined_weights"] = (
+        f"WITH {ras_a}, offs(di, dj, w) AS (SELECT * FROM (VALUES {offs})), "
+        f"sc AS (SELECT a.row - o.di AS row, a.col - o.dj AS col, "
+        f"o.w * a.value AS wv FROM ras_a a, offs o) "
+        f"SELECT s.row, s.col, SUM(wv) AS value FROM sc s "
+        f"JOIN ras_a c ON s.row = c.row AND s.col = c.col "
+        f"GROUP BY 1, 2 HAVING COUNT(*) = 9")
+
+    r100y = _META100.row_from_y_expr("y")
+    c100x = _META100.col_from_x_expr("x")
+    ret["image_stack_profile"] = (
+        f"WITH pts AS ({_PTS_SQL}), {ras_a}, {ras_b}, "
+        f"pp AS (SELECT record_num, {r100y} AS row, {c100x} AS col FROM pts) "
+        f"SELECT pp.record_num, CAST(1 AS INT) AS image_num, "
+        f"COALESCE(a.value, -32768.0) AS value FROM pp "
+        f"LEFT JOIN ras_a a ON pp.row = a.row AND pp.col = a.col "
+        f"UNION ALL "
+        f"SELECT pp.record_num, CAST(2 AS INT) AS image_num, "
+        f"COALESCE(b.value, -32768.0) AS value FROM pp "
+        f"LEFT JOIN ras_b b ON pp.row = b.row AND pp.col = b.col")
+
+    import math as _m
+
+    cid = "(g.row * 40 + g.col)"
+    s1 = f"((({cid} * 2 + 1) * 1103515245 + 12345) % 2147483648)"
+    s2 = f"((({cid} * 2 + 2) * 1103515245 + 12345) % 2147483648)"
+    u1 = f"((CAST({s1} AS DOUBLE) + 1.0) / 2147483649.0)"
+    u2 = f"(CAST({s2} AS DOUBLE) / 2147483648.0)"
+    tau = 2.0 * _m.pi
+    ret["random_field"] = (
+        f"WITH g AS (SELECT a.range AS row, b.range AS col "
+        f"FROM range(0, 40) a, range(0, 40) b) "
+        f"SELECT g.row, g.col, "
+        f"ROUND(SQRT(-2.0 * LN({u1})) * COS({tau!r} * {u2}), 6) AS value "
+        f"FROM g")
+
+    ret["random_sample"] = (
+        f"WITH ras_c AS ({_RAS_C_SQL}), "
+        f"k AS (SELECT row, col, (((row * 40 + col) + 7) * 1103515245 "
+        f"+ 12345) % 2147483648 AS kk FROM ras_c), "
+        f"t AS (SELECT row, col, ROW_NUMBER() OVER (ORDER BY kk, row, col) "
+        f"AS rk FROM k) "
+        f"SELECT row, col, CAST(rk AS DOUBLE) AS value FROM t WHERE rk <= 100")
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -6942,6 +7082,7 @@ def oracle_sql() -> dict[str, str]:
         **_hydro4_oracles(),
         **_demedit_oracles(),
         **_vecgeom_oracles(),
+        **_image4_oracles(),
         "pca3": _pca3_oracle(),
         "reclass_equal_interval": (
             f"WITH ras_a AS ({_RAS_A_SQL}), "

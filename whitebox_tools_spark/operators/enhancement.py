@@ -264,3 +264,130 @@ def pan_sharpen_brovey(r: DataFrame, g: DataFrame, b: DataFrame,
                         f"TRY_DIVIDE(__r * __p, {m}) AS r",
                         f"TRY_DIVIDE(__g * __p, {m}) AS g",
                         f"TRY_DIVIDE(__b * __p, {m}) AS b")
+
+
+def vignetting_unscaled_expr(meta, pp_col: float, pp_row: float,
+                             focal_length: float, image_width: float,
+                             n: float) -> str:
+    """The pass-1 expression of CorrectVignetting — portable SQL text
+    (same string builds the DuckDB oracle)."""
+    sf = image_width / meta.columns
+    dist = (f"SQRT((CAST(row AS DOUBLE) - {float(pp_row)!r}) * "
+            f"(CAST(row AS DOUBLE) - {float(pp_row)!r}) + "
+            f"(CAST(col AS DOUBLE) - {float(pp_col)!r}) * "
+            f"(CAST(col AS DOUBLE) - {float(pp_col)!r}))")
+    return (f"value / POWER(COS(ATAN(({dist}) * {sf!r} "
+            f"/ {float(focal_length)!r})), {float(n)!r})")
+
+
+def correct_vignetting(cells: DataFrame, meta, pp_col: float, pp_row: float,
+                       focal_length: float = 304.8,
+                       image_width: float = 228.6,
+                       n: float = 4.0) -> DataFrame:
+    """CorrectVignetting (image_analysis/correct_vignetting.rs:330-420):
+    z' = z / cos(atan(dist * scale / focal))^n with dist in cells from
+    the principal point (pp_col, pp_row) and scale = image_width /
+    columns, then the result range is mapped back onto the input range
+    (loop 2 of 2): out = min_in + (z' - min_out) / range_out * range_in.
+    Two map passes + one broadcast 1-row stats join."""
+    u = cells.selectExpr(
+        "row", "col", "value",
+        f"{vignetting_unscaled_expr(meta, pp_col, pp_row, focal_length, image_width, n)} AS __u")
+    stats = u.agg(F.min("value").alias("__min_in"),
+                  F.max("value").alias("__max_in"),
+                  F.min("__u").alias("__min_out"),
+                  F.max("__u").alias("__max_out"))
+    return u.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col",
+        "CASE WHEN __max_out > __min_out THEN __min_in + (__u - __min_out) "
+        "/ (__max_out - __min_out) * (__max_in - __min_in) ELSE __u END "
+        "AS value")
+
+
+def gaussian_ref_cdf(num_tones: int = 256) -> list[tuple]:
+    """The reference Gaussian CDF table of gaussian_contrast_stretch.rs:
+    x = -3 + a * 6/(tones-1), density phi(x), cumsum normalized. Rows
+    (i, x, p, x_prev, p_prev) — built once in Python so the Spark plan
+    and the DuckDB oracle embed the IDENTICAL doubles."""
+    import math
+
+    xs, ps = [], []
+    for a in range(num_tones):
+        x = -3.0 + a * (6.0 / (num_tones - 1.0))
+        xs.append(x)
+        ps.append((1.0 / math.sqrt(2.0 * math.pi)) * math.exp(-x * x / 2.0))
+    for i in range(1, num_tones):
+        ps[i] += ps[i - 1]
+    total = ps[-1]
+    ps = [p / total for p in ps]
+    rows = []
+    for i in range(num_tones):
+        rows.append((i, xs[i], ps[i],
+                     xs[i - 1] if i > 0 else xs[0],
+                     ps[i - 1] if i > 0 else ps[0]))
+    return rows
+
+
+def gaussian_contrast_stretch(cells: DataFrame,
+                              num_tones: int = 256) -> DataFrame:
+    """GaussianContrastStretch (image_analysis/gaussian_contrast_stretch
+    .rs): histogram the image into ceil(max(range, 2048)) bins, take
+    each cell's empirical CDF value, and map it onto a discrete
+    Gaussian reference CDF over x in [-3, 3] (num_tones steps) with
+    linear interpolation between reference steps.
+
+    Deviation: a cell whose CDF value reaches 1.0 has NO reference row
+    with p > p_val; the reference's Rust loop leaves a stale x from the
+    previous cell there (thread-order dependent) — this engine clamps
+    those cells to x = +3.0.
+
+    Plan: one stats broadcast, one distributed prefix-sum CDF, one
+    broadcast join against the tiny reference table."""
+    import math
+
+    spark = cells.sparkSession
+    stats = cells.agg(F.min("value").alias("__mn"),
+                      F.max("value").alias("__mx"),
+                      F.count(F.lit(1)).alias("__n"))
+    b = cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col", "__n",
+        "CAST(CEIL(GREATEST(__mx - __mn, 2048.0)) AS BIGINT) AS __nb",
+        "CASE WHEN __mx > __mn THEN LEAST(CAST((value - __mn) "
+        "/ ((__mx - __mn) / CEIL(GREATEST(__mx - __mn, 2048.0))) AS BIGINT), "
+        "CAST(CEIL(GREATEST(__mx - __mn, 2048.0)) AS BIGINT) - 1) "
+        "ELSE 0 END AS __bin")
+    hist = b.groupBy("__bin").agg(F.count(F.lit(1)).alias("__c"))
+    cdf = ordered_prefix_sums(hist, ["__bin"], ["__c"])
+    withp = (b.join(cdf.select("__bin", "__cum___c"), "__bin")
+             .selectExpr("row", "col",
+                         "CAST(__cum___c AS DOUBLE) / CAST(__n AS DOUBLE) AS __p"))
+    ref = spark.createDataFrame(
+        gaussian_ref_cdf(num_tones),
+        "i int, x double, p double, x_prev double, p_prev double")
+    m = (withp.join(F.broadcast(ref), F.col("p") > F.col("__p"), "left")
+         .groupBy("row", "col", "__p")
+         .agg(F.expr("MIN_BY(STRUCT(i, x, p, x_prev, p_prev), i)").alias("r")))
+    return m.selectExpr(
+        "row", "col",
+        "CASE WHEN r IS NULL THEN 3.0 "
+        "WHEN r.i > 0 AND r.p <> r.p_prev THEN r.x_prev "
+        "+ (r.x - r.x_prev) * ((__p - r.p_prev) / (r.p - r.p_prev)) "
+        "WHEN r.i > 0 THEN r.x_prev ELSE r.x END AS value")
+
+
+def image_stack_profile(images: list[DataFrame], points: DataFrame,
+                        meta) -> DataFrame:
+    """ImageStackProfile (image_analysis/image_stack_profile.rs): the
+    raster value of every stacked image at every point. Output
+    (record_num, image_num, value); missing cells read nodata."""
+    from functools import reduce
+
+    from .raster import extract_values_at_points
+
+    outs = []
+    for i, img in enumerate(images):
+        outs.append(
+            extract_values_at_points(points, img, meta)
+            .selectExpr("record_num", f"CAST({i + 1} AS INT) AS image_num",
+                        "raster_value AS value"))
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -33,6 +33,7 @@ except polygon rasterization's PIP refine (batched numpy).
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -660,6 +661,48 @@ def set_nodata_value(cells: DataFrame, back_value: float, meta: GridMeta) -> Dat
         "row", "col",
         f"CASE WHEN value = {back_value!r} THEN {meta.nodata!r} ELSE value END AS value",
     )
+
+
+def random_field(spark, meta: GridMeta, seed: int = 1) -> DataFrame:
+    """RandomField (math_stat_analysis/random_field.rs): an i.i.d.
+    standard-normal value per cell. The reference draws from an
+    entropy-seeded SmallRng (nondeterministic by design); this engine
+    derives the stream from a per-cell LCG (glibc constants) +
+    Box-Muller so runs are reproducible and oracle-portable: every
+    arithmetic step is integer mod / one LN / one COS."""
+    rows = spark.range(meta.rows).selectExpr("id AS row")
+    cols = spark.range(meta.columns).selectExpr("id AS col")
+    grid = rows.crossJoin(cols)
+    cid = f"(row * {meta.columns}L + col)"
+
+    def lcg(k: str) -> str:
+        return f"(({k} * 1103515245L + 12345L) % 2147483648L)"
+
+    s1 = lcg(f"({cid} * 2L + {int(seed)}L)")
+    s2 = lcg(f"({cid} * 2L + {int(seed)}L + 1L)")
+    u1 = f"((CAST({s1} AS DOUBLE) + 1.0) / 2147483649.0)"
+    u2 = f"(CAST({s2} AS DOUBLE) / 2147483648.0)"
+    tau = 2.0 * math.pi
+    return grid.selectExpr(
+        "row", "col",
+        f"SQRT(-2.0 * LN({u1})) * COS({tau!r} * {u2}) AS value")
+
+
+def random_sample(cells: DataFrame, meta: GridMeta, num_samples: int = 1000,
+                  seed: int = 7) -> DataFrame:
+    """RandomSample (math_stat_analysis/random_sample.rs): num_samples
+    distinct valid cells get unique ids 1..n; everything else is
+    background. Deterministic variant of the reference's entropy-seeded
+    draw: cells are keyed by a per-cell LCG and the lowest num_samples
+    keys win (top-k — a TakeOrdered, no global sort); ids follow key
+    order. Only sampled cells are emitted."""
+    cid = f"(row * {meta.columns}L + col)"
+    key = f"((({cid} + {int(seed)}L) * 1103515245L + 12345L) % 2147483648L)"
+    topk = (cells.selectExpr("row", "col", f"{key} AS __k")
+            .orderBy("__k", "row", "col").limit(int(num_samples)))
+    w = Window.orderBy("__k", "row", "col")
+    return topk.withColumn("value", F.row_number().over(w).cast("double")) \
+               .select("row", "col", "value")
 
 
 def raster_cell_assignment(cells: DataFrame, meta: GridMeta, what: str) -> DataFrame:
