@@ -1611,6 +1611,51 @@ def _q_random_sample(spark, sf):
                            seed=7)
 
 
+def _q_elev_rel_minmax(spark, sf):
+    return R.elev_relative_to_min_max(_ras(spark, sf, "a"))
+
+
+def _q_elev_rel_watershed_minmax(spark, sf):
+    return HY.elev_relative_to_watershed_min_max(_ras_c(spark, sf), _META40C)
+
+
+def _q_find_low_points(spark, sf):
+    return R.find_lowest_or_highest_points(_ras(spark, sf, "a"), _META100,
+                                           "lowest")
+
+
+def _q_find_high_points(spark, sf):
+    return R.find_lowest_or_highest_points(_ras(spark, sf, "a"), _META100,
+                                           "highest")
+
+
+def _q_find_ridges(spark, sf):
+    return FO.find_ridges(_ras(spark, sf, "a"), _META100)
+
+
+def _q_spherical_sdn(spark, sf):
+    """Single-scale spherical stdev of normals; ROUND(4) like the
+    multiscale family (II sums reassociate vs the oracle)."""
+    return FO.spherical_std_dev_of_normals(
+        _ras(spark, sf, "a"), _META100, filter_size=5, round_to=4)
+
+
+def _q_drainage_preserving_smoothing(spark, sf):
+    """Alias of FeaturePreservingSmoothing (deprecated-tool parity) —
+    rows-only like FPS (iterative normal-weighted relaxations)."""
+    return FO.drainage_preserving_smoothing(_ras(spark, sf, "a"), _META100,
+                                            num_iter=1)
+
+
+def _q_lidar_thin_high_density(spark, sf):
+    return LI.lidar_thin_high_density(_points(spark, sf), 40.0,
+                                      density=0.00125)
+
+
+def _q_lidar_info(spark, sf):
+    return LI.lidar_info(_points(spark, sf))
+
+
 def _q_mass_flux(spark, sf):
     """Topological peel with per-cell loss arithmetic — iterative;
     rows-only + pytest parity on a crafted network. 20x20 gate raster:
@@ -3362,6 +3407,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stack_profile": _q_image_stack_profile,
         "random_field": _q_random_field,
         "random_sample": _q_random_sample,
+        "elev_rel_minmax": _q_elev_rel_minmax,
+        "elev_rel_watershed_minmax": _q_elev_rel_watershed_minmax,
+        "find_low_points": _q_find_low_points,
+        "find_high_points": _q_find_high_points,
+        "find_ridges": _q_find_ridges,
+        "spherical_sdn": _q_spherical_sdn,
+        "drainage_preserving_smoothing": _q_drainage_preserving_smoothing,
+        "lidar_thin_high_density": _q_lidar_thin_high_density,
+        "lidar_info": _q_lidar_info,
     }
 
 
@@ -6634,6 +6688,17 @@ def _hydro4_oracles() -> dict[str, str]:
         f"JOIN ranks r2 ON b1.term = r2.term "
         f"JOIN nodes n ON c.dst = n.id"
     )
+    ret["elev_rel_watershed_minmax"] = (
+        f"{prelude}, "
+        f"bas AS (SELECT c.src, c.dst AS term FROM creach c "
+        f"JOIN terms t ON c.dst = t.tid), "
+        f"st AS (SELECT bas.term, MIN(z.z) AS mn, MAX(z.z) AS mx "
+        f"FROM bas JOIN z ON bas.src = z.zid GROUP BY 1) "
+        f"SELECT n.row, n.col, CASE WHEN st.mx > st.mn THEN "
+        f"(z.z - st.mn) / (st.mx - st.mn) * 100.0 ELSE 0.0 END AS value "
+        f"FROM bas JOIN st ON bas.term = st.term "
+        f"JOIN z ON bas.src = z.zid JOIN nodes n ON bas.src = n.id"
+    )
     return ret
 
 
@@ -6835,6 +6900,93 @@ def _image4_oracles() -> dict[str, str]:
         f"t AS (SELECT row, col, ROW_NUMBER() OVER (ORDER BY kk, row, col) "
         f"AS rk FROM k) "
         f"SELECT row, col, CAST(rk AS DOUBLE) AS value FROM t WHERE rk <= 100")
+    return ret
+
+
+def _terrain4_oracles() -> dict[str, str]:
+    """Oracles for the round-4c terrain/lidar quick wins."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    ret = {}
+    ret["elev_rel_minmax"] = (
+        f"WITH {ras_a}, st AS (SELECT MIN(value) AS mn, MAX(value) AS mx "
+        f"FROM ras_a) SELECT row, col, CASE WHEN mx > mn THEN "
+        f"(value - mn) / (mx - mn) * 100.0 ELSE 0.0 END AS value "
+        f"FROM ras_a, st")
+    xx = _META100.x_center_expr("col")
+    yy = _META100.y_center_expr("row")
+    ret["find_low_points"] = (
+        f"WITH {ras_a}, r AS (SELECT row, col, value, ROW_NUMBER() OVER "
+        f"(ORDER BY value, row, col) AS rk FROM ras_a) "
+        f"SELECT {xx} AS x, {yy} AS y, value FROM r WHERE rk = 1")
+    ret["find_high_points"] = (
+        f"WITH {ras_a}, r AS (SELECT row, col, value, ROW_NUMBER() OVER "
+        f"(ORDER BY value DESC, row, col) AS rk FROM ras_a) "
+        f"SELECT {xx} AS x, {yy} AS y, value FROM r WHERE rk = 1")
+    # find_ridges: D8-order nullable pivot (zn_7 N, zn_3 S, zn_5 W, zn_1 E)
+    offs9 = "offs9t AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)) o(n, dy, dx))"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8)
+    ) + ", MAX(CASE WHEN n = 8 THEN nv END) AS zc"
+    cond = ("(zn_7 IS NOT NULL AND zn_3 IS NOT NULL AND zn_7 < zc AND zn_3 < zc) "
+            "OR (zn_5 IS NOT NULL AND zn_1 IS NOT NULL AND zn_5 < zc AND zn_1 < zc)")
+    ret["find_ridges"] = (
+        f"WITH {ras_a}, {offs9}, "
+        f"sc9t AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+        f"a.value AS nv FROM ras_a a, offs9t o), "
+        f"p9t AS (SELECT row, col, {piv_cols} FROM sc9t GROUP BY 1, 2) "
+        f"SELECT row, col, CAST(CASE WHEN {cond} THEN 1.0 ELSE 0.0 END "
+        f"AS DOUBLE) AS value FROM p9t WHERE zc IS NOT NULL")
+    # spherical stdev of normals at radius 2: the round-3 msd machinery
+    # for a single scale (direct window sums + ROUND(4))
+    d8 = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0)]
+    zcases = ", ".join(
+        f"MAX(CASE WHEN o.dr = {dr} AND o.dc = {dc} THEN n.value END) AS z{i}"
+        for i, (dr, dc) in enumerate(d8))
+    o1 = ("o1 AS (SELECT a.range - 1 AS dr, b.range - 1 AS dc "
+          "FROM range(0, 3) a, range(0, 3) b)")
+    o2 = ("o2 AS (SELECT a.range - 2 AS dr, b.range - 2 AS dc "
+          "FROM range(0, 5) a, range(0, 5) b)")
+    nbr = (f"nbr AS (SELECT c.row, c.col, c.value AS zc, {zcases} "
+           f"FROM ras_a c CROSS JOIN o1 o "
+           f"LEFT JOIN ras_a n ON n.row = c.row + o.dr AND n.col = c.col + o.dc "
+           f"WHERE NOT (o.dr = 0 AND o.dc = 0) GROUP BY 1, 2, 3)")
+    sub = [f"COALESCE(z{i}, zc)" for i in range(8)]
+    fx = (f"((({sub[2]}) - ({sub[4]}) + 2.0 * (({sub[1]}) - ({sub[5]})) "
+          f"+ ({sub[0]}) - ({sub[6]})) / {8.0 * _META100.resolution_x!r})")
+    fy = (f"((({sub[6]}) - ({sub[4]}) + 2.0 * (({sub[7]}) - ({sub[3]})) "
+          f"+ ({sub[0]}) - ({sub[2]})) / {8.0 * _META100.resolution_y!r})")
+    nrm_len = f"SQRT(({fx}) * ({fx}) + ({fy}) * ({fy}) + 1.0)"
+    nrm = (f"nrm AS (SELECT row, col, (-({fx})) / ({nrm_len}) AS nx, "
+           f"(-({fy})) / ({nrm_len}) AS ny, 1.0 / ({nrm_len}) AS nz FROM nbr)")
+    w2 = (f"w2 AS (SELECT c.row, c.col, COUNT(*) AS wn, "
+          f"SUM(n.nx) AS sx, SUM(n.ny) AS sy, SUM(n.nz) AS sz "
+          f"FROM nrm c CROSS JOIN o2 o "
+          f"JOIN nrm n ON n.row = c.row + o.dr AND n.col = c.col + o.dc "
+          f"GROUP BY 1, 2)")
+    res_len = "SQRT(sx * sx + sy * sy + sz * sz)"
+    sdev = (f"DEGREES(SQRT(-2.0 * LN(GREATEST(LEAST(({res_len}) / wn, 1.0), "
+            f"1e-12))))")
+    ret["spherical_sdn"] = (
+        f"WITH {ras_a}, {o1}, {o2}, {nbr}, {nrm}, {w2} "
+        f"SELECT row, col, ROUND({sdev}, 4) AS value FROM w2")
+    # lidar: high-density thinning (first cap per FRS cell) + info
+    pts = f"pts AS ({_PTS_SQL})"
+    cx40 = frs_cell_expr("x", 40.0)
+    cy40 = frs_cell_expr("y", 40.0)
+    cap = max(int(0.00125 * 40.0 * 40.0), 1)
+    ret["lidar_thin_high_density"] = (
+        f"WITH {pts}, b AS (SELECT record_num, x, y, value, "
+        f"{cx40} AS cx, {cy40} AS cy FROM pts), "
+        f"r AS (SELECT record_num, x, y, value, ROW_NUMBER() OVER "
+        f"(PARTITION BY cx, cy ORDER BY record_num) AS rk FROM b) "
+        f"SELECT record_num, x, y, value FROM r WHERE rk <= {cap}")
+    ret["lidar_info"] = (
+        f"WITH {pts} SELECT CAST(COUNT(*) AS BIGINT) AS num_points, "
+        f"MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, "
+        f"MAX(y) AS max_y, MIN(value) AS min_z, MAX(value) AS max_z, "
+        f"AVG(value) AS mean_z FROM pts")
     return ret
 
 
@@ -7083,6 +7235,7 @@ def oracle_sql() -> dict[str, str]:
         **_demedit_oracles(),
         **_vecgeom_oracles(),
         **_image4_oracles(),
+        **_terrain4_oracles(),
         "pca3": _pca3_oracle(),
         "reclass_equal_interval": (
             f"WITH ras_a AS ({_RAS_A_SQL}), "

@@ -1,0 +1,82 @@
+"""Round-4c terrain/lidar quick wins."""
+
+import numpy as np
+import pytest
+
+from whitebox_tools_spark.functions.raster_math import GridMeta
+from whitebox_tools_spark.operators import focal as FO
+from whitebox_tools_spark.operators import hydro as HY
+from whitebox_tools_spark.operators import lidar as LI
+from whitebox_tools_spark.operators import raster as R
+
+META = GridMeta(rows=8, columns=8, north=80.0, south=0.0, east=80.0,
+                west=0.0, resolution_x=10.0, resolution_y=10.0)
+
+
+def _cells(spark, z):
+    rows = [(r, c, float(z[r, c]))
+            for r in range(z.shape[0]) for c in range(z.shape[1])]
+    return spark.createDataFrame(rows, "row long, col long, value double")
+
+
+def _asmap(df):
+    return {(r["row"], r["col"]): r["value"] for r in df.collect()}
+
+
+def test_elev_relative_to_min_max(spark):
+    z = np.linspace(10, 90, 64).reshape(8, 8)
+    out = _asmap(R.elev_relative_to_min_max(_cells(spark, z)))
+    assert out[(0, 0)] == pytest.approx(0.0)
+    assert out[(7, 7)] == pytest.approx(100.0)
+
+
+def test_find_lowest_highest(spark):
+    z = np.full((8, 8), 50.0)
+    z[3, 4] = 5.0
+    z[6, 1] = 95.0
+    lo = R.find_lowest_or_highest_points(_cells(spark, z), META,
+                                         "lowest").collect()[0]
+    hi = R.find_lowest_or_highest_points(_cells(spark, z), META,
+                                         "highest").collect()[0]
+    assert lo["value"] == 5.0 and (lo["x"], lo["y"]) == (45.0, 45.0)
+    assert hi["value"] == 95.0 and (hi["x"], hi["y"]) == (15.0, 15.0)
+
+
+def test_find_ridges(spark):
+    z = np.zeros((8, 8))
+    z[4, :] = 10.0  # an east-west ridge line
+    out = _asmap(FO.find_ridges(_cells(spark, z), META))
+    for c in range(8):
+        assert out[(4, c)] == 1.0
+    assert out[(2, 2)] == 0.0
+
+
+def test_elev_relative_to_watershed_minmax(spark):
+    rng = np.random.RandomState(6)
+    z = np.round(rng.uniform(10, 90, size=(8, 8)), 1)
+    out = _asmap(HY.elev_relative_to_watershed_min_max(_cells(spark, z), META))
+    assert len(out) == 64
+    assert all(-1e-9 <= v <= 100.0 + 1e-9 for v in out.values())
+
+
+def test_lidar_thin_high_density(spark):
+    # 40 points stacked in one small area -> cap = density * res^2
+    pts = [(i, 5.0 + (i % 3) * 0.1, 5.0 + (i // 3) * 0.1, float(i))
+           for i in range(40)]
+    df = spark.createDataFrame(
+        pts, "record_num long, x double, y double, value double")
+    out = LI.lidar_thin_high_density(df, 20.0, density=0.01).collect()
+    # cap = 0.01 * 400 = 4; all 40 points fall in one-ish cell
+    assert 0 < len(out) <= 8
+    kept = sorted(r["record_num"] for r in out)
+    assert kept[0] == 0  # first-by-order survives
+
+
+def test_lidar_info(spark):
+    pts = [(1, 0.0, 0.0, 10.0), (2, 5.0, 7.0, 30.0)]
+    df = spark.createDataFrame(
+        pts, "record_num long, x double, y double, value double")
+    row = LI.lidar_info(df).collect()[0]
+    assert row["num_points"] == 2
+    assert row["min_z"] == 10.0 and row["max_z"] == 30.0
+    assert row["mean_z"] == 20.0

@@ -2016,3 +2016,50 @@ def standard_deviation_of_slope(cells: DataFrame, meta: GridMeta,
     piv = focal_pivotk(sl, size)
     return piv.selectExpr(
         "row", "col", f"({stdev_pivot_value_expr(size * size)}) AS value")
+
+
+def spherical_std_dev_of_normals(cells: DataFrame, meta: GridMeta,
+                                 filter_size: int = 11,
+                                 round_to: int | None = None) -> DataFrame:
+    """SphericalStdDevOfNormals (terrain_analysis/
+    spherical_std_dev_of_normals.rs): the single-scale case of
+    multiscale_std_dev_normals — s = sqrt(-2 ln R) degrees over one
+    filter_size window."""
+    r = max(filter_size, 3) // 2
+    return multiscale_std_dev_normals(cells, meta, [r], round_to) \
+        .select("row", "col", "value")
+
+
+def drainage_preserving_smoothing(cells: DataFrame, meta: GridMeta,
+                                  filter_size: int = 1,
+                                  norm_diff: float = 15.0,
+                                  num_iter: int = 3) -> DataFrame:
+    """DrainagePreservingSmoothing (terrain_analysis/
+    drainage_preserving_smoothing.rs): deprecated in the reference in
+    favour of FeaturePreservingSmoothing with identical defaults — the
+    reference file states the tool was merged; this alias keeps the
+    historical name callable."""
+    return feature_preserving_smoothing(cells, meta, filter_size=filter_size,
+                                        norm_diff=norm_diff,
+                                        num_iter=num_iter)
+
+
+def find_ridges(cells: DataFrame, meta: GridMeta,
+                line_thin: bool = False) -> DataFrame:
+    """FindRidges (terrain_analysis/find_ridges.rs:279-300): 1 where
+    both the N and S neighbors are strictly below the cell, or both the
+    W and E neighbors are; else 0. Optional thinning uses the engine's
+    Zhang-Suen line_thinning (the reference inlines its own 8-pattern
+    elimination — skeletons can differ by single cells)."""
+    from .hydro import focal_pivot3_raw
+
+    # D8 order: zn_7 = N, zn_3 = S, zn_5 = W, zn_1 = E
+    piv = focal_pivot3_raw(cells)
+    cond = ("(zn_7 IS NOT NULL AND zn_3 IS NOT NULL AND zn_7 < zc AND zn_3 < zc) "
+            "OR (zn_5 IS NOT NULL AND zn_1 IS NOT NULL AND zn_5 < zc AND zn_1 < zc)")
+    out = piv.selectExpr(
+        "row", "col",
+        f"CAST(CASE WHEN {cond} THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value")
+    if line_thin:
+        out = line_thinning(out)
+    return out

@@ -3406,3 +3406,20 @@ def find_main_stem(cells: DataFrame, meta: GridMeta,
 # breach_pits.rs:26) — same algorithms, so these are pure name aliases.
 fill_single_cell_pits = fill_pits
 breach_single_cell_pits = breach_pits
+
+
+def elev_relative_to_watershed_min_max(cells: DataFrame,
+                                       meta: GridMeta) -> DataFrame:
+    """ElevRelativeToWatershedMinMax (terrain_analysis/
+    elev_relative_to_watershed_min_max.rs): (z - min) / (max - min) *
+    100 with the extremes of the cell's watershed (basin = terminal-
+    outlet component, as basins()). One basins pass + per-basin stats
+    join."""
+    b = basins(cells, meta).selectExpr("row", "col", "value AS __b")
+    j = cells.join(b, ["row", "col"])
+    stats = j.groupBy("__b").agg(F.min("value").alias("__mn"),
+                                 F.max("value").alias("__mx"))
+    return j.join(stats, "__b").selectExpr(
+        "row", "col",
+        "CASE WHEN __mx > __mn THEN (value - __mn) / (__mx - __mn) * 100.0 "
+        "ELSE 0.0 END AS value")

@@ -1049,3 +1049,35 @@ def _filter_returns(points: DataFrame, returns: str,
     if returns == "last":
         return points.where(f"{return_number} = {num_returns}")
     return points
+
+
+def lidar_thin_high_density(points: DataFrame, resolution: float,
+                            density: float, x: str = "x", y: str = "y",
+                            order_col: str = "record_num") -> DataFrame:
+    """LidarThinHighDensity (lidar_analysis/lidar_thin_high_density.rs):
+    grid the cloud at `resolution`; cells whose point density exceeds
+    `density` (pts per unit area) are decimated down to the target.
+    Deterministic variant of the reference's random discard: the first
+    cap points by `order_col` survive (partitioned window, no global
+    sort)."""
+    from pyspark.sql import Window
+
+    cap = max(int(density * resolution * resolution), 1)
+    binned = with_frs_cells(points, resolution, x=x, y=y)
+    w = Window.partitionBy("cx", "cy").orderBy(order_col)
+    return (binned.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= cap)
+            .drop("__rk", "cx", "cy"))
+
+
+def lidar_info(points: DataFrame, z_col: str = "value") -> DataFrame:
+    """LidarInfo (lidar_analysis/lidar_info.rs): one-row summary of the
+    cloud — point count, extent, z range, mean z, and per-return /
+    per-class counts are reported by the companion per-class stats op
+    (lidar_point_stats); this named op emits the header block."""
+    return points.agg(
+        F.count(F.lit(1)).alias("num_points"),
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        F.min(z_col).alias("min_z"), F.max(z_col).alias("max_z"),
+        F.avg(z_col).alias("mean_z"))

@@ -1534,3 +1534,32 @@ def shape_complexity_index_raster(cells: DataFrame) -> DataFrame:
         base.join(idx, base["value"] == idx["__id"])
         .selectExpr("row", "col", "__sci AS value")
     )
+
+
+def elev_relative_to_min_max(cells: DataFrame) -> DataFrame:
+    """ElevRelativeToMinMax (terrain_analysis/elev_relative_to_min_max
+    .rs:290): (z - min) / (max - min) * 100 with the grid-wide extremes.
+    One broadcast stats join."""
+    stats = cells.agg(F.min("value").alias("__mn"),
+                      F.max("value").alias("__mx"))
+    return cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col",
+        "CASE WHEN __mx > __mn THEN (value - __mn) / (__mx - __mn) * 100.0 "
+        "ELSE 0.0 END AS value")
+
+
+def find_lowest_or_highest_points(cells: DataFrame, meta: GridMeta,
+                                  which: str = "lowest") -> DataFrame:
+    """FindLowestOrHighestPoints (gis_analysis/
+    find_lowest_or_highest_points.rs): the grid's minimum (or maximum)
+    cell as a point at the cell centre; ties resolve to row-major scan
+    order. Output (x, y, value)."""
+    opt = "MIN_BY" if which == "lowest" else "MAX_BY"
+    key = ("STRUCT(value, -row AS nr, -col AS nc)" if which != "lowest"
+           else "STRUCT(value, row, col)")
+    agg = cells.agg(
+        F.expr(f"{opt}(STRUCT(row, col, value), {key})").alias("b"))
+    return agg.selectExpr(
+        f"{meta.x_center_expr('b.col')} AS x",
+        f"{meta.y_center_expr('b.row')} AS y",
+        "b.value AS value")
