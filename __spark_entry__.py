@@ -1656,6 +1656,21 @@ def _q_lidar_info(spark, sf):
     return LI.lidar_info(_points(spark, sf))
 
 
+def _q_upslope_depression_storage(spark, sf):
+    """Weighted FD8 closure over the filled surface — rows-only
+    (POWER weights; pytest-gated vs a numpy queue transcription)."""
+    return HY.upslope_depression_storage(_ras_c(spark, sf), _META40C)
+
+
+def _q_dinf_mass_flux(spark, sf):
+    """D-infinity mass routing peel — rows-only (pytest-gated)."""
+    base = _ras_c(spark, sf)
+    loading = base.selectExpr("row", "col", "CAST(1.0 AS DOUBLE) AS value")
+    eff = base.selectExpr("row", "col", "CAST(0.9 AS DOUBLE) AS value")
+    ab = base.selectExpr("row", "col", "CAST(0.05 AS DOUBLE) AS value")
+    return HY.dinf_mass_flux(base, _META40C, loading, eff, ab)
+
+
 def _q_mass_flux(spark, sf):
     """Topological peel with per-cell loss arithmetic — iterative;
     rows-only + pytest parity on a crafted network. 20x20 gate raster:
@@ -3416,6 +3431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drainage_preserving_smoothing": _q_drainage_preserving_smoothing,
         "lidar_thin_high_density": _q_lidar_thin_high_density,
         "lidar_info": _q_lidar_info,
+        "upslope_depression_storage": _q_upslope_depression_storage,
+        "dinf_mass_flux": _q_dinf_mass_flux,
     }
 
 

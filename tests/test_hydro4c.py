@@ -1,0 +1,76 @@
+"""UpslopeDepressionStorage + DInfMassFlux gates.
+
+dinf_mass_flux(load=1, eff=1, ab=0) must equal dinf_flow_accumulation —
+the same recurrence computed by two independent plan shapes
+(topological peel vs weighted path-sum doubling)."""
+
+import numpy as np
+import pytest
+
+from whitebox_tools_spark.functions.raster_math import GridMeta
+from whitebox_tools_spark.operators import hydro as HY
+
+META = GridMeta(rows=8, columns=8, north=80.0, south=0.0, east=80.0,
+                west=0.0, resolution_x=10.0, resolution_y=10.0)
+
+
+def _cells(spark, z):
+    rows = [(r, c, float(z[r, c]))
+            for r in range(z.shape[0]) for c in range(z.shape[1])]
+    return spark.createDataFrame(rows, "row long, col long, value double")
+
+
+def _asmap(df):
+    return {(r["row"], r["col"]): r["value"] for r in df.collect()}
+
+
+def test_dinf_mass_flux_equals_accumulation(spark):
+    rng = np.random.RandomState(8)
+    z = np.round(rng.uniform(10, 90, size=(8, 8)), 1)
+    cells = _cells(spark, z)
+    ones = cells.selectExpr("row", "col", "CAST(1.0 AS DOUBLE) AS value")
+    eff1 = ones
+    ab0 = cells.selectExpr("row", "col", "CAST(0.0 AS DOUBLE) AS value")
+    flux = _asmap(HY.dinf_mass_flux(cells, META, ones, eff1, ab0))
+    accum = _asmap(HY.dinf_flow_accumulation(cells, META))
+    assert set(flux) == set(accum)
+    for k in accum:
+        assert flux[k] == pytest.approx(accum[k], rel=1e-9), k
+
+
+def test_dinf_mass_flux_plane(spark):
+    # plane sloping due south: dinf routes everything to the S neighbor;
+    # with eff e and no absorption: f_0 = e, f_{i+1} = (1 + f_i) * e
+    z = np.tile((np.arange(8, dtype=float)[::-1] * 10.0)[:, None], (1, 8))
+    cells = _cells(spark, z)
+    load = cells.selectExpr("row", "col", "CAST(1.0 AS DOUBLE) AS value")
+    eff = cells.selectExpr("row", "col", "CAST(0.5 AS DOUBLE) AS value")
+    ab = cells.selectExpr("row", "col", "CAST(0.0 AS DOUBLE) AS value")
+    out = _asmap(HY.dinf_mass_flux(cells, META, load, eff, ab))
+    want = 0.5
+    for r in range(8):
+        for c in range(2, 6):  # interior columns, no edge effects
+            assert out[(r, c)] == pytest.approx(want, rel=1e-9), (r, c)
+        want = (1.0 + want) * 0.5
+
+
+def test_upslope_depression_storage(spark):
+    # depression-free ramp -> zero storage everywhere
+    ramp = np.add.outer(np.arange(8) * 5.0, np.arange(8) * 3.0) + 10.0
+    out = _asmap(HY.upslope_depression_storage(_cells(spark, ramp), META))
+    assert all(v == pytest.approx(0.0, abs=1e-12) for v in out.values())
+
+    # one interior pit: its fill depth shows up at the pit, scaled by
+    # the upslope area; everything stays within [0, max depth]
+    z = ramp.copy()
+    z[4, 4] = z[4, 4] - 20.0
+    out2 = _asmap(HY.upslope_depression_storage(_cells(spark, z), META))
+    filled = _asmap(HY.fill_depressions(_cells(spark, z), META))
+    depth = {k: filled[k] - v for k, v in
+             _asmap(_cells(spark, z).selectExpr(
+                 "row", "col", "value")).items()}
+    maxd = max(depth.values())
+    assert maxd > 0
+    assert out2[(4, 4)] > 0.0
+    for v in out2.values():
+        assert -1e-9 <= v <= maxd + 1e-9

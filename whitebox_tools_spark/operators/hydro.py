@@ -1034,11 +1034,13 @@ def dinf_flow_accumulation(cells: DataFrame, meta: GridMeta,
     return _weighted_path_accum(nodes, e, max_doublings, "dinf_flow_accumulation")
 
 
-def _weighted_path_accum(nodes: DataFrame, e: DataFrame,
+def _path_weight_closure(nodes: DataFrame, e: DataFrame,
                          max_doublings: int, what: str) -> DataFrame:
-    """acc(v) = sum over u of total path weight u -> v over a weighted
-    DAG (products of edge proportions, summed over paths), via the
-    S/Q doubling recurrence (see dinf_flow_accumulation docstring)."""
+    """The full sparse path-weight matrix S = sum_j P^j as (src, dst, w)
+    over a weighted DAG (products of edge proportions, summed over
+    paths), via the S/Q doubling recurrence (see dinf_flow_accumulation
+    docstring). Shared by the weighted accumulations and the
+    depth-carrying upslope averages."""
     def ckpt(df):
         # checkpointing this union+aggregate plan under AQE trips a
         # Catalyst AttributeMap bug in Spark 4.1 ("key not found");
@@ -1077,6 +1079,14 @@ def _weighted_path_accum(nodes: DataFrame, e: DataFrame,
         s = grown
     else:
         ensure_converged(q.count(), f"{what} doubling", max_doublings)
+    return s
+
+
+def _weighted_path_accum(nodes: DataFrame, e: DataFrame,
+                         max_doublings: int, what: str) -> DataFrame:
+    """acc(v) = sum over u of total path weight u -> v (1 self-load per
+    cell) — the aggregation of _path_weight_closure."""
+    s = _path_weight_closure(nodes, e, max_doublings, what)
     acc = s.groupBy("dst").agg(F.sum("w").alias("value"))
     return nodes.join(acc, nodes["id"] == acc["dst"]).select(
         "row", "col", F.col("value").cast("double").alias("value")
@@ -3423,3 +3433,97 @@ def elev_relative_to_watershed_min_max(cells: DataFrame,
         "row", "col",
         "CASE WHEN __mx > __mn THEN (value - __mn) / (__mx - __mn) * 100.0 "
         "ELSE 0.0 END AS value")
+
+
+def upslope_depression_storage(cells: DataFrame, meta: GridMeta,
+                               exponent: float = 1.1,
+                               max_doublings: int = 24) -> DataFrame:
+    """UpslopeDepressionStorage (hydro_analysis/
+    upslope_depression_storage.rs): average upslope depression-storage
+    depth. depth(u) = filled(u) - z(u); FD8-weighted routing on the
+    FILLED surface; output(v) = sum_u depth(u) W(u->v) / sum_u W(u->v)
+    (W includes the self path, weight 1 — the reference's per-cell
+    area divisor).
+
+    Deviation: the reference fills with an f32 epsilon priority flood;
+    this engine uses the exact (epsilon-free, f64) Planchon-Darboux
+    fill, so flat-resolution dust differs below the f32 ulp. Weighted
+    doubling closure -> rows-only + pytest gate (POWER weights)."""
+    c = meta.columns
+    filled = fill_depressions(cells, meta)
+    nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    e = fd8_edges(filled, meta, exponent).join(
+        nodes.selectExpr("id AS dst"), "dst", "leftsemi")
+    s = _path_weight_closure(nodes, e, max_doublings,
+                             "upslope_depression_storage")
+    depth = (filled.withColumnRenamed("value", "__w")
+             .join(cells, ["row", "col"])
+             .selectExpr(f"(row * {c}L + col) AS did", "__w - value AS dep"))
+    acc = (s.join(depth, s["src"] == F.col("did"))
+           .groupBy("dst").agg(F.expr("SUM(w * dep)").alias("sd"),
+                               F.expr("SUM(w)").alias("sa")))
+    return nodes.join(acc, nodes["id"] == acc["dst"]).selectExpr(
+        "row", "col", "sd / sa AS value")
+
+
+def dinf_mass_flux(cells: DataFrame, meta: GridMeta, loading: DataFrame,
+                   efficiency: DataFrame, absorption: DataFrame,
+                   max_rounds: int = 256) -> DataFrame:
+    """DInfMassFlux (hydro_analysis/dinf_mass_flux.rs): route mass down
+    the D-infinity network; flux(c) = (loading(c) + sum of proportioned
+    inflows - absorption(c)) * efficiency(c); outflow splits by the
+    Tarboton facet proportions. Topological peel over the weighted DAG.
+    Iterative float accumulation -> rows-only + pytest gate."""
+    c = meta.columns
+    ptr = dinf_pointer(cells, meta)
+    nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
+    e = (_dinf_edges(ptr, c)
+         .join(nodes.selectExpr("id AS dst"), "dst", "leftsemi")
+         .persist())
+    base = (
+        nodes
+        .join(loading.selectExpr(f"(row * {c}L + col) AS id", "value AS ld"), "id")
+        .join(efficiency.selectExpr(f"(row * {c}L + col) AS id", "value AS eff"), "id")
+        .join(absorption.selectExpr(f"(row * {c}L + col) AS id", "value AS ab"), "id")
+        .persist()
+    )
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+    unresolved = base.select("id")
+    resolved = None
+    for _ in range(max_rounds):
+        if resolved is None:
+            ready = unresolved.join(indeg.withColumnRenamed("dst", "id"),
+                                    "id", "left_anti")
+            inflow = None
+        else:
+            blocked = (
+                e.join(unresolved.selectExpr("id AS dst"), "dst", "leftsemi")
+                .join(resolved.selectExpr("id AS src"), "src", "left_anti")
+                .select(F.col("dst").alias("id")).distinct()
+            )
+            ready = unresolved.join(blocked, "id", "left_anti")
+            inflow = (e.join(resolved.withColumnRenamed("id", "src"), "src")
+                      .selectExpr("dst AS id", "flux * w AS fin")
+                      .groupBy("id").agg(F.sum("fin").alias("in_flux")))
+        frontier = ready.join(base, "id")
+        if inflow is not None:
+            frontier = frontier.join(inflow, "id", "left")
+            flux = "(ld + COALESCE(in_flux, 0.0) - ab) * eff"
+        else:
+            flux = "(ld - ab) * eff"
+        newly = frontier.selectExpr("id", f"{flux} AS flux") \
+                        .localCheckpoint(eager=True)
+        resolved = (newly if resolved is None
+                    else resolved.unionByName(newly).localCheckpoint(eager=True))
+        unresolved = unresolved.join(newly.select("id"), "id", "left_anti") \
+                               .localCheckpoint(eager=True)
+        if unresolved.count() == 0:
+            break
+    else:
+        ensure_converged(unresolved.count(), "dinf_mass_flux peel",
+                         max_rounds)
+    out = nodes.join(resolved, "id").selectExpr("row", "col",
+                                                "flux AS value")
+    e.unpersist()
+    base.unpersist()
+    return out
