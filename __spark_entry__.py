@@ -1671,6 +1671,24 @@ def _q_dinf_mass_flux(spark, sf):
     return HY.dinf_mass_flux(base, _META40C, loading, eff, ab)
 
 
+def _q_modified_kmeans(spark, sf):
+    """Adaptive-count Lloyd with centroid merging — rows-only + pytest
+    (same class as k_means)."""
+    from whitebox_tools_spark.operators.classify import modified_k_means
+
+    bands = (
+        _ras(spark, sf, "a").selectExpr("row", "col", "value AS b1")
+        .join(_ras(spark, sf, "b").selectExpr("row", "col", "value AS b2"),
+              ["row", "col"])
+    )
+    return modified_k_means(bands, ["b1", "b2"], start_clusters=8,
+                            merge_dist=50.0, max_iters=10)
+
+
+def _q_lidar_tophat(spark, sf):
+    return LI.lidar_tophat_transform(_points(spark, sf), radius=30.0)
+
+
 def _q_mass_flux(spark, sf):
     """Topological peel with per-cell loss arithmetic — iterative;
     rows-only + pytest parity on a crafted network. 20x20 gate raster:
@@ -3433,6 +3451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_info": _q_lidar_info,
         "upslope_depression_storage": _q_upslope_depression_storage,
         "dinf_mass_flux": _q_dinf_mass_flux,
+        "modified_kmeans": _q_modified_kmeans,
+        "lidar_tophat": _q_lidar_tophat,
     }
 
 
@@ -7004,6 +7024,17 @@ def _terrain4_oracles() -> dict[str, str]:
         f"MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, "
         f"MAX(y) AS max_y, MIN(value) AS min_z, MAX(value) AS max_z, "
         f"AVG(value) AS mean_z FROM pts")
+    r2 = 30.0 * 30.0
+    ret["lidar_tophat"] = (
+        f"WITH {pts}, "
+        f"prs AS (SELECT a.record_num AS aid, b.record_num AS bid, "
+        f"b.value AS bz FROM pts a JOIN pts b ON "
+        f"(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {r2!r}), "
+        f"ero AS (SELECT aid, MIN(bz) AS emin FROM prs GROUP BY 1), "
+        f"dil AS (SELECT p.aid, MAX(e.emin) AS dmax FROM prs p "
+        f"JOIN ero e ON p.bid = e.aid GROUP BY 1) "
+        f"SELECT p.record_num, p.x, p.y, p.value - d.dmax AS value "
+        f"FROM pts p JOIN dil d ON p.record_num = d.aid")
     return ret
 
 

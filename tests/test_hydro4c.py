@@ -74,3 +74,49 @@ def test_upslope_depression_storage(spark):
     assert out2[(4, 4)] > 0.0
     for v in out2.values():
         assert -1e-9 <= v <= maxd + 1e-9
+
+
+def test_lidar_tophat_transform(spark):
+    import itertools
+    from whitebox_tools_spark.operators import lidar as LI
+
+    rng = np.random.RandomState(12)
+    pts = [(i, float(x), float(y), float(z)) for i, (x, y, z) in
+           enumerate(rng.uniform(0, 50, size=(30, 3)))]
+    df = spark.createDataFrame(
+        pts, "record_num long, x double, y double, value double")
+    out = {r["record_num"]: r["value"]
+           for r in LI.lidar_tophat_transform(df, radius=15.0).collect()}
+    r2 = 15.0 ** 2
+    ero = {}
+    for i, xi, yi, zi in pts:
+        ero[i] = min(z for j, x, y, z in pts
+                     if (x - xi) ** 2 + (y - yi) ** 2 <= r2)
+    for i, xi, yi, zi in pts:
+        dil = max(ero[j] for j, x, y, z in pts
+                  if (x - xi) ** 2 + (y - yi) ** 2 <= r2)
+        assert out[i] == pytest.approx(zi - dil, abs=1e-12), i
+
+
+def test_modified_k_means(spark):
+    from whitebox_tools_spark.operators.classify import modified_k_means
+
+    # two tight blobs far apart: start with 6 clusters, merge_dist wide
+    # enough that surviving centroids collapse to the two blobs
+    rng = np.random.RandomState(15)
+    rows = []
+    i = 0
+    for cx, cy in ((10.0, 10.0), (90.0, 90.0)):
+        for _ in range(30):
+            rows.append((i // 8, i % 8, cx + rng.uniform(-1, 1),
+                         cy + rng.uniform(-1, 1)))
+            i += 1
+    bands = spark.createDataFrame(
+        rows, "row long, col long, b1 double, b2 double")
+    out = modified_k_means(bands, ["b1", "b2"], start_clusters=6,
+                           merge_dist=30.0, max_iters=10)
+    got = out.join(bands, ["row", "col"]).collect()
+    labels_low = {r["cluster"] for r in got if r["b1"] < 50.0}
+    labels_high = {r["cluster"] for r in got if r["b1"] >= 50.0}
+    assert len(labels_low) == 1 and len(labels_high) == 1
+    assert labels_low != labels_high

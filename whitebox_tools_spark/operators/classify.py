@@ -69,3 +69,70 @@ def k_means(bands: DataFrame, band_cols: list[str], k: int = 5,
         by_id = {r["cluster"]: [r[c] for c in band_cols] for r in means}
         cents = [by_id.get(i, cents[i]) for i in range(k)]
     return assign.select("row", "col", "cluster")
+
+
+def modified_k_means(bands: DataFrame, band_cols: list[str],
+                     start_clusters: int = 10, merge_dist: float = 1.0,
+                     max_iters: int = 10) -> DataFrame:
+    """ModifiedKMeansClustering (image_analysis/
+    modified_k_means_clustering.rs): begin with `start_clusters` evenly
+    initialized centroids; after each assignment/update round, merge
+    centroid pairs closer than `merge_dist` (the lower index absorbs
+    the higher), so the cluster count adapts downward. Output (row,
+    col, cluster) with clusters renumbered 0..k-1 by surviving centroid
+    order."""
+    stats = bands.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in band_cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in band_cols],
+    ).collect()[0]
+    cents = [
+        [stats[f"__lo_{c}"] + (i + 0.5)
+         * (stats[f"__hi_{c}"] - stats[f"__lo_{c}"]) / start_clusters
+         for c in band_cols]
+        for i in range(start_clusters)
+    ]
+    assign = None
+    for _ in range(max_iters):
+        d2s = []
+        for i, cv in enumerate(cents):
+            terms = " + ".join(
+                f"({c} - {cv[j]!r}) * ({c} - {cv[j]!r})"
+                for j, c in enumerate(band_cols))
+            d2s.append(f"NAMED_STRUCT('d', ({terms}), 'i', {i})")
+        argmin = (f"AGGREGATE(ARRAY({', '.join(d2s)}), "
+                  f"NAMED_STRUCT('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
+                  f"(acc, e) -> IF(e.d < acc.d, e, acc)).i")
+        new_assign = bands.selectExpr("row", "col", *band_cols,
+                                      f"{argmin} AS cluster")
+        new_assign = new_assign.localCheckpoint(eager=True)
+        if assign is not None and len(cents) == prev_k:
+            changed = (
+                new_assign.select("row", "col", "cluster")
+                .join(assign.selectExpr("row", "col", "cluster AS __prev"),
+                      ["row", "col"])
+                .where("cluster <> __prev").count()
+            )
+            if changed == 0:
+                assign = new_assign
+                break
+        assign = new_assign
+        prev_k = len(cents)
+        means = assign.groupBy("cluster").agg(
+            *[F.avg(c).alias(c) for c in band_cols]).collect()
+        by_id = {r["cluster"]: [r[c] for c in band_cols] for r in means}
+        cents = [by_id.get(i, cents[i]) for i in range(len(cents))]
+        # merge: lower index absorbs any centroid within merge_dist
+        import math as _m
+
+        keep = []
+        for i, cv in enumerate(cents):
+            merged = False
+            for kv in keep:
+                d = _m.sqrt(sum((a - b) ** 2 for a, b in zip(cv, kv)))
+                if d < merge_dist:
+                    merged = True
+                    break
+            if not merged:
+                keep.append(cv)
+        cents = keep
+    return assign.select("row", "col", "cluster")

@@ -1081,3 +1081,30 @@ def lidar_info(points: DataFrame, z_col: str = "value") -> DataFrame:
         F.min("y").alias("min_y"), F.max("y").alias("max_y"),
         F.min(z_col).alias("min_z"), F.max(z_col).alias("max_z"),
         F.avg(z_col).alias("mean_z"))
+
+
+def lidar_tophat_transform(points: DataFrame, radius: float = 1.0,
+                           id_col: str = "record_num",
+                           x: str = "x", y: str = "y",
+                           z_col: str = "value") -> DataFrame:
+    """LidarTophatTransform (lidar_analysis/lidar_tophat_transform.rs):
+    white top-hat residual per point — erosion (min z within `radius`,
+    self included), dilation of the erosions (max within `radius`),
+    residual = z - dilation. Two FRS-cell radius joins; min/max are
+    selections of exact input values, so the result is bit-portable."""
+    base = points.selectExpr(f"{id_col} AS pid", f"{x} AS px",
+                             f"{y} AS py", f"{z_col} AS pz")
+    pairs = _neighbor_pairs(points, radius, id_col=id_col, x=x, y=y,
+                            z=z_col).persist()
+    emin = pairs.groupBy("a_id").agg(F.min("bz").alias("mn"))
+    ero = (base.join(emin, base["pid"] == emin["a_id"], "left")
+           .selectExpr("pid", "px", "py", "pz",
+                       "LEAST(pz, COALESCE(mn, pz)) AS emin"))
+    dil = (pairs.select("a_id", "b_id")
+           .join(ero.selectExpr("pid AS b_id", "emin AS bemin"), "b_id")
+           .groupBy("a_id").agg(F.max("bemin").alias("mx")))
+    out = (ero.join(dil, ero["pid"] == dil["a_id"], "left")
+           .selectExpr(f"pid AS {id_col}", f"px AS {x}", f"py AS {y}",
+                       "pz - GREATEST(emin, COALESCE(mx, emin)) AS value"))
+    pairs.unpersist()
+    return out
