@@ -1689,6 +1689,30 @@ def _q_lidar_tophat(spark, sf):
     return LI.lidar_tophat_transform(_points(spark, sf), radius=30.0)
 
 
+def _q_highpass_bilateral(spark, sf):
+    """z - bilateral (EXP weights — libm); rows-only like bilateral."""
+    return FO.highpass_bilateral_filter(_ras(spark, sf, "a"))
+
+
+def _q_anvad(spark, sf):
+    """AverageNormalVectorAngularDeviation — Gaussian smoothing + ACOS
+    chain; rows-only + pytest invariants."""
+    return FO.average_normal_vector_angular_deviation(
+        _ras(spark, sf, "a"), _META100, filter_size=5)
+
+
+def _q_long_profile_from_points(spark, sf):
+    seeds = (_ras_c(spark, sf).where("(row * 40 + col) % 173 = 0")
+             .selectExpr("(row * 40 + col) AS seed_id", "row", "col"))
+    return HY.long_profile_from_points(_ras_c(spark, sf), _META40C, seeds)
+
+
+def _q_deviation_from_regional_direction(spark, sf):
+    """MBB + circular means — trig heavy; rows-only + pytest."""
+    return VO.deviation_from_regional_direction(_shapes(spark, sf),
+                                                elong_threshold=0.25)
+
+
 def _q_mass_flux(spark, sf):
     """Topological peel with per-cell loss arithmetic — iterative;
     rows-only + pytest parity on a crafted network. 20x20 gate raster:
@@ -3453,6 +3477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_mass_flux": _q_dinf_mass_flux,
         "modified_kmeans": _q_modified_kmeans,
         "lidar_tophat": _q_lidar_tophat,
+        "highpass_bilateral": _q_highpass_bilateral,
+        "anvad": _q_anvad,
+        "long_profile_from_points": _q_long_profile_from_points,
+        "deviation_from_regional_direction": _q_deviation_from_regional_direction,
     }
 
 
@@ -6724,6 +6752,15 @@ def _hydro4_oracles() -> dict[str, str]:
         f"FROM creach c JOIN b1 ON c.src = b1.head "
         f"JOIN ranks r2 ON b1.term = r2.term "
         f"JOIN nodes n ON c.dst = n.id"
+    )
+    ret["long_profile_from_points"] = (
+        f"{prelude}, "
+        f"seeds AS (SELECT (row * {W} + col) AS seed_id, "
+        f"(row * {W} + col) AS sid FROM ras_a "
+        f"WHERE (row * {W} + col) % 173 = 0) "
+        f"SELECT s.seed_id, n.row, n.col, {lexp_c} AS dist, z.z "
+        f"FROM creach c JOIN seeds s ON c.src = s.sid "
+        f"JOIN z ON c.dst = z.zid JOIN nodes n ON c.dst = n.id"
     )
     ret["elev_rel_watershed_minmax"] = (
         f"{prelude}, "

@@ -80,3 +80,64 @@ def test_lidar_info(spark):
     assert row["num_points"] == 2
     assert row["min_z"] == 10.0 and row["max_z"] == 30.0
     assert row["mean_z"] == 20.0
+
+
+def test_highpass_bilateral(spark):
+    # constant image -> bilateral returns the constant -> highpass 0
+    z = np.full((8, 8), 42.0)
+    out = _asmap(FO.highpass_bilateral_filter(_cells(spark, z)))
+    assert all(v == pytest.approx(0.0, abs=1e-9) for v in out.values())
+
+
+def test_anvad_flat_and_ramp(spark):
+    # flat plane: raw and smoothed normals identical -> 0 everywhere
+    flat = np.full((8, 8), 5.0)
+    out = _asmap(FO.average_normal_vector_angular_deviation(
+        _cells(spark, flat), META, filter_size=3))
+    assert all(v == pytest.approx(0.0, abs=1e-6) for v in out.values())
+    # bumpy surface: strictly positive somewhere
+    rng = np.random.RandomState(44)
+    z = rng.uniform(0, 50, size=(8, 8))
+    out2 = _asmap(FO.average_normal_vector_angular_deviation(
+        _cells(spark, z), META, filter_size=3))
+    assert max(out2.values()) > 0.1
+
+
+def test_long_profile_from_points(spark):
+    rng = np.random.RandomState(50)
+    z = np.round(rng.uniform(10, 90, size=(8, 8)), 1)
+    seeds = spark.createDataFrame([(7, 1, 1)], "seed_id long, row long, col long")
+    rows = HY.long_profile_from_points(_cells(spark, z), META, seeds).collect()
+    # path cells are distinct, start at the seed with dist 0, and dist
+    # strictly increases along the walk
+    assert any(r["row"] == 1 and r["col"] == 1 and r["dist"] == 0.0
+               for r in rows)
+    dists = sorted(r["dist"] for r in rows)
+    assert len(set(dists)) == len(dists)
+    for r in rows:
+        assert r["z"] == z[r["row"], r["col"]]
+
+
+def test_deviation_from_regional_direction(spark):
+    from whitebox_tools_spark.operators import vector_ops as VO
+
+    def rect(sid, cx, cy, w, h, ang_deg):
+        import math
+        c, s = math.cos(math.radians(ang_deg)), math.sin(math.radians(ang_deg))
+        pts = [(-w / 2, -h / 2), (w / 2, -h / 2), (w / 2, h / 2),
+               (-w / 2, h / 2), (-w / 2, -h / 2)]
+        ring = [{"x": cx + x * c - y * s, "y": cy + x * s + y * c}
+                for x, y in pts]
+        return (sid, [(0, False, ring)])
+
+    # three long rectangles at 30 degrees, one deviant at 120
+    feats = spark.createDataFrame(
+        [rect(1, 0, 0, 40, 4, 30), rect(2, 100, 0, 40, 4, 30),
+         rect(3, 0, 100, 40, 4, 30), rect(4, 100, 100, 40, 4, 120)],
+        "shape_id long, parts array<struct<part_idx int, is_hole boolean, "
+        "ring array<struct<x double, y double>>>>")
+    out = {r["shape_id"]: r["deviation"] for r in
+           VO.deviation_from_regional_direction(feats, 0.5).collect()}
+    # the three aligned rectangles deviate little; the rotated one a lot
+    assert out[1] < 20.0 and out[2] < 20.0 and out[3] < 20.0
+    assert out[4] > 60.0

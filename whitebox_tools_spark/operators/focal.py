@@ -2063,3 +2063,59 @@ def find_ridges(cells: DataFrame, meta: GridMeta,
     if line_thin:
         out = line_thinning(out)
     return out
+
+
+def highpass_bilateral_filter(cells: DataFrame, sigma_dist: float = 0.75,
+                              sigma_int: float = 1.0) -> DataFrame:
+    """HighPassBilateralFilter (image_analysis/highpass_bilateral_filter
+    .rs): z minus the bilateral-filtered value (the reference's
+    `z - z_final`)."""
+    bf = bilateral_filter(cells, sigma_dist, sigma_int) \
+        .withColumnRenamed("value", "__bf")
+    return cells.join(bf, ["row", "col"]).selectExpr(
+        "row", "col", "value - __bf AS value")
+
+
+def average_normal_vector_angular_deviation(cells: DataFrame,
+                                            meta: GridMeta,
+                                            filter_size: int = 5) -> DataFrame:
+    """AverageNormalVectorAngularDeviation (terrain_analysis/
+    average_normal_vector_angular_deviation.rs): per cell, the angle in
+    degrees between the 3x3 gradient normal of the RAW DEM and that of
+    a Gaussian-smoothed DEM (sigma = (midpoint + 0.5)/3 clamped to
+    >= 1), then the mean of those angles over the filter window
+    (integral-image window mean).
+
+    Deviations: edge cells center-substitute missing neighbors (the
+    reference reads the nodata sentinel out-of-grid unguarded), and the
+    window mean reuses the engine's clamped integral-image plan."""
+    import math as _m
+
+    from .hydro import focal_pivot3_raw
+
+    mid = max(filter_size, 3) // 2
+    sigma = max((mid + 0.5) / 3.0, 1.0)
+    sm = gaussian_filter(cells, sigma)
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    egr = 8.0 * res
+
+    def grads(df, a, b):
+        piv = focal_pivot3_raw(df)
+        sub = [f"COALESCE(zn_{i}, zc)" for i in range(8)]
+        fx = (f"(-((({sub[2]}) - ({sub[4]}) + 2.0 * (({sub[1]}) - ({sub[5]})) "
+              f"+ ({sub[0]}) - ({sub[6]})) / {egr!r}))")
+        fy = (f"(-((({sub[6]}) - ({sub[4]}) + 2.0 * (({sub[7]}) - ({sub[3]})) "
+              f"+ ({sub[0]}) - ({sub[2]})) / {egr!r}))")
+        return piv.selectExpr("row", "col", f"{fx} AS {a}", f"{fy} AS {b}")
+
+    g1 = grads(cells, "a1", "b1")
+    g2 = grads(sm, "a2", "b2")
+    ang = g1.join(g2, ["row", "col"]).selectExpr(
+        "row", "col",
+        "DEGREES(ACOS(LEAST(GREATEST((a1 * a2 + b1 * b2 + 1.0) "
+        "/ SQRT((a1 * a1 + b1 * b1 + 1.0) * (a2 * a2 + b2 * b2 + 1.0)), "
+        "-1.0), 1.0))) AS value")
+    ii = integral_image(ang).withColumnRenamed("ii", "ii_v")
+    s = _window_sums_ii(ii.selectExpr("row", "col", "ii_v"),
+                        ang.select("row", "col"), meta, mid, ["v"])
+    return s.selectExpr("row", "col", "s_v / wn AS value")

@@ -3527,3 +3527,24 @@ def dinf_mass_flux(cells: DataFrame, meta: GridMeta, loading: DataFrame,
     e.unpersist()
     base.unpersist()
     return out
+
+
+def long_profile_from_points(cells: DataFrame, meta: GridMeta,
+                             seeds: DataFrame) -> DataFrame:
+    """LongProfileFromPoints (stream_network_analysis/
+    long_profile_from_points.rs): from each seed (seed_id, row, col),
+    follow the D8 path to its terminal and emit the profile table —
+    one row per visited cell with the cumulative distance from the
+    seed and the cell elevation. Exact-step closure (distances are one
+    float multiply from integer counters)."""
+    c = meta.columns
+    reach, nodes = _full_closure_with_steps(cells, meta)
+    z = cells.selectExpr(f"(row * {c}L + col) AS zid", "value AS z")
+    s = seeds.selectExpr("seed_id", f"(row * {c}L + col) AS sid")
+    out = (reach.join(s, reach["src"] == F.col("sid"))
+           .selectExpr("seed_id", "dst", f"{_len_expr(meta)} AS dist")
+           .join(z, F.col("dst") == F.col("zid"))
+           .join(nodes, F.col("dst") == nodes["id"])
+           .select("seed_id", "row", "col", "dist", "z"))
+    nodes.unpersist()
+    return out

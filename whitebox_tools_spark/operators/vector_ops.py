@@ -1279,3 +1279,70 @@ def shape_complexity_index(features: DataFrame,
         id_col,
         "CASE WHEN hull_area > 0.0 THEN 1.0 - area / hull_area "
         "ELSE 0.0 END AS complexity")
+
+
+def deviation_from_regional_direction(features: DataFrame,
+                                      elong_threshold: float = 0.75,
+                                      id_col: str = "shape_id") -> DataFrame:
+    """DeviationFromRegionalDirection (gis_analysis/
+    deviation_from_regional_direction.rs): each polygon's RMA-regression
+    axial direction vs the long-axis-times-elongation-weighted regional
+    mean direction (doubled-angle circular mean over polygons whose
+    elongation >= threshold), folded to [0, 90] degrees. First-part
+    ring only, like the reference. Output (id, deviation)."""
+    import math
+
+    import pandas as pd
+
+    ring = "parts[0].ring"
+    nodes = (features.selectExpr(id_col, f"EXPLODE({ring}) AS v")
+             .selectExpr(id_col, "v.x AS x", "v.y AS y"))
+    agg = nodes.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxsq"),
+        F.sum(F.expr("y * y")).alias("sysq"))
+    sxx = "(sxsq / n - (sx / n) * (sx / n))"
+    syy = "(sysq / n - (sy / n) * (sy / n))"
+    ols_sign = "(sxy - (sx / n) * sy)"
+    rma_rad = (f"CASE WHEN {ols_sign} < 0.0 THEN ATAN(-SQRT(({syy}) / ({sxx}))) "
+               f"ELSE ATAN(SQRT(({syy}) / ({sxx}))) END")
+    rma = agg.selectExpr(
+        id_col,
+        f"CASE WHEN ({sxx}) > 0.0 THEN ({rma_rad}) ELSE 0.0 END AS rma_rad")
+
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("long_axis", DoubleType(), False),
+        StructField("elong", DoubleType(), False),
+    ])
+
+    def mbb(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _c, la, sa, _s, _ctr = _wbt_min_box(pdf[["x", "y"]].to_numpy(),
+                                            "area")
+        elong = 1.0 - (sa / la if la > 0 else 1.0)
+        return pd.DataFrame({id_col: [key[0]], "long_axis": [la],
+                             "elong": [elong]})
+
+    boxes = nodes.groupBy(id_col).applyInPandas(mbb, schema=schema)
+    per = rma.join(boxes, id_col).selectExpr(
+        id_col, "rma_rad",
+        f"CASE WHEN elong >= {float(elong_threshold)!r} "
+        f"THEN long_axis * elong ELSE 0.0 END AS w")
+    sums = per.agg(
+        F.sum(F.expr("SIN(2.0 * rma_rad) * w")).alias("ss"),
+        F.sum(F.expr("COS(2.0 * rma_rad) * w")).alias("sc"))
+    reg = ("(CASE WHEN -DEGREES(ATAN2(ss, sc) / 2.0) + 90.0 < 0.0 "
+           "THEN 180.0 + (-DEGREES(ATAN2(ss, sc) / 2.0) + 90.0) "
+           "ELSE -DEGREES(ATAN2(ss, sc) / 2.0) + 90.0 END)")
+    slope_deg = ("CASE WHEN DEGREES(rma_rad) < 0.0 "
+                 "THEN 90.0 + -1.0 * DEGREES(rma_rad) "
+                 "ELSE 90.0 - DEGREES(rma_rad) END")
+    dev = (f"CASE WHEN ({slope_deg}) - ({reg}) < 0.0 "
+           f"THEN ({slope_deg}) - ({reg}) + 180.0 "
+           f"ELSE ({slope_deg}) - ({reg}) END")
+    return per.crossJoin(F.broadcast(sums)).selectExpr(
+        id_col,
+        f"CASE WHEN ({dev}) > 90.0 THEN 180.0 - ({dev}) "
+        f"ELSE ({dev}) END AS deviation")
