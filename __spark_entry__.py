@@ -1713,6 +1713,31 @@ def _q_deviation_from_regional_direction(spark, sf):
                                                 elong_threshold=0.25)
 
 
+def _sig_points(spark, sf):
+    return _points(spark, sf).where("record_num % 97 = 0").selectExpr(
+        "record_num AS point_id", "x", "y")
+
+
+def _q_max_elev_dev_signature(spark, sf):
+    return FO.max_elev_dev_signature(_ras(spark, sf, "a"), _META100,
+                                     _sig_points(spark, sf), [1, 2])
+
+
+def _q_roughness_signature(spark, sf):
+    """Per-scale roughness at sample points; ROUND(4) vs the direct-sum
+    oracle family — rows-only + pytest cross-check vs the O-gated
+    multiscale argmax."""
+    return FO.multiscale_roughness_signature(
+        _ras(spark, sf, "a"), _META100, _sig_points(spark, sf), [1, 2],
+        round_to=4)
+
+
+def _q_sdn_signature(spark, sf):
+    return FO.multiscale_std_dev_normals_signature(
+        _ras(spark, sf, "a"), _META100, _sig_points(spark, sf), [1, 2],
+        round_to=4)
+
+
 def _q_mass_flux(spark, sf):
     """Topological peel with per-cell loss arithmetic — iterative;
     rows-only + pytest parity on a crafted network. 20x20 gate raster:
@@ -3481,6 +3506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anvad": _q_anvad,
         "long_profile_from_points": _q_long_profile_from_points,
         "deviation_from_regional_direction": _q_deviation_from_regional_direction,
+        "max_elev_dev_signature": _q_max_elev_dev_signature,
+        "roughness_signature": _q_roughness_signature,
+        "sdn_signature": _q_sdn_signature,
     }
 
 
@@ -7056,6 +7084,32 @@ def _terrain4_oracles() -> dict[str, str]:
         f"r AS (SELECT record_num, x, y, value, ROW_NUMBER() OVER "
         f"(PARTITION BY cx, cy ORDER BY record_num) AS rk FROM b) "
         f"SELECT record_num, x, y, value FROM r WHERE rk <= {cap}")
+    # max_elev_dev_signature: the max_elev_dev dev CTEs evaluated only
+    # at the sampled points' cells, no argmax
+    o1 = ("so1 AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+          "(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dr, dc))")
+    o2 = ("so2 AS (SELECT a.range - 2 AS dr, b.range - 2 AS dc "
+          "FROM range(0, 5) a, range(0, 5) b)")
+    dev_cte = (
+        "sd{k} AS (SELECT a.row, a.col, CASE WHEN (g.s2 - g.s1 * g.s1 / g.n) "
+        "> 0.0 THEN (a.value - g.s1 / g.n) / SQRT((g.s2 - g.s1 * g.s1 / g.n) "
+        "/ (g.n - 1)) ELSE 0.0 END AS dev, CAST({r} AS INT) AS scale "
+        "FROM ras_a a JOIN (SELECT s.row - o.dr AS row, s.col - o.dc AS col, "
+        "COUNT(*) AS n, SUM(s.value) AS s1, SUM(s.value * s.value) AS s2 "
+        "FROM ras_a s, so{k} o GROUP BY 1, 2) g "
+        "ON g.row = a.row AND g.col = a.col)"
+    )
+    r100y = _META100.row_from_y_expr("y")
+    c100x = _META100.col_from_x_expr("x")
+    sigp = (f"sigp AS (SELECT record_num AS point_id, {r100y} AS row, "
+            f"{c100x} AS col FROM (SELECT * FROM ({_PTS_SQL}) "
+            f"WHERE record_num % 97 = 0))")
+    ret["max_elev_dev_signature"] = (
+        f"WITH {ras_a}, {o1}, {o2}, {sigp}, "
+        f"{dev_cte.format(k=1, r=1)}, {dev_cte.format(k=2, r=2)}, "
+        f"devs AS (SELECT * FROM sd1 UNION ALL SELECT * FROM sd2) "
+        f"SELECT p.point_id, d.scale, d.dev AS value "
+        f"FROM devs d JOIN sigp p ON d.row = p.row AND d.col = p.col")
     ret["lidar_info"] = (
         f"WITH {pts} SELECT CAST(COUNT(*) AS BIGINT) AS num_points, "
         f"MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, "

@@ -141,3 +141,32 @@ def test_deviation_from_regional_direction(spark):
     # the three aligned rectangles deviate little; the rotated one a lot
     assert out[1] < 20.0 and out[2] < 20.0 and out[3] < 20.0
     assert out[4] > 60.0
+
+
+def test_signature_matches_multiscale_argmax(spark):
+    """The per-scale signature values must reproduce the O-gated
+    multiscale argmax at the same cells."""
+    rng = np.random.RandomState(77)
+    z = np.round(rng.uniform(0, 100, size=(8, 8)), 1)
+    cells = _cells(spark, z)
+    pts = spark.createDataFrame(
+        [(1, 25.0, 55.0), (2, 45.0, 35.0)],
+        "point_id long, x double, y double")
+    sig = FO.multiscale_roughness_signature(cells, META, pts, [1, 2])
+    rows = sig.collect()
+    assert len(rows) == 4  # 2 points x 2 scales
+    best = {}
+    for r in rows:
+        cur = best.get(r["point_id"])
+        if cur is None or r["value"] > cur[0] + 1e-12:
+            best[r["point_id"]] = (r["value"], r["scale"])
+    ms = {(r["row"], r["col"]): (r["value"], r["scale"])
+          for r in FO.multiscale_roughness(cells, META, [1, 2]).collect()}
+    for pid, (x, y) in ((1, (25.0, 55.0)), (2, (45.0, 35.0))):
+        row = int((80.0 - y) / 10.0)
+        col = int(x / 10.0)
+        assert best[pid][0] == pytest.approx(ms[(row, col)][0], abs=1e-9)
+
+    dev_sig = FO.max_elev_dev_signature(cells, META, pts, [1, 2])
+    got = {(r["point_id"], r["scale"]): r["value"] for r in dev_sig.collect()}
+    assert len(got) == 4

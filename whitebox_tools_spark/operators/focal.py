@@ -2119,3 +2119,71 @@ def average_normal_vector_angular_deviation(cells: DataFrame,
     s = _window_sums_ii(ii.selectExpr("row", "col", "ii_v"),
                         ang.select("row", "col"), meta, mid, ["v"])
     return s.selectExpr("row", "col", "s_v / wn AS value")
+
+
+def _signature_at_points(cells: DataFrame, meta: GridMeta,
+                         points: DataFrame, radii: list[int],
+                         metric: str, round_to: int | None) -> DataFrame:
+    """Shared engine for the multiscale *Signature tools: evaluate the
+    per-scale metric ONLY at the sample points' cells (the signature
+    plot tables of max_elev_deviation_signature.rs /
+    multiscale_roughness_signature.rs /
+    multiscale_std_dev_normals_signature.rs). Output
+    (point_id, scale, value)."""
+    locs = points.selectExpr(
+        "point_id",
+        f"{meta.row_from_y_expr('y')} AS row",
+        f"{meta.col_from_x_expr('x')} AS col")
+    outs = []
+    if metric == "dev":
+        for r in radii:
+            d = dev_from_mean_elev(cells, r)
+            outs.append(locs.join(d, ["row", "col"]).selectExpr(
+                "point_id", f"CAST({r} AS INT) AS scale", "value"))
+    else:
+        norms = surface_normals(cells, meta)
+        ii = integral_image_multi(norms, ["nx", "ny", "nz"]) \
+            .localCheckpoint(eager=True)
+        centers = locs.select("row", "col").distinct()
+        for r in radii:
+            s = _window_sums_ii(ii, centers, meta, r, ["nx", "ny", "nz"])
+            if metric == "rough":
+                m = ("DEGREES(ACOS(LEAST(SQRT(s_nx * s_nx + s_ny * s_ny "
+                     "+ s_nz * s_nz) / wn, 1.0)))")
+            else:
+                m = ("DEGREES(SQRT(-2.0 * LN(GREATEST(LEAST("
+                     "SQRT(s_nx * s_nx + s_ny * s_ny + s_nz * s_nz) / wn, "
+                     "1.0), 1e-12))))")
+            if round_to is not None:
+                m = f"ROUND({m}, {round_to})"
+            outs.append(locs.join(s, ["row", "col"]).selectExpr(
+                "point_id", f"CAST({r} AS INT) AS scale", f"{m} AS value"))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def max_elev_dev_signature(cells: DataFrame, meta: GridMeta,
+                           points: DataFrame, radii: list[int]) -> DataFrame:
+    """MaxElevDevSignature (terrain_analysis/max_elev_dev_signature.rs):
+    the deviation-from-mean-elevation value at each sample point for
+    every tested scale. points: (point_id, x, y)."""
+    return _signature_at_points(cells, meta, points, radii, "dev", None)
+
+
+def multiscale_roughness_signature(cells: DataFrame, meta: GridMeta,
+                                   points: DataFrame, radii: list[int],
+                                   round_to: int | None = None) -> DataFrame:
+    """MultiscaleRoughnessSignature (terrain_analysis/
+    multiscale_roughness_signature.rs)."""
+    return _signature_at_points(cells, meta, points, radii, "rough",
+                                round_to)
+
+
+def multiscale_std_dev_normals_signature(cells: DataFrame, meta: GridMeta,
+                                         points: DataFrame,
+                                         radii: list[int],
+                                         round_to: int | None = None) -> DataFrame:
+    """MultiscaleStdDevNormalsSignature (terrain_analysis/
+    multiscale_std_dev_normals_signature.rs)."""
+    return _signature_at_points(cells, meta, points, radii, "sdn", round_to)
