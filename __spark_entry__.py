@@ -1718,6 +1718,13 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_stream_slope_continuous(spark, sf):
+    """ROUND(6): AVG of grid lengths (diag is irrational) reassociates
+    between engines; ATAN is libm."""
+    return HY.stream_slope_continuous(_ras_c(spark, sf), _META40C, 4.0) \
+             .selectExpr("row", "col", "ROUND(value, 6) AS value")
+
+
 def _q_max_elev_dev_signature(spark, sf):
     return FO.max_elev_dev_signature(_ras(spark, sf, "a"), _META100,
                                      _sig_points(spark, sf), [1, 2])
@@ -3509,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_elev_dev_signature": _q_max_elev_dev_signature,
         "roughness_signature": _q_roughness_signature,
         "sdn_signature": _q_sdn_signature,
+        "stream_slope_continuous": _q_stream_slope_continuous,
     }
 
 
@@ -6780,6 +6788,31 @@ def _hydro4_oracles() -> dict[str, str]:
         f"FROM creach c JOIN b1 ON c.src = b1.head "
         f"JOIN ranks r2 ON b1.term = r2.term "
         f"JOIN nodes n ON c.dst = n.id"
+    )
+    diag40 = HY._grid_lengths(_META40C)[0]
+    elen = (f"CASE WHEN sd = 1 THEN {diag40!r} WHEN sc = 1 "
+            f"THEN {_META40C.resolution_x!r} ELSE {_META40C.resolution_y!r} "
+            f"END")
+    ret["stream_slope_continuous"] = (
+        f"{prelude}, "
+        f"acc AS (SELECT dst AS sid, COUNT(*) AS a FROM creach GROUP BY 1), "
+        f"streams AS (SELECT sid FROM acc WHERE a >= 4.0), "
+        f"ee AS (SELECT src, dst, {elen} AS elen FROM e), "
+        f"inflow AS (SELECT ee.dst, AVG(z.z) AS zin, AVG(ee.elen) AS din "
+        f"FROM ee JOIN streams s1 ON ee.src = s1.sid "
+        f"JOIN streams s2 ON ee.dst = s2.sid "
+        f"JOIN z ON ee.src = z.zid GROUP BY 1), "
+        f"down AS (SELECT ee.src, z.z AS zdn, ee.elen AS ddn FROM ee "
+        f"JOIN streams s ON ee.src = s.sid JOIN z ON ee.dst = z.zid) "
+        f"SELECT n.row, n.col, ROUND(CASE WHEN COALESCE(i.din, 0.0) "
+        f"+ COALESCE(d.ddn, 0.0) > 0.0 THEN DEGREES(ATAN("
+        f"(COALESCE(i.zin, z.z) - COALESCE(d.zdn, z.z)) "
+        f"/ (COALESCE(i.din, 0.0) + COALESCE(d.ddn, 0.0)))) "
+        f"ELSE 0.0 END, 6) AS value "
+        f"FROM streams st JOIN z ON st.sid = z.zid "
+        f"LEFT JOIN inflow i ON st.sid = i.dst "
+        f"LEFT JOIN down d ON st.sid = d.src "
+        f"JOIN nodes n ON st.sid = n.id"
     )
     ret["long_profile_from_points"] = (
         f"{prelude}, "

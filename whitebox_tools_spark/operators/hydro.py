@@ -3548,3 +3548,48 @@ def long_profile_from_points(cells: DataFrame, meta: GridMeta,
            .select("seed_id", "row", "col", "dist", "z"))
     nodes.unpersist()
     return out
+
+
+def stream_slope_continuous(cells: DataFrame, meta: GridMeta,
+                            threshold: float) -> DataFrame:
+    """StreamSlopeContinuous (stream_network_analysis/
+    stream_slope_continuous.rs): per stream cell,
+    degrees(atan((mean z of inflowing STREAM neighbors - downstream z)
+    / (mean inflowing grid length + downstream grid length))); cells
+    with no inflowing stream neighbor use their own z upstream, ptr-0
+    cells their own z downstream; dist 0 -> 0."""
+    c = meta.columns
+    ptr = d8_pointer(cells, meta)
+    accum = d8_flow_accumulation_tiled(cells, meta)
+    streams = accum.where(f"value >= {float(threshold)!r}") \
+                   .selectExpr(f"(row * {c}L + col) AS sid")
+    z = cells.selectExpr(f"(row * {c}L + col) AS zid", "value AS z")
+    lengths = _grid_lengths(meta)
+    e = d8_edges(ptr).selectExpr(
+        f"(row * {c}L + col) AS src",
+        f"(drow * {c}L + dcol) AS dst",
+        "CASE WHEN drow <> row AND dcol <> col THEN "
+        f"{lengths[0]!r} WHEN dcol <> col THEN {meta.resolution_x!r} "
+        f"ELSE {meta.resolution_y!r} END AS elen")
+    # inflowing STREAM neighbors per stream cell
+    inflow = (e.join(streams.selectExpr("sid AS src"), "src", "leftsemi")
+              .join(streams.selectExpr("sid AS dst"), "dst", "leftsemi")
+              .join(z, F.col("src") == F.col("zid"))
+              .groupBy("dst").agg(F.avg("z").alias("zin"),
+                                  F.avg("elen").alias("din")))
+    # downstream target per stream cell
+    down = (e.join(streams.selectExpr("sid AS src"), "src", "leftsemi")
+            .join(z, F.col("dst") == F.col("zid"))
+            .selectExpr("src", "z AS zdn", "elen AS ddn"))
+    base = (streams.join(z, streams["sid"] == z["zid"])
+            .selectExpr("sid", "z")
+            .join(inflow, streams["sid"] == inflow["dst"], "left")
+            .join(down, F.col("sid") == down["src"], "left"))
+    nodes = ptr.selectExpr(f"(row * {c}L + col) AS nid", "row", "col")
+    return (base.join(nodes, F.col("sid") == F.col("nid"))
+            .selectExpr(
+                "row", "col",
+                "CASE WHEN COALESCE(din, 0.0) + COALESCE(ddn, 0.0) > 0.0 "
+                "THEN DEGREES(ATAN((COALESCE(zin, z) - COALESCE(zdn, z)) "
+                "/ (COALESCE(din, 0.0) + COALESCE(ddn, 0.0)))) "
+                "ELSE 0.0 END AS value"))
