@@ -1718,6 +1718,13 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_slope_vs_elev_plot(spark, sf):
+    """ROUND(6) on the per-bin mean slope (AVG of irrational slopes
+    reassociates)."""
+    return R.slope_vs_elev_plot(_ras(spark, sf, "a"), _META100).selectExpr(
+        "elevation", "ROUND(slope, 6) AS slope", "n")
+
+
 def _q_stream_slope_continuous(spark, sf):
     """ROUND(6): AVG of grid lengths (diag is irrational) reassociates
     between engines; ATAN is libm."""
@@ -3517,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roughness_signature": _q_roughness_signature,
         "sdn_signature": _q_sdn_signature,
         "stream_slope_continuous": _q_stream_slope_continuous,
+        "slope_vs_elev_plot": _q_slope_vs_elev_plot,
     }
 
 
@@ -7106,6 +7114,37 @@ def _terrain4_oracles() -> dict[str, str]:
     ret["spherical_sdn"] = (
         f"WITH {ras_a}, {o1}, {o2}, {nbr}, {nrm}, {w2} "
         f"SELECT row, col, ROUND({sdev}, 4) AS value FROM w2")
+    # slope_vs_elev_plot: pivot5 slope degrees + integer-exact binning;
+    # ROUND(6) on the AVG
+    offs25 = "o25s AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // 5 - 2}, {n % 5 - 2})" for n in range(25)
+    ) + ") o(n, dr, dc))"
+    p25 = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}"
+                    for n in range(25))
+    zz25 = ", ".join(f"(COALESCE(z_{n}, z_12) * 1.0) AS z{n}"
+                     for n in range(25))
+    res100 = (_META100.resolution_x + _META100.resolution_y) / 2.0
+    p_, q_ = FO._florinsky_pq(res100)
+    slope_deg = f"DEGREES(ATAN(SQRT({p_} * {p_} + {q_} * {q_})))"
+    ret["slope_vs_elev_plot"] = (
+        f"WITH {ras_a}, {offs25}, "
+        f"sc25s AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+        f"o.n AS n, a.value AS nv FROM ras_a a, o25s o), "
+        f"p25s AS (SELECT row, col, {p25} FROM sc25s GROUP BY 1, 2), "
+        f"zz AS (SELECT row, col, {zz25} FROM p25s WHERE z_12 IS NOT NULL), "
+        f"sl AS (SELECT row, col, {slope_deg} AS sv FROM zz), "
+        f"st AS (SELECT MIN(value) AS mn, MAX(value) AS mx, "
+        f"CAST(COUNT(*) AS DOUBLE) AS n FROM ras_a), "
+        f"cfg AS (SELECT mn, GREATEST(CAST(mx - mn AS BIGINT) // 5, "
+        f"CAST(CEIL(LOG2(n)) AS BIGINT) + 1) AS nb, "
+        f"(mx - mn + 0.00001) / GREATEST(CAST(mx - mn AS BIGINT) // 5, "
+        f"CAST(CEIL(LOG2(n)) AS BIGINT) + 1) AS bw FROM st), "
+        f"b AS (SELECT CAST(FLOOR((a.value - cfg.mn) / cfg.bw) AS BIGINT) "
+        f"AS bin, s.sv, cfg.mn, cfg.bw FROM ras_a a "
+        f"JOIN sl s ON a.row = s.row AND a.col = s.col, cfg) "
+        f"SELECT mn + (CAST(bin AS DOUBLE) + 0.5) * bw AS elevation, "
+        f"ROUND(AVG(sv), 6) AS slope, COUNT(*) AS n "
+        f"FROM b GROUP BY bin, mn, bw")
     # lidar: high-density thinning (first cap per FRS cell) + info
     pts = f"pts AS ({_PTS_SQL})"
     cx40 = frs_cell_expr("x", 40.0)

@@ -1563,3 +1563,37 @@ def find_lowest_or_highest_points(cells: DataFrame, meta: GridMeta,
         f"{meta.x_center_expr('b.col')} AS x",
         f"{meta.y_center_expr('b.row')} AS y",
         "b.value AS value")
+
+
+def slope_vs_elev_plot(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """SlopeVsElevationPlot (terrain_analysis/slope_vs_elev_plot.rs):
+    the plot's data table — elevation bins of width (range + 1e-5) /
+    num_bins with num_bins = max(floor(range / 5), ceil(log2(n)) + 1),
+    mean slope (degrees, Florinsky fit) per bin. Output
+    (elevation, slope, n) with elevation at the bin midpoint."""
+    from .focal import slope as slope_op
+
+    sl = slope_op(cells, meta, units="degrees") \
+        .withColumnRenamed("value", "__slope")
+    stats = cells.agg(F.min("value").alias("__mn"),
+                      F.max("value").alias("__mx"),
+                      F.count(F.lit(1)).alias("__n"))
+    j = (cells.join(sl, ["row", "col"])
+         .crossJoin(F.broadcast(stats))
+         .selectExpr(
+             "value", "__slope",
+             "GREATEST(CAST((__mx - __mn) AS BIGINT) DIV 5, "
+             "CAST(CEIL(LOG2(CAST(__n AS DOUBLE))) AS BIGINT) + 1) AS __nb",
+             "__mn", "__mx"))
+    j = j.selectExpr(
+        "value", "__slope", "__nb", "__mn",
+        "(__mx - __mn + 0.00001) / CAST(__nb AS DOUBLE) AS __bw")
+    binned = j.selectExpr(
+        "CAST(FLOOR((value - __mn) / __bw) AS BIGINT) AS bin",
+        "__slope", "__mn", "__bw")
+    return binned.groupBy("bin", "__mn", "__bw").agg(
+        F.avg("__slope").alias("slope"),
+        F.count(F.lit(1)).alias("n"),
+    ).selectExpr(
+        "__mn + (CAST(bin AS DOUBLE) + 0.5) * __bw AS elevation",
+        "slope", "n").orderBy("elevation")
