@@ -1718,6 +1718,15 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_image_corr_neighbourhood(spark, sf):
+    """Local Pearson r + t; ROUND(6) (windowed product sums
+    reassociate)."""
+    return R.image_correlation_neighbourhood_analysis(
+        _ras(spark, sf, "a"), _ras(spark, sf, "b"), radius=2).selectExpr(
+        "row", "col", "ROUND(rvalue, 6) AS rvalue",
+        "ROUND(tvalue, 6) AS tvalue")
+
+
 def _q_slope_vs_elev_plot(spark, sf):
     """ROUND(6) on the per-bin mean slope (AVG of irrational slopes
     reassociates)."""
@@ -3525,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdn_signature": _q_sdn_signature,
         "stream_slope_continuous": _q_stream_slope_continuous,
         "slope_vs_elev_plot": _q_slope_vs_elev_plot,
+        "image_corr_neighbourhood": _q_image_corr_neighbourhood,
     }
 
 
@@ -7114,6 +7124,26 @@ def _terrain4_oracles() -> dict[str, str]:
     ret["spherical_sdn"] = (
         f"WITH {ras_a}, {o1}, {o2}, {nbr}, {nrm}, {w2} "
         f"SELECT row, col, ROUND({sdev}, 4) AS value FROM w2")
+    # local Pearson correlation over a 5x5 window (radius 2)
+    o5 = ("o5c AS (SELECT a.range - 2 AS dr, b.range - 2 AS dc "
+          "FROM range(0, 5) a, range(0, 5) b)")
+    denx = "((saa - sa * sa / n) * (sbb - sb * sb / n))"
+    rx = (f"CASE WHEN {denx} > 0.0 THEN (sab - sa * sb / n) "
+          f"/ SQRT({denx}) ELSE 0.0 END")
+    ret["image_corr_neighbourhood"] = (
+        f"WITH {ras_a}, rb AS ({_RAS_B_SQL}), {o5}, "
+        f"j AS (SELECT a.row, a.col, a.value AS va, b.value AS vb "
+        f"FROM ras_a a JOIN rb b ON a.row = b.row AND a.col = b.col), "
+        f"sc AS (SELECT j.row - o.dr AS row, j.col - o.dc AS col, va, vb "
+        f"FROM j, o5c o), "
+        f"g AS (SELECT s.row, s.col, CAST(COUNT(*) AS DOUBLE) AS n, "
+        f"SUM(s.va) AS sa, SUM(s.vb) AS sb, SUM(s.va * s.va) AS saa, "
+        f"SUM(s.vb * s.vb) AS sbb, SUM(s.va * s.vb) AS sab FROM sc s "
+        f"JOIN j c ON s.row = c.row AND s.col = c.col GROUP BY 1, 2) "
+        f"SELECT row, col, ROUND({rx}, 6) AS rvalue, "
+        f"ROUND(CASE WHEN n > 4 AND ABS({rx}) < 1.0 THEN ({rx}) "
+        f"* SQRT(CAST(n - 2 AS DOUBLE) / (1.0 - ({rx}) * ({rx}))) "
+        f"ELSE 0.0 END, 6) AS tvalue FROM g")
     # slope_vs_elev_plot: pivot5 slope degrees + integer-exact binning;
     # ROUND(6) on the AVG
     offs25 = "o25s AS (SELECT * FROM (VALUES " + ", ".join(

@@ -1597,3 +1597,37 @@ def slope_vs_elev_plot(cells: DataFrame, meta: GridMeta) -> DataFrame:
     ).selectExpr(
         "__mn + (CAST(bin AS DOUBLE) + 0.5) * __bw AS elevation",
         "slope", "n").orderBy("elevation")
+
+
+def image_correlation_neighbourhood_analysis(a: DataFrame, b: DataFrame,
+                                             radius: int = 1) -> DataFrame:
+    """ImageCorrelationNeighbourhoodAnalysis (math_stat_analysis/
+    image_correlation_neighbourhood_analysis.rs, pearson mode): local
+    Pearson r between two rasters over a (2r+1)^2 window, plus the
+    t statistic r * sqrt(df / (1 - r^2)) with df = n - 2 (the
+    reference converts t to a p-value through the Student's-t CDF — a
+    monotone map of |t| left to the caller, consistent with this
+    engine's anova/ks treatment). Output (row, col, rvalue, tvalue)."""
+    j = (a.selectExpr("row", "col", "value AS va")
+         .join(b.selectExpr("row", "col", "value AS vb"), ["row", "col"]))
+    offs = [(dr, dc) for dr in range(-radius, radius + 1)
+            for dc in range(-radius, radius + 1)]
+    pairs = ", ".join(
+        f"STRUCT(row + ({dr}L) AS crow, col + ({dc}L) AS ccol)"
+        for dr, dc in offs)
+    sc = (j.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))"))
+          .selectExpr("__n.crow AS row", "__n.ccol AS col", "va", "vb"))
+    g = sc.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("va").alias("sa"), F.sum("vb").alias("sb"),
+        F.sum(F.expr("va * va")).alias("saa"),
+        F.sum(F.expr("vb * vb")).alias("sbb"),
+        F.sum(F.expr("va * vb")).alias("sab"))
+    g = g.join(j.select("row", "col"), ["row", "col"], "leftsemi")
+    den = "((saa - sa * sa / n) * (sbb - sb * sb / n))"
+    r = f"CASE WHEN {den} > 0.0 THEN (sab - sa * sb / n) / SQRT({den}) ELSE 0.0 END"
+    return g.selectExpr(
+        "row", "col", f"{r} AS rvalue",
+        f"CASE WHEN n > 4 AND ABS({r}) < 1.0 THEN ({r}) * "
+        f"SQRT(CAST(n - 2 AS DOUBLE) / (1.0 - ({r}) * ({r}))) "
+        f"ELSE 0.0 END AS tvalue")
