@@ -1718,6 +1718,17 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_attr_corr_neighbourhood(spark, sf):
+    """Per-point local Pearson between two attributes; ROUND(6)."""
+    pts = _points(spark, sf).selectExpr(
+        "record_num", "x", "y", "value",
+        "value * 0.5 + (x % 50.0) AS attr2")
+    return R.attribute_correlation_neighbourhood_analysis(
+        pts, "value", "attr2", radius=60.0).selectExpr(
+        "record_num", "ROUND(rvalue, 6) AS rvalue",
+        "ROUND(tvalue, 6) AS tvalue")
+
+
 def _q_image_corr_neighbourhood(spark, sf):
     """Local Pearson r + t; ROUND(6) (windowed product sums
     reassociate)."""
@@ -3535,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_slope_continuous": _q_stream_slope_continuous,
         "slope_vs_elev_plot": _q_slope_vs_elev_plot,
         "image_corr_neighbourhood": _q_image_corr_neighbourhood,
+        "attr_corr_neighbourhood": _q_attr_corr_neighbourhood,
     }
 
 
@@ -7124,6 +7136,25 @@ def _terrain4_oracles() -> dict[str, str]:
     ret["spherical_sdn"] = (
         f"WITH {ras_a}, {o1}, {o2}, {nbr}, {nrm}, {w2} "
         f"SELECT row, col, ROUND({sdev}, 4) AS value FROM w2")
+    # per-point attribute correlation within radius 60 (brute-force
+    # pair join at gate scale)
+    r2a = 60.0 * 60.0
+    dena = "((saa - sa * sa / n) * (sbb - sb * sb / n))"
+    ra = (f"CASE WHEN {dena} > 0.0 THEN (sab - sa * sb / n) "
+          f"/ SQRT({dena}) ELSE 0.0 END")
+    ret["attr_corr_neighbourhood"] = (
+        f"WITH p AS (SELECT record_num, x, y, value, "
+        f"value * 0.5 + (x % 50.0) AS attr2 FROM ({_PTS_SQL})), "
+        f"prs AS (SELECT a.record_num AS aid, b.value AS b1, b.attr2 AS b2 "
+        f"FROM p a JOIN p b ON (a.x - b.x) * (a.x - b.x) "
+        f"+ (a.y - b.y) * (a.y - b.y) <= {r2a!r}), "
+        f"g AS (SELECT aid, CAST(COUNT(*) AS DOUBLE) AS n, SUM(b1) AS sa, "
+        f"SUM(b2) AS sb, SUM(b1 * b1) AS saa, SUM(b2 * b2) AS sbb, "
+        f"SUM(b1 * b2) AS sab FROM prs GROUP BY 1) "
+        f"SELECT aid AS record_num, ROUND({ra}, 6) AS rvalue, "
+        f"ROUND(CASE WHEN n > 4 AND ABS({ra}) < 1.0 THEN ({ra}) "
+        f"* SQRT(CAST(n - 2 AS DOUBLE) / (1.0 - ({ra}) * ({ra}))) "
+        f"ELSE 0.0 END, 6) AS tvalue FROM g")
     # local Pearson correlation over a 5x5 window (radius 2)
     o5 = ("o5c AS (SELECT a.range - 2 AS dr, b.range - 2 AS dc "
           "FROM range(0, 5) a, range(0, 5) b)")

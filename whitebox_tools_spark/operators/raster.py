@@ -1631,3 +1631,42 @@ def image_correlation_neighbourhood_analysis(a: DataFrame, b: DataFrame,
         f"CASE WHEN n > 4 AND ABS({r}) < 1.0 THEN ({r}) * "
         f"SQRT(CAST(n - 2 AS DOUBLE) / (1.0 - ({r}) * ({r}))) "
         f"ELSE 0.0 END AS tvalue")
+
+
+def attribute_correlation_neighbourhood_analysis(
+        points: DataFrame, field1: str, field2: str, radius: float,
+        id_col: str = "record_num", x: str = "x", y: str = "y") -> DataFrame:
+    """AttributeCorrelationNeighbourhoodAnalysis (math_stat_analysis/
+    attribute_correlation_neighbourhood_analysis.rs, pearson mode): per
+    feature, the Pearson r between two attribute fields over the
+    features within `radius` (self included), plus the t statistic
+    (df = n - 2; the p-value is a monotone map of |t| left to the
+    caller). FRS cell radius join. Output (id, rvalue, tvalue)."""
+    from ..functions.cells import explode_neighbor_cells, with_frs_cells
+
+    base = with_frs_cells(
+        points.selectExpr(f"{id_col} AS pid", f"{x} AS px", f"{y} AS py",
+                          f"{field1} AS f1", f"{field2} AS f2"),
+        radius, x="px", y="py")
+    probe = explode_neighbor_cells(base, reach=2)
+    build = base.selectExpr("pid AS b_id", "px AS bx", "py AS by",
+                            "f1 AS b1", "f2 AS b2",
+                            "cx AS ncx", "cy AS ncy")
+    pairs = (probe.join(build, ["ncx", "ncy"])
+             .where(f"(px - bx) * (px - bx) + (py - by) * (py - by) "
+                    f"<= {radius * radius!r}")
+             .select("pid", "b1", "b2"))
+    g = pairs.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b1").alias("sa"), F.sum("b2").alias("sb"),
+        F.sum(F.expr("b1 * b1")).alias("saa"),
+        F.sum(F.expr("b2 * b2")).alias("sbb"),
+        F.sum(F.expr("b1 * b2")).alias("sab"))
+    den = "((saa - sa * sa / n) * (sbb - sb * sb / n))"
+    r = (f"CASE WHEN {den} > 0.0 THEN (sab - sa * sb / n) / SQRT({den}) "
+         f"ELSE 0.0 END")
+    return g.selectExpr(
+        f"pid AS {id_col}", f"{r} AS rvalue",
+        f"CASE WHEN n > 4 AND ABS({r}) < 1.0 THEN ({r}) * "
+        f"SQRT(CAST(n - 2 AS DOUBLE) / (1.0 - ({r}) * ({r}))) "
+        f"ELSE 0.0 END AS tvalue")
