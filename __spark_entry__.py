@@ -1718,6 +1718,15 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_max_anisotropy_dev(spark, sf):
+    return FO.max_anisotropy_dev(_ras(spark, sf, "a"), _META100, [2, 3])
+
+
+def _q_max_anisotropy_dev_signature(spark, sf):
+    return FO.max_anisotropy_dev(_ras(spark, sf, "a"), _META100, [2, 3],
+                                 signature_points=_sig_points(spark, sf))
+
+
 def _q_attr_corr_neighbourhood(spark, sf):
     """Per-point local Pearson between two attributes; ROUND(6)."""
     pts = _points(spark, sf).selectExpr(
@@ -3547,6 +3556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slope_vs_elev_plot": _q_slope_vs_elev_plot,
         "image_corr_neighbourhood": _q_image_corr_neighbourhood,
         "attr_corr_neighbourhood": _q_attr_corr_neighbourhood,
+        "max_anisotropy_dev": _q_max_anisotropy_dev,
+        "max_anisotropy_dev_signature": _q_max_anisotropy_dev_signature,
     }
 
 
@@ -7136,6 +7147,78 @@ def _terrain4_oracles() -> dict[str, str]:
     ret["spherical_sdn"] = (
         f"WITH {ras_a}, {o1}, {o2}, {nbr}, {nrm}, {w2} "
         f"SELECT row, col, ROUND({sdev}, 4) AS value FROM w2")
+    # max anisotropy DEV at scales [2, 3] — direct integer-exact pane
+    # sums (the Spark side's II corner lookups produce the same exact
+    # integers)
+    def _aniso_scale_sql(m: int) -> str:
+        mpr = (m * 2 + 1) // 6
+        spans = {
+            (1, 2): range(-m, -mpr - 1 + 1),
+            (2, 3): range(-mpr, mpr + 1),
+            (3, 4): range(mpr + 1, m + 1),
+            (1, 4): range(-m, m + 1),
+        }
+        panes = {
+            0: [((1, 4), (1, 4))],
+            1: [((1, 4), (2, 3))],
+            2: [((2, 3), (1, 4))],
+            3: [((1, 2), (3, 4)), ((2, 3), (2, 3)), ((3, 4), (1, 2))],
+            4: [((1, 2), (1, 2)), ((2, 3), (2, 3)), ((3, 4), (3, 4))],
+        }
+        ctes, devs = [], {}
+        for p, rects in panes.items():
+            offs = []
+            for (yr, xr) in rects:
+                for dr in spans[yr]:
+                    for dc in spans[xr]:
+                        offs.append(f"({dr}, {dc})")
+            ctes.append(
+                f"po{m}_{p} AS (SELECT * FROM (VALUES {', '.join(offs)}) "
+                f"o(dr, dc)), "
+                f"pg{m}_{p} AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+                f"CAST(COUNT(*) AS DOUBLE) AS n, SUM(a.value) AS s, "
+                f"SUM(a.value * a.value) AS s2 "
+                f"FROM ras_a a, po{m}_{p} o GROUP BY 1, 2)")
+            v = f"((g{p}.s2 - g{p}.s * g{p}.s / g{p}.n) / g{p}.n)"
+            devs[p] = (f"CASE WHEN g{p}.n > 3 AND ({v}) > 0.0 THEN "
+                       f"(c.value - g{p}.s / g{p}.n) / SQRT({v}) "
+                       f"ELSE NULL END")
+        joins = " ".join(
+            f"JOIN pg{m}_{p} g{p} ON c.row = g{p}.row AND c.col = g{p}.col"
+            for p in panes)
+        d0 = devs[0]
+        diffs = " + ".join(
+            f"COALESCE((({devs[p]}) - ({d0})) * (({devs[p]}) - ({d0})), 0.0)"
+            for p in (1, 2, 3, 4))
+        valid = " + ".join(
+            f"(CASE WHEN ({devs[p]}) IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+            for p in (1, 2, 3, 4))
+        sel = (
+            f"a{m} AS (SELECT c.row, c.col, "
+            f"CASE WHEN ({d0}) IS NOT NULL AND ({valid}) > 0.0 "
+            f"THEN SQRT(({diffs}) / ({valid})) ELSE NULL END AS a, "
+            f"CAST({m} AS INT) AS scale FROM ras_a c {joins} "
+            f"WHERE c.row - {m + 1} >= 0 AND c.row + {m} < 100 "
+            f"AND c.col - {m + 1} >= 0 AND c.col + {m} < 100)")
+        return ", ".join(ctes) + ", " + sel
+
+    ret["max_anisotropy_dev"] = (
+        f"WITH {ras_a}, {_aniso_scale_sql(2)}, {_aniso_scale_sql(3)}, "
+        f"u AS (SELECT * FROM a2 WHERE a IS NOT NULL "
+        f"UNION ALL SELECT * FROM a3 WHERE a IS NOT NULL) "
+        f"SELECT row, col, a AS value, scale FROM u "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY row, col "
+        f"ORDER BY -a, scale) = 1")
+    sigp2 = (f"sigp2 AS (SELECT record_num AS point_id, "
+             f"{_META100.row_from_y_expr('y')} AS row, "
+             f"{_META100.col_from_x_expr('x')} AS col "
+             f"FROM ({_PTS_SQL}) WHERE record_num % 97 = 0)")
+    ret["max_anisotropy_dev_signature"] = (
+        f"WITH {ras_a}, {_aniso_scale_sql(2)}, {_aniso_scale_sql(3)}, {sigp2}, "
+        f"u AS (SELECT * FROM a2 WHERE a IS NOT NULL "
+        f"UNION ALL SELECT * FROM a3 WHERE a IS NOT NULL) "
+        f"SELECT p.point_id, u.scale, u.a AS value "
+        f"FROM u JOIN sigp2 p ON u.row = p.row AND u.col = p.col")
     # per-point attribute correlation within radius 60 (brute-force
     # pair join at gate scale)
     r2a = 60.0 * 60.0

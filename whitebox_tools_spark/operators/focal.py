@@ -2187,3 +2187,102 @@ def multiscale_std_dev_normals_signature(cells: DataFrame, meta: GridMeta,
     """MultiscaleStdDevNormalsSignature (terrain_analysis/
     multiscale_std_dev_normals_signature.rs)."""
     return _signature_at_points(cells, meta, points, radii, "sdn", round_to)
+
+
+def max_anisotropy_dev(cells: DataFrame, meta: GridMeta,
+                       radii: list[int],
+                       signature_points: DataFrame | None = None) -> DataFrame:
+    """MaxAnisotropyDev (terrain_analysis/max_anisotropy_dev.rs): per
+    scale (window midpoint m, middle-pane radius (2m+1)//6), DEV is
+    computed over the full window plus 4 directional panes (N-S strip,
+    E-W strip, NE-SW and NW-SE staircases — exact corner sets of the
+    reference's integral-image lookups); anisotropy =
+    sqrt(sum((pane_dev - overall_dev)^2) / panes_valid). Output the max
+    across scales and its scale, interior cells only (the reference
+    skips any cell whose full window touches the rim).
+
+    Plan: ONE (z, z^2, count) integral image; per scale a 16-corner
+    scatter+pivot (one shuffle) and pure expressions. Sums of integer
+    elevations are exact, so the gate is bit-identical to a direct-sum
+    oracle."""
+    from functools import reduce
+
+    ii_src = cells.selectExpr("row", "col", "value AS v",
+                              "value * value AS v2",
+                              "CAST(1.0 AS DOUBLE) AS cnt")
+    ii = integral_image_multi(ii_src, ["v", "v2", "cnt"]) \
+        .localCheckpoint(eager=True)
+    z = cells.selectExpr("row", "col", "value AS z")
+    outs = []
+    for m in radii:
+        mpr = (m * 2 + 1) // 6
+        ys = {1: -(m + 1), 2: -(mpr + 1), 3: mpr, 4: m}
+        pairs = ", ".join(
+            f"STRUCT(row - ({ys[i]}L) AS crow, col - ({ys[j]}L) AS ccol, "
+            f"{i * 10 + j} AS tag)"
+            for i in ys for j in ys)
+        sc = (ii.withColumn("__s", F.expr(f"EXPLODE(ARRAY({pairs}))"))
+              .selectExpr("__s.crow AS row", "__s.ccol AS col",
+                          "__s.tag AS tag", "ii_v", "ii_v2", "ii_cnt"))
+        aggs = []
+        for i in ys:
+            for j in ys:
+                t = i * 10 + j
+                for col_ in ("v", "v2", "cnt"):
+                    aggs.append(F.expr(
+                        f"MAX(CASE WHEN tag = {t} THEN ii_{col_} END)"
+                    ).alias(f"{col_}_{i}{j}"))
+        piv = sc.groupBy("row", "col").agg(*aggs)
+        piv = piv.join(z, ["row", "col"]).where(
+            f"row - {m + 1} >= 0 AND row + {m} < {meta.rows} "
+            f"AND col - {m + 1} >= 0 AND col + {m} < {meta.columns}")
+
+        def rect(ya, yb, xa, xb, c):
+            # sum over rows (ya, yb] x cols (xa, xb] in corner-index terms
+            return (f"({c}_{yb}{xb} + {c}_{ya}{xa} - {c}_{ya}{xb} "
+                    f"- {c}_{yb}{xa})")
+
+        panes = {
+            0: [(1, 4, 1, 4)],
+            1: [(1, 4, 2, 3)],
+            2: [(2, 3, 1, 4)],
+            3: [(1, 2, 3, 4), (2, 3, 2, 3), (3, 4, 1, 2)],
+            4: [(1, 2, 1, 2), (2, 3, 2, 3), (3, 4, 3, 4)],
+        }
+        dev_exprs = {}
+        for p, rects in panes.items():
+            nn = " + ".join(rect(*r, "cnt") for r in rects)
+            sm = " + ".join(rect(*r, "v") for r in rects)
+            s2 = " + ".join(rect(*r, "v2") for r in rects)
+            v = f"((({s2}) - (({sm}) * ({sm})) / ({nn})) / ({nn}))"
+            dev = (f"CASE WHEN ({nn}) > 3 AND ({v}) > 0.0 "
+                   f"THEN (z - ({sm}) / ({nn})) / SQRT({v}) ELSE NULL END")
+            dev_exprs[p] = dev
+        d0 = dev_exprs[0]
+        diffs = []
+        valid = []
+        for p in (1, 2, 3, 4):
+            diffs.append(
+                f"COALESCE((({dev_exprs[p]}) - ({d0})) "
+                f"* (({dev_exprs[p]}) - ({d0})), 0.0)")
+            valid.append(f"(CASE WHEN ({dev_exprs[p]}) IS NOT NULL "
+                         f"THEN 1.0 ELSE 0.0 END)")
+        aniso = (f"CASE WHEN ({d0}) IS NOT NULL AND ({' + '.join(valid)}) > 0.0 "
+                 f"THEN SQRT(({' + '.join(diffs)}) / ({' + '.join(valid)})) "
+                 f"ELSE NULL END")
+        outs.append(piv.selectExpr(
+            "row", "col", f"{aniso} AS a", f"CAST({m} AS INT) AS scale"
+        ).where("a IS NOT NULL"))
+    u = reduce(lambda a, b: a.unionByName(b), outs)
+    if signature_points is not None:
+        # MaxAnisotropyDevSignature (max_anisotropy_dev_signature.rs):
+        # the per-scale anisotropy at the sample points, no argmax
+        locs = signature_points.selectExpr(
+            "point_id",
+            f"{meta.row_from_y_expr('y')} AS row",
+            f"{meta.col_from_x_expr('x')} AS col")
+        return locs.join(u, ["row", "col"]).selectExpr(
+            "point_id", "scale", "a AS value")
+    return u.groupBy("row", "col").agg(
+        F.expr("MIN_BY(a, STRUCT(-a, scale))").alias("value"),
+        F.expr("MIN_BY(scale, STRUCT(-a, scale))").alias("scale"))
