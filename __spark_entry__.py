@@ -1718,6 +1718,11 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_turning_bands(spark, sf):
+    return R.turning_bands(spark, _META40C, range_dist=100.0,
+                           iterations=8, seed=42)
+
+
 def _q_max_anisotropy_dev(spark, sf):
     return FO.max_anisotropy_dev(_ras(spark, sf, "a"), _META100, [2, 3])
 
@@ -3558,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_corr_neighbourhood": _q_attr_corr_neighbourhood,
         "max_anisotropy_dev": _q_max_anisotropy_dev,
         "max_anisotropy_dev_signature": _q_max_anisotropy_dev_signature,
+        "turning_bands": _q_turning_bands,
     }
 
 
@@ -7147,6 +7153,14 @@ def _terrain4_oracles() -> dict[str, str]:
     ret["spherical_sdn"] = (
         f"WITH {ras_a}, {o1}, {o2}, {nbr}, {nrm}, {w2} "
         f"SELECT row, col, ROUND({sdev}, 4) AS value FROM w2")
+    # turning bands: identical band literals, duck list indexing
+    tb_exprs, tb_root = R.turning_bands_exprs(_META40C, 100.0, 8, 42,
+                                              duck=True)
+    tb_total = " + ".join(f"({e})" for e in tb_exprs)
+    ret["turning_bands"] = (
+        f"WITH g AS (SELECT a.range AS row, b.range AS col "
+        f"FROM range(0, 40) a, range(0, 40) b) "
+        f"SELECT row, col, ({tb_total}) / ({tb_root!r} + 0e0) AS value FROM g")
     # max anisotropy DEV at scales [2, 3] — direct integer-exact pane
     # sums (the Spark side's II corner lookups produce the same exact
     # integers)

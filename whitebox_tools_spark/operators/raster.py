@@ -1670,3 +1670,88 @@ def attribute_correlation_neighbourhood_analysis(
         f"CASE WHEN n > 4 AND ABS({r}) < 1.0 THEN ({r}) * "
         f"SQRT(CAST(n - 2 AS DOUBLE) / (1.0 - ({r}) * ({r}))) "
         f"ELSE 0.0 END AS tvalue")
+
+
+def turning_bands_exprs(meta: GridMeta, range_dist: float, iterations: int,
+                        seed: int, duck: bool = False) -> tuple[list[str], float]:
+    """The per-band contribution expressions of TurningBandsSimulation
+    (math_stat_analysis/turning_bands.rs), deterministic-seeded variant
+    of the reference's thread_rng draws. Band noise sequences and line
+    constants are computed driver-side in numpy and embedded as
+    literals, so the SAME doubles reach both engines; the per-cell math
+    (projection + one sqrt + truncating floor) is bit-portable. Returns
+    (contribution exprs, sqrt(iterations))."""
+    rows, cols = meta.rows, meta.columns
+    diag = int(math.sqrt(rows * rows + cols * cols))
+    hfs = max(int(range_dist / (2.0 * meta.resolution_x)), 1)
+    fs = hfs * 2 + 1
+    w = math.sqrt(36.0 / (hfs * (hfs + 1) * fs))
+    rng = np.random.RandomState(seed)
+
+    def dlit(v: float) -> str:
+        # scientific notation parses as DOUBLE on both engines; a bare
+        # 17-digit literal becomes DECIMAL and converts lossily
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "e0"
+
+    exprs = []
+    for _ in range(iterations):
+        t = rng.standard_normal(diag + 2 * hfs)
+        y = np.zeros(diag)
+        for j in range(diag):
+            y[j] = w * sum(m * t[j + hfs + m] for m in range(-hfs, hfs + 1))
+        y = (y - y.mean()) / y.std()
+        while True:
+            edge1 = rng.randint(0, 4)
+            edge2 = edge1
+            while edge2 == edge1:
+                edge2 = rng.randint(0, 4)
+
+            def pick(edge):
+                if edge == 0:
+                    return 0.0, float(rng.randint(0, rows))
+                if edge == 1:
+                    return float(rng.randint(0, cols)), 0.0
+                if edge == 2:
+                    return float(cols - 1), float(rng.randint(0, rows))
+                return float(rng.randint(0, cols)), float(rows - 1)
+
+            p1x, p1y = pick(edge1)
+            p2x, p2y = pick(edge2)
+            if p2x != p1x and p2y != p1y:
+                break
+        slope = (p2y - p1y) / (p2x - p1x)
+        intercept = p1y - slope * p1x
+        perp = -1.0 / slope
+        sdiff = slope - perp
+        corners = []
+        for cr, cc in ((0, 0), (0, cols), (rows, 0), (rows, cols)):
+            pli = cr - perp * cc
+            cx = (pli - intercept) / sdiff
+            cy = slope * cx - intercept
+            corners.append((cx, cy))
+        sx, sy = min(corners, key=lambda c: c[1])
+        arr = ", ".join(dlit(v) for v in y)
+        pli = f"(CAST(row AS DOUBLE) - {dlit(perp)} * CAST(col AS DOUBLE))"
+        ix = f"(({pli} - {dlit(intercept)}) / {dlit(sdiff)})"
+        iy = f"({dlit(slope)} * {ix} - {dlit(intercept)})"
+        p = (f"LEAST(GREATEST(CAST(FLOOR(SQRT(({ix} - {dlit(sx)}) * ({ix} - {dlit(sx)}) "
+             f"+ ({iy} - {dlit(sy)}) * ({iy} - {dlit(sy)}))) AS INT), 0), {diag - 1})")
+        if duck:
+            exprs.append(f"([{arr}])[{p} + 1]")
+        else:
+            exprs.append(f"ELEMENT_AT(ARRAY({arr}), {p} + 1)")
+    return exprs, math.sqrt(iterations)
+
+
+def turning_bands(spark, meta: GridMeta, range_dist: float = 100.0,
+                  iterations: int = 8, seed: int = 42) -> DataFrame:
+    """TurningBandsSimulation: sum of band contributions divided by
+    sqrt(iterations). One pure-codegen projection per band."""
+    exprs, rooted = turning_bands_exprs(meta, range_dist, iterations, seed)
+    rows = spark.range(meta.rows).selectExpr("id AS row")
+    cols = spark.range(meta.columns).selectExpr("id AS col")
+    grid = rows.crossJoin(cols)
+    total = " + ".join(f"({e})" for e in exprs)
+    return grid.selectExpr("row", "col",
+                           f"({total}) / ({rooted!r} + 0e0) AS value")
