@@ -1611,10 +1611,6 @@ def _q_random_sample(spark, sf):
                            seed=7)
 
 
-def _q_elev_rel_minmax(spark, sf):
-    return R.elev_relative_to_min_max(_ras(spark, sf, "a"))
-
-
 def _q_elev_rel_watershed_minmax(spark, sf):
     return HY.elev_relative_to_watershed_min_max(_ras_c(spark, sf), _META40C)
 
@@ -1716,6 +1712,14 @@ def _q_deviation_from_regional_direction(spark, sf):
 def _sig_points(spark, sf):
     return _points(spark, sf).where("record_num % 97 = 0").selectExpr(
         "record_num AS point_id", "x", "y")
+
+
+def _q_insert_dams(spark, sf):
+    """Per-dam numpy kernel (profile search) — rows-only + pytest."""
+    dams = spark.createDataFrame(
+        [(1, 105.0, 105.0), (2, 255.0, 305.0)],
+        "dam_id long, x double, y double")
+    return HY.insert_dams(_ras_c(spark, sf), _META40C, dams, 7.0)
 
 
 def _q_turning_bands(spark, sf):
@@ -3537,7 +3541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stack_profile": _q_image_stack_profile,
         "random_field": _q_random_field,
         "random_sample": _q_random_sample,
-        "elev_rel_minmax": _q_elev_rel_minmax,
         "elev_rel_watershed_minmax": _q_elev_rel_watershed_minmax,
         "find_low_points": _q_find_low_points,
         "find_high_points": _q_find_high_points,
@@ -3564,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_anisotropy_dev": _q_max_anisotropy_dev,
         "max_anisotropy_dev_signature": _q_max_anisotropy_dev_signature,
         "turning_bands": _q_turning_bands,
+        "insert_dams": _q_insert_dams,
     }
 
 
@@ -5557,12 +5561,6 @@ def _focal3_oracles() -> dict[str, str]:
             "ELSE CASE WHEN MAX(nv) = AVG(nv) THEN 0.0 ELSE "
             "(ANY_VALUE(z) - AVG(nv)) / (MAX(nv) - AVG(nv)) END END AS value "
             "FROM scz GROUP BY 1, 2"
-        ),
-        "elev_rel_minmax": (
-            f"WITH {ras_a}, st AS (SELECT MIN(value) AS __lo, MAX(value) AS __hi "
-            f"FROM ras_a) "
-            f"SELECT row, col, (value - __lo) / (__hi - __lo) AS value "
-            f"FROM ras_a, st"
         ),
         "hypsometry": (
             f"WITH {ras_a}, st AS (SELECT MIN(value) AS __lo, MAX(value) AS __hi, "

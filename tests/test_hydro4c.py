@@ -120,3 +120,29 @@ def test_modified_k_means(spark):
     labels_high = {r["cluster"] for r in got if r["b1"] >= 50.0}
     assert len(labels_low) == 1 and len(labels_high) == 1
     assert labels_low != labels_high
+
+
+def test_insert_dams(spark):
+    # a V-shaped valley running north-south; a dam at the valley floor
+    # raises the crest to the lower of the two shoulder heights
+    z = np.zeros((9, 9))
+    for c in range(9):
+        z[:, c] = 30.0 - 5.0 * min(c, 8 - c)  # valley floor at col 4
+    dams = spark.createDataFrame([(1, 45.0, 45.0)],
+                                 "dam_id long, x double, y double")
+    out = _asmap(HY.insert_dams(_cells9(spark, z), META9, dams, 7.0))
+    # never lowers
+    for k, v in out.items():
+        assert v >= z[k] - 1e-12
+    # the dam cell itself is raised above the valley floor
+    assert out[(4, 4)] > z[4, 4]
+
+
+META9 = GridMeta(rows=9, columns=9, north=90.0, south=0.0, east=90.0,
+                 west=0.0, resolution_x=10.0, resolution_y=10.0)
+
+
+def _cells9(spark, z):
+    rows = [(r, c, float(z[r, c]))
+            for r in range(z.shape[0]) for c in range(z.shape[1])]
+    return spark.createDataFrame(rows, "row long, col long, value double")

@@ -56,7 +56,8 @@ def test_rtp_bounds_and_formula(spark):
 def test_elev_rel_minmax(spark):
     df, vals = _cells(spark, seed=33)
     got = _grid(R.elev_relative_to_min_max(df))
-    exp = (vals - vals.min()) / (vals.max() - vals.min())
+    # reference (elev_relative_to_min_max.rs:290) scales by 100
+    exp = (vals - vals.min()) / (vals.max() - vals.min()) * 100.0
     assert np.allclose(got, exp)
 
 

@@ -3593,3 +3593,124 @@ def stream_slope_continuous(cells: DataFrame, meta: GridMeta,
                 "THEN DEGREES(ATAN((COALESCE(zin, z) - COALESCE(zdn, z)) "
                 "/ (COALESCE(din, 0.0) + COALESCE(ddn, 0.0)))) "
                 "ELSE 0.0 END AS value"))
+
+
+def insert_dams(cells: DataFrame, meta: GridMeta, dam_pts: DataFrame,
+                dam_length: float) -> DataFrame:
+    """InsertDams (hydro_analysis/insert_dams.rs): for each dam point,
+    scan every cell within half the dam length and all four dam
+    orientations, build the dam-crest profile (bidirectional
+    running-max fill between shoulders), keep the profile through the
+    target with the highest filled crest (strict >, row-major-then-
+    direction first wins), and raise the DEM to the crest along the dam
+    line (plus the reference's second-row writes). Sequential max-writes
+    commute, so the distributed max-merge of per-dam edits is exactly
+    the reference's in-place loop. dam_pts: (dam_id, x, y).
+
+    Plan: one bbox gather join (window +/- 2h+1 per dam), one grouped
+    numpy kernel per dam, one max-merge back onto the cell table."""
+    import math as _m
+
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    h = int(_m.floor(dam_length / 2.0))
+    margin = 2 * h + 1
+    pts = dam_pts.selectExpr(
+        "dam_id",
+        f"{meta.row_from_y_expr('y')} AS trow",
+        f"{meta.col_from_x_expr('x')} AS tcol")
+    window = (cells.crossJoin(F.broadcast(pts))
+              .where(f"ABS(row - trow) <= {margin} "
+                     f"AND ABS(col - tcol) <= {margin}"))
+    schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("newz", DoubleType(), False),
+    ])
+    dxs = list(D8_DX)
+    dys = list(D8_DY)
+    perp1 = [2, 3, 4, 1]
+    perp2 = [6, 7, 0, 5]
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zmap = {(int(r), int(c)): v for r, c, v in
+                zip(pdf["row"], pdf["col"], pdf["value"])}
+        trow = int(pdf["trow"].iloc[0])
+        tcol = int(pdf["tcol"].iloc[0])
+        L = 2 * h + 1
+        best = None  # (height, row, col, dir, filled)
+        for row in range(trow - h, trow + h + 1):
+            for col in range(tcol - h, tcol + h + 1):
+                if (row, col) not in zmap:
+                    continue
+                for d in range(4):
+                    p1, p2 = perp1[d], perp2[d]
+                    prof = [0.0] * L
+                    prof[h] = zmap[(row, col)]
+                    hit, tc = False, 0
+                    rn, cn, rn2, cn2 = row, col, row, col
+                    for i in range(1, h + 1):
+                        rn += dys[p1]
+                        cn += dxs[p1]
+                        if (rn, cn) == (trow, tcol):
+                            hit, tc = True, h + i
+                        prof[h + i] = zmap.get((rn, cn), float("-inf"))
+                        rn2 += dys[p2]
+                        cn2 += dxs[p2]
+                        if (rn2, cn2) == (trow, tcol):
+                            hit, tc = True, h - i
+                        prof[h - i] = zmap.get((rn2, cn2), float("-inf"))
+                    if (row, col) == (trow, tcol):
+                        hit, tc = True, h
+                    if not hit:
+                        continue
+                    filled = list(prof)
+                    for i in range(1, L - 1):
+                        if filled[i - 1] > prof[i]:
+                            filled[i] = filled[i - 1]
+                        else:
+                            filled[i] = prof[i]
+                    filled[L - 1] = prof[L - 1]
+                    for i in range(L - 2, 0, -1):
+                        if filled[i + 1] > prof[i]:
+                            if filled[i + 1] < filled[i]:
+                                filled[i] = filled[i + 1]
+                        else:
+                            filled[i] = prof[i]
+                    if best is None or filled[tc] > best[0]:
+                        best = (filled[tc], row, col, d, filled)
+        edits = {}
+
+        def put(r, c, v):
+            if (r, c) in zmap and v > edits.get((r, c), float("-inf")):
+                edits[(r, c)] = v
+
+        if best is not None:
+            _, drow, dcol, d, filled = best
+            p1, p2 = perp1[d], perp2[d]
+            put(drow, dcol, filled[h])
+            put(drow - 1, dcol, filled[h])
+            rn, cn, rn2, cn2 = drow, dcol, drow, dcol
+            for i in range(1, h + 1):
+                rn += dys[p1]
+                cn += dxs[p1]
+                if (rn, cn) in zmap:
+                    put(rn, cn, filled[h + i])
+                    if d in (0, 2):
+                        put(rn - 1, cn, filled[h + i])
+                rn2 += dys[p2]
+                cn2 += dxs[p2]
+                if (rn2, cn2) in zmap:
+                    put(rn2, cn2, filled[h - i])
+                    if d in (0, 2):
+                        put(rn2 - 1, cn2, filled[h - i])
+        return pd.DataFrame(
+            {"row": [k[0] for k in edits], "col": [k[1] for k in edits],
+             "newz": list(edits.values())})
+
+    edits = window.groupBy("dam_id").applyInPandas(kernel, schema=schema)
+    merged = edits.groupBy("row", "col").agg(F.max("newz").alias("__dz"))
+    return cells.join(merged, ["row", "col"], "left").selectExpr(
+        "row", "col", "GREATEST(value, COALESCE(__dz, value)) AS value")

@@ -1005,14 +1005,6 @@ def resample_bilinear(cells: DataFrame, src: GridMeta, dst: GridMeta) -> DataFra
     )
 
 
-def elev_relative_to_min_max(cells: DataFrame) -> DataFrame:
-    """ElevRelativeToMinMax (terrain_analysis/elev_relative_to_min_max
-    .rs): (z - zmin) / (zmax - zmin) against the GLOBAL range."""
-    stats = cells.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
-    return cells.crossJoin(F.broadcast(stats)).selectExpr(
-        "row", "col", "(value - __lo) / (__hi - __lo) AS value")
-
-
 def hypsometric_analysis(cells: DataFrame, num_bins: int = 10) -> DataFrame:
     """HypsometricAnalysis (terrain_analysis/hypsometric_analysis.rs
     semantics): the hypsometric curve — for each relative-elevation
