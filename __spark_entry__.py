@@ -1714,6 +1714,12 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_impoundment_index(spark, sf):
+    """Tile+halo crest kernel + exact closure flood stats — rows-only +
+    pytest (numpy transcription)."""
+    return HY.impoundment_size_index(_ras_c(spark, sf), _META40C, 7.0)
+
+
 def _q_insert_dams(spark, sf):
     """Per-dam numpy kernel (profile search) — rows-only + pytest."""
     dams = spark.createDataFrame(
@@ -3568,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_anisotropy_dev_signature": _q_max_anisotropy_dev_signature,
         "turning_bands": _q_turning_bands,
         "insert_dams": _q_insert_dams,
+        "impoundment_index": _q_impoundment_index,
     }
 
 

@@ -146,3 +146,86 @@ def _cells9(spark, z):
     rows = [(r, c, float(z[r, c]))
             for r in range(z.shape[0]) for c in range(z.shape[1])]
     return spark.createDataFrame(rows, "row long, col long, value double")
+
+
+def test_impoundment_size_index(spark):
+    """Brute-force numpy transcription on a 9x9 valley: crest raster +
+    flooded upstream sets."""
+    z = np.zeros((9, 9))
+    for col in range(9):
+        z[:, col] = 30.0 - 5.0 * min(col, 8 - col)
+    for row in range(9):
+        z[row, :] += row * 0.5  # gentle southward... northward tilt
+    out = {(r["row"], r["col"]): r for r in
+           HY.impoundment_size_index(_cells9(spark, z), META9, 5.0)
+           .collect()}
+    h = 2
+    dxs, dys = HY.D8_DX, HY.D8_DY
+    perp1, perp2 = [2, 3, 4, 1], [6, 7, 0, 5]
+    L = 2 * h + 1
+    crest = np.full((9, 9), -np.inf)
+    for r in range(9):
+        for c in range(9):
+            for d in range(4):
+                prof = np.full(L, -np.inf)
+                pos = [(r, c)] * L
+                prof[h] = z[r, c]
+                rn, cn, rn2, cn2 = r, c, r, c
+                for i in range(1, h + 1):
+                    rn += dys[perp1[d]]
+                    cn += dxs[perp1[d]]
+                    if 0 <= rn < 9 and 0 <= cn < 9:
+                        prof[h + i] = z[rn, cn]
+                    pos[h + i] = (rn, cn)
+                    rn2 += dys[perp2[d]]
+                    cn2 += dxs[perp2[d]]
+                    if 0 <= rn2 < 9 and 0 <= cn2 < 9:
+                        prof[h - i] = z[rn2, cn2]
+                    pos[h - i] = (rn2, cn2)
+                filled = prof.copy()
+                for i in range(1, L - 1):
+                    filled[i] = filled[i - 1] if filled[i - 1] > prof[i] \
+                        else prof[i]
+                filled[L - 1] = prof[L - 1]
+                for i in range(L - 2, 0, -1):
+                    if filled[i + 1] > prof[i]:
+                        if filled[i + 1] < filled[i]:
+                            filled[i] = filled[i + 1]
+                    else:
+                        filled[i] = prof[i]
+                for i in range(L):
+                    pr, pc = pos[i]
+                    if 0 <= pr < 9 and 0 <= pc < 9 and np.isfinite(filled[i]):
+                        crest[pr, pc] = max(crest[pr, pc], filled[i])
+    for r in range(9):
+        for c in range(9):
+            assert out[(r, c)]["dam_height"] == pytest.approx(
+                crest[r, c], abs=1e-12), (r, c)
+    # flooded set via brute-force D8 walks
+    LEN = [np.hypot(10.0, 10.0), 10.0] * 4
+    ups = {(r, c): [] for r in range(9) for c in range(9)}
+    for r in range(9):
+        for c in range(9):
+            rr, cc = r, c
+            path = [(rr, cc)]
+            while True:
+                # steepest descent
+                bslope, nxt = 0.0, None
+                for i in range(8):
+                    r2, c2 = rr + HY.D8_DY[i], cc + HY.D8_DX[i]
+                    if 0 <= r2 < 9 and 0 <= c2 < 9:
+                        dist = np.hypot(10.0, 10.0) if (HY.D8_DY[i] and
+                                                        HY.D8_DX[i]) else 10.0
+                        s = (z[rr, cc] - z[r2, c2]) / dist
+                        if s > bslope:
+                            bslope, nxt = s, (r2, c2)
+                if nxt is None:
+                    break
+                rr, cc = nxt
+                path.append((rr, cc))
+            for cell in path:
+                ups[cell].append((r, c))
+    for r in range(9):
+        for c in range(9):
+            want_n = sum(1 for u in ups[(r, c)] if z[u] < crest[r, c])
+            assert out[(r, c)]["flooded_cells"] == float(want_n), (r, c)

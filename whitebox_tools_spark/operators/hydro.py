@@ -3714,3 +3714,140 @@ def insert_dams(cells: DataFrame, meta: GridMeta, dam_pts: DataFrame,
     merged = edits.groupBy("row", "col").agg(F.max("newz").alias("__dz"))
     return cells.join(merged, ["row", "col"], "left").selectExpr(
         "row", "col", "GREATEST(value, COALESCE(__dz, value)) AS value")
+
+
+def dam_height_raster(cells: DataFrame, meta: GridMeta, dam_length: float,
+                      tile: int = 64) -> DataFrame:
+    """The ImpoundmentSizeIndex crest surface (hydro_analysis/
+    impoundment_index.rs:180-260): each cell takes the altitude of the
+    highest filled dam profile (N-S, NE-SW, E-W, SE-NW through every
+    cell, bidirectional running-max fill) that passes through it.
+    Tile+halo numpy kernel: dams centred within 2h of a tile can write
+    into it, and their profiles read z within another h — halo 2h."""
+    import math as _m
+
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    h = int(_m.floor(dam_length / 2.0))
+    halo = 2 * h
+    tiles = (
+        cells.withColumn(
+            "__t",
+            F.expr(
+                f"EXPLODE(ARRAY_DISTINCT(ARRAY("
+                f"STRUCT(CAST(FLOOR((row - {halo}) / {tile}) AS BIGINT) AS tr, CAST(FLOOR((col - {halo}) / {tile}) AS BIGINT) AS tc), "
+                f"STRUCT(CAST(FLOOR((row - {halo}) / {tile}) AS BIGINT) AS tr, CAST(FLOOR((col + {halo}) / {tile}) AS BIGINT) AS tc), "
+                f"STRUCT(CAST(FLOOR((row + {halo}) / {tile}) AS BIGINT) AS tr, CAST(FLOOR((col - {halo}) / {tile}) AS BIGINT) AS tc), "
+                f"STRUCT(CAST(FLOOR((row + {halo}) / {tile}) AS BIGINT) AS tr, CAST(FLOOR((col + {halo}) / {tile}) AS BIGINT) AS tc))))"
+            ),
+        )
+        .selectExpr("__t.tr AS tr", "__t.tc AS tc", "row", "col", "value")
+    )
+    schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("value", DoubleType(), False),
+    ])
+    dxs = list(D8_DX)
+    dys = list(D8_DY)
+    perp1 = [2, 3, 4, 1]
+    perp2 = [6, 7, 0, 5]
+    L = 2 * h + 1
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        tr = int(pdf["tr"].iloc[0])
+        tc = int(pdf["tc"].iloc[0])
+        r0, c0 = tr * tile - halo, tc * tile - halo
+        hh = ww = tile + 2 * halo
+        grid = np.full((hh, ww), np.nan)
+        rr = pdf["row"].to_numpy() - r0
+        cc = pdf["col"].to_numpy() - c0
+        ok = (rr >= 0) & (rr < hh) & (cc >= 0) & (cc < ww)
+        grid[rr[ok], cc[ok]] = pdf["value"].to_numpy()[ok]
+        crest = np.full((hh, ww), -np.inf)
+        for r in range(hh):
+            for c in range(ww):
+                if np.isnan(grid[r, c]):
+                    continue
+                for d in range(4):
+                    p1, p2 = perp1[d], perp2[d]
+                    prof = np.full(L, -np.inf)
+                    pos = [(r, c)] * L
+                    prof[h] = grid[r, c]
+                    pos[h] = (r, c)
+                    rn, cn, rn2, cn2 = r, c, r, c
+                    for i in range(1, h + 1):
+                        rn += dys[p1]
+                        cn += dxs[p1]
+                        if 0 <= rn < hh and 0 <= cn < ww and not np.isnan(grid[rn, cn]):
+                            prof[h + i] = grid[rn, cn]
+                        pos[h + i] = (rn, cn)
+                        rn2 += dys[p2]
+                        cn2 += dxs[p2]
+                        if 0 <= rn2 < hh and 0 <= cn2 < ww and not np.isnan(grid[rn2, cn2]):
+                            prof[h - i] = grid[rn2, cn2]
+                        pos[h - i] = (rn2, cn2)
+                    filled = prof.copy()
+                    for i in range(1, L - 1):
+                        if filled[i - 1] > prof[i]:
+                            filled[i] = filled[i - 1]
+                        else:
+                            filled[i] = prof[i]
+                    filled[L - 1] = prof[L - 1]
+                    for i in range(L - 2, 0, -1):
+                        if filled[i + 1] > prof[i]:
+                            if filled[i + 1] < filled[i]:
+                                filled[i] = filled[i + 1]
+                        else:
+                            filled[i] = prof[i]
+                    for i in range(L):
+                        pr, pc = pos[i]
+                        if 0 <= pr < hh and 0 <= pc < ww and np.isfinite(filled[i]):
+                            if filled[i] > crest[pr, pc]:
+                                crest[pr, pc] = filled[i]
+        rows_, cols_ = np.meshgrid(np.arange(hh) + r0, np.arange(ww) + c0,
+                                   indexing="ij")
+        own = ((rows_ >= tr * tile) & (rows_ < (tr + 1) * tile)
+               & (cols_ >= tc * tile) & (cols_ < (tc + 1) * tile)
+               & ~np.isnan(grid) & np.isfinite(crest))
+        return pd.DataFrame({"row": rows_[own], "col": cols_[own],
+                             "value": crest[own]})
+
+    return tiles.groupBy("tr", "tc").applyInPandas(kernel, schema=schema)
+
+
+def impoundment_size_index(cells: DataFrame, meta: GridMeta,
+                           dam_length: float) -> DataFrame:
+    """ImpoundmentSizeIndex (hydro_analysis/impoundment_index.rs): per
+    cell, the reservoir formed by its crest (dam_height_raster):
+    flooded upslope cells are those u with reach(u, c) and z(u) <
+    crest(c) — the reference's cutoff_z propagation is a pruning of
+    exactly this set (any intermediate max-downstream-crest is >= the
+    final crest). Output (row, col, dam_height, flooded_cells, volume,
+    mean_depth); volume = sum(crest - z_u) * cell area."""
+    c = meta.columns
+    area = meta.resolution_x * meta.resolution_y
+    crest = dam_height_raster(cells, meta, dam_length)
+    reach, nodes = _full_closure_with_steps(cells, meta)
+    z = cells.selectExpr(f"(row * {c}L + col) AS zid", "value AS z")
+    cr = crest.selectExpr(f"(row * {c}L + col) AS cid", "value AS crest")
+    flooded = (reach.join(cr, reach["dst"] == F.col("cid"))
+               .join(z, reach["src"] == F.col("zid"))
+               .where("z < crest")
+               .groupBy("dst").agg(
+                   F.count(F.lit(1)).alias("n"),
+                   F.expr("SUM(crest - z)").alias("sumd")))
+    out = (cr.join(flooded, cr["cid"] == flooded["dst"], "left")
+           .join(nodes, cr["cid"] == nodes["id"])
+           .selectExpr(
+               "row", "col", "crest AS dam_height",
+               "CAST(COALESCE(n, 0) AS DOUBLE) AS flooded_cells",
+               f"COALESCE(sumd, 0.0) * {area!r} AS volume",
+               "CASE WHEN COALESCE(n, 0) > 0 THEN sumd / n "
+               "ELSE 0.0 END AS mean_depth"))
+    nodes.unpersist()
+    return out
