@@ -1714,6 +1714,16 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_burn_streams_at_roads(spark, sf):
+    """Crossing-cell min-clamp along the stream mask — rows-only +
+    pytest (BFS rounds)."""
+    streams = _segments(spark, sf)
+    roads = streams.selectExpr("record_num", "value",
+                               "y1 AS x1", "x1 AS y1", "y2 AS x2", "x2 AS y2")
+    return HY.burn_streams_at_roads(_ras_c(spark, sf), _META40, streams,
+                                    roads, road_width=75.0)
+
+
 def _q_impoundment_index(spark, sf):
     """Tile+halo crest kernel + exact closure flood stats — rows-only +
     pytest (numpy transcription)."""
@@ -3575,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turning_bands": _q_turning_bands,
         "insert_dams": _q_insert_dams,
         "impoundment_index": _q_impoundment_index,
+        "burn_streams_at_roads": _q_burn_streams_at_roads,
     }
 
 

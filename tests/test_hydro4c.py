@@ -229,3 +229,29 @@ def test_impoundment_size_index(spark):
         for c in range(9):
             want_n = sum(1 for u in ups[(r, c)] if z[u] < crest[r, c])
             assert out[(r, c)]["flooded_cells"] == float(want_n), (r, c)
+
+
+def test_burn_streams_at_roads(spark):
+    # stream along row 4 (y = 45), road along col 4 (x = 45): crossing
+    # at (4, 4); the stream under the road embankment gets clamped to
+    # the min of nearby stream cells
+    z = np.full((9, 9), 50.0)
+    z[4, :] = [20.0, 19.0, 18.0, 25.0, 30.0, 24.0, 17.0, 16.0, 15.0]
+    streams = spark.createDataFrame(
+        [(1, 1.0, 2.0, 45.0, 88.0, 45.0)],
+        "record_num long, value double, x1 double, y1 double, "
+        "x2 double, y2 double")
+    roads = spark.createDataFrame(
+        [(1, 1.0, 45.0, 2.0, 45.0, 88.0)],
+        "record_num long, value double, x1 double, y1 double, "
+        "x2 double, y2 double")
+    out = _asmap(HY.burn_streams_at_roads(_cells9(spark, z), META9,
+                                          streams, roads, road_width=40.0))
+    # k = ceil(40/10)//2 = 2 hops: stream cells cols 2..6 around the
+    # crossing; min z among them = 17.0 at col 6
+    assert out[(4, 4)] == pytest.approx(17.0)
+    for c in (2, 3, 5, 6):
+        assert out[(4, c)] == pytest.approx(min(z[4, c], 17.0)), c
+    # untouched cells pass through
+    assert out[(0, 0)] == 50.0
+    assert out[(4, 8)] == 15.0

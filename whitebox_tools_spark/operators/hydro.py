@@ -3851,3 +3851,51 @@ def impoundment_size_index(cells: DataFrame, meta: GridMeta,
                "ELSE 0.0 END AS mean_depth"))
     nodes.unpersist()
     return out
+
+
+def burn_streams_at_roads(cells: DataFrame, meta: GridMeta,
+                          stream_segments: DataFrame,
+                          road_segments: DataFrame,
+                          road_width: float) -> DataFrame:
+    """BurnStreamsAtRoads (hydro_analysis/burn_streams_at_roads.rs):
+    at every stream-road crossing cell, take the minimum DEM elevation
+    among stream cells within ceil(road_width / res) / 2 hops along the
+    stream, and clamp the crossing plus that neighborhood down to it —
+    carving the culvert through the road embankment.
+
+    Deviations: crossings are the exact stream-cell/road-cell
+    intersections (the reference adds order-dependent near-miss
+    heuristics while rasterizing roads sequentially), and the clamp is
+    one simultaneous min pass (the reference's sequential passes only
+    differ where crossing neighborhoods overlap; min-clamps commute).
+    k-round BFS along the stream mask — k is a handful of cells."""
+    from .raster import lines_to_raster
+
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    k = max(int(math.ceil(road_width / res)) // 2, 1)
+    streams_r = lines_to_raster(stream_segments, meta).select("row", "col")
+    roads_r = lines_to_raster(road_segments, meta).select("row", "col")
+    inter = streams_r.join(roads_r, ["row", "col"], "leftsemi") \
+        .selectExpr("row AS irow", "col AS icol")
+    # BFS along stream cells, up to k hops from each crossing
+    offs = ", ".join(
+        f"STRUCT({D8_DY[i]}L AS dr, {D8_DX[i]}L AS dc)" for i in range(8))
+    frontier = inter.selectExpr("irow", "icol", "irow AS row", "icol AS col")
+    seen = frontier
+    for _ in range(k):
+        nxt = (frontier.withColumn("__o", F.expr(f"EXPLODE(ARRAY({offs}))"))
+               .selectExpr("irow", "icol", "row + __o.dr AS row",
+                           "col + __o.dc AS col")
+               .join(streams_r, ["row", "col"], "leftsemi")
+               .dropDuplicates(["irow", "icol", "row", "col"]))
+        frontier = nxt.join(seen, ["irow", "icol", "row", "col"],
+                            "left_anti").localCheckpoint(eager=True)
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+        if frontier.count() == 0:
+            break
+    withz = seen.join(cells, ["row", "col"])
+    minz = withz.groupBy("irow", "icol").agg(F.min("value").alias("mz"))
+    clamp = (seen.join(minz, ["irow", "icol"])
+             .groupBy("row", "col").agg(F.min("mz").alias("__mz")))
+    return cells.join(clamp, ["row", "col"], "left").selectExpr(
+        "row", "col", "LEAST(value, COALESCE(__mz, value)) AS value")
