@@ -1714,6 +1714,31 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_find_patch_edge_cells(spark, sf):
+    return R.find_patch_edge_cells(_ras(spark, sf, "b"), _META100)
+
+
+def _q_raster_perimeter(spark, sf):
+    """Prewitt-Mendelsohn perimeter per class; ROUND(6) (per-class sums
+    of irrational LUT terms reassociate)."""
+    return R.raster_perimeter(_ras(spark, sf, "b"), _META100).selectExpr(
+        "value", "ROUND(perimeter, 6) AS perimeter")
+
+
+def _q_filter_raster_features(spark, sf):
+    return R.filter_raster_features_by_area(_ras(spark, sf, "b"), _META100,
+                                            threshold_cells=5,
+                                            background=-1.0)
+
+
+def _q_rescale_value_range(spark, sf):
+    return R.rescale_value_range(_ras(spark, sf, "a"), 0.0, 255.0)
+
+
+def _q_flow_accum_full_workflow(spark, sf):
+    return HY.flow_accumulation_full_workflow(_ras_c(spark, sf), _META40C)
+
+
 def _q_burn_streams_at_roads(spark, sf):
     """Crossing-cell min-clamp along the stream mask — rows-only +
     pytest (BFS rounds)."""
@@ -3586,6 +3611,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_dams": _q_insert_dams,
         "impoundment_index": _q_impoundment_index,
         "burn_streams_at_roads": _q_burn_streams_at_roads,
+        "find_patch_edge_cells": _q_find_patch_edge_cells,
+        "raster_perimeter": _q_raster_perimeter,
+        "filter_raster_features": _q_filter_raster_features,
+        "rescale_value_range": _q_rescale_value_range,
+        "flow_accum_full_workflow": _q_flow_accum_full_workflow,
     }
 
 
@@ -7375,6 +7405,111 @@ def _terrain4_oracles() -> dict[str, str]:
     return ret
 
 
+def _r4d_oracles() -> dict[str, str]:
+    """Oracles for the round-4d patch/workflow batch."""
+    ras_a = f"ras_a AS ({_RAS_A_SQL})"
+    ras_b = f"rb AS ({_RAS_B_SQL})"
+    offs9 = "o9d AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)) o(n, dy, dx))"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8)
+    ) + ", MAX(CASE WHEN n = 8 THEN nv END) AS zc"
+    pivot9b = (
+        f"{offs9}, "
+        f"sc9d AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+        f"a.value AS nv FROM rb a, o9d o), "
+        f"p9d AS (SELECT row, col, {piv_cols} FROM sc9d GROUP BY 1, 2), "
+        f"z9 AS (SELECT * FROM p9d WHERE zc IS NOT NULL)"
+    )
+    ret = {}
+    edge_cond = " OR ".join(
+        f"COALESCE(zn_{i} <> zc, TRUE)" for i in range(8))
+    ret["find_patch_edge_cells"] = (
+        f"WITH {ras_b}, {pivot9b} SELECT row, col, "
+        f"CASE WHEN {edge_cond} THEN zc ELSE 0.0 END AS value FROM z9")
+    res100 = (_META100.resolution_x + _META100.resolution_y) / 2.0
+    idx = " + ".join(
+        f"(CASE WHEN COALESCE(zn_{i} = zc, FALSE) THEN {1 << i} ELSE 0 END)"
+        for i in range(8))
+    lut = ", ".join(f"{v}e0" for v in R._PERIMETER_LUT)
+    ret["raster_perimeter"] = (
+        f"WITH {ras_b}, {pivot9b} "
+        f"SELECT zc AS value, ROUND(SUM(([{lut}])[({idx}) + 1] "
+        f"* {res100!r}), 6) AS perimeter FROM z9 GROUP BY 1")
+    # clump-based area filter: same undirected closure as the clump oracle
+    ret["filter_raster_features"] = (
+        f"WITH RECURSIVE {ras_b}, "
+        f"c AS (SELECT row, col, value, (row * 100 + col) AS id FROM rb), "
+        f"noffs AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1),"
+        f"(-1,-1),(-1,1),(1,-1),(1,1)) o(dr, dc)), "
+        f"e AS (SELECT a.id AS src, b.id AS dst FROM c a JOIN noffs o ON TRUE "
+        f"JOIN c b ON b.row = a.row + o.dr AND b.col = a.col + o.dc "
+        f"AND b.value = a.value), "
+        f"reach(id, r) AS (SELECT id, id FROM c UNION "
+        f"SELECT e.dst, reach.r FROM reach JOIN e ON reach.id = e.src), "
+        f"lab AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id), "
+        f"sz AS (SELECT rep, COUNT(*) AS n FROM lab GROUP BY 1) "
+        f"SELECT c.row, c.col, CASE WHEN sz.n < 5 THEN -1.0 "
+        f"ELSE c.value END AS value "
+        f"FROM c JOIN lab ON c.id = lab.id JOIN sz ON lab.rep = sz.rep")
+    ret["rescale_value_range"] = (
+        f"WITH {ras_a}, st AS (SELECT MIN(value) AS mn, MAX(value) AS mx "
+        f"FROM ras_a) SELECT row, col, CASE WHEN mx > mn THEN 0.0 "
+        f"+ (value - mn) / (mx - mn) * (255.0 - 0.0) ELSE value END AS value "
+        f"FROM ras_a, st")
+    # full workflow: path-max fill -> pointer on filled -> closure accum
+    fill_core40 = (
+        f"fill(row, col, w) AS ("
+        f"SELECT row, col, value FROM rc "
+        f"WHERE row = 0 OR col = 0 OR row = 39 OR col = 39 "
+        f"UNION "
+        f"SELECT n.row, n.col, GREATEST(n.value, f.w) AS w "
+        f"FROM fill f JOIN rc n "
+        f"ON n.row BETWEEN f.row - 1 AND f.row + 1 "
+        f"AND n.col BETWEEN f.col - 1 AND f.col + 1 "
+        f"AND NOT (n.row = f.row AND n.col = f.col)), "
+        f"f2 AS (SELECT row, col, MIN(w) AS value FROM fill GROUP BY 1, 2)")
+    offsW = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)"
+    pivotW = (
+        f"offsw AS (SELECT * FROM (VALUES {offsW}) o(n, dy, dx)), "
+        f"scw AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+        f"a.value AS nv FROM f2 a, offsw o), "
+        f"pivw AS (SELECT row, col, {piv_cols} FROM scw GROUP BY 1, 2), "
+        f"ptr AS MATERIALIZED (SELECT row, col, "
+        f"{HY.d8_pointer_value_expr(_META40C)} AS value "
+        f"FROM pivw WHERE zc IS NOT NULL)"
+    )
+    dirs = ", ".join(f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})"
+                     for i in range(8))
+    W = 40
+    edge_ctes = (
+        f"dirs AS (SELECT * FROM (VALUES {dirs}) d(code, dy, dx)), "
+        f"e AS MATERIALIZED (SELECT (p.row * {W} + p.col) AS src, "
+        f"((p.row + d.dy) * {W} + (p.col + d.dx)) AS dst "
+        f"FROM ptr p JOIN dirs d ON d.code = CAST(p.value AS INT) "
+        f"WHERE p.value > 0), "
+        f"nodes AS MATERIALIZED (SELECT row, col, (row * {W} + col) AS id "
+        f"FROM ptr)"
+    )
+    closure = (
+        "reach(src, dst) AS (SELECT id, id FROM nodes UNION "
+        "SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)")
+    ret["flow_accum_full_workflow"] = (
+        f"WITH RECURSIVE rc AS ({_RAS_C_SQL}), {fill_core40}, {pivotW}, "
+        f"{edge_ctes}, {closure}, "
+        f"acc AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS a FROM reach "
+        f"GROUP BY 1) "
+        f"SELECT n.row, n.col, f2.value AS filled_dem, ptr.value AS pointer, "
+        f"acc.a AS accum FROM nodes n "
+        f"JOIN f2 ON n.row = f2.row AND n.col = f2.col "
+        f"JOIN ptr ON n.row = ptr.row AND n.col = ptr.col "
+        f"JOIN acc ON n.id = acc.dst")
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -7621,6 +7756,7 @@ def oracle_sql() -> dict[str, str]:
         **_vecgeom_oracles(),
         **_image4_oracles(),
         **_terrain4_oracles(),
+        **_r4d_oracles(),
         "pca3": _pca3_oracle(),
         "reclass_equal_interval": (
             f"WITH ras_a AS ({_RAS_A_SQL}), "

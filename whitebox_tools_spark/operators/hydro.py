@@ -3899,3 +3899,17 @@ def burn_streams_at_roads(cells: DataFrame, meta: GridMeta,
              .groupBy("row", "col").agg(F.min("mz").alias("__mz")))
     return cells.join(clamp, ["row", "col"], "left").selectExpr(
         "row", "col", "LEAST(value, COALESCE(__mz, value)) AS value")
+
+
+def flow_accumulation_full_workflow(cells: DataFrame,
+                                    meta: GridMeta) -> DataFrame:
+    """FlowAccumulationFullWorkflow (hydro_analysis/
+    flow_accum_full_workflow.rs): fill the DEM, derive the D8 pointer
+    on the filled surface, accumulate. One row per cell with all three
+    products: (row, col, filled_dem, pointer, accum)."""
+    filled = fill_depressions(cells, meta)
+    ptr = d8_pointer(filled, meta).withColumnRenamed("value", "pointer")
+    acc = d8_flow_accumulation_tiled(filled, meta) \
+        .withColumnRenamed("value", "accum")
+    return (filled.withColumnRenamed("value", "filled_dem")
+            .join(ptr, ["row", "col"]).join(acc, ["row", "col"]))

@@ -1747,3 +1747,72 @@ def turning_bands(spark, meta: GridMeta, range_dist: float = 100.0,
     total = " + ".join(f"({e})" for e in exprs)
     return grid.selectExpr("row", "col",
                            f"({total}) / ({rooted!r} + 0e0) AS value")
+
+
+# Prewitt & Mendelsohn perimeter-estimator lookup (raster_perimeter.rs:
+# let lut = [...] — the published 256-entry table indexed by the D8
+# same-value bitmask, weights 2^n in D8 scan order)
+_PERIMETER_LUT = [4.000000000,2.828427125,2.236067977,2.414213562,2.828427125,3.000000000,2.414213562,2.236067977,2.236067977,2.414213562,2.000000000,2.000000000,2.828427125,1.414213562,1.414213562,1.414213562,2.236067977,2.828427125,2.000000000,1.414213562,2.414213562,1.414213562,2.000000000,1.414213562,2.000000000,2.000000000,1.000000000,2.000000000,2.000000000,2.000000000,2.000000000,1.000000000,2.828427125,3.000000000,2.828427125,1.414213562,2.000000000,4.000000000,2.236067977,2.236067977,2.414213562,2.236067977,1.414213562,1.414213562,2.236067977,2.236067977,1.414213562,1.414213562,2.828427125,2.236067977,1.414213562,1.414213562,2.236067977,2.414213562,2.000000000,1.414213562,2.000000000,2.000000000,1.000000000,1.414213562,2.000000000,2.000000000,1.000000000,1.000000000,2.236067977,2.828427125,2.000000000,2.000000000,2.828427125,2.236067977,2.000000000,2.000000000,2.000000000,1.414213562,1.000000000,2.000000000,1.414213562,1.414213562,1.000000000,1.414213562,2.000000000,1.414213562,1.000000000,1.000000000,1.414213562,1.414213562,2.000000000,1.414213562,1.000000000,1.000000000,0.000000000,0.000000000,1.000000000,1.000000000,0.000000000,0.000000000,2.414213562,1.414213562,2.000000000,2.000000000,2.236067977,2.414213562,2.000000000,2.000000000,2.000000000,1.414213562,2.000000000,1.000000000,2.000000000,1.414213562,1.000000000,1.000000000,1.414213562,1.414213562,1.000000000,1.000000000,1.414213562,1.414213562,1.000000000,1.000000000,2.000000000,1.414213562,0.000000000,0.000000000,1.000000000,1.000000000,0.000000000,0.000000000,2.828427125,2.000000000,2.828427125,2.236067977,3.000000000,4.000000000,1.414213562,2.236067977,2.828427125,2.236067977,1.414213562,2.000000000,2.236067977,2.414213562,1.414213562,1.414213562,2.414213562,2.236067977,1.414213562,1.414213562,2.236067977,2.236067977,1.414213562,1.414213562,2.000000000,2.000000000,1.000000000,1.000000000,2.000000000,2.000000000,1.414213562,1.000000000,3.000000000,4.000000000,2.236067977,2.414213562,4.000000000,4.000000000,2.414213562,2.236067977,1.414213562,2.236067977,1.414213562,1.414213562,2.414213562,2.236067977,1.414213562,1.414213562,1.414213562,2.414213562,1.414213562,1.414213562,2.236067977,2.236067977,1.414213562,1.414213562,2.000000000,2.000000000,1.000000000,1.000000000,2.000000000,2.000000000,1.000000000,1.000000000,2.414213562,2.000000000,2.236067977,2.000000000,1.414213562,2.414213562,2.000000000,2.000000000,1.414213562,1.414213562,1.000000000,1.000000000,1.414213562,1.414213562,1.000000000,1.000000000,2.000000000,2.000000000,2.000000000,1.000000000,1.414213562,1.414213562,1.000000000,1.000000000,2.000000000,1.000000000,0.000000000,0.000000000,1.414213562,1.000000000,0.000000000,0.000000000,2.236067977,2.236067977,2.000000000,2.000000000,2.236067977,2.236067977,2.000000000,2.000000000,1.414213562,1.414213562,1.414213562,1.000000000,1.414213562,1.414213562,1.000000000,1.000000000,1.414213562,1.414213562,1.414213562,1.000000000,1.414213562,1.414213562,1.000000000,1.000000000,1.000000000,1.000000000,0.000000000,0.000000000,1.000000000,1.000000000,0.000000000,0.000000000]
+
+
+def find_patch_edge_cells(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """FindPatchEdgeCells (gis_analysis/find_patch_edge_cells.rs): a
+    cell keeps its patch value where ANY of its 8 neighbors (missing
+    neighbors included — grid edges are patch edges) differs; interior
+    cells emit 0."""
+    from .hydro import focal_pivot3_raw
+
+    cond = " OR ".join(
+        f"COALESCE(zn_{i} <> zc, TRUE)" for i in range(8))
+    return focal_pivot3_raw(cells).selectExpr(
+        "row", "col",
+        f"CASE WHEN {cond} THEN zc ELSE 0.0 END AS value")
+
+
+def raster_perimeter(cells: DataFrame, meta: GridMeta) -> DataFrame:
+    """RasterPerimeter (gis_analysis/raster_perimeter.rs): per raster
+    class, the Prewitt-Mendelsohn perimeter estimate — sum over the
+    class's cells of LUT[bitmask of same-valued D8 neighbors] times the
+    (mean) grid resolution. Output (value, perimeter)."""
+    from .hydro import focal_pivot3_raw
+
+    res = (meta.resolution_x + meta.resolution_y) / 2.0
+    idx = " + ".join(
+        f"(CASE WHEN COALESCE(zn_{i} = zc, FALSE) THEN {1 << i} ELSE 0 END)"
+        for i in range(8))
+    arr = ", ".join(f"{v}e0" for v in _PERIMETER_LUT)
+    return focal_pivot3_raw(cells).selectExpr(
+        "zc AS value",
+        f"ELEMENT_AT(ARRAY({arr}), ({idx}) + 1) * {res!r} AS __p"
+    ).groupBy("value").agg(F.sum("__p").alias("perimeter"))
+
+
+def filter_raster_features_by_area(cells: DataFrame, meta: GridMeta,
+                                   threshold_cells: int,
+                                   background: float = 0.0) -> DataFrame:
+    """FilterRasterFeaturesByArea (gis_analysis/
+    filter_raster_features_by_area.rs): connected patches (equal-value,
+    8-connected) smaller than `threshold_cells` are replaced with the
+    background value."""
+    from .clump import clump as clump_op
+
+    lbl = clump_op(cells, meta.columns, diag=True)
+    sizes = lbl.groupBy("clump_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (lbl.join(sizes, "clump_id")
+            .selectExpr("row", "col",
+                        f"CASE WHEN __n < {int(threshold_cells)} "
+                        f"THEN {float(background)!r} "
+                        f"ELSE value END AS value"))
+
+
+def rescale_value_range(cells: DataFrame, new_min: float,
+                        new_max: float) -> DataFrame:
+    """RescaleValueRange (math_stat_analysis/rescale_value_range.rs):
+    new_min + (z - min) / (max - min) * (new_max - new_min)."""
+    stats = cells.agg(F.min("value").alias("__mn"),
+                      F.max("value").alias("__mx"))
+    lo, hi = float(new_min), float(new_max)
+    return cells.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col",
+        f"CASE WHEN __mx > __mn THEN {lo!r} + (value - __mn) "
+        f"/ (__mx - __mn) * ({hi!r} - {lo!r}) ELSE value END AS value")
