@@ -1714,6 +1714,28 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_voronoi(spark, sf):
+    """Half-plane-clipped Voronoi cells — rows-only + pytest
+    (nearest-site containment)."""
+    pts = _points(spark, sf).where("record_num % 211 = 0") \
+                            .select("record_num", "x", "y")
+    return VO.voronoi_diagram(pts, (0.0, 0.0, 1000.0, 1000.0))
+
+
+def _q_layer_footprint(spark, sf):
+    from whitebox_tools_spark.operators import data_tools as DT
+
+    return DT.layer_footprint(_points(spark, sf))
+
+
+def _q_reinit_attribute_table(spark, sf):
+    from whitebox_tools_spark.operators import data_tools as DT
+
+    out = DT.reinitialize_attribute_table(_shapes(spark, sf))
+    return out.selectExpr("shape_id", "SIZE(parts) AS n_parts",
+                          "SIZE(parts[0].ring) AS n_vertices")
+
+
 def _q_find_patch_edge_cells(spark, sf):
     return R.find_patch_edge_cells(_ras(spark, sf, "b"), _META100)
 
@@ -3616,6 +3638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_raster_features": _q_filter_raster_features,
         "rescale_value_range": _q_rescale_value_range,
         "flow_accum_full_workflow": _q_flow_accum_full_workflow,
+        "voronoi": _q_voronoi,
+        "layer_footprint": _q_layer_footprint,
+        "reinit_attribute_table": _q_reinit_attribute_table,
     }
 
 
@@ -7453,6 +7478,15 @@ def _r4d_oracles() -> dict[str, str]:
         f"SELECT c.row, c.col, CASE WHEN sz.n < 5 THEN -1.0 "
         f"ELSE c.value END AS value "
         f"FROM c JOIN lab ON c.id = lab.id JOIN sz ON lab.rep = sz.rep")
+    ret["layer_footprint"] = (
+        f"WITH pts AS ({_PTS_SQL}) SELECT MIN(x) AS xmin, MIN(y) AS ymin, "
+        f"MAX(x) AS xmax, MAX(y) AS ymax FROM pts")
+    ret["reinit_attribute_table"] = (
+        f"WITH base AS ({_SHAPES_BASE}), "
+        f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+        f"ELSE {_DIAM_DUCK} END AS ring FROM base) "
+        f"SELECT shape_id, 1 AS n_parts, "
+        f"CAST(len(ring) AS INT) AS n_vertices FROM rs")
     ret["rescale_value_range"] = (
         f"WITH {ras_a}, st AS (SELECT MIN(value) AS mn, MAX(value) AS mx "
         f"FROM ras_a) SELECT row, col, CASE WHEN mx > mn THEN 0.0 "

@@ -134,3 +134,37 @@ def test_remove_polygon_holes(spark):
     assert out[1][0]["part_idx"] == 0
     assert [(v["x"], v["y"]) for v in out[1][0]["ring"]] == RECT
     assert len(out[2]) == 1
+
+
+def test_voronoi_diagram(spark):
+    """Every extent sample point lies in the Voronoi cell of its
+    nearest site."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    sites = [(i, float(x), float(y)) for i, (x, y) in
+             enumerate(rng.uniform(10, 90, size=(8, 2)))]
+    pts = spark.createDataFrame(sites, "record_num long, x double, y double")
+    rows = VO.voronoi_diagram(pts, (0.0, 0.0, 100.0, 100.0)).collect()
+    cells = {}
+    for r in rows:
+        cells.setdefault(r["record_num"], []).append((r["x"], r["y"]))
+
+    def inside(poly, px, py):
+        n = len(poly)
+        ok = True
+        for i in range(n):
+            ax, ay = poly[i]
+            bx, by = poly[(i + 1) % n]
+            if (bx - ax) * (py - ay) - (by - ay) * (px - ax) < -1e-6:
+                ok = False
+        return ok
+
+    assert len(cells) == 8
+    for qx, qy in rng.uniform(5, 95, size=(40, 2)):
+        best = min(sites, key=lambda s: (s[1] - qx) ** 2 + (s[2] - qy) ** 2)
+        assert inside(cells[best[0]], qx, qy), (qx, qy)
+    # cells cover the extent corners too
+    for cx, cy in ((0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)):
+        best = min(sites, key=lambda s: (s[1] - cx) ** 2 + (s[2] - cy) ** 2)
+        assert inside(cells[best[0]], cx, cy)

@@ -196,3 +196,26 @@ def attribute_histogram(table: DataFrame, field: str) -> DataFrame:
             f"/ {width!r}) AS BIGINT) AS bin")
         .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def layer_footprint(features_or_points, id_col: str | None = None):
+    """LayerFootprint (gis_analysis/layer_footprint.rs): the axis-
+    aligned bounding rectangle of the whole layer as one feature.
+    Output (xmin, ymin, xmax, ymax). Works on any df with x/y columns
+    or a features table (nodes are extracted first)."""
+    from pyspark.sql import functions as F
+
+    df = features_or_points
+    if "x" not in df.columns:
+        from .vector_ops import extract_nodes
+
+        df = extract_nodes(df, id_col or "shape_id")
+    return df.agg(F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+                  F.max("x").alias("xmax"), F.max("y").alias("ymax"))
+
+
+def reinitialize_attribute_table(features, id_col: str = "shape_id"):
+    """ReinitializeAttributeTable (data_tools/
+    reinitialize_attribute_table.rs): drop every attribute except the
+    FID — geometry (parts) passes through untouched."""
+    return features.select(id_col, "parts")

@@ -1346,3 +1346,70 @@ def deviation_from_regional_direction(features: DataFrame,
         id_col,
         f"CASE WHEN ({dev}) > 90.0 THEN 180.0 - ({dev}) "
         f"ELSE ({dev}) END AS deviation")
+
+
+def voronoi_diagram(points: DataFrame, extent: tuple[float, float, float, float],
+                    id_col: str = "record_num",
+                    x: str = "x", y: str = "y") -> DataFrame:
+    """VoronoiDiagram (gis_analysis/voronoi_diagram.rs): the Voronoi
+    cell polygon of every point, clipped to `extent` (xmin, ymin, xmax,
+    ymax). Per-point half-plane clipping of the extent rectangle
+    against the perpendicular bisectors.
+
+    Plan: points broadcast, one Arrow batch kernel per partition. At
+    scale, restrict the bisector candidates to Delaunay neighbors (the
+    tin.py tile kernels); the half-plane clip itself is unchanged.
+    Output (id, vertex_idx, x, y) with vertices in counter-clockwise
+    order."""
+    import numpy as np
+    import pandas as pd
+
+    xmin, ymin, xmax, ymax = (float(v) for v in extent)
+    pts = [(int(r[0]), float(r[1]), float(r[2]))
+           for r in points.select(id_col, x, y).collect()]
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast(pts)
+    schema = StructType([
+        StructField(id_col, LongType(), False),
+        StructField("vertex_idx", IntegerType(), False),
+        StructField("x", DoubleType(), False),
+        StructField("y", DoubleType(), False),
+    ])
+
+    def clip_halfplane(poly, a, b, c):
+        # keep points with a*x + b*y <= c
+        out = []
+        n = len(poly)
+        for i in range(n):
+            px, py = poly[i]
+            qx, qy = poly[(i + 1) % n]
+            pin = a * px + b * py <= c + 1e-12
+            qin = a * qx + b * qy <= c + 1e-12
+            if pin:
+                out.append((px, py))
+            if pin != qin:
+                t = (c - a * px - b * py) / (a * (qx - px) + b * (qy - py))
+                out.append((px + t * (qx - px), py + t * (qy - py)))
+        return out
+
+    def run(batches):
+        allp = bc.value
+        for pdf in batches:
+            rows = []
+            for pid, px, py in zip(pdf[id_col], pdf[x], pdf[y]):
+                poly = [(xmin, ymin), (xmax, ymin), (xmax, ymax),
+                        (xmin, ymax)]
+                for qid, qx, qy in allp:
+                    if qid == pid:
+                        continue
+                    # bisector half-plane containing p
+                    a, b = qx - px, qy - py
+                    c = (qx * qx - px * px + qy * qy - py * py) / 2.0
+                    poly = clip_halfplane(poly, a, b, c)
+                    if not poly:
+                        break
+                for i, (vx, vy) in enumerate(poly):
+                    rows.append((int(pid), i, float(vx), float(vy)))
+            yield pd.DataFrame(rows, columns=[id_col, "vertex_idx", "x", "y"])
+
+    return points.select(id_col, x, y).mapInPandas(run, schema=schema)
