@@ -1714,6 +1714,13 @@ def _sig_points(spark, sf):
         "record_num AS point_id", "x", "y")
 
 
+def _q_hypso_tinted_hillshade(spark, sf):
+    """Multidirectional hillshade + palette tint — trig chain;
+    rows-only + pytest shape/range gates."""
+    return FO.hypsometrically_tinted_hillshade(_ras(spark, sf, "a"),
+                                               _META100)
+
+
 def _q_voronoi(spark, sf):
     """Half-plane-clipped Voronoi cells — rows-only + pytest
     (nearest-site containment)."""
@@ -3641,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi": _q_voronoi,
         "layer_footprint": _q_layer_footprint,
         "reinit_attribute_table": _q_reinit_attribute_table,
+        "hypso_tinted_hillshade": _q_hypso_tinted_hillshade,
     }
 
 

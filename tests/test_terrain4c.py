@@ -170,3 +170,25 @@ def test_signature_matches_multiscale_argmax(spark):
     dev_sig = FO.max_elev_dev_signature(cells, META, pts, [1, 2])
     got = {(r["point_id"], r["scale"]): r["value"] for r in dev_sig.collect()}
     assert len(got) == 4
+
+
+def test_hypsometrically_tinted_hillshade(spark):
+    rng = np.random.RandomState(99)
+    z = np.round(rng.uniform(0, 200, size=(8, 8)), 1)
+    rows = FO.hypsometrically_tinted_hillshade(_cells(spark, z), META) \
+        .collect()
+    assert len(rows) == 64
+    for r in rows:
+        for ch in ("red", "green", "blue"):
+            assert 0 <= r[ch] <= 255
+        packed = int(r["value"])
+        assert packed & 0xFF == r["red"]
+        assert (packed >> 8) & 0xFF == r["green"]
+        assert (packed >> 16) & 0xFF == r["blue"]
+        assert (packed >> 24) & 0xFF == 255
+    # low-elevation cells tint toward the palette's green first stop:
+    # find the lowest and highest cells and compare green dominance
+    by_cell = {(r["row"], r["col"]): r for r in rows}
+    lo = min(by_cell, key=lambda k: z[k])
+    hi = max(by_cell, key=lambda k: z[k])
+    assert by_cell[lo]["green"] >= by_cell[lo]["red"]  # greenish lowland

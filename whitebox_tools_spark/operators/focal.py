@@ -2286,3 +2286,107 @@ def max_anisotropy_dev(cells: DataFrame, meta: GridMeta,
     return u.groupBy("row", "col").agg(
         F.expr("MIN_BY(a, STRUCT(-a, scale))").alias("value"),
         F.expr("MIN_BY(scale, STRUCT(-a, scale))").alias("scale"))
+
+
+_HYPSO_PALETTES = {
+    # hypsometrically_tinted_hillshade.rs:648-700 (f32 stop tables)
+    "atlas": [(72.0, 135.0, 55.0), (226.0, 219.0, 171.0),
+              (228.0, 180.0, 123.0)],
+    "high_relief": [(72.0, 135.0, 55.0), (226.0, 219.0, 171.0),
+                    (228.0, 180.0, 123.0), (182.0, 156.0, 144.0),
+                    (255.0, 255.0, 255.0)],
+    "arid": [(119.0, 101.0, 91.0), (254.0, 213.0, 132.0),
+             (254.0, 252.0, 231.0)],
+    "soft": [(154.0, 206.0, 111.0), (255.0, 254.0, 211.0),
+             (255.0, 160.0, 100.0)],
+}
+
+
+def _binned_clip_bounds(df: DataFrame, value_col: str,
+                        clip_percent: float) -> tuple[float, float]:
+    """The reference's 32768-bin histogram percentile clip
+    (hypsometrically_tinted_hillshade.rs:586-631): walk the bins from
+    each end until the running count exceeds num_cells * clip_percent;
+    bound = min + (bin / 32768) * range."""
+    stats = df.agg(F.min(value_col).alias("mn"), F.max(value_col).alias("mx"),
+                   F.count(F.lit(1)).alias("n")).first()
+    mn, mx, n = stats["mn"], stats["mx"], stats["n"]
+    if mx <= mn:
+        return mn, mx
+    rng = mx - mn
+    hist = (df.selectExpr(
+        f"LEAST(CAST(({value_col} - {mn!r}) / {rng!r} * 32768.0 AS INT), "
+        f"32767) AS b")
+        .groupBy("b").count().orderBy("b").collect())
+    target = n * clip_percent
+    cum = 0
+    lo = 0
+    for r in hist:
+        cum += r["count"]
+        if cum > target:
+            lo = r["b"]
+            break
+    cum = 0
+    hi = 32767
+    for r in reversed(hist):
+        cum += r["count"]
+        if cum > target:
+            hi = r["b"]
+            break
+    return mn + (lo / 32768.0) * rng, mn + (hi / 32768.0) * rng
+
+
+def hypsometrically_tinted_hillshade(cells: DataFrame, meta: GridMeta,
+                                     altitude: float = 45.0,
+                                     hs_weight: float = 0.5,
+                                     atmospheric: float = 0.0,
+                                     palette: str = "atlas",
+                                     full_360: bool = False,
+                                     z_factor: float = 1.0) -> DataFrame:
+    """HypsometricallyTintedHillshade (terrain_analysis/
+    hypsometrically_tinted_hillshade.rs): multidirectional hillshade
+    blended with an elevation tint — elevation and hillshade both
+    percentile-clipped at 0.5% via the reference's 32768-bin histogram
+    rule, the tint linearly interpolated through the palette stops, and
+    rgb = shadow_base * (1 - p) + relief * p with p = (1 - hs_weight) +
+    hs_weight * hs_proportion, then the atmospheric haze mix.
+
+    Deviation: the reference dithers the atmospheric alpha with
+    thread_rng noise; this engine applies the deterministic alpha
+    (identical when atmospheric == 0, the default). Output (row, col,
+    red, green, blue, value) with value the packed ARGB double."""
+    hs = multidirectional_hillshade(cells, meta, altitude, full_360,
+                                    z_factor).withColumnRenamed("value", "hsv")
+    e_lo, e_hi = _binned_clip_bounds(cells, "value", 0.005)
+    h_lo, h_hi = _binned_clip_bounds(hs, "hsv", 0.005)
+    stops = _HYPSO_PALETTES[palette]
+    k = len(stops)
+    step = 1.0 / (k - 1)
+    # piecewise-linear palette interpolation over the clipped proportion
+    ep = (f"LEAST(GREATEST((value - {e_lo!r}) / ({e_hi!r} - {e_lo!r}), "
+          f"0.0), 1.0)")
+    def channel(idx):
+        expr = f"{stops[k - 1][idx]!r}"
+        for i in range(k - 2, -1, -1):
+            seg = (f"({stops[i][idx]!r} + (({ep}) - {i * step!r}) "
+                   f"/ {step!r} * ({stops[i + 1][idx]!r} - {stops[i][idx]!r}))")
+            expr = f"CASE WHEN ({ep}) <= {(i + 1) * step!r} THEN FLOOR({seg}) ELSE {expr} END"
+        return expr
+
+    hsp = (f"LEAST(GREATEST((hsv - {h_lo!r}) / ({h_hi!r} - {h_lo!r}), 0.0), "
+           f"1.0)")
+    p = f"({1.0 - hs_weight!r} + {hs_weight!r} * ({hsp}))"
+    alpha = f"({atmospheric!r} * (1.0 - ({ep})))"
+    atm = {0: 185.0, 1: 220.0, 2: 255.0}
+    shadow = {0: 1.0, 1: 25.0, 2: 50.0}
+    chans = []
+    for idx, name in ((0, "red"), (1, "green"), (2, "blue")):
+        mixed = (f"(({shadow[idx]!r} * (1.0 - {p}) + ({channel(idx)}) * {p}) "
+                 f"* (1.0 - {alpha}) + {alpha} * {atm[idx]!r})")
+        chans.append(f"LEAST(CAST({mixed} AS BIGINT), 255) AS {name}")
+    j = cells.join(hs, ["row", "col"])
+    out = j.selectExpr("row", "col", "value", "hsv").selectExpr(
+        "row", "col", *chans)
+    return out.selectExpr(
+        "row", "col", "red", "green", "blue",
+        "CAST(4278190080 + blue * 65536 + green * 256 + red AS DOUBLE) AS value")
