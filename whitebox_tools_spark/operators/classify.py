@@ -4,8 +4,8 @@ Reference anchors:
 - KMeansClustering: image_analysis/k_means_clustering.rs (initial
   centroids spread across each band's range, Lloyd iterations,
   convergence on percent-changed threshold)
-- ModifiedKMeansClustering: image_analysis/modified_k_means_clustering
-  .rs (clusters can merge/split against min-size + max-sd thresholds)
+- ModifiedKMeansClustering:
+  image_analysis/modified_k_means_clustering.rs (clusters can merge/split against min-size + max-sd thresholds)
 
 Spark plan: the cell table carries one column per band; every
 iteration is one broadcast of the k centroid rows into a

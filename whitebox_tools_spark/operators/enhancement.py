@@ -330,8 +330,8 @@ def gaussian_ref_cdf(num_tones: int = 256) -> list[tuple]:
 
 def gaussian_contrast_stretch(cells: DataFrame,
                               num_tones: int = 256) -> DataFrame:
-    """GaussianContrastStretch (image_analysis/gaussian_contrast_stretch
-    .rs): histogram the image into ceil(max(range, 2048)) bins, take
+    """GaussianContrastStretch (
+    image_analysis/gaussian_contrast_stretch.rs): histogram the image into ceil(max(range, 2048)) bins, take
     each cell's empirical CDF value, and map it onto a discrete
     Gaussian reference CDF over x in [-3, 3] (num_tones steps) with
     linear interpolation between reference steps.

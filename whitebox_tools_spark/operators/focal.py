@@ -2067,8 +2067,8 @@ def find_ridges(cells: DataFrame, meta: GridMeta,
 
 def highpass_bilateral_filter(cells: DataFrame, sigma_dist: float = 0.75,
                               sigma_int: float = 1.0) -> DataFrame:
-    """HighPassBilateralFilter (image_analysis/highpass_bilateral_filter
-    .rs): z minus the bilateral-filtered value (the reference's
+    """HighPassBilateralFilter (
+    image_analysis/highpass_bilateral_filter.rs): z minus the bilateral-filtered value (the reference's
     `z - z_final`)."""
     bf = bilateral_filter(cells, sigma_dist, sigma_int) \
         .withColumnRenamed("value", "__bf")

@@ -1460,8 +1460,8 @@ def nbr_count_value_expr(op: str) -> str:
 
 
 def num_downslope_neighbours(cells: DataFrame, meta: GridMeta) -> DataFrame:
-    """NumDownslopeNeighbours (terrain_analysis/num_downslope_neighbours
-    .rs): count of the 8 neighbors strictly below the center elevation;
+    """NumDownslopeNeighbours (
+    terrain_analysis/num_downslope_neighbours.rs): count of the 8 neighbors strictly below the center elevation;
     out-of-grid neighbors are skipped. One pivot, pure codegen."""
     return focal_pivot3_raw(cells).selectExpr(
         "row", "col", f"{nbr_count_value_expr('<')} AS value")
@@ -1621,8 +1621,8 @@ def _walk_to_stream(cells: DataFrame, meta: GridMeta, threshold: float,
 
 def elevation_above_stream(cells: DataFrame, meta: GridMeta,
                            threshold: float) -> DataFrame:
-    """ElevationAboveStream / HAND (hydro_analysis/elevation_above_stream
-    .rs, Renno 2008): z - z(first stream cell on the D8 flow path);
+    """ElevationAboveStream / HAND (
+    hydro_analysis/elevation_above_stream.rs, Renno 2008): z - z(first stream cell on the D8 flow path);
     stream cells are 0; cells whose path never reaches a stream emit no
     row (the reference assigns nodata)."""
     c = meta.columns
@@ -2064,8 +2064,8 @@ def stream_power_index(cells: DataFrame, meta: GridMeta,
 def sediment_transport_index(cells: DataFrame, meta: GridMeta,
                              sca_exponent: float = 0.4,
                              slope_exponent: float = 1.3) -> DataFrame:
-    """SedimentTransportIndex (terrain_analysis/sediment_transport_index
-    .rs:30): (n+1) * (SCA/22.13)^n * (sin(beta)/0.0896)^m with
+    """SedimentTransportIndex (
+    terrain_analysis/sediment_transport_index.rs:30): (n+1) * (SCA/22.13)^n * (sin(beta)/0.0896)^m with
     sin(beta) = tan/sqrt(1 + tan^2). POWER is libm-dependent ->
     rows-only + pytest."""
     from .focal import focal_pivot5, _florinsky_pq
@@ -2411,8 +2411,8 @@ def average_flowpath_slope(cells: DataFrame, meta: GridMeta) -> DataFrame:
 
 def trace_downslope_flowpaths(cells: DataFrame, meta: GridMeta,
                               seeds: DataFrame) -> DataFrame:
-    """TraceDownslopeFlowpaths (hydro_analysis/trace_downslope_flowpaths
-    .rs): follow the D8 path from each seed (row, col) to its terminal;
+    """TraceDownslopeFlowpaths (
+    hydro_analysis/trace_downslope_flowpaths.rs): follow the D8 path from each seed (row, col) to its terminal;
     output the number of seed traces passing through each visited cell
     (unvisited cells are absent)."""
     c = meta.columns

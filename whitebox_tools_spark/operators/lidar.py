@@ -999,8 +999,8 @@ def lidar_idw_interpolation(points: DataFrame, meta, parameter: str = "z",
                             return_number: str = "return_number",
                             num_returns: str = "num_returns",
                             radius: float | None = None) -> DataFrame:
-    """LidarIdwInterpolation (lidar_analysis/lidar_idw_interpolation
-    .rs): the shared IDW gridding plan (knn.idw_interpolation) over a
+    """LidarIdwInterpolation (
+    lidar_analysis/lidar_idw_interpolation.rs): the shared IDW gridding plan (knn.idw_interpolation) over a
     LiDAR cloud, with the reference's parameter selector (elevation /
     intensity / class / scan angle / user data) and first/last-return
     filtering. Named wrapper — the kNN shell-expansion join and the

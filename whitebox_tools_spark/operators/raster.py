@@ -1137,8 +1137,8 @@ def image_regression(x: DataFrame, y: DataFrame) -> DataFrame:
 
 
 def image_autocorrelation(cells: DataFrame, contiguity: str = "rook") -> DataFrame:
-    """ImageAutocorrelation (math_stat_analysis/image_autocorrelation
-    .rs): global Moran's I — I = (n / W) * S_cross / S_var with
+    """ImageAutocorrelation (
+    math_stat_analysis/image_autocorrelation.rs): global Moran's I — I = (n / W) * S_cross / S_var with
     S_cross = sum over neighbor pairs w_ij (x_i - m)(x_j - m), expanded
     to raw moment sums (sum x_i x_j, sum (x_i + x_j), W) so every term
     is an exact integer sum and both engines agree bit-for-bit.
@@ -1167,8 +1167,8 @@ def image_autocorrelation(cells: DataFrame, contiguity: str = "rook") -> DataFra
 
 
 def attribute_correlation(table: DataFrame, fields: list[str]) -> DataFrame:
-    """AttributeCorrelation (math_stat_analysis/attribute_correlation
-    .rs): Pearson correlation matrix of the given numeric attribute
+    """AttributeCorrelation (
+    math_stat_analysis/attribute_correlation.rs): Pearson correlation matrix of the given numeric attribute
     fields — one row per (field_a, field_b) pair, a < b; exact product
     sums (single aggregation)."""
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -1262,8 +1262,8 @@ def narrowness_index(patches: DataFrame, meta: GridMeta) -> DataFrame:
 
 
 def boundary_shape_complexity(patches: DataFrame, meta: GridMeta) -> DataFrame:
-    """BoundaryShapeComplexity (gis_analysis/boundary_shape_complexity
-    .rs semantics): skeletonize each patch (LineThinning), decompose the
+    """BoundaryShapeComplexity (
+    gis_analysis/boundary_shape_complexity.rs semantics): skeletonize each patch (LineThinning), decompose the
     skeleton into links at junction cells, and report the percentage of
     skeleton cells in EXTERIOR links (one endpoint free), excluding the
     two longest exterior links (treated as the main network). Per-patch
@@ -1352,8 +1352,8 @@ def clip_raster_to_polygon(cells: DataFrame, polygons: DataFrame,
 
 def erase_polygon_from_raster(cells: DataFrame, polygons: DataFrame,
                               meta: GridMeta) -> DataFrame:
-    """ErasePolygonFromRaster (gis_analysis/erase_polygon_from_raster
-    .rs): drop cells whose center is inside any polygon (anti join on
+    """ErasePolygonFromRaster (
+    gis_analysis/erase_polygon_from_raster.rs): drop cells whose center is inside any polygon (anti join on
     the same mask)."""
     mask = polygons_to_raster(polygons, meta).select("row", "col")
     return cells.join(mask, ["row", "col"], "left_anti")
@@ -1406,8 +1406,8 @@ def crispness_index(cells: DataFrame) -> DataFrame:
 
 def attribute_scattergram(table: DataFrame, field_x: str,
                           field_y: str) -> DataFrame:
-    """AttributeScattergram (math_stat_analysis/attribute_scattergram
-    .rs): the (x, y) pair table the reference plots — pure projection
+    """AttributeScattergram (
+    math_stat_analysis/attribute_scattergram.rs): the (x, y) pair table the reference plots — pure projection
     (the rendering itself is a client concern)."""
     return table.selectExpr(f"{field_x} AS x", f"{field_y} AS y")
 
@@ -1499,8 +1499,8 @@ def modify_nodata_value(cells: DataFrame, old_nodata: float,
 
 
 def shape_complexity_index_raster(cells: DataFrame) -> DataFrame:
-    """ShapeComplexityIndexRaster (gis_analysis/shape_complexity_raster
-    .rs): per patch-id, the number of horizontal + vertical transect
+    """ShapeComplexityIndexRaster (
+    gis_analysis/shape_complexity_raster.rs): per patch-id, the number of horizontal + vertical transect
     entries (cells whose west / north neighbor differs from the patch
     id) divided by (height + width) of the patch's bounding box; every
     cell of the patch takes the patch's index. Pure equi-joins and an
@@ -1529,8 +1529,8 @@ def shape_complexity_index_raster(cells: DataFrame) -> DataFrame:
 
 
 def elev_relative_to_min_max(cells: DataFrame) -> DataFrame:
-    """ElevRelativeToMinMax (terrain_analysis/elev_relative_to_min_max
-    .rs:290): (z - min) / (max - min) * 100 with the grid-wide extremes.
+    """ElevRelativeToMinMax (
+    terrain_analysis/elev_relative_to_min_max.rs:290): (z - min) / (max - min) * 100 with the grid-wide extremes.
     One broadcast stats join."""
     stats = cells.agg(F.min("value").alias("__mn"),
                       F.max("value").alias("__mx"))

@@ -629,8 +629,8 @@ def _wbt_min_box(pts, criterion="area"):
 
 def minimum_bounding_envelope(features: DataFrame,
                               id_col: str = "shape_id") -> DataFrame:
-    """MinimumBoundingEnvelope (gis_analysis/minimum_bounding_envelope
-    .rs): per-feature axis-aligned extent. Pure groupBy min/max."""
+    """MinimumBoundingEnvelope (
+    gis_analysis/minimum_bounding_envelope.rs): per-feature axis-aligned extent. Pure groupBy min/max."""
     return extract_nodes(features, id_col).groupBy(id_col).agg(
         F.min("x").alias("xmin"), F.min("y").alias("ymin"),
         F.max("x").alias("xmax"), F.max("y").alias("ymax"))
