@@ -256,11 +256,15 @@ def natural_neighbour_values(P: np.ndarray, Z: np.ndarray, tris: np.ndarray,
     if len(tris) == 0:
         return out
     cc = circumcenters(P, tris)
+    # one batched circumcircle test for ALL queries (the per-query
+    # variant re-allocated two ntris vectors per cell — this was the
+    # dominant cost of the round-3 bench's natural_neighbour entry)
+    dxm = cc[None, :, 0] - qx[:, None]
+    dym = cc[None, :, 1] - qy[:, None]
+    bad_mask = dxm * dxm + dym * dym < cc[None, :, 2]
     for qi in range(len(qx)):
         px, py = qx[qi], qy[qi]
-        dx = cc[:, 0] - px
-        dy = cc[:, 1] - py
-        bad = np.nonzero(dx * dx + dy * dy < cc[:, 2])[0]
+        bad = np.nonzero(bad_mask[qi])[0]
         if len(bad) == 0:
             continue
         # q must lie INSIDE some cavity triangle: a query outside the hull
