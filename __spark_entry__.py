@@ -1615,16 +1615,6 @@ def _q_elev_rel_watershed_minmax(spark, sf):
     return HY.elev_relative_to_watershed_min_max(_ras_c(spark, sf), _META40C)
 
 
-def _q_find_low_points(spark, sf):
-    return R.find_lowest_or_highest_points(_ras(spark, sf, "a"), _META100,
-                                           "lowest")
-
-
-def _q_find_high_points(spark, sf):
-    return R.find_lowest_or_highest_points(_ras(spark, sf, "a"), _META100,
-                                           "highest")
-
-
 def _q_find_ridges(spark, sf):
     return FO.find_ridges(_ras(spark, sf, "a"), _META100)
 
@@ -3612,8 +3602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_field": _q_random_field,
         "random_sample": _q_random_sample,
         "elev_rel_watershed_minmax": _q_elev_rel_watershed_minmax,
-        "find_low_points": _q_find_low_points,
-        "find_high_points": _q_find_high_points,
         "find_ridges": _q_find_ridges,
         "spherical_sdn": _q_spherical_sdn,
         "drainage_preserving_smoothing": _q_drainage_preserving_smoothing,
@@ -7175,14 +7163,6 @@ def _terrain4_oracles() -> dict[str, str]:
         f"FROM ras_a, st")
     xx = _META100.x_center_expr("col")
     yy = _META100.y_center_expr("row")
-    ret["find_low_points"] = (
-        f"WITH {ras_a}, r AS (SELECT row, col, value, ROW_NUMBER() OVER "
-        f"(ORDER BY value, row, col) AS rk FROM ras_a) "
-        f"SELECT {xx} AS x, {yy} AS y, value FROM r WHERE rk = 1")
-    ret["find_high_points"] = (
-        f"WITH {ras_a}, r AS (SELECT row, col, value, ROW_NUMBER() OVER "
-        f"(ORDER BY value DESC, row, col) AS rk FROM ras_a) "
-        f"SELECT {xx} AS x, {yy} AS y, value FROM r WHERE rk = 1")
     # find_ridges: D8-order nullable pivot (zn_7 N, zn_3 S, zn_5 W, zn_1 E)
     offs9 = "offs9t AS (SELECT * FROM (VALUES " + ", ".join(
         f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)

@@ -1540,23 +1540,6 @@ def elev_relative_to_min_max(cells: DataFrame) -> DataFrame:
         "ELSE 0.0 END AS value")
 
 
-def find_lowest_or_highest_points(cells: DataFrame, meta: GridMeta,
-                                  which: str = "lowest") -> DataFrame:
-    """FindLowestOrHighestPoints (gis_analysis/
-    find_lowest_or_highest_points.rs): the grid's minimum (or maximum)
-    cell as a point at the cell centre; ties resolve to row-major scan
-    order. Output (x, y, value)."""
-    opt = "MIN_BY" if which == "lowest" else "MAX_BY"
-    key = ("STRUCT(value, -row AS nr, -col AS nc)" if which != "lowest"
-           else "STRUCT(value, row, col)")
-    agg = cells.agg(
-        F.expr(f"{opt}(STRUCT(row, col, value), {key})").alias("b"))
-    return agg.selectExpr(
-        f"{meta.x_center_expr('b.col')} AS x",
-        f"{meta.y_center_expr('b.row')} AS y",
-        "b.value AS value")
-
-
 def slope_vs_elev_plot(cells: DataFrame, meta: GridMeta) -> DataFrame:
     """SlopeVsElevationPlot (terrain_analysis/slope_vs_elev_plot.rs):
     the plot's data table — elevation bins of width (range + 1e-5) /
