@@ -1758,6 +1758,15 @@ def _q_flow_accum_full_workflow(spark, sf):
     return HY.flow_accumulation_full_workflow(_ras_c(spark, sf), _META40C)
 
 
+def _q_embankment_mapping(spark, sf):
+    """Tile+halo Dijkstra/grow kernel — rows-only + pytest."""
+    return HY.embankment_mapping(_ras_c(spark, sf), _META40,
+                                 _segments(spark, sf),
+                                 search_dist=60.0, min_road_width=50.0,
+                                 typical_width=80.0, max_height=40.0,
+                                 max_width=160.0)
+
+
 def _q_burn_streams_at_roads(spark, sf):
     """Crossing-cell min-clamp along the stream mask — rows-only +
     pytest (BFS rounds)."""
@@ -3637,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_footprint": _q_layer_footprint,
         "reinit_attribute_table": _q_reinit_attribute_table,
         "hypso_tinted_hillshade": _q_hypso_tinted_hillshade,
+        "embankment_mapping": _q_embankment_mapping,
     }
 
 

@@ -255,3 +255,26 @@ def test_burn_streams_at_roads(spark):
     # untouched cells pass through
     assert out[(0, 0)] == 50.0
     assert out[(4, 8)] == 15.0
+
+
+def test_embankment_mapping(spark):
+    # flat plain at 10 with a raised east-west road embankment (rows
+    # 4, height +3 over a 1-cell crest); the road line runs along y=45
+    z = np.full((9, 9), 10.0)
+    z[4, :] = 13.0
+    z[3, :] = 11.5
+    z[5, :] = 11.5
+    roads = spark.createDataFrame(
+        [(1, 1.0, 2.0, 45.0, 88.0, 45.0)],
+        "record_num long, value double, x1 double, y1 double, "
+        "x2 double, y2 double")
+    out = _asmap(HY.embankment_mapping(_cells9(spark, z), META9, roads,
+                                       search_dist=20.0,
+                                       min_road_width=12.0,
+                                       typical_width=30.0,
+                                       max_height=4.0,
+                                       max_width=60.0))
+    # the crest row is mapped as embankment
+    assert all(out.get((4, c)) == 1.0 for c in range(9))
+    # the flat plain far from the road is not
+    assert (0, 0) not in out and (8, 8) not in out

@@ -3913,3 +3913,173 @@ def flow_accumulation_full_workflow(cells: DataFrame,
         .withColumnRenamed("value", "accum")
     return (filled.withColumnRenamed("value", "filled_dem")
             .join(ptr, ["row", "col"]).join(acc, ["row", "col"]))
+
+
+def embankment_mapping(cells: DataFrame, meta: GridMeta,
+                       road_segments: DataFrame,
+                       search_dist: float = 2.5,
+                       min_road_width: float = 6.0,
+                       typical_width: float = 30.0,
+                       max_height: float = 2.0,
+                       max_width: float = 60.0,
+                       max_increment: float = 0.05,
+                       spillout_slope: float = 4.0,
+                       tile: int = 64) -> DataFrame:
+    """EmbankmentMapping (terrain_analysis/embankment_mapping.rs:637-848):
+    road cells seed at the off-road elevation maximum within the
+    search window; a bounded Dijkstra (max_width) spreads distance /
+    seed elevation / running |slope|-to-seed (degrees); a second
+    priority grow labels embankment cells by the reference's
+    road-width / height / increment / spillout-slope criteria. The
+    whole computation is local to a max_width-radius ball around road
+    cells, so it runs as a tile+halo numpy kernel (halo = max_width +
+    the seed window; labels are independent of the tiling).
+
+    Deviation: the reference's output!=1 seed dedup reads an
+    order-dependent in-progress raster; this transcription seeds the
+    window argmax unconditionally (duplicate seeds are harmless — both
+    queues dedup on first visit). Output (row, col, value=1.0) for
+    embankment cells; the three width parameters are halved like the
+    reference (:428-430). Gate: rows-only + pytest."""
+    import heapq
+    import math as _m
+
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from .raster import lines_to_raster
+
+    # the reference halves all three width parameters up front (:428-430)
+    min_rw = min_road_width / 2.0
+    typ_w = typical_width / 2.0
+    max_width = max_width / 2.0
+    res = meta.resolution_x
+    seed_search = int(search_dist / res)
+    if seed_search % 2 == 0:
+        seed_search += 1
+    mid = seed_search // 2
+    halo = int(_m.ceil(max_width / min(meta.resolution_x,
+                                       meta.resolution_y))) + mid + 2
+    roads_r = lines_to_raster(road_segments, meta).selectExpr(
+        "row", "col", "CAST(1.0 AS DOUBLE) AS __road")
+    joined = cells.join(roads_r, ["row", "col"], "left") \
+                  .selectExpr("row", "col", "value",
+                              "COALESCE(__road, 0.0) AS road")
+    tiles = (
+        joined.withColumn(
+            "__t",
+            F.expr(
+                f"EXPLODE(ARRAY_DISTINCT(ARRAY("
+                f"STRUCT(CAST(FLOOR((row - {halo}) / {tile}) AS BIGINT) AS tr, CAST(FLOOR((col - {halo}) / {tile}) AS BIGINT) AS tc), "
+                f"STRUCT(CAST(FLOOR((row - {halo}) / {tile}) AS BIGINT) AS tr, CAST(FLOOR((col + {halo}) / {tile}) AS BIGINT) AS tc), "
+                f"STRUCT(CAST(FLOOR((row + {halo}) / {tile}) AS BIGINT) AS tr, CAST(FLOOR((col - {halo}) / {tile}) AS BIGINT) AS tc), "
+                f"STRUCT(CAST(FLOOR((row + {halo}) / {tile}) AS BIGINT) AS tr, CAST(FLOOR((col + {halo}) / {tile}) AS BIGINT) AS tc))))"
+            ),
+        ).selectExpr("__t.tr AS tr", "__t.tc AS tc", "row", "col",
+                     "value", "road")
+    )
+    schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("value", DoubleType(), False),
+    ])
+    dxs, dys = list(D8_DX), list(D8_DY)
+    diag = _m.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    dist_arr = [diag, meta.resolution_x, diag, meta.resolution_y,
+                diag, meta.resolution_x, diag, meta.resolution_y]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        tr = int(pdf["tr"].iloc[0])
+        tc = int(pdf["tc"].iloc[0])
+        r0, c0 = tr * tile - halo, tc * tile - halo
+        hh = ww = tile + 2 * halo
+        z = np.full((hh, ww), np.nan)
+        road = np.zeros((hh, ww), dtype=bool)
+        rr = pdf["row"].to_numpy() - r0
+        cc = pdf["col"].to_numpy() - c0
+        ok = (rr >= 0) & (rr < hh) & (cc >= 0) & (cc < ww)
+        z[rr[ok], cc[ok]] = pdf["value"].to_numpy()[ok]
+        road[rr[ok], cc[ok]] = pdf["road"].to_numpy()[ok] > 0.0
+        out = np.zeros((hh, ww), dtype=bool)
+        distg = np.full((hh, ww), -1.0)
+        seedel = np.full((hh, ww), np.nan)
+        maxslope = np.zeros((hh, ww))
+        pq_d, pq_g = [], []
+        for r in range(hh):
+            for c in range(ww):
+                if not road[r, c] or np.isnan(z[r, c]):
+                    continue
+                maxval, mp = z[r, c], (r, c)
+                for dr in range(-mid, mid + 1):
+                    for dc in range(-mid, mid + 1):
+                        rn, cn = r + dr, c + dc
+                        if (0 <= rn < hh and 0 <= cn < ww
+                                and not road[rn, cn]
+                                and not np.isnan(z[rn, cn])
+                                and z[rn, cn] > maxval):
+                            maxval, mp = z[rn, cn], (rn, cn)
+                out[mp] = True
+                distg[mp] = 0.0
+                seedel[mp] = maxval
+                maxslope[mp] = 0.0
+                heapq.heappush(pq_d, (0.0, mp[0], mp[1]))
+                heapq.heappush(pq_g, (0.0, mp[0], mp[1]))
+        while pq_d:
+            d0, r, c = heapq.heappop(pq_d)
+            sz = seedel[r, c]
+            for n in range(8):
+                rn, cn = r + dys[n], c + dxs[n]
+                if not (0 <= rn < hh and 0 <= cn < ww):
+                    continue
+                if np.isnan(z[rn, cn]) or distg[rn, cn] >= 0.0:
+                    continue
+                d = d0 + dist_arr[n]
+                if d < max_width:
+                    distg[rn, cn] = d
+                    seedel[rn, cn] = sz
+                    es = _m.atan((sz - z[rn, cn]) / d)
+                    maxslope[rn, cn] = max(_m.degrees(abs(es)),
+                                           maxslope[r, c])
+                    heapq.heappush(pq_d, (d, rn, cn))
+        while pq_g:
+            _d0, r, c = heapq.heappop(pq_g)
+            zc = z[r, c]
+            for n in range(8):
+                rn, cn = r + dys[n], c + dxs[n]
+                if not (0 <= rn < hh and 0 <= cn < ww):
+                    continue
+                if np.isnan(z[rn, cn]) or out[rn, cn]:
+                    continue
+                d = distg[rn, cn]
+                if d < 0.0:
+                    continue
+                zn = z[rn, cn]
+                grow = False
+                if d <= min_rw:
+                    grow = True
+                elif d <= max_width:
+                    sz = seedel[rn, cn]
+                    eh = sz - zn
+                    es = _m.degrees(_m.atan(eh / d))
+                    if (d <= typ_w and zc - zn > -max_increment
+                            and eh <= max_height):
+                        if zn <= zc:
+                            grow = True
+                        elif maxslope[rn, cn] < spillout_slope:
+                            grow = True
+                    elif maxslope[rn, cn] - abs(es) <= 1.0 and es >= 0.0:
+                        grow = True
+                if grow:
+                    out[rn, cn] = True
+                    heapq.heappush(pq_g, (d, rn, cn))
+        rows_, cols_ = np.meshgrid(np.arange(hh) + r0, np.arange(ww) + c0,
+                                   indexing="ij")
+        own = ((rows_ >= tr * tile) & (rows_ < (tr + 1) * tile)
+               & (cols_ >= tc * tile) & (cols_ < (tc + 1) * tile) & out)
+        return pd.DataFrame({"row": rows_[own], "col": cols_[own],
+                             "value": np.ones(own.sum())})
+
+    return tiles.groupBy("tr", "tc").applyInPandas(kernel, schema=schema)
