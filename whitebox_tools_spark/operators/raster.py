@@ -740,7 +740,8 @@ def create_plane(spark, meta: GridMeta, gradient: float = 15.0,
 
 def find_lowest_or_highest_points(cells: DataFrame, meta: GridMeta,
                                   out_type: str = "both") -> DataFrame:
-    """FindLowestOrHighestPoints: the min and/or max cell as vector
+    """FindLowestOrHighestPoints (gis_analysis/
+    find_lowest_or_highest_points.rs): the min and/or max cell as vector
     points (x, y, value); ties resolve to row-major scan order."""
     picks = []
     if out_type in ("lowest", "both"):
