@@ -2852,18 +2852,24 @@ def _q_cost_distance(spark, sf):
 
 
 def _q_viewshed(spark, sf):
-    """Viewshed — LOS walk over the broadcast DEM; rows-only
-    (procedural ray sampling; wall/plain semantics pytest-gated)."""
+    """Viewshed — the pure-SQL ray-sample plan is oracle-gated
+    bit-exact (round-4c upgrade): DuckDB replays the identical sample
+    arithmetic with round_even standing in for BROUND; every LOS angle
+    is one exact division per row."""
     from whitebox_tools_spark.operators.visibility import viewshed
 
     return viewshed(_ras_c(spark, sf), _META40C, 20, 20)
 
 
 def _q_horizon_angle(spark, sf):
-    """HorizonAngle — rows-only (atan/libm)."""
+    """HorizonAngle — oracle-gated (round-4c upgrade): the pure-SQL ray
+    plan replays in DuckDB (round_even for BROUND); the max rise/run is
+    a selection of exact per-row divisions, ROUND(6) only for the final
+    ATAN libm call."""
     from whitebox_tools_spark.operators.visibility import horizon_angle
 
-    return horizon_angle(_ras_c(spark, sf), _META40C, azimuth=90.0)
+    return horizon_angle(_ras_c(spark, sf), _META40C, azimuth=90.0) \
+        .selectExpr("row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_strahler(spark, sf):
@@ -7476,6 +7482,81 @@ def _r4d_oracles() -> dict[str, str]:
         f"SELECT c.row, c.col, CASE WHEN sz.n < 5 THEN -1.0 "
         f"ELSE c.value END AS value "
         f"FROM c JOIN lab ON c.id = lab.id JOIN sz ON lab.rep = sz.rep")
+    # viewshed at (20, 20) over the 40x40 gate raster: the Spark plan is
+    # pure SQL (explode ray samples + equi-join), so the oracle is the
+    # same text with round_even for BROUND; every angle is one exact
+    # division per row — bit-portable, no rounding needed
+    vr, vc = 20, 20
+    rx, ry = _META40C.resolution_x, _META40C.resolution_y
+    vdist = (f"SQRT((CAST(row - {vr} AS DOUBLE) * {ry!r}) "
+             f"* (CAST(row - {vr} AS DOUBLE) * {ry!r}) "
+             f"+ (CAST(col - {vc} AS DOUBLE) * {rx!r}) "
+             f"* (CAST(col - {vc} AS DOUBLE) * {rx!r}))")
+    vsd = (f"SQRT((CAST(ir - {vr} AS DOUBLE) * {ry!r}) "
+           f"* (CAST(ir - {vr} AS DOUBLE) * {ry!r}) "
+           f"+ (CAST(ic - {vc} AS DOUBLE) * {rx!r}) "
+           f"* (CAST(ic - {vc} AS DOUBLE) * {rx!r}))")
+    ret["viewshed"] = (
+        f"WITH rc AS ({_RAS_C_SQL}), "
+        f"vz AS (SELECT value + 2.0 AS z0 FROM rc WHERE row = {vr} AND col = {vc}), "
+        f"t AS (SELECT row, col, CAST(row - {vr} AS DOUBLE) AS dr, "
+        f"CAST(col - {vc} AS DOUBLE) AS dc, "
+        f"GREATEST(ABS(row - {vr}), ABS(col - {vc})) AS n, "
+        f"{vdist} AS dist, (value - vz.z0) / NULLIF({vdist}, 0.0) AS tgt "
+        f"FROM rc, vz), "
+        f"s AS (SELECT t.row, t.col, t.tgt, "
+        f"CAST(round_even({vr} + t.dr * (CAST(u.s AS DOUBLE) / CAST(t.n AS DOUBLE)), 0) AS BIGINT) AS ir, "
+        f"CAST(round_even({vc} + t.dc * (CAST(u.s AS DOUBLE) / CAST(t.n AS DOUBLE)), 0) AS BIGINT) AS ic "
+        f"FROM t JOIN LATERAL (SELECT unnest(range(1, t.n)) AS s) u ON TRUE "
+        f"WHERE t.n >= 2), "
+        f"blocked AS (SELECT DISTINCT s.row, s.col FROM s "
+        f"JOIN rc c ON s.ir = c.row AND s.ic = c.col, vz "
+        f"WHERE (c.value - vz.z0) / NULLIF({vsd.replace('ir', 's.ir').replace('ic', 's.ic')}, 0.0) >= s.tgt) "
+        f"SELECT t.row, t.col, CASE WHEN t.dist = 0.0 THEN 1.0 "
+        f"WHEN b.row IS NULL THEN 1.0 ELSE 0.0 END AS value "
+        f"FROM t LEFT JOIN blocked b ON t.row = b.row AND t.col = b.col")
+    # horizon angle, azimuth 90 over the 40x40 gate raster — same
+    # replay strategy as the viewshed oracle
+    import math as _m2
+
+    az = _m2.radians(90.0)
+    step_r, step_c = -_m2.cos(az), _m2.sin(az)
+    rows_n = cols_n = 40
+    smax = int(_m2.hypot(rows_n, cols_n)) + 2
+
+    def _exit(pos, step, n):
+        if step > 0.0:
+            return f"(({n} - 0.5 - {pos}) / {step!r})"
+        if step < 0.0:
+            return f"(({pos} + 0.5) / {-step!r})"
+        return f"CAST({smax} AS DOUBLE)"
+
+    hcap = (f"LEAST(CAST(CEIL(LEAST({_exit('t.row', step_r, rows_n)}, "
+            f"{_exit('t.col', step_c, cols_n)})) AS BIGINT) + 2, {smax})")
+    hd = (f"SQRT((CAST(ir - s.row AS DOUBLE) * {ry!r}) "
+          f"* (CAST(ir - s.row AS DOUBLE) * {ry!r}) "
+          f"+ (CAST(ic - s.col AS DOUBLE) * {rx!r}) "
+          f"* (CAST(ic - s.col AS DOUBLE) * {rx!r}))")
+    hfail = f"NOT (ir >= 0 AND ir < {rows_n} AND ic >= 0 AND ic < {cols_n})"
+    ret["horizon_angle"] = (
+        f"WITH rc AS ({_RAS_C_SQL}), "
+        f"t AS (SELECT row, col, value AS z0, {hcap} AS cap FROM rc t), "
+        f"s0 AS (SELECT t.row, t.col, t.z0, u.s, "
+        f"CAST(round_even(t.row + {step_r!r} * u.s, 0) AS BIGINT) AS ir, "
+        f"CAST(round_even(t.col + {step_c!r} * u.s, 0) AS BIGINT) AS ic "
+        f"FROM t JOIN LATERAL (SELECT unnest(range(1, t.cap + 1)) AS s) u "
+        f"ON TRUE WHERE t.cap >= 1), "
+        f"s AS (SELECT s0.*, {hd.replace('s.row', 's0.row').replace('s.col', 's0.col')} AS d, "
+        f"MIN(CASE WHEN {hfail} THEN s0.s END) OVER (PARTITION BY s0.row, s0.col) AS ff "
+        f"FROM s0), "
+        f"alive AS (SELECT * FROM s WHERE NOT ({hfail}) "
+        f"AND (ff IS NULL OR s < ff) AND d > 0.0), "
+        f"best AS (SELECT a.row, a.col, MAX((c.value - a.z0) / NULLIF(a.d, 0.0)) AS b "
+        f"FROM alive a LEFT JOIN rc c ON a.ir = c.row AND a.ic = c.col "
+        f"GROUP BY 1, 2) "
+        f"SELECT rc.row, rc.col, ROUND(CASE WHEN best.b IS NULL THEN 0.0 "
+        f"ELSE ATAN(best.b) END, 6) AS value "
+        f"FROM rc LEFT JOIN best ON rc.row = best.row AND rc.col = best.col")
     ret["layer_footprint"] = (
         f"WITH pts AS ({_PTS_SQL}) SELECT MIN(x) AS xmin, MIN(y) AS ymin, "
         f"MAX(x) AS xmax, MAX(y) AS ymax FROM pts")
