@@ -1110,7 +1110,9 @@ def _q_split_with_lines(spark, sf):
 def _q_directional_relief(spark, sf):
     """DirectionalRelief (banded ray sweep, bilinear samples). Rows-only;
     slope-plane analytic pytest."""
-    return VIS.directional_relief(_ras_c(spark, sf), _META40C, azimuth=135.0)
+    return VIS.directional_relief(_ras_c(spark, sf), _META40C,
+                                  azimuth=135.0).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_fetch_analysis(spark, sf):
@@ -7557,6 +7559,82 @@ def _r4d_oracles() -> dict[str, str]:
         f"SELECT rc.row, rc.col, ROUND(CASE WHEN best.b IS NULL THEN 0.0 "
         f"ELSE ATAN(best.b) END, 6) AS value "
         f"FROM rc LEFT JOIN best ON rc.row = best.row AND rc.col = best.col")
+    # directional relief / fetch: replay the shared _ray_sweep plan in
+    # DuckDB (bilinear corner weights; relief mean ROUND(6) for sum
+    # reassociation, fetch distances are selections of exact values)
+    def _dl(v: float) -> str:
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "e0"
+
+    def _ray_sweep_sql(azimuth: float, mode: str, increment: float = 0.05) -> str:
+        azr = _m2.radians(azimuth)
+        sr_, sc_ = -_m2.cos(azr), _m2.sin(azr)
+        n_ = 40
+        smax2 = int(_m2.hypot(n_, n_)) + 2
+
+        def ex(pos, step, n):
+            if step > 0.0:
+                return f"(({n - 1} - {pos}) / {_dl(step)})"
+            if step < 0.0:
+                return f"({pos} / {-step!r})"
+            return f"CAST({smax2} AS DOUBLE)"
+
+        cap = (f"LEAST(CAST(CEIL(LEAST({ex('t.row', sr_, n_)}, "
+               f"{ex('t.col', sc_, n_)})) AS BIGINT) + 2, {smax2})")
+        dexp = (f"SQRT(({_dl(sr_)} * u.s * {_dl(ry)}) * ({_dl(sr_)} * u.s * {_dl(ry)}) "
+                f"+ ({_dl(sc_)} * u.s * {_dl(rx)}) * ({_dl(sc_)} * u.s * {_dl(rx)}))")
+        r0e = f"GREATEST(LEAST(CAST(FLOOR(fr) AS BIGINT), {n_ - 1}), 0)"
+        c0e = f"GREATEST(LEAST(CAST(FLOOR(fc) AS BIGINT), {n_ - 1}), 0)"
+        pre = (
+            f"WITH rc AS ({_RAS_C_SQL}), "
+            f"t AS (SELECT row, col, value AS z0, {cap} AS cap FROM rc t), "
+            f"st AS (SELECT t.row, t.col, t.z0, u.s, "
+            f"t.row + {_dl(sr_)} * u.s AS fr, t.col + {_dl(sc_)} * u.s AS fc, "
+            f"{dexp} AS d FROM t "
+            f"JOIN LATERAL (SELECT unnest(range(1, t.cap + 1)) AS s) u ON TRUE "
+            f"WHERE t.cap >= 1), "
+            f"stg0 AS (SELECT * FROM st WHERE fr >= 0.0 AND fr <= {n_ - 1} "
+            f"AND fc >= 0.0 AND fc <= {n_ - 1}), "
+            f"stg AS (SELECT row, col, z0, s, d, {r0e} AS r0, {c0e} AS c0, "
+            f"LEAST({r0e} + 1, {n_ - 1}) AS r1, LEAST({c0e} + 1, {n_ - 1}) AS c1, "
+            f"GREATEST(LEAST(fr - {r0e}, 1.0), 0.0) AS tr, "
+            f"GREATEST(LEAST(fc - {c0e}, 1.0), 0.0) AS tc FROM stg0), "
+            f"crn AS (SELECT row, col, z0, s, d, k.cr, k.ccol, k.w FROM stg, "
+            f"LATERAL (SELECT unnest(["
+            f"{{'cr': r0, 'ccol': c0, 'w': (1.0 - tr) * (1.0 - tc)}}, "
+            f"{{'cr': r0, 'ccol': c1, 'w': (1.0 - tr) * tc}}, "
+            f"{{'cr': r1, 'ccol': c0, 'w': tr * (1.0 - tc)}}, "
+            f"{{'cr': r1, 'ccol': c1, 'w': tr * tc}}], recursive := true) ) k), "
+            f"zed AS (SELECT crn.row, crn.col, crn.z0, crn.s, crn.d, "
+            f"SUM(crn.w * c.value) AS z, COUNT(c.value) AS nc "
+            f"FROM crn LEFT JOIN rc c ON crn.cr = c.row AND crn.ccol = c.col "
+            f"GROUP BY 1, 2, 3, 4, 5), "
+            f"zv AS (SELECT *, (nc = 4 AND z IS NOT NULL) AS valid FROM zed)"
+        )
+        if mode == "relief":
+            core = (
+                f"{pre}, ag AS (SELECT row, col, z0, "
+                f"SUM(CASE WHEN valid THEN z END) AS zs, "
+                f"COUNT(CASE WHEN valid THEN 1 END) AS zc FROM zv GROUP BY 1, 2, 3) "
+                f"SELECT rc.row, rc.col, ROUND(COALESCE(CASE WHEN ag.zc > 0 "
+                f"THEN ag.zs / CAST(ag.zc AS DOUBLE) - ag.z0 ELSE 0.0 END, 0.0), 6) "
+                f"AS value FROM rc LEFT JOIN ag ON rc.row = ag.row AND rc.col = ag.col")
+        else:
+            def dof(sv):
+                return (f"SQRT(({_dl(sr_)} * {sv} * {_dl(ry)}) * ({_dl(sr_)} * {sv} * {_dl(ry)}) "
+                        f"+ ({_dl(sc_)} * {sv} * {_dl(rx)}) * ({_dl(sc_)} * {sv} * {_dl(rx)}))")
+            core = (
+                f"{pre}, ag AS (SELECT row, col, z0, "
+                f"MIN(CASE WHEN valid AND z >= z0 + d * {_dl(increment)} THEN s END) AS hs, "
+                f"MAX(CASE WHEN valid THEN s END) AS ls FROM zv GROUP BY 1, 2, 3) "
+                f"SELECT rc.row, rc.col, COALESCE(CASE WHEN ag.hs IS NOT NULL "
+                f"THEN {dof('ag.hs')} WHEN ag.ls IS NOT NULL THEN -{dof('ag.ls')} "
+                f"ELSE 0.0 END, 0.0) AS value "
+                f"FROM rc LEFT JOIN ag ON rc.row = ag.row AND rc.col = ag.col")
+        return core
+
+    ret["directional_relief"] = _ray_sweep_sql(135.0, "relief")
+    ret["fetch_analysis"] = _ray_sweep_sql(315.0, "fetch")
     ret["layer_footprint"] = (
         f"WITH pts AS ({_PTS_SQL}) SELECT MIN(x) AS xmin, MIN(y) AS ymin, "
         f"MAX(x) AS xmax, MAX(y) AS ymax FROM pts")

@@ -44,6 +44,16 @@ _OUT_SCHEMA = StructType([
 ])
 
 
+
+def _dl(v: float) -> str:
+    """Float literal that parses as DOUBLE on Spark (and DuckDB):
+    scientific notation. A bare long decimal literal parses as DECIMAL
+    and Spark silently reduces scale in decimal arithmetic — enough to
+    flip FLOOR/BROUND boundaries in ray walks."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
 def viewshed(cells: DataFrame, meta: GridMeta, vp_row: int, vp_col: int,
              vp_height: float = 2.0) -> DataFrame:
     """1.0 where the cell center is visible from the (raised) viewpoint,
@@ -68,17 +78,17 @@ def viewshed(cells: DataFrame, meta: GridMeta, vp_row: int, vp_col: int,
         return cells.selectExpr("row", "col", "CAST(0.0 AS DOUBLE) AS value")
     z0 = float(vz[0]["value"]) + vp_height
 
-    dist = (f"SQRT((CAST(row - {vp_row} AS DOUBLE) * {resy!r}) "
-            f"* (CAST(row - {vp_row} AS DOUBLE) * {resy!r}) "
-            f"+ (CAST(col - {vp_col} AS DOUBLE) * {resx!r}) "
-            f"* (CAST(col - {vp_col} AS DOUBLE) * {resx!r}))")
+    dist = (f"SQRT((CAST(row - {vp_row} AS DOUBLE) * {_dl(resy)}) "
+            f"* (CAST(row - {vp_row} AS DOUBLE) * {_dl(resy)}) "
+            f"+ (CAST(col - {vp_col} AS DOUBLE) * {_dl(resx)}) "
+            f"* (CAST(col - {vp_col} AS DOUBLE) * {_dl(resx)}))")
     targets = cells.selectExpr(
         "row", "col",
         f"CAST(row - {vp_row} AS DOUBLE) AS __dr",
         f"CAST(col - {vp_col} AS DOUBLE) AS __dc",
         f"GREATEST(ABS(row - {vp_row}), ABS(col - {vp_col})) AS __n",
         f"{dist} AS __dist",
-        f"(value - {z0!r}) / NULLIF({dist}, 0.0) AS __tgt",
+        f"(value - {_dl(z0)}) / NULLIF({dist}, 0.0) AS __tgt",
     )
     samples = (
         targets.where("__n >= 2")
@@ -92,14 +102,14 @@ def viewshed(cells: DataFrame, meta: GridMeta, vp_row: int, vp_col: int,
             f"/ CAST(__n AS DOUBLE)), 0) AS BIGINT) AS ic",
         )
     )
-    sd = (f"SQRT((CAST(ir - {vp_row} AS DOUBLE) * {resy!r}) "
-          f"* (CAST(ir - {vp_row} AS DOUBLE) * {resy!r}) "
-          f"+ (CAST(ic - {vp_col} AS DOUBLE) * {resx!r}) "
-          f"* (CAST(ic - {vp_col} AS DOUBLE) * {resx!r}))")
+    sd = (f"SQRT((CAST(ir - {vp_row} AS DOUBLE) * {_dl(resy)}) "
+          f"* (CAST(ir - {vp_row} AS DOUBLE) * {_dl(resy)}) "
+          f"+ (CAST(ic - {vp_col} AS DOUBLE) * {_dl(resx)}) "
+          f"* (CAST(ic - {vp_col} AS DOUBLE) * {_dl(resx)}))")
     blocked = (
         samples.join(cells.selectExpr("row AS ir", "col AS ic", "value AS sz"),
                      ["ir", "ic"])
-        .where(f"(sz - {z0!r}) / NULLIF({sd}, 0.0) >= __tgt")
+        .where(f"(sz - {_dl(z0)}) / NULLIF({sd}, 0.0) >= __tgt")
         .select("row", "col").distinct()
         .withColumn("__blocked", F.lit(1))
     )
@@ -141,9 +151,9 @@ def horizon_angle(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
     # nothing; +2 margin for float slack
     def exit_expr(pos: str, step: float, n: int) -> str:
         if step > 0.0:
-            return f"(({n} - 0.5 - {pos}) / {step!r})"
+            return f"(({n} - 0.5 - {pos}) / {_dl(step)})"
         if step < 0.0:
-            return f"(({pos} + 0.5) / {-step!r})"
+            return f"(({pos} + 0.5) / {_dl(-step)})"
         return f"CAST({smax_global} AS DOUBLE)"
 
     cap = (f"LEAST(CAST(CEIL(LEAST({exit_expr('row', step_r, rows_n)}, "
@@ -156,19 +166,19 @@ def horizon_angle(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
                     "EXPLODE(SEQUENCE(1L, __cap)) AS s")
         .selectExpr(
             "row", "col", "__z0", "s",
-            f"CAST(BROUND(row + {step_r!r} * s, 0) AS BIGINT) AS ir",
-            f"CAST(BROUND(col + {step_c!r} * s, 0) AS BIGINT) AS ic",
+            f"CAST(BROUND(row + {_dl(step_r)} * s, 0) AS BIGINT) AS ir",
+            f"CAST(BROUND(col + {_dl(step_c)} * s, 0) AS BIGINT) AS ic",
         )
         .selectExpr(
             "row", "col", "__z0", "s", "ir", "ic",
-            f"SQRT((CAST(ir - row AS DOUBLE) * {resy!r}) "
-            f"* (CAST(ir - row AS DOUBLE) * {resy!r}) "
-            f"+ (CAST(ic - col AS DOUBLE) * {resx!r}) "
-            f"* (CAST(ic - col AS DOUBLE) * {resx!r})) AS d",
+            f"SQRT((CAST(ir - row AS DOUBLE) * {_dl(resy)}) "
+            f"* (CAST(ir - row AS DOUBLE) * {_dl(resy)}) "
+            f"+ (CAST(ic - col AS DOUBLE) * {_dl(resx)}) "
+            f"* (CAST(ic - col AS DOUBLE) * {_dl(resx)})) AS d",
         )
     )
     in_grid = f"ir >= 0 AND ir < {rows_n} AND ic >= 0 AND ic < {cols_n}"
-    fail = f"NOT ({in_grid})" if max_dist is None else         f"NOT ({in_grid}) OR d > {float(max_dist)!r}"
+    fail = f"NOT ({in_grid})" if max_dist is None else         f"NOT ({in_grid}) OR d > {_dl(float(max_dist))}"
     from pyspark.sql import Window
 
     w = Window.partitionBy("row", "col")
@@ -346,32 +356,40 @@ def _ray_sweep(cells: DataFrame, meta: GridMeta, azimuth: float,
     else:
         smax_global = int(math.hypot(rows_n, cols_n)) + 2
 
+    def _dl(v: float) -> str:
+        # scientific notation parses as DOUBLE; a bare 17-digit literal
+        # becomes DECIMAL and Spark silently REDUCES SCALE in decimal
+        # arithmetic — the ray positions then drift by ~1e-16 per step,
+        # which flips FLOOR/BROUND boundaries
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "e0"
+
     def exit_expr(pos: str, step: float, n: int) -> str:
         # last s with 0 <= pos + step*s <= n-1 (monotone crossing)
         if step > 0.0:
-            return f"(({n - 1} - {pos}) / {step!r})"
+            return f"(({n - 1} - {pos}) / {_dl(step)})"
         if step < 0.0:
-            return f"({pos} / {-step!r})"
+            return f"({pos} / {_dl(-step)})"
         return f"CAST({smax_global} AS DOUBLE)"
 
     cap = (f"LEAST(CAST(CEIL(LEAST({exit_expr('row', step_r, rows_n)}, "
            f"{exit_expr('col', step_c, cols_n)})) AS BIGINT) + 2L, "
            f"{smax_global}L)")
-    d_expr = (f"SQRT(({step_r!r} * s * {resy!r}) * ({step_r!r} * s * {resy!r}) "
-              f"+ ({step_c!r} * s * {resx!r}) * ({step_c!r} * s * {resx!r}))")
+    d_expr = (f"SQRT(({_dl(step_r)} * s * {_dl(resy)}) * ({_dl(step_r)} * s * {_dl(resy)}) "
+              f"+ ({_dl(step_c)} * s * {_dl(resx)}) * ({_dl(step_c)} * s * {_dl(resx)}))")
     steps = (
         cells.selectExpr("row", "col", "value AS __z0", f"{cap} AS __cap")
         .where("__cap >= 1")
         .selectExpr("row", "col", "__z0", "EXPLODE(SEQUENCE(1L, __cap)) AS s")
         .selectExpr("row", "col", "__z0", "s",
-                    f"row + {step_r!r} * s AS fr",
-                    f"col + {step_c!r} * s AS fc",
+                    f"row + {_dl(step_r)} * s AS fr",
+                    f"col + {_dl(step_c)} * s AS fc",
                     f"{d_expr} AS d")
         .where(f"fr >= 0.0 AND fr <= {rows_n - 1} "
                f"AND fc >= 0.0 AND fc <= {cols_n - 1}")
     )
     if max_dist is not None:
-        steps = steps.where(f"d <= {float(max_dist)!r}")
+        steps = steps.where(f"d <= {_dl(float(max_dist))}")
     # bilinear corners, clipped exactly as the kernel clips
     r0 = f"GREATEST(LEAST(CAST(FLOOR(fr) AS BIGINT), {rows_n - 1}L), 0L)"
     c0 = f"GREATEST(LEAST(CAST(FLOOR(fc) AS BIGINT), {cols_n - 1}L), 0L)"
@@ -409,15 +427,15 @@ def _ray_sweep(cells: DataFrame, meta: GridMeta, azimuth: float,
             "CASE WHEN zc > 0 THEN zs / CAST(zc AS DOUBLE) - __z0 "
             "ELSE 0.0 END AS value")
     else:
-        hit = f"__valid AND z >= __z0 + d * {float(increment)!r}"
+        hit = f"__valid AND z >= __z0 + d * {_dl(float(increment))}"
         agg = zed.groupBy("row", "col", "__z0").agg(
             F.expr(f"MIN(CASE WHEN {hit} THEN s END)").alias("hs"),
             F.expr("MAX(CASE WHEN __valid THEN s END)").alias("ls"))
         def d_of(sv: str) -> str:
-            return (f"SQRT(({step_r!r} * {sv} * {resy!r}) "
-                    f"* ({step_r!r} * {sv} * {resy!r}) "
-                    f"+ ({step_c!r} * {sv} * {resx!r}) "
-                    f"* ({step_c!r} * {sv} * {resx!r}))")
+            return (f"SQRT(({_dl(step_r)} * {sv} * {_dl(resy)}) "
+                    f"* ({_dl(step_r)} * {sv} * {_dl(resy)}) "
+                    f"+ ({_dl(step_c)} * {sv} * {_dl(resx)}) "
+                    f"* ({_dl(step_c)} * {sv} * {_dl(resx)}))")
         out = agg.selectExpr(
             "row", "col",
             f"CASE WHEN hs IS NOT NULL THEN {d_of('hs')} "
@@ -475,13 +493,13 @@ def visibility_index(cells: DataFrame, meta: GridMeta,
             * len(range(0, meta.columns, res_factor)))
     stations = st_grid.join(
         cells.selectExpr("row AS sr", "col AS sc",
-                         f"value + {float(height)!r} AS z0"),
+                         f"value + {_dl(float(height))} AS z0"),
         ["sr", "sc"], "inner")
 
-    dist = (f"SQRT((CAST(row - sr AS DOUBLE) * {resy!r}) "
-            f"* (CAST(row - sr AS DOUBLE) * {resy!r}) "
-            f"+ (CAST(col - sc AS DOUBLE) * {resx!r}) "
-            f"* (CAST(col - sc AS DOUBLE) * {resx!r}))")
+    dist = (f"SQRT((CAST(row - sr AS DOUBLE) * {_dl(resy)}) "
+            f"* (CAST(row - sr AS DOUBLE) * {_dl(resy)}) "
+            f"+ (CAST(col - sc AS DOUBLE) * {_dl(resx)}) "
+            f"* (CAST(col - sc AS DOUBLE) * {_dl(resx)}))")
     targets = cells.crossJoin(F.broadcast(stations)).selectExpr(
         "sr", "sc", "z0", "row", "col",
         "CAST(row - sr AS DOUBLE) AS __dr",
@@ -503,10 +521,10 @@ def visibility_index(cells: DataFrame, meta: GridMeta,
             "/ CAST(__n AS DOUBLE)), 0) AS BIGINT) AS ic",
         )
     )
-    sd = (f"SQRT((CAST(ir - sr AS DOUBLE) * {resy!r}) "
-          f"* (CAST(ir - sr AS DOUBLE) * {resy!r}) "
-          f"+ (CAST(ic - sc AS DOUBLE) * {resx!r}) "
-          f"* (CAST(ic - sc AS DOUBLE) * {resx!r}))")
+    sd = (f"SQRT((CAST(ir - sr AS DOUBLE) * {_dl(resy)}) "
+          f"* (CAST(ir - sr AS DOUBLE) * {_dl(resy)}) "
+          f"+ (CAST(ic - sc AS DOUBLE) * {_dl(resx)}) "
+          f"* (CAST(ic - sc AS DOUBLE) * {_dl(resx)}))")
     blocked = (
         samples.join(cells.selectExpr("row AS ir", "col AS ic", "value AS sz"),
                      ["ir", "ic"])
@@ -567,15 +585,15 @@ def horizon_angle_multi(cells: DataFrame, meta: GridMeta,
         )
         .selectExpr(
             "azid", "row", "col", "__z0", "s", "ir", "ic",
-            f"SQRT((CAST(ir - row AS DOUBLE) * {resy!r}) "
-            f"* (CAST(ir - row AS DOUBLE) * {resy!r}) "
-            f"+ (CAST(ic - col AS DOUBLE) * {resx!r}) "
-            f"* (CAST(ic - col AS DOUBLE) * {resx!r})) AS d",
+            f"SQRT((CAST(ir - row AS DOUBLE) * {_dl(resy)}) "
+            f"* (CAST(ir - row AS DOUBLE) * {_dl(resy)}) "
+            f"+ (CAST(ic - col AS DOUBLE) * {_dl(resx)}) "
+            f"* (CAST(ic - col AS DOUBLE) * {_dl(resx)})) AS d",
         )
     )
     in_grid = f"ir >= 0 AND ir < {rows_n} AND ic >= 0 AND ic < {cols_n}"
     fail = f"NOT ({in_grid})" if max_dist is None else \
-        f"NOT ({in_grid}) OR d > {float(max_dist)!r}"
+        f"NOT ({in_grid}) OR d > {_dl(float(max_dist))}"
     from pyspark.sql import Window
 
     w = Window.partitionBy("azid", "row", "col")
