@@ -689,9 +689,11 @@ def _q_hillshade(spark, sf):
 
 
 def _q_aspect(spark, sf):
-    """Aspect uses ACOS/libm — not guaranteed bit-identical across
-    engines; rows-only check (kernel parity is pytest-gated)."""
-    return FO.aspect(_ras(spark, sf, "a"), _META100)
+    """Aspect — oracle-gated with ROUND(6) (round-4c upgrade): the
+    Florinsky p/q arithmetic is exact on both engines; only the ACOS
+    libm call needs the rounding guard."""
+    return FO.aspect(_ras(spark, sf, "a"), _META100).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_euclid_dist(spark, sf):
@@ -7179,6 +7181,29 @@ def _terrain4_oracles() -> dict[str, str]:
         f"FROM ras_a) SELECT row, col, CASE WHEN mx > mn THEN "
         f"(value - mn) / (mx - mn) * 100.0 ELSE 0.0 END AS value "
         f"FROM ras_a, st")
+    # aspect over the center-substituted 5x5 pivot (same formula text
+    # as FO.aspect; ROUND(6) for the ACOS libm call)
+    offs25a = "o25a AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // 5 - 2}, {n % 5 - 2})" for n in range(25)
+    ) + ") o(n, dr, dc))"
+    p25a = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}"
+                     for n in range(25))
+    zz25a = ", ".join(f"(COALESCE(z_{n}, z_12) * 1.0) AS z{n}"
+                      for n in range(25))
+    res100a = (_META100.resolution_x + _META100.resolution_y) / 2.0
+    pa, qa = FO._florinsky_pq(res100a)
+    spa, sqa = f"SIGN({pa})", f"SIGN({qa})"
+    asp_formula = (f"(-90.0 * (1.0 - {sqa}) * (1.0 - ABS({spa})) "
+                   f"+ 180.0 * (1.0 + {spa}) "
+                   f"- 180.0 / PI() * {spa} * ACOS(-({qa}) / SQRT({pa} * {pa} + {qa} * {qa})))")
+    ret["aspect"] = (
+        f"WITH {ras_a}, {offs25a}, "
+        f"sc25a AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+        f"o.n AS n, a.value AS nv FROM ras_a a, o25a o), "
+        f"p25ax AS (SELECT row, col, {p25a} FROM sc25a GROUP BY 1, 2), "
+        f"zz AS (SELECT row, col, {zz25a} FROM p25ax WHERE z_12 IS NOT NULL) "
+        f"SELECT row, col, ROUND(CASE WHEN {pa} <> 0.0 THEN {asp_formula} "
+        f"ELSE -1.0 END, 6) AS value FROM zz")
     xx = _META100.x_center_expr("col")
     yy = _META100.y_center_expr("row")
     # find_ridges: D8-order nullable pivot (zn_7 N, zn_3 S, zn_5 W, zn_1 E)
