@@ -1237,14 +1237,23 @@ def _q_fill_missing(spark, sf):
 
 def _q_zlidar_roundtrip(spark, sf):
     """zLidar codec: write the points fixture to .zlidar, read it back
-    (executor-side decode). Rows-only; bit-exact round-trip and
-    LAS-equality pytest-gated (tests/test_formats3.py)."""
+    (executor-side decode). Coordinates pre-floored to the 0.01 LAS
+    grid (the raw fixture coords sit exactly on round-half ties of the
+    0.01 quantizer, where banker's rounding is float-representation
+    dependent); output doubles ROUND(2/3)-canonicalized so the decoded
+    int*scale values hash equal to the DuckDB identity oracle.
+    Bit-exact write->read is pytest-gated (tests/test_formats3.py)."""
     import os
     import tempfile
 
     from whitebox_tools_spark.sources.formats import read_zlidar
     from whitebox_tools_spark.sources.zlidar import write_zlidar
 
+    src = _points(spark, sf).selectExpr(
+        "record_num",
+        "CAST(FLOOR(x * 100) AS DOUBLE) / 100.0 AS x",
+        "CAST(FLOOR(y * 100) AS DOUBLE) / 100.0 AS y",
+        "value").orderBy("record_num").limit(2000)
     pts = [
         {"x": r["x"], "y": r["y"], "value": r["value"],
          "classification": int(r["record_num"] % 8),
@@ -1252,14 +1261,15 @@ def _q_zlidar_roundtrip(spark, sf):
          "num_returns": 3,
          "scan_angle": int(r["record_num"] % 30) - 15,
          "gps_time": 1000.0 + r["record_num"] * 1e-3}
-        for r in _points(spark, sf).orderBy("record_num").limit(2000).collect()
+        for r in src.collect()
     ]
     d = tempfile.mkdtemp(prefix="zlidar_gate_")
     p = os.path.join(d, "gate.zlidar")
     write_zlidar(pts, p)
     return read_zlidar(spark, p).selectExpr(
-        "point_id", "x", "y", "z", "classification", "return_number",
-        "scan_angle", "gps_time")
+        "point_id", "ROUND(x, 2) AS x", "ROUND(y, 2) AS y",
+        "ROUND(z, 2) AS z", "classification", "return_number",
+        "scan_angle", "ROUND(gps_time, 3) AS gps_time")
 
 
 def _q_lidar_tiles_roundtrip(spark, sf):
@@ -3173,10 +3183,12 @@ def _q_lidar_nn_class(spark, sf):
 
 
 def _q_las_ascii_roundtrip(spark, sf):
-    """LasToAscii -> AsciiToLas -> LAS decode: the full transcode chain;
-    the oracle is the source points table (coordinates quantized by the
-    LAS 0.01 scale, value-preserving for the fixture's 2-decimal
-    coords)."""
+    """LasToAscii -> AsciiToLas -> LAS decode: the full transcode chain.
+    Coordinates pre-floored to the 0.01 LAS grid (raw fixture coords
+    are exact round-half ties of the quantizer), decoded doubles
+    ROUND(2)-canonicalized; the oracle re-derives the same values from
+    `events` (the CSV hop is lossless: CAST(double AS STRING) is the
+    shortest round-trip repr)."""
     import shutil
     import tempfile
 
@@ -3185,7 +3197,9 @@ def _q_las_ascii_roundtrip(spark, sf):
 
     pts = (_lps_points(spark, sf)
            .where("record_num % 37 = 0")
-           .selectExpr("record_num AS point_id", "x", "y",
+           .selectExpr("record_num AS point_id",
+                       "CAST(FLOOR(x * 100) AS DOUBLE) / 100.0 AS x",
+                       "CAST(FLOOR(y * 100) AS DOUBLE) / 100.0 AS y",
                        "value AS z", "intensity", "return_number",
                        "num_returns", "classification", "scan_angle")
            .orderBy("point_id"))
@@ -3195,7 +3209,8 @@ def _q_las_ascii_roundtrip(spark, sf):
         TC.las_to_ascii(spark, f"{d}/a.las", f"{d}/a.csv")
         TC.ascii_to_las(spark, f"{d}/a.csv", f"{d}/b.las")
         final = FFm.read_las(spark, f"{d}/b.las") \
-            .selectExpr("point_id", "x", "y", "z", "intensity",
+            .selectExpr("point_id", "ROUND(x, 2) AS x", "ROUND(y, 2) AS y",
+                        "ROUND(z, 2) AS z", "intensity",
                         "classification", "return_number", "num_returns",
                         "scan_angle")
         rows = final.collect()
@@ -7726,6 +7741,241 @@ def _r4d_oracles() -> dict[str, str]:
     return ret
 
 
+def _poly_parts_rows() -> list[tuple[int, int, bool, list[tuple[float, float]]]]:
+    """(polygon_id, part_idx, is_hole, ring) rows of the fixed _POLYS
+    layer, in _polygons_df's part order (shells first, then holes)."""
+    out = []
+    for pid, shells, holes in _POLYS:
+        idx = 0
+        for is_hole, rings in ((False, shells), (True, holes)):
+            for ring in rings:
+                out.append((pid, idx, is_hole, ring))
+                idx += 1
+    return out
+
+
+# 4-vertex hulls (CCW from the lexicographically smallest vertex — the
+# monotone-chain output order) of the rect/diamond shapes, duck dialect.
+_RECT_HULL_DUCK = ("[{'x': cx - hw, 'y': cy - hh}, {'x': cx + hw, 'y': cy - hh}, "
+                   "{'x': cx + hw, 'y': cy + hh}, {'x': cx - hw, 'y': cy + hh}]")
+_DIAM_HULL_DUCK = ("[{'x': cx - hw, 'y': cy}, {'x': cx, 'y': cy - hh}, "
+                   "{'x': cx + hw, 'y': cy}, {'x': cx, 'y': cy + hh}]")
+
+
+def _r5_oracles() -> dict[str, str]:
+    """Round-5 oracles for the formerly rows-only vector/codec queries:
+    closed-form ring algebra over the rect/diamond layer and the fixed
+    _POLYS literals, plus identity oracles for the LAS/zLidar
+    round-trips (the codecs quantize at 0.01 — re-derived in SQL)."""
+    ret: dict[str, str] = {}
+
+    # ---- convex_hull: hull of a rect/diamond is its 4 distinct
+    # vertices, CCW from the lexicographic minimum.
+    ret["convex_hull"] = (
+        f"WITH base AS ({_SHAPES_BASE}), v AS (SELECT shape_id, "
+        f"CASE WHEN kind = 0 THEN {_RECT_HULL_DUCK} ELSE {_DIAM_HULL_DUCK} END AS hull "
+        f"FROM base) "
+        f"SELECT shape_id, CAST(gs.i - 1 AS BIGINT) AS vertex_idx, "
+        f"hull[gs.i].x AS x, hull[gs.i].y AS y FROM v, generate_series(1, 4) gs(i)"
+    )
+
+    # ---- merge_line_segments over CLOSED rings: both endnodes of each
+    # feature coincide, so every endnode cluster holds an even number of
+    # ends per feature (deg 2 only when a feature is alone in its cell);
+    # the degree-2 line graph has no a<b edges and every chain is the
+    # feature's own ring, emitted verbatim.
+    ret["merge_line_segments"] = (
+        f"WITH base AS ({_SHAPES_BASE}), r AS (SELECT shape_id, "
+        f"CASE WHEN kind = 0 THEN {_RECT_DUCK} ELSE {_DIAM_DUCK} END AS ring FROM base) "
+        f"SELECT shape_id, CAST(gs.i - 1 AS INT) AS vertex_idx, "
+        f"ring[gs.i].x AS x, ring[gs.i].y AS y FROM r, generate_series(1, 5) gs(i)"
+    )
+
+    # ---- snap_endnodes(5.0): each endnode takes the coordinates of the
+    # min-shape_id endnode within the radius (the MIN_BY canonical
+    # member); rings are closed so both ends snap identically and the
+    # 3 interior vertices pass through unchanged.
+    ret["snap_endnodes"] = (
+        f"WITH base AS ({_SHAPES_BASE}), "
+        f"s AS (SELECT shape_id, kind, cx, cy, hw, hh, "
+        f"CASE WHEN kind = 0 THEN cx - hw ELSE cx END AS ex, cy - hh AS ey FROM base), "
+        f"sn AS (SELECT a.shape_id, arg_min(b.ex, b.shape_id) AS sx, "
+        f"arg_min(b.ey, b.shape_id) AS sy FROM s a JOIN s b "
+        f"ON (a.ex - b.ex) * (a.ex - b.ex) + (a.ey - b.ey) * (a.ey - b.ey) <= 25.0 "
+        f"GROUP BY a.shape_id), "
+        f"r AS (SELECT s.shape_id, CASE WHEN kind = 0 THEN "
+        f"[{{'x': sx, 'y': sy}}, {{'x': cx + hw, 'y': cy - hh}}, "
+        f"{{'x': cx + hw, 'y': cy + hh}}, {{'x': cx - hw, 'y': cy + hh}}, "
+        f"{{'x': sx, 'y': sy}}] ELSE "
+        f"[{{'x': sx, 'y': sy}}, {{'x': cx + hw, 'y': cy}}, "
+        f"{{'x': cx, 'y': cy + hh}}, {{'x': cx - hw, 'y': cy}}, "
+        f"{{'x': sx, 'y': sy}}] END AS ring FROM s JOIN sn USING (shape_id)) "
+        f"SELECT shape_id, CAST(0 AS INT) AS part_idx, CAST(gs.i - 1 AS INT) AS node_idx, "
+        f"ring[gs.i].x AS x, ring[gs.i].y AS y FROM r, generate_series(1, 5) gs(i)"
+    )
+
+    # ---- clean_vector: no part of the fixed _POLYS layer is degenerate,
+    # so the output is the constant flattened node list.
+    node_rows = ", ".join(
+        f"({pid}, {part_idx}, {ni}, {x!r}, {y!r})"
+        for pid, part_idx, _h, ring in _poly_parts_rows()
+        for ni, (x, y) in enumerate(ring))
+    ret["clean_vector"] = (
+        f"SELECT CAST(s AS BIGINT) AS shape_id, CAST(p AS INT) AS part_idx, "
+        f"CAST(n AS INT) AS node_idx, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y "
+        f"FROM (VALUES {node_rows}) t(s, p, n, x, y)"
+    )
+
+    # ---- sci_vector: SCI = 1 - A/Ah with integer-lattice coordinates,
+    # so every shoelace sum is float-exact in any fold order. Computed
+    # in SQL from the literal rings (shells add, holes subtract; hull
+    # area of the convex shells equals their own shoelace area).
+    shoelace_rows = []
+    for pid, _part_idx, is_hole, ring in _poly_parts_rows():
+        s = sum(ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                for i in range(len(ring) - 1))
+        shoelace_rows.append((pid, abs(s) / 2.0, is_hole))
+    sci_rows = ", ".join(
+        f"({pid}, {a!r}, {h})" for pid, a, h in shoelace_rows)
+    ret["sci_vector"] = (
+        f"WITH p AS (SELECT * FROM (VALUES {sci_rows}) t(pid, a, is_hole)), "
+        f"f AS (SELECT pid, SUM(CASE WHEN is_hole THEN -a ELSE a END) AS area, "
+        f"SUM(CASE WHEN is_hole THEN 0.0 ELSE a END) AS hull_area FROM p GROUP BY pid) "
+        f"SELECT CAST(pid AS BIGINT) AS shape_id, "
+        f"CASE WHEN hull_area > 0.0 THEN 1.0 - area / hull_area ELSE 0.0 END AS complexity "
+        f"FROM f"
+    )
+
+    # ---- intersect_features: convex rect/diamond vs the convex shells
+    # of _POLYS — pair inclusion via the separating-axis theorem (strict
+    # projection overlap on every edge normal of both polygons; exact
+    # boundary contact is impossible on the fixture lattice: shape edge
+    # abscissae are ≡ 5 (mod 10) in 1/1000 units, polygon edges are
+    # integers). Single-part inputs -> n_parts = 1.
+    def _normals(ring):
+        ns = []
+        for i in range(len(ring) - 1):
+            dx = ring[i + 1][0] - ring[i][0]
+            dy = ring[i + 1][1] - ring[i][1]
+            ns.append((-dy, dx))
+        return ns
+
+    clip_axes, clip_verts = [], []
+    for pid, part_idx, is_hole, ring in _poly_parts_rows():
+        if is_hole or part_idx != 0:
+            continue  # the kernel clips by the first shell only
+        for ax, ay in _normals(ring):
+            clip_axes.append(f"({pid}, {float(ax)!r}, {float(ay)!r})")
+        for x, y in ring[:-1]:
+            clip_verts.append(f"({pid}, {x!r}, {y!r})")
+    ret["intersect_features"] = (
+        f"WITH base AS ({_SHAPES_BASE}), "
+        f"va AS (SELECT shape_id, unnest(CASE WHEN kind = 0 THEN {_RECT_HULL_DUCK} "
+        f"ELSE {_DIAM_HULL_DUCK} END) AS v FROM base), "
+        f"vb AS (SELECT * FROM (VALUES {', '.join(clip_verts)}) t(clip_id, x, y)), "
+        f"axb AS (SELECT * FROM (VALUES {', '.join(clip_axes)}) t(clip_id, ax, ay)), "
+        f"axa AS (SELECT shape_id, unnest(CASE WHEN kind = 0 THEN "
+        f"[{{'ax': 1.0, 'ay': 0.0}}, {{'ax': 0.0, 'ay': 1.0}}] ELSE "
+        f"[{{'ax': hh, 'ay': hw}}, {{'ax': hh, 'ay': -hw}}] END) AS a FROM base), "
+        f"ax AS (SELECT s.shape_id, c.clip_id, a.a.ax AS ax, a.a.ay AS ay "
+        f"FROM base s, (SELECT DISTINCT clip_id FROM vb) c, axa a WHERE a.shape_id = s.shape_id "
+        f"UNION SELECT s.shape_id, b.clip_id, b.ax, b.ay FROM base s, axb b), "
+        f"pa AS (SELECT x.shape_id, x.clip_id, x.ax, x.ay, "
+        f"MIN(v.v.x * x.ax + v.v.y * x.ay) AS amn, MAX(v.v.x * x.ax + v.v.y * x.ay) AS amx "
+        f"FROM ax x JOIN va v USING (shape_id) GROUP BY ALL), "
+        f"pb AS (SELECT x.shape_id, x.clip_id, x.ax, x.ay, "
+        f"MIN(w.x * x.ax + w.y * x.ay) AS bmn, MAX(w.x * x.ax + w.y * x.ay) AS bmx "
+        f"FROM ax x JOIN vb w USING (clip_id) GROUP BY ALL), "
+        f"ok AS (SELECT pa.shape_id, pa.clip_id, "
+        f"BOOL_AND(LEAST(amx, bmx) > GREATEST(amn, bmn)) AS hit "
+        f"FROM pa JOIN pb ON pa.shape_id = pb.shape_id AND pa.clip_id = pb.clip_id "
+        f"AND pa.ax = pb.ax AND pa.ay = pb.ay GROUP BY 1, 2) "
+        f"SELECT shape_id, CAST(clip_id AS BIGINT) AS clip_id, CAST(1 AS INT) AS n_parts "
+        f"FROM ok WHERE hit"
+    )
+
+    # ---- split_with_lines: transcription of the pure-SQL Spark plan —
+    # same intersection arithmetic (t = tn/den, ix = ax1 + t*dx), same
+    # (t, ix, iy) cut ordering, same piece/vertex window counters.
+    seg_rows = ", ".join(
+        f"({x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for _pid, _part_idx, _h, ring in _poly_parts_rows()
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]))
+    ret["split_with_lines"] = (
+        f"WITH base AS ({_SHAPES_BASE}), "
+        f"rng AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+        f"ELSE {_DIAM_DUCK} END AS ring FROM base), "
+        f"segs AS (SELECT shape_id, CAST(gs.i - 1 AS BIGINT) AS seg_idx, "
+        f"ring[gs.i].x AS ax1, ring[gs.i].y AS ay1, "
+        f"ring[gs.i + 1].x AS ax2, ring[gs.i + 1].y AS ay2 "
+        f"FROM rng, generate_series(1, 4) gs(i)), "
+        f"ss AS (SELECT * FROM (VALUES {seg_rows}) t(bx1, by1, bx2, by2)), "
+        f"raw AS (SELECT s.*, "
+        f"((ss.bx1 - s.ax1) * (ss.by2 - ss.by1) - (ss.by1 - s.ay1) * (ss.bx2 - ss.bx1)) AS tn, "
+        f"((ss.bx1 - s.ax1) * (s.ay2 - s.ay1) - (ss.by1 - s.ay1) * (s.ax2 - s.ax1)) AS un, "
+        f"((s.ax2 - s.ax1) * (ss.by2 - ss.by1) - (s.ay2 - s.ay1) * (ss.bx2 - ss.bx1)) AS den "
+        f"FROM segs s, ss), "
+        f"tu AS (SELECT shape_id, seg_idx, ax1, ay1, ax2, ay2, "
+        f"tn / den AS t, un / den AS u FROM raw WHERE den <> 0.0), "
+        f"cuts AS (SELECT shape_id, seg_idx, t, ax1 + t * (ax2 - ax1) AS ix, "
+        f"ay1 + t * (ay2 - ay1) AS iy FROM tu "
+        f"WHERE t >= 0.0 AND t <= 1.0 AND u >= 0.0 AND u <= 1.0 AND t > 0.0 AND t < 1.0), "
+        f"chain AS (SELECT shape_id, seg_idx, 0.0 AS t, ax1 AS ix, ay1 AS iy FROM segs "
+        f"UNION ALL SELECT shape_id, seg_idx, t, ix, iy FROM cuts "
+        f"UNION ALL SELECT shape_id, seg_idx, 1.0, ax2, ay2 FROM segs), "
+        f"ord AS (SELECT shape_id, seg_idx, ix, iy, ROW_NUMBER() OVER "
+        f"(PARTITION BY shape_id, seg_idx ORDER BY t, ix, iy) - 1 AS pord FROM chain), "
+        f"sub AS (SELECT shape_id, seg_idx, pord AS cut_i, ix AS x1, iy AS y1, "
+        f"LEAD(ix) OVER w AS x2, LEAD(iy) OVER w AS y2 FROM ord "
+        f"WINDOW w AS (PARTITION BY shape_id, seg_idx ORDER BY pord)), "
+        f"sub2 AS (SELECT * FROM sub WHERE x2 IS NOT NULL AND NOT (x1 = x2 AND y1 = y2)), "
+        f"pieces AS (SELECT *, CAST(SUM(CASE WHEN cut_i > 0 THEN 1 ELSE 0 END) OVER "
+        f"(PARTITION BY shape_id ORDER BY seg_idx, cut_i "
+        f"ROWS UNBOUNDED PRECEDING) AS BIGINT) AS piece_idx FROM sub2), "
+        f"rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shape_id, piece_idx "
+        f"ORDER BY seg_idx, cut_i) AS rn FROM pieces), "
+        f"verts AS (SELECT shape_id, piece_idx, 0 AS sub_idx, x1 AS x, y1 AS y, "
+        f"seg_idx, cut_i FROM rn WHERE rn = 1 "
+        f"UNION ALL SELECT shape_id, piece_idx, rn AS sub_idx, x2, y2, seg_idx, cut_i FROM rn) "
+        f"SELECT shape_id, CAST(0 AS INT) AS part_idx, piece_idx, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY shape_id, piece_idx "
+        f"ORDER BY sub_idx, seg_idx, cut_i) - 1 AS INT) AS vertex_idx, x, y FROM verts"
+    )
+
+    # ---- LAS / zLidar round-trips: identity oracles. Coordinates are
+    # pre-floored to k/100 in the queries; the codecs store
+    # round(x/0.01) = k and decode k*0.01, and ROUND(·, 2) maps both
+    # k*0.01 and FLOOR(x*100)/100 to the double nearest k/100.
+    las_src = (
+        f"WITH src AS (SELECT event_id AS rn, {_PX} AS x, {_PY} AS y "
+        f"FROM events WHERE event_id % 37 = 0)"
+    )
+    ret["las_ascii_roundtrip"] = (
+        f"{las_src} SELECT CAST(ROW_NUMBER() OVER (ORDER BY rn) - 1 AS BIGINT) AS point_id, "
+        f"ROUND(FLOOR(x * 100) / 100.0, 2) AS x, ROUND(FLOOR(y * 100) / 100.0, 2) AS y, "
+        f"ROUND(CAST(rn % 1000 AS DOUBLE), 2) AS z, "
+        f"CAST(rn % 256 AS INT) AS intensity, "
+        f"CAST(rn % 8 AS INT) AS classification, "
+        f"CAST(rn % (rn % 3 + 1) + 1 AS INT) AS return_number, "
+        f"CAST(rn % 3 + 1 AS INT) AS num_returns, "
+        f"CAST(rn % 30 - 15 AS INT) AS scan_angle FROM src"
+    )
+    zl_src = (
+        f"WITH src AS (SELECT event_id AS rn, {_PX} AS x, {_PY} AS y "
+        f"FROM events ORDER BY event_id LIMIT 2000)"
+    )
+    ret["zlidar_roundtrip"] = (
+        f"{zl_src} SELECT CAST(ROW_NUMBER() OVER (ORDER BY rn) - 1 AS BIGINT) AS point_id, "
+        f"ROUND(FLOOR(x * 100) / 100.0, 2) AS x, ROUND(FLOOR(y * 100) / 100.0, 2) AS y, "
+        f"ROUND(CAST(rn % 1000 AS DOUBLE), 2) AS z, "
+        f"CAST(rn % 8 AS INT) AS classification, "
+        f"CAST(rn % 3 + 1 AS INT) AS return_number, "
+        f"CAST(rn % 30 - 15 AS INT) AS scan_angle, "
+        f"ROUND(1000.0 + rn * 1e-3, 3) AS gps_time FROM src"
+    )
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -8083,4 +8333,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": emb_dup_oracle,
         # knn_wbt, ann_lsh: approximate/procedural — rows-only checks.
         **_round3_oracles(),
+        **_r5_oracles(),
     }
