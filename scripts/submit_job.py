@@ -50,13 +50,18 @@ def main() -> None:
                                 extent=(0.0, 1000.0, 0.0, 1000.0))
     result = tiled.groupBy("polygon_id", "tile_id").count()
     result.persist()
-    polygon_keys = sorted(str(r["polygon_id"]) for r in
-                          result.select("polygon_id").distinct().collect())
+    key_values = sorted(r["polygon_id"] for r in
+                        result.select("polygon_id").distinct().collect())
+    polygon_keys = [str(k) for k in key_values]
+    by_key = dict(zip(polygon_keys, key_values))
 
     run = CheckpointedRun(spark, args.out, run_id="flagship")
 
     def job(s, key):
-        return result.where(f"polygon_id = {key}")
+        # typed comparison (not f-string SQL): safe for string-typed ids
+        # and injection-proof for arbitrary fixture data
+        from pyspark.sql import functions as F
+        return result.where(F.col("polygon_id") == F.lit(by_key[key]))
 
     stats = run.run(polygon_keys, job)
     wall = time.time() - t0

@@ -199,15 +199,30 @@ def test_surfer7_saga_roundtrip(spark):
                                          ("UNSIGNEDINT", 16)])
 def test_esri_bil_roundtrip(spark, cells, ptype, nbits):
     df, vals = cells
+    # unsigned pixel types can't represent the default -32768 sentinel:
+    # the writer refuses (instead of silently wrapping the fill), so the
+    # unsigned case carries an in-range nodata.
+    meta_in = META
+    if ptype == "UNSIGNEDINT":
+        import dataclasses
+        meta_in = dataclasses.replace(META, nodata=65535.0)
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "g")
-        FM.write_esri_bil(df, META, p, pixel_type=ptype, nbits=nbits)
+        FM.write_esri_bil(df, meta_in, p, pixel_type=ptype, nbits=nbits)
         back, meta = FM.read_esri_bil(spark, p)
         assert meta.rows == 7 and meta.columns == 9
         assert abs(meta.north - 70.0) < 1e-9 and abs(meta.west - 0.0) < 1e-9
         assert abs(meta.resolution_x - 10.0) < 1e-9
-        assert meta.nodata == -32768.0
+        assert meta.nodata == meta_in.nodata
         assert np.array_equal(_collect(back), vals)
+
+
+def test_esri_bil_rejects_unrepresentable_nodata(spark, cells):
+    df, _vals = cells
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(ValueError, match="not representable"):
+            FM.write_esri_bil(df, META, os.path.join(d, "g"),
+                              pixel_type="UNSIGNEDINT", nbits=16)
 
 
 def test_geotiff_multistrip_roundtrip(spark, cells):

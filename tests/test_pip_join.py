@@ -101,3 +101,41 @@ def test_cellcover_salted_equals_unsalted(spark, points, polys):
            for r in points_in_polygons(points, polys).collect()}
     assert base == ref
     assert salted == ref
+
+
+def test_auto_dispatch_over_cap_layer(spark, points, polys, monkeypatch):
+    """plan='auto' with a layer over MAX_DRIVER_POLYGONS must not
+    collect: it falls through to the cell-cover plan and still matches
+    the broadcast result."""
+    import whitebox_tools_spark.operators.pip_join as PJ
+
+    monkeypatch.setattr(PJ, "MAX_DRIVER_POLYGONS", 2)  # fixture has 5
+    expected = {
+        (r["record_num"], r["polygon_id"])
+        for r in PJ.points_in_polygons_cellcover(points, polys, radius=100.0).collect()
+    }
+    got = {
+        (r["record_num"], r["polygon_id"])
+        for r in PJ.points_in_polygons(points, polys, plan="auto").collect()
+    }
+    assert got == expected
+    with pytest.raises(ValueError, match="MAX_DRIVER_POLYGONS"):
+        PJ.collect_polygons(polys)
+    # explicit plan choice bypasses the cap (caller takes responsibility)
+    assert len(PJ.collect_polygons(polys, max_rows=None)) == polys.count()
+
+
+def test_clip_cellcover_matches_broadcast(spark, points, polys):
+    from whitebox_tools_spark.operators.pip_join import clip_points_cellcover
+
+    kept_b = {r["record_num"] for r in clip_points(points, polys).collect()}
+    kept_c = {r["record_num"]
+              for r in clip_points_cellcover(points, polys, 100.0,
+                                             key=["record_num"]).collect()}
+    erased_b = {r["record_num"] for r in erase_points(points, polys).collect()}
+    erased_c = {r["record_num"]
+                for r in clip_points_cellcover(points, polys, 100.0,
+                                               key=["record_num"],
+                                               erase=True).collect()}
+    assert kept_c == kept_b
+    assert erased_c == erased_b

@@ -161,3 +161,30 @@ def test_lineage_checkpoint_resume(spark, tmp_path):
     assert lin.where(F.col("status").startswith("FAILED")).count() == 1
     # metrics present
     assert lin.where((F.col("status") == "COMPLETED") & (F.col("rows_per_sec") > 0)).count() == 3
+
+
+def test_ngram_jaccard_default_blocking_is_band_keyed(spark, documents):
+    """block_col=None routes through MinHash band candidates (no fixed
+    65,536-block fingerprint prefix): high-similarity pairs survive and
+    every reported jaccard is the exact set Jaccard."""
+    p = ngram_jaccard_pairs(documents, threshold=0.5).collect()
+    ref = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(documents, bands=8, rows_per_band=2,
+                                      jaccard_threshold=0.5).collect()}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in p}
+    assert got == ref  # delegation is exact, not a re-derivation
+    for (a, b), j in got.items():
+        assert 0.5 <= j <= 1.0
+
+
+def test_ngram_jaccard_block_cap_excludes_hot_blocks(spark):
+    """max_block_size drops over-cap blocks from pair generation: a
+    61-doc block with cap 10 contributes zero pairs; small blocks pair."""
+    rows = [(i, "alpha beta gamma delta epsilon", "hot") for i in range(61)]
+    rows += [(100 + i, "alpha beta gamma delta epsilon", "cold") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = ngram_jaccard_pairs(df, block_col="source", threshold=0.1,
+                                max_block_size=10).collect()
+    ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
+    assert ids == {100, 101, 102}  # only the under-cap block pairs
+    assert len(pairs) == 3

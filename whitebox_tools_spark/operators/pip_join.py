@@ -46,6 +46,14 @@ from ..functions.cells import frs_cell_expr, with_frs_cells
 # scaling). Bigger layers fall back to the Arrow kernel / cell-cover.
 CODEGEN_MAX_EDGES = 4096
 
+# Broadcast-plan guard: collect_polygons pulls the polygon layer to the
+# driver, which is only safe for genuinely small layers (admin
+# boundaries, clip masks). Layers beyond this many features make
+# plan='auto' fall through to the fully-distributed cell-cover plan
+# instead of risking a driver OOM (the similarity module's
+# _MAX_DRIVER_VECTORS guard, applied to geometry).
+MAX_DRIVER_POLYGONS = 100_000
+
 # ---------------------------------------------------------------------------
 # Polygon layer representation
 # ---------------------------------------------------------------------------
@@ -63,10 +71,34 @@ class PolygonRecord:
         self.holes = holes
 
 
-def collect_polygons(polygons: DataFrame) -> list[PolygonRecord]:
+def collect_polygons(polygons: DataFrame,
+                     max_rows: int | None = -1) -> list[PolygonRecord]:
     """Collect a (small) polygon layer to plain numpy, ordered by
-    polygon_id — the record order of the WBT sequential scan."""
-    rows = polygons.select("polygon_id", "bbox", "parts").orderBy("polygon_id").collect()
+    polygon_id — the record order of the WBT sequential scan.
+
+    The sort happens driver-side AFTER the collect: an .orderBy() on a
+    tiny layer plans a range-partition exchange (sampling job + wide
+    shuffle) that costs ~0.7 s of fixed latency per call on local[32] —
+    pure overhead when the rows are leaving the cluster anyway.
+
+    max_rows guards the broadcast plan: a layer larger than the cap
+    raises so plan='auto' callers dispatch to the distributed cell-cover
+    plan instead. The row check runs AFTER a plain collect — a LIMIT
+    would be the obvious guard but CollectLimitExec's incremental
+    partition ramp-up costs ~0.5 s of fixed latency per call; the hard
+    memory backstop during the collect itself is Spark's own
+    spark.driver.maxResultSize. max_rows=-1 (the default) reads the
+    module-level MAX_DRIVER_POLYGONS at call time; None disables the
+    guard (explicit caller responsibility)."""
+    if max_rows == -1:
+        max_rows = MAX_DRIVER_POLYGONS
+    rows = polygons.select("polygon_id", "bbox", "parts").collect()
+    if max_rows is not None and len(rows) > max_rows:
+        raise ValueError(
+            f"polygon layer exceeds MAX_DRIVER_POLYGONS={max_rows}; "
+            f"use points_in_polygons_cellcover (plan='auto' does this "
+            f"automatically)")
+    rows.sort(key=lambda r: r["polygon_id"])
     out = []
     for r in rows:
         shells, holes = [], []
@@ -101,7 +133,9 @@ def clip_points(
     plan='codegen' compiles the winding test to a SQL predicate
     (WholeStageCodegen, zero Python); plan='arrow' runs the numpy kernel
     via mapInArrow; 'auto' picks codegen while the layer has
-    <= CODEGEN_MAX_EDGES edges.
+    <= CODEGEN_MAX_EDGES edges. Layers beyond MAX_DRIVER_POLYGONS
+    raise — use clip_points_cellcover(key=...) for those (clip/erase
+    needs a unique row key to fold overlapping-polygon matches).
     """
     recs = collect_polygons(polygons)
     n_edges = sum(GS.edge_count(*_rings(r)) for r in recs)
@@ -146,6 +180,39 @@ def erase_points(points: DataFrame, polygons: DataFrame, x: str = "x", y: str = 
     return clip_points(points, polygons, x=x, y=y, erase=True)
 
 
+def _auto_cover_radius(polygons: DataFrame) -> float:
+    """Cell size for the auto cell-cover fallback: the mean bbox long
+    dimension — each polygon covers O(1) cells, points land in exactly
+    one, and the (cx, cy) equi-join fan-out stays bounded. One scalar
+    agg job, only on the over-cap path."""
+    r = polygons.selectExpr(
+        "AVG(GREATEST(bbox.xmax - bbox.xmin, bbox.ymax - bbox.ymin)) AS w"
+    ).collect()[0]["w"]
+    return max(float(r or 1.0), 1e-9)
+
+
+def clip_points_cellcover(
+    points: DataFrame,
+    polygons: DataFrame,
+    radius: float,
+    key: list[str],
+    x: str = "x",
+    y: str = "y",
+    erase: bool = False,
+) -> DataFrame:
+    """Clip/erase against an arbitrarily-large polygon layer: cell-cover
+    tag join -> semi (clip) / anti (erase) join back on `key` (a unique
+    row identifier — required because a point inside overlapping
+    polygons matches several cogroups and the fold back to one verdict
+    per row needs a join key; the broadcast plan folds per-row state
+    instead and needs none)."""
+    tagged = points_in_polygons_cellcover(
+        points.select(*dict.fromkeys(list(key) + [x, y])), polygons,
+        radius=radius, x=x, y=y)
+    matched = tagged.select(*key).dropDuplicates(list(key))
+    return points.join(matched, list(key), "anti" if erase else "semi")
+
+
 def points_in_polygons(
     points: DataFrame,
     polygons: DataFrame,
@@ -163,9 +230,19 @@ def points_in_polygons(
     plan='codegen': the per-record verdicts compile to one SQL
     FILTER(ARRAY(...)) + explode — WholeStageCodegen end to end.
     plan='arrow': batched numpy kernel via mapInArrow. 'auto' picks
-    codegen while the layer has <= CODEGEN_MAX_EDGES edges.
+    codegen while the layer has <= CODEGEN_MAX_EDGES edges, and falls
+    through to the fully-distributed cell-cover plan when the layer
+    exceeds MAX_DRIVER_POLYGONS (never collects an unbounded layer).
     """
-    recs = collect_polygons(polygons)
+    if plan == "auto":
+        try:
+            recs = collect_polygons(polygons)
+        except ValueError:
+            return points_in_polygons_cellcover(
+                points, polygons, radius=_auto_cover_radius(polygons),
+                x=x, y=y)
+    else:
+        recs = collect_polygons(polygons, max_rows=None)
     n_edges = sum(GS.edge_count(*_rings(r)) for r in recs)
     if plan == "codegen" or (plan == "auto" and n_edges <= CODEGEN_MAX_EDGES):
         arms = ", ".join(

@@ -673,10 +673,19 @@ def random_field(spark, meta: GridMeta, seed: int = 1) -> DataFrame:
     rows = spark.range(meta.rows).selectExpr("id AS row")
     cols = spark.range(meta.columns).selectExpr("id AS col")
     grid = rows.crossJoin(cols)
-    cid = f"(row * {meta.columns}L + col)"
+    # PMOD 2^31: the LCG state space is 2^31 anyway, and the reduced id
+    # keeps `cid * 2 + seed` (and the lcg multiply) inside int64 for
+    # rasters beyond 2^31 cells (ANSI overflow-proof); identity below 2^31.
+    cid = f"PMOD(row * {meta.columns}L + col, 2147483648L)"
 
     def lcg(k: str) -> str:
-        return f"(({k} * 1103515245L + 12345L) % 2147483648L)"
+        # PMOD 2^31 BEFORE the multiply keeps the intermediate below
+        # 2^31 * 1103515245 < 2^62 at ANY raster size — without it,
+        # cells beyond ~2^32 overflow int64 and raise under
+        # spark.sql.ansi.enabled (the Spark 4 default). For cells below
+        # 2^31 the reduced key equals the raw key, so small-grid values
+        # (and the DuckDB oracle) are unchanged.
+        return f"((PMOD({k}, 2147483648L) * 1103515245L + 12345L) % 2147483648L)"
 
     s1 = lcg(f"({cid} * 2L + {int(seed)}L)")
     s2 = lcg(f"({cid} * 2L + {int(seed)}L + 1L)")
@@ -696,8 +705,11 @@ def random_sample(cells: DataFrame, meta: GridMeta, num_samples: int = 1000,
     draw: cells are keyed by a per-cell LCG and the lowest num_samples
     keys win (top-k — a TakeOrdered, no global sort); ids follow key
     order. Only sampled cells are emitted."""
+    # PMOD 2^31 before the LCG multiply: ANSI overflow-proof at any
+    # raster size, identity (same keys) below 2^31 cells.
     cid = f"(row * {meta.columns}L + col)"
-    key = f"((({cid} + {int(seed)}L) * 1103515245L + 12345L) % 2147483648L)"
+    key = (f"((PMOD({cid} + {int(seed)}L, 2147483648L) * 1103515245L "
+           f"+ 12345L) % 2147483648L)")
     topk = (cells.selectExpr("row", "col", f"{key} AS __k")
             .orderBy("__k", "row", "col").limit(int(num_samples)))
     w = Window.orderBy("__k", "row", "col")

@@ -109,7 +109,10 @@ def viewshed(cells: DataFrame, meta: GridMeta, vp_row: int, vp_col: int,
     blocked = (
         samples.join(cells.selectExpr("row AS ir", "col AS ic", "value AS sz"),
                      ["ir", "ic"])
-        .where(f"(sz - {_dl(z0)}) / NULLIF({sd}, 0.0) >= __tgt")
+        # NOT ISNAN(sz): the replaced kernel skipped NaN samples; Spark
+        # sorts NaN above every double, so without the guard a NaN sample
+        # would satisfy >= __tgt and wrongly block its target.
+        .where(f"NOT ISNAN(sz) AND (sz - {_dl(z0)}) / NULLIF({sd}, 0.0) >= __tgt")
         .select("row", "col").distinct()
         .withColumn("__blocked", F.lit(1))
     )
@@ -193,7 +196,12 @@ def horizon_angle(cells: DataFrame, meta: GridMeta, azimuth: float = 0.0,
         alive.join(cells.selectExpr("row AS ir", "col AS ic", "value AS sz"),
                    ["ir", "ic"], "left")
         .groupBy("row", "col")
-        .agg(F.max(F.expr("(sz - __z0) / NULLIF(d, 0.0)")).alias("__best"))
+        # NaN -> NULL keeps kernel parity on NaN-carrying DEMs: F.max
+        # sorts NaN above every double, but the replaced kernel skipped
+        # NaN samples — NULLs drop out of MAX.
+        .agg(F.max(F.expr("CASE WHEN ISNAN(sz) THEN NULL "
+                          "ELSE (sz - __z0) / NULLIF(d, 0.0) END"))
+             .alias("__best"))
     )
     return (
         cells.join(best, ["row", "col"], "left")
@@ -528,7 +536,8 @@ def visibility_index(cells: DataFrame, meta: GridMeta,
     blocked = (
         samples.join(cells.selectExpr("row AS ir", "col AS ic", "value AS sz"),
                      ["ir", "ic"])
-        .where(f"(sz - z0) / NULLIF({sd}, 0.0) >= __tgt")
+        # NOT ISNAN(sz): NaN samples must not block (kernel NaN-skip parity)
+        .where(f"NOT ISNAN(sz) AND (sz - z0) / NULLIF({sd}, 0.0) >= __tgt")
         .select("sr", "sc", "row", "col").distinct()
         .withColumn("__blocked", F.lit(1))
     )
@@ -608,7 +617,10 @@ def horizon_angle_multi(cells: DataFrame, meta: GridMeta,
         alive.join(cells.selectExpr("row AS ir", "col AS ic", "value AS sz"),
                    ["ir", "ic"], "left")
         .groupBy("azid", "row", "col")
-        .agg(F.max(F.expr("(sz - __z0) / NULLIF(d, 0.0)")).alias("__best"))
+        # NaN -> NULL: kernel NaN-skip parity (MAX sorts NaN topmost)
+        .agg(F.max(F.expr("CASE WHEN ISNAN(sz) THEN NULL "
+                          "ELSE (sz - __z0) / NULLIF(d, 0.0) END"))
+             .alias("__best"))
     )
     return (
         base.select("azid", "row", "col").join(best, ["azid", "row", "col"], "left")

@@ -1389,6 +1389,18 @@ def write_esri_bil(cells: DataFrame, meta: GridMeta, base_path: str,
     if key not in _BIL_DTYPES:
         raise ValueError(f"unsupported BIL pixel type {pixel_type}/{nbits}")
     np_dt = "<" + _BIL_DTYPES[key]
+    if pixel_type.lower() != "float":
+        # integer output: the nodata fill is astype-ed into the target
+        # dtype; a non-representable sentinel (e.g. -32768 into u2) would
+        # silently wrap to a garbage in-range value while the .hdr still
+        # advertises the original NODATA — refuse instead.
+        info = np.iinfo(np.dtype(_BIL_DTYPES[key]))
+        if not (info.min <= meta.nodata <= info.max
+                and float(meta.nodata).is_integer()):
+            raise ValueError(
+                f"nodata {meta.nodata!r} is not representable in BIL "
+                f"{pixel_type}/{nbits} (range [{info.min}, {info.max}]); "
+                f"set GridMeta.nodata to an in-range integer sentinel")
     with open(base_path + ".hdr", "w") as f:
         f.write("BYTEORDER      I\n")
         f.write("LAYOUT         BIL\n")
