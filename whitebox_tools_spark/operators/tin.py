@@ -177,6 +177,11 @@ def tin_gridding(points: DataFrame, meta: GridMeta, tile: int = 32,
             "row": rr.ravel()[ok], "col": cc.ravel()[ok], "value": vals[ok],
         })
 
+    # AQE-exempt tile-key repartition (see _tile_kernel_gridding): the
+    # O(n^2) per-tile Bowyer-Watson is CPU-bound, so byte-based AQE
+    # coalescing would serialize the tile kernels onto a few tasks.
+    n_parts = min(n_tx * n_ty, points.sparkSession._sc.defaultParallelism * 2)
+    scattered = scattered.repartition(n_parts, "tx", "ty")
     return scattered.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)
 
 
@@ -255,87 +260,146 @@ def natural_neighbour_values(P: np.ndarray, Z: np.ndarray, tris: np.ndarray,
     out = np.full(len(qx), np.nan)
     if len(tris) == 0:
         return out
+    nq, npts = len(qx), len(P)
     cc = circumcenters(P, tris)
-    # one batched circumcircle test for ALL queries (the per-query
-    # variant re-allocated two ntris vectors per cell — this was the
-    # dominant cost of the round-3 bench's natural_neighbour entry)
+    # one batched circumcircle test for ALL queries; everything after is
+    # segmented numpy over the sparse (query, cavity-triangle) pairs —
+    # the round-4 kernel still walked a Python loop per query (dict
+    # cavity assembly), which dominated the natural_neighbour bench.
     dxm = cc[None, :, 0] - qx[:, None]
     dym = cc[None, :, 1] - qy[:, None]
-    bad_mask = dxm * dxm + dym * dym < cc[None, :, 2]
-    for qi in range(len(qx)):
-        px, py = qx[qi], qy[qi]
-        bad = np.nonzero(bad_mask[qi])[0]
-        if len(bad) == 0:
-            continue
-        # q must lie INSIDE some cavity triangle: a query outside the hull
-        # can still be inside hull-sliver circumcircles, and its cavity then
-        # closes combinatorially (hull edges appear once) while the Sibson
-        # construction is undefined -> NaN like TIN's outside-hull rule.
-        containing = False
-        for ti in bad:
-            a, b, c = P[tris[ti, 0]], P[tris[ti, 1]], P[tris[ti, 2]]
-            det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
-            if det == 0.0:
-                continue
-            l1 = ((b[1] - c[1]) * (px - c[0]) + (c[0] - b[0]) * (py - c[1])) / det
-            l2 = ((c[1] - a[1]) * (px - c[0]) + (a[0] - c[0]) * (py - c[1])) / det
-            if l1 >= -1e-12 and l2 >= -1e-12 and (1.0 - l1 - l2) >= -1e-12:
-                containing = True
-                break
-        if not containing:
-            continue
-        # cavity boundary edges (appear exactly once) + incidence maps
-        edge_count: dict[tuple[int, int], int] = {}
-        vert_old_cc: dict[int, list] = {}
-        for ti in bad:
-            t0, t1, t2 = tris[ti]
-            for v in (t0, t1, t2):
-                vert_old_cc.setdefault(int(v), []).append(cc[ti, :2])
-            for u, v in ((t0, t1), (t1, t2), (t2, t0)):
-                k = (int(u), int(v)) if u < v else (int(v), int(u))
-                edge_count[k] = edge_count.get(k, 0) + 1
-        boundary = [k for k, n in edge_count.items() if n == 1]
-        if not boundary:
-            continue
-        # closed cavity check: every boundary vertex must appear exactly twice
-        deg: dict[int, int] = {}
-        for u, v in boundary:
-            deg[u] = deg.get(u, 0) + 1
-            deg[v] = deg.get(v, 0) + 1
-        if any(d != 2 for d in deg.values()):
-            continue  # open cavity: q outside (or on) the hull
-        # circumcenters of the new triangles (u, v, q), keyed per vertex
-        vert_new_cc: dict[int, list] = {}
-        degenerate = False
-        for u, v in boundary:
-            A, B = P[u], P[v]
-            d = 2.0 * (A[0] * (B[1] - py) + B[0] * (py - A[1]) + px * (A[1] - B[1]))
-            if d == 0.0:
-                degenerate = True
-                break
-            a2 = A[0] * A[0] + A[1] * A[1]
-            b2 = B[0] * B[0] + B[1] * B[1]
-            q2 = px * px + py * py
-            ux = (a2 * (B[1] - py) + b2 * (py - A[1]) + q2 * (A[1] - B[1])) / d
-            uy = (a2 * (px - B[0]) + b2 * (A[0] - px) + q2 * (B[0] - A[0])) / d
-            vert_new_cc.setdefault(u, []).append((ux, uy))
-            vert_new_cc.setdefault(v, []).append((ux, uy))
-        if degenerate:
-            # q coincides with a data point: take its value exactly
-            d2 = (P[:, 0] - px) ** 2 + (P[:, 1] - py) ** 2
+    qi_idx, ti_idx = np.nonzero(dxm * dxm + dym * dym < cc[None, :, 2])
+    del dxm, dym
+    if len(qi_idx) == 0:
+        return out
+
+    # --- containing test over pairs: q must lie INSIDE some cavity
+    # triangle (a query outside the hull can still be inside hull-sliver
+    # circumcircles; its cavity then closes combinatorially while the
+    # Sibson construction is undefined -> NaN like TIN's rule).
+    A = P[tris[ti_idx, 0]]
+    B = P[tris[ti_idx, 1]]
+    C = P[tris[ti_idx, 2]]
+    px, py = qx[qi_idx], qy[qi_idx]
+    det = (B[:, 1] - C[:, 1]) * (A[:, 0] - C[:, 0]) \
+        + (C[:, 0] - B[:, 0]) * (A[:, 1] - C[:, 1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l1 = ((B[:, 1] - C[:, 1]) * (px - C[:, 0])
+              + (C[:, 0] - B[:, 0]) * (py - C[:, 1])) / det
+        l2 = ((C[:, 1] - A[:, 1]) * (px - C[:, 0])
+              + (A[:, 0] - C[:, 0]) * (py - C[:, 1])) / det
+    cont = (det != 0.0) & (l1 >= -1e-12) & (l2 >= -1e-12) \
+        & ((1.0 - l1 - l2) >= -1e-12)
+    containing = np.zeros(nq, dtype=bool)
+    containing[qi_idx[cont]] = True
+    keep = containing[qi_idx]
+    qi2, ti2 = qi_idx[keep], ti_idx[keep]
+    if len(qi2) == 0:
+        return out
+
+    # --- cavity boundary edges: the 3 edges of every cavity triangle,
+    # keyed (query, lo, hi); edges whose key appears exactly once are
+    # the boundary (run-length over the sorted composite key).
+    t3 = tris[ti2]
+    eu = np.concatenate([t3[:, 0], t3[:, 1], t3[:, 2]]).astype(np.int64)
+    ev = np.concatenate([t3[:, 1], t3[:, 2], t3[:, 0]]).astype(np.int64)
+    eq = np.tile(qi2, 3).astype(np.int64)
+    lo, hi = np.minimum(eu, ev), np.maximum(eu, ev)
+    ekey = (eq * npts + lo) * npts + hi
+    eorder = np.argsort(ekey, kind="stable")
+    ek = ekey[eorder]
+    efirst = np.r_[True, ek[1:] != ek[:-1]]
+    erun = np.cumsum(efirst) - 1
+    single = np.bincount(erun)[erun] == 1
+    b_rows = eorder[single]
+    bu, bv, bq = lo[b_rows], hi[b_rows], eq[b_rows]
+
+    # --- closed-cavity check: every boundary vertex of a query must
+    # have degree exactly 2; otherwise the cavity is open (q outside or
+    # on the hull) and the query stays NaN.
+    vkey = np.concatenate([bq, bq]) * npts + np.concatenate([bu, bv])
+    vk = np.sort(vkey)
+    vfirst = np.r_[True, vk[1:] != vk[:-1]]
+    vrun = np.cumsum(vfirst) - 1
+    vdeg = np.bincount(vrun)
+    starts_v = np.nonzero(vfirst)[0]
+    bad_deg_q = np.unique(vk[starts_v[vdeg != 2]] // npts)
+    closed = containing.copy()
+    closed[bad_deg_q] = False
+    has_boundary = np.zeros(nq, dtype=bool)
+    has_boundary[bq] = True
+    live = closed & has_boundary
+
+    # --- circumcenters of the new triangles (u, v, q) per boundary edge
+    Au, Bv = P[bu], P[bv]
+    pxb, pyb = qx[bq], qy[bq]
+    d = 2.0 * (Au[:, 0] * (Bv[:, 1] - pyb) + Bv[:, 0] * (pyb - Au[:, 1])
+               + pxb * (Au[:, 1] - Bv[:, 1]))
+    degen_q = np.unique(bq[d == 0.0])
+    live[degen_q] = False
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a2 = Au[:, 0] ** 2 + Au[:, 1] ** 2
+        b2 = Bv[:, 0] ** 2 + Bv[:, 1] ** 2
+        q2 = pxb ** 2 + pyb ** 2
+        nux = (a2 * (Bv[:, 1] - pyb) + b2 * (pyb - Au[:, 1])
+               + q2 * (Au[:, 1] - Bv[:, 1])) / d
+        nuy = (a2 * (pxb - Bv[:, 0]) + b2 * (Au[:, 0] - pxb)
+               + q2 * (Bv[:, 0] - Au[:, 0])) / d
+
+    # --- per-(query, boundary-vertex) polygon assembly: old cavity
+    # circumcenters (each cavity triangle feeds its 3 vertices) + the
+    # two new circumcenters per boundary vertex, then a segmented
+    # angle-sort shoelace. Non-boundary rows are filtered by membership
+    # against the boundary vertex key set (searchsorted on the sorted
+    # unique keys).
+    bvkeys = vk[starts_v]  # sorted unique (query, vertex) boundary keys
+    if len(bvkeys) == 0:
+        return out
+    oq = np.tile(qi2, 3).astype(np.int64)
+    ov = np.concatenate([t3[:, 0], t3[:, 1], t3[:, 2]]).astype(np.int64)
+    okey = oq * npts + ov
+    occ = np.tile(cc[ti2, 0:2], (3, 1))
+    pos = np.searchsorted(bvkeys, okey)
+    is_b = (pos < len(bvkeys)) & (bvkeys[np.minimum(pos, len(bvkeys) - 1)] == okey)
+    okey, occ = okey[is_b], occ[is_b]
+    nkey = np.concatenate([bq * npts + bu, bq * npts + bv])
+    nxy = np.concatenate([np.column_stack([nux, nuy])] * 2)
+    allkey = np.concatenate([okey, nkey])
+    allxy = np.vstack([occ, nxy])
+    live_row = live[(allkey // npts).astype(np.intp)]
+    allkey, allxy = allkey[live_row], allxy[live_row]
+    if len(allkey):
+        o2 = np.argsort(allkey, kind="stable")
+        k2, X, Y = allkey[o2], allxy[o2, 0], allxy[o2, 1]
+        first = np.r_[True, k2[1:] != k2[:-1]]
+        gid = np.cumsum(first) - 1
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.r_[starts, len(k2)])
+        ctr_x = np.add.reduceat(X, starts) / cnt
+        ctr_y = np.add.reduceat(Y, starts) / cnt
+        ang = np.arctan2(Y - ctr_y[gid], X - ctr_x[gid])
+        o3 = np.lexsort((ang, gid))
+        X3, Y3 = X[o3], Y[o3]
+        nxt = np.arange(1, len(X3) + 1)
+        nxt[starts + cnt - 1] = starts
+        area2 = np.add.reduceat(X3 * Y3[nxt] - X3[nxt] * Y3, starts)
+        w = 0.5 * np.abs(area2)
+        gq = (k2[starts] // npts).astype(np.intp)
+        gv = (k2[starts] % npts).astype(np.intp)
+        wsum = np.bincount(gq, weights=w, minlength=nq)
+        zsum = np.bincount(gq, weights=w * Z[gv], minlength=nq)
+        ok = live & (wsum > 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[ok] = zsum[ok] / wsum[ok]
+
+    # --- degenerate queries (q coincides with a data point within the
+    # circumcenter arithmetic): take the nearest data value exactly.
+    # Requires the same containing + closed-cavity gate as the weighted
+    # path — an open-cavity (outside-hull) query stays NaN.
+    for qi in degen_q:
+        if closed[qi] and has_boundary[qi]:
+            d2 = (P[:, 0] - qx[qi]) ** 2 + (P[:, 1] - qy[qi]) ** 2
             out[qi] = Z[np.argmin(d2)]
-            continue
-        wsum = 0.0
-        zsum = 0.0
-        for v, d in deg.items():
-            poly = np.asarray(vert_old_cc[v] + vert_new_cc[v])
-            ctr = poly.mean(axis=0)
-            order = np.argsort(np.arctan2(poly[:, 1] - ctr[1], poly[:, 0] - ctr[0]))
-            w = _shoelace(poly[order, 0], poly[order, 1])
-            wsum += w
-            zsum += w * Z[v]
-        if wsum > 0.0:
-            out[qi] = zsum / wsum
     return out
 
 
@@ -372,6 +436,15 @@ def _tile_kernel_gridding(points: DataFrame, meta: GridMeta, tile: int,
             "row": rr.ravel()[ok], "col": cc2.ravel()[ok], "value": vals[ok],
         })
 
+    # Explicit tile-key repartition: the kernels are CPU-bound Python over
+    # tiny rows, so AQE's byte-based coalescing would otherwise squeeze the
+    # shuffle to a handful of tasks and serialize ~ntiles Delaunay solves.
+    # A user-specified partition count is exempt from AQE coalescing, and
+    # hash(tx, ty) clustering satisfies applyInPandas' distribution, so no
+    # second exchange is added.
+    n_tiles = (-(-meta.columns // tile)) * (-(-meta.rows // tile))
+    n_parts = min(n_tiles, points.sparkSession._sc.defaultParallelism * 2)
+    scattered = scattered.repartition(n_parts, "tx", "ty")
     return scattered.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)
 
 
@@ -524,4 +597,9 @@ def construct_vector_tin(points: DataFrame, meta: GridMeta,
         return pd.DataFrame(rows, columns=["ax", "ay", "az", "bx", "by", "bz",
                                            "cx", "cy", "cz"])
 
+    # same AQE-exempt tile-key repartition as _tile_kernel_gridding: the
+    # O(n^2) per-tile Delaunay is CPU-bound, not byte-bound
+    n_tiles = (-(-meta.columns // tile)) * (-(-meta.rows // tile))
+    n_parts = min(n_tiles, points.sparkSession._sc.defaultParallelism * 2)
+    scattered = scattered.repartition(n_parts, "tx", "ty")
     return scattered.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)
