@@ -2085,6 +2085,13 @@ def _q_total_length_channels(spark, sf):
     return HY.total_length_channels(_ras_c(spark, sf), _META40C, 4.0)
 
 
+def _q_length_upstream_channels(spark, sf):
+    """LengthOfUpstreamChannels: per stream cell, summed length of all
+    upstream channel edges (own outgoing edge included; outlets add no
+    own edge)."""
+    return HY.length_of_upstream_channels(_ras_c(spark, sf), _META40C, 4.0)
+
+
 def _q_stream_link_class(spark, sf):
     return HY.stream_link_class(_ras_c(spark, sf), _META40C, 4.0)
 
@@ -2305,6 +2312,22 @@ def _q_bcet(spark, sf):
 
 def _q_hist_match(spark, sf):
     return EN.histogram_matching(_ras(spark, sf, "a"), _ras(spark, sf, "b"))
+
+
+def _q_hist_match_two_images(spark, sf):
+    """HistogramMatchingTwoImages: band b's CDF altered to band d's
+    (a distinct raster pair from hist_match's a->b)."""
+    _reg(spark, sf, "events")
+    return EN.histogram_matching_two_images(_ras(spark, sf, "b"),
+                                            spark.sql(_RAS_D_SQL))
+
+
+def _q_wfm_insertion(spark, sf):
+    """WriteFunctionMemoryInsertion: 3-date RGB change composite
+    (a -> R, b -> G, d -> B), min-max stretched and RGBA-packed."""
+    _reg(spark, sf, "events")
+    return EN.write_function_memory_insertion(
+        _ras(spark, sf, "a"), _ras(spark, sf, "b"), spark.sql(_RAS_D_SQL))
 
 
 def _q_flip_image(spark, sf):
@@ -2646,6 +2669,24 @@ def _q_wilcoxon(spark, sf):
 
 def _q_trend_surface(spark, sf):
     return R.trend_surface(_ras(spark, sf, "a"), _META100)
+
+
+# Integer-coordinate point layer for TrendSurfaceVectorPoints: x, y, z
+# are integer-valued doubles, so every normal-equation moment (sum of
+# x^i y^j z products) is an exact integer < 2^53 in ANY accumulation
+# order — the coefficient arithmetic then bit-agrees with DuckDB.
+_TSP_SQL = (
+    "SELECT CAST((event_id * 48271) % 1000 AS DOUBLE) AS x, "
+    "CAST((event_id * 69621) % 1000 AS DOUBLE) AS y, "
+    "CAST(event_id % 97 AS DOUBLE) AS value FROM events"
+)
+
+
+def _q_trend_surface_points(spark, sf):
+    """TrendSurfaceVectorPoints, order 1: Cramer's-rule plane fit over
+    the vector point layer, evaluated on the 40x40 grid."""
+    _reg(spark, sf, "events")
+    return R.trend_surface_vector_points(spark.sql(_TSP_SQL), _META40, order=1)
 
 
 def _q_pca(spark, sf):
@@ -3049,6 +3090,22 @@ def _q_natural_neighbour(spark, sf):
     return natural_neighbour_gridding(_points(spark, sf), _META40, tile=4)
 
 
+def _q_contour_lidar(spark, sf):
+    """ContourLidar: contour segments cut from a TIN of the LiDAR
+    cloud. Rows-only (triangulation-dependent) like
+    contours_from_points it delegates to."""
+    return LI.contour_lidar(_lidar_points(spark, sf), _META40,
+                            base=0.0, interval=200.0, tile=20)
+
+
+def _q_lidar_rbf(spark, sf):
+    """LidarRbfInterpolation: thin-plate RBF gridding of the LiDAR
+    cloud (shared batched-numpy kernel). Rows-only; linear precision
+    pytest-gated in tests/test_tin2.py."""
+    return LI.lidar_rbf_interpolation(_lidar_points(spark, sf), _META40,
+                                      k=16, tile=4)
+
+
 def _q_rbf_interp(spark, sf):
     """Thin-plate-spline RBF gridding over k=16 nearest points per
     cell (batched numpy solves per tile). Rows-only; thin-plate linear
@@ -3314,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_autocorr": _q_image_autocorr,
         "attr_correlation": _q_attr_correlation,
         "trend_surface": _q_trend_surface,
+        "trend_surface_points": _q_trend_surface_points,
         "geotiff_roundtrip": _q_geotiff_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
         "shapefile_tiles_roundtrip": _q_shapefile_tiles_roundtrip,
@@ -3524,6 +3582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hachures": _q_hachures,
         "natural_neighbour": _q_natural_neighbour,
         "rbf_interp": _q_rbf_interp,
+        "contour_lidar": _q_contour_lidar,
+        "lidar_rbf": _q_lidar_rbf,
         "construct_tin": _q_construct_tin,
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,
@@ -3533,6 +3593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stdev_stretch": _q_stdev_stretch,
         "bcet": _q_bcet,
         "hist_match": _q_hist_match,
+        "hist_match_two_images": _q_hist_match_two_images,
+        "wfm_insertion": _q_wfm_insertion,
         "ndi": _q_ndi,
         "dds": _q_dds,
         "cva": _q_cva,
@@ -3564,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tributary_id": _q_tributary_id,
         "topo_stream_order": _q_topo_stream_order,
         "total_length_channels": _q_total_length_channels,
+        "length_upstream_channels": _q_length_upstream_channels,
         "stream_link_class": _q_stream_link_class,
         "remove_short_streams": _q_remove_short_streams,
         "hack_order": _q_hack_order,
@@ -4575,6 +4638,18 @@ def _stats2_oracles() -> dict[str, str]:
             f"SELECT p.row, p.col, (cf.b0 + cf.b1 * p.x + cf.b2 * p.y) AS value "
             f"FROM p, cf"
         ),
+        "trend_surface_points": (
+            f"WITH pts AS ({_TSP_SQL}), "
+            f"p AS (SELECT x, y, value AS z FROM pts), "
+            f"m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, "
+            f"SUM(x * y) AS sxy, SUM(y * y) AS syy, SUM(z) AS sz, SUM(x * z) AS sxz, "
+            f"SUM(y * z) AS syz FROM p), "
+            f"cf AS (SELECT {b0} AS b0, {b1} AS b1, {b2} AS b2 FROM m), "
+            f"g AS (SELECT a.range AS row, b.range AS col "
+            f"FROM range(0, 40) a, range(0, 40) b) "
+            f"SELECT g.row, g.col, (cf.b0 + cf.b1 * {x40} + cf.b2 * {y40}) AS value "
+            f"FROM g, cf"
+        ),
         "max_elev_dev": (
             f"WITH {ras_a}, "
             f"o1 AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
@@ -5276,6 +5351,19 @@ def _stream2_oracles() -> dict[str, str]:
             f"CAST(SUM(sc) AS DOUBLE) * 10.0 + "
             f"CAST(SUM(sd) AS DOUBLE) * {diag} AS total_length FROM se"
         ),
+        # per-cell upstream channel length: every swalk prefix pair
+        # (src, cur) contributes src's own outgoing stream-edge step
+        # counts to cur; outlets have no out-edge -> COALESCE 0 (the
+        # same integer-count-then-one-multiply arithmetic as Spark)
+        "length_upstream_channels": (
+            prelude + f", {swalk}, {cellrc}, "
+            f"ag AS (SELECT w.cur AS dst, SUM(oe.sr) AS nr, SUM(oe.sc) AS nc, "
+            f"SUM(oe.sd) AS nd FROM swalk w JOIN se oe ON w.src = oe.src GROUP BY 1), "
+            f"v AS (SELECT c.row, c.col, COALESCE(ag.nr, 0) AS nr, "
+            f"COALESCE(ag.nc, 0) AS nc, COALESCE(ag.nd, 0) AS nd "
+            f"FROM c LEFT JOIN ag ON c.sid = ag.dst) "
+            f"SELECT row, col, {lexp} AS value FROM v"
+        ),
         "stream_link_class": (
             prelude + f", {links}, {cellrc}, "
             f"node AS (SELECT s.sid, CASE "
@@ -5762,6 +5850,33 @@ def _enhancement_oracles() -> dict[str, str]:
         f"m AS (SELECT __va, MIN(__vb) AS __out FROM ca JOIN cb ON __pb >= __pa GROUP BY __va) "
         f"SELECT row, col, __out AS value FROM ras_a JOIN m ON ras_a.value = m.__va"
     )
+    # HistogramMatchingTwoImages: same CDF-mapping text over the b -> d pair
+    hist_match_two = (
+        f"WITH {ras_b}, {ras_d}, "
+        f"na AS (SELECT COUNT(*) AS cnta FROM ras_b), "
+        f"nb AS (SELECT COUNT(*) AS cntb FROM ras_d), "
+        f"ca AS (SELECT value AS __va, SUM(COUNT(*)) OVER (ORDER BY value) / cnta AS __pa "
+        f"FROM ras_b, na GROUP BY value, cnta), "
+        f"cb AS (SELECT value AS __vb, SUM(COUNT(*)) OVER (ORDER BY value) / cntb AS __pb "
+        f"FROM ras_d, nb GROUP BY value, cntb), "
+        f"m AS (SELECT __va, MIN(__vb) AS __out FROM ca JOIN cb ON __pb >= __pa GROUP BY __va) "
+        f"SELECT row, col, __out AS value FROM ras_b JOIN m ON ras_b.value = m.__va"
+    )
+
+    def _wfm_band(v, lo, hi):
+        return (f"FLOOR(LEAST(GREATEST(({v} - {lo}) / NULLIF({hi} - {lo}, 0.0) "
+                f"* 255e0, 0e0), 255e0))")
+
+    wfm = (
+        f"WITH {ras_a}, {ras_b}, {ras_d}, "
+        f"j AS (SELECT a.row, a.col, a.value AS __r, b.value AS __g, d.value AS __b "
+        f"FROM ras_a a JOIN ras_b b USING (row, col) JOIN ras_d d USING (row, col)), "
+        f"st AS (SELECT MIN(__r) AS rmin, MAX(__r) AS rmax, MIN(__g) AS gmin, "
+        f"MAX(__g) AS gmax, MIN(__b) AS bmin, MAX(__b) AS bmax FROM j) "
+        f"SELECT row, col, 4278190080e0 + {_wfm_band('__b', 'bmin', 'bmax')} * 65536e0 "
+        f"+ {_wfm_band('__g', 'gmin', 'gmax')} * 256e0 "
+        f"+ {_wfm_band('__r', 'rmin', 'rmax')} AS value FROM j, st"
+    )
     mexp = "LEAST(__r, __g, __b)"
     dds = (
         f"WITH {ras_a}, {ras_b}, {ras_d}, "
@@ -5786,6 +5901,8 @@ def _enhancement_oracles() -> dict[str, str]:
         "stdev_stretch": stdev,
         "bcet": bcet,
         "hist_match": hist_match,
+        "hist_match_two_images": hist_match_two,
+        "wfm_insertion": wfm,
         "dds": dds,
         "cva": cva,
         "ndi": (

@@ -23,6 +23,11 @@ Reference anchors (semantics transcribed, plans original):
 - FlipImage: image_analysis/flip_image.rs
 - ChangeVectorAnalysis: change_vector_analysis.rs (magnitude +
   sign-quadrant sector code)
+- HistogramMatchingTwoImages: histogram_matching_two_images.rs (match
+  image 1's CDF to image 2's — the two-raster form of the mapping)
+- WriteFunctionMemoryInsertion: write_func_memory_insertion.rs
+  (multi-date RGB change composite: date1->R, date2->G, date3-or-
+  date2->B, each min-max stretched to 0..255 and packed RGBA)
 
 Scale notes: every operator here is one map-side-partial aggregation
 producing a 1-row (or tones-sized) stats table that is broadcast back
@@ -215,6 +220,59 @@ def histogram_matching(cells: DataFrame, ref: DataFrame) -> DataFrame:
     )
     return cells.join(F.broadcast(mapped), cells["value"] == F.col("__va")).select(
         "row", "col", F.col("__out").alias("value"))
+
+
+def histogram_matching_two_images(image1: DataFrame,
+                                  image2: DataFrame) -> DataFrame:
+    """HistogramMatchingTwoImages
+    (image_analysis/histogram_matching_two_images.rs): alter image 1's
+    cumulative distribution to image 2's. Identical mapping machinery
+    to histogram_matching — the reference splits the two-raster form
+    into its own tool (HistogramMatching takes a pre-computed histogram
+    file); this engine's reference CDF is always computed from a table,
+    so the two-images form delegates directly."""
+    return histogram_matching(image1, image2)
+
+
+def write_function_memory_insertion(date1: DataFrame, date2: DataFrame,
+                                    date3: DataFrame | None = None) -> DataFrame:
+    """WriteFunctionMemoryInsertion
+    (image_analysis/write_func_memory_insertion.rs): single-band
+    multi-date change composite — date1 -> red, date2 -> green, date3
+    (or date2 again when only two dates exist) -> blue; each band
+    min-max stretched to 0..255, clamped, truncated, and packed as
+    RGBA (alpha 255): value = a<<24 | b<<16 | g<<8 | r. The reference
+    stretches against the rasters' display_min/max, which default to
+    the band extremes — this engine uses the exact band min/max.
+
+    Plan: three broadcast 1-row min/max aggregates over the equi-joined
+    cell tables — no windows, no collects; the pack arithmetic is plain
+    DOUBLE (max 2^32 < 2^53, exact)."""
+    if date3 is None:
+        date3 = date2
+    j = (
+        date1.select("row", "col", F.col("value").alias("__r"))
+        .join(date2.select("row", "col", F.col("value").alias("__g")), ["row", "col"])
+        .join(date3.select("row", "col", F.col("value").alias("__b")), ["row", "col"])
+    )
+    stats = j.agg(
+        F.min("__r").alias("rmin"), F.max("__r").alias("rmax"),
+        F.min("__g").alias("gmin"), F.max("__g").alias("gmax"),
+        F.min("__b").alias("bmin"), F.max("__b").alias("bmax"))
+
+    def band(v, lo, hi):
+        # (v - min)/range * 255, clamped to [0, 255], truncated like the
+        # reference's `as u32`; NULLIF keeps a constant band NULL-safe on
+        # both engines instead of an ANSI divide-by-zero abort
+        return (f"FLOOR(LEAST(GREATEST(({v} - {lo}) / NULLIF({hi} - {lo}, 0.0) "
+                f"* 255e0, 0e0), 255e0))")
+
+    return j.crossJoin(F.broadcast(stats)).selectExpr(
+        "row", "col",
+        f"4278190080e0 + {band('__b', 'bmin', 'bmax')} * 65536e0 "
+        f"+ {band('__g', 'gmin', 'gmax')} * 256e0 "
+        f"+ {band('__r', 'rmin', 'rmax')} AS value",
+    )
 
 
 def flip_image(cells: DataFrame, meta_rows: int, meta_cols: int,

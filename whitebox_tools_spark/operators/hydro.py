@@ -1771,6 +1771,37 @@ def distance_to_outlet(cells: DataFrame, meta: GridMeta,
     return out
 
 
+def length_of_upstream_channels(cells: DataFrame, meta: GridMeta,
+                                threshold: float) -> DataFrame:
+    """LengthOfUpstreamChannels
+    (stream_network_analysis/total_length_channels.rs, the per-cell
+    tool the reference exports from that module): each stream cell gets
+    the summed length of every channel edge upstream of it — i.e. for
+    every stream cell s with a directed stream path s -> c (self
+    included), the length of s's outgoing stream->stream edge. Outlet
+    cells contribute no own edge (the reference only increments when
+    the pointer is non-zero).
+
+    Plan: per-src outgoing-edge step-type counts (each D8 cell has at
+    most one out-edge) joined onto the exact-step closure, summed per
+    dst; the length expression is applied once to the summed integer
+    counts so both engines agree bit-exactly."""
+    reach, streams, e2 = _stream_closure(cells, meta, threshold)
+    own = e2.selectExpr("src AS oid", "nr AS o_nr", "nc AS o_nc", "nd AS o_nd")
+    agg = (
+        reach.join(own, reach["src"] == F.col("oid"))
+        .groupBy("dst")
+        .agg(F.sum("o_nr").alias("snr"), F.sum("o_nc").alias("snc"),
+             F.sum("o_nd").alias("snd"))
+    )
+    out = agg.join(streams.withColumnRenamed("id", "dst"), "dst", "right").selectExpr(
+        "row", "col",
+        f"{_len_expr(meta, 'COALESCE(snr, 0L)', 'COALESCE(snc, 0L)', 'COALESCE(snd, 0L)')} AS value")
+    e2.unpersist()
+    streams.unpersist()
+    return out
+
+
 def farthest_channel_head(cells: DataFrame, meta: GridMeta,
                           threshold: float) -> DataFrame:
     """FarthestChannelHead: for each stream cell, the maximum along-

@@ -1108,3 +1108,36 @@ def lidar_tophat_transform(points: DataFrame, radius: float = 1.0,
                        "pz - GREATEST(emin, COALESCE(mx, emin)) AS value"))
     pairs.unpersist()
     return out
+
+
+def contour_lidar(points: DataFrame, meta, base: float, interval: float,
+                  tile: int = 32, halo: float | None = None,
+                  z_col: str = "value") -> DataFrame:
+    """ContourLidar (lidar_analysis — present in the reference tree but
+    commented out of its dispatch table, whitebox-tools-app/src/tools/
+    mod.rs:286; implemented for inventory completeness): contour the
+    point cloud directly — TIN the LiDAR points, cut each triangle at
+    every crossing contour level. Delegates to contours_from_points
+    (terrain_analysis/contours_from_points.rs machinery) over the
+    cloud's (x, y, z) columns; the cut stage is pure codegen SQL."""
+    from .contours import contours_from_points
+
+    pts = points.selectExpr("x", "y", f"{z_col} AS value")
+    return contours_from_points(pts, meta, base=base, interval=interval,
+                                tile=tile, halo=halo)
+
+
+def lidar_rbf_interpolation(points: DataFrame, meta, k: int = 20,
+                            tile: int = 32, halo: float | None = None,
+                            z_col: str = "value",
+                            kernel: str = "thin_plate") -> DataFrame:
+    """LidarRbfInterpolation (lidar_analysis/
+    lidar_radial_basis_function_interpolation.rs): grid the point cloud
+    by radial-basis-function interpolation over the k nearest points
+    per cell. Delegates to the shared tile+halo RBF gridding kernel
+    (tin.rbf_interpolation — batched numpy solves, thin-plate linear
+    precision pytest-gated) over the cloud's (x, y, z) columns."""
+    from .tin import rbf_interpolation
+
+    pts = points.selectExpr("x", "y", f"{z_col} AS value")
+    return rbf_interpolation(pts, meta, k=k, tile=tile, halo=halo)

@@ -878,6 +878,77 @@ def trend_surface(cells: DataFrame, meta: GridMeta) -> DataFrame:
     )
 
 
+def trend_surface_vector_points(points: DataFrame, meta: GridMeta,
+                                order: int = 1,
+                                value_col: str = "value") -> DataFrame:
+    """TrendSurfaceVectorPoints
+    (math_stat_analysis/trend_surface_vector_points.rs): least-squares
+    polynomial trend surface fitted to a vector point layer's attribute
+    and evaluated over every cell of the output grid.
+
+    order=1 solves the normal equations by the same Cramer's-rule SQL
+    as trend_surface (exact moment sums -> bit-portable, oracle-gated).
+    order>=2 builds the (x^i y^j) moment matrix from exact distributed
+    sums, solves the small dense system with numpy on the driver
+    (moment matrix is O(order^4) scalars — a fixed-size collect at any
+    data scale), and evaluates the polynomial in SQL; gated by a
+    numpy-lstsq pytest rather than a DuckDB oracle (LAPACK solve isn't
+    SQL-replayable)."""
+    pts = points.selectExpr("x", "y", f"{value_col} AS z")
+    rows = points.sparkSession.range(meta.rows).selectExpr("id AS row")
+    cols = points.sparkSession.range(meta.columns).selectExpr("id AS col")
+    grid = rows.crossJoin(cols)
+    gx = meta.x_center_expr("col")
+    gy = meta.y_center_expr("row")
+    if order == 1:
+        m = pts.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"), F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("x * y")).alias("sxy"), F.sum(F.expr("y * y")).alias("syy"),
+            F.sum("z").alias("sz"), F.sum(F.expr("x * z")).alias("sxz"),
+            F.sum(F.expr("y * z")).alias("syz"),
+        )
+        det = ("NULLIF(n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy) "
+               "+ sy * (sx * sxy - sxx * sy), 0.0)")
+        b0 = (f"(sz * (sxx * syy - sxy * sxy) - sx * (sxz * syy - sxy * syz) "
+              f"+ sy * (sxz * sxy - sxx * syz)) / {det}")
+        b1 = (f"(n * (sxz * syy - sxy * syz) - sz * (sx * syy - sxy * sy) "
+              f"+ sy * (sx * syz - sxz * sy)) / {det}")
+        b2 = (f"(n * (sxx * syz - sxz * sxy) - sx * (sx * syz - sxz * sy) "
+              f"+ sz * (sx * sxy - sxx * sy)) / {det}")
+        coef = m.selectExpr(f"{b0} AS b0", f"{b1} AS b1", f"{b2} AS b2")
+        return grid.crossJoin(F.broadcast(coef)).selectExpr(
+            "row", "col", f"(b0 + b1 * {gx} + b2 * {gy}) AS value")
+    import numpy as np
+    terms = [(i, j) for t in range(order + 1)
+             for i in range(t + 1) for j in [t - i]]
+    k = len(terms)
+    # exact distributed moment sums: A[p][q] = sum x^(ip+iq) y^(jp+jq),
+    # rhs[p] = sum x^ip y^jp z
+    exprs = []
+    for p in range(k):
+        for q in range(p, k):
+            ip, jp = terms[p]
+            iq, jq = terms[q]
+            exprs.append(F.sum(F.expr(
+                f"POW(x, {ip + iq}) * POW(y, {jp + jq})")).alias(f"a_{p}_{q}"))
+    for p in range(k):
+        ip, jp = terms[p]
+        exprs.append(F.sum(F.expr(f"POW(x, {ip}) * POW(y, {jp}) * z"))
+                     .alias(f"r_{p}"))
+    mrow = pts.agg(*exprs).collect()[0]
+    A = np.zeros((k, k))
+    rhs = np.zeros(k)
+    for p in range(k):
+        for q in range(p, k):
+            A[p, q] = A[q, p] = mrow[f"a_{p}_{q}"]
+        rhs[p] = mrow[f"r_{p}"]
+    coef, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+    poly = " + ".join(f"({c!r}) * POW({gx}, {i}) * POW({gy}, {j})"
+                      for c, (i, j) in zip(coef, terms))
+    return grid.selectExpr("row", "col", f"({poly}) AS value")
+
+
 def pca_two_band(a: DataFrame, b: DataFrame) -> DataFrame:
     """PrincipalComponentAnalysis for two bands
     (math_stat_analysis/principal_component_analysis.rs semantics,
