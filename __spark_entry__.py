@@ -1434,10 +1434,14 @@ def _q_lee_sigma(spark, sf):
 
 
 def _q_dog_filter(spark, sf):
-    """Difference-of-Gaussians — rows-only (the 15x15/27x27 pivots are a
-    composition of two oracle-shaped gaussian plans; kernel correctness
-    pytest-gated vs numpy)."""
-    return FO.dog_filter(_ras(spark, sf, "a"), 2.0, 4.0)
+    """Difference-of-Gaussians over the deterministic 7x7/11x11 pivot
+    plans, ROUND(6) (round-5 oracle upgrade: the oracle replays both
+    renormalized weighted-mean folds; rounding absorbs the ~1-ulp
+    Spark-vs-DuckDB fold reassociation on the g1-g2 difference; the
+    separable large-sigma path stays pytest-gated at 1e-12)."""
+    return FO.dog_filter(_ras(spark, sf, "a"), 0.8, 1.2,
+                         separable=False).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_bilateral(spark, sf):
@@ -1565,9 +1569,16 @@ def _q_polygon_short_axis(spark, sf):
 
 
 def _q_min_bounding_circle(spark, sf):
-    """Welzl minimum enclosing circle — rows-only (pytest-gated:
-    containment + minimality vs 2/3-point support circles)."""
-    return VO.minimum_bounding_circle(_shapes(spark, sf))
+    """Welzl minimum enclosing circle, ROUND(6) (round-5 oracle
+    upgrade): on the rect/diamond layer the kernel's terminal circle is
+    a closed-form 2-point support circle — rect: the bl-tr diagonal;
+    diamond: the vertical (hw <= hh) or horizontal (hw > hh) axis pair —
+    so the oracle restates the same midpoint + distance arithmetic;
+    rounding absorbs math.hypot vs SQRT ulps. Containment/minimality
+    stay pytest-gated for general inputs."""
+    return VO.minimum_bounding_circle(_shapes(spark, sf)).selectExpr(
+        "shape_id", "ROUND(cx, 6) AS cx", "ROUND(cy, 6) AS cy",
+        "ROUND(radius, 6) AS radius")
 
 
 def _q_patch_orientation(spark, sf):
@@ -1931,32 +1942,6 @@ def _q_lidar_colourize(spark, sf):
 # (the aspect_rounded pattern: at 1e-6 grain the cross-libm ulp
 # differences vanish; the raw queries stay rows-only as honest checks)
 
-def _q_wetness_rounded(spark, sf):
-    out = HY.wetness_index(_ras_c(spark, sf), _META40C)
-    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
-
-
-def _q_spi_rounded(spark, sf):
-    out = HY.stream_power_index(_ras_c(spark, sf), _META40C)
-    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
-
-
-def _q_sti_rounded(spark, sf):
-    out = HY.sediment_transport_index(_ras_c(spark, sf), _META40C)
-    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
-
-
-def _q_sigmoidal_rounded(spark, sf):
-    out = EN.sigmoidal_contrast_stretch(_ras(spark, sf, "a"), cutoff=0.4,
-                                        gain=2.0, num_tones=256)
-    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
-
-
-def _q_gamma_rounded(spark, sf):
-    out = EN.gamma_correction(_ras(spark, sf, "a"), gamma=0.5)
-    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
-
-
 # --- round-2 continuation morphology / classification / mosaics ------------
 
 _BOOL_IMG = "CASE WHEN value % 2.0 = 1.0 THEN 1.0 ELSE 0.0 END"
@@ -2029,13 +2014,15 @@ def _q_hypsometry(spark, sf):
 
 
 def _q_spi(spark, sf):
-    """Stream power index — LN/POWER libm; rows-only + pytest parity."""
-    return HY.stream_power_index(_ras_c(spark, sf), _META40C)
+    """StreamPowerIndex, ROUND(6) — absorbs POWER/LN libm ulps."""
+    return HY.stream_power_index(_ras_c(spark, sf), _META40C).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_sti(spark, sf):
-    """Sediment transport index — POWER libm; rows-only + pytest."""
-    return HY.sediment_transport_index(_ras_c(spark, sf), _META40C)
+    """SedimentTransportIndex, ROUND(6) — absorbs POWER libm ulps."""
+    return HY.sediment_transport_index(_ras_c(spark, sf), _META40C).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 # --- round-2 continuation vector ops ---------------------------------------
@@ -2282,15 +2269,17 @@ def _q_stdev_stretch(spark, sf):
 
 
 def _q_sigmoidal_stretch(spark, sf):
-    """EXP over data-dependent args — engine libm differs in the last
-    ulp (see parity design note); rows-only + numpy pytest parity."""
-    return EN.sigmoidal_contrast_stretch(_ras(spark, sf, "a"), cutoff=0.4,
-                                         gain=2.0, num_tones=256)
+    """SigmoidalContrastStretch, ROUND(6) — absorbs the EXP libm ulps
+    (numpy kernel parity stays pytest-gated)."""
+    return EN.sigmoidal_contrast_stretch(
+        _ras(spark, sf, "a"), cutoff=0.4, gain=2.0, num_tones=256
+    ).selectExpr("row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_gamma_corr(spark, sf):
-    """POWER over data-dependent args — rows-only + numpy pytest parity."""
-    return EN.gamma_correction(_ras(spark, sf, "a"), gamma=0.5)
+    """GammaCorrection, ROUND(6) — absorbs the POWER libm ulps."""
+    return EN.gamma_correction(_ras(spark, sf, "a"), gamma=0.5).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_ndi(spark, sf):
@@ -2419,14 +2408,6 @@ def _q_geomorphons(spark, sf):
     from whitebox_tools_spark.operators.visibility import geomorphons
 
     return geomorphons(_ras(spark, sf, "a"), _META100, search_radius=8)
-
-
-def _q_aspect_rounded(spark, sf):
-    """Aspect rounded to 1e-6 degree — at that grain the cross-libm ACOS
-    ulp differences vanish, giving the aspect family an oracle gate (the
-    unrounded `aspect` query stays rows-only as the honest raw check)."""
-    out = FO.aspect(_ras(spark, sf, "a"), _META100)
-    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_pennock(spark, sf):
@@ -2895,8 +2876,11 @@ def _q_flowpath_length(spark, sf):
 
 
 def _q_wetness(spark, sf):
-    """ln() is not guaranteed bit-identical across libm — rows-only."""
-    return HY.wetness_index(_ras_c(spark, sf), _META40C)
+    """WetnessIndex, ROUND(6) — the p/q/accumulation arithmetic is
+    exact on both engines; rounding absorbs the LN libm ulps (the
+    aspect-upgrade pattern)."""
+    return HY.wetness_index(_ras_c(spark, sf), _META40C).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_cost_distance(spark, sf):
@@ -3457,7 +3441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surface_normals": _q_surface_normals,
         "gauss_scale_space": _q_gauss_scale_space,
         "pennock": _q_pennock,
-        "aspect_rounded": _q_aspect_rounded,
         "geomorphons": _q_geomorphons,
         "shreve": _q_shreve,
         "stream_link_metrics": _q_stream_link_metrics,
@@ -3646,11 +3629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_valleys": _q_extract_valleys,
         "cost_allocation": _q_cost_allocation,
         "lidar_colourize": _q_lidar_colourize,
-        "wetness_rounded": _q_wetness_rounded,
-        "spi_rounded": _q_spi_rounded,
-        "sti_rounded": _q_sti_rounded,
-        "sigmoidal_rounded": _q_sigmoidal_rounded,
-        "gamma_rounded": _q_gamma_rounded,
         "corner_detect": _q_corner_detect,
         "thicken": _q_thicken,
         "remove_spurs": _q_remove_spurs,
@@ -4231,6 +4209,32 @@ def _focal2_oracles() -> dict[str, str]:
                f"lpivk AS (SELECT row, col, {lpiv_cols} FROM lsck GROUP BY 1, 2), "
                f"lzk AS (SELECT * FROM lpivk WHERE z_{lcenter} IS NOT NULL)")
     ret["log_filter"] = f"WITH {ras_a}, {lpivotk} SELECT row, col, {lval} AS value FROM lzk"
+
+    # DoG: difference of the two pivot-plan Gaussian means (7x7 at 0.8,
+    # 11x11 at 1.2) — each side is the same fixed-order fold text
+    def _gpivot(tag: str, sigma: float):
+        gsz, gv = FO.gaussian_value_expr(sigma)
+        gmid = gsz // 2
+        gctr = gmid * gsz + gmid
+        offs = (f"{tag}offs AS (SELECT * FROM (VALUES " + ", ".join(
+            f"({n}, {n // gsz - gmid}, {n % gsz - gmid})"
+            for n in range(gsz * gsz)) + f") o(n, dr, dc))")
+        sc = (f"{tag}sc AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+              f"o.n AS n, a.value AS nv FROM ras_a a, {tag}offs o)")
+        pcols = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}"
+                          for n in range(gsz * gsz))
+        return (f"{offs}, {sc}, "
+                f"{tag}piv AS (SELECT row, col, {pcols} FROM {tag}sc GROUP BY 1, 2), "
+                f"{tag}zk AS (SELECT * FROM {tag}piv WHERE z_{gctr} IS NOT NULL)"), gv
+
+    _dga, _dga_v = _gpivot("dga", 0.8)
+    _dgb, _dgb_v = _gpivot("dgb", 1.2)
+    ret["dog_filter"] = (
+        f"WITH {ras_a}, {_dga}, {_dgb}, "
+        f"g1 AS (SELECT row, col, {_dga_v} AS v1 FROM dgazk), "
+        f"g2 AS (SELECT row, col, {_dgb_v} AS v2 FROM dgbzk) "
+        f"SELECT g1.row, g1.col, ROUND(v1 - v2, 6) AS value "
+        f"FROM g1 JOIN g2 ON g1.row = g2.row AND g1.col = g2.col")
 
     # SurfaceAreaRatio: nullable 3x3 pivot + the shared Jenness expression
     sar_val = FO.surface_area_ratio_value_expr(_META100)
@@ -4841,10 +4845,6 @@ def _terrain2_oracles() -> dict[str, str]:
     )
     all_nbrs = " AND ".join(f"zn_{i} IS NOT NULL" for i in range(8))
     return {
-        "aspect_rounded": (
-            f"WITH {ras_a}, {pivot5} SELECT row, col, "
-            f"ROUND({_aspect_value_expr()}, 6) AS value FROM zz"
-        ),
         "multidir_hillshade": (
             f"WITH {ras_a}, {pivot5} SELECT row, col, ROUND({terms}) AS value FROM zz"
         ),
@@ -5203,6 +5203,86 @@ def _hydro2_oracles() -> dict[str, str]:
     }
 
 
+def _hack_cte(prelude: str, hwalk: str, links: str, cellrc: str,
+              lexp: str) -> str:
+    """Shared CTE chain for the Hack-order oracles: per-cell farthest-
+    head upstream length (hwalk max), link DAG with per-edge main-stem
+    winners (greatest up_len, tie -> smaller link label — the exact
+    MIN_BY struct order of hydro.hack_order), and the loser-count walk
+    from every link down to its root. t(l, losses)."""
+    return (
+        prelude + f", {hwalk}, {links}, {cellrc}, "
+        f"upl AS (SELECT cur AS id, MAX({lexp}) AS up_len FROM hwalk GROUP BY 1), "
+        f"le AS MATERIALIZED (SELECT la.lbl AS src, lb.lbl AS dst, "
+        f"MAX(COALESCE(u.up_len, 0.0)) AS up_len "
+        f"FROM se JOIN lbl la ON se.src = la.id JOIN lbl lb ON se.dst = lb.id "
+        f"LEFT JOIN upl u ON se.src = u.id "
+        f"WHERE la.lbl <> lb.lbl GROUP BY 1, 2), "
+        f"win AS (SELECT dst, src, ROW_NUMBER() OVER (PARTITION BY dst "
+        f"ORDER BY up_len DESC, src) AS r FROM le), "
+        f"ledge AS MATERIALIZED (SELECT le.src, le.dst, "
+        f"CASE WHEN w.r = 1 THEN 0 ELSE 1 END AS loss "
+        f"FROM le JOIN win w ON le.src = w.src AND le.dst = w.dst), "
+        f"lwalk(l, cur, losses) AS ("
+        f"SELECT lbl, lbl, 0 FROM (SELECT DISTINCT lbl FROM lbl) "
+        f"UNION SELECT w.l, e.dst, w.losses + e.loss "
+        f"FROM lwalk w JOIN ledge e ON w.cur = e.src), "
+        f"t AS (SELECT l, losses FROM lwalk "
+        f"WHERE cur NOT IN (SELECT src FROM ledge)) "
+    )
+
+
+def _strahler_chain(thr: float, x: str, rounds: int = 24) -> str:
+    """CTE chain (appended after the _stream2_oracles prelude, which
+    provides `acc` and `e`) computing per-link Strahler orders at
+    stream threshold `thr`, suffix `x`: streams{x} -> link components
+    -> link DAG -> Jacobi rounds s{x}0..s{x}{rounds} (each round
+    recomputes every link from its children's previous order: max
+    inflow order, +1 when >= 2 inflows share it — hydro.strahler_order
+    junction semantics; `rounds` >= link-DAG height => fixpoint).
+    Exposes sord{x}(id, s), lbl{x}(id, lbl), c{x}(sid, row, col)."""
+    W = 40
+    p = [
+        f"streams{x} AS MATERIALIZED (SELECT id AS sid FROM acc WHERE a >= {thr!r})",
+        f"se{x} AS MATERIALIZED (SELECT e.* FROM e JOIN streams{x} a ON e.src = a.sid "
+        f"JOIN streams{x} b ON e.dst = b.sid)",
+        f"sind{x} AS (SELECT dst, COUNT(*) AS n_in FROM se{x} GROUP BY 1)",
+        f"chain{x} AS MATERIALIZED (SELECT s.src, s.dst FROM se{x} s "
+        f"JOIN sind{x} i ON s.dst = i.dst WHERE i.n_in < 2)",
+        f"und{x} AS MATERIALIZED (SELECT src AS a, dst AS b FROM chain{x} "
+        f"UNION ALL SELECT dst AS a, src AS b FROM chain{x})",
+        f"comp{x}(a, b) AS (SELECT sid, sid FROM streams{x} UNION "
+        f"SELECT c.a, u.b FROM comp{x} c JOIN und{x} u ON c.b = u.a)",
+        f"lbl{x} AS MATERIALIZED (SELECT a AS id, MIN(b) AS lbl FROM comp{x} GROUP BY 1)",
+        f"ledges{x} AS MATERIALIZED (SELECT DISTINCT la.lbl AS src, lb.lbl AS dst "
+        f"FROM se{x} s JOIN lbl{x} la ON s.src = la.id "
+        f"JOIN lbl{x} lb ON s.dst = lb.id WHERE la.lbl <> lb.lbl)",
+        f"linkids{x} AS (SELECT DISTINCT lbl AS id FROM lbl{x})",
+        f"s{x}0 AS (SELECT id, 1 AS s FROM linkids{x})",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"s{x}{k - 1}"
+        p.append(
+            f"ag{x}{k} AS (SELECT le.dst, MAX(p.s) AS mx FROM {prev} p "
+            f"JOIN ledges{x} le ON p.id = le.src GROUP BY 1)")
+        p.append(
+            f"ct{x}{k} AS (SELECT le.dst, COUNT(*) AS n_at FROM {prev} p "
+            f"JOIN ledges{x} le ON p.id = le.src "
+            f"JOIN ag{x}{k} a ON le.dst = a.dst AND p.s = a.mx GROUP BY le.dst)")
+        # MATERIALIZED: without it DuckDB inlines each round into the
+        # next (~3 refs/round -> 3^rounds plan nodes) and the planner
+        # never returns; the per-round table is tiny (one row per link)
+        p.append(
+            f"s{x}{k} AS MATERIALIZED (SELECT l.id, CASE WHEN a.mx IS NULL THEN 1 "
+            f"WHEN c.n_at >= 2 THEN a.mx + 1 ELSE a.mx END AS s "
+            f"FROM linkids{x} l LEFT JOIN ag{x}{k} a ON l.id = a.dst "
+            f"LEFT JOIN ct{x}{k} c ON l.id = c.dst)")
+    p.append(f"sord{x} AS (SELECT id, s FROM s{x}{rounds})")
+    p.append(f"c{x} AS (SELECT sid, sid // {W} AS row, sid % {W} AS col "
+             f"FROM streams{x})")
+    return ", ".join(p)
+
+
 def _stream2_oracles() -> dict[str, str]:
     """Oracles for the stream-network tail + oracle upgrades for the
     previously rows-only stream queries (shreve, stream_link,
@@ -5299,6 +5379,33 @@ def _stream2_oracles() -> dict[str, str]:
                   f"zz AS (SELECT row, col, {_zzcols} FROM piv5 WHERE z_12 IS NOT NULL)")
     _P40, _Q40 = FO._florinsky_pq(10.0)
 
+    # rho8 pointer: D8 argmax with stochastic diagonal correction from the
+    # per-(cell, neighbor) LCG stream (portable integer arithmetic — the
+    # exact text the Spark operator evaluates, seed 42). Diagonals are
+    # i in {0, 2, 4, 6} of the D8 order.
+    def _rho8_ms(i: int) -> str:
+        rr = (f"(CAST((((row * 40 + col) * 8 + {i} + 42) % 2147483648 "
+              f"* 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648.0)")
+        slope = (f"((zc - zn_{i}) / (2.0 - ({rr})))"
+                 if HY.D8_DY[i] != 0 and HY.D8_DX[i] != 0 else f"(zc - zn_{i})")
+        return f"CASE WHEN zn_{i} IS NOT NULL THEN {slope} ELSE -1e308 END"
+
+    rho8_ms = ", ".join(f"{_rho8_ms(i)} AS ms_{i}" for i in range(8))
+    rho8_m = "GREATEST(" + ", ".join(f"ms_{i}" for i in range(8)) + ")"
+    rho8_dir = ("CASE WHEN " + rho8_m + " <= 0.0 THEN 0.0 "
+                + " ".join(f"WHEN ms_{i} = {rho8_m} THEN {float(1 << i)!r}"
+                           for i in range(8)) + " END")
+    rho8 = (
+        f"rms AS (SELECT row, col, {rho8_ms} FROM piv WHERE zc IS NOT NULL), "
+        f"rptr AS MATERIALIZED (SELECT row, col, {rho8_dir} AS value FROM rms)"
+    )
+    rho8_edges = (
+        f"re AS MATERIALIZED (SELECT (p.row * {W} + p.col) AS src, "
+        f"((p.row + d.dy) * {W} + (p.col + d.dx)) AS dst "
+        f"FROM rptr p JOIN dirs d ON d.code = CAST(p.value AS INT) "
+        f"WHERE p.value > 0)"
+    )
+
     # link components: chain edges (dst not junction-fed), undirected closure
     links = (
         "chain AS MATERIALIZED (SELECT src, dst FROM se WHERE nb = 0), "
@@ -5363,6 +5470,115 @@ def _stream2_oracles() -> dict[str, str]:
             f"COALESCE(ag.nc, 0) AS nc, COALESCE(ag.nd, 0) AS nd "
             f"FROM c LEFT JOIN ag ON c.sid = ag.dst) "
             f"SELECT row, col, {lexp} AS value FROM v"
+        ),
+        # --- round-5 oracle upgrades (previously rows-only) ---
+        # Rho8Pointer: the LCG-seeded stochastic-diagonal argmax — the
+        # fold's strict-> / init-0 semantics replayed as first-match CASE
+        "rho8_pointer": (
+            f"WITH {ras_a}, {pivot}, {rho8} "
+            f"SELECT row, col, value FROM rptr"
+        ),
+        # Rho8FlowAccumulation: upstream-count closure over rho8 edges
+        "rho8_accum": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {rho8}, {rho8_edges}, "
+            f"rreach(src, dst) AS (SELECT id, id FROM nodes UNION "
+            f"SELECT r.src, re.dst FROM rreach r JOIN re ON r.dst = re.src) "
+            f"SELECT n.row, n.col, CAST(COUNT(*) AS DOUBLE) AS value "
+            f"FROM rreach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2"
+        ),
+        # DownslopeFlowpathLength: sequential walk with integer step
+        # counters; each cell's terminal row is its max-step reach (a D8
+        # walk is a simple path, so max steps = the full path)
+        "flowpath_length": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, "
+            f"dwalk(src, cur, nr, nc, nd) AS ("
+            f"SELECT id, id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            f"FROM nodes UNION "
+            f"SELECT w.src, e.dst, w.nr + e.sr, w.nc + e.sc, w.nd + e.sd "
+            f"FROM dwalk w JOIN e ON w.cur = e.src), "
+            f"t AS (SELECT src, MAX(nr + nc + nd) AS steps FROM dwalk GROUP BY 1), "
+            f"f AS (SELECT w.src, w.nr, w.nc, w.nd FROM dwalk w JOIN t "
+            f"ON w.src = t.src AND (w.nr + w.nc + w.nd) = t.steps) "
+            f"SELECT n.row, n.col, {lexp} AS value "
+            f"FROM f JOIN nodes n ON f.src = n.id"
+        ),
+        # MaxBranchLength = max upslope flowpath length + downslope
+        # flowpath length (both exact-step machines above)
+        "max_branch_length": (
+            f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, "
+            f"creach(src, dst, nr, nc, nd) AS ("
+            f"SELECT id, id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            f"FROM nodes UNION "
+            f"SELECT c.src, e.dst, c.nr + e.sr, c.nc + e.sc, c.nd + e.sd "
+            f"FROM creach c JOIN e ON c.dst = e.src), "
+            f"up AS (SELECT dst, MAX({lexp}) AS upv FROM creach GROUP BY 1), "
+            f"t AS (SELECT src, MAX(nr + nc + nd) AS steps FROM creach GROUP BY 1), "
+            f"f AS (SELECT w.src, w.nr, w.nc, w.nd FROM creach w JOIN t "
+            f"ON w.src = t.src AND (w.nr + w.nc + w.nd) = t.steps), "
+            f"down AS (SELECT src AS id, {lexp} AS downv FROM f) "
+            f"SELECT n.row, n.col, up.upv + down.downv AS value "
+            f"FROM nodes n JOIN up ON n.id = up.dst JOIN down ON n.id = down.id"
+        ),
+        # HackStreamOrder: per-link loser-count walk down the link DAG —
+        # ord(link) = 1 + number of path edges where the link is not the
+        # junction's main-stem (greatest-upstream-length, tie -> smaller
+        # link label) inflow. FindMainStem = the ord-1 set of the same
+        # walk (identical tie rule by construction).
+        "hack_order": _hack_cte(prelude, hwalk, links, cellrc, lexp) + (
+            f"SELECT c.row, c.col, CAST(1 + t.losses AS DOUBLE) AS value "
+            f"FROM lbl JOIN t ON lbl.lbl = t.l JOIN c ON lbl.id = c.sid"
+        ),
+        "find_main_stem": _hack_cte(prelude, hwalk, links, cellrc, lexp) + (
+            f"SELECT c.row, c.col, 1.0 AS value "
+            f"FROM lbl JOIN t ON lbl.lbl = t.l JOIN c ON lbl.id = c.sid "
+            f"WHERE t.losses = 0"
+        ),
+        # StrahlerStreamOrder: Jacobi-unrolled link orders (chain above)
+        "strahler": (
+            prelude + ", " + _strahler_chain(4.0, "k4") + " "
+            f"SELECT ck4.row, ck4.col, CAST(sordk4.s AS DOUBLE) AS value "
+            f"FROM lblk4 JOIN sordk4 ON lblk4.lbl = sordk4.id "
+            f"JOIN ck4 ON lblk4.id = ck4.sid"
+        ),
+        # StrahlerOrderBasins (threshold 8): absorbing walk to the first
+        # stream cell + that cell's link Strahler order
+        "strahler_basins": (
+            prelude + ", " + _strahler_chain(8.0, "k8") + ", "
+            f"ens8 AS MATERIALIZED (SELECT e.* FROM e LEFT JOIN streamsk8 s "
+            f"ON e.src = s.sid WHERE s.sid IS NULL), "
+            f"walk8(src, cur) AS (SELECT id, id FROM nodes "
+            f"UNION SELECT w.src, ens8.dst FROM walk8 w JOIN ens8 ON w.cur = ens8.src), "
+            f"t8 AS (SELECT w.* FROM walk8 w LEFT JOIN "
+            f"(SELECT DISTINCT src FROM ens8) xx ON w.cur = xx.src "
+            f"WHERE xx.src IS NULL), "
+            f"so8 AS (SELECT l.id AS sid, s.s FROM lblk8 l "
+            f"JOIN sordk8 s ON l.lbl = s.id) "
+            f"SELECT n.row, n.col, CAST(so8.s AS DOUBLE) AS value "
+            f"FROM t8 JOIN nodes n ON t8.src = n.id JOIN so8 ON t8.cur = so8.sid"
+        ),
+        # HortonStreamOrder: walk down the maximal same-Strahler
+        # main-stem chain (greatest upstream length, tie -> smaller
+        # label); Horton = the chain terminus link's Strahler order
+        "horton_order": (
+            prelude + f", {hwalk}, " + _strahler_chain(4.0, "k4") + ", "
+            f"uplh AS (SELECT cur AS id, MAX({lexp}) AS up_len FROM hwalk GROUP BY 1), "
+            f"hle AS MATERIALIZED (SELECT la.lbl AS src, lb.lbl AS dst, "
+            f"MAX(COALESCE(u.up_len, 0.0)) AS up_len "
+            f"FROM se JOIN lblk4 la ON se.src = la.id JOIN lblk4 lb ON se.dst = lb.id "
+            f"LEFT JOIN uplh u ON se.src = u.id WHERE la.lbl <> lb.lbl GROUP BY 1, 2), "
+            f"hmain AS (SELECT h.dst, h.src, ROW_NUMBER() OVER (PARTITION BY h.dst "
+            f"ORDER BY h.up_len DESC, h.src) AS r FROM hle h "
+            f"JOIN sordk4 a ON h.src = a.id JOIN sordk4 b ON h.dst = b.id "
+            f"WHERE a.s = b.s), "
+            f"mainedge AS MATERIALIZED (SELECT src, dst FROM hmain WHERE r = 1), "
+            f"mwalk(l, cur) AS (SELECT id, id FROM linkidsk4 "
+            f"UNION SELECT w.l, m.dst FROM mwalk w JOIN mainedge m ON w.cur = m.src), "
+            f"mterm AS (SELECT l, cur FROM mwalk "
+            f"WHERE cur NOT IN (SELECT src FROM mainedge)) "
+            f"SELECT ck4.row, ck4.col, CAST(s2.s AS DOUBLE) AS value "
+            f"FROM lblk4 JOIN mterm ON lblk4.lbl = mterm.l "
+            f"JOIN sordk4 s2 ON mterm.cur = s2.id "
+            f"JOIN ck4 ON lblk4.id = ck4.sid"
         ),
         "stream_link_class": (
             prelude + f", {links}, {cellrc}, "
@@ -5531,7 +5747,7 @@ def _stream2_oracles() -> dict[str, str]:
             f"SELECT row, col, value FROM hs UNION ALL SELECT row, col, value FROM zs"
         ),
         # --- rounded-grain libm companions over the 40x40 closure ---
-        "wetness_rounded": (
+        "wetness": (
             f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
             f"acc AS MATERIALIZED (SELECT n.id, n.row, n.col, COUNT(*) AS a "
             f"FROM reach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2, 3), "
@@ -5542,7 +5758,7 @@ def _stream2_oracles() -> dict[str, str]:
             f"/ tanb), 6) AS value "
             f"FROM acc JOIN t ON acc.row = t.row AND acc.col = t.col"
         ),
-        "spi_rounded": (
+        "spi": (
             f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
             f"acc AS MATERIALIZED (SELECT n.id, n.row, n.col, COUNT(*) AS a "
             f"FROM reach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2, 3), "
@@ -5553,7 +5769,7 @@ def _stream2_oracles() -> dict[str, str]:
             f"1.0) * tanb), 6) AS value "
             f"FROM acc JOIN t ON acc.row = t.row AND acc.col = t.col"
         ),
-        "sti_rounded": (
+        "sti": (
             f"WITH RECURSIVE {ras_a}, {pivot}, {edge_ctes}, {closure}, "
             f"acc AS MATERIALIZED (SELECT n.id, n.row, n.col, COUNT(*) AS a "
             f"FROM reach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2, 3), "
@@ -5917,8 +6133,8 @@ def _enhancement_oracles() -> dict[str, str]:
         # args — engine libm differs in the last ulp; rows-only + pytest.
         # The *_rounded companions below gate the same formulas at 1e-6
         # grain (the aspect_rounded pattern).
-        "sigmoidal_rounded": _sigmoid_rounded_oracle(),
-        "gamma_rounded": (
+        "sigmoidal_stretch": _sigmoid_rounded_oracle(),
+        "gamma_corr": (
             f"WITH {ras_a}, st AS (SELECT MIN(value) AS __lo, MAX(value) AS __hi "
             f"FROM ras_a) "
             f"SELECT row, col, ROUND(POWER(((value - __lo) / (__hi - __lo)), 0.5) "
@@ -5941,6 +6157,86 @@ def _sigmoid_rounded_oracle() -> str:
         f"st AS (SELECT MIN(value) AS __lo, MAX(value) AS __hi FROM ras_a) "
         f"SELECT row, col, ROUND(LEAST(FLOOR({t}), 255.0), 6) AS value "
         f"FROM ras_a, st"
+    )
+
+
+def _simplify_rdp_replay_sql() -> str:
+    """Exact-replay oracle for simplify_rdp (see the dict entry's note):
+    per-interval first-wins RDP anchors + split reachability from
+    (0, 8) over the 9-vertex redundant rings. Every arithmetic text
+    below matches operators/vector_ops.py _rdp and the
+    _shapes_redundant fixture (midpoints as (a + b) / 2.0), so the
+    doubles are bit-identical."""
+    # the 9-ring vertex expressions, exactly as _shapes_redundant emits
+    rectv = [
+        ("cx - hw", "cy - hh"),
+        ("(cx - hw + cx + hw) / 2.0", "(cy - hh + cy - hh) / 2.0"),
+        ("cx + hw", "cy - hh"),
+        ("(cx + hw + cx + hw) / 2.0", "(cy - hh + cy + hh) / 2.0"),
+        ("cx + hw", "cy + hh"),
+        ("(cx + hw + cx - hw) / 2.0", "(cy + hh + cy + hh) / 2.0"),
+        ("cx - hw", "cy + hh"),
+        ("(cx - hw + cx - hw) / 2.0", "(cy + hh + cy - hh) / 2.0"),
+        ("cx - hw", "cy - hh"),
+    ]
+    diamv = [
+        ("cx", "cy - hh"),
+        ("(cx + cx + hw) / 2.0", "(cy - hh + cy) / 2.0"),
+        ("cx + hw", "cy"),
+        ("(cx + hw + cx) / 2.0", "(cy + cy + hh) / 2.0"),
+        ("cx", "cy + hh"),
+        ("(cx + cx - hw) / 2.0", "(cy + hh + cy) / 2.0"),
+        ("cx - hw", "cy"),
+        ("(cx - hw + cx) / 2.0", "(cy + cy - hh) / 2.0"),
+        ("cx", "cy - hh"),
+    ]
+    xcase = ("CASE WHEN kind = 0 THEN CASE v.i "
+             + " ".join(f"WHEN {i} THEN {rectv[i][0]}" for i in range(9))
+             + " END ELSE CASE v.i "
+             + " ".join(f"WHEN {i} THEN {diamv[i][0]}" for i in range(9))
+             + " END END")
+    ycase = ("CASE WHEN kind = 0 THEN CASE v.i "
+             + " ".join(f"WHEN {i} THEN {rectv[i][1]}" for i in range(9))
+             + " END ELSE CASE v.i "
+             + " ".join(f"WHEN {i} THEN {diamv[i][1]}" for i in range(9))
+             + " END END")
+    ivals = ", ".join(f"({i})" for i in range(9))
+    seg2 = "((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))"
+    cross = "((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))"
+    d2 = (f"CASE WHEN {seg2} = 0.0 THEN "
+          f"(p.x - a.x) * (p.x - a.x) + (p.y - a.y) * (p.y - a.y) "
+          f"ELSE {cross} * {cross} / {seg2} END")
+    tol2 = "0.001 * 0.001"
+    return (
+        f"WITH RECURSIVE base AS ({_SHAPES_BASE}), "
+        f"verts AS MATERIALIZED (SELECT shape_id, v.i, {xcase} AS x, "
+        f"{ycase} AS y FROM base JOIN (VALUES {ivals}) v(i) ON TRUE), "
+        f"allp AS MATERIALIZED ("
+        f"SELECT a.shape_id, a.i AS i0, b.i AS i1, p.i AS i, {d2} AS d2 "
+        f"FROM verts a JOIN verts b ON a.shape_id = b.shape_id AND b.i > a.i + 1 "
+        f"JOIN verts p ON p.shape_id = a.shape_id AND p.i > a.i AND p.i < b.i), "
+        f"mx AS (SELECT shape_id, i0, i1, MAX(d2) AS bd FROM allp GROUP BY 1, 2, 3), "
+        f"bsel AS MATERIALIZED (SELECT a.shape_id, a.i0, a.i1, "
+        f"MIN(a.i) AS best, MIN(m.bd) AS bd "
+        f"FROM allp a JOIN mx m ON a.shape_id = m.shape_id AND a.i0 = m.i0 "
+        f"AND a.i1 = m.i1 AND a.d2 = m.bd GROUP BY 1, 2, 3), "
+        f"reach(shape_id, i0, i1) AS ("
+        f"SELECT shape_id, 0, 8 FROM base "
+        f"UNION SELECT r.shape_id, "
+        f"CASE WHEN c.k = 0 THEN r.i0 ELSE b.best END, "
+        f"CASE WHEN c.k = 0 THEN b.best ELSE r.i1 END "
+        f"FROM reach r JOIN bsel b ON r.shape_id = b.shape_id "
+        f"AND r.i0 = b.i0 AND r.i1 = b.i1 AND b.bd > {tol2} "
+        f"JOIN (VALUES (0), (1)) c(k) ON TRUE), "
+        f"kept AS (SELECT shape_id, 0 AS i FROM base "
+        f"UNION SELECT shape_id, 8 FROM base "
+        f"UNION SELECT r.shape_id, b.best FROM reach r "
+        f"JOIN bsel b ON r.shape_id = b.shape_id AND r.i0 = b.i0 "
+        f"AND r.i1 = b.i1 AND b.bd > {tol2}) "
+        f"SELECT k.shape_id, CAST(0 AS INT) AS part_idx, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY k.shape_id ORDER BY k.i) - 1 "
+        f"AS INT) AS node_idx, v.x, v.y "
+        f"FROM kept k JOIN verts v ON k.shape_id = v.shape_id AND k.i = v.i"
     )
 
 
@@ -6003,11 +6299,19 @@ def _vector_op_oracles() -> dict[str, str]:
             f"ring[i].x AS x, ring[i].y AS y "
             f"FROM rs JOIN (VALUES (1), (2), (3), (4), (5)) v(i) ON TRUE"
         ),
-        # simplify_rdp: rows-only — on closed rings a collinear vertex
-        # can legitimately become an RDP split anchor and survive, so
-        # the output vertex set isn't SQL-predictable; the kernel's
-        # contract (subset-of-input, straight chains collapse, corners
-        # kept) is pytest-gated.
+        # simplify_rdp (round-5 oracle upgrade): a faithful replay of the
+        # _rdp anchor cascade. A closed-form prediction is impossible
+        # here: the diamond ring's first closed-ring split has three
+        # candidates (top corner, top-left midpoint, left corner) whose
+        # distances tie EXACTLY in real arithmetic, so float rounding of
+        # the cross products decides which survives. Instead the oracle
+        # enumerates every (i0, i1) interval of the 9-vertex ring (36
+        # total), computes each interval's first-wins argmax anchor with
+        # the kernel's own +-*/ expressions (bit-identical IEEE ops, no
+        # libm), and walks the split recursion as interval-graph
+        # reachability from (0, 8). Kept = endpoints + reached anchors
+        # over tolerance — the exact _rdp keep set.
+        "simplify_rdp": _simplify_rdp_replay_sql(),
         "remove_duplicates": (
             f"{pts_cte}, d AS (SELECT record_num, x, y, value FROM pts "
             f"UNION ALL SELECT record_num + 1000000, x, y, value FROM pts), "
@@ -7189,6 +7493,28 @@ def _vecgeom_oracles() -> dict[str, str]:
     ret["min_bounding_envelope"] = (
         f"{nodes} SELECT shape_id, MIN(x) AS xmin, MIN(y) AS ymin, "
         f"MAX(x) AS xmax, MAX(y) AS ymax FROM nodes GROUP BY 1")
+    # MinimumBoundingCircle: the Welzl kernel's terminal 2-point support
+    # circle per fixture kind — same midpoint + SQRT-distance arithmetic
+    # text (ROUND(6) absorbs math.hypot vs SQRT ulps)
+    def _c2(ax, ay, bx, by):
+        cxe = f"(({ax}) + ({bx})) / 2.0"
+        cye = f"(({ay}) + ({by})) / 2.0"
+        r = (f"SQRT((({ax}) - ({cxe})) * (({ax}) - ({cxe})) "
+             f"+ (({ay}) - ({cye})) * (({ay}) - ({cye})))")
+        return cxe, cye, r
+
+    _rc = _c2("cx + hw", "cy + hh", "cx - hw", "cy - hh")  # rect: tr-bl
+    _dv = _c2("cx", "cy + hh", "cx", "cy - hh")            # diamond: t-b
+    _dh = _c2("cx - hw", "cy", "cx + hw", "cy")            # diamond: l-r
+    ret["min_bounding_circle"] = (
+        f"WITH base AS ({_SHAPES_BASE}) "
+        f"SELECT shape_id, "
+        f"ROUND(CASE WHEN kind = 0 THEN {_rc[0]} WHEN hw <= hh THEN {_dv[0]} "
+        f"ELSE {_dh[0]} END, 6) AS cx, "
+        f"ROUND(CASE WHEN kind = 0 THEN {_rc[1]} WHEN hw <= hh THEN {_dv[1]} "
+        f"ELSE {_dh[1]} END, 6) AS cy, "
+        f"ROUND(CASE WHEN kind = 0 THEN {_rc[2]} WHEN hw <= hh THEN {_dv[2]} "
+        f"ELSE {_dh[2]} END, 6) AS radius FROM base")
     sxx = "(sxsq / n - (sx / n) * (sx / n))"
     syy = "(sysq / n - (sy / n) * (sy / n))"
     ols_sign = "(sxy - (sx / n) * sy)"
@@ -7716,6 +8042,122 @@ def _r4d_oracles() -> dict[str, str]:
         f"SELECT rc.row, rc.col, ROUND(CASE WHEN best.b IS NULL THEN 0.0 "
         f"ELSE ATAN(best.b) END, 6) AS value "
         f"FROM rc LEFT JOIN best ON rc.row = best.row AND rc.col = best.col")
+    # TimeInDaylight (round-5 upgrade): the horizon replay generalized
+    # over the 8 discrete azimuths (one alive/best CTE chain per azid,
+    # Python-identical step constants), a VALUES solar table from the
+    # same declination/hour-angle loop, and the exact integer lit-count
+    # divide. ATAN cross-libm flips need |alt - horizon| < 1 ulp —
+    # negligible at this fixture size.
+    def _tid_sql() -> str:
+        lat_r = _m2.radians(45.0)
+        decl = _m2.radians(23.45) * _m2.sin(2 * _m2.pi * (284 + 172) / 365.0)
+        sun = []
+        t = 0.0
+        while t < 24.0 * 60.0:
+            ha = _m2.radians((t / 60.0 - 12.0) * 15.0)
+            sin_alt = (_m2.sin(lat_r) * _m2.sin(decl)
+                       + _m2.cos(lat_r) * _m2.cos(decl) * _m2.cos(ha))
+            alt = _m2.asin(max(-1.0, min(1.0, sin_alt)))
+            if alt > 0:
+                cos_az = ((_m2.sin(decl) - _m2.sin(alt) * _m2.sin(lat_r))
+                          / max(_m2.cos(alt) * _m2.cos(lat_r), 1e-12))
+                azd = _m2.degrees(_m2.acos(max(-1.0, min(1.0, cos_az))))
+                if ha > 0:
+                    azd = 360.0 - azd
+                sun.append((azd, alt))
+            t += 120.0
+        n_az = 8
+        sun_rows = [(int(round(azd / (360.0 / n_az))) % n_az, alt)
+                    for azd, alt in sun]
+        sun_vals = ", ".join(f"({a}, {alt!r})" for a, alt in sun_rows)
+        smax = int(_m2.hypot(40, 40)) + 2
+        ctes, hz_sel = [], []
+        for k in range(n_az):
+            azr = _m2.radians(k * 360.0 / n_az)
+            sr_, sc_ = -_m2.cos(azr), _m2.sin(azr)
+
+            def _ex(pos, step, n):
+                if step > 0.0:
+                    return f"(({n} - 0.5 - {pos}) / {step!r})"
+                if step < 0.0:
+                    return f"(({pos} + 0.5) / {-step!r})"
+                return f"CAST({smax} AS DOUBLE)"
+
+            cap = (f"LEAST(CAST(CEIL(LEAST({_ex('t.row', sr_, 40)}, "
+                   f"{_ex('t.col', sc_, 40)})) AS BIGINT) + 2, {smax})")
+            d_k = (f"SQRT((CAST(ir - s0.row AS DOUBLE) * {ry!r}) "
+                   f"* (CAST(ir - s0.row AS DOUBLE) * {ry!r}) "
+                   f"+ (CAST(ic - s0.col AS DOUBLE) * {rx!r}) "
+                   f"* (CAST(ic - s0.col AS DOUBLE) * {rx!r}))")
+            fail_k = "NOT (ir >= 0 AND ir < 40 AND ic >= 0 AND ic < 40)"
+            ctes.append(
+                f"t{k} AS (SELECT row, col, value AS z0, {cap} AS cap "
+                f"FROM rc t), "
+                f"s0{k} AS (SELECT t.row, t.col, t.z0, u.s, "
+                f"CAST(round_even(t.row + {sr_!r} * u.s, 0) AS BIGINT) AS ir, "
+                f"CAST(round_even(t.col + {sc_!r} * u.s, 0) AS BIGINT) AS ic "
+                f"FROM t{k} t JOIN LATERAL (SELECT unnest(range(1, t.cap + 1)) AS s) u "
+                f"ON TRUE WHERE t.cap >= 1), "
+                f"s{k} AS (SELECT s0.*, {d_k} AS d, "
+                f"MIN(CASE WHEN {fail_k} THEN s0.s END) "
+                f"OVER (PARTITION BY s0.row, s0.col) AS ff FROM s0{k} s0), "
+                f"al{k} AS (SELECT * FROM s{k} WHERE NOT ({fail_k}) "
+                f"AND (ff IS NULL OR s < ff) AND d > 0.0), "
+                f"b{k} AS (SELECT a.row, a.col, "
+                f"MAX((c.value - a.z0) / NULLIF(a.d, 0.0)) AS b "
+                f"FROM al{k} a LEFT JOIN rc c ON a.ir = c.row AND a.ic = c.col "
+                f"GROUP BY 1, 2)")
+            hz_sel.append(
+                f"SELECT {k} AS azid, rc.row, rc.col, "
+                f"CASE WHEN b{k}.b IS NULL THEN 0.0 ELSE ATAN(b{k}.b) END AS value "
+                f"FROM rc LEFT JOIN b{k} ON rc.row = b{k}.row AND rc.col = b{k}.col")
+        return (
+            f"WITH rc AS ({_RAS_C_SQL}), " + ", ".join(ctes) + ", "
+            f"hz AS (" + " UNION ALL ".join(hz_sel) + "), "
+            f"sun(azid, alt) AS (SELECT * FROM (VALUES {sun_vals})) "
+            f"SELECT hz.row, hz.col, "
+            f"CAST(SUM(CASE WHEN sun.alt > hz.value THEN 1 ELSE 0 END) AS DOUBLE) "
+            f"/ {float(len(sun))!r} AS value "
+            f"FROM hz JOIN sun ON hz.azid = sun.azid GROUP BY 1, 2")
+
+    ret["time_in_daylight"] = _tid_sql()
+    # VisibilityIndex (round-5 upgrade): the viewshed replay generalized
+    # over the every-13th-cell station grid; the station count divide is
+    # exact (sum of 0/1 doubles / 16)
+    vf = 13
+    vn_st = len(range(0, 40, vf)) ** 2
+    vidist = (f"SQRT((CAST(row - sr AS DOUBLE) * {ry!r}) "
+              f"* (CAST(row - sr AS DOUBLE) * {ry!r}) "
+              f"+ (CAST(col - sc AS DOUBLE) * {rx!r}) "
+              f"* (CAST(col - sc AS DOUBLE) * {rx!r}))")
+    visd = (f"SQRT((CAST(s.ir - s.sr AS DOUBLE) * {ry!r}) "
+            f"* (CAST(s.ir - s.sr AS DOUBLE) * {ry!r}) "
+            f"+ (CAST(s.ic - s.sc AS DOUBLE) * {rx!r}) "
+            f"* (CAST(s.ic - s.sc AS DOUBLE) * {rx!r}))")
+    ret["visibility_index"] = (
+        f"WITH rc AS ({_RAS_C_SQL}), "
+        f"stg AS (SELECT r.range AS sr, c2.range AS sc "
+        f"FROM range(0, 40, {vf}) r, range(0, 40, {vf}) c2), "
+        f"stz AS (SELECT stg.sr, stg.sc, rc.value + 2.0 AS z0 FROM stg "
+        f"JOIN rc ON rc.row = stg.sr AND rc.col = stg.sc), "
+        f"t AS (SELECT sr, sc, z0, row, col, "
+        f"CAST(row - sr AS DOUBLE) AS dr, CAST(col - sc AS DOUBLE) AS dc, "
+        f"GREATEST(ABS(row - sr), ABS(col - sc)) AS n, {vidist} AS dist, "
+        f"(value - z0) / NULLIF({vidist}, 0.0) AS tgt FROM rc CROSS JOIN stz), "
+        f"s AS (SELECT t.sr, t.sc, t.z0, t.row, t.col, t.tgt, "
+        f"CAST(round_even(t.sr + t.dr * (CAST(u.s AS DOUBLE) / CAST(t.n AS DOUBLE)), 0) AS BIGINT) AS ir, "
+        f"CAST(round_even(t.sc + t.dc * (CAST(u.s AS DOUBLE) / CAST(t.n AS DOUBLE)), 0) AS BIGINT) AS ic "
+        f"FROM t JOIN LATERAL (SELECT unnest(range(1, t.n)) AS s) u ON TRUE "
+        f"WHERE t.n >= 2), "
+        f"vblocked AS (SELECT DISTINCT s.sr, s.sc, s.row, s.col FROM s "
+        f"JOIN rc c ON s.ir = c.row AND s.ic = c.col "
+        f"WHERE (c.value - s.z0) / NULLIF({visd}, 0.0) >= s.tgt), "
+        f"vis AS (SELECT t.row, t.col, CASE WHEN t.dist = 0.0 THEN 1.0 "
+        f"WHEN b.row IS NULL THEN 1.0 ELSE 0.0 END AS v "
+        f"FROM t LEFT JOIN vblocked b ON t.sr = b.sr AND t.sc = b.sc "
+        f"AND t.row = b.row AND t.col = b.col) "
+        f"SELECT row, col, SUM(v) / CAST({vn_st} AS DOUBLE) AS value "
+        f"FROM vis GROUP BY 1, 2")
     # directional relief / fetch: replay the shared _ray_sweep plan in
     # DuckDB (bilinear corner weights; relief mean ROUND(6) for sum
     # reassociation, fetch distances are selections of exact values)

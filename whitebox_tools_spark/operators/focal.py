@@ -636,14 +636,25 @@ def gaussian_filter(cells: DataFrame, sigma: float = 0.75) -> DataFrame:
     return piv.selectExpr("row", "col", f"{value} AS value")
 
 
-def dog_filter(cells: DataFrame, sigma1: float = 2.0, sigma2: float = 4.0) -> DataFrame:
+def dog_filter(cells: DataFrame, sigma1: float = 2.0, sigma2: float = 4.0,
+               separable: bool = True) -> DataFrame:
     """Difference-of-Gaussians (image_analysis/dog_filter.rs semantics):
     gaussian(sigma1) - gaussian(sigma2). NOTE: the reference's kernel
     fill uses midpoint = floor(size/2) + 1 (dog_filter.rs:277), an
     off-center anchor; this implementation uses the centered anchor
-    (the documented DoG definition)."""
-    g1 = gaussian_filter_separable(cells, sigma1).withColumnRenamed("value", "g1")
-    g2 = gaussian_filter_separable(cells, sigma2).withColumnRenamed("value", "g2")
+    (the documented DoG definition).
+
+    separable=True (default, the large-sigma scale path) composes two
+    separable smoothing passes — fast, but the row+column re-association
+    is not bit-portable. separable=False composes the two deterministic
+    k x k pivot plans (gaussian_value_expr), whose fixed-order folds a
+    DuckDB oracle replays bit-exactly — prefer it for small sigmas."""
+    if separable:
+        g1 = gaussian_filter_separable(cells, sigma1).withColumnRenamed("value", "g1")
+        g2 = gaussian_filter_separable(cells, sigma2).withColumnRenamed("value", "g2")
+    else:
+        g1 = gaussian_filter(cells, sigma1).withColumnRenamed("value", "g1")
+        g2 = gaussian_filter(cells, sigma2).withColumnRenamed("value", "g2")
     return g1.join(g2, ["row", "col"]).selectExpr("row", "col", "g1 - g2 AS value")
 
 

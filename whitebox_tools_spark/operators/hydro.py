@@ -444,31 +444,44 @@ def downslope_flowpath_length(cells: DataFrame, meta: GridMeta,
                               max_doublings: int = 24) -> DataFrame:
     """DownslopeFlowpathLength (terrain_analysis/downslope_flowpath_length.rs
     semantics): map-unit distance along the D8 flow path from each cell
-    to its terminal cell. Pointer-doubling with additive distances."""
-    import math
-
+    to its terminal cell. Pointer-doubling carrying exact INTEGER
+    step-type counters (row/col/diagonal), with one length multiply at
+    the end — sums of integers are order-free, so the result is
+    bit-portable and the driver query is oracle-gated against a
+    sequential recursive walk."""
     c = meta.columns
-    diag = math.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
-    lengths = [diag, meta.resolution_x, diag, meta.resolution_y,
-               diag, meta.resolution_x, diag, meta.resolution_y]
     ptr = d8_pointer(cells, meta)
-    larr = ", ".join(repr(v) for v in lengths)
+    dy_a = ", ".join(str(v) for v in D8_DY)
+    dx_a = ", ".join(str(v) for v in D8_DX)
+    nd_a = ", ".join("1L" if D8_DY[i] != 0 and D8_DX[i] != 0 else "0L"
+                     for i in range(8))
+    nr_a = ", ".join("1L" if D8_DY[i] != 0 and D8_DX[i] == 0 else "0L"
+                     for i in range(8))
+    nc_a = ", ".join("1L" if D8_DY[i] == 0 else "0L" for i in range(8))
+    i1 = "CAST(LOG2(value) AS INT) + 1"
     e = ptr.where("value > 0").selectExpr(
         f"(row * {c}L + col) AS id",
-        f"((row + CAST(ELEMENT_AT(ARRAY({', '.join(str(v) for v in D8_DY)}), CAST(LOG2(value) AS INT) + 1) AS BIGINT)) * {c}L "
-        f"+ (col + CAST(ELEMENT_AT(ARRAY({', '.join(str(v) for v in D8_DX)}), CAST(LOG2(value) AS INT) + 1) AS BIGINT))) AS nxt",
-        f"ELEMENT_AT(ARRAY({larr}), CAST(LOG2(value) AS INT) + 1) AS d",
+        f"((row + CAST(ELEMENT_AT(ARRAY({dy_a}), {i1}) AS BIGINT)) * {c}L "
+        f"+ (col + CAST(ELEMENT_AT(ARRAY({dx_a}), {i1}) AS BIGINT))) AS nxt",
+        f"ELEMENT_AT(ARRAY({nr_a}), {i1}) AS nr",
+        f"ELEMENT_AT(ARRAY({nc_a}), {i1}) AS nc",
+        f"ELEMENT_AT(ARRAY({nd_a}), {i1}) AS nd",
     )
     nodes = ptr.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
     state = nodes.join(e, "id", "left").selectExpr(
-        "id", "row", "col", "COALESCE(nxt, id) AS nxt", "COALESCE(d, 0.0) AS d"
+        "id", "row", "col", "COALESCE(nxt, id) AS nxt",
+        "COALESCE(nr, 0L) AS nr", "COALESCE(nc, 0L) AS nc",
+        "COALESCE(nd, 0L) AS nd",
     ).localCheckpoint(eager=True)
     for _ in range(max_doublings):
-        hop = state.selectExpr("id AS j_id", "nxt AS j_nxt", "d AS j_d")
+        hop = state.selectExpr("id AS j_id", "nxt AS j_nxt", "nr AS j_nr",
+                               "nc AS j_nc", "nd AS j_nd")
         new = state.join(hop, state["nxt"] == hop["j_id"], "left").selectExpr(
             "id", "row", "col", "nxt AS __prev",
             "COALESCE(j_nxt, nxt) AS nxt",
-            "d + COALESCE(j_d, 0.0) AS d",
+            "nr + COALESCE(j_nr, 0L) AS nr",
+            "nc + COALESCE(j_nc, 0L) AS nc",
+            "nd + COALESCE(j_nd, 0L) AS nd",
         ).localCheckpoint(eager=True)
         changed = new.where("nxt <> __prev").count()
         state = new.drop("__prev")
@@ -476,7 +489,7 @@ def downslope_flowpath_length(cells: DataFrame, meta: GridMeta,
             break
     else:
         ensure_converged(changed, "downslope_flowpath_length doubling", max_doublings)
-    return state.selectExpr("row", "col", "d AS value")
+    return state.selectExpr("row", "col", f"{_len_expr(meta)} AS value")
 
 
 def wetness_index(cells: DataFrame, meta: GridMeta) -> DataFrame:
@@ -2849,12 +2862,18 @@ def rho8_pointer(cells: DataFrame, meta: GridMeta, seed: int = 42) -> DataFrame:
     270-292): D8 argmax where the diagonal drop is divided by
     (2 - r), r ~ U[0, 1) — the stochastic diagonal-distance correction
     of Fairfield & Leymarie (1991). The reference draws from a thread
-    RNG; here r is a DETERMINISTIC per-(cell, neighbor) hash so runs
-    reproduce (document: distributional, not bitwise, parity). Output
-    uses this engine's 2^i pointer convention (0 = no downslope)."""
+    RNG; here r is a DETERMINISTIC per-(cell, neighbor) LCG stream so
+    runs reproduce (document: distributional, not bitwise, parity) AND
+    the arithmetic is portable SQL, so the driver query is oracle-gated
+    bit-exactly. PMOD 2^31 before the multiply keeps the intermediate
+    in int64 at any raster size (the random_field idiom). Output uses
+    this engine's 2^i pointer convention (0 = no downslope)."""
     piv = focal_pivot3_raw(cells)
-    rnd = lambda i: (f"(CAST(PMOD(XXHASH64(row, col, {i}, {seed}), 1000000) "
-                     f"AS DOUBLE) / 1000000.0)")
+    cols = meta.columns
+    rnd = lambda i: (
+        f"(CAST(((PMOD((row * {cols}L + col) * 8L + {i}L + {int(seed)}L, "
+        f"2147483648L) * 1103515245L + 12345L) % 2147483648L) AS DOUBLE) "
+        f"/ 2147483648.0)")
     slopes = []
     for i in range(8):
         if D8_DX[i] == 0 or D8_DY[i] == 0:
