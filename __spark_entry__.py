@@ -983,21 +983,27 @@ def _q_rho8_pointer(spark, sf):
 
 
 def _q_qin_accum(spark, sf):
-    """QinFlowAccumulation (adaptive-exponent MFD). Rows-only; numpy
-    topological parity pytest-gated."""
-    return HY.qin_flow_accumulation(_ras_c(spark, sf), _META40C)
+    """QinFlowAccumulation (adaptive-exponent MFD), ROUND(6) —
+    oracle-gated (round-5 upgrade: 64-round Jacobi replay of the
+    path-weight fixpoint); also numpy topological parity pytest."""
+    return HY.qin_flow_accumulation(_ras_c(spark, sf), _META40C).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_quinn_accum(spark, sf):
-    """QuinnFlowAccumulation (contour-length MFD, fixed exponent).
-    Rows-only; numpy topological parity pytest-gated."""
-    return HY.quinn_flow_accumulation(_ras_c(spark, sf), _META40C)
+    """QuinnFlowAccumulation (contour-length MFD, fixed exponent),
+    ROUND(6) — oracle-gated (round-5 Jacobi replay); also numpy
+    topological parity pytest."""
+    return HY.quinn_flow_accumulation(_ras_c(spark, sf), _META40C).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_mdinf_accum(spark, sf):
-    """MDInfFlowAccumulation (per-facet D-inf splitting). Rows-only;
-    positivity/concentration pytest gates."""
-    return HY.mdinf_flow_accumulation(_ras_c(spark, sf), _META40C)
+    """MDInfFlowAccumulation (per-facet D-inf splitting), ROUND(6) —
+    oracle-gated (round-5 Jacobi replay of the facet-weighted
+    fixpoint); also positivity/concentration pytest gates."""
+    return HY.mdinf_flow_accumulation(_ras_c(spark, sf), _META40C).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_jenson_snap(spark, sf):
@@ -1056,9 +1062,11 @@ def _q_edge_proportion(spark, sf):
 
 
 def _q_narrowness(spark, sf):
-    """NarrownessIndex (A / pi MD^2, exact EDT). Rows-only: the EDT
-    plan is not recursive-SQL-expressible; pytest gates the circle
-    case analytically."""
+    """NarrownessIndex (A / pi MD^2, exact EDT), oracle-gated bit-exact
+    (round-5 upgrade): on the square-resolution 40x40 grid the cell
+    centers are exact multiples of 12.5, so every dist2 is an exact
+    double and the brute-force min in DuckDB reproduces the separable
+    EDT's SQRT(min dist2) bitwise."""
     patches = R.polygons_to_raster(_polygons_df(spark), _META40) \
         .selectExpr("row", "col", "value + 1.0 AS value")
     return R.narrowness_index(patches, _META40)
@@ -1137,9 +1145,13 @@ def _q_time_in_daylight(spark, sf):
 
 
 def _q_downslope_index(spark, sf):
-    """DownslopeIndex (Hjerdt d-index, tangent). Rows-only; monotone-
-    slope analytic pytest."""
-    return HY.downslope_index(_ras_c(spark, sf), _META40C, drop=5.0)
+    """DownslopeIndex (Hjerdt d-index, tangent), ROUND(6) — oracle-gated
+    (round-5 upgrade: the bounded D8 walk as a recursive CTE; the
+    engines' hop-order dist folds agree to the last ulp); also
+    monotone-slope analytic pytest."""
+    return HY.downslope_index(_ras_c(spark, sf), _META40C,
+                              drop=5.0).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_max_branch_length(spark, sf):
@@ -1155,8 +1167,10 @@ def _q_flood_order(spark, sf):
 
 
 def _q_stochastic_depressions(spark, sf):
-    """StochasticDepressionAnalysis (hash-seeded Box-Muller noise,
-    simplified iid error model — documented). Rows-only; determinism +
+    """StochasticDepressionAnalysis (portable-LCG Box-Muller noise,
+    simplified iid error model — documented) — oracle-gated (round-5
+    upgrade: LCG perturbation + path-max fill replay per iteration; the
+    0/1 depression flags are engine-consistent); also determinism +
     range pytest."""
     sub = _ras_c(spark, sf).where("row < 20 AND col < 20")
     meta20 = GridMeta(rows=20, columns=20, north=400.0, south=200.0,
@@ -1167,8 +1181,9 @@ def _q_stochastic_depressions(spark, sf):
 
 
 def _q_cost_pathway(spark, sf):
-    """CostPathway over cost_backlink. Rows-only; diagonal-corridor
-    pytest."""
+    """CostPathway over cost_backlink — oracle-gated bit-exact (round-5
+    upgrade: 48-round (acc, back) lexicographic Jacobi + backlink-walk
+    closure in DuckDB); also diagonal-corridor pytest."""
     # 20x20 sub-window + dense sources: keeps the Bellman-Ford round
     # count (O(longest path)) inside the gate's per-query budget
     cost = _ras_c(spark, sf).where("row < 20 AND col < 20") \
@@ -1184,7 +1199,8 @@ def _q_cost_pathway(spark, sf):
 
 def _q_raster_streams_to_vector(spark, sf):
     """RasterStreamsToVector: stream pointer edges as segments + link
-    id. Rows-only; structure pytest."""
+    id — oracle-gated (round-5 upgrade: threshold-8 link labeling +
+    center-to-center segment arithmetic replayed in DuckDB)."""
     return HY.raster_streams_to_vector(_ras_c(spark, sf), _META40C, 8.0)
 
 
@@ -1195,22 +1211,28 @@ def _q_edge_preserving_mean(spark, sf):
 
 
 def _q_edge_density(spark, sf):
-    """EdgeDensity: normal-break flags + integral-image mean. Rows-only
-    (normals + window reassociation); breakline pytest."""
+    """EdgeDensity: normal-break flags + integral-image mean —
+    oracle-gated (round-5 upgrade: the 0/1 flag sums are exact integers,
+    so the direct window mean replays the II plan bitwise; ROUND(6)
+    guards the normal-product threshold only)."""
     return FO.edge_density(_ras(spark, sf, "a"), _META100, radius=2) \
         .selectExpr("row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_fps(spark, sf):
-    """FeaturePreservingSmoothing (simplified Sun et al. single-stage).
-    Rows-only; step-preservation pytest."""
+    """FeaturePreservingSmoothing (simplified Sun et al. single-stage),
+    ROUND(6) — oracle-gated (round-5 upgrade: 2 unrolled normal+update
+    iterations in DuckDB; rounding absorbs the per-cell neighbor-SUM
+    reassociation); also step-preservation pytest."""
     return FO.feature_preserving_smoothing(_ras_c(spark, sf), _META40C,
-                                           num_iter=2)
+                                           num_iter=2).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_roto(spark, sf):
-    """RemoveOffTerrainObjects (white-tophat variant). Rows-only;
-    box-removal pytest."""
+    """RemoveOffTerrainObjects (white-tophat variant) — oracle-gated
+    bit-exact (round-5 upgrade: min/max windows are exact selections);
+    also box-removal pytest."""
     return FO.remove_off_terrain_objects(_ras_c(spark, sf), _META40C,
                                          radius=3)
 
@@ -1445,10 +1467,11 @@ def _q_dog_filter(spark, sf):
 
 
 def _q_bilateral(spark, sf):
-    """Bilateral filter — rows-only: the intensity weights need EXP()
-    evaluated in-engine and libm exp is not bit-identical across
-    engines; kernel correctness pytest-gated vs numpy."""
-    return FO.bilateral_filter(_ras(spark, sf, "a"), 0.75, 10.0)
+    """Bilateral filter, ROUND(6) (round-5 oracle upgrade): the oracle
+    replays the shared bilateral_exprs weight/value fold over the same
+    7x7 pivot; rounding absorbs the cross-libm EXP ulps."""
+    return FO.bilateral_filter(_ras(spark, sf, "a"), 0.75, 10.0).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_olympic(spark, sf):
@@ -1555,17 +1578,28 @@ def _q_min_bounding_envelope(spark, sf):
 
 
 def _q_min_bounding_box(spark, sf):
-    """Rotating-calipers rectangle — trig per hull edge, rows-only
-    (kernel pytest-gated vs the area-criterion calipers)."""
-    return VO.minimum_bounding_box(_shapes(spark, sf))
+    """Rotating-calipers rectangle, ROUND(6) (round-5 oracle upgrade):
+    the oracle replays all 4 hull-edge candidates with the kernel's
+    rotate/extent arithmetic and the strict-< first-wins scan, then the
+    same corner trig; rounding absorbs ATAN2/COS/SIN libm ulps."""
+    return VO.minimum_bounding_box(_shapes(spark, sf)).selectExpr(
+        "shape_id", "corner_idx", "ROUND(x, 6) AS x", "ROUND(y, 6) AS y",
+        "ROUND(long_axis, 6) AS long_axis",
+        "ROUND(short_axis, 6) AS short_axis")
 
 
 def _q_polygon_long_axis(spark, sf):
-    return VO.polygon_long_axis(_shapes(spark, sf))
+    """MBB long-axis segment, ROUND(6) (same calipers replay oracle)."""
+    return VO.polygon_long_axis(_shapes(spark, sf)).selectExpr(
+        "shape_id", "ROUND(x1, 6) AS x1", "ROUND(y1, 6) AS y1",
+        "ROUND(x2, 6) AS x2", "ROUND(y2, 6) AS y2")
 
 
 def _q_polygon_short_axis(spark, sf):
-    return VO.polygon_short_axis(_shapes(spark, sf))
+    """MBB short-axis segment, ROUND(6) (same calipers replay oracle)."""
+    return VO.polygon_short_axis(_shapes(spark, sf)).selectExpr(
+        "shape_id", "ROUND(x1, 6) AS x1", "ROUND(y1, 6) AS y1",
+        "ROUND(x2, 6) AS x2", "ROUND(y2, 6) AS y2")
 
 
 def _q_min_bounding_circle(spark, sf):
@@ -1652,10 +1686,12 @@ def _q_spherical_sdn(spark, sf):
 
 
 def _q_drainage_preserving_smoothing(spark, sf):
-    """Alias of FeaturePreservingSmoothing (deprecated-tool parity) —
-    rows-only like FPS (iterative normal-weighted relaxations)."""
+    """Alias of FeaturePreservingSmoothing (deprecated-tool parity),
+    ROUND(6) — oracle-gated like fps (round-5 upgrade: one unrolled
+    normal+update iteration in DuckDB)."""
     return FO.drainage_preserving_smoothing(_ras(spark, sf, "a"), _META100,
-                                            num_iter=1)
+                                            num_iter=1).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_lidar_thin_high_density(spark, sf):
@@ -1668,18 +1704,22 @@ def _q_lidar_info(spark, sf):
 
 
 def _q_upslope_depression_storage(spark, sf):
-    """Weighted FD8 closure over the filled surface — rows-only
-    (POWER weights; pytest-gated vs a numpy queue transcription)."""
-    return HY.upslope_depression_storage(_ras_c(spark, sf), _META40C)
+    """Weighted FD8 closure over the filled surface, ROUND(6) —
+    oracle-gated (round-5 upgrade: path-max fill + dual Jacobi
+    area/depth closures); also pytest vs a numpy queue transcription."""
+    return HY.upslope_depression_storage(_ras_c(spark, sf), _META40C).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_dinf_mass_flux(spark, sf):
-    """D-infinity mass routing peel — rows-only (pytest-gated)."""
+    """D-infinity mass routing peel, ROUND(6) — oracle-gated (round-5
+    Jacobi replay of the peel fixpoint); also pytest-gated."""
     base = _ras_c(spark, sf)
     loading = base.selectExpr("row", "col", "CAST(1.0 AS DOUBLE) AS value")
     eff = base.selectExpr("row", "col", "CAST(0.9 AS DOUBLE) AS value")
     ab = base.selectExpr("row", "col", "CAST(0.05 AS DOUBLE) AS value")
-    return HY.dinf_mass_flux(base, _META40C, loading, eff, ab)
+    return HY.dinf_mass_flux(base, _META40C, loading, eff, ab).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_modified_kmeans(spark, sf):
@@ -1701,15 +1741,20 @@ def _q_lidar_tophat(spark, sf):
 
 
 def _q_highpass_bilateral(spark, sf):
-    """z - bilateral (EXP weights — libm); rows-only like bilateral."""
-    return FO.highpass_bilateral_filter(_ras(spark, sf, "a"))
+    """z - bilateral, ROUND(6) (round-5 oracle upgrade — the bilateral
+    replay composed with the center subtraction)."""
+    return FO.highpass_bilateral_filter(_ras(spark, sf, "a")).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_anvad(spark, sf):
-    """AverageNormalVectorAngularDeviation — Gaussian smoothing + ACOS
-    chain; rows-only + pytest invariants."""
+    """AverageNormalVectorAngularDeviation, ROUND(6) — oracle-gated
+    (round-5 upgrade: pivot Gaussian + gradient + ACOS replay with a
+    direct clamped-window mean; rounding absorbs the II-vs-direct sum
+    reassociation and ACOS libm ulps); also pytest invariants."""
     return FO.average_normal_vector_angular_deviation(
-        _ras(spark, sf, "a"), _META100, filter_size=5)
+        _ras(spark, sf, "a"), _META100, filter_size=5).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_long_profile_from_points(spark, sf):
@@ -1719,9 +1764,12 @@ def _q_long_profile_from_points(spark, sf):
 
 
 def _q_deviation_from_regional_direction(spark, sf):
-    """MBB + circular means — trig heavy; rows-only + pytest."""
+    """MBB + circular means, ROUND(6) — oracle-gated (round-5 upgrade:
+    RMA node sums + mbb-replay axes + the doubled-angle circular mean
+    replayed in DuckDB); also pytest."""
     return VO.deviation_from_regional_direction(_shapes(spark, sf),
-                                                elong_threshold=0.25)
+                                                elong_threshold=0.25).selectExpr(
+        "shape_id", "ROUND(deviation, 6) AS deviation")
 
 
 def _sig_points(spark, sf):
@@ -1730,8 +1778,10 @@ def _sig_points(spark, sf):
 
 
 def _q_hypso_tinted_hillshade(spark, sf):
-    """Multidirectional hillshade + palette tint — trig chain;
-    rows-only + pytest shape/range gates."""
+    """Multidirectional hillshade + palette tint — oracle-gated
+    (round-5 upgrade: the histogram clip is exact on the integer-valued
+    elevations/hillshade; the palette chain + channel packing replay
+    as integer outputs); also pytest shape/range gates."""
     return FO.hypsometrically_tinted_hillshade(_ras(spark, sf, "a"),
                                                _META100)
 
@@ -1793,8 +1843,9 @@ def _q_embankment_mapping(spark, sf):
 
 
 def _q_burn_streams_at_roads(spark, sf):
-    """Crossing-cell min-clamp along the stream mask — rows-only +
-    pytest (BFS rounds)."""
+    """Crossing-cell min-clamp along the stream mask — oracle-gated
+    bit-exact (round-5 upgrade: Bresenham rasterization + 1-hop BFS +
+    commuting min-clamp replayed in DuckDB); also pytest (BFS rounds)."""
     streams = _segments(spark, sf)
     roads = streams.selectExpr("record_num", "value",
                                "y1 AS x1", "x1 AS y1", "y2 AS x2", "x2 AS y2")
@@ -1885,9 +1936,11 @@ def _q_sdn_signature(spark, sf):
 
 
 def _q_mass_flux(spark, sf):
-    """Topological peel with per-cell loss arithmetic — iterative;
-    rows-only + pytest parity on a crafted network. 20x20 gate raster:
-    peel rounds scale with the longest flow path."""
+    """Topological peel with per-cell loss arithmetic, ROUND(6) —
+    oracle-gated (round-5 upgrade: the peel's fixpoint replayed as 64
+    Jacobi rounds in DuckDB; rounding absorbs the engines' differing
+    per-cell inflow SUM order); also pytest parity on a crafted
+    network."""
     _reg(spark, sf, "events")
     dem = spark.sql(
         "SELECT (event_id % 20) AS row, "
@@ -1895,10 +1948,13 @@ def _q_mass_flux(spark, sf):
         "CAST(MAX(event_id) % 100 AS DOUBLE) AS value FROM events GROUP BY 1, 2")
     meta20 = GridMeta(rows=20, columns=20, north=200.0, south=0.0, east=200.0,
                       west=0.0, resolution_x=10.0, resolution_y=10.0)
-    loading = dem.selectExpr("row", "col", "1.0 AS value")
-    eff = dem.selectExpr("row", "col", "0.9 AS value")
-    ab = dem.selectExpr("row", "col", "0.05 AS value")
-    return HY.d8_mass_flux(dem, meta20, loading, eff, ab)
+    # CAST to DOUBLE: a bare 1.0 literal is DECIMAL under Spark ANSI,
+    # which silently quantizes the whole peel's arithmetic (~1e-6)
+    loading = dem.selectExpr("row", "col", "CAST(1.0 AS DOUBLE) AS value")
+    eff = dem.selectExpr("row", "col", "CAST(0.9 AS DOUBLE) AS value")
+    ab = dem.selectExpr("row", "col", "CAST(0.05 AS DOUBLE) AS value")
+    return HY.d8_mass_flux(dem, meta20, loading, eff, ab).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_eas_euclidean(spark, sf):
@@ -1906,8 +1962,9 @@ def _q_eas_euclidean(spark, sf):
 
 
 def _q_cost_allocation(spark, sf):
-    """Bellman-Ford relaxation with (cost, source) argmin — iterative
-    like cost_distance; rows-only + pytest parity."""
+    """Bellman-Ford relaxation with (cost, source) argmin — oracle-gated
+    bit-exact (round-5 upgrade: 96 unrolled lexicographic-MIN Jacobi
+    rounds in DuckDB); also pytest parity."""
     _reg(spark, sf, "events")
     dem = spark.sql(
         "SELECT (event_id % 20) AS row, "
@@ -1963,8 +2020,9 @@ def _q_remove_spurs(spark, sf):
 
 
 def _q_line_thin(spark, sf):
-    """Zhang-Suen thinning to fixpoint — iterative; rows-only + pytest
-    skeleton-property parity."""
+    """Zhang-Suen thinning (8 iterations) — oracle-gated bit-exact
+    (round-5 upgrade: pure integer/boolean subiterations replayed as 16
+    unrolled MATERIALIZED pivot rounds in DuckDB)."""
     img = _ras_c(spark, sf).selectExpr("row", "col", f"{_BOOL_IMG} AS value")
     return FO.line_thinning(img, max_iters=8)
 
@@ -2114,8 +2172,10 @@ def _q_lidar_shift(spark, sf):
 
 
 def _q_map_off_terrain(spark, sf):
-    """MapOffTerrainObjects: slope-edge connected components. Rows-only;
-    scene pytest (tests/test_small_ops_r4.py)."""
+    """MapOffTerrainObjects: slope-edge connected components —
+    oracle-gated bit-exact (round-5 upgrade: slope edges + min-label
+    reach closure + dense ranking replayed in DuckDB); also scene
+    pytest (tests/test_small_ops_r4.py)."""
     from whitebox_tools_spark.operators.focal import map_off_terrain_objects
 
     return map_off_terrain_objects(_ras_c(spark, sf), _META40C,
@@ -2493,11 +2553,12 @@ def _q_surface_normals(spark, sf):
 
 
 def _q_gauss_scale_space(spark, sf):
-    """Gaussian scale space DoG argmax over sigmas [0.8, 1.2, 1.6].
-    Rows-only: the separable-Gaussian smoothing reassociates float adds
-    (pytest-gated vs the 2-D plan at 1e-12)."""
-    return FO.gaussian_scale_space(_ras(spark, sf, "a"), _META100,
-                                   [0.8, 1.2, 1.6])
+    """Gaussian scale space DoG argmax over sigmas [0.8, 1.2, 1.6] on
+    the deterministic pivot plans, ROUND(6) on the winning DoG (round-5
+    oracle upgrade; the separable path stays pytest-gated at 1e-12)."""
+    out = FO.gaussian_scale_space(_ras(spark, sf, "a"), _META100,
+                                  [0.8, 1.2, 1.6], separable=False)
+    return out.selectExpr("row", "col", "ROUND(value, 6) AS value", "scale")
 
 
 def _q_resample_bilinear(spark, sf):
@@ -2505,12 +2566,15 @@ def _q_resample_bilinear(spark, sf):
 
 
 def _q_fd8_accum(spark, sf):
-    """FD8 proportioned accumulation — rows-only (float-exponent POWER);
-    pytest-gated vs the reference proportioning + queue algorithm."""
+    """FD8 proportioned accumulation, ROUND(6) — oracle-gated (round-5
+    upgrade: 64-round Jacobi replay; rounding absorbs POWER libm and
+    SUM-association ulps); also pytest vs the reference proportioning +
+    queue algorithm."""
     sub = _ras(spark, sf, "a").where("row < 24 AND col < 24")
     meta = GridMeta(rows=24, columns=24, north=1000.0, south=760.0, east=240.0,
                     west=0.0, resolution_x=10.0, resolution_y=10.0)
-    return HY.fd8_flow_accumulation(sub, meta)
+    return HY.fd8_flow_accumulation(sub, meta).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_linearity(spark, sf):
@@ -2519,8 +2583,11 @@ def _q_linearity(spark, sf):
 
 def _q_box_metrics(spark, sf):
     """Min-bounding-box elongation/orientation + minimum-enclosing-circle
-    metric — rows-only (rotating calipers / Welzl kernels); geometry
-    pytest-gated on known shapes."""
+    metric — rows-only: the diamond fixture's four caliper edges tie
+    EXACTLY in real arithmetic, and numpy-vs-DuckDB trig ulps break the
+    tie differently (a round-5 replay oracle flipped orientation by the
+    180-complement on 3 of 104 shapes), so the winner is not
+    cross-engine reproducible; geometry pytest-gated on known shapes."""
     out = VO.box_metrics(_shapes(spark, sf))
     return out.selectExpr("shape_id", "ROUND(elongation, 9) AS elongation",
                           "ROUND(orientation, 6) AS orientation",
@@ -2884,10 +2951,13 @@ def _q_wetness(spark, sf):
 
 
 def _q_cost_distance(spark, sf):
-    """Bellman-Ford relaxation; float add order varies across rounds —
-    rows-only (pytest-gated vs Dijkstra)."""
+    """Bellman-Ford relaxation, ROUND(6) — oracle-gated (round-5
+    upgrade: 96 unrolled Jacobi rounds in DuckDB; the engines' LEAST/MIN
+    relaxation chains agree to the last ulp on long paths, which
+    ROUND(6) absorbs); also pytest-gated vs Dijkstra."""
     cost = _ras_c(spark, sf).selectExpr("row", "col", "value + 1.0 AS value")
-    return HY.cost_distance(cost, _META40C, "value < 6.0")
+    return HY.cost_distance(cost, _META40C, "value < 6.0").selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_viewshed(spark, sf):
@@ -2929,20 +2999,25 @@ def _q_d8_pointer(spark, sf):
 
 
 def _q_dinf_pointer(spark, sf):
-    """D-inf direction (continuous degrees) — rows-only: ATAN is libm-
-    dependent cross-engine (like aspect); pytest-gated vs a numpy
-    transcription of the reference facet loop."""
-    return HY.dinf_pointer(_ras(spark, sf, "a"), _META100)
+    """D-inf direction (continuous degrees), ROUND(6) (round-5 oracle
+    upgrade: the oracle restates the facet fold as a last-wins max
+    cascade over the same per-facet expression texts; rounding absorbs
+    ATAN/DEGREES libm ulps — also pytest-gated vs a numpy transcription
+    of the reference facet loop)."""
+    return HY.dinf_pointer(_ras(spark, sf, "a"), _META100).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_dinf_accum(spark, sf):
-    """D-inf proportioned accumulation — rows-only (weighted path sums
-    are not SQL-expressible without exponential path enumeration);
-    pytest-gated vs the reference queue algorithm in numpy."""
+    """D-inf proportioned accumulation, ROUND(6) — oracle-gated
+    (round-5 upgrade: the doubling fixpoint equals the 64-round Jacobi
+    recurrence, replayed over the facet-cascade direction + sector
+    split); also pytest vs the reference queue algorithm in numpy."""
     sub = _ras(spark, sf, "a").where("row < 24 AND col < 24")
     meta = GridMeta(rows=24, columns=24, north=1000.0, south=760.0, east=240.0,
                     west=0.0, resolution_x=10.0, resolution_y=10.0)
-    return HY.dinf_flow_accumulation(sub, meta)
+    return HY.dinf_flow_accumulation(sub, meta).selectExpr(
+        "row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_breach(spark, sf):
@@ -3113,8 +3188,11 @@ def _q_construct_tin(spark, sf):
 
 
 def _q_knn_wbt(spark, sf):
-    """WBT-parity approximate kNN (early-stop shell expansion) — not
-    SQL-expressible (procedural early stop); rows-only check."""
+    """WBT-parity approximate kNN (early-stop shell expansion) —
+    oracle-gated bit-exact (round-5 upgrade: the per-query stopping ring
+    is closed-form — first Chebyshev bin ring whose cumulative count
+    reaches k — so DuckDB replays the candidate set and the (dist2, tid)
+    top-k without the loop)."""
     pts = _points(spark, sf)
     q = pts.where("record_num % 37 = 0").selectExpr("record_num AS query_id", "x", "y")
     t = pts.selectExpr("record_num AS target_id", "x", "y")
@@ -5579,6 +5657,55 @@ def _stream2_oracles() -> dict[str, str]:
             f"FROM lblk4 JOIN mterm ON lblk4.lbl = mterm.l "
             f"JOIN sordk4 s2 ON mterm.cur = s2.id "
             f"JOIN ck4 ON lblk4.id = ck4.sid"
+        ),
+        # RasterStreamsToVector (threshold 8): stream->stream pointer
+        # edges as center-to-center segments + dense-ranked link id —
+        # the stream_link_id labeling replayed at threshold 8
+        "raster_streams_to_vector": (
+            prelude + ", "
+            f"streams8 AS MATERIALIZED (SELECT id AS sid FROM acc WHERE a >= 8.0), "
+            f"se8 AS MATERIALIZED (SELECT e.src, e.dst FROM e "
+            f"JOIN streams8 a ON e.src = a.sid JOIN streams8 b ON e.dst = b.sid), "
+            f"sind8 AS (SELECT dst, COUNT(*) AS n_in FROM se8 GROUP BY 1), "
+            f"chain8 AS MATERIALIZED (SELECT s.src, s.dst FROM se8 s "
+            f"JOIN sind8 i ON s.dst = i.dst WHERE i.n_in < 2), "
+            f"und8 AS MATERIALIZED (SELECT src AS a, dst AS b FROM chain8 "
+            f"UNION ALL SELECT dst AS a, src AS b FROM chain8), "
+            f"comp8(a, b) AS (SELECT sid, sid FROM streams8 UNION "
+            f"SELECT c.a, u.b FROM comp8 c JOIN und8 u ON c.b = u.a), "
+            f"lbl8 AS MATERIALIZED (SELECT a AS id, MIN(b) AS lbl FROM comp8 GROUP BY 1), "
+            f"ids8 AS (SELECT lbl AS l2, DENSE_RANK() OVER (ORDER BY lbl) AS link_id "
+            f"FROM (SELECT DISTINCT lbl FROM lbl8)) "
+            f"SELECT (0.0 + (CAST((se8.src % 40) AS DOUBLE) + 0.5) * 10.0) AS x1, (400.0 - (CAST((se8.src // 40) AS DOUBLE) + 0.5) * 10.0) AS y1, "
+            f"(0.0 + (CAST((se8.dst % 40) AS DOUBLE) + 0.5) * 10.0) AS x2, (400.0 - (CAST((se8.dst // 40) AS DOUBLE) + 0.5) * 10.0) AS y2, "
+            f"CAST(ids8.link_id AS DOUBLE) AS link_id "
+            f"FROM se8 JOIN lbl8 ON se8.src = lbl8.id "
+            f"JOIN ids8 ON lbl8.lbl = ids8.l2"
+        ),
+        # DownslopeIndex (Hjerdt tangent, drop 5): the bounded D8 walk
+        # replayed as a recursive CTE carrying the same left-fold dist
+        # accumulation; terminal row = frozen or out-of-edges
+        "downslope_index": (
+            prelude + ", "
+            f"zm AS MATERIALIZED (SELECT (row * {W} + col) AS zid, value AS z "
+            f"FROM ras_a), "
+            f"esl AS MATERIALIZED (SELECT src, dst, CASE WHEN sd = 1 THEN 14.142135623730951 "
+            f"ELSE 10.0 END AS sl FROM e), "
+            f"dw(src, cur, dist, mv) AS ("
+            f"SELECT id, id, CAST(0.0 AS DOUBLE), TRUE FROM nodes "
+            f"UNION SELECT w.src, esl.dst, w.dist + esl.sl, "
+            f"(z0.z - zn.z) < 5.0 "
+            f"FROM dw w JOIN esl ON w.cur = esl.src AND w.mv "
+            f"JOIN zm zn ON esl.dst = zn.zid JOIN zm z0 ON w.src = z0.zid), "
+            f"t AS (SELECT w.* FROM dw w WHERE NOT w.mv "
+            f"OR w.cur NOT IN (SELECT src FROM esl)), "
+            f"fin AS (SELECT t.src, t.dist, zn.z AS zend FROM t "
+            f"LEFT JOIN zm zn ON t.cur = zn.zid) "
+            f"SELECT n.row, n.col, "
+            f"ROUND((z0.z - COALESCE(f.zend, z0.z)) / NULLIF(f.dist, 0.0), 6) "
+            f"AS value "
+            f"FROM fin f JOIN nodes n ON f.src = n.id "
+            f"JOIN zm z0 ON f.src = z0.zid"
         ),
         "stream_link_class": (
             prelude + f", {links}, {cellrc}, "
@@ -8535,6 +8662,1291 @@ def _r5_oracles() -> dict[str, str]:
     return ret
 
 
+def _dinf_dir_cascade(meta) -> str:
+    """The unrounded D-inf direction value (degrees, -1 for pits) as one
+    DuckDB expression over zn_0..zn_7/zc — hydro._dinf_dir_expr's facet
+    fold restated as a last-wins max cascade (the fold's `e.s >= acc.s`
+    makes later facets win ties, so the winner is the HIGHEST facet
+    index attaining the max eligible s)."""
+    import math as _md
+
+    grid_res = (meta.resolution_x + meta.resolution_y) / 2.0
+    diag = _md.sqrt(meta.resolution_x ** 2 + meta.resolution_y ** 2)
+    atan1 = _md.atan(1.0)
+    hp = _md.pi / 2.0
+    s_exprs, d_exprs = [], []
+    for i in range(8):
+        e1 = f"zn_{HY._DINF_E1_IDX[i]}"
+        e2 = f"zn_{HY._DINF_E2_IDX[i]}"
+        ac, af = HY._DINF_AC[i], HY._DINF_AF[i]
+        s1 = f"((zc - {e1}) / {grid_res!r})"
+        s2 = f"(({e1} - {e2}) / {grid_res!r})"
+        r0 = f"CASE WHEN {s1} <> 0.0 THEN ATAN({s2} / {s1}) ELSE {hp!r} END"
+        smag = f"SQRT({s1} * {s1} + {s2} * {s2})"
+        ssgn = (f"(CASE WHEN ({s1} < 0.0 AND {s2} < 0.0) OR ({s1} < 0.0 AND {s2} = 0.0) "
+                f"OR ({s1} = 0.0 AND {s2} < 0.0) THEN -({smag}) ELSE {smag} END)")
+        r_cl = (f"CASE WHEN ({r0}) < 0.0 THEN 0.0 "
+                f"WHEN ({r0}) > {atan1!r} THEN {atan1!r} ELSE ({r0}) END")
+        s_cl = (f"CASE WHEN ({r0}) < 0.0 THEN {s1} "
+                f"WHEN ({r0}) > {atan1!r} THEN ((zc - {e2}) / {diag!r}) ELSE ({ssgn}) END")
+        s_exprs.append(
+            f"CASE WHEN {e1} IS NOT NULL AND {e2} IS NOT NULL THEN "
+            f"(CASE WHEN zc > {e1} AND zc > {e2} THEN ({s_cl}) "
+            f"WHEN zc > {e1} THEN (zc - {e1}) / {grid_res!r} "
+            f"WHEN zc > {e2} THEN (zc - {e2}) / {diag!r} ELSE NULL END) "
+            f"ELSE NULL END")
+        d_exprs.append(
+            f"CASE WHEN {e1} IS NOT NULL AND {e2} IS NOT NULL THEN "
+            f"(CASE WHEN zc > {e1} AND zc > {e2} THEN "
+            f"{af!r} * ({r_cl}) + {ac!r} * {hp!r} "
+            f"WHEN zc > {e1} THEN {af!r} * 0.0 + {ac!r} * {hp!r} "
+            f"WHEN zc > {e2} THEN {af!r} * {atan1!r} + {ac!r} * {hp!r} "
+            f"ELSE NULL END) ELSE NULL END")
+    # CTE pipeline (fs -> fe -> w -> dir) keeps the cascade's SQL size
+    # linear; caller splices these after a pivot CTE exposing
+    # (row, col, zn_0..zn_7, zc) named `{src}`.
+    fs = ", ".join(f"{s_exprs[i]} AS s_{i}" for i in range(8)) + ", " + \
+         ", ".join(f"{d_exprs[i]} AS d_{i}" for i in range(8))
+    fe = ", ".join(
+        f"CASE WHEN s_{i} IS NOT NULL AND s_{i} <> 0.00001 THEN s_{i} "
+        f"ELSE CAST('-Infinity' AS DOUBLE) END AS c_{i}" for i in range(8))
+    ms = "GREATEST(" + ", ".join(f"c_{i}" for i in range(8)) + ")"
+    windir = ("CASE " + " ".join(
+        f"WHEN c_{i} = ({ms}) THEN d_{i}" for i in range(7, -1, -1)) + " END")
+    return {
+        "fs": fs, "fe": fe, "ms": ms, "windir": windir,
+        "value": ("CASE WHEN ms > 0.0 THEN "
+                  "(CASE WHEN 360.0 - DEGREES(wd) + 90.0 > 360.0 "
+                  "THEN 360.0 - DEGREES(wd) + 90.0 - 360.0 "
+                  "ELSE 360.0 - DEGREES(wd) + 90.0 END) ELSE -1.0 END"),
+    }
+
+
+def _dinf_dir_ctes(meta, tag: str, src: str) -> str:
+    """CTE chain computing the D-inf direction per cell from a pivot CTE
+    `src` (row, col, zn_0..zn_7, zc): exposes {tag}dir(row, col, dirv)."""
+    p = _dinf_dir_cascade(meta)
+    return (
+        f"{tag}fs AS (SELECT row, col, {p['fs']} FROM {src}), "
+        f"{tag}fe AS (SELECT row, col, {p['fe']}, "
+        + ", ".join(f"d_{i}" for i in range(8))
+        + f" FROM {tag}fs), "
+        f"{tag}w AS (SELECT row, col, {p['ms']} AS ms, {p['windir']} AS wd "
+        f"FROM {tag}fe), "
+        f"{tag}dir AS MATERIALIZED (SELECT row, col, {p['value']} AS dirv "
+        f"FROM {tag}w)")
+
+
+def _dinf_oracle_sql() -> str:
+    """dinf_pointer oracle: hydro._dinf_dir_expr's facet fold restated
+    as columns s_i/d_i + a last-wins max cascade (the fold's
+    `e.s >= acc.s` makes later facets win ties, so the winner is the
+    HIGHEST facet index attaining the max eligible s). Same arithmetic
+    texts; ROUND(6) absorbs ATAN/DEGREES libm ulps."""
+    import math as _md
+
+    grid_res = (_META100.resolution_x + _META100.resolution_y) / 2.0
+    diag = _md.sqrt(_META100.resolution_x ** 2 + _META100.resolution_y ** 2)
+    atan1 = _md.atan(1.0)
+    hp = _md.pi / 2.0
+    s_cols, d_cols = [], []
+    for i in range(8):
+        e1 = f"zn_{HY._DINF_E1_IDX[i]}"
+        e2 = f"zn_{HY._DINF_E2_IDX[i]}"
+        ac, af = HY._DINF_AC[i], HY._DINF_AF[i]
+        s1 = f"((zc - {e1}) / {grid_res!r})"
+        s2 = f"(({e1} - {e2}) / {grid_res!r})"
+        r0 = f"CASE WHEN {s1} <> 0.0 THEN ATAN({s2} / {s1}) ELSE {hp!r} END"
+        smag = f"SQRT({s1} * {s1} + {s2} * {s2})"
+        ssgn = (f"(CASE WHEN ({s1} < 0.0 AND {s2} < 0.0) OR ({s1} < 0.0 AND {s2} = 0.0) "
+                f"OR ({s1} = 0.0 AND {s2} < 0.0) THEN -({smag}) ELSE {smag} END)")
+        r_cl = (f"CASE WHEN ({r0}) < 0.0 THEN 0.0 "
+                f"WHEN ({r0}) > {atan1!r} THEN {atan1!r} ELSE ({r0}) END")
+        s_cl = (f"CASE WHEN ({r0}) < 0.0 THEN {s1} "
+                f"WHEN ({r0}) > {atan1!r} THEN ((zc - {e2}) / {diag!r}) ELSE ({ssgn}) END")
+        s_cols.append(
+            f"CASE WHEN {e1} IS NOT NULL AND {e2} IS NOT NULL THEN "
+            f"(CASE WHEN zc > {e1} AND zc > {e2} THEN ({s_cl}) "
+            f"WHEN zc > {e1} THEN (zc - {e1}) / {grid_res!r} "
+            f"WHEN zc > {e2} THEN (zc - {e2}) / {diag!r} ELSE NULL END) "
+            f"ELSE NULL END AS s_{i}")
+        d_cols.append(
+            f"CASE WHEN {e1} IS NOT NULL AND {e2} IS NOT NULL THEN "
+            f"(CASE WHEN zc > {e1} AND zc > {e2} THEN "
+            f"{af!r} * ({r_cl}) + {ac!r} * {hp!r} "
+            f"WHEN zc > {e1} THEN {af!r} * 0.0 + {ac!r} * {hp!r} "
+            f"WHEN zc > {e2} THEN {af!r} * {atan1!r} + {ac!r} * {hp!r} "
+            f"ELSE NULL END) ELSE NULL END AS d_{i}")
+    elig = ", ".join(
+        f"CASE WHEN s_{i} IS NOT NULL AND s_{i} <> 0.00001 THEN s_{i} "
+        f"ELSE CAST('-Infinity' AS DOUBLE) END AS c_{i}" for i in range(8))
+    ms = "GREATEST(" + ", ".join(f"c_{i}" for i in range(8)) + ")"
+    windir = ("CASE " + " ".join(
+        f"WHEN c_{i} = ({ms}) THEN d_{i}" for i in range(7, -1, -1)) + " END")
+    offs_d8 = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    znk = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8))
+    return (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"dofs AS (SELECT * FROM (VALUES {offs_d8}) o(n, dy, dx)), "
+        f"dsc AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, "
+        f"o.n AS n, a.value AS nv FROM ras_a a, dofs o "
+        f"UNION ALL SELECT row, col, 8, value FROM ras_a), "
+        f"dpiv AS (SELECT row, col, {znk}, "
+        f"MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM dsc GROUP BY 1, 2), "
+        f"dz AS (SELECT * FROM dpiv WHERE zc IS NOT NULL), "
+        f"fs AS (SELECT row, col, " + ", ".join(s_cols) + ", "
+        + ", ".join(d_cols) + " FROM dz), "
+        f"fe AS (SELECT row, col, {elig}, "
+        + ", ".join(f"d_{i}" for i in range(8)) + " FROM fs), "
+        f"w AS (SELECT row, col, {ms} AS ms, {windir} AS wd FROM fe) "
+        f"SELECT row, col, ROUND(CASE WHEN ms > 0.0 THEN "
+        f"(CASE WHEN 360.0 - DEGREES(wd) + 90.0 > 360.0 "
+        f"THEN 360.0 - DEGREES(wd) + 90.0 - 360.0 "
+        f"ELSE 360.0 - DEGREES(wd) + 90.0 END) ELSE -1.0 END, 6) AS value "
+        f"FROM w"
+    )
+
+
+def _mfd_oracles() -> dict[str, str]:
+    """Round-5 oracles for the multiple-flow-direction accumulation
+    family (fd8/qin/quinn/mdinf/dinf + upslope storage + dinf mass
+    flux): the Spark side computes acc via S/Q path-weight doubling;
+    the fixpoint equals the Jacobi recurrence acc(v) = 1 + sum_in
+    w * acc(u) after DAG-depth rounds (probed depth <= 41; 64 rounds
+    unrolled). Weight texts are the operators' own portable SQL; the
+    engines' differing SUM association and POWER/ATAN libm ulps are
+    absorbed by ROUND(6) on the output."""
+    import math as _mm
+
+    ret: dict[str, str] = {}
+    meta24 = GridMeta(rows=24, columns=24, north=1000.0, south=760.0,
+                      east=240.0, west=0.0, resolution_x=10.0,
+                      resolution_y=10.0)
+    d8_offs = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    zn8 = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8))
+
+    def _piv(tag: str, src: str) -> str:
+        return (
+            f"{tag}o8 AS (SELECT * FROM (VALUES {d8_offs}) o(n, dy, dx)), "
+            f"{tag}sc AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, "
+            f"o.n AS n, a.value AS nv FROM {src} a, {tag}o8 o "
+            f"UNION ALL SELECT row, col, 8, value FROM {src}), "
+            f"{tag}pv AS (SELECT row, col, {zn8}, "
+            f"MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM {tag}sc GROUP BY 1, 2), "
+            f"{tag}zk AS (SELECT * FROM {tag}pv WHERE zc IS NOT NULL)")
+
+    def _mfd_edges(tag: str, W: int, ws: list[str], pivzk: str,
+                   nodes: str) -> str:
+        total = "(" + " + ".join(ws) + ")"
+        elems = ", ".join(
+            f"{{'dst': (row + ({HY.D8_DY[i]})) * {W} + (col + ({HY.D8_DX[i]})), "
+            f"'w': ({ws[i]}) / {total}}}"
+            for i in range(8))
+        return (
+            f"{tag}ex AS (SELECT (row * {W} + col) AS src, "
+            f"unnest([{elems}]) AS e FROM {pivzk} WHERE {total} > 0.0), "
+            f"{tag}we AS MATERIALIZED (SELECT x.src, (x.e).dst AS dst, "
+            f"(x.e).w AS w FROM {tag}ex x "
+            f"JOIN {nodes} n ON (x.e).dst = n.id WHERE (x.e).w > 0.0)")
+
+    def _jacobi(tag: str, we: str, nodes: str, rounds: int = 64) -> str:
+        p = [f"{tag}a0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS f "
+             f"FROM {nodes})"]
+        for k in range(1, rounds + 1):
+            prev = f"{tag}a{k - 1}"
+            p.append(
+                f"{tag}i{k} AS (SELECT e.dst, SUM(e.w * p.f) AS s "
+                f"FROM {prev} p JOIN {we} e ON p.id = e.src GROUP BY 1), "
+                f"{tag}a{k} AS MATERIALIZED (SELECT n.id, "
+                f"1.0 + COALESCE(i.s, 0.0) AS f FROM {nodes} n "
+                f"LEFT JOIN {tag}i{k} i ON n.id = i.dst)")
+        return ", ".join(p)
+
+    rc40 = f"rc AS ({_RAS_C_SQL})"
+    a24 = (f"a24 AS (SELECT * FROM (SELECT (event_id % 100) AS row, "
+           f"(CAST(FLOOR(event_id / 100) AS BIGINT) % 100) AS col, "
+           f"CAST(MAX(event_id) % 1000 AS DOUBLE) AS value "
+           f"FROM events GROUP BY 1, 2) WHERE row < 24 AND col < 24)")
+    n40 = "nds AS (SELECT (row * 40 + col) AS id, row, col FROM rc)"
+    n24 = "nds AS (SELECT (row * 24 + col) AS id, row, col FROM a24)"
+    fin = (" SELECT n.row, n.col, ROUND(a.f, 6) AS value "
+           "FROM {last} a JOIN nds n ON a.id = n.id")
+
+    # fd8 (24x24 ras_a sub, exponent 1.1)
+    l24 = HY._grid_lengths(meta24)
+    fd8_ws = [
+        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
+        f"THEN POWER((zc - zn_{i}) / {l24[i]!r}, 1.1) ELSE 0.0 END"
+        for i in range(8)]
+    ret["fd8_accum"] = (
+        f"WITH {a24}, {n24}, " + _piv("f8", "a24") + ", "
+        + _mfd_edges("f8", 24, fd8_ws, "f8zk", "nds") + ", "
+        + _jacobi("f8", "f8we", "nds")
+        + fin.format(last="f8a64")
+    )
+
+    # qin (40x40C, exponent 10, max_slope 45)
+    l40 = HY._grid_lengths(_META40C)
+    cl40 = HY._contour_lengths(_META40C)
+    eu = _mm.tan(_mm.radians(45.0))
+    q_tans = [
+        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
+        f"THEN (zc - zn_{i}) / {l40[i]!r} ELSE 0.0 END"
+        for i in range(8)]
+    q_emax = "GREATEST(" + ", ".join(q_tans) + ")"
+    q_fe = f"(LEAST({q_emax}, {eu!r}) / {eu!r} * ({10.0!r} - 1.1) + 1.1)"
+    qin_ws = [f"CASE WHEN ({q_tans[i]}) > 0.0 "
+              f"THEN {cl40[i]!r} * POWER({q_tans[i]}, {q_fe}) ELSE 0.0 END"
+              for i in range(8)]
+    ret["qin_accum"] = (
+        f"WITH {rc40}, {n40}, " + _piv("qn", "rc") + ", "
+        + _mfd_edges("qn", 40, qin_ws, "qnzk", "nds") + ", "
+        + _jacobi("qn", "qnwe", "nds")
+        + fin.format(last="qna64")
+    )
+
+    # quinn (40x40C, exponent 1.0)
+    quinn_ws = [
+        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
+        f"THEN {cl40[i]!r} * POWER((zc - zn_{i}) / {l40[i]!r}, {1.0!r}) "
+        f"ELSE 0.0 END"
+        for i in range(8)]
+    ret["quinn_accum"] = (
+        f"WITH {rc40}, {n40}, " + _piv("qu", "rc") + ", "
+        + _mfd_edges("qu", 40, quinn_ws, "quzk", "nds") + ", "
+        + _jacobi("qu", "quwe", "nds")
+        + fin.format(last="qua64")
+    )
+
+    # mdinf (40x40C, exponent 1.1)
+    d1 = _META40C.resolution_x
+    d2 = _mm.sqrt(_META40C.resolution_x ** 2 + _META40C.resolution_y ** 2)
+    amax = _mm.atan2(_META40C.resolution_y, _META40C.resolution_x)
+    md_parts: list[tuple[int, str]] = []
+    for card, diag in [(1, 0), (7, 0), (7, 6), (5, 6), (5, 4), (3, 4),
+                       (3, 2), (1, 2)]:
+        s1 = f"((zc - zn_{card}) / {d1!r})"
+        s2 = f"((zn_{card} - zn_{diag}) / {_META40C.resolution_y!r})"
+        r = f"ATAN2({s2}, {s1})"
+        rc_ = f"GREATEST(LEAST({r}, {amax!r}), 0.0)"
+        smag = (f"CASE WHEN {r} < 0.0 THEN {s1} "
+                f"WHEN {r} > {amax!r} THEN (zc - zn_{diag}) / {d2!r} "
+                f"ELSE SQRT({s1} * {s1} + {s2} * {s2}) END")
+        valid = (f"(zn_{card} IS NOT NULL AND zn_{diag} IS NOT NULL "
+                 f"AND ({smag}) > 0.0)")
+        w = f"CASE WHEN {valid} THEN POWER({smag}, {1.1!r}) ELSE 0.0 END"
+        md_parts.append((card, f"(({w}) * (1.0 - {rc_} / {amax!r}))"))
+        md_parts.append((diag, f"(({w}) * ({rc_} / {amax!r}))"))
+    md_by: dict[int, list[str]] = {}
+    for i, expr in md_parts:
+        md_by.setdefault(i, []).append(expr)
+    md_ws = [("(" + " + ".join(md_by[i]) + ")") if i in md_by else "0.0"
+             for i in range(8)]
+    ret["mdinf_accum"] = (
+        f"WITH {rc40}, {n40}, " + _piv("md", "rc") + ", "
+        + _mfd_edges("md", 40, md_ws, "mdzk", "nds") + ", "
+        + _jacobi("md", "mdwe", "nds")
+        + fin.format(last="mda64")
+    )
+
+    # dinf edges builder (sector split of the cascade direction)
+    def _dinf_edges_ctes(tag: str, meta, W: int, pivzk: str,
+                         nodes: str) -> str:
+        n1 = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1),
+              (-1, -1)]
+        n2 = [(-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1),
+              (-1, 0)]
+        sect = ", ".join(
+            f"({k}, {n1[k][0]}, {n1[k][1]}, {n2[k][0]}, {n2[k][1]})"
+            for k in range(8))
+        return (
+            _dinf_dir_ctes(meta, tag, pivzk) + ", "
+            f"{tag}sec AS (SELECT row, col, dirv, "
+            f"CAST(FLOOR(LEAST(dirv, 359.999999) / 45.0) AS INT) AS sec "
+            f"FROM {tag}dir WHERE dirv >= 0.0), "
+            f"{tag}stb AS (SELECT * FROM (VALUES {sect}) s(k, r1, c1, r2, c2)), "
+            f"{tag}ew AS (SELECT (d.row * {W} + d.col) AS src, "
+            f"unnest([{{'dst': (d.row + s.r1) * {W} + (d.col + s.c1), "
+            f"'w': ((CAST(d.sec + 1 AS DOUBLE) * 45.0 - d.dirv) / 45.0)}}, "
+            f"{{'dst': (d.row + s.r2) * {W} + (d.col + s.c2), "
+            f"'w': ((d.dirv - CAST(d.sec AS DOUBLE) * 45.0) / 45.0)}}]) AS e "
+            f"FROM {tag}sec d JOIN {tag}stb s ON d.sec = s.k), "
+            f"{tag}we AS MATERIALIZED (SELECT x.src, (x.e).dst AS dst, "
+            f"(x.e).w AS w FROM {tag}ew x "
+            f"JOIN {nodes} n ON (x.e).dst = n.id WHERE (x.e).w > 0.0)")
+
+    # dinf_accum (24x24 ras_a sub)
+    ret["dinf_accum"] = (
+        f"WITH {a24}, {n24}, " + _piv("di", "a24") + ", "
+        + _dinf_edges_ctes("di", meta24, 24, "dizk", "nds") + ", "
+        + _jacobi("di", "diwe", "nds")
+        + fin.format(last="dia64")
+    )
+
+    # dinf_mass_flux (40x40C): peel fixpoint as Jacobi with the same
+    # flux arithmetic (ld 1.0, eff 0.9, ab 0.05)
+    mfx_parts = ["mx0 AS MATERIALIZED (SELECT id, "
+                 "(CAST(1.0 AS DOUBLE) - CAST(0.05 AS DOUBLE)) "
+                 "* CAST(0.9 AS DOUBLE) AS f FROM nds)"]
+    for k in range(1, 65):
+        prev = f"mx{k - 1}"
+        mfx_parts.append(
+            f"mi{k} AS (SELECT e.dst, SUM(p.f * e.w) AS s "
+            f"FROM {prev} p JOIN dmwe e ON p.id = e.src GROUP BY 1), "
+            f"mx{k} AS MATERIALIZED (SELECT n.id, "
+            f"(CAST(1.0 AS DOUBLE) + COALESCE(i.s, CAST(0.0 AS DOUBLE)) "
+            f"- CAST(0.05 AS DOUBLE)) * CAST(0.9 AS DOUBLE) AS f FROM nds n "
+            f"LEFT JOIN mi{k} i ON n.id = i.dst)")
+    ret["dinf_mass_flux"] = (
+        f"WITH {rc40}, {n40}, " + _piv("dm", "rc") + ", "
+        + _dinf_edges_ctes("dm", _META40C, 40, "dmzk", "nds") + ", "
+        + ", ".join(mfx_parts)
+        + " SELECT n.row, n.col, ROUND(a.f, 6) AS value "
+        "FROM mx64 a JOIN nds n ON a.id = n.id"
+    )
+
+    # upslope_depression_storage (40x40C): path-max fill + fd8 weights
+    # on the filled surface + two Jacobi closures (area and depth)
+    fill40 = (
+        f"ufl(row, col, w) AS ("
+        f"SELECT row, col, value FROM rc "
+        f"WHERE row = 0 OR col = 0 OR row = 39 OR col = 39 "
+        f"UNION SELECT n.row, n.col, GREATEST(n.value, f.w) AS w "
+        f"FROM ufl f JOIN rc n "
+        f"ON n.row BETWEEN f.row - 1 AND f.row + 1 "
+        f"AND n.col BETWEEN f.col - 1 AND f.col + 1 "
+        f"AND NOT (n.row = f.row AND n.col = f.col)), "
+        f"ufm AS MATERIALIZED (SELECT row, col, MIN(w) AS value "
+        f"FROM ufl GROUP BY 1, 2)")
+    uds_ws = [
+        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
+        f"THEN POWER((zc - zn_{i}) / {l40[i]!r}, 1.1) ELSE 0.0 END"
+        for i in range(8)]
+    uds_jac = ["uda0 AS MATERIALIZED (SELECT n.id, CAST(1.0 AS DOUBLE) AS fa, "
+               "dep.dep AS fd FROM nds n JOIN udep dep ON n.id = dep.did)"]
+    for k in range(1, 65):
+        prev = f"uda{k - 1}"
+        uds_jac.append(
+            f"udi{k} AS (SELECT e.dst, SUM(e.w * p.fa) AS sa, "
+            f"SUM(e.w * p.fd) AS sd FROM {prev} p "
+            f"JOIN udwe e ON p.id = e.src GROUP BY 1), "
+            f"uda{k} AS MATERIALIZED (SELECT n.id, "
+            f"1.0 + COALESCE(i.sa, 0.0) AS fa, "
+            f"dep.dep + COALESCE(i.sd, 0.0) AS fd FROM nds n "
+            f"JOIN udep dep ON n.id = dep.did "
+            f"LEFT JOIN udi{k} i ON n.id = i.dst)")
+    ret["upslope_depression_storage"] = (
+        f"WITH RECURSIVE {rc40}, {n40}, {fill40}, "
+        + _piv("ud", "ufm") + ", "
+        + _mfd_edges("ud", 40, uds_ws, "udzk", "nds") + ", "
+        f"udep AS (SELECT (f.row * 40 + f.col) AS did, "
+        f"f.value - c.value AS dep FROM ufm f "
+        f"JOIN rc c ON f.row = c.row AND f.col = c.col), "
+        + ", ".join(uds_jac)
+        + " SELECT n.row, n.col, ROUND(a.fd / a.fa, 6) AS value "
+        "FROM uda64 a JOIN nds n ON a.id = n.id"
+    )
+    return ret
+
+
+def _r5b_oracles() -> dict[str, str]:
+    """Round-5 oracle upgrades (batch 2) for previously rows-only
+    queries: narrowness (brute-force exact EDT), line_thin (unrolled Zhang-Suen),
+    cost_distance (unrolled Bellman-Ford/Jacobi), bilateral +
+    highpass_bilateral (shared bilateral_exprs replay, ROUND(6)),
+    gauss_scale_space (pivot DoG argmax, ROUND(6)), dinf_pointer
+    (facet-fold cascade, ROUND(6))."""
+    import math as _m5
+
+    ret: dict[str, str] = {}
+    cells40 = ("cells AS (SELECT a.range AS row, b.range AS col "
+               "FROM range(0, 40) a, range(0, 40) b)")
+
+    # ---- narrowness: patches from the polygons_to_raster oracle + 1,
+    # exact EDT to background by brute-force min (dist2 doubles are
+    # exact multiples of 156.25, so MIN matches the separable EDT)
+    cx40 = _META40.x_center_expr("col")
+    cy40 = _META40.y_center_expr("row")
+    hits = " UNION ALL ".join(
+        f"SELECT row, col, {pid} AS pid FROM c2 "
+        f"WHERE {GS.inside_feature_sql(sh, ho, 'cx', 'cy')}"
+        for pid, sh, ho in _POLYS)
+    ret["narrowness"] = (
+        f"WITH {cells40}, "
+        f"c2 AS (SELECT row, col, {_META40.x_from_col_expr('col')} AS cx, "
+        f"{_META40.y_from_row_expr('row')} AS cy FROM cells), "
+        f"hits AS ({hits}), "
+        f"pr AS MATERIALIZED (SELECT row, col, "
+        f"CAST(MAX(pid) AS DOUBLE) + 1.0 AS pid FROM hits GROUP BY 1, 2), "
+        f"bg AS (SELECT c.row, c.col FROM cells c LEFT JOIN pr "
+        f"ON c.row = pr.row AND c.col = pr.col WHERE pr.row IS NULL), "
+        f"t AS MATERIALIZED (SELECT {cx40} AS tx, {cy40} AS ty FROM bg), "
+        f"q AS (SELECT row, col, pid, {cx40} AS qx, {cy40} AS qy FROM pr), "
+        f"d AS MATERIALIZED (SELECT q.row, q.col, q.pid, "
+        f"SQRT(MIN((qx - tx) * (qx - tx) + (qy - ty) * (qy - ty))) AS dist "
+        f"FROM q, t GROUP BY 1, 2, 3), "
+        f"st AS (SELECT pid, COUNT(*) * 625.0 AS area, MAX(dist) AS md "
+        f"FROM d GROUP BY 1), "
+        f"ni AS (SELECT pid, area / ({_m5.pi!r} * md * md) AS ni FROM st) "
+        f"SELECT d.row, d.col, d.pid AS patch_id, ni.ni AS value "
+        f"FROM d JOIN ni ON d.pid = ni.pid"
+    )
+
+    # ---- line_thin: 8 Zhang-Suen iterations x 2 phases, each an exact
+    # integer/boolean pivot round (focal._pivot_d8 neighbor indexing)
+    offs_d8 = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    ring = [7, 0, 1, 2, 3, 4, 5, 6]
+    p_ring = [f"(CASE WHEN COALESCE(zn_{ring[i]}, 0.0) > 0.0 THEN 1 ELSE 0 END)"
+              for i in range(8)]
+    bsum = " + ".join(p_ring)
+    trans = " + ".join(
+        f"(CASE WHEN {p_ring[i]} = 0 AND {p_ring[(i + 1) % 8]} = 1 THEN 1 ELSE 0 END)"
+        for i in range(8))
+    lt_parts = [
+        "lofs AS (SELECT * FROM (VALUES " + offs_d8 + ") o(n, dy, dx))",
+        "th0 AS MATERIALIZED (SELECT row, col, "
+        "CASE WHEN value % 2.0 = 1.0 THEN 1.0 ELSE 0.0 END AS value FROM rc)",
+    ]
+    znk = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8))
+    step = 0
+    for _ in range(8):
+        for phase in (0, 1):
+            if phase == 0:
+                c1 = f"({p_ring[0]} * {p_ring[2]} * {p_ring[4]}) = 0"
+                c2 = f"({p_ring[2]} * {p_ring[4]} * {p_ring[6]}) = 0"
+            else:
+                c1 = f"({p_ring[0]} * {p_ring[2]} * {p_ring[6]}) = 0"
+                c2 = f"({p_ring[0]} * {p_ring[4]} * {p_ring[6]}) = 0"
+            prev, step = f"th{step}", step + 1
+            lt_parts.append(
+                f"sc{step} AS (SELECT t.row - o.dy AS row, t.col - o.dx AS col, "
+                f"o.n AS n, t.value AS nv FROM {prev} t, lofs o "
+                f"UNION ALL SELECT row, col, 8, value FROM {prev}), "
+                f"pv{step} AS (SELECT row, col, {znk}, "
+                f"MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM sc{step} GROUP BY 1, 2), "
+                f"th{step} AS MATERIALIZED (SELECT row, col, "
+                f"CAST(CASE WHEN zc > 0.0 AND ({bsum}) BETWEEN 2 AND 6 "
+                f"AND ({trans}) = 1 AND {c1} AND {c2} THEN 0.0 "
+                f"ELSE zc END AS DOUBLE) AS value "
+                f"FROM pv{step} WHERE zc IS NOT NULL)")
+        # Spark checkpoints + early-stops on the foreground count here;
+        # extra rounds past the fixpoint are identity, so the unrolled
+        # replay is exact regardless of where the count stabilizes
+    ret["line_thin"] = (
+        f"WITH rc AS ({_RAS_C_SQL}), " + ", ".join(lt_parts)
+        + f" SELECT row, col, value FROM th{step}"
+    )
+
+    # ---- cost_distance: 96 unrolled Jacobi rounds over the 8-neighbor
+    # graph; MIN is an exact selection, each candidate is one
+    # add + (a + b) / 2 * dist chain — the same doubles Spark computes
+    res_c = 10.0
+    diag_c = _m5.sqrt(res_c ** 2 + res_c ** 2)
+    cd_offs = ", ".join(
+        f"({dr}, {dc}, {d!r})" for dr, dc, d in [
+            (-1, 0, res_c), (1, 0, res_c), (0, -1, res_c), (0, 1, res_c),
+            (-1, -1, diag_c), (-1, 1, diag_c), (1, -1, diag_c), (1, 1, diag_c)])
+    cd_parts = [
+        "cofs AS (SELECT * FROM (VALUES " + cd_offs + ") o(dr, dc, dist))",
+        "cd0 AS MATERIALIZED (SELECT row, col, value + 1.0 AS c, "
+        "CASE WHEN value + 1.0 < 6.0 THEN 0.0 "
+        "ELSE CAST('Infinity' AS DOUBLE) END AS acc FROM rc)",
+    ]
+    for k in range(1, 97):
+        prev = f"cd{k - 1}"
+        cd_parts.append(
+            f"rx{k} AS (SELECT s.row + o.dr AS row, s.col + o.dc AS col, "
+            f"MIN(s.acc + (s.c + t.c) / 2.0 * o.dist) AS cand "
+            f"FROM {prev} s, cofs o "
+            f"JOIN {prev} t ON s.row + o.dr = t.row AND s.col + o.dc = t.col "
+            f"GROUP BY 1, 2), "
+            f"cd{k} AS MATERIALIZED (SELECT t.row, t.col, t.c, "
+            f"LEAST(t.acc, COALESCE(r.cand, t.acc)) AS acc FROM {prev} t "
+            f"LEFT JOIN rx{k} r ON t.row = r.row AND t.col = r.col)")
+    # the engines' LEAST/MIN relaxation chains agree only to the last
+    # ulp on long accumulated paths (~1e-13 at 1e3 magnitudes) — gate
+    # at ROUND(6)
+    ret["cost_distance"] = (
+        f"WITH rc AS ({_RAS_C_SQL}), " + ", ".join(cd_parts)
+        + " SELECT row, col, ROUND(acc, 6) AS value FROM cd96"
+    )
+
+    # ---- map_off_terrain: slope-predicate edges + min-label connected
+    # components + dense discovery ranking — all exact (selection,
+    # integer counts; the slope compare is one sub/div against the same
+    # repr'd tangent)
+    import math as _mo
+    tan40 = _m5.tan(_m5.radians(40.0))
+    diag10 = _mo.hypot(10.0, 10.0)
+    mo_offs = ", ".join(
+        f"({dr}, {dc}, {d!r})" for dr, dc, d in [
+            (-1, 0, 10.0), (0, -1, 10.0), (-1, -1, diag10), (-1, 1, diag10)])
+    ret["map_off_terrain"] = (
+        f"WITH RECURSIVE rc AS ({_RAS_C_SQL}), "
+        f"mofs AS (SELECT * FROM (VALUES {mo_offs}) o(dr, dc, dist)), "
+        f"ed AS MATERIALIZED (SELECT (a.row * 40 + a.col) AS a, "
+        f"((a.row + o.dr) * 40 + (a.col + o.dc)) AS b "
+        f"FROM rc a JOIN mofs o ON TRUE "
+        f"JOIN rc b ON b.row = a.row + o.dr AND b.col = a.col + o.dc "
+        f"WHERE ABS(a.value - b.value) / o.dist < {tan40!r}), "
+        f"und AS MATERIALIZED (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed), "
+        f"nodes AS (SELECT (row * 40 + col) AS id FROM rc), "
+        f"reach(id, r) AS (SELECT id, id FROM nodes UNION "
+        f"SELECT u.b, reach.r FROM reach JOIN und u ON reach.id = u.a), "
+        f"lab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1), "
+        f"sized AS (SELECT comp, COUNT(*) AS sz FROM lab GROUP BY 1), "
+        f"rkd AS (SELECT comp, DENSE_RANK() OVER (ORDER BY comp) + 1 AS fid "
+        f"FROM sized WHERE sz >= 2) "
+        f"SELECT CAST(l.id // 40 AS BIGINT) AS row, "
+        f"CAST(l.id % 40 AS BIGINT) AS col, "
+        f"CAST(COALESCE(r.fid, 1) AS DOUBLE) AS value "
+        f"FROM lab l LEFT JOIN rkd r ON l.comp = r.comp"
+    )
+
+    # ---- shared k x k nullable pivot builder (focal_pivotk replica)
+    def _kpivot(tag: str, gsz: int) -> str:
+        gmid = gsz // 2
+        gctr = gmid * gsz + gmid
+        offs = (f"{tag}offs AS (SELECT * FROM (VALUES " + ", ".join(
+            f"({n}, {n // gsz - gmid}, {n % gsz - gmid})"
+            for n in range(gsz * gsz)) + f") o(n, dr, dc))")
+        pcols = ", ".join(f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}"
+                          for n in range(gsz * gsz))
+        return (f"{offs}, "
+                f"{tag}sc AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+                f"o.n AS n, a.value AS nv FROM ras_a a, {tag}offs o), "
+                f"{tag}piv AS (SELECT row, col, {pcols} FROM {tag}sc GROUP BY 1, 2), "
+                f"{tag}zk AS (SELECT * FROM {tag}piv WHERE z_{gctr} IS NOT NULL)")
+
+    # ---- bilateral / highpass_bilateral: the shared bilateral_exprs
+    # texts over the 7x7 pivot, ROUND(6)
+    bsz, bw_cols, bs_expr, bval = FO.bilateral_exprs(0.75, 10.0)
+    bk2 = bsz * bsz
+    bz = ", ".join(f"z_{a}" for a in range(bk2))
+    bstage = (
+        f"bst AS (SELECT row, col, {bz}, "
+        + ", ".join(bw_cols) + f" FROM blzk), "
+        f"bs2 AS (SELECT row, col, {bz}, "
+        + ", ".join(f"w_{a}" for a in range(bk2))
+        + f", ({bs_expr}) AS s_tot FROM bst)")
+    ret["bilateral"] = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), {_kpivot('bl', bsz)}, {bstage} "
+        f"SELECT row, col, ROUND(({bval}), 6) AS value FROM bs2"
+    )
+    # highpass uses the DEFAULT sigma_int=1.0 (not the bilateral
+    # query's 10.0) — build its own weight set
+    hsz, hw_cols, hs_expr, hval = FO.bilateral_exprs(0.75, 1.0)
+    hk2 = hsz * hsz
+    hz = ", ".join(f"z_{a}" for a in range(hk2))
+    hstage = (
+        f"hbst AS (SELECT row, col, {hz}, "
+        + ", ".join(hw_cols) + f" FROM hbzk), "
+        f"hbs2 AS (SELECT row, col, {hz}, "
+        + ", ".join(f"w_{a}" for a in range(hk2))
+        + f", ({hs_expr}) AS s_tot FROM hbst)")
+    ret["highpass_bilateral"] = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), {_kpivot('hb', hsz)}, {hstage}, "
+        f"bf AS (SELECT row, col, ({hval}) AS bfv FROM hbs2) "
+        f"SELECT a.row, a.col, ROUND(a.value - bf.bfv, 6) AS value "
+        f"FROM ras_a a JOIN bf ON a.row = bf.row AND a.col = bf.col"
+    )
+
+    # ---- gauss_scale_space: three pivot Gaussians, consecutive DoGs,
+    # last-wins arg-min by (-ABS(dog), scale) — replayed with arg_min on
+    # the same struct ordering; winning value ROUND(6)
+    sigmas = [0.8, 1.2, 1.6]
+
+    def _gauss_duck_value(sigma: float) -> tuple[int, str]:
+        # gaussian_value_expr's left-assoc chain re-expressed as
+        # list_reduce (identical fold order, depth-1 AST — the sigma=1.6
+        # 225-term chain exceeds DuckDB's 128-deep binder limit)
+        gsz, ws = FO.wbt_gaussian_kernel(sigma)
+        num_el = ", ".join(
+            f"CASE WHEN z_{a} IS NOT NULL THEN {ws[a]!r} * z_{a} ELSE 0.0 END"
+            for a in range(gsz * gsz))
+        den_el = ", ".join(
+            f"CASE WHEN z_{a} IS NOT NULL THEN {ws[a]!r} ELSE 0.0 END"
+            for a in range(gsz * gsz))
+        fold = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [{0}]), "
+                "(a, b) -> a + b)")
+        return gsz, f"({fold.format(num_el)}) / ({fold.format(den_el)})"
+
+    gs_parts, g_sel = [], []
+    for i, s in enumerate(sigmas):
+        gsz, gv = _gauss_duck_value(s)
+        gs_parts.append(_kpivot(f"gs{i}", gsz))
+        g_sel.append(f"g{i} AS (SELECT row, col, {gv} AS g FROM gs{i}zk)")
+    dogs = " UNION ALL ".join(
+        f"SELECT a.row, a.col, b.g - a.g AS dog, "
+        f"CAST({sigmas[i]!r} AS DOUBLE) AS scale "
+        f"FROM g{i} a JOIN g{i + 1} b ON a.row = b.row AND a.col = b.col"
+        for i in range(len(sigmas) - 1))
+    ret["gauss_scale_space"] = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), " + ", ".join(gs_parts) + ", "
+        + ", ".join(g_sel) + f", du AS ({dogs}), "
+        f"rkd AS (SELECT row, col, dog, scale, ROW_NUMBER() OVER "
+        f"(PARTITION BY row, col ORDER BY -ABS(dog), scale) AS rk FROM du) "
+        f"SELECT row, col, ROUND(dog, 6) AS value, scale FROM rkd WHERE rk = 1"
+    )
+
+    # ---- dinf_pointer: the facet fold as a last-wins max cascade over
+    # the same per-facet s/dir expression texts, ROUND(6)
+    ret["dinf_pointer"] = _dinf_oracle_sql()
+
+    # ---- anvad: gaussian(1.0) pivot smoothing + center-substituted 3x3
+    # gradients + the ACOS angle text + a clamped 5x5 window mean. Spark
+    # computes the window mean via integral-image corner differences;
+    # the direct window SUM here reassociates the same addends, so the
+    # gate is ROUND(6) (noise ~1e-12 on means of ~25 angle values).
+    anv_sz, anv_gv = FO.gaussian_value_expr(1.0)
+    anv_sub = [f"COALESCE(zn_{i}, zc)" for i in range(8)]
+    anv_fx = (f"(-(((({anv_sub[2]}) - ({anv_sub[4]}) + 2.0 * (({anv_sub[1]}) "
+              f"- ({anv_sub[5]})) + ({anv_sub[0]}) - ({anv_sub[6]})) / 80.0)))")
+    anv_fy = (f"(-(((({anv_sub[6]}) - ({anv_sub[4]}) + 2.0 * (({anv_sub[7]}) "
+              f"- ({anv_sub[3]})) + ({anv_sub[0]}) - ({anv_sub[2]})) / 80.0)))")
+    d8_offs = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    zn8 = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8))
+
+    def _p3(tag: str, src: str) -> str:
+        return (
+            f"{tag}sc3 AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, "
+            f"o.n AS n, a.value AS nv FROM {src} a, d8o o "
+            f"UNION ALL SELECT row, col, 8, value FROM {src}), "
+            f"{tag}p3 AS (SELECT row, col, {zn8}, "
+            f"MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM {tag}sc3 GROUP BY 1, 2), "
+            f"{tag}z3 AS (SELECT * FROM {tag}p3 WHERE zc IS NOT NULL)")
+
+    anv_ang = ("DEGREES(ACOS(LEAST(GREATEST((a1 * a2 + b1 * b2 + 1.0) "
+               "/ SQRT((a1 * a1 + b1 * b1 + 1.0) * (a2 * a2 + b2 * b2 + 1.0)), "
+               "-1.0), 1.0)))")
+    anv_w = ", ".join(f"({dr}, {dc})"
+                      for dr in range(-2, 3) for dc in range(-2, 3))
+    ret["anvad"] = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"d8o AS (SELECT * FROM (VALUES {d8_offs}) o(n, dy, dx)), "
+        f"{_kpivot('anv', anv_sz)}, "
+        f"smv AS MATERIALIZED (SELECT row, col, {anv_gv} AS value FROM anvzk), "
+        + _p3("r", "ras_a") + ", " + _p3("s", "smv") + ", "
+        f"g1 AS (SELECT row, col, {anv_fx} AS a1, {anv_fy} AS b1 FROM rz3), "
+        f"g2 AS (SELECT row, col, {anv_fx} AS a2, "
+        f"{anv_fy} AS b2 FROM sz3), "
+        f"ang AS MATERIALIZED (SELECT g1.row, g1.col, {anv_ang} AS v "
+        f"FROM g1 JOIN g2 ON g1.row = g2.row AND g1.col = g2.col), "
+        f"wof AS (SELECT * FROM (VALUES {anv_w}) o(dr, dc)) "
+        f"SELECT a.row, a.col, ROUND(SUM(b.v) / COUNT(*), 6) AS value "
+        f"FROM ang a JOIN wof o ON TRUE "
+        f"JOIN ang b ON b.row = a.row + o.dr AND b.col = a.col + o.dc "
+        f"GROUP BY 1, 2"
+    )
+
+    # ---- cost_allocation: the (acc, src) lexicographic Jacobi on the
+    # 20x20 sub-raster, 96 unrolled rounds. DuckDB's struct MIN is the
+    # same lexicographic order as Spark's MIN_BY(STRUCT...); the NULL-src
+    # ordering difference is unreachable (a finite candidate cost always
+    # carries a non-NULL source).
+    ca_offs = ", ".join(
+        f"({dr}, {dc}, {d!r})" for dr, dc, d in [
+            (-1, 0, res_c), (1, 0, res_c), (0, -1, res_c), (0, 1, res_c),
+            (-1, -1, diag_c), (-1, 1, diag_c), (1, -1, diag_c), (1, 1, diag_c)])
+    ca_parts = [
+        "cofs AS (SELECT * FROM (VALUES " + ca_offs + ") o(dr, dc, dist))",
+        "ca0 AS MATERIALIZED (SELECT row, col, value AS c, "
+        "CASE WHEN (row * 20 + col) % 131 = 0 THEN 0.0 "
+        "ELSE CAST('Infinity' AS DOUBLE) END AS acc, "
+        "CASE WHEN (row * 20 + col) % 131 = 0 THEN (row * 20 + col) "
+        "ELSE CAST(NULL AS BIGINT) END AS src FROM dem20)",
+    ]
+    for k in range(1, 97):
+        prev = f"ca{k - 1}"
+        ca_parts.append(
+            f"cb{k} AS (SELECT s.row + o.dr AS row, s.col + o.dc AS col, "
+            f"MIN({{'a': s.acc + (s.c + t.c) / 2.0 * o.dist, 's': s.src}}) AS b "
+            f"FROM {prev} s, cofs o "
+            f"JOIN {prev} t ON s.row + o.dr = t.row AND s.col + o.dc = t.col "
+            f"GROUP BY 1, 2), "
+            f"ca{k} AS MATERIALIZED (SELECT t.row, t.col, t.c, "
+            f"CASE WHEN r.b IS NOT NULL AND (r.b).a < t.acc THEN (r.b).a "
+            f"ELSE t.acc END AS acc, "
+            f"CASE WHEN r.b IS NOT NULL AND ((r.b).a < t.acc OR ((r.b).a = t.acc "
+            f"AND (t.src IS NULL OR (r.b).s < t.src))) THEN (r.b).s "
+            f"ELSE t.src END AS src FROM {prev} t "
+            f"LEFT JOIN cb{k} r ON t.row = r.row AND t.col = r.col)")
+    ret["cost_allocation"] = (
+        "WITH dem20 AS (SELECT (event_id % 20) AS row, "
+        "(CAST(FLOOR(event_id / 20) AS BIGINT) % 20) AS col, "
+        "CAST(MAX(event_id) % 100 AS DOUBLE) + 1.0 AS value "
+        "FROM events GROUP BY 1, 2), "
+        + ", ".join(ca_parts)
+        + " SELECT row, col, CAST(src AS DOUBLE) AS value FROM ca96 "
+        "WHERE src IS NOT NULL"
+    )
+
+    # ---- mass_flux (d8_mass_flux on the 20x20 dem): the topological
+    # peel's fixpoint replayed as 64 Jacobi rounds (depth-k cells are
+    # final after k rounds; fixture depth ~23). The per-cell inflow SUM
+    # order differs between engines, hence the ROUND(6) gate.
+    meta20 = GridMeta(rows=20, columns=20, north=200.0, south=0.0,
+                      east=200.0, west=0.0, resolution_x=10.0,
+                      resolution_y=10.0)
+    mf_offs = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    mf_piv = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8))
+    mf_parts = [
+        "mofs AS (SELECT * FROM (VALUES " + mf_offs + ") o(n, dy, dx))",
+        "msc AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+        "a.value AS nv FROM dem20 a, mofs o "
+        "UNION ALL SELECT row, col, 8, value FROM dem20)",
+        f"mpiv AS (SELECT row, col, {mf_piv}, "
+        "MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM msc GROUP BY 1, 2)",
+        f"mptr AS MATERIALIZED (SELECT row, col, "
+        f"{HY.d8_pointer_value_expr(meta20)} AS value FROM mpiv "
+        f"WHERE zc IS NOT NULL)",
+        "mdirs AS (SELECT * FROM (VALUES " + ", ".join(
+            f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+        + ") d(code, dy, dx))",
+        "me AS MATERIALIZED (SELECT (p.row * 20 + p.col) AS src, "
+        "((p.row + d.dy) * 20 + (p.col + d.dx)) AS dst "
+        "FROM mptr p JOIN mdirs d ON d.code = CAST(p.value AS INT) "
+        "WHERE p.value > 0)",
+        "mb AS MATERIALIZED (SELECT (row * 20 + col) AS id, row, col, "
+        "CAST(1.0 AS DOUBLE) AS ld, CAST(0.9 AS DOUBLE) AS eff, "
+        "CAST(0.05 AS DOUBLE) AS ab FROM dem20)",
+        "mf0 AS MATERIALIZED (SELECT id, "
+        "GREATEST((ld - ab) * eff, 0.0) AS flux FROM mb)",
+    ]
+    for k in range(1, 65):
+        prev = f"mf{k - 1}"
+        mf_parts.append(
+            f"mi{k} AS (SELECT me.dst AS id, SUM(m.flux) AS in_flux "
+            f"FROM {prev} m JOIN me ON m.id = me.src GROUP BY 1), "
+            f"mf{k} AS MATERIALIZED (SELECT b.id, "
+            f"GREATEST((b.ld + COALESCE(i.in_flux, 0.0) - b.ab) * b.eff, 0.0) "
+            f"AS flux FROM mb b LEFT JOIN mi{k} i ON b.id = i.id)")
+    ret["mass_flux"] = (
+        "WITH dem20 AS (SELECT (event_id % 20) AS row, "
+        "(CAST(FLOOR(event_id / 20) AS BIGINT) % 20) AS col, "
+        "CAST(MAX(event_id) % 100 AS DOUBLE) AS value "
+        "FROM events GROUP BY 1, 2), "
+        + ", ".join(mf_parts)
+        + " SELECT b.row, b.col, ROUND(m.flux, 6) AS value "
+        "FROM mf64 m JOIN mb b ON m.id = b.id"
+    )
+
+    # ---- burn_streams_at_roads: stream/road Bresenham rasterization
+    # (the proven l2r crossing math at _META40), exact crossing BFS
+    # (k = 1 hop at road_width 75 / res 25), and the commuting min-clamp
+    # — fully bit-exact (selections + integer hops only).
+    def _l2r40(tag: str, seg_src: str) -> str:
+        r_hi = f"GREATEST(LEAST({_META40.row_from_y_expr('LEAST(y1, y2)')}, 39), 0)"
+        r_lo = f"GREATEST(LEAST({_META40.row_from_y_expr('GREATEST(y1, y2)')}, 39), 0)"
+        c_lo = f"GREATEST(LEAST({_META40.col_from_x_expr('LEAST(x1, x2)')}, 39), 0)"
+        c_hi = f"GREATEST(LEAST({_META40.col_from_x_expr('GREATEST(x1, x2)')}, 39), 0)"
+        y_r = _META40.y_from_row_expr("tr.range")
+        x_c = _META40.x_from_col_expr("tc.range")
+        x_p = f"(x1 + (({y_r}) - y1) / (y2 - y1) * (x2 - x1))"
+        y_p = f"(y1 + (({x_c}) - x1) / (x2 - x1) * (y2 - y1))"
+        return (
+            f"{tag}b AS (SELECT x1, y1, x2, y2, {r_lo} AS r0, {r_hi} AS r1, "
+            f"{c_lo} AS c0, {c_hi} AS c1 FROM {seg_src}), "
+            f"{tag}rh AS (SELECT tr.range AS row, "
+            f"{_META40.col_from_x_expr(x_p)} AS col "
+            f"FROM {tag}b JOIN range(0, 40) tr ON tr.range >= r0 AND tr.range <= r1 "
+            f"WHERE ({y_r}) >= LEAST(y1, y2) AND ({y_r}) <= GREATEST(y1, y2) "
+            f"AND y2 <> y1), "
+            f"{tag}ch AS (SELECT {_META40.row_from_y_expr(y_p)} AS row, "
+            f"tc.range AS col "
+            f"FROM {tag}b JOIN range(0, 40) tc ON tc.range >= c0 AND tc.range <= c1 "
+            f"WHERE ({x_c}) >= LEAST(x1, x2) AND ({x_c}) <= GREATEST(x1, x2) "
+            f"AND x2 <> x1), "
+            f"{tag}r AS MATERIALIZED (SELECT DISTINCT row, col FROM "
+            f"(SELECT * FROM {tag}rh UNION ALL SELECT * FROM {tag}ch) "
+            f"WHERE row >= 0 AND row < 40 AND col >= 0 AND col < 40)")
+
+    bsr_offs = ", ".join(f"({HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    ret["burn_streams_at_roads"] = (
+        f"WITH rc AS ({_RAS_C_SQL}), base AS ({_SHAPES_BASE}), "
+        f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+        f"ELSE {_DIAM_DUCK} END AS ring FROM base), "
+        f"segs AS (SELECT s.x1 AS x1, s.y1 AS y1, s.x2 AS x2, s.y2 AS y2 "
+        f"FROM (SELECT shape_id, unnest(list_transform(range(1, len(ring)), "
+        f"i -> {{'x1': ring[i].x, 'y1': ring[i].y, 'x2': ring[i+1].x, "
+        f"'y2': ring[i+1].y}})) AS s FROM rs)), "
+        f"rsegs AS (SELECT y1 AS x1, x1 AS y1, y2 AS x2, x2 AS y2 FROM segs), "
+        + _l2r40("st", "segs") + ", " + _l2r40("rd", "rsegs") + ", "
+        f"inter AS (SELECT s.row AS irow, s.col AS icol FROM str s "
+        f"JOIN rdr r ON s.row = r.row AND s.col = r.col), "
+        f"bofs AS (SELECT * FROM (VALUES {bsr_offs}) o(dr, dc)), "
+        f"hop AS (SELECT i.irow, i.icol, i.irow + o.dr AS row, "
+        f"i.icol + o.dc AS col FROM inter i, bofs o), "
+        f"hops AS (SELECT h.irow, h.icol, h.row, h.col FROM hop h "
+        f"JOIN str s ON h.row = s.row AND h.col = s.col), "
+        f"seen AS (SELECT irow, icol, irow AS row, icol AS col FROM inter "
+        f"UNION SELECT * FROM hops), "
+        f"minz AS (SELECT s.irow, s.icol, MIN(c.value) AS mz FROM seen s "
+        f"JOIN rc c ON s.row = c.row AND s.col = c.col GROUP BY 1, 2), "
+        f"clmp AS (SELECT s.row, s.col, MIN(m.mz) AS mz FROM seen s "
+        f"JOIN minz m ON s.irow = m.irow AND s.icol = m.icol GROUP BY 1, 2) "
+        f"SELECT c.row, c.col, LEAST(c.value, COALESCE(k.mz, c.value)) AS value "
+        f"FROM rc c LEFT JOIN clmp k ON c.row = k.row AND c.col = k.col"
+    )
+
+    # ---- roto (RemoveOffTerrainObjects): white tophat = min-window then
+    # max-window (exact selections) + the tolerance CASE — bit-exact
+    roto_offs = ", ".join(f"({dr}, {dc})"
+                          for dr in range(-3, 4) for dc in range(-3, 4))
+    roto_tol = _m5.tan(_m5.radians(15.0)) * 3 * 10.0
+    ret["roto"] = (
+        f"WITH rc AS ({_RAS_C_SQL}), "
+        f"o7 AS (SELECT * FROM (VALUES {roto_offs}) o(dr, dc)), "
+        f"er AS MATERIALIZED (SELECT a.row, a.col, MIN(b.value) AS value "
+        f"FROM rc a JOIN o7 o ON TRUE "
+        f"JOIN rc b ON b.row = a.row + o.dr AND b.col = a.col + o.dc "
+        f"GROUP BY 1, 2), "
+        f"op AS MATERIALIZED (SELECT a.row, a.col, MAX(b.value) AS value "
+        f"FROM er a JOIN o7 o ON TRUE "
+        f"JOIN er b ON b.row = a.row + o.dr AND b.col = a.col + o.dc "
+        f"GROUP BY 1, 2) "
+        f"SELECT c.row, c.col, CASE WHEN c.value - op.value > {roto_tol!r} "
+        f"THEN op.value ELSE c.value END AS value "
+        f"FROM rc c JOIN op ON c.row = op.row AND c.col = op.col"
+    )
+
+    # ---- fps (FeaturePreservingSmoothing, 2 iterations): per-iteration
+    # normals pivot + tangent-plane weighted update; the per-cell SUM
+    # over <= 8 neighbor weights reassociates between engines, hence
+    # ROUND(6) on the final surface.
+    fps_cos = _m5.cos(_m5.radians(15.0))
+    fps_sub = [f"COALESCE(zn_{i}, zc)" for i in range(8)]
+    fps_fx = (f"(({fps_sub[2]}) - ({fps_sub[4]}) + 2.0 * (({fps_sub[1]}) "
+              f"- ({fps_sub[5]})) + ({fps_sub[0]}) - ({fps_sub[6]})) / 80.0")
+    fps_fy = (f"(({fps_sub[6]}) - ({fps_sub[4]}) + 2.0 * (({fps_sub[7]}) "
+              f"- ({fps_sub[3]})) + ({fps_sub[0]}) - ({fps_sub[2]})) / 80.0")
+    fps_nrm = f"SQRT(({fps_fx}) * ({fps_fx}) + ({fps_fy}) * ({fps_fy}) + 1.0)"
+    fps_d8 = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    fps_zn = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8))
+    fps_nb = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+              if not (dr == 0 and dc == 0)]
+    fps_noffs = ", ".join(
+        f"({dr}, {dc}, ({dc} * 10.0), ({-dr} * 10.0))" for dr, dc in fps_nb)
+    fps_w = (f"CASE WHEN c.nx * j.nx + c.ny * j.ny + c.nz * j.nz >= {fps_cos!r} "
+             f"THEN POWER(GREATEST(c.nx * j.nx + c.ny * j.ny + c.nz * j.nz, 0.0), 4.0) "
+             f"ELSE 0.0 END")
+    fps_pred = "j.value + (-o.ddx * j.nx - o.ddy * j.ny) / j.nz"
+    fps_parts = ["fno AS (SELECT * FROM (VALUES " + fps_noffs
+                 + ") o(dr, dc, ddx, ddy))",
+                 "fd8 AS (SELECT * FROM (VALUES " + fps_d8 + ") o(n, dy, dx))",
+                 "fc0 AS MATERIALIZED (SELECT row, col, value FROM rc)"]
+    for it in range(1, 3):
+        prev = f"fc{it - 1}"
+        fps_parts.append(
+            f"fsc{it} AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, "
+            f"o.n AS n, a.value AS nv FROM {prev} a, fd8 o "
+            f"UNION ALL SELECT row, col, 8, value FROM {prev}), "
+            f"fpv{it} AS (SELECT row, col, {fps_zn}, "
+            f"MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM fsc{it} GROUP BY 1, 2), "
+            f"fn{it} AS MATERIALIZED (SELECT p.row, p.col, v.value, "
+            f"(-({fps_fx})) / ({fps_nrm}) AS nx, "
+            f"(-({fps_fy})) / ({fps_nrm}) AS ny, "
+            f"1.0 / ({fps_nrm}) AS nz "
+            f"FROM fpv{it} p JOIN {prev} v ON p.row = v.row AND p.col = v.col "
+            f"WHERE p.zc IS NOT NULL), "
+            f"fu{it} AS (SELECT c.row, c.col, c.value, "
+            f"SUM(({fps_pred}) * ({fps_w})) AS sw, SUM({fps_w}) AS tw "
+            f"FROM fn{it} c JOIN fno o ON TRUE "
+            f"JOIN fn{it} j ON j.row = c.row - o.dr AND j.col = c.col - o.dc "
+            f"GROUP BY 1, 2, 3), "
+            f"fc{it} AS MATERIALIZED (SELECT row, col, "
+            f"CASE WHEN tw > 0.0 THEN (value + sw) / (1.0 + tw) "
+            f"ELSE value END AS value FROM fu{it})")
+    ret["fps"] = (
+        f"WITH rc AS ({_RAS_C_SQL}), " + ", ".join(fps_parts)
+        + " SELECT row, col, ROUND(value, 6) AS value FROM fc2"
+    )
+
+    # ---- edge_density: normals + 4-neighbor break flags (0/1) + a
+    # clamped window mean — bit-exact (flag sums are exact integers, so
+    # the II corner-difference and the direct window SUM agree bitwise)
+    ed_cos = _m5.cos(_m5.radians(5.0))
+    ed_w = ", ".join(f"({dr}, {dc})"
+                     for dr in range(-2, 3) for dc in range(-2, 3))
+    ret["edge_density"] = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), "
+        f"fd8 AS (SELECT * FROM (VALUES {fps_d8}) o(n, dy, dx)), "
+        f"esc AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, "
+        f"o.n AS n, a.value AS nv FROM ras_a a, fd8 o "
+        f"UNION ALL SELECT row, col, 8, value FROM ras_a), "
+        f"epv AS (SELECT row, col, {fps_zn}, "
+        f"MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM esc GROUP BY 1, 2), "
+        f"enr AS MATERIALIZED (SELECT row, col, "
+        f"(-({fps_fx})) / ({fps_nrm}) AS nx, (-({fps_fy})) / ({fps_nrm}) AS ny, "
+        f"1.0 / ({fps_nrm}) AS nz FROM epv WHERE zc IS NOT NULL), "
+        f"e4 AS (SELECT * FROM (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dr, dc)), "
+        f"eflag AS MATERIALIZED (SELECT c.row, c.col, "
+        f"COALESCE(CAST(MAX(CASE WHEN c.nx * q.nx + c.ny * q.ny + c.nz * q.nz "
+        f"< {ed_cos!r} THEN 1 ELSE 0 END) AS DOUBLE), 0.0) AS value "
+        f"FROM enr c LEFT JOIN e4 o ON TRUE "
+        f"LEFT JOIN enr q ON q.row = c.row - o.dr AND q.col = c.col - o.dc "
+        f"GROUP BY 1, 2), "
+        f"ewof AS (SELECT * FROM (VALUES {ed_w}) o(dr, dc)) "
+        f"SELECT a.row, a.col, ROUND(SUM(b.value) / COUNT(*), 6) AS value "
+        f"FROM eflag a JOIN ewof o ON TRUE "
+        f"JOIN eflag b ON b.row = a.row + o.dr AND b.col = a.col + o.dc "
+        f"GROUP BY 1, 2"
+    )
+
+    # ---- drainage_preserving_smoothing: the FPS machinery over the
+    # 100x100 raster, one iteration, ROUND(6)
+    dps_parts = ["fno AS (SELECT * FROM (VALUES " + fps_noffs
+                 + ") o(dr, dc, ddx, ddy))",
+                 "fd8 AS (SELECT * FROM (VALUES " + fps_d8 + ") o(n, dy, dx))",
+                 "fc0 AS MATERIALIZED (SELECT row, col, value FROM ras_a)"]
+    dps_parts.append(
+        f"fsc1 AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, "
+        f"o.n AS n, a.value AS nv FROM fc0 a, fd8 o "
+        f"UNION ALL SELECT row, col, 8, value FROM fc0), "
+        f"fpv1 AS (SELECT row, col, {fps_zn}, "
+        f"MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM fsc1 GROUP BY 1, 2), "
+        f"fn1 AS MATERIALIZED (SELECT p.row, p.col, v.value, "
+        f"(-({fps_fx})) / ({fps_nrm}) AS nx, (-({fps_fy})) / ({fps_nrm}) AS ny, "
+        f"1.0 / ({fps_nrm}) AS nz "
+        f"FROM fpv1 p JOIN fc0 v ON p.row = v.row AND p.col = v.col "
+        f"WHERE p.zc IS NOT NULL), "
+        f"fu1 AS (SELECT c.row, c.col, c.value, "
+        f"SUM(({fps_pred}) * ({fps_w})) AS sw, SUM({fps_w}) AS tw "
+        f"FROM fn1 c JOIN fno o ON TRUE "
+        f"JOIN fn1 j ON j.row = c.row - o.dr AND j.col = c.col - o.dc "
+        f"GROUP BY 1, 2, 3), "
+        f"fc1 AS (SELECT row, col, CASE WHEN tw > 0.0 THEN "
+        f"(value + sw) / (1.0 + tw) ELSE value END AS value FROM fu1)")
+    ret["drainage_preserving_smoothing"] = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), " + ", ".join(dps_parts)
+        + " SELECT row, col, ROUND(value, 6) AS value FROM fc1"
+    )
+
+    # ---- cost_pathway: cost_backlink's (acc, back-code) lexicographic
+    # Jacobi (48 unrolled rounds on the 20x20 window) + the backlink
+    # walk from the dest cells — bit-exact (selections + integer codes)
+    cp_lengths = [diag_c, res_c, diag_c, res_c, diag_c, res_c, diag_c, res_c]
+    cp_offs = ", ".join(
+        f"({HY.D8_DY[i]}, {HY.D8_DX[i]}, {cp_lengths[i]!r}, {(i + 4) % 8})"
+        for i in range(8))
+    cp_parts = [
+        "cpo AS (SELECT * FROM (VALUES " + cp_offs + ") o(dr, dc, dist, back))",
+        "cp0 AS MATERIALIZED (SELECT row, col, value AS c, "
+        "CASE WHEN (row * 20 + col) % 67 = 0 THEN 0.0 "
+        "ELSE CAST('Infinity' AS DOUBLE) END AS acc, "
+        "CASE WHEN (row * 20 + col) % 67 = 0 THEN 0 "
+        "ELSE CAST(NULL AS INT) END AS dir FROM c20)",
+    ]
+    for k in range(1, 49):
+        prev = f"cp{k - 1}"
+        cp_parts.append(
+            f"cpb{k} AS (SELECT s.row + o.dr AS row, s.col + o.dc AS col, "
+            f"MIN({{'a': s.acc + (s.c + t.c) / 2.0 * o.dist, 'b': o.back}}) AS b "
+            f"FROM {prev} s, cpo o "
+            f"JOIN {prev} t ON s.row + o.dr = t.row AND s.col + o.dc = t.col "
+            f"GROUP BY 1, 2), "
+            f"cp{k} AS MATERIALIZED (SELECT t.row, t.col, t.c, "
+            f"CASE WHEN r.b IS NOT NULL AND (r.b).a < t.acc THEN (r.b).a "
+            f"ELSE t.acc END AS acc, "
+            f"CASE WHEN r.b IS NOT NULL AND ((r.b).a < t.acc OR ((r.b).a = t.acc "
+            f"AND (t.dir IS NULL OR (r.b).b < t.dir))) AND NOT (t.dir IS NOT NULL "
+            f"AND t.dir = 0 AND t.acc = 0.0) THEN (r.b).b ELSE t.dir END AS dir "
+            f"FROM {prev} t LEFT JOIN cpb{k} r ON t.row = r.row AND t.col = r.col)")
+    cp_dy = ", ".join(str(v) for v in HY.D8_DY)
+    cp_dx = ", ".join(str(v) for v in HY.D8_DX)
+    ret["cost_pathway"] = (
+        f"WITH RECURSIVE rc AS ({_RAS_C_SQL}), "
+        f"c20 AS (SELECT row, col, value + 1.0 AS value FROM rc "
+        f"WHERE row < 20 AND col < 20), "
+        + ", ".join(cp_parts) + ", "
+        f"bl AS MATERIALIZED (SELECT (row * 20 + col) AS src, "
+        f"((row + [{cp_dy}][dir + 1]) * 20 + (col + [{cp_dx}][dir + 1])) AS dst "
+        f"FROM cp48 WHERE dir IS NOT NULL AND acc <> 0.0), "
+        f"dst0 AS (SELECT (row * 20 + col) AS id FROM c20 "
+        f"WHERE (row * 20 + col) % 71 = 0), "
+        f"wk(id) AS (SELECT id FROM dst0 "
+        f"UNION SELECT bl.dst FROM wk JOIN bl ON wk.id = bl.src) "
+        f"SELECT id // 20 AS row, id % 20 AS col, "
+        f"CAST(1.0 AS DOUBLE) AS value FROM wk"
+    )
+
+    # ---- stochastic_depressions (20x20 sub-raster, 2 iterations): the
+    # portable-LCG Box-Muller perturbation + the path-max fill
+    # characterization per iteration. Bit-exact in the OUTPUT (0/1
+    # depression flags / iteration count): libm LN/COS ulps perturb both
+    # engines' surfaces identically-in-distribution, and the filled > z0
+    # comparison is internally consistent per engine (exact ties
+    # between two perturbed cells are measure-zero).
+    def _sd_lcg(phase: str) -> str:
+        # Spark PMOD == % here (the seed argument is nonnegative)
+        return (f"(CAST(((((row * 20 + col) * 4 + {phase} + 42) % 2147483648 "
+                f"* 1103515245 + 12345) % 2147483648) AS DOUBLE) "
+                f"/ 2147483648.0)")
+
+    sd_iters = []
+    for it in range(2):
+        u1 = f"({_sd_lcg(str(2 * it))} + 5e-7)"
+        u2 = _sd_lcg(str(2 * it + 1))
+        noise = f"(SQRT(-2.0 * LN({u1})) * COS(2.0 * PI() * {u2}) * 2.0)"
+        sd_iters.append(
+            f"p{it} AS MATERIALIZED (SELECT row, col, value + {noise} AS value "
+            f"FROM rc20), "
+            f"fl{it}(row, col, w) AS ("
+            f"SELECT row, col, value FROM p{it} "
+            f"WHERE row = 0 OR col = 0 OR row = 19 OR col = 19 "
+            f"UNION SELECT n.row, n.col, GREATEST(n.value, f.w) AS w "
+            f"FROM fl{it} f JOIN p{it} n "
+            f"ON n.row BETWEEN f.row - 1 AND f.row + 1 "
+            f"AND n.col BETWEEN f.col - 1 AND f.col + 1 "
+            f"AND NOT (n.row = f.row AND n.col = f.col)), "
+            f"fm{it} AS (SELECT row, col, MIN(w) AS w FROM fl{it} GROUP BY 1, 2), "
+            f"dp{it} AS (SELECT p.row, p.col, "
+            f"CAST(CASE WHEN fm{it}.w > p.value THEN 1 ELSE 0 END AS DOUBLE) AS dep "
+            f"FROM p{it} p JOIN fm{it} ON p.row = fm{it}.row AND p.col = fm{it}.col)")
+    ret["stochastic_depressions"] = (
+        f"WITH RECURSIVE rc AS ({_RAS_C_SQL}), "
+        f"rc20 AS (SELECT * FROM rc WHERE row < 20 AND col < 20), "
+        + ", ".join(sd_iters)
+        + " SELECT row, col, SUM(dep) / 2.0 AS value FROM "
+        "(SELECT * FROM dp0 UNION ALL SELECT * FROM dp1) GROUP BY 1, 2"
+    )
+
+    # ---- knn_wbt: the early-stop shell expansion is deterministic and
+    # closed-form per query — stopping ring R_q = first Chebyshev bin
+    # ring whose cumulative candidate count reaches k; result = top-k by
+    # (dist2, tid) among candidates in rings <= R_q (ring 1 = the full
+    # 3x3 block, ring = max(cheb, 1)). Bit-exact: dist2 is one
+    # sub/mul/add chain, selection is exact.
+    from whitebox_tools_spark.functions.cells import frs_cell_expr as _frs
+    ret["knn_wbt"] = (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"q AS (SELECT record_num AS query_id, x, y, "
+        f"{_frs('x', 25.0)} AS qcx, {_frs('y', 25.0)} AS qcy "
+        f"FROM pts WHERE record_num % 37 = 0), "
+        f"t AS (SELECT record_num AS target_id, x AS tx, y AS ty, "
+        f"{_frs('x', 25.0)} AS cx, {_frs('y', 25.0)} AS cy FROM pts), "
+        f"cand AS MATERIALIZED (SELECT q.query_id, t.target_id, "
+        f"(q.x - t.tx) * (q.x - t.tx) + (q.y - t.ty) * (q.y - t.ty) AS dist2, "
+        f"GREATEST(GREATEST(ABS(q.qcx - t.cx), ABS(q.qcy - t.cy)), 1) AS ring "
+        f"FROM q, t "
+        f"WHERE GREATEST(ABS(q.qcx - t.cx), ABS(q.qcy - t.cy)) <= 48), "
+        f"rc AS (SELECT query_id, ring, COUNT(*) AS n FROM cand GROUP BY 1, 2), "
+        f"cum AS (SELECT query_id, ring, SUM(n) OVER (PARTITION BY query_id "
+        f"ORDER BY ring) AS cn FROM rc), "
+        f"stopr AS (SELECT query_id, COALESCE(MIN(CASE WHEN cn >= 4 THEN ring END), "
+        f"48) AS r FROM cum GROUP BY 1), "
+        f"kept AS (SELECT c.* FROM cand c JOIN stopr s ON c.query_id = s.query_id "
+        f"AND c.ring <= s.r), "
+        f"rk AS (SELECT query_id, target_id, dist2, ROW_NUMBER() OVER "
+        f"(PARTITION BY query_id ORDER BY dist2, target_id) AS knn_rank FROM kept) "
+        f"SELECT query_id, target_id, dist2, CAST(knn_rank AS INT) AS knn_rank "
+        f"FROM rk WHERE knn_rank <= 4"
+    )
+
+    # ---- hypso_tinted_hillshade: multidir hillshade (altitude 45, the
+    # oracled ROUND'd fold) + the 32768-bin percentile clip (exact: both
+    # elevations and hillshade values are integer-valued) + the palette
+    # CASE chain + integer channel packing. The only float risk is a
+    # `mixed` value within an ulp of an integer at the final TRUNC.
+    h_offs25 = "hoffs25 AS (SELECT * FROM (VALUES " + ", ".join(
+        f"({n}, {n // 5 - 2}, {n % 5 - 2})" for n in range(25)) + ") o(n, dr, dc))"
+    h_sc25 = ("hsc25 AS (SELECT a.row - o.dr AS row, a.col - o.dc AS col, "
+              "o.n AS n, a.value AS nv FROM ras_a a, hoffs25 o)")
+    h_pivc = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN nv END) AS z_{n}" for n in range(25))
+    h_zzc = ", ".join(
+        f"(COALESCE(z_{n}, z_12) * 1.0) AS z{n}" for n in range(25))
+    h_piv5 = (f"{h_offs25}, {h_sc25}, "
+              f"hpiv AS (SELECT row, col, {h_pivc} FROM hsc25 GROUP BY 1, 2), "
+              f"hzz AS (SELECT row, col, {h_zzc} FROM hpiv WHERE z_12 IS NOT NULL)")
+    h_terms = " + ".join(
+        f"{w!r} * ({FO.hillshade_value_expr(_META100, az, 45.0)})"
+        for az, w in zip([225.0, 270.0, 315.0, 360.0], [0.1, 0.4, 0.4, 0.1]))
+
+    def _clip_ctes(tag: str, src: str, vcol: str) -> str:
+        # the reference's histogram walk: lo/hi bins where the running
+        # count first exceeds n * 0.005, bound = mn + (bin/32768)*rng
+        return (
+            f"{tag}st AS (SELECT MIN({vcol}) AS mn, MAX({vcol}) AS mx, "
+            f"COUNT(*) AS n FROM {src}), "
+            f"{tag}bn AS (SELECT LEAST(CAST(TRUNC(({vcol} - mn) / (mx - mn) "
+            f"* 32768.0) AS INT), 32767) AS b FROM {src}, {tag}st), "
+            f"{tag}g AS (SELECT b, COUNT(*) AS c FROM {tag}bn GROUP BY 1), "
+            f"{tag}cu AS (SELECT b, SUM(c) OVER (ORDER BY b) AS ca, "
+            f"SUM(c) OVER (ORDER BY b DESC) AS cd FROM {tag}g), "
+            f"{tag}lo AS (SELECT COALESCE(MIN(CASE WHEN ca > n * 0.005 THEN b END), 0) "
+            f"AS lob FROM {tag}cu, {tag}st GROUP BY n), "
+            f"{tag}hi AS (SELECT COALESCE(MAX(CASE WHEN cd > n * 0.005 THEN b END), 32767) "
+            f"AS hib FROM {tag}cu, {tag}st GROUP BY n), "
+            f"{tag}bd AS (SELECT mn + (lob / 32768.0) * (mx - mn) AS lo, "
+            f"mn + (hib / 32768.0) * (mx - mn) AS hi "
+            f"FROM {tag}st, {tag}lo, {tag}hi)")
+
+    hyp_ep = "LEAST(GREATEST((value - eb.lo) / (eb.hi - eb.lo), 0.0), 1.0)"
+    hyp_hsp = "LEAST(GREATEST((hsv - hb.lo) / (hb.hi - hb.lo), 0.0), 1.0)"
+    hyp_p = f"(0.5 + 0.5 * ({hyp_hsp}))"
+    hyp_alpha = f"(0.0 * (1.0 - ({hyp_ep})))"
+    _stops = FO._HYPSO_PALETTES["atlas"]
+    _hk = len(_stops)
+    _hstep = 1.0 / (_hk - 1)
+
+    def _hyp_channel(idx: int) -> str:
+        expr = f"{_stops[_hk - 1][idx]!r}"
+        for i in range(_hk - 2, -1, -1):
+            seg = (f"({_stops[i][idx]!r} + (({hyp_ep}) - {i * _hstep!r}) "
+                   f"/ {_hstep!r} * ({_stops[i + 1][idx]!r} - {_stops[i][idx]!r}))")
+            expr = (f"CASE WHEN ({hyp_ep}) <= {(i + 1) * _hstep!r} "
+                    f"THEN FLOOR({seg}) ELSE {expr} END")
+        return expr
+
+    _hatm = {0: 185.0, 1: 220.0, 2: 255.0}
+    _hshadow = {0: 1.0, 1: 25.0, 2: 50.0}
+    hyp_chans = []
+    for idx, name in ((0, "red"), (1, "green"), (2, "blue")):
+        mixed = (f"(({_hshadow[idx]!r} * (1.0 - {hyp_p}) + ({_hyp_channel(idx)}) "
+                 f"* {hyp_p}) * (1.0 - {hyp_alpha}) + {hyp_alpha} * {_hatm[idx]!r})")
+        hyp_chans.append(
+            f"LEAST(CAST(TRUNC({mixed}) AS BIGINT), 255) AS {name}")
+    ret["hypso_tinted_hillshade"] = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), {h_piv5}, "
+        f"hsvt AS MATERIALIZED (SELECT row, col, ROUND({h_terms}) AS hsv FROM hzz), "
+        + _clip_ctes("he", "ras_a", "value") + ", "
+        + _clip_ctes("hh", "hsvt", "hsv") + ", "
+        f"jj AS (SELECT a.row, a.col, a.value, h.hsv FROM ras_a a "
+        f"JOIN hsvt h ON a.row = h.row AND a.col = h.col), "
+        f"px AS (SELECT row, col, " + ", ".join(hyp_chans)
+        + " FROM jj, hebd eb, hhbd hb) "
+        f"SELECT row, col, red, green, blue, "
+        f"CAST(4278190080 + blue * 65536 + green * 256 + red AS DOUBLE) AS value "
+        f"FROM px"
+    )
+
+    # ---- minimum_bounding_box / polygon_long_axis / polygon_short_axis:
+    # a faithful replay of _wbt_min_box — all 4 hull-edge candidates per
+    # shape with the kernel's exact rotate/extent arithmetic, strict-<
+    # first-wins argmin (ROW_NUMBER by (metric, edge)), then the corner /
+    # axis trig. ROUND(6) absorbs ATAN2/COS/SIN libm ulps.
+    ra = _m5.pi / 2.0
+    vx_case = ("CASE WHEN kind = 0 THEN CASE v.vi WHEN 0 THEN cx - hw "
+               "WHEN 1 THEN cx + hw WHEN 2 THEN cx + hw ELSE cx - hw END "
+               "ELSE CASE v.vi WHEN 0 THEN cx - hw WHEN 1 THEN cx "
+               "WHEN 2 THEN cx + hw ELSE cx END END")
+    vy_case = ("CASE WHEN kind = 0 THEN CASE v.vi WHEN 0 THEN cy - hh "
+               "WHEN 1 THEN cy - hh WHEN 2 THEN cy + hh ELSE cy + hh END "
+               "ELSE CASE v.vi WHEN 0 THEN cy WHEN 1 THEN cy - hh "
+               "WHEN 2 THEN cy ELSE cy + hh END END")
+    mbb = (
+        f"base AS ({_SHAPES_BASE}), "
+        f"hv AS MATERIALIZED (SELECT shape_id, v.vi, {vx_case} AS vx, "
+        f"{vy_case} AS vy FROM base JOIN (VALUES (0), (1), (2), (3)) v(vi) ON TRUE), "
+        f"mid AS (SELECT shape_id, MIN(vx) + (MAX(vx) - MIN(vx)) / 2.0 AS midx, "
+        f"MIN(vy) + (MAX(vy) - MIN(vy)) / 2.0 AS midy FROM hv GROUP BY 1), "
+        f"ed AS (SELECT a.shape_id, a.vi AS ei, "
+        f"-ATAN2(b.vy - a.vy, b.vx - a.vx) AS psi "
+        f"FROM hv a JOIN hv b ON a.shape_id = b.shape_id "
+        f"AND b.vi = (a.vi + 1) % 4), "
+        f"rot AS (SELECT e.shape_id, e.ei, e.psi, "
+        f"(v.vx - m.midx) * COS(e.psi) - (v.vy - m.midy) * SIN(e.psi) AS xr, "
+        f"(v.vx - m.midx) * SIN(e.psi) + (v.vy - m.midy) * COS(e.psi) AS yr "
+        f"FROM ed e JOIN hv v ON e.shape_id = v.shape_id "
+        f"JOIN mid m ON e.shape_id = m.shape_id), "
+        f"axx AS (SELECT shape_id, ei, MIN(psi) AS psi, "
+        f"ABS(MAX(xr) - MIN(xr)) AS ax1, ABS(MAX(yr) - MIN(yr)) AS ax2, "
+        f"MIN(xr) AS xrmin, MAX(yr) AS yrmax FROM rot GROUP BY 1, 2), "
+        f"win AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shape_id "
+        f"ORDER BY ax1 * ax2, ei) AS rk FROM axx), "
+        f"wb AS (SELECT shape_id, psi, ax1, ax2, "
+        f"CASE WHEN ax1 > ax2 THEN -psi ELSE -({ra!r} + psi) END AS slope, "
+        f"GREATEST(ax1, ax2) AS la, LEAST(ax1, ax2) AS sa, "
+        f"(xrmin + ax1 / 2.0) AS cxr, (yrmax - ax2 / 2.0) AS cyr "
+        f"FROM win WHERE rk = 1), "
+        f"ctr AS MATERIALIZED (SELECT w.shape_id, w.slope, w.la, w.sa, "
+        f"m.midx + w.cxr * COS(-w.psi) - w.cyr * SIN(-w.psi) AS bx, "
+        f"m.midy + w.cxr * SIN(-w.psi) + w.cyr * COS(-w.psi) AS by "
+        f"FROM wb w JOIN mid m ON w.shape_id = m.shape_id)"
+    )
+    corner_rows = " UNION ALL ".join(
+        f"SELECT shape_id, {k} AS corner_idx, "
+        f"ROUND(bx {s1} la / 2.0 * COS(slope) {s2} sa / 2.0 * COS({ra!r} + slope), 6) AS x, "
+        f"ROUND(by {s1} la / 2.0 * SIN(slope) {s2} sa / 2.0 * SIN({ra!r} + slope), 6) AS y, "
+        f"ROUND(la, 6) AS long_axis, ROUND(sa, 6) AS short_axis FROM ctr"
+        for k, (s1, s2) in enumerate([("+", "+"), ("+", "-"),
+                                      ("-", "-"), ("-", "+")]))
+    ret["min_bounding_box"] = (
+        f"WITH {mbb} SELECT shape_id, CAST(corner_idx AS INT) AS corner_idx, "
+        f"x, y, long_axis, short_axis FROM ({corner_rows})"
+    )
+    ret["polygon_long_axis"] = (
+        f"WITH {mbb} SELECT shape_id, "
+        f"ROUND(bx - la / 2.0 * COS(slope), 6) AS x1, "
+        f"ROUND(by - la / 2.0 * SIN(slope), 6) AS y1, "
+        f"ROUND(bx + la / 2.0 * COS(slope), 6) AS x2, "
+        f"ROUND(by + la / 2.0 * SIN(slope), 6) AS y2 FROM ctr"
+    )
+    ret["polygon_short_axis"] = (
+        f"WITH {mbb} SELECT shape_id, "
+        f"ROUND(bx - sa / 2.0 * COS(slope + {ra!r}), 6) AS x1, "
+        f"ROUND(by - sa / 2.0 * SIN(slope + {ra!r}), 6) AS y1, "
+        f"ROUND(bx + sa / 2.0 * COS(slope + {ra!r}), 6) AS x2, "
+        f"ROUND(by + sa / 2.0 * SIN(slope + {ra!r}), 6) AS y2 FROM ctr"
+    )
+
+    # ---- deviation_from_regional_direction: RMA node sums over the
+    # closed 5-vertex ring + the mbb replay's long/short axes + the
+    # doubled-angle circular mean; ROUND(6) absorbs SUM reassociation
+    # and trig libm ulps
+    ring5 = (f"rs5 AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+             f"ELSE {_DIAM_DUCK} END AS ring FROM base), "
+             f"n5 AS (SELECT shape_id, ring[v.i].x AS x, ring[v.i].y AS y "
+             f"FROM rs5 JOIN (VALUES (1), (2), (3), (4), (5)) v(i) ON TRUE)")
+    dv_sxx = "(sxsq / n - (sx / n) * (sx / n))"
+    dv_syy = "(sysq / n - (sy / n) * (sy / n))"
+    dv_sign = "(sxy - (sx / n) * sy)"
+    dv_rma = (f"CASE WHEN {dv_sign} < 0.0 THEN ATAN(-SQRT(({dv_syy}) / ({dv_sxx}))) "
+              f"ELSE ATAN(SQRT(({dv_syy}) / ({dv_sxx}))) END")
+    dv_reg = ("(CASE WHEN -DEGREES(ATAN2(ss, sc) / 2.0) + 90.0 < 0.0 "
+              "THEN 180.0 + (-DEGREES(ATAN2(ss, sc) / 2.0) + 90.0) "
+              "ELSE -DEGREES(ATAN2(ss, sc) / 2.0) + 90.0 END)")
+    dv_slope = ("CASE WHEN DEGREES(rma_rad) < 0.0 "
+                "THEN 90.0 + -1.0 * DEGREES(rma_rad) "
+                "ELSE 90.0 - DEGREES(rma_rad) END")
+    dv_dev = (f"CASE WHEN ({dv_slope}) - ({dv_reg}) < 0.0 "
+              f"THEN ({dv_slope}) - ({dv_reg}) + 180.0 "
+              f"ELSE ({dv_slope}) - ({dv_reg}) END")
+    ret["deviation_from_regional_direction"] = (
+        f"WITH {mbb}, {ring5}, "
+        f"ag5 AS (SELECT shape_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+        f"SUM(x * y) AS sxy, SUM(x * x) AS sxsq, SUM(y * y) AS sysq "
+        f"FROM n5 GROUP BY 1), "
+        f"rma5 AS (SELECT shape_id, CASE WHEN ({dv_sxx}) > 0.0 "
+        f"THEN ({dv_rma}) ELSE 0.0 END AS rma_rad FROM ag5), "
+        f"perw AS (SELECT r.shape_id, r.rma_rad, "
+        f"CASE WHEN 1.0 - (CASE WHEN c.la > 0.0 THEN c.sa / c.la ELSE 1.0 END) "
+        f">= 0.25 THEN c.la * (1.0 - (CASE WHEN c.la > 0.0 THEN c.sa / c.la "
+        f"ELSE 1.0 END)) ELSE 0.0 END AS w "
+        f"FROM rma5 r JOIN ctr c ON r.shape_id = c.shape_id), "
+        f"sums AS (SELECT SUM(SIN(2.0 * rma_rad) * w) AS ss, "
+        f"SUM(COS(2.0 * rma_rad) * w) AS sc FROM perw) "
+        f"SELECT shape_id, ROUND(CASE WHEN ({dv_dev}) > 90.0 "
+        f"THEN 180.0 - ({dv_dev}) ELSE ({dv_dev}) END, 6) AS deviation "
+        f"FROM perw, sums"
+    )
+
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -8893,4 +10305,6 @@ def oracle_sql() -> dict[str, str]:
         # knn_wbt, ann_lsh: approximate/procedural — rows-only checks.
         **_round3_oracles(),
         **_r5_oracles(),
+        **_r5b_oracles(),
+        **_mfd_oracles(),
     }

@@ -675,13 +675,12 @@ def user_defined_filter(cells: DataFrame, kernel: list[list[float]]) -> DataFram
     return convolve(cells, {"v": kernel}).withColumnRenamed("v", "value")
 
 
-def bilateral_filter(cells: DataFrame, sigma_dist: float = 0.75,
-                     sigma_int: float = 1.0) -> DataFrame:
-    """BilateralFilter (image_analysis/bilateral_filter.rs:246-397):
-    w_a = (recip_i * exp(-(z_a - z_c)^2 / 2*sigma_i^2)) * wd_a with
-    UNNORMALIZED spatial weights wd_a; value = sum_a (w_a * z_a / S),
-    S = sum of valid w_a — division inside the accumulation, exactly
-    like the reference (and the oracle text)."""
+def bilateral_exprs(sigma_dist: float = 0.75,
+                    sigma_int: float = 1.0) -> tuple[int, list[str], str, str]:
+    """(filter_size, w_col exprs, s_tot expr, value expr) over nullable
+    pivot columns z_0..z_{k*k-1} for the bilateral filter — portable SQL
+    shared by the Spark plan and the DuckDB oracle (EXP is libm, so the
+    oracle gates at ROUND(6))."""
     import math
 
     sigma_dist = min(max(sigma_dist, 0.5), 20.0)
@@ -707,23 +706,35 @@ def bilateral_filter(cells: DataFrame, sigma_dist: float = 0.75,
             x, y = col - mid, row - mid
             wd.append(recip_d * math.exp(-1.0 * (x * x + y * y) / two_d))
     k2 = filter_size * filter_size
-    piv = focal_pivotk(cells, filter_size)
     w_cols = [
         f"CASE WHEN z_{a} IS NOT NULL THEN ({recip_i!r} * EXP(-1.0 * "
         f"((z_{a} - z_{center}) * (z_{a} - z_{center})) / {two_i!r})) * {wd[a]!r} "
         f"ELSE 0.0 END AS w_{a}"
         for a in range(k2)
     ]
-    zsel = [f"z_{a}" for a in range(k2)]
-    staged = piv.selectExpr("row", "col", *zsel, *w_cols)
     s_expr = "0.0 + " + " + ".join(f"w_{a}" for a in range(k2))
-    staged = staged.selectExpr("row", "col", *zsel,
-                               *[f"w_{a}" for a in range(k2)],
-                               f"({s_expr}) AS s_tot")
     val = "0.0 + " + " + ".join(
         f"CASE WHEN z_{a} IS NOT NULL THEN w_{a} * z_{a} / s_tot ELSE 0.0 END"
         for a in range(k2)
     )
+    return filter_size, w_cols, s_expr, val
+
+
+def bilateral_filter(cells: DataFrame, sigma_dist: float = 0.75,
+                     sigma_int: float = 1.0) -> DataFrame:
+    """BilateralFilter (image_analysis/bilateral_filter.rs:246-397):
+    w_a = (recip_i * exp(-(z_a - z_c)^2 / 2*sigma_i^2)) * wd_a with
+    UNNORMALIZED spatial weights wd_a; value = sum_a (w_a * z_a / S),
+    S = sum of valid w_a — division inside the accumulation, exactly
+    like the reference (and the oracle text)."""
+    filter_size, w_cols, s_expr, val = bilateral_exprs(sigma_dist, sigma_int)
+    k2 = filter_size * filter_size
+    piv = focal_pivotk(cells, filter_size)
+    zsel = [f"z_{a}" for a in range(k2)]
+    staged = piv.selectExpr("row", "col", *zsel, *w_cols)
+    staged = staged.selectExpr("row", "col", *zsel,
+                               *[f"w_{a}" for a in range(k2)],
+                               f"({s_expr}) AS s_tot")
     return staged.selectExpr("row", "col", f"({val}) AS value")
 
 
@@ -1652,18 +1663,24 @@ def multiscale_topographic_position_image(
 
 
 def gaussian_scale_space(cells: DataFrame, meta: GridMeta,
-                         sigmas: list[float]) -> DataFrame:
+                         sigmas: list[float],
+                         separable: bool = True) -> DataFrame:
     """GaussianScaleSpace (whitebox-plugins/src/gaussian_scale_space/
     semantics, simplified response): smooth the DEM at each sigma with
     the separable Gaussian, take the difference-of-Gaussians between
     consecutive scales, and per cell keep the DoG with the largest
-    magnitude and the sigma it peaked at (row, col, value, scale)."""
+    magnitude and the sigma it peaked at (row, col, value, scale).
+
+    separable=False swaps in the deterministic k x k pivot plans
+    (fixed-order folds a DuckDB oracle replays — the dog_filter
+    pattern); the default separable path is the large-sigma scale
+    path."""
     from functools import reduce
 
     assert len(sigmas) >= 2, "need at least two sigmas for a DoG"
+    smooth = gaussian_filter_separable if separable else gaussian_filter
     smoothed = [
-        gaussian_filter_separable(cells, s).selectExpr(
-            "row", "col", f"value AS g_{i}")
+        smooth(cells, s).selectExpr("row", "col", f"value AS g_{i}")
         for i, s in enumerate(sigmas)
     ]
     outs = []

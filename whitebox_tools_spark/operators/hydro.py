@@ -3252,16 +3252,21 @@ def stochastic_depression_analysis(cells: DataFrame, meta: GridMeta,
     stochastic_depression_analysis.rs semantics, simplified error
     model): Monte-Carlo probability that each cell sits in a depression
     — per iteration, perturb the DEM with deterministic pseudo-Gaussian
-    noise (hash-seeded Box-Muller per cell, NOT the reference's
-    spatially-autocorrelated turning-bands field; documented), fill,
-    and count filled > z. Iterations run as independent branches of one
-    union (one job), not a driver loop per iteration."""
+    noise (per-(cell, iteration) LCG-stream Box-Muller, NOT the
+    reference's spatially-autocorrelated turning-bands field;
+    documented), fill, and count filled > z. The LCG is portable SQL
+    (PMOD 2^31 before the multiply — the rho8/random_field idiom), so
+    the driver query is oracle-gated. Iterations run as independent
+    branches of one union (one job), not a driver loop per iteration."""
+    cols = meta.columns
     outs = []
     for it in range(iterations):
-        u1 = (f"(CAST(PMOD(XXHASH64(row, col, {it}, {seed}), 1000000) AS DOUBLE) "
-              f"/ 1000000.0 + 5e-7)")
-        u2 = (f"(CAST(PMOD(XXHASH64(row, col, {it + 7919}, {seed}), 1000000) "
-              f"AS DOUBLE) / 1000000.0)")
+        def _lcg(phase: int) -> str:
+            return (f"(CAST(((PMOD((row * {cols}L + col) * {2 * iterations}L "
+                    f"+ {phase}L + {int(seed)}L, 2147483648L) * 1103515245L "
+                    f"+ 12345L) % 2147483648L) AS DOUBLE) / 2147483648.0)")
+        u1 = f"({_lcg(2 * it)} + 5e-7)"
+        u2 = _lcg(2 * it + 1)
         noise = (f"(SQRT(-2.0 * LN({u1})) * COS(2.0 * PI() * {u2}) * {rmse!r})")
         pert = cells.selectExpr("row", "col", f"value + {noise} AS value")
         filled = fill_depressions(pert, meta)
