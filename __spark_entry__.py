@@ -1021,13 +1021,17 @@ def _q_jenson_snap(spark, sf):
 
 def _q_isobasins(spark, sf):
     """Isobasins: equal-target basin partition (outlet-crossing rule +
-    watershed absorption). Rows-only; partition pytest gates."""
+    watershed absorption) — oracle-gated bit-exact (round-5 upgrade:
+    crossing rule + min-hop absorption walk, all integer arithmetic);
+    also partition pytest gates."""
     return HY.isobasins(_ras_c(spark, sf), _META40C, target_size=100)
 
 
 def _q_unnest_basins(spark, sf):
-    """UnnestBasins: nested pour-point basins in non-overlapping layers.
-    Rows-only; layering pytest gates."""
+    """UnnestBasins: nested pour-point basins in non-overlapping layers
+    — oracle-gated bit-exact (round-5 upgrade: downstream pour-point
+    counting + per-layer min-hop absorption, all integer arithmetic);
+    also layering pytest gates."""
     pour = spark.createDataFrame(
         [(1, 5, 5), (2, 20, 20), (3, 35, 35)],
         "outlet_id long, row long, col long")
@@ -1723,8 +1727,10 @@ def _q_dinf_mass_flux(spark, sf):
 
 
 def _q_modified_kmeans(spark, sf):
-    """Adaptive-count Lloyd with centroid merging — rows-only + pytest
-    (same class as k_means)."""
+    """Adaptive-count Lloyd with centroid merging — oracle-gated
+    (round-5 upgrade: the kmeans replay + a per-round pivoted merge
+    cascade and dense renumbering); also pytest (same class as
+    k_means)."""
     from whitebox_tools_spark.operators.classify import modified_k_means
 
     bands = (
@@ -2028,8 +2034,11 @@ def _q_line_thin(spark, sf):
 
 
 def _q_kmeans(spark, sf):
-    """Lloyd iterations with closed-form init — procedural; rows-only +
-    pytest determinism/quality gates."""
+    """Lloyd iterations with closed-form init — oracle-gated (round-5
+    upgrade: 12 unrolled argmin+AVG stages in DuckDB; over-unrolling
+    past the early break is identity, and the AVG-order ulps only
+    matter within ~1e-12 of a bisector); also pytest determinism/quality
+    gates."""
     from whitebox_tools_spark.operators.classify import k_means
 
     bands = (
@@ -5706,6 +5715,51 @@ def _stream2_oracles() -> dict[str, str]:
             f"AS value "
             f"FROM fin f JOIN nodes n ON f.src = n.id "
             f"JOIN zm z0 ON f.src = z0.zid"
+        ),
+        # Isobasins (target 100): D8 accumulation crossing rule +
+        # terminals, dense-ranked outlets, first-outlet-on-path
+        # absorption (min hops) — all integer-exact
+        "isobasins": (
+            prelude + ", "
+            f"acci AS MATERIALIZED (SELECT n.id, n.row, n.col, "
+            f"CAST(COUNT(*) AS DOUBLE) AS a "
+            f"FROM reach r JOIN nodes n ON r.dst = n.id GROUP BY 1, 2, 3), "
+            f"infl AS (SELECT e.dst, MAX(a.a) AS max_in FROM e "
+            f"JOIN acci a ON e.src = a.id GROUP BY 1), "
+            f"crossc AS (SELECT a.id FROM acci a LEFT JOIN infl i "
+            f"ON a.id = i.dst WHERE a.a >= 100 AND COALESCE(i.max_in, 0.0) < 100), "
+            f"outl AS (SELECT id FROM crossc UNION "
+            f"SELECT (row * {W} + col) AS id FROM ptr WHERE value = 0.0), "
+            f"oid AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER (ORDER BY id) "
+            f"AS outlet_id FROM outl), "
+            f"iwk(src, cur, h) AS (SELECT id, id, 0 FROM nodes "
+            f"UNION SELECT w.src, e.dst, w.h + 1 FROM iwk w JOIN e ON w.cur = e.src), "
+            f"ihit AS (SELECT w.src, o.outlet_id, ROW_NUMBER() OVER "
+            f"(PARTITION BY w.src ORDER BY w.h, o.outlet_id) AS rk "
+            f"FROM iwk w JOIN oid o ON w.cur = o.id) "
+            f"SELECT n.row, n.col, CAST(h.outlet_id AS DOUBLE) AS value "
+            f"FROM ihit h JOIN nodes n ON h.src = n.id WHERE h.rk = 1"
+        ),
+        # UnnestBasins: layer = 1 + pour points strictly downstream;
+        # per layer, first-on-path outlet (min hops) — integer-exact
+        "unnest_basins": (
+            prelude + ", "
+            f"pour(outlet_id, prow, pcol) AS "
+            f"(SELECT * FROM (VALUES (1, 5, 5), (2, 20, 20), (3, 35, 35))), "
+            f"pk AS (SELECT outlet_id, (prow * {W} + pcol) AS pid FROM pour), "
+            f"uwk(src, cur, h) AS (SELECT id, id, 0 FROM nodes "
+            f"UNION SELECT w.src, e.dst, w.h + 1 FROM uwk w JOIN e ON w.cur = e.src), "
+            f"downp AS (SELECT w.src, COUNT(DISTINCT w.cur) AS n FROM uwk w "
+            f"JOIN pk a ON w.src = a.pid JOIN pk b ON w.cur = b.pid "
+            f"WHERE w.src <> w.cur GROUP BY 1), "
+            f"lay AS MATERIALIZED (SELECT pk.outlet_id, pk.pid, "
+            f"CAST(COALESCE(d.n, 0) + 1 AS INT) AS layer "
+            f"FROM pk LEFT JOIN downp d ON pk.pid = d.src), "
+            f"uhit AS (SELECT w.src, l.outlet_id, l.layer, ROW_NUMBER() OVER "
+            f"(PARTITION BY w.src, l.layer ORDER BY w.h, l.outlet_id) AS rk "
+            f"FROM uwk w JOIN lay l ON w.cur = l.pid) "
+            f"SELECT n.row, n.col, CAST(h.outlet_id AS BIGINT) AS outlet_id, "
+            f"h.layer FROM uhit h JOIN nodes n ON h.src = n.id WHERE h.rk = 1"
         ),
         "stream_link_class": (
             prelude + f", {links}, {cellrc}, "
@@ -9721,6 +9775,114 @@ def _r5b_oracles() -> dict[str, str]:
         + ", ".join(sd_iters)
         + " SELECT row, col, SUM(dep) / 2.0 AS value FROM "
         "(SELECT * FROM dp0 UNION ALL SELECT * FROM dp1) GROUP BY 1, 2"
+    )
+
+    # ---- kmeans (k=4, 12 Lloyd iterations over b1/b2): the evenly-
+    # spread init is closed-form; each stage is a first-wins argmin
+    # (ORDER BY d2, cluster) + per-cluster AVG with empty-cluster
+    # fallback to the previous centroid. Over-unrolling past Spark's
+    # early break is identity. The engines' AVG orderings differ at the
+    # last ulp; an assignment flip would need a cell within ~1e-12 of a
+    # bisector — accepted risk on integer-valued bands.
+    km_parts = [
+        "kb AS MATERIALIZED (SELECT a.row, a.col, a.value AS b1, b.value AS b2 "
+        "FROM ras_a a JOIN ras_b b ON a.row = b.row AND a.col = b.col)",
+        "kst AS (SELECT MIN(b1) AS lo1, MAX(b1) AS hi1, MIN(b2) AS lo2, "
+        "MAX(b2) AS hi2 FROM kb)",
+        "kc0 AS (SELECT v.i, lo1 + (v.i + 0.5) * (hi1 - lo1) / 4 AS c1, "
+        "lo2 + (v.i + 0.5) * (hi2 - lo2) / 4 AS c2 "
+        "FROM kst JOIN (VALUES (0), (1), (2), (3)) v(i) ON TRUE)",
+    ]
+    for t in range(1, 13):
+        prev = f"kc{t - 1}"
+        km_parts.append(
+            f"kd{t} AS (SELECT kb.row, kb.col, c.i, "
+            f"(kb.b1 - c.c1) * (kb.b1 - c.c1) + (kb.b2 - c.c2) * (kb.b2 - c.c2) "
+            f"AS d2 FROM kb, {prev} c), "
+            f"ka{t} AS MATERIALIZED (SELECT row, col, i AS cluster FROM "
+            f"(SELECT row, col, i, ROW_NUMBER() OVER (PARTITION BY row, col "
+            f"ORDER BY d2, i) AS rk FROM kd{t}) WHERE rk = 1)")
+        if t < 12:
+            km_parts.append(
+                f"km{t} AS (SELECT a.cluster AS i, AVG(kb.b1) AS c1, "
+                f"AVG(kb.b2) AS c2 FROM ka{t} a JOIN kb "
+                f"ON a.row = kb.row AND a.col = kb.col GROUP BY 1), "
+                f"kc{t} AS MATERIALIZED (SELECT p.i, "
+                f"COALESCE(m.c1, p.c1) AS c1, COALESCE(m.c2, p.c2) AS c2 "
+                f"FROM {prev} p LEFT JOIN km{t} m ON p.i = m.i)")
+    ret["kmeans"] = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), ras_b AS ({_RAS_B_SQL}), "
+        + ", ".join(km_parts)
+        + " SELECT row, col, CAST(cluster AS INT) AS cluster FROM ka12"
+    )
+
+    # ---- modified_kmeans (8 start clusters, merge_dist 50, 10
+    # iterations): the kmeans replay + a per-round merge cascade (lower
+    # index absorbs any centroid within merge_dist of an already-kept
+    # one) and dense renumbering — the same first-wins/AVG semantics as
+    # kmeans, over-unrolling past the early break is identity.
+    mk_parts = [
+        "kb AS MATERIALIZED (SELECT a.row, a.col, a.value AS b1, b.value AS b2 "
+        "FROM ras_a a JOIN ras_b b ON a.row = b.row AND a.col = b.col)",
+        "kst AS (SELECT MIN(b1) AS lo1, MAX(b1) AS hi1, MIN(b2) AS lo2, "
+        "MAX(b2) AS hi2 FROM kb)",
+        "mc0 AS (SELECT v.i, lo1 + (v.i + 0.5) * (hi1 - lo1) / 8 AS c1, "
+        "lo2 + (v.i + 0.5) * (hi2 - lo2) / 8 AS c2 FROM kst JOIN "
+        "(VALUES (0), (1), (2), (3), (4), (5), (6), (7)) v(i) ON TRUE)",
+    ]
+
+    def _mk_dist(i, j):
+        return (f"SQRT(0 + (c1_{i} - c1_{j}) * (c1_{i} - c1_{j}) "
+                f"+ (c2_{i} - c2_{j}) * (c2_{i} - c2_{j}))")
+
+    for t in range(1, 11):
+        prev = f"mc{t - 1}"
+        mk_parts.append(
+            f"md{t} AS (SELECT kb.row, kb.col, c.i, "
+            f"(kb.b1 - c.c1) * (kb.b1 - c.c1) + (kb.b2 - c.c2) * (kb.b2 - c.c2) "
+            f"AS d2 FROM kb, {prev} c), "
+            f"ma{t} AS MATERIALIZED (SELECT row, col, i AS cluster FROM "
+            f"(SELECT row, col, i, ROW_NUMBER() OVER (PARTITION BY row, col "
+            f"ORDER BY d2, i) AS rk FROM md{t}) WHERE rk = 1)")
+        if t < 10:
+            # means with empty-cluster fallback, then the merge cascade
+            # over the pivoted (<= 8)-column row, then dense renumbering
+            mk_parts.append(
+                f"mm{t} AS (SELECT a.cluster AS i, AVG(kb.b1) AS c1, "
+                f"AVG(kb.b2) AS c2 FROM ma{t} a JOIN kb "
+                f"ON a.row = kb.row AND a.col = kb.col GROUP BY 1), "
+                f"mu{t} AS (SELECT p.i, COALESCE(m.c1, p.c1) AS c1, "
+                f"COALESCE(m.c2, p.c2) AS c2 FROM {prev} p "
+                f"LEFT JOIN mm{t} m ON p.i = m.i), "
+                f"mp{t} AS (SELECT "
+                + ", ".join(
+                    f"MAX(CASE WHEN i = {i} THEN c1 END) AS c1_{i}, "
+                    f"MAX(CASE WHEN i = {i} THEN c2 END) AS c2_{i}"
+                    for i in range(8))
+                + f" FROM mu{t})")
+            cur = f"mp{t}"
+            for i in range(8):
+                conds = [f"c1_{i} IS NOT NULL"]
+                for j in range(i):
+                    conds.append(
+                        f"(NOT kept{j} OR {_mk_dist(i, j)} >= 50.0)")
+                mk_parts.append(
+                    f"mk{t}_{i} AS (SELECT *, ({' AND '.join(conds)}) "
+                    f"AS kept{i} FROM {cur})")
+                cur = f"mk{t}_{i}"
+            renum = " + ".join(
+                f"CASE WHEN kept{j} THEN 1 ELSE 0 END" for j in range(8))
+            mk_parts.append(
+                f"mc{t} AS MATERIALIZED ("
+                + " UNION ALL ".join(
+                    f"SELECT ({' + '.join(f'CASE WHEN kept{j} THEN 1 ELSE 0 END' for j in range(i + 1)) } - 1) AS i, "
+                    f"c1_{i} AS c1, c2_{i} AS c2 FROM {cur} WHERE kept{i}"
+                    for i in range(8))
+                + ")")
+    ret["modified_kmeans"] = (
+        f"WITH ras_a AS ({_RAS_A_SQL}), ras_b AS ({_RAS_B_SQL}), "
+        + ", ".join(mk_parts)
+        + " SELECT row, col, CAST(cluster AS INT) AS cluster FROM ma10"
     )
 
     # ---- knn_wbt: the early-stop shell expansion is deterministic and
