@@ -1927,9 +1927,9 @@ def _q_max_elev_dev_signature(spark, sf):
 
 
 def _q_roughness_signature(spark, sf):
-    """Per-scale roughness at sample points; ROUND(4) vs the direct-sum
-    oracle family — rows-only + pytest cross-check vs the O-gated
-    multiscale argmax."""
+    """Per-scale roughness at sample points, ROUND(4) — oracle-gated
+    (round-5 upgrade: the direct-sum metric text at the sample cells);
+    also pytest cross-check vs the O-gated multiscale argmax."""
     return FO.multiscale_roughness_signature(
         _ras(spark, sf, "a"), _META100, _sig_points(spark, sf), [1, 2],
         round_to=4)
@@ -6696,6 +6696,28 @@ def _round3_oracles() -> dict[str, str]:
     rough_sql = f"WITH {common}, {argmax_union(rough)}"
     sdev_sql = f"WITH {common}, {argmax_union(sdev)}"
 
+    # *Signature variants (round-5 upgrade): the same per-scale metric
+    # text evaluated ONLY at the sample-point cells, ROUND(4) (the
+    # operator's own round_to knob; direct window sums vs Spark's
+    # integral image agree far inside the 1e-4 grain)
+    sig_locs = (
+        f"spts AS (SELECT record_num AS point_id, x, y FROM "
+        f"(SELECT event_id AS record_num, {_PX} AS x, {_PY} AS y FROM events) "
+        f"WHERE record_num % 97 = 0), "
+        f"locs AS (SELECT point_id, {_META100.row_from_y_expr('y')} AS row, "
+        f"{_META100.col_from_x_expr('x')} AS col FROM spts)")
+
+    def sig_union(metric):
+        arms = " UNION ALL ".join(
+            f"SELECT l.point_id, CAST({r} AS INT) AS scale, "
+            f"ROUND({metric}, 4) AS value "
+            f"FROM w{r} JOIN locs l ON w{r}.row = l.row AND w{r}.col = l.col"
+            for r in (1, 2))
+        return arms
+
+    rough_sig_sql = f"WITH {common}, {sig_locs} {sig_union(rough)}"
+    sdn_sig_sql = f"WITH {common}, {sig_locs} {sig_union(sdev)}"
+
     normals_sql = (f"WITH {ras_a}, {offsets(1, 'o1')}, {nbr} "
                    f"SELECT row, col, (-({fx})) / ({nrm_len}) AS nx, "
                    f"(-({fy})) / ({nrm_len}) AS ny, 1.0 / ({nrm_len}) AS nz "
@@ -7131,6 +7153,8 @@ def _round3_oracles() -> dict[str, str]:
 
     return {
         "fill_depressions": fill_sql,
+        "roughness_signature": rough_sig_sql,
+        "sdn_signature": sdn_sig_sql,
         "lidar_kappa": lidar_kappa_sql,
         "wang_liu": fill_sql,
         "crispness": crisp_sql,
