@@ -2,7 +2,8 @@
 
 Runs every __spark_entry__ query on Spark and its oracle on DuckDB at
 the given scale factor, compares row count + column-sorted exact values
-(float64 compared bitwise). Usage:
+(float64 compared bitwise). Run with `python -u` (output is
+block-buffered otherwise). Usage:
 
     python scripts/check_parity.py [sf_dir] [query ...]
 """
