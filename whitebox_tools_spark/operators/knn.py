@@ -189,18 +189,30 @@ def knn_join_exact(
     t = t.persist()
     bin_size = radius * 0.5
 
+    # per-round plan: one Tungsten window sort ranks the ACTIVE queries'
+    # accumulated candidates; resolved-ness is a FILTER on the ranked
+    # output (rank == k AND kth dist2 inside the guarantee) instead of
+    # the former separate done-stats groupBy, and resolved queries'
+    # ranked rows move to `done` so later rounds window only the
+    # still-active tail (the former plan re-sorted every resolved
+    # query's rows on every round)
+    w = Window.partitionBy(qid).orderBy("dist2", tid)
+    out_cols = [qid, tid, "dist2", "knn_rank"]
+
     active = q.persist()
-    acc: DataFrame | None = None
+    done: DataFrame | None = None
+    best: DataFrame | None = None  # ranked rows for still-active queries
     reach = 1
     while reach <= max_rounds:
-        cand = _ring_join(active, t, reach, qid, tid)
-        acc = cand if acc is None else acc.unionByName(cand)
-        # keep only top-k per query so the accumulator stays small
-        w = Window.partitionBy(qid).orderBy("dist2", tid)
-        acc = (
+        cand = _ring_join(active, t, reach, qid, tid) \
+            .select(qid, tid, "dist2")
+        # rings are disjoint (reach=1 is the full 3x3 block, reach>1
+        # strict rings), so no (qid, tid) duplicates across rounds
+        acc = cand if best is None else best.unionByName(cand)
+        ranked = (
             acc.withColumn("knn_rank", F.row_number().over(w))
             .where(F.col("knn_rank") <= k)
-            .drop("knn_rank")
+            .select(out_cols)
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
         # a query is done when it has k candidates and the kth is provably
@@ -208,16 +220,17 @@ def knn_join_exact(
         # so an equal-distance target with a smaller tid in the first
         # unscanned ring can never be missed (tie-break contract)
         guarantee = float(reach * bin_size) ** 2
-        done_stats = acc.groupBy(qid).agg(
-            F.count(F.lit(1)).alias("n"), F.max("dist2").alias("dk")
-        )
-        unresolved = done_stats.where(~((F.col("n") >= k) & (F.col("dk") < guarantee))).select(qid)
-        # queries with zero candidates so far never appear in done_stats
-        active_next = active.join(
-            done_stats.where((F.col("n") >= k) & (F.col("dk") < guarantee)),
-            qid,
-            "left_anti",
-        ).localCheckpoint(eager=True)
+        resolved = ranked.where(
+            (F.col("knn_rank") == k) & (F.col("dist2") < F.lit(guarantee))
+        ).select(qid)
+        finished = ranked.join(resolved, qid, "left_semi")
+        done = finished if done is None else done.unionByName(finished)
+        done = done.localCheckpoint(eager=True)
+        best = ranked.join(resolved, qid, "left_anti") \
+                     .select(qid, tid, "dist2") \
+                     .localCheckpoint(eager=True)
+        active_next = active.join(resolved, qid, "left_anti") \
+                            .localCheckpoint(eager=True)
         n_active = active_next.count()
         active.unpersist()
         active = active_next
@@ -225,20 +238,24 @@ def knn_join_exact(
             break
         reach += 1
     else:
-        # exhausted rounds: brute-force the stragglers (tiny set)
+        # exhausted rounds: brute-force the stragglers (tiny set); the
+        # cross join re-scans every ring, so prior `best` rows are a
+        # subset of these candidates and can be dropped outright
         cand = active.crossJoin(t.drop("cx", "cy")).select(
-            qid, "qx", "qy", "qcx", "qcy", tid, "tx", "ty",
+            qid,
+            F.col(tid),
             F.expr("(qx - tx) * (qx - tx) + (qy - ty) * (qy - ty)").alias("dist2"),
         )
-        acc = acc.unionByName(cand).dropDuplicates([qid, tid])
+        straggler = (
+            cand.withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .select(out_cols)
+        )
+        done = straggler if done is None else done.unionByName(straggler)
 
     t.unpersist()
-    w = Window.partitionBy(qid).orderBy("dist2", tid)
-    return (
-        acc.withColumn("knn_rank", F.row_number().over(w))
-        .where(F.col("knn_rank") <= k)
-        .select(qid, tid, "dist2", "knn_rank")
-    )
+    active.unpersist()
+    return done.select(out_cols)
 
 
 def knn_join_wbt(

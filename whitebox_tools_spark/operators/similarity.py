@@ -129,6 +129,23 @@ def ann_topk_exact_sql(
     return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
 
 
+@F.pandas_udf(DoubleType())  # DataType instance: a DDL string would need a live SparkContext at import time
+def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched exact cosine over two array columns.
+
+    Replaces the former per-pair SQL ZIP_WITH/AGGREGATE folds in the
+    LSH/IVF candidate scoring: higher-order functions run in the
+    expression interpreter (no codegen), ~30x slower than one numpy
+    einsum per Arrow batch. Used only on the recall-gated approximate
+    engines — the oracle-gated exact engine (ann_topk_exact_sql) keeps
+    its engine-portable SQL fold."""
+    ma = np.array(list(a), dtype=np.float64)
+    mb = np.array(list(b), dtype=np.float64)
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(num / den)
+
+
 def lsh_buckets(
     df: DataFrame,
     num_planes: int = 8,
@@ -187,14 +204,12 @@ def ann_topk_lsh(
         F.col(vec_col).alias("tv"),
         F.col("lsh_bucket").cast("bigint").alias("bucket"),
     )
-    dot = "AGGREGATE(ZIP_WITH(qv, tv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    nq = "SQRT(AGGREGATE(qv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    nt = "SQRT(AGGREGATE(tv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     cand = (
         probes.join(tb, "bucket")
         .where(F.col("query_id") != F.col("target_id"))
         .dropDuplicates(["query_id", "target_id"])
-        .selectExpr("query_id", "target_id", f"({dot}) / (({nq}) * ({nt})) AS cosine")
+        .select("query_id", "target_id",
+                _cosine_udf("qv", "tv").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
     return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
@@ -305,8 +320,9 @@ def ann_topk_ivf(
     keep good recall at that probe count; adversarially-uniform ones
     (like the random fixture) need an explicit higher n_probe, which is
     what the registered query passes."""
-    n_corpus = targets.count()
+    n_corpus = None  # the corpus-count scan runs only when auto-sizing
     if num_centroids is None:
+        n_corpus = targets.count()
         num_centroids = _auto_centroids(n_corpus)
     if n_probe is None:
         n_probe = max(4, round(math.sqrt(num_centroids)))
@@ -316,15 +332,12 @@ def ann_topk_ivf(
     bc = targets.sparkSession.sparkContext.broadcast(cent)
     t_assign = _assign_centroids(targets, bc, 1, id_col, vec_col, "target")
     q_assign = _assign_centroids(queries, bc, n_probe, id_col, vec_col, "query")
-    dot = ("AGGREGATE(ZIP_WITH(queryv, targetv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    nq = "SQRT(AGGREGATE(queryv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    nt = "SQRT(AGGREGATE(targetv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     cand = (
         q_assign.join(t_assign, "centroid")
         .where(F.col("query_id") != F.col("target_id"))
         .dropDuplicates(["query_id", "target_id"])
-        .selectExpr("query_id", "target_id", f"({dot}) / (({nq}) * ({nt})) AS cosine")
+        .select("query_id", "target_id",
+                _cosine_udf("queryv", "targetv").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
     return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
