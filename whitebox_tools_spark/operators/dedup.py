@@ -263,12 +263,16 @@ def embedding_dup_pairs(
     )
     va = emb.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va")
     vb = emb.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS vb")
-    dot = "AGGREGATE(ZIP_WITH(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    na = "SQRT(AGGREGATE(va, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    nb = "SQRT(AGGREGATE(vb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    # Arrow-batched element-order fold: bit-identical to the SQL
+    # ZIP_WITH/AGGREGATE fold (and the DuckDB list_reduce oracle) but
+    # numpy-speed instead of the expression interpreter — the verify
+    # stage was this operator's dominant cost
+    from .similarity import _cosine_fold_udf
+
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .selectExpr("id_a", "id_b", f"({dot}) / (({na}) * ({nb})) AS cosine")
+        .select("id_a", "id_b",
+                _cosine_fold_udf("va", "vb").alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

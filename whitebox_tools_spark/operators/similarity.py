@@ -105,25 +105,22 @@ def ann_topk_exact_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine as pure column expressions (the oracle-gated
+    """Exact top-k cosine with fold-order arithmetic (the oracle-gated
     plan). The queries block is broadcast, targets stream; cosine is a
-    left fold in element order (ZIP_WITH + AGGREGATE), so every double
-    is reproducible bit-for-bit on any engine evaluating the same
-    expression tree. Use ann_topk_bruteforce (BLAS batched) when raw
-    throughput matters more than bit-parity.
+    left fold in element order — computed by the Arrow-batched
+    _cosine_fold_udf, which replays the SQL ZIP_WITH/AGGREGATE fold's
+    IEEE operation sequence exactly (verified bitwise vs the expression
+    tree), so every double is reproducible bit-for-bit on any engine
+    evaluating the same fold. Use ann_topk_bruteforce (BLAS batched)
+    when raw throughput matters more than bit-parity.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     t = targets.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("tv"))
-    dot = (
-        "AGGREGATE(ZIP_WITH(qv, tv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    nq = "SQRT(AGGREGATE(qv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-    nt = "SQRT(AGGREGATE(tv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     cand = (
         t.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("target_id"))
-        .selectExpr("query_id", "target_id", f"({dot}) / (({nq}) * ({nt})) AS cosine")
+        .select("query_id", "target_id",
+                _cosine_fold_udf("qv", "tv").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
     return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
@@ -137,13 +134,43 @@ def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     LSH/IVF candidate scoring: higher-order functions run in the
     expression interpreter (no codegen), ~30x slower than one numpy
     einsum per Arrow batch. Used only on the recall-gated approximate
-    engines — the oracle-gated exact engine (ann_topk_exact_sql) keeps
-    its engine-portable SQL fold."""
+    engines — oracle-gated plans use _cosine_fold_udf below, which
+    reproduces the SQL fold's operation order bitwise."""
     ma = np.array(list(a), dtype=np.float64)
     mb = np.array(list(b), dtype=np.float64)
     num = np.einsum("ij,ij->i", ma, mb)
     den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
     return pd.Series(num / den)
+
+
+@F.pandas_udf(DoubleType())
+def _cosine_fold_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine that is BIT-IDENTICAL to the SQL
+    ZIP_WITH/AGGREGATE left fold (and DuckDB's list_reduce replay).
+
+    Unlike _cosine_udf's einsum (pairwise/SIMD summation — differs from
+    the fold in the last ulps), this accumulates dot and norms in strict
+    element order with one vectorized `acc + x*y` per dimension: every
+    intermediate is the same correctly-rounded IEEE double the SQL fold
+    produces (the float32 -> float64 element cast is exact), so
+    downstream threshold filters and rank orders match the interpreted
+    fold exactly — at numpy speed instead of the expression
+    interpreter's per-element lambda dispatch. Safe for oracle-gated
+    plans (embedding_dup_pairs, ann_topk_exact_sql)."""
+    if len(a) == 0:
+        return pd.Series([], dtype=np.float64)
+    ma = np.array(list(a), dtype=np.float64)
+    mb = np.array(list(b), dtype=np.float64)
+    n, d = ma.shape
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for j in range(d):
+        ca, cb = ma[:, j], mb[:, j]
+        dot += ca * cb
+        na += ca * ca
+        nb += cb * cb
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
 
 def lsh_buckets(
