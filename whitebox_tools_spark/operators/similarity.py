@@ -183,22 +183,34 @@ def lsh_buckets(
     """Sign-LSH bucket id from deterministic hyperplanes.
 
     Hyperplane weights are seeded Gaussian draws
-    (np.random.RandomState(seed).randn), baked into the SQL expression
-    as literals — deterministic for a fixed (seed, num_planes, dim), and
-    engine-portable because only the literal coefficients ship with the
-    plan (no RNG state is evaluated at query time).
+    (np.random.RandomState(seed).randn), captured as constants — the
+    codes are deterministic for a fixed (seed, num_planes, dim). The
+    per-plane dot runs as an Arrow-batched fold-order numpy kernel
+    (acc + x_j * w_j in element order): bit-identical to the SQL
+    ZIP_WITH/AGGREGATE fold it replaces (the float32 -> float64 cast is
+    exact, each step is the same correctly-rounded IEEE op), so bucket
+    codes — and therefore candidate sets — are unchanged, at numpy
+    speed instead of num_planes interpreted lambdas per row.
     """
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_planes, dim)
-    bits = []
-    for p in range(num_planes):
-        coef = ", ".join(repr(float(c)) for c in planes[p])
-        dot = (
-            f"AGGREGATE(ZIP_WITH({vec_col}, ARRAY({coef}), (x, w) -> CAST(x AS DOUBLE) * w), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        bits.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << p} ELSE 0 END)")
-    return df.withColumn("lsh_bucket", F.expr("(" + " + ".join(bits) + ")"))
+    weights = [1 << p for p in range(num_planes)]
+
+    @F.pandas_udf(LongType())
+    def code(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int64)
+        m = np.array(list(v), dtype=np.float64)
+        n, d = m.shape
+        out = np.zeros(n, dtype=np.int64)
+        for p in range(num_planes):
+            acc = np.zeros(n)
+            for j in range(d):
+                acc += m[:, j] * planes[p, j]
+            out += np.where(acc > 0.0, weights[p], 0)
+        return pd.Series(out)
+
+    return df.withColumn("lsh_bucket", code(vec_col))
 
 
 def ann_topk_lsh(
@@ -212,9 +224,14 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Bucketed ANN: candidates share the sign-LSH bucket; exact cosine +
     top-k within bucket. Recall < 1 by design (scale path); pair with
-    multi-probe (flip one bit) for higher recall."""
+    multi-probe (flip one bit) for higher recall.
+
+    The bucket join carries ONLY (id, bucket) keys — the multi-probe
+    fan-out of the full float vector would dominate the shuffle at any
+    real corpus size; vectors re-attach to the deduplicated candidate
+    pairs by id (the embedding_dup_pairs shuffle discipline)."""
     qb = lsh_buckets(queries, num_planes, dim, vec_col=vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "lsh_bucket"
+        F.col(id_col).alias("query_id"), "lsh_bucket"
     )
     # multi-probe: original bucket + 1-bit flips
     probes = qb.withColumn(
@@ -228,13 +245,18 @@ def ann_topk_lsh(
     ).drop("lsh_bucket")
     tb = lsh_buckets(targets, num_planes, dim, vec_col=vec_col).select(
         F.col(id_col).alias("target_id"),
-        F.col(vec_col).alias("tv"),
         F.col("lsh_bucket").cast("bigint").alias("bucket"),
     )
-    cand = (
+    pairs = (
         probes.join(tb, "bucket")
         .where(F.col("query_id") != F.col("target_id"))
         .dropDuplicates(["query_id", "target_id"])
+        .select("query_id", "target_id")
+    )
+    va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    vb = targets.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("tv"))
+    cand = (
+        pairs.join(va, "query_id").join(vb, "target_id")
         .select("query_id", "target_id",
                 _cosine_udf("qv", "tv").alias("cosine"))
     )
@@ -293,11 +315,14 @@ def _coarse_centroids(targets: DataFrame, num_centroids: int, dim: int,
 
 def _assign_centroids(df: DataFrame, cent_bc, n_probe: int, id_col: str,
                       vec_col: str, out_prefix: str) -> DataFrame:
-    """mapInPandas BLAS pass: nearest n_probe centroid ids per vector."""
+    """mapInPandas BLAS pass: nearest n_probe centroid ids per vector.
+
+    Emits ONLY (id, centroid) keys — the n_probe fan-out of the full
+    float vector would dominate the inverted-list shuffle at corpus
+    scale; callers re-attach vectors to the surviving candidate pairs."""
     schema = StructType([
         StructField(f"{out_prefix}_id", LongType(), False),
         StructField("centroid", IntegerType(), False),
-        StructField(f"{out_prefix}v", df.schema[vec_col].dataType, False),
     ])
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -312,7 +337,6 @@ def _assign_centroids(df: DataFrame, cent_bc, n_probe: int, id_col: str,
             yield pd.DataFrame({
                 f"{out_prefix}_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), n_probe),
                 "centroid": top.reshape(-1).astype(np.int32),
-                f"{out_prefix}v": list(pdf[vec_col].repeat(n_probe)),
             })
 
     return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
@@ -359,10 +383,16 @@ def ann_topk_ivf(
     bc = targets.sparkSession.sparkContext.broadcast(cent)
     t_assign = _assign_centroids(targets, bc, 1, id_col, vec_col, "target")
     q_assign = _assign_centroids(queries, bc, n_probe, id_col, vec_col, "query")
-    cand = (
+    pairs = (
         q_assign.join(t_assign, "centroid")
         .where(F.col("query_id") != F.col("target_id"))
         .dropDuplicates(["query_id", "target_id"])
+        .select("query_id", "target_id")
+    )
+    va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("queryv"))
+    vb = targets.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("targetv"))
+    cand = (
+        pairs.join(va, "query_id").join(vb, "target_id")
         .select("query_id", "target_id",
                 _cosine_udf("queryv", "targetv").alias("cosine"))
     )
