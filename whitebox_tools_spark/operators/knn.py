@@ -105,7 +105,7 @@ def _nn1_join(
     bin_size = radius * 0.5
 
     active = q.persist()
-    done: DataFrame | None = None
+    resolved_rounds: list[DataFrame] = []
     best: DataFrame | None = None  # (qid, best struct) for still-active queries
     reach = 1
     while reach <= max_rounds:
@@ -118,15 +118,17 @@ def _nn1_join(
             round_best = merged.groupBy(qid).agg(
                 F.expr("MIN_BY(b, STRUCT(b.dist2, b." + tid + "))").alias("b")
             )
+        # one eager materialization anchors the round; resolved/best are
+        # cheap filters over the materialized blocks and stay lazy
+        # (2 round barriers instead of 4)
+        round_best = round_best.localCheckpoint(eager=True)
         # strict <: a target in the first unscanned ring can sit at exactly
         # reach*bin_size; an equal-distance target with a smaller tid would
         # then be missed (tie-break contract), so ties force one more ring
         guarantee = float(reach * bin_size) ** 2
         resolved = round_best.where(F.col("b.dist2") < guarantee)
-        done = resolved if done is None else done.unionByName(resolved)
-        done = done.localCheckpoint(eager=True)
-        best = round_best.join(resolved.select(qid), qid, "left_anti") \
-                         .localCheckpoint(eager=True)
+        resolved_rounds.append(resolved)
+        best = round_best.where(~(F.col("b.dist2") < guarantee))
         active_next = active.join(resolved.select(qid), qid, "left_anti") \
                             .localCheckpoint(eager=True)
         n_active = active_next.count()
@@ -149,10 +151,13 @@ def _nn1_join(
             straggler_best = best.unionByName(straggler_best).groupBy(qid).agg(
                 F.expr("MIN_BY(b, STRUCT(b.dist2, b." + tid + "))").alias("b")
             )
-        done = straggler_best if done is None else done.unionByName(straggler_best)
+        resolved_rounds.append(straggler_best)
 
     t.unpersist()
     active.unpersist()
+    done = resolved_rounds[0]
+    for part in resolved_rounds[1:]:
+        done = done.unionByName(part)
     return done.selectExpr(qid, f"b.{tid} AS {tid}", "b.dist2 AS dist2", "1 AS knn_rank")
 
 
@@ -200,7 +205,7 @@ def knn_join_exact(
     out_cols = [qid, tid, "dist2", "knn_rank"]
 
     active = q.persist()
-    done: DataFrame | None = None
+    finished_rounds: list[DataFrame] = []
     best: DataFrame | None = None  # ranked rows for still-active queries
     reach = 1
     while reach <= max_rounds:
@@ -209,6 +214,10 @@ def knn_join_exact(
         # rings are disjoint (reach=1 is the full 3x3 block, reach>1
         # strict rings), so no (qid, tid) duplicates across rounds
         acc = cand if best is None else best.unionByName(cand)
+        # the ONLY eager materializations per round are `ranked` and
+        # `active` (lineage truncation); resolved/finished/best are
+        # cheap filter-joins over the materialized `ranked` blocks and
+        # stay lazy — 2 round barriers instead of 4
         ranked = (
             acc.withColumn("knn_rank", F.row_number().over(w))
             .where(F.col("knn_rank") <= k)
@@ -223,12 +232,8 @@ def knn_join_exact(
         resolved = ranked.where(
             (F.col("knn_rank") == k) & (F.col("dist2") < F.lit(guarantee))
         ).select(qid)
-        finished = ranked.join(resolved, qid, "left_semi")
-        done = finished if done is None else done.unionByName(finished)
-        done = done.localCheckpoint(eager=True)
-        best = ranked.join(resolved, qid, "left_anti") \
-                     .select(qid, tid, "dist2") \
-                     .localCheckpoint(eager=True)
+        finished_rounds.append(ranked.join(resolved, qid, "left_semi"))
+        best = ranked.join(resolved, qid, "left_anti").select(qid, tid, "dist2")
         active_next = active.join(resolved, qid, "left_anti") \
                             .localCheckpoint(eager=True)
         n_active = active_next.count()
@@ -251,10 +256,13 @@ def knn_join_exact(
             .where(F.col("knn_rank") <= k)
             .select(out_cols)
         )
-        done = straggler if done is None else done.unionByName(straggler)
+        finished_rounds.append(straggler)
 
     t.unpersist()
     active.unpersist()
+    done = finished_rounds[0]
+    for part in finished_rounds[1:]:
+        done = done.unionByName(part)
     return done.select(out_cols)
 
 
