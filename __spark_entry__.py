@@ -1078,7 +1078,12 @@ def _q_narrowness(spark, sf):
 
 def _q_bsc(spark, sf):
     """BoundaryShapeComplexity (skeleton exterior-link percentage).
-    Rows-only; pytest gates simple-vs-complex ordering."""
+    Oracle-gated (round-5 upgrade): DuckDB replays the per-patch
+    Zhang-Suen thinning (12 unrolled iterations past the fixpoint) and
+    restates the chain walk structurally — each degree-2 component is
+    one link of length sz+2, node-node adjacencies are length-2 links —
+    so the exterior-cell percentage is exact integer arithmetic. Pytest
+    additionally gates simple-vs-complex ordering."""
     patches = R.polygons_to_raster(_polygons_df(spark), _META40) \
         .selectExpr("row", "col", "value + 1.0 AS value")
     return R.boundary_shape_complexity(patches, _META40)
@@ -9219,6 +9224,96 @@ def _r5b_oracles() -> dict[str, str]:
     ret["line_thin"] = (
         f"WITH rc AS ({_RAS_C_SQL}), " + ", ".join(lt_parts)
         + f" SELECT row, col, value FROM th{step}"
+    )
+
+    # ---- bsc: per-patch Zhang-Suen replay (12 unrolled iterations —
+    # the fixture patches reach fixpoint by iteration 7, extra rounds
+    # are identity) + exact link decomposition. The kernel's chain walk
+    # is order-free once restated structurally: every connected
+    # component of degree-2 skeleton cells is exactly ONE link of
+    # length sz + 2 (its two terminal cells each border a node cell —
+    # a mid-chain cell adjacent to a node would itself have degree 3),
+    # adjacent node-node pairs are length-2 links, and pure degree-2
+    # cycles are never walked. A link is EXTERIOR iff an attached node
+    # has degree 1; the two longest exterior links join the main
+    # network (equal-length ties at the cut swap freely — only the
+    # excluded SUM matters). All quantities are integer counts; the
+    # final 100.0 * ext / total is the same single double division.
+    bs_parts = [
+        f"{cells40}",
+        f"c2 AS (SELECT row, col, {_META40.x_from_col_expr('col')} AS cx, "
+        f"{_META40.y_from_row_expr('row')} AS cy FROM cells)",
+        f"hits AS ({hits})",
+        "pr AS MATERIALIZED (SELECT row, col, "
+        "CAST(MAX(pid) AS DOUBLE) + 1.0 AS pid FROM hits GROUP BY 1, 2)",
+        "bofs AS (SELECT * FROM (VALUES " + offs_d8 + ") o(n, dy, dx))",
+        "bs0 AS MATERIALIZED (SELECT pid, row, col, 1.0 AS value FROM pr)",
+    ]
+    bstep = 0
+    for _ in range(12):
+        for phase in (0, 1):
+            if phase == 0:
+                c1 = f"({p_ring[0]} * {p_ring[2]} * {p_ring[4]}) = 0"
+                c2 = f"({p_ring[2]} * {p_ring[4]} * {p_ring[6]}) = 0"
+            else:
+                c1 = f"({p_ring[0]} * {p_ring[2]} * {p_ring[6]}) = 0"
+                c2 = f"({p_ring[0]} * {p_ring[4]} * {p_ring[6]}) = 0"
+            prev, bstep = f"bs{bstep}", bstep + 1
+            bs_parts.append(
+                f"bsc{bstep} AS (SELECT t.pid, t.row - o.dy AS row, "
+                f"t.col - o.dx AS col, o.n AS n, t.value AS nv "
+                f"FROM {prev} t, bofs o "
+                f"UNION ALL SELECT pid, row, col, 8, value FROM {prev}), "
+                f"bpv{bstep} AS (SELECT pid, row, col, {znk}, "
+                f"MAX(CASE WHEN n = 8 THEN nv END) AS zc "
+                f"FROM bsc{bstep} GROUP BY 1, 2, 3), "
+                f"bs{bstep} AS MATERIALIZED (SELECT pid, row, col, "
+                f"CAST(CASE WHEN zc > 0.0 AND ({bsum}) BETWEEN 2 AND 6 "
+                f"AND ({trans}) = 1 AND {c1} AND {c2} THEN 0.0 "
+                f"ELSE zc END AS DOUBLE) AS value "
+                f"FROM bpv{bstep} WHERE zc IS NOT NULL)")
+    bs_parts.append(
+        f"sk AS MATERIALIZED (SELECT pid, row, col, "
+        f"(CAST(pid AS BIGINT) * 1600 + row * 40 + col) AS id "
+        f"FROM bs{bstep} WHERE value > 0.0), "
+        "dg AS MATERIALIZED (SELECT a.pid, a.row, a.col, a.id, "
+        "COUNT(b.id) AS deg FROM sk a LEFT JOIN sk b "
+        "ON b.pid = a.pid AND ABS(b.row - a.row) <= 1 "
+        "AND ABS(b.col - a.col) <= 1 AND b.id <> a.id GROUP BY 1, 2, 3, 4), "
+        "d2 AS (SELECT * FROM dg WHERE deg = 2), "
+        "nd AS (SELECT * FROM dg WHERE deg <> 2), "
+        "bed AS MATERIALIZED (SELECT a.id AS a, b.id AS b FROM d2 a "
+        "JOIN d2 b ON b.pid = a.pid AND ABS(b.row - a.row) <= 1 "
+        "AND ABS(b.col - a.col) <= 1 AND b.id <> a.id), "
+        "breach(id, r) AS (SELECT id, id FROM d2 UNION "
+        "SELECT e.b, breach.r FROM breach JOIN bed e ON breach.id = e.a), "
+        "blab AS MATERIALIZED (SELECT id, MIN(r) AS comp FROM breach GROUP BY 1), "
+        "csz AS (SELECT d.pid, l.comp, COUNT(*) AS sz FROM d2 d "
+        "JOIN blab l ON d.id = l.id GROUP BY 1, 2), "
+        "att AS (SELECT DISTINCT l.comp, n.id AS nid, n.deg FROM d2 d "
+        "JOIN blab l ON d.id = l.id JOIN nd n ON n.pid = d.pid "
+        "AND ABS(n.row - d.row) <= 1 AND ABS(n.col - d.col) <= 1), "
+        "chainl AS (SELECT c.pid, c.sz + 2 AS len, "
+        "MAX(CASE WHEN a.deg = 1 THEN 1 ELSE 0 END) AS ext "
+        "FROM csz c JOIN att a ON a.comp = c.comp GROUP BY c.pid, c.comp, c.sz), "
+        "nnl AS (SELECT a.pid, 2 AS len, "
+        "(CASE WHEN a.deg = 1 OR b.deg = 1 THEN 1 ELSE 0 END) AS ext "
+        "FROM nd a JOIN nd b ON b.pid = a.pid AND ABS(b.row - a.row) <= 1 "
+        "AND ABS(b.col - a.col) <= 1 AND a.id < b.id), "
+        "links AS (SELECT pid, len, ext FROM chainl "
+        "UNION ALL SELECT pid, len, ext FROM nnl), "
+        "tot AS (SELECT pid, SUM(len) AS total FROM links GROUP BY 1), "
+        "extl AS (SELECT pid, len, ROW_NUMBER() OVER "
+        "(PARTITION BY pid ORDER BY len DESC) AS rn FROM links WHERE ext = 1), "
+        "extc AS (SELECT pid, SUM(CASE WHEN rn > 2 THEN len ELSE 0 END) AS ec "
+        "FROM extl GROUP BY 1), "
+        "pv AS (SELECT p.pid, COALESCE(100.0 * COALESCE(e.ec, 0) / t.total, 0.0) "
+        "AS value FROM (SELECT DISTINCT pid FROM pr) p "
+        "LEFT JOIN tot t ON t.pid = p.pid LEFT JOIN extc e ON e.pid = p.pid)")
+    ret["bsc"] = (
+        "WITH RECURSIVE " + ", ".join(bs_parts)
+        + " SELECT pr.row, pr.col, pr.pid AS patch_id, pv.value "
+        "FROM pr JOIN pv ON pv.pid = pr.pid"
     )
 
     # ---- cost_distance: 96 unrolled Jacobi rounds over the 8-neighbor
