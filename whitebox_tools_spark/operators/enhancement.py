@@ -202,9 +202,15 @@ def histogram_matching(cells: DataFrame, ref: DataFrame) -> DataFrame:
     engine's exact-CDF rule is selection-only and bit-portable).
 
     Plan: two distributed per-value CDF tables (distinct-value sized,
-    i.e. bounded by the tone count at scale), broadcast range-join
-    subject CDF -> reference CDF, then one equi-join back onto the
-    cell table. No unpartitioned windows.
+    i.e. bounded by the tone count at scale), then an exact BUCKETED
+    as-of join: the answering reference tone for a subject CDF value pa
+    is the unique one with prev_pb < pa <= pb (the CDF is strictly
+    increasing over distinct values), so each reference tone explodes
+    to the CDF-grid buckets its (prev_pb, pb] interval covers and the
+    match is an equi-join on bucket + the interval predicate — O(A + B)
+    candidates instead of the former broadcast range-join's O(A x B)
+    comparisons (quadratic in tone count: already 10^8 at 10^4 tones).
+    No unpartitioned windows.
     """
     n_a = cells.count()
     n_b = ref.count()
@@ -212,10 +218,21 @@ def histogram_matching(cells: DataFrame, ref: DataFrame) -> DataFrame:
     cuma = ordered_prefix_sums(vca, ["value"], ["__c"]).selectExpr(
         "value AS __va", f"__cum___c / {n_a} AS __pa")
     vcb = ref.groupBy("value").agg(F.count(F.lit(1)).alias("__c"))
+    n_tones = vcb.count()  # sizes the bucket grid: ~2 candidates/subject
+    grid = max(64, n_tones)
     cumb = ordered_prefix_sums(vcb, ["value"], ["__c"]).selectExpr(
-        "value AS __vb", f"__cum___c / {n_b} AS __pb")
+        "value AS __vb",
+        f"__cum___c / {n_b} AS __pb",
+        f"(__cum___c - __c) / {n_b} AS __prev")
+    ref_buckets = cumb.selectExpr(
+        "__vb", "__pb", "__prev",
+        f"EXPLODE(SEQUENCE(CAST(FLOOR(__prev * {grid}) AS BIGINT), "
+        f"CAST(FLOOR(__pb * {grid}) AS BIGINT))) AS __bk")
+    subj = cuma.selectExpr(
+        "__va", "__pa", f"CAST(FLOOR(__pa * {grid}) AS BIGINT) AS __bk")
     mapped = (
-        cuma.join(F.broadcast(cumb), F.col("__pb") >= F.col("__pa"))
+        subj.join(ref_buckets, "__bk")
+        .where("__prev < __pa AND __pb >= __pa")
         .groupBy("__va").agg(F.min("__vb").alias("__out"))
     )
     return cells.join(F.broadcast(mapped), cells["value"] == F.col("__va")).select(
