@@ -416,8 +416,12 @@ def gaussian_contrast_stretch(cells: DataFrame,
     previous cell there (thread-order dependent) — this engine clamps
     those cells to x = +3.0.
 
-    Plan: one stats broadcast, one distributed prefix-sum CDF, one
-    broadcast join against the tiny reference table."""
+    Plan: one stats broadcast, one distributed prefix-sum CDF, then the
+    reference lookup runs over DISTINCT CDF values (bounded by the bin
+    count, ~2048) instead of per cell — the former per-cell nested-loop
+    join shuffled a 256x-the-raster intermediate into its min_by
+    aggregation; cells pick up their mapped tone with one broadcast
+    equi-join on the CDF value. Same doubles, same min_by selection."""
     import math
 
     spark = cells.sparkSession
@@ -439,10 +443,11 @@ def gaussian_contrast_stretch(cells: DataFrame,
     ref = spark.createDataFrame(
         gaussian_ref_cdf(num_tones),
         "i int, x double, p double, x_prev double, p_prev double")
-    m = (withp.join(F.broadcast(ref), F.col("p") > F.col("__p"), "left")
-         .groupBy("row", "col", "__p")
-         .agg(F.expr("MIN_BY(STRUCT(i, x, p, x_prev, p_prev), i)").alias("r")))
-    return m.selectExpr(
+    pmap = (withp.select("__p").distinct()
+            .join(F.broadcast(ref), F.col("p") > F.col("__p"), "left")
+            .groupBy("__p")
+            .agg(F.expr("MIN_BY(STRUCT(i, x, p, x_prev, p_prev), i)").alias("r")))
+    return withp.join(F.broadcast(pmap), "__p").selectExpr(
         "row", "col",
         "CASE WHEN r IS NULL THEN 3.0 "
         "WHEN r.i > 0 AND r.p <> r.p_prev THEN r.x_prev "
