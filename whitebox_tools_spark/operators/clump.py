@@ -42,25 +42,32 @@ def clump(cells: DataFrame, columns: int, diag: bool = True,
 
     lbl = cells.selectExpr("row", "col", "value", f"(row * {columns}L + col) AS lbl")
     lbl = lbl.localCheckpoint(eager=True)
+    # frontier scatter: a cell's min can only improve when a neighbor's
+    # label CHANGED last round (an unchanged neighbor's label was already
+    # offered the round after it last changed), so only changed cells
+    # scatter — label dynamics are identical to full scatter while the
+    # per-round shuffle shrinks with the frontier instead of staying
+    # raster-sized. Round 0 scatters everything.
+    frontier = lbl
 
     for round_no in range(max_rounds):
-        # scatter each cell's label to its neighbors (value attached so
-        # the agg can require equality)
-        scattered = lbl.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
+        # scatter each frontier cell's label to its neighbors (value
+        # attached so the agg can require equality)
+        scattered = frontier.withColumn("__n", F.expr(f"EXPLODE(ARRAY({pairs}))")).selectExpr(
             "__n.nrow AS nrow", "__n.ncol AS ncol", "value AS nvalue", "lbl AS nlbl"
         )
         # value equality belongs in the JOIN condition: isolated cells
         # (no same-valued neighbor) must survive with their own label
-        joined = lbl.join(
-            scattered,
-            (lbl["row"] == scattered["nrow"])
-            & (lbl["col"] == scattered["ncol"])
-            & (lbl["value"] == scattered["nvalue"]),
+        recv = scattered.groupBy("nrow", "ncol", "nvalue").agg(
+            F.min("nlbl").alias("mn"))
+        new = lbl.join(
+            recv,
+            (lbl["row"] == recv["nrow"])
+            & (lbl["col"] == recv["ncol"])
+            & (lbl["value"] == recv["nvalue"]),
             "left",
-        ).select("row", "col", "value", "lbl", "nlbl")
-        new = joined.groupBy("row", "col", "value", "lbl").agg(
-            F.min("nlbl").alias("mn")
-        ).selectExpr("row", "col", "value", "lbl", "LEAST(COALESCE(mn, lbl), lbl) AS nl")
+        ).selectExpr("row", "col", "value", "lbl",
+                     "LEAST(COALESCE(mn, lbl), lbl) AS nl")
         if round_no % 3 == 2:
             # pointer jumping: adopt the current label of my label's cell
             owners = new.selectExpr(f"(row * {columns}L + col) AS owner_idx", "nl AS owner_lbl")
@@ -72,7 +79,9 @@ def clump(cells: DataFrame, columns: int, diag: bool = True,
         # checkpoint FIRST, then count on the pinned result — counting the
         # un-checkpointed frame would evaluate the round's join twice
         new = new.localCheckpoint(eager=True)
-        changed = new.where(F.col("nl") != F.col("lbl")).count()
+        frontier = new.where(F.col("nl") != F.col("lbl")) \
+                      .selectExpr("row", "col", "value", "nl AS lbl")
+        changed = frontier.count()
         lbl = new.selectExpr("row", "col", "value", "nl AS lbl")
         if changed == 0:
             break
@@ -96,22 +105,28 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     pointer jumping every third round (the clump machinery generalized
     to any edge predicate — callers build `edges` declaratively)."""
     sym = edges.selectExpr("a", "b").unionByName(
-        edges.selectExpr("b AS a", "a AS b")).distinct()
+        edges.selectExpr("b AS a", "a AS b")).distinct() \
+        .localCheckpoint(eager=True)
     lbl = nodes.selectExpr(f"{id_col} AS id", f"{id_col} AS comp") \
         .localCheckpoint(eager=True)
+    # frontier propagation (the clump argument): only nodes whose label
+    # changed last round can improve a neighbor's min, so only they
+    # scatter; round 0 scatters everything
+    frontier = lbl
     for round_no in range(max_rounds):
-        nbr = sym.join(lbl.selectExpr("id AS b", "comp AS bcomp"), "b") \
+        nbr = sym.join(frontier.selectExpr("id AS b", "comp AS bcomp"), "b") \
             .groupBy("a").agg(F.min("bcomp").alias("mn")) \
             .withColumnRenamed("a", "id")
         new = lbl.join(nbr, "id", "left").selectExpr(
-            "id", "LEAST(comp, COALESCE(mn, comp)) AS comp")
+            "id", "comp AS old", "LEAST(comp, COALESCE(mn, comp)) AS comp")
         if round_no % 3 == 2:
             owners = new.selectExpr("id AS comp", "comp AS owner")
             new = new.join(owners, "comp", "left").selectExpr(
-                "id", "LEAST(comp, COALESCE(owner, comp)) AS comp")
-        changed = new.join(lbl.withColumnRenamed("comp", "old"), "id") \
-            .where("comp <> old").count()
-        lbl = new.localCheckpoint(eager=True)
+                "id", "old", "LEAST(comp, COALESCE(owner, comp)) AS comp")
+        new = new.localCheckpoint(eager=True)
+        frontier = new.where("comp <> old").select("id", "comp")
+        changed = frontier.count()
+        lbl = new.select("id", "comp")
         if changed == 0:
             return lbl
     ensure_converged(1, "connected_components", max_rounds)
