@@ -93,13 +93,18 @@ def _connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     reachable (kx, ky)."""
     und = edges.selectExpr("akx AS kx", "aky AS ky", "bkx AS nkx", "bky AS nky") \
         .unionByName(edges.selectExpr("bkx AS kx", "bky AS ky",
-                                      "akx AS nkx", "aky AS nky")).distinct()
+                                      "akx AS nkx", "aky AS nky")).distinct() \
+        .localCheckpoint(eager=True)
     lab = und.selectExpr("kx", "ky").distinct() \
         .selectExpr("kx", "ky", "kx AS cx", "ky AS cy") \
         .localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        nbr = und.join(lab.selectExpr("kx AS nkx", "ky AS nky",
-                                      "cx AS ncx", "cy AS ncy"),
+    # frontier scatter + pointer jumping every third round: ring
+    # arrangements are path graphs, where plain propagation needs
+    # O(ring length) rounds — jumping bounds it at O(log ring length)
+    frontier = lab
+    for round_no in range(max_rounds):
+        nbr = und.join(frontier.selectExpr("kx AS nkx", "ky AS nky",
+                                           "cx AS ncx", "cy AS ncy"),
                        ["nkx", "nky"]) \
             .groupBy("kx", "ky").agg(
                 F.expr("MIN(STRUCT(ncx, ncy))").alias("nb"))
@@ -109,8 +114,21 @@ def _connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             "< STRUCT(cx, cy) THEN nb.ncx ELSE cx END AS cx",
             "CASE WHEN nb IS NOT NULL AND STRUCT(nb.ncx AS cx, nb.ncy AS cy) "
             "< STRUCT(cx, cy) THEN nb.ncy ELSE cy END AS cy",
-        ).localCheckpoint(eager=True)
-        changed = new.where("cx <> px OR cy <> py").count()
+        )
+        if round_no % 3 == 2:
+            owners = new.selectExpr("kx AS cx", "ky AS cy",
+                                    "cx AS ocx", "cy AS ocy")
+            new = new.join(owners, ["cx", "cy"], "left").selectExpr(
+                "kx", "ky", "px", "py",
+                "CASE WHEN ocx IS NOT NULL AND STRUCT(ocx AS cx, ocy AS cy) "
+                "< STRUCT(cx, cy) THEN ocx ELSE cx END AS cx",
+                "CASE WHEN ocx IS NOT NULL AND STRUCT(ocx AS cx, ocy AS cy) "
+                "< STRUCT(cx, cy) THEN ocy ELSE cy END AS cy",
+            )
+        new = new.localCheckpoint(eager=True)
+        frontier = new.where("cx <> px OR cy <> py") \
+                      .selectExpr("kx", "ky", "cx", "cy")
+        changed = frontier.count()
         lab = new.drop("px", "py")
         if changed == 0:
             break
@@ -126,6 +144,11 @@ def polygonize(segs: DataFrame, quant: float = 1e-9) -> DataFrame:
     Returns (poly_id, vertex_idx, x, y, area): one CCW ring per bounded
     face of the noded arrangement, poly_id dense-ranked by the face's
     min quantized node (deterministic)."""
+    # pin the input once: the segment layer is read by BOTH sides of the
+    # intersection cartesian, the split join, and (via lineage) every CC
+    # round and the face trace — without this the upstream segment
+    # extraction replays per cartesian task and per downstream action
+    segs = segs.localCheckpoint(eager=True)
     sub = _split_segments(segs)
     e = sub.selectExpr(
         f"{_quant('x1', quant)} AS akx", f"{_quant('y1', quant)} AS aky",
@@ -139,6 +162,9 @@ def polygonize(segs: DataFrame, quant: float = 1e-9) -> DataFrame:
                "STRUCT(akx AS k1, aky AS k2, bkx AS k3, bky AS k4), "
                "STRUCT(bkx AS k1, bky AS k2, akx AS k3, aky AS k4))"),
     ).dropDuplicates(["__ek"]).drop("__ek")
+    # the noded arrangement anchors the CC loop and the trace — pin it
+    # so neither replays the O(n^2)-candidate intersection join
+    e = e.localCheckpoint(eager=True)
     comp = _connected_components(e.select("akx", "aky", "bkx", "bky"))
     ec = e.join(comp.selectExpr("kx AS akx", "ky AS aky", "cx", "cy"),
                 ["akx", "aky"])

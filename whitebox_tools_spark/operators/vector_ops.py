@@ -214,24 +214,57 @@ def smooth_vectors(features: DataFrame, filter_size: int = 3,
     return features.selectExpr(id_col, f"{expr} AS parts")
 
 
-def line_intersections(segs_a: DataFrame, segs_b: DataFrame) -> DataFrame:
+def line_intersections(segs_a: DataFrame, segs_b: DataFrame,
+                       cell: float | None = None) -> DataFrame:
     """LineIntersections (gis_analysis/line_intersections.rs;
     kernel find_line_intersections, algorithms/line_ops.rs): proper
     segment-pair intersection points. Inputs: (id, seg_idx, x1, y1,
     x2, y2) per layer; output one row per intersecting pair with the
     intersection coordinates.
 
-    Plan: bbox prefilter as the join condition (codegen range join,
-    AQE-planned), then the closed-form t/u solve as column math."""
+    Plan: grid-blocked candidate generation — each segment explodes to
+    the grid cells its bbox covers and candidates are an EQUI-join on
+    cell (shuffle-partitionable; the former bbox-theta join planned as
+    an O(|A| x |B|) CartesianProduct). With `cell` >= the largest bbox
+    extent (the auto default, one min/max agg per side) every segment
+    covers at most 2x2 cells, so the fan-out is bounded by 4; two
+    overlapping bboxes always share a covered cell, so the candidate
+    set is a superset of the bbox prefilter's. Exact bbox + closed-form
+    t/u tests run on the deduplicated pairs — output rows identical.
+    Pass an explicit `cell` (~median segment extent) when one outlier
+    segment would otherwise inflate the grid."""
     a = segs_a.selectExpr("shape_id AS a_id", "seg_idx AS a_seg",
                           "x1 AS ax1", "y1 AS ay1", "x2 AS ax2", "y2 AS ay2")
     b = segs_b.selectExpr("shape_id AS b_id", "seg_idx AS b_seg",
                           "x1 AS bx1", "y1 AS by1", "x2 AS bx2", "y2 AS by2")
+    if cell is None:
+        ext = "GREATEST(ABS(x2 - x1), ABS(y2 - y1))"
+        ea = segs_a.agg(F.expr(f"MAX({ext})")).collect()[0][0]
+        eb = segs_b.agg(F.expr(f"MAX({ext})")).collect()[0][0]
+        cell = max(float(ea or 0.0), float(eb or 0.0), 1e-9)
+
+    def cover(df: DataFrame, x1: str, y1: str, x2: str, y2: str) -> DataFrame:
+        return df.selectExpr(
+            "*",
+            f"EXPLODE(SEQUENCE(CAST(FLOOR(LEAST({x1}, {x2}) / {cell!r}) AS BIGINT), "
+            f"CAST(FLOOR(GREATEST({x1}, {x2}) / {cell!r}) AS BIGINT))) AS __gx",
+        ).selectExpr(
+            "*",
+            f"EXPLODE(SEQUENCE(CAST(FLOOR(LEAST({y1}, {y2}) / {cell!r}) AS BIGINT), "
+            f"CAST(FLOOR(GREATEST({y1}, {y2}) / {cell!r}) AS BIGINT))) AS __gy",
+        )
+
     cond = (
         "LEAST(ax1, ax2) <= GREATEST(bx1, bx2) AND GREATEST(ax1, ax2) >= LEAST(bx1, bx2) "
         "AND LEAST(ay1, ay2) <= GREATEST(by1, by2) AND GREATEST(ay1, ay2) >= LEAST(by1, by2)"
     )
-    cand = a.join(b, F.expr(cond), "inner")
+    cand = (
+        cover(a, "ax1", "ay1", "ax2", "ay2")
+        .join(cover(b, "bx1", "by1", "bx2", "by2"), ["__gx", "__gy"])
+        .dropDuplicates(["a_id", "a_seg", "b_id", "b_seg"])
+        .where(F.expr(cond))
+        .drop("__gx", "__gy")
+    )
     # TRY_DIVIDE keeps the expression total: Catalyst may collapse this
     # projection with the range filter below and evaluate the division for
     # parallel-segment candidates (den = 0) before any separate guard, which
