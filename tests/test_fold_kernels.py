@@ -92,6 +92,29 @@ def test_line_intersections_grid_matches_bruteforce(spark):
     assert got == want
 
 
+def test_line_intersections_duplicate_keys_keep_multiset(spark):
+    """Rows sharing one (shape_id, seg_idx) key are distinct physical
+    segments (select_tiles feeds all four rectangle edges under one
+    key); the canonical-cell filter must keep every pair's row, where a
+    pair-key dedupe silently dropped real intersections."""
+    from whitebox_tools_spark.operators.vector_ops import line_intersections
+
+    # a rectangle's 4 edges under ONE key vs a diagonal crossing two of them
+    rect = [(7, 0, 0.0, 0.0, 10.0, 0.0), (7, 0, 10.0, 0.0, 10.0, 10.0),
+            (7, 0, 10.0, 10.0, 0.0, 10.0), (7, 0, 0.0, 10.0, 0.0, 0.0)]
+    diag = [(1, 0, -5.0, 5.0, 15.0, 5.0)]
+    a = spark.createDataFrame(
+        rect, "shape_id long, seg_idx int, x1 double, y1 double, "
+              "x2 double, y2 double")
+    b = spark.createDataFrame(
+        diag, "shape_id long, seg_idx int, x1 double, y1 double, "
+              "x2 double, y2 double")
+    out = line_intersections(a, b).collect()
+    # the horizontal line crosses BOTH vertical edges -> two rows
+    assert len(out) == 2
+    assert sorted(round(r.ix, 9) for r in out) == [0.0, 10.0]
+
+
 def test_line_intersections_explicit_cell_same_result(spark):
     from whitebox_tools_spark.operators.vector_ops import line_intersections
 

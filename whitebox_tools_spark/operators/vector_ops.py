@@ -229,8 +229,13 @@ def line_intersections(segs_a: DataFrame, segs_b: DataFrame,
     extent (the auto default, one min/max agg per side) every segment
     covers at most 2x2 cells, so the fan-out is bounded by 4; two
     overlapping bboxes always share a covered cell, so the candidate
-    set is a superset of the bbox prefilter's. Exact bbox + closed-form
-    t/u tests run on the deduplicated pairs — output rows identical.
+    set is a superset of the bbox prefilter's. Each pair is emitted
+    from exactly ONE canonical cell — the lower-left cell of the two
+    bboxes' intersection, which both sides always cover — so no
+    dedup shuffle is needed and the output multiset is identical to
+    the theta join's even when (id, seg_idx) keys repeat across rows
+    (e.g. the four rectangle edges select_tiles feeds in under one
+    key). Exact bbox + closed-form t/u tests run per surviving pair.
     Pass an explicit `cell` (~median segment extent) when one outlier
     segment would otherwise inflate the grid."""
     a = segs_a.selectExpr("shape_id AS a_id", "seg_idx AS a_seg",
@@ -258,11 +263,16 @@ def line_intersections(segs_a: DataFrame, segs_b: DataFrame,
         "LEAST(ax1, ax2) <= GREATEST(bx1, bx2) AND GREATEST(ax1, ax2) >= LEAST(bx1, bx2) "
         "AND LEAST(ay1, ay2) <= GREATEST(by1, by2) AND GREATEST(ay1, ay2) >= LEAST(by1, by2)"
     )
+    canon = (
+        f"__gx = GREATEST(CAST(FLOOR(LEAST(ax1, ax2) / {cell!r}) AS BIGINT), "
+        f"CAST(FLOOR(LEAST(bx1, bx2) / {cell!r}) AS BIGINT)) "
+        f"AND __gy = GREATEST(CAST(FLOOR(LEAST(ay1, ay2) / {cell!r}) AS BIGINT), "
+        f"CAST(FLOOR(LEAST(by1, by2) / {cell!r}) AS BIGINT))"
+    )
     cand = (
         cover(a, "ax1", "ay1", "ax2", "ay2")
         .join(cover(b, "bx1", "by1", "bx2", "by2"), ["__gx", "__gy"])
-        .dropDuplicates(["a_id", "a_seg", "b_id", "b_seg"])
-        .where(F.expr(cond))
+        .where(F.expr(f"{canon} AND {cond}"))
         .drop("__gx", "__gy")
     )
     # TRY_DIVIDE keeps the expression total: Catalyst may collapse this
