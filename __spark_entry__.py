@@ -485,9 +485,12 @@ def _q_lidar_outliers(spark, sf):
 
 
 def _q_difference_features(spark, sf):
-    """Convex difference (half-plane decomposition) — interpolated
-    crossing vertices; rows-only, geometry pytest-gated by area
-    identities."""
+    """Convex difference (half-plane decomposition). Oracle-gated
+    (round-5 upgrade): DuckDB replays the full Sutherland-Hodgman
+    cascade as list lambdas over the 4-vertex subject rings and the
+    clip shells' literal edges — same val/intersection doubles as the
+    Python kernel; n_parts counts the surviving outside pieces. Also
+    geometry pytest-gated by area identities."""
     from whitebox_tools_spark.operators.overlay_vector import difference_features
 
     clip = _polygons_df(spark).selectExpr("polygon_id AS clip_id", "parts")
@@ -8637,8 +8640,8 @@ def _r5_oracles() -> dict[str, str]:
             clip_axes.append(f"({pid}, {float(ax)!r}, {float(ay)!r})")
         for x, y in ring[:-1]:
             clip_verts.append(f"({pid}, {x!r}, {y!r})")
-    ret["intersect_features"] = (
-        f"WITH base AS ({_SHAPES_BASE}), "
+    sat_ctes = (
+        f"base AS ({_SHAPES_BASE}), "
         f"va AS (SELECT shape_id, unnest(CASE WHEN kind = 0 THEN {_RECT_HULL_DUCK} "
         f"ELSE {_DIAM_HULL_DUCK} END) AS v FROM base), "
         f"vb AS (SELECT * FROM (VALUES {', '.join(clip_verts)}) t(clip_id, x, y)), "
@@ -8658,9 +8661,91 @@ def _r5_oracles() -> dict[str, str]:
         f"ok AS (SELECT pa.shape_id, pa.clip_id, "
         f"BOOL_AND(LEAST(amx, bmx) > GREATEST(amn, bmn)) AS hit "
         f"FROM pa JOIN pb ON pa.shape_id = pb.shape_id AND pa.clip_id = pb.clip_id "
-        f"AND pa.ax = pb.ax AND pa.ay = pb.ay GROUP BY 1, 2) "
+        f"AND pa.ax = pb.ax AND pa.ay = pb.ay GROUP BY 1, 2)"
+    )
+    ret["intersect_features"] = (
+        f"WITH {sat_ctes} "
         f"SELECT shape_id, CAST(clip_id AS BIGINT) AS clip_id, CAST(1 AS INT) AS n_parts "
         f"FROM ok WHERE hit"
+    )
+
+    # ---- difference_features: full replay of the convex half-plane
+    # cascade (difference_ring_convex). Pair inclusion is the SAT block
+    # above (the operator takes its pairs from intersect_features); the
+    # Sutherland-Hodgman passes run as DuckDB list lambdas over the
+    # 4-vertex subject ring with the clip's literal edges — same val/ix
+    # doubles as the Python kernel (cross-validated on partial overlap,
+    # containment both ways, diamond/triangle, and CW-clip sign flip).
+    # n_parts = count of outside pieces with >= 3 open vertices; pairs
+    # whose subject vanishes keep emitting empty pieces (the kernel's
+    # early break changes nothing); untouched shapes emit clip_id -1.
+    def _dv(px, py):
+        return (f"(sgn * ((ex2 - ex1) * (({py}) - ey1) "
+                f"- (({px}) - ex1) * (ey2 - ey1)))")
+
+    def _dix(px, py, qx, qy):
+        dsx, dsy = f"(({qx}) - ({px}))", f"(({qy}) - ({py}))"
+        den = f"((ex2 - ex1) * {dsy} - (ey2 - ey1) * {dsx})"
+        t = (f"(((ex2 - ex1) * (ey1 - ({py})) "
+             f"- (ey2 - ey1) * (ex1 - ({px}))) / {den})")
+        return f"{{'x': ({px}) + {t} * {dsx}, 'y': ({py}) + {t} * {dsy}}}"
+
+    def _dsh(cur, cmp_in):
+        pv = f"{cur}[CASE WHEN k = 1 THEN LEN({cur}) ELSE k - 1 END]"
+        cu = f"{cur}[k]"
+        cin = f"({_dv(f'{cu}.x', f'{cu}.y')} {cmp_in} 0.0)"
+        pin = f"({_dv(f'{pv}.x', f'{pv}.y')} {cmp_in} 0.0)"
+        ix = _dix(f"{pv}.x", f"{pv}.y", f"{cu}.x", f"{cu}.y")
+        return (f"FLATTEN(LIST_TRANSFORM(RANGE(1, LEN({cur}) + 1), k -> "
+                f"CASE WHEN {cin} AND NOT {pin} THEN [{ix}, {cu}] "
+                f"WHEN {cin} THEN [{cu}] WHEN {pin} THEN [{ix}] "
+                f"ELSE []::STRUCT(x DOUBLE, y DOUBLE)[] END))")
+
+    diff_eds, max_ce = [], 0
+    for pid, part_idx, is_hole, ring in _poly_parts_rows():
+        if is_hole or part_idx != 0:
+            continue  # the kernel erases by the first shell only
+        c = ring[:-1] if ring[0] == ring[-1] else list(ring)
+        area2 = sum(c[i][0] * c[(i + 1) % len(c)][1]
+                    - c[(i + 1) % len(c)][0] * c[i][1] for i in range(len(c)))
+        sgn = 1.0 if area2 > 0 else -1.0
+        max_ce = max(max_ce, len(c))
+        for i in range(len(c)):
+            (ex1, ey1), (ex2, ey2) = c[i], c[(i + 1) % len(c)]
+            diff_eds.append(
+                f"({pid}, {i}, {ex1!r}, {ey1!r}, {ex2!r}, {ey2!r}, {sgn!r})")
+    # open subject rings in the Spark _RECT_SPARK/_DIAM_SPARK vertex order
+    rect_open = ("[{'x': cx - hw, 'y': cy - hh}, {'x': cx + hw, 'y': cy - hh}, "
+                 "{'x': cx + hw, 'y': cy + hh}, {'x': cx - hw, 'y': cy + hh}]")
+    diam_open = ("[{'x': cx, 'y': cy - hh}, {'x': cx + hw, 'y': cy}, "
+                 "{'x': cx, 'y': cy + hh}, {'x': cx - hw, 'y': cy}]")
+    dparts = [
+        f"deds AS (SELECT * FROM (VALUES {', '.join(diff_eds)}) "
+        f"t(clip_id, i, ex1, ey1, ex2, ey2, sgn))",
+        f"dd0 AS (SELECT b.shape_id, o.clip_id, 0 AS np, "
+        f"(CASE WHEN b.kind = 0 THEN {rect_open} ELSE {diam_open} END)"
+        f"::STRUCT(x DOUBLE, y DOUBLE)[] AS cur "
+        f"FROM base b JOIN ok o ON o.shape_id = b.shape_id WHERE o.hit)",
+    ]
+    for i in range(max_ce):
+        dparts.append(
+            f"de{i} AS (SELECT p.*, e.ex1, e.ey1, e.ex2, e.ey2, e.sgn "
+            f"FROM dd{i} p LEFT JOIN deds e "
+            f"ON e.clip_id = p.clip_id AND e.i = {i})")
+        dparts.append(
+            f"dd{i + 1} AS (SELECT shape_id, clip_id, "
+            f"np + (CASE WHEN ex1 IS NULL THEN 0 "
+            f"WHEN LEN({_dsh('cur', '<=')}) >= 3 THEN 1 ELSE 0 END) AS np, "
+            f"CASE WHEN ex1 IS NULL THEN cur ELSE {_dsh('cur', '>=')} END AS cur "
+            f"FROM de{i})")
+    ret["difference_features"] = (
+        f"WITH {sat_ctes}, " + ", ".join(dparts)
+        + f" SELECT shape_id, CAST(clip_id AS BIGINT) AS clip_id, "
+        f"CAST(np AS INT) AS n_parts FROM dd{max_ce} WHERE np >= 1 "
+        f"UNION ALL SELECT b.shape_id, CAST(-1 AS BIGINT) AS clip_id, "
+        f"CAST(1 AS INT) AS n_parts FROM base b "
+        f"WHERE NOT EXISTS (SELECT 1 FROM ok o "
+        f"WHERE o.shape_id = b.shape_id AND o.hit)"
     )
 
     # ---- split_with_lines: transcription of the pure-SQL Spark plan —
