@@ -1801,8 +1801,10 @@ def _q_hypso_tinted_hillshade(spark, sf):
 
 
 def _q_voronoi(spark, sf):
-    """Half-plane-clipped Voronoi cells — rows-only + pytest
-    (nearest-site containment)."""
+    """Half-plane-clipped Voronoi cells. Oracle-gated (round-5 upgrade):
+    DuckDB replays the per-site bisector clip cascade as list lambdas in
+    the same ascending-id site order the kernel now uses — bit-exact
+    vertices. Pytest additionally gates nearest-site containment."""
     pts = _points(spark, sf).where("record_num % 211 = 0") \
                             .select("record_num", "x", "y")
     return VO.voronoi_diagram(pts, (0.0, 0.0, 1000.0, 1000.0))
@@ -9399,6 +9401,58 @@ def _r5b_oracles() -> dict[str, str]:
         "WITH RECURSIVE " + ", ".join(bs_parts)
         + " SELECT pr.row, pr.col, pr.pid AS patch_id, pv.value "
         "FROM pr JOIN pv ON pv.pid = pr.pid"
+    )
+
+    # ---- voronoi: replay the per-site bisector half-plane cascade.
+    # The kernel clips the extent rectangle by the bisector to every
+    # OTHER site in ascending-id order (the operator sorts its collected
+    # sites, so the order — and therefore every interpolated vertex's
+    # ulps — is deterministic); the replay unrolls 64 site steps
+    # (LEFT-JOIN identity past the actual count: 48 sites at the
+    # driver's sf0.01) with the same a/b/c, epsilon, and t arithmetic.
+    def _vclip(poly):
+        va, vb = "(qx - px)", "(qy - py)"
+        vc = "((((qx * qx - px * px) + qy * qy) - py * py) / 2.0)"
+        pv = f"{poly}[k]"
+        nx = f"{poly}[(k % LEN({poly})) + 1]"
+        pin = f"(({va} * {pv}.x + {vb} * {pv}.y) <= ({vc} + 1e-12))"
+        qin = f"(({va} * {nx}.x + {vb} * {nx}.y) <= ({vc} + 1e-12))"
+        t = (f"((({vc} - {va} * {pv}.x) - {vb} * {pv}.y) "
+             f"/ ({va} * ({nx}.x - {pv}.x) + {vb} * ({nx}.y - {pv}.y)))")
+        ix = (f"{{'x': {pv}.x + {t} * ({nx}.x - {pv}.x), "
+              f"'y': {pv}.y + {t} * ({nx}.y - {pv}.y)}}")
+        return (f"FLATTEN(LIST_TRANSFORM(RANGE(1, LEN({poly}) + 1), k -> "
+                f"CASE WHEN {pin} AND {qin} THEN [{pv}] "
+                f"WHEN {pin} THEN [{pv}, {ix}] "
+                f"WHEN {qin} THEN [{ix}] "
+                f"ELSE []::STRUCT(x DOUBLE, y DOUBLE)[] END))")
+
+    vparts = [
+        f"vpts AS ({_PTS_SQL})",
+        "vs AS (SELECT record_num AS sid, x, y, "
+        "ROW_NUMBER() OVER (ORDER BY record_num) - 1 AS j "
+        "FROM vpts WHERE record_num % 211 = 0)",
+        "vv0 AS (SELECT sid, x AS px, y AS py, "
+        "[{'x': 0.0, 'y': 0.0}, {'x': 1000.0, 'y': 0.0}, "
+        "{'x': 1000.0, 'y': 1000.0}, {'x': 0.0, 'y': 1000.0}]"
+        "::STRUCT(x DOUBLE, y DOUBLE)[] AS poly FROM vs)",
+    ]
+    for j in range(64):
+        vparts.append(
+            f"ve{j} AS (SELECT p.sid, p.px, p.py, p.poly, "
+            f"q.x AS qx, q.y AS qy, q.sid AS qsid "
+            f"FROM vv{j} p LEFT JOIN vs q ON q.j = {j})")
+        vparts.append(
+            f"vv{j + 1} AS (SELECT sid, px, py, "
+            f"CASE WHEN qx IS NULL OR qsid = sid THEN poly ELSE "
+            f"{_vclip('poly')} END AS poly FROM ve{j})")
+    vparts.append(
+        "vexp AS (SELECT sid, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(poly) + 1), "
+        "i -> {'vi': i - 1, 'vx': poly[i].x, 'vy': poly[i].y})) AS v FROM vv64)")
+    ret["voronoi"] = (
+        "WITH " + ", ".join(vparts)
+        + " SELECT sid AS record_num, CAST(v.vi AS INT) AS vertex_idx, "
+        "v.vx AS x, v.vy AS y FROM vexp"
     )
 
     # ---- cost_distance: 96 unrolled Jacobi rounds over the 8-neighbor

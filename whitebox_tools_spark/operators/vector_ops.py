@@ -1408,8 +1408,12 @@ def voronoi_diagram(points: DataFrame, extent: tuple[float, float, float, float]
     import pandas as pd
 
     xmin, ymin, xmax, ymax = (float(v) for v in extent)
-    pts = [(int(r[0]), float(r[1]), float(r[2]))
-           for r in points.select(id_col, x, y).collect()]
+    # sort by id: collect order is partition-dependent, and the clip
+    # ORDER shapes the interpolated vertices' last ulps — sorting makes
+    # the kernel deterministic (and replayable by the DuckDB oracle)
+    pts = sorted(((int(r[0]), float(r[1]), float(r[2]))
+                  for r in points.select(id_col, x, y).collect()),
+                 key=lambda t: t[0])
     sc = points.sparkSession.sparkContext
     bc = sc.broadcast(pts)
     schema = StructType([
