@@ -160,3 +160,21 @@ def test_embedding_dups_auto_planes(spark, emb):
                                            threshold=0.95).collect()}
     # auto-sized planes (ceil(log2 n)+2) keep full recall on the true pairs
     assert want <= auto, want - auto
+
+
+def test_candidate_pairs_unique_without_dedup(spark, emb):
+    """The sign-LSH / IVF candidate joins produce each pair at most once
+    BY CONSTRUCTION (one bucket/centroid key per build row, distinct
+    probe keys), so the plans carry no dropDuplicates shuffle. Pin the
+    invariant: a future multi-key build side would silently duplicate
+    output rows here."""
+    sub = emb.limit(500)
+    q = sub.where("vec_id % 10 = 0")
+    for out, keys in (
+        (D.embedding_dup_pairs(sub, threshold=0.5), ["id_a", "id_b"]),
+        (S.ann_topk_lsh(q, sub, k=5), ["query_id", "target_id"]),
+        (S.ann_topk_ivf(q, sub, k=5, num_centroids=8, n_probe=3),
+         ["query_id", "target_id"]),
+    ):
+        n = out.count()
+        assert out.select(*keys).distinct().count() == n

@@ -255,10 +255,13 @@ def embedding_dup_pairs(
         .withColumn("bucket", F.explode(F.array(*[F.expr(e) for e in flips]))) \
         .drop("code")
     b = codes.selectExpr("id AS id_b", "code AS bucket")
+    # candidate pairs are unique by construction — the build side carries
+    # exactly ONE code per id and the probe masks (0/1/2-bit flips) are
+    # pairwise distinct, so (id_a, id_b) can match on at most one bucket;
+    # the reverse orientation is cut by id_a < id_b. No dedup shuffle.
     cand = (
         probes.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b")
     )
     va = emb.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va")

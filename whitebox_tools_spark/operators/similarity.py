@@ -247,10 +247,13 @@ def ann_topk_lsh(
         F.col(id_col).alias("target_id"),
         F.col("lsh_bucket").cast("bigint").alias("bucket"),
     )
+    # pairs are unique by construction — each target carries exactly ONE
+    # bucket code and the probe keys (own code + distinct 1-bit flips) are
+    # pairwise distinct, so a (query, target) pair can match on at most one
+    # bucket. No dedup shuffle needed over the candidate set.
     pairs = (
         probes.join(tb, "bucket")
         .where(F.col("query_id") != F.col("target_id"))
-        .dropDuplicates(["query_id", "target_id"])
         .select("query_id", "target_id")
     )
     va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -383,10 +386,13 @@ def ann_topk_ivf(
     bc = targets.sparkSession.sparkContext.broadcast(cent)
     t_assign = _assign_centroids(targets, bc, 1, id_col, vec_col, "target")
     q_assign = _assign_centroids(queries, bc, n_probe, id_col, vec_col, "query")
+    # pairs are unique by construction — each target sits in exactly ONE
+    # inverted list (n_probe=1 on the target side) and a query's n_probe
+    # centroid ids are distinct (argsort indices), so a (query, target)
+    # pair can form on at most one centroid key. No dedup shuffle needed.
     pairs = (
         q_assign.join(t_assign, "centroid")
         .where(F.col("query_id") != F.col("target_id"))
-        .dropDuplicates(["query_id", "target_id"])
         .select("query_id", "target_id")
     )
     va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("queryv"))
