@@ -62,6 +62,24 @@ def test_fill_eps_kernel(spark):
             assert out[(r, c)] == pytest.approx(want[r, c], abs=1e-9), (r, c)
 
 
+def test_fill_eps_tiled_matches_sequential(spark):
+    """The Barnes tiled priority-flood with eps (fill_burn's scale path)
+    is bit-exact vs the sequential epsilon priority-flood — both
+    single-tile and forced multi-tile (tile=4 over 10x10 = 9 tiles,
+    exercising the halo exchange rounds)."""
+    rng = np.random.RandomState(13)
+    z = np.round(rng.uniform(10, 50, size=(10, 10)), 1)
+    z[2:9, 5] = -20.0  # a deep burned trench crossing tile boundaries
+    eps = 0.001
+    want = _pflood_eps(z, eps)
+    for tile in (256, 4):
+        out = _asmap(HY.fill_depressions(_cells(spark, z), META, tile=tile,
+                                         eps=eps))
+        for r in range(10):
+            for c in range(10):
+                assert out[(r, c)] == want[r, c], (tile, r, c)
+
+
 def test_raise_walls_and_flatten_lakes(spark):
     rng = np.random.RandomState(9)
     z = np.round(rng.uniform(10, 50, size=(10, 10)), 1)

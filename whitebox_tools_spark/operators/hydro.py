@@ -291,12 +291,19 @@ def fill_depressions_jacobi(cells: DataFrame, meta: GridMeta,
     return w.selectExpr("row", "col", "w AS value")
 
 
-def _pflood_kernel(tile: int, rows: int, cols: int):
+def _pflood_kernel(tile: int, rows: int, cols: int, eps: float = 0.0):
     """Per-tile priority-flood given fixed boundary estimates (Barnes
     et al. 2016 tile kernel). Input rows: (tr, tc, row, col, z, w, halo);
     halo=1 rows are neighbouring tiles' border cells carrying their
     current w estimate as a fixed boundary condition. Output: own cells
-    with the exact local fixpoint w given those boundaries."""
+    with the exact local fixpoint w given those boundaries.
+
+    eps > 0 switches to the epsilon-gradient fill (fill_burn.rs's
+    filling stage): neighbours raise to max(z, w + eps) instead of
+    max(z, w). The eps fixpoint is unique whenever w + eps > w (no
+    float-equal cycles), so the tiled plan stays bit-exact vs the
+    sequential epsilon priority-flood — pytest-gated in
+    tests/test_demedit.py."""
     import heapq
 
     import numpy as np
@@ -340,13 +347,14 @@ def _pflood_kernel(tile: int, rows: int, cols: int):
                 continue
             done[pr, pc] = True
             wgrid[pr, pc] = wv
+            wpush = wv + eps if eps else wv  # eps=0: bit-identical, no -0.0+0.0 drift
             for dr in (-1, 0, 1):
                 for dc in (-1, 0, 1):
                     nr, nc = pr + dr, pc + dc
                     if (dr or dc) and 0 <= nr < size and 0 <= nc < size \
                             and present[nr, nc] and not done[nr, nc]:
                         heapq.heappush(
-                            heap, (max(zz[nr, nc], wv), nr, nc))
+                            heap, (max(zz[nr, nc], wpush), nr, nc))
         # boundary estimates only decrease round-over-round and the local
         # fixpoint is monotone in them; min() with the previous estimate
         # makes that invariant explicit (guards the convergence check)
@@ -358,7 +366,8 @@ def _pflood_kernel(tile: int, rows: int, cols: int):
 
 
 def fill_depressions(cells: DataFrame, meta: GridMeta,
-                     max_rounds: int = 64, tile: int = 256) -> DataFrame:
+                     max_rounds: int = 64, tile: int = 256,
+                     eps: float = 0.0) -> DataFrame:
     """FillDepressionsPlanchonAndDarboux
     (hydro_analysis/fill_depressions_planchon_and_darboux.rs semantics,
     same fixpoint as fill_depressions.rs:374's priority flood): the
@@ -377,7 +386,10 @@ def fill_depressions(cells: DataFrame, meta: GridMeta,
     round is one narrow halo scatter + one groupBy(tile) shuffle.
     All outputs are max/min selections of input z values (no float
     arithmetic), so results are bit-exact vs the Jacobi reference and
-    the recursive-CTE oracle."""
+    the recursive-CTE oracle. eps > 0 adds the constant-epsilon
+    gradient per step (fill_burn's filling stage) — still bit-exact vs
+    the sequential epsilon priority-flood (unique fixpoint; kernel
+    docstring)."""
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
@@ -396,7 +408,7 @@ def fill_depressions(cells: DataFrame, meta: GridMeta,
         StructField("__prev", DoubleType(), False),
         StructField("w", DoubleType(), False),
     ])
-    kernel = _pflood_kernel(tile, rows, cols)
+    kernel = _pflood_kernel(tile, rows, cols, eps)
     offs = [(-1, 0), (1, 0), (0, -1), (0, 1),
             (-1, -1), (-1, 1), (1, -1), (1, 1)]
     pairs = ", ".join(
@@ -2632,7 +2644,11 @@ def fill_burn(cells: DataFrame, meta: GridMeta,
     zmax = cells.agg(F.max("value")).first()[0]
     elev_digits = len(str(int(zmax)))
     small = 10.0 ** (-(12 - elev_digits))
-    filled = _fill_depressions_eps(burned, meta, small)
+    # tiled Barnes priority-flood with the epsilon step: rounds =
+    # O(tile-graph spill path), not O(burned-trench length in cells) —
+    # the 10000-unit stream trench made the Jacobi eps fill the single
+    # slowest fixture query (~13.5 s); same fixpoint, pytest-gated
+    filled = fill_depressions(burned, meta, eps=small)
     j = (filled.withColumnRenamed("value", "w")
          .join(cells.withColumnRenamed("value", "z"), ["row", "col"])
          .join(thin, ["row", "col"], "left")
