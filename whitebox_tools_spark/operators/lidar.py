@@ -295,19 +295,31 @@ def lidar_segmentation(points: DataFrame, radius: float = 2.0,
     )
     lbl = points.selectExpr(f"{id_col} AS pid", f"{id_col} AS lbl") \
                 .localCheckpoint(eager=True)
-    both = e.unionByName(e.selectExpr("b_id AS a_id", "a_id AS b_id"))
-    for _ in range(max_rounds):
-        nb = both.join(lbl.selectExpr("pid AS a_id", "lbl AS nlbl"), "a_id") \
+    # pin the edge list once — it is the pairs x normals x normals join
+    # and would otherwise re-execute every propagation round
+    both = e.unionByName(e.selectExpr("b_id AS a_id", "a_id AS b_id")) \
+            .localCheckpoint(eager=True)
+    # frontier scatter (the clump discipline): a node's min-label can
+    # only improve via a neighbor whose label changed last round, so
+    # only changed nodes scatter; pointer jumping every third round
+    # bounds rounds at O(log diameter) for chain-shaped segments
+    frontier = lbl
+    for round_no in range(max_rounds):
+        nb = both.join(frontier.selectExpr("pid AS a_id", "lbl AS nlbl"),
+                       "a_id") \
                  .groupBy("b_id").agg(F.min("nlbl").alias("mn"))
         new = lbl.join(nb.withColumnRenamed("b_id", "pid"), "pid", "left") \
                  .selectExpr("pid", "lbl AS __prev",
                              "LEAST(lbl, COALESCE(mn, lbl)) AS nl")
-        owners = new.selectExpr("pid AS o_id", "nl AS o_lbl")
-        new = new.join(owners, new["nl"] == owners["o_id"], "left") \
-                 .selectExpr("pid", "__prev",
-                             "LEAST(nl, COALESCE(o_lbl, nl)) AS lbl") \
+        if round_no % 3 == 2:
+            owners = new.selectExpr("pid AS o_id", "nl AS o_lbl")
+            new = new.join(owners, new["nl"] == owners["o_id"], "left") \
+                     .selectExpr("pid", "__prev",
+                                 "LEAST(nl, COALESCE(o_lbl, nl)) AS nl")
+        new = new.selectExpr("pid", "__prev", "nl AS lbl") \
                  .localCheckpoint(eager=True)
-        changed = new.where("lbl <> __prev").count()
+        frontier = new.where("lbl <> __prev").select("pid", "lbl")
+        changed = frontier.count()
         lbl = new.select("pid", "lbl")
         if changed == 0:
             break
@@ -917,12 +929,17 @@ def lidar_segmentation_based_filter(points: DataFrame, radius: float = 5.0,
         .unionByName(nmin.selectExpr("a_id", "nmin AS b_nmin"))
         .groupBy("a_id").agg(F.max("b_nmin").alias("dil"))
     )
+    # pin the top-hat residual once: segmentation, seed selection, and
+    # the final classify join all branch from it — unpinned, the two
+    # FRS min/max chains would re-execute per downstream action
     resid = points.join(dil.withColumnRenamed("a_id", id_col), id_col) \
-        .withColumn("__resid", F.expr(f"{z} - dil")).drop("dil")
+        .withColumn("__resid", F.expr(f"{z} - dil")).drop("dil") \
+        .localCheckpoint(eager=True)
     seg_pts = resid.drop(z).withColumnRenamed("__resid", "__rz")
     segs = lidar_segmentation(seg_pts, radius=radius, norm_diff=norm_diff,
                               maxzdiff=maxzdiff, id_col=id_col, z="__rz")
-    labeled = seg_pts.select(id_col, "__rz").join(segs, id_col)
+    labeled = seg_pts.select(id_col, "__rz").join(segs, id_col) \
+        .localCheckpoint(eager=True)
     ground_segs = labeled.where("__rz = 0.0").select("segment_id").distinct()
     ground = labeled.join(F.broadcast(ground_segs), "segment_id") \
         .select(id_col).withColumn("__ground", F.lit(1))
