@@ -1579,9 +1579,9 @@ def _q_flatten_lakes(spark, sf):
 
 
 def _q_fill_burn(spark, sf):
-    """FillBurn. Iterative epsilon fill (eps chains accumulate in flood
-    order) — rows-only; the epsilon-fill kernel is pytest-gated vs a
-    numpy priority flood."""
+    """FillBurn. Oracle-gated (round-5 upgrade, _r5c_oracles): the eps
+    fixpoint is unique, so the DuckDB Jacobi unroll replays the tiled
+    priority-flood bitwise; thinning/rasterize/min_diff replay exactly."""
     return HY.fill_burn(_ras_c(spark, sf), _META40, _segments(spark, sf))
 
 
@@ -10367,6 +10367,125 @@ def _r5b_oracles() -> dict[str, str]:
     return ret
 
 
+def _r5c_oracles() -> dict[str, str]:
+    """Round-5 oracle upgrades (batch 3): fill_burn — previously
+    rows-only ("iterative epsilon fill"). The whole pipeline is
+    replayable: the lines_to_raster crossing math at META40, a 4x2
+    unrolled Zhang-Suen thinning (fixture fixpoint at iteration 3;
+    extra phases are identity), the -10000 burn, a 44-round
+    MATERIALIZED Jacobi epsilon fill (fixture fixpoint at round 39;
+    the eps fixpoint is unique so Jacobi == the tiled priority-flood
+    bitwise — tests/test_demedit.py), and the min_diff - 1 stream
+    translation. eps replays the operator's 10^-(12 - digits(zmax))
+    via an exact '1e-NN' literal (Python pow(10, -n) == the parsed
+    literal for this range)."""
+    ret: dict[str, str] = {}
+    M = _META40
+
+    # lines_to_raster at META40 (clone of the META100 oracle's math)
+    r_hi = f"GREATEST(LEAST({M.row_from_y_expr('LEAST(y1, y2)')}, 39), 0)"
+    r_lo = f"GREATEST(LEAST({M.row_from_y_expr('GREATEST(y1, y2)')}, 39), 0)"
+    c_lo = f"GREATEST(LEAST({M.col_from_x_expr('LEAST(x1, x2)')}, 39), 0)"
+    c_hi = f"GREATEST(LEAST({M.col_from_x_expr('GREATEST(x1, x2)')}, 39), 0)"
+    y_r = M.y_from_row_expr("tr.range")
+    x_c = M.x_from_col_expr("tc.range")
+    x_prime = f"(x1 + (({y_r}) - y1) / (y2 - y1) * (x2 - x1))"
+    y_prime = f"(y1 + (({x_c}) - x1) / (x2 - x1) * (y2 - y1))"
+    l2r = (
+        f"base AS ({_SHAPES_BASE}), "
+        f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+        f"ELSE {_DIAM_DUCK} END AS ring FROM base), "
+        f"segs AS (SELECT s.x1 AS x1, s.y1 AS y1, s.x2 AS x2, s.y2 AS y2 FROM "
+        f"(SELECT shape_id, unnest(list_transform(range(1, len(ring)), "
+        f"i -> {{'x1': ring[i].x, 'y1': ring[i].y, 'x2': ring[i+1].x, "
+        f"'y2': ring[i+1].y}})) AS s FROM rs)), "
+        f"b AS (SELECT x1, y1, x2, y2, {r_lo} AS r0, {r_hi} AS r1, "
+        f"{c_lo} AS c0, {c_hi} AS c1 FROM segs), "
+        f"rh AS (SELECT tr.range AS row, {M.col_from_x_expr(x_prime)} AS col "
+        f"FROM b JOIN range(0, 40) tr ON tr.range >= r0 AND tr.range <= r1 "
+        f"WHERE ({y_r}) >= LEAST(y1, y2) AND ({y_r}) <= GREATEST(y1, y2) AND y2 <> y1), "
+        f"ch AS (SELECT {M.row_from_y_expr(y_prime)} AS row, tc.range AS col "
+        f"FROM b JOIN range(0, 40) tc ON tc.range >= c0 AND tc.range <= c1 "
+        f"WHERE ({x_c}) >= LEAST(x1, x2) AND ({x_c}) <= GREATEST(x1, x2) AND x2 <> x1), "
+        f"strm AS (SELECT DISTINCT row, col FROM "
+        f"(SELECT * FROM rh UNION ALL SELECT * FROM ch) "
+        f"WHERE row >= 0 AND row < 40 AND col >= 0 AND col < 40)"
+    )
+    offs_d8 = ", ".join(f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    ring = [7, 0, 1, 2, 3, 4, 5, 6]
+    p_ring = [f"(CASE WHEN COALESCE(zn_{ring[i]}, 0.0) > 0.0 THEN 1 ELSE 0 END)"
+              for i in range(8)]
+    bsum = " + ".join(p_ring)
+    trans = " + ".join(
+        f"(CASE WHEN {p_ring[i]} = 0 AND {p_ring[(i + 1) % 8]} = 1 THEN 1 ELSE 0 END)"
+        for i in range(8))
+    znk = ", ".join(f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8))
+    parts = [
+        f"rc AS MATERIALIZED ({_RAS_C_SQL})",
+        l2r,
+        "lofs AS (SELECT * FROM (VALUES " + offs_d8 + ") o(n, dy, dx))",
+        "th0 AS MATERIALIZED (SELECT r.row, r.col, "
+        "CASE WHEN s.row IS NOT NULL THEN 1.0 ELSE 0.0 END AS value "
+        "FROM rc r LEFT JOIN strm s ON r.row = s.row AND r.col = s.col)",
+    ]
+    step = 0
+    for _ in range(4):
+        for phase in (0, 1):
+            if phase == 0:
+                c1 = f"({p_ring[0]} * {p_ring[2]} * {p_ring[4]}) = 0"
+                c2 = f"({p_ring[2]} * {p_ring[4]} * {p_ring[6]}) = 0"
+            else:
+                c1 = f"({p_ring[0]} * {p_ring[2]} * {p_ring[6]}) = 0"
+                c2 = f"({p_ring[0]} * {p_ring[4]} * {p_ring[6]}) = 0"
+            prev, step = f"th{step}", step + 1
+            parts.append(
+                f"sc{step} AS (SELECT t.row - o.dy AS row, t.col - o.dx AS col, "
+                f"o.n AS n, t.value AS nv FROM {prev} t, lofs o "
+                f"UNION ALL SELECT row, col, 8, value FROM {prev}), "
+                f"pv{step} AS (SELECT row, col, {znk}, "
+                f"MAX(CASE WHEN n = 8 THEN nv END) AS zc FROM sc{step} GROUP BY 1, 2), "
+                f"th{step} AS MATERIALIZED (SELECT row, col, "
+                f"CAST(CASE WHEN zc > 0.0 AND ({bsum}) BETWEEN 2 AND 6 "
+                f"AND ({trans}) = 1 AND {c1} AND {c2} THEN 0.0 "
+                f"ELSE zc END AS DOUBLE) AS value "
+                f"FROM pv{step} WHERE zc IS NOT NULL)")
+    thin = f"th{step}"
+    parts.append(
+        "epsv AS MATERIALIZED (SELECT CAST('1e-' || "
+        "CAST(12 - LENGTH(CAST(CAST(FLOOR(MAX(value)) AS BIGINT) AS VARCHAR)) "
+        "AS VARCHAR) AS DOUBLE) AS e FROM rc)")
+    parts.append(
+        f"w0 AS MATERIALIZED (SELECT r.row, r.col, "
+        f"CASE WHEN t.value > 0.0 THEN r.value - 10000.0 ELSE r.value END AS z, "
+        f"CASE WHEN r.row = 0 OR r.col = 0 OR r.row = 39 OR r.col = 39 THEN "
+        f"CASE WHEN t.value > 0.0 THEN r.value - 10000.0 ELSE r.value END "
+        f"ELSE 'infinity'::DOUBLE END AS w "
+        f"FROM rc r JOIN {thin} t ON r.row = t.row AND r.col = t.col)")
+    parts.append(
+        "noffs8 AS (SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1),"
+        "(-1,-1),(-1,1),(1,-1),(1,1)) o(dr, dc))")
+    n_rounds = 44
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT w.row, w.col, w.z, "
+            f"LEAST(w.w, GREATEST(w.z, COALESCE(mn.m, 'infinity'::DOUBLE))) AS w "
+            f"FROM w{i-1} w LEFT JOIN (SELECT t.row + o.dr AS row, "
+            f"t.col + o.dc AS col, MIN(t.w + (SELECT e FROM epsv)) AS m "
+            f"FROM w{i-1} t, noffs8 o GROUP BY 1, 2) mn "
+            f"ON w.row = mn.row AND w.col = mn.col)")
+    wn = f"w{n_rounds}"
+    final = (
+        f"adj AS (SELECT MIN(r.value - f.w) - 1.0 AS a FROM {wn} f "
+        f"JOIN rc r ON f.row = r.row AND f.col = r.col "
+        f"JOIN {thin} t ON f.row = t.row AND f.col = t.col WHERE t.value > 0.0) "
+        f"SELECT f.row, f.col, CASE WHEN t.value > 0.0 THEN f.w + (SELECT a FROM adj) "
+        f"ELSE f.w END AS value FROM {wn} f JOIN {thin} t "
+        f"ON f.row = t.row AND f.col = t.col"
+    )
+    ret["fill_burn"] = "WITH " + ", ".join(parts) + ", " + final
+    return ret
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -10726,5 +10845,6 @@ def oracle_sql() -> dict[str, str]:
         **_round3_oracles(),
         **_r5_oracles(),
         **_r5b_oracles(),
+        **_r5c_oracles(),
         **_mfd_oracles(),
     }
