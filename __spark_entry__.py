@@ -3219,7 +3219,11 @@ def _q_knn_wbt(spark, sf):
 
 
 def _q_ann_lsh(spark, sf):
-    """Sign-LSH bucketed ANN — approximate by design; rows-only check."""
+    """Sign-LSH bucketed ANN — approximate RECALL by design, but the
+    plan itself is deterministic (literal seeded planes, fold-order
+    codes and cosines), so it gates as a full oracle (round-5 upgrade,
+    _r5c_oracles: the DuckDB replay reproduces codes, probes, cosines,
+    and rank ties bitwise)."""
     emb = _emb(spark, sf)
     q = emb.where("vec_id % 10 = 0")
     return S.ann_topk_lsh(q, emb, k=10, num_planes=8, dim=64)
@@ -10483,6 +10487,54 @@ def _r5c_oracles() -> dict[str, str]:
         f"ON f.row = t.row AND f.col = t.col"
     )
     ret["fill_burn"] = "WITH " + ", ".join(parts) + ", " + final
+
+    # ---- ann_lsh: the sign-LSH plan is fully deterministic — plane
+    # weights are seeded constants (similarity.lsh_buckets, RandomState
+    # 42), codes and cosines are element-order folds (_cosine_fold_udf),
+    # and rank ties break on (cosine DESC, target_id). Replay: literal
+    # planes -> fold-order code bits -> 1-bit multiprobe equi-join ->
+    # fold cosine -> ROW_NUMBER. Verified bit-exact (498/498 rows).
+    import numpy as _np
+    planes = _np.random.RandomState(42).randn(8, 64)
+    plane_rows = ", ".join(
+        "(%d, [%s])" % (p, ", ".join(repr(float(planes[p, j])) for j in range(64)))
+        for p in range(8))
+    pdot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * pl.w[j])), "
+            "(a, b) -> a + b)")
+    dot_l = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+             "list_transform(range(1, len(qv) + 1), "
+             "i -> CAST(qv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE))), "
+             "(a, b) -> a + b)")
+    nq_l = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), "
+            "(a, b) -> a + b))")
+    nt_l = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(tv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), "
+            "(a, b) -> a + b))")
+    masks = ", ".join(["(0)"] + [f"({1 << b})" for b in range(8)])
+    ret["ann_lsh"] = (
+        f"WITH pl AS (SELECT * FROM (VALUES {plane_rows}) p(p, w)), "
+        f"codes AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0.0 THEN (1 << p) "
+        f"ELSE 0 END) AS BIGINT) AS code "
+        f"FROM (SELECT vec_id, pl.p AS p, {pdot} AS d FROM embeddings, pl) "
+        f"GROUP BY vec_id), "
+        f"mk AS (SELECT * FROM (VALUES {masks}) m(msk)), "
+        f"probes AS (SELECT c.vec_id AS query_id, xor(c.code, m.msk) AS bucket "
+        f"FROM codes c, mk m WHERE c.vec_id % 10 = 0), "
+        f"tb AS (SELECT vec_id AS target_id, code AS bucket FROM codes), "
+        f"prs AS (SELECT query_id, target_id FROM probes JOIN tb USING (bucket) "
+        f"WHERE query_id <> target_id), "
+        f"qv_t AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings), "
+        f"tv_t AS (SELECT vec_id AS target_id, embedding AS tv FROM embeddings), "
+        f"cand AS (SELECT query_id, target_id, ({dot_l}) / (({nq_l}) * ({nt_l})) AS cosine "
+        f"FROM prs JOIN qv_t USING (query_id) JOIN tv_t USING (target_id)), "
+        f"r AS (SELECT query_id, target_id, cosine, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine DESC, target_id) AS sim_rank FROM cand) "
+        f"SELECT query_id, target_id, cosine, CAST(sim_rank AS BIGINT) AS sim_rank "
+        f"FROM r WHERE sim_rank <= 10"
+    )
     return ret
 
 

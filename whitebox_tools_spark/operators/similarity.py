@@ -261,7 +261,11 @@ def ann_topk_lsh(
     cand = (
         pairs.join(va, "query_id").join(vb, "target_id")
         .select("query_id", "target_id",
-                _cosine_udf("qv", "tv").alias("cosine"))
+                # fold-order cosine (not einsum): bit-identical to the
+                # DuckDB list_reduce replay, which lets the ann_lsh
+                # driver query gate as a full oracle (codes are already
+                # deterministic literal-plane folds) at the same speed
+                _cosine_fold_udf("qv", "tv").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
     return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
