@@ -879,11 +879,16 @@ def _q_contours_from_points(spark, sf):
 
 def _q_hachures(spark, sf):
     """TopographicHachures (simplified stroke model): downslope strokes
-    on a lattice. Rows-only; direction gates in pytest."""
+    on a lattice. Oracle-gated (round-5 upgrade, _round3_oracles):
+    endpoints are pure div/sqrt over the bit-exact surface normals;
+    slope_deg ROUND(6)s the one libm call (DEGREES(ATAN)). Direction
+    gates stay in pytest."""
     from whitebox_tools_spark.operators.contours import topographic_hachures
 
-    return topographic_hachures(_ras(spark, sf, "a"), _META100,
-                                spacing=5, min_slope_deg=0.5)
+    out = topographic_hachures(_ras(spark, sf, "a"), _META100,
+                               spacing=5, min_slope_deg=0.5)
+    return out.selectExpr("x1", "y1", "x2", "y2",
+                          "ROUND(slope_deg, 6) AS slope_deg")
 
 
 _LPTS_EXTRA = (
@@ -2661,12 +2666,30 @@ def _q_contour_segments(spark, sf):
 
 
 def _q_contours(spark, sf):
-    """Chained contour polylines — rows-only (assembly is procedural);
-    segment-conservation and reference parity are pytest-gated."""
+    """Chained contour polylines, gated STRUCTURALLY (round-5 upgrade,
+    the bsc restatement discipline): with every vertex degree <= 2 the
+    chain decomposition IS the connected-component decomposition of the
+    (bit-exact, independently oracled) segment set, so per-chain
+    aggregates — vertex count, closed flag, lexicographic-min vertex
+    (which also defines the line_id numbering), bbox — are order-free
+    and replayed in DuckDB via a reach recursion over the marching-
+    squares segments. The walk order itself stays pytest-gated."""
     from whitebox_tools_spark.operators import contours as CN
 
-    return CN.contours_from_raster(_ras(spark, sf, "a"), _META100,
-                                   base=0.0, interval=100.0, tile=32)
+    out = CN.contours_from_raster(_ras(spark, sf, "a"), _META100,
+                                  base=0.0, interval=100.0, tile=32)
+    return out.groupBy("level", "line_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vertices"),
+        F.expr("CAST(CASE WHEN MIN_BY(STRUCT(x, y), vertex_idx) = "
+               "MAX_BY(STRUCT(x, y), vertex_idx) THEN 1 ELSE 0 END AS INT)")
+        .alias("closed"),
+        F.expr("MIN(STRUCT(x, y)).x").alias("x0"),
+        F.expr("MIN(STRUCT(x, y)).y").alias("y0"),
+        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
+    ).selectExpr("level", "CAST(line_id AS BIGINT) AS line_id",
+                 "n_vertices", "closed", "x0", "y0",
+                 "xmin", "ymin", "xmax", "ymax")
 
 
 def _q_r2v_lines(spark, sf):
@@ -6684,6 +6707,30 @@ def _round3_oracles() -> dict[str, str]:
     nrm = (f"nrm AS (SELECT row, col, (-({fx})) / ({nrm_len}) AS nx, "
            f"(-({fy})) / ({nrm_len}) AS ny, 1.0 / ({nrm_len}) AS nz FROM nbr)")
 
+    # hachures (round-5 upgrade): the stroke model is pure expression
+    # math over the bit-exact normals — gradient, unit vector, and
+    # endpoints are div/sqrt (correctly-rounded IEEE, shared text);
+    # only DEGREES(ATAN(.)) is a libm surface, so the query ROUND(6)s
+    # slope_deg. The >= 0.5 deg filter evaluates on the raw atan in
+    # both engines; fixture margin to the threshold is ~75 degrees.
+    h_gx = "(-nx / nz)"
+    h_gy = "(-ny / nz)"
+    h_mag = f"SQRT(({h_gx}) * ({h_gx}) + ({h_gy}) * ({h_gy}))"
+    h_len = 0.8 * 5 * (_META100.resolution_x + _META100.resolution_y) / 2.0
+    h_xc = _META100.x_center_expr("col")
+    h_yc = _META100.y_center_expr("row")
+    hachures_sql = (
+        f"WITH {ras_a}, {offsets(1, 'o1')}, {nbr}, {nrm}, "
+        f"st AS (SELECT row, col, {h_xc} AS x0, {h_yc} AS y0, "
+        f"({h_gx}) / NULLIF({h_mag}, 0.0) AS ux, "
+        f"({h_gy}) / NULLIF({h_mag}, 0.0) AS uy, "
+        f"DEGREES(ATAN({h_mag})) AS slope_deg FROM nrm "
+        f"WHERE row % 5 = 0 AND col % 5 = 0) "
+        f"SELECT x0 AS x1, y0 AS y1, x0 - ux * {h_len!r} AS x2, "
+        f"y0 + uy * {h_len!r} AS y2, ROUND(slope_deg, 6) AS slope_deg "
+        f"FROM st WHERE slope_deg >= 0.5"
+    )
+
     def wsum(r):
         return (f"w{r} AS (SELECT c.row, c.col, COUNT(*) AS wn, "
                 f"SUM(n.nx) AS sx, SUM(n.ny) AS sy, SUM(n.nz) AS sz "
@@ -7199,6 +7246,7 @@ def _round3_oracles() -> dict[str, str]:
         "multiscale_ep": ep_sql,
         "mstpi": mstpi_sql,
         "surface_normals": normals_sql,
+        "hachures": hachures_sql,
         # gauss_scale_space: separable-Gaussian reassociation — rows-only.
     }
 
@@ -10534,6 +10582,49 @@ def _r5c_oracles() -> dict[str, str]:
         f"ORDER BY cosine DESC, target_id) AS sim_rank FROM cand) "
         f"SELECT query_id, target_id, cosine, CAST(sim_rank AS BIGINT) AS sim_rank "
         f"FROM r WHERE sim_rank <= 10"
+    )
+
+    # ---- contours (chained): structural replay. Chains == connected
+    # components of the bit-exact marching-squares segment set (every
+    # fixture vertex degree <= 2 — no walk ambiguity), so per-chain
+    # aggregates and the min-vertex line numbering are exact. reach
+    # recursion over DENSE_RANK vertex ids; MATERIALIZED CTEs (the
+    # unmaterialized form re-inlines the 4-way marching-squares join
+    # and runs ~100x slower).
+    csegs = _contour_oracle()
+    ret["contours"] = (
+        f"WITH csegs AS MATERIALIZED ({csegs}), "
+        "e2 AS MATERIALIZED (SELECT level, ax, ay, bx, by FROM csegs "
+        "UNION ALL SELECT level, bx AS ax, by AS ay, ax AS bx, ay AS by FROM csegs), "
+        "verts AS (SELECT DISTINCT level, ax AS x, ay AS y FROM e2), "
+        "vid AS MATERIALIZED (SELECT level, x, y, "
+        "DENSE_RANK() OVER (PARTITION BY level ORDER BY x, y) AS id FROM verts), "
+        "ed AS MATERIALIZED (SELECT e2.level, a.id AS src, b.id AS dst FROM e2 "
+        "JOIN vid a ON a.level = e2.level AND a.x = e2.ax AND a.y = e2.ay "
+        "JOIN vid b ON b.level = e2.level AND b.x = e2.bx AND b.y = e2.by), "
+        "rch AS MATERIALIZED (WITH RECURSIVE reach(level, id, r) AS ("
+        "SELECT level, id, id FROM vid UNION "
+        "SELECT e.level, e.dst, reach.r FROM reach "
+        "JOIN ed e ON e.level = reach.level AND e.src = reach.id) "
+        "SELECT * FROM reach), "
+        "lab AS MATERIALIZED (SELECT level, id, MIN(r) AS rep FROM rch GROUP BY 1, 2), "
+        "deg AS (SELECT level, src AS id, COUNT(*) AS d FROM ed GROUP BY 1, 2), "
+        "sgc AS (SELECT s.level, l.rep, COUNT(*) AS nseg FROM csegs s "
+        "JOIN vid a ON a.level = s.level AND a.x = s.ax AND a.y = s.ay "
+        "JOIN lab l ON l.level = s.level AND l.id = a.id GROUP BY 1, 2), "
+        "vst AS (SELECT v.level, l.rep, "
+        "SUM(CASE WHEN d.d = 1 THEN 1 ELSE 0 END) AS n_deg1, "
+        "MIN(v.x) AS xmin, MIN(v.y) AS ymin, MAX(v.x) AS xmax, MAX(v.y) AS ymax, "
+        "MIN(CASE WHEN v.id = l.rep THEN v.x END) AS x0, "
+        "MIN(CASE WHEN v.id = l.rep THEN v.y END) AS y0 "
+        "FROM vid v JOIN lab l ON l.level = v.level AND l.id = v.id "
+        "JOIN deg d ON d.level = v.level AND d.id = v.id GROUP BY 1, 2) "
+        "SELECT v.level, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY v.level ORDER BY v.rep) - 1 AS BIGINT) AS line_id, "
+        "CAST(s.nseg + 1 AS BIGINT) AS n_vertices, "
+        "CAST(CASE WHEN v.n_deg1 = 0 THEN 1 ELSE 0 END AS INT) AS closed, "
+        "v.x0, v.y0, v.xmin, v.ymin, v.xmax, v.ymax "
+        "FROM vst v JOIN sgc s ON s.level = v.level AND s.rep = v.rep"
     )
     return ret
 
