@@ -161,13 +161,23 @@ def contour_segments(cells: DataFrame, meta: GridMeta, base: float,
 
 
 def _chain(segs: list) -> list:
-    """Chain undirected segments (degree <= 2 vertices) into polylines;
-    open paths first (from degree-1 endpoints), then cycles.
-    Deterministic: start points chosen in sorted order."""
+    """Chain undirected segments into polylines; open paths first (from
+    degree-1 endpoints), then cycles.
+
+    FULLY canonical: segments are sorted before indexing and every
+    adjacency list is sorted, so the walk consumes edges in vertex
+    order regardless of the caller's row order. Without this, any
+    vertex of degree >= 3 (junctions in raster_to_vector_lines) made
+    the decomposition depend on the Spark partition/shuffle layout —
+    observed as a 696-vs-693-row flicker across
+    spark.sql.shuffle.partitions settings."""
+    segs = sorted(segs)
     adj = defaultdict(list)
     for i, (p, q) in enumerate(segs):
         adj[p].append((q, i))
         adj[q].append((p, i))
+    for lst in adj.values():
+        lst.sort()
     used = [False] * len(segs)
     lines = []
 
