@@ -953,8 +953,10 @@ def _q_normalize_lidar(spark, sf):
 
 
 def _q_lidar_normals(spark, sf):
-    """NormalVectors: per-point PCA plane normal. Rows-only; pytest
-    gates numpy eigen parity."""
+    """NormalVectors: per-point PCA plane normal via the closed-form
+    3x3 eigen solve (fold-order moments, whole-stage codegen). Oracle
+    replays the exact stage expressions; ROUND(6) absorbs the one
+    ACOS/COS libm pair. Pytest gates numpy eigh parity."""
     return LI.lidar_point_normals(_points(spark, sf), radius=30.0) \
         .selectExpr("record_num", "ROUND(nx, 6) AS nx", "ROUND(ny, 6) AS ny",
                     "ROUND(nz, 6) AS nz")
@@ -962,7 +964,9 @@ def _q_lidar_normals(spark, sf):
 
 def _q_lidar_hillshade(spark, sf):
     """LidarHillshade: reference illumination formula over the PCA
-    normals. Rows-only; formula parity pytest-gated
+    normals. Oracle replays the closed-form normals chain + the same
+    shade projection (the 255-step quantizer absorbs ATAN/SIN ulps);
+    numpy parity stays pytest-gated
     (tests/test_lidar3.py::test_lidar_hillshade_numpy_parity)."""
     return LI.lidar_hillshade(_points(spark, sf), radius=30.0)
 
@@ -10629,6 +10633,74 @@ def _r5c_oracles() -> dict[str, str]:
     return ret
 
 
+def _lidar_normals_oracles() -> dict[str, str]:
+    """lidar_normals / lidar_hillshade: full deterministic replay of the
+    closed-form eigen plan (operators/lidar.py NORMALS_STAGES — the
+    DuckDB text below reuses those exact stage strings, so every
+    +,-,*,/ and SQRT is the same IEEE op sequence; the only libm calls
+    are ACOS/COS in the eigenvalue stage and ATAN/SIN in the hillshade
+    projection, absorbed by ROUND(6) / the 255-step shade quantizer).
+    Pair generation mirrors _neighbor_pairs' semantics (exact distance
+    predicate with the same `radius*radius` literal; the coarse cell
+    blocking differs but only prunes a superset). Moment sums replay the
+    engine's canonical id-sorted left fold via list_reduce."""
+    import math
+
+    radius = 30.0
+    r, r2 = repr(radius), repr(radius * radius)
+    folds = ", ".join(
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(arr, v -> {t})), (acc, v) -> acc + v) AS {nm}"
+        for nm, t in LI.NORMALS_FOLD_TERMS)
+    stages, prev = "", "s0"
+    for i, stage in enumerate(LI.NORMALS_STAGES, 1):
+        exprs = ", ".join(f"{e} AS {nm}" for nm, e in stage)
+        stages += f", s{i} AS (SELECT *, {exprs} FROM {prev})"
+        prev = f"s{i}"
+    ctes = (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"b AS (SELECT record_num AS pid, x, y, value AS z, "
+        f"CAST(FLOOR(x / {r}) AS BIGINT) AS cx, "
+        f"CAST(FLOOR(y / {r}) AS BIGINT) AS cy FROM pts), "
+        "offs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+        "(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)), "
+        "pr AS (SELECT a.pid, q.pid AS qid, q.x AS qx, q.y AS qy, q.z AS qz "
+        "FROM b a JOIN offs ON TRUE "
+        "JOIN b q ON q.cx = a.cx + dx AND q.cy = a.cy + dy "
+        "WHERE a.pid <> q.pid AND "
+        f"(a.x - q.x) * (a.x - q.x) + (a.y - q.y) * (a.y - q.y) <= {r2} "
+        "UNION ALL SELECT pid, pid AS qid, x AS qx, y AS qy, z AS qz FROM b), "
+        "grp AS (SELECT pid, list(struct_pack(qid := qid, qx := qx, "
+        "qy := qy, qz := qz) ORDER BY qid) AS arr FROM pr GROUP BY pid), "
+        f"s0 AS (SELECT pid, CAST(len(arr) AS DOUBLE) AS n, {folds} FROM grp)"
+        + stages
+    )
+    normals = (
+        f"{ctes} SELECT pid AS record_num, ROUND(nx, 6) AS nx, "
+        f"ROUND(ny, 6) AS ny, ROUND(nz, 6) AS nz FROM {prev}"
+    )
+    # hillshade projection: same literals as operators/lidar.py
+    # lidar_hillshade(azimuth=315, altitude=30)
+    az = math.radians(315.0 - 90.0)
+    sin_t = math.sin(math.radians(30.0))
+    cos_t = math.cos(math.radians(30.0))
+    fx, fy = "(-nx / nz)", "(-ny / nz)"
+    ts = f"SQRT({fx} * {fx} + {fy} * {fy})"
+    aspect = (f"RADIANS(180.0 - DEGREES(ATAN({fy} / {fx})) "
+              f"+ 90.0 * ({fx} / ABS({fx})))")
+    hs = (f"({ts} / SQRT(1.0 + {ts} * {ts})) "
+          f"* (({sin_t!r} / NULLIF({ts}, 0.0)) "
+          f"- {cos_t!r} * SIN({az!r} - {aspect}))")
+    hillshade = (
+        f"{ctes} SELECT pid AS record_num, "
+        f"CASE WHEN nz = 0.0 THEN CAST(127 AS BIGINT) ELSE "
+        f"CAST(FLOOR(CASE WHEN {fx} = 0.0 THEN 127.5 "
+        f"ELSE GREATEST({hs} * 255.0, 0.0) END) AS BIGINT) END "
+        f"* 256 AS shade FROM {prev}"
+    )
+    return {"lidar_normals": normals, "lidar_hillshade": hillshade}
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -10899,6 +10971,7 @@ def oracle_sql() -> dict[str, str]:
             "y - CAST(50 AS DOUBLE) AS y, "
             "value + CAST(7 AS DOUBLE) AS value FROM pts"
         ),
+        **_lidar_normals_oracles(),
         "single_to_multi_part": (
             f"WITH base AS ({_SHAPES_BASE}), "
             f"rs AS (SELECT shape_id, kind, CASE WHEN kind = 0 THEN {_RECT_DUCK} "

@@ -280,3 +280,15 @@ def test_segmentation_based_filter_scene(spark):
     kept = LI.lidar_segmentation_based_filter(
         df, radius=8.0, norm_diff=5.0, maxzdiff=1.0, classify=False)
     assert kept.count() == sum(1 for p in pts if not p[4])
+
+
+def test_point_normals_degenerate_isolated_point(spark):
+    """An isolated point (cov = 0, p2 = 0) has no preferred plane; the
+    closed-form kernel pins the convention (0, 0, 1)."""
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0, 5.0), (1, 500.0, 500.0, 9.0)],
+        "record_num long, x double, y double, value double")
+    out = {r["record_num"]: (r["nx"], r["ny"], r["nz"])
+           for r in LI.lidar_point_normals(df, radius=2.0).collect()}
+    assert out[0] == (0.0, 0.0, 1.0)
+    assert out[1] == (0.0, 0.0, 1.0)

@@ -413,63 +413,102 @@ def lidar_colourize(points: DataFrame, r: DataFrame, g: DataFrame,
 # ---------------------------------------------------------------------------
 
 
+# Closed-form smallest-eigenpair of the 3x3 neighborhood covariance,
+# staged as dialect-neutral SQL text. The DuckDB oracle replays these
+# exact strings (__spark_entry__._normals_duck_ctes), so every +,-,*,/,
+# SQRT is bit-identical across engines; the only libm calls are ACOS/COS
+# (one each), absorbed by the query's ROUND(6) gate.
+#
+# Method (Eberly, "Eigensystems for 3x3 symmetric matrices"): shift by
+# q = tr(A)/3, scale by p = sqrt(tr((A-qI)^2)/6); the smallest eigenvalue
+# is q + 2p cos(acos(det((A-qI)/p)/2)/3 + 2pi/3); its eigenvector is the
+# largest-norm cross product of two rows of (A - lambda I).
+NORMALS_FOLD_TERMS = [
+    ("sx", "v.qx"), ("sy", "v.qy"), ("sz", "v.qz"),
+    ("sxx", "v.qx * v.qx"), ("sxy", "v.qx * v.qy"), ("sxz", "v.qx * v.qz"),
+    ("syy", "v.qy * v.qy"), ("syz", "v.qy * v.qz"), ("szz", "v.qz * v.qz"),
+]
+NORMALS_STAGES = [
+    [("mx", "(sx / n)"), ("my", "(sy / n)"), ("mz", "(sz / n)")],
+    [("a00", "(sxx / n - mx * mx)"), ("a01", "(sxy / n - mx * my)"),
+     ("a02", "(sxz / n - mx * mz)"), ("a11", "(syy / n - my * my)"),
+     ("a12", "(syz / n - my * mz)"), ("a22", "(szz / n - mz * mz)")],
+    [("q", "((a00 + a11 + a22) / 3.0)"),
+     ("p1", "(a01 * a01 + a02 * a02 + a12 * a12)")],
+    [("b00", "(a00 - q)"), ("b11", "(a11 - q)"), ("b22", "(a22 - q)")],
+    [("p2", "(b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1)")],
+    [("p", "SQRT(p2 / 6.0)")],
+    [("detb", "(b00 * (b11 * b22 - a12 * a12) - a01 * (a01 * b22 - a12 * a02)"
+              " + a02 * (a01 * a12 - b11 * a02))")],
+    [("rr", "(CASE WHEN p = 0.0 THEN 0.0 ELSE "
+            "LEAST(GREATEST(detb / (2.0 * p * p * p), -1.0), 1.0) END)")],
+    # 2.0943951023931953 = 2*pi/3 (same literal in the DuckDB replay)
+    [("lam", "(q + 2.0 * p * COS(ACOS(rr) / 3.0 + 2.0943951023931953))")],
+    [("m00", "(a00 - lam)"), ("m11", "(a11 - lam)"), ("m22", "(a22 - lam)")],
+    # rows of (A - lam I): r0=(m00,a01,a02) r1=(a01,m11,a12) r2=(a02,a12,m22)
+    [("c0x", "(a01 * a12 - a02 * m11)"), ("c0y", "(a02 * a01 - m00 * a12)"),
+     ("c0z", "(m00 * m11 - a01 * a01)"),
+     ("c1x", "(a01 * m22 - a02 * a12)"), ("c1y", "(a02 * a02 - m00 * m22)"),
+     ("c1z", "(m00 * a12 - a01 * a02)"),
+     ("c2x", "(m11 * m22 - a12 * a12)"), ("c2y", "(a12 * a02 - a01 * m22)"),
+     ("c2z", "(a01 * a12 - m11 * a02)")],
+    [("d0", "(c0x * c0x + c0y * c0y + c0z * c0z)"),
+     ("d1", "(c1x * c1x + c1y * c1y + c1z * c1z)"),
+     ("d2", "(c2x * c2x + c2y * c2y + c2z * c2z)")],
+    [("ux", "(CASE WHEN d0 >= d1 AND d0 >= d2 THEN c0x "
+            "WHEN d1 >= d2 THEN c1x ELSE c2x END)"),
+     ("uy", "(CASE WHEN d0 >= d1 AND d0 >= d2 THEN c0y "
+            "WHEN d1 >= d2 THEN c1y ELSE c2y END)"),
+     ("uz", "(CASE WHEN d0 >= d1 AND d0 >= d2 THEN c0z "
+            "WHEN d1 >= d2 THEN c1z ELSE c2z END)"),
+     ("dd", "(CASE WHEN d0 >= d1 AND d0 >= d2 THEN d0 "
+            "WHEN d1 >= d2 THEN d1 ELSE d2 END)")],
+    [("ln", "SQRT(dd)")],
+    # degenerate neighborhoods (isotropic covariance, e.g. an isolated
+    # point with cov = 0) have no preferred plane: emit (0, 0, 1)
+    [("vx", "(CASE WHEN p2 = 0.0 OR ln = 0.0 THEN 0.0 ELSE ux / ln END)"),
+     ("vy", "(CASE WHEN p2 = 0.0 OR ln = 0.0 THEN 0.0 ELSE uy / ln END)"),
+     ("vz", "(CASE WHEN p2 = 0.0 OR ln = 0.0 THEN 1.0 ELSE uz / ln END)")],
+    # orientation: z-positive; on the nz = 0 great circle fall back to
+    # x-positive, then y-positive (fully deterministic sign)
+    [("fl", "(vz < 0.0 OR (vz = 0.0 AND (vx < 0.0 OR "
+            "(vx = 0.0 AND vy < 0.0))))")],
+    [("nx", "(CASE WHEN fl THEN -vx ELSE vx END)"),
+     ("ny", "(CASE WHEN fl THEN -vy ELSE vy END)"),
+     ("nz", "(CASE WHEN fl THEN -vz ELSE vz END)")],
+]
+
+
 def lidar_point_normals(points: DataFrame, radius: float = 2.0,
                         id_col: str = "record_num",
                         z: str = "value") -> DataFrame:
     """NormalVectors (lidar_analysis/normal_vectors.rs semantics):
     per-point unit normal = smallest-eigenvalue eigenvector of the local
     neighborhood's 3x3 covariance (point included), z-positive
-    orientation. One FRS neighbor join -> moment aggregates -> one
-    batched numpy eigh — the same kernel lidar_segmentation grows
-    regions from. Output (id, nx, ny, nz)."""
-    import pandas as pd
-    from pyspark.sql.types import (DoubleType, LongType, StructField,
-                                   StructType)
-
+    orientation. One FRS neighbor join -> per-point neighbor lists in
+    canonical (id-sorted) order -> fold-order moment sums -> the
+    closed-form eigen solve above, all whole-stage codegen (zero Python;
+    group size is radius-bounded, so the collected lists are O(local
+    density), scale-safe). Output (id, nx, ny, nz)."""
     pairs = _neighbor_pairs(points, radius, id_col=id_col, z=z)
-    moments = (
-        pairs.selectExpr("a_id AS pid", "bx AS qx", "by AS qy", "bz AS qz")
+    grouped = (
+        pairs.selectExpr("a_id AS pid", "b_id AS qid",
+                         "bx AS qx", "by AS qy", "bz AS qz")
         .unionByName(
-            points.selectExpr(f"{id_col} AS pid", "x AS qx", "y AS qy",
-                              f"{z} AS qz"))
+            points.selectExpr(f"{id_col} AS pid", f"{id_col} AS qid",
+                              "x AS qx", "y AS qy", f"{z} AS qz"))
         .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum("qx").alias("sx"), F.sum("qy").alias("sy"), F.sum("qz").alias("sz"),
-             F.sum(F.expr("qx * qx")).alias("sxx"), F.sum(F.expr("qx * qy")).alias("sxy"),
-             F.sum(F.expr("qx * qz")).alias("sxz"), F.sum(F.expr("qy * qy")).alias("syy"),
-             F.sum(F.expr("qy * qz")).alias("syz"), F.sum(F.expr("qz * qz")).alias("szz"))
+        .agg(F.expr("SORT_ARRAY(COLLECT_LIST(STRUCT(qid, qx, qy, qz)))")
+             .alias("arr"))
     )
-    nschema = StructType([
-        StructField(id_col, LongType(), False),
-        StructField("nx", DoubleType(), False),
-        StructField("ny", DoubleType(), False),
-        StructField("nz", DoubleType(), False),
-    ])
-
-    def normals(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            n = pdf["n"].to_numpy(dtype=np.float64)
-            mx = pdf["sx"].to_numpy() / n
-            my = pdf["sy"].to_numpy() / n
-            mz = pdf["sz"].to_numpy() / n
-            cov = np.zeros((len(pdf), 3, 3))
-            cov[:, 0, 0] = pdf["sxx"].to_numpy() / n - mx * mx
-            cov[:, 0, 1] = cov[:, 1, 0] = pdf["sxy"].to_numpy() / n - mx * my
-            cov[:, 0, 2] = cov[:, 2, 0] = pdf["sxz"].to_numpy() / n - mx * mz
-            cov[:, 1, 1] = pdf["syy"].to_numpy() / n - my * my
-            cov[:, 1, 2] = cov[:, 2, 1] = pdf["syz"].to_numpy() / n - my * mz
-            cov[:, 2, 2] = pdf["szz"].to_numpy() / n - mz * mz
-            _w, v = np.linalg.eigh(cov)
-            nrm = v[:, :, 0]
-            flip = nrm[:, 2] < 0
-            nrm[flip] = -nrm[flip]
-            yield pd.DataFrame({id_col: pdf["pid"].to_numpy(dtype=np.int64),
-                                "nx": nrm[:, 0], "ny": nrm[:, 1],
-                                "nz": nrm[:, 2]})
-
-    return moments.mapInPandas(normals, schema=nschema)
+    folds = [
+        f"AGGREGATE(arr, CAST(0.0 AS DOUBLE), (acc, v) -> acc + {t}) AS {nm}"
+        for nm, t in NORMALS_FOLD_TERMS
+    ]
+    df = grouped.selectExpr("pid", "CAST(SIZE(arr) AS DOUBLE) AS n", *folds)
+    for stage in NORMALS_STAGES:
+        df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in stage])
+    return df.selectExpr(f"pid AS {id_col}", "nx", "ny", "nz")
 
 
 def classify_buildings(points: DataFrame, footprints: DataFrame,
