@@ -980,7 +980,9 @@ def _q_lidar_histogram(spark, sf):
 
 def _q_lidar_seg_filter(spark, sf):
     """LidarSegmentationBasedFilter: top-hat residual + segmentation
-    closure from residual==0 seeds. Rows-only; scene-level pytest gate
+    closure from residual==0 seeds. Oracle replays the exact MIN/MAX
+    top-hat, the closed-form normals chain over the residual surface,
+    and the component closure; scene-level pytest gate stays
     (tests/test_lidar3.py::test_segmentation_based_filter_scene)."""
     return LI.lidar_segmentation_based_filter(
         _points(spark, sf).where("record_num < 2000"), radius=40.0,
@@ -2640,8 +2642,10 @@ def _q_ground_filter(spark, sf):
 
 
 def _q_lidar_segmentation(spark, sf):
-    """Plane-normal region growing — rows-only (eigen decomposition +
-    label propagation); structure pytest-gated on synthetic planes."""
+    """Plane-normal region growing. Oracle: closed-form normals replay +
+    the exact edge predicate; labels are min-reachable-id components
+    (order-free), replayed as a recursive closure. Structure also
+    pytest-gated on synthetic planes."""
     pts = _points(spark, sf).where("record_num % 20 = 0")
     return LI.lidar_segmentation(pts, radius=40.0, norm_diff=20.0, maxzdiff=80.0)
 
@@ -10633,51 +10637,103 @@ def _r5c_oracles() -> dict[str, str]:
     return ret
 
 
-def _lidar_normals_oracles() -> dict[str, str]:
-    """lidar_normals / lidar_hillshade: full deterministic replay of the
-    closed-form eigen plan (operators/lidar.py NORMALS_STAGES — the
-    DuckDB text below reuses those exact stage strings, so every
-    +,-,*,/ and SQRT is the same IEEE op sequence; the only libm calls
-    are ACOS/COS in the eigenvalue stage and ATAN/SIN in the hillshade
-    projection, absorbed by ROUND(6) / the 255-step shade quantizer).
-    Pair generation mirrors _neighbor_pairs' semantics (exact distance
-    predicate with the same `radius*radius` literal; the coarse cell
-    blocking differs but only prunes a superset). Moment sums replay the
-    engine's canonical id-sorted left fold via list_reduce."""
-    import math
-
-    radius = 30.0
-    r, r2 = repr(radius), repr(radius * radius)
+def _normals_chain_ctes(pts_name: str, radius: float,
+                        pre: str = "") -> tuple[str, str, str]:
+    """CTE fragment replaying operators/lidar.py's closed-form normals
+    over `pts_name`(pid, x, y, z): FRS-equivalent pair generation (exact
+    distance predicate with the engine's `radius*radius` literal; the
+    coarse cell blocking only prunes a superset), canonical id-sorted
+    left folds for the moments (list_reduce mirrors Spark AGGREGATE),
+    then the NORMALS_STAGES strings verbatim. Returns (ctes, pairs_cte,
+    final_cte); `pre` prefixes CTE names so two chains can coexist."""
+    r, r2 = repr(float(radius)), repr(float(radius) * float(radius))
     folds = ", ".join(
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(arr, v -> {t})), (acc, v) -> acc + v) AS {nm}"
         for nm, t in LI.NORMALS_FOLD_TERMS)
-    stages, prev = "", "s0"
+    stages, prev = "", f"{pre}s0"
     for i, stage in enumerate(LI.NORMALS_STAGES, 1):
         exprs = ", ".join(f"{e} AS {nm}" for nm, e in stage)
-        stages += f", s{i} AS (SELECT *, {exprs} FROM {prev})"
-        prev = f"s{i}"
+        stages += f", {pre}s{i} AS (SELECT *, {exprs} FROM {prev})"
+        prev = f"{pre}s{i}"
     ctes = (
-        f"WITH pts AS ({_PTS_SQL}), "
-        f"b AS (SELECT record_num AS pid, x, y, value AS z, "
+        f"{pre}b AS MATERIALIZED (SELECT pid, x, y, z, "
         f"CAST(FLOOR(x / {r}) AS BIGINT) AS cx, "
-        f"CAST(FLOOR(y / {r}) AS BIGINT) AS cy FROM pts), "
-        "offs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
-        "(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)), "
-        "pr AS (SELECT a.pid, q.pid AS qid, q.x AS qx, q.y AS qy, q.z AS qz "
-        "FROM b a JOIN offs ON TRUE "
-        "JOIN b q ON q.cx = a.cx + dx AND q.cy = a.cy + dy "
+        f"CAST(FLOOR(y / {r}) AS BIGINT) AS cy FROM {pts_name}), "
+        f"{pre}offs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),"
+        "(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)), "
+        f"{pre}pn AS MATERIALIZED (SELECT a.pid, a.z AS az, q.pid AS qid, "
+        f"q.x AS qx, q.y AS qy, q.z AS qz "
+        f"FROM {pre}b a JOIN {pre}offs ON TRUE "
+        f"JOIN {pre}b q ON q.cx = a.cx + dx AND q.cy = a.cy + dy "
         "WHERE a.pid <> q.pid AND "
-        f"(a.x - q.x) * (a.x - q.x) + (a.y - q.y) * (a.y - q.y) <= {r2} "
-        "UNION ALL SELECT pid, pid AS qid, x AS qx, y AS qy, z AS qz FROM b), "
-        "grp AS (SELECT pid, list(struct_pack(qid := qid, qx := qx, "
-        "qy := qy, qz := qz) ORDER BY qid) AS arr FROM pr GROUP BY pid), "
-        f"s0 AS (SELECT pid, CAST(len(arr) AS DOUBLE) AS n, {folds} FROM grp)"
-        + stages
+        f"(a.x - q.x) * (a.x - q.x) + (a.y - q.y) * (a.y - q.y) <= {r2}), "
+        f"{pre}pr AS (SELECT pid, qid, qx, qy, qz FROM {pre}pn "
+        f"UNION ALL SELECT pid, pid AS qid, x AS qx, y AS qy, z AS qz "
+        f"FROM {pre}b), "
+        f"{pre}grp AS (SELECT pid, list(struct_pack(qid := qid, qx := qx, "
+        "qy := qy, qz := qz) ORDER BY qid) AS arr "
+        f"FROM {pre}pr GROUP BY pid), "
+        f"{pre}s0 AS (SELECT pid, CAST(len(arr) AS DOUBLE) AS n, {folds} "
+        f"FROM {pre}grp)" + stages
     )
+    return ctes, f"{pre}pn", prev
+
+
+def _segmentation_ctes(pts_name: str, radius: float, norm_diff: float,
+                       maxzdiff: float, pre: str = "") -> tuple[str, str]:
+    """CTE fragment replaying lidar_segmentation over `pts_name`
+    (pid, x, y, z): the closed-form normals chain, the engine's exact
+    edge predicate (same maxzdiff / cos(norm_diff) literals), and the
+    min-reachable-id component labels — order-free, so a recursive
+    transitive closure replaces the engine's frontier propagation
+    (which converges to the same fixpoint). Returns (ctes, final_cte)
+    where final has (pid, segment_id). Must be used under a
+    WITH RECURSIVE header."""
+    import math
+
+    cos_t = repr(math.cos(math.radians(norm_diff)))
+    chain, pairs, nrm = _normals_chain_ctes(pts_name, radius, pre=pre)
+    ctes = (
+        chain + ", "
+        f"{pre}e AS MATERIALIZED (SELECT p.pid AS a_id, p.qid AS b_id "
+        f"FROM {pairs} p JOIN {nrm} a ON a.pid = p.pid "
+        f"JOIN {nrm} b ON b.pid = p.qid "
+        f"WHERE ABS(p.az - p.qz) <= {repr(float(maxzdiff))} AND "
+        f"ABS(a.nx * b.nx + a.ny * b.ny + a.nz * b.nz) >= {cos_t}), "
+        f"{pre}tc(p, q) AS (SELECT pid AS p, pid AS q FROM {pts_name} "
+        f"UNION SELECT {pre}tc.p, e.b_id AS q FROM {pre}tc "
+        f"JOIN {pre}e e ON e.a_id = {pre}tc.q), "
+        f"{pre}lbl AS (SELECT p AS pid, MIN(q) AS lbl FROM {pre}tc "
+        "GROUP BY p), "
+        f"{pre}seg AS (SELECT pid, CAST(DENSE_RANK() OVER (ORDER BY lbl) "
+        f"AS BIGINT) AS segment_id FROM {pre}lbl)"
+    )
+    return ctes, f"{pre}seg"
+
+
+def _lidar_normals_oracles() -> dict[str, str]:
+    """lidar_normals / lidar_hillshade / lidar_segmentation /
+    lidar_seg_filter: full deterministic replays of the closed-form
+    eigen plan (operators/lidar.py NORMALS_STAGES — the DuckDB text
+    reuses those exact stage strings, so every +,-,*,/ and SQRT is the
+    same IEEE op sequence; the only libm calls are ACOS/COS in the
+    eigenvalue stage, ATAN/SIN in the hillshade projection, and the
+    cos(norm_diff) literals both engines interpolate from Python,
+    absorbed by ROUND(6) / the shade quantizer / the edge-threshold
+    margin). Segmentation labels are min-reachable-id components —
+    order-free, replayed as a recursive closure instead of the engine's
+    frontier rounds."""
+    import math
+
+    radius = 30.0
+    base = (f"pts0 AS ({_PTS_SQL}), pts AS (SELECT record_num AS pid, "
+            "x, y, value AS z FROM pts0)")
+    chain, _pairs, prev = _normals_chain_ctes("pts", radius)
     normals = (
-        f"{ctes} SELECT pid AS record_num, ROUND(nx, 6) AS nx, "
-        f"ROUND(ny, 6) AS ny, ROUND(nz, 6) AS nz FROM {prev}"
+        f"WITH {base}, {chain} SELECT pid AS record_num, "
+        f"ROUND(nx, 6) AS nx, ROUND(ny, 6) AS ny, ROUND(nz, 6) AS nz "
+        f"FROM {prev}"
     )
     # hillshade projection: same literals as operators/lidar.py
     # lidar_hillshade(azimuth=315, altitude=30)
@@ -10692,13 +10748,62 @@ def _lidar_normals_oracles() -> dict[str, str]:
           f"* (({sin_t!r} / NULLIF({ts}, 0.0)) "
           f"- {cos_t!r} * SIN({az!r} - {aspect}))")
     hillshade = (
-        f"{ctes} SELECT pid AS record_num, "
+        f"WITH {base}, {chain} SELECT pid AS record_num, "
         f"CASE WHEN nz = 0.0 THEN CAST(127 AS BIGINT) ELSE "
         f"CAST(FLOOR(CASE WHEN {fx} = 0.0 THEN 127.5 "
         f"ELSE GREATEST({hs} * 255.0, 0.0) END) AS BIGINT) END "
         f"* 256 AS shade FROM {prev}"
     )
-    return {"lidar_normals": normals, "lidar_hillshade": hillshade}
+    # lidar_segmentation: 500-point subset, radius 40, norm_diff 20,
+    # maxzdiff 80 (the registry query's literals)
+    seg_base = (f"pts0 AS ({_PTS_SQL}), pts AS (SELECT record_num AS pid, "
+                "x, y, value AS z FROM pts0 WHERE record_num % 20 = 0)")
+    seg_ctes, seg_final = _segmentation_ctes("pts", 40.0, 20.0, 80.0)
+    segmentation = (
+        f"WITH RECURSIVE {seg_base}, {seg_ctes} "
+        f"SELECT pid AS record_num, segment_id FROM {seg_final}"
+    )
+    # lidar_seg_filter: white-top-hat residual (exact MIN/MAX over the
+    # 2r disc, mirrored from lidar_segmentation_based_filter) + the
+    # segmentation closure over (x, y, residual); ground = components
+    # containing a residual == 0.0 seed (exact float equality — both
+    # engines compute z - max(min(z)) over identical sets)
+    th_r = 80.0  # 2 * radius(40)
+    thr, thr2 = repr(th_r), repr(th_r * th_r)
+    filt = (
+        "WITH RECURSIVE "
+        f"pts0 AS ({_PTS_SQL}), "
+        "ptsf AS (SELECT record_num AS pid, x, y, value AS z FROM pts0 "
+        "WHERE record_num < 2000), "
+        f"hb AS MATERIALIZED (SELECT pid, x, y, z, "
+        f"CAST(FLOOR(x / {thr}) AS BIGINT) AS cx, "
+        f"CAST(FLOOR(y / {thr}) AS BIGINT) AS cy FROM ptsf), "
+        "hoffs AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),"
+        "(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)), "
+        "hpr AS MATERIALIZED (SELECT a.pid, q.pid AS qid, q.z AS qz "
+        "FROM hb a JOIN hoffs ON TRUE "
+        "JOIN hb q ON q.cx = a.cx + dx AND q.cy = a.cy + dy "
+        "WHERE a.pid <> q.pid AND "
+        f"(a.x - q.x) * (a.x - q.x) + (a.y - q.y) * (a.y - q.y) <= {thr2}), "
+        "nmin AS MATERIALIZED (SELECT pid, MIN(v) AS nmin FROM "
+        "(SELECT pid, qz AS v FROM hpr "
+        "UNION ALL SELECT pid, z AS v FROM ptsf) GROUP BY pid), "
+        "dil AS MATERIALIZED (SELECT pid, MAX(v) AS dil FROM "
+        "(SELECT p.pid, m.nmin AS v FROM hpr p JOIN nmin m ON m.pid = p.qid "
+        "UNION ALL SELECT pid, nmin AS v FROM nmin) GROUP BY pid), "
+        "rpts AS MATERIALIZED (SELECT p.pid, p.x, p.y, p.z - d.dil AS z "
+        "FROM ptsf p JOIN dil d ON d.pid = p.pid), "
+        + _segmentation_ctes("rpts", 40.0, 10.0, 5.0, pre="g")[0] + ", "
+        "ground AS (SELECT DISTINCT s.segment_id FROM gseg s "
+        "JOIN rpts r ON r.pid = s.pid WHERE r.z = 0.0) "
+        "SELECT p.pid AS record_num, "
+        "CAST(CASE WHEN g.segment_id IS NOT NULL THEN 2 ELSE 1 END AS INT) "
+        "AS classification "
+        "FROM ptsf p JOIN gseg s ON s.pid = p.pid "
+        "LEFT JOIN ground g ON g.segment_id = s.segment_id"
+    )
+    return {"lidar_normals": normals, "lidar_hillshade": hillshade,
+            "lidar_segmentation": segmentation, "lidar_seg_filter": filt}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -230,60 +230,11 @@ def lidar_segmentation(points: DataFrame, radius: float = 2.0,
 
     pairs = _neighbor_pairs(points, radius, id_col=id_col, z=z) \
         .localCheckpoint(eager=True)
-    # local plane normal per point: smallest eigenvector of the 3x3
-    # covariance of its neighborhood (point included), computed per
-    # point from moment aggregates in one numpy batch
-    moments = (
-        pairs.selectExpr("a_id AS pid", "bx AS qx", "by AS qy", "bz AS qz")
-        .unionByName(
-            points.selectExpr(f"{id_col} AS pid", "x AS qx", "y AS qy",
-                              f"{z} AS qz"))
-        .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum("qx").alias("sx"), F.sum("qy").alias("sy"), F.sum("qz").alias("sz"),
-             F.sum(F.expr("qx * qx")).alias("sxx"), F.sum(F.expr("qx * qy")).alias("sxy"),
-             F.sum(F.expr("qx * qz")).alias("sxz"), F.sum(F.expr("qy * qy")).alias("syy"),
-             F.sum(F.expr("qy * qz")).alias("syz"), F.sum(F.expr("qz * qz")).alias("szz"))
-    )
-
-    import pandas as pd
-    from pyspark.sql.types import (DoubleType, LongType, StructField,
-                                   StructType)
-
-    nschema = StructType([
-        StructField("pid", LongType(), False),
-        StructField("nx", DoubleType(), False),
-        StructField("ny", DoubleType(), False),
-        StructField("nz", DoubleType(), False),
-    ])
-
-    def normals(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            n = pdf["n"].to_numpy(dtype=np.float64)
-            mx = pdf["sx"].to_numpy() / n
-            my = pdf["sy"].to_numpy() / n
-            mz = pdf["sz"].to_numpy() / n
-            cxx = pdf["sxx"].to_numpy() / n - mx * mx
-            cxy = pdf["sxy"].to_numpy() / n - mx * my
-            cxz = pdf["sxz"].to_numpy() / n - mx * mz
-            cyy = pdf["syy"].to_numpy() / n - my * my
-            cyz = pdf["syz"].to_numpy() / n - my * mz
-            czz = pdf["szz"].to_numpy() / n - mz * mz
-            m = len(pdf)
-            cov = np.zeros((m, 3, 3))
-            cov[:, 0, 0] = cxx; cov[:, 0, 1] = cxy; cov[:, 0, 2] = cxz
-            cov[:, 1, 0] = cxy; cov[:, 1, 1] = cyy; cov[:, 1, 2] = cyz
-            cov[:, 2, 0] = cxz; cov[:, 2, 1] = cyz; cov[:, 2, 2] = czz
-            _w, v = np.linalg.eigh(cov)
-            nrm = v[:, :, 0]  # smallest-eigenvalue eigenvector
-            flip = nrm[:, 2] < 0
-            nrm[flip] = -nrm[flip]
-            yield pd.DataFrame({"pid": pdf["pid"].to_numpy(dtype=np.int64),
-                                "nx": nrm[:, 0], "ny": nrm[:, 1], "nz": nrm[:, 2]})
-
-    nrm = moments.mapInPandas(normals, schema=nschema).localCheckpoint(eager=True)
+    # local plane normal per point: the shared closed-form eigen solve
+    # (NORMALS_STAGES) over this same pair frame — deterministic and
+    # DuckDB-replayable, which is what upgrades this op's oracle
+    nrm = _normals_from_pairs(points, pairs, id_col=id_col, z=z) \
+        .localCheckpoint(eager=True)
     cos_t = math.cos(math.radians(norm_diff))
     e = (
         pairs.select("a_id", "b_id", "az", "bz")
@@ -479,18 +430,13 @@ NORMALS_STAGES = [
 ]
 
 
-def lidar_point_normals(points: DataFrame, radius: float = 2.0,
+def _normals_from_pairs(points: DataFrame, pairs: DataFrame,
                         id_col: str = "record_num",
                         z: str = "value") -> DataFrame:
-    """NormalVectors (lidar_analysis/normal_vectors.rs semantics):
-    per-point unit normal = smallest-eigenvalue eigenvector of the local
-    neighborhood's 3x3 covariance (point included), z-positive
-    orientation. One FRS neighbor join -> per-point neighbor lists in
-    canonical (id-sorted) order -> fold-order moment sums -> the
-    closed-form eigen solve above, all whole-stage codegen (zero Python;
-    group size is radius-bounded, so the collected lists are O(local
-    density), scale-safe). Output (id, nx, ny, nz)."""
-    pairs = _neighbor_pairs(points, radius, id_col=id_col, z=z)
+    """(pid, nx, ny, nz) from a prebuilt `_neighbor_pairs` frame: the
+    point itself joins its neighbor list, the list is put in canonical
+    (id-sorted) order, moments are fold-order sums, and NORMALS_STAGES
+    runs the closed-form eigen solve — all whole-stage codegen."""
     grouped = (
         pairs.selectExpr("a_id AS pid", "b_id AS qid",
                          "bx AS qx", "by AS qy", "bz AS qz")
@@ -508,7 +454,23 @@ def lidar_point_normals(points: DataFrame, radius: float = 2.0,
     df = grouped.selectExpr("pid", "CAST(SIZE(arr) AS DOUBLE) AS n", *folds)
     for stage in NORMALS_STAGES:
         df = df.selectExpr("*", *[f"{e} AS {nm}" for nm, e in stage])
-    return df.selectExpr(f"pid AS {id_col}", "nx", "ny", "nz")
+    return df.select("pid", "nx", "ny", "nz")
+
+
+def lidar_point_normals(points: DataFrame, radius: float = 2.0,
+                        id_col: str = "record_num",
+                        z: str = "value") -> DataFrame:
+    """NormalVectors (lidar_analysis/normal_vectors.rs semantics):
+    per-point unit normal = smallest-eigenvalue eigenvector of the local
+    neighborhood's 3x3 covariance (point included), z-positive
+    orientation. One FRS neighbor join -> per-point neighbor lists in
+    canonical (id-sorted) order -> fold-order moment sums -> the
+    closed-form eigen solve above, all whole-stage codegen (zero Python;
+    group size is radius-bounded, so the collected lists are O(local
+    density), scale-safe). Output (id, nx, ny, nz)."""
+    pairs = _neighbor_pairs(points, radius, id_col=id_col, z=z)
+    return _normals_from_pairs(points, pairs, id_col=id_col, z=z) \
+        .withColumnRenamed("pid", id_col)
 
 
 def classify_buildings(points: DataFrame, footprints: DataFrame,
