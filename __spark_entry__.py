@@ -1364,7 +1364,8 @@ def _q_classify_subset(spark, sf):
 
 def _q_rooftop(spark, sf):
     """LidarRooftopAnalysis: PIP building classify + plane-facet
-    segmentation. Rows-only (region growing); pytest gates facets."""
+    segmentation. Oracle: per-polygon PIP verdicts + the segmentation
+    closure replay; pytest gates facets."""
     pts = _points(spark, sf).where("record_num % 7 = 0")
     return LI.lidar_rooftop_analysis(pts, _polygons_df(spark), radius=40.0)
 
@@ -2651,8 +2652,10 @@ def _q_lidar_segmentation(spark, sf):
 
 
 def _q_ransac_planes(spark, sf):
-    """Seeded RANSAC planes per FRS cell — rows-only, deterministic
-    (seeded from cell id); pytest-gated."""
+    """Seeded RANSAC planes per FRS cell. Oracle: full replay — the
+    MD5(seed:iter:pid) sample permutation, closed-form plane fits,
+    exact inlier counts, earliest-best-iteration rule. Also
+    pytest-gated on a planar scene."""
     pts = _points(spark, sf).where("record_num % 10 = 0")
     return LI.lidar_ransac_planes(pts, radius=100.0, num_iter=20, num_samples=5,
                                   threshold=30.0, model_size=8)
@@ -10637,6 +10640,29 @@ def _r5c_oracles() -> dict[str, str]:
     return ret
 
 
+def _eigen_stage_ctes(from_cte: str, key_cols: str,
+                      pre: str = "") -> tuple[str, str]:
+    """CTE fragment running the NORMALS_STAGES closed-form eigen solve
+    over `from_cte`(key_cols..., arr) where arr is the canonical
+    id-sorted (qid, qx, qy, qz) list: fold-order moment sums
+    (list_reduce mirrors Spark AGGREGATE) then the stage strings
+    verbatim. Returns (ctes, final_cte)."""
+    folds = ", ".join(
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(arr, v -> {t})), (acc, v) -> acc + v) AS {nm}"
+        for nm, t in LI.NORMALS_FOLD_TERMS)
+    stages, prev = "", f"{pre}s0"
+    for i, stage in enumerate(LI.NORMALS_STAGES, 1):
+        exprs = ", ".join(f"{e} AS {nm}" for nm, e in stage)
+        stages += f", {pre}s{i} AS (SELECT *, {exprs} FROM {prev})"
+        prev = f"{pre}s{i}"
+    ctes = (
+        f"{pre}s0 AS (SELECT {key_cols}, CAST(len(arr) AS DOUBLE) AS n, "
+        f"{folds} FROM {from_cte})" + stages
+    )
+    return ctes, prev
+
+
 def _normals_chain_ctes(pts_name: str, radius: float,
                         pre: str = "") -> tuple[str, str, str]:
     """CTE fragment replaying operators/lidar.py's closed-form normals
@@ -10647,15 +10673,7 @@ def _normals_chain_ctes(pts_name: str, radius: float,
     then the NORMALS_STAGES strings verbatim. Returns (ctes, pairs_cte,
     final_cte); `pre` prefixes CTE names so two chains can coexist."""
     r, r2 = repr(float(radius)), repr(float(radius) * float(radius))
-    folds = ", ".join(
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(arr, v -> {t})), (acc, v) -> acc + v) AS {nm}"
-        for nm, t in LI.NORMALS_FOLD_TERMS)
-    stages, prev = "", f"{pre}s0"
-    for i, stage in enumerate(LI.NORMALS_STAGES, 1):
-        exprs = ", ".join(f"{e} AS {nm}" for nm, e in stage)
-        stages += f", {pre}s{i} AS (SELECT *, {exprs} FROM {prev})"
-        prev = f"{pre}s{i}"
+    stage_ctes, prev = _eigen_stage_ctes(f"{pre}grp", "pid", pre=pre)
     ctes = (
         f"{pre}b AS MATERIALIZED (SELECT pid, x, y, z, "
         f"CAST(FLOOR(x / {r}) AS BIGINT) AS cx, "
@@ -10674,8 +10692,7 @@ def _normals_chain_ctes(pts_name: str, radius: float,
         f"{pre}grp AS (SELECT pid, list(struct_pack(qid := qid, qx := qx, "
         "qy := qy, qz := qz) ORDER BY qid) AS arr "
         f"FROM {pre}pr GROUP BY pid), "
-        f"{pre}s0 AS (SELECT pid, CAST(len(arr) AS DOUBLE) AS n, {folds} "
-        f"FROM {pre}grp)" + stages
+        + stage_ctes
     )
     return ctes, f"{pre}pn", prev
 
@@ -10802,8 +10819,67 @@ def _lidar_normals_oracles() -> dict[str, str]:
         "FROM ptsf p JOIN gseg s ON s.pid = p.pid "
         "LEFT JOIN ground g ON g.segment_id = s.segment_id"
     )
+    # ransac_planes: hash-permutation sampling (MD5(seed:it:pid) is the
+    # same digest both engines), closed-form plane fit per (cell, iter),
+    # exact integer inlier counts, earliest-best-iteration tie rule —
+    # the registry query's literals (radius 100, 20 iters, 5 samples,
+    # threshold 30, model_size 8, seed 42, record_num % 10 = 0)
+    d_ok_m = ("ABS((b.px - m.mx) * m.nx + (b.py - m.my) * m.ny + "
+              "(b.pz - m.mz) * m.nz) <= 30.0")
+    r_stage, r_final = _eigen_stage_ctes("rgrp", "cx, cy, it", pre="r")
+    ransac = (
+        f"WITH pts0 AS ({_PTS_SQL}), "
+        "ptsr AS (SELECT record_num AS pid, x AS px, y AS py, "
+        "value AS pz FROM pts0 WHERE record_num % 10 = 0), "
+        f"rbase AS MATERIALIZED (SELECT pid, px, py, pz, "
+        f"{frs_cell_expr('px', 100.0)} AS cx, "
+        f"{frs_cell_expr('py', 100.0)} AS cy FROM ptsr), "
+        "rits AS (SELECT range AS it FROM range(0, 20)), "
+        "rrk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cx, cy, it "
+        "ORDER BY MD5(CONCAT('42', ':', CAST(it AS STRING), ':', "
+        "CAST(pid AS STRING)))) AS rk FROM rbase, rits), "
+        "rgrp AS (SELECT cx, cy, it, list(struct_pack(qid := pid, "
+        "qx := px, qy := py, qz := pz) ORDER BY pid) AS arr "
+        "FROM rrk WHERE rk <= 5 GROUP BY cx, cy, it "
+        "HAVING COUNT(*) >= 5), "
+        + r_stage + ", "
+        f"rmodels AS MATERIALIZED (SELECT cx, cy, it, mx, my, mz, "
+        f"nx, ny, nz FROM {r_final}), "
+        "rscored AS (SELECT m.cx, m.cy, m.it, m.mx, m.my, m.mz, "
+        "m.nx, m.ny, m.nz, "
+        f"SUM(CASE WHEN {d_ok_m} THEN 1 ELSE 0 END) AS cnt "
+        "FROM rbase b JOIN rmodels m ON m.cx = b.cx AND m.cy = b.cy "
+        "GROUP BY m.cx, m.cy, m.it, m.mx, m.my, m.mz, m.nx, m.ny, m.nz "
+        "HAVING SUM(CASE WHEN " + d_ok_m + " THEN 1 ELSE 0 END) >= 8), "
+        "rbest AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY cx, cy ORDER BY cnt DESC, it) AS brk FROM rscored) "
+        "WHERE brk = 1) "
+        "SELECT b.pid AS record_num, b.cx * 1000003 + b.cy AS plane_id, "
+        f"CASE WHEN m.nx IS NOT NULL AND {d_ok_m} THEN TRUE ELSE FALSE END "
+        "AS is_planar "
+        "FROM rbase b LEFT JOIN rbest m ON m.cx = b.cx AND m.cy = b.cy"
+    )
+    # rooftop: PIP building tag (the pip_tag per-polygon verdicts) +
+    # the segmentation chain over tagged points (radius 40, norm_diff
+    # 10, maxzdiff 1 — lidar_rooftop_analysis defaults)
+    from whitebox_tools_spark.functions import geometry_sql as GS
+    tag_selects = " UNION ALL ".join(
+        f"SELECT record_num, x, y, value, CAST({pid} AS BIGINT) AS "
+        f"polygon_id FROM ptsk WHERE {GS.inside_feature_sql(sh, ho)}"
+        for pid, sh, ho in _POLYS)
+    rf_ctes, rf_final = _segmentation_ctes("rfp", 40.0, 10.0, 1.0, pre="f")
+    rooftop = (
+        f"WITH RECURSIVE pts0 AS ({_PTS_SQL}), "
+        "ptsk AS (SELECT * FROM pts0 WHERE record_num % 7 = 0), "
+        f"tagged AS MATERIALIZED ({tag_selects}), "
+        "rfp AS (SELECT record_num AS pid, x, y, value AS z FROM tagged), "
+        + rf_ctes + " "
+        "SELECT t.record_num, t.polygon_id, s.segment_id AS facet_id "
+        f"FROM tagged t JOIN {rf_final} s ON s.pid = t.record_num"
+    )
     return {"lidar_normals": normals, "lidar_hillshade": hillshade,
-            "lidar_segmentation": segmentation, "lidar_seg_filter": filt}
+            "lidar_segmentation": segmentation, "lidar_seg_filter": filt,
+            "ransac_planes": ransac, "rooftop": rooftop}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -287,53 +287,78 @@ def lidar_ransac_planes(points: DataFrame, radius: float = 10.0,
                         id_col: str = "record_num", z: str = "value",
                         seed: int = 42) -> DataFrame:
     """RANSAC plane detection per FRS neighborhood cell
-    (lidar_ransac_planes.rs semantics): within each cell, repeatedly fit
+    (lidar_ransac_planes.rs semantics): within each cell, fit
     least-squares planes to seeded random samples, keep the model with
-    the most inliers (|orthogonal residual| <= threshold); points of an
-    accepted model (>= model_size inliers) are flagged is_planar with
-    the cell's plane id. Deterministic: the RNG seeds from (seed, cell
-    id), so results are reproducible on any cluster layout."""
-    import pandas as pd
-    from pyspark.sql.types import (BooleanType, LongType, StructField,
-                                   StructType)
+    the most inliers (|orthogonal residual| <= threshold, strictly-more
+    wins so the earliest best iteration is kept); points of an accepted
+    model (>= model_size inliers) are flagged is_planar with the cell's
+    plane id.
+
+    Sampling is a seeded hash permutation: iteration i draws the
+    num_samples cell points with the smallest MD5(seed:i:pid) digests —
+    layout-independent (the reference's thread RNG is only
+    distributionally reproducible; this plan is bitwise reproducible on
+    any cluster layout AND replayable by the DuckDB oracle). The plane
+    fit is the shared closed-form smallest-eigenvector solve
+    (NORMALS_STAGES) over the sample covariance — the same
+    least-squares orthogonal plane the reference's SVD computes. Whole
+    plan is codegen SQL; the per-(cell, iteration) windows are small by
+    construction (cell population x num_iter rows)."""
+    from pyspark.sql import Window
 
     base = with_frs_cells(
-        points.selectExpr(f"{id_col} AS pid", "x AS px", "y AS py", f"{z} AS pz"),
+        points.selectExpr(f"{id_col} AS pid", "x AS px", "y AS py",
+                          f"{z} AS pz"),
         radius, x="px", y="py")
-    schema = StructType([
-        StructField("pid", LongType(), False),
-        StructField("plane_id", LongType(), False),
-        StructField("is_planar", BooleanType(), False),
-    ])
-
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cx, cy = int(key[0]), int(key[1])
-        pts = pdf[["px", "py", "pz"]].to_numpy(dtype=np.float64)
-        pid = pdf["pid"].to_numpy(dtype=np.int64)
-        n = len(pts)
-        best_inliers = None
-        if n >= num_samples:
-            rng = np.random.RandomState((seed * 1_000_003 + cx * 7919 + cy * 104729)
-                                        % (2 ** 31 - 1))
-            for _ in range(num_iter):
-                idx = rng.choice(n, size=num_samples, replace=False)
-                sample = pts[idx]
-                ctr = sample.mean(axis=0)
-                _u, _s, vt = np.linalg.svd(sample - ctr, full_matrices=False)
-                nrm = vt[-1]
-                d = np.abs((pts - ctr) @ nrm)
-                inl = d <= threshold
-                if inl.sum() >= model_size and (
-                        best_inliers is None or inl.sum() > best_inliers.sum()):
-                    best_inliers = inl
-        plane_id = cx * 1_000_003 + cy
-        flag = best_inliers if best_inliers is not None else np.zeros(n, dtype=bool)
-        return pd.DataFrame({"pid": pid,
-                             "plane_id": np.full(n, plane_id, dtype=np.int64),
-                             "is_planar": flag})
-
-    return base.groupBy("cx", "cy").applyInPandas(kernel, schema=schema) \
-               .withColumnRenamed("pid", id_col)
+    its = points.sparkSession.range(int(num_iter)).selectExpr("id AS it")
+    hexpr = (f"MD5(CONCAT('{int(seed)}', ':', CAST(it AS STRING), ':', "
+             f"CAST(pid AS STRING)))")
+    ranked = (
+        base.join(F.broadcast(its))
+        .withColumn("__h", F.expr(hexpr))
+        .withColumn("__rk", F.row_number().over(
+            Window.partitionBy("cx", "cy", "it").orderBy("__h")))
+    )
+    grouped = (
+        ranked.where(f"__rk <= {int(num_samples)}")
+        .groupBy("cx", "cy", "it")
+        .agg(F.expr("SORT_ARRAY(COLLECT_LIST(STRUCT(pid AS qid, px AS qx, "
+                    "py AS qy, pz AS qz)))").alias("arr"))
+        .where(f"SIZE(arr) >= {int(num_samples)}")
+    )
+    folds = [
+        f"AGGREGATE(arr, CAST(0.0 AS DOUBLE), (acc, v) -> acc + {t}) AS {nm}"
+        for nm, t in NORMALS_FOLD_TERMS
+    ]
+    m = grouped.selectExpr("cx", "cy", "it",
+                           "CAST(SIZE(arr) AS DOUBLE) AS n", *folds)
+    for stage in NORMALS_STAGES:
+        m = m.selectExpr("*", *[f"{e} AS {nm}" for nm, e in stage])
+    models = m.select("cx", "cy", "it", "mx", "my", "mz", "nx", "ny", "nz")
+    d_ok = (f"ABS((px - mx) * nx + (py - my) * ny + (pz - mz) * nz) "
+            f"<= {float(threshold)!r}")
+    scored = (
+        base.join(models, ["cx", "cy"])
+        .groupBy("cx", "cy", "it", "mx", "my", "mz", "nx", "ny", "nz")
+        .agg(F.expr(f"SUM(CASE WHEN {d_ok} THEN 1 ELSE 0 END)").alias("cnt"))
+        .where(f"cnt >= {int(model_size)}")
+    )
+    best = (
+        scored.withColumn("__brk", F.row_number().over(
+            Window.partitionBy("cx", "cy")
+            .orderBy(F.col("cnt").desc(), F.col("it"))))
+        .where("__brk = 1")
+        .select("cx", "cy", "mx", "my", "mz", "nx", "ny", "nz")
+    )
+    return (
+        base.join(best, ["cx", "cy"], "left")
+        .selectExpr(
+            f"pid AS {id_col}",
+            "cx * 1000003L + cy AS plane_id",
+            f"CASE WHEN nx IS NOT NULL AND {d_ok} THEN TRUE ELSE FALSE END "
+            "AS is_planar",
+        )
+    )
 
 
 def lidar_colourize(points: DataFrame, r: DataFrame, g: DataFrame,
@@ -365,8 +390,8 @@ def lidar_colourize(points: DataFrame, r: DataFrame, g: DataFrame,
 
 
 # Closed-form smallest-eigenpair of the 3x3 neighborhood covariance,
-# staged as dialect-neutral SQL text. The DuckDB oracle replays these
-# exact strings (__spark_entry__._normals_duck_ctes), so every +,-,*,/,
+# staged as dialect-neutral SQL text. The DuckDB oracles replay these
+# exact strings (__spark_entry__._eigen_stage_ctes), so every +,-,*,/,
 # SQRT is bit-identical across engines; the only libm calls are ACOS/COS
 # (one each), absorbed by the query's ROUND(6) gate.
 #
