@@ -3271,8 +3271,10 @@ def _q_simhash64_pairs(spark, sf):
 
 
 def _q_ann_ivf(spark, sf):
-    """IVF bucketed ANN — approximate by design (recall pytest-gated
-    >= 0.9 vs the exact oracle on this fixture); rows-only check."""
+    """IVF bucketed ANN — only RECALL is approximate (pytest-gated
+    >= 0.9 vs exact); the plan itself is deterministic: MD5-permuted
+    Lloyd training + fold-order kernels, fully replayed by the DuckDB
+    oracle (five unrolled Lloyd rounds)."""
     emb = _emb(spark, sf)
     q = emb.where("vec_id % 10 = 0")
     return S.ann_topk_ivf(q, emb, k=10, num_centroids=16, n_probe=12)
@@ -10595,6 +10597,81 @@ def _r5c_oracles() -> dict[str, str]:
         f"FROM r WHERE sim_rank <= 10"
     )
 
+    # ---- ann_ivf: the coarse quantizer is now a deterministic function
+    # (similarity._coarse_centroids): MD5(seed:id)-permuted sample, a
+    # second MD5(seed+1:id) permutation for the initial centroids, and
+    # five Lloyd rounds in strict-element-order folds (_fold_dots /
+    # _fold_norms, sample-order member means, first-max assignment).
+    # Replay: the same permutations, five unrolled rounds of
+    # (assign -> elementwise member fold -> normalize), then the
+    # n_probe=1 target / n_probe=12 query assignments and the fold
+    # cosine top-k. Registered query: 16 centroids, probe 12, k 10,
+    # seed 42, queries vec_id % 10 = 0.
+    nfold = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+             "list_transform({v}, x -> x * x)), (a, b) -> a + b))")
+    dfold = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+             "list_transform(range(1, 65), j -> {a}[j] * {b}[j])), "
+             "(a, b) -> a + b)")
+    ivf_parts = [
+        "e64 AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ev "
+        "FROM embeddings)",
+        "nall AS MATERIALIZED (SELECT vec_id, list_transform(ev, "
+        f"x -> x / GREATEST({nfold.format(v='ev')}, 1e-12)) AS nv FROM e64)",
+        # sample rank (n_sample = 16*64 = 1024 >= corpus, so all rows)
+        "smp AS MATERIALIZED (SELECT vec_id, nv, ROW_NUMBER() OVER "
+        "(ORDER BY MD5(CONCAT('42', ':', CAST(vec_id AS STRING)))) AS srk "
+        "FROM nall)",
+        "c0 AS MATERIALIZED (SELECT c, nv AS cv FROM (SELECT "
+        "ROW_NUMBER() OVER (ORDER BY MD5(CONCAT('43', ':', "
+        "CAST(vec_id AS STRING)))) - 1 AS c, nv FROM smp) WHERE c < 16)",
+    ]
+    for i in range(1, 6):
+        d = dfold.format(a="n.nv", b="c.cv")
+        ivf_parts.append(
+            f"asg{i} AS (SELECT srk, nv, c FROM (SELECT n.srk, n.nv, c.c, "
+            f"ROW_NUMBER() OVER (PARTITION BY n.srk ORDER BY ({d}) DESC, "
+            f"c.c) AS rk FROM smp n, c{i-1} c) WHERE rk = 1)",
+        )
+        ivf_parts.append(
+            f"up{i} AS (SELECT c, list_transform(vm, x -> x / "
+            f"GREATEST({nfold.format(v='vm')}, 1e-12)) AS cv FROM ("
+            f"SELECT c, list_transform(list_reduce(list_prepend("
+            "list_transform(range(1, 65), j -> CAST(0.0 AS DOUBLE)), "
+            "list(nv ORDER BY srk)), (a, v) -> list_transform(a, "
+            "(x, j) -> x + v[j])), x -> x / CAST(COUNT(*) AS DOUBLE)) AS vm "
+            f"FROM asg{i} GROUP BY c))",
+        )
+        ivf_parts.append(
+            f"c{i} AS MATERIALIZED (SELECT p.c, COALESCE(u.cv, p.cv) AS cv "
+            f"FROM c{i-1} p LEFT JOIN up{i} u ON u.c = p.c)",
+        )
+    da = dfold.format(a="n.nv", b="c.cv")
+    ivf_parts += [
+        "tasg AS MATERIALIZED (SELECT vec_id AS target_id, c FROM (SELECT "
+        f"n.vec_id, c.c, ROW_NUMBER() OVER (PARTITION BY n.vec_id "
+        f"ORDER BY ({da}) DESC, c.c) AS rk FROM nall n, c5 c) WHERE rk = 1)",
+        "qasg AS (SELECT vec_id AS query_id, c FROM (SELECT n.vec_id, c.c, "
+        f"ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY ({da}) DESC, "
+        f"c.c) AS rk FROM nall n, c5 c WHERE n.vec_id % 10 = 0) "
+        "WHERE rk <= 12)",
+        "iprs AS (SELECT query_id, target_id FROM qasg JOIN tasg USING (c) "
+        "WHERE query_id <> target_id)",
+        "iqv AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings)",
+        "itv AS (SELECT vec_id AS target_id, embedding AS tv FROM embeddings)",
+        f"icand AS (SELECT query_id, target_id, ({dot_l}) / "
+        f"(({nq_l}) * ({nt_l})) AS cosine "
+        "FROM iprs JOIN iqv USING (query_id) JOIN itv USING (target_id))",
+        "ir AS (SELECT query_id, target_id, cosine, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, target_id) "
+        "AS sim_rank FROM icand)",
+    ]
+    ret["ann_ivf"] = (
+        "WITH " + ", ".join(ivf_parts) +
+        " SELECT query_id, target_id, cosine, "
+        "CAST(sim_rank AS BIGINT) AS sim_rank FROM ir WHERE sim_rank <= 10"
+    )
+
     # ---- contours (chained): structural replay. Chains == connected
     # components of the bit-exact marching-squares segment set (every
     # fixture vertex degree <= 2 — no walk ambiguity), so per-chain
@@ -11238,7 +11315,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": ann_oracle,
         "embedding_dups": emb_dup_oracle,
-        # knn_wbt, ann_lsh: approximate/procedural — rows-only checks.
+        # knn_wbt / ann_lsh / ann_ivf oracles live in _r5_oracles (full
+        # deterministic replays — only their RECALL is approximate).
         **_round3_oracles(),
         **_r5_oracles(),
         **_r5b_oracles(),

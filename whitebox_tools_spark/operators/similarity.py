@@ -282,14 +282,44 @@ def _auto_centroids(n: int) -> int:
     return int(min(max(4, round(math.sqrt(n))), 1 << 16))
 
 
+def _fold_norms(mat: np.ndarray) -> np.ndarray:
+    """Row norms accumulated in strict element order (the
+    _cosine_fold_udf discipline): bit-identical to the SQL/DuckDB
+    left-fold sqrt(sum(x_j^2))."""
+    acc = np.zeros(len(mat))
+    for j in range(mat.shape[1]):
+        c = mat[:, j]
+        acc += c * c
+    return np.sqrt(acc)
+
+
+def _fold_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n, d) x (m, d) -> (n, m) dot products accumulated in strict
+    element order — each entry is the same correctly-rounded IEEE
+    sequence a SQL/DuckDB left fold produces (BLAS matmul is not:
+    blocked/pairwise summation differs in the last ulps)."""
+    n, d = A.shape
+    out = np.zeros((n, len(B)))
+    for j in range(d):
+        out += A[:, j][:, None] * B[:, j][None, :]
+    return out
+
+
 def _coarse_centroids(targets: DataFrame, num_centroids: int, dim: int,
                       id_col: str, vec_col: str, seed: int = 42,
                       sample_per_centroid: int = 64, iters: int = 5,
                       corpus_n: int | None = None) -> np.ndarray:
-    """Deterministic coarse quantizer: seed-stable hash sample of target
-    vectors (xxhash64 on the id — no RNG state in the scan), then a few
-    Lloyd iterations driver-side on the SAMPLE only (bounded by
-    num_centroids * sample_per_centroid rows, never the corpus)."""
+    """Deterministic coarse quantizer, replayable end to end: the
+    training sample is the first num_centroids*sample_per_centroid
+    vectors of the MD5(seed:id) permutation (no RNG state, no scan
+    order), the initial centroids are the first num_centroids of a
+    second MD5(seed+1:id) permutation of that sample, and every Lloyd
+    step runs in strict-element-order folds (_fold_dots / _fold_norms,
+    sample-order member means, first-max assignment) — so the whole
+    trainer is a deterministic function the DuckDB oracle re-executes
+    bitwise. Driver sees only the bounded sample, never the corpus."""
+    import hashlib
+
     n_sample = num_centroids * sample_per_centroid
     base = targets.select(id_col, vec_col)
     if corpus_n is not None and corpus_n > 4 * n_sample:
@@ -298,25 +328,31 @@ def _coarse_centroids(targets: DataFrame, num_centroids: int, dim: int,
         # the residual orderBy below ranks only the ~2*n_sample survivors
         k = max(1, corpus_n // (2 * n_sample))
         base = base.where(
-            F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 7)),
-                   F.lit(k)) == 0)
+            F.expr(f"PMOD(XXHASH64(CAST({id_col} AS STRING), "
+                   f"{int(seed) + 7}), {k}) = 0"))
     sample = (
         base
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .orderBy(F.expr(f"MD5(CONCAT('{int(seed)}', ':', "
+                        f"CAST({id_col} AS STRING)))"))
         .limit(n_sample)
     )
-    _, mat = _collect_matrix(sample, id_col, vec_col)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    cent = mat[rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)]
+    ids, mat = _collect_matrix(sample, id_col, vec_col)
+    mat = mat / np.maximum(_fold_norms(mat), 1e-12)[:, None]
+    init = np.argsort(np.array([
+        hashlib.md5(f"{int(seed) + 1}:{i}".encode()).hexdigest()
+        for i in ids]), kind="stable")[:min(num_centroids, len(mat))]
+    cent = mat[init].copy()
     for _ in range(iters):
-        sims = mat @ cent.T
-        assign = np.argmax(sims, axis=1)
+        sims = _fold_dots(mat, cent)
+        assign = np.argmax(sims, axis=1)  # first-max: (sim DESC, c ASC)
         for c in range(len(cent)):
-            members = mat[assign == c]
+            members = mat[assign == c]  # sample order preserved
             if len(members):
-                v = members.mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+                v = np.zeros(mat.shape[1])
+                for row in members:  # strict sample-order fold
+                    v += row
+                v = v / float(len(members))
+                cent[c] = v / max(float(_fold_norms(v[None, :])[0]), 1e-12)
     return cent
 
 
@@ -338,9 +374,11 @@ def _assign_centroids(df: DataFrame, cent_bc, n_probe: int, id_col: str,
             if pdf.empty:
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ cent.T
-            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            mat = mat / np.maximum(_fold_norms(mat), 1e-12)[:, None]
+            # fold-order sims + stable argsort: ties rank (sim DESC,
+            # centroid ASC) — the DuckDB replay's ROW_NUMBER order
+            sims = _fold_dots(mat, cent)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame({
                 f"{out_prefix}_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), n_probe),
                 "centroid": top.reshape(-1).astype(np.int32),
@@ -404,7 +442,7 @@ def ann_topk_ivf(
     cand = (
         pairs.join(va, "query_id").join(vb, "target_id")
         .select("query_id", "target_id",
-                _cosine_udf("queryv", "targetv").alias("cosine"))
+                _cosine_fold_udf("queryv", "targetv").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
     return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)

@@ -165,6 +165,11 @@ def tin_gridding(points: DataFrame, meta: GridMeta, tile: int = 32,
         tx, ty = int(key[0]), int(key[1])
         P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
         Z = pdf["z"].to_numpy(dtype=np.float64)
+        # canonical (x, y, z) order: applyInPandas delivers group rows in
+        # shuffle-arrival order, and Bowyer-Watson insertion order decides
+        # near-cocircular ties — sorting makes the kernel layout-proof
+        _o = np.lexsort((Z, P[:, 1], P[:, 0]))
+        P, Z = P[_o], Z[_o]
         tris = delaunay(P)
         r0, r1 = ty * tile, min((ty + 1) * tile, rows_total)
         c0, c1 = tx * tile, min((tx + 1) * tile, cols_total)
@@ -425,6 +430,11 @@ def _tile_kernel_gridding(points: DataFrame, meta: GridMeta, tile: int,
         tx, ty = int(key[0]), int(key[1])
         P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
         Z = pdf["z"].to_numpy(dtype=np.float64)
+        # canonical (x, y, z) order: applyInPandas delivers group rows in
+        # shuffle-arrival order, and Bowyer-Watson insertion order decides
+        # near-cocircular ties — sorting makes the kernel layout-proof
+        _o = np.lexsort((Z, P[:, 1], P[:, 0]))
+        P, Z = P[_o], Z[_o]
         r0, r1 = ty * tile, min((ty + 1) * tile, rows_total)
         c0, c1 = tx * tile, min((tx + 1) * tile, cols_total)
         rr, cc2 = np.meshgrid(np.arange(r0, r1), np.arange(c0, c1), indexing="ij")
@@ -573,6 +583,11 @@ def construct_vector_tin(points: DataFrame, meta: GridMeta,
         tx, ty = int(key[0]), int(key[1])
         P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
         Z = pdf["z"].to_numpy(dtype=np.float64)
+        # canonical (x, y, z) order: applyInPandas delivers group rows in
+        # shuffle-arrival order, and Bowyer-Watson insertion order decides
+        # near-cocircular ties — sorting makes the kernel layout-proof
+        _o = np.lexsort((Z, P[:, 1], P[:, 0]))
+        P, Z = P[_o], Z[_o]
         _, idx = np.unique(P, axis=0, return_index=True)
         P, Z = P[np.sort(idx)], Z[np.sort(idx)]
         tris = delaunay(P)
