@@ -3229,14 +3229,14 @@ def _q_rbf_interp(spark, sf):
 
 def _q_construct_tin(spark, sf):
     """ConstructVectorTIN: vector triangle layer with canonical vertex
-    order and centroid-ownership dedup. Rows-only; structural gates
-    (unique triangles, positive area, canonical order) in
-    tests/test_tin2.py."""
+    order. Round 5: the kernel is the CERTIFIED exact global Delaunay
+    (operators/tin.delaunay_certified) — the output is the unique
+    global triangle set, independent of the tile/halo parameters and
+    the shuffle layout (pytest-gated tile=5 == tile=11 == single-tile).
+    Rows-only vs DuckDB: the float Bowyer-Watson's degenerate-sliver
+    drops cannot be restated as an order-free emptiness rule."""
     from whitebox_tools_spark.operators.tin import construct_vector_tin
 
-    # tile=4 (22.8 s -> 4.2 s); the stitched triangle set varies
-    # slightly with tile size at tile borders (documented tiled-TIN
-    # property), rows-only gate
     return construct_vector_tin(_points(spark, sf), _META40, tile=4)
 
 

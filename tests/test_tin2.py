@@ -111,3 +111,26 @@ def test_circumcenters_match_scalar():
         for v in (a, b, c):
             r2 = (v[0] - cc[i, 0]) ** 2 + (v[1] - cc[i, 1]) ** 2
             assert abs(r2 - cc[i, 2]) < 1e-6 * max(1.0, cc[i, 2])
+
+
+def test_construct_tin_tile_size_independent(spark):
+    """delaunay_certified contract: the triangle set is the GLOBAL
+    Delaunay — identical for any tile/halo choice (round 5)."""
+    import numpy as np
+
+    from whitebox_tools_spark.functions.raster_math import GridMeta
+    from whitebox_tools_spark.operators.tin import construct_vector_tin
+
+    rng = np.random.RandomState(77)
+    n = 500
+    rows = [(float(x), float(y), float(z)) for x, y, z in
+            zip(rng.rand(n) * 300, rng.rand(n) * 300, rng.rand(n) * 50)]
+    df = spark.createDataFrame(rows, "x double, y double, value double")
+    meta = GridMeta(rows=30, columns=30, north=300.0, south=0.0,
+                    east=300.0, west=0.0, resolution_x=10.0,
+                    resolution_y=10.0)
+    a = {tuple(r) for r in construct_vector_tin(df, meta, tile=5).collect()}
+    b = {tuple(r) for r in construct_vector_tin(df, meta, tile=11).collect()}
+    c = {tuple(r) for r in construct_vector_tin(df, meta, tile=30).collect()}
+    assert a == b == c
+    assert len(a) > 2 * n - 2 - 60  # Euler bound sanity (h hull points)

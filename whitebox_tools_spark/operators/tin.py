@@ -551,23 +551,56 @@ def rbf_interpolation(points: DataFrame, meta: GridMeta, k: int = 20,
     return _tile_kernel_gridding(points, meta, tile, halo, value_col, interp)
 
 
-def construct_vector_tin(points: DataFrame, meta: GridMeta,
-                         tile: int = 32, halo: float | None = None,
-                         value_col: str = "value") -> DataFrame:
-    """ConstructVectorTIN (gis_analysis/construct_vector_tin.rs):
-    triangulate the point layer into a vector TIN — one row per
-    triangle with its three (x, y, z) vertices in canonical order
-    (sorted by (x, y); deterministic output).
+def delaunay_certified(points: DataFrame, meta: GridMeta, tile: int = 32,
+                       halo: float | None = None,
+                       value_col: str = "value",
+                       max_rounds: int = 2) -> DataFrame:
+    """EXACT global Delaunay triangle layer — tile-size independent.
 
-    Distributed: per-tile Delaunay with halo; a triangle is emitted by
-    the ONE tile containing its centroid (global dedup without a
-    shuffle-side distinct). Interior triangles match the global
-    triangulation for any halo >= the local Delaunay reach; the pytest
-    contract checks empty-circumcircle validity and exact-cover area."""
+    Per-tile Bowyer-Watson over a tile+halo neighborhood with centroid
+    ownership (as construct_vector_tin always did), plus a per-TILE exit
+    certificate built from two sound local proofs:
+
+    - triangle certificate: a local triangle whose circumcircle, clipped
+      to the data extent, fits inside the tile's halo rectangle saw every
+      point that could invalidate it, so locally-Delaunay => GLOBALLY
+      Delaunay. A tile may exit only when every local triangle whose
+      circumdisk touches the tile's owned rect is certified (soundness of
+      the owned set AND of the cover around it — a wrong local cover over
+      an owned centroid is always flagged by this test).
+    - hull-edge certificate: for each local convex-hull edge whose outer
+      half-plane touches the owned rect, the outer half-plane clipped to
+      the data extent must fit inside the halo rectangle — proving no
+      point exists beyond the edge, so no global triangle can reach an
+      owned centroid from outside the local hull.
+
+    Tiles failing either proof rerun at doubled halo (only those tiles
+    rescatter; tiles that received no points rerun too); stragglers
+    after max_rounds — typically the handful adjoining DEGENERATE hull
+    chains, where the float Bowyer-Watson's sliver-drop decisions depend
+    on the full point set and no local certificate can settle them —
+    fall back to ONE full-set Bowyer-Watson task that emits their owned
+    rects, bitwise the run a single-tile execution performs. The union
+    over exited tiles is therefore exactly the global Delaunay set: the
+    output does not depend on `tile`, `halo`, or the shuffle layout
+    (kernel inputs are canonically sorted). Rounds are data-dependent but
+    generically 1-2 on quasi-uniform densities; the extent clip keeps
+    hull slivers (whose circumcircles bulge far OUTSIDE the data extent,
+    where no point can exist) certifiable at small halos.
+
+    Output: one row per triangle, vertices in canonical (x, y) order:
+    (ax, ay, az, bx, by, bz, cx, cy, cz)."""
+    from pyspark.sql.types import BooleanType
+
+    spark = points.sparkSession
     if halo is None:
         halo = _default_halo(points, meta)
-    scattered = _scatter_to_tiles(points, meta, tile, halo, value_col)
+    ext = points.selectExpr("MIN(x) AS x0", "MAX(x) AS x1",
+                            "MIN(y) AS y0", "MAX(y) AS y1").collect()[0]
+    ex0, ex1, ey0, ey1 = float(ext.x0), float(ext.x1), float(ext.y0), float(ext.y1)
     schema = StructType([
+        StructField("tx", LongType(), False), StructField("ty", LongType(), False),
+        StructField("cert", BooleanType(), False),
         StructField("ax", DoubleType(), False), StructField("ay", DoubleType(), False),
         StructField("az", DoubleType(), False),
         StructField("bx", DoubleType(), False), StructField("by", DoubleType(), False),
@@ -575,46 +608,214 @@ def construct_vector_tin(points: DataFrame, meta: GridMeta,
         StructField("cx", DoubleType(), False), StructField("cy", DoubleType(), False),
         StructField("cz", DoubleType(), False),
     ])
+    cols = ["tx", "ty", "cert", "ax", "ay", "az",
+            "bx", "by", "bz", "cx", "cy", "cz"]
     west, north = meta.west, meta.north
     resx, resy = meta.resolution_x, meta.resolution_y
     rows_total, cols_total = meta.rows, meta.columns
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        tx, ty = int(key[0]), int(key[1])
-        P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
-        Z = pdf["z"].to_numpy(dtype=np.float64)
-        # canonical (x, y, z) order: applyInPandas delivers group rows in
-        # shuffle-arrival order, and Bowyer-Watson insertion order decides
-        # near-cocircular ties — sorting makes the kernel layout-proof
-        _o = np.lexsort((Z, P[:, 1], P[:, 0]))
-        P, Z = P[_o], Z[_o]
-        _, idx = np.unique(P, axis=0, return_index=True)
-        P, Z = P[np.sort(idx)], Z[np.sort(idx)]
-        tris = delaunay(P)
-        if len(tris) == 0:
-            return pd.DataFrame(columns=["ax", "ay", "az", "bx", "by", "bz",
-                                         "cx", "cy", "cz"], dtype=float)
-        gx = P[tris, 0].mean(axis=1)
-        gy = P[tris, 1].mean(axis=1)
-        x0 = west + (tx * tile) * resx
-        x1 = west + min((tx + 1) * tile, cols_total) * resx
-        y1 = north - (ty * tile) * resy
-        y0 = north - min((ty + 1) * tile, rows_total) * resy
-        keep = (gx >= x0) & (gx < x1) & (gy > y0) & (gy <= y1)
-        tris = tris[keep]
-        # canonical vertex order: sort the 3 vertices by (x, y)
-        rows = []
-        for t in tris:
-            vs = sorted(((P[v, 0], P[v, 1], Z[v]) for v in t))
-            rows.append((vs[0][0], vs[0][1], vs[0][2],
-                         vs[1][0], vs[1][1], vs[1][2],
-                         vs[2][0], vs[2][1], vs[2][2]))
-        return pd.DataFrame(rows, columns=["ax", "ay", "az", "bx", "by", "bz",
-                                           "cx", "cy", "cz"])
+    def _hull_edge_ok(pu, pv, pw, own_rect, hrect, Plocal) -> bool:
+        """True if the boundary edge (pu, pv) (inner witness pw) either
+        does not face the owned rect, or provably has no points beyond
+        it: no LOCAL point strictly outside (a float Bowyer-Watson can
+        leave a degenerate sliver untriangulated, making an interior
+        edge masquerade as a hull edge — local points beyond expose
+        that, forcing a rerun) AND the outer half-plane clipped to the
+        extent fits in the halo rect (so no REMOTE point can be beyond
+        either)."""
+        ux, uy = pu
+        dx, dy = pv[0] - ux, pv[1] - uy
 
-    # same AQE-exempt tile-key repartition as _tile_kernel_gridding: the
-    # O(n^2) per-tile Delaunay is CPU-bound, not byte-bound
-    n_tiles = (-(-meta.columns // tile)) * (-(-meta.rows // tile))
-    n_parts = min(n_tiles, points.sparkSession._sc.defaultParallelism * 2)
-    scattered = scattered.repartition(n_parts, "tx", "ty")
-    return scattered.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)
+        def side(px, py):
+            return dx * (py - uy) - dy * (px - ux)
+
+        sw = side(*pw)
+        if sw == 0.0:
+            return False  # degenerate witness: cannot certify
+        x0, x1, y0, y1 = own_rect
+        if not any(side(px, py) * sw <= 0.0
+                   for px in (x0, x1) for py in (y0, y1)):
+            return True  # outer half-plane does not face the owned rect
+        s_all = (dx * (Plocal[:, 1] - uy) - dy * (Plocal[:, 0] - ux)) * sw
+        if bool(np.any(s_all < 0.0)):
+            return False  # a local point lies beyond: not a true hull edge
+        # Sutherland-Hodgman: clip the extent rect, KEEP the outer side
+        poly = [(ex0, ey0), (ex1, ey0), (ex1, ey1), (ex0, ey1)]
+        out = []
+        for i in range(len(poly)):
+            a, b = poly[i], poly[(i + 1) % len(poly)]
+            sa, sb = side(*a) * sw, side(*b) * sw
+            if sa <= 0.0:
+                out.append(a)
+            if (sa < 0.0 < sb) or (sb < 0.0 < sa):
+                t = sa / (sa - sb)
+                out.append((a[0] + t * (b[0] - a[0]),
+                            a[1] + t * (b[1] - a[1])))
+        hx0, hx1, hy0, hy1 = hrect
+        return all(hx0 <= px <= hx1 and hy0 <= py <= hy1 for px, py in out)
+
+    def make_kernel(halo_r: float):
+        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            tx, ty = int(key[0]), int(key[1])
+            x0 = west + (tx * tile) * resx
+            x1 = west + min((tx + 1) * tile, cols_total) * resx
+            y1 = north - (ty * tile) * resy
+            y0 = north - min((ty + 1) * tile, rows_total) * resy
+            hx0, hx1 = x0 - halo_r, x1 + halo_r
+            hy0, hy1 = y0 - halo_r, y1 + halo_r
+            # +inf sentinel (NOT NaN: pandas->Arrow maps NaN to null,
+            # which violates the non-nullable schema)
+            nan9 = (float("inf"),) * 9
+            P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+            Z = pdf["z"].to_numpy(dtype=np.float64)
+            _o = np.lexsort((Z, P[:, 1], P[:, 0]))
+            P, Z = P[_o], Z[_o]
+            _, idx = np.unique(P, axis=0, return_index=True)
+            P, Z = P[np.sort(idx)], Z[np.sort(idx)]
+            tris = delaunay(P)
+            if len(tris) == 0:
+                # nothing local: only a halo covering the whole extent
+                # proves no global triangle owns a centroid here
+                full = (hx0 <= ex0 and hx1 >= ex1
+                        and hy0 <= ey0 and hy1 >= ey1)
+                return pd.DataFrame([(tx, ty, full, *nan9)], columns=cols)
+            cc = circumcenters(P, tris)
+            r = np.sqrt(np.maximum(cc[:, 2], 0.0))
+            bx0 = np.maximum(cc[:, 0] - r, ex0)
+            bx1 = np.minimum(cc[:, 0] + r, ex1)
+            by0 = np.maximum(cc[:, 1] - r, ey0)
+            by1 = np.minimum(cc[:, 1] + r, ey1)
+            cert = ((bx0 >= hx0) & (bx1 <= hx1) & (by0 >= hy0)
+                    & (by1 <= hy1) & (cc[:, 2] >= 0.0))
+            # (a) every triangle whose clipped circumdisk touches the
+            # owned rect must be certified (bbox test: conservative)
+            rel = ((bx1 >= x0) & (bx0 <= x1) & (by1 >= y0) & (by0 <= y1)) \
+                | (cc[:, 2] < 0.0)
+            tile_ok = bool(np.all(cert[rel]))
+            # (b) hull edges facing the owned rect must prove emptiness
+            if tile_ok:
+                edge_info: dict[tuple[int, int], list] = {}
+                for t0, t1, t2 in tris:
+                    for u, v, w in ((t0, t1, t2), (t1, t2, t0), (t2, t0, t1)):
+                        k = (u, v) if u < v else (v, u)
+                        e = edge_info.setdefault(k, [0, w])
+                        e[0] += 1
+                own_rect = (x0, x1, y0, y1)
+                hrect = (hx0, hx1, hy0, hy1)
+                for (u, v), (cnt, w) in edge_info.items():
+                    if cnt != 1:
+                        continue
+                    if not _hull_edge_ok(P[u], P[v], P[w], own_rect,
+                                         hrect, P):
+                        tile_ok = False
+                        break
+            gx = P[tris, 0].mean(axis=1)
+            gy = P[tris, 1].mean(axis=1)
+            own = (gx >= x0) & (gx < x1) & (gy > y0) & (gy <= y1)
+            rows = [(tx, ty, tile_ok, *nan9)]  # per-tile status row
+            for t in tris[own]:
+                vs = sorted(((P[v, 0], P[v, 1], Z[v]) for v in t))
+                rows.append((tx, ty, tile_ok,
+                             vs[0][0], vs[0][1], vs[0][2],
+                             vs[1][0], vs[1][1], vs[1][2],
+                             vs[2][0], vs[2][1], vs[2][2]))
+            return pd.DataFrame(rows, columns=cols)
+        return kernel
+
+    n_tx = -(-meta.columns // tile)
+    n_ty = -(-meta.rows // tile)
+    n_parts = min(n_tx * n_ty, spark._sc.defaultParallelism * 2)
+    done: list[DataFrame] = []
+    expected = {(tx, ty) for tx in range(n_tx) for ty in range(n_ty)}
+    active: DataFrame | None = None  # None = all tiles
+    for rnd in range(max_rounds):
+        h = float(halo) * (2.0 ** rnd)
+        scattered = _scatter_to_tiles(points, meta, tile, h, value_col)
+        if active is not None:
+            scattered = scattered.join(F.broadcast(active), ["tx", "ty"],
+                                       "leftsemi")
+        out = (scattered.repartition(n_parts, "tx", "ty")
+               .groupBy("tx", "ty")
+               .applyInPandas(make_kernel(h), schema=schema)
+               .localCheckpoint(eager=True))
+        seen = {(r.tx, r.ty) for r in out.select("tx", "ty").distinct().collect()}
+        badset = {(r.tx, r.ty) for r in
+                  out.where("NOT cert").select("tx", "ty").distinct().collect()}
+        # a tile with no scattered points produced no group at all —
+        # its region is not yet proven empty of owned triangles
+        badset |= expected - seen
+        goodset = expected - badset
+        if goodset:
+            good = out.where("cert AND ax != CAST('inf' AS DOUBLE)")
+            done.append(good.select("ax", "ay", "az", "bx", "by", "bz",
+                                    "cx", "cy", "cz"))
+        if not badset:
+            break
+        expected = badset
+        active = spark.createDataFrame(sorted(badset), "tx long, ty long")
+    else:
+        # Terminal fallback for tiles that never certified (typically the
+        # few adjoining degenerate hull chains, where the float B-W's
+        # sliver drops are decided by the FULL point set): one task runs
+        # the full-set Bowyer-Watson — bitwise the same run a single-tile
+        # execution performs — and emits the stragglers' owned rects.
+        rects = []
+        for btx, bty in sorted(expected):
+            rects.append((west + (btx * tile) * resx,
+                          west + min((btx + 1) * tile, cols_total) * resx,
+                          north - min((bty + 1) * tile, rows_total) * resy,
+                          north - (bty * tile) * resy))
+
+        def kernel_final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+            Z = pdf["z"].to_numpy(dtype=np.float64)
+            _o = np.lexsort((Z, P[:, 1], P[:, 0]))
+            P, Z = P[_o], Z[_o]
+            _, idx = np.unique(P, axis=0, return_index=True)
+            P, Z = P[np.sort(idx)], Z[np.sort(idx)]
+            tris = delaunay(P)
+            rows = []
+            if len(tris):
+                gx = P[tris, 0].mean(axis=1)
+                gy = P[tris, 1].mean(axis=1)
+                own = np.zeros(len(tris), dtype=bool)
+                for rx0, rx1, ry0, ry1 in rects:
+                    own |= ((gx >= rx0) & (gx < rx1)
+                            & (gy > ry0) & (gy <= ry1))
+                for t in tris[own]:
+                    vs = sorted(((P[v, 0], P[v, 1], Z[v]) for v in t))
+                    rows.append((0, 0, True,
+                                 vs[0][0], vs[0][1], vs[0][2],
+                                 vs[1][0], vs[1][1], vs[1][2],
+                                 vs[2][0], vs[2][1], vs[2][2]))
+            return pd.DataFrame(rows, columns=cols)
+
+        full = points.selectExpr("x", "y", f"{value_col} AS z") \
+            .withColumn("g", F.lit(0))
+        done.append(
+            full.groupBy("g").applyInPandas(kernel_final, schema=schema)
+            .select("ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz"))
+    result = done[0]
+    for part in done[1:]:
+        result = result.unionByName(part)
+    return result
+
+
+
+def construct_vector_tin(points: DataFrame, meta: GridMeta,
+                         tile: int = 32, halo: float | None = None,
+                         value_col: str = "value") -> DataFrame:
+    """ConstructVectorTIN (gis_analysis/construct_vector_tin.rs):
+    triangulate the point layer into a vector TIN — one row per
+    triangle with its three (x, y, z) vertices in canonical order
+    (sorted by (x, y)).
+
+    Round 5: the tiled kernel is the CERTIFIED exact global Delaunay
+    (delaunay_certified above), so the output is the unique global
+    triangle set — independent of the tile/halo parameters (they only
+    steer performance) and of the shuffle layout, and replayable by the
+    DuckDB oracle's directed-edge empty-circumcircle construction."""
+    return delaunay_certified(points, meta, tile=tile, halo=halo,
+                              value_col=value_col)
+
+
