@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, ".")
+
 
 def _collect(spark, fn, sf_dir):
     df = fn(spark, sf_dir)
