@@ -728,9 +728,26 @@ def delaunay_certified(points: DataFrame, meta: GridMeta, tile: int = 32,
     done: list[DataFrame] = []
     expected = {(tx, ty) for tx in range(n_tx) for ty in range(n_ty)}
     active: DataFrame | None = None  # None = all tiles
+    active_rects: list[tuple[float, float, float, float]] = []
     for rnd in range(max_rounds):
         h = float(halo) * (2.0 ** rnd)
-        scattered = _scatter_to_tiles(points, meta, tile, h, value_col)
+        src = points
+        if active_rects:
+            # bbox prefilter: rerun rounds only rescan points near the
+            # active tiles (pushed to the source scan — at corpus scale
+            # the rerun rounds touch a sliver of the data, not all of
+            # it). Many active tiles would explode the OR-chain: fall
+            # back to their single bounding box past 64 rects.
+            rects = active_rects
+            if len(rects) > 64:
+                rects = [(min(r[0] for r in rects), max(r[1] for r in rects),
+                          min(r[2] for r in rects), max(r[3] for r in rects))]
+            pred = " OR ".join(
+                f"(x >= {rx0 - h!r} AND x <= {rx1 + h!r} AND "
+                f"y >= {ry0 - h!r} AND y <= {ry1 + h!r})"
+                for rx0, rx1, ry0, ry1 in rects)
+            src = points.where(pred)
+        scattered = _scatter_to_tiles(src, meta, tile, h, value_col)
         if active is not None:
             scattered = scattered.join(F.broadcast(active), ["tx", "ty"],
                                        "leftsemi")
@@ -753,6 +770,12 @@ def delaunay_certified(points: DataFrame, meta: GridMeta, tile: int = 32,
             break
         expected = badset
         active = spark.createDataFrame(sorted(badset), "tx long, ty long")
+        active_rects = [
+            (west + (btx * tile) * resx,
+             west + min((btx + 1) * tile, cols_total) * resx,
+             north - min((bty + 1) * tile, rows_total) * resy,
+             north - (bty * tile) * resy)
+            for btx, bty in sorted(badset)]
     else:
         # Terminal fallback for tiles that never certified (typically the
         # few adjoining degenerate hull chains, where the float B-W's
