@@ -3177,15 +3177,15 @@ def _q_lineage_resume(spark, sf):
 
 
 def _q_tin_gridding(spark, sf):
-    """TIN interpolation (per-tile Delaunay + halo). Rows-only: TIN
-    values depend on triangulation choice at co-circular sites; the
-    exact contract (linear surfaces reproduce bit-near-exactly) is
-    pytest-gated."""
+    """TIN interpolation. Round 5: certified exact global Delaunay +
+    pure-SQL barycentric — output independent of tile/halo/layout
+    (verified tile=4 == tile=9 bitwise at sf0.01). Rows-only: the
+    float Bowyer-Watson's degenerate-sliver drops have no order-free
+    DuckDB restatement; linear-surface exactness is pytest-gated."""
     from whitebox_tools_spark.operators.tin import tin_gridding
 
-    # tile=4: the O(n^2) per-tile Bowyer-Watson makes small tiles
-    # dramatically cheaper (32 s at tile=20 -> 6 s at tile=4, sf0.1)
-    return tin_gridding(_points(spark, sf), _META40, tile=4)
+    # tile steers performance only (the output is tile-independent)
+    return tin_gridding(_points(spark, sf), _META40, tile=8)
 
 
 def _q_natural_neighbour(spark, sf):

@@ -134,3 +134,26 @@ def test_construct_tin_tile_size_independent(spark):
     c = {tuple(r) for r in construct_vector_tin(df, meta, tile=30).collect()}
     assert a == b == c
     assert len(a) > 2 * n - 2 - 60  # Euler bound sanity (h hull points)
+
+
+def test_tin_gridding_tile_size_independent(spark):
+    """tin_gridding over the certified Delaunay + SQL barycentric:
+    identical cell values for any tile choice (round 5)."""
+    import numpy as np
+
+    from whitebox_tools_spark.functions.raster_math import GridMeta
+    from whitebox_tools_spark.operators.tin import tin_gridding
+
+    rng = np.random.RandomState(99)
+    n = 400
+    rows = [(float(x), float(y), float(z)) for x, y, z in
+            zip(rng.rand(n) * 200, rng.rand(n) * 200, rng.rand(n) * 30)]
+    df = spark.createDataFrame(rows, "x double, y double, value double")
+    meta = GridMeta(rows=20, columns=20, north=200.0, south=0.0,
+                    east=200.0, west=0.0, resolution_x=10.0,
+                    resolution_y=10.0)
+    a = {(r.row, r.col): r.value
+         for r in tin_gridding(df, meta, tile=4).collect()}
+    b = {(r.row, r.col): r.value
+         for r in tin_gridding(df, meta, tile=20).collect()}
+    assert a == b and len(a) > 300

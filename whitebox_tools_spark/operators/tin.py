@@ -128,66 +128,57 @@ def tin_gridding(points: DataFrame, meta: GridMeta, tile: int = 32,
                  halo: float | None = None,
                  value_col: str = "value") -> DataFrame:
     """Grid cell values by TIN interpolation over the point layer.
-    Output: (row, col, value) for cells inside the (local) hull."""
-    if halo is None:
-        n = max(points.count(), 1)
-        area = (meta.east - meta.west) * (meta.north - meta.south)
-        halo = 4.0 * (area / n) ** 0.5
-    tw_x = tile * meta.resolution_x
-    tw_y = tile * meta.resolution_y
-    n_tx = -(-meta.columns // tile)
-    n_ty = -(-meta.rows // tile)
-    # a point reaches every tile whose halo-expanded box contains it
-    pts = points.selectExpr(f"x", "y", f"{value_col} AS z").selectExpr(
-        "x", "y", "z",
-        f"CAST(FLOOR((x - {meta.west!r} - {halo!r}) / {tw_x!r}) AS INT) AS tx0",
-        f"CAST(FLOOR((x - {meta.west!r} + {halo!r}) / {tw_x!r}) AS INT) AS tx1",
-        f"CAST(FLOOR(({meta.north!r} - y - {halo!r}) / {tw_y!r}) AS INT) AS ty0",
-        f"CAST(FLOOR(({meta.north!r} - y + {halo!r}) / {tw_y!r}) AS INT) AS ty1",
+    Output: (row, col, value) for cells inside the triangulation.
+
+    Round 5: interpolates from the CERTIFIED exact global Delaunay
+    (delaunay_certified) with a pure-SQL barycentric stage — the output
+    is independent of the tile/halo parameters and the shuffle layout,
+    and the interpolation runs as whole-stage codegen (no Python).
+    Triangles explode to the grid cells their bbox covers (Delaunay
+    triangles of a quasi-uniform layer are local, so the fan-out is
+    O(triangle area / cell area + perimeter)); the containing triangle
+    per cell is the canonically smallest vertex key — on shared edges
+    the linear interpolant is continuous, so the choice settles only
+    fp ulps. The barycentric formulas are the exact text of the former
+    numpy kernel (interpolate_tin), eps = -1e-12 included."""
+    from pyspark.sql import Window
+
+    tris = delaunay_certified(points, meta, tile=tile, halo=halo,
+                              value_col=value_col)
+    rexp, cexp = meta.row_from_y_expr, meta.col_from_x_expr
+    spread = tris.selectExpr(
+        "*",
+        f"GREATEST(0L, {rexp('GREATEST(ay, by, cy)')} - 1L) AS __r0",
+        f"LEAST({meta.rows - 1}L, {rexp('LEAST(ay, by, cy)')} + 1L) AS __r1",
+        f"GREATEST(0L, {cexp('LEAST(ax, bx, cx)')} - 1L) AS __c0",
+        f"LEAST({meta.columns - 1}L, {cexp('GREATEST(ax, bx, cx)')} + 1L) "
+        "AS __c1",
+    ).where("__r0 <= __r1 AND __c0 <= __c1")
+    cand = spread.selectExpr(
+        "ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz", "__c0", "__c1",
+        "EXPLODE(SEQUENCE(__r0, __r1)) AS row",
+    ).selectExpr(
+        "ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz", "row",
+        "EXPLODE(SEQUENCE(__c0, __c1)) AS col",
     )
-    scattered = pts.selectExpr(
-        "x", "y", "z",
-        f"EXPLODE(FILTER(FLATTEN(TRANSFORM(SEQUENCE(tx0, tx1), tx -> "
-        f"TRANSFORM(SEQUENCE(ty0, ty1), ty -> STRUCT(tx, ty)))), "
-        f"t -> t.tx >= 0 AND t.tx < {n_tx} AND t.ty >= 0 AND t.ty < {n_ty})) AS t",
-    ).selectExpr("t.tx AS tx", "t.ty AS ty", "x", "y", "z")
-
-    schema = StructType([
-        StructField("row", LongType(), False),
-        StructField("col", LongType(), False),
-        StructField("value", DoubleType(), False),
-    ])
-    west, north = meta.west, meta.north
-    resx, resy = meta.resolution_x, meta.resolution_y
-    rows_total, cols_total = meta.rows, meta.columns
-
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        tx, ty = int(key[0]), int(key[1])
-        P = pdf[["x", "y"]].to_numpy(dtype=np.float64)
-        Z = pdf["z"].to_numpy(dtype=np.float64)
-        # canonical (x, y, z) order: applyInPandas delivers group rows in
-        # shuffle-arrival order, and Bowyer-Watson insertion order decides
-        # near-cocircular ties — sorting makes the kernel layout-proof
-        _o = np.lexsort((Z, P[:, 1], P[:, 0]))
-        P, Z = P[_o], Z[_o]
-        tris = delaunay(P)
-        r0, r1 = ty * tile, min((ty + 1) * tile, rows_total)
-        c0, c1 = tx * tile, min((tx + 1) * tile, cols_total)
-        rr, cc = np.meshgrid(np.arange(r0, r1), np.arange(c0, c1), indexing="ij")
-        qx = west + (cc.ravel() + 0.5) * resx
-        qy = north - (rr.ravel() + 0.5) * resy
-        vals = interpolate_tin(P, Z, tris, qx, qy)
-        ok = ~np.isnan(vals)
-        return pd.DataFrame({
-            "row": rr.ravel()[ok], "col": cc.ravel()[ok], "value": vals[ok],
-        })
-
-    # AQE-exempt tile-key repartition (see _tile_kernel_gridding): the
-    # O(n^2) per-tile Bowyer-Watson is CPU-bound, so byte-based AQE
-    # coalescing would serialize the tile kernels onto a few tasks.
-    n_parts = min(n_tx * n_ty, points.sparkSession._sc.defaultParallelism * 2)
-    scattered = scattered.repartition(n_parts, "tx", "ty")
-    return scattered.groupBy("tx", "ty").applyInPandas(kernel, schema=schema)
+    qx, qy = meta.x_center_expr("col"), meta.y_center_expr("row")
+    det = "((by - cy) * (ax - cx) + (cx - bx) * (ay - cy))"
+    l1 = f"(((by - cy) * ({qx} - cx) + (cx - bx) * ({qy} - cy)) / {det})"
+    l2 = f"(((cy - ay) * ({qx} - cx) + (ax - cx) * ({qy} - cy)) / {det})"
+    scored = (
+        cand.where(f"{det} != 0.0")
+        .selectExpr("row", "col", "az", "bz", "cz",
+                    "ax", "ay", "bx", "by", "cx", "cy",
+                    f"{l1} AS __l1", f"{l2} AS __l2")
+        .selectExpr("*", "(1.0 - __l1 - __l2) AS __l3")
+        .where("__l1 >= -1e-12 AND __l2 >= -1e-12 AND __l3 >= -1e-12")
+    )
+    w = Window.partitionBy("row", "col").orderBy(
+        "ax", "ay", "bx", "by", "cx", "cy")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w)).where("__rk = 1")
+        .selectExpr("row", "col", "__l1 * az + __l2 * bz + __l3 * cz AS value")
+    )
 
 
 # ---------------------------------------------------------------------------
