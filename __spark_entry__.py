@@ -947,8 +947,10 @@ def _q_lidar_dsm(spark, sf):
 
 
 def _q_normalize_lidar(spark, sf):
-    """NormalizeLidar: z minus ground-class TIN. Rows-only; pytest gates
-    planar-ground exactness."""
+    """NormalizeLidar: z minus ground-class TIN. Round 5: certified
+    global ground Delaunay + SQL barycentric at point locations —
+    tile/halo/layout-independent. Rows-only (float B-W sliver drops);
+    pytest gates planar-ground exactness."""
     return LI.normalize_lidar(_lidar_points(spark, sf), _META40)
 
 

@@ -656,58 +656,66 @@ def normalize_lidar(points: DataFrame, meta, ground_class: int = 2,
     Output (id, hag); points outside the local ground hull fall back to
     z - nearest-cell ground minimum.
 
-    Plan: ground points tile+halo-scatter (tin_gridding's plan); ALL
-    points group to their own tile; one cogrouped applyInPandas per tile
-    runs Delaunay + barycentric interpolation at the point locations."""
-    import pandas as pd
-    from pyspark.sql.types import (DoubleType, LongType, StructField,
-                                   StructType)
+    Round-5 plan: certified exact global ground Delaunay
+    (tin.delaunay_certified) + pure-SQL barycentric at the point
+    locations (triangles explode to the meta cells their bbox covers;
+    points equi-join on their cell) — output is independent of the
+    tile/halo parameters and the shuffle layout, no Python in the hot
+    path. Points outside the ground hull fall back to z - min(ground z)
+    (the global minimum: with the global TIN there is no per-tile
+    ambiguity)."""
+    from pyspark.sql import Window
 
-    from .tin import _default_halo, _scatter_to_tiles, delaunay, interpolate_tin
+    from .tin import delaunay_certified
 
     ground = points.where(F.col("classification") == ground_class) \
         .selectExpr("x", "y", f"{z} AS value")
-    if halo is None:
-        halo = _default_halo(ground, meta)
-    g_sc = _scatter_to_tiles(ground, meta, tile, halo).withColumnRenamed(
-        "tx", "gtx").withColumnRenamed("ty", "gty")
-    tw_x = tile * meta.resolution_x
-    tw_y = tile * meta.resolution_y
-    pts = points.selectExpr(
-        id_col, "x", "y", f"{z} AS pz",
-        f"CAST(FLOOR((x - {meta.west!r}) / {tw_x!r}) AS INT) AS tx",
-        f"CAST(FLOOR(({meta.north!r} - y) / {tw_y!r}) AS INT) AS ty",
+    tris = delaunay_certified(ground, meta, tile=tile, halo=halo)
+    rexp, cexp = meta.row_from_y_expr, meta.col_from_x_expr
+    spread = tris.selectExpr(
+        "*",
+        f"GREATEST(0L, {rexp('GREATEST(ay, by, cy)')} - 1L) AS __r0",
+        f"LEAST({meta.rows - 1}L, {rexp('LEAST(ay, by, cy)')} + 1L) AS __r1",
+        f"GREATEST(0L, {cexp('LEAST(ax, bx, cx)')} - 1L) AS __c0",
+        f"LEAST({meta.columns - 1}L, {cexp('GREATEST(ax, bx, cx)')} + 1L) "
+        "AS __c1",
+    ).where("__r0 <= __r1 AND __c0 <= __c1").selectExpr(
+        "ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz", "__c0", "__c1",
+        "EXPLODE(SEQUENCE(__r0, __r1)) AS __row",
+    ).selectExpr(
+        "ax", "ay", "az", "bx", "by", "bz", "cx", "cy", "cz", "__row",
+        "EXPLODE(SEQUENCE(__c0, __c1)) AS __col",
     )
-    schema = StructType([
-        StructField(id_col, LongType(), False),
-        StructField("hag", DoubleType(), False),
-    ])
-
-    def kern(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
-            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 "hag": pd.Series(dtype="float64")})
-        pz = left["pz"].to_numpy(dtype=np.float64)
-        if right.empty:
-            hag = pz - pz.min()
-        else:
-            P = right[["x", "y"]].to_numpy(dtype=np.float64)
-            Z = right["z"].to_numpy(dtype=np.float64)
-            _, idx = np.unique(P, axis=0, return_index=True)
-            P, Z = P[np.sort(idx)], Z[np.sort(idx)]
-            tris = delaunay(P)
-            gz = interpolate_tin(P, Z, tris,
-                                 left["x"].to_numpy(dtype=np.float64),
-                                 left["y"].to_numpy(dtype=np.float64))
-            gz = np.where(np.isnan(gz), Z.min(), gz)
-            hag = pz - gz
-        return pd.DataFrame({id_col: left[id_col].to_numpy(dtype=np.int64),
-                             "hag": hag})
-
+    pts = points.selectExpr(
+        id_col, "x AS px", "y AS py", f"{z} AS pz",
+        f"LEAST({meta.rows - 1}L, GREATEST(0L, {rexp('y')})) AS __row",
+        f"LEAST({meta.columns - 1}L, GREATEST(0L, {cexp('x')})) AS __col",
+    )
+    det = "((by - cy) * (ax - cx) + (cx - bx) * (ay - cy))"
+    l1 = f"(((by - cy) * (px - cx) + (cx - bx) * (py - cy)) / {det})"
+    l2 = f"(((cy - ay) * (px - cx) + (ax - cx) * (py - cy)) / {det})"
+    hits = (
+        pts.join(spread, ["__row", "__col"])
+        .where(f"{det} != 0.0")
+        .selectExpr(id_col, "pz", "az", "bz", "cz",
+                    "ax", "ay", "bx", "by", "cx", "cy",
+                    f"{l1} AS __l1", f"{l2} AS __l2")
+        .selectExpr("*", "(1.0 - __l1 - __l2) AS __l3")
+        .where("__l1 >= -1e-12 AND __l2 >= -1e-12 AND __l3 >= -1e-12")
+    )
+    w = Window.partitionBy(id_col).orderBy("ax", "ay", "bx", "by", "cx", "cy")
+    interp = (
+        hits.withColumn("__rk", F.row_number().over(w)).where("__rk = 1")
+        .selectExpr(id_col, "__l1 * az + __l2 * bz + __l3 * cz AS __gz")
+    )
+    # scalar fallbacks as one broadcast row (a global MIN is a map-side
+    # combined agg, never a single-reducer window): ground minimum for
+    # outside-hull points; corpus minimum if there is no ground at all
+    mins = ground.agg(F.min("value").alias("__gmin")).crossJoin(
+        points.agg(F.expr(f"MIN({z})").alias("__pmin")))
     return (
-        pts.groupBy("tx", "ty")
-        .cogroup(g_sc.groupBy("gtx", "gty"))
-        .applyInPandas(kern, schema=schema)
+        pts.join(interp, id_col, "left").crossJoin(F.broadcast(mins))
+        .selectExpr(id_col, "pz - COALESCE(__gz, __gmin, __pmin) AS hag")
     )
 
 
