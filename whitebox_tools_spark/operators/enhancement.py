@@ -212,18 +212,30 @@ def histogram_matching(cells: DataFrame, ref: DataFrame) -> DataFrame:
     comparisons (quadratic in tone count: already 10^8 at 10^4 tones).
     No unpartitioned windows.
     """
-    n_a = cells.count()
-    n_b = ref.count()
-    vca = cells.groupBy("value").agg(F.count(F.lit(1)).alias("__c"))
-    cuma = ordered_prefix_sums(vca, ["value"], ["__c"]).selectExpr(
+    # one tagged union drives BOTH CDFs: one count action (2 rows) and
+    # ONE ordered_prefix_sums pass (one ranged checkpoint + one offsets
+    # collect) instead of two of each — the query is dominated by fixed
+    # per-action orchestration, not data. Side 1's running sum includes
+    # all of side 0's counts (= n_a, an exact integer), so subtracting
+    # it reproduces the standalone reference cumsum bit-for-bit.
+    sides = cells.selectExpr("value", "CAST(0 AS INT) AS __s").unionByName(
+        ref.selectExpr("value", "CAST(1 AS INT) AS __s"))
+    n_by = {r["__s"]: r["cnt"] for r in
+            sides.groupBy("__s").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n_a, n_b = n_by.get(0, 0), n_by.get(1, 0)
+    vc = sides.groupBy("__s", "value").agg(F.count(F.lit(1)).alias("__c"))
+    cum = ordered_prefix_sums(vc, ["__s", "value"], ["__c"])
+    cuma = cum.where("__s = 0").selectExpr(
         "value AS __va", f"__cum___c / {n_a} AS __pa")
-    vcb = ref.groupBy("value").agg(F.count(F.lit(1)).alias("__c"))
-    n_tones = vcb.count()  # sizes the bucket grid: ~2 candidates/subject
-    grid = max(64, n_tones)
-    cumb = ordered_prefix_sums(vcb, ["value"], ["__c"]).selectExpr(
+    # fixed bucket grid (was: a third action counting reference tones).
+    # Candidates per subject stay ~1 + tones/grid; ref bucket fan-out is
+    # ~grid + tones rows — both bounded at any tone count that fits a
+    # broadcast mapping table.
+    grid = 65536
+    cumb = cum.where("__s = 1").selectExpr(
         "value AS __vb",
-        f"__cum___c / {n_b} AS __pb",
-        f"(__cum___c - __c) / {n_b} AS __prev")
+        f"(__cum___c - {n_a}) / {n_b} AS __pb",
+        f"(__cum___c - __c - {n_a}) / {n_b} AS __prev")
     ref_buckets = cumb.selectExpr(
         "__vb", "__pb", "__prev",
         f"EXPLODE(SEQUENCE(CAST(FLOOR(__prev * {grid}) AS BIGINT), "
