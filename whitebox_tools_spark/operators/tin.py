@@ -481,65 +481,106 @@ def rbf_interpolation(points: DataFrame, meta: GridMeta, k: int = 20,
     'multiquadric' (sqrt(r^2 + eps^2)). The affine polynomial term gives
     thin-plate LINEAR PRECISION — the pytest contract.
 
-    Plan: tile+halo scatter (one shuffle); per tile, a batched numpy
-    solve — kNN by full local distance matrix, then one
-    np.linalg.solve over the (n_cells, k+3, k+3) stacked systems."""
+    Round 5: the k neighbors come from the exact ring-guaranteed kNN
+    join (knn.knn_join_exact) instead of tile+halo-local point sets, so
+    the interpolant is independent of the tile/halo parameters and the
+    shuffle layout (`tile`/`halo` are kept for API compatibility;
+    unused). Duplicate (x, y) sites keep their lowest z (the former
+    kernel's lexsort+unique rule); neighbor rows arrive in canonical
+    (dist2, pid) order, and the per-cell solve is the same batched
+    numpy assembly as before, grouped by neighbor count."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
 
-    def interp(P, Z, qx, qy):
-        _, idx = np.unique(P, axis=0, return_index=True)
-        P2, Z2 = P[np.sort(idx)], Z[np.sort(idx)]
-        n = len(P2)
-        if n == 0:
-            return np.full(len(qx), np.nan)
-        kk = min(k, n)
-        # kNN: (q, n) distance matrix, argpartition per row
-        d2 = ((qx[:, None] - P2[None, :, 0]) ** 2
-              + (qy[:, None] - P2[None, :, 1]) ** 2)
-        if kk < n:
-            nn = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-        else:
-            nn = np.broadcast_to(np.arange(n), (len(qx), n)).copy()
-        # batched system assembly
-        nq = len(qx)
-        px = P2[nn, 0]  # (nq, kk)
-        py = P2[nn, 1]
-        pz = Z2[nn]
-        rr2 = ((px[:, :, None] - px[:, None, :]) ** 2
-               + (py[:, :, None] - py[:, None, :]) ** 2)
-        eps2 = (np.sqrt(np.maximum(d2[np.arange(nq)[:, None], nn], 0.0))
-                .mean(axis=1, keepdims=True) ** 2 + 1e-12)
+    from ..plans.rank import global_row_number
+    from .knn import grid_cells_df, knn_join_exact, wbt_default_radius
 
-        def phi(r2m, e2):
-            if kernel == "thin_plate":
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    v = 0.5 * r2m * np.log(np.maximum(r2m, 1e-300))
-                return np.where(r2m <= 0.0, 0.0, v)
-            return np.sqrt(r2m + e2[..., None])
+    spark = points.sparkSession
+    sites = points.groupBy("x", "y").agg(
+        F.min(value_col).alias("z"))
+    sites, n_sites = global_row_number(sites, ["x", "y"], out="pid")
+    if n_sites == 0:
+        return spark.createDataFrame([], "row long, col long, value double")
+    ext = points.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
+    area = max((ext[1] - ext[0]) * (ext[3] - ext[2]), 1.0)
+    radius = wbt_default_radius(area, n_sites)
+    cells = grid_cells_df(spark, meta)
+    nn = knn_join_exact(cells, sites, k=k, radius=radius,
+                        qid="cell_id", tid="pid")
+    nn = nn.join(sites.selectExpr("pid", "x AS px", "y AS py", "z AS pz"),
+                 "pid")
+    grouped = (
+        nn.groupBy("cell_id")
+        .agg(F.expr("SORT_ARRAY(COLLECT_LIST(STRUCT(dist2, pid, px, py, "
+                    "pz)))").alias("arr"))
+        .join(cells.selectExpr("cell_id", "row", "col", "x AS qx",
+                               "y AS qy"), "cell_id")
+        .select("row", "col", "qx", "qy", "arr")
+    )
+    schema = StructType([
+        StructField("row", LongType(), False),
+        StructField("col", LongType(), False),
+        StructField("value", DoubleType(), False),
+    ])
 
-        m = kk + 3
-        A = np.zeros((nq, m, m))
-        A[:, :kk, :kk] = phi(rr2, eps2) + np.eye(kk) * 1e-10
-        A[:, :kk, kk] = 1.0
-        A[:, :kk, kk + 1] = px
-        A[:, :kk, kk + 2] = py
-        A[:, kk, :kk] = 1.0
-        A[:, kk + 1, :kk] = px
-        A[:, kk + 2, :kk] = py
-        b = np.zeros((nq, m))
-        b[:, :kk] = pz
-        try:
-            sol = np.linalg.solve(A, b[..., None])[..., 0]
-        except np.linalg.LinAlgError:
-            # np.linalg.solve raises for the WHOLE batch if any one system is
-            # singular — fall back per-system with pinv so each query cell
-            # still gets its own solution (never broadcast system 0's).
-            sol = np.stack([np.linalg.pinv(A[q]) @ b[q] for q in range(nq)])
-        qr2 = d2[np.arange(nq)[:, None], nn]
-        vals = (sol[:, :kk] * phi(qr2, eps2)).sum(axis=1)
-        vals += sol[:, kk] + sol[:, kk + 1] * qx + sol[:, kk + 2] * qy
-        return vals
+    def solve(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = pdf["arr"].map(len).to_numpy()
+            for kk in np.unique(lens):
+                if kk == 0:
+                    continue
+                sub = pdf[lens == kk]
+                nq = len(sub)
+                arrs = list(sub["arr"])
+                d2 = np.array([[e["dist2"] for e in a] for a in arrs])
+                px = np.array([[e["px"] for e in a] for a in arrs])
+                py = np.array([[e["py"] for e in a] for a in arrs])
+                pz = np.array([[e["pz"] for e in a] for a in arrs])
+                qx = sub["qx"].to_numpy(dtype=np.float64)
+                qy = sub["qy"].to_numpy(dtype=np.float64)
+                rr2 = ((px[:, :, None] - px[:, None, :]) ** 2
+                       + (py[:, :, None] - py[:, None, :]) ** 2)
+                eps2 = (np.sqrt(np.maximum(d2, 0.0))
+                        .mean(axis=1, keepdims=True) ** 2 + 1e-12)
 
-    return _tile_kernel_gridding(points, meta, tile, halo, value_col, interp)
+                def phi(r2m, e2):
+                    if kernel == "thin_plate":
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            v = 0.5 * r2m * np.log(np.maximum(r2m, 1e-300))
+                        return np.where(r2m <= 0.0, 0.0, v)
+                    return np.sqrt(r2m + e2[..., None])
+
+                m = int(kk) + 3
+                A = np.zeros((nq, m, m))
+                A[:, :kk, :kk] = phi(rr2, eps2) + np.eye(int(kk)) * 1e-10
+                A[:, :kk, kk] = 1.0
+                A[:, :kk, kk + 1] = px
+                A[:, :kk, kk + 2] = py
+                A[:, kk, :kk] = 1.0
+                A[:, kk + 1, :kk] = px
+                A[:, kk + 2, :kk] = py
+                b = np.zeros((nq, m))
+                b[:, :kk] = pz
+                try:
+                    sol = np.linalg.solve(A, b[..., None])[..., 0]
+                except np.linalg.LinAlgError:
+                    # solve raises for the WHOLE batch if one system is
+                    # singular — per-system pinv keeps each cell's own
+                    # solution (never broadcast system 0's)
+                    sol = np.stack([np.linalg.pinv(A[q]) @ b[q]
+                                    for q in range(nq)])
+                vals = (sol[:, :kk] * phi(d2, eps2)).sum(axis=1)
+                vals += sol[:, kk] + sol[:, kk + 1] * qx + sol[:, kk + 2] * qy
+                yield pd.DataFrame({
+                    "row": sub["row"].to_numpy(dtype=np.int64),
+                    "col": sub["col"].to_numpy(dtype=np.int64),
+                    "value": vals,
+                })
+
+    return grouped.mapInPandas(solve, schema=schema)
 
 
 def delaunay_certified(points: DataFrame, meta: GridMeta, tile: int = 32,
