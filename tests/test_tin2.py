@@ -157,3 +157,29 @@ def test_tin_gridding_tile_size_independent(spark):
     b = {(r.row, r.col): r.value
          for r in tin_gridding(df, meta, tile=20).collect()}
     assert a == b and len(a) > 300
+
+
+def test_tin_family_degenerate_inputs(spark):
+    """Two-point / no-ground inputs: no triangles, kNN-based RBF still
+    covers the grid, normalize falls back to the corpus minimum."""
+    from whitebox_tools_spark.functions.raster_math import GridMeta
+    from whitebox_tools_spark.operators.lidar import normalize_lidar
+    from whitebox_tools_spark.operators.tin import (construct_vector_tin,
+                                                    rbf_interpolation,
+                                                    tin_gridding)
+
+    meta = GridMeta(rows=10, columns=10, north=100.0, south=0.0,
+                    east=100.0, west=0.0, resolution_x=10.0,
+                    resolution_y=10.0)
+    two = spark.createDataFrame([(1.0, 1.0, 5.0), (90.0, 90.0, 7.0)],
+                                "x double, y double, value double")
+    assert construct_vector_tin(two, meta, tile=5).count() == 0
+    assert tin_gridding(two, meta, tile=5).count() == 0
+    assert rbf_interpolation(two, meta, k=5).count() == 100
+    pts = spark.createDataFrame(
+        [(0, 1.0, 1.0, 5.0, 1), (1, 90.0, 90.0, 7.0, 1)],
+        "record_num long, x double, y double, value double, "
+        "classification int")
+    out = sorted((r.record_num, r.hag)
+                 for r in normalize_lidar(pts, meta).collect())
+    assert out == [(0, 0.0), (1, 2.0)]

@@ -629,6 +629,10 @@ def delaunay_certified(points: DataFrame, meta: GridMeta, tile: int = 32,
         halo = _default_halo(points, meta)
     ext = points.selectExpr("MIN(x) AS x0", "MAX(x) AS x1",
                             "MIN(y) AS y0", "MAX(y) AS y1").collect()[0]
+    if ext.x0 is None:  # empty point layer: no triangles
+        return spark.createDataFrame(
+            [], "ax double, ay double, az double, bx double, by double, "
+                "bz double, cx double, cy double, cz double")
     ex0, ex1, ey0, ey1 = float(ext.x0), float(ext.x1), float(ext.y0), float(ext.y1)
     schema = StructType([
         StructField("tx", LongType(), False), StructField("ty", LongType(), False),
