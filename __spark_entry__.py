@@ -3242,6 +3242,64 @@ def _q_construct_tin(spark, sf):
     return construct_vector_tin(_points(spark, sf), _META40, tile=4)
 
 
+# --- round-5 close: exact-Delaunay oracle twins for the TIN family --------
+#
+# The full-fixture TIN queries above stay rows-only (the float
+# Bowyer-Watson's sliver decisions at 10^4 near-lattice points have no
+# order-free restatement). These twins run the SAME operators over
+# AUDITED sub-fixtures where three independently computed triangle sets
+# coincide — the operator kernel (tin.delaunay), the float
+# empty-circumcircle rule (the DuckDB oracle's formulation, the exact
+# text of tin._circumcircle), and the EXACT-integer-arithmetic Delaunay
+# (tests/test_tin_exact_oracle.py re-verifies all three) — so the
+# DuckDB replay is bit-exact end to end and gates the whole plan:
+# certified-Delaunay scatter, barycentric/level-cut SQL stages, and the
+# canonical tie-breaks.
+_TIN_EXACT_PRED = "record_num % 211 = 1"   # 48 pts: bw == float == exact
+_NLX_PRED = "record_num % 59 = 0"          # ground (cls 2) 21 pts: audited
+
+
+def _q_construct_tin_exact(spark, sf):
+    """ConstructVectorTIN over the audited 48-point sub-fixture —
+    oracle-gated bit-exact (empty-circumcircle replay; the fixture is
+    verified sliver-free by exact integer arithmetic in
+    tests/test_tin_exact_oracle.py)."""
+    from whitebox_tools_spark.operators.tin import construct_vector_tin
+
+    pts = _points(spark, sf).where(_TIN_EXACT_PRED)
+    return construct_vector_tin(pts, _META40, tile=4)
+
+
+def _q_tin_gridding_exact(spark, sf):
+    """TINGridding over the audited sub-fixture: certified Delaunay +
+    pure-SQL barycentric at cell centers, replayed bitwise by the
+    DuckDB oracle (triangles from the emptiness rule, the operator's
+    own l1/l2/l3 expression text, canonical smallest-vertex tie-break)."""
+    from whitebox_tools_spark.operators.tin import tin_gridding
+
+    pts = _points(spark, sf).where(_TIN_EXACT_PRED)
+    return tin_gridding(pts, _META40, tile=4)
+
+
+def _q_tin_contours_exact(spark, sf):
+    """ContoursFromPoints over the audited sub-fixture: TIN + codegen
+    level cut, fully replayed (levels explode + the three edge
+    interpolations in the operator's expression order)."""
+    from whitebox_tools_spark.operators.contours import contours_from_points
+
+    pts = _points(spark, sf).where(_TIN_EXACT_PRED)
+    return contours_from_points(pts, _META40, base=0.0, interval=200.0,
+                                tile=4)
+
+
+def _q_normalize_lidar_exact(spark, sf):
+    """NormalizeLidar over an audited sub-fixture (21 ground points):
+    ground TIN + SQL barycentric at point locations + the z - gmin
+    hull fallback, replayed bitwise end to end."""
+    return LI.normalize_lidar(_lidar_points(spark, sf).where(_NLX_PRED),
+                              _META40)
+
+
 def _q_knn_wbt(spark, sf):
     """WBT-parity approximate kNN (early-stop shell expansion) —
     oracle-gated bit-exact (round-5 upgrade: the per-query stopping ring
@@ -3707,6 +3765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_lidar": _q_contour_lidar,
         "lidar_rbf": _q_lidar_rbf,
         "construct_tin": _q_construct_tin,
+        "construct_tin_exact": _q_construct_tin_exact,
+        "tin_gridding_exact": _q_tin_gridding_exact,
+        "tin_contours_exact": _q_tin_contours_exact,
+        "normalize_lidar_exact": _q_normalize_lidar_exact,
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,
         # --- round-2 continuation: global image enhancement ---
@@ -10961,6 +11023,151 @@ def _lidar_normals_oracles() -> dict[str, str]:
             "ransac_planes": ransac, "rooftop": rooftop}
 
 
+def _tin_exact_oracles() -> dict[str, str]:
+    """Exact-Delaunay oracle twins for the TIN family
+    (construct_tin_exact / tin_gridding_exact / tin_contours_exact /
+    normalize_lidar_exact).
+
+    The Delaunay CTE is the ORDER-FREE empty-circumcircle rule: a
+    lexicographic triple (a < b < c by (x, y)) is a triangle iff its
+    float circumcircle — computed by the EXACT expression text of
+    tin._circumcircle (same correctly-rounded +,-,*,/ sequence in
+    DuckDB and numpy) — strictly contains no other point. On arbitrary
+    inputs this is NOT the float Bowyer-Watson (insertion order decides
+    near-degenerate slivers); on the audited sub-fixtures
+    (_TIN_EXACT_PRED / _NLX_PRED ground) the three triangle sets —
+    kernel B-W, float emptiness, and EXACT integer-arithmetic Delaunay
+    (coordinates scaled by 2^60 are exact ints; incircle = 3x3 integer
+    determinant) — are verified identical by
+    tests/test_tin_exact_oracle.py, so the replay is bit-exact and
+    deterministic, not a lucky float coincidence. Downstream stages
+    (barycentric gridding, level cutting, hull fallback) reuse the
+    operators' own expression text verbatim."""
+    M = _META40
+
+    def tris_cte(sub_where: str, zcol: str = "value") -> str:
+        # canonical point set (the kernel dedups by (x, y) keeping the
+        # smallest z) + empty-circumcircle triangles in canonical
+        # (x, y) vertex order
+        return (
+            f"sub AS (SELECT x, y, {zcol} AS z FROM raw WHERE {sub_where}), "
+            "pts AS (SELECT x, y, z FROM ("
+            "  SELECT x, y, z, ROW_NUMBER() OVER (PARTITION BY x, y ORDER BY z) AS rn FROM sub"
+            ") WHERE rn = 1), "
+            "tri AS ("
+            "  SELECT a.x AS ax, a.y AS ay, a.z AS az, "
+            "         b.x AS bx, b.y AS by, b.z AS bz, "
+            "         c.x AS cx, c.y AS cy, c.z AS cz "
+            "  FROM pts a JOIN pts b ON (a.x < b.x OR (a.x = b.x AND a.y < b.y)) "
+            "            JOIN pts c ON (b.x < c.x OR (b.x = c.x AND b.y < c.y))), "
+            "ccd AS ("
+            "  SELECT *, 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by)) AS d, "
+            "         (ax * ax + ay * ay) AS a2, (bx * bx + by * by) AS b2, "
+            "         (cx * cx + cy * cy) AS c2 FROM tri), "
+            "ccu AS ("
+            "  SELECT *, (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d AS ux, "
+            "         (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d AS uy "
+            "  FROM ccd WHERE d != 0.0), "
+            "ccr AS (SELECT *, (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy) AS r2 FROM ccu), "
+            "tris AS ("
+            "  SELECT ax, ay, az, bx, by, bz, cx, cy, cz FROM ccr t "
+            "  WHERE NOT EXISTS ("
+            "    SELECT 1 FROM pts p "
+            "    WHERE NOT (p.x = t.ax AND p.y = t.ay) "
+            "      AND NOT (p.x = t.bx AND p.y = t.by) "
+            "      AND NOT (p.x = t.cx AND p.y = t.cy) "
+            "      AND (p.x - t.ux) * (p.x - t.ux) + (p.y - t.uy) * (p.y - t.uy) < t.r2))"
+        )
+
+    construct = (
+        f"WITH raw AS ({_PTS_SQL}), {tris_cte(_TIN_EXACT_PRED)} "
+        "SELECT ax, ay, az, bx, by, bz, cx, cy, cz FROM tris"
+    )
+
+    # tin_gridding: the operator's spread/explode + barycentric text
+    rexp, cexp = M.row_from_y_expr, M.col_from_x_expr
+    qx, qy = M.x_center_expr("col"), M.y_center_expr("row")
+    det = "((by - cy) * (ax - cx) + (cx - bx) * (ay - cy))"
+    l1 = f"(((by - cy) * ({qx} - cx) + (cx - bx) * ({qy} - cy)) / {det})"
+    l2 = f"(((cy - ay) * ({qx} - cx) + (ax - cx) * ({qy} - cy)) / {det})"
+    spread = (
+        "spread AS (SELECT *, "
+        f"GREATEST(CAST(0 AS BIGINT), {rexp('GREATEST(ay, by, cy)')} - 1) AS r0, "
+        f"LEAST(CAST({M.rows - 1} AS BIGINT), {rexp('LEAST(ay, by, cy)')} + 1) AS r1, "
+        f"GREATEST(CAST(0 AS BIGINT), {cexp('LEAST(ax, bx, cx)')} - 1) AS c0, "
+        f"LEAST(CAST({M.columns - 1} AS BIGINT), {cexp('GREATEST(ax, bx, cx)')} + 1) AS c1 "
+        "FROM tris), "
+        "cand AS (SELECT ax, ay, az, bx, by, bz, cx, cy, cz, r.row, c.col "
+        "FROM (SELECT * FROM spread WHERE r0 <= r1 AND c0 <= c1) s, "
+        "LATERAL UNNEST(generate_series(s.r0, s.r1)) AS r(row), "
+        "LATERAL UNNEST(generate_series(s.c0, s.c1)) AS c(col))"
+    )
+    gridding = (
+        f"WITH raw AS ({_PTS_SQL}), {tris_cte(_TIN_EXACT_PRED)}, {spread}, "
+        "scored AS (SELECT row, col, az, bz, cz, ax, ay, bx, by, cx, cy, "
+        f"{l1} AS ll1, {l2} AS ll2 FROM cand WHERE {det} != 0.0), "
+        "scored2 AS (SELECT *, (1.0 - ll1 - ll2) AS ll3 FROM scored "
+        "WHERE ll1 >= -1e-12 AND ll2 >= -1e-12 AND (1.0 - ll1 - ll2) >= -1e-12), "
+        "ranked AS (SELECT row, col, ll1 * az + ll2 * bz + ll3 * cz AS value, "
+        "ROW_NUMBER() OVER (PARTITION BY row, col ORDER BY ax, ay, bx, by, cx, cy) AS rk "
+        "FROM scored2) "
+        "SELECT row, col, value FROM ranked WHERE rk = 1"
+    )
+
+    # contours: the operator's level explode + three edge interpolations
+    base, interval = 0.0, 200.0
+    k0 = f"CAST(CEIL((LEAST(az, bz, cz) - {base!r}) / {interval!r}) AS BIGINT)"
+    k1 = f"CAST(FLOOR((GREATEST(az, bz, cz) - {base!r}) / {interval!r}) AS BIGINT)"
+    cedges = []
+    for p, q in (("a", "b"), ("b", "c"), ("a", "c")):
+        t = f"((level - {p}z) / ({q}z - {p}z))"
+        cedges.append(
+            f"CASE WHEN ({p}z < level) <> ({q}z < level) "
+            f"THEN {{'x': {p}x + ({q}x - {p}x) * {t}, "
+            f"'y': {p}y + ({q}y - {p}y) * {t}}} END")
+    carr = f"list_filter([{', '.join(cedges)}], e -> e IS NOT NULL)"
+    contours = (
+        f"WITH raw AS ({_PTS_SQL}), {tris_cte(_TIN_EXACT_PRED)}, "
+        "lev AS (SELECT ax, ay, az, bx, by, bz, cx, cy, cz, "
+        f"({base!r} + CAST(k.k AS DOUBLE) * {interval!r}) AS level "
+        f"FROM tris, LATERAL UNNEST(generate_series({k0}, {k1})) AS k(k)), "
+        f"segs AS (SELECT level, {carr} AS pts2 FROM lev) "
+        "SELECT level, pts2[1].x AS x1, pts2[1].y AS y1, "
+        "pts2[2].x AS x2, pts2[2].y AS y2 FROM segs WHERE len(pts2) = 2"
+    )
+
+    # normalize_lidar: ground TIN (classification = record_num % 8 == 2)
+    # + barycentric at point locations + the z - gmin hull fallback
+    pl1 = f"(((by - cy) * (px - cx) + (cx - bx) * (py - cy)) / {det})"
+    pl2 = f"(((cy - ay) * (px - cx) + (ax - cx) * (py - cy)) / {det})"
+    normalize = (
+        f"WITH raw0 AS ({_PTS_SQL}), "
+        f"raw AS (SELECT * FROM raw0 WHERE {_NLX_PRED}), "
+        f"{tris_cte('record_num % 8 = 2')}, {spread}, "
+        "ppts AS (SELECT record_num, x AS px, y AS py, value AS pz, "
+        f"LEAST(CAST({M.rows - 1} AS BIGINT), GREATEST(CAST(0 AS BIGINT), {rexp('y')})) AS row, "
+        f"LEAST(CAST({M.columns - 1} AS BIGINT), GREATEST(CAST(0 AS BIGINT), {cexp('x')})) AS col "
+        "FROM raw), "
+        "hits AS (SELECT record_num, pz, az, bz, cz, ax, ay, bx, by, cx, cy, "
+        f"{pl1} AS ll1, {pl2} AS ll2 "
+        f"FROM ppts JOIN cand USING (row, col) WHERE {det} != 0.0), "
+        "hits2 AS (SELECT *, (1.0 - ll1 - ll2) AS ll3 FROM hits "
+        "WHERE ll1 >= -1e-12 AND ll2 >= -1e-12 AND (1.0 - ll1 - ll2) >= -1e-12), "
+        "interp AS (SELECT record_num, ll1 * az + ll2 * bz + ll3 * cz AS gz FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY record_num "
+        "  ORDER BY ax, ay, bx, by, cx, cy) AS rk FROM hits2) WHERE rk = 1), "
+        "mins AS (SELECT (SELECT MIN(z) FROM sub) AS gmin, "
+        "(SELECT MIN(value) FROM raw) AS pmin) "
+        "SELECT p.record_num, p.pz - COALESCE(i.gz, m.gmin, m.pmin) AS hag "
+        "FROM ppts p LEFT JOIN interp i USING (record_num), mins m"
+    )
+
+    return {"construct_tin_exact": construct,
+            "tin_gridding_exact": gridding,
+            "tin_contours_exact": contours,
+            "normalize_lidar_exact": normalize}
+
+
 def oracle_sql() -> dict[str, str]:
     pts = f"WITH pts AS ({_PTS_SQL})"
     ras_a = f"WITH ras_a AS ({_RAS_A_SQL})"
@@ -11232,6 +11439,7 @@ def oracle_sql() -> dict[str, str]:
             "value + CAST(7 AS DOUBLE) AS value FROM pts"
         ),
         **_lidar_normals_oracles(),
+        **_tin_exact_oracles(),
         "single_to_multi_part": (
             f"WITH base AS ({_SHAPES_BASE}), "
             f"rs AS (SELECT shape_id, kind, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
