@@ -3300,6 +3300,38 @@ def _q_normalize_lidar_exact(spark, sf):
                               _META40)
 
 
+# Junction-free raster-lines fixture (spec shared with the DuckDB
+# oracle): two disjoint horizontal strokes (value 1 — exercises the
+# per-value line_id ordering), one diagonal stroke (value 2), one
+# square ring (value 3 — the cycle walk, closing vertex included).
+# Max vertex degree is 2 after the elbow rule, so the kernel's greedy
+# junction walk degenerates to canonical chain decomposition — which
+# IS order-free and hence DuckDB-replayable (unlike the full-fixture
+# r2v_lines, whose degree->=3 junctions keep it rows-only).
+_R2V_FIX_SPARK = (
+    "SELECT CAST(10 AS BIGINT) AS row, CAST(c AS BIGINT) AS col, 1.0 AS value "
+    "FROM (SELECT EXPLODE(SEQUENCE(5, 25)) AS c) "
+    "UNION ALL SELECT 14, c, 1.0 FROM (SELECT EXPLODE(SEQUENCE(40, 55)) AS c) "
+    "UNION ALL SELECT r, r, 2.0 FROM (SELECT EXPLODE(SEQUENCE(30, 50)) AS r) "
+    "UNION ALL SELECT 60, c, 3.0 FROM (SELECT EXPLODE(SEQUENCE(60, 70)) AS c) "
+    "UNION ALL SELECT 70, c, 3.0 FROM (SELECT EXPLODE(SEQUENCE(60, 70)) AS c) "
+    "UNION ALL SELECT r, 60, 3.0 FROM (SELECT EXPLODE(SEQUENCE(61, 69)) AS r) "
+    "UNION ALL SELECT r, 70, 3.0 FROM (SELECT EXPLODE(SEQUENCE(61, 69)) AS r)"
+)
+
+
+def _q_r2v_lines_exact(spark, sf):
+    """RasterToVectorLines over the junction-free fixture — oracle-gated
+    bit-exact: with max degree 2 the chain walk is canonical chain
+    decomposition, replayed in DuckDB as min-label components + a
+    guarded recursive walk (paths start at the min degree-1 vertex,
+    cycles at the min vertex toward its smaller neighbor — exactly the
+    kernel's sorted-adjacency order)."""
+    from whitebox_tools_spark.operators import contours as CN
+
+    return CN.raster_to_vector_lines(spark.sql(_R2V_FIX_SPARK), _META100)
+
+
 def _q_knn_wbt(spark, sf):
     """WBT-parity approximate kNN (early-stop shell expansion) —
     oracle-gated bit-exact (round-5 upgrade: the per-query stopping ring
@@ -3769,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tin_gridding_exact": _q_tin_gridding_exact,
         "tin_contours_exact": _q_tin_contours_exact,
         "normalize_lidar_exact": _q_normalize_lidar_exact,
+        "r2v_lines_exact": _q_r2v_lines_exact,
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,
         # --- round-2 continuation: global image enhancement ---
@@ -11023,6 +11056,84 @@ def _lidar_normals_oracles() -> dict[str, str]:
             "ransac_planes": ransac, "rooftop": rooftop}
 
 
+def _geomorphons_oracle() -> str:
+    """geomorphons upgraded R -> O by a MONOTONE RESTATEMENT: every
+    kernel decision compares atan2 elevation angles (zenith/nadir
+    maxima, |angle| vs the flat threshold, |nadir| vs |zenith|), and
+    atan2(dz, dist) is strictly monotone in dz/dist for dist > 0 — so
+    the replay compares RATIOS against tan(threshold) instead of
+    angles, using only correctly-rounded +,-,*,/ (bitwise identical in
+    DuckDB and numpy; DuckDB's ATAN2 itself differs from numpy's in the
+    last ulp on ~30% of this domain, so a direct angle replay would be
+    unsound). Ratio ties ARE angle ties (same doubles in, same atan2
+    double out), so tie behavior is identical; the one residual hazard
+    — two DISTINCT ratios collapsing to the SAME numpy angle, flipping
+    an |nadir| < |zenith| verdict — is ruled out on this fixture by
+    tests/test_tin_exact_oracle.py::test_geomorphons_ratio_restatement,
+    which runs the angle kernel and the ratio restatement side by side
+    over all 9,604 cells. Straight rays leave the convex grid at most
+    once, so the kernel's sticky off-grid flag reduces to per-sample
+    bounds checks; flat directions are excluded before the sentinel
+    angles can matter."""
+    import math as _m
+
+    from whitebox_tools_spark.operators.visibility import (_GEO_CLASSES,
+                                                           _GEO_DX, _GEO_DY)
+
+    resx = resy = 10.0  # _META100
+    r_search, skip = 8, 1
+    rows_n = cols_n = 100
+    search_length = r_search * (resx + resy) / 2.0
+    tan_thresh = _m.tan(_m.radians(1.0))
+
+    def _dl(v: float) -> str:
+        # e0 suffix: DuckDB parses bare decimal literals as DECIMAL,
+        # which quantizes 17-digit constants; the exponent form parses
+        # as DOUBLE like Spark/numpy
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "e0"
+
+    svals = []
+    for di in range(8):
+        dy, dx = _GEO_DY[di], _GEO_DX[di]
+        step_len = _m.hypot(dx * resx, dy * resy)
+        d = skip
+        while d * step_len < search_length:
+            svals.append(f"({di}, {d * dy}, {d * dx}, {_dl(d * step_len)})")
+            d += 1
+    cvals = ", ".join(
+        f"({cn}, {cp}, {int(_GEO_CLASSES[cn, cp])})"
+        for cn in range(9) for cp in range(9))
+    tt = _dl(tan_thresh)
+    return (
+        f"WITH ras AS ({_RAS_A_SQL}), "
+        f"steps AS (SELECT * FROM (VALUES {', '.join(svals)}) s(di, dr, dc, dist)), "
+        f"clt AS (SELECT * FROM (VALUES {cvals}) c(cn, cp, cls)), "
+        f"core AS (SELECT row, col, value AS z0 FROM ras "
+        f"WHERE row BETWEEN {skip} AND {rows_n - 1 - skip} "
+        f"AND col BETWEEN {skip} AND {cols_n - 1 - skip}), "
+        "samp AS (SELECT c.row, c.col, c.z0, s.di, s.dist, "
+        "c.row + s.dr AS pr, c.col + s.dc AS pc FROM core c, steps s), "
+        "sval AS (SELECT m.row, m.col, m.di, "
+        f"CASE WHEN m.pr < 0 OR m.pr > {rows_n - 1} "
+        f"OR m.pc < 0 OR m.pc > {cols_n - 1} THEN 1 ELSE 0 END AS off, "
+        f"CASE WHEN m.pr < 0 OR m.pr > {rows_n - 1} "
+        f"OR m.pc < 0 OR m.pc > {cols_n - 1} THEN NULL "
+        "ELSE (r2.value - m.z0) / m.dist END AS ratio "
+        "FROM samp m LEFT JOIN ras r2 ON r2.row = m.pr AND r2.col = m.pc), "
+        "pdir AS (SELECT row, col, di, MAX(off) AS flat, "
+        "MAX(ratio) AS zenr, MIN(ratio) AS nadr FROM sval GROUP BY 1, 2, 3), "
+        "cnt AS (SELECT row, col, "
+        f"SUM(CASE WHEN flat = 0 AND (ABS(zenr) > {tt} OR ABS(nadr) > {tt}) "
+        "AND ABS(nadr) < ABS(zenr) THEN 1 ELSE 0 END) AS cp, "
+        f"SUM(CASE WHEN flat = 0 AND (ABS(zenr) > {tt} OR ABS(nadr) > {tt}) "
+        "AND ABS(nadr) > ABS(zenr) THEN 1 ELSE 0 END) AS cn "
+        "FROM pdir GROUP BY 1, 2) "
+        "SELECT c.row, c.col, CAST(l.cls AS DOUBLE) AS value "
+        "FROM cnt c JOIN clt l ON l.cn = c.cn AND l.cp = c.cp"
+    )
+
+
 def _tin_exact_oracles() -> dict[str, str]:
     """Exact-Delaunay oracle twins for the TIN family
     (construct_tin_exact / tin_gridding_exact / tin_contours_exact /
@@ -11162,10 +11273,67 @@ def _tin_exact_oracles() -> dict[str, str]:
         "FROM ppts p LEFT JOIN interp i USING (record_num), mins m"
     )
 
+    # r2v_lines twin: junction-free chain decomposition, fully walked.
+    # Components label to their MIN vertex id (exactly the kernel's
+    # lines.sort(key=min) key); the guarded recursive walk consumes the
+    # unique next neighbor (paths) or closes at the start (cycles), with
+    # the first step toward n_min — the kernel's sorted-adjacency pick.
+    r2v_fix = (
+        "fixture AS ("
+        "SELECT CAST(10 AS BIGINT) AS row, CAST(c.c AS BIGINT) AS col, 1.0 AS value "
+        "FROM UNNEST(generate_series(5, 25)) c(c) "
+        "UNION ALL SELECT 14, c.c, 1.0 FROM UNNEST(generate_series(40, 55)) c(c) "
+        "UNION ALL SELECT r.r, r.r, 2.0 FROM UNNEST(generate_series(30, 50)) r(r) "
+        "UNION ALL SELECT 60, c.c, 3.0 FROM UNNEST(generate_series(60, 70)) c(c) "
+        "UNION ALL SELECT 70, c.c, 3.0 FROM UNNEST(generate_series(60, 70)) c(c) "
+        "UNION ALL SELECT r.r, 60, 3.0 FROM UNNEST(generate_series(61, 69)) r(r) "
+        "UNION ALL SELECT r.r, 70, 3.0 FROM UNNEST(generate_series(61, 69)) r(r))"
+    )
+    r2v = (
+        f"WITH RECURSIVE {r2v_fix}, "
+        "e0 AS (SELECT f.value, f.row AS r1, f.col AS c1, n.row AS r2, n.col AS c2 "
+        "FROM fixture f JOIN fixture n ON n.value = f.value AND ("
+        "(n.row = f.row AND n.col = f.col + 1) OR "
+        "(n.row = f.row + 1 AND n.col = f.col) OR "
+        "(n.row = f.row + 1 AND n.col = f.col + 1) OR "
+        "(n.row = f.row + 1 AND n.col = f.col - 1))), "
+        "edges AS (SELECT * FROM e0 e "
+        "WHERE NOT (ABS(r1 - r2) = 1 AND ABS(c1 - c2) = 1 AND ("
+        "EXISTS (SELECT 1 FROM fixture k WHERE k.value = e.value AND k.row = e.r1 AND k.col = e.c2) "
+        "OR EXISTS (SELECT 1 FROM fixture k WHERE k.value = e.value AND k.row = e.r2 AND k.col = e.c1)))), "
+        "und AS (SELECT value, r1 * 100 + c1 AS v1, r2 * 100 + c2 AS v2 FROM edges "
+        "UNION ALL SELECT value, r2 * 100 + c2, r1 * 100 + c1 FROM edges), "
+        "adj2 AS (SELECT value, v1 AS vid, MIN(v2) AS n_min, "
+        "CASE WHEN COUNT(*) > 1 THEN MAX(v2) END AS n_max, COUNT(*) AS deg "
+        "FROM und GROUP BY value, v1), "
+        "comp(value, vid, lbl) AS (SELECT value, v1, v1 FROM und "
+        "UNION SELECT c.value, e.v2, c.lbl FROM comp c JOIN und e "
+        "ON e.value = c.value AND e.v1 = c.vid AND c.lbl < e.v2), "
+        "lab AS (SELECT value, vid, MIN(lbl) AS comp FROM comp GROUP BY 1, 2), "
+        "starts AS (SELECT l.value, l.comp, "
+        "COALESCE(MIN(CASE WHEN a.deg = 1 THEN l.vid END), MIN(l.vid)) AS start "
+        "FROM lab l JOIN adj2 a ON a.value = l.value AND a.vid = l.vid GROUP BY 1, 2), "
+        "walk(value, comp, start, cur, prev, idx) AS ("
+        "SELECT value, comp, start, start, CAST(NULL AS BIGINT), 0 FROM starts "
+        "UNION ALL SELECT w.value, w.comp, w.start, "
+        "CASE WHEN w.prev IS NULL THEN a.n_min "
+        "WHEN a.n_min <> w.prev THEN a.n_min ELSE a.n_max END, "
+        "w.cur, w.idx + 1 FROM walk w JOIN adj2 a ON a.value = w.value AND a.vid = w.cur "
+        "WHERE (w.idx = 0 OR w.cur <> w.start) "
+        "AND (CASE WHEN w.prev IS NULL THEN a.n_min "
+        "WHEN a.n_min <> w.prev THEN a.n_min ELSE a.n_max END) IS NOT NULL), "
+        "ranked AS (SELECT value, comp, cur, idx, "
+        "DENSE_RANK() OVER (PARTITION BY value ORDER BY comp) - 1 AS line_id FROM walk) "
+        "SELECT value, CAST(line_id AS BIGINT) AS line_id, CAST(idx AS INT) AS vertex_idx, "
+        "0.0 + (CAST(cur % 100 AS DOUBLE) + 0.5) * 10.0 AS x, "
+        "1000.0 - (CAST(cur // 100 AS DOUBLE) + 0.5) * 10.0 AS y FROM ranked"
+    )
+
     return {"construct_tin_exact": construct,
             "tin_gridding_exact": gridding,
             "tin_contours_exact": contours,
-            "normalize_lidar_exact": normalize}
+            "normalize_lidar_exact": normalize,
+            "r2v_lines_exact": r2v}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11440,6 +11608,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         **_lidar_normals_oracles(),
         **_tin_exact_oracles(),
+        "geomorphons": _geomorphons_oracle(),
         "single_to_multi_part": (
             f"WITH base AS ({_SHAPES_BASE}), "
             f"rs AS (SELECT shape_id, kind, CASE WHEN kind = 0 THEN {_RECT_DUCK} "

@@ -131,3 +131,45 @@ def test_normalize_lidar_ground_fixture_sf001():
     """21 ground points (record_num % 59 == 0, classification 2)."""
     n = _audit([e for e in range(10000) if e % 59 == 0 and e % 8 == 2])
     assert n == 30
+
+
+def _r2v_fixture_cells():
+    """The junction-free raster-lines fixture from __spark_entry__
+    (_R2V_FIX_SPARK), rebuilt in plain Python."""
+    cells = {
+        1.0: {(10, c) for c in range(5, 26)} | {(14, c) for c in range(40, 56)},
+        2.0: {(r, r) for r in range(30, 51)},
+        3.0: ({(60, c) for c in range(60, 71)} | {(70, c) for c in range(60, 71)}
+              | {(r, 60) for r in range(61, 70)} | {(r, 70) for r in range(61, 70)}),
+    }
+    return cells
+
+
+def test_r2v_exact_fixture_is_junction_free():
+    """r2v_lines_exact's oracle is a canonical chain-decomposition
+    replay — sound only while every vertex of the fixture's edge graph
+    (after the elbow rule) has degree <= 2 and no foreground cell is
+    isolated. Re-derive the graph with the operator's own edge rules
+    and assert both properties."""
+    from collections import defaultdict
+
+    offs = [(0, 1), (1, 0), (1, 1), (1, -1)]
+    for v, fg in _r2v_fixture_cells().items():
+        edges = []
+        for (r, c) in fg:
+            for dr, dc in offs:
+                n = (r + dr, c + dc)
+                if n in fg:
+                    edges.append(((r, c), n))
+        kept = []
+        for (p, q) in edges:
+            if abs(p[0] - q[0]) == 1 and abs(p[1] - q[1]) == 1:
+                if (p[0], q[1]) in fg or (q[0], p[1]) in fg:
+                    continue  # the elbow-thinning rule
+            kept.append((p, q))
+        deg = defaultdict(int)
+        for p, q in kept:
+            deg[p] += 1
+            deg[q] += 1
+        assert max(deg.values()) <= 2, f"value {v}: junction present"
+        assert all(c in deg for c in fg), f"value {v}: isolated cell"
