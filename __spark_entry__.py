@@ -867,6 +867,39 @@ def _q_polygonize(spark, sf):
     return polygonize(segs)
 
 
+# Degree-2 polygonize fixture: three disjoint axis-aligned rectangles
+# (integer coordinates — shoelace terms exact, so the face area is the
+# same double in any summation order). Every arrangement node has
+# degree 2, so the half-edge clockwise-next rule is forced (the only
+# other edge at the node) and the trace degenerates to the two ring
+# orientations per rectangle; the positive-area (CCW) one survives,
+# starting at its min quantized node (the lower-left corner). That
+# canonical form is what the DuckDB oracle restates in closed form.
+_PGX_RECTS = ((1, 5.0, 5.0, 105.0, 55.0),
+              (2, 200.0, 300.0, 260.0, 420.0),
+              (3, 700.0, 100.0, 940.0, 180.0))
+
+
+def _q_polygonize_exact(spark, sf):
+    """Polygonize over the degree-2 rectangle fixture — oracle-gated
+    bit-exact: with max vertex degree 2 the face walk is canonical (see
+    _PGX_RECTS), exercising the full plan (segment split, node
+    quantization, min-label components, cogrouped trace, dense-rank
+    ids) end to end."""
+    from whitebox_tools_spark.operators.polygonize import polygonize
+
+    vals = []
+    for sid, x0, y0, x1, y1 in _PGX_RECTS:
+        ring = ((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))
+        for i in range(4):
+            (ax, ay), (bx, by) = ring[i], ring[i + 1]
+            vals.append(f"({sid}, {i}, {ax!r}D, {ay!r}D, {bx!r}D, {by!r}D)")
+    segs = spark.sql(
+        "SELECT * FROM VALUES " + ", ".join(vals) +
+        " AS t(shape_id, seg_idx, x1, y1, x2, y2)")
+    return polygonize(segs)
+
+
 def _q_contours_from_points(spark, sf):
     """ContoursFromPoints: TIN + per-triangle level cut (codegen cut
     stage). Rows-only (triangulation-dependent); linear-surface
@@ -3212,6 +3245,17 @@ def _q_contour_lidar(spark, sf):
                             base=0.0, interval=200.0, tile=20)
 
 
+def _q_contour_lidar_exact(spark, sf):
+    """ContourLidar over the audited 21-point ground sub-fixture (the
+    SAME certified point set as normalize_lidar_exact — its three-way
+    Delaunay audit in tests/test_tin_exact_oracle.py covers this twin
+    too): TIN of the cloud + codegen level cut, fully replayed in
+    DuckDB (empty-circumcircle triangles + the operator's three edge
+    interpolations in expression order)."""
+    pts = _lidar_points(spark, sf).where(f"{_NLX_PRED} AND record_num % 8 = 2")
+    return LI.contour_lidar(pts, _META40, base=0.0, interval=200.0, tile=4)
+
+
 def _q_lidar_rbf(spark, sf):
     """LidarRbfInterpolation: thin-plate RBF gridding of the LiDAR
     cloud (shared batched-numpy kernel). Rows-only; linear precision
@@ -3795,6 +3839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "natural_neighbour": _q_natural_neighbour,
         "rbf_interp": _q_rbf_interp,
         "contour_lidar": _q_contour_lidar,
+        "contour_lidar_exact": _q_contour_lidar_exact,
+        "polygonize_exact": _q_polygonize_exact,
         "lidar_rbf": _q_lidar_rbf,
         "construct_tin": _q_construct_tin,
         "construct_tin_exact": _q_construct_tin_exact,
@@ -11134,6 +11180,27 @@ def _geomorphons_oracle() -> str:
     )
 
 
+def _polygonize_exact_oracle() -> str:
+    """Closed-form replay of polygonize over the degree-2 rectangle
+    fixture (_PGX_RECTS): the forced face walk emits each rectangle's
+    CCW ring from its lower-left (min quantized node) corner, so the
+    oracle enumerates (ll, lr, ur, ul) per rectangle with the exact
+    integer-coordinate shoelace area; poly_id ranks the lower-left
+    keys (unique per face, so the successor tiebreak never fires)."""
+    vals = ", ".join(f"({sid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+                     for sid, x0, y0, x1, y1 in _PGX_RECTS)
+    return (
+        f"WITH rects(sid, x0, y0, x1, y1) AS (VALUES {vals}), "
+        "ranked AS (SELECT *, CAST(DENSE_RANK() OVER (ORDER BY x0, y0) AS INT) "
+        "AS poly_id FROM rects), "
+        "verts AS (SELECT poly_id, (x1 - x0) * (y1 - y0) AS area, v.vi, "
+        "CASE v.vi WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1 ELSE x0 END AS x, "
+        "CASE v.vi WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1 ELSE y1 END AS y "
+        "FROM ranked, (VALUES (0), (1), (2), (3)) v(vi)) "
+        "SELECT poly_id, CAST(vi AS INT) AS vertex_idx, x, y, area FROM verts"
+    )
+
+
 def _tin_exact_oracles() -> dict[str, str]:
     """Exact-Delaunay oracle twins for the TIN family
     (construct_tin_exact / tin_gridding_exact / tin_contours_exact /
@@ -11237,14 +11304,22 @@ def _tin_exact_oracles() -> dict[str, str]:
             f"THEN {{'x': {p}x + ({q}x - {p}x) * {t}, "
             f"'y': {p}y + ({q}y - {p}y) * {t}}} END")
     carr = f"list_filter([{', '.join(cedges)}], e -> e IS NOT NULL)"
-    contours = (
-        f"WITH raw AS ({_PTS_SQL}), {tris_cte(_TIN_EXACT_PRED)}, "
+    cut_body = (
         "lev AS (SELECT ax, ay, az, bx, by, bz, cx, cy, cz, "
         f"({base!r} + CAST(k.k AS DOUBLE) * {interval!r}) AS level "
         f"FROM tris, LATERAL UNNEST(generate_series({k0}, {k1})) AS k(k)), "
         f"segs AS (SELECT level, {carr} AS pts2 FROM lev) "
         "SELECT level, pts2[1].x AS x1, pts2[1].y AS y1, "
         "pts2[2].x AS x2, pts2[2].y AS y2 FROM segs WHERE len(pts2) = 2"
+    )
+    contours = (
+        f"WITH raw AS ({_PTS_SQL}), {tris_cte(_TIN_EXACT_PRED)}, {cut_body}"
+    )
+    # contour_lidar: the SAME cut replay over the certified 21-point
+    # ground fixture (normalize_lidar_exact's audited Delaunay)
+    contour_lidar = (
+        f"WITH raw AS ({_PTS_SQL}), "
+        f"{tris_cte(f'{_NLX_PRED} AND record_num % 8 = 2')}, {cut_body}"
     )
 
     # normalize_lidar: ground TIN (classification = record_num % 8 == 2)
@@ -11332,6 +11407,7 @@ def _tin_exact_oracles() -> dict[str, str]:
     return {"construct_tin_exact": construct,
             "tin_gridding_exact": gridding,
             "tin_contours_exact": contours,
+            "contour_lidar_exact": contour_lidar,
             "normalize_lidar_exact": normalize,
             "r2v_lines_exact": r2v}
 
@@ -11609,6 +11685,7 @@ def oracle_sql() -> dict[str, str]:
         **_lidar_normals_oracles(),
         **_tin_exact_oracles(),
         "geomorphons": _geomorphons_oracle(),
+        "polygonize_exact": _polygonize_exact_oracle(),
         "single_to_multi_part": (
             f"WITH base AS ({_SHAPES_BASE}), "
             f"rs AS (SELECT shape_id, kind, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
