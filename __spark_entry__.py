@@ -3344,6 +3344,25 @@ def _q_normalize_lidar_exact(spark, sf):
                               _META40)
 
 
+# LidarDSM twin: here the TIN runs over DERIVED points — the per-cell
+# block maxima at _META40 cell centers (lattice multiples of 12.5, exact
+# doubles). Lattice point sets normally breed co-circular quads (any
+# cell rectangle), which is why the full-fixture lidar_dsm stays
+# rows-only; this modulus was found by scanning (K, r) sub-fixtures for
+# one whose 58 occupied-cell centers pass the three-way exact-Delaunay
+# audit (tests/test_tin_exact_oracle.py::test_lidar_dsm_fixture_sf001).
+_DSM_EXACT_PRED = "record_num % 175 = 0"   # 58 pts -> 58 cells: audited
+
+
+def _q_lidar_dsm_exact(spark, sf):
+    """LidarDSM over the audited sub-fixture — oracle-gated bit-exact
+    end to end: block max (exact SQL agg) -> certified Delaunay of the
+    cell-center maxima (== the empty-circumcircle replay on this
+    fixture) -> codegen barycentric fill -> COALESCE(direct, TIN)."""
+    return LI.lidar_dsm(_lidar_points(spark, sf).where(_DSM_EXACT_PRED),
+                        _META40, first_returns_only=False)
+
+
 # Junction-free raster-lines fixture (spec shared with the DuckDB
 # oracle): two disjoint horizontal strokes (value 1 — exercises the
 # per-value line_id ordering), one diagonal stroke (value 2), one
@@ -3847,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tin_gridding_exact": _q_tin_gridding_exact,
         "tin_contours_exact": _q_tin_contours_exact,
         "normalize_lidar_exact": _q_normalize_lidar_exact,
+        "lidar_dsm_exact": _q_lidar_dsm_exact,
         "r2v_lines_exact": _q_r2v_lines_exact,
         "knn_wbt": _q_knn_wbt,
         "ann_lsh": _q_ann_lsh,
@@ -11292,6 +11312,34 @@ def _tin_exact_oracles() -> dict[str, str]:
         "SELECT row, col, value FROM ranked WHERE rk = 1"
     )
 
+    # lidar_dsm twin: block max (exact agg) -> empty-circumcircle TIN of
+    # the 58 occupied-cell centers (audited lattice sub-fixture, see
+    # _DSM_EXACT_PRED) -> the operator's barycentric fill text ->
+    # COALESCE(direct max, TIN value), replaying lidar.lidar_dsm end
+    # to end.
+    grid_fill = (
+        "scored AS (SELECT row, col, az, bz, cz, ax, ay, bx, by, cx, cy, "
+        f"{l1} AS ll1, {l2} AS ll2 FROM cand WHERE {det} != 0.0), "
+        "scored2 AS (SELECT *, (1.0 - ll1 - ll2) AS ll3 FROM scored "
+        "WHERE ll1 >= -1e-12 AND ll2 >= -1e-12 AND (1.0 - ll1 - ll2) >= -1e-12), "
+        "ranked AS (SELECT row, col, ll1 * az + ll2 * bz + ll3 * cz AS value, "
+        "ROW_NUMBER() OVER (PARTITION BY row, col ORDER BY ax, ay, bx, by, cx, cy) AS rk "
+        "FROM scored2), "
+        "grid AS (SELECT row, col, value FROM ranked WHERE rk = 1)"
+    )
+    dsm = (
+        f"WITH raw0 AS ({_PTS_SQL}), "
+        "bmax AS (SELECT row, col, MAX(value) AS value FROM ("
+        f"SELECT {rexp('y')} AS row, {cexp('x')} AS col, value "
+        f"FROM raw0 WHERE {_DSM_EXACT_PRED}) "
+        f"WHERE row >= 0 AND row < {M.rows} AND col >= 0 AND col < {M.columns} "
+        "GROUP BY 1, 2), "
+        f"raw AS (SELECT {qx} AS x, {qy} AS y, value FROM bmax), "
+        f"{tris_cte('TRUE')}, {spread}, {grid_fill} "
+        "SELECT row, col, COALESCE(b.value, g.value) AS value "
+        "FROM grid g FULL JOIN bmax b USING (row, col)"
+    )
+
     # contours: the operator's level explode + three edge interpolations
     base, interval = 0.0, 200.0
     k0 = f"CAST(CEIL((LEAST(az, bz, cz) - {base!r}) / {interval!r}) AS BIGINT)"
@@ -11409,6 +11457,7 @@ def _tin_exact_oracles() -> dict[str, str]:
             "tin_contours_exact": contours,
             "contour_lidar_exact": contour_lidar,
             "normalize_lidar_exact": normalize,
+            "lidar_dsm_exact": dsm,
             "r2v_lines_exact": r2v}
 
 

@@ -133,6 +133,51 @@ def test_normalize_lidar_ground_fixture_sf001():
     assert n == 30
 
 
+def _audit_points(pts):
+    """Three-way Delaunay audit on an explicit (x, y, z) point list
+    (the lidar_dsm twin's TIN runs over DERIVED points — the
+    block-max cell centers — not a sub-slice of the raw fixture)."""
+    assert len({(x, y) for x, y, _ in pts}) == len(pts)
+    P = np.array([(x, y) for x, y, _ in pts])
+    kernel = {tuple(sorted((pts[a], pts[b], pts[c])))
+              for a, b, c in delaunay(P)}
+    exact = _exact_delaunay(pts)
+    fl = _float_emptiness(pts)
+    assert kernel == exact, (
+        f"kernel B-W differs from the exact Delaunay "
+        f"({len(kernel)} vs {len(exact)} triangles)")
+    assert fl == exact, (
+        f"float emptiness rule differs from the exact Delaunay "
+        f"({len(fl)} vs {len(exact)} triangles)")
+    return len(exact)
+
+
+def test_lidar_dsm_fixture_sf001():
+    """lidar_dsm_exact's TIN input: block-max cell centers of the
+    record_num % 175 == 0 sub-fixture at _META40 (40x40, res 25).
+    Cell centers are lattice multiples of 12.5 (exact doubles, exact
+    integers after the 2^60 scale); lattice sets normally carry
+    co-circular quads (any cell rectangle breaks the order-free
+    replay), so this audit is the twin's soundness certificate —
+    these 58 occupied cells happen to admit a unique float-exact
+    Delaunay (101 triangles, verified three ways)."""
+    import math
+
+    ids = [e for e in range(10000) if e % 175 == 0]
+    cells = {}
+    for x, y, z in _fixture_points(ids):
+        r = math.floor((1000.0 - y) / 25.0)
+        c = math.floor((x - 0.0) / 25.0)
+        if 0 <= r < 40 and 0 <= c < 40:
+            k = (r, c)
+            cells[k] = max(cells.get(k, float("-inf")), z)
+    assert len(ids) == 58 and len(cells) == 58
+    pts = sorted((0.0 + (c + 0.5) * 25.0, 1000.0 - (r + 0.5) * 25.0, z)
+                 for (r, c), z in cells.items())
+    n = _audit_points(pts)
+    assert n == 101
+
+
 def _r2v_fixture_cells():
     """The junction-free raster-lines fixture from __spark_entry__
     (_R2V_FIX_SPARK), rebuilt in plain Python."""
