@@ -2647,6 +2647,61 @@ def _q_linearity(spark, sf):
     return VO.linearity_index(_shapes(spark, sf))
 
 
+# box_metrics twin: a jittered convex-PENTAGON fixture where the
+# min-area box is decided with real margins. The rect/diamond layer's
+# caliper candidates tie EXACTLY (the reason box_metrics stays
+# rows-only), and quadrilaterals carry a geometric identity that makes
+# adjacent edge-flush boxes exactly equal-area on ~25% of random
+# shapes (verified in exact rational arithmetic during fixture
+# selection); pentagons break the identity. Audited shape-by-shape by
+# tests/test_box_metrics_oracle.py: convexity, a >=1e-6 separated min
+# box (or bitwise-benign ties), du/dv separation, azimuth away from
+# the 0/180 wrap, all three outputs >=1e-4 from their rounding
+# half-grid, and MEC candidate margins.
+_BMX_PRED = "event_id % 173 = 1"   # 58 pentagons at sf0.01: audited
+_BMX_DIRS = (("1.0", "0.0"), ("0.31", "0.95"), ("-0.81", "0.59"),
+             ("-0.81", "-0.59"), ("0.31", "-0.95"))
+_BMX_PR = (7919, 104729, 12553, 30011, 65537)
+_BMX_PJ = (131, 257, 389, 521, 641)
+
+
+def _bmx_verts_sql() -> str:
+    """Shared (Spark == DuckDB) pentagon vertex layer: per vertex k,
+    radius 8..12 along a fixed direction + +-0.3 jitter, every term a
+    correctly-rounded float expression identical in both engines."""
+    cols = []
+    for k in range(5):
+        rad = (f"(8.0 + CAST((shape_id * {_BMX_PR[k]}) % 400 AS DOUBLE) "
+               "/ 100.0)")
+        jx = (f"(CAST((shape_id * {_BMX_PJ[k]}) % 100 AS DOUBLE) "
+              "/ 100.0 * 0.6 - 0.3)")
+        jy = (f"(CAST((shape_id * {_BMX_PJ[k] + 6}) % 100 AS DOUBLE) "
+              "/ 100.0 * 0.6 - 0.3)")
+        cols.append(f"cx + {rad} * {_BMX_DIRS[k][0]} + {jx} AS x{k}")
+        cols.append(f"cy + {rad} * {_BMX_DIRS[k][1]} + {jy} AS y{k}")
+    base = (f"SELECT event_id AS shape_id, {_PX} AS cx, {_PY} AS cy "
+            f"FROM events WHERE {_BMX_PRED}")
+    return f"SELECT shape_id, {', '.join(cols)} FROM ({base})"
+
+
+def _q_box_metrics_exact(spark, sf):
+    """ElongationRatio / PatchOrientation / RelatedCircumscribingCircle
+    over the audited convex-pentagon fixture — oracle-gated: the DuckDB
+    twin restates the calipers order-free (min over the 5 edge-flush
+    boxes) and the MEC as min-radius over the 20 candidate circles
+    containing all vertices; margins audited per shape."""
+    _reg(spark, sf, "events")
+    ring = ", ".join(f"STRUCT(x{k} AS x, y{k} AS y)" for k in range(5))
+    feats = spark.sql(_bmx_verts_sql()).selectExpr(
+        "shape_id",
+        "ARRAY(STRUCT(0 AS part_idx, FALSE AS is_hole, "
+        f"ARRAY({ring}, STRUCT(x0 AS x, y0 AS y)) AS ring)) AS parts")
+    out = VO.box_metrics(feats)
+    return out.selectExpr("shape_id", "ROUND(elongation, 6) AS elongation",
+                          "ROUND(orientation, 4) AS orientation",
+                          "ROUND(rc_circle, 6) AS rc_circle")
+
+
 def _q_box_metrics(spark, sf):
     """Min-bounding-box elongation/orientation + minimum-enclosing-circle
     metric — rows-only: the diamond fixture's four caliper edges tie
@@ -3724,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca3": _q_pca3,
         "linearity": _q_linearity,
         "box_metrics": _q_box_metrics,
+        "box_metrics_exact": _q_box_metrics_exact,
         "ihs_roundtrip": _q_ihs_roundtrip,
         "max_elev_dev": _q_max_elev_dev,
         "multiscale_rough": _q_multiscale_rough,
@@ -11221,6 +11277,83 @@ def _polygonize_exact_oracle() -> str:
     )
 
 
+def _box_metrics_exact_oracle() -> str:
+    """Order-free DuckDB restatement of box_metrics over the audited
+    pentagon fixture: min-area box = strict min over the 5 edge-flush
+    boxes (projection arithmetic: +,-,*,/ and the correctly-rounded
+    SQRT — the kernel's hypot/BLAS-dot differ only in the last ulps,
+    absorbed by the ROUNDed outputs with audited half-grid margins);
+    MEC = min radius over the 20 candidate circles (10 diametral pairs
+    + 10 circumcircles) containing all five vertices within the
+    kernel's 1e-9 eps — the true MEC is always a candidate and no
+    containing circle is smaller, so the min is exact; margins audited
+    in tests/test_box_metrics_oracle.py."""
+    from itertools import combinations
+
+    N = 5
+    vcols = ", ".join(f"x{k}, y{k}" for k in range(N))
+    shoe = " + ".join(
+        f"(x{i} * y{(i + 1) % N} - x{(i + 1) % N} * y{i})" for i in range(N))
+    area = f"farea AS (SELECT shape_id, ABS({shoe}) / 2.0 AS a FROM verts)"
+    edges = " UNION ALL ".join(
+        f"SELECT shape_id, {i} AS eidx, "
+        f"x{(i + 1) % N} - x{i} AS dx, y{(i + 1) % N} - y{i} AS dy, "
+        f"{vcols} FROM verts" for i in range(N))
+    pu = lambda ux, uy: ", ".join(
+        f"x{k} * {ux} + y{k} * {uy}" for k in range(N))
+    proj = (
+        "eu AS (SELECT *, dx / SQRT(dx * dx + dy * dy) AS ux, "
+        "dy / SQRT(dx * dx + dy * dy) AS uy FROM edges), "
+        f"proj AS (SELECT shape_id, eidx, ux, uy, "
+        f"GREATEST({pu('ux', 'uy')}) - LEAST({pu('ux', 'uy')}) AS du, "
+        f"GREATEST({pu('(-uy)', 'ux')}) - LEAST({pu('(-uy)', 'ux')}) AS dv "
+        "FROM eu), "
+        "best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shape_id "
+        "ORDER BY du * dv, eidx) AS rk FROM proj), "
+        "bm AS (SELECT shape_id, "
+        "CASE WHEN du >= dv THEN 1.0 - dv / du ELSE 1.0 - du / dv END AS elongation, "
+        "FMOD(FMOD(90.0 - DEGREES(CASE WHEN du >= dv THEN ATAN2(uy, ux) "
+        "ELSE ATAN2(ux, -uy) END), 180.0) + 180.0, 180.0) AS orientation "
+        "FROM best WHERE rk = 1)"
+    )
+    cands = []
+    for i, j in combinations(range(N), 2):
+        cands.append(
+            f"SELECT shape_id, (x{i} + x{j}) / 2.0 AS ccx, "
+            f"(y{i} + y{j}) / 2.0 AS ccy, "
+            f"SQRT((x{i} - (x{i} + x{j}) / 2.0) * (x{i} - (x{i} + x{j}) / 2.0) + "
+            f"(y{i} - (y{i} + y{j}) / 2.0) * (y{i} - (y{i} + y{j}) / 2.0)) AS r, "
+            f"{vcols} FROM verts")
+    for i, j, k in combinations(range(N), 3):
+        d = (f"(2.0 * (x{i} * (y{j} - y{k}) + x{j} * (y{k} - y{i}) "
+             f"+ x{k} * (y{i} - y{j})))")
+        s = lambda t: f"(x{t} * x{t} + y{t} * y{t})"
+        ux = (f"(({s(i)} * (y{j} - y{k}) + {s(j)} * (y{k} - y{i}) "
+              f"+ {s(k)} * (y{i} - y{j})) / {d})")
+        uy = (f"(({s(i)} * (x{k} - x{j}) + {s(j)} * (x{i} - x{k}) "
+              f"+ {s(k)} * (x{j} - x{i})) / {d})")
+        cands.append(
+            f"SELECT shape_id, {ux} AS ccx, {uy} AS ccy, "
+            f"SQRT((x{i} - {ux}) * (x{i} - {ux}) + (y{i} - {uy}) * (y{i} - {uy})) AS r, "
+            f"{vcols} FROM verts WHERE {d} != 0.0")
+    contain = " AND ".join(
+        f"SQRT((x{k} - ccx) * (x{k} - ccx) + (y{k} - ccy) * (y{k} - ccy)) "
+        "<= r + 1e-9" for k in range(N))
+    mec = (
+        f"cand AS ({' UNION ALL '.join(cands)}), "
+        f"mec AS (SELECT shape_id, MIN(r) AS r FROM cand WHERE {contain} "
+        "GROUP BY shape_id)"
+    )
+    return (
+        f"WITH verts AS ({_bmx_verts_sql()}), {area}, "
+        f"edges AS ({edges}), {proj}, {mec} "
+        "SELECT b.shape_id, ROUND(b.elongation, 6) AS elongation, "
+        "ROUND(b.orientation, 4) AS orientation, "
+        "ROUND(1.0 - (fa.a / (PI() * m.r * m.r)), 6) AS rc_circle "
+        "FROM bm b JOIN farea fa USING (shape_id) JOIN mec m USING (shape_id)"
+    )
+
+
 def _tin_exact_oracles() -> dict[str, str]:
     """Exact-Delaunay oracle twins for the TIN family
     (construct_tin_exact / tin_gridding_exact / tin_contours_exact /
@@ -11733,6 +11866,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         **_lidar_normals_oracles(),
         **_tin_exact_oracles(),
+        "box_metrics_exact": _box_metrics_exact_oracle(),
         "geomorphons": _geomorphons_oracle(),
         "polygonize_exact": _polygonize_exact_oracle(),
         "single_to_multi_part": (
