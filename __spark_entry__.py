@@ -1923,7 +1923,15 @@ def _q_impoundment_index(spark, sf):
 
 
 def _q_insert_dams(spark, sf):
-    """Per-dam numpy kernel (profile search) — rows-only + pytest."""
+    """Per-dam numpy kernel (profile search) — oracle-gated bit-exact
+    (round-5 upgrade): the kernel is pure comparisons and selections
+    (profiles copy DEM values; the bidirectional shoulder fill is a
+    running max; the crest argmax is strict-> with row-major-then-
+    direction scan order), so the DuckDB replay — on-line candidates ×
+    4 directions, window-function water-fill max(prof, min(maxleft,
+    maxright)) (loop equivalence fuzz-verified 200k profiles), ORDER BY
+    crest DESC, row, col, d tie-break, and the second-row writes —
+    reproduces every output bit with no float arithmetic at all."""
     dams = spark.createDataFrame(
         [(1, 105.0, 105.0), (2, 255.0, 305.0)],
         "dam_id long, x double, y double")
@@ -11354,6 +11362,61 @@ def _box_metrics_exact_oracle() -> str:
     )
 
 
+def _insert_dams_oracle() -> str:
+    """Bit-exact DuckDB replay of hydro.insert_dams on the driver's
+    dam set (h=3, L=7, _META40C). The kernel creates no floats — every
+    profile/fill/crest value is a selection of an input DEM value — so
+    the replay is exact by construction: hit-candidates are the cells
+    on the 4 dam lines within h of the target; the bidirectional
+    shoulder fill is filled[j] = max(prof[j], min(running-max-left,
+    running-max-right)) (fuzz-verified equivalent to the kernel's
+    two-pass loop incl. -inf gaps); the winner is strict-> first-wins
+    in row-major-then-direction scan order (ORDER BY crest DESC, row,
+    col, d); edits follow the kernel's put() rules (primary cell must
+    exist; the second-row write fires at j=h always and elsewhere only
+    for diagonal dams d in (0,2)); dams then cells merge by MAX."""
+    h, L = 3, 7
+    rexp = "CAST(FLOOR((400.0 - y) / 10.0) AS BIGINT)"
+    cexp = "CAST(FLOOR((x - 0.0) / 10.0) AS BIGINT)"
+    return (
+        f"WITH ras AS ({_RAS_C_SQL}), "
+        "dampts(dam_id, x, y) AS (VALUES (1, 105.0, 105.0), (2, 255.0, 305.0)), "
+        f"dams AS (SELECT dam_id, {rexp} AS trow, {cexp} AS tcol FROM dampts), "
+        # p1 direction per d (perp1 = [2,3,4,1] into the D8 tables)
+        "dirs(d, ddx, ddy) AS (VALUES (0, 1, 1), (1, 0, 1), (2, -1, 1), (3, 1, 0)), "
+        f"offs AS (SELECT o.o FROM UNNEST(generate_series({-h}, {h})) o(o)), "
+        # candidate cells with a target hit: cand = target - o*p1, tc = h+o
+        "cand AS (SELECT dam_id, trow, tcol, d, ddx, ddy, o, "
+        "trow - o * ddy AS crow, tcol - o * ddx AS ccol FROM dams, dirs, offs), "
+        "candv AS (SELECT c.* FROM cand c JOIN ras r ON r.row = c.crow AND r.col = c.ccol), "
+        f"profc AS (SELECT cv.*, j.j, cv.crow + (j.j - {h}) * cv.ddy AS prow, "
+        f"cv.ccol + (j.j - {h}) * cv.ddx AS pcol "
+        f"FROM candv cv, UNNEST(generate_series(0, {L - 1})) j(j)), "
+        "prof AS (SELECT p.dam_id, p.d, p.o, p.crow, p.ccol, p.ddx, p.ddy, p.j, "
+        "COALESCE(r.value, CAST('-infinity' AS DOUBLE)) AS pz "
+        "FROM profc p LEFT JOIN ras r ON r.row = p.prow AND r.col = p.pcol), "
+        "fil AS (SELECT *, GREATEST(pz, LEAST("
+        "MAX(pz) OVER (PARTITION BY dam_id, d, o ORDER BY j ROWS UNBOUNDED PRECEDING), "
+        "MAX(pz) OVER (PARTITION BY dam_id, d, o ORDER BY j "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))) AS fz FROM prof), "
+        f"scored AS (SELECT dam_id, d, o, crow, ccol, fz AS ftc FROM fil WHERE j = {h} + o), "
+        "win AS (SELECT dam_id, d, o FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY dam_id ORDER BY ftc DESC, crow, ccol, d) AS rk FROM scored) WHERE rk = 1), "
+        "wfil AS (SELECT f.* FROM fil f JOIN win w USING (dam_id, d, o)), "
+        f"prim AS (SELECT w.dam_id, r.row, r.col, w.fz, w.d, w.j "
+        f"FROM wfil w JOIN ras r ON r.row = w.crow + (w.j - {h}) * w.ddy "
+        f"AND r.col = w.ccol + (w.j - {h}) * w.ddx), "
+        f"sec AS (SELECT p.dam_id, r.row, r.col, p.fz FROM prim p "
+        f"JOIN ras r ON r.row = p.row - 1 AND r.col = p.col "
+        f"WHERE p.d IN (0, 2) OR p.j = {h}), "
+        "edits AS (SELECT row, col, MAX(fz) AS dz FROM ("
+        "SELECT row, col, fz FROM prim UNION ALL SELECT row, col, fz FROM sec) "
+        "GROUP BY 1, 2) "
+        "SELECT r.row, r.col, GREATEST(r.value, COALESCE(e.dz, r.value)) AS value "
+        "FROM ras r LEFT JOIN edits e USING (row, col)"
+    )
+
+
 def _tin_exact_oracles() -> dict[str, str]:
     """Exact-Delaunay oracle twins for the TIN family
     (construct_tin_exact / tin_gridding_exact / tin_contours_exact /
@@ -11867,6 +11930,7 @@ def oracle_sql() -> dict[str, str]:
         **_lidar_normals_oracles(),
         **_tin_exact_oracles(),
         "box_metrics_exact": _box_metrics_exact_oracle(),
+        "insert_dams": _insert_dams_oracle(),
         "geomorphons": _geomorphons_oracle(),
         "polygonize_exact": _polygonize_exact_oracle(),
         "single_to_multi_part": (
