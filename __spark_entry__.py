@@ -1917,8 +1917,14 @@ def _q_burn_streams_at_roads(spark, sf):
 
 
 def _q_impoundment_index(spark, sf):
-    """Tile+halo crest kernel + exact closure flood stats — rows-only +
-    pytest (numpy transcription)."""
+    """Tile+halo crest kernel + exact closure flood stats —
+    oracle-gated bit-exact (round-5 upgrade): the crest kernel is pure
+    selections (water-fill running maxes of DEM values, no float
+    arithmetic), so the DuckDB replay — every cell x 4 directions x 7
+    positions, window-function fill, MAX per target, then the
+    recursive-CTE D8 reach closure and exact integer flood sums —
+    reproduces every output bit; halo = 2h makes the tile layout
+    immaterial. Also pytest (numpy transcription)."""
     return HY.impoundment_size_index(_ras_c(spark, sf), _META40C, 7.0)
 
 
@@ -11417,6 +11423,76 @@ def _insert_dams_oracle() -> str:
     )
 
 
+def _impoundment_oracle() -> str:
+    """Bit-exact DuckDB replay of hydro.impoundment_size_index (h=3,
+    _META40C). Crest surface: like _insert_dams_oracle, the dam-height
+    kernel creates no floats — every crest value is a selection of a
+    DEM value through the water-fill — so the scatter (every cell x 4
+    directions x 7 positions, window-function fill, MAX per target
+    cell) replays exactly; the tile+halo layout is immaterial because
+    halo = 2h covers every contributing center. Flood stats: the D8
+    reach closure is the recursive CTE over the shared pointer-fold
+    expression (as the flow-accumulation oracles), and z < crest /
+    SUM(crest - z) are exact (integer-valued doubles), volume and
+    mean_depth replay the operator's expression text."""
+    h, L, W = 3, 7, 40
+    M = _META40C
+    crest_ctes = (
+        "dirs4(d, ddx, ddy) AS (VALUES (0, 1, 1), (1, 0, 1), (2, -1, 1), (3, 1, 0)), "
+        f"profc AS (SELECT b.row AS crow, b.col AS ccol, d.d, d.ddx, d.ddy, j.j, "
+        f"b.row + (j.j - {h}) * d.ddy AS prow, b.col + (j.j - {h}) * d.ddx AS pcol "
+        f"FROM ras b, dirs4 d, UNNEST(generate_series(0, {L - 1})) j(j)), "
+        "prof AS (SELECT p.*, COALESCE(r.value, CAST('-infinity' AS DOUBLE)) AS pz "
+        "FROM profc p LEFT JOIN ras r ON r.row = p.prow AND r.col = p.pcol), "
+        "fil AS (SELECT *, GREATEST(pz, LEAST("
+        "MAX(pz) OVER (PARTITION BY crow, ccol, d ORDER BY j ROWS UNBOUNDED PRECEDING), "
+        "MAX(pz) OVER (PARTITION BY crow, ccol, d ORDER BY j "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))) AS fz FROM prof), "
+        "crest AS MATERIALIZED (SELECT f.prow AS row, f.pcol AS col, "
+        "MAX(f.fz) AS crest FROM fil f JOIN ras r ON r.row = f.prow "
+        "AND r.col = f.pcol WHERE isfinite(f.fz) GROUP BY 1, 2)"
+    )
+    offs = ", ".join(
+        f"({i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8)
+    ) + ", (8, 0, 0)"
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN n = {i} THEN nv END) AS zn_{i}" for i in range(8)
+    ) + ", MAX(CASE WHEN n = 8 THEN nv END) AS zc"
+    dirs = ", ".join(
+        f"({1 << i}, {HY.D8_DY[i]}, {HY.D8_DX[i]})" for i in range(8))
+    closure_ctes = (
+        f"offs8 AS (SELECT * FROM (VALUES {offs}) o(n, dy, dx)), "
+        "sc8 AS (SELECT a.row - o.dy AS row, a.col - o.dx AS col, o.n AS n, "
+        "a.value AS nv FROM ras a, offs8 o), "
+        f"piv AS (SELECT row, col, {piv_cols} FROM sc8 GROUP BY 1, 2), "
+        f"ptr AS MATERIALIZED (SELECT row, col, "
+        f"{HY.d8_pointer_value_expr(M)} AS value FROM piv WHERE zc IS NOT NULL), "
+        f"dirsb AS (SELECT * FROM (VALUES {dirs}) d(code, dy, dx)), "
+        f"e AS MATERIALIZED (SELECT (p.row * {W} + p.col) AS src, "
+        f"((p.row + d.dy) * {W} + (p.col + d.dx)) AS dst "
+        "FROM ptr p JOIN dirsb d ON d.code = CAST(p.value AS INT) WHERE p.value > 0), "
+        f"nodes AS MATERIALIZED (SELECT row, col, (row * {W} + col) AS id FROM ptr), "
+        "reach(src, dst) AS (SELECT id, id FROM nodes UNION "
+        "SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)"
+    )
+    return (
+        f"WITH RECURSIVE ras AS MATERIALIZED ({_RAS_C_SQL}), "
+        f"{crest_ctes}, {closure_ctes}, "
+        f"crestn AS (SELECT (row * {W} + col) AS cid, crest FROM crest), "
+        f"z AS (SELECT (row * {W} + col) AS zid, value AS z FROM ras), "
+        "flooded AS (SELECT r.dst AS cid, COUNT(*) AS n, "
+        "SUM(c.crest - z.z) AS sumd FROM reach r "
+        "JOIN crestn c ON c.cid = r.dst JOIN z ON z.zid = r.src "
+        "WHERE z.z < c.crest GROUP BY 1) "
+        "SELECT n2.row, n2.col, c.crest AS dam_height, "
+        "CAST(COALESCE(f.n, 0) AS DOUBLE) AS flooded_cells, "
+        "COALESCE(f.sumd, 0.0) * 100.0 AS volume, "
+        "CASE WHEN COALESCE(f.n, 0) > 0 THEN f.sumd / f.n ELSE 0.0 END AS mean_depth "
+        "FROM crestn c JOIN nodes n2 ON n2.id = c.cid "
+        "LEFT JOIN flooded f ON f.cid = c.cid"
+    )
+
+
 def _tin_exact_oracles() -> dict[str, str]:
     """Exact-Delaunay oracle twins for the TIN family
     (construct_tin_exact / tin_gridding_exact / tin_contours_exact /
@@ -11931,6 +12007,7 @@ def oracle_sql() -> dict[str, str]:
         **_tin_exact_oracles(),
         "box_metrics_exact": _box_metrics_exact_oracle(),
         "insert_dams": _insert_dams_oracle(),
+        "impoundment_index": _impoundment_oracle(),
         "geomorphons": _geomorphons_oracle(),
         "polygonize_exact": _polygonize_exact_oracle(),
         "single_to_multi_part": (
