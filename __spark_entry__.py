@@ -3179,9 +3179,38 @@ def _q_dinf_accum(spark, sf):
 
 def _q_breach(spark, sf):
     """BreachDepressionsLeastCost — rows-only; kernel transcription and
-    the drainage property are pytest-gated (tests/test_breach.py)."""
+    the drainage property are pytest-gated (tests/test_breach.py). The
+    full per-pit Dijkstra IS oracle-gated on the audited single-pit
+    fixture (breach_depressions_exact)."""
     return HY.breach_depressions_least_cost(
         _ras(spark, sf, "a").where("row < 40 AND col < 40"), _META40F, max_dist=10)
+
+
+# breach twin fixture: a 12x12 west-tilted plane (z = 50 + 2*col + row)
+# with one dent at (6,1) = 40. The least-cost Dijkstra from the single
+# pit terminates on its SECOND pop (winner = the min-z ring neighbor at
+# col 0; its first off-grid scan direction n=4 is the breach target),
+# so the whole search unrolls into two deterministic SQL stages —
+# tests/test_breach_exact_oracle.py re-runs the kernel loop and pins
+# pops == 2, the single pit, and round-2 pit-freeness.
+_BRX_META = GridMeta(rows=12, columns=12, north=120.0, south=0.0,
+                     east=120.0, west=0.0, resolution_x=10.0,
+                     resolution_y=10.0)
+
+
+def _q_breach_exact(spark, sf):
+    """BreachDepressionsLeastCost over the audited single-pit fixture —
+    oracle-gated bit-exact: raise (min-neighbor - flat_increment),
+    ring-cost argmin with the kernel's (accum, counter) = (cost, n)
+    tie order, first off-grid target in scan order, and the backlink
+    carve to the declining zout profile; every float is the same
+    expression text (z_pit - length * 0.01) in both engines."""
+    dem = spark.range(144).selectExpr(
+        "id DIV 12 AS row", "id % 12 AS col",
+        "CASE WHEN id DIV 12 = 6 AND id % 12 = 1 THEN 40.0 "
+        "ELSE CAST(50 + 2 * (id % 12) + id DIV 12 AS DOUBLE) END AS value")
+    return HY.breach_depressions_least_cost(dem, _BRX_META,
+                                            flat_increment=0.01)
 
 
 def _q_d8_accum(spark, sf):
@@ -3903,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd8_accum": _q_fd8_accum,
         "dinf_accum": _q_dinf_accum,
         "breach_depressions": _q_breach,
+        "breach_depressions_exact": _q_breach_exact,
         "contours": _q_contours,
         "r2v_lines": _q_r2v_lines,
         "wetness": _q_wetness,
@@ -11495,6 +11525,64 @@ def _nn_exact_oracle() -> str:
     return f"WITH raw AS ({_PTS_SQL}), {tris}, {body}"
 
 
+def _breach_exact_oracle() -> str:
+    """Bit-exact DuckDB replay of breach_depressions_least_cost on the
+    single-pit twin fixture (see _q_breach_exact). Sound because the
+    pytest-pinned structure makes the Dijkstra finite: pop 1 (the pit)
+    pushes its 8 ring neighbors; pop 2 (ring argmin by the kernel's
+    (accum, counter) = (cost, n) order) finds the breach target at its
+    first non-encountered scan direction (off-grid rim). Every float
+    both engines compute is the same expression text over the same
+    inputs (min_zn - 0.01 raise, zn - (z_pit - length * 0.01) costs,
+    z_pit - length * 0.01 carves), so comparisons and outputs agree
+    bitwise — including exact cost ties, which both sides break on n."""
+    offs = ", ".join(f"({n}, {HY.D8_DY[n]}, {HY.D8_DX[n]})" for n in range(8))
+    return (
+        "WITH dem AS (SELECT a.range AS row, b.range AS col, "
+        "CASE WHEN a.range = 6 AND b.range = 1 THEN 40.0 "
+        "ELSE CAST(50 + 2 * b.range + a.range AS DOUBLE) END AS value "
+        "FROM range(0, 12) a, range(0, 12) b), "
+        f"offs(n, dy, dx) AS (VALUES {offs}), "
+        "nb AS (SELECT d.row, d.col, d.value, o.n, e.value AS zn "
+        "FROM dem d JOIN offs o ON TRUE "
+        "LEFT JOIN dem e ON e.row = d.row + o.dy AND e.col = d.col + o.dx), "
+        "agg AS (SELECT row, col, MIN(value) AS zc, COUNT(zn) AS nn, "
+        "MIN(zn) AS min_zn FROM nb GROUP BY 1, 2), "
+        "pit AS (SELECT row AS prow, col AS pcol, zc AS z_pit, min_zn "
+        "FROM agg WHERE nn = 8 AND min_zn >= zc), "
+        "raised AS MATERIALIZED (SELECT d.row, d.col, "
+        "CASE WHEN p.prow IS NOT NULL THEN p.min_zn - 0.01 ELSE d.value END AS value "
+        "FROM dem d LEFT JOIN pit p ON p.prow = d.row AND p.pcol = d.col), "
+        # pop 1: the pit pushes its ring; pop 2 = (cost, n) argmin
+        "ring AS (SELECT p.prow, p.pcol, p.z_pit, o.n, r.row, r.col, "
+        "r.value AS zn FROM pit p JOIN offs o ON TRUE "
+        "JOIN raised r ON r.row = p.prow + o.dy AND r.col = p.pcol + o.dx), "
+        "win AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY prow, pcol ORDER BY zn - (z_pit - 1 * 0.01), n) AS rk "
+        "FROM ring) WHERE rk = 1), "
+        # pop 2's scan: skip encountered (Chebyshev <= 1 of the pit),
+        # first trigger (off-grid or zn <= zout(2)) in n order
+        "tscan AS (SELECT w.prow, w.pcol, w.z_pit, w.row AS wrow, "
+        "w.col AS wcol, w.zn AS wz, o.n AS tn, r2.value AS tz "
+        "FROM win w JOIN offs o ON TRUE "
+        "LEFT JOIN raised r2 ON r2.row = w.row + o.dy AND r2.col = w.col + o.dx "
+        "WHERE NOT (ABS(w.row + o.dy - w.prow) <= 1 "
+        "AND ABS(w.col + o.dx - w.pcol) <= 1)), "
+        "tgt AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY prow, pcol ORDER BY tn) AS rk FROM tscan "
+        "WHERE tz IS NULL OR tz <= z_pit - 2 * 0.01) WHERE rk = 1), "
+        # backlink carve: winner down to zout(1), pit down to zout(0)
+        "carves AS (SELECT t.wrow AS row, t.wcol AS col, "
+        "t.z_pit - 1 * 0.01 AS carve FROM tgt t WHERE t.wz > t.z_pit - 1 * 0.01 "
+        "UNION ALL SELECT t.prow, t.pcol, t.z_pit - 0 * 0.01 FROM tgt t "
+        "JOIN raised rp ON rp.row = t.prow AND rp.col = t.pcol "
+        "WHERE rp.value > t.z_pit - 0 * 0.01), "
+        "cmin AS (SELECT row, col, MIN(carve) AS carve FROM carves GROUP BY 1, 2) "
+        "SELECT r.row, r.col, LEAST(r.value, COALESCE(c.carve, r.value)) AS value "
+        "FROM raised r LEFT JOIN cmin c USING (row, col)"
+    )
+
+
 def _insert_dams_oracle() -> str:
     """Bit-exact DuckDB replay of hydro.insert_dams on the driver's
     dam set (h=3, L=7, _META40C). The kernel creates no floats — every
@@ -12136,6 +12224,7 @@ def oracle_sql() -> dict[str, str]:
         "insert_dams": _insert_dams_oracle(),
         "impoundment_index": _impoundment_oracle(),
         "natural_neighbour_exact": _nn_exact_oracle(),
+        "breach_depressions_exact": _breach_exact_oracle(),
         "geomorphons": _geomorphons_oracle(),
         "polygonize_exact": _polygonize_exact_oracle(),
         "single_to_multi_part": (
