@@ -3358,19 +3358,52 @@ def _q_contour_lidar_exact(spark, sf):
 
 def _q_lidar_rbf(spark, sf):
     """LidarRbfInterpolation: thin-plate RBF gridding of the LiDAR
-    cloud (shared batched-numpy kernel). Rows-only; linear precision
-    pytest-gated in tests/test_tin2.py."""
+    cloud (shared batched-numpy kernel). Rows-only at full fixture
+    scale (LAPACK solves); the shared solver is oracle-gated on the
+    planar twin (rbf_interp_exact); linear precision pytest-gated in
+    tests/test_tin2.py."""
     return LI.lidar_rbf_interpolation(_lidar_points(spark, sf), _META40,
                                       k=16, tile=4)
 
 
 def _q_rbf_interp(spark, sf):
     """Thin-plate-spline RBF gridding over k=16 nearest points per
-    cell (batched numpy solves per tile). Rows-only; thin-plate linear
-    precision is pytest-gated in tests/test_tin2.py."""
+    cell (batched numpy solves per tile). Rows-only at full fixture
+    scale (LAPACK solves); the solver is oracle-gated on the planar
+    twin (rbf_interp_exact); thin-plate linear precision is
+    pytest-gated in tests/test_tin2.py."""
     from whitebox_tools_spark.operators.tin import rbf_interpolation
 
     return rbf_interpolation(_points(spark, sf), _META40, k=16, tile=4)
+
+
+# RBF twin: thin-plate RBF has LINEAR PRECISION (the affine polynomial
+# term reproduces planar surfaces exactly in real arithmetic; the
+# LAPACK solve leaves ~1e-13 residual, measured 2.3e-13 max over all
+# 1600 cells). On a planar fixture the oracle is therefore the plane's
+# own expression text; the plane coefficients are chosen so every
+# output sits EXACTLY on the 6-decimal rounding grid (cell centers are
+# multiples of 12.5 -> plane values carry <= 4 fractional decimal
+# digits), giving the maximum possible half-grid margin of 0.5.
+# tests/test_rbf_exact_oracle.py pins coverage and the residual bound.
+_RBF_EXACT_SITES = (
+    f"SELECT {_PX} AS x, {_PY} AS y FROM events WHERE event_id % 33 = 0"
+)
+
+
+def _q_rbf_interp_exact(spark, sf):
+    """Thin-plate RBF gridding over the planar twin fixture —
+    oracle-gated: linear precision makes the DuckDB oracle the plane
+    2 + 0.25x + 0.5y at cell centers; ROUND(6) absorbs the ~2e-13
+    solver residual with a 2e6x audited margin. Gates the shared
+    solver used by rbf_interp AND lidar_rbf (a thin delegate)."""
+    from whitebox_tools_spark.operators.tin import rbf_interpolation
+
+    _reg(spark, sf, "events")
+    pts = spark.sql(_RBF_EXACT_SITES).selectExpr(
+        "x", "y", "2.0 + 0.25 * x + 0.5 * y AS value")
+    out = rbf_interpolation(pts, _META40, k=16, tile=4)
+    return out.selectExpr("row", "col", "ROUND(value, 6) AS value")
 
 
 def _q_construct_tin(spark, sf):
@@ -3979,6 +4012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hachures": _q_hachures,
         "natural_neighbour": _q_natural_neighbour,
         "rbf_interp": _q_rbf_interp,
+        "rbf_interp_exact": _q_rbf_interp_exact,
         "contour_lidar": _q_contour_lidar,
         "contour_lidar_exact": _q_contour_lidar_exact,
         "polygonize_exact": _q_polygonize_exact,
@@ -12225,6 +12259,12 @@ def oracle_sql() -> dict[str, str]:
         "impoundment_index": _impoundment_oracle(),
         "natural_neighbour_exact": _nn_exact_oracle(),
         "breach_depressions_exact": _breach_exact_oracle(),
+        "rbf_interp_exact": (
+            "SELECT a.range AS row, b.range AS col, "
+            f"ROUND(2.0 + 0.25 * {_META40.x_center_expr('b.range')} "
+            f"+ 0.5 * {_META40.y_center_expr('a.range')}, 6) AS value "
+            "FROM range(0, 40) a, range(0, 40) b"
+        ),
         "geomorphons": _geomorphons_oracle(),
         "polygonize_exact": _polygonize_exact_oracle(),
         "single_to_multi_part": (
