@@ -2026,13 +2026,60 @@ def surface_area_ratio_value_expr(meta: GridMeta) -> str:
 
 def surface_area_ratio(cells: DataFrame, meta: GridMeta) -> DataFrame:
     """SurfaceAreaRatio: Jenness triangulated 3x3 surface area over the
-    (nodata-adjusted) planar cell area — one codegen expression over the
-    3x3 pivot; centers whose adjusted planar area reaches 0 are omitted
-    (the reference leaves them nodata)."""
+    (nodata-adjusted) planar cell area; centers whose adjusted planar
+    area reaches 0 are omitted (the reference leaves them nodata).
+
+    The plan layers the computation into aliased projections (16
+    half-edge columns -> 8 semiperimeter columns -> 8 facet columns ->
+    value) instead of one inlined expression: the single-expression
+    form re-inlines each half-edge CASE/SQRT ~15x textually, blowing
+    Janino's 64 KB method limit so the whole stage fell back to
+    interpreted eval. Each layer's op sequence is IEEE-identical to
+    the monolithic `surface_area_ratio_value_expr` text (a reused
+    column carries the same bits as re-evaluating the same
+    deterministic subexpression), which stays the DuckDB oracle."""
+    import math as _m
+
+    resx, resy = meta.resolution_x, meta.resolution_y
+    diag = _m.hypot(resx, resy)
+    dist_pairs = [(0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8),
+                  (0, 3), (1, 4), (2, 5), (3, 6), (4, 7), (5, 8),
+                  (4, 0), (4, 2), (4, 6), (4, 8)]
+    dist_planar = [resx] * 6 + [resy] * 6 + [diag] * 4
+    tri_sides = [(0, 7, 12), (1, 7, 13), (2, 6, 12), (3, 8, 13),
+                 (2, 9, 14), (3, 11, 15), (4, 10, 14), (5, 10, 15)]
+    cell_area = resx * resy
     piv = focal_pivotk(cells, 3)
-    return piv.selectExpr(
-        "row", "col", f"{surface_area_ratio_value_expr(meta)} AS value"
-    ).where("value IS NOT NULL")
+    d_cols = [
+        f"(CASE WHEN z_{i} IS NOT NULL AND z_{j} IS NOT NULL THEN "
+        f"SQRT({dist_planar[c] * dist_planar[c]!r} + (z_{i} - z_{j}) * (z_{i} - z_{j})) / 2.0 "
+        f"ELSE 0.0 END) AS d_{c}"
+        for c, (i, j) in enumerate(dist_pairs)
+    ]
+    l1 = piv.selectExpr("row", "col", *d_cols)
+    s_cols = [f"((d_{a} + d_{b} + d_{c3}) / 2.0) AS s_{t}"
+              for t, (a, b, c3) in enumerate(tri_sides)]
+    l2 = l1.selectExpr("row", "col",
+                       *[f"d_{c}" for c in range(len(dist_pairs))], *s_cols)
+    area_cols, deficits = [], []
+    for t, (a, b, c3) in enumerate(tri_sides):
+        heron = f"SQRT(s_{t} * (s_{t} - d_{a}) * (s_{t} - d_{b}) * (s_{t} - d_{c3}))"
+        cond = f"d_{a} * d_{b} * d_{c3} <> 0.0"
+        area_cols.append(f"(CASE WHEN {cond} THEN {heron} ELSE 0.0 END) AS a_{t}")
+        deficits.append(f"(CASE WHEN {cond} THEN 0.0 ELSE {cell_area / 8.0!r} END)")
+    # adj stays an expression over the d columns (not the a_t herons):
+    # the `value IS NOT NULL` form filtered on the FULL value alias,
+    # which PushDownPredicates substitutes back into one monolithic
+    # predicate above the pivot aggregate — exactly the 64 KB blow-up
+    # the layering exists to avoid. `adj > 0.0` is the exact NULL
+    # condition of the original CASE (area terms are never NULL), and
+    # its pushed-down form only inlines the 16 half-edge CASEs once.
+    adj = f"({cell_area!r} - ({' + '.join(deficits)}))"
+    l3 = l2.selectExpr("row", "col", *area_cols, f"{adj} AS adj") \
+        .where("adj > 0.0")
+    area = " + ".join(f"a_{t}" for t in range(8))
+    return l3.selectExpr(
+        "row", "col", f"((0.0 + ({area})) / adj) AS value")
 
 
 def stdev_pivot_value_expr(k: int) -> str:
@@ -2295,30 +2342,51 @@ def max_anisotropy_dev(cells: DataFrame, meta: GridMeta,
             3: [(1, 2, 3, 4), (2, 3, 2, 3), (3, 4, 1, 2)],
             4: [(1, 2, 1, 2), (2, 3, 2, 3), (3, 4, 3, 4)],
         }
-        dev_exprs = {}
+        # Layered aliased columns (pane sums -> per-pane DEV -> aniso)
+        # instead of one inlined expression: the monolithic aniso text
+        # re-inlines each pane's 4/12-corner sums ~6x, overflowing
+        # Janino's 64 KB method limit in the broadcast-join consume
+        # method (the stage fell back to interpreted eval). Column
+        # reuse is bit-identical to re-evaluating the same
+        # deterministic subexpression text.
+        sum_cols = []
         for p, rects in panes.items():
-            nn = " + ".join(rect(*r, "cnt") for r in rects)
-            sm = " + ".join(rect(*r, "v") for r in rects)
-            s2 = " + ".join(rect(*r, "v2") for r in rects)
-            v = f"((({s2}) - (({sm}) * ({sm})) / ({nn})) / ({nn}))"
-            dev = (f"CASE WHEN ({nn}) > 3 AND ({v}) > 0.0 "
-                   f"THEN (z - ({sm}) / ({nn})) / SQRT({v}) ELSE NULL END")
-            dev_exprs[p] = dev
-        d0 = dev_exprs[0]
-        diffs = []
-        valid = []
-        for p in (1, 2, 3, 4):
-            diffs.append(
-                f"COALESCE((({dev_exprs[p]}) - ({d0})) "
-                f"* (({dev_exprs[p]}) - ({d0})), 0.0)")
-            valid.append(f"(CASE WHEN ({dev_exprs[p]}) IS NOT NULL "
-                         f"THEN 1.0 ELSE 0.0 END)")
-        aniso = (f"CASE WHEN ({d0}) IS NOT NULL AND ({' + '.join(valid)}) > 0.0 "
-                 f"THEN SQRT(({' + '.join(diffs)}) / ({' + '.join(valid)})) "
-                 f"ELSE NULL END")
-        outs.append(piv.selectExpr(
-            "row", "col", f"{aniso} AS a", f"CAST({m} AS INT) AS scale"
-        ).where("a IS NOT NULL"))
+            sum_cols.append(
+                "(" + " + ".join(rect(*r, "cnt") for r in rects) + f") AS nn_{p}")
+            sum_cols.append(
+                "(" + " + ".join(rect(*r, "v") for r in rects) + f") AS sm_{p}")
+            sum_cols.append(
+                "(" + " + ".join(rect(*r, "v2") for r in rects) + f") AS s2_{p}")
+        l1 = piv.selectExpr("row", "col", "z", *sum_cols)
+        dev_cols = []
+        for p in panes:
+            v = f"((s2_{p} - (sm_{p} * sm_{p}) / nn_{p}) / nn_{p})"
+            dev_cols.append(
+                f"(CASE WHEN nn_{p} > 3 AND ({v}) > 0.0 "
+                f"THEN (z - sm_{p} / nn_{p}) / SQRT({v}) ELSE NULL END) AS dev_{p}")
+        # Filter on the CASE conditions themselves, not on `a IS NOT
+        # NULL`: a filter over the full aniso alias gets substituted
+        # back into one monolithic predicate inside the broadcast-join
+        # consume method by PushDownPredicates (the 64 KB blow-up
+        # again). dev_p IS NOT NULL ⟺ its CASE condition holds — the
+        # rim filter above guarantees every corner sum is non-null, so
+        # the THEN branch never yields NULL — and the condition form
+        # pushes down without evaluating the dev divisions.
+        conds = {
+            p: (f"(nn_{p} > 3 AND "
+                f"(((s2_{p} - (sm_{p} * sm_{p}) / nn_{p}) / nn_{p})) > 0.0)")
+            for p in panes
+        }
+        l2 = l1.where(
+            f"{conds[0]} AND ({' OR '.join(conds[p] for p in (1, 2, 3, 4))})"
+        ).selectExpr("row", "col", *dev_cols)
+        diffs = [f"COALESCE((dev_{p} - dev_0) * (dev_{p} - dev_0), 0.0)"
+                 for p in (1, 2, 3, 4)]
+        valid = [f"(CASE WHEN dev_{p} IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+                 for p in (1, 2, 3, 4)]
+        aniso = (f"SQRT(({' + '.join(diffs)}) / ({' + '.join(valid)}))")
+        outs.append(l2.selectExpr(
+            "row", "col", f"{aniso} AS a", f"CAST({m} AS INT) AS scale"))
     u = reduce(lambda a, b: a.unionByName(b), outs)
     if signature_points is not None:
         # MaxAnisotropyDevSignature (max_anisotropy_dev_signature.rs):

@@ -2912,7 +2912,17 @@ def rho8_pointer(cells: DataFrame, meta: GridMeta, seed: int = 42) -> DataFrame:
 
 def _mfd_edges_from_weights(piv: DataFrame, meta: GridMeta,
                             ws: list[str]) -> DataFrame:
-    """(src, dst, w) with w_i / sum(w) for nonzero weight expressions."""
+    """(src, dst, w) with w_i / sum(w) for nonzero weight expressions.
+
+    No `total > 0` prefilter here: with layered weight columns that
+    predicate gets substituted back through every projection by
+    PushDownPredicates into one monolithic expression (the 64 KB
+    codegen blow-up / optimizer OOM). It is also redundant for the
+    edge set — weights are >= 0 or NULL, so a zero/NULL total makes
+    every element w_i/total NaN or NULL, which the `w > 0.0` post-
+    explode filter drops. Callers that can state "some downslope
+    neighbor exists" cheaply on the pivot columns should prefilter
+    piv themselves (pure explode-volume optimization)."""
     c = meta.columns
     total = "(" + " + ".join(ws) + ")"
     elems = ", ".join(
@@ -2920,9 +2930,8 @@ def _mfd_edges_from_weights(piv: DataFrame, meta: GridMeta,
         f"'w', ({ws[i]}) / {total})"
         for i in range(8))
     return (
-        piv.where(f"{total} > 0.0")
-        .selectExpr(f"(row * {c}L + col) AS src",
-                    f"EXPLODE(ARRAY({elems})) AS e")
+        piv.selectExpr(f"(row * {c}L + col) AS src",
+                       f"EXPLODE(ARRAY({elems})) AS e")
         .selectExpr("src", "e.dst AS dst", "e.w AS w")
         .where("w > 0.0")
     )
@@ -2945,19 +2954,34 @@ def qin_flow_accumulation(cells: DataFrame, meta: GridMeta,
     cl = _contour_lengths(meta)
     eu = _m.tan(_m.radians(max_slope_deg))
     piv = focal_pivot3_raw(cells)
-    tans = [
-        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
-        f"THEN (zc - zn_{i}) / {lengths[i]!r} ELSE 0.0 END"
+    # Layered aliased columns (tans -> fe -> weights) instead of one
+    # inlined weight expression: the monolithic form re-inlines all 8
+    # tan CASEs inside fe inside every weight inside the 8-way explode,
+    # blowing Janino's 64 KB method limit (whole stage fell back to
+    # interpreted eval). Column reuse is bit-identical to re-evaluating
+    # the same deterministic subexpression text.
+    tan_cols = [
+        f"(CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
+        f"THEN (zc - zn_{i}) / {lengths[i]!r} ELSE 0.0 END) AS t_{i}"
         for i in range(8)
     ]
-    emax = "GREATEST(" + ", ".join(tans) + ")"
+    # cheap exact-superset prefilter of the old `total > 0` (some
+    # downslope neighbor exists); pushes down as a ~1 KB predicate
+    downslope = " OR ".join(
+        f"(zn_{i} IS NOT NULL AND zn_{i} < zc)" for i in range(8))
+    l1 = piv.where(downslope).selectExpr("row", "col", *tan_cols)
+    emax = "GREATEST(" + ", ".join(f"t_{i}" for i in range(8)) + ")"
     fe = f"(LEAST({emax}, {eu!r}) / {eu!r} * ({exponent!r} - 1.1) + 1.1)"
-    ws = [f"CASE WHEN ({tans[i]}) > 0.0 "
-          f"THEN {cl[i]!r} * POWER({tans[i]}, {fe}) ELSE 0.0 END"
-          for i in range(8)]
+    l2 = l1.selectExpr("row", "col", *[f"t_{i}" for i in range(8)],
+                       f"{fe} AS fe")
+    w_cols = [f"(CASE WHEN t_{i} > 0.0 "
+              f"THEN {cl[i]!r} * POWER(t_{i}, fe) ELSE 0.0 END) AS w_{i}"
+              for i in range(8)]
+    wpiv = l2.selectExpr("row", "col", *w_cols)
+    ws = [f"w_{i}" for i in range(8)]
     c = meta.columns
     nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
-    e = _mfd_edges_from_weights(piv, meta, ws).join(
+    e = _mfd_edges_from_weights(wpiv, meta, ws).join(
         nodes.selectExpr("id AS dst"), "dst", "leftsemi")
     return _weighted_path_accum(nodes, e, max_doublings, "qin_flow_accumulation")
 
@@ -2978,15 +3002,22 @@ def quinn_flow_accumulation(cells: DataFrame, meta: GridMeta,
     lengths = _grid_lengths(meta)
     cl = _contour_lengths(meta)
     piv = focal_pivot3_raw(cells)
-    ws = [
-        f"CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
+    # Pre-aliased weight columns (see qin_flow_accumulation: the
+    # inlined form re-inlines every weight CASE 9x through the explode
+    # normalizer, overflowing Janino's 64 KB method limit).
+    w_cols = [
+        f"(CASE WHEN zn_{i} IS NOT NULL AND zn_{i} < zc "
         f"THEN {cl[i]!r} * POWER((zc - zn_{i}) / {lengths[i]!r}, {exponent!r}) "
-        f"ELSE 0.0 END"
+        f"ELSE 0.0 END) AS w_{i}"
         for i in range(8)
     ]
+    downslope = " OR ".join(
+        f"(zn_{i} IS NOT NULL AND zn_{i} < zc)" for i in range(8))
+    wpiv = piv.where(downslope).selectExpr("row", "col", *w_cols)
+    ws = [f"w_{i}" for i in range(8)]
     c = meta.columns
     nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
-    e = _mfd_edges_from_weights(piv, meta, ws).join(
+    e = _mfd_edges_from_weights(wpiv, meta, ws).join(
         nodes.selectExpr("id AS dst"), "dst", "leftsemi")
     return _weighted_path_accum(nodes, e, max_doublings, "quinn_flow_accumulation")
 
@@ -3009,29 +3040,63 @@ def mdinf_flow_accumulation(cells: DataFrame, meta: GridMeta,
     facets = [(1, 0), (7, 0), (7, 6), (5, 6), (5, 4), (3, 4), (3, 2), (1, 2)]
     piv = focal_pivot3_raw(cells)
     c = meta.columns
-    parts = []
+    # Layered aliased columns per facet (r -> rc/smag -> w -> per-
+    # neighbor weight sums) instead of one inlined expression: the
+    # monolithic form re-inlines smag/r 3x per facet and every facet
+    # weight 9x through the explode normalizer, overflowing Janino's
+    # 64 KB method limit (the stage fell back to interpreted eval).
+    # Column reuse is bit-identical — each subexpression keeps the
+    # exact textual op sequence, incl. NULL propagation: an invalid
+    # facet's w=0.0 times a NULL angle fraction stays NULL, exactly as
+    # the inlined text behaved.
+    r_cols, keep = [], []
     for fi, (card, diag) in enumerate(facets):
         s1 = f"((zc - zn_{card}) / {d1!r})"
         s2 = f"((zn_{card} - zn_{diag}) / {meta.resolution_y!r})"
-        r = f"ATAN2({s2}, {s1})"
-        rc = f"GREATEST(LEAST({r}, {amax!r}), 0.0)"
-        smag = (f"CASE WHEN {r} < 0.0 THEN {s1} "
-                f"WHEN {r} > {amax!r} THEN (zc - zn_{diag}) / {d2!r} "
-                f"ELSE SQRT({s1} * {s1} + {s2} * {s2}) END")
-        valid = f"(zn_{card} IS NOT NULL AND zn_{diag} IS NOT NULL AND ({smag}) > 0.0)"
-        w = f"CASE WHEN {valid} THEN POWER({smag}, {exponent!r}) ELSE 0.0 END"
-        pc = f"(1.0 - {rc} / {amax!r})"
-        pd = f"({rc} / {amax!r})"
-        parts.append((card, f"({w}) * {pc}"))
-        parts.append((diag, f"({w}) * {pd}"))
+        r_cols += [f"{s1} AS s1_{fi}", f"{s2} AS s2_{fi}",
+                   f"ATAN2({s2}, {s1}) AS r_{fi}"]
+    # cheap exact-superset prefilter of the old `total > 0`: a facet
+    # weight smag > 0 requires some zn below zc (s1 <= 0 routes the
+    # CASE to a non-positive branch), so "some downslope neighbor"
+    # covers every contributing cell
+    downslope = " OR ".join(
+        f"(zn_{i} IS NOT NULL AND zn_{i} < zc)" for i in range(8))
+    l1 = piv.where(downslope).selectExpr("row", "col", "zc",
+                                         *[f"zn_{i}" for i in range(8)], *r_cols)
+    m_cols = []
+    for fi, (card, diag) in enumerate(facets):
+        m_cols.append(f"GREATEST(LEAST(r_{fi}, {amax!r}), 0.0) AS rc_{fi}")
+        m_cols.append(
+            f"(CASE WHEN r_{fi} < 0.0 THEN s1_{fi} "
+            f"WHEN r_{fi} > {amax!r} THEN (zc - zn_{diag}) / {d2!r} "
+            f"ELSE SQRT(s1_{fi} * s1_{fi} + s2_{fi} * s2_{fi}) END) AS smag_{fi}")
+        keep.append(f"(zn_{card} IS NOT NULL AND zn_{diag} IS NOT NULL) AS ok_{fi}")
+    l2 = l1.selectExpr("row", "col", *m_cols, *keep)
+    w_cols = [
+        f"(CASE WHEN ok_{fi} AND smag_{fi} > 0.0 "
+        f"THEN POWER(smag_{fi}, {exponent!r}) ELSE 0.0 END) AS w_{fi}"
+        for fi in range(8)
+    ]
+    l3 = l2.selectExpr("row", "col", *[f"rc_{fi}" for fi in range(8)], *w_cols)
+    parts = []
+    for fi, (card, diag) in enumerate(facets):
+        pc = f"(1.0 - rc_{fi} / {amax!r})"
+        pd = f"(rc_{fi} / {amax!r})"
+        parts.append((card, f"(w_{fi}) * {pc}"))
+        parts.append((diag, f"(w_{fi}) * {pd}"))
     # collapse per-neighbor weights
     by_nbr = {}
     for i, expr in parts:
         by_nbr.setdefault(i, []).append(expr)
-    ws = [("(" + " + ".join(by_nbr[i]) + ")") if i in by_nbr else "0.0"
-          for i in range(8)]
+    nbr_cols = [
+        (f"({' + '.join(by_nbr[i])}) AS nw_{i}") if i in by_nbr
+        else f"0.0 AS nw_{i}"
+        for i in range(8)
+    ]
+    wpiv = l3.selectExpr("row", "col", *nbr_cols)
+    ws = [f"nw_{i}" for i in range(8)]
     nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
-    e = _mfd_edges_from_weights(piv, meta, ws).join(
+    e = _mfd_edges_from_weights(wpiv, meta, ws).join(
         nodes.selectExpr("id AS dst"), "dst", "leftsemi")
     return _weighted_path_accum(nodes, e, max_doublings, "mdinf_flow_accumulation")
 
