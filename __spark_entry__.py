@@ -1897,12 +1897,36 @@ def _q_flow_accum_full_workflow(spark, sf):
 
 
 def _q_embankment_mapping(spark, sf):
-    """Tile+halo Dijkstra/grow kernel — rows-only + pytest."""
+    """Tile+halo Dijkstra/grow kernel — rows-only + pytest; the same
+    code path IS oracle-gated at the one-ring parameterization
+    (embankment_mapping_exact)."""
     return HY.embankment_mapping(_ras_c(spark, sf), _META40,
                                  _segments(spark, sf),
                                  search_dist=60.0, min_road_width=50.0,
                                  typical_width=80.0, max_height=40.0,
                                  max_width=160.0)
+
+
+def _q_embankment_exact(spark, sf):
+    """EmbankmentMapping at the one-ring parameterization: max_width=90
+    halves to 45.0, strictly between one diagonal step (35.36) and two
+    cardinal steps (50.0), so the bounded Dijkstra provably assigns
+    exactly one ring around the seeds — a popped ring cell can reach
+    nothing under 45 — and the assignment tie (a ring cell adjacent to
+    several seeds) resolves to the min-(row, col) seed because heapq
+    pops the equal-priority (0.0, row, col) seed entries in tuple
+    order. The second priority grow is ORDER-FREE outright: every out
+    cell pops exactly once and tests all 8 neighbors, so the grown set
+    is the least fixpoint of grow(X -> Y), which the oracle replays as
+    a recursive closure. Every comparison on this fixture is either
+    exact (integer elevations vs integer/short-decimal thresholds,
+    exact d literals) or margin-audited vs libm ulps by
+    tests/test_embankment_exact_oracle.py."""
+    return HY.embankment_mapping(_ras_c(spark, sf), _META40,
+                                 _segments(spark, sf),
+                                 search_dist=60.0, min_road_width=50.0,
+                                 typical_width=80.0, max_height=40.0,
+                                 max_width=90.0)
 
 
 def _q_burn_streams_at_roads(spark, sf):
@@ -4170,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reinit_attribute_table": _q_reinit_attribute_table,
         "hypso_tinted_hillshade": _q_hypso_tinted_hillshade,
         "embankment_mapping": _q_embankment_mapping,
+        "embankment_mapping_exact": _q_embankment_exact,
     }
 
 
@@ -11559,6 +11584,112 @@ def _nn_exact_oracle() -> str:
     return f"WITH raw AS ({_PTS_SQL}), {tris}, {body}"
 
 
+def _embankment_exact_oracle() -> str:
+    """Bit-exact DuckDB replay of embankment_mapping at the one-ring
+    parameterization (see _q_embankment_exact). Stages:
+
+    1. roads: the proven lines_to_raster crossing math at _META40
+       (same text as the fill_burn oracle).
+    2. seeds: per road cell, the kernel's 3x3 window argmax of
+       off-road strictly-greater elevations — first scan-order
+       occurrence of the maximum == ORDER BY z DESC, dr, dc — else the
+       road cell itself.
+    3. one ring: with max_width halved to 45.0 in (diag 35.36, 2*25),
+       pass 1 assigns exactly the seeds' 8-neighborhoods; a contested
+       cell takes the min-(row, col) adjacent seed (heapq pops the
+       equal-priority (0.0, row, col) seed entries in tuple order, and
+       only seeds can assign — a popped ring cell reaches nothing
+       under 45). distance d is exact (25.0 / the sqrt(1250) repr
+       literal); seedel/maxslope replay the kernel's expression text.
+    4. grow closure: order-free least fixpoint (every out cell pops
+       once and tests all 8 neighbors), replayed as a recursive CTE
+       with the kernel's criteria verbatim. Elevations are integer
+       doubles, so every threshold comparison except ms < 4.0 is
+       exact; ms - ABS(es) == 0 identically in each engine (DEGREES
+       and ABS commute bitwise, same ATAN input); the ms-vs-4.0 and
+       argmax/assignment margins are audited by
+       tests/test_embankment_exact_oracle.py."""
+    import math as _m
+
+    M = _META40
+    r_hi = f"GREATEST(LEAST({M.row_from_y_expr('LEAST(y1, y2)')}, 39), 0)"
+    r_lo = f"GREATEST(LEAST({M.row_from_y_expr('GREATEST(y1, y2)')}, 39), 0)"
+    c_lo = f"GREATEST(LEAST({M.col_from_x_expr('LEAST(x1, x2)')}, 39), 0)"
+    c_hi = f"GREATEST(LEAST({M.col_from_x_expr('GREATEST(x1, x2)')}, 39), 0)"
+    y_r = M.y_from_row_expr("tr.range")
+    x_c = M.x_from_col_expr("tc.range")
+    x_prime = f"(x1 + (({y_r}) - y1) / (y2 - y1) * (x2 - x1))"
+    y_prime = f"(y1 + (({x_c}) - x1) / (x2 - x1) * (y2 - y1))"
+    l2r = (
+        f"base AS ({_SHAPES_BASE}), "
+        f"rs AS (SELECT shape_id, CASE WHEN kind = 0 THEN {_RECT_DUCK} "
+        f"ELSE {_DIAM_DUCK} END AS ring FROM base), "
+        f"segs AS (SELECT s.x1 AS x1, s.y1 AS y1, s.x2 AS x2, s.y2 AS y2 FROM "
+        f"(SELECT shape_id, unnest(list_transform(range(1, len(ring)), "
+        f"i -> {{'x1': ring[i].x, 'y1': ring[i].y, 'x2': ring[i+1].x, "
+        f"'y2': ring[i+1].y}})) AS s FROM rs)), "
+        f"b AS (SELECT x1, y1, x2, y2, {r_lo} AS r0, {r_hi} AS r1, "
+        f"{c_lo} AS c0, {c_hi} AS c1 FROM segs), "
+        f"rh AS (SELECT tr.range AS row, {M.col_from_x_expr(x_prime)} AS col "
+        f"FROM b JOIN range(0, 40) tr ON tr.range >= r0 AND tr.range <= r1 "
+        f"WHERE ({y_r}) >= LEAST(y1, y2) AND ({y_r}) <= GREATEST(y1, y2) AND y2 <> y1), "
+        f"ch AS (SELECT {M.row_from_y_expr(y_prime)} AS row, tc.range AS col "
+        f"FROM b JOIN range(0, 40) tc ON tc.range >= c0 AND tc.range <= c1 "
+        f"WHERE ({x_c}) >= LEAST(x1, x2) AND ({x_c}) <= GREATEST(x1, x2) AND x2 <> x1), "
+        f"strm AS (SELECT DISTINCT row, col FROM "
+        f"(SELECT * FROM rh UNION ALL SELECT * FROM ch) "
+        f"WHERE row >= 0 AND row < 40 AND col >= 0 AND col < 40)"
+    )
+    diag = _m.sqrt(25.0 ** 2 + 25.0 ** 2)
+    return (
+        f"WITH RECURSIVE rc AS MATERIALIZED ({_RAS_C_SQL}), "
+        f"{l2r}, "
+        "road AS (SELECT s.row, s.col, r.value AS z FROM strm s "
+        "JOIN rc r ON r.row = s.row AND r.col = s.col), "
+        "scnd AS (SELECT rd.row AS rr, rd.col AS rc0, n.row AS nr, "
+        "n.col AS nc, n.value AS nz, n.row - rd.row AS dr, "
+        "n.col - rd.col AS dc "
+        "FROM road rd JOIN rc n ON n.row BETWEEN rd.row - 1 AND rd.row + 1 "
+        "AND n.col BETWEEN rd.col - 1 AND rd.col + 1 "
+        "LEFT JOIN strm sr ON sr.row = n.row AND sr.col = n.col "
+        "WHERE sr.row IS NULL AND n.value > rd.z), "
+        "sb AS (SELECT rr, rc0, nr, nc, ROW_NUMBER() OVER "
+        "(PARTITION BY rr, rc0 ORDER BY nz DESC, dr, dc) AS k FROM scnd), "
+        "seeds AS (SELECT DISTINCT COALESCE(b.nr, rd.row) AS row, "
+        "COALESCE(b.nc, rd.col) AS col "
+        "FROM road rd LEFT JOIN (SELECT * FROM sb WHERE k = 1) b "
+        "ON b.rr = rd.row AND b.rc0 = rd.col), "
+        "sz AS (SELECT s.row, s.col, r.value AS sz FROM seeds s "
+        "JOIN rc r ON r.row = s.row AND r.col = s.col), "
+        "ra AS (SELECT y.row, y.col, y.value AS zy, s.sz, "
+        f"CASE WHEN s.row <> y.row AND s.col <> y.col THEN {diag!r} "
+        "ELSE 25.0 END AS d, "
+        "ROW_NUMBER() OVER (PARTITION BY y.row, y.col "
+        "ORDER BY s.row, s.col) AS k "
+        "FROM sz s JOIN rc y ON y.row BETWEEN s.row - 1 AND s.row + 1 "
+        "AND y.col BETWEEN s.col - 1 AND s.col + 1 "
+        "AND NOT (y.row = s.row AND y.col = s.col) "
+        "LEFT JOIN seeds e ON e.row = y.row AND e.col = y.col "
+        "WHERE e.row IS NULL), "
+        "ring AS MATERIALIZED (SELECT row, col, zy, sz, d, sz - zy AS eh, "
+        "DEGREES(ATAN((sz - zy) / d)) AS es, "
+        "DEGREES(ABS(ATAN((sz - zy) / d))) AS ms FROM ra WHERE k = 1), "
+        "grown(row, col) AS (SELECT row, col FROM seeds "
+        "UNION "
+        "SELECT g.row, g.col FROM grown x "
+        "JOIN ring g ON g.row BETWEEN x.row - 1 AND x.row + 1 "
+        "AND g.col BETWEEN x.col - 1 AND x.col + 1 "
+        "AND NOT (g.row = x.row AND g.col = x.col) "
+        "JOIN rc zx ON zx.row = x.row AND zx.col = x.col "
+        "WHERE g.d <= 25.0 OR ("
+        "CASE WHEN g.d <= 40.0 AND (zx.value - g.zy) > -0.05 "
+        "AND g.eh <= 40.0 "
+        "THEN (g.zy <= zx.value) OR (g.ms < 4.0) "
+        "ELSE (g.ms - ABS(g.es) <= 1.0 AND g.es >= 0.0) END)) "
+        "SELECT row, col, CAST(1.0 AS DOUBLE) AS value FROM grown"
+    )
+
+
 def _breach_exact_oracle() -> str:
     """Bit-exact DuckDB replay of breach_depressions_least_cost on the
     single-pit twin fixture (see _q_breach_exact). Sound because the
@@ -12259,6 +12390,7 @@ def oracle_sql() -> dict[str, str]:
         "impoundment_index": _impoundment_oracle(),
         "natural_neighbour_exact": _nn_exact_oracle(),
         "breach_depressions_exact": _breach_exact_oracle(),
+        "embankment_mapping_exact": _embankment_exact_oracle(),
         "rbf_interp_exact": (
             "SELECT a.range AS row, b.range AS col, "
             f"ROUND(2.0 + 0.25 * {_META40.x_center_expr('b.range')} "
