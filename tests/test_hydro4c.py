@@ -1,8 +1,11 @@
 """UpslopeDepressionStorage + DInfMassFlux gates.
 
 dinf_mass_flux(load=1, eff=1, ab=0) must equal dinf_flow_accumulation —
-the same recurrence computed by two independent plan shapes
-(topological peel vs weighted path-sum doubling)."""
+with unit efficiency the eff-scaled edge weights and source terms
+degenerate to the plain path-weight closure, so any defect in the
+scaling/b-term algebra shows up against the accumulation baseline.
+(Plan-shape independence is provided by the DuckDB oracle, a 64-round
+Jacobi replay of the same recurrence.)"""
 
 import numpy as np
 import pytest

@@ -3604,65 +3604,43 @@ def upslope_depression_storage(cells: DataFrame, meta: GridMeta,
 
 def dinf_mass_flux(cells: DataFrame, meta: GridMeta, loading: DataFrame,
                    efficiency: DataFrame, absorption: DataFrame,
-                   max_rounds: int = 256) -> DataFrame:
+                   max_doublings: int = 24) -> DataFrame:
     """DInfMassFlux (hydro_analysis/dinf_mass_flux.rs): route mass down
     the D-infinity network; flux(c) = (loading(c) + sum of proportioned
     inflows - absorption(c)) * efficiency(c); outflow splits by the
-    Tarboton facet proportions. Topological peel over the weighted DAG.
-    Iterative float accumulation -> rows-only + pytest gate."""
+    Tarboton facet proportions.
+
+    Unlike d8_mass_flux (whose GREATEST(.., 0) flooring is nonlinear
+    and forces the topological peel), this recurrence is LINEAR:
+    with b(v) = (ld(v) - ab(v)) * eff(v) and edge weights scaled by the
+    downstream efficiency w'(u->v) = w(u->v) * eff(v),
+    flux(v) = b(v) + sum_u w'(u->v) * flux(u) — a weighted path sum,
+    so it runs on the shared _path_weight_closure doubling (log(path-
+    length) rounds) instead of one peel round per DAG level (the peel
+    burned ~4 driver actions x DAG-depth rounds — 65 s at sf0.01 and
+    unbounded at cluster-scale DEM diameters). Oracle: the 64-round
+    Jacobi replay at ROUND(6), which is plan-shape independent; pytest
+    gates eff=1 equivalence with dinf_flow_accumulation and the
+    closed-form sloping-plane recurrence."""
     c = meta.columns
     ptr = dinf_pointer(cells, meta)
     nodes = cells.selectExpr(f"(row * {c}L + col) AS id", "row", "col")
-    e = (_dinf_edges(ptr, c)
-         .join(nodes.selectExpr("id AS dst"), "dst", "leftsemi")
-         .persist())
     base = (
         nodes
         .join(loading.selectExpr(f"(row * {c}L + col) AS id", "value AS ld"), "id")
         .join(efficiency.selectExpr(f"(row * {c}L + col) AS id", "value AS eff"), "id")
         .join(absorption.selectExpr(f"(row * {c}L + col) AS id", "value AS ab"), "id")
-        .persist()
     )
-    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
-    unresolved = base.select("id")
-    resolved = None
-    for _ in range(max_rounds):
-        if resolved is None:
-            ready = unresolved.join(indeg.withColumnRenamed("dst", "id"),
-                                    "id", "left_anti")
-            inflow = None
-        else:
-            blocked = (
-                e.join(unresolved.selectExpr("id AS dst"), "dst", "leftsemi")
-                .join(resolved.selectExpr("id AS src"), "src", "left_anti")
-                .select(F.col("dst").alias("id")).distinct()
-            )
-            ready = unresolved.join(blocked, "id", "left_anti")
-            inflow = (e.join(resolved.withColumnRenamed("id", "src"), "src")
-                      .selectExpr("dst AS id", "flux * w AS fin")
-                      .groupBy("id").agg(F.sum("fin").alias("in_flux")))
-        frontier = ready.join(base, "id")
-        if inflow is not None:
-            frontier = frontier.join(inflow, "id", "left")
-            flux = "(ld + COALESCE(in_flux, 0.0) - ab) * eff"
-        else:
-            flux = "(ld - ab) * eff"
-        newly = frontier.selectExpr("id", f"{flux} AS flux") \
-                        .localCheckpoint(eager=True)
-        resolved = (newly if resolved is None
-                    else resolved.unionByName(newly).localCheckpoint(eager=True))
-        unresolved = unresolved.join(newly.select("id"), "id", "left_anti") \
-                               .localCheckpoint(eager=True)
-        if unresolved.count() == 0:
-            break
-    else:
-        ensure_converged(unresolved.count(), "dinf_mass_flux peel",
-                         max_rounds)
-    out = nodes.join(resolved, "id").selectExpr("row", "col",
-                                                "flux AS value")
-    e.unpersist()
-    base.unpersist()
-    return out
+    e = (_dinf_edges(ptr, c)
+         .join(base.selectExpr("id AS dst", "eff AS eff_dst"), "dst")
+         .selectExpr("src", "dst", "w * eff_dst AS w"))
+    s = _path_weight_closure(nodes, e, max_doublings, "dinf_mass_flux")
+    b = base.selectExpr("id AS src", "(ld - ab) * eff AS b")
+    acc = (s.join(b, "src")
+           .selectExpr("dst", "w * b AS f")
+           .groupBy("dst").agg(F.sum("f").alias("value")))
+    return nodes.join(acc, nodes["id"] == acc["dst"]).select(
+        "row", "col", F.col("value").cast("double").alias("value"))
 
 
 def long_profile_from_points(cells: DataFrame, meta: GridMeta,
