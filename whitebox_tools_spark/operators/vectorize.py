@@ -170,31 +170,47 @@ def raster_to_polygons(cells: DataFrame, meta: GridMeta,
     labeled = clump(cells, meta.columns, diag=diag).persist()
     edges = boundary_edges(labeled.select("row", "col", "clump_id"))
     vals = labeled.groupBy("clump_id").agg(F.first("value").alias("value"))
-    grouped = edges.join(vals, "clump_id")
+    # bucket the per-clump walks: grouping directly on clump_id makes
+    # one Arrow batch per clump (a fine-clumped raster is mostly
+    # 1-cell clumps, so the per-group Arrow round-trip dominated the
+    # operator ~10:1); PMOD-bucketing keeps one batch per shuffle
+    # partition and loops the same kernel over the clumps inside it.
+    # A clump's edges still co-locate (same clump_id -> same bucket),
+    # and per-clump output is independent of its bucket neighbors.
+    nb = int(cells.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                         "200"))
+    grouped = edges.join(vals, "clump_id") \
+        .withColumn("__b", F.expr(f"PMOD(clump_id, {nb})"))
 
     west, north = meta.west, meta.north
     resx, resy = meta.resolution_x, meta.resolution_y
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        e = pdf[["r0", "c0", "r1", "c1"]].to_numpy(dtype=np.int64)
-        rings = _walk_rings(e)
-        parts = []
-        for idx, ring in enumerate(rings):
-            ring = _merge_collinear(ring)
-            xs = west + ring[:, 1].astype(np.float64) * resx
-            ys = north - ring[:, 0].astype(np.float64) * resy
-            # signed area (CCW positive): holes are CCW by construction
-            area2 = float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
-            parts.append({
-                "part_idx": idx,
-                "is_hole": bool(area2 > 0),
-                "ring": [{"x": float(x), "y": float(y)} for x, y in zip(xs, ys)],
-            })
+        cids, cvals, cparts = [], [], []
+        for cid, g in pdf.groupby("clump_id", sort=True):
+            e = g[["r0", "c0", "r1", "c1"]].to_numpy(dtype=np.int64)
+            rings = _walk_rings(e)
+            parts = []
+            for idx, ring in enumerate(rings):
+                ring = _merge_collinear(ring)
+                xs = west + ring[:, 1].astype(np.float64) * resx
+                ys = north - ring[:, 0].astype(np.float64) * resy
+                # signed area (CCW positive): holes are CCW by construction
+                area2 = float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+                parts.append({
+                    "part_idx": idx,
+                    "is_hole": bool(area2 > 0),
+                    "ring": [{"x": float(x), "y": float(y)}
+                             for x, y in zip(xs, ys)],
+                })
+            cids.append(int(cid))
+            cvals.append(float(g["value"].iloc[0]))
+            cparts.append(parts)
         return pd.DataFrame({
-            "clump_id": [int(key[0])],
-            "value": [float(pdf["value"].iloc[0])],
-            "parts": [parts],
+            "clump_id": cids,
+            "value": cvals,
+            "parts": cparts,
         })
 
-    out = grouped.groupBy("clump_id").applyInPandas(assemble, schema=_FEATURE_SCHEMA)
+    out = grouped.groupBy("__b").applyInPandas(assemble, schema=_FEATURE_SCHEMA)
     return out
