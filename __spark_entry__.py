@@ -600,6 +600,13 @@ def _q_minhash_pairs(spark, sf):
                                jaccard_threshold=0.1)
 
 
+def _q_dedup_clusters(spark, sf):
+    # same LSH shape as minhash_pairs, so the oracle reuses its pair CTE
+    return D.dedup_clusters(_docs(spark, sf), "text", "doc_id",
+                            bands=8, rows_per_band=2, shingle_n=3,
+                            jaccard_threshold=0.1)
+
+
 def _q_simhash_pairs(spark, sf):
     # bucketed candidates reach Hamming<=1 (self + 1-bit-flip keys), so
     # the gated query pins max_hamming=1 — the full-pair oracle then
@@ -3832,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_tables": _q_join_tables,
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash64_pairs": _q_simhash64_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_dups": _q_embedding_dups,
@@ -12149,6 +12157,29 @@ def oracle_sql() -> dict[str, str]:
         f"FROM cand WHERE CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE) >= 0.1"
     )
 
+    # dedup_clusters oracle: the same minhash pair CTE, closed transitively
+    # with a recursive CTE (min reachable id = the component's canonical
+    # keeper), then LEFT-joined back so singletons verdict as themselves.
+    dedup_clusters_oracle = (
+        "WITH RECURSIVE "
+        f"base AS (SELECT doc_id AS id, list_distinct({d_sh}) AS sh, {band_cols} "
+        "FROM documents), "
+        f"longb AS (SELECT id, sh, unnest({band_arr}) AS band FROM base), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b "
+        "FROM longb a JOIN longb b USING (band) WHERE a.id < b.id), "
+        f"pairs AS (SELECT id_a, id_b FROM cand "
+        f"WHERE CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE) >= 0.1), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(id, r) AS (SELECT a, a FROM edges "
+        "UNION SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a), "
+        "comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id) "
+        "SELECT d.doc_id AS doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id, "
+        "CAST(CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END "
+        "AS BIGINT) AS is_canonical "
+        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"
+    )
+
     _, d_sh5 = T.doc_fingerprint_expr("text")
     _, d_sim = T.simhash16_exprs("text")
     simhash_pairs_oracle = (
@@ -12465,6 +12496,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text)"
         ),
         "minhash_pairs": minhash_oracle,
+        "dedup_clusters": dedup_clusters_oracle,
         "simhash_pairs": simhash_pairs_oracle,
         "simhash64_pairs": simhash64_oracle,
         "ngram_jaccard": ngram_oracle,

@@ -188,3 +188,28 @@ def test_ngram_jaccard_block_cap_excludes_hot_blocks(spark):
     ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
     assert ids == {100, 101, 102}  # only the under-cap block pairs
     assert len(pairs) == 3
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    # Docs 0/1/2 pairwise exceed the threshold and must cluster to the
+    # min id 0 (the closure also covers the chain-only case, gated by
+    # the connected_components unit tests). Doc 3 is an unrelated
+    # singleton and must still get a verdict row.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base + " alpha"),
+        (1, base + " alpha beta"),
+        (2, base + " beta"),
+        (3, "completely different text with no overlap whatsoever here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from whitebox_tools_spark.operators.dedup import dedup_clusters
+
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup_clusters(docs, jaccard_threshold=0.5,
+                                   bands=8, rows_per_band=2).collect()}
+    assert len(out) == 4                      # one verdict per input doc
+    assert out[0] == (0, 1)                   # keeper
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 0)
+    assert out[3] == (3, 1)                   # singleton clusters to itself

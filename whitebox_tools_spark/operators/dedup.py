@@ -322,3 +322,55 @@ def simhash64_pairs(
     ham = " + ".join(f"BIT_COUNT(CAST(a{j} AS BIGINT) ^ CAST(c{j} AS BIGINT))" for j in range(4))
     return cand.selectExpr("id_a", "id_b", f"CAST({ham} AS BIGINT) AS hamming") \
                .where(F.col("hamming") <= max_hamming)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate clustering with canonical-keeper selection — the
+    "which copy do I keep" stage that turns pairwise near-dup evidence
+    into a per-document verdict.
+
+    Pipeline: minhash_lsh_pairs -> undirected dup graph -> connected
+    components (min-label propagation with pointer jumping,
+    clump.connected_components) -> one row per INPUT document:
+    (doc_id, cluster_id, is_canonical) where cluster_id is the smallest
+    doc id in the document's near-dup component (its own id for
+    singletons) and is_canonical = 1 exactly for the keeper.
+
+    Scale shape: the iterative CC runs ONLY over ids that appear in a
+    dup pair (dup mass, typically << corpus size at 10^12 docs —
+    singletons never enter the per-round shuffles); rounds are
+    O(log component-diameter) via pointer jumping; the corpus-sized
+    work is one final broadcast-or-shuffle left join attaching
+    singleton verdicts. Transitive closure is the standard semantics
+    here (A~B, B~C clusters A,C together even when A,C were never a
+    candidate pair).
+    """
+    from .clump import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, text_col=text_col, id_col=id_col, bands=bands,
+        rows_per_band=rows_per_band, shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold, max_band_size=max_band_size)
+    edges = pairs.selectExpr("id_a AS a", "id_b AS b")
+    touched = edges.selectExpr("a AS id").unionByName(
+        edges.selectExpr("b AS id")).distinct()
+    comp = connected_components(touched, edges)
+    return (
+        docs.selectExpr(f"{id_col} AS id")
+        .join(comp, "id", "left")
+        .selectExpr(
+            f"id AS {id_col}",
+            "COALESCE(comp, id) AS cluster_id",
+            "CAST(CASE WHEN COALESCE(comp, id) = id THEN 1 ELSE 0 END AS BIGINT)"
+            " AS is_canonical",
+        )
+    )
