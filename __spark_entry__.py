@@ -674,6 +674,20 @@ def _q_embedding_dups(spark, sf):
                                  num_planes=12)
 
 
+def _q_embedding_dup_clusters(spark, sf):
+    """Canonical-keeper verdict per vector over the embedding_dups pair
+    graph (same doubled input, same pairs — the LSH recall on this
+    fixture is structural, so the closure is oracle-exact)."""
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    dups = emb.selectExpr(
+        "vec_id + 100000 AS vec_id",
+        "TRANSFORM(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding",
+    )
+    u = emb.unionByName(dups)
+    pairs = D.embedding_dup_pairs(u, threshold=0.98, num_planes=12)
+    return D.cluster_pairs(u.select("vec_id"), pairs, id_col="vec_id")
+
+
 def _q_focal_mean(spark, sf):
     return FO.focal_stat(_ras(spark, sf, "a"), "mean", 1)
 
@@ -3843,6 +3857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_pairs": _q_simhash64_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_dups": _q_embedding_dups,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -12248,6 +12263,28 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.98"
     )
 
+    # embedding_dup_clusters: the same pair predicate, closed transitively
+    # (CTE edge columns renamed x/y — a/b name the vector CTEs here)
+    emb_clusters_oracle = (
+        "WITH RECURSIVE u AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 100000 AS vec_id, "
+        "list_transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding "
+        "FROM embeddings), "
+        "a AS (SELECT vec_id AS id_a, embedding AS va FROM u), "
+        "b AS (SELECT vec_id AS id_b, embedding AS vb FROM u), "
+        f"p AS (SELECT id_a, id_b FROM a, b WHERE id_a < id_b "
+        f"AND ({dup_dot}) / (({dup_na}) * ({dup_nb})) >= 0.98), "
+        "edges AS (SELECT id_a AS x, id_b AS y FROM p "
+        "UNION SELECT id_b, id_a FROM p), "
+        "reach(id, r) AS (SELECT x, x FROM edges "
+        "UNION SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x), "
+        "comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id) "
+        "SELECT u.vec_id AS vec_id, COALESCE(c.comp, u.vec_id) AS cluster_id, "
+        "CAST(CASE WHEN COALESCE(c.comp, u.vec_id) = u.vec_id THEN 1 ELSE 0 END "
+        "AS BIGINT) AS is_canonical "
+        "FROM u LEFT JOIN comp c ON c.id = u.vec_id"
+    )
+
     reclass_case = "CASE " + " ".join(
         f"WHEN value >= {lo!r} AND value < {hi!r} THEN {nv!r}" for nv, lo, hi in _RECLASS_RANGES
     ) + " ELSE value END"
@@ -12516,6 +12553,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": ann_oracle,
         "embedding_dups": emb_dup_oracle,
+        "embedding_dup_clusters": emb_clusters_oracle,
         # knn_wbt / ann_lsh / ann_ivf oracles live in _r5_oracles (full
         # deterministic replays — only their RECALL is approximate).
         **_round3_oracles(),

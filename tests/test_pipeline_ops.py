@@ -213,3 +213,15 @@ def test_dedup_clusters_chain_and_singletons(spark):
     assert out[1] == (0, 0)
     assert out[2] == (0, 0)
     assert out[3] == (3, 1)                   # singleton clusters to itself
+
+
+def test_cluster_pairs_chain_closure(spark):
+    # A genuine chain: (1,2) and (2,3) paired, (1,3) never a candidate —
+    # transitive closure must still produce one cluster with keeper 1.
+    from whitebox_tools_spark.operators.dedup import cluster_pairs
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.id: (r.cluster_id, r.is_canonical)
+           for r in cluster_pairs(ids, pairs).collect()}
+    assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (4, 1), 5: (5, 1)}

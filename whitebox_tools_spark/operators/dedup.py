@@ -324,6 +324,36 @@ def simhash64_pairs(
                .where(F.col("hamming") <= max_hamming)
 
 
+def cluster_pairs(ids: DataFrame, pairs: DataFrame,
+                  id_col: str = "id") -> DataFrame:
+    """Turn pairwise duplicate evidence (id_a, id_b, ...) into a
+    per-id verdict: (id_col, cluster_id, is_canonical), where
+    cluster_id is the smallest id in the connected component of the
+    undirected dup graph (own id for singletons) and is_canonical = 1
+    exactly for the keeper. Shared by the text (dedup_clusters) and
+    embedding (embedding_dup_clusters) canonicalization stages.
+
+    Scale shape: the iterative CC runs only over ids that appear in a
+    pair (dup mass << corpus size); singletons cost one final left join.
+    """
+    from .clump import connected_components
+
+    edges = pairs.selectExpr("id_a AS a", "id_b AS b")
+    touched = edges.selectExpr("a AS id").unionByName(
+        edges.selectExpr("b AS id")).distinct()
+    comp = connected_components(touched, edges)
+    return (
+        ids.selectExpr(f"{id_col} AS id")
+        .join(comp, "id", "left")
+        .selectExpr(
+            f"id AS {id_col}",
+            "COALESCE(comp, id) AS cluster_id",
+            "CAST(CASE WHEN COALESCE(comp, id) = id THEN 1 ELSE 0 END AS BIGINT)"
+            " AS is_canonical",
+        )
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     text_col: str = "text",
@@ -354,23 +384,8 @@ def dedup_clusters(
     here (A~B, B~C clusters A,C together even when A,C were never a
     candidate pair).
     """
-    from .clump import connected_components
-
     pairs = minhash_lsh_pairs(
         docs, text_col=text_col, id_col=id_col, bands=bands,
         rows_per_band=rows_per_band, shingle_n=shingle_n,
         jaccard_threshold=jaccard_threshold, max_band_size=max_band_size)
-    edges = pairs.selectExpr("id_a AS a", "id_b AS b")
-    touched = edges.selectExpr("a AS id").unionByName(
-        edges.selectExpr("b AS id")).distinct()
-    comp = connected_components(touched, edges)
-    return (
-        docs.selectExpr(f"{id_col} AS id")
-        .join(comp, "id", "left")
-        .selectExpr(
-            f"id AS {id_col}",
-            "COALESCE(comp, id) AS cluster_id",
-            "CAST(CASE WHEN COALESCE(comp, id) = id THEN 1 ELSE 0 END AS BIGINT)"
-            " AS is_canonical",
-        )
-    )
+    return cluster_pairs(docs, pairs, id_col=id_col)
