@@ -3313,6 +3313,36 @@ def _media(spark, sf):
     )
 
 
+def _q_token_budget(spark, sf):
+    """Whitespace + BPE-ish token counting — the token-budget estimator
+    pair (both expressions shared verbatim with the DuckDB oracle)."""
+    s_ws = T.token_count_expr("text")[0]
+    s_bpe = T.bpe_token_count_expr("text")[0]
+    return _docs(spark, sf).selectExpr(
+        "doc_id",
+        f"CAST({s_ws} AS BIGINT) AS n_ws_tokens",
+        f"CAST({s_bpe} AS BIGINT) AS n_bpe_tokens",
+    )
+
+
+def _q_media_resize(spark, sf):
+    """Arrow-batched decode + 2x2 block-mean resize to 4x4 (stub codec,
+    deterministic bytes -> the kernel is oracle-gated; block sums of 4
+    ints / 4.0 are float-exact in any summation order)."""
+    from whitebox_tools_spark.operators.multimodal import resize_media
+
+    return resize_media(_media(spark, sf), 4, 4).select("doc_id", "ry", "rx", "v")
+
+
+def _q_media_frames(spark, sf):
+    """Frame sampling over the stub video (32-byte chunks = frames,
+    every 2nd frame kept; 32-int sums / 32.0 are float-exact)."""
+    from whitebox_tools_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media(spark, sf), every_k=2) \
+        .select("doc_id", "frame_idx", "frame_mean")
+
+
 def _q_media_features(spark, sf):
     """Multimodal decode+feature pipeline (stub codec — deterministic
     bytes, so even the Arrow-batched kernel is oracle-gated)."""
@@ -3864,6 +3894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
+        "token_budget": _q_token_budget,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
         "hist_eq": _q_hist_eq,
@@ -6956,6 +6989,13 @@ def _vector_op_oracles() -> dict[str, str]:
         "smooth_vectors": _smooth_vectors_oracle(),
         "line_intersections": _line_intersections_oracle(),
         "media_features": _media_features_oracle(),
+        "media_resize": _media_resize_oracle(),
+        "media_frames": _media_frames_oracle(),
+        "token_budget": (
+            f"SELECT doc_id, CAST({T.token_count_expr('text')[1]} AS BIGINT) AS n_ws_tokens, "
+            f"CAST({T.bpe_token_count_expr('text')[1]} AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
         "lineage_resume": (
             f"{pts_cte}, t AS (SELECT {TL.tile_exprs(_TG)['tile_id']} AS tile_id FROM pts) "
             f"SELECT CAST(tile_id % 4 AS VARCHAR) AS partition_key, "
@@ -7055,6 +7095,35 @@ def _media_features_oracle() -> str:
     return (f"WITH m AS (SELECT doc_id, {s} AS s FROM documents) "
             f"SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
             f"{seg_mean(1, 64, 64.0)} AS mean_intensity, {feats} FROM m")
+
+
+def _media_resize_oracle() -> str:
+    """resize_media(4, 4) in SQL: output pixel (ry, rx) = mean of the
+    2x2 block at 8x8 positions (2ry+a, 2rx+b) — four integer ASCII
+    values summed / 4.0 (exact in float64 regardless of order)."""
+    s = "CONCAT('IMG:', md5(text), ':', repeat(substr(md5(text), 1, 8), 16))"
+    px = "ascii(substr(s, ry*16 + rx*2 + {off}, 1))"
+    quad = " + ".join(px.format(off=o) for o in (1, 2, 9, 10))
+    return (f"WITH m AS (SELECT doc_id, {s} AS s FROM documents), "
+            f"g AS (SELECT a.range AS ry, b.range AS rx "
+            f"FROM range(0, 4) a, range(0, 4) b) "
+            f"SELECT doc_id, CAST(ry AS INT) AS ry, CAST(rx AS INT) AS rx, "
+            f"(CAST({quad} AS DOUBLE) / 4.0) AS v FROM m, g")
+
+
+def _media_frames_oracle() -> str:
+    """sample_frames(every_k=2) in SQL: frames = full 32-byte chunks
+    (truncated tail dropped), every 2nd kept; 32-int sum / 32.0 exact."""
+    s = "CONCAT('IMG:', md5(text), ':', repeat(substr(md5(text), 1, 8), 16))"
+    fm = ("(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(range(1, 33), "
+          "i -> CAST(ascii(substr(s, frame_idx*32 + i, 1)) AS DOUBLE))), "
+          "(a, b) -> a + b) / 32.0)")
+    return (f"WITH m AS (SELECT doc_id, {s} AS s FROM documents), "
+            f"fr AS (SELECT doc_id, s, "
+            f"unnest(range(0, length(s) // 32)) AS frame_idx FROM m) "
+            f"SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, "
+            f"{fm} AS frame_mean FROM fr WHERE frame_idx % 2 = 0")
 
 
 

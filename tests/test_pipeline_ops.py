@@ -225,3 +225,42 @@ def test_cluster_pairs_chain_closure(spark):
     out = {r.id: (r.cluster_id, r.is_canonical)
            for r in cluster_pairs(ids, pairs).collect()}
     assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (4, 1), 5: (5, 1)}
+
+
+def test_media_resize_and_frames_plumbing(spark):
+    import numpy as np
+    import pytest as _pt
+    from whitebox_tools_spark.operators.multimodal import (
+        FRAME_BYTES, _decode_impl, resize_media, sample_frames,
+    )
+
+    docs = synth_docs(spark, 50)
+    media = synth_media(docs).cache()
+    n_media = media.count()
+
+    out = resize_media(media, 4, 4)
+    rows = out.collect()
+    assert len(rows) == n_media * 16          # one row per output pixel
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], {})[(r["ry"], r["rx"])] = r["v"]
+    one = media.limit(1).collect()[0]
+    img = _decode_impl(bytes(one["media_bytes"]))
+    want = img.reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    got = by_ref[one["media_ref"]]
+    assert all(got[(i, j)] == want[i, j] for i in range(4) for j in range(4))
+    with _pt.raises(ValueError):
+        resize_media(media, 3, 4)             # must divide the 8x8 stub
+
+    fr = sample_frames(media, every_k=2).collect()
+    n_frames = len(bytes(one["media_bytes"])) // FRAME_BYTES
+    want_idx = list(range(0, n_frames, 2))
+    per = {}
+    for r in fr:
+        per.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    assert sorted(per[one["media_ref"]]) == want_idx
+    arr = np.frombuffer(bytes(one["media_bytes"]), dtype=np.uint8)
+    means = {r["frame_idx"]: r["frame_mean"] for r in fr
+             if r["media_ref"] == one["media_ref"]}
+    for j in want_idx:
+        assert means[j] == float(arr[j * FRAME_BYTES:(j + 1) * FRAME_BYTES].mean())

@@ -29,6 +29,23 @@ def token_count_expr(col: str) -> tuple[str, str]:
     return (f"SIZE({s})", f"len({d})")
 
 
+# BPE-ish pre-tokenizer (the GPT-2 pattern family, simplified to the
+# subset Java regex and RE2 evaluate identically — no lookahead, ASCII
+# classes): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs. Counts the segments a byte-pair encoder would
+# merge within — the standard "token budget" estimator when the real
+# tokenizer isn't on the cluster.
+_BPE_PAT_SPARK = "''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\\\s]+"
+_BPE_PAT_DUCK = "''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+
+def bpe_token_count_expr(col: str) -> tuple[str, str]:
+    return (
+        f"SIZE(REGEXP_EXTRACT_ALL({col}, '{_BPE_PAT_SPARK}'))",
+        f"len(regexp_extract_all({col}, '{_BPE_PAT_DUCK}'))",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Language ID: fixed marker-word lists, hit-count scoring, argmax with
 # deterministic tie-break on list order.

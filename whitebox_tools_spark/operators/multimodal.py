@@ -100,3 +100,84 @@ def extract_media_features(media: DataFrame, bytes_col: str = "media_bytes") -> 
             yield out
 
     return media.mapInPandas(run, schema=schema)
+
+
+def resize_media(media: DataFrame, out_h: int = 4, out_w: int = 4,
+                 bytes_col: str = "media_bytes") -> DataFrame:
+    """Decode + block-average resize, Arrow-batched, one row per OUTPUT
+    pixel: input columns + (ry, rx, v). The decode is the module's stub
+    (8x8 fake raster); out_h/out_w must divide 8. Real pipelines swap
+    `_decode_impl` for a codec and the block-mean below for the
+    library's resampler — schema, batching and the exploded-pixel
+    output shape are the production plumbing.
+    """
+    if 8 % out_h or 8 % out_w:
+        raise ValueError("out_h/out_w must divide the stub's 8x8 grid")
+    bh, bw = 8 // out_h, 8 // out_w
+    fields = media.schema.fields + [
+        StructField("ry", IntegerType(), False),
+        StructField("rx", IntegerType(), False),
+        StructField("v", DoubleType(), False),
+    ]
+    schema = StructType(fields)
+    in_cols = [f.name for f in media.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for i, buf in enumerate(pdf[bytes_col]):
+                img = _decode_impl(bytes(buf))
+                small = img.reshape(out_h, bh, out_w, bw).mean(axis=(1, 3))
+                rows = pdf[in_cols].iloc[[i] * (out_h * out_w)].reset_index(drop=True)
+                rows["ry"] = np.repeat(np.arange(out_h, dtype=np.int32), out_w)
+                rows["rx"] = np.tile(np.arange(out_w, dtype=np.int32), out_h)
+                rows["v"] = small.reshape(-1)
+                outs.append(rows)
+            yield pd.concat(outs, ignore_index=True)
+
+    return media.mapInPandas(run, schema=schema)
+
+
+FRAME_BYTES = 32  # stub "video": consecutive 32-byte chunks are frames
+
+
+def sample_frames(media: DataFrame, every_k: int = 2,
+                  bytes_col: str = "media_bytes") -> DataFrame:
+    """Frame sampling over the binary payload treated as a fake video
+    (full FRAME_BYTES-sized chunks = frames; the trailing partial chunk
+    is dropped, as a real demuxer drops a truncated frame). Emits every
+    k-th frame: input columns + (frame_idx, frame_mean). Swap the chunk
+    walk for a real demuxer (pyav etc.) on a cluster that has one — the
+    mapInPandas batching, schema and sampling contract stay.
+    """
+    fields = media.schema.fields + [
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_mean", DoubleType(), False),
+    ]
+    schema = StructType(fields)
+    in_cols = [f.name for f in media.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for i, buf in enumerate(pdf[bytes_col]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n_frames = len(arr) // FRAME_BYTES
+                idxs = list(range(0, n_frames, every_k))
+                if not idxs:
+                    continue
+                rows = pdf[in_cols].iloc[[i] * len(idxs)].reset_index(drop=True)
+                rows["frame_idx"] = pd.array(idxs, dtype="int32")
+                rows["frame_mean"] = [
+                    float(arr[j * FRAME_BYTES:(j + 1) * FRAME_BYTES].astype(np.float64).mean())
+                    for j in idxs
+                ]
+                outs.append(rows)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return media.mapInPandas(run, schema=schema)
