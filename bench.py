@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "dissolve",
     "contour_segments",
     "minhash_pairs",
+    # round-5: the canonicalization stage (pairs -> CC -> keeper verdict)
+    "dedup_clusters",
     # simhash_pairs (16-bit) is retired from the headline set: its 65,536
     # global buckets go quadratic at corpus scale; it survives in the
     # registry purely as a parity artifact. simhash64_pairs is the real op.
