@@ -3325,6 +3325,36 @@ def _q_token_budget(spark, sf):
     )
 
 
+def _q_corpus_curation(spark, sf):
+    """The full data-curation funnel as ONE declarative plan: near-dup
+    canonicalization (keep the cluster keeper) -> language/quality
+    filters -> per-(source, lang) corpus stats with a BPE token budget.
+    Every stage is the already-gated machinery; the value here is the
+    composition — Catalyst fuses the filters into the scans and the only
+    wide stages are the dedup band join, the (tiny) CC rounds and the
+    final rollup."""
+    docs = _docs(spark, sf)
+    verdict = D.dedup_clusters(docs, "text", "doc_id",
+                               bands=8, rows_per_band=2, shingle_n=3,
+                               jaccard_threshold=0.1)
+    qx = T.quality_score_exprs("text")
+    enriched = docs.selectExpr(
+        "doc_id", "source",
+        f"{T.lang_id_expr('text')[0]} AS lang_pred",
+        f"CAST({qx['q_tokens'][0]} AS BIGINT) AS q_tokens",
+        f"{qx['q_stopword_ratio'][0]} AS q_sw",
+        f"CAST({T.bpe_token_count_expr('text')[0]} AS BIGINT) AS n_bpe",
+    )
+    kept = (
+        enriched.join(verdict.where("is_canonical = 1"), "doc_id", "leftsemi")
+        .where("q_tokens >= 20 AND q_sw >= 0.02")
+    )
+    return kept.groupBy("source", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+    )
+
+
 def _q_media_resize(spark, sf):
     """Arrow-batched decode + 2x2 block-mean resize to 4x4 (stub codec,
     deterministic bytes -> the kernel is oracle-gated; block sums of 4
@@ -3897,6 +3927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
         "token_budget": _q_token_budget,
+        "corpus_curation": _q_corpus_curation,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
         "hist_eq": _q_hist_eq,
@@ -12264,6 +12295,36 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"
     )
 
+    # corpus_curation: keeper selection (the dedup_clusters closure) ->
+    # quality/language filters -> per-(source, lang) rollup with a BPE
+    # token budget. SUM is cast back to BIGINT (DuckDB widens to HUGEINT).
+    _ccq = T.quality_score_exprs("text")
+    corpus_curation_oracle = (
+        "WITH RECURSIVE "
+        f"base AS (SELECT doc_id AS id, list_distinct({d_sh}) AS sh, {band_cols} "
+        "FROM documents), "
+        f"longb AS (SELECT id, sh, unnest({band_arr}) AS band FROM base), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b "
+        "FROM longb a JOIN longb b USING (band) WHERE a.id < b.id), "
+        f"pairs AS (SELECT id_a, id_b FROM cand "
+        f"WHERE CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE) >= 0.1), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(id, r) AS (SELECT a, a FROM edges "
+        "UNION SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a), "
+        "comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id), "
+        "keep AS (SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.id = d.doc_id "
+        "WHERE COALESCE(c.comp, d.doc_id) = d.doc_id), "
+        f"enr AS (SELECT doc_id, source, {T.lang_id_expr('text')[1]} AS lang_pred, "
+        f"CAST({_ccq['q_tokens'][1]} AS BIGINT) AS q_tokens, "
+        f"{_ccq['q_stopword_ratio'][1]} AS q_sw, "
+        f"CAST({T.bpe_token_count_expr('text')[1]} AS BIGINT) AS n_bpe FROM documents) "
+        "SELECT source, lang_pred, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens "
+        "FROM enr JOIN keep USING (doc_id) "
+        "WHERE q_tokens >= 20 AND q_sw >= 0.02 GROUP BY 1, 2"
+    )
+
     _, d_sh5 = T.doc_fingerprint_expr("text")
     _, d_sim = T.simhash16_exprs("text")
     simhash_pairs_oracle = (
@@ -12603,6 +12664,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_pairs": minhash_oracle,
         "dedup_clusters": dedup_clusters_oracle,
+        "corpus_curation": corpus_curation_oracle,
         "simhash_pairs": simhash_pairs_oracle,
         "simhash64_pairs": simhash64_oracle,
         "ngram_jaccard": ngram_oracle,
