@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "minhash_pairs",
     # round-5: the canonicalization stage (pairs -> CC -> keeper verdict)
     "dedup_clusters",
+    # round-5: the full curation funnel (keeper selection -> lang/quality
+    # filters -> per-(source, lang) corpus stats + BPE token budget)
+    "corpus_curation",
     # simhash_pairs (16-bit) is retired from the headline set: its 65,536
     # global buckets go quadratic at corpus scale; it survives in the
     # registry purely as a parity artifact. simhash64_pairs is the real op.
