@@ -31,6 +31,7 @@ from whitebox_tools_spark.functions import text as T
 from whitebox_tools_spark.functions.cells import frs_cell_expr, morton_expr
 from whitebox_tools_spark.functions.raster_math import GridMeta
 from whitebox_tools_spark.operators import clump as CL
+from whitebox_tools_spark.operators import curation as CU
 from whitebox_tools_spark.operators import hydro as HY
 from whitebox_tools_spark.operators import lidar as LI
 from whitebox_tools_spark.operators import vector_ops as VO
@@ -3355,6 +3356,67 @@ def _q_corpus_curation(spark, sf):
     )
 
 
+def _q_contamination(spark, sf):
+    """Benchmark-contamination gate: fraction of each training doc's
+    distinct 3-grams that appear in the eval subset (doc_id % 23 = 0).
+    Real releases run n=13; the fixture vocabulary (31 words) pins n=3
+    so hits actually occur. Eval grams broadcast; no corpus shuffle."""
+    return CU.contamination_check(_docs(spark, sf), "doc_id % 23 = 0")
+
+
+def _q_repetition_quality(spark, sf):
+    """Gopher-style repetition filters (Rae et al. 2021): duplicate
+    bigram/trigram fractions, unique-token fraction, top-bigram
+    coverage — integer-count ratios, bit-exact vs DuckDB."""
+    return CU.repetition_stats(_docs(spark, sf))
+
+
+def _q_doc_chunking(spark, sf):
+    """Token-window chunking, 32-token windows / stride 24 (8-token
+    overlap) — pure per-row codegen, zero shuffle."""
+    return CU.chunk_documents(_docs(spark, sf), window=32, stride=24)
+
+
+def _q_source_caps(spark, sf):
+    """Per-source quota sampling: keep <= 18 docs per source by md5
+    hash priority (deterministic, ingest-order-free). The fixture has
+    20 sources x 25 docs, so every source exercises the windowed
+    over-cap path; the under-cap wholesale path is pytest-gated."""
+    return CU.source_quota(_docs(spark, sf), cap=18)
+
+
+def _q_pii_scrub(spark, sf):
+    """PII redaction over deterministically injected emails/phones
+    (the fixture corpus carries none): counts + scrubbed text, regex
+    restricted to the Java/RE2-identical subset."""
+    inj = T.pii_inject_expr("text", "doc_id")[0]
+    px = T.pii_scrub_exprs("__t")
+    return _docs(spark, sf).selectExpr("doc_id", f"{inj} AS __t").selectExpr(
+        "doc_id",
+        f"CAST({px['n_emails'][0]} AS BIGINT) AS n_emails",
+        f"CAST({px['n_phones'][0]} AS BIGINT) AS n_phones",
+        f"{px['clean'][0]} AS clean",
+    )
+
+
+def _media_dup(spark, sf):
+    """Media payloads with REAL duplicates: the stub payload derives
+    from doc_id % 350, so 150 of 500 payloads are exact copies
+    (the interleaved-media analogue of the injected text dups)."""
+    return _docs(spark, sf).selectExpr(
+        "doc_id",
+        "CAST(CONCAT('IMG:', MD5(CAST(doc_id % 350 AS STRING)), ':', "
+        "REPEAT(SUBSTR(MD5(CAST(doc_id % 350 AS STRING)), 1, 8), 16)) AS BINARY)"
+        " AS media_bytes",
+    )
+
+
+def _q_media_dedup(spark, sf):
+    """Exact dedup of interleaved media payloads by md5 digest — the
+    digest is computed beside the scan so binaries never shuffle."""
+    return CU.media_exact_dedup(_media_dup(spark, sf))
+
+
 def _q_media_resize(spark, sf):
     """Arrow-batched decode + 2x2 block-mean resize to 4x4 (stub codec,
     deterministic bytes -> the kernel is oracle-gated; block sums of 4
@@ -3928,6 +3990,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "token_budget": _q_token_budget,
         "corpus_curation": _q_corpus_curation,
+        "contamination_check": _q_contamination,
+        "repetition_quality": _q_repetition_quality,
+        "doc_chunking": _q_doc_chunking,
+        "source_caps": _q_source_caps,
+        "pii_scrub": _q_pii_scrub,
+        "media_dedup": _q_media_dedup,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
         "hist_eq": _q_hist_eq,
@@ -7126,6 +7194,31 @@ def _media_features_oracle() -> str:
     return (f"WITH m AS (SELECT doc_id, {s} AS s FROM documents) "
             f"SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
             f"{seg_mean(1, 64, 64.0)} AS mean_intensity, {feats} FROM m")
+
+
+def _pii_scrub_oracle() -> str:
+    """pii_scrub in DuckDB: the same injection expression builds the
+    ground-truth text, the same RE2/Java-identical patterns count and
+    redact (text.pii_scrub_exprs duck sides)."""
+    inj = T.pii_inject_expr("text", "doc_id")[1]
+    px = T.pii_scrub_exprs("__t")
+    return (
+        f"SELECT doc_id, {px['n_emails'][1]} AS n_emails, "
+        f"{px['n_phones'][1]} AS n_phones, {px['clean'][1]} AS clean "
+        f"FROM (SELECT doc_id, {inj} AS __t FROM documents)"
+    )
+
+
+def _media_dedup_oracle() -> str:
+    """media_exact_dedup over the dup-injected payloads: md5 of the
+    ASCII payload string equals Spark's md5 of the same bytes."""
+    s = ("CONCAT('IMG:', md5(CAST(doc_id % 350 AS VARCHAR)), ':', "
+         "repeat(substr(md5(CAST(doc_id % 350 AS VARCHAR)), 1, 8), 16))")
+    return (
+        f"SELECT md5({s}) AS media_md5, MIN(doc_id) AS doc_id, "
+        f"COUNT(*) AS n_copies, MIN(length({s})) AS n_bytes "
+        f"FROM documents GROUP BY 1"
+    )
 
 
 def _media_resize_oracle() -> str:
@@ -12665,6 +12758,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": minhash_oracle,
         "dedup_clusters": dedup_clusters_oracle,
         "corpus_curation": corpus_curation_oracle,
+        "contamination_check": CU.contamination_oracle_sql("doc_id % 23 = 0"),
+        "repetition_quality": CU.repetition_oracle_sql(),
+        "doc_chunking": CU.chunk_oracle_sql(32, 24),
+        "source_caps": CU.source_quota_oracle_sql(18),
+        "pii_scrub": _pii_scrub_oracle(),
+        "media_dedup": _media_dedup_oracle(),
         "simhash_pairs": simhash_pairs_oracle,
         "simhash64_pairs": simhash64_oracle,
         "ngram_jaccard": ngram_oracle,

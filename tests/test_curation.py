@@ -1,0 +1,124 @@
+"""Gates for the corpus-curation operators (operators/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.functions import text as T
+from whitebox_tools_spark.operators import curation as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "s0"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "s0"),  # exact dup of 0
+        (2, "one two three four five six seven eight nine ten", "s0"),
+        (3, "rep rep rep rep rep rep", "s1"),
+        (4, "alpha beta gamma delta other tail words here now", "s1"),
+        (5, "unique words entirely disjoint from anything else", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_chunking_covers_and_overlaps(spark, docs):
+    out = C.chunk_documents(docs, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        toks = texts[did].split()
+        # chunk starts at stride*idx, window tokens, tail clamped
+        for r in rows:
+            start = 3 * r.chunk_idx
+            expect = toks[start:start + 4]
+            assert r.chunk.split() == expect
+            assert r.n_chunk_tokens == len(expect)
+        # consecutive chunks overlap by window - stride = 1 token
+        for a, b in zip(rows, rows[1:]):
+            assert a.chunk.split()[-1] == b.chunk.split()[0]
+        # every token covered
+        covered = set()
+        for r in rows:
+            covered.update(range(3 * r.chunk_idx, 3 * r.chunk_idx + r.n_chunk_tokens))
+        assert covered == set(range(len(toks)))
+
+
+def test_repetition_known_values(spark):
+    one = spark.createDataFrame(
+        [(0, "a a a a"), (1, "x y x y x")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in C.repetition_stats(one).collect()}
+    r0 = rows[0]
+    assert r0.n_tokens == 4
+    assert r0.unique_token_frac == 0.25
+    # bigrams: ["a a"] x3 -> distinct 1 of 3; top bigram covers 2*3/4
+    assert abs(r0.dup_bigram_frac - (1 - 1 / 3)) < 1e-15
+    assert r0.top_bigram_frac == 1.5
+    r1 = rows[1]
+    # bigrams: x y, y x, x y, y x -> 2 distinct of 4, max count 2
+    assert r1.dup_bigram_frac == 0.5
+    assert r1.top_bigram_frac == 2 * 2 / 5
+
+
+def test_contamination_excludes_eval_and_detects_copies(spark, docs):
+    # eval set = doc 0; doc 1 is an exact copy -> contamination 1.0;
+    # doc 5 shares nothing -> 0.0
+    out = {r.doc_id: r for r in
+           C.contamination_check(docs, "doc_id = 0", n=3).collect()}
+    assert 0 not in out  # eval doc is not scored as training
+    assert out[1].contamination == 1.0
+    assert out[5].contamination == 0.0
+    assert out[5].n_hit == 0
+    # partial overlap: doc 4 shares exactly the grams over the first
+    # 4 tokens ("alpha beta gamma", "beta gamma delta") of its 7 grams
+    assert out[4].n_hit == 2 and out[4].n_grams == 7
+
+
+def test_source_quota_two_phase(spark):
+    # source "big" has 10 docs (over cap 3), "small" has 2 (under cap)
+    rows = [(i, "big" if i < 10 else "small") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = C.source_quota(df, cap=3).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big"]) == 3
+    assert by_src["small"] == {10, 11}
+    # deterministic: the kept set is the md5-priority top-3
+    import hashlib
+    pri = sorted(range(10), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert by_src["big"] == set(pri[:3])
+
+
+def test_pii_scrub_ground_truth(spark, docs):
+    inj = T.pii_inject_expr("text", "doc_id")[0]
+    px = T.pii_scrub_exprs("__t")
+    out = docs.selectExpr("doc_id", f"{inj} AS __t").selectExpr(
+        "doc_id",
+        f"CAST({px['n_emails'][0]} AS BIGINT) AS n_emails",
+        f"CAST({px['n_phones'][0]} AS BIGINT) AS n_phones",
+        f"{px['clean'][0]} AS clean",
+    ).collect()
+    for r in out:
+        assert r.n_emails == (1 if r.doc_id % 3 == 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 5 == 0 else 0)
+        assert "@" not in r.clean
+        if r.doc_id % 3 == 0:
+            assert "<EMAIL>" in r.clean
+        if r.doc_id % 5 == 0:
+            assert "<PHONE>" in r.clean
+
+
+def test_media_dedup_exact(spark, docs):
+    media = docs.selectExpr(
+        "doc_id",
+        "CAST(CONCAT('blob-', CAST(doc_id % 4 AS STRING)) AS BINARY) AS media_bytes",
+    )
+    out = C.media_exact_dedup(media).collect()
+    assert sum(r.n_copies for r in out) == 6
+    # keeper is the min id of each residue class
+    keepers = sorted(r.doc_id for r in out)
+    assert keepers == [0, 1, 2, 3]
+    assert all(r.n_bytes == 6 for r in out)

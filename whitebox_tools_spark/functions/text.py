@@ -266,3 +266,60 @@ def token_md5s_exprs(col: str) -> tuple[str, str]:
         f"TRANSFORM({s_toks}, t -> MD5(t))",
         f"list_transform({d_toks}, t -> md5(t))",
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: patterns restricted to the Java-regex / RE2-identical
+# subset (ASCII classes, bounded quantifiers, no lookaround, no capture
+# groups) so the Spark plan and the DuckDB oracle run the SAME regex.
+# The fixture corpus carries no PII, so the gated query INJECTS
+# deterministic synthetic emails/phones first (pii_inject_expr) — the
+# scrubber is then exercised against known ground truth.
+# ---------------------------------------------------------------------------
+
+# Spark SQL string literals process backslash escapes; DuckDB standard
+# single-quoted literals do not — hence the two spellings of `\.`.
+_EMAIL_PAT_SPARK = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+_EMAIL_PAT_DUCK = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_inject_expr(col: str, id_col: str) -> tuple[str, str]:
+    """Deterministically append a synthetic email (ids % 3 = 0) and/or
+    phone number (ids % 5 = 0) to the text — test ground truth."""
+    spark = (
+        f"CONCAT({col}, "
+        f"CASE WHEN {id_col} % 3 = 0 THEN CONCAT(' contact user', "
+        f"CAST({id_col} AS STRING), '@example.com now') ELSE '' END, "
+        f"CASE WHEN {id_col} % 5 = 0 THEN CONCAT(' call 555-', "
+        f"LPAD(CAST({id_col} % 10000 AS STRING), 4, '0')) ELSE '' END)"
+    )
+    duck = (
+        f"concat({col}, "
+        f"CASE WHEN {id_col} % 3 = 0 THEN concat(' contact user', "
+        f"CAST({id_col} AS VARCHAR), '@example.com now') ELSE '' END, "
+        f"CASE WHEN {id_col} % 5 = 0 THEN concat(' call 555-', "
+        f"lpad(CAST({id_col} % 10000 AS VARCHAR), 4, '0')) ELSE '' END)"
+    )
+    return spark, duck
+
+
+def pii_scrub_exprs(col: str) -> dict[str, tuple[str, str]]:
+    """Redaction counts + scrubbed text. Group index 0 is passed
+    explicitly (Spark's REGEXP_EXTRACT_ALL defaults to group 1)."""
+    return {
+        "n_emails": (
+            f"SIZE(REGEXP_EXTRACT_ALL({col}, '{_EMAIL_PAT_SPARK}', 0))",
+            f"len(regexp_extract_all({col}, '{_EMAIL_PAT_DUCK}', 0))",
+        ),
+        "n_phones": (
+            f"SIZE(REGEXP_EXTRACT_ALL({col}, '{_PHONE_PAT}', 0))",
+            f"len(regexp_extract_all({col}, '{_PHONE_PAT}', 0))",
+        ),
+        "clean": (
+            f"REGEXP_REPLACE(REGEXP_REPLACE({col}, '{_EMAIL_PAT_SPARK}', "
+            f"'<EMAIL>'), '{_PHONE_PAT}', '<PHONE>')",
+            f"regexp_replace(regexp_replace({col}, '{_EMAIL_PAT_DUCK}', "
+            f"'<EMAIL>', 'g'), '{_PHONE_PAT}', '<PHONE>', 'g')",
+        ),
+    }

@@ -1,0 +1,325 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Beyond dedup (operators/dedup.py) and per-doc text scoring
+(functions/text.py), a production curation run needs:
+
+- contamination_check  benchmark n-gram overlap between an eval set and
+                       the training corpus (the "did the test set leak
+                       into training" gate every data release runs)
+- repetition_stats     Gopher-style repetition signals (duplicate
+                       n-gram fraction, top-bigram coverage, unique
+                       token fraction) used as quality filters
+- chunk_documents      fixed token-window chunking with overlap (the
+                       standard pre-tokenizer packing step)
+- source_quota         per-source (per-host) document caps with a
+                       deterministic hash priority — the anti-boilerplate
+                       sampling stage
+- media_exact_dedup    exact dedup of interleaved media payloads by
+                       content digest (binary column, not text)
+
+Scale shape:
+- contamination: the eval n-gram set is tiny relative to the corpus
+  (benchmarks are ~10^5 docs vs 10^12 training docs) -> distinct eval
+  grams BROADCAST to the training side; the per-doc hit counts are
+  map-side partial aggregations on doc_id. No corpus-sized shuffle.
+- repetition: distinct counts run as per-row ARRAY_DISTINCT (codegen,
+  zero shuffle); only the top-bigram count needs an explode + groupBy,
+  keyed (doc_id, gram) — uniformly distributed, partial-agg friendly.
+- chunking: pure per-row explode (codegen SLICE), no shuffle at all.
+- source_quota: two-phase — a count aggregate splits sources into
+  under-cap (kept wholesale, NO sort) and over-cap (windowed top-cap);
+  at 10^12 docs only the hot hosts pay the per-source sort, and the
+  count frame is tiny -> broadcast. A single giant host is the skew
+  case: the window sorts one partition per source, which AQE cannot
+  split — for pathological hosts pre-filter with an approximate hash
+  threshold (cap/count quantile over the md5 key) before the exact
+  window; the fixture-scale plan keeps the exact two-phase form.
+- media dedup: one groupBy on a 16-byte digest of the payload — the
+  digest is computed next to the scan so full binaries never shuffle.
+
+All outputs are integer counts or integer-ratio doubles over md5 keys,
+so every operator carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_pred: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-training-doc benchmark contamination: the fraction of the
+    doc's distinct word n-grams that appear anywhere in the eval set.
+
+    `eval_pred` is a SQL predicate selecting the eval/benchmark rows of
+    `docs`; all other rows are the training side. Real releases use
+    n = 13 exact-match grams (the GPT-3/PaLM convention); the fixture
+    vocabulary is tiny so the gated query pins n=3 to exercise hits.
+
+    Output: (id_col, n_grams, n_hit, contamination) for every training
+    doc, zero-filled when nothing overlaps.
+    """
+    s_grams = T.shingles_expr(text_col, n)[0]
+    grams = docs.selectExpr(id_col, f"{eval_pred} AS __is_eval",
+                            f"{s_grams} AS __grams")
+    exploded = grams.select(id_col, "__is_eval",
+                            F.explode("__grams").alias("__g"))
+    # distinct per side; md5 keeps the join key short (grams can be long)
+    eval_grams = (
+        exploded.where("__is_eval").select(F.md5(F.col("__g")).alias("__h")).distinct()
+    )
+    train = (
+        exploded.where("NOT __is_eval")
+        .select(id_col, F.md5(F.col("__g")).alias("__h"))
+        .distinct()
+    )
+    # one corpus pass: broadcast-left-join marks hits, a single aggregate
+    # produces totals and hit counts together (COUNT(col) skips nulls)
+    marked = train.join(
+        F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "__h", "left"
+    )
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("__hit").alias("n_hit"),
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+         ).alias("contamination"),
+    )
+
+
+def contamination_oracle_sql(
+    eval_pred: str, table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+) -> str:
+    """Exact DuckDB restatement of contamination_check."""
+    d_grams = T.shingles_expr(text_col, n)[1]
+    return f"""
+WITH g AS (
+  SELECT {id_col}, ({eval_pred}) AS is_eval, unnest({d_grams}) AS gram
+  FROM {table}
+),
+ev AS (SELECT DISTINCT md5(gram) AS h FROM g WHERE is_eval),
+tr AS (SELECT DISTINCT {id_col}, md5(gram) AS h FROM g WHERE NOT is_eval),
+tot AS (SELECT {id_col}, COUNT(*) AS n_grams FROM tr GROUP BY 1),
+hit AS (
+  SELECT {id_col}, COUNT(*) AS n_hit FROM tr
+  WHERE h IN (SELECT h FROM ev) GROUP BY 1
+)
+SELECT tot.{id_col}, n_grams, COALESCE(n_hit, 0) AS n_hit,
+       CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         AS contamination
+FROM tot LEFT JOIN hit USING ({id_col})
+"""
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - n_tokens             whitespace token count
+    - unique_token_frac    distinct tokens / tokens
+    - dup_bigram_frac      1 - distinct bigrams / bigrams
+    - dup_trigram_frac     1 - distinct trigrams / trigrams
+    - top_bigram_frac      tokens covered by the most frequent bigram
+                           (2 * max count / n_tokens)
+
+    Rae et al. 2021 (Gopher) filter on exactly these statistics; they
+    are pure integer-count ratios, so the DuckDB replay is bit-exact.
+    Distinct counts are per-row ARRAY_DISTINCT (no shuffle); only the
+    top-bigram max needs an explode + (doc_id, gram) groupBy.
+    """
+    s_toks = T.tokens_expr(text_col)[0]
+    s_g2 = T.shingles_expr(text_col, 2)[0]
+    s_g3 = T.shingles_expr(text_col, 3)[0]
+    base = docs.selectExpr(
+        id_col,
+        f"SIZE({s_toks}) AS __nt",
+        f"SIZE(ARRAY_DISTINCT({s_toks})) AS __ut",
+        f"SIZE({s_g2}) AS __n2",
+        f"SIZE(ARRAY_DISTINCT({s_g2})) AS __d2",
+        f"SIZE({s_g3}) AS __n3",
+        f"SIZE(ARRAY_DISTINCT({s_g3})) AS __d3",
+    )
+    top2 = (
+        docs.selectExpr(id_col, f"EXPLODE({s_g2}) AS __g")
+        .groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col).agg(F.max("__c").alias("__m2"))
+    )
+    out = base.join(top2, id_col, "left").na.fill({"__m2": 0})
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        id_col,
+        F.col("__nt").cast("long").alias("n_tokens"),
+        (dbl("__ut") / dbl("__nt")).alias("unique_token_frac"),
+        (F.lit(1.0) - dbl("__d2") / dbl("__n2")).alias("dup_bigram_frac"),
+        (F.lit(1.0) - dbl("__d3") / dbl("__n3")).alias("dup_trigram_frac"),
+        (F.lit(2.0) * dbl("__m2") / dbl("__nt")).alias("top_bigram_frac"),
+    )
+
+
+def repetition_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    d_toks = T.tokens_expr(text_col)[1]
+    d_g2 = T.shingles_expr(text_col, 2)[1]
+    d_g3 = T.shingles_expr(text_col, 3)[1]
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         len({d_toks}) AS nt,
+         len(list_distinct({d_toks})) AS ut,
+         len({d_g2}) AS n2, len(list_distinct({d_g2})) AS d2,
+         len({d_g3}) AS n3, len(list_distinct({d_g3})) AS d3
+  FROM {table}
+),
+top2 AS (
+  SELECT {id_col}, MAX(c) AS m2 FROM (
+    SELECT {id_col}, gram, COUNT(*) AS c
+    FROM (SELECT {id_col}, unnest({d_g2}) AS gram FROM {table})
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT base.{id_col}, nt AS n_tokens,
+       CAST(ut AS DOUBLE) / CAST(nt AS DOUBLE) AS unique_token_frac,
+       1.0 - CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dup_bigram_frac,
+       1.0 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS dup_trigram_frac,
+       2.0 * CAST(COALESCE(m2, 0) AS DOUBLE) / CAST(nt AS DOUBLE)
+         AS top_bigram_frac
+FROM base LEFT JOIN top2 USING ({id_col})
+"""
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed token-window chunking with overlap (window - stride tokens
+    shared between consecutive chunks) — the packing step that precedes
+    tokenization in a training pipeline.
+
+    One row per chunk: (id_col, chunk_idx, n_chunk_tokens, chunk). The
+    final chunk is the (possibly shorter) tail; chunk starts are
+    0, stride, 2*stride, ... < n_tokens. Pure per-row codegen (SEQUENCE
+    + SLICE + posexplode) — zero shuffle, linear in corpus tokens.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    s_toks = T.tokens_expr(text_col)[0]
+    toks = docs.selectExpr(id_col, f"{s_toks} AS __t")
+    starts = toks.selectExpr(
+        id_col, "__t",
+        f"SEQUENCE(0, SIZE(__t) - 1, {stride}) AS __starts",
+    )
+    exploded = starts.select(
+        id_col, "__t", F.posexplode("__starts").alias("chunk_idx", "__s")
+    )
+    return exploded.selectExpr(
+        id_col,
+        "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+        f"CAST(SIZE(SLICE(__t, __s + 1, {window})) AS BIGINT) AS n_chunk_tokens",
+        f"ARRAY_JOIN(SLICE(__t, __s + 1, {window}), ' ') AS chunk",
+    )
+
+
+def chunk_oracle_sql(
+    window: int = 32, stride: int = 24, table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    d_toks = T.tokens_expr(text_col)[1]
+    return f"""
+WITH t AS (SELECT {id_col}, {d_toks} AS toks FROM {table}),
+s AS (SELECT {id_col}, toks, unnest(range(0, len(toks), {stride})) AS st FROM t)
+SELECT {id_col}, st // {stride} AS chunk_idx,
+       len(list_slice(toks, st + 1, st + {window})) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, st + 1, st + {window}), ' ') AS chunk
+FROM s
+"""
+
+
+def source_quota(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most `cap` documents per source (per host / domain), the
+    anti-boilerplate sampling stage of a curation funnel. Selection is a
+    deterministic hash priority — md5 of the id, ties on the id — so the
+    kept set is reproducible and unbiased by ingest order.
+
+    Two-phase plan (see module docstring): sources under the cap keep
+    every row WITHOUT sorting; only over-cap sources run the per-source
+    window. Output: (id_col, source_col), the kept set.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    tagged = docs.select(id_col, source_col).join(
+        F.broadcast(counts), source_col
+    )
+    under = tagged.where(F.col("__n") <= cap).select(id_col, source_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    over = (
+        tagged.where(F.col("__n") > cap)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= cap)
+        .select(id_col, source_col)
+    )
+    return under.unionByName(over)
+
+
+def source_quota_oracle_sql(
+    cap: int, table: str = "documents",
+    source_col: str = "source", id_col: str = "doc_id",
+) -> str:
+    return f"""
+SELECT {id_col}, {source_col} FROM (
+  SELECT {id_col}, {source_col},
+         ROW_NUMBER() OVER (
+           PARTITION BY {source_col}
+           ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+         ) AS r
+  FROM {table}
+) WHERE r <= {cap}
+"""
+
+
+def media_exact_dedup(
+    media: DataFrame, bytes_col: str = "media_bytes", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup of interleaved media payloads by content digest.
+
+    The digest is computed adjacent to the scan so the binary payloads
+    never shuffle — only (digest, id, length) rows move. Output: one row
+    per distinct payload with the keeper id (min), copy count, and the
+    payload size.
+    """
+    return (
+        media.select(
+            F.md5(F.col(bytes_col)).alias("media_md5"),
+            F.col(id_col),
+            F.length(F.col(bytes_col)).cast("long").alias("n_bytes"),
+        )
+        .groupBy("media_md5")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+    )
