@@ -3417,6 +3417,47 @@ def _q_media_dedup(spark, sf):
     return CU.media_exact_dedup(_media_dup(spark, sf))
 
 
+_SPAN_KIND = "CASE (doc_id + j) % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'media' ELSE 'point' END"
+
+
+def _q_span_scrub(spark, sf):
+    """Span-preserving PII scrub over interleaved documents: rebuild a
+    DuckDB-replayable spans array (kind rotates text/media/point; text
+    spans draw words from the doc + injected emails at (doc_id + j) % 7
+    = 0), run the REAL scrub_text_spans transform, and emit one row per
+    span. Order, kinds, media_refs and non-text payloads must survive
+    bit-exact — the span-sequence-equality contract as an oracle gate
+    (pytest additionally fingerprints synth_docs before/after)."""
+    word = "ELEMENT_AT(__t, CAST((doc_id + j) % SIZE(__t) AS INT) + 1)"
+    txt = (
+        f"CASE WHEN {_SPAN_KIND} = 'text' THEN CONCAT({word}, "
+        "CASE WHEN (doc_id + j) % 7 = 0 THEN CONCAT(' u', CAST(doc_id AS STRING), '@ex.com') ELSE '' END) "
+        f"WHEN {_SPAN_KIND} = 'point' THEN CONCAT(CAST(doc_id AS STRING), ';', CAST(j AS STRING)) "
+        "ELSE '' END"
+    )
+    mref = (
+        f"CASE WHEN {_SPAN_KIND} = 'media' THEN CONCAT('s3://fix/', CAST(doc_id AS STRING), "
+        "'/', CAST(j AS STRING), '.bin') ELSE '' END"
+    )
+    span = f"STRUCT({_SPAN_KIND} AS kind, {txt} AS text, {mref} AS media_ref, CAST(j AS INT) AS offset)"
+    built = _docs(spark, sf).selectExpr(
+        "doc_id", f"{T.tokens_expr('text')[0]} AS __t"
+    ).selectExpr(
+        "doc_id",
+        f"TRANSFORM(SEQUENCE(CAST(0 AS BIGINT), 1 + doc_id % 4), j -> {span}) AS spans",
+    )
+    out = CU.scrub_text_spans(built).select(
+        "doc_id", F.explode("spans").alias("s")
+    )
+    return out.selectExpr(
+        "doc_id",
+        "CAST(s.offset AS BIGINT) AS offset",
+        "s.kind AS kind",
+        "s.text AS clean_text",
+        "s.media_ref AS media_ref",
+    )
+
+
 def _q_media_resize(spark, sf):
     """Arrow-batched decode + 2x2 block-mean resize to 4x4 (stub codec,
     deterministic bytes -> the kernel is oracle-gated; block sums of 4
@@ -3996,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_caps": _q_source_caps,
         "pii_scrub": _q_pii_scrub,
         "media_dedup": _q_media_dedup,
+        "span_scrub": _q_span_scrub,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
         "hist_eq": _q_hist_eq,
@@ -7207,6 +7249,35 @@ def _pii_scrub_oracle() -> str:
         f"{px['n_phones'][1]} AS n_phones, {px['clean'][1]} AS clean "
         f"FROM (SELECT doc_id, {inj} AS __t FROM documents)"
     )
+
+
+def _span_scrub_oracle() -> str:
+    """span_scrub in DuckDB: the same span construction (kind rotation,
+    word draw, email injection, media_ref) computed scalar-wise per
+    (doc_id, j), then the duck-side scrub on text spans only."""
+    d_toks = T.tokens_expr("text")[1]
+    kind = _SPAN_KIND
+    word = "toks[CAST((doc_id + j) % len(toks) AS INT) + 1]"
+    raw = (
+        f"CASE WHEN {kind} = 'text' THEN concat({word}, "
+        "CASE WHEN (doc_id + j) % 7 = 0 THEN concat(' u', CAST(doc_id AS VARCHAR), '@ex.com') ELSE '' END) "
+        f"WHEN {kind} = 'point' THEN concat(CAST(doc_id AS VARCHAR), ';', CAST(j AS VARCHAR)) "
+        "ELSE '' END"
+    )
+    mref = (
+        f"CASE WHEN {kind} = 'media' THEN concat('s3://fix/', CAST(doc_id AS VARCHAR), "
+        "'/', CAST(j AS VARCHAR), '.bin') ELSE '' END"
+    )
+    scrub = T.pii_scrub_exprs("raw")["clean"][1]
+    return f"""
+WITH t AS (SELECT doc_id, {d_toks} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, 2 + doc_id % 4)) AS j FROM t),
+b AS (SELECT doc_id, j, {kind} AS kind, {raw} AS raw, {mref} AS media_ref FROM s)
+SELECT doc_id, j AS offset, kind,
+       CASE WHEN kind = 'text' THEN {scrub} ELSE raw END AS clean_text,
+       media_ref
+FROM b
+"""
 
 
 def _media_dedup_oracle() -> str:
@@ -12764,6 +12835,7 @@ def oracle_sql() -> dict[str, str]:
         "source_caps": CU.source_quota_oracle_sql(18),
         "pii_scrub": _pii_scrub_oracle(),
         "media_dedup": _media_dedup_oracle(),
+        "span_scrub": _span_scrub_oracle(),
         "simhash_pairs": simhash_pairs_oracle,
         "simhash64_pairs": simhash64_oracle,
         "ngram_jaccard": ngram_oracle,

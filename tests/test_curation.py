@@ -122,3 +122,41 @@ def test_media_dedup_exact(spark, docs):
     keepers = sorted(r.doc_id for r in out)
     assert keepers == [0, 1, 2, 3]
     assert all(r.n_bytes == 6 for r in out)
+
+
+def test_scrub_text_spans_preserves_sequence(spark):
+    from whitebox_tools_spark.sources.docs import synth_docs, spans_fingerprint
+
+    docs = synth_docs(spark, 200).withColumn(
+        "spans",
+        F.expr(
+            "TRANSFORM(spans, s -> STRUCT(s.kind AS kind, "
+            "CASE WHEN s.kind = 'text' AND s.offset % 2 = 0 "
+            "THEN CONCAT(s.text, ' bob@mail.org') ELSE s.text END AS text, "
+            "s.media_ref AS media_ref, s.offset AS offset))"
+        ),
+    )
+    scrubbed = C.scrub_text_spans(docs)
+    # structural projection (kind, media_ref, offset) is bit-identical
+    proj = "TRANSFORM(spans, s -> STRUCT(s.kind AS kind, '' AS text, s.media_ref AS media_ref, s.offset AS offset))"
+    before = {r.doc_id: r.spans_fp for r in
+              spans_fingerprint(docs.withColumn("spans", F.expr(proj))).collect()}
+    after = {r.doc_id: r.spans_fp for r in
+             spans_fingerprint(scrubbed.withColumn("spans", F.expr(proj))).collect()}
+    assert before == after
+    rows = scrubbed.select(F.explode("spans").alias("s")).select("s.*").collect()
+    orig = {(r.doc_id,): None for r in docs.collect()}  # force docs materialized once
+    assert len(orig) == 200
+    for r in rows:
+        if r.kind == "text":
+            assert "@" not in r.text
+            if "bob" in r.text:  # injected address got redacted in place
+                assert "<EMAIL>" in r.text
+        else:
+            assert "@" not in r.text  # non-text spans never carried PII
+    # non-text spans bit-identical before/after
+    b = docs.select(F.explode("spans").alias("s")).where("s.kind <> 'text'") \
+            .select("s.*").collect()
+    a = scrubbed.select(F.explode("spans").alias("s")).where("s.kind <> 'text'") \
+                .select("s.*").collect()
+    assert sorted(map(tuple, b)) == sorted(map(tuple, a))

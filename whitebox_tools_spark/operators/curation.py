@@ -300,6 +300,30 @@ SELECT {id_col}, {source_col} FROM (
 """
 
 
+def scrub_text_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """PII-scrub the text of kind='text' spans of an interleaved
+    document, IN PLACE in the span sequence — every other field (kind,
+    media_ref, offset) and every non-text span pass through bit-exact,
+    and the array order is untouched (TRANSFORM is positional). This is
+    the span-sequence-equality contract: transforms may rewrite a
+    span's payload but never reorder, drop, or retype spans.
+
+    Pure per-row codegen (one TRANSFORM lambda, no shuffle, no Python).
+    pytest gates the invariant with sources.docs.spans_fingerprint over
+    the (kind, media_ref, offset) projection before vs after.
+    """
+    scrub = T.pii_scrub_exprs("s.text")["clean"][0]
+    return docs.withColumn(
+        spans_col,
+        F.expr(
+            f"TRANSFORM({spans_col}, s -> STRUCT("
+            f"s.kind AS kind, "
+            f"CASE WHEN s.kind = 'text' THEN {scrub} ELSE s.text END AS text, "
+            f"s.media_ref AS media_ref, s.offset AS offset))"
+        ),
+    )
+
+
 def media_exact_dedup(
     media: DataFrame, bytes_col: str = "media_bytes", id_col: str = "doc_id"
 ) -> DataFrame:
