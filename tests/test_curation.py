@@ -145,18 +145,71 @@ def test_scrub_text_spans_preserves_sequence(spark):
              spans_fingerprint(scrubbed.withColumn("spans", F.expr(proj))).collect()}
     assert before == after
     rows = scrubbed.select(F.explode("spans").alias("s")).select("s.*").collect()
-    orig = {(r.doc_id,): None for r in docs.collect()}  # force docs materialized once
-    assert len(orig) == 200
+    n_redacted = 0
     for r in rows:
         if r.kind == "text":
             assert "@" not in r.text
-            if "bob" in r.text:  # injected address got redacted in place
-                assert "<EMAIL>" in r.text
+            if r.offset % 2 == 0:  # injection sites: redacted IN PLACE
+                assert r.text.endswith(" <EMAIL>")
+                n_redacted += 1
         else:
             assert "@" not in r.text  # non-text spans never carried PII
+    assert n_redacted > 0  # the injection actually fired
     # non-text spans bit-identical before/after
     b = docs.select(F.explode("spans").alias("s")).where("s.kind <> 'text'") \
             .select("s.*").collect()
     a = scrubbed.select(F.explode("spans").alias("s")).where("s.kind <> 'text'") \
                 .select("s.*").collect()
     assert sorted(map(tuple, b)) == sorted(map(tuple, a))
+
+
+def test_short_docs_are_total(spark):
+    """Docs shorter than the gram length must not kill the job under
+    ANSI mode (shingles_expr guard) and must match oracle semantics:
+    absent from contamination, NULL fractions in repetition."""
+    short = spark.createDataFrame(
+        [(0, "one two three four"), (1, "hi"), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           C.contamination_check(short, "doc_id = 0", n=3).collect()}
+    assert 1 not in out and 2 not in out  # no 3-grams -> absent
+    rep = {r.doc_id: r for r in C.repetition_stats(short).collect()}
+    assert rep[2].n_tokens == 1
+    assert rep[2].dup_bigram_frac is None  # zero bigrams -> NULL, not NaN
+    assert rep[2].top_bigram_frac == 0.0
+    assert rep[1].dup_trigram_frac is None
+
+
+def test_source_quota_null_source_kept(spark):
+    rows = [(0, None), (1, "s"), (2, "s"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = {r.doc_id for r in C.source_quota(df, cap=5).collect()}
+    assert kept == {0, 1, 2, 3}  # NULL source is its own quota group
+    kept1 = C.source_quota(df, cap=1).collect()
+    by_src = {}
+    for r in kept1:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src[None]) == 1 and len(by_src["s"]) == 1
+
+
+def test_chunking_rejects_gappy_stride(spark, docs):
+    with pytest.raises(ValueError):
+        C.chunk_documents(docs, window=4, stride=8)
+
+
+def test_pii_phone_inside_email_reconciles(spark):
+    """A phone-shaped substring inside an email local part is an email;
+    counts must reconcile with the markers in the scrubbed text."""
+    df = spark.createDataFrame(
+        [(0, "reach 123-4567@example.com or call 555-0001")],
+        "doc_id long, text string",
+    )
+    px = T.pii_scrub_exprs("text")
+    r = df.selectExpr(
+        f"CAST({px['n_emails'][0]} AS BIGINT) AS n_emails",
+        f"CAST({px['n_phones'][0]} AS BIGINT) AS n_phones",
+        f"{px['clean'][0]} AS clean",
+    ).collect()[0]
+    assert r.n_emails == r.clean.count("<EMAIL>") == 1
+    assert r.n_phones == r.clean.count("<PHONE>") == 1

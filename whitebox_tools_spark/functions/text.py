@@ -120,7 +120,14 @@ def quality_score_exprs(col: str) -> dict[str, tuple[str, str]]:
 
 
 def shingles_expr(col: str, n: int = 3) -> tuple[str, str]:
-    """Word n-gram shingle strings (space-joined)."""
+    """Word n-gram shingle strings (space-joined).
+
+    Docs with fewer than n tokens yield an EMPTY array on both engines
+    (Spark SEQUENCE's default step is -1 when stop < start, so the
+    unguarded form would count DOWN into out-of-bounds ELEMENT_AT
+    indices — an ANSI-mode job killer on any short doc; the guard makes
+    it total). SLICE(toks, 1, 0) is the typed empty array<string>.
+    """
     s_toks, d_toks = tokens_expr(col)
     parts = []
     for j in range(n):
@@ -128,7 +135,8 @@ def shingles_expr(col: str, n: int = 3) -> tuple[str, str]:
             parts.append("' '")
         parts.append(f"ELEMENT_AT({s_toks}, i + {j + 1})")
     spark = (
-        f"TRANSFORM(SEQUENCE(0, SIZE({s_toks}) - {n}), i -> CONCAT({', '.join(parts)}))"
+        f"CASE WHEN SIZE({s_toks}) < {n} THEN SLICE({s_toks}, 1, 0) "
+        f"ELSE TRANSFORM(SEQUENCE(0, SIZE({s_toks}) - {n}), i -> CONCAT({', '.join(parts)})) END"
     )
     d_parts = []
     for j in range(n):
@@ -312,9 +320,14 @@ def pii_scrub_exprs(col: str) -> dict[str, tuple[str, str]]:
             f"SIZE(REGEXP_EXTRACT_ALL({col}, '{_EMAIL_PAT_SPARK}', 0))",
             f"len(regexp_extract_all({col}, '{_EMAIL_PAT_DUCK}', 0))",
         ),
+        # phones are counted on the email-scrubbed text, so counts always
+        # reconcile with the <PHONE> markers in `clean` (a phone-shaped
+        # substring inside an email local part is an email, not a phone)
         "n_phones": (
-            f"SIZE(REGEXP_EXTRACT_ALL({col}, '{_PHONE_PAT}', 0))",
-            f"len(regexp_extract_all({col}, '{_PHONE_PAT}', 0))",
+            f"SIZE(REGEXP_EXTRACT_ALL(REGEXP_REPLACE({col}, '{_EMAIL_PAT_SPARK}', "
+            f"'<EMAIL>'), '{_PHONE_PAT}', 0))",
+            f"len(regexp_extract_all(regexp_replace({col}, '{_EMAIL_PAT_DUCK}', "
+            f"'<EMAIL>', 'g'), '{_PHONE_PAT}', 0))",
         ),
         "clean": (
             f"REGEXP_REPLACE(REGEXP_REPLACE({col}, '{_EMAIL_PAT_SPARK}', "

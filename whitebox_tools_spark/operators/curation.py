@@ -65,7 +65,8 @@ def contamination_check(
     vocabulary is tiny so the gated query pins n=3 to exercise hits.
 
     Output: (id_col, n_grams, n_hit, contamination) for every training
-    doc, zero-filled when nothing overlaps.
+    doc, zero-filled when nothing overlaps. Docs shorter than n tokens
+    have no n-grams and are absent from the output (both engines).
     """
     s_grams = T.shingles_expr(text_col, n)[0]
     grams = docs.selectExpr(id_col, f"{eval_pred} AS __is_eval",
@@ -160,13 +161,17 @@ def repetition_stats(
     )
     out = base.join(top2, id_col, "left").na.fill({"__m2": 0})
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    # NULLIF guards: a doc shorter than the gram length has zero grams;
+    # the fraction is NULL on both engines (Spark 0.0/0.0 would be NaN,
+    # DuckDB NULL — NULLIF makes them agree)
+    nz = lambda c: F.expr(f"CAST(NULLIF({c}, 0) AS DOUBLE)")  # noqa: E731
     return out.select(
         id_col,
         F.col("__nt").cast("long").alias("n_tokens"),
-        (dbl("__ut") / dbl("__nt")).alias("unique_token_frac"),
-        (F.lit(1.0) - dbl("__d2") / dbl("__n2")).alias("dup_bigram_frac"),
-        (F.lit(1.0) - dbl("__d3") / dbl("__n3")).alias("dup_trigram_frac"),
-        (F.lit(2.0) * dbl("__m2") / dbl("__nt")).alias("top_bigram_frac"),
+        (dbl("__ut") / nz("__nt")).alias("unique_token_frac"),
+        (F.lit(1.0) - dbl("__d2") / nz("__n2")).alias("dup_bigram_frac"),
+        (F.lit(1.0) - dbl("__d3") / nz("__n3")).alias("dup_trigram_frac"),
+        (F.lit(2.0) * dbl("__m2") / nz("__nt")).alias("top_bigram_frac"),
     )
 
 
@@ -193,10 +198,10 @@ top2 AS (
   ) GROUP BY 1
 )
 SELECT base.{id_col}, nt AS n_tokens,
-       CAST(ut AS DOUBLE) / CAST(nt AS DOUBLE) AS unique_token_frac,
-       1.0 - CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dup_bigram_frac,
-       1.0 - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS dup_trigram_frac,
-       2.0 * CAST(COALESCE(m2, 0) AS DOUBLE) / CAST(nt AS DOUBLE)
+       CAST(ut AS DOUBLE) / CAST(NULLIF(nt, 0) AS DOUBLE) AS unique_token_frac,
+       1.0 - CAST(d2 AS DOUBLE) / CAST(NULLIF(n2, 0) AS DOUBLE) AS dup_bigram_frac,
+       1.0 - CAST(d3 AS DOUBLE) / CAST(NULLIF(n3, 0) AS DOUBLE) AS dup_trigram_frac,
+       2.0 * CAST(COALESCE(m2, 0) AS DOUBLE) / CAST(NULLIF(nt, 0) AS DOUBLE)
          AS top_bigram_frac
 FROM base LEFT JOIN top2 USING ({id_col})
 """
@@ -220,6 +225,10 @@ def chunk_documents(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError(
+            "stride > window leaves uncovered token gaps between chunks"
+        )
     s_toks = T.tokens_expr(text_col)[0]
     toks = docs.selectExpr(id_col, f"{s_toks} AS __t")
     starts = toks.selectExpr(
@@ -267,10 +276,15 @@ def source_quota(
     every row WITHOUT sorting; only over-cap sources run the per-source
     window. Output: (id_col, source_col), the kept set.
     """
+    # null-safe join (<=>): a NULL source is its own quota group, same
+    # as the window oracle's NULL partition — a plain equi-join would
+    # silently drop every NULL-source row from the kept set
     counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
-    tagged = docs.select(id_col, source_col).join(
-        F.broadcast(counts), source_col
-    )
+    d = docs.select(id_col, source_col).alias("__d")
+    c = F.broadcast(counts).alias("__c")
+    tagged = d.join(
+        c, F.expr(f"__d.{source_col} <=> __c.{source_col}")
+    ).select(f"__d.{id_col}", f"__d.{source_col}", "__c.__n")
     under = tagged.where(F.col("__n") <= cap).select(id_col, source_col)
     w = Window.partitionBy(source_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
