@@ -3458,6 +3458,82 @@ def _q_span_scrub(spark, sf):
     )
 
 
+def _q_corpus_sample(spark, sf):
+    """Deterministic md5-keyed corpus sampling at 437,500 ppm (43.75%),
+    seed 7 — the lineage-stable alternative to df.sample: the kept set
+    is a pure function of (doc_id, seed), identical across partition
+    layouts, resumes, and engines. One codegen filter, zero shuffle."""
+    return CU.corpus_sample(_docs(spark, sf), rate_ppm=437_500, seed=7)
+
+
+# span_stats fixture: the offset twist (doc_id % 5 = 0 docs get a
+# 90+ offset at j=1) makes the monotonic flag VARY — without it the
+# invariant check would be vacuously true on every row.
+_SPAN_OFF = (
+    "CASE WHEN doc_id % 5 = 0 AND j = 1 "
+    "THEN CAST(90 + doc_id % 7 AS INT) ELSE CAST(j AS INT) END"
+)
+
+
+def _q_span_stats(spark, sf):
+    """Per-doc composition stats over the rebuilt interleaved span
+    array: counts by kind, text chars, a per-span BPE token budget, and
+    the offsets-monotonic sequence invariant (non-vacuous: doc_id % 5
+    docs carry one out-of-order offset). One codegen projection, no
+    explode, no shuffle."""
+    word = "ELEMENT_AT(__t, CAST((doc_id + j) % SIZE(__t) AS INT) + 1)"
+    txt = (
+        f"CASE WHEN {_SPAN_KIND} = 'text' THEN CONCAT({word}, "
+        "CASE WHEN (doc_id + j) % 7 = 0 THEN CONCAT(' u', CAST(doc_id AS STRING), '@ex.com') ELSE '' END) "
+        f"WHEN {_SPAN_KIND} = 'point' THEN CONCAT(CAST(doc_id AS STRING), ';', CAST(j AS STRING)) "
+        "ELSE '' END"
+    )
+    mref = (
+        f"CASE WHEN {_SPAN_KIND} = 'media' THEN CONCAT('s3://fix/', CAST(doc_id AS STRING), "
+        "'/', CAST(j AS STRING), '.bin') ELSE '' END"
+    )
+    span = (
+        f"STRUCT({_SPAN_KIND} AS kind, {txt} AS text, {mref} AS media_ref, "
+        f"{_SPAN_OFF} AS offset)"
+    )
+    built = _docs(spark, sf).selectExpr(
+        "doc_id", f"{T.tokens_expr('text')[0]} AS __t"
+    ).selectExpr(
+        "doc_id",
+        f"TRANSFORM(SEQUENCE(CAST(0 AS BIGINT), 1 + doc_id % 4), j -> {span}) AS spans",
+    )
+    return CU.span_stats(built)
+
+
+def _q_chunk_spans(spark, sf):
+    """Interleaved-aware chunking (4-token windows, stride 3) over
+    rebuilt spans whose text payloads run 1-9 words — text spans chunk
+    independently (pieces never cross a media/point span), non-text
+    spans pass through as single sequence pieces."""
+    word = "ELEMENT_AT(__t, CAST((doc_id + j + w) % SIZE(__t) AS INT) + 1)"
+    longtxt = (
+        f"ARRAY_JOIN(TRANSFORM(SEQUENCE(CAST(0 AS BIGINT), (doc_id + j) % 9), "
+        f"w -> {word}), ' ')"
+    )
+    txt = (
+        f"CASE WHEN {_SPAN_KIND} = 'text' THEN {longtxt} "
+        f"WHEN {_SPAN_KIND} = 'point' THEN CONCAT(CAST(doc_id AS STRING), ';', CAST(j AS STRING)) "
+        "ELSE '' END"
+    )
+    mref = (
+        f"CASE WHEN {_SPAN_KIND} = 'media' THEN CONCAT('s3://fix/', CAST(doc_id AS STRING), "
+        "'/', CAST(j AS STRING), '.bin') ELSE '' END"
+    )
+    span = f"STRUCT({_SPAN_KIND} AS kind, {txt} AS text, {mref} AS media_ref, CAST(j AS INT) AS offset)"
+    built = _docs(spark, sf).selectExpr(
+        "doc_id", f"{T.tokens_expr('text')[0]} AS __t"
+    ).selectExpr(
+        "doc_id",
+        f"TRANSFORM(SEQUENCE(CAST(0 AS BIGINT), 1 + doc_id % 4), j -> {span}) AS spans",
+    )
+    return CU.chunk_spans(built, window=4, stride=3)
+
+
 def _q_media_resize(spark, sf):
     """Arrow-batched decode + 2x2 block-mean resize to 4x4 (stub codec,
     deterministic bytes -> the kernel is oracle-gated; block sums of 4
@@ -4038,6 +4114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "media_dedup": _q_media_dedup,
         "span_scrub": _q_span_scrub,
+        "span_stats": _q_span_stats,
+        "chunk_spans": _q_chunk_spans,
+        "corpus_sample": _q_corpus_sample,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
         "hist_eq": _q_hist_eq,
@@ -7277,6 +7356,89 @@ SELECT doc_id, j AS offset, kind,
        CASE WHEN kind = 'text' THEN {scrub} ELSE raw END AS clean_text,
        media_ref
 FROM b
+"""
+
+
+def _span_stats_oracle() -> str:
+    """span_stats in DuckDB: the same span construction as the driver
+    query computed scalar-wise per (doc_id, j) — including the offset
+    twist — then a per-doc rollup; the monotonic flag is bool_and over
+    a lag window in array (j) order, exactly the Spark fold."""
+    d_toks = T.tokens_expr("text")[1]
+    kind = _SPAN_KIND
+    word = "toks[CAST((doc_id + j) % len(toks) AS INT) + 1]"
+    raw = (
+        f"CASE WHEN {kind} = 'text' THEN concat({word}, "
+        "CASE WHEN (doc_id + j) % 7 = 0 THEN concat(' u', CAST(doc_id AS VARCHAR), '@ex.com') ELSE '' END) "
+        f"WHEN {kind} = 'point' THEN concat(CAST(doc_id AS VARCHAR), ';', CAST(j AS VARCHAR)) "
+        "ELSE '' END"
+    )
+    off = "CASE WHEN doc_id % 5 = 0 AND j = 1 THEN 90 + doc_id % 7 ELSE j END"
+    bpe = T.bpe_token_count_expr("raw")[1]
+    return f"""
+WITH t AS (SELECT doc_id, {d_toks} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, 2 + doc_id % 4)) AS j FROM t),
+b AS (SELECT doc_id, j, {kind} AS kind, {raw} AS raw, {off} AS off_ FROM s),
+m AS (SELECT doc_id, j, kind, raw,
+      COALESCE(off_ >= lag(off_) OVER (PARTITION BY doc_id ORDER BY j), TRUE) AS ok
+      FROM b)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       CAST(SUM(CASE WHEN kind = 'text' THEN length(raw) ELSE 0 END) AS BIGINT) AS text_chars,
+       CAST(SUM(CASE WHEN kind = 'text' THEN {bpe} ELSE 0 END) AS BIGINT) AS bpe_tokens,
+       bool_and(ok) AS offsets_monotonic
+FROM m GROUP BY doc_id
+"""
+
+
+def _chunk_spans_oracle() -> str:
+    """chunk_spans in DuckDB: rebuild the 1-9-word text spans per
+    (doc_id, j), then replay the window-4 / stride-3 slicing; non-text
+    spans emit one piece. piece_idx = start // stride (starts are
+    0, 3, 6, ... — exactly Spark's posexplode index)."""
+    d_toks = T.tokens_expr("text")[1]
+    kind = _SPAN_KIND
+    word = "toks[CAST((doc_id + j + w) % len(toks) AS INT) + 1]"
+    longtxt = (
+        f"array_to_string(list_transform(range(0, 1 + (doc_id + j) % 9), "
+        f"w -> {word}), ' ')"
+    )
+    raw = (
+        f"CASE WHEN {kind} = 'text' THEN {longtxt} "
+        f"WHEN {kind} = 'point' THEN concat(CAST(doc_id AS VARCHAR), ';', CAST(j AS VARCHAR)) "
+        "ELSE '' END"
+    )
+    mref = (
+        f"CASE WHEN {kind} = 'media' THEN concat('s3://fix/', CAST(doc_id AS VARCHAR), "
+        "'/', CAST(j AS VARCHAR), '.bin') ELSE '' END"
+    )
+    d_ctoks = T.tokens_expr("raw")[1]
+    return f"""
+WITH t AS (SELECT doc_id, {d_toks} AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, 2 + doc_id % 4)) AS j FROM t),
+b AS (SELECT doc_id, j, {kind} AS kind, {raw} AS raw, {mref} AS media_ref FROM s),
+c AS (SELECT doc_id, j, kind, raw, media_ref,
+      CASE WHEN kind = 'text' AND length(trim(raw)) > 0
+           THEN {d_ctoks} ELSE CAST([] AS VARCHAR[]) END AS ctoks
+      FROM b),
+p AS (SELECT doc_id, j, kind, raw, media_ref, ctoks,
+      unnest(CASE WHEN kind = 'text' AND len(ctoks) > 0
+             THEN range(0, len(ctoks), 3) ELSE [CAST(0 AS BIGINT)] END) AS st
+      FROM c)
+SELECT doc_id,
+       CAST(j AS INT) AS span_offset,
+       CAST(st // 3 AS BIGINT) AS piece_idx,
+       kind,
+       CASE WHEN kind = 'text'
+            THEN CAST(len(list_slice(ctoks, st + 1, st + 4)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS n_tokens,
+       CASE WHEN kind = 'text'
+            THEN array_to_string(list_slice(ctoks, st + 1, st + 4), ' ')
+            WHEN kind = 'media' THEN media_ref
+            ELSE raw END AS payload
+FROM p
 """
 
 
@@ -12836,6 +12998,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "media_dedup": _media_dedup_oracle(),
         "span_scrub": _span_scrub_oracle(),
+        "span_stats": _span_stats_oracle(),
+        "chunk_spans": _chunk_spans_oracle(),
+        "corpus_sample": CU.corpus_sample_oracle_sql(437_500, seed=7),
         "simhash_pairs": simhash_pairs_oracle,
         "simhash64_pairs": simhash64_oracle,
         "ngram_jaccard": ngram_oracle,

@@ -213,3 +213,83 @@ def test_pii_phone_inside_email_reconciles(spark):
     ).collect()[0]
     assert r.n_emails == r.clean.count("<EMAIL>") == 1
     assert r.n_phones == r.clean.count("<PHONE>") == 1
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    """Hand-built interleaved docs: a long text span split by a media
+    span, plus one doc with out-of-order offsets."""
+    rows = [
+        (0, [("text", "one two three four five six seven", "", 0),
+             ("media", "", "s3://m/0.bin", 1),
+             ("text", "eight nine", "", 2)]),
+        (1, [("media", "", "s3://m/1.bin", 0),
+             ("text", "alpha beta gamma", "", 5),   # offset jump: still monotonic
+             ("point", "3.5;7.25", "", 6)]),
+        (2, [("text", "solo", "", 0),
+             ("text", "back", "", 3),
+             ("media", "", "s3://m/2.bin", 1)]),    # 1 < 3: NON-monotonic
+        (3, [("text", "   ", "", 0)]),              # whitespace-only text span
+    ]
+    schema = ("doc_id long, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_span_stats_known_values(spark, span_docs):
+    rows = {r.doc_id: r for r in C.span_stats(span_docs).collect()}
+    r0 = rows[0]
+    assert (r0.n_spans, r0.n_text, r0.n_media) == (3, 2, 1)
+    assert r0.text_chars == len("one two three four five six seven") + len("eight nine")
+    assert r0.bpe_tokens == 7 + 2  # one BPE piece per word here
+    assert r0.offsets_monotonic is True
+    r1 = rows[1]
+    assert (r1.n_spans, r1.n_text, r1.n_media) == (3, 1, 1)
+    assert r1.offsets_monotonic is True  # jumps allowed, order is what counts
+    assert rows[2].offsets_monotonic is False
+    r3 = rows[3]
+    assert (r3.n_text, r3.text_chars) == (1, 3)  # whitespace chars still counted
+
+
+def test_chunk_spans_never_crosses_media(spark, span_docs):
+    out = C.chunk_spans(span_docs, window=3, stride=2).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r.doc_id, r.span_offset), []).append(r)
+    # doc 0 text span at offset 0: 7 tokens -> starts 0,2,4,6 -> 4 pieces,
+    # none containing tokens of the offset-2 span (media boundary holds)
+    p0 = sorted(by_key[(0, 0)], key=lambda r: r.piece_idx)
+    toks = "one two three four five six seven".split()
+    assert len(p0) == 4
+    for r in p0:
+        s = 2 * r.piece_idx
+        assert r.payload.split() == toks[s:s + 3]
+        assert r.n_tokens == len(toks[s:s + 3])
+        assert "eight" not in r.payload and "nine" not in r.payload
+    # media span passes through as ONE piece carrying its ref
+    m = by_key[(0, 1)]
+    assert len(m) == 1 and m[0].kind == "media" and m[0].payload == "s3://m/0.bin"
+    assert m[0].n_tokens == 0
+    # point span payload passes through verbatim
+    pt = by_key[(1, 6)]
+    assert len(pt) == 1 and pt[0].payload == "3.5;7.25"
+    # whitespace-only text span still emits exactly one (empty) piece
+    ws = by_key[(3, 0)]
+    assert len(ws) == 1 and ws[0].n_tokens == 0 and ws[0].payload == ""
+    # span sequence reconstructable: every input span has >= 1 piece
+    n_spans = sum(len(r.spans) for r in span_docs.collect())
+    assert len(by_key) == n_spans
+
+
+def test_corpus_sample_layout_independent(spark, docs):
+    big = docs.unionByName(docs.selectExpr(
+        "doc_id + 100 AS doc_id", "text", "source"))
+    a = {r.doc_id for r in C.corpus_sample(big.repartition(1), 500_000).collect()}
+    b = {r.doc_id for r in C.corpus_sample(big.repartition(7), 500_000).collect()}
+    assert a == b  # pure function of (id, seed): layout-independent
+    assert C.corpus_sample(big, 0).count() == 0
+    assert C.corpus_sample(big, 1_000_000).count() == big.count()
+    c = {r.doc_id for r in C.corpus_sample(big, 500_000, seed=99).collect()}
+    assert c != a  # a new seed draws a different sample
+    with pytest.raises(ValueError):
+        C.corpus_sample(big, 1_000_001)

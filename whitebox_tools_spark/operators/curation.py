@@ -361,3 +361,160 @@ def media_exact_dedup(
             F.min("n_bytes").alias("n_bytes"),
         )
     )
+
+
+def _hash24_exprs(id_expr: str, seed: int) -> tuple[str, str]:
+    """24-bit hash from the first 6 hex digits of md5(id ':' seed) —
+    engine-portable (same INSTR/strpos digit arithmetic both sides),
+    uniform by md5 construction. Value range [0, 16^6)."""
+    out = []
+    for duck in (False, True):
+        md5 = ("md5" if duck else "MD5") + (
+            f"(concat(CAST({id_expr} AS VARCHAR), ':{seed}'))"
+            if duck
+            else f"(CONCAT(CAST({id_expr} AS STRING), ':{seed}'))"
+        )
+        ds = [T._hex_digit(md5, i + 1, duck) for i in range(6)]
+        acc = ds[0]
+        for d in ds[1:]:
+            acc = f"({acc} * 16 + {d})"
+        out.append(f"CAST({acc} AS BIGINT)")
+    return out[0], out[1]
+
+
+def corpus_sample(
+    docs: DataFrame,
+    rate_ppm: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic corpus sampling: keep a document iff its 24-bit
+    md5 hash key falls under rate_ppm/10^6 of the key space. The kept
+    set is a pure function of (id, seed) — reproducible across runs,
+    clusters, and engines; changing the seed draws an independent
+    sample; a resumed or re-partitioned job keeps EXACTLY the same
+    rows (unlike df.sample, whose per-partition RNG changes with the
+    split layout — useless as a lineage-stable curation stage).
+
+    Scale shape: one codegen filter next to the scan, zero shuffle,
+    no corpus-sized state. The integer cross-multiplication
+    (key * 10^6 < rate_ppm * 16^6) stays exact in int64.
+    Output: (id_col, sample_key) for the kept rows.
+    """
+    if not 0 <= rate_ppm <= 1_000_000:
+        raise ValueError("rate_ppm must be in [0, 1000000]")
+    s_h, _ = _hash24_exprs(id_col, seed)
+    return docs.selectExpr(id_col, f"{s_h} AS sample_key").where(
+        f"sample_key * 1000000 < CAST({rate_ppm} AS BIGINT) * 16777216"
+    )
+
+
+def corpus_sample_oracle_sql(
+    rate_ppm: int, table: str = "documents",
+    id_col: str = "doc_id", seed: int = 0,
+) -> str:
+    _, d_h = _hash24_exprs(id_col, seed)
+    return (
+        f"SELECT {id_col}, {d_h} AS sample_key FROM {table} "
+        f"WHERE {d_h} * 1000000 < CAST({rate_ppm} AS BIGINT) * 16777216"
+    )
+
+
+def span_stats(
+    docs: DataFrame, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document composition stats over an interleaved span array:
+    span counts by kind, text payload size, a BPE token budget over the
+    text spans (counted per span, so media boundaries never merge
+    adjacent text), and an offsets-monotonic flag (the span-sequence
+    order invariant, checkable per row without a shuffle).
+
+    Everything is one codegen projection over the array — no explode,
+    no shuffle, linear in total spans. The spans payload is read, never
+    rewritten.
+    """
+    s = spans_col
+    bpe = T.bpe_token_count_expr("x.text")[0]
+    return docs.selectExpr(
+        id_col,
+        f"CAST(SIZE({s}) AS BIGINT) AS n_spans",
+        f"CAST(SIZE(FILTER({s}, x -> x.kind = 'text')) AS BIGINT) AS n_text",
+        f"CAST(SIZE(FILTER({s}, x -> x.kind = 'media')) AS BIGINT) AS n_media",
+        f"AGGREGATE({s}, CAST(0 AS BIGINT), (a, x) -> a + "
+        f"CASE WHEN x.kind = 'text' THEN CAST(LENGTH(x.text) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END) AS text_chars",
+        f"AGGREGATE({s}, CAST(0 AS BIGINT), (a, x) -> a + "
+        f"CASE WHEN x.kind = 'text' THEN CAST({bpe} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END) AS bpe_tokens",
+        f"AGGREGATE({s}, "
+        f"STRUCT(TRUE AS ok, CAST(-2147483648 AS INT) AS prev), "
+        f"(a, x) -> STRUCT((a.ok AND x.offset >= a.prev) AS ok, "
+        f"x.offset AS prev), a -> a.ok) AS offsets_monotonic",
+    )
+
+
+def chunk_spans(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interleaved-aware chunking: each text span chunks into fixed
+    token windows INDEPENDENTLY (a chunk never crosses a media or point
+    span — the packing rule for interleaved training sequences), while
+    non-text spans pass through as single pieces in sequence position.
+
+    Output one row per piece: (id, span_offset, piece_idx, kind,
+    n_tokens, payload) where payload is the chunk text for text spans,
+    the media_ref for media spans, and the raw payload otherwise.
+    Ordering by (span_offset, piece_idx) reconstructs the document's
+    span sequence with text expanded — the span-sequence contract holds
+    on the (kind, span_offset) projection.
+
+    Pure per-row codegen (posexplode + SEQUENCE/SLICE), zero shuffle.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError(
+            "stride > window leaves uncovered token gaps between chunks"
+        )
+    s_toks = T.tokens_expr("s.text")[0]
+    ex = docs.select(
+        id_col, F.posexplode(spans_col).alias("__pos", "s")
+    ).selectExpr(
+        id_col,
+        "s.kind AS kind",
+        "s.offset AS span_offset",
+        "s.media_ref AS media_ref",
+        "s.text AS __text",
+        # zero-token text spans (empty / whitespace) still emit one
+        # empty piece, keeping the span sequence total
+        f"CASE WHEN s.kind = 'text' AND LENGTH(TRIM(s.text)) > 0 "
+        f"THEN {s_toks} ELSE CAST(ARRAY() AS ARRAY<STRING>) END AS __toks",
+    )
+    starts = ex.selectExpr(
+        id_col, "kind", "span_offset", "media_ref", "__toks",
+        f"CASE WHEN kind = 'text' AND SIZE(__toks) > 0 "
+        f"THEN SEQUENCE(0, SIZE(__toks) - 1, {stride}) "
+        f"ELSE ARRAY(0) END AS __starts",
+        "__text",
+    )
+    pieces = starts.select(
+        id_col, "kind", "span_offset", "media_ref", "__toks", "__text",
+        F.posexplode("__starts").alias("piece_idx", "__s"),
+    )
+    return pieces.selectExpr(
+        id_col,
+        "CAST(span_offset AS INT) AS span_offset",
+        "CAST(piece_idx AS BIGINT) AS piece_idx",
+        "kind",
+        f"CASE WHEN kind = 'text' "
+        f"THEN CAST(SIZE(SLICE(__toks, __s + 1, {window})) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END AS n_tokens",
+        f"CASE WHEN kind = 'text' "
+        f"THEN ARRAY_JOIN(SLICE(__toks, __s + 1, {window}), ' ') "
+        f"WHEN kind = 'media' THEN media_ref "
+        f"ELSE __text END AS payload",
+    )
