@@ -44,6 +44,7 @@ def _ring_join(
     reach: int,
     qid: str,
     tid: str,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Candidate pairs from bins at Chebyshev ring `reach` (ring only,
     except reach=1 which is the full 3x3 block)."""
@@ -63,6 +64,7 @@ def _ring_join(
         "tx",
         "ty",
         F.expr("(qx - tx) * (qx - tx) + (qy - ty) * (qy - ty)").alias("dist2"),
+        *carry,
     )
 
 
@@ -76,10 +78,13 @@ def _prep(
     qy: str,
     tx: str,
     ty: str,
+    carry: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     q = queries.select(F.col(qid).alias(qid), F.col(qx).alias("qx"), F.col(qy).alias("qy"))
     q = with_frs_cells(q, radius, x="qx", y="qy", cx="qcx", cy="qcy")
-    t = targets.select(F.col(tid).alias(tid), F.col(tx).alias("tx"), F.col(ty).alias("ty"))
+    t = targets.select(
+        F.col(tid).alias(tid), F.col(tx).alias("tx"), F.col(ty).alias("ty"), *carry
+    )
     t = with_frs_cells(t, radius, x="tx", y="ty", cx="cx", cy="cy")
     return q, t
 
@@ -95,23 +100,27 @@ def _nn1_join(
     tx: str,
     ty: str,
     max_rounds: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact 1-NN fast path: per-round hash aggregation (min_by) instead
     of a window sort, no cross-round candidate accumulation — the best
     candidate so far rides along with the active query set. Same output
     contract as knn_join_exact with k=1."""
-    q, t = _prep(queries, targets, radius, qid, tid, qx, qy, tx, ty)
+    q, t = _prep(queries, targets, radius, qid, tid, qx, qy, tx, ty, carry)
     t = t.persist()
     bin_size = radius * 0.5
+    # carry columns are payload only: the MIN_BY ordering key stays
+    # (dist2, tid), so results are unchanged — they just ride the struct
+    val = ", ".join(["dist2", tid, *carry])
 
     active = q.persist()
     resolved_rounds: list[DataFrame] = []
     best: DataFrame | None = None  # (qid, best struct) for still-active queries
     reach = 1
     while reach <= max_rounds:
-        cand = _ring_join(active, t, reach, qid, tid)
+        cand = _ring_join(active, t, reach, qid, tid, carry)
         round_best = cand.groupBy(qid).agg(
-            F.expr(f"MIN_BY(STRUCT(dist2, {tid}), STRUCT(dist2, {tid}))").alias("b")
+            F.expr(f"MIN_BY(STRUCT({val}), STRUCT(dist2, {tid}))").alias("b")
         )
         if best is not None:
             merged = best.unionByName(round_best)
@@ -143,9 +152,10 @@ def _nn1_join(
             qid,
             F.expr("(qx - tx) * (qx - tx) + (qy - ty) * (qy - ty)").alias("dist2"),
             F.col(tid),
+            *carry,
         )
         straggler_best = cand.groupBy(qid).agg(
-            F.expr(f"MIN_BY(STRUCT(dist2, {tid}), STRUCT(dist2, {tid}))").alias("b")
+            F.expr(f"MIN_BY(STRUCT({val}), STRUCT(dist2, {tid}))").alias("b")
         )
         if best is not None:
             straggler_best = best.unionByName(straggler_best).groupBy(qid).agg(
@@ -158,7 +168,10 @@ def _nn1_join(
     done = resolved_rounds[0]
     for part in resolved_rounds[1:]:
         done = done.unionByName(part)
-    return done.selectExpr(qid, f"b.{tid} AS {tid}", "b.dist2 AS dist2", "1 AS knn_rank")
+    return done.selectExpr(
+        qid, f"b.{tid} AS {tid}", "b.dist2 AS dist2",
+        *[f"b.{c} AS {c}" for c in carry], "1 AS knn_rank",
+    )
 
 
 def knn_join_exact(
@@ -173,13 +186,17 @@ def knn_join_exact(
     tx: str = "x",
     ty: str = "y",
     max_rounds: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact k-nearest-neighbor join.
 
-    Returns (qid, tid, dist2, knn_rank) with knn_rank in 1..k ordered by
-    (dist2, tid) — identical to a brute-force cross join + top-k, but
-    with grid-bounded work. bin_size = radius * 0.5 (FRS parity binning).
-    k=1 dispatches to the aggregation fast path (no window sort).
+    Returns (qid, tid, dist2, *carry, knn_rank) with knn_rank in 1..k
+    ordered by (dist2, tid) — identical to a brute-force cross join +
+    top-k, but with grid-bounded work. bin_size = radius * 0.5 (FRS
+    parity binning). k=1 dispatches to the aggregation fast path (no
+    window sort). `carry` names extra TARGET columns that ride through
+    the join as payload (saving the caller a re-attach shuffle join by
+    id); they never enter an ordering key, so results are unchanged.
 
     The per-query bounded top-k window here plays the role of the
     reference's NMinimizer / NMaximizer heap structures
@@ -188,9 +205,10 @@ def knn_join_exact(
     heap, picked by the optimizer instead of hand-rolled.
     """
     if k == 1:
-        return _nn1_join(queries, targets, radius, qid, tid, qx, qy, tx, ty, max_rounds)
+        return _nn1_join(queries, targets, radius, qid, tid, qx, qy, tx, ty,
+                         max_rounds, carry)
     spark = queries.sparkSession
-    q, t = _prep(queries, targets, radius, qid, tid, qx, qy, tx, ty)
+    q, t = _prep(queries, targets, radius, qid, tid, qx, qy, tx, ty, carry)
     t = t.persist()
     bin_size = radius * 0.5
 
@@ -202,15 +220,15 @@ def knn_join_exact(
     # still-active tail (the former plan re-sorted every resolved
     # query's rows on every round)
     w = Window.partitionBy(qid).orderBy("dist2", tid)
-    out_cols = [qid, tid, "dist2", "knn_rank"]
+    out_cols = [qid, tid, "dist2", *carry, "knn_rank"]
 
     active = q.persist()
     finished_rounds: list[DataFrame] = []
     best: DataFrame | None = None  # ranked rows for still-active queries
     reach = 1
     while reach <= max_rounds:
-        cand = _ring_join(active, t, reach, qid, tid) \
-            .select(qid, tid, "dist2")
+        cand = _ring_join(active, t, reach, qid, tid, carry) \
+            .select(qid, tid, "dist2", *carry)
         # rings are disjoint (reach=1 is the full 3x3 block, reach>1
         # strict rings), so no (qid, tid) duplicates across rounds
         acc = cand if best is None else best.unionByName(cand)
@@ -233,7 +251,7 @@ def knn_join_exact(
             (F.col("knn_rank") == k) & (F.col("dist2") < F.lit(guarantee))
         ).select(qid)
         finished_rounds.append(ranked.join(resolved, qid, "left_semi"))
-        best = ranked.join(resolved, qid, "left_anti").select(qid, tid, "dist2")
+        best = ranked.join(resolved, qid, "left_anti").select(qid, tid, "dist2", *carry)
         active_next = active.join(resolved, qid, "left_anti") \
                             .localCheckpoint(eager=True)
         n_active = active_next.count()
@@ -250,6 +268,7 @@ def knn_join_exact(
             qid,
             F.col(tid),
             F.expr("(qx - tx) * (qx - tx) + (qy - ty) * (qy - ty)").alias("dist2"),
+            *carry,
         )
         straggler = (
             cand.withColumn("knn_rank", F.row_number().over(w))
@@ -372,10 +391,25 @@ def nearest_neighbour_gridding(
         area = (ext[1] - ext[0]) * (ext[3] - ext[2])
         radius = wbt_default_radius(area, ext[4])
     cells = grid_cells_df(spark, meta)
-    join = knn_join_exact if exact else knn_join_wbt
-    nn = join(cells, points, k=1, radius=radius, qid="cell_id", tid=point_id)
-    out = nn.join(cells.select("cell_id", "row", "col"), "cell_id").join(
-        points.select(F.col(point_id), F.col(value_col).alias("value")), point_id
+    if exact:
+        # value rides the join as carry payload; row/col re-derive from
+        # cell_id with grid_cells_df's own expressions — zero re-attach
+        # joins after the kNN rounds (formerly two shuffle joins)
+        pts = points.withColumn("__nn_value", F.col(value_col))
+        nn = knn_join_exact(cells, pts, k=1, radius=radius,
+                            qid="cell_id", tid=point_id, carry=("__nn_value",))
+        out = nn.withColumnRenamed("__nn_value", "value")
+    else:
+        nn = knn_join_wbt(cells, points, k=1, radius=radius,
+                          qid="cell_id", tid=point_id)
+        out = nn.join(
+            points.select(F.col(point_id), F.col(value_col).alias("value")), point_id
+        )
+    out = out.select(
+        (F.col("cell_id") / meta.columns).cast("long").alias("row"),
+        (F.col("cell_id") % meta.columns).alias("col"),
+        "value",
+        "dist2",
     )
     if max_dist is not None:
         # WBT compares Euclidean distance (not squared) to max_dist (:454)
@@ -405,18 +439,30 @@ def idw_interpolation(
         area = (ext[1] - ext[0]) * (ext[3] - ext[2])
         radius = wbt_default_radius(area, ext[4])
     cells = grid_cells_df(spark, meta)
-    nn = knn_join_exact(cells, points, k=k, radius=radius, qid="cell_id", tid=point_id)
-    nn = nn.join(points.select(F.col(point_id), F.col(value_col).alias("v")), point_id)
+    pts = points.withColumn("v", F.col(value_col))
+    # v rides the kNN join as carry payload (no re-attach join by id);
+    # one fused fold replaces the former separate num/den AGGREGATEs:
+    # POWER(dist2, w/2) evaluates once per element (TRANSFORM binding)
+    # and each accumulator keeps its exact IEEE op sequence — acc.num
+    # adds e.v / p, acc.den adds 1.0 / p, in the same (dist2, v) sort
+    # order — so values are bit-identical to the two-fold plan and the
+    # DuckDB oracle. Higher-order fns run interpreted; halving the fold
+    # passes and the POWER calls is a straight 4x less lambda dispatch.
+    nn = knn_join_exact(cells, pts, k=k, radius=radius,
+                        qid="cell_id", tid=point_id, carry=("v",))
     half_w = weight / 2.0
     agg = nn.groupBy("cell_id").agg(
         F.expr(
-            "AGGREGATE(ARRAY_SORT(COLLECT_LIST(STRUCT(dist2, v))), CAST(0.0 AS DOUBLE),"
-            f" (acc, e) -> acc + e.v / POWER(e.dist2, {half_w!r}))"
-        ).alias("num"),
-        F.expr(
-            "AGGREGATE(ARRAY_SORT(COLLECT_LIST(STRUCT(dist2, v))), CAST(0.0 AS DOUBLE),"
-            f" (acc, e) -> acc + 1.0 / POWER(e.dist2, {half_w!r}))"
-        ).alias("den"),
+            "AGGREGATE("
+            "  TRANSFORM(ARRAY_SORT(COLLECT_LIST(STRUCT(dist2, v))),"
+            f"            e -> STRUCT(e.v AS v, POWER(e.dist2, {half_w!r}) AS p)),"
+            "  STRUCT(CAST(0.0 AS DOUBLE) AS num, CAST(0.0 AS DOUBLE) AS den),"
+            "  (acc, e) -> STRUCT(acc.num + e.v / e.p AS num,"
+            "                     acc.den + 1.0 / e.p AS den))"
+        ).alias("nd"),
     )
-    out = agg.join(cells.select("cell_id", "row", "col"), "cell_id")
-    return out.select("row", "col", (F.col("num") / F.col("den")).alias("value"))
+    return agg.select(
+        (F.col("cell_id") / meta.columns).cast("long").alias("row"),
+        (F.col("cell_id") % meta.columns).alias("col"),
+        (F.col("nd.num") / F.col("nd.den")).alias("value"),
+    )

@@ -376,9 +376,15 @@ def _assign_centroids(df: DataFrame, cent_bc, n_probe: int, id_col: str,
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             mat = mat / np.maximum(_fold_norms(mat), 1e-12)[:, None]
             # fold-order sims + stable argsort: ties rank (sim DESC,
-            # centroid ASC) — the DuckDB replay's ROW_NUMBER order
+            # centroid ASC) — the DuckDB replay's ROW_NUMBER order.
+            # n_probe=1 (the corpus-side inverted-list pass — the big
+            # side at scale) takes argmax: also first-max on ties, so
+            # identical assignment at O(nC) instead of O(nC log C)
             sims = _fold_dots(mat, cent)
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            if n_probe == 1:
+                top = np.argmax(sims, axis=1)[:, None]
+            else:
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame({
                 f"{out_prefix}_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), n_probe),
                 "centroid": top.reshape(-1).astype(np.int32),
