@@ -137,6 +137,34 @@ def test_euclidean_distance_bruteforce(spark, ras):
         assert v == pytest.approx(best)
 
 
+def test_euclidean_distance_anisotropic_bruteforce(spark, ras):
+    """Anisotropic resolution forces the _nearest_target_knn fallback
+    (the EDT fast path requires square cells) — pins the carry-payload
+    kNN plan against brute force on both outputs."""
+    meta = GridMeta(rows=12, columns=12, north=60.0, south=0.0, east=120.0,
+                    west=0.0, resolution_x=10.0, resolution_y=5.0)
+    df, vals = ras
+    targets = [(r, c) for r in range(12) for c in range(12) if vals[r, c] < 5.0]
+    assert targets, "fixture needs targets"
+    cx = lambda c_: 0.0 + (c_ + 0.5) * 10.0
+    cy = lambda r_: 60.0 - (r_ + 0.5) * 5.0
+    got = _grid(euclidean_distance(df, meta, "value < 5.0"))
+    assert len(got) == 144
+    for (r, c), v in got.items():
+        best = min(math.hypot(cx(c) - cx(tc), cy(r) - cy(tr)) for tr, tc in targets)
+        assert v == pytest.approx(best)
+    alloc = _grid(euclidean_allocation(df, meta, "value < 5.0"))
+    for (r, c), v in alloc.items():
+        # tie-break on (dist2, target_idx) with the join's own dist2
+        # arithmetic so float ties break identically
+        best = min(
+            ((cx(c) - cx(tc)) * (cx(c) - cx(tc))
+             + (cy(r) - cy(tr)) * (cy(r) - cy(tr)), tr * 12 + tc)
+            for tr, tc in targets
+        )
+        assert v == vals[best[1] // 12, best[1] % 12]
+
+
 def test_euclidean_allocation_value(spark, ras):
     df, vals = ras
     got = _grid(euclidean_allocation(df, META, "value < 5.0"))

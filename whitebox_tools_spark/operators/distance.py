@@ -187,15 +187,18 @@ def _nearest_target_knn(cells: DataFrame, meta: GridMeta, target_pred: str,
         n_t = max(t.count(), 1)
         area = (meta.east - meta.west) * (meta.north - meta.south)
         radius = wbt_default_radius(area, n_t)
+    # target_value rides the join as carry payload and row/col re-derive
+    # from cell_idx = row*columns + col — no re-attach joins
     nn = knn_join_exact(
         q.select("cell_idx", "x", "y"),
-        t.select("target_idx", "x", "y"),
+        t.selectExpr("target_idx", "x", "y", "value AS target_value"),
         k=1, radius=radius, qid="cell_idx", tid="target_idx",
+        carry=("target_value",),
     )
-    return (
-        nn.join(q.select("cell_idx", "row", "col"), "cell_idx")
-        .join(t.selectExpr("target_idx", "value AS target_value"), "target_idx")
-        .select("row", "col", "target_value", "dist2")
+    return nn.selectExpr(
+        f"cell_idx DIV {meta.columns}L AS row",
+        f"cell_idx % {meta.columns}L AS col",
+        "target_value", "dist2",
     )
 
 

@@ -506,17 +506,24 @@ def rbf_interpolation(points: DataFrame, meta: GridMeta, k: int = 20,
     area = max((ext[1] - ext[0]) * (ext[3] - ext[2]), 1.0)
     radius = wbt_default_radius(area, n_sites)
     cells = grid_cells_df(spark, meta)
-    nn = knn_join_exact(cells, sites, k=k, radius=radius,
-                        qid="cell_id", tid="pid")
-    nn = nn.join(sites.selectExpr("pid", "x AS px", "y AS py", "z AS pz"),
-                 "pid")
+    # site coordinates/values ride the kNN join as carry payload, and
+    # row/col/qx/qy re-derive from cell_id with grid_cells_df's own
+    # expressions — both former re-attach shuffle joins removed
+    nn = knn_join_exact(
+        cells,
+        sites.selectExpr("pid", "x", "y", "x AS px", "y AS py", "z AS pz"),
+        k=k, radius=radius, qid="cell_id", tid="pid",
+        carry=("px", "py", "pz"),
+    )
     grouped = (
         nn.groupBy("cell_id")
         .agg(F.expr("SORT_ARRAY(COLLECT_LIST(STRUCT(dist2, pid, px, py, "
                     "pz)))").alias("arr"))
-        .join(cells.selectExpr("cell_id", "row", "col", "x AS qx",
-                               "y AS qy"), "cell_id")
-        .select("row", "col", "qx", "qy", "arr")
+        .selectExpr(f"CAST(cell_id / {meta.columns} AS LONG) AS row",
+                    f"cell_id % {meta.columns} AS col", "arr")
+        .selectExpr("row", "col",
+                    f"{meta.x_center_expr('col')} AS qx",
+                    f"{meta.y_center_expr('row')} AS qy", "arr")
     )
     schema = StructType([
         StructField("row", LongType(), False),
