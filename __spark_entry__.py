@@ -3466,6 +3466,23 @@ def _q_corpus_sample(spark, sf):
     return CU.corpus_sample(_docs(spark, sf), rate_ppm=437_500, seed=7)
 
 
+def _q_substring_dup(spark, sf):
+    """Exact substring-duplication spans (Lee et al. 2021 ExactSubstr,
+    relational form): maximal token ranges covered by word 4-grams that
+    occur >= 2 times corpus-wide. Real releases run k ~ 50 tokens; the
+    fixture vocabulary (31 words) pins k=4 so duplicated ranges actually
+    occur. Count agg on md5 gram keys + key-only membership join +
+    per-doc island window — output-bounded, never quadratic."""
+    return CU.substring_dup_spans(_docs(spark, sf), k=4, min_count=2)
+
+
+def _q_domain_mix(spark, sf):
+    """Per-source domain-mixing weights toward a uniform token budget
+    (static Pile/DoReMi stage), 3-epoch upsampling cap: one
+    map-combinable groupBy(source) + a broadcast 1-row totals frame."""
+    return CU.domain_mix_weights(_docs(spark, sf), max_weight=3.0)
+
+
 # span_stats fixture: the offset twist (doc_id % 5 = 0 docs get a
 # 90+ offset at j=1) makes the monotonic flag VARY — without it the
 # invariant check would be vacuously true on every row.
@@ -4117,6 +4134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_stats": _q_span_stats,
         "chunk_spans": _q_chunk_spans,
         "corpus_sample": _q_corpus_sample,
+        "substring_dup": _q_substring_dup,
+        "domain_mix": _q_domain_mix,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
         "hist_eq": _q_hist_eq,
@@ -13001,6 +13020,8 @@ def oracle_sql() -> dict[str, str]:
         "span_stats": _span_stats_oracle(),
         "chunk_spans": _chunk_spans_oracle(),
         "corpus_sample": CU.corpus_sample_oracle_sql(437_500, seed=7),
+        "substring_dup": CU.substring_dup_oracle_sql(k=4, min_count=2),
+        "domain_mix": CU.domain_mix_oracle_sql(max_weight=3.0),
         "simhash_pairs": simhash_pairs_oracle,
         "simhash64_pairs": simhash64_oracle,
         "ngram_jaccard": ngram_oracle,

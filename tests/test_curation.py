@@ -293,3 +293,71 @@ def test_corpus_sample_layout_independent(spark, docs):
     assert c != a  # a new seed draws a different sample
     with pytest.raises(ValueError):
         C.corpus_sample(big, 1_000_001)
+
+
+def test_substring_dup_spans_ground_truth(spark):
+    # doc 0 and doc 1 share the 6-token run "p q r s t u" (positions
+    # 2..7 in doc 0, 0..5 in doc 1); with k=3 every 3-gram inside the
+    # run is duplicated, and nothing else repeats corpus-wide.
+    rows = [
+        (0, "w1 w2 p q r s t u w3 w4"),
+        (1, "p q r s t u v1 v2"),
+        (2, "z1 z2 z3 z4 z5 z6 z7"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           C.substring_dup_spans(docs, k=3, min_count=2).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].span_start, out[0].span_end, out[0].n_tokens) == (2, 7, 6)
+    assert (out[1].span_start, out[1].span_end, out[1].n_tokens) == (0, 5, 6)
+    # 4 duplicated 3-gram start positions inside a 6-token run
+    assert out[0].n_dup_grams == out[1].n_dup_grams == 4
+
+
+def test_substring_dup_within_doc_and_island_split(spark):
+    # one doc repeats its own 3-gram ("a b c") in two places separated
+    # by a >k gap -> two islands in the same doc; no cross-doc dup.
+    docs = spark.createDataFrame(
+        [(0, "a b c x1 x2 x3 x4 x5 a b c"),
+         (1, "m n o p q r s t u v")],
+        "doc_id long, text string",
+    )
+    out = sorted(C.substring_dup_spans(docs, k=3, min_count=2).collect(),
+                 key=lambda r: r.span_start)
+    assert [r.doc_id for r in out] == [0, 0]
+    assert [(r.span_start, r.span_end) for r in out] == [(0, 2), (8, 10)]
+
+
+def test_substring_dup_adjacent_islands_merge(spark):
+    # duplicated grams whose starts differ by exactly k are contiguous
+    # text (ranges touch) and must merge into ONE span.
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c z y x"), (2, "q w d e f r")],
+        "doc_id long, text string",
+    )
+    # doc 0: "a b c" dup at pos 0 (with doc 1), "d e f" dup at pos 3
+    # (with doc 2) -> gap == k == 3 -> single island 0..5
+    out = {r.doc_id: r for r in
+           C.substring_dup_spans(docs, k=3, min_count=2).collect()}
+    assert (out[0].span_start, out[0].span_end, out[0].n_tokens) == (0, 5, 6)
+
+
+def test_domain_mix_weights_rebalance(spark):
+    # weighted token shares must be uniform: weight_s * share_s == 1/n
+    docs = spark.createDataFrame(
+        [(0, "one two three four five six seven eight", "big"),
+         (1, "one two three four five six", "big"),
+         (2, "a b", "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in C.domain_mix_weights(docs).collect()}
+    assert out["big"].n_docs == 2 and out["small"].n_docs == 1
+    total = sum(r.n_tokens for r in out.values())
+    for r in out.values():
+        assert r.token_share == pytest.approx(r.n_tokens / total, abs=1e-12)
+        assert r.mix_weight * r.token_share == pytest.approx(0.5, abs=1e-12)
+    # the cap binds on the tiny domain
+    capped = {r.source: r for r in
+              C.domain_mix_weights(docs, max_weight=1.5).collect()}
+    assert capped["small"].mix_weight == pytest.approx(1.5, abs=1e-12)
+    assert capped["big"].mix_weight == out["big"].mix_weight

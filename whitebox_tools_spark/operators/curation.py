@@ -518,3 +518,185 @@ def chunk_spans(
         f"WHEN kind = 'media' THEN media_ref "
         f"ELSE __text END AS payload",
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication spans (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr pass, re-expressed relationally): find every maximal
+    token range of a document that is covered by word k-grams occurring
+    at least `min_count` times ANYWHERE in the corpus (other docs or
+    repeats within the same doc). Downstream curation cuts these spans
+    out of the training text instead of dropping whole near-dup docs.
+
+    The suffix-array construction of the paper is a single-machine
+    algorithm; the relational restatement is: (1) explode k-gram start
+    positions, (2) one count aggregate keyed on the gram's md5 keeps
+    grams with corpus frequency >= min_count, (3) an equi-join marks the
+    duplicated positions, (4) a per-doc window merges overlapping /
+    adjacent gram ranges (gap > k breaks the island) into maximal spans.
+    Two ranges [p, p+k-1], [q, q+k-1] with q - p <= k are contiguous
+    duplicated text, so islands reproduce the paper's maximal-match
+    spans for match lengths >= k.
+
+    Scale shape: the explode is linear in corpus tokens; the frequency
+    count is a map-side-combinable groupBy on a uniform md5 key; the
+    membership join is key-only (positions carry (id, pos, hash) — no
+    text moves); boilerplate grams with 10^9 occurrences are exactly the
+    AQE skew-join case and only inflate the join fan-out by their true
+    duplicated-position count (output-bounded, never quadratic — unlike
+    pair generation there is no candidate cross product). The island
+    window sorts per doc (bounded by doc length).
+
+    Output: (id_col, span_start, span_end, n_tokens, n_dup_grams) with
+    0-based inclusive token indices — all integers, bit-exact oracle.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (unigram dup spans are noise)")
+    if min_count < 2:
+        raise ValueError("min_count < 2 would mark every position")
+    s_grams = T.shingles_expr(text_col, k)[0]
+    pos = (
+        docs.selectExpr(id_col, f"{s_grams} AS __g")
+        .select(id_col, F.posexplode("__g").alias("__pos", "__gram"))
+        .select(id_col, F.col("__pos"), F.md5(F.col("__gram")).alias("__h"))
+    )
+    dup_hashes = (
+        pos.groupBy("__h").count()
+        .where(F.col("count") >= min_count)
+        .select("__h")
+    )
+    marked = pos.join(dup_hashes, "__h").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    islands = marked.select(
+        id_col,
+        "__pos",
+        F.sum(
+            F.when(
+                F.lag("__pos").over(w).isNull()
+                | (F.col("__pos") - F.lag("__pos").over(w) > k),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(w).alias("__island"),
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("__pos").cast("bigint").alias("span_start"),
+        (F.max("__pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+        (F.max("__pos") + F.lit(k) - F.min("__pos")).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    ).drop("__island")
+
+
+def substring_dup_oracle_sql(
+    k: int = 8,
+    min_count: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of substring_dup_spans — identical gram text
+    (shared shingles_expr), md5 keys, window island merge; every output
+    column is an integer so equality is exact."""
+    d_grams = T.shingles_expr(text_col, k)[1]
+    return f"""
+WITH g AS (SELECT {id_col}, {d_grams} AS gr FROM {table}),
+p0 AS (SELECT {id_col}, unnest(list_transform(range(1, len(gr) + 1),
+         i -> struct_pack(pos := i - 1, h := md5(gr[i])))) AS u FROM g),
+p AS (SELECT {id_col}, u.pos AS pos, u.h AS h FROM p0),
+c AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) >= {min_count}),
+d AS (SELECT p.{id_col}, p.pos FROM p JOIN c USING (h)),
+w AS (SELECT {id_col}, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos) IS NULL
+             OR pos - lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos) > {k}
+             THEN 1 ELSE 0 END AS brk FROM d),
+i AS (SELECT {id_col}, pos,
+        SUM(brk) OVER (PARTITION BY {id_col} ORDER BY pos) AS island FROM w)
+SELECT {id_col},
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {k} - MIN(pos) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_dup_grams
+FROM i GROUP BY {id_col}, island
+"""
+
+
+def domain_mix_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_weight: float | None = None,
+) -> DataFrame:
+    """Per-source sampling weights to rebalance a pretraining mixture
+    toward a uniform token budget per domain (the static form of the
+    Pile / DoReMi domain-mixing stage): a source holding share s of the
+    corpus tokens gets weight (1/n_sources)/s, so weighted sampling
+    draws equal expected tokens from every source. `max_weight` caps
+    the upsampling of tiny domains (the usual <= N-epoch rule).
+
+    Scale shape: one map-side-combinable groupBy(source) over codegen
+    token counts, then a 1-row totals aggregate broadcast back — no
+    corpus-sized shuffle, no window. Integer counts; the shares/weights
+    are fixed-order double expressions (bit-exact vs the oracle).
+
+    Output: (source, n_docs, n_tokens, token_share, mix_weight).
+    """
+    bpe = T.bpe_token_count_expr(text_col)[0]
+    per_source = (
+        docs.selectExpr(source_col, f"CAST({bpe} AS BIGINT) AS __bpe")
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__bpe").alias("n_tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.count(F.lit(1)).alias("__n_src"),
+        F.sum("n_tokens").alias("__tot"),
+    )
+    cap = (
+        ""
+        if max_weight is None
+        else f"LEAST(CAST({max_weight!r} AS DOUBLE), "
+    )
+    cap_close = "" if max_weight is None else ")"
+    return per_source.crossJoin(F.broadcast(totals)).selectExpr(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "CAST(n_tokens AS DOUBLE) / CAST(__tot AS DOUBLE) AS token_share",
+        f"{cap}(1.0 / CAST(__n_src AS DOUBLE)) / "
+        f"(CAST(n_tokens AS DOUBLE) / CAST(__tot AS DOUBLE)){cap_close} AS mix_weight",
+    )
+
+
+def domain_mix_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+    max_weight: float | None = None,
+) -> str:
+    from ..functions.text import bpe_token_count_expr
+
+    d_bpe = bpe_token_count_expr(text_col)[1]
+    wexpr = (
+        f"(1.0 / CAST(n_src AS DOUBLE)) / "
+        f"(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))"
+    )
+    if max_weight is not None:
+        wexpr = f"LEAST(CAST({max_weight!r} AS DOUBLE), {wexpr})"
+    return f"""
+WITH per AS (SELECT {source_col}, {d_bpe} AS bpe FROM {table}),
+s AS (SELECT {source_col}, COUNT(*) AS n_docs,
+        CAST(SUM(bpe) AS BIGINT) AS n_tokens FROM per GROUP BY {source_col}),
+t AS (SELECT COUNT(*) AS n_src, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM s)
+SELECT {source_col}, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share,
+       {wexpr} AS mix_weight
+FROM s, t
+"""
