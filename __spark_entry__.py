@@ -3476,6 +3476,14 @@ def _q_substring_dup(spark, sf):
     return CU.substring_dup_spans(_docs(spark, sf), k=4, min_count=2)
 
 
+def _q_corpus_shard(spark, sf):
+    """Deterministic global shuffle + sharding (17 shards, seed 3):
+    (shard_id, position) is a pure function of (doc_id, seed) — shard
+    writes are byte-identical across layouts, resumes, and cluster
+    sizes. One uniform shuffle + per-shard rank, no global sort."""
+    return CU.corpus_shard(_docs(spark, sf), n_shards=17, seed=3)
+
+
 def _q_domain_mix(spark, sf):
     """Per-source domain-mixing weights toward a uniform token budget
     (static Pile/DoReMi stage), 3-epoch upsampling cap: one
@@ -4136,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "substring_dup": _q_substring_dup,
         "domain_mix": _q_domain_mix,
+        "corpus_shard": _q_corpus_shard,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
         "hist_eq": _q_hist_eq,
@@ -13022,6 +13031,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": CU.corpus_sample_oracle_sql(437_500, seed=7),
         "substring_dup": CU.substring_dup_oracle_sql(k=4, min_count=2),
         "domain_mix": CU.domain_mix_oracle_sql(max_weight=3.0),
+        "corpus_shard": CU.corpus_shard_oracle_sql(17, seed=3),
         "simhash_pairs": simhash_pairs_oracle,
         "simhash64_pairs": simhash64_oracle,
         "ngram_jaccard": ngram_oracle,

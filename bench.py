@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     # round-5 tenth session: benchmark-contamination gate (broadcast eval
     # grams, one corpus pass) — the signature op of the new curation set
     "contamination_check",
+    # round-5 eleventh session: ExactSubstr-style duplicated-span finder
+    # (corpus-wide k-gram frequency + island merge)
+    "substring_dup",
     # simhash_pairs (16-bit) is retired from the headline set: its 65,536
     # global buckets go quadratic at corpus scale; it survives in the
     # registry purely as a parity artifact. simhash64_pairs is the real op.

@@ -361,3 +361,19 @@ def test_domain_mix_weights_rebalance(spark):
               C.domain_mix_weights(docs, max_weight=1.5).collect()}
     assert capped["small"].mix_weight == pytest.approx(1.5, abs=1e-12)
     assert capped["big"].mix_weight == out["big"].mix_weight
+
+
+def test_corpus_shard_layout_independent(spark, docs):
+    a = C.corpus_shard(docs, n_shards=3, seed=1).collect()
+    b = C.corpus_shard(docs.repartition(7), n_shards=3, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every doc exactly once; positions dense 0..n-1 within each shard
+    assert len(a) == docs.count()
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard_id, []).append(r.position)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # a different seed reshuffles (some doc moves shard or position)
+    c = C.corpus_shard(docs, n_shards=3, seed=2).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))

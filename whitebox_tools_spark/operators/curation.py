@@ -700,3 +700,61 @@ SELECT {source_col}, n_docs, n_tokens,
        {wexpr} AS mix_weight
 FROM s, t
 """
+
+
+def corpus_shard(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-shard
+    writes: every document gets a (shard_id, position) that is a pure
+    function of (id, seed) — NOT of partition layout, cluster size, or
+    ingest order. Re-running, resuming, or re-partitioning the job
+    reproduces byte-identical shards (df.repartition + monotonically_
+    increasing_id, the naive approach, is layout-dependent twice over).
+
+    shard_id = hash mod n_shards; position = rank of the doc's 24-bit
+    md5 key within its shard (ties broken by id, so the order is total
+    even on hash collisions). The hash is uniform, so shards are
+    balanced to ~Binomial(n/n_shards) — no hot shard, no salt needed.
+
+    Scale shape: ONE shuffle keyed on shard_id (uniform by md5) + a
+    per-shard sort for the rank — exactly the work a shard writer must
+    do anyway; there is no global total-order sort. At 10^12 docs pick
+    n_shards >> cores so AQE keeps shard tasks small.
+
+    Output: (id_col, shard_id, position) — all integers, exact oracle.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    s_h, _ = _hash24_exprs(id_col, seed)
+    keyed = docs.selectExpr(
+        id_col,
+        f"PMOD({s_h}, {n_shards}) AS shard_id",
+        f"{s_h} AS __k",
+    )
+    w = Window.partitionBy("shard_id").orderBy("__k", id_col)
+    return keyed.select(
+        id_col,
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("position"),
+    )
+
+
+def corpus_shard_oracle_sql(
+    n_shards: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    _, d_h = _hash24_exprs(id_col, seed)
+    return f"""
+WITH keyed AS (SELECT {id_col}, {d_h} % {n_shards} AS shard_id,
+                      {d_h} AS k FROM {table})
+SELECT {id_col}, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY k, {id_col})
+            - 1 AS BIGINT) AS position
+FROM keyed
+"""
