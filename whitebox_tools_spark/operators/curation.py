@@ -639,10 +639,13 @@ def domain_mix_weights(
     draws equal expected tokens from every source. `max_weight` caps
     the upsampling of tiny domains (the usual <= N-epoch rule).
 
-    Scale shape: one map-side-combinable groupBy(source) over codegen
-    token counts, then a 1-row totals aggregate broadcast back — no
-    corpus-sized shuffle, no window. Integer counts; the shares/weights
-    are fixed-order double expressions (bit-exact vs the oracle).
+    Scale shape: ONE corpus scan — a map-side-combinable
+    groupBy(source) over codegen token counts; the corpus-wide totals
+    come from a global window over the per-source frame (bounded by the
+    domain count, ~10^2..10^6 rows — never corpus-sized), not a second
+    aggregate branch that would re-scan the corpus. Integer counts; the
+    shares/weights are fixed-order double expressions (bit-exact vs the
+    oracle).
 
     Output: (source, n_docs, n_tokens, token_share, mix_weight).
     """
@@ -655,9 +658,11 @@ def domain_mix_weights(
             F.sum("__bpe").alias("n_tokens"),
         )
     )
-    totals = per_source.agg(
-        F.count(F.lit(1)).alias("__n_src"),
-        F.sum("n_tokens").alias("__tot"),
+    wall = Window.partitionBy()
+    totals = per_source.select(
+        "*",
+        F.count(F.lit(1)).over(wall).alias("__n_src"),
+        F.sum("n_tokens").over(wall).alias("__tot"),
     )
     cap = (
         ""
@@ -665,7 +670,7 @@ def domain_mix_weights(
         else f"LEAST(CAST({max_weight!r} AS DOUBLE), "
     )
     cap_close = "" if max_weight is None else ")"
-    return per_source.crossJoin(F.broadcast(totals)).selectExpr(
+    return totals.selectExpr(
         source_col,
         "n_docs",
         "n_tokens",
