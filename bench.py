@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "embedding_dups",
     "ann_topk",
     "ann_ivf",
+    # round-5 twelfth session: product-quantized ANN (codes-only lists,
+    # ADC shortlist + exact re-rank — the 10^12-vector memory path)
+    "ann_ivfpq",
     "lang_id",
     "quality",
     # round-2 continuation additions (gate-heavy ops like dist_to_stream
