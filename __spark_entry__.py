@@ -3484,6 +3484,14 @@ def _q_corpus_shard(spark, sf):
     return CU.corpus_shard(_docs(spark, sf), n_shards=17, seed=3)
 
 
+def _q_scrub_dup(spark, sf):
+    """ExactSubstr CUT stage: every corpus-duplicated 4-gram keeps its
+    corpus-first occurrence; other occurrences' token ranges are removed
+    and the text rebuilt — one md5-window shuffle + per-doc interval
+    list + codegen rebuild. Integer decisions -> exact string oracle."""
+    return CU.scrub_dup_spans(_docs(spark, sf), k=4, min_count=2)
+
+
 def _q_domain_mix(spark, sf):
     """Per-source domain-mixing weights toward a uniform token budget
     (static Pile/DoReMi stage), 3-epoch upsampling cap: one
@@ -4173,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_spans": _q_chunk_spans,
         "corpus_sample": _q_corpus_sample,
         "substring_dup": _q_substring_dup,
+        "scrub_dup": _q_scrub_dup,
         "domain_mix": _q_domain_mix,
         "corpus_shard": _q_corpus_shard,
         "lineage_resume": _q_lineage_resume,
@@ -13132,6 +13141,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_spans": _chunk_spans_oracle(),
         "corpus_sample": CU.corpus_sample_oracle_sql(437_500, seed=7),
         "substring_dup": CU.substring_dup_oracle_sql(k=4, min_count=2),
+        "scrub_dup": CU.scrub_dup_oracle_sql(k=4, min_count=2),
         "domain_mix": CU.domain_mix_oracle_sql(max_weight=3.0),
         "corpus_shard": CU.corpus_shard_oracle_sql(17, seed=3),
         "simhash_pairs": simhash_pairs_oracle,

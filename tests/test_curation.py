@@ -377,3 +377,33 @@ def test_corpus_shard_layout_independent(spark, docs):
     # a different seed reshuffles (some doc moves shard or position)
     c = C.corpus_shard(docs, n_shards=3, seed=2).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_scrub_dup_spans_keeps_canonical(spark):
+    # docs 0 and 1 share "p q r s"; doc 0 is the corpus-first occurrence
+    # and keeps its text; doc 1 loses the duplicated range only.
+    docs = spark.createDataFrame(
+        [(0, "p q r s tail0"), (1, "head1 p q r s tail1"),
+         (2, "all unique words here now")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           C.scrub_dup_spans(docs, k=3, min_count=2).collect()}
+    assert out[0].clean_text == "p q r s tail0" and out[0].n_removed == 0
+    assert out[1].clean_text == "head1 tail1" and out[1].n_removed == 4
+    assert out[2].clean_text == "all unique words here now"
+    # token accounting is total
+    for r in out.values():
+        assert r.n_tokens - r.n_removed == len(r.clean_text.split()) \
+            or (r.n_tokens == r.n_removed and r.clean_text == "")
+
+
+def test_scrub_dup_spans_within_doc(spark):
+    # a doc repeating its own trigram keeps the FIRST occurrence
+    docs = spark.createDataFrame(
+        [(0, "a b c x1 x2 x3 x4 a b c"), (1, "q w e r t y")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           C.scrub_dup_spans(docs, k=3, min_count=2).collect()}
+    assert out[0].clean_text == "a b c x1 x2 x3 x4"
+    assert out[0].n_removed == 3
+    assert out[1].n_removed == 0

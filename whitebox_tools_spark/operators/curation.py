@@ -763,3 +763,111 @@ SELECT {id_col}, CAST(shard_id AS BIGINT) AS shard_id,
             - 1 AS BIGINT) AS position
 FROM keyed
 """
+
+
+def scrub_dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CUT stage of ExactSubstr dedup (Lee et al. 2021 remove
+    duplicated substrings from the training text, keeping one
+    occurrence): every corpus-duplicated k-gram keeps its CANONICAL
+    occurrence — the corpus-wide first by (doc id, position), a total
+    deterministic order — and every other occurrence's token range is
+    removed from its document. Output text re-joins the surviving
+    tokens with single spaces (whitespace is normalized by design —
+    the tokenizer downstream never sees the difference).
+
+    Plan: one window over the gram-hash partition yields both the
+    corpus frequency and the canonical rank (one uniform md5-keyed
+    shuffle — no groupBy + join back); non-canonical duplicated
+    positions aggregate into a per-doc removal-interval list; one
+    codegen projection rebuilds the text (token index survives iff no
+    interval covers it — EXISTS over the doc's intervals, order-free,
+    so the collected list order never affects the output).
+
+    Output: (id_col, n_tokens, n_removed, clean_text) — integers + a
+    string rebuilt from integer decisions: exact oracle.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count < 2 would mark every position")
+    s_grams = T.shingles_expr(text_col, k)[0]
+    pos = (
+        docs.selectExpr(id_col, f"{s_grams} AS __g")
+        .select(id_col, F.posexplode("__g").alias("__pos", "__gram"))
+        .select(id_col, "__pos", F.md5(F.col("__gram")).alias("__h"))
+    )
+    wh = Window.partitionBy("__h")
+    who = Window.partitionBy("__h").orderBy(id_col, "__pos")
+    marked = (
+        pos.select(
+            id_col, "__pos",
+            F.count(F.lit(1)).over(wh).alias("__n"),
+            F.row_number().over(who).alias("__rk"),
+        )
+        .where((F.col("__n") >= min_count) & (F.col("__rk") > 1))
+    )
+    iv = marked.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("__pos").alias("s"),
+                     (F.col("__pos") + F.lit(k - 1)).alias("e"))
+        ).alias("__iv")
+    )
+    s_toks = T.tokens_expr(text_col)[0]
+    joined = docs.join(iv, id_col, "left")
+    kept = (
+        "TRANSFORM(ARRAY({toks}), __tk -> CASE WHEN __iv IS NULL THEN __tk "
+        "ELSE TRANSFORM(FILTER(SEQUENCE(0, SIZE(__tk) - 1), "
+        "i -> NOT EXISTS(__iv, v -> i >= v.s AND i <= v.e)), "
+        "i -> ELEMENT_AT(__tk, i + 1)) END)[0]"
+    ).format(toks=s_toks)
+    return joined.selectExpr(
+        id_col,
+        f"CAST(SIZE({s_toks}) AS BIGINT) AS n_tokens",
+        f"CAST(SIZE({s_toks}) - SIZE({kept}) AS BIGINT) AS n_removed",
+        f"ARRAY_JOIN({kept}, ' ') AS clean_text",
+    )
+
+
+def scrub_dup_oracle_sql(
+    k: int = 8,
+    min_count: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    d_grams = T.shingles_expr(text_col, k)[1]
+    d_toks = T.tokens_expr(text_col)[1]
+    return f"""
+WITH g AS (SELECT {id_col}, {d_grams} AS gr FROM {table}),
+p0 AS (SELECT {id_col}, unnest(list_transform(range(1, len(gr) + 1),
+         i -> struct_pack(pos := i - 1, h := md5(gr[i])))) AS u FROM g),
+p AS (SELECT {id_col}, u.pos AS pos, u.h AS h FROM p0),
+m AS (SELECT {id_col}, pos FROM (
+        SELECT {id_col}, pos,
+               COUNT(*) OVER (PARTITION BY h) AS n,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY {id_col}, pos) AS rk
+        FROM p) WHERE n >= {min_count} AND rk > 1),
+iv AS (SELECT {id_col}, list(struct_pack(s := pos, e := pos + {k} - 1))
+         AS ivl FROM m GROUP BY {id_col}),
+j AS (SELECT d.{id_col}, {d_toks} AS tk, iv.ivl
+        FROM {table} d LEFT JOIN iv USING ({id_col})),
+r AS (SELECT {id_col}, tk,
+        CASE WHEN ivl IS NULL THEN tk
+        ELSE list_transform(list_filter(range(0, len(tk)),
+               i -> len(list_filter(ivl,
+                        v -> i >= v.s AND i <= v.e)) = 0),
+               i -> tk[i + 1]) END AS kept
+      FROM j)
+SELECT {id_col},
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+       COALESCE(list_aggregate(kept, 'string_agg', ' '), '') AS clean_text
+FROM r
+"""
