@@ -63,8 +63,10 @@ BENCH_QUERIES = [
     # grams, one corpus pass) — the signature op of the new curation set
     "contamination_check",
     # round-5 eleventh session: ExactSubstr-style duplicated-span finder
-    # (corpus-wide k-gram frequency + island merge)
+    # (corpus-wide k-gram frequency + island merge) + the cut stage
+    # (canonical-keeper substring removal)
     "substring_dup",
+    "scrub_dup",
     # simhash_pairs (16-bit) is retired from the headline set: its 65,536
     # global buckets go quadratic at corpus scale; it survives in the
     # registry purely as a parity artifact. simhash64_pairs is the real op.
