@@ -3492,6 +3492,17 @@ def _q_scrub_dup(spark, sf):
     return CU.scrub_dup_spans(_docs(spark, sf), k=4, min_count=2)
 
 
+def _q_pack_sequences(spark, sf):
+    """Cross-document sequence packing (seq_len=32): concatenate the
+    corpus in md5-deterministic order, slice into fixed 32-token
+    training sequences; one row per (sequence, doc) overlap. Two-phase
+    distributed prefix sum — one uniform hash-range shard shuffle +
+    n_shards-row base offsets broadcast back; n_shards is pure
+    parallelism (hash-range blocks), output independent of it."""
+    return CU.pack_sequences(_docs(spark, sf), seq_len=32, n_shards=8,
+                             seed=1)
+
+
 def _q_domain_mix(spark, sf):
     """Per-source domain-mixing weights toward a uniform token budget
     (static Pile/DoReMi stage), 3-epoch upsampling cap: one
@@ -4182,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "substring_dup": _q_substring_dup,
         "scrub_dup": _q_scrub_dup,
+        "pack_sequences": _q_pack_sequences,
         "domain_mix": _q_domain_mix,
         "corpus_shard": _q_corpus_shard,
         "lineage_resume": _q_lineage_resume,
@@ -13142,6 +13154,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": CU.corpus_sample_oracle_sql(437_500, seed=7),
         "substring_dup": CU.substring_dup_oracle_sql(k=4, min_count=2),
         "scrub_dup": CU.scrub_dup_oracle_sql(k=4, min_count=2),
+        "pack_sequences": CU.pack_sequences_oracle_sql(seq_len=32, seed=1),
         "domain_mix": CU.domain_mix_oracle_sql(max_weight=3.0),
         "corpus_shard": CU.corpus_shard_oracle_sql(17, seed=3),
         "simhash_pairs": simhash_pairs_oracle,

@@ -407,3 +407,62 @@ def test_scrub_dup_spans_within_doc(spark):
     assert out[0].clean_text == "a b c x1 x2 x3 x4"
     assert out[0].n_removed == 3
     assert out[1].n_removed == 0
+
+
+def test_pack_sequences_totality_and_shape(spark, docs):
+    L = 8
+    out = C.pack_sequences(docs, seq_len=L, n_shards=4, seed=1).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    # every document's tokens are packed exactly once, in order
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(texts)
+    total_tokens = 0
+    for did, rows in per_doc.items():
+        rows.sort(key=lambda r: r.doc_off)
+        n = len(texts[did].split())
+        total_tokens += n
+        assert sum(r.n_in_seq for r in rows) == n
+        # doc pieces are contiguous and gapless in doc offsets
+        off = 0
+        for r in rows:
+            assert r.doc_off == off
+            off += r.n_in_seq
+        # consecutive pieces land in consecutive sequences
+        for a, b in zip(rows, rows[1:]):
+            assert b.seq_id == a.seq_id + 1
+    # every sequence is exactly L tokens except the final tail;
+    # sequence ids are dense from 0
+    per_seq = {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_in_seq
+    n_seq = max(per_seq) + 1
+    assert set(per_seq) == set(range(n_seq))
+    for sid, tot in per_seq.items():
+        assert tot == (L if sid < n_seq - 1 else total_tokens - L * (n_seq - 1))
+    # within a sequence, pieces tile [0, L) without overlap
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append((r.seq_off, r.n_in_seq))
+    for sid, pieces in by_seq.items():
+        pieces.sort()
+        pos = 0
+        for s, n in pieces:
+            assert s == pos
+            pos += n
+
+
+def test_pack_sequences_layout_and_shards_independent(spark, docs):
+    a = C.pack_sequences(docs, seq_len=8, n_shards=4, seed=1).collect()
+    b = C.pack_sequences(docs.repartition(7), seq_len=8, n_shards=4,
+                         seed=1).collect()
+    # n_shards is a pure parallelism knob: hash-RANGE blocks keep the
+    # global (k, id) order, so the packing must not change with it
+    c = C.pack_sequences(docs, seq_len=8, n_shards=1, seed=1).collect()
+    d = C.pack_sequences(docs, seq_len=8, n_shards=64, seed=1).collect()
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(a) == key(b) == key(c) == key(d)
+    # a different seed produces a different concatenation order
+    e = C.pack_sequences(docs, seq_len=8, n_shards=4, seed=2).collect()
+    assert key(a) != key(e)

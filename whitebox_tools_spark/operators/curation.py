@@ -871,3 +871,128 @@ SELECT {id_col},
        COALESCE(list_aggregate(kept, 'string_agg', ' '), '') AS clean_text
 FROM r
 """
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 64,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Cross-document sequence packing — the GPT-pretraining step that
+    concatenates the corpus in a deterministic order and slices it into
+    fixed `seq_len`-token training sequences (docs split across
+    sequence boundaries; no padding except the final tail). Output is
+    the packing PLAN: one row per (sequence, document) overlap,
+    (seq_id, id_col, doc_off, seq_off, n_in_seq) — enough to
+    materialize any sequence's text with a single uniform groupBy on
+    seq_id downstream.
+
+    The global order is (md5-24bit(id:seed), id) — a pure function of
+    (corpus, seed), so the packing is byte-identical across partition
+    layouts, resumes, cluster sizes, AND the n_shards knob: shards are
+    RANGE blocks of the hash space (shard = k div ceil(16^6/n_shards)),
+    so ordering by (shard, k, id) == ordering by (k, id) and n_shards
+    is pure parallelism, not semantics.
+
+    Scale shape (distributed prefix sum, the classic two-phase scan):
+    ONE uniform md5-keyed shuffle partitions docs into hash-range
+    shards; a per-shard window accumulates local token prefixes; shard
+    TOTALS (n_shards rows) get their own n_shards-row running sum and
+    broadcast-join back as shard base offsets. No global sort, no
+    driver collect — at 10^12 docs pick n_shards >> cores so each
+    shard's window sort stays in memory. A document's global token
+    offset then yields its covered sequence ids in closed form, and the
+    per-(doc, seq) rows are a codegen SEQUENCE explode.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    blk = -((-(16 ** 6)) // n_shards)  # ceil(16^6 / n_shards)
+    s_h, _ = _hash24_exprs(id_col, seed)
+    s_toks = T.tokens_expr(text_col)[0]
+    keyed = docs.selectExpr(
+        id_col,
+        f"{s_h} AS __k",
+        f"CAST({s_h} DIV {blk} AS INT) AS __shard",
+        f"CAST(SIZE({s_toks}) AS BIGINT) AS __n",
+    )
+    w_local = (
+        Window.partitionBy("__shard").orderBy("__k", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = keyed.withColumn(
+        "__pre", F.coalesce(F.sum("__n").over(w_local), F.lit(0))
+    )
+    # Counting pass of the two-phase scan: shard totals via map-side
+    # partial aggregation (n_shards partial rows per task — the corpus
+    # never shuffles for this branch; the cost is one extra scan +
+    # tokenize, the standard count-then-place trade). The base running
+    # sum below is over n_shards rows, not the corpus.
+    totals = keyed.groupBy("__shard").agg(F.sum("__n").alias("__tot"))
+    w_base = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.select(
+        "__shard", F.coalesce(F.sum("__tot").over(w_base), F.lit(0)).alias("__base")
+    )
+    placed = (
+        local.join(F.broadcast(bases), "__shard")
+        .where(F.col("__n") > 0)
+        .selectExpr(id_col, "__n", "(__base + __pre) AS __start")
+    )
+    exploded = placed.select(
+        id_col, "__n", "__start",
+        F.explode(F.expr(
+            f"SEQUENCE(__start DIV {seq_len}, "
+            f"(__start + __n - 1) DIV {seq_len})"
+        )).alias("__seq"),
+    )
+    return exploded.selectExpr(
+        "CAST(__seq AS BIGINT) AS seq_id",
+        id_col,
+        f"CAST(GREATEST(__start, __seq * {seq_len}) - __start "
+        f"AS BIGINT) AS doc_off",
+        f"CAST(GREATEST(__start, __seq * {seq_len}) - __seq * {seq_len} "
+        f"AS BIGINT) AS seq_off",
+        f"CAST(LEAST(__start + __n, (__seq + 1) * {seq_len}) "
+        f"- GREATEST(__start, __seq * {seq_len}) AS BIGINT) AS n_in_seq",
+    )
+
+
+def pack_sequences_oracle_sql(
+    seq_len: int = 64,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """Oracle replays the same packing with a plain global window over
+    (k, id) — the shard blocks are hash-range-monotone, so the two
+    orders are identical by construction."""
+    _, d_h = _hash24_exprs(id_col, seed)
+    d_toks = T.tokens_expr(text_col)[1]
+    return f"""
+WITH t AS (SELECT {id_col}, {d_h} AS k,
+                  CAST(len({d_toks}) AS BIGINT) AS n FROM {table}),
+o AS (SELECT {id_col}, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY k, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS strt
+      FROM t),
+e AS (SELECT {id_col}, n, strt,
+             unnest(range(strt // {seq_len},
+                          (strt + n - 1) // {seq_len} + 1)) AS seq
+      FROM o WHERE n > 0)
+SELECT CAST(seq AS BIGINT) AS seq_id, {id_col},
+       CAST(GREATEST(strt, seq * {seq_len}) - strt AS BIGINT) AS doc_off,
+       CAST(GREATEST(strt, seq * {seq_len}) - seq * {seq_len} AS BIGINT)
+         AS seq_off,
+       CAST(LEAST(strt + n, (seq + 1) * {seq_len})
+            - GREATEST(strt, seq * {seq_len}) AS BIGINT) AS n_in_seq
+FROM e
+"""
