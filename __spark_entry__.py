@@ -3503,6 +3503,23 @@ def _q_pack_sequences(spark, sf):
                              seed=1)
 
 
+def _q_pack_text(spark, sf):
+    """Materialized packed sequences (seq_len=32): the pack_sequences
+    plan joined back to document tokens, assembled per sequence with
+    one uniform groupBy on seq_id (per-key state <= seq_len tokens).
+    Exact string oracle — text rebuilt from integer decisions."""
+    return CU.pack_sequences_text(_docs(spark, sf), seq_len=32,
+                                  n_shards=8, seed=1)
+
+
+def _q_lm_score(spark, sf):
+    """CCNet-style LM quality filter: add-one-smoothed bigram model
+    trained on the corpus itself, per-doc cross-entropy in bits
+    (ROUND 4). Two map-side-partial training aggs + one model equi-join
+    keyed on the bigram (1-row build side per key -> AQE skew-safe)."""
+    return CU.lm_bigram_scores(_docs(spark, sf))
+
+
 def _q_domain_mix(spark, sf):
     """Per-source domain-mixing weights toward a uniform token budget
     (static Pile/DoReMi stage), 3-epoch upsampling cap: one
@@ -4194,6 +4211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup": _q_substring_dup,
         "scrub_dup": _q_scrub_dup,
         "pack_sequences": _q_pack_sequences,
+        "pack_text": _q_pack_text,
+        "lm_score": _q_lm_score,
         "domain_mix": _q_domain_mix,
         "corpus_shard": _q_corpus_shard,
         "lineage_resume": _q_lineage_resume,
@@ -13155,6 +13174,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup": CU.substring_dup_oracle_sql(k=4, min_count=2),
         "scrub_dup": CU.scrub_dup_oracle_sql(k=4, min_count=2),
         "pack_sequences": CU.pack_sequences_oracle_sql(seq_len=32, seed=1),
+        "pack_text": CU.pack_sequences_text_oracle_sql(seq_len=32, seed=1),
+        "lm_score": CU.lm_bigram_oracle_sql(),
         "domain_mix": CU.domain_mix_oracle_sql(max_weight=3.0),
         "corpus_shard": CU.corpus_shard_oracle_sql(17, seed=3),
         "simhash_pairs": simhash_pairs_oracle,

@@ -466,3 +466,57 @@ def test_pack_sequences_layout_and_shards_independent(spark, docs):
     # a different seed produces a different concatenation order
     e = C.pack_sequences(docs, seq_len=8, n_shards=4, seed=2).collect()
     assert key(a) != key(e)
+
+
+def test_pack_sequences_text_reconstructs_stream(spark, docs):
+    L = 8
+    out = C.pack_sequences_text(docs, seq_len=L, n_shards=4, seed=1).collect()
+    out.sort(key=lambda r: r.seq_id)
+    # sequence ids dense, every sequence L tokens except the tail
+    assert [r.seq_id for r in out] == list(range(len(out)))
+    for r in out[:-1]:
+        assert r.n_tokens == L
+        assert len(r.seq_text.split()) == L
+    assert len(out[-1].seq_text.split()) == out[-1].n_tokens
+    # concatenating the sequences reproduces the corpus concatenated in
+    # the same deterministic (md5, id) order used by the plan
+    plan = C.pack_sequences(docs, seq_len=L, n_shards=4, seed=1).collect()
+    first = {}
+    for r in plan:
+        if r.doc_off == 0:
+            first[r.doc_id] = (r.seq_id, r.seq_off)
+    order = sorted(first, key=lambda d: first[d])
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    stream = " ".join(texts[d].strip() for d in order).split()
+    packed = " ".join(r.seq_text for r in out).split()
+    assert packed == stream
+
+
+def test_lm_bigram_scores_orders_quality(spark):
+    rows = [(0, "the cat sat on the mat and the cat sat on the mat"),
+            (1, "the cat sat on the mat and the dog ran to the hill"),
+            (2, "zx qy wv ut sr qp on ml kj ih gf ed cb az yx wu"),
+            (3, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in C.lm_bigram_scores(docs).collect()}
+    # <2-token docs have no bigrams and are omitted
+    assert set(out) == {0, 1, 2}
+    assert out[0].n_bigrams == 12 and out[2].n_bigrams == 15
+    # repeated high-probability transitions score lower cross-entropy
+    # than a doc of one-off transitions over a rare vocabulary
+    assert out[0].h_bits < out[1].h_bits < out[2].h_bits
+    # full sequential reference model: add-one smoothed bigram counts
+    # over the corpus, H = -(1/B) sum log2((c12+1)/(c1+V))
+    import math
+    from collections import Counter
+    toks = {d: t.split() for d, t in rows}
+    big = Counter(b for t in toks.values() for b in zip(t, t[1:]))
+    pre = Counter()
+    for (w1, _), c in big.items():
+        pre[w1] += c
+    vocab = len({w for t in toks.values() for w in t})
+    for did in (0, 1, 2):
+        bs = list(zip(toks[did], toks[did][1:]))
+        h = -sum(math.log2((big[b] + 1) / (pre[b[0]] + vocab))
+                 for b in bs) / len(bs)
+        assert abs(out[did].h_bits - round(h, 4)) < 5e-4

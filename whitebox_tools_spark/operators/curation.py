@@ -996,3 +996,156 @@ SELECT CAST(seq AS BIGINT) AS seq_id, {id_col},
             - GREATEST(strt, seq * {seq_len}) AS BIGINT) AS n_in_seq
 FROM e
 """
+
+
+def pack_sequences_text(
+    docs: DataFrame,
+    seq_len: int = 64,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize the packed training sequences: each `seq_len`-token
+    sequence's text, assembled from the pack_sequences plan (same
+    deterministic order, same seed => same packing). Output one row per
+    sequence: (seq_id, n_tokens, seq_text).
+
+    Scale shape: the plan join back to documents is a uniform equi-join
+    on the doc id (each doc contributes ceil(n/seq_len)+1 pieces); the
+    assembly is ONE uniform groupBy on seq_id — collect the (seq_off,
+    piece) structs, array_sort, join. Each group holds <= seq_len
+    tokens, so state per key is bounded by the sequence length, never
+    by document size."""
+    plan = pack_sequences(docs, seq_len=seq_len, n_shards=n_shards,
+                          text_col=text_col, id_col=id_col, seed=seed)
+    s_toks = T.tokens_expr(text_col)[0]
+    toks = docs.selectExpr(id_col, f"{s_toks} AS __t")
+    pieces = plan.join(toks, id_col).selectExpr(
+        "seq_id", "seq_off", "n_in_seq",
+        "ARRAY_JOIN(SLICE(__t, CAST(doc_off + 1 AS INT), "
+        "CAST(n_in_seq AS INT)), ' ') AS __piece",
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.sum("n_in_seq").cast("bigint").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("seq_off"), F.col("__piece")))
+            ).alias("__ps"),
+        )
+        .selectExpr(
+            "seq_id", "n_tokens",
+            "ARRAY_JOIN(TRANSFORM(__ps, p -> p.__piece), ' ') AS seq_text",
+        )
+    )
+
+
+def pack_sequences_text_oracle_sql(
+    seq_len: int = 64,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    plan = pack_sequences_oracle_sql(seq_len=seq_len, table=table,
+                                     text_col=text_col, id_col=id_col,
+                                     seed=seed)
+    d_toks = T.tokens_expr(text_col)[1]
+    return f"""
+WITH plan AS ({plan}),
+pieces AS (
+  SELECT p.seq_id, p.seq_off, p.n_in_seq,
+         array_to_string(list_slice({d_toks}, CAST(p.doc_off + 1 AS INT),
+           CAST(p.doc_off + p.n_in_seq AS INT)), ' ') AS piece
+  FROM plan p JOIN {table} d USING ({id_col}))
+SELECT seq_id, CAST(SUM(n_in_seq) AS BIGINT) AS n_tokens,
+       string_agg(piece, ' ' ORDER BY seq_off) AS seq_text
+FROM pieces GROUP BY seq_id
+"""
+
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020
+    use an LM trained on a trusted corpus and keep low-perplexity
+    documents): an add-one-smoothed BIGRAM model is trained on the
+    corpus itself and every document is scored by its cross-entropy in
+    bits, H = -(1/B) * sum log2 P(w2|w1) with
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V). High H = improbable
+    word transitions = boilerplate / gibberish; the filter keeps the
+    low tail. Documents with fewer than 2 tokens have no bigrams and
+    are omitted.
+
+    Scale shape: training is two map-side-partial aggregations (per-doc
+    bigram multiset, then global bigram counts — the second agg runs
+    over the already-collapsed per-doc frame, not raw positions);
+    prefix counts reduce the bigram table once more; scoring is one
+    equi-join of per-doc bigram counts to the model keyed on the bigram
+    (hot bigrams — 'of the' — are a 1-row build side per key, the shape
+    AQE skew-join splits for free) and one groupBy on the doc id. The
+    vocabulary size V is the only scalar collect.
+
+    Output: (id_col, n_bigrams, h_bits) with h_bits = ROUND(..., 4) —
+    the aggregate-float discipline every oracle-gated double uses.
+    """
+    s_toks = T.tokens_expr(text_col)[0]
+    toks = docs.selectExpr(id_col, f"{s_toks} AS __t")
+    big = (
+        toks.selectExpr(
+            id_col,
+            "TRANSFORM(SLICE(__t, 1, SIZE(__t) - 1), "
+            "(w, i) -> STRUCT(w AS w1, ELEMENT_AT(__t, i + 2) AS w2)) AS __bs",
+        )
+        .select(id_col, F.explode("__bs").alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__dc"))
+    )
+    model = big.groupBy("__b").agg(F.sum("__dc").alias("__c12"))
+    prefix = model.groupBy(F.col("__b.w1").alias("__w1")).agg(
+        F.sum("__c12").alias("__c1"))
+    v = toks.select(F.explode("__t").alias("__w")).agg(
+        F.countDistinct("__w").alias("v")).collect()[0]["v"]
+    scored = (
+        big.join(model, "__b")
+        .join(prefix, big["__b"].w1 == F.col("__w1"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__dc").cast("bigint").alias("n_bigrams"),
+            (-F.sum(
+                F.col("__dc")
+                * F.log2((F.col("__c12") + F.lit(1.0))
+                         / (F.col("__c1") + F.lit(float(v))))
+            ) / F.sum("__dc")).alias("__h"),
+        )
+        .selectExpr(id_col, "n_bigrams", "ROUND(__h, 4) AS h_bits")
+    )
+    return scored
+
+
+def lm_bigram_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    d_toks = T.tokens_expr(text_col)[1]
+    return f"""
+WITH t AS (SELECT {id_col}, {d_toks} AS tk FROM {table}),
+b AS (SELECT {id_col}, u.w1 AS w1, u.w2 AS w2, COUNT(*) AS dc
+      FROM (SELECT {id_col},
+                   unnest(list_transform(range(1, len(tk)),
+                     i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u
+            FROM t) GROUP BY 1, 2, 3),
+m AS (SELECT w1, w2, SUM(dc) AS c12 FROM b GROUP BY 1, 2),
+pr AS (SELECT w1, SUM(c12) AS c1 FROM m GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(tk) AS w FROM t))
+SELECT b.{id_col},
+       CAST(SUM(b.dc) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(b.dc * log2((m.c12 + 1.0) / (pr.c1 + vv.v)))
+             / SUM(b.dc), 4) AS h_bits
+FROM b JOIN m USING (w1, w2) JOIN pr USING (w1) CROSS JOIN vv
+GROUP BY 1
+"""
