@@ -67,6 +67,11 @@ BENCH_QUERIES = [
     # (canonical-keeper substring removal)
     "substring_dup",
     "scrub_dup",
+    # round-5 thirteenth session: cross-doc training-sequence packing
+    # (two-phase prefix scan) and the CCNet-style bigram-LM quality
+    # filter (corpus-trained model, one skew-safe model join)
+    "pack_sequences",
+    "lm_score",
     # simhash_pairs (16-bit) is retired from the headline set: its 65,536
     # global buckets go quadratic at corpus scale; it survives in the
     # registry purely as a parity artifact. simhash64_pairs is the real op.
