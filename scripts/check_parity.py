@@ -62,7 +62,8 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept space- or comma-separated names; "--only" is a no-op marker
+    only = {n for a in sys.argv[2:] for n in a.split(",")} - {"--only", ""}
     spark = get_spark(app_name="parity", cores=8, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -98,7 +99,14 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(errs[:3]))
         else:
             print(f"ok    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
-    print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
+    if only:
+        missing = only - set(qs)
+        if missing:
+            failed.extend(sorted(missing))
+            print(f"FAIL  unknown query name(s): {', '.join(sorted(missing))}")
+    n_ran = len([n for n in qs if not only or n in only])
+    print(f"\n{n_ran} queries checked — "
+          f"{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
     return 1 if failed else 0
 
 

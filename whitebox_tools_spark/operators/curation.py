@@ -1107,18 +1107,21 @@ def lm_bigram_scores(
     model = big.groupBy("__b").agg(F.sum("__dc").alias("__c12"))
     prefix = model.groupBy(F.col("__b.w1").alias("__w1")).agg(
         F.sum("__c12").alias("__c1"))
-    v = toks.select(F.explode("__t").alias("__w")).agg(
-        F.countDistinct("__w").alias("v")).collect()[0]["v"]
+    # vocabulary size rides along as a broadcast 1-row frame — no
+    # driver collect, the whole op stays ONE action (resume-friendly)
+    vocab = toks.select(F.explode("__t").alias("__w")).agg(
+        F.countDistinct("__w").cast("double").alias("__v"))
     scored = (
         big.join(model, "__b")
         .join(prefix, big["__b"].w1 == F.col("__w1"))
+        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.sum("__dc").cast("bigint").alias("n_bigrams"),
             (-F.sum(
                 F.col("__dc")
                 * F.log2((F.col("__c12") + F.lit(1.0))
-                         / (F.col("__c1") + F.lit(float(v))))
+                         / (F.col("__c1") + F.col("__v")))
             ) / F.sum("__dc")).alias("__h"),
         )
         .selectExpr(id_col, "n_bigrams", "ROUND(__h, 4) AS h_bits")
