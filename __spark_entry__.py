@@ -3520,6 +3520,24 @@ def _q_lm_score(spark, sf):
     return CU.lm_bigram_scores(_docs(spark, sf))
 
 
+def _q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training (8 merges): corpus compresses
+    to a word-frequency vocab (the only corpus-sized op), each round =
+    weighted pair count + deterministic argmax + wrapped-symbol REPLACE
+    merge on the vocab. Oracle replays the identical rounds as a
+    materialized DuckDB CTE chain — bit-exact merge table."""
+    return CU.bpe_train(_docs(spark, sf), n_merges=8)[0]
+
+
+def _q_bpe_encode(spark, sf):
+    """Apply the learned BPE merges to the corpus: merges ship as
+    literals into ONE codegen projection (zero shuffle) — per-doc
+    whitespace-token and post-merge symbol counts."""
+    docs = _docs(spark, sf)
+    _, merges = CU.bpe_train(docs, n_merges=8)
+    return CU.bpe_encode(docs, merges)
+
+
 def _q_domain_mix(spark, sf):
     """Per-source domain-mixing weights toward a uniform token budget
     (static Pile/DoReMi stage), 3-epoch upsampling cap: one
@@ -4213,6 +4231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pack_text": _q_pack_text,
         "lm_score": _q_lm_score,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "domain_mix": _q_domain_mix,
         "corpus_shard": _q_corpus_shard,
         "lineage_resume": _q_lineage_resume,
@@ -13176,6 +13196,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": CU.pack_sequences_oracle_sql(seq_len=32, seed=1),
         "pack_text": CU.pack_sequences_text_oracle_sql(seq_len=32, seed=1),
         "lm_score": CU.lm_bigram_oracle_sql(),
+        "bpe_merges": CU.bpe_train_oracle_sql(n_merges=8),
+        "bpe_encode": CU.bpe_encode_oracle_sql(n_merges=8),
         "domain_mix": CU.domain_mix_oracle_sql(max_weight=3.0),
         "corpus_shard": CU.corpus_shard_oracle_sql(17, seed=3),
         "simhash_pairs": simhash_pairs_oracle,

@@ -520,3 +520,80 @@ def test_lm_bigram_scores_orders_quality(spark):
         h = -sum(math.log2((big[b] + 1) / (pre[b[0]] + vocab))
                  for b in bs) / len(bs)
         assert abs(out[did].h_bits - round(h, 4)) < 5e-4
+
+
+def _ref_bpe(texts, n_merges):
+    """Sequential reference BPE: greedy left-to-right merges, argmax by
+    (count desc, pair lexicographic asc), stop when best count < 2."""
+    from collections import Counter
+    vocab = Counter(w for t in texts for w in t.split() if w)
+    seqs = {w: tuple(w) for w in vocab}
+    merges = []
+    for r in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += vocab[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        if c < 2:
+            break
+        merges.append((r, a, b, a + b, c))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges, seqs, vocab
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    rows = [(i, t) for i, t in enumerate([
+        "low lower lowest slow slower slowest",
+        "new newer newest few fewer fewest",
+        "low low low new new slow",
+        "wider wide widest ow ow ow",
+    ])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    mdf, merges = C.bpe_train(docs, n_merges=6)
+    ref_merges, ref_seqs, vocab = _ref_bpe([t for _, t in rows], 6)
+    assert merges == ref_merges
+    assert [tuple(r) for r in mdf.collect()] == ref_merges
+    # encode agrees with the reference segmentation symbol counts
+    enc = {r.doc_id: r for r in C.bpe_encode(docs, merges).collect()}
+    for did, t in rows:
+        words = [w for w in t.split() if w]
+        assert enc[did].n_tokens == len(words)
+        assert enc[did].n_symbols == sum(len(ref_seqs[w]) for w in words)
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    # 'aaaa' -> two (a,a) merges; 'aaa' -> one merge + lone 'a'
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaa")], "doc_id long, text string")
+    _, merges = C.bpe_train(docs, n_merges=1)
+    # vocab = {aaaa: 2, aaa: 1}; adjacent (a,a) pairs: 'aaaa' has 3,
+    # 'aaa' has 2 -> weighted count 2*3 + 1*2 = 8
+    assert merges == [(1, "a", "a", "aa", 8)]
+    ref_merges, ref_seqs, _ = _ref_bpe(["aaaa aaaa aaa"], 1)
+    assert merges == ref_merges
+    enc = {r.doc_id: r for r in C.bpe_encode(docs, merges).collect()}
+    # aaaa -> [aa, aa] (2), aaa -> [aa, a] (2): 2 + 2 + 2 = 6 symbols
+    assert enc[0].n_symbols == 6 and enc[0].n_tokens == 3
+
+
+def test_bpe_train_early_stop(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab cd ef")], "doc_id long, text string")
+    mdf, merges = C.bpe_train(docs, n_merges=5)
+    # every pair occurs once -> best count < 2 -> no merges at all
+    assert merges == [] and mdf.count() == 0
+    enc = C.bpe_encode(docs, merges).collect()[0]
+    assert enc.n_tokens == 3 and enc.n_symbols == 6

@@ -1152,3 +1152,201 @@ SELECT b.{id_col},
 FROM b JOIN m USING (w1, w2) JOIN pr USING (w1) CROSS JOIN vv
 GROUP BY 1
 """
+
+
+def _bpe_wrap_exprs(word: str) -> tuple[str, str]:
+    """Wrapped-symbol representation '<c1><c2>...' of a word, Spark and
+    DuckDB dialects. Each symbol carries its own '<'/'>' delimiters so
+    a merge is a plain left-to-right non-overlapping REPLACE of
+    '<a><b>' with '<ab>' — REPLACE semantics are identical in both
+    engines AND identical to the greedy left-to-right merge fold of
+    reference BPE ('aaaa' with pair (a,a) -> two merges, 'aaa' -> one).
+    Precondition: text must not contain '<' or '>' (tokenizer training
+    runs on pre-normalized text; the fixture alphabet is [a-z0-9 ])."""
+    s = (f"ARRAY_JOIN(TRANSFORM(SEQUENCE(1, LENGTH({word})), "
+         f"i -> CONCAT('<', SUBSTR({word}, i, 1), '>')), '')")
+    d = (f"array_to_string(list_transform(range(1, length({word}) + 1), "
+         f"i -> concat('<', {word}[i], '>')), '')")
+    return s, d
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    `n_merges` byte-pair merges from the corpus. Returns (merges_df,
+    merges_list): one row per round — (round, left, right, merged,
+    pair_count) — and the same as a Python list for bpe_encode.
+
+    The classic trainer shape: the corpus compresses to a WORD-
+    FREQUENCY table first (one uniform corpus groupBy — the only
+    corpus-sized operation), and every merge round then runs on the
+    vocabulary, not the corpus: adjacent-pair counts weighted by word
+    frequency (map-side partial agg over vocab rows), a deterministic
+    argmax (max count, ties broken lexicographically on the pair), and
+    a REPLACE of the winning pair in the vocabulary strings. The
+    per-round argmax is ONE 2-string scalar collect — the irreducible
+    sequential dependency of BPE; everything else stays distributed.
+    At 10^12 docs the vocab is ~10^7-10^8 rows, so rounds are cheap;
+    the merged-vocab lineage grows one projection per round
+    (localCheckpoint every ~32 rounds for long trainings).
+
+    Deterministic: pure function of (corpus, n_merges). Stops early if
+    no pair occurs twice. Exact oracle: the DuckDB replay unrolls the
+    same rounds as a CTE chain (bpe_train_oracle_sql).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    s_toks = T.tokens_expr(text_col)[0]
+    wrap_s, _ = _bpe_wrap_exprs("__w")
+    vocab = (
+        docs.selectExpr(f"EXPLODE({s_toks}) AS __w")
+        .where("LENGTH(__w) > 0")
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__wc"))
+        .selectExpr(f"{wrap_s} AS __seq", "__wc")
+    )
+    merges = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            vocab.selectExpr(
+                "__wc",
+                "SPLIT(SUBSTR(__seq, 2, LENGTH(__seq) - 2), '><') AS __ss",
+            )
+            .where("SIZE(__ss) > 1")
+            .selectExpr(
+                "__wc",
+                "EXPLODE(TRANSFORM(SEQUENCE(1, SIZE(__ss) - 1), "
+                "i -> STRUCT(ELEMENT_AT(__ss, i) AS a, "
+                "ELEMENT_AT(__ss, i + 1) AS b))) AS __p",
+            )
+            .groupBy("__p").agg(F.sum("__wc").alias("__c"))
+        )
+        top = pairs.orderBy(F.desc("__c"), F.asc("__p.a"), F.asc("__p.b")) \
+            .limit(1).collect()
+        if not top or top[0]["__c"] < 2:
+            break
+        a, b, c = top[0]["__p"]["a"], top[0]["__p"]["b"], int(top[0]["__c"])
+        merges.append((r, a, b, a + b, c))
+        pat, rep = f"<{a}><{b}>", f"<{a}{b}>"
+        vocab = vocab.selectExpr(
+            f"REPLACE(__seq, '{pat}', '{rep}') AS __seq", "__wc")
+    spark = docs.sparkSession
+    mdf = spark.createDataFrame(
+        merges or [],
+        "round BIGINT, left STRING, right STRING, merged STRING, "
+        "pair_count BIGINT")
+    return mdf, merges
+
+
+def bpe_train_oracle_sql(
+    n_merges: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Unrolled DuckDB replay: w0 = word-frequency vocab in the wrapped
+    representation; per round r, p{r} = weighted pair counts, m{r} =
+    deterministic argmax, w{r} = vocab with the winning pair REPLACEd
+    (scalar subqueries into m{r}). Merge semantics match the operator
+    exactly because both engines run the same wrapped-symbol REPLACE."""
+    d_toks = T.tokens_expr(text_col)[1]
+    _, wrap_d = _bpe_wrap_exprs("w")
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT {wrap_d} AS seq, cnt FROM (
+    SELECT w, COUNT(*) AS cnt FROM
+      (SELECT unnest({d_toks}) AS w FROM {table})
+    WHERE length(w) > 0 GROUP BY w))"""
+    ]
+    sel = []
+    for r in range(1, n_merges + 1):
+        prev = f"w{r-1}"
+        ctes.append(f"""s{r} AS MATERIALIZED (
+  SELECT cnt, string_split(substr(seq, 2, length(seq) - 2), '><') AS ss
+  FROM {prev} WHERE length(seq) > length(replace(seq, '><', '')) ),
+p{r} AS MATERIALIZED (
+  SELECT u.a AS a, u.b AS b, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(ss)),
+      i -> struct_pack(a := ss[i], b := ss[i + 1]))) AS u
+    FROM s{r}) GROUP BY 1, 2),
+m{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+w{r} AS MATERIALIZED (
+  SELECT replace(seq, '<' || (SELECT a FROM m{r}) || '><' ||
+                      (SELECT b FROM m{r}) || '>',
+                 '<' || (SELECT a FROM m{r}) ||
+                        (SELECT b FROM m{r}) || '>') AS seq, cnt
+  FROM {prev})""")
+        sel.append(
+            f"SELECT {r} AS round, a AS \"left\", b AS \"right\", "
+            f"a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM m{r}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(sel)
+            + "\nORDER BY round")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus: per document, the
+    whitespace-token count and the BPE symbol count after running the
+    merge chain in learned order. Merges ride into the expression as
+    LITERALS (they are the broadcast-side of tokenization), so the
+    whole encode is one codegen projection — zero shuffle, linear
+    corpus scan; exactly how a production encoder ships its merge
+    table to executors.
+
+    Output: (id_col, n_tokens, n_symbols) — integers, exact oracle.
+    """
+    s_toks = T.tokens_expr(text_col)[0]
+    wrap_s, _ = _bpe_wrap_exprs("__w")
+    seq = wrap_s
+    for _, a, b, _m, _c in merges:
+        seq = f"REPLACE({seq}, '<{a}><{b}>', '<{a}{b}>')"
+    # symbols in a wrapped string = occurrences of '><' + 1 (non-empty)
+    n_sym = (f"CASE WHEN LENGTH(__w) = 0 THEN 0 ELSE "
+             f"CAST((LENGTH({seq}) - LENGTH(REPLACE({seq}, '><', ''))) "
+             f"/ 2 AS BIGINT) + 1 END")
+    return (
+        docs.selectExpr(id_col, f"{s_toks} AS __ts")
+        .selectExpr(
+            id_col,
+            "CAST(SIZE(FILTER(__ts, t -> LENGTH(t) > 0)) AS BIGINT) "
+            "AS n_tokens",
+            f"CAST(AGGREGATE(__ts, 0L, (acc, __w) -> acc + {n_sym}) "
+            f"AS BIGINT) AS n_symbols",
+        )
+    )
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Replays encode with merges re-derived by the training CTE chain
+    (scalar subqueries m1..mR), so operator and oracle provably apply
+    the same merge table."""
+    d_toks = T.tokens_expr(text_col)[1]
+    _, wrap_d = _bpe_wrap_exprs("w")
+    seq = wrap_d
+    for r in range(1, n_merges + 1):
+        seq = (f"replace({seq}, '<' || (SELECT a FROM m{r}) || '><' || "
+               f"(SELECT b FROM m{r}) || '>', "
+               f"'<' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || '>')")
+    n_sym = (f"CASE WHEN length(w) = 0 THEN 0 ELSE "
+             f"CAST((length({seq}) - length(replace({seq}, '><', ''))) "
+             f"/ 2 AS BIGINT) + 1 END")
+    train_ctes = bpe_train_oracle_sql(n_merges, table, text_col)
+    cte_block = train_ctes[len("WITH "):train_ctes.index("\nSELECT 1 AS round")]
+    return f"""WITH {cte_block},
+tok AS (SELECT {id_col}, unnest({d_toks}) AS w FROM {table})
+SELECT {id_col},
+       CAST(COUNT(*) FILTER (WHERE length(w) > 0) AS BIGINT) AS n_tokens,
+       CAST(SUM({n_sym}) AS BIGINT) AS n_symbols
+FROM tok GROUP BY 1"""
