@@ -1207,6 +1207,12 @@ def bpe_train(
         .where("LENGTH(__w) > 0")
         .groupBy("__w").agg(F.count(F.lit(1)).alias("__wc"))
         .selectExpr(f"{wrap_s} AS __seq", "__wc")
+        # pin the vocab: without this every round's argmax re-runs the
+        # corpus scan + groupBy (round r costs r extra corpus passes);
+        # with it the corpus is read ONCE and all rounds run on the
+        # materialized vocab (localCheckpoint, not session cache — same
+        # convention as dedup.py's signature frames)
+        .localCheckpoint()
     )
     merges = []
     for r in range(1, n_merges + 1):
@@ -1233,6 +1239,10 @@ def bpe_train(
         pat, rep = f"<{a}><{b}>", f"<{a}{b}>"
         vocab = vocab.selectExpr(
             f"REPLACE(__seq, '{pat}', '{rep}') AS __seq", "__wc")
+        # real tokenizers run 10^4+ merges: re-pin every 32 rounds so
+        # the REPLACE lineage (and its per-round recompute) stays bounded
+        if r % 32 == 0:
+            vocab = vocab.localCheckpoint()
     spark = docs.sparkSession
     mdf = spark.createDataFrame(
         merges or [],
