@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     # filter (corpus-trained model, one skew-safe model join)
     "pack_sequences",
     "lm_score",
+    # round-5 thirteenth session: distributed BPE tokenizer training
+    # (vocab-resident merge rounds) and the zero-shuffle literal-merge
+    # encode
+    "bpe_merges",
+    "bpe_encode",
     # simhash_pairs (16-bit) is retired from the headline set: its 65,536
     # global buckets go quadratic at corpus scale; it survives in the
     # registry purely as a parity artifact. simhash64_pairs is the real op.
