@@ -13,6 +13,8 @@ whitebox_tools_spark/ for file:line cites into /root/reference).
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3964,6 +3966,20 @@ def _q_pq_codes(spark, sf):
     return S.pq_encode(emb, bc, 4)
 
 
+def _q_ann_ivfpq_exact(spark, sf):
+    """IVF-PQ exact twin: the SAME ann_topk_ivfpq code path at a
+    replay-sized config (16 centroids / probe 4, m=4 x 8 codes x 2
+    Lloyd rounds, shortlist 20, k 5) — the DuckDB oracle composes the
+    proven coarse + PQ trainer replays with an exact-order ADC fold,
+    so shortlist ranks, re-rank cosines, and ties are bit-identical.
+    Together with pq_codes this fully gates the big rows-only
+    ann_ivfpq configuration's machinery."""
+    emb = _emb(spark, sf)
+    q = emb.where("vec_id % 10 = 0")
+    return S.ann_topk_ivfpq(q, emb, k=5, num_centroids=16, n_probe=4,
+                            m=4, n_codes=8, shortlist=20, pq_iters=2)
+
+
 def _q_ann_ivfpq(spark, sf):
     """IVF-PQ ANN (rows-only + recall/layout pytest gates): inverted
     lists carry 16 one-byte PQ codes instead of 512 B float vectors
@@ -4209,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivfpq_exact": _q_ann_ivfpq_exact,
         "pq_codes": _q_pq_codes,
         "ann_ivfpq": _q_ann_ivfpq,
         "media_features": _q_media_features,
@@ -11654,6 +11671,64 @@ def _r5c_oracles() -> dict[str, str]:
         ", ".join(f"code_{s}" for s in range(M_PQ)) +
         " FROM code0" +
         "".join(f" JOIN code{s} USING (vec_id)" for s in range(1, M_PQ))
+    )
+
+    # ---- ann_ivfpq_exact: the full IVF-PQ search gated end to end on
+    # a replay-sized config (16 coarse centroids / n_probe 4, m=4
+    # subspaces x 8 codes x 2 Lloyd rounds — the same trainer configs
+    # the ann_ivf and pq_codes oracles already replay bit-exact),
+    # shortlist 20, k 5. Composes the two proven chains plus the ADC
+    # stage: approx = sum_s fold_j qn[s*16+j] * codebook_s[code_s][j]
+    # with the kernel's exact summation order (0-seeded left fold per
+    # subspace, subspaces accumulated ascending), so the shortlist
+    # ranks, the exact fold-cosine re-rank, and every tie-break are
+    # bit-identical. Gates the ann_topk_ivfpq code path the big
+    # rows-only query (m=16) runs.
+    coarse_core = ivf_parts[:-6]  # through c5 + tasg; drop ann_ivf tail
+    pq_renamed = [re.sub(r"\bsmp\b", "psmp", part) for part in pq_parts[2:]]
+    off_terms = []
+    for s in range(M_PQ):
+        off = s * DSUB
+        off_terms.append(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {DSUB + 1}), "
+            f"j -> q.nv[j + {off}] * b{s}.cv[j])), (x, y) -> x + y)")
+    approx = off_terms[0]
+    for t in off_terms[1:]:
+        approx = f"({approx}) + ({t})"
+    twin_parts = coarse_core + pq_renamed + [
+        "xqasg AS (SELECT vec_id AS query_id, c FROM (SELECT n.vec_id, "
+        f"c.c, ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY ({da}) "
+        "DESC, c.c) AS rk FROM nall n, c5 c WHERE n.vec_id % 10 = 0) "
+        "WHERE rk <= 4)",
+        "xcand AS (SELECT query_id, target_id FROM xqasg JOIN tasg "
+        "USING (c) WHERE query_id <> target_id)",
+        "xcodes AS MATERIALIZED (SELECT vec_id AS target_id, "
+        + ", ".join(f"code_{s}" for s in range(M_PQ)) + " FROM code0"
+        + "".join(f" JOIN code{s} USING (vec_id)" for s in range(1, M_PQ))
+        + ")",
+        "xadc AS MATERIALIZED (SELECT c.query_id, c.target_id, "
+        f"{approx} AS approx FROM xcand c "
+        "JOIN (SELECT vec_id AS query_id, nv FROM nall) q USING (query_id) "
+        "JOIN xcodes t USING (target_id) "
+        + " ".join(f"JOIN pc{s}_{IT_PQ} b{s} ON b{s}.c = t.code_{s}"
+                   for s in range(M_PQ)) + ")",
+        "xshort AS (SELECT query_id, target_id FROM (SELECT query_id, "
+        "target_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY "
+        "approx DESC, target_id) AS rk FROM xadc) WHERE rk <= 20)",
+        "xqv AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings)",
+        "xtv AS (SELECT vec_id AS target_id, embedding AS tv FROM embeddings)",
+        f"xc AS (SELECT query_id, target_id, ({dot_l}) / "
+        f"(({nq_l}) * ({nt_l})) AS cosine FROM xshort "
+        "JOIN xqv USING (query_id) JOIN xtv USING (target_id))",
+        "xr AS (SELECT query_id, target_id, cosine, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, target_id) "
+        "AS sim_rank FROM xc)",
+    ]
+    ret["ann_ivfpq_exact"] = (
+        "WITH " + ", ".join(twin_parts) +
+        " SELECT query_id, target_id, cosine, "
+        "CAST(sim_rank AS BIGINT) AS sim_rank FROM xr WHERE sim_rank <= 5"
     )
 
     # ---- contours (chained): structural replay. Chains == connected

@@ -595,6 +595,7 @@ def ann_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    pq_iters: int = 3,
 ) -> DataFrame:
     """IVF-PQ ANN: coarse inverted lists (the ann_topk_ivf quantizer)
     whose entries are m-byte PQ codes instead of float vectors; probed
@@ -627,7 +628,7 @@ def ann_topk_ivfpq(
     cent_bc = spark.sparkContext.broadcast(cent)
     books = pq_codebooks(targets, m=m, n_codes=n_codes, dim=dim,
                          id_col=id_col, vec_col=vec_col, seed=seed,
-                         corpus_n=n_corpus)
+                         iters=pq_iters, corpus_n=n_corpus)
     books_bc = spark.sparkContext.broadcast(books)
 
     t_assign = _assign_centroids(targets, cent_bc, 1, id_col, vec_col,
