@@ -108,3 +108,87 @@ def test_corpus_shard_total_and_dense(spark, n, shards, seed):
         by_shard.setdefault(r.shard_id, []).append(r.position)
     for ps in by_shard.values():  # dense rank 0..len-1 per shard
         assert sorted(ps) == list(range(len(ps)))
+
+
+_corpus = st.lists(
+    st.lists(st.sampled_from("ab cd ee fg hi jk".split()),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=10)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus, st.integers(min_value=1, max_value=7))
+def test_pack_sequences_tiles_any_corpus(spark, texts, seq_len):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.pack_sequences(docs, seq_len=seq_len, n_shards=3,
+                           seed=1).collect()
+    # replicate SPLIT(TRIM(x), '\s+') exactly — empty string -> ['']
+    import re as _re
+
+    def spark_tokens(t):
+        return _re.split(r"\s+", t.strip())
+
+    total = sum(len(spark_tokens(t)) for t in texts)
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert sum(r.n_in_seq for rs in per_doc.values() for r in rs) == total
+    per_seq = {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_in_seq
+    if per_seq:
+        n_seq = max(per_seq) + 1
+        assert set(per_seq) == set(range(n_seq))
+        for sid, tot in per_seq.items():
+            assert tot == seq_len or (sid == n_seq - 1 and 0 < tot <= seq_len)
+    # pieces tile each doc contiguously
+    for did, rs in per_doc.items():
+        rs.sort(key=lambda r: r.doc_off)
+        off = 0
+        for r in rs:
+            assert r.doc_off == off
+            off += r.n_in_seq
+        assert off == len(spark_tokens(texts[did]))
+
+
+def _ref_bpe_merges(texts, n_merges):
+    from collections import Counter
+    vocab = Counter(w for t in texts for w in t.split() if w)
+    seqs = {w: tuple(w) for w in vocab}
+    merges = []
+    for r in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += vocab[w]
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((r, a, b, a + b, c))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(st.sampled_from(["aba", "bab", "aa", "abab", "bb", "a"]),
+             min_size=1, max_size=8).map(" ".join),
+    min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=4))
+def test_bpe_train_matches_reference_on_random_corpora(spark, texts, R):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    _, merges = C.bpe_train(docs, n_merges=R)
+    assert merges == _ref_bpe_merges(texts, R)
