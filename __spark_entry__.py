@@ -282,6 +282,17 @@ def _q_hex_bin(spark, sf):
     return out
 
 
+def _q_hex_pyramid(spark, sf):
+    """H3-style hierarchical hex index: aperture-4 pyramid (widths 80/
+    160/320 over the shared extent), parent by the h3ToParent
+    convention (coarser hex containing the cell center). One codegen
+    projection assigns all levels, one uniform groupBy rolls up,
+    parents are closed-form per distinct cell — no joins anywhere."""
+    out, _g = TL.hex_pyramid(_points(spark, sf), 80.0, levels=3,
+                             extent=_EXTENT)
+    return out
+
+
 def _q_frs_cells(spark, sf):
     cx = frs_cell_expr("x", 50.0)
     cy = frs_cell_expr("y", 50.0)
@@ -4350,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_elev_range": _q_percent_elev_range,
         "tile_counts": _q_tile_counts,
         "hex_bin": _q_hex_bin,
+        "hex_pyramid": _q_hex_pyramid,
         "pip_tag_cellcover": _q_pip_tag_cellcover,
         "pip_clip": _q_pip_clip,
         "pip_erase": _q_pip_erase,
@@ -13012,6 +13024,20 @@ def oracle_sql() -> dict[str, str]:
 
     hx = _hex_duck_expr(_HEXG)
 
+    # hex_pyramid: aperture-4 pyramid replay — per-level assignment
+    # structs and the center-based parent lookup, same closed forms as
+    # the operator (tiling.hex_pyramid)
+    pyr_grids = TL.hex_pyramid_grids(80.0, 3, _EXTENT)
+    pyr_levels = ", ".join(
+        f"{{'level': CAST({lv} AS BIGINT), 'h': {_hex_duck_expr(g)}}}"
+        for lv, g in enumerate(pyr_grids))
+    pyr_branches = []
+    for lv in range(2):
+        pcx, pcy = pyr_grids[lv].center_exprs("hex_row", "hex_col")
+        pyr_branches.append(
+            f"WHEN level = {lv} THEN {_hex_duck_expr(pyr_grids[lv + 1], pcx, pcy)}")
+    pyr_parent = "CASE " + " ".join(pyr_branches) + " ELSE NULL END"
+
     cx50 = frs_cell_expr("x", 50.0)
     cy50 = frs_cell_expr("y", 50.0)
 
@@ -13028,6 +13054,15 @@ def oracle_sql() -> dict[str, str]:
             f"{pts}, h AS (SELECT {hx} AS hx FROM pts) "
             f"SELECT hx.hex_row AS hex_row, hx.hex_col AS hex_col, COUNT(*) AS hex_count "
             f"FROM h GROUP BY 1, 2"
+        ),
+        "hex_pyramid": (
+            f"{pts}, e AS (SELECT unnest([{pyr_levels}]) AS u FROM pts), "
+            "g AS (SELECT u.level AS level, u.h.hex_row AS hex_row, "
+            "u.h.hex_col AS hex_col, COUNT(*) AS n_points FROM e "
+            "GROUP BY 1, 2, 3) "
+            f"SELECT level, hex_row, hex_col, "
+            f"({pyr_parent}).hex_row AS parent_row, "
+            f"({pyr_parent}).hex_col AS parent_col, n_points FROM g"
         ),
         "frs_cells": (
             f"{pts} SELECT record_num, {cx50} AS cx, {cy50} AS cy, "

@@ -116,3 +116,70 @@ def test_hex_bin_counts(spark):
     rows = out.collect()
     assert sum(r["hex_count"] for r in rows) == 9  # every point assigned exactly once
     assert grid.rows >= 2
+
+
+def test_hex_pyramid_levels_and_parents(spark):
+    from whitebox_tools_spark.operators import tiling as TL
+    import math
+    pts = spark.range(400).selectExpr(
+        "CAST(PMOD(XXHASH64(id, 1), 100000) AS DOUBLE) / 100.0 AS x",
+        "CAST(PMOD(XXHASH64(id, 2), 100000) AS DOUBLE) / 100.0 AS y",
+    )
+    ext = (0.0, 1000.01, 0.0, 1000.01)
+    out, grids = TL.hex_pyramid(pts, 80.0, levels=3, extent=ext)
+    rows = out.collect()
+    # every point lands in exactly one cell per level
+    per_level = {}
+    for r in rows:
+        per_level[r.level] = per_level.get(r.level, 0) + r.n_points
+    assert per_level == {0: 400, 1: 400, 2: 400}
+    # top level has NULL parents, others never
+    for r in rows:
+        if r.level == 2:
+            assert r.parent_row is None and r.parent_col is None
+        else:
+            assert r.parent_row is not None and r.parent_col is not None
+
+    def center(g, row, col):
+        cx = (g.center_x0 - g.half_width * float(row % 2)) + float(col) * g.width
+        cy = g.center_y0 - float(row) * g.three_quarter_height
+        return cx, cy
+
+    def nearest(g, px, py):
+        best = None
+        base_row = math.floor((g.center_y0 - py) / g.three_quarter_height)
+        for dr in (-1, 0, 1):
+            row = base_row + dr
+            for dc in (0, 1):
+                col = math.floor(
+                    (px - (g.center_x0 - g.half_width * float(row % 2)))
+                    / g.width) + dc
+                cx, cy = center(g, row, col)
+                d2 = (px - cx) ** 2 + (py - cy) ** 2
+                k = (d2, row, col)
+                if best is None or k < best:
+                    best = k
+        return best
+
+    # parent == h3ToParent convention: bin the CHILD CENTER at level+1;
+    # and the jitter keeps the argmin gap macroscopic (no ulp coin-flips)
+    for r in rows:
+        if r.level == 2:
+            continue
+        g, gp = grids[r.level], grids[r.level + 1]
+        px, py = center(g, r.hex_row, r.hex_col)
+        d2, prow, pcol = nearest(gp, px, py)
+        assert (prow, pcol) == (r.parent_row, r.parent_col)
+        # second-best strictly worse by a non-ulp margin
+        cands = []
+        base_row = math.floor((gp.center_y0 - py) / gp.three_quarter_height)
+        for dr in (-1, 0, 1):
+            row = base_row + dr
+            for dc in (0, 1):
+                col = math.floor(
+                    (px - (gp.center_x0 - gp.half_width * float(row % 2)))
+                    / gp.width) + dc
+                cx, cy = center(gp, row, col)
+                cands.append((px - cx) ** 2 + (py - cy) ** 2)
+        cands.sort()
+        assert cands[1] - cands[0] > 1e-6 * gp.width ** 2

@@ -281,3 +281,94 @@ def hex_bin(
         .agg(F.count(F.lit(1)).alias("hex_count"))
     )
     return out, grid
+
+
+# Coarser pyramid levels are anchored with this incommensurate offset
+# (x w_level). With aligned anchors and width doubling, every odd-row
+# child center sits EXACTLY equidistant between two parent centers —
+# the argmin then hangs on 1-ulp float noise (and measurably diverges
+# between engines). The jitter makes the minimum parent-distance gap
+# macroscopic, so the closed-form argmin is float-robust.
+_PYRAMID_JITTER = (0.2137236534, 0.1467115361)
+
+
+def hex_pyramid_grids(
+    base_width: float,
+    levels: int,
+    extent: tuple[float, float, float, float],
+) -> list[HexGrid]:
+    """The pyramid's per-level grids: width doubles each level; levels
+    >= 1 anchor at extent shifted by the incommensurate jitter."""
+    grids = []
+    for lv in range(levels):
+        w = base_width * (2 ** lv)
+        ox = 0.0 if lv == 0 else w * _PYRAMID_JITTER[0]
+        oy = 0.0 if lv == 0 else w * _PYRAMID_JITTER[1]
+        # center_x0 anchors at min_x, center_y0 at max_y — jitter the
+        # anchoring edges
+        grids.append(HexGrid(w, extent[0] - ox, extent[1],
+                             extent[2], extent[3] + oy))
+    return grids
+
+
+def hex_pyramid(
+    df: DataFrame,
+    base_width: float,
+    levels: int = 3,
+    x: str = "x",
+    y: str = "y",
+    extent: tuple[float, float, float, float] | None = None,
+) -> tuple[DataFrame, list[HexGrid]]:
+    """H3-style hierarchical hex index: an aperture-4 pyramid of the
+    staggered hex lattice (hex width doubles per level, shared extent),
+    with parent lookup by the h3ToParent convention — a cell's parent
+    is the level+1 hex containing the CELL CENTER (points near hex
+    edges may individually bin to a neighbouring parent, exactly as in
+    H3; the pyramid is an index, not a partition refinement proof).
+
+    Output: one row per occupied (level, hex_row, hex_col) with
+    n_points and (parent_row, parent_col) — NULL at the top level.
+
+    Scale shape: all per-point level assignments are ONE codegen
+    projection (the same closed-form 6-candidate argmin as hex_bin, no
+    shuffle), the rollup is ONE uniform groupBy on (level, row, col),
+    and parents are computed per DISTINCT CELL after aggregation —
+    closed form again, never a join. At 10^12 points this is a single
+    scan + a single cells-sized shuffle for the whole pyramid.
+    """
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    if extent is None:
+        r = df.agg(F.min(x).alias("a"), F.max(x).alias("b"),
+                   F.min(y).alias("c"), F.max(y).alias("d")).collect()[0]
+        extent = (r["a"], r["b"], r["c"], r["d"])
+    grids = hex_pyramid_grids(base_width, levels, extent)
+    per_level = ", ".join(
+        f"STRUCT(CAST({lv} AS BIGINT) AS level, "
+        f"{hex_assign_exprs(g, x, y)} AS h)"
+        for lv, g in enumerate(grids)
+    )
+    assigned = df.selectExpr(f"EXPLODE(ARRAY({per_level})) AS __e")
+    counts = (
+        assigned.selectExpr("__e.level AS level",
+                            "__e.h.hex_row AS hex_row",
+                            "__e.h.hex_col AS hex_col")
+        .groupBy("level", "hex_row", "hex_col")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    branches = []
+    for lv in range(levels - 1):
+        pcx, pcy = grids[lv].center_exprs("hex_row", "hex_col")
+        pas = hex_assign_exprs(grids[lv + 1], pcx, pcy)
+        branches.append(f"WHEN level = {lv} THEN {pas}")
+    parent = ("CASE " + " ".join(branches) + " ELSE NULL END") if branches \
+        else "NULL"
+    return (
+        counts.selectExpr(
+            "level", "hex_row", "hex_col",
+            f"({parent}).hex_row AS parent_row",
+            f"({parent}).hex_col AS parent_col",
+            "n_points",
+        ),
+        grids,
+    )
