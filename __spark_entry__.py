@@ -293,6 +293,14 @@ def _q_hex_pyramid(spark, sf):
     return out
 
 
+def _q_hex_polyfill(spark, sf):
+    """H3-polyfill equivalent: hex cells (width 80) whose CENTER lies
+    in each fixture polygon — lattice enumerated from a range (no input
+    scan), per-polygon winding predicates compiled into the projection
+    (pip_join codegen pattern): zero shuffle, zero joins."""
+    return TL.hex_polyfill(spark, _polygons_df(spark), 80.0, _EXTENT)
+
+
 def _q_frs_cells(spark, sf):
     cx = frs_cell_expr("x", 50.0)
     cy = frs_cell_expr("y", 50.0)
@@ -4362,6 +4370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts": _q_tile_counts,
         "hex_bin": _q_hex_bin,
         "hex_pyramid": _q_hex_pyramid,
+        "hex_polyfill": _q_hex_polyfill,
         "pip_tag_cellcover": _q_pip_tag_cellcover,
         "pip_clip": _q_pip_clip,
         "pip_erase": _q_pip_erase,
@@ -13038,6 +13047,20 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN level = {lv} THEN {_hex_duck_expr(pyr_grids[lv + 1], pcx, pcy)}")
     pyr_parent = "CASE " + " ".join(pyr_branches) + " ELSE NULL END"
 
+    # hex_polyfill: same lattice enumeration + the pip winding text
+    pfg = TL.HexGrid(80.0, _EXTENT[0], _EXTENT[1], _EXTENT[2], _EXTENT[3])
+    pf_nrows = pfg.rows + 2
+    pf_ncols = max(pfg.cols_in_row(0), pfg.cols_in_row(1)) + 2
+    pf_cx, pf_cy = pfg.center_exprs("hex_row", "hex_col")
+    pf_cells = (
+        f"SELECT CAST(range // {pf_ncols} AS BIGINT) - 1 AS hex_row, "
+        f"CAST(range % {pf_ncols} AS BIGINT) - 1 AS hex_col "
+        f"FROM range(0, {pf_nrows * pf_ncols})")
+    pf_selects = " UNION ALL ".join(
+        f"SELECT CAST({pid} AS BIGINT) AS polygon_id, hex_row, hex_col "
+        f"FROM cells WHERE {GS.inside_feature_sql(sh, ho, xs=pf_cx, ys=pf_cy)}"
+        for pid, sh, ho in _POLYS)
+
     cx50 = frs_cell_expr("x", 50.0)
     cy50 = frs_cell_expr("y", 50.0)
 
@@ -13054,6 +13077,9 @@ def oracle_sql() -> dict[str, str]:
             f"{pts}, h AS (SELECT {hx} AS hx FROM pts) "
             f"SELECT hx.hex_row AS hex_row, hx.hex_col AS hex_col, COUNT(*) AS hex_count "
             f"FROM h GROUP BY 1, 2"
+        ),
+        "hex_polyfill": (
+            f"WITH cells AS ({pf_cells}) {pf_selects}"
         ),
         "hex_pyramid": (
             f"{pts}, e AS (SELECT unnest([{pyr_levels}]) AS u FROM pts), "

@@ -183,3 +183,41 @@ def test_hex_pyramid_levels_and_parents(spark):
                 cands.append((px - cx) ** 2 + (py - cy) ** 2)
         cands.sort()
         assert cands[1] - cands[0] > 1e-6 * gp.width ** 2
+
+
+def test_hex_polyfill_matches_numpy_centers(spark):
+    import numpy as np
+    from whitebox_tools_spark.operators import tiling as TL
+    from whitebox_tools_spark.operators.pip_join import collect_polygons
+    from whitebox_tools_spark.functions import geometry as G
+    from whitebox_tools_spark.sources.fixtures import polygons_df
+
+    ext = (0.0, 1000.01, 0.0, 1000.01)
+    out = TL.hex_polyfill(spark, polygons_df(spark), 80.0, ext).collect()
+    got = {(r.polygon_id, r.hex_row, r.hex_col) for r in out}
+    assert len(got) == len(out)  # no duplicate cells per polygon
+
+    # independent reference: enumerate the same lattice window, test
+    # every center with the numpy winding kernel
+    grid = TL.HexGrid(80.0, *ext)
+    nrows, ncols = grid.rows + 2, max(grid.cols_in_row(0),
+                                      grid.cols_in_row(1)) + 2
+    rows, cols, cxs, cys = [], [], [], []
+    for rr in range(-1, nrows - 1):
+        for cc in range(-1, ncols - 1):
+            rows.append(rr)
+            cols.append(cc)
+            # SQL % is sign-of-dividend; python % is positive — align
+            m = rr % 2 if rr >= 0 else -((-rr) % 2)
+            cxs.append((grid.center_x0 - grid.half_width * float(m))
+                       + cc * grid.width)
+            cys.append(grid.center_y0 - rr * grid.three_quarter_height)
+    px, py = np.array(cxs), np.array(cys)
+    want = set()
+    for rec in collect_polygons(polygons_df(spark)):
+        inside = G.points_in_feature(px, py, rec.shells, rec.holes,
+                                     bbox=rec.bbox)
+        for i in np.nonzero(inside)[0]:
+            want.add((rec.polygon_id, rows[i], cols[i]))
+    assert got == want
+    assert len(want) > 20  # the fixture actually covers cells

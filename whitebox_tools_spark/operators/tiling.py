@@ -372,3 +372,50 @@ def hex_pyramid(
         ),
         grids,
     )
+
+
+def hex_polyfill(
+    spark,
+    polygons: DataFrame,
+    width: float,
+    extent: tuple[float, float, float, float],
+) -> DataFrame:
+    """H3-polyfill equivalent: the hex cells of the staggered lattice
+    covering each polygon, by H3's center-in-polygon convention (a cell
+    belongs to the polygon iff its CENTER is inside — even-odd, holes
+    subtracted, boundary outside, matching the engine's PIP rule).
+
+    Plan: the lattice is ENUMERATED from a range (no input scan at
+    all), centers come from the closed-form lattice exprs, and the
+    per-polygon winding predicates compile INTO the projection exactly
+    like the broadcast pip_join codegen plan — zero shuffle, zero
+    joins; output is bounded by the covered cells. For beyond-broadcast
+    polygon layers use points_in_polygons_cellcover over the
+    materialized centers instead (same dispatch rule as pip_join).
+
+    Output: (polygon_id, hex_row, hex_col), one row per covered cell.
+    """
+    from .pip_join import _rings, collect_polygons
+    from ..functions import geometry_sql as GS
+
+    grid = HexGrid(width, extent[0], extent[1], extent[2], extent[3])
+    nrows = grid.rows + 2
+    ncols = max(grid.cols_in_row(0), grid.cols_in_row(1)) + 2
+    base = spark.range(nrows * ncols).selectExpr(
+        f"CAST(id DIV {ncols} AS BIGINT) - 1 AS hex_row",
+        f"CAST(id % {ncols} AS BIGINT) - 1 AS hex_col",
+    )
+    cx, cy = grid.center_exprs("hex_row", "hex_col")
+    recs = collect_polygons(polygons)
+    arms = ", ".join(
+        f"IF({GS.inside_feature_sql(*_rings(r), xs=cx, ys=cy, bbox=r.bbox)}, "
+        f"CAST({r.polygon_id} AS BIGINT), NULL)"
+        for r in recs
+    )
+    return (
+        base.withColumn(
+            "polygon_id",
+            F.explode(F.expr(f"FILTER(ARRAY({arms}), v -> v IS NOT NULL)")),
+        )
+        .select("polygon_id", "hex_row", "hex_col")
+    )
