@@ -301,6 +301,15 @@ def _q_hex_polyfill(spark, sf):
     return TL.hex_polyfill(spark, _polygons_df(spark), 80.0, _EXTENT)
 
 
+def _q_hex_kring(spark, sf):
+    """H3 kRing / grid-disk (k=2) over the occupied hex cells of the
+    point fixture: offset -> axial integer conversion, cube-distance
+    disk, convert back — one codegen explode, zero shuffle, exact
+    integer oracle."""
+    out, _g = TL.hex_bin(_points(spark, sf), 80.0, extent=_EXTENT)
+    return TL.hex_kring(out.select("hex_row", "hex_col"), k=2)
+
+
 def _q_frs_cells(spark, sf):
     cx = frs_cell_expr("x", 50.0)
     cy = frs_cell_expr("y", 50.0)
@@ -4371,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_bin": _q_hex_bin,
         "hex_pyramid": _q_hex_pyramid,
         "hex_polyfill": _q_hex_polyfill,
+        "hex_kring": _q_hex_kring,
         "pip_tag_cellcover": _q_pip_tag_cellcover,
         "pip_clip": _q_pip_clip,
         "pip_erase": _q_pip_erase,
@@ -13077,6 +13087,23 @@ def oracle_sql() -> dict[str, str]:
             f"{pts}, h AS (SELECT {hx} AS hx FROM pts) "
             f"SELECT hx.hex_row AS hex_row, hx.hex_col AS hex_col, COUNT(*) AS hex_count "
             f"FROM h GROUP BY 1, 2"
+        ),
+        "hex_kring": (
+            f"{pts}, h AS (SELECT {hx} AS hx FROM pts), "
+            "cells AS (SELECT DISTINCT hx.hex_row AS hex_row, "
+            "hx.hex_col AS hex_col FROM h), "
+            "d AS (SELECT hex_row, hex_col, unnest(list_filter(flatten("
+            "list_transform(range(-2, 3), dq -> list_transform("
+            "range(-2, 3), dr -> struct_pack(dq := dq, dr := dr)))), "
+            "v -> (abs(v.dq) + abs(v.dr) + abs(v.dq + v.dr)) // 2 <= 2)) "
+            "AS u FROM cells) "
+            "SELECT hex_row, hex_col, "
+            "CAST(hex_row + u.dr AS BIGINT) AS nbr_row, "
+            "CAST((hex_col - (hex_row + ((hex_row % 2) + 2) % 2) // 2) "
+            "+ u.dq + ((hex_row + u.dr) + (((hex_row + u.dr) % 2) + 2) % 2) "
+            "// 2 AS BIGINT) AS nbr_col, "
+            "CAST((abs(u.dq) + abs(u.dr) + abs(u.dq + u.dr)) // 2 "
+            "AS BIGINT) AS hex_dist FROM d"
         ),
         "hex_polyfill": (
             f"WITH cells AS ({pf_cells}) {pf_selects}"

@@ -221,3 +221,41 @@ def test_hex_polyfill_matches_numpy_centers(spark):
             want.add((rec.polygon_id, rows[i], cols[i]))
     assert got == want
     assert len(want) > 20  # the fixture actually covers cells
+
+
+def test_hex_kring_matches_geometric_bfs(spark):
+    from whitebox_tools_spark.operators import tiling as TL
+
+    cells = spark.createDataFrame(
+        [(0, 0), (1, 3), (2, 5), (3, 2), (-2, -1)],
+        "hex_row long, hex_col long")
+    for k in (0, 1, 2):
+        out = TL.hex_kring(cells, k=k).collect()
+        got = {}
+        for r in out:
+            got.setdefault((r.hex_row, r.hex_col), {})[
+                (r.nbr_row, r.nbr_col)] = r.hex_dist
+
+        # geometric adjacency of the odd-left staggered lattice
+        # (python % is positive for the parity test — rows may be <0)
+        def nbrs(rc):
+            r, c = rc
+            if r % 2 == 0:
+                return [(r, c - 1), (r, c + 1), (r - 1, c), (r - 1, c + 1),
+                        (r + 1, c), (r + 1, c + 1)]
+            return [(r, c - 1), (r, c + 1), (r - 1, c - 1), (r - 1, c),
+                    (r + 1, c - 1), (r + 1, c)]
+
+        from collections import deque
+        for start in [(0, 0), (1, 3), (2, 5), (3, 2), (-2, -1)]:
+            dist = {start: 0}
+            dq = deque([start])
+            while dq:
+                cur = dq.popleft()
+                if dist[cur] == k:
+                    continue
+                for nb in nbrs(cur):
+                    if nb not in dist:
+                        dist[nb] = dist[cur] + 1
+                        dq.append(nb)
+            assert got[start] == dist

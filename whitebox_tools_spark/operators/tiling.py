@@ -419,3 +419,46 @@ def hex_polyfill(
         )
         .select("polygon_id", "hex_row", "hex_col")
     )
+
+
+def hex_kring(
+    cells: DataFrame,
+    k: int = 1,
+    row_col: str = "hex_row",
+    col_col: str = "hex_col",
+) -> DataFrame:
+    """H3 kRing / grid-disk equivalent: every cell within `k` hex steps
+    of each input cell, with its exact hex distance. Pure INTEGER math:
+    the staggered 'odd-rows-shifted-left' offset converts to axial
+    coordinates (q = col - (row + parity)/2 — parity via a pmod so
+    negative rows work; row + parity is always even, so the division is
+    exact), the disk enumerates |dq|,|dr| <= k filtered by cube
+    distance (|dq|+|dr|+|dq+dr|)/2 <= k, and neighbours convert back.
+    One codegen explode per input cell — zero shuffle, zero joins, and
+    an exact integer oracle.
+
+    Output: (row_col, col_col, nbr_row, nbr_col, hex_dist); the cell
+    itself appears with hex_dist 0.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    par = f"((({row_col}) % 2) + 2) % 2"
+    q = f"(({col_col}) - (({row_col}) + {par}) DIV 2)"
+    disk = (
+        f"FILTER(FLATTEN(TRANSFORM(SEQUENCE(-{k}, {k}), dq -> "
+        f"TRANSFORM(SEQUENCE(-{k}, {k}), dr -> STRUCT(dq AS dq, dr AS dr)))), "
+        f"v -> (ABS(v.dq) + ABS(v.dr) + ABS(v.dq + v.dr)) DIV 2 <= {k})"
+    )
+    nrow = f"(({row_col}) + __d.dr)"
+    npar = f"((({nrow}) % 2) + 2) % 2"
+    ncol = f"({q} + __d.dq + (({nrow}) + {npar}) DIV 2)"
+    return (
+        cells.select(row_col, col_col, F.explode(F.expr(disk)).alias("__d"))
+        .selectExpr(
+            row_col, col_col,
+            f"CAST({nrow} AS BIGINT) AS nbr_row",
+            f"CAST({ncol} AS BIGINT) AS nbr_col",
+            "CAST((ABS(__d.dq) + ABS(__d.dr) + ABS(__d.dq + __d.dr)) "
+            "DIV 2 AS BIGINT) AS hex_dist",
+        )
+    )
