@@ -3568,6 +3568,14 @@ def _q_bpe_encode(spark, sf):
     return CU.bpe_encode(docs, merges)
 
 
+def _q_domain_mix_temp(spark, sf):
+    """Temperature-based domain sampling (XLM-R / mT5, alpha=0.3):
+    q_s = p_s^a / sum p_t^a over per-source BPE token shares; one
+    corpus scan + domain-count windows, ROUND(4) per the
+    transcendental-float discipline."""
+    return CU.temperature_mix_weights(_docs(spark, sf), alpha=0.3)
+
+
 def _q_domain_mix(spark, sf):
     """Per-source domain-mixing weights toward a uniform token budget
     (static Pile/DoReMi stage), 3-epoch upsampling cap: one
@@ -4279,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "domain_mix": _q_domain_mix,
+        "domain_mix_temp": _q_domain_mix_temp,
         "corpus_shard": _q_corpus_shard,
         "lineage_resume": _q_lineage_resume,
         "cumulative_dist": _q_cumulative_dist,
@@ -13362,6 +13371,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": CU.bpe_train_oracle_sql(n_merges=8),
         "bpe_encode": CU.bpe_encode_oracle_sql(n_merges=8),
         "domain_mix": CU.domain_mix_oracle_sql(max_weight=3.0),
+        "domain_mix_temp": CU.temperature_mix_oracle_sql(alpha=0.3),
         "corpus_shard": CU.corpus_shard_oracle_sql(17, seed=3),
         "simhash_pairs": simhash_pairs_oracle,
         "simhash64_pairs": simhash64_oracle,

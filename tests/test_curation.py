@@ -597,3 +597,28 @@ def test_bpe_train_early_stop(spark):
     assert merges == [] and mdf.count() == 0
     enc = C.bpe_encode(docs, merges).collect()[0]
     assert enc.n_tokens == 3 and enc.n_symbols == 6
+
+
+def test_temperature_mix_limits_and_ordering(spark):
+    rows = [(i, "w " * (200 if i < 8 else 10), "big" if i < 8 else "small")
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # alpha=1: q == p (natural mixture), upsample == 1
+    nat = {r.source: r for r in
+           C.temperature_mix_weights(docs, alpha=1.0).collect()}
+    for r in nat.values():
+        assert abs(r.temp_prob - r.token_share) <= 1e-4
+        assert abs(r.upsample - 1.0) <= 1e-4
+    # alpha=0: uniform over sources regardless of size
+    uni = {r.source: r for r in
+           C.temperature_mix_weights(docs, alpha=0.0).collect()}
+    assert abs(uni["big"].temp_prob - 0.5) <= 1e-4
+    assert abs(uni["small"].temp_prob - 0.5) <= 1e-4
+    # 0 < alpha < 1: strictly between — rare source upsampled, big
+    # source downsampled, probabilities still sum to 1
+    mid = {r.source: r for r in
+           C.temperature_mix_weights(docs, alpha=0.3).collect()}
+    assert mid["small"].token_share < mid["small"].temp_prob < 0.5
+    assert 0.5 < mid["big"].temp_prob < mid["big"].token_share
+    assert abs(mid["big"].temp_prob + mid["small"].temp_prob - 1.0) <= 2e-4
+    assert mid["small"].upsample > 1.0 > mid["big"].upsample

@@ -1360,3 +1360,75 @@ SELECT {id_col},
        CAST(COUNT(*) FILTER (WHERE length(w) > 0) AS BIGINT) AS n_tokens,
        CAST(SUM({n_sym}) AS BIGINT) AS n_symbols
 FROM tok GROUP BY 1"""
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based domain sampling (the XLM-R / mT5 multilingual
+    rule): source s with token share p_s is sampled with probability
+    q_s = p_s^alpha / sum_t p_t^alpha. alpha = 1 keeps the natural
+    mixture, alpha -> 0 approaches uniform; 0.3 is the published XLM-R
+    setting. Complements domain_mix_weights (the uniform-budget form).
+
+    Scale shape: identical to domain_mix_weights — ONE corpus scan into
+    the per-source frame, then windows over domain-count rows. POWER is
+    transcendental, so the outputs carry ROUND(., 4) per the
+    aggregate-float discipline (the normalizing sum's row order is
+    engine-dependent too).
+
+    Output: (source, n_tokens, token_share, temp_prob, upsample) with
+    token_share/temp_prob/upsample rounded; upsample = q_s / p_s is the
+    per-source repetition factor the sampler applies.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    bpe = T.bpe_token_count_expr(text_col)[0]
+    per_source = (
+        docs.selectExpr(source_col, f"CAST({bpe} AS BIGINT) AS __bpe")
+        .groupBy(source_col)
+        .agg(F.sum("__bpe").alias("n_tokens"))
+    )
+    wall = Window.partitionBy()
+    share = "CAST(n_tokens AS DOUBLE) / CAST(__tot AS DOUBLE)"
+    return (
+        per_source
+        .select("*", F.sum("n_tokens").over(wall).alias("__tot"))
+        .selectExpr(source_col, "n_tokens", f"{share} AS __p",
+                    f"POWER({share}, {alpha!r}) AS __pa")
+        .select("*", F.sum("__pa").over(wall).alias("__z"))
+        .selectExpr(
+            source_col,
+            "n_tokens",
+            "ROUND(__p, 4) AS token_share",
+            "ROUND(__pa / __z, 4) AS temp_prob",
+            "ROUND((__pa / __z) / __p, 4) AS upsample",
+        )
+    )
+
+
+def temperature_mix_oracle_sql(
+    alpha: float = 0.3,
+    table: str = "documents",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    bpe = T.bpe_token_count_expr(text_col)[1]
+    share = "CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)"
+    return f"""
+WITH s AS (SELECT {source_col}, SUM(CAST({bpe} AS BIGINT)) AS n_tokens
+           FROM {table} GROUP BY 1),
+t AS (SELECT {source_col}, n_tokens,
+             SUM(n_tokens) OVER () AS tot FROM s),
+p AS (SELECT {source_col}, n_tokens, {share} AS p,
+             POWER({share}, {alpha!r}) AS pa FROM t),
+z AS (SELECT {source_col}, n_tokens, p, pa, SUM(pa) OVER () AS zz FROM p)
+SELECT {source_col}, n_tokens,
+       ROUND(p, 4) AS token_share,
+       ROUND(pa / zz, 4) AS temp_prob,
+       ROUND((pa / zz) / p, 4) AS upsample
+FROM z
+"""
