@@ -46,6 +46,7 @@ from whitebox_tools_spark.operators import knn as K
 from whitebox_tools_spark.operators import overlay as OV
 from whitebox_tools_spark.operators import pip_join as P
 from whitebox_tools_spark.operators import raster as R
+from whitebox_tools_spark.operators import retrieval as RV
 from whitebox_tools_spark.operators import similarity as S
 from whitebox_tools_spark.operators import tiling as TL
 
@@ -3550,6 +3551,30 @@ def _q_lm_score(spark, sf):
     return CU.lm_bigram_scores(_docs(spark, sf))
 
 
+def _q_tfidf_terms(spark, sf):
+    """Per-doc top-5 keywords by smoothed TF-IDF (the sklearn form):
+    one explode + two partial-agg reductions, N as a broadcast 1-row
+    frame, top-k window partitioned by doc_id (never a global sort).
+    Score text shared verbatim with the DuckDB oracle; ROUND(6)."""
+    return RV.tfidf_top_terms(_docs(spark, sf), k=5)
+
+
+def _q_bm25_rank(spark, sf):
+    """Okapi BM25 top-10 docs for each of the 20 highest-df corpus
+    terms: query terms + corpus scalars broadcast, posting-list join,
+    SALTED two-phase exact top-k per term (hot posting lists never
+    sort in one task). avgdl is the exact integer ratio sum(dl)/N so
+    both engines compute the identical double."""
+    return RV.bm25_topk(_docs(spark, sf), n_query_terms=20, k=10)
+
+
+def _q_ppx_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity terciles over the bigram-LM
+    cross-entropy: distributed global row_number (plans/rank.py) +
+    closed-form NTILE(3) — no single-reducer window."""
+    return RV.perplexity_buckets(_docs(spark, sf))
+
+
 def _q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer training (8 merges): corpus compresses
     to a word-frequency vocab (the only corpus-sized op), each round =
@@ -4284,6 +4309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pack_text": _q_pack_text,
         "lm_score": _q_lm_score,
+        "tfidf_terms": _q_tfidf_terms,
+        "bm25_rank": _q_bm25_rank,
+        "ppx_buckets": _q_ppx_buckets,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "domain_mix": _q_domain_mix,
@@ -13368,6 +13396,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": CU.pack_sequences_oracle_sql(seq_len=32, seed=1),
         "pack_text": CU.pack_sequences_text_oracle_sql(seq_len=32, seed=1),
         "lm_score": CU.lm_bigram_oracle_sql(),
+        "tfidf_terms": RV.tfidf_oracle_sql(k=5),
+        "bm25_rank": RV.bm25_oracle_sql(n_query_terms=20, k=10),
+        "ppx_buckets": RV.perplexity_buckets_oracle_sql(),
         "bpe_merges": CU.bpe_train_oracle_sql(n_merges=8),
         "bpe_encode": CU.bpe_encode_oracle_sql(n_merges=8),
         "domain_mix": CU.domain_mix_oracle_sql(max_weight=3.0),
