@@ -319,6 +319,18 @@ def _q_frs_cells(spark, sf):
     )
 
 
+def _q_cell_compact(spark, sf):
+    """S2 CellUnion::Normalize equivalent: the Morton-quadtree cover of
+    the event points (radius-50 FRS bins) compacts into the minimal
+    mixed-resolution cover — complete 4-sibling groups collapse to the
+    parent (id DIV 4), recursively. Exact integer arithmetic; the
+    DuckDB oracle unrolls the identical per-level collapse."""
+    cx = frs_cell_expr("x", 50.0)
+    cy = frs_cell_expr("y", 50.0)
+    leaves = _points(spark, sf).selectExpr(f"{morton_expr(cx, cy)} AS cell_id")
+    return TL.cell_compact(leaves, levels=6)
+
+
 def _q_pip_tag(spark, sf):
     return P.points_in_polygons(_points(spark, sf), _polygons_df(spark)).select(
         "record_num", "polygon_id"
@@ -4205,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver sampling window: one flagship per operator family ---
         "tile_assign": _q_tile_assign,
         "frs_cells": _q_frs_cells,
+        "cell_compact": _q_cell_compact,
         "pip_tag": _q_pip_tag,
         "knn_join": _q_knn_join,
         "idw": _q_idw,
@@ -13157,6 +13170,11 @@ def oracle_sql() -> dict[str, str]:
         "frs_cells": (
             f"{pts} SELECT record_num, {cx50} AS cx, {cy50} AS cy, "
             f"{_morton_duck(cx50, cy50)} AS cell_id FROM pts"
+        ),
+        "cell_compact": TL.cell_compact_oracle_sql(
+            f"pts AS ({_PTS_SQL}), leaves AS "
+            f"(SELECT {_morton_duck(cx50, cy50)} AS cell FROM pts)",
+            levels=6,
         ),
         "pip_tag": _pip_tag_oracle(),
         "pip_tag_cellcover": _pip_tag_oracle(),

@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     # encode
     "bpe_merges",
     "bpe_encode",
+    # round-5 fourteenth session: ranked retrieval — per-doc TF-IDF
+    # keywords and BM25 search with the salted two-phase exact top-k
+    "tfidf_terms",
+    "bm25_rank",
     # simhash_pairs (16-bit) is retired from the headline set: its 65,536
     # global buckets go quadratic at corpus scale; it survives in the
     # registry purely as a parity artifact. simhash64_pairs is the real op.

@@ -462,3 +462,61 @@ def hex_kring(
             "DIV 2 AS BIGINT) AS hex_dist",
         )
     )
+
+
+def cell_compact(cells: DataFrame, cell_col: str = "cell_id",
+                 levels: int = 6) -> DataFrame:
+    """S2 CellUnion::Normalize equivalent over the Morton quadtree
+    (functions/cells.py ids — the north star's S2-style hierarchical
+    index): a set of level-`levels` cells compacts into the minimal
+    mixed-resolution cover — wherever all 4 siblings are present they
+    collapse into their parent (id DIV 4, the 2-bit prefix property),
+    recursively up to the root.
+
+    Scale shape: `levels` rounds, each ONE groupBy on the parent id
+    (map-side-partial count) + ONE anti-join keyed on the parent —
+    uniformly distributed integer keys, and the frontier shrinks ~4x
+    per round (only complete parents survive), so round r touches
+    <= n/4^r cells. No driver action in the loop (lazy union chain,
+    the bpe_train pattern).
+
+    Output: (cell_id, level) with level in [0, levels] counted from
+    the coarsest round (input leaves = `levels`); exact integer
+    arithmetic end-to-end -> exact DuckDB oracle (unrolled per-level
+    CTE chain, scripts/check_parity `cell_compact`).
+    """
+    finals = None
+    cur = cells.selectExpr(f"CAST({cell_col} AS BIGINT) AS cell_id").distinct()
+    for lvl in range(levels, 0, -1):
+        par = (cur.groupBy(F.expr("cell_id DIV 4").alias("__p"))
+               .agg(F.count(F.lit(1)).alias("__n")))
+        comp = par.where("__n = 4").select("__p")
+        done = (cur.withColumn("__p", F.expr("cell_id DIV 4"))
+                .join(comp, "__p", "left_anti")
+                .select("cell_id", F.lit(lvl).cast("int").alias("level")))
+        finals = done if finals is None else finals.unionByName(done)
+        cur = comp.selectExpr("__p AS cell_id")
+    root = cur.select("cell_id", F.lit(0).cast("int").alias("level"))
+    return root if finals is None else finals.unionByName(root)
+
+
+def cell_compact_oracle_sql(leaf_cte: str, leaf_col: str = "cell",
+                            levels: int = 6) -> str:
+    """DuckDB replay: the identical per-level collapse, unrolled.
+    `leaf_cte` must be a complete WITH prefix ending in a relation
+    named `leaves` with the distinct leaf-cell column `leaf_col`."""
+    parts = [leaf_cte,
+             f"c{levels} AS (SELECT DISTINCT {leaf_col} AS cell FROM leaves)"]
+    sel = []
+    for lvl in range(levels, 0, -1):
+        parts.append(
+            f"g{lvl} AS (SELECT cell // 4 AS p, COUNT(*) AS n "
+            f"FROM c{lvl} GROUP BY 1)")
+        parts.append(
+            f"d{lvl} AS (SELECT cell AS cell_id, CAST({lvl} AS INT) AS level "
+            f"FROM c{lvl} WHERE cell // 4 IN (SELECT p FROM g{lvl} WHERE n < 4))")
+        parts.append(
+            f"c{lvl - 1} AS (SELECT p AS cell FROM g{lvl} WHERE n = 4)")
+        sel.append(f"SELECT cell_id, level FROM d{lvl}")
+    sel.append(f"SELECT cell AS cell_id, CAST(0 AS INT) AS level FROM c0")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
