@@ -331,6 +331,16 @@ def _q_cell_compact(spark, sf):
     return TL.cell_compact(leaves, levels=6)
 
 
+def _q_cell_uncompact(spark, sf):
+    """cell_uncompact(cell_compact(S)) == S: the compaction round trip
+    gated against the identity oracle (the independent DISTINCT leaf
+    set). Uncompact is one codegen SEQUENCE explode, zero shuffle."""
+    cx = frs_cell_expr("x", 50.0)
+    cy = frs_cell_expr("y", 50.0)
+    leaves = _points(spark, sf).selectExpr(f"{morton_expr(cx, cy)} AS cell_id")
+    return TL.cell_uncompact(TL.cell_compact(leaves, levels=6), levels=6)
+
+
 def _q_pip_tag(spark, sf):
     return P.points_in_polygons(_points(spark, sf), _polygons_df(spark)).select(
         "record_num", "polygon_id"
@@ -4218,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "frs_cells": _q_frs_cells,
         "cell_compact": _q_cell_compact,
+        "cell_uncompact": _q_cell_uncompact,
         "pip_tag": _q_pip_tag,
         "knn_join": _q_knn_join,
         "idw": _q_idw,
@@ -13175,6 +13186,10 @@ def oracle_sql() -> dict[str, str]:
             f"pts AS ({_PTS_SQL}), leaves AS "
             f"(SELECT {_morton_duck(cx50, cy50)} AS cell FROM pts)",
             levels=6,
+        ),
+        "cell_uncompact": (
+            f"{pts} SELECT DISTINCT {_morton_duck(cx50, cy50)} AS cell_id "
+            f"FROM pts"
         ),
         "pip_tag": _pip_tag_oracle(),
         "pip_tag_cellcover": _pip_tag_oracle(),

@@ -61,3 +61,17 @@ def test_duplicates_and_empty(spark):
     assert _run(spark, [5, 5, 5], 2) == [(5, 2)]
     df = spark.createDataFrame([], "cell_id long")
     assert cell_compact(df, levels=3).count() == 0
+
+
+def test_uncompact_round_trip_spark(spark):
+    from whitebox_tools_spark.operators.tiling import cell_uncompact
+
+    rng = random.Random(11)
+    levels = 4
+    leaves = sorted({rng.randrange(1 << 16) * 16 + rng.randrange(256)
+                     for _ in range(300)})
+    df = spark.createDataFrame([(c,) for c in leaves], "cell_id long")
+    back = sorted(r["cell_id"] for r in
+                  cell_uncompact(cell_compact(df, levels=levels),
+                                 levels=levels).collect())
+    assert back == leaves

@@ -520,3 +520,17 @@ def cell_compact_oracle_sql(leaf_cte: str, leaf_col: str = "cell",
         sel.append(f"SELECT cell_id, level FROM d{lvl}")
     sel.append(f"SELECT cell AS cell_id, CAST(0 AS INT) AS level FROM c0")
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+def cell_uncompact(cover: DataFrame, levels: int = 6,
+                   cell_col: str = "cell_id",
+                   level_col: str = "level") -> DataFrame:
+    """Inverse of cell_compact (S2 CellUnion::Denormalize to a fixed
+    level): every cell of the mixed-resolution cover expands to its
+    4^(levels - level) descendant leaves — ONE codegen SEQUENCE explode
+    per row, zero shuffle. cell_uncompact(cell_compact(S)) == S exactly
+    (the registry gates this round trip against the identity oracle)."""
+    shift = f"(2 * ({levels} - {level_col}))"
+    return cover.selectExpr(
+        f"EXPLODE(SEQUENCE(SHIFTLEFT({cell_col}, {shift}), "
+        f"SHIFTLEFT({cell_col} + 1, {shift}) - 1)) AS cell_id")
