@@ -3573,6 +3573,15 @@ def _q_lm_score(spark, sf):
     return CU.lm_bigram_scores(_docs(spark, sf))
 
 
+def _q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket models (md5 16-bit parity hash), target = doc_id % 31 = 0,
+    raw = whole corpus; log p_target - log q_raw per doc under add-one
+    smoothing. Models reduce to <= 65,536 rows -> broadcast; one
+    action, no driver collect."""
+    return CU.dsir_weights(_docs(spark, sf), "doc_id % 31 = 0")
+
+
 def _q_tfidf_terms(spark, sf):
     """Per-doc top-5 keywords by smoothed TF-IDF (the sklearn form):
     one explode + two partial-agg reductions, N as a broadcast 1-row
@@ -4333,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pack_text": _q_pack_text,
         "lm_score": _q_lm_score,
+        "dsir_weights": _q_dsir_weights,
         "tfidf_terms": _q_tfidf_terms,
         "bm25_rank": _q_bm25_rank,
         "ppx_buckets": _q_ppx_buckets,
@@ -13429,6 +13439,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": CU.pack_sequences_oracle_sql(seq_len=32, seed=1),
         "pack_text": CU.pack_sequences_text_oracle_sql(seq_len=32, seed=1),
         "lm_score": CU.lm_bigram_oracle_sql(),
+        "dsir_weights": CU.dsir_oracle_sql("doc_id % 31 = 0"),
         "tfidf_terms": RV.tfidf_oracle_sql(k=5),
         "bm25_rank": RV.bm25_oracle_sql(n_query_terms=20, k=10),
         "ppx_buckets": RV.perplexity_buckets_oracle_sql(),

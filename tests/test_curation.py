@@ -622,3 +622,52 @@ def test_temperature_mix_limits_and_ordering(spark):
     assert 0.5 < mid["big"].temp_prob < mid["big"].token_share
     assert abs(mid["big"].temp_prob + mid["small"].temp_prob - 1.0) <= 2e-4
     assert mid["small"].upsample > 1.0 > mid["big"].upsample
+
+
+class TestDsirWeights:
+    def test_matches_reference_and_separates_domains(self, spark):
+        import hashlib
+        import math
+        from collections import Counter
+
+        from whitebox_tools_spark.operators.curation import dsir_weights
+
+        target_vocab = ["alpha", "beta", "gamma", "delta"]
+        other_vocab = ["one", "two", "three", "four"]
+        rows = []
+        for i in range(20):
+            vocab = target_vocab if i % 2 == 0 else other_vocab
+            toks = [vocab[(i + j) % 4] for j in range(6)]
+            rows.append((i, " ".join(toks)))
+        rows.append((20, "   "))  # no tokens -> omitted
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               dsir_weights(docs, "doc_id % 2 = 0").collect()}
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:4], 16)
+
+        def grams(text):
+            t = text.split()
+            return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+        B = 65536
+        db = {i: Counter(bucket(g) for g in grams(txt))
+              for i, txt in rows[:-1]}
+        tc, rc = Counter(), Counter()
+        for i, c in db.items():
+            rc.update(c)
+            if i % 2 == 0:
+                tc.update(c)
+        T, R = sum(tc.values()), sum(rc.values())
+        assert 20 not in out and len(out) == 20
+        for i, c in db.items():
+            want = sum(n * (math.log((tc[b] + 1) / (T + B))
+                            - math.log((rc[b] + 1) / (R + B)))
+                       for b, n in c.items())
+            assert abs(out[i]["log_w"] - round(want, 4)) < 2e-4
+            assert out[i]["n_grams"] == sum(c.values())
+        # the importance ratio separates the domains strictly
+        tmin = min(out[i]["log_w"] for i in range(0, 20, 2))
+        omax = max(out[i]["log_w"] for i in range(1, 20, 2))
+        assert tmin > 0 > omax

@@ -1432,3 +1432,105 @@ SELECT {source_col}, n_tokens,
        ROUND((pa / zz) / p, 4) AS upsample
 FROM z
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): bag-of-hashed-ngram models for a
+# target domain and the raw corpus; each doc scores the log importance
+# ratio log p_target(doc) - log q_raw(doc) under add-one smoothing, and
+# resampling keeps docs proportionally. Features are the paper's hashed
+# unigrams+bigrams; the hash is the parity md5-derived 16-bit bucket
+# (functions/text.token_hash16_expr — 65,536 buckets, identical in both
+# engines).
+
+_DSIR_B = 65536
+
+
+def _dsir_term_expr() -> str:
+    """Shared Spark/DuckDB text; reads dc, __tc (nullable), __rc,
+    __tt, __rt."""
+    return (
+        "CAST(dc AS DOUBLE) * "
+        f"(LN((CAST(COALESCE(__tc, 0) AS DOUBLE) + 1.0) / "
+        f"(CAST(__tt AS DOUBLE) + {_DSIR_B}.0)) - "
+        f"LN((CAST(__rc AS DOUBLE) + 1.0) / "
+        f"(CAST(__rt AS DOUBLE) + {_DSIR_B}.0)))"
+    )
+
+
+_DSIR_GRAMS_SPARK = (
+    "CONCAT(__t, TRANSFORM(SLICE(__t, 1, SIZE(__t) - 1), "
+    "(w, i) -> CONCAT(w, ' ', ELEMENT_AT(__t, i + 2))))"
+)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc DSIR log importance weight: sum over the doc's hashed
+    unigram+bigram buckets of dc * (ln p_target(b) - ln q_raw(b)),
+    p/q add-one-smoothed bucket frequencies fitted on the target
+    subset (rows matching `target_pred`) and the whole corpus.
+
+    Scale shape: one gram explode + groupBy (id, bucket); BOTH models
+    reduce that frame to <= 65,536 rows -> broadcast joins (the model
+    side never shuffles the corpus); totals ride as broadcast 1-row
+    frames — one action end-to-end, no driver collect. Docs with no
+    tokens are omitted (no grams — the lm contract).
+
+    Output: (id_col, n_grams, log_w) with log_w = ROUND(sum, 4) per
+    the aggregate-float discipline.
+    """
+    s_toks = T.tokens_expr(text_col)[0]
+    g = (
+        docs.selectExpr(id_col, f"{s_toks} AS __t")
+        .selectExpr(id_col, f"EXPLODE({_DSIR_GRAMS_SPARK}) AS __g")
+        .where("__g <> ''")
+    )
+    bucket = T.token_hash16_expr("__g", duck=False)
+    db = (g.selectExpr(id_col, f"{bucket} AS __b")
+          .groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("dc")))
+    tcf = db.where(target_pred).groupBy("__b").agg(F.sum("dc").alias("__tc"))
+    rcf = db.groupBy("__b").agg(F.sum("dc").alias("__rc"))
+    tt = tcf.agg(F.coalesce(F.sum("__tc"), F.lit(0)).alias("__tt"))
+    rt = rcf.agg(F.coalesce(F.sum("__rc"), F.lit(0)).alias("__rt"))
+    return (
+        db.join(F.broadcast(tcf), "__b", "left")
+        .join(F.broadcast(rcf), "__b")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .groupBy(id_col)
+        .agg(F.sum("dc").cast("bigint").alias("n_grams"),
+             F.expr(f"ROUND(SUM({_dsir_term_expr()}), 4)").alias("log_w"))
+    )
+
+
+def dsir_oracle_sql(
+    target_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    d_toks = T.tokens_expr(text_col)[1]
+    bucket = T.token_hash16_expr("__g", duck=True)
+    return f"""
+WITH t AS (SELECT {id_col}, {d_toks} AS tk FROM {table}),
+g AS (SELECT {id_col}, unnest(list_concat(tk, list_transform(
+        range(1, len(tk)), i -> concat(tk[i], ' ', tk[i + 1])))) AS __g
+      FROM t),
+db AS (SELECT {id_col}, {bucket} AS __b, COUNT(*) AS dc
+       FROM g WHERE __g <> '' GROUP BY 1, 2),
+tcf AS (SELECT __b, SUM(dc) AS __tc FROM db WHERE {target_pred} GROUP BY 1),
+rcf AS (SELECT __b, SUM(dc) AS __rc FROM db GROUP BY 1),
+tt AS (SELECT COALESCE(SUM(__tc), 0) AS __tt FROM tcf),
+rt AS (SELECT COALESCE(SUM(__rc), 0) AS __rt FROM rcf)
+SELECT db.{id_col}, CAST(SUM(dc) AS BIGINT) AS n_grams,
+       ROUND(SUM({_dsir_term_expr()}), 4) AS log_w
+FROM db LEFT JOIN tcf USING (__b) JOIN rcf USING (__b)
+CROSS JOIN tt CROSS JOIN rt
+GROUP BY 1
+"""
