@@ -210,6 +210,25 @@ def _clip_pred() -> str:
     return GS.clip_verdict_sql([(sh, ho) for _pid, sh, ho in _POLYS])
 
 
+def _region_cover_oracle() -> str:
+    """DuckDB replay of region_cover: the same leaf-intersect predicate
+    text per fixture polygon (UNION ALL), unbiased Morton interleave in
+    the << dialect, then the grouped unrolled compaction chain."""
+    n = 64
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({pid} AS BIGINT) AS polygon_id, "
+        f"({_spread_duck('ix')} | ({_spread_duck('iy')} << 1)) AS cell "
+        f"FROM cells WHERE "
+        f"{TL.region_leaf_pred_sql(sh, ho, (0.0, 0.0, 1000.0), 6)}"
+        for pid, sh, ho in _POLYS)
+    leaf_cte = (
+        f"cells AS (SELECT CAST(t.range % {n} AS BIGINT) AS ix, "
+        f"CAST(t.range // {n} AS BIGINT) AS iy FROM range(0, {n * n}) t), "
+        f"leaves AS ({arms})")
+    return TL.cell_compact_oracle_sql(leaf_cte, leaf_col="cell", levels=6,
+                                      group_cols=["polygon_id"])
+
+
 # -- Morton id in DuckDB dialect (Spark side uses SHIFTLEFT; DuckDB uses
 #    << — same bit math, verified equal by q_frs_cells).
 
@@ -339,6 +358,16 @@ def _q_cell_uncompact(spark, sf):
     cy = frs_cell_expr("y", 50.0)
     leaves = _points(spark, sf).selectExpr(f"{morton_expr(cx, cy)} AS cell_id")
     return TL.cell_uncompact(TL.cell_compact(leaves, levels=6), levels=6)
+
+
+def _q_region_cover(spark, sf):
+    """S2 RegionCoverer equivalent: per-polygon adaptive mixed-
+    resolution Morton-quadtree cover (leaf-intersect predicate — exact
+    edge/AABB + vertex-cell + winding-corner decomposition, shared
+    text — then grouped cell_compact). Superset cover: every polygon
+    point lies in some cover cell; interiors coarsen to level 3."""
+    return TL.region_cover(spark, _polygons_df(spark),
+                           extent=(0.0, 0.0, 1000.0), max_level=6)
 
 
 def _q_pip_tag(spark, sf):
@@ -4238,6 +4267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frs_cells": _q_frs_cells,
         "cell_compact": _q_cell_compact,
         "cell_uncompact": _q_cell_uncompact,
+        "region_cover": _q_region_cover,
         "pip_tag": _q_pip_tag,
         "knn_join": _q_knn_join,
         "idw": _q_idw,
@@ -13201,6 +13231,7 @@ def oracle_sql() -> dict[str, str]:
             f"{pts} SELECT DISTINCT {_morton_duck(cx50, cy50)} AS cell_id "
             f"FROM pts"
         ),
+        "region_cover": _region_cover_oracle(),
         "pip_tag": _pip_tag_oracle(),
         "pip_tag_cellcover": _pip_tag_oracle(),
         "pip_clip": f"{pts} SELECT record_num, x, y, value FROM pts WHERE {_clip_pred()}",

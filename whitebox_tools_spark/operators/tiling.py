@@ -465,7 +465,8 @@ def hex_kring(
 
 
 def cell_compact(cells: DataFrame, cell_col: str = "cell_id",
-                 levels: int = 6) -> DataFrame:
+                 levels: int = 6,
+                 group_cols: list[str] | None = None) -> DataFrame:
     """S2 CellUnion::Normalize equivalent over the Morton quadtree
     (functions/cells.py ids — the north star's S2-style hierarchical
     index): a set of level-`levels` cells compacts into the minimal
@@ -485,40 +486,52 @@ def cell_compact(cells: DataFrame, cell_col: str = "cell_id",
     arithmetic end-to-end -> exact DuckDB oracle (unrolled per-level
     CTE chain, scripts/check_parity `cell_compact`).
     """
+    gc = list(group_cols or [])
     finals = None
-    cur = cells.selectExpr(f"CAST({cell_col} AS BIGINT) AS cell_id").distinct()
+    cur = cells.selectExpr(*gc,
+                           f"CAST({cell_col} AS BIGINT) AS cell_id").distinct()
     for lvl in range(levels, 0, -1):
-        par = (cur.groupBy(F.expr("cell_id DIV 4").alias("__p"))
+        par = (cur.groupBy(*gc, F.expr("cell_id DIV 4").alias("__p"))
                .agg(F.count(F.lit(1)).alias("__n")))
-        comp = par.where("__n = 4").select("__p")
+        comp = par.where("__n = 4").select(*gc, "__p")
         done = (cur.withColumn("__p", F.expr("cell_id DIV 4"))
-                .join(comp, "__p", "left_anti")
-                .select("cell_id", F.lit(lvl).cast("int").alias("level")))
+                .join(comp, gc + ["__p"], "left_anti")
+                .select(*gc, "cell_id", F.lit(lvl).cast("int").alias("level")))
         finals = done if finals is None else finals.unionByName(done)
-        cur = comp.selectExpr("__p AS cell_id")
-    root = cur.select("cell_id", F.lit(0).cast("int").alias("level"))
+        cur = comp.selectExpr(*gc, "__p AS cell_id")
+    root = cur.select(*gc, "cell_id", F.lit(0).cast("int").alias("level"))
     return root if finals is None else finals.unionByName(root)
 
 
 def cell_compact_oracle_sql(leaf_cte: str, leaf_col: str = "cell",
-                            levels: int = 6) -> str:
+                            levels: int = 6,
+                            group_cols: list[str] | None = None) -> str:
     """DuckDB replay: the identical per-level collapse, unrolled.
     `leaf_cte` must be a complete WITH prefix ending in a relation
-    named `leaves` with the distinct leaf-cell column `leaf_col`."""
+    named `leaves` with the distinct leaf-cell column `leaf_col` (and
+    the `group_cols`, e.g. polygon_id, when compaction is per-group)."""
+    gc = list(group_cols or [])
+    gpre = ("".join(f"{c}, " for c in gc))
     parts = [leaf_cte,
-             f"c{levels} AS (SELECT DISTINCT {leaf_col} AS cell FROM leaves)"]
+             f"c{levels} AS (SELECT DISTINCT {gpre}{leaf_col} AS cell "
+             f"FROM leaves)"]
     sel = []
     for lvl in range(levels, 0, -1):
+        on = " AND ".join([f"x.cell // 4 = y.p"]
+                          + [f"x.{c} = y.{c}" for c in gc])
+        xg = "".join(f"x.{c}, " for c in gc)
         parts.append(
-            f"g{lvl} AS (SELECT cell // 4 AS p, COUNT(*) AS n "
-            f"FROM c{lvl} GROUP BY 1)")
+            f"g{lvl} AS (SELECT {gpre}cell // 4 AS p, COUNT(*) AS n "
+            f"FROM c{lvl} GROUP BY ALL)")
         parts.append(
-            f"d{lvl} AS (SELECT cell AS cell_id, CAST({lvl} AS INT) AS level "
-            f"FROM c{lvl} WHERE cell // 4 IN (SELECT p FROM g{lvl} WHERE n < 4))")
+            f"d{lvl} AS (SELECT {xg}x.cell AS cell_id, "
+            f"CAST({lvl} AS INT) AS level "
+            f"FROM c{lvl} x JOIN g{lvl} y ON {on} WHERE y.n < 4)")
         parts.append(
-            f"c{lvl - 1} AS (SELECT p AS cell FROM g{lvl} WHERE n = 4)")
-        sel.append(f"SELECT cell_id, level FROM d{lvl}")
-    sel.append(f"SELECT cell AS cell_id, CAST(0 AS INT) AS level FROM c0")
+            f"c{lvl - 1} AS (SELECT {gpre}p AS cell FROM g{lvl} WHERE n = 4)")
+        sel.append(f"SELECT {gpre}cell_id, level FROM d{lvl}")
+    sel.append(f"SELECT {gpre}cell AS cell_id, CAST(0 AS INT) AS level "
+               f"FROM c0")
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
 
 
@@ -534,3 +547,123 @@ def cell_uncompact(cover: DataFrame, levels: int = 6,
     return cover.selectExpr(
         f"EXPLODE(SEQUENCE(SHIFTLEFT({cell_col}, {shift}), "
         f"SHIFTLEFT({cell_col} + 1, {shift}) - 1)) AS cell_id")
+
+
+# ---------------------------------------------------------------------------
+# S2 RegionCoverer equivalent: adaptive mixed-resolution quadtree cover
+# of a polygon. Leaf (max_level) cells that INTERSECT the polygon form
+# the superset cover (the RegionCoverer contract — every polygon point
+# lies in some cover cell); cell_compact then collapses complete
+# sibling quads, which reproduces exactly what a top-down
+# subdivide-on-boundary coverer emits (interior regions coarsen,
+# boundary cells stay at max_level).
+
+def region_leaf_pred_sql(shells, holes, extent: tuple[float, float, float],
+                         max_level: int) -> str:
+    """Dialect-neutral SQL predicate over integer cell columns (ix, iy):
+    does leaf cell [x0,x1]x[y0,y1] intersect the polygon region?
+
+    Exact decomposition (planar, even-odd with holes): intersect iff
+      (a) a polygon EDGE crosses or touches the cell rectangle
+          (bbox-overlap AND NOT all-4-corners-strictly-one-side — the
+          classic segment/AABB separating test), else the cell and the
+          boundary are disjoint, so the cell is uniformly in or out:
+      (b) a polygon VERTEX lies in the cell (catches geometry wholly
+          interior to one cell — e.g. a hole or an entire polygon;
+          vertex cells are precomputed in PYTHON as integer literals,
+          no SQL float), or
+      (c) the cell's lower-left corner is inside the region (shared
+          winding text, functions/geometry_sql — decides the uniform
+          case).
+    All arithmetic is literal doubles + comparisons with text shared
+    verbatim by the DuckDB oracle.
+    """
+    from ..functions import geometry_sql as GS
+
+    ex, ey, size = extent
+    n = 1 << max_level
+    w = size / n
+    x0 = f"({ex!r} + ix * {w!r})"
+    y0 = f"({ey!r} + iy * {w!r})"
+    x1 = f"({ex!r} + (ix + 1) * {w!r})"
+    y1 = f"({ey!r} + (iy + 1) * {w!r})"
+
+    sh = " OR ".join(GS.inside_ring_sql(r, xs=x0, ys=y0) for r in shells)
+    corner = f"({sh})"
+    if holes:
+        ho = " OR ".join(GS.inside_ring_sql(r, xs=x0, ys=y0) for r in holes)
+        corner = f"(({sh}) AND NOT ({ho}))"
+
+    vcells = set()
+    for ring in list(shells) + list(holes):
+        for vx, vy in ring:
+            vcells.add((min(max(int((vx - ex) // w), 0), n - 1),
+                        min(max(int((vy - ey) // w), 0), n - 1)))
+    vtx = " OR ".join(f"(ix = {a} AND iy = {b})" for a, b in sorted(vcells))
+
+    def cross(ax, ay, bx, by):
+        def d(px, py):
+            return (f"(({(bx - ax)!r}) * (({py}) - ({ay!r})) - "
+                    f"({(by - ay)!r}) * (({px}) - ({ax!r})))")
+        ds = [d(x0, y0), d(x1, y0), d(x1, y1), d(x0, y1)]
+        pos = " AND ".join(f"{e} > 0.0" for e in ds)
+        neg = " AND ".join(f"{e} < 0.0" for e in ds)
+        bb = (f"NOT ({max(ax, bx)!r} < {x0} OR {min(ax, bx)!r} > {x1} OR "
+              f"{max(ay, by)!r} < {y0} OR {min(ay, by)!r} > {y1})")
+        return f"({bb} AND NOT ({pos}) AND NOT ({neg}))"
+
+    edges = " OR ".join(
+        cross(a[0], a[1], b[0], b[1])
+        for ring in list(shells) + list(holes)
+        for a, b in zip(ring[:-1], ring[1:]))
+    return f"(({edges}) OR ({vtx}) OR {corner})"
+
+
+def _morton_unbiased_spark(ix: str, iy: str) -> str:
+    from ..functions.cells import _spread_bits_sql
+
+    return f"({_spread_bits_sql(ix)} | SHIFTLEFT({_spread_bits_sql(iy)}, 1))"
+
+
+def region_cover(spark, polygons: DataFrame,
+                 extent: tuple[float, float, float] = (0.0, 0.0, 1000.0),
+                 max_level: int = 6) -> DataFrame:
+    """S2 RegionCoverer equivalent on the Morton quadtree over the
+    square `extent` (origin x, origin y, side): per polygon, the
+    minimal mixed-resolution cell cover whose union contains the whole
+    polygon region. Output: (polygon_id, cell_id, level) with
+    cell_id the UNBIASED Morton interleave of the in-extent (ix, iy)
+    at `level` (parent = id DIV 4).
+
+    Plan: leaves are ENUMERATED from a range (4^max_level rows, no
+    input scan — at a finer max_level enumerate per-polygon bboxes
+    instead); every per-polygon intersect predicate compiles INTO one
+    codegen projection (the hex_polyfill / broadcast-pip pattern), and
+    the grouped cell_compact collapses quads in `max_level` rounds of
+    shrinking groupBys. Beyond-broadcast layers: same dispatch rule as
+    pip_join (cell-cover join on materialized leaf centers).
+    """
+    from .pip_join import _rings, collect_polygons
+
+    _, _, _ = extent
+    n = 1 << max_level
+    base = spark.range(n * n).selectExpr(
+        f"CAST(id % {n} AS BIGINT) AS ix",
+        f"CAST(id DIV {n} AS BIGINT) AS iy",
+    )
+    recs = collect_polygons(polygons)
+    arms = ", ".join(
+        f"IF({region_leaf_pred_sql(*_rings(r), extent, max_level)}, "
+        f"CAST({r.polygon_id} AS BIGINT), NULL)"
+        for r in recs
+    )
+    leaves = (
+        base.withColumn(
+            "polygon_id",
+            F.explode(F.expr(f"FILTER(ARRAY({arms}), v -> v IS NOT NULL)")),
+        )
+        .selectExpr("polygon_id",
+                    f"{_morton_unbiased_spark('ix', 'iy')} AS cell_id")
+    )
+    return cell_compact(leaves, levels=max_level,
+                        group_cols=["polygon_id"])
