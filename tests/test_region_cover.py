@@ -99,3 +99,41 @@ def test_region_cover_is_superset(spark):
             if _inside_region(shells, holes, xs, ys):
                 cell = _morton(int((xs - EX) // W), int((ys - EY) // W))
                 assert cell in leaves, (pid, xs, ys)
+
+
+def test_region_cover_random_polygons(spark):
+    """Random convex polygons (deterministic seeds) vs the reference."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    polys = []
+    for pid, seed in enumerate((3, 17, 41)):
+        rng = random.Random(seed)
+        cx, cy = rng.uniform(200, 800), rng.uniform(200, 800)
+        rad = rng.uniform(60, 250)
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(rng.randrange(4, 9)))
+        ring = [(round(cx + rad * math.cos(a), 3),
+                 round(cy + rad * math.sin(a), 3)) for a in angs]
+        ring.append(ring[0])
+        polys.append((pid, [ring], []))
+
+    rows = []
+    for pid, shells, holes in polys:
+        xs = [p[0] for r in shells for p in r]
+        ys = [p[1] for r in shells for p in r]
+        rows.append(Row(
+            polygon_id=pid,
+            bbox=Row(xmin=min(xs), ymin=min(ys), xmax=max(xs), ymax=max(ys)),
+            parts=[Row(part_idx=0, is_hole=False,
+                       ring=[Row(x=x, y=y) for x, y in shells[0]])],
+        ))
+    pdf = spark.createDataFrame(rows, E._POLY_SCHEMA)
+    got = {}
+    for r in region_cover(spark, pdf, extent=(EX, EY, SIZE),
+                          max_level=L).collect():
+        got.setdefault(r["polygon_id"], []).append((r["cell_id"], r["level"]))
+    for pid, shells, holes in polys:
+        want = _ref_compact(_ref_leaves(shells, holes), L)
+        assert sorted(got[pid]) == want, pid
