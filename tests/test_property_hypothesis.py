@@ -192,3 +192,68 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, texts, R):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     _, merges = C.bpe_train(docs, n_merges=R)
     assert merges == _ref_bpe_merges(texts, R)
+
+
+# --- retrieval: TF-IDF / BM25 on random corpora vs pure-Python refs ---
+
+_rv_corpus = st.lists(
+    st.lists(st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"]),
+             min_size=1, max_size=8).map(lambda ts: " ".join(ts)),
+    min_size=2, max_size=8)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_rv_corpus)
+def test_tfidf_topk_matches_reference(spark, texts):
+    import math
+    from collections import Counter
+
+    from whitebox_tools_spark.operators import retrieval as RV
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = sorted((r.doc_id, r.rank, r.term, r.tf, r.df)
+                 for r in RV.tfidf_top_terms(docs, k=2).collect())
+    tf = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    n = len(tf)
+    df = Counter(t for c in tf.values() for t in c)
+    want = []
+    for i, c in tf.items():
+        scored = sorted(
+            ((c[t] * (math.log((n + 1) / (df[t] + 1)) + 1), t) for t in c),
+            key=lambda x: (-round(x[0], 6), x[1]))
+        want += [(i, rk, t, c[t], df[t])
+                 for rk, (_s, t) in enumerate(scored[:2], start=1)]
+    assert out == sorted(want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_rv_corpus, st.integers(min_value=1, max_value=3))
+def test_bm25_topk_matches_reference(spark, texts, k):
+    import math
+    from collections import Counter
+
+    from whitebox_tools_spark.operators import retrieval as RV
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = sorted((r.term, r.rank, r.doc_id)
+                 for r in RV.bm25_topk(docs, n_query_terms=3, k=k,
+                                       n_salt=4).collect())
+    tf = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    n = len(tf)
+    df = Counter(t for c in tf.values() for t in c)
+    dl = {i: sum(c.values()) for i, c in tf.items()}
+    avgdl = sum(dl.values()) / n
+    qt = sorted(df, key=lambda t: (-df[t], t))[:3]
+    want = []
+    for t in qt:
+        scored = sorted(
+            ((math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+              * c[t] * 2.2 / (c[t] + 1.2 * (0.25 + 0.75 * dl[i] / avgdl)), i)
+             for i, c in tf.items() if t in c),
+            key=lambda x: (-round(x[0], 6), x[1]))
+        want += [(t, rk, i) for rk, (_s, i) in enumerate(scored[:k], start=1)]
+    assert out == sorted(want)
