@@ -3628,6 +3628,14 @@ def _q_bm25_rank(spark, sf):
     return RV.bm25_topk(_docs(spark, sf), n_query_terms=20, k=10)
 
 
+def _q_bm25_query(spark, sf):
+    """Multi-term BM25 search ('hash join filter'): query terms enter
+    as literals (IN filter pushed to the tf frame — only the query
+    posting lists move), per-doc sum of contributions, salted global
+    top-k. ROUND once on the summed score (lm discipline)."""
+    return RV.bm25_query(_docs(spark, sf), "hash join filter", k=10)
+
+
 def _q_ppx_buckets(spark, sf):
     """CCNet head/middle/tail perplexity terciles over the bigram-LM
     cross-entropy: distributed global row_number (plans/rank.py) +
@@ -4375,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "tfidf_terms": _q_tfidf_terms,
         "bm25_rank": _q_bm25_rank,
+        "bm25_query": _q_bm25_query,
         "ppx_buckets": _q_ppx_buckets,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
@@ -13473,6 +13482,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": CU.dsir_oracle_sql("doc_id % 31 = 0"),
         "tfidf_terms": RV.tfidf_oracle_sql(k=5),
         "bm25_rank": RV.bm25_oracle_sql(n_query_terms=20, k=10),
+        "bm25_query": RV.bm25_query_oracle_sql("hash join filter", k=10),
         "ppx_buckets": RV.perplexity_buckets_oracle_sql(),
         "bpe_merges": CU.bpe_train_oracle_sql(n_merges=8),
         "bpe_encode": CU.bpe_encode_oracle_sql(n_merges=8),

@@ -115,3 +115,28 @@ def test_perplexity_buckets_tercile_structure(spark, docs):
     assert all(len(v) == 3 for v in by_bucket.values())
     assert max(by_bucket["head"]) <= min(by_bucket["middle"])
     assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_bm25_query_matches_reference(spark, docs):
+    out = {r["doc_id"]: r for r in
+           RV.bm25_query(docs, "fox dog", k=10, n_salt=4).collect()}
+    tf = _ref_tf()
+    n = len(tf)
+    df = Counter(t for c in tf.values() for t in c)
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    avgdl = sum(dl.values()) / n
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, c in tf.items():
+        hit = [t for t in ("dog", "fox") if t in c]
+        if hit:
+            s = sum(math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    * c[t] * (k1 + 1)
+                    / (c[t] + k1 * (1 - b + b * dl[d] / avgdl)) for t in hit)
+            want[d] = (len(hit), s)
+    assert set(out) == set(want)
+    order = sorted(want, key=lambda d: (-round(want[d][1], 6), d))
+    for rk, d in enumerate(order, start=1):
+        assert out[d]["rank"] == rk
+        assert out[d]["n_hit_terms"] == want[d][0]
+        assert abs(out[d]["score"] - want[d][1]) < 2e-6

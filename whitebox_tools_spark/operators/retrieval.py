@@ -54,18 +54,24 @@ def _tfidf_score_expr() -> str:
     )
 
 
-def _bm25_score_expr(k1: float, b: float) -> str:
-    """Shared Spark/DuckDB text; reads columns tf, df, dl, __n, __sdl."""
+def _bm25_term_expr(k1: float, b: float) -> str:
+    """One term's unrounded BM25 contribution; shared Spark/DuckDB
+    text; reads columns tf, df, dl, __n, __sdl."""
     nd = "CAST(__n AS DOUBLE)"
     dfd = "CAST(df AS DOUBLE)"
     tfd = "CAST(tf AS DOUBLE)"
     dld = "CAST(dl AS DOUBLE)"
     avgdl = "(CAST(__sdl AS DOUBLE) / CAST(__n AS DOUBLE))"
     return (
-        f"ROUND(LN(1.0 + ({nd} - {dfd} + 0.5) / ({dfd} + 0.5)) * "
+        f"LN(1.0 + ({nd} - {dfd} + 0.5) / ({dfd} + 0.5)) * "
         f"({tfd} * ({k1!r} + 1.0)) / "
-        f"({tfd} + {k1!r} * (1.0 - {b!r} + {b!r} * {dld} / {avgdl})), 6)"
+        f"({tfd} + {k1!r} * (1.0 - {b!r} + {b!r} * {dld} / {avgdl}))"
     )
+
+
+def _bm25_score_expr(k1: float, b: float) -> str:
+    """Shared Spark/DuckDB text; reads columns tf, df, dl, __n, __sdl."""
+    return f"ROUND({_bm25_term_expr(k1, b)}, 6)"
 
 
 def _term_freqs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -269,4 +275,74 @@ def perplexity_buckets_oracle_sql(table: str = "documents",
 SELECT {id_col}, n_bigrams, h_bits, {_BUCKET_CASE} AS bucket
 FROM (SELECT lm.*, NTILE(3) OVER (ORDER BY h_bits, {id_col}) AS __nt
       FROM ({lm}) lm) q
+"""
+
+
+def bm25_query(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Multi-term BM25 search: score = sum of per-term BM25
+    contributions over the query's distinct whitespace tokens
+    (Robertson TREC-3 — a document matching several query terms
+    outranks single-term matches), global top-k.
+
+    Scale shape: the query's distinct terms enter as LITERALS (IN
+    filter pushed to the tf frame — at 10^12 docs the posting lists
+    of the query terms are the only rows that move), one groupBy on
+    the doc id sums the contributions, and the global top-k is the
+    salted two-phase exact form. Rounding happens once, on the summed
+    score (the lm aggregate-float discipline).
+    Output: (id_col, n_hit_terms, score, rank).
+    """
+    terms = sorted({t for t in query.split() if t})
+    if not terms:
+        raise ValueError("query has no tokens")
+    lit = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tf = _term_freqs(docs, text_col, id_col).where(f"term IN ({lit})")
+    all_tf = _term_freqs(docs, text_col, id_col)
+    dl = all_tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__sdl"))
+    dfq = all_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
+        f"term IN ({lit})")
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(id_col, "term", f"{_bm25_term_expr(k1, b)} AS __s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+             F.expr("ROUND(SUM(__s), 6)").alias("score"))
+    )
+    return _salted_topk(scored, [], [F.desc("score"), F.asc(id_col)], k,
+                        salt_on=[id_col], n_salt=n_salt)
+
+
+def bm25_query_oracle_sql(query: str, table: str = "documents",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          k: int = 10, k1: float = 1.2,
+                          b: float = 0.75) -> str:
+    terms = sorted({t for t in query.split() if t})
+    lit = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH {_tf_ctes(table, text_col, id_col)},
+dl AS (SELECT {id_col}, SUM(tf) AS dl FROM tf0 GROUP BY 1),
+stats AS (SELECT COUNT(*) AS __n, SUM(dl) AS __sdl FROM dl),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf0 GROUP BY 1),
+s AS (SELECT tf0.{id_col}, COUNT(*) AS n_hit_terms,
+             ROUND(SUM({_bm25_term_expr(k1, b)}), 6) AS score
+      FROM tf0 JOIN dfq USING (term) JOIN dl USING ({id_col})
+      CROSS JOIN stats
+      WHERE term IN ({lit}) GROUP BY 1),
+r AS (SELECT {id_col}, CAST(n_hit_terms AS BIGINT) AS n_hit_terms, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, {id_col}) AS rank
+      FROM s)
+SELECT {id_col}, n_hit_terms, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
 """
