@@ -738,6 +738,23 @@ def _q_ann_topk(spark, sf):
     return out.withColumn("sim_rank", F.col("sim_rank").cast("long"))
 
 
+def _q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): deterministic coarse k-means
+    (16 centroids, seed 42) over the doubled corpus (originals + exact
+    0.5x-scaled copies — power-of-2 scaling is float-exact, so each
+    copy shares its original's normalized vector, cluster, and cosine
+    exactly 1.0), in-cluster fold-cosine pairs >= 0.98, CC, keeper =
+    LOWEST centroid-cosine per component (the paper's
+    least-prototypical rule). Fully replayed in DuckDB."""
+    emb = _emb(spark, sf).select("vec_id", "embedding")
+    dups = emb.selectExpr(
+        "vec_id + 100000 AS vec_id",
+        "TRANSFORM(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) "
+        "AS embedding")
+    return S.semdedup(emb.unionByName(dups), threshold=0.98,
+                      num_centroids=16)
+
+
 def _q_embedding_dups(spark, sf):
     """Near-dup pairs at the real 0.98 threshold over the fixture PLUS
     injected deterministic duplicates (exact 0.5x scaled copies at
@@ -4357,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "semdedup": _q_semdedup,
         "ann_ivfpq_exact": _q_ann_ivfpq_exact,
         "pq_codes": _q_pq_codes,
         "ann_ivfpq": _q_ann_ivfpq,
@@ -11682,40 +11700,49 @@ def _r5c_oracles() -> dict[str, str]:
     dfold = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
              "list_transform(range(1, 65), j -> {a}[j] * {b}[j])), "
              "(a, b) -> a + b)")
-    ivf_parts = [
-        "e64 AS MATERIALIZED (SELECT vec_id, "
-        "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ev "
-        "FROM embeddings)",
-        "nall AS MATERIALIZED (SELECT vec_id, list_transform(ev, "
-        f"x -> x / GREATEST({nfold.format(v='ev')}, 1e-12)) AS nv FROM e64)",
-        # sample rank (n_sample = 16*64 = 1024 >= corpus, so all rows)
-        "smp AS MATERIALIZED (SELECT vec_id, nv, ROW_NUMBER() OVER "
-        "(ORDER BY MD5(CONCAT('42', ':', CAST(vec_id AS STRING)))) AS srk "
-        "FROM nall)",
-        "c0 AS MATERIALIZED (SELECT c, nv AS cv FROM (SELECT "
-        "ROW_NUMBER() OVER (ORDER BY MD5(CONCAT('43', ':', "
-        "CAST(vec_id AS STRING)))) - 1 AS c, nv FROM smp) WHERE c < 16)",
-    ]
-    for i in range(1, 6):
-        d = dfold.format(a="n.nv", b="c.cv")
-        ivf_parts.append(
-            f"asg{i} AS (SELECT srk, nv, c FROM (SELECT n.srk, n.nv, c.c, "
-            f"ROW_NUMBER() OVER (PARTITION BY n.srk ORDER BY ({d}) DESC, "
-            f"c.c) AS rk FROM smp n, c{i-1} c) WHERE rk = 1)",
-        )
-        ivf_parts.append(
-            f"up{i} AS (SELECT c, list_transform(vm, x -> x / "
-            f"GREATEST({nfold.format(v='vm')}, 1e-12)) AS cv FROM ("
-            f"SELECT c, list_transform(list_reduce(list_prepend("
-            "list_transform(range(1, 65), j -> CAST(0.0 AS DOUBLE)), "
-            "list(nv ORDER BY srk)), (a, v) -> list_transform(a, "
-            "(x, j) -> x + v[j])), x -> x / CAST(COUNT(*) AS DOUBLE)) AS vm "
-            f"FROM asg{i} GROUP BY c))",
-        )
-        ivf_parts.append(
-            f"c{i} AS MATERIALIZED (SELECT p.c, COALESCE(u.cv, p.cv) AS cv "
-            f"FROM c{i-1} p LEFT JOIN up{i} u ON u.c = p.c)",
-        )
+    def _ivf_trainer_parts(src: str) -> list[str]:
+        # the _coarse_centroids replay: MD5-permuted sample (first
+        # n_sample = 16*64 = 1024 rows — the srk filter is a no-op when
+        # the corpus is smaller), second-permutation init, five Lloyd
+        # rounds in strict fold order
+        parts = [
+            "e64 AS MATERIALIZED (SELECT vec_id, "
+            "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ev "
+            f"FROM {src})",
+            "nall AS MATERIALIZED (SELECT vec_id, list_transform(ev, "
+            f"x -> x / GREATEST({nfold.format(v='ev')}, 1e-12)) AS nv FROM e64)",
+            "smp AS MATERIALIZED (SELECT vec_id, nv, ROW_NUMBER() OVER "
+            "(ORDER BY MD5(CONCAT('42', ':', CAST(vec_id AS STRING)))) AS srk "
+            "FROM nall)",
+            "c0 AS MATERIALIZED (SELECT c, nv AS cv FROM (SELECT "
+            "ROW_NUMBER() OVER (ORDER BY MD5(CONCAT('43', ':', "
+            "CAST(vec_id AS STRING)))) - 1 AS c, nv FROM smp "
+            "WHERE srk <= 1024) WHERE c < 16)",
+        ]
+        for i in range(1, 6):
+            d = dfold.format(a="n.nv", b="c.cv")
+            parts.append(
+                f"asg{i} AS (SELECT srk, nv, c FROM (SELECT n.srk, n.nv, c.c, "
+                f"ROW_NUMBER() OVER (PARTITION BY n.srk ORDER BY ({d}) DESC, "
+                f"c.c) AS rk FROM smp n, c{i-1} c WHERE n.srk <= 1024) "
+                f"WHERE rk = 1)",
+            )
+            parts.append(
+                f"up{i} AS (SELECT c, list_transform(vm, x -> x / "
+                f"GREATEST({nfold.format(v='vm')}, 1e-12)) AS cv FROM ("
+                f"SELECT c, list_transform(list_reduce(list_prepend("
+                "list_transform(range(1, 65), j -> CAST(0.0 AS DOUBLE)), "
+                "list(nv ORDER BY srk)), (a, v) -> list_transform(a, "
+                "(x, j) -> x + v[j])), x -> x / CAST(COUNT(*) AS DOUBLE)) AS vm "
+                f"FROM asg{i} GROUP BY c))",
+            )
+            parts.append(
+                f"c{i} AS MATERIALIZED (SELECT p.c, COALESCE(u.cv, p.cv) AS cv "
+                f"FROM c{i-1} p LEFT JOIN up{i} u ON u.c = p.c)",
+            )
+        return parts
+
+    ivf_parts = _ivf_trainer_parts("embeddings")
     da = dfold.format(a="n.nv", b="c.cv")
     ivf_parts += [
         "tasg AS MATERIALIZED (SELECT vec_id AS target_id, c FROM (SELECT "
@@ -11740,6 +11767,48 @@ def _r5c_oracles() -> dict[str, str]:
         "WITH " + ", ".join(ivf_parts) +
         " SELECT query_id, target_id, cosine, "
         "CAST(sim_rank AS BIGINT) AS sim_rank FROM ir WHERE sim_rank <= 10"
+    )
+
+    # ---- semdedup: SemDeDup (Abbas et al. 2023) — the same trainer
+    # chain over the doubled corpus (originals + exact 0.5x-scaled
+    # copies), n_probe=1 assignment WITH the fold sim, in-cluster
+    # pairwise fold cosine >= 0.98, recursive-CTE CC, keeper = lowest
+    # ROUND(cent_sim, 6) per component (ties by id).
+    da2 = dfold.format(a="n.nv", b="c.cv")
+    sem_parts = [
+        "corp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 100000 AS vec_id, "
+        "list_transform(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) "
+        "AS FLOAT)) AS embedding FROM embeddings)",
+    ] + _ivf_trainer_parts("corp") + [
+        f"vasg AS MATERIALIZED (SELECT vec_id AS id, c, s FROM (SELECT "
+        f"n.vec_id, c.c, ({da2}) AS s, ROW_NUMBER() OVER (PARTITION BY "
+        f"n.vec_id ORDER BY ({da2}) DESC, c.c) AS rk FROM nall n, c5 c) "
+        f"WHERE rk = 1)",
+        "sprs AS (SELECT a.id AS id_a, b.id AS id_b FROM vasg a "
+        "JOIN vasg b ON a.c = b.c WHERE a.id < b.id)",
+        "sqv AS (SELECT vec_id AS id_a, embedding AS qv FROM corp)",
+        "stv AS (SELECT vec_id AS id_b, embedding AS tv FROM corp)",
+        f"sdup AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, "
+        f"({dot_l}) / (({nq_l}) * ({nt_l})) AS cosine "
+        f"FROM sprs JOIN sqv USING (id_a) JOIN stv USING (id_b)) "
+        f"WHERE cosine >= 0.98)",
+        "edges AS (SELECT id_a AS a, id_b AS b FROM sdup "
+        "UNION SELECT id_b, id_a FROM sdup)",
+        "reach(id, r) AS (SELECT a, a FROM edges "
+        "UNION SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)",
+        "comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)",
+        "verd AS (SELECT v.id, v.c, v.s, COALESCE(p.comp, v.id) AS cluster_id "
+        "FROM vasg v LEFT JOIN comp p ON p.id = v.id)",
+        "rked AS (SELECT id, c, s, cluster_id, ROW_NUMBER() OVER ("
+        "PARTITION BY cluster_id ORDER BY ROUND(s, 6), id) AS kr FROM verd)",
+    ]
+    ret["semdedup"] = (
+        "WITH RECURSIVE " + ", ".join(sem_parts) +
+        " SELECT id AS vec_id, CAST(c AS INT) AS centroid, "
+        "ROUND(s, 6) AS cent_sim, cluster_id, "
+        "CAST(CASE WHEN kr = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_kept "
+        "FROM rked"
     )
 
     # ---- pq_codes: the PQ encode stage of IVF-PQ is the same

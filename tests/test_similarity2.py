@@ -236,3 +236,41 @@ def test_pq_compression_shape(spark, emb):
         return err / len(rows)
 
     assert recon_err(16, 16) < recon_err(4, 16)
+
+
+class TestSemDedup:
+    def test_planted_duplicates_and_keeper_rule(self, spark):
+        import numpy as np
+
+        from whitebox_tools_spark.operators.similarity import semdedup
+
+        rng = np.random.RandomState(5)
+        base = [(i, [float(np.float32(v)) for v in rng.randn(64)])
+                for i in range(120)]
+        dups = [(i + 1000, [x * 0.5 for x in vec]) for i, vec in base
+                if i % 3 == 0]
+        emb = spark.createDataFrame(
+            base + dups, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in
+               semdedup(emb, threshold=0.98, num_centroids=8).collect()}
+        # totality: one verdict per input vector
+        assert len(out) == len(base) + len(dups)
+        for i, _ in base:
+            if i % 3 == 0:
+                a, b = out[i], out[i + 1000]
+                # the exact scaled copy shares the cluster/component...
+                assert a["cluster_id"] == b["cluster_id"] == min(i, i + 1000)
+                assert a["centroid"] == b["centroid"]
+                # ...and exactly one of the two survives
+                assert a["is_kept"] + b["is_kept"] == 1
+            else:
+                # random gaussians are mutually far: singleton, kept
+                assert out[i]["cluster_id"] == i and out[i]["is_kept"] == 1
+        # keeper = lowest (rounded cent_sim, id) within each component
+        comps = {}
+        for r in out.values():
+            comps.setdefault(r["cluster_id"], []).append(r)
+        for members in comps.values():
+            best = min(members, key=lambda r: (r["cent_sim"], r["vec_id"]))
+            for r in members:
+                assert r["is_kept"] == (1 if r is best else 0)

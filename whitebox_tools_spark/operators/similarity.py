@@ -357,16 +357,23 @@ def _coarse_centroids(targets: DataFrame, num_centroids: int, dim: int,
 
 
 def _assign_centroids(df: DataFrame, cent_bc, n_probe: int, id_col: str,
-                      vec_col: str, out_prefix: str) -> DataFrame:
+                      vec_col: str, out_prefix: str,
+                      emit_sim: bool = False) -> DataFrame:
     """mapInPandas BLAS pass: nearest n_probe centroid ids per vector.
 
     Emits ONLY (id, centroid) keys — the n_probe fan-out of the full
     float vector would dominate the inverted-list shuffle at corpus
-    scale; callers re-attach vectors to the surviving candidate pairs."""
-    schema = StructType([
+    scale; callers re-attach vectors to the surviving candidate pairs.
+    emit_sim=True adds the fold-order cosine to the assigned centroid
+    (normalized-vector dot — the same double the DuckDB replay's dfold
+    text produces), used by semdedup's keeper rule."""
+    fields = [
         StructField(f"{out_prefix}_id", LongType(), False),
         StructField("centroid", IntegerType(), False),
-    ])
+    ]
+    if emit_sim:
+        fields.append(StructField("cent_sim", DoubleType(), False))
+    schema = StructType(fields)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cent = cent_bc.value
@@ -385,10 +392,13 @@ def _assign_centroids(df: DataFrame, cent_bc, n_probe: int, id_col: str,
                 top = np.argmax(sims, axis=1)[:, None]
             else:
                 top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-            yield pd.DataFrame({
+            out = {
                 f"{out_prefix}_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), n_probe),
                 "centroid": top.reshape(-1).astype(np.int32),
-            })
+            }
+            if emit_sim:
+                out["cent_sim"] = np.take_along_axis(sims, top, axis=1).reshape(-1)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
@@ -699,3 +709,72 @@ def ann_topk_ivfpq(
                                                "target_id")
     return exact.withColumn("sim_rank", F.row_number().over(w)) \
                 .where(F.col("sim_rank") <= k)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    num_centroids: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus
+    with the deterministic coarse k-means, find near-duplicate pairs
+    WITHIN each cluster (exact fold-order cosine >= threshold), connect
+    them into components, and keep ONE example per component — the
+    paper's rule: the example with the LOWEST cosine to its cluster
+    centroid (the least prototypical survives, preserving diversity).
+
+    Scale shape: the trainer sees only an MD5-permuted bounded sample;
+    assignment is one Arrow BLAS pass emitting (id, centroid, sim)
+    keys; candidate pairs form by a self-equi-join on the centroid id
+    (in-cluster only — with ~sqrt(n) auto-sized centroids a cluster
+    holds ~sqrt(n) vectors, so pair mass is ~n^1.5 worst-case and AQE
+    skew-splits hot clusters; the paper's config makes clusters O(1));
+    the CC runs only over ids that appear in a dup pair
+    (dedup.cluster_pairs). Every discrete decision replays in DuckDB
+    (the ann_ivf trainer chain + the fold-cosine text), so the op is
+    oracle-gated bit-exact.
+
+    Output: (id_col, centroid, cent_sim ROUND 6, cluster_id, is_kept).
+    """
+    from .dedup import cluster_pairs
+
+    n_corpus = None
+    if num_centroids is None:
+        n_corpus = embeddings.count()
+        num_centroids = _auto_centroids(n_corpus)
+    cent = _coarse_centroids(embeddings, num_centroids, dim, id_col, vec_col,
+                             seed, corpus_n=n_corpus)
+    bc = embeddings.sparkSession.sparkContext.broadcast(cent)
+    asg = _assign_centroids(embeddings, bc, 1, id_col, vec_col, "v",
+                            emit_sim=True).localCheckpoint(eager=True)
+    pairs = (
+        asg.selectExpr("v_id AS id_a", "centroid")
+        .join(asg.selectExpr("v_id AS id_b", "centroid"), "centroid")
+        .where("id_a < id_b")
+        .select("id_a", "id_b")
+    )
+    va = embeddings.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS av")
+    vb = embeddings.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS bv")
+    dups = (
+        pairs.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", _cosine_fold_udf("av", "bv").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    ids = embeddings.select(id_col)
+    comp = cluster_pairs(ids, dups, id_col=id_col).select(
+        F.col(id_col).alias("v_id"), "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.expr("ROUND(cent_sim, 6)"), F.col("v_id"))
+    return (
+        asg.join(comp, "v_id")
+        .withColumn("is_kept",
+                    (F.row_number().over(w) == 1).cast("bigint"))
+        .selectExpr(f"v_id AS {id_col}", "CAST(centroid AS INT) AS centroid",
+                    "ROUND(cent_sim, 6) AS cent_sim", "cluster_id", "is_kept")
+    )
