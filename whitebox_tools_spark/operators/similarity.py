@@ -719,6 +719,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    exact_cosine: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the corpus
@@ -738,6 +739,11 @@ def semdedup(
     (dedup.cluster_pairs). Every discrete decision replays in DuckDB
     (the ann_ivf trainer chain + the fold-cosine text), so the op is
     oracle-gated bit-exact.
+
+    exact_cosine=False swaps the strict fold cosine for the BLAS
+    einsum UDF on the pair-scoring stage — ~2x faster end-to-end and
+    identical verdicts unless a pair sits within ~1e-12 of the
+    threshold; the oracle-gated registry query keeps the exact fold.
 
     Output: (id_col, centroid, cent_sim ROUND 6, cluster_id, is_kept).
     """
@@ -762,7 +768,9 @@ def semdedup(
     vb = embeddings.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS bv")
     dups = (
         pairs.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", _cosine_fold_udf("av", "bv").alias("cosine"))
+        .select("id_a", "id_b",
+                (_cosine_fold_udf if exact_cosine else _cosine_udf)(
+                    "av", "bv").alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
