@@ -488,8 +488,14 @@ def cell_compact(cells: DataFrame, cell_col: str = "cell_id",
     """
     gc = list(group_cols or [])
     finals = None
-    cur = cells.selectExpr(*gc,
-                           f"CAST({cell_col} AS BIGINT) AS cell_id").distinct()
+    # each round's frontier is PINNED (localCheckpoint, the bpe_train
+    # pattern): the per-level output branches of the final union all
+    # reference their frontier — without the pin every branch re-derives
+    # the whole collapse prefix from the leaf scan (L+1 redundant input
+    # scans; the round-1 plan audit showed 122 exchanges at levels=6).
+    # Pinned frames total ~1.33x the leaf count (4x decay per round).
+    cur = (cells.selectExpr(*gc, f"CAST({cell_col} AS BIGINT) AS cell_id")
+           .distinct().localCheckpoint(eager=True))
     for lvl in range(levels, 0, -1):
         par = (cur.groupBy(*gc, F.expr("cell_id DIV 4").alias("__p"))
                .agg(F.count(F.lit(1)).alias("__n")))
@@ -498,7 +504,8 @@ def cell_compact(cells: DataFrame, cell_col: str = "cell_id",
                 .join(comp, gc + ["__p"], "left_anti")
                 .select(*gc, "cell_id", F.lit(lvl).cast("int").alias("level")))
         finals = done if finals is None else finals.unionByName(done)
-        cur = comp.selectExpr(*gc, "__p AS cell_id")
+        cur = (comp.selectExpr(*gc, "__p AS cell_id")
+               .localCheckpoint(eager=True))
     root = cur.select(*gc, "cell_id", F.lit(0).cast("int").alias("level"))
     return root if finals is None else finals.unionByName(root)
 
