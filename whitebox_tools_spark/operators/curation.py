@@ -1476,11 +1476,12 @@ def dsir_weights(
     p/q add-one-smoothed bucket frequencies fitted on the target
     subset (rows matching `target_pred`) and the whole corpus.
 
-    Scale shape: one gram explode + groupBy (id, bucket); BOTH models
+    Scale shape: one gram explode + groupBy (id, bucket) — lazy, the
+    three consumers share the shuffle via ReusedExchange; BOTH models
     reduce that frame to <= 65,536 rows -> broadcast joins (the model
     side never shuffles the corpus); totals ride as broadcast 1-row
-    frames — one action end-to-end, no driver collect. Docs with no
-    tokens are omitted (no grams — the lm contract).
+    frames — no driver collect anywhere. Docs with no tokens are
+    omitted (no grams — the lm contract).
 
     Output: (id_col, n_grams, log_w) with log_w = ROUND(sum, 4) per
     the aggregate-float discipline.
@@ -1492,6 +1493,9 @@ def dsir_weights(
         .where("__g <> ''")
     )
     bucket = T.token_hash16_expr("__g", duck=False)
+    # db feeds three consumers; left lazy — the identical shuffle
+    # subtree is deduplicated by ReusedExchange (a pin measured slower
+    # on the corpus-sized twin frames in retrieval.py)
     db = (g.selectExpr(id_col, f"{bucket} AS __b")
           .groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("dc")))
     tcf = db.where(target_pred).groupBy("__b").agg(F.sum("dc").alias("__tc"))

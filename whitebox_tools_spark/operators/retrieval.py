@@ -13,11 +13,14 @@ Public references:
   perplexity terciles and training recipes sample per bucket.
 
 Scale shape (10^12 docs):
-- term frequencies are ONE explode + groupBy (doc_id, term) —
-  map-side-partial friendly; document frequencies reduce that frame
-  again by term. Corpus scalars (N, sum(dl)) ride as a broadcast 1-row
-  frame (the lm_bigram_scores pattern) — the whole op stays one action,
-  no driver collect.
+- term frequencies are ONE explode + groupBy (doc_id, term); the frame
+  feeds 3 consumers but stays LAZY — the identical shuffle subtree is
+  deduplicated by Spark's ReusedExchange, so the corpus explode runs
+  once (a localCheckpoint pin measured 1.4-2.5x slower at 16M docs —
+  materializing the ~200M-row frame costs more than reuse saves).
+  Document frequencies reduce that frame again by term. Corpus scalars
+  (N, sum(dl)) ride as a broadcast 1-row frame (the lm_bigram_scores
+  pattern) — no driver collect anywhere.
 - tfidf's top-k window is PARTITIONED BY doc_id: millions of tiny
   partitions, never a global sort.
 - bm25 joins only the posting lists of the Q query terms (Q-row frame,
@@ -121,6 +124,13 @@ def tfidf_top_terms(
     ranges over). Ties in the rounded score break on term ASC.
     Output: (id_col, term, tf, df, tfidf, rank).
     """
+    # the tf frame feeds three consumers (df reduction, the N scalar,
+    # the score join) — left LAZY on purpose: the three consumers share
+    # one identical (doc_id, term) shuffle subtree, which Spark
+    # deduplicates via ReusedExchange, so the corpus explode runs once
+    # anyway; a localCheckpoint pin here MEASURED 1.4-2.5x SLOWER at
+    # 16M docs (materializing the ~200M-row tf frame costs more than
+    # the reuse saves — BENCH/SCALING.md, fourteenth session)
     tf = _term_freqs(docs, text_col, id_col)
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = tf.agg(F.countDistinct(id_col).alias("__n"))
@@ -305,8 +315,8 @@ def bm25_query(
     if not terms:
         raise ValueError("query has no tokens")
     lit = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-    tf = _term_freqs(docs, text_col, id_col).where(f"term IN ({lit})")
     all_tf = _term_freqs(docs, text_col, id_col)
+    tf = all_tf.where(f"term IN ({lit})")
     dl = all_tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__sdl"))
     dfq = all_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
