@@ -143,6 +143,7 @@ _META100 = GridMeta(rows=100, columns=100, north=1000.0, south=0.0, east=1000.0,
 _META40F = GridMeta(rows=40, columns=40, north=1000.0, south=600.0, east=400.0,
                     west=0.0, resolution_x=10.0, resolution_y=10.0)
 _KNN_RADIUS = 60.0
+_EXTENT_AREA = (_EXTENT[1] - _EXTENT[0]) * (_EXTENT[3] - _EXTENT[2])
 
 # (polygon_id, shells, holes) — pairwise-disjoint layer: pentagon,
 # square-with-hole, sliver triangle.
@@ -391,21 +392,27 @@ def _q_pip_erase(spark, sf):
 
 
 def _q_knn_join(spark, sf):
+    # radius is the search-bin parameter only (ring-guaranteed exact at
+    # any value); derive it from target density (WBT's own heuristic)
+    # instead of a fixture-tuned constant — 810 candidates/bin at sf0.1
+    # density under the old radius=25 vs ~36 at the derived ~12.6, and
+    # the derivation tracks any driver scale factor (r06 optimization).
     pts = _points(spark, sf)
     q = pts.where("record_num % 37 = 0").selectExpr("record_num AS query_id", "x", "y")
     t = pts.selectExpr("record_num AS target_id", "x", "y")
-    return K.knn_join_exact(q, t, k=4, radius=25.0, qid="query_id", tid="target_id")
+    radius = K.wbt_default_radius(_EXTENT_AREA, pts.count())
+    return K.knn_join_exact(q, t, k=4, radius=radius, qid="query_id", tid="target_id")
 
 
 def _q_nn_gridding(spark, sf):
     return K.nearest_neighbour_gridding(
-        _points(spark, sf), _META40, exact=True, radius=_KNN_RADIUS
+        _points(spark, sf), _META40, exact=True, extent_area=_EXTENT_AREA
     )
 
 
 def _q_idw(spark, sf):
     return K.idw_interpolation(
-        _points(spark, sf), _META40, k=4, weight=2.0, radius=_KNN_RADIUS
+        _points(spark, sf), _META40, k=4, weight=2.0, extent_area=_EXTENT_AREA
     )
 
 

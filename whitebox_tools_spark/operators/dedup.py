@@ -338,7 +338,13 @@ def cluster_pairs(ids: DataFrame, pairs: DataFrame,
     """
     from .clump import connected_components
 
-    edges = pairs.selectExpr("id_a AS a", "id_b AS b")
+    # pin the (tiny — dup mass only) edge list ONCE: both downstream
+    # consumers (the symmetrized edge set inside connected_components
+    # and the touched-id node list) otherwise re-execute the ENTIRE
+    # upstream pair pipeline — shingles, signatures, band join, verify —
+    # one full extra time each (r06 optimization; same rows, one pass).
+    edges = pairs.selectExpr("id_a AS a", "id_b AS b") \
+        .localCheckpoint(eager=True)
     touched = edges.selectExpr("a AS id").unionByName(
         edges.selectExpr("b AS id")).distinct()
     comp = connected_components(touched, edges)

@@ -375,6 +375,7 @@ def nearest_neighbour_gridding(
     point_id: str = "record_num",
     exact: bool = True,
     radius: float | None = None,
+    extent_area: float | None = None,
 ) -> DataFrame:
     """Grid each cell with the value of its nearest point.
 
@@ -382,14 +383,25 @@ def nearest_neighbour_gridding(
     approximate early-stop search (fixture parity).
     Output: (row, col, value) — cells farther than max_dist get no row
     (WBT writes nodata; callers materialize the sentinel on write).
+
+    radius sets ONLY the search-bin size (results are exact for any
+    value — the ring guarantee proves the k-th neighbour). radius=None
+    derives it from point density with WBT's own heuristic, which is
+    the scale-correct default: a pinned radius tuned to one fixture
+    over- or under-bins every other density. extent_area short-circuits
+    the min/max extent aggregation when the caller knows the bounds
+    (one COUNT scan instead of a 5-aggregate pass).
     """
     spark = points.sparkSession
     if radius is None:
-        ext = points.agg(
-            F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))
-        ).collect()[0]
-        area = (ext[1] - ext[0]) * (ext[3] - ext[2])
-        radius = wbt_default_radius(area, ext[4])
+        if extent_area is not None:
+            radius = wbt_default_radius(extent_area, points.count())
+        else:
+            ext = points.agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))
+            ).collect()[0]
+            area = (ext[1] - ext[0]) * (ext[3] - ext[2])
+            radius = wbt_default_radius(area, ext[4])
     cells = grid_cells_df(spark, meta)
     if exact:
         # value rides the join as carry payload; row/col re-derive from
@@ -425,6 +437,7 @@ def idw_interpolation(
     value_col: str = "value",
     point_id: str = "record_num",
     radius: float | None = None,
+    extent_area: float | None = None,
 ) -> DataFrame:
     """IDW gridding (idw_interpolation.rs:445-630 semantics): value =
     sum(v / d^w) / sum(1 / d^w) over the k nearest points.
@@ -432,12 +445,19 @@ def idw_interpolation(
     The two sums are accumulated in (dist2, tid) order on BOTH engines
     (deterministic float summation for oracle parity): neighbors are
     collected, sorted, then folded sequentially with F.aggregate.
+
+    radius is a pure search-bin parameter (exactness is ring-guaranteed
+    at any value); None derives it from density — see
+    nearest_neighbour_gridding for the extent_area short-circuit.
     """
     spark = points.sparkSession
     if radius is None:
-        ext = points.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))).collect()[0]
-        area = (ext[1] - ext[0]) * (ext[3] - ext[2])
-        radius = wbt_default_radius(area, ext[4])
+        if extent_area is not None:
+            radius = wbt_default_radius(extent_area, points.count())
+        else:
+            ext = points.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))).collect()[0]
+            area = (ext[1] - ext[0]) * (ext[3] - ext[2])
+            radius = wbt_default_radius(area, ext[4])
     cells = grid_cells_df(spark, meta)
     pts = points.withColumn("v", F.col(value_col))
     # v rides the kNN join as carry payload (no re-attach join by id);

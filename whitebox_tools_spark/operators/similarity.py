@@ -641,10 +641,38 @@ def ann_topk_ivfpq(
                          iters=pq_iters, corpus_n=n_corpus)
     books_bc = spark.sparkContext.broadcast(books)
 
-    t_assign = _assign_centroids(targets, cent_bc, 1, id_col, vec_col,
-                                 "target")
-    t_codes = pq_encode(targets, books_bc, m, id_col, vec_col, "target_id")
-    lists = t_assign.join(t_codes, "target_id")  # (target_id, centroid, codes)
+    # ONE Arrow pass over the corpus computes both the inverted-list
+    # assignment and the PQ codes (both are pure per-row functions of
+    # the vector and the broadcast models) — formerly two full corpus
+    # mapInPandas passes re-joined on target_id, i.e. one extra corpus
+    # read + one corpus-sized shuffle join, both pure overhead at any
+    # scale (r06 optimization; outputs bit-identical by construction).
+    list_fields = [
+        StructField("target_id", LongType(), False),
+        StructField("centroid", IntegerType(), False),
+    ] + [StructField(f"code_{s}", IntegerType(), False) for s in range(m)]
+    list_schema = StructType(list_fields)
+
+    def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent_v = cent_bc.value
+        books_v = books_bc.value
+        msub, _, dsub = books_v.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.maximum(_fold_norms(mat), 1e-12)[:, None]
+            out = {"target_id": pdf[id_col].to_numpy(dtype=np.int64),
+                   "centroid": np.argmax(_fold_dots(mat, cent_v),
+                                         axis=1).astype(np.int32)}
+            for s in range(msub):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                out[f"code_{s}"] = np.argmin(
+                    _fold_sub_dists(sub, books_v[s]), axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    lists = targets.select(id_col, vec_col).mapInPandas(
+        assign_encode, schema=list_schema)  # (target_id, centroid, codes)
     q_assign = _assign_centroids(queries, cent_bc, n_probe, id_col, vec_col,
                                  "query")
 

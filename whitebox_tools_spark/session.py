@@ -29,6 +29,20 @@ _DEFAULTS = {
     # existing Spark 4 session will have, so the library sees the strict
     # mode in its own tests instead of masking traps.
     "spark.sql.ansi.enabled": "true",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull(arr)`
+    # below every EXPLODE. When the array is a computed expression (tokenize/
+    # shingle/bigram TRANSFORMs — every text operator here), the inferred
+    # filter re-evaluates that whole expression twice per row, and predicate
+    # pushdown then moves it below the repartition exchange so it runs on the
+    # (narrow) pre-spread partitions. It can never reach parquet PushedFilters
+    # (non-atomic expression), so it has no skipping benefit at any scale —
+    # measured 2.3x on the bigram-LM scorer (OPTIMIZATION_r06.md §lm_score).
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    # Allow shuffled-hash joins where a side's per-partition build fits
+    # (guide §3.1): no sort on either side. Spills are the risk at scale;
+    # every join key here is a short hash/int key with AQE skew-split on.
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
