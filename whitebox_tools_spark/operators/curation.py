@@ -1094,19 +1094,25 @@ def lm_bigram_scores(
     """
     s_toks = T.tokens_expr(text_col)[0]
     toks = docs.selectExpr(id_col, f"{s_toks} AS __t")
+    bs_expr = ("TRANSFORM(SLICE(__t, 1, SIZE(__t) - 1), "
+               "(w, i) -> STRUCT(w AS w1, ELEMENT_AT(__t, i + 2) AS w2)) "
+               "AS __bs")
     big = (
-        toks.selectExpr(
-            id_col,
-            "TRANSFORM(SLICE(__t, 1, SIZE(__t) - 1), "
-            "(w, i) -> STRUCT(w AS w1, ELEMENT_AT(__t, i + 2) AS w2)) AS __bs",
-        )
+        toks.selectExpr(id_col, bs_expr)
         .select(id_col, F.explode("__bs").alias("__b"))
         .groupBy(id_col, "__b")
         .agg(F.count(F.lit(1)).alias("__dc"))
     )
-    model = big.groupBy("__b").agg(F.sum("__dc").alias("__c12"))
-    prefix = model.groupBy(F.col("__b.w1").alias("__w1")).agg(
-        F.sum("__c12").alias("__c1"))
+    # r06 restructure: model/prefix aggregate straight off the bigram
+    # explode (map-side partial collapses to ~|bigram vocab| rows per
+    # task BEFORE the exchange) instead of re-keying the per-doc `big`
+    # frame — AQE in Spark 4.1 does not reuse the (doc, bigram)
+    # exchange across branches (event-log verified), so each re-key was
+    # a full extra corpus pass. All-integer counts: bit-equal results.
+    grams = toks.selectExpr(id_col, bs_expr).select(F.explode("__bs").alias("__b"))
+    model = grams.groupBy("__b").agg(F.count(F.lit(1)).alias("__c12"))
+    prefix = grams.groupBy(F.col("__b.w1").alias("__w1")).agg(
+        F.count(F.lit(1)).alias("__c1"))
     # vocabulary size rides along as a broadcast 1-row frame — no
     # driver collect, the whole op stays ONE action (resume-friendly)
     vocab = toks.select(F.explode("__t").alias("__w")).agg(

@@ -124,16 +124,26 @@ def tfidf_top_terms(
     ranges over). Ties in the rounded score break on term ASC.
     Output: (id_col, term, tf, df, tfidf, rank).
     """
-    # the tf frame feeds three consumers (df reduction, the N scalar,
-    # the score join) — left LAZY on purpose: the three consumers share
-    # one identical (doc_id, term) shuffle subtree, which Spark
-    # deduplicates via ReusedExchange, so the corpus explode runs once
-    # anyway; a localCheckpoint pin here MEASURED 1.4-2.5x SLOWER at
-    # 16M docs (materializing the ~200M-row tf frame costs more than
-    # the reuse saves — BENCH/SCALING.md, fourteenth session)
+    # r06 restructure: the df reduction and the N scalar no longer hang
+    # off the tf frame (AQE in Spark 4.1 does NOT reuse the (doc, term)
+    # exchange across the three branches — event-log verified: the
+    # partial-agg map stage executed once per consumer). Instead each
+    # branch aggregates map-side from the token arrays directly:
+    #   df(term)  = COUNT per term over EXPLODE(ARRAY_DISTINCT(tokens))
+    #               (one row per (doc, term) by construction — exactly
+    #               tf.groupBy(term).count, all-integer, bit-equal) and
+    #               the partial agg collapses to ~|vocab| rows per task
+    #               BEFORE the exchange — strictly less shuffle at any
+    #               scale than re-keying the corpus-sized tf frame;
+    #   N         = one count of docs with >= 1 non-empty token — a
+    #               scalar aggregate, zero exchange, zero explode.
+    toks = docs.selectExpr(
+        id_col, f"FILTER({T.tokens_expr(text_col)[0]}, t -> t <> '') AS __t"
+    ).where("SIZE(__t) > 0")
     tf = _term_freqs(docs, text_col, id_col)
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = tf.agg(F.countDistinct(id_col).alias("__n"))
+    dfq = toks.select(F.explode(F.array_distinct("__t")).alias("term")) \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.agg(F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         tf.join(dfq, "term")
@@ -165,10 +175,29 @@ def bm25_topk(
     identical double. Ties in the rounded score break on id ASC.
     Output: (term, id_col, tf, df, dl, score, rank).
     """
-    tf = _term_freqs(docs, text_col, id_col)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__sdl"))
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r06 restructure (same rows, all-integer bit-equal inputs):
+    #   dl  rides the tf frame as a per-row column — SIZE of the
+    #       non-empty token array IS sum(tf) per doc, so the former
+    #       corpus-sized dl aggregation + (doc_id) re-key join vanish;
+    #   N, sum(dl) reduce per-row from the token arrays (scalar agg,
+    #       zero exchange);
+    #   df  aggregates map-side from EXPLODE(ARRAY_DISTINCT(tokens))
+    #       (~|vocab| rows per task pre-exchange) instead of re-keying
+    #       the corpus-sized tf frame — AQE 4.1 does not reuse the
+    #       (doc, term) exchange across branches (event-log verified),
+    #       so each tf-derived branch was a full extra corpus pass.
+    toks = docs.selectExpr(
+        id_col, f"FILTER({T.tokens_expr(text_col)[0]}, t -> t <> '') AS __t"
+    ).where("SIZE(__t) > 0")
+    tf = (
+        toks.selectExpr(id_col, "SIZE(__t) AS dl", "EXPLODE(__t) AS term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = toks.agg(F.count(F.lit(1)).alias("__n"),
+                     F.sum(F.size("__t")).alias("__sdl"))
+    dfq = toks.select(F.explode(F.array_distinct("__t")).alias("term")) \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = (
         _salted_topk(dfq, [], [F.desc("df"), F.asc("term")],
                      n_query_terms, salt_on=["term"], n_salt=n_salt)
@@ -176,7 +205,6 @@ def bm25_topk(
     )
     cand = (
         tf.join(F.broadcast(qterms), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .selectExpr("term", id_col, "tf", "df", "dl",
                     f"{_bm25_score_expr(k1, b)} AS score")
@@ -314,16 +342,32 @@ def bm25_query(
     terms = sorted({t for t in query.split() if t})
     if not terms:
         raise ValueError("query has no tokens")
-    lit = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-    all_tf = _term_freqs(docs, text_col, id_col)
-    tf = all_tf.where(f"term IN ({lit})")
-    dl = all_tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__sdl"))
-    dfq = all_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
-        f"term IN ({lit})")
+    # escape for the Spark dialect: backslash is an escape character in
+    # Spark SQL literals (it is not in DuckDB), so a term ending in \
+    # would otherwise eat the closing quote (ADVICE r05)
+    lit = ", ".join(
+        "'" + t.replace("\\", "\\\\").replace("'", "''") + "'" for t in terms)
+    # r06 restructure — same shape change as bm25_topk (AQE 4.1 does not
+    # reuse the (doc, term) exchange across branches): dl rides tf as a
+    # per-row SIZE column, N/sum(dl) reduce per-row with zero exchange,
+    # df aggregates map-side from the distinct-token explode. The IN
+    # filter sits below the tf groupBy, so only query-term postings move.
+    toks = docs.selectExpr(
+        id_col, f"FILTER({T.tokens_expr(text_col)[0]}, t -> t <> '') AS __t"
+    ).where("SIZE(__t) > 0")
+    tf = (
+        toks.selectExpr(id_col, "SIZE(__t) AS dl", "EXPLODE(__t) AS term")
+        .where(f"term IN ({lit})")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = toks.agg(F.count(F.lit(1)).alias("__n"),
+                     F.sum(F.size("__t")).alias("__sdl"))
+    dfq = toks.select(F.explode(F.array_distinct("__t")).alias("term")) \
+        .where(f"term IN ({lit})") \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfq), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .selectExpr(id_col, "term", f"{_bm25_term_expr(k1, b)} AS __s")
         .groupBy(id_col)

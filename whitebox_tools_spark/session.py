@@ -43,6 +43,15 @@ _DEFAULTS = {
     # (guide §3.1): no sort on either side. Spills are the risk at scale;
     # every join key here is a short hash/int key with AQE skew-split on.
     "spark.sql.join.preferSortMergeJoin": "false",
+    # Always use the sort-based shuffle writer. The bypass-merge writer
+    # (default for <= 200 reduce partitions) opens one file PER reduce
+    # partition per map task — at 32 map tasks x 64 partitions that is
+    # 2048 file creations per shuffle, which dominates small/medium map
+    # stages (measured 2x on the term-frequency stage). Production jobs
+    # run with > 200 shuffle partitions where the bypass writer never
+    # applies, so this only changes the small-partition-count regime in
+    # the writer's favor.
+    "spark.shuffle.sort.bypassMergeThreshold": "0",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
