@@ -128,6 +128,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.table("embeddings"))
 
 
+def _emb_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doubled embedding corpus (originals + exact 0.5x-scaled
+    copies at vec_id + 100000) emitted from ONE scan via a 2-way
+    explode — the same rows the former unionByName(dups) build
+    produced, without the second scan and without doubling the
+    partition count (which doubled per-task Arrow latency in every
+    downstream Python stage — r06 optimization)."""
+    return _emb(spark, sf_dir).selectExpr(
+        "EXPLODE(ARRAY("
+        "  STRUCT(vec_id, embedding),"
+        "  STRUCT(vec_id + 100000 AS vec_id,"
+        "         TRANSFORM(embedding, x -> CAST(x * CAST(0.5 AS FLOAT)"
+        "                   AS FLOAT)) AS embedding)"
+        ")) AS s"
+    ).select("s.vec_id", "s.embedding")
+
+
 # ---------------------------------------------------------------------------
 # Fixed geometry / grids (constants shared by Spark plans and oracles)
 # ---------------------------------------------------------------------------
@@ -753,12 +770,7 @@ def _q_semdedup(spark, sf):
     exactly 1.0), in-cluster fold-cosine pairs >= 0.98, CC, keeper =
     LOWEST centroid-cosine per component (the paper's
     least-prototypical rule). Fully replayed in DuckDB."""
-    emb = _emb(spark, sf).select("vec_id", "embedding")
-    dups = emb.selectExpr(
-        "vec_id + 100000 AS vec_id",
-        "TRANSFORM(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) "
-        "AS embedding")
-    return S.semdedup(emb.unionByName(dups), threshold=0.98,
+    return S.semdedup(_emb_doubled(spark, sf), threshold=0.98,
                       num_centroids=16)
 
 
@@ -769,28 +781,22 @@ def _q_embedding_dups(spark, sf):
     copy lands in the identical sign-LSH bucket by construction and the
     banded plan has guaranteed recall on every true pair — the oracle
     join stays bit-exact with NO crossJoin in the Spark plan."""
-    emb = _emb(spark, sf).select("vec_id", "embedding")
-    dups = emb.selectExpr(
-        "vec_id + 100000 AS vec_id",
-        "TRANSFORM(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding",
-    )
+    # ONE scan emits both rows per vector (r06: the former
+    # emb.unionByName(scaled copy) doubled the scan AND the partition
+    # count, doubling per-task Python latency in the two Arrow stages;
+    # rows are identical by construction)
+    u = _emb_doubled(spark, sf)
     # num_planes ~ log2(n): keeps bucket occupancy O(1) so the verify
     # set stays near-linear (recall on the injected pairs is structural:
     # a positive-scalar copy matches every hyperplane sign, hamming 0)
-    return D.embedding_dup_pairs(emb.unionByName(dups), threshold=0.98,
-                                 num_planes=12)
+    return D.embedding_dup_pairs(u, threshold=0.98, num_planes=12)
 
 
 def _q_embedding_dup_clusters(spark, sf):
     """Canonical-keeper verdict per vector over the embedding_dups pair
     graph (same doubled input, same pairs — the LSH recall on this
     fixture is structural, so the closure is oracle-exact)."""
-    emb = _emb(spark, sf).select("vec_id", "embedding")
-    dups = emb.selectExpr(
-        "vec_id + 100000 AS vec_id",
-        "TRANSFORM(embedding, x -> CAST(x * CAST(0.5 AS FLOAT) AS FLOAT)) AS embedding",
-    )
-    u = emb.unionByName(dups)
+    u = _emb_doubled(spark, sf)  # one-scan doubled corpus (r06)
     pairs = D.embedding_dup_pairs(u, threshold=0.98, num_planes=12)
     return D.cluster_pairs(u.select("vec_id"), pairs, id_col="vec_id")
 
