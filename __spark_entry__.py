@@ -103,6 +103,10 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ras(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    # NOT _spread here (r06: measured): a blanket repartition taxes the
+    # ~25 cheap one-exchange queries ~0.15 s each for nothing; the ops
+    # with heavy pre-exchange map work spread internally instead
+    # (focal_pivotk, lidar._neighbor_pairs).
     _reg(spark, sf_dir, "events")
     return spark.sql(_RAS_A_SQL if which == "a" else _RAS_B_SQL)
 

@@ -441,6 +441,14 @@ def focal_pivotk(cells: DataFrame, size: int) -> DataFrame:
         f"STRUCT(row - ({n // size - mid}L) AS crow, col - ({n % size - mid}L) AS ccol, {n} AS n)"
         for n in range(size * size)
     )
+    # the k^2 scatter + partial pivot agg is the heavy map side of the
+    # one shuffle; spread a narrow (single-file fixture) scan so it does
+    # not run on 1-2 tasks (r06; no-op on real multi-split inputs, and
+    # only worth the extra exchange for kernels past 3x3)
+    if size >= 5:
+        par = cells.sparkSession.sparkContext.defaultParallelism
+        if cells.rdd.getNumPartitions() < par:
+            cells = cells.repartition(par)
     scattered = (
         cells.withColumn("__s", F.expr(f"EXPLODE(ARRAY({pairs}))"))
         .selectExpr("__s.crow AS row", "__s.ccol AS col", "__s.n AS n", "value AS nv")

@@ -676,15 +676,22 @@ def ann_topk_ivfpq(
     q_assign = _assign_centroids(queries, cent_bc, n_probe, id_col, vec_col,
                                  "query")
 
-    # ADC scoring: candidates carry codes only; the query's LUT is built
-    # per Arrow batch from its (broadcast) codebooks and its own vector,
-    # re-attached here once (queries are the small side of an ANN join).
+    # ADC scoring: candidates carry codes only. The query vectors reach
+    # the scorer as a SPARK BROADCAST keyed by query id (queries are the
+    # bounded small side of any ANN search) instead of a join that
+    # replicated the 64-float vector onto every candidate row — that
+    # join multiplied the Arrow transfer by the inverted-list length
+    # (guide §4: pass only the columns the function needs). Arithmetic
+    # is unchanged: the same normalized query row feeds the same strict
+    # fold, so approx scores are bit-identical.
     qv = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("queryv"))
+    qids_arr, qmat_arr = _collect_matrix(qv, "query_id", "queryv")
+    qvec_bc = spark.sparkContext.broadcast(
+        {int(i): qmat_arr[j] for j, i in enumerate(qids_arr)})
     cand = (
         q_assign.join(lists, "centroid")
         .where(F.col("query_id") != F.col("target_id"))
-        .join(qv, "query_id")
     )
     code_cols = [f"code_{s}" for s in range(m)]
     schema = StructType([
@@ -695,12 +702,15 @@ def ann_topk_ivfpq(
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         books_v = books_bc.value
+        qvecs = qvec_bc.value
         msub, ncod, dsub = books_v.shape
         for pdf in batches:
             if pdf.empty:
                 continue
-            qmat = np.array(list(pdf["queryv"]), dtype=np.float64)
-            qmat = qmat / np.maximum(_fold_norms(qmat), 1e-12)[:, None]
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            uq, inv = np.unique(qids, return_inverse=True)
+            qmat = np.stack([qvecs[int(q)] for q in uq])
+            qmat = (qmat / np.maximum(_fold_norms(qmat), 1e-12)[:, None])[inv]
             # approx = sum_s fold-dot(q_sub, codebook_s[code_s]); the
             # per-subspace gather keeps one strict fold per (row, s)
             approx = np.zeros(len(pdf))
@@ -712,12 +722,12 @@ def ann_topk_ivfpq(
                     acc += qsub[:, j] * cb[:, j]
                 approx += acc
             yield pd.DataFrame({
-                "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                "query_id": qids,
                 "target_id": pdf["target_id"].to_numpy(dtype=np.int64),
                 "approx": approx,
             })
 
-    scored = cand.select("query_id", "target_id", "queryv", *code_cols) \
+    scored = cand.select("query_id", "target_id", *code_cols) \
                  .mapInPandas(adc, schema=schema)
     ws = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
                                                 "target_id")
@@ -748,6 +758,7 @@ def semdedup(
     vec_col: str = "embedding",
     seed: int = 42,
     exact_cosine: bool = True,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the corpus
@@ -786,9 +797,21 @@ def semdedup(
     bc = embeddings.sparkSession.sparkContext.broadcast(cent)
     asg = _assign_centroids(embeddings, bc, 1, id_col, vec_col, "v",
                             emit_sim=True).localCheckpoint(eager=True)
+    # max_cluster_size: the hot-cluster cap (mirrors dedup's
+    # max_band_size / ngram max_block_size — r05 verdict ask #2): a
+    # cluster larger than the cap is EXCLUDED from pair generation (one
+    # extra count agg), so an adversarial near-dup-heavy corpus cannot
+    # go quadratic inside one cluster; its members keep singleton
+    # verdicts. None (the default, and the registered oracle query)
+    # keeps the exact candidate set.
+    pair_src = asg
+    if max_cluster_size is not None:
+        ok = asg.groupBy("centroid").agg(F.count(F.lit(1)).alias("__n")) \
+            .where(F.col("__n") <= max_cluster_size).select("centroid")
+        pair_src = asg.join(ok, "centroid", "leftsemi")
     pairs = (
-        asg.selectExpr("v_id AS id_a", "centroid")
-        .join(asg.selectExpr("v_id AS id_b", "centroid"), "centroid")
+        pair_src.selectExpr("v_id AS id_a", "centroid")
+        .join(pair_src.selectExpr("v_id AS id_b", "centroid"), "centroid")
         .where("id_a < id_b")
         .select("id_a", "id_b")
     )

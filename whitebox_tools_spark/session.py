@@ -52,6 +52,13 @@ _DEFAULTS = {
     # applies, so this only changes the small-partition-count regime in
     # the writer's favor.
     "spark.shuffle.sort.bypassMergeThreshold": "0",
+    # AQE coalescing floor: the 1m default collapses small grouped
+    # kernel inputs (per-tile Delaunay / marching-squares Python
+    # stages) into a SINGLE task — 1 MB of grouped raster cells is
+    # seconds of kernel work, so parallelism matters more than task
+    # count there. At production scale partitions are far above either
+    # floor, so this only changes the small-input regime.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

@@ -28,6 +28,26 @@ from pyspark.sql import functions as F
 
 from . import formats as FF
 
+# Driver-egress guard for the single-file fixture writers below (the
+# same convention as similarity._MAX_DRIVER_VECTORS and
+# pip_join.MAX_DRIVER_POLYGONS): these tools materialize one FILE's
+# points on the driver by design, and the cap turns a mis-aimed call at
+# a large table into a clear error instead of a driver OOM (r05 verdict
+# "What's wrong" #1). Directory-scale transcoding goes through the
+# fully distributed write_lidar_tiles path and never hits this.
+MAX_DRIVER_POINTS = 5_000_000
+
+
+def _collect_capped(df: DataFrame, what: str, cap: int | None = None):
+    cap = MAX_DRIVER_POINTS if cap is None else cap
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what} exceeds the {cap}-row single-file driver-egress cap; "
+            f"use the distributed per-tile writers (write_lidar_tiles) "
+            f"for directory-scale transcodes")
+    return rows
+
 # LasToAscii column order (las_to_ascii.rs:216-218, no-RGB layout; TIME
 # appended when the source carries GPS time, i.e. point format 1).
 _ASCII_COLS = ("x", "y", "z", "intensity", "classification",
@@ -51,8 +71,9 @@ def las_to_ascii(spark: SparkSession, las_path: str, csv_path: str,
     """Single-file LasToAscii: decode, order by point_id, write the
     .csv next to the source (fixture-scale driver write)."""
     pts = FF.read_las(spark, las_path)
-    lines = (las_points_to_ascii(pts, with_time=with_time)
-             .orderBy("source_file", "point_id").select("line").collect())
+    lines = _collect_capped(
+        las_points_to_ascii(pts, with_time=with_time)
+        .orderBy("source_file", "point_id").select("line"), "LasToAscii")
     header = _ASCII_HEADER + (",TIME" if with_time else "")
     with open(csv_path, "w") as f:
         f.write(header + "\n")
@@ -83,7 +104,8 @@ def ascii_to_las_points(spark: SparkSession, csv_path: str) -> DataFrame:
 def ascii_to_las(spark: SparkSession, csv_path: str, las_path: str,
                  fmt: int = 1) -> int:
     """Single-file AsciiToLas: parse and encode a LAS 1.2 file."""
-    pts = ascii_to_las_points(spark, csv_path).toPandas().to_dict("records")
+    pts = [r.asDict() for r in
+           _collect_capped(ascii_to_las_points(spark, csv_path), "AsciiToLas")]
     FF.write_las(pts, las_path, fmt=fmt)
     return len(pts)
 
@@ -101,7 +123,7 @@ def las_to_shapefile(spark: SparkSession, las_path: str,
                    "Z": float(r["z"]),
                    "INTENSITY": int(r["intensity"]),
                    "CLASS": int(r["classification"])}}
-        for i, r in enumerate(pts.collect())
+        for i, r in enumerate(_collect_capped(pts, "LasToShapefile"))
     ]
     FF.write_shapefile(feats, shp_path, shape_type=1)
     return len(feats)
@@ -114,7 +136,7 @@ def las_to_multipoint_shapefile(spark: SparkSession, las_path: str,
     single geometry; the attribute table carries only FID)."""
     pts = FF.read_las(spark, las_path).orderBy("source_file", "point_id")
     by_file: dict[str, list] = {}
-    for r in pts.collect():
+    for r in _collect_capped(pts, "LasToMultipointShapefile"):
         by_file.setdefault(r["source_file"], []).append((r["x"], r["y"]))
     feats = [
         {"record_num": i, "parts": [(False, coords)], "attrs": {"FID": i}}
