@@ -305,22 +305,12 @@ def _fold_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return out
 
 
-def _coarse_centroids(targets: DataFrame, num_centroids: int, dim: int,
-                      id_col: str, vec_col: str, seed: int = 42,
-                      sample_per_centroid: int = 64, iters: int = 5,
-                      corpus_n: int | None = None) -> np.ndarray:
-    """Deterministic coarse quantizer, replayable end to end: the
-    training sample is the first num_centroids*sample_per_centroid
-    vectors of the MD5(seed:id) permutation (no RNG state, no scan
-    order), the initial centroids are the first num_centroids of a
-    second MD5(seed+1:id) permutation of that sample, and every Lloyd
-    step runs in strict-element-order folds (_fold_dots / _fold_norms,
-    sample-order member means, first-max assignment) — so the whole
-    trainer is a deterministic function the DuckDB oracle re-executes
-    bitwise. Driver sees only the bounded sample, never the corpus."""
-    import hashlib
-
-    n_sample = num_centroids * sample_per_centroid
+def _md5_sample(targets: DataFrame, n_sample: int, id_col: str,
+                vec_col: str, seed: int,
+                corpus_n: int | None) -> tuple[np.ndarray, np.ndarray]:
+    """First n_sample rows of the MD5(seed:id) permutation — the shared
+    deterministic trainer sample (hash-prefiltered at corpus scale so
+    the orderBy never sorts the corpus)."""
     base = targets.select(id_col, vec_col)
     if corpus_n is not None and corpus_n > 4 * n_sample:
         # hash-filter down to ~2x the sample size BEFORE any ordering —
@@ -336,7 +326,35 @@ def _coarse_centroids(targets: DataFrame, num_centroids: int, dim: int,
                         f"CAST({id_col} AS STRING)))"))
         .limit(n_sample)
     )
-    ids, mat = _collect_matrix(sample, id_col, vec_col)
+    return _collect_matrix(sample, id_col, vec_col)
+
+
+def _coarse_centroids(targets: DataFrame, num_centroids: int, dim: int,
+                      id_col: str, vec_col: str, seed: int = 42,
+                      sample_per_centroid: int = 64, iters: int = 5,
+                      corpus_n: int | None = None,
+                      presample: tuple | None = None) -> np.ndarray:
+    """Deterministic coarse quantizer, replayable end to end: the
+    training sample is the first num_centroids*sample_per_centroid
+    vectors of the MD5(seed:id) permutation (no RNG state, no scan
+    order), the initial centroids are the first num_centroids of a
+    second MD5(seed+1:id) permutation of that sample, and every Lloyd
+    step runs in strict-element-order folds (_fold_dots / _fold_norms,
+    sample-order member means, first-max assignment) — so the whole
+    trainer is a deterministic function the DuckDB oracle re-executes
+    bitwise. Driver sees only the bounded sample, never the corpus."""
+    import hashlib
+
+    n_sample = num_centroids * sample_per_centroid
+    if presample is not None:
+        # shared MD5-permutation prefix from the caller (ann_topk_ivfpq
+        # collects ONE sample for both trainers — r06): the first
+        # n_sample rows of the same total order ARE this trainer's
+        # sample, so results are bit-identical.
+        ids, mat = presample[0][:n_sample], presample[1][:n_sample]
+    else:
+        ids, mat = _md5_sample(targets, n_sample, id_col, vec_col, seed,
+                               corpus_n)
     mat = mat / np.maximum(_fold_norms(mat), 1e-12)[:, None]
     init = np.argsort(np.array([
         hashlib.md5(f"{int(seed) + 1}:{i}".encode()).hexdigest()
@@ -501,6 +519,7 @@ def pq_codebooks(
     iters: int = 3,
     sample_per_code: int = 64,
     corpus_n: int | None = None,
+    presample: tuple | None = None,
 ) -> np.ndarray:
     """Deterministic per-subspace PQ codebooks, replayable end to end.
 
@@ -522,19 +541,11 @@ def pq_codebooks(
         raise ValueError("dim must be divisible by m")
     dsub = dim // m
     n_sample = n_codes * sample_per_code
-    base = targets.select(id_col, vec_col)
-    if corpus_n is not None and corpus_n > 4 * n_sample:
-        kf = max(1, corpus_n // (2 * n_sample))
-        base = base.where(
-            F.expr(f"PMOD(XXHASH64(CAST({id_col} AS STRING), "
-                   f"{int(seed) + 7}), {kf}) = 0"))
-    sample = (
-        base
-        .orderBy(F.expr(f"MD5(CONCAT('{int(seed)}', ':', "
-                        f"CAST({id_col} AS STRING)))"))
-        .limit(n_sample)
-    )
-    ids, mat = _collect_matrix(sample, id_col, vec_col)
+    if presample is not None:
+        ids, mat = presample[0][:n_sample], presample[1][:n_sample]
+    else:
+        ids, mat = _md5_sample(targets, n_sample, id_col, vec_col, seed,
+                               corpus_n)
     mat = mat / np.maximum(_fold_norms(mat), 1e-12)[:, None]
     init = np.argsort(np.array([
         hashlib.md5(f"{int(seed) + 1}:{i}".encode()).hexdigest()
@@ -633,12 +644,24 @@ def ann_topk_ivfpq(
     if shortlist is None:
         shortlist = 8 * k
 
+    # ONE shared sample collect feeds both trainers when no hash
+    # prefilter would fire (both use the same MD5(seed:id) permutation,
+    # so each trainer's sample is a PREFIX of the shared one — bit-
+    # identical); with a prefilter in play the filtered sets differ by
+    # n_sample, so each trainer keeps its own collect (r06).
+    n_cent_s = num_centroids * 64
+    n_pq_s = n_codes * 64
+    presample = None
+    if n_corpus is None or n_corpus <= 4 * min(n_cent_s, n_pq_s):
+        presample = _md5_sample(targets, max(n_cent_s, n_pq_s), id_col,
+                                vec_col, seed, None)
     cent = _coarse_centroids(targets, num_centroids, dim, id_col, vec_col,
-                             seed, corpus_n=n_corpus)
+                             seed, corpus_n=n_corpus, presample=presample)
     cent_bc = spark.sparkContext.broadcast(cent)
     books = pq_codebooks(targets, m=m, n_codes=n_codes, dim=dim,
                          id_col=id_col, vec_col=vec_col, seed=seed,
-                         iters=pq_iters, corpus_n=n_corpus)
+                         iters=pq_iters, corpus_n=n_corpus,
+                         presample=presample)
     books_bc = spark.sparkContext.broadcast(books)
 
     # ONE Arrow pass over the corpus computes both the inverted-list
@@ -721,11 +744,21 @@ def ann_topk_ivfpq(
                 for j in range(dsub):  # strict element-order fold
                     acc += qsub[:, j] * cb[:, j]
                 approx += acc
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 "query_id": qids,
                 "target_id": pdf["target_id"].to_numpy(dtype=np.int64),
                 "approx": approx,
             })
+            # per-batch partial top-`shortlist` (the _salted_topk
+            # phase-1 argument: any row in a query's global shortlist
+            # is in its shortlist within every batch that holds it, so
+            # the window below sees a superset of the true shortlist
+            # and its output is unchanged) — the ADC-scored candidate
+            # set is the big intermediate at scale, and this bounds the
+            # shortlist exchange at shortlist x |batches| per query.
+            out = out.sort_values(["query_id", "approx", "target_id"],
+                                  ascending=[True, False, True])
+            yield out.groupby("query_id", sort=False).head(shortlist)
 
     scored = cand.select("query_id", "target_id", *code_cols) \
                  .mapInPandas(adc, schema=schema)

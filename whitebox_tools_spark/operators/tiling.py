@@ -652,7 +652,6 @@ def region_cover(spark, polygons: DataFrame,
     """
     from .pip_join import _rings, collect_polygons
 
-    _, _, _ = extent
     n = 1 << max_level
     base = spark.range(n * n).selectExpr(
         f"CAST(id % {n} AS BIGINT) AS ix",

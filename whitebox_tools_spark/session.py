@@ -57,8 +57,10 @@ _DEFAULTS = {
     # stages) into a SINGLE task — 1 MB of grouped raster cells is
     # seconds of kernel work, so parallelism matters more than task
     # count there. At production scale partitions are far above either
-    # floor, so this only changes the small-input regime.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # floor, so this only changes the small-input regime. 128k measured best
+    # across the kernel queries (64k over-split fast Python stages like the
+    # ADC scorer; 1m serialized slow ones like per-tile Delaunay).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "128k",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
