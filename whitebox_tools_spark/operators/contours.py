@@ -98,6 +98,15 @@ def contour_segments(cells: DataFrame, meta: GridMeta, base: float,
     tl = tile
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized marching squares (r06): the former per-quad Python
+        # loop ran levels x tile^2 iterations with numpy slicing inside;
+        # this gathers quads by case value and runs each case's edge
+        # interpolation as ONE elementwise pass. Every float op — the
+        # >= level corner tests, t = (level - a) / (b - a), the center
+        # coordinates, the lerp — is the identical scalar IEEE sequence,
+        # so segments are bit-equal to the loop (and the SQL oracle);
+        # only the row order within a tile changes, and every consumer
+        # (the oracle diff, the canonical chain walk) sorts first.
         tr, tc = int(key[0]), int(key[1])
         r0, c0 = tr * tl, tc * tl
         h = w = tl + 1
@@ -106,56 +115,77 @@ def contour_segments(cells: DataFrame, meta: GridMeta, base: float,
         cc = pdf["col"].to_numpy() - c0
         ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
         grid[rr[ok], cc[ok]] = pdf["value"].to_numpy()[ok]
-        out = []
+
+        A = grid[:-1, :-1]   # tl corner of each quad
+        B = grid[:-1, 1:]    # tr
+        C = grid[1:, 1:]     # br
+        D = grid[1:, :-1]    # bl
+        valid = ~(np.isnan(A) | np.isnan(B) | np.isnan(C) | np.isnan(D))
+        qr_i, qc_i = np.nonzero(valid)
+        cols = ("level", "x1", "y1", "x2", "y2")
+        if len(qr_i) == 0:
+            return pd.DataFrame({k: pd.Series([], dtype="float64")
+                                 for k in cols})
+        gr = (r0 + qr_i).astype(np.float64)
+        gc = (c0 + qc_i).astype(np.float64)
+        tl_v, tr_v = A[qr_i, qc_i], B[qr_i, qc_i]
+        br_v, bl_v = C[qr_i, qc_i], D[qr_i, qc_i]
 
         def xy(r, c):
             return (west + (c + 0.5) * rx, north - (r + 0.5) * ry)
 
+        chunks = []
         for level in lv:
-            for qr in range(tl):
-                for qc in range(tl):
-                    gr, gc = r0 + qr, c0 + qc
-                    v = grid[qr:qr + 2, qc:qc + 2]
-                    if np.isnan(v).any():
-                        continue
-                    tl_v, tr_v = v[0, 0], v[0, 1]
-                    bl_v, br_v = v[1, 0], v[1, 1]
-                    case = ((8 if tl_v >= level else 0)
-                            | (4 if tr_v >= level else 0)
-                            | (2 if br_v >= level else 0)
-                            | (1 if bl_v >= level else 0))
-                    segs = _MS_CASES[case]
-                    if not segs:
-                        continue
+            case = (((tl_v >= level).astype(np.int8) << 3)
+                    | ((tr_v >= level).astype(np.int8) << 2)
+                    | ((br_v >= level).astype(np.int8) << 1)
+                    | (bl_v >= level).astype(np.int8))
+            for cs, segs in _MS_CASES.items():
+                if not segs:
+                    continue
+                m = case == cs
+                if not m.any():
+                    continue
+                mgr, mgc = gr[m], gc[m]
+                va = {"tl": tl_v[m], "tr": tr_v[m],
+                      "br": br_v[m], "bl": bl_v[m]}
 
-                    def edge_pt(e):
-                        # interpolate along the edge between cell centers;
-                        # compute t from the SAME ordered value pair on
-                        # both sides of a shared edge (row-major corner
-                        # order) so floats match across quads
-                        if e == 0:    # top: (gr,gc)-(gr,gc+1)
-                            a, b = tl_v, tr_v
-                            (xa, ya), (xb, yb) = xy(gr, gc), xy(gr, gc + 1)
-                        elif e == 2:  # bottom
-                            a, b = bl_v, br_v
-                            (xa, ya), (xb, yb) = xy(gr + 1, gc), xy(gr + 1, gc + 1)
-                        elif e == 3:  # left
-                            a, b = tl_v, bl_v
-                            (xa, ya), (xb, yb) = xy(gr, gc), xy(gr + 1, gc)
-                        else:         # right
-                            a, b = tr_v, br_v
-                            (xa, ya), (xb, yb) = xy(gr, gc + 1), xy(gr + 1, gc + 1)
-                        t = (level - a) / (b - a)
-                        return (xa + t * (xb - xa), ya + t * (yb - ya))
+                def edge_pt(e):
+                    # interpolate along the edge between cell centers;
+                    # t from the SAME ordered value pair on both sides
+                    # of a shared edge (row-major corner order) so
+                    # floats match across quads
+                    if e == 0:    # top
+                        a, b = va["tl"], va["tr"]
+                        (xa, ya), (xb, yb) = xy(mgr, mgc), xy(mgr, mgc + 1)
+                    elif e == 2:  # bottom
+                        a, b = va["bl"], va["br"]
+                        (xa, ya), (xb, yb) = (xy(mgr + 1, mgc),
+                                              xy(mgr + 1, mgc + 1))
+                    elif e == 3:  # left
+                        a, b = va["tl"], va["bl"]
+                        (xa, ya), (xb, yb) = xy(mgr, mgc), xy(mgr + 1, mgc)
+                    else:         # right
+                        a, b = va["tr"], va["br"]
+                        (xa, ya), (xb, yb) = (xy(mgr, mgc + 1),
+                                              xy(mgr + 1, mgc + 1))
+                    t = (level - a) / (b - a)
+                    return (xa + t * (xb - xa), ya + t * (yb - ya))
 
-                    for ea, eb in segs:
-                        p, q = edge_pt(ea), edge_pt(eb)
-                        if p != q:
-                            out.append((level, p[0], p[1], q[0], q[1]))
-        if not out:
+                for ea, eb in segs:
+                    (px, py), (qx, qy) = edge_pt(ea), edge_pt(eb)
+                    keep = ~((px == qx) & (py == qy))
+                    if not keep.any():
+                        continue
+                    n = int(keep.sum())
+                    chunks.append(np.column_stack([
+                        np.full(n, float(level)), px[keep], py[keep],
+                        qx[keep], qy[keep]]))
+        if not chunks:
             return pd.DataFrame({k: pd.Series([], dtype="float64")
-                                 for k in ("level", "x1", "y1", "x2", "y2")})
-        return pd.DataFrame(out, columns=["level", "x1", "y1", "x2", "y2"])
+                                 for k in cols})
+        allseg = np.concatenate(chunks)
+        return pd.DataFrame({k: allseg[:, i] for i, k in enumerate(cols)})
 
     return tiles.groupBy("tr", "tc").applyInPandas(kernel, schema=_SEG_SCHEMA)
 

@@ -48,6 +48,12 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
+# bpe_train's local-rounds dispatch threshold: vocabs at or below this
+# train on the driver (bit-identical integer/string rounds, no per-round
+# job round-trips); larger vocabs use the distributed rounds. ~50 B/row
+# bounds the collect at ~10 MB.
+_MAX_DRIVER_VOCAB = 200_000
+
 
 def contamination_check(
     docs: DataFrame,
@@ -1220,6 +1226,39 @@ def bpe_train(
         # convention as dedup.py's signature frames)
         .localCheckpoint()
     )
+    # capped local fast path (r06): the merge rounds are pure
+    # integer/string arithmetic over the word-frequency vocab — pair
+    # counts are integer sums, the argmax is (count DESC, a ASC, b ASC),
+    # the merge is the same left-to-right non-overlapping REPLACE — so a
+    # small vocab trains on the driver with BIT-IDENTICAL merges while
+    # skipping n_merges job round-trips. Above the cap the distributed
+    # rounds below run unchanged (the 10^7-row real-tokenizer regime;
+    # at ~50 B/row the cap bounds the collect at ~10 MB).
+    if vocab.count() <= _MAX_DRIVER_VOCAB:
+        rows = [(r["__seq"], int(r["__wc"])) for r in vocab.collect()]
+        merges = []
+        for r in range(1, n_merges + 1):
+            counts: dict = {}
+            for seq, wc in rows:
+                ss = seq[1:-1].split("><")
+                for i in range(len(ss) - 1):
+                    k = (ss[i], ss[i + 1])
+                    counts[k] = counts.get(k, 0) + wc
+            if not counts:
+                break
+            (a, b), c = min(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if c < 2:
+                break
+            merges.append((r, a, b, a + b, int(c)))
+            pat, rep = f"<{a}><{b}>", f"<{a}{b}>"
+            rows = [(seq.replace(pat, rep), wc) for seq, wc in rows]
+        spark = docs.sparkSession
+        mdf = spark.createDataFrame(
+            merges or [],
+            "round BIGINT, left STRING, right STRING, merged STRING, "
+            "pair_count BIGINT")
+        return mdf, merges
     merges = []
     for r in range(1, n_merges + 1):
         pairs = (
