@@ -98,17 +98,28 @@ def clump(cells: DataFrame, columns: int, diag: bool = True,
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "id",
-                         max_rounds: int = 64) -> DataFrame:
+                         max_rounds: int = 64,
+                         symmetrized: bool = False) -> DataFrame:
     """Generic connected components over an explicit undirected edge
     list: nodes (id) x edges (a, b) -> (id, comp) where comp is the
     smallest node id in the component. Min-label propagation with
     pointer jumping every third round (the clump machinery generalized
-    to any edge predicate — callers build `edges` declaratively)."""
-    sym = edges.selectExpr("a", "b").unionByName(
-        edges.selectExpr("b AS a", "a AS b")).distinct() \
-        .localCheckpoint(eager=True)
-    lbl = nodes.selectExpr(f"{id_col} AS id", f"{id_col} AS comp") \
-        .localCheckpoint(eager=True)
+    to any edge predicate — callers build `edges` declaratively).
+
+    symmetrized=True: `edges` already contains both (a, b) and (b, a)
+    for every pair AND is pinned (checkpointed) by the caller — skips
+    this function's own symmetrize + checkpoint barrier (r06; callers
+    that pre-pin the edge list anyway save one materialization)."""
+    if symmetrized:
+        sym = edges
+    else:
+        sym = edges.selectExpr("a", "b").unionByName(
+            edges.selectExpr("b AS a", "a AS b")).distinct() \
+            .localCheckpoint(eager=True)
+    # the initial label frame derives from the (pinned) edge list; its
+    # lineage is one cheap distinct, so no eager barrier of its own —
+    # round 0's plan reads it directly and round 1+ read checkpoints
+    lbl = nodes.selectExpr(f"{id_col} AS id", f"{id_col} AS comp")
     # frontier propagation (the clump argument): only nodes whose label
     # changed last round can improve a neighbor's min, so only they
     # scatter; round 0 scatters everything

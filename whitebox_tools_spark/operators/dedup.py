@@ -338,16 +338,16 @@ def cluster_pairs(ids: DataFrame, pairs: DataFrame,
     """
     from .clump import connected_components
 
-    # pin the (tiny — dup mass only) edge list ONCE: both downstream
-    # consumers (the symmetrized edge set inside connected_components
-    # and the touched-id node list) otherwise re-execute the ENTIRE
-    # upstream pair pipeline — shingles, signatures, band join, verify —
-    # one full extra time each (r06 optimization; same rows, one pass).
-    edges = pairs.selectExpr("id_a AS a", "id_b AS b") \
+    # pin the (tiny — dup mass only) SYMMETRIZED edge list ONCE: every
+    # downstream consumer (the CC's edge scatter, the touched-id node
+    # list) otherwise re-executes the ENTIRE upstream pair pipeline —
+    # shingles, signatures, band join, verify — one full extra time
+    # each (r06 optimization; same rows, one pass, one barrier).
+    sym = pairs.selectExpr("id_a AS a", "id_b AS b").unionByName(
+        pairs.selectExpr("id_b AS a", "id_a AS b")).distinct() \
         .localCheckpoint(eager=True)
-    touched = edges.selectExpr("a AS id").unionByName(
-        edges.selectExpr("b AS id")).distinct()
-    comp = connected_components(touched, edges)
+    touched = sym.select(F.col("a").alias("id")).distinct()
+    comp = connected_components(touched, sym, symmetrized=True)
     return (
         ids.selectExpr(f"{id_col} AS id")
         .join(comp, "id", "left")
