@@ -112,14 +112,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     that pre-pin the edge list anyway save one materialization)."""
     if symmetrized:
         sym = edges
+        # the caller pinned the edge list, so the node frame is one
+        # cheap distinct over it — no eager barrier of its own (round 0
+        # reads it inline, round 1+ read checkpoints)
+        lbl = nodes.selectExpr(f"{id_col} AS id", f"{id_col} AS comp")
     else:
         sym = edges.selectExpr("a", "b").unionByName(
             edges.selectExpr("b AS a", "a AS b")).distinct() \
             .localCheckpoint(eager=True)
-    # the initial label frame derives from the (pinned) edge list; its
-    # lineage is one cheap distinct, so no eager barrier of its own —
-    # round 0's plan reads it directly and round 1+ read checkpoints
-    lbl = nodes.selectExpr(f"{id_col} AS id", f"{id_col} AS comp")
+        # unknown (possibly expensive) node lineage: pin it, since round
+        # 0's plan otherwise evaluates it twice (scatter + label join)
+        lbl = nodes.selectExpr(f"{id_col} AS id", f"{id_col} AS comp") \
+            .localCheckpoint(eager=True)
     # frontier propagation (the clump argument): only nodes whose label
     # changed last round can improve a neighbor's min, so only they
     # scatter; round 0 scatters everything

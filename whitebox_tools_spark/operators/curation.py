@@ -1282,8 +1282,13 @@ def bpe_train(
         a, b, c = top[0]["__p"]["a"], top[0]["__p"]["b"], int(top[0]["__c"])
         merges.append((r, a, b, a + b, c))
         pat, rep = f"<{a}><{b}>", f"<{a}{b}>"
+        # escape for the Spark string-literal dialect (backslash and
+        # quote) — a token containing either would otherwise inject into
+        # the REPLACE literal (the bm25_query ADVICE class; the driver
+        # fast path's str.replace needs no escaping)
+        esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")
         vocab = vocab.selectExpr(
-            f"REPLACE(__seq, '{pat}', '{rep}') AS __seq", "__wc")
+            f"REPLACE(__seq, '{esc(pat)}', '{esc(rep)}') AS __seq", "__wc")
         # real tokenizers run 10^4+ merges: re-pin every 32 rounds so
         # the REPLACE lineage (and its per-round recompute) stays bounded
         if r % 32 == 0:

@@ -444,11 +444,13 @@ def focal_pivotk(cells: DataFrame, size: int) -> DataFrame:
     # the k^2 scatter + partial pivot agg is the heavy map side of the
     # one shuffle; spread a narrow (single-file fixture) scan so it does
     # not run on 1-2 tasks (r06; no-op on real multi-split inputs, and
-    # only worth the extra exchange for kernels past 3x3)
+    # only worth the extra exchange for kernels past 3x3). Plan-inspected
+    # probe — never .rdd.getNumPartitions(), which executes the upstream
+    # stages under AQE (plans/spread.py).
     if size >= 5:
-        par = cells.sparkSession.sparkContext.defaultParallelism
-        if cells.rdd.getNumPartitions() < par:
-            cells = cells.repartition(par)
+        from ..plans.spread import spread_narrow_scan
+
+        cells = spread_narrow_scan(cells)
     scattered = (
         cells.withColumn("__s", F.expr(f"EXPLODE(ARRAY({pairs}))"))
         .selectExpr("__s.crow AS row", "__s.ccol AS col", "__s.n AS n", "value AS nv")

@@ -168,15 +168,17 @@ def _neighbor_pairs(points: DataFrame, radius: float,
     within `radius` (both directions). One FRS cell equi-join."""
     from ..functions.cells import explode_neighbor_cells
 
+    from ..plans.spread import spread_narrow_scan
+
     src = points.selectExpr(
         f"{id_col} AS pid", f"{x} AS px", f"{y} AS py", f"{z} AS pz")
     # the 25-key explode + pair filter is the heavy map work of every
     # caller; a single-file fixture scan would run it on 1-2 tasks (the
     # build side broadcasts, so no exchange ever spreads it). Real
-    # deployments read many splits and skip this (the _spread rationale).
-    par = points.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    # deployments read many splits and skip this. Plan-inspected probe —
+    # never .rdd.getNumPartitions(), which executes the upstream stages
+    # under AQE (plans/spread.py).
+    src = spread_narrow_scan(src)
     base = with_frs_cells(src, radius, x="px", y="py")
     probe = explode_neighbor_cells(base, reach=2)
     build = base.selectExpr("pid AS b_id", "px AS bx", "py AS by", "pz AS bz",

@@ -709,13 +709,21 @@ def ann_topk_ivfpq(
     # fold, so approx scores are bit-identical.
     qv = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("queryv"))
-    qids_arr, qmat_arr = _collect_matrix(qv, "query_id", "queryv")
-    qvec_bc = spark.sparkContext.broadcast(
-        {int(i): qmat_arr[j] for j, i in enumerate(qids_arr)})
+    try:
+        qids_arr, qmat_arr = _collect_matrix(qv, "query_id", "queryv")
+        qvec_bc = spark.sparkContext.broadcast(
+            {int(i): qmat_arr[j] for j, i in enumerate(qids_arr)})
+    except ValueError:
+        # query side past the driver-collect cap: fall back to attaching
+        # the query vector by join (the pre-r06 plan — more Arrow bytes
+        # per candidate, but no driver bound); same arithmetic.
+        qvec_bc = None
     cand = (
         q_assign.join(lists, "centroid")
         .where(F.col("query_id") != F.col("target_id"))
     )
+    if qvec_bc is None:
+        cand = cand.join(qv, "query_id")
     code_cols = [f"code_{s}" for s in range(m)]
     schema = StructType([
         StructField("query_id", LongType(), False),
@@ -725,15 +733,19 @@ def ann_topk_ivfpq(
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         books_v = books_bc.value
-        qvecs = qvec_bc.value
+        qvecs = qvec_bc.value if qvec_bc is not None else None
         msub, ncod, dsub = books_v.shape
         for pdf in batches:
             if pdf.empty:
                 continue
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
-            uq, inv = np.unique(qids, return_inverse=True)
-            qmat = np.stack([qvecs[int(q)] for q in uq])
-            qmat = (qmat / np.maximum(_fold_norms(qmat), 1e-12)[:, None])[inv]
+            if qvecs is not None:
+                uq, inv = np.unique(qids, return_inverse=True)
+                qmat = np.stack([qvecs[int(q)] for q in uq])
+                qmat = (qmat / np.maximum(_fold_norms(qmat), 1e-12)[:, None])[inv]
+            else:
+                qmat = np.array(list(pdf["queryv"]), dtype=np.float64)
+                qmat = qmat / np.maximum(_fold_norms(qmat), 1e-12)[:, None]
             # approx = sum_s fold-dot(q_sub, codebook_s[code_s]); the
             # per-subspace gather keeps one strict fold per (row, s)
             approx = np.zeros(len(pdf))
@@ -760,8 +772,9 @@ def ann_topk_ivfpq(
                                   ascending=[True, False, True])
             yield out.groupby("query_id", sort=False).head(shortlist)
 
-    scored = cand.select("query_id", "target_id", *code_cols) \
-                 .mapInPandas(adc, schema=schema)
+    adc_cols = ["query_id", "target_id", *code_cols] + \
+        (["queryv"] if qvec_bc is None else [])
+    scored = cand.select(*adc_cols).mapInPandas(adc, schema=schema)
     ws = Window.partitionBy("query_id").orderBy(F.col("approx").desc(),
                                                 "target_id")
     short = (
